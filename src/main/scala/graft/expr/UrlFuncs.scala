@@ -1,0 +1,125 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static URL kernels — referenced from generated code, so they must be
+  * plain static-reachable methods on an object.
+  */
+object UrlKernels {
+  /** RFC 3986 reference resolution, matching Python's `urljoin`
+    * semantics for the cases the reference exercises
+    * (/root/reference/src/enhanced_selenium_scraper.py:545-553):
+    * absolute hrefs pass through, scheme-relative `//host/p` adopt the
+    * base scheme, `/abs` and `rel` paths resolve against the base, and
+    * fragments/queries are preserved. Returns null on unparseable input.
+    */
+  def resolve(href: String, base: String): String = {
+    if (href == null || base == null) return null
+    val h = href.trim
+    if (h.isEmpty) return base
+    try {
+      val resolved = new java.net.URI(base).resolve(h)
+      resolved.toString
+    } catch {
+      case _: Exception =>
+        // urljoin is lenient; fall back to naive joining for inputs
+        // java.net.URI rejects (spaces, bad escapes).
+        if (h.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:.*")) h
+        else if (h.startsWith("//")) {
+          val scheme = base.takeWhile(_ != ':')
+          s"$scheme:$h"
+        } else if (h.startsWith("/")) {
+          hostRoot(base) + h
+        } else {
+          val cut = base.lastIndexOf('/')
+          val dir =
+            if (cut > base.indexOf("//") + 1) base.substring(0, cut + 1)
+            else base + "/"
+          dir + h
+        }
+    }
+  }
+
+  private def hostRoot(url: String): String = {
+    val i = url.indexOf("//")
+    if (i < 0) return url
+    val j = url.indexOf('/', i + 2)
+    if (j < 0) url else url.substring(0, j)
+  }
+
+  /** Hostname of a URL, or null. Mirrors `urlparse(url).netloc`
+    * minus userinfo/port (the reference only compares hostnames).
+    */
+  def host(url: String): String = {
+    if (url == null) return null
+    val i = url.indexOf("//")
+    if (i < 0) return null
+    val start = i + 2
+    var end = url.length
+    var k = start
+    while (k < end) {
+      val c = url.charAt(k)
+      if (c == '/' || c == '?' || c == '#') { end = k; k = end }
+      else k += 1
+    }
+    var h = url.substring(start, end)
+    val at = h.lastIndexOf('@')
+    if (at >= 0) h = h.substring(at + 1)
+    val colon = h.indexOf(':')
+    if (colon >= 0) h = h.substring(0, colon)
+    if (h.isEmpty) null else h.toLowerCase
+  }
+}
+
+/** `resolve_url(href, base)` as a native Catalyst expression with code
+  * generation (SURVEY U1/P13/F8). Spark has `parse_url` but no URL
+  * *join*; a codegen'd expression keeps the crawl projection inside
+  * whole-stage codegen instead of breaking the pipeline at a UDF.
+  */
+case class ResolveUrl(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "resolve_url"
+
+  override def nullSafeEval(href: Any, base: Any): Any = {
+    val r = UrlKernels.resolve(
+      href.asInstanceOf[UTF8String].toString,
+      base.asInstanceOf[UTF8String].toString)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (h, b) => {
+      val tmp = ctx.freshName("resolved")
+      s"""
+         |String $tmp = graft.expr.UrlKernels.resolve($h.toString(), $b.toString());
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString($tmp); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ResolveUrl =
+    copy(left = newLeft, right = newRight)
+}
+
+object UrlFuncs {
+  /** Column wrapper for [[ResolveUrl]]. */
+  def resolve_url(href: Column, base: Column): Column =
+    ColumnBridge.column(
+      ResolveUrl(ColumnBridge.expression(href), ColumnBridge.expression(base)))
+
+  /** Hostname via Spark's built-in parse_url (stays codegen'd). */
+  def url_host(url: Column): Column = lower(parse_url(url, lit("HOST")))
+
+  /** True when both URLs share a hostname (SURVEY P8). */
+  def same_host(a: Column, b: Column): Column =
+    url_host(a) === url_host(b)
+}

@@ -1,0 +1,152 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication strategies for document corpora, each designed so the
+  * expensive comparison only ever happens inside a small candidate
+  * bucket — the pattern that survives 100 TB:
+  *
+  *  - exact:     hash-groupBy on a content digest (one shuffle of digests)
+  *  - minhash:   sketch → LSH band explode → bucket join (no N² scan)
+  *  - simhash:   64-bit fingerprint → 16-bit band buckets → Hamming verify
+  *  - embedding: random-hyperplane buckets → cosine verify
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id document per identical content.
+    * `xxhash64` (+ length) is the grouping key, so the shuffle carries
+    * 16 bytes per doc, never the text.
+    */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    val w = Window
+      .partitionBy(xxhash64(col(textCol)), length(col(textCol)))
+      .orderBy(col(idCol))
+    docs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  /** Candidate near-duplicate pairs via MinHash + LSH banding.
+    * Returns (id_a, id_b, sim) with id_a < id_b and estimated Jaccard
+    * ≥ `threshold`. Bands×rows must equal the signature length; with
+    * (16 bands × 8 rows) the S-curve puts the 50% catch point at
+    * sim ≈ (1/16)^(1/8) ≈ 0.71.
+    */
+  def minhashPairs(docs: DataFrame, threshold: Double = 0.7,
+                   bands: Int = 16, rowsPerBand: Int = 8,
+                   shingleSize: Int = 5,
+                   idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    val n = bands * rowsPerBand
+    val sigs = docs
+      .select(col(idCol).as("id"),
+        Sketches.minhash_signature(col(textCol), shingleSize, n).as("sig"))
+    val banded = sigs
+      .select(col("id"), col("sig"),
+        explode(Sketches.lshBands(col("sig"), bands, rowsPerBand)).as("b"))
+      .select(col("id"), col("sig"),
+        col("b.band").as("band"), col("b.band_hash").as("band_hash"))
+    val a = banded.select(col("band"), col("band_hash"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("band_hash"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Sketches.signatureSim(col("sig_a"), col("sig_b")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("sim")).as("sim"))
+  }
+
+  /** MinHash dedup: drop every doc that has a near-duplicate with a
+    * smaller id (single LSH round — transitive chains collapse to their
+    * minimum via the pair relation's lower endpoint, which matches the
+    * reference-style "keep first seen" semantics for clusters of
+    * near-identical docs).
+    */
+  def minhashDedup(docs: DataFrame, threshold: Double = 0.7,
+                   idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    val dupIds = minhashPairs(docs, threshold, idCol = idCol, textCol = textCol)
+      .select(col("id_b").as(idCol)).distinct()
+    docs.join(dupIds, Seq(idCol), "left_anti")
+  }
+
+  /** SimHash near-duplicate pairs: banded candidate generation (4×16-bit
+    * bands ⇒ every pair within Hamming distance 3 shares a band), then
+    * exact Hamming verification.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    val fps = docs.select(col(idCol).as("id"),
+      Sketches.simhash64(col(textCol)).as("fp"))
+    val banded = fps
+      .select(col("id"), col("fp"),
+        explode(Sketches.simhashBands(col("fp"))).as("b"))
+      .select(col("id"), col("fp"),
+        col("b.band").as("band"), col("b.band_hash").as("band_hash"))
+    val a = banded.select(col("band"), col("band_hash"),
+      col("id").as("id_a"), col("fp").as("fp_a"))
+    val b = banded.select(col("band"), col("band_hash"),
+      col("id").as("id_b"), col("fp").as("fp_b"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Sketches.hamming64(col("fp_a"), col("fp_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("hamming")).as("hamming"))
+  }
+
+  /** Exact word-n-gram Jaccard pairs within LSH candidates: MinHash
+    * banding proposes, exact Jaccard disposes. The exact set compare
+    * only runs on bucket-mates.
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+                        idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    val candidates = minhashPairs(docs, threshold = 0.3,
+      idCol = idCol, textCol = textCol)
+    val grams = docs.select(col(idCol),
+      TextFuncs.wordNgrams(col(textCol), n).as("grams"))
+    candidates
+      .join(grams.select(col(idCol).as("id_a"), col("grams").as("grams_a")), "id_a")
+      .join(grams.select(col(idCol).as("id_b"), col("grams").as("grams_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("grams_a"), col("grams_b"))) /
+          size(array_union(col("grams_a"), col("grams_b"))).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Embedding-cosine near-duplicate pairs within random-hyperplane
+    * buckets (near-identical vectors land in the same bucket with high
+    * probability; multi-band OR raises recall).
+    */
+  def embeddingPairs(vecs: DataFrame, threshold: Double = 0.95,
+                     planes: Int = 8, bandsOfPlanes: Int = 4,
+                     idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val banded = vecs.select(
+      col(idCol).as("id"), col(vecCol).as("v"),
+      explode(array((0 until bandsOfPlanes).map(bd =>
+        struct(lit(bd).as("band"),
+          VectorFuncs.rhpBucket(col(vecCol), planes, seed = 42L + bd)
+            .as("band_hash"))): _*)).as("b"))
+      .select(col("id"), col("v"),
+        col("b.band").as("band"), col("b.band_hash").as("band_hash"))
+    val a = banded.select(col("band"), col("band_hash"),
+      col("id").as("id_a"), col("v").as("v_a"))
+    val b = banded.select(col("band"), col("band_hash"),
+      col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(VectorFuncs.cosine(col("v_a"), col("v_b"))).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}

@@ -1,0 +1,175 @@
+package graft.llmops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Sketch kernels for near-duplicate detection at scale: MinHash over
+  * character shingles and 64-bit SimHash over tokens. Both are single
+  * pass over the document — O(len · numHashes) with no allocation per
+  * shingle — and return fixed-size sketches, so the shuffle that
+  * follows (LSH band grouping) moves `numHashes × 8` bytes per doc
+  * instead of the document text. That is what makes the dedup join
+  * feasible at 100 TB: documents never co-locate, only sketches do.
+  */
+object SketchKernels {
+  /** 64-bit avalanche mix (splitmix64 finalizer — public domain). */
+  @inline def mix64(zIn: Long): Long = {
+    var z = zIn
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** MinHash signature: k-char shingles hashed once, then n cheap
+    * permutations h_i(x) = mix64(x ^ seed_i), tracking the min per
+    * permutation. Deterministic for fixed (k, n).
+    */
+  def minhash(text: String, k: Int, n: Int): Array[Long] = {
+    val sig = Array.fill(n)(Long.MaxValue)
+    if (text == null) return sig
+    val t = text.toLowerCase.replaceAll("\\s+", " ")
+    val len = t.length
+    if (len == 0) return sig
+    val seeds = minhashSeeds(n)
+    val upper = math.max(len - k + 1, 1)
+    var i = 0
+    while (i < upper) {
+      // polynomial rolling hash of the shingle
+      var h = 1125899906842597L
+      var j = i
+      val end = math.min(i + k, len)
+      while (j < end) { h = 31 * h + t.charAt(j); j += 1 }
+      val base = mix64(h)
+      var p = 0
+      while (p < n) {
+        val v = mix64(base ^ seeds(p))
+        if (v < sig(p)) sig(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  private val seedCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+  private def minhashSeeds(n: Int): Array[Long] =
+    seedCache.computeIfAbsent(n, m => Array.tabulate(m)(i => mix64(0x9e3779b97f4a7c15L * (i + 1))))
+
+  /** 64-bit SimHash over whitespace tokens: per-token 64-bit hash votes
+    * on each bit; the sign of the vote sum forms the fingerprint.
+    */
+  def simhash64(text: String): Long = {
+    if (text == null) return 0L
+    val counts = new Array[Int](64)
+    var start = 0
+    val t = text.toLowerCase
+    val len = t.length
+    var i = 0
+    while (i <= len) {
+      if (i == len || Character.isWhitespace(t.charAt(i))) {
+        if (i > start) {
+          var h = 1125899906842597L
+          var j = start
+          while (j < i) { h = 31 * h + t.charAt(j); j += 1 }
+          h = mix64(h)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+            b += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Fraction of equal components between two equal-length signatures
+    * — the MinHash estimate of Jaccard similarity.
+    */
+  def signatureSimilarity(a: Array[Long], b: Array[Long]): Double = {
+    var eq = 0
+    var i = 0
+    while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
+    eq.toDouble / a.length
+  }
+}
+
+/** `minhash_signature(text)` → array<bigint> of length `numHashes`. */
+case class MinHashSignature(child: Expression, shingleSize: Int, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "minhash_signature"
+  override def nullSafeEval(input: Any): Any = {
+    val sig = SketchKernels.minhash(
+      input.asInstanceOf[UTF8String].toString, shingleSize, numHashes)
+    new GenericArrayData(sig)
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashSignature =
+    copy(child = c)
+}
+
+/** `simhash64(text)` → bigint fingerprint. */
+case class SimHash(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "simhash64"
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.simhash64(input.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(c: Expression): SimHash =
+    copy(child = c)
+}
+
+object Sketches {
+  /** Column wrapper: MinHash signature of a text column. */
+  def minhash_signature(text: Column, shingleSize: Int = 5, numHashes: Int = 128): Column =
+    ColumnBridge.column(
+      MinHashSignature(ColumnBridge.expression(text), shingleSize, numHashes))
+
+  /** Column wrapper: 64-bit SimHash of a text column. */
+  def simhash64(text: Column): Column =
+    ColumnBridge.column(SimHash(ColumnBridge.expression(text)))
+
+  /** LSH band keys for a signature: `bands` rows of `rowsPerBand`
+    * signature entries, each band hashed to one long. Explode the
+    * result and group by (band_index, band_hash) — only docs sharing a
+    * band bucket are ever compared, which replaces the O(N²) pairwise
+    * scan with a per-bucket join.
+    */
+  def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map(b => struct(
+      lit(b).as("band"),
+      xxhash64(lit(b), slice(sig, b * rowsPerBand + 1, rowsPerBand))
+        .as("band_hash"))): _*)
+
+  /** Estimated Jaccard similarity between two signature columns. */
+  def signatureSim(a: Column, b: Column): Column = {
+    val eq = size(filter(zip_with(a, b, (x, y) => x === y), v => v))
+    eq / size(a).cast("double")
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** 16-bit SimHash bands (4 per fingerprint) for banded candidate
+    * generation: two docs within Hamming distance 3 share at least one
+    * of the 4 bands (pigeonhole).
+    */
+  def simhashBands(fp: Column): Column =
+    array((0 until 4).map(b => struct(
+      lit(b).as("band"),
+      shiftright(fp, b * 16).bitwiseAND(lit(0xffffL)).as("band_hash"))): _*)
+}
