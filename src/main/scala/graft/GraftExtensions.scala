@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.expr.ResolveUrl
+import graft.html.{CleanHtml, ExtractLinks, ExtractTables}
+import graft.llmops.{MinHashSignature, SimHash}
+
+/** Registers the engine's custom expressions for SQL use:
+  *
+  * {{{
+  * val spark = SparkSession.builder()
+  *   .withExtensions(new GraftExtensions).getOrCreate()
+  * spark.sql("SELECT resolve_url(href, base), simhash64(text) FROM t")
+  * }}}
+  *
+  * Injection keeps everything session-scoped — no global registry
+  * mutation, so multiple sessions with different extension sets coexist
+  * (matters on shared clusters).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "scala_udf")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("resolve_url"),
+      info("resolve_url", "resolve_url(href, base) - RFC 3986 URL resolution"),
+      (args: Seq[Expression]) => ResolveUrl(args(0), args(1))))
+    e.injectFunction((FunctionIdentifier("clean_html"),
+      info("clean_html", "clean_html(html) - strip script/style/svg/comments"),
+      (args: Seq[Expression]) => CleanHtml(args.head)))
+    e.injectFunction((FunctionIdentifier("extract_links"),
+      info("extract_links", "extract_links(html) - generator of anchor rows"),
+      (args: Seq[Expression]) => ExtractLinks(args.head)))
+    e.injectFunction((FunctionIdentifier("extract_tables"),
+      info("extract_tables", "extract_tables(html) - generator of table rows"),
+      (args: Seq[Expression]) => ExtractTables(args.head)))
+    e.injectFunction((FunctionIdentifier("minhash_signature"),
+      info("minhash_signature", "minhash_signature(text[, shingle, hashes])"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => MinHashSignature(t, 5, 128)
+        case Seq(t, s, n) => MinHashSignature(t,
+          s.eval().asInstanceOf[Int], n.eval().asInstanceOf[Int])
+        case _ => throw new IllegalArgumentException(
+          "minhash_signature(text[, shingleSize, numHashes])")
+      }))
+    e.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(text) - 64-bit SimHash fingerprint"),
+      (args: Seq[Expression]) => SimHash(args.head)))
+  }
+}

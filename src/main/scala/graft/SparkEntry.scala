@@ -133,6 +133,284 @@ object SparkEntry {
       val b = t(s, d, "part").select($"p_partkey".as("pk"))
       a.unionByName(b).distinct()
         .agg(count(lit(1)).as("n_distinct_parts"))
+    }),
+
+    // F1-F3/F6: case/trim/contains/substring string surface.
+    "q11_string_ops" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(length($"text")).as("total_chars"),
+          sum(when(lower($"text").contains("spark"), 1).otherwise(0)).as("n_spark"),
+          min(substring_index(trim($"text"), " ", 1)).as("first_word"))
+        .orderBy($"source")
+    }),
+
+    // F4: regex extraction from semi-structured text.
+    "q12_regex_extract" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .withColumn("k", regexp_extract($"props", "\"k\": (\\d+)", 1).cast("int"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"), max($"k").as("max_k"))
+        .orderBy($"event_type")
+    }),
+
+    // F15: JSON field extraction + null-safe coalesce chain (F10).
+    "q13_json_extract" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .withColumn("k", get_json_object($"props", "$.k").cast("int"))
+        .withColumn("k2", coalesce(get_json_object($"props", "$.missing").cast("int"),
+                                   $"k", lit(-1)))
+        .groupBy($"event_type")
+        .agg(avg($"k").as("avg_k"), sum($"k2").as("sum_k2"))
+        .orderBy($"event_type")
+    }),
+
+    // F9/§2.9 batch analog: tumbling 1-hour window aggregation.
+    "q14_hourly_window" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+        .agg(count(lit(1)).as("n"), sum($"value").as("total_value"))
+        .orderBy($"hour", $"event_type")
+    }),
+
+    // P14/F5: filename sanitization over constructed dirty names.
+    "q15_sanitize" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .select($"doc_id",
+          graft.expr.LinkFuncs.sanitizeFilename(
+            concat($"source", lit("<"), $"lang", lit(">:"), $"doc_id"))
+            .as("fname"))
+        .orderBy($"doc_id")
+    }),
+
+    // U5/A3/F13: year/quarter extraction via regexp_extract_all +
+    // array_max over constructed report-title strings.
+    "q17_year_quarter" -> ((s, d) => {
+      import s.implicits._
+      val k = get_json_object($"props", "$.k").cast("int")
+      val title = concat(lit("Report Q"), ((k % 4) + 1).cast("string"),
+                         lit(" FY"), (lit(1990) + k % 30).cast("string"))
+      Tables.events(s, d)
+        .withColumn("title", title)
+        .select(
+          $"event_id",
+          array_max(transform(
+            regexp_extract_all(lower($"title"), lit("(19|20)\\d{2}"), lit(0)),
+            y => y.cast("int"))).as("year"),
+          array_max(transform(
+            regexp_extract_all(lower($"title"), lit("q([1-4])"), lit(1)),
+            q => q.cast("int"))).as("quarter"))
+        .orderBy($"event_id")
+    }),
+
+    // F11/A8: content digests, distinct-count per group.
+    "q18_md5_digest" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .groupBy($"source")
+        .agg(countDistinct(md5($"text")).as("n_distinct"),
+             count(lit(1)).as("n_docs"))
+        .orderBy($"source")
+    }),
+
+    // A11/F12 + llmops token counting: token/char stats per language.
+    "q19_token_stats" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(graft.llmops.TextFuncs.tokenCount($"text")).as("sum_tokens"),
+          sum(length($"text")).as("sum_chars"),
+          sum(graft.llmops.TextFuncs.approxBpeTokenCount($"text")).as("sum_bpe"))
+        .orderBy($"lang")
+    }),
+
+    // llmops exact dedup: union with a shifted copy, keep min id per
+    // identical content (hash-groupBy dedup, D1 at corpus scale).
+    "q20_exact_dedup" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents").select($"doc_id", $"text")
+      val dup = docs.withColumn("doc_id", $"doc_id" + 100000)
+      graft.llmops.Dedup.exact(docs.unionByName(dup))
+        .select($"doc_id".as("keep_id"))
+        .orderBy($"keep_id")
+    }),
+
+    // llmops quality scoring: length/stopword/word-length/punctuation.
+    "q21_quality" -> ((s, d) => {
+      import s.implicits._
+      val T = graft.llmops.TextFuncs
+      t(s, d, "documents")
+        .groupBy($"source")
+        .agg(
+          avg(T.qualityScore($"text")).as("avg_quality"),
+          avg(T.stopwordRatio($"text")).as("avg_stop_ratio"),
+          avg(T.meanWordLen($"text")).as("avg_mwl"))
+        .orderBy($"source")
+    }),
+
+    // llmops language ID heuristic: detected language histogram.
+    "q22_lang_id" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .groupBy(graft.llmops.TextFuncs.langId($"text").as("detected"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"detected")
+    }),
+
+    // llmops similarity search: brute-force cosine top-5 for 5 query
+    // vectors (broadcast queries, map-side scoring, top-k window).
+    "q23_cosine_topk" -> ((s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+      val scored = emb.join(broadcast(q)).filter($"vec_id" =!= $"query_id")
+        .withColumn("sim", graft.llmops.VectorFuncs.cosine($"embedding", $"query_vec"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"sim".desc, $"vec_id")
+      scored.withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+        .select($"query_id", $"vec_id", $"sim", $"rk")
+        .orderBy($"query_id", $"rk")
+    }),
+
+    // llmops MinHash+LSH near-duplicate pairs (no SQL oracle — sketch
+    // based; correctness asserted in DedupSpec against exact Jaccard).
+    "q24_minhash_pairs" -> ((s, d) => {
+      import s.implicits._
+      graft.llmops.Dedup.minhashPairs(t(s, d, "documents"), threshold = 0.7)
+        .select($"id_a", $"id_b", round($"sim", 2).as("sim_bucket"))
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // llmops SimHash near-duplicate pairs (no SQL oracle).
+    "q25_simhash_pairs" -> ((s, d) => {
+      import s.implicits._
+      graft.llmops.Dedup.simhashPairs(t(s, d, "documents"), maxHamming = 3)
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // llmops embedding near-dup pairs in RHP-LSH buckets (no SQL oracle).
+    "q26_embedding_pairs" -> ((s, d) => {
+      import s.implicits._
+      graft.llmops.Dedup.embeddingPairs(t(s, d, "embeddings"), threshold = 0.9)
+        .select($"id_a", $"id_b", round($"sim", 2).as("sim_bucket"))
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // llmops MinHash dedup end-to-end: surviving doc count per source.
+    "q27_minhash_dedup" -> ((s, d) => {
+      import s.implicits._
+      graft.llmops.Dedup.minhashDedup(t(s, d, "documents"), threshold = 0.7)
+        .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+        .orderBy($"source")
+    }),
+
+    // F7: URL host extraction over constructed URLs.
+    "q28_url_host" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .withColumn("url",
+          concat(lit("https://"), $"source", lit(".example.com/docs/"),
+                 $"doc_id", lit(".pdf")))
+        .groupBy(graft.expr.UrlFuncs.url_host($"url").as("host"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"host")
+    }),
+
+    // U1: resolve_url custom Expression over the three resolution modes.
+    "q29_resolve_url" -> ((s, d) => {
+      import s.implicits._
+      val base = lit("https://ir.example.com/filings/index.html")
+      val href = when($"doc_id" % 3 === 0,
+          concat(lit("https://cdn.example.org/a/"), $"doc_id", lit(".pdf")))
+        .when($"doc_id" % 3 === 1, concat(lit("/abs/"), $"doc_id", lit(".pdf")))
+        .otherwise(concat(lit("rel/"), $"doc_id", lit(".pdf")))
+      t(s, d, "documents")
+        .select($"doc_id",
+          graft.expr.UrlFuncs.resolve_url(href, base).as("resolved"))
+        .orderBy($"doc_id")
+    }),
+
+    // A10: collect_list(struct) nested aggregation, order-canonicalized.
+    "q30_collect_list" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "orders")
+        .filter($"o_custkey" <= 50)
+        .groupBy($"o_custkey")
+        .agg(array_sort(collect_list($"o_orderkey")).as("order_keys"),
+             count(lit(1)).as("n"))
+        .orderBy($"o_custkey")
+    }),
+
+    // Rollup: hierarchical subtotals (free via Catalyst, declared for
+    // the inventory's grouping-sets surface).
+    "q31_rollup" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(t(s, d, "region")), $"n_regionkey" === $"r_regionkey")
+        .rollup($"r_name", $"n_name")
+        .agg(count(lit(1)).as("n_cust"))
+        .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+    }),
+
+    // F14: literal-map lookup with coalesce default (doc-type shape).
+    "q32_map_lookup" -> ((s, d) => {
+      import s.implicits._
+      val labels = typedLit(Map(
+        "en" -> "English", "es" -> "Spanish", "de" -> "German"))
+      t(s, d, "documents")
+        .groupBy(coalesce(element_at(labels, $"lang"), lit("Other")).as("lang_label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"lang_label")
+    }),
+
+    // Analytic window: running revenue per customer (frame spec).
+    "q33_running_sum" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders")
+        .filter($"o_custkey" <= 100)
+        .select($"o_custkey", $"o_orderkey",
+          sum($"o_totalprice").over(w).as("running_total"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    }),
+
+    // lag/lead: inter-order gap days per customer.
+    "q34_lag_lead" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      t(s, d, "orders")
+        .filter($"o_custkey" <= 100)
+        .select($"o_custkey", $"o_orderkey",
+          datediff($"o_orderdate", lag($"o_orderdate", 1).over(w)).as("gap_days"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    }),
+
+    // S3/S4 + U5→A2→W4 replay over the reference's committed fixture
+    // (rows-only check: the line-format file is not a DuckDB table).
+    "q40_links_replay" -> ((s, d) => {
+      val path = "/root/reference/ir_links/financial_links_3M.txt"
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
+        val links = graft.io.LineFormats.readLinks(s, path)
+        graft.pipeline.Extract.latestQuarterReports(links, maxYear = 2025)
+          .orderBy(col("url"))
+      } else {
+        t(s, d, "documents").limit(0)
+          .select(lit("").as("title"), lit("").as("category"),
+            lit("").as("url"), lit(0).as("year"), lit(0).as("quarter"))
+      }
     })
   )
 
@@ -194,6 +472,167 @@ object SparkEntry {
       """SELECT count(*) AS n_distinct_parts FROM (
            SELECT DISTINCT pk FROM (
              SELECT l_partkey AS pk FROM lineitem
-             UNION ALL SELECT p_partkey AS pk FROM part))"""
+             UNION ALL SELECT p_partkey AS pk FROM part))""",
+    "q11_string_ops" ->
+      """SELECT source, count(*) AS n_docs, sum(length(text)) AS total_chars,
+                sum(CASE WHEN lower(text) LIKE '%spark%' THEN 1 ELSE 0 END) AS n_spark,
+                min(split_part(trim(text), ' ', 1)) AS first_word
+         FROM documents GROUP BY source ORDER BY source""",
+    "q12_regex_extract" ->
+      """SELECT event_type, count(*) AS n,
+                sum(regexp_extract(props, '"k": (\d+)', 1)::int) AS sum_k,
+                max(regexp_extract(props, '"k": (\d+)', 1)::int) AS max_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q13_json_extract" ->
+      """SELECT event_type,
+                avg(json_extract(props, '$.k')::int) AS avg_k,
+                sum(coalesce(json_extract(props, '$.missing')::int,
+                             json_extract(props, '$.k')::int, -1)) AS sum_k2
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q14_hourly_window" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+                count(*) AS n, sum(value) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    "q15_sanitize" ->
+      """SELECT doc_id,
+                regexp_replace(source || '<' || lang || '>:' || doc_id,
+                               '[<>:"/\\|?*]', '_', 'g') AS fname
+         FROM documents ORDER BY doc_id""",
+    "q17_year_quarter" ->
+      """SELECT event_id,
+                list_max(list_transform(
+                  regexp_extract_all(lower(title), '(19|20)\d{2}'),
+                  y -> y::int)) AS year,
+                list_max(list_transform(
+                  regexp_extract_all(lower(title), 'q([1-4])', 1),
+                  q -> q::int)) AS quarter
+         FROM (SELECT event_id,
+                 'Report Q' || ((json_extract(props, '$.k')::int % 4) + 1)
+                   || ' FY' || (1990 + json_extract(props, '$.k')::int % 30) AS title
+               FROM events)
+         ORDER BY event_id""",
+    "q18_md5_digest" ->
+      """SELECT source, count(DISTINCT md5(text)) AS n_distinct,
+                count(*) AS n_docs
+         FROM documents GROUP BY source ORDER BY source""",
+    "q19_token_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+                sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(lower(trim(text)), '\s+')) END)
+                  AS sum_tokens,
+                sum(length(text)) AS sum_chars,
+                sum(list_sum(list_transform(
+                  string_split_regex(lower(trim(text)), '\s+'),
+                  w -> ceil(length(w) / 4.0)))::bigint) AS sum_bpe
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "q20_exact_dedup" ->
+      """SELECT min(doc_id) AS keep_id FROM (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 100000, text FROM documents)
+         GROUP BY md5(text) ORDER BY keep_id""",
+    "q21_quality" ->
+      """WITH q AS (
+           SELECT source,
+             string_split_regex(lower(trim(text)), '\s+') AS toks,
+             length(text) AS n,
+             length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS np
+           FROM documents),
+         r AS (
+           SELECT source,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE len(list_filter(toks, t -> t IN
+                    ('the','and','of','to','a','in','is','that')))::double / len(toks)
+             END AS stop_ratio,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE list_sum(list_transform(toks, w -> length(w)))::double / len(toks)
+             END AS mwl,
+             CASE WHEN n = 0 THEN 0.0 ELSE np::double / n END AS punct,
+             n FROM q)
+         SELECT source,
+           avg((CASE WHEN n BETWEEN 50 AND 20000 THEN 0.25 ELSE 0.0 END) +
+               (CASE WHEN stop_ratio >= 0.01 THEN 0.25 ELSE 0.0 END) +
+               (CASE WHEN mwl BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END) +
+               (CASE WHEN punct <= 0.1 THEN 0.25 ELSE 0.0 END)) AS avg_quality,
+           avg(stop_ratio) AS avg_stop_ratio,
+           avg(mwl) AS avg_mwl
+         FROM r GROUP BY source ORDER BY source""",
+    "q22_lang_id" ->
+      """WITH h AS (
+           SELECT string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         s AS (
+           SELECT
+             len(list_filter(toks, t -> t IN ('der','die','und','das','ist','von','mit','den'))) AS h_de,
+             len(list_filter(toks, t -> t IN ('the','and','of','to','a','in','is','that'))) AS h_en,
+             len(list_filter(toks, t -> t IN ('el','la','de','que','y','los','en','un'))) AS h_es,
+             len(list_filter(toks, t -> t IN ('le','la','les','des','est','une','dans','et'))) AS h_fr,
+             len(list_filter(toks, t -> t IN ('的','是','在','了','和','有','我','不'))) AS h_zh
+           FROM h)
+         SELECT CASE
+             WHEN h_de + h_en + h_es + h_fr + h_zh = 0 THEN 'und'
+             WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de >= h_zh THEN 'de'
+             WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
+             WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
+             WHEN h_fr >= h_zh THEN 'fr'
+             ELSE 'zh' END AS detected,
+           count(*) AS n
+         FROM s GROUP BY detected ORDER BY detected""",
+    "q23_cosine_topk" ->
+      """SELECT query_id, vec_id, sim, rk FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                  list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS sim,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                             c.vec_id) AS rk
+           FROM embeddings c, embeddings q
+           WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+         WHERE rk <= 5 ORDER BY query_id, rk""",
+    "q28_url_host" ->
+      """SELECT lower(regexp_extract(url, '://([^/]+)', 1)) AS host, count(*) AS n
+         FROM (SELECT 'https://' || source || '.example.com/docs/' || doc_id || '.pdf' AS url
+               FROM documents)
+         GROUP BY 1 ORDER BY host""",
+    "q30_collect_list" ->
+      """SELECT o_custkey, list_sort(array_agg(o_orderkey)) AS order_keys,
+                count(*) AS n
+         FROM orders WHERE o_custkey <= 50
+         GROUP BY o_custkey ORDER BY o_custkey""",
+    "q31_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_cust
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP(r_name, n_name)
+         ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""",
+    "q32_map_lookup" ->
+      """SELECT CASE WHEN lang = 'en' THEN 'English'
+                     WHEN lang = 'es' THEN 'Spanish'
+                     WHEN lang = 'de' THEN 'German'
+                     ELSE 'Other' END AS lang_label, count(*) AS n
+         FROM documents GROUP BY 1 ORDER BY lang_label""",
+    "q33_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+                sum(o_totalprice) OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS running_total
+         FROM orders WHERE o_custkey <= 100
+         ORDER BY o_custkey, o_orderkey""",
+    "q34_lag_lead" ->
+      """SELECT o_custkey, o_orderkey,
+                date_diff('day',
+                  lag(o_orderdate, 1) OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey),
+                  o_orderdate)::int AS gap_days
+         FROM orders WHERE o_custkey <= 100
+         ORDER BY o_custkey, o_orderkey""",
+    "q29_resolve_url" ->
+      """SELECT doc_id,
+                CASE WHEN doc_id % 3 = 0
+                       THEN 'https://cdn.example.org/a/' || doc_id || '.pdf'
+                     WHEN doc_id % 3 = 1
+                       THEN 'https://ir.example.com/abs/' || doc_id || '.pdf'
+                     ELSE 'https://ir.example.com/filings/rel/' || doc_id || '.pdf'
+                END AS resolved
+         FROM documents ORDER BY doc_id"""
   )
 }

@@ -19,7 +19,22 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to
+    * read natively; with `spark.sql.legacy.parquet.nanosAsLong=true`
+    * (set in every session builder here) it surfaces as a long that we
+    * convert to a microsecond timestamp — matching DuckDB's own
+    * nanos→micros truncation so oracle comparisons agree.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => raw
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

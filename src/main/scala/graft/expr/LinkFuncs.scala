@@ -101,13 +101,16 @@ object LinkFuncs {
                 y => y.cast("int")),
       y => y >= 1990 && y <= maxYear)
 
-  /** All quarter numbers from Q1/1Q/first-quarter style patterns. */
+  /** All quarter numbers from Q1/1Q/first-quarter style patterns.
+    * Boundary guards keep "1q22" → 1 (not the 2 from "q22") and skip
+    * vendor tokens like "q4inc".
+    */
   def extractQuarters(text: Column): Column = {
     val t = lower(text)
     val qNum = transform(
-      regexp_extract_all(t, lit("q([1-4])"), lit(1)), q => q.cast("int"))
+      regexp_extract_all(t, lit("q([1-4])(?![0-9a-z])"), lit(1)), q => q.cast("int"))
     val numQ = transform(
-      regexp_extract_all(t, lit("([1-4])q"), lit(1)), q => q.cast("int"))
+      regexp_extract_all(t, lit("(?<![0-9])([1-4])q(?![a-z])"), lit(1)), q => q.cast("int"))
     val words = typedLit(Map("first" -> 1, "second" -> 2, "third" -> 3, "fourth" -> 4))
     val wordQ = transform(
       regexp_extract_all(t, lit("(first|second|third|fourth)[ -]quarter"), lit(1)),
@@ -115,14 +118,46 @@ object LinkFuncs {
     concat(qNum, numQ, wordQ)
   }
 
-  /** `struct(year, quarter)` with the max year found and the max quarter
-    * found, nulls when absent (SURVEY U5/A3). A pure higher-order
-    * pipeline — no UDF, fully codegen-eligible.
+  /** Joint (year, quarter) pairs where a quarter mention co-occurs with
+    * a year ("Q2 2025", "2025 Q2", "2Q+2025", "Fourth-Quarter … 2024").
+    * Association beats the reference's independent max-year × max-
+    * quarter heuristic, which fabricates (2025, 4) from "Fourth-Quarter
+    * 2024 Results; Provides 2025 Guidance" — the joint rule re-derives
+    * the reference's committed LLM output exactly (GoldenReplaySpec).
     */
-  def extractYearQuarter(text: Column, maxYear: Int): Column =
+  def jointYearQuarters(text: Column, maxYear: Int): Column = {
+    val t = lower(text)
+    val words = typedLit(Map("first" -> 1, "second" -> 2, "third" -> 3, "fourth" -> 4))
+    val yearOf = (m: Column) => regexp_extract(m, "(19|20)\\d{2}", 0).cast("int")
+    def pairs(pattern: String, qOf: Column => Column) =
+      transform(regexp_extract_all(t, lit(pattern), lit(0)),
+        m => struct(yearOf(m).as("year"), qOf(m).as("quarter")))
+    val p1 = pairs("q([1-4])[^0-9]{0,10}(19|20)\\d{2}",
+      m => regexp_extract(m, "q([1-4])", 1).cast("int"))
+    val p2 = pairs("(19|20)\\d{2}[^0-9]{1,10}q([1-4])(?![0-9a-z])",
+      m => regexp_extract(m, "q([1-4])", 1).cast("int"))
+    val p3 = pairs("(?<![0-9])([1-4])q[^0-9]{1,10}(19|20)\\d{2}",
+      m => regexp_extract(m, "([1-4])q", 1).cast("int"))
+    val p4 = pairs("(first|second|third|fourth)[ -]quarter[^0-9]{0,30}(19|20)\\d{2}",
+      m => element_at(words, regexp_extract(m, "(first|second|third|fourth)", 1)))
+    filter(concat(p1, p2, p3, p4),
+      p => p.getField("year").between(1990, maxYear))
+  }
+
+  /** `struct(year, quarter)` for a document string (SURVEY U5/A3): the
+    * max joint (year, quarter) pair when any exists, otherwise the
+    * independent max year / max quarter with nulls when absent. A pure
+    * higher-order-function pipeline — no UDF, fully codegen-eligible.
+    */
+  def extractYearQuarter(text: Column, maxYear: Int): Column = {
+    val joint = jointYearQuarters(text, maxYear)
+    val best = array_max(joint)
     struct(
-      array_max(extractYears(text, maxYear)).as("year"),
-      array_max(extractQuarters(text)).as("quarter"))
+      coalesce(best.getField("year"),
+        array_max(extractYears(text, maxYear))).as("year"),
+      when(size(joint) > 0, best.getField("quarter"))
+        .otherwise(array_max(extractQuarters(text))).as("quarter"))
+  }
 
   /** Sum of quarterly-keyword hits across the given fields (SURVEY A6):
     * `aggregate` over a literal keyword array — map-side, no shuffle.

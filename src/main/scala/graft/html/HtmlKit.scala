@@ -63,6 +63,39 @@ object HtmlKit {
     out.toString.replaceAll("[ \\t]*\\n\\s*\\n+", "\n").trim
   }
 
+  /** Drop script/style/svg/noscript/iframe blocks and comments so the
+    * anchor/table scanners never see markup inside them (a DOM parser
+    * would not surface those as elements either).
+    */
+  private def stripNonContent(html: String): String = {
+    val out = new java.lang.StringBuilder(html.length)
+    val lower = html.toLowerCase
+    var i = 0
+    val n = html.length
+    while (i < n) {
+      if (html.charAt(i) == '<') {
+        if (lower.startsWith("<!--", i)) {
+          val end = lower.indexOf("-->", i)
+          i = if (end < 0) n else end + 3
+        } else {
+          blockStrip.find(t => lower.startsWith("<" + t, i) &&
+            (i + t.length + 1 >= n || !Character.isLetterOrDigit(lower.charAt(i + t.length + 1)))) match {
+            case Some(tag) =>
+              val close = lower.indexOf("</" + tag, i)
+              if (close < 0) i = n
+              else {
+                val gt = lower.indexOf('>', close)
+                i = if (gt < 0) n else gt + 1
+              }
+            case None =>
+              out.append(html.charAt(i)); i += 1
+          }
+        }
+      } else { out.append(html.charAt(i)); i += 1 }
+    }
+    out.toString
+  }
+
   private def attr(tag: String, name: String): String = {
     val l = tag.toLowerCase
     var i = l.indexOf(name + "=")
@@ -88,8 +121,9 @@ object HtmlKit {
   /** All `<a href=…>` elements: (href, anchor text, title attr, outer
     * HTML). One page row explodes to N link rows downstream.
     */
-  def extractLinks(html: String): Seq[RawLink] = {
-    if (html == null) return Nil
+  def extractLinks(htmlRaw: String): Seq[RawLink] = {
+    if (htmlRaw == null) return Nil
+    val html = stripNonContent(htmlRaw)
     val out = ArrayBuffer.empty[RawLink]
     val lower = html.toLowerCase
     var i = lower.indexOf("<a")
@@ -121,8 +155,9 @@ object HtmlKit {
   }
 
   /** `<table>` rows as cell-text matrices (wikitable scrape, SURVEY U4). */
-  def extractTables(html: String): Seq[Seq[Seq[String]]] = {
-    if (html == null) return Nil
+  def extractTables(htmlRaw: String): Seq[Seq[Seq[String]]] = {
+    if (htmlRaw == null) return Nil
+    val html = stripNonContent(htmlRaw)
     val tables = ArrayBuffer.empty[Seq[Seq[String]]]
     val lower = html.toLowerCase
     var t = lower.indexOf("<table")

@@ -16,10 +16,15 @@ object LineFormats {
   private def field(name: String) =
     regexp_extract(col("value"), name + "='([^']*)'", 1).as(name)
 
-  /** `financial_links_*.txt` reader → one row per link line. */
+  /** `financial_links_*.txt` reader → one row per link record. Records
+    * are physical lines starting with `title='`; `full_html` payloads
+    * embed raw newlines, so continuation lines (no parseable url) are
+    * dropped exactly like the reference's per-line `re.search` returning
+    * no match (src/orchestrator.py:116-119).
+    */
   def readLinks(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
-      .filter(length(trim(col("value"))) > 0)
+      .filter(col("value").rlike("url='[^']"))
       .select(
         field("title"), field("text"),
         regexp_extract(col("value"), "url='([^']*)'", 1).as("url"),

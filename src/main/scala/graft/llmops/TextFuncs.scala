@@ -36,25 +36,26 @@ object TextFuncs {
     "fr" -> Seq("le", "la", "les", "des", "est", "une", "dans", "et"),
     "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不"))
 
-  private def langScore(toks: Column, lang: String): Column =
-    size(array_intersect(toks, array(langStopwords(lang).map(lit): _*))) * 1000 +
-      aggregate(array(langStopwords(lang).map(lit): _*), lit(0),
-        (acc, w) => acc + size(filter(toks, t => t === w)))
+  /** Stopword occurrence count (with multiplicity) for one language. */
+  def langHits(text: Column, lang: String): Column =
+    size(filter(tokens(text),
+      t => array_contains(array(langStopwords(lang).map(lit): _*), t)))
 
   /** Heuristic language ID over the declared stopword sets: the language
-    * with the most stopword occurrences wins; ties break alphabetically;
-    * zero hits → "und".
+    * with the most stopword occurrences wins; ties break alphabetically
+    * (first-match-wins `>=` chain); zero hits → "und". Defined so the
+    * exact same logic is expressible in ANSI SQL for the oracle.
     */
   def langId(text: Column): Column = {
-    val toks = tokens(text)
-    val scored = langStopwords.keys.toSeq.sorted.map { l =>
-      struct(
-        aggregate(array(langStopwords(l).map(lit): _*), lit(0),
-          (acc, w) => acc + size(filter(toks, t => t === w))).as("hits"),
-        lit(l).as("lang"))
+    val langs = langStopwords.keys.toSeq.sorted
+    val hits = langs.map(l => l -> langHits(text, l)).toMap
+    val allZero = hits.values.reduce(_ + _) === 0
+    val chain = langs.init.zipWithIndex.foldLeft(when(allZero, "und")) {
+      case (acc, (l, i)) =>
+        val rest = langs.drop(i + 1).map(hits)
+        acc.when(rest.map(r => hits(l) >= r).reduce(_ && _), l)
     }
-    val best = array_max(array(scored: _*))
-    when(best.getField("hits") <= 0, "und").otherwise(best.getField("lang"))
+    chain.otherwise(langs.last)
   }
 
   /** Quality-scoring signals (length, punctuation density, stopword

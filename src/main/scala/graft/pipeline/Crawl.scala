@@ -1,0 +1,106 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.expr.{LinkFuncs, UrlFuncs}
+import graft.html.HtmlFuncs
+import graft.services.PageFetcher
+
+/** The BFS crawl (reference src/enhanced_selenium_scraper.py:710-785)
+  * as an iterative dataflow: a driver-side loop of bounded depth where
+  * each iteration is one distributed job —
+  *
+  *   frontier →(mapPartitions fetch, one client per partition)→ pages
+  *           →(ExtractLinks generator + resolve/classify projection)→ links
+  *
+  * The next frontier is the reference's "promising links" top-5 per
+  * company (score desc), anti-joined against visited URLs. Frontiers
+  * are `localCheckpoint`ed so lineage stays bounded as depth grows —
+  * the loop works at any depth, not just the reference's 2.
+  *
+  * Cheap filters (excluded domains, visited anti-join, internal-only)
+  * run BEFORE the expensive fetch — the manual predicate-pushdown the
+  * reference does by hand (:661-666, :745-751) is preserved because the
+  * fetch sits behind a mapPartitions barrier Catalyst won't cross.
+  */
+object Crawl {
+
+  final case class Page(company: String, url: String, depth: Int, html: String)
+
+  /** @param seeds DataFrame(company, url) — one IR seed page per company. */
+  def crawl(spark: SparkSession, seeds: DataFrame, fetcher: PageFetcher,
+            maxDepth: Int = 2, topK: Int = 5): DataFrame = {
+    import spark.implicits._
+
+    var frontier = seeds.select(col("company"), col("url"))
+      .withColumn("depth", lit(0))
+      .localCheckpoint()
+    var visited = frontier.select(col("company"), col("url")).localCheckpoint()
+    var allLinks: DataFrame = null
+
+    var depth = 0
+    while (depth <= maxDepth && frontier.limit(1).count() > 0) {
+      val pages = frontier
+        .as[(String, String, Int)]
+        .mapPartitions { it =>
+          // one fetcher per partition ≈ one browser per worker (U7)
+          it.flatMap { case (c, u, dep) =>
+            fetcher.fetch(u).map(html => Page(c, u, dep, html))
+          }
+        }
+        .toDF()
+
+      val links = pages
+        .select(col("company"), col("url").as("source_url"), col("depth"),
+          HtmlFuncs.extract_links(col("html")).as(Seq("href", "text", "title", "full_html")))
+        .withColumn("href", UrlFuncs.resolve_url(col("href"), col("source_url")))
+        .filter(col("href").isNotNull)
+        .withColumn("link_type", LinkFuncs.classifyLink(col("href"), col("source_url")))
+        .withColumn("file_extension", LinkFuncs.extension(col("href")))
+        .withColumn("document_type", LinkFuncs.documentType(col("file_extension")))
+        .dropDuplicates("company", "href")
+        .localCheckpoint()
+
+      allLinks = if (allLinks == null) links
+                 else allLinks.unionByName(links).dropDuplicates("company", "href")
+
+      if (depth < maxDepth) {
+        // promising-links frontier: internal, unexcluded, scored, top-K
+        // per company (W1), minus already-visited (D2)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("company"))
+          .orderBy(col("score").desc, col("href"))
+        val next = links
+          .filter(col("link_type") === "internal")
+          .filter(!LinkFuncs.isExcludedDomain(col("href")))
+          .withColumn("score", LinkFuncs.quarterlyScore(
+            col("full_html"), col("text"), col("title"), col("href")))
+          .filter(col("score") > 0)
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= topK)
+          .select(col("company"), col("href").as("url"))
+          .join(visited, Seq("company", "url"), "left_anti")
+          .withColumn("depth", lit(depth + 1))
+          .localCheckpoint()
+        visited = visited.unionByName(next.select(col("company"), col("url")))
+          .localCheckpoint()
+        frontier = next
+      } else {
+        frontier = seeds.select(col("company"), col("url"))
+          .withColumn("depth", lit(0)).limit(0)
+      }
+      depth += 1
+    }
+
+    if (allLinks == null) seeds.sparkSession.emptyDataFrame else allLinks
+  }
+
+  /** Crawl counters (SURVEY A7): per-company pages visited and document
+    * links found.
+    */
+  def crawlStats(links: DataFrame): DataFrame =
+    links.groupBy(col("company")).agg(
+      countDistinct(col("source_url")).as("urls_visited"),
+      sum(when(col("link_type") === "document", 1).otherwise(0)).as("urls_found"))
+}

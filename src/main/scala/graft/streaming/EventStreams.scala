@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the `events` table shape
+  * (SURVEY §2.9). The reference is strictly batch (weekly Airflow
+  * cron, README.md:171-177); these operators make the engine
+  * capability-complete for the streaming half of the contract. Each
+  * transform takes a DataFrame so the same code runs in batch tests
+  * (via the parquet table) and on `readStream` sources.
+  */
+object EventStreams {
+
+  /** Tumbling-window counts with a watermark: the canonical
+    * late-data-tolerant aggregation. On a stream: append-mode safe.
+    */
+  def hourlyCounts(events: DataFrame,
+                   watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Sliding-window event rate. */
+  def slidingRate(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("n"))
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+                         user_id: Long, event_type: String, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Int, total: Double)
+  final case class Session(user_id: Long, start_ms: Long, end_ms: Long,
+                           n_events: Int, total_value: Double)
+
+  /** Session windows via `flatMapGroupsWithState` (SURVEY §2.9 custom
+    * state): a session closes after `gapMillis` of user inactivity.
+    */
+  def sessionize(events: Dataset[Event], gapMillis: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          // batch-mode friendly: process this group's events in ts order
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+          var st = state.getOption.orNull
+          for (e <- sorted) {
+            val t = e.ts.getTime
+            if (st == null) st = SessionState(t, t, 1, e.value)
+            else if (t - st.last > gapMillis) {
+              out += Session(userId, st.start, st.last, st.n, st.total)
+              st = SessionState(t, t, 1, e.value)
+            } else st = SessionState(st.start, t, st.n + 1, st.total + e.value)
+          }
+          if (st != null) {
+            out += Session(userId, st.start, st.last, st.n, st.total)
+            state.remove()
+          }
+          out.iterator
+      }
+  }
+}

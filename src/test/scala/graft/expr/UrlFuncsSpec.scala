@@ -1,0 +1,53 @@
+package graft.expr
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class UrlFuncsSpec extends SparkTestBase {
+
+  test("resolve kernel: absolute, root-relative, relative, scheme-relative") {
+    val base = "https://ir.example.com/filings/index.html"
+    assert(UrlKernels.resolve("https://x.com/a.pdf", base) == "https://x.com/a.pdf")
+    assert(UrlKernels.resolve("/abs/a.pdf", base) == "https://ir.example.com/abs/a.pdf")
+    assert(UrlKernels.resolve("rel/a.pdf", base) == "https://ir.example.com/filings/rel/a.pdf")
+    assert(UrlKernels.resolve("//cdn.x.com/a.pdf", base) == "https://cdn.x.com/a.pdf")
+    assert(UrlKernels.resolve("", base) == base)
+    assert(UrlKernels.resolve(null, base) == null)
+  }
+
+  test("resolve kernel matches java.net.URI on clean inputs") {
+    val base = "https://host.example.com/a/b/c.html"
+    for (href <- Seq("d.pdf", "../up.pdf", "/root.pdf", "?q=1", "#frag",
+                     "sub/dir/x.html", "//other.com/y"))
+      assert(UrlKernels.resolve(href, base) ==
+        new java.net.URI(base).resolve(href).toString, s"href=$href")
+  }
+
+  test("resolve kernel is lenient where URI throws (spaces)") {
+    val got = UrlKernels.resolve("my file.pdf", "https://h.com/a/")
+    assert(got == "https://h.com/a/my file.pdf")
+  }
+
+  test("host extraction") {
+    assert(UrlKernels.host("https://User@Sub.Host.COM:8080/p?q#f") == "sub.host.com")
+    assert(UrlKernels.host("not a url") == null)
+  }
+
+  test("ResolveUrl expression works in a DataFrame with codegen") {
+    import spark.implicits._
+    val df = Seq(("a.pdf", "https://h.com/x/"), ("/r.pdf", "https://h.com/x/"))
+      .toDF("href", "base")
+    val out = df.select(UrlFuncs.resolve_url($"href", $"base").as("u"))
+      .as[String].collect().toSeq
+    assert(out == Seq("https://h.com/x/a.pdf", "https://h.com/r.pdf"))
+  }
+
+  test("same_host built-in pipeline") {
+    import spark.implicits._
+    val df = Seq(("https://a.com/x", "https://A.com/y", true),
+                 ("https://a.com/x", "https://b.com/y", false)).toDF("a", "b", "want")
+    val got = df.select((UrlFuncs.same_host($"a", $"b") === $"want").as("ok"))
+      .as[Boolean].collect()
+    assert(got.forall(identity))
+  }
+}

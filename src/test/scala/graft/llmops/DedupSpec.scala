@@ -1,0 +1,87 @@
+package graft.llmops
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  lazy val docs = Tables.documents(spark, sf0001).cache()
+
+  /** Driver-side exact word-3-gram jaccard ground truth (sf0.001: 500 docs). */
+  lazy val exactPairs: Set[(Long, Long)] = {
+    val texts = docs.select($"doc_id", lower(trim($"text"))).as[(Long, String)]
+      .collect().toMap
+    def grams(t: String) = {
+      val w = t.split("\\s+").toSeq
+      (0 until math.max(w.length - 2, 1)).map(i => w.slice(i, i + 3)).toSet
+    }
+    val gs = texts.map { case (id, t) => id -> grams(t) }
+    val ids = gs.keys.toSeq.sorted
+    (for {
+      i <- ids.indices.iterator
+      j <- (i + 1) until ids.size
+      a = ids(i); b = ids(j)
+      inter = (gs(a) & gs(b)).size
+      union = (gs(a) ++ gs(b)).size
+      if union > 0 && inter.toDouble / union >= 0.8
+    } yield (a, b)).toSet
+  }
+
+  test("exact dedup keeps lowest id per duplicate group") {
+    val dup = docs.select($"doc_id", $"text")
+      .unionByName(docs.select(($"doc_id" + 10000).as("doc_id"), $"text"))
+    val kept = Dedup.exact(dup)
+    assert(kept.count() == docs.count())
+    assert(kept.filter($"doc_id" >= 10000).count() == 0)
+  }
+
+  test("minhash LSH finds the high-similarity pairs (recall vs exact)") {
+    val got = Dedup.minhashPairs(docs, threshold = 0.7)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val missed = exactPairs -- got
+    assert(exactPairs.nonEmpty, "test corpus should contain near-dups")
+    assert(missed.size <= math.max(1, exactPairs.size / 10),
+      s"missed ${missed.size} of ${exactPairs.size}: $missed")
+  }
+
+  test("minhash pairs precision: reported pairs really are similar") {
+    val got = Dedup.minhashPairs(docs, threshold = 0.9)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // every ≥0.9-estimated pair must be a true ≥0.8-exact pair
+    assert(got.nonEmpty)
+    assert((got -- exactPairs).isEmpty, s"false positives: ${got -- exactPairs}")
+  }
+
+  test("minhashDedup drops the higher id of each near-dup pair") {
+    val survivors = Dedup.minhashDedup(docs, threshold = 0.7)
+      .select($"doc_id").as[Long].collect().toSet
+    val droppedIds = Dedup.minhashPairs(docs, threshold = 0.7)
+      .select($"id_b").as[Long].collect().toSet
+    assert(droppedIds.forall(id => !survivors.contains(id)))
+    assert(survivors.size == docs.count() - droppedIds.size)
+  }
+
+  test("simhash pairs overlap exact near-dups") {
+    val got = Dedup.simhashPairs(docs, maxHamming = 10)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // simhash is token-frequency based; demand decent recall on 0.8-jaccard pairs
+    val hit = exactPairs.count(got.contains)
+    assert(hit >= exactPairs.size / 2, s"simhash found $hit of ${exactPairs.size}")
+  }
+
+  test("ngramJaccardPairs verifies candidates with exact jaccard") {
+    val got = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got == exactPairs, s"sym diff: ${(got -- exactPairs) ++ (exactPairs -- got)}")
+  }
+
+  test("embedding pairs find highly-cosine-similar vectors") {
+    val vecs = Tables.embeddings(spark, sf0001)
+    val got = Dedup.embeddingPairs(vecs, threshold = 0.95, planes = 6)
+    // schema contract + no self/dup pairs
+    val rows = got.select($"id_a", $"id_b", $"sim").collect()
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall(_.getDouble(2) >= 0.95))
+  }
+}

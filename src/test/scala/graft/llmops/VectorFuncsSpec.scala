@@ -1,0 +1,59 @@
+package graft.llmops
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+
+class VectorFuncsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("dot / norm / cosine basics") {
+    val df = Seq((Seq(1.0f, 2.0f, 2.0f), Seq(2.0f, 4.0f, 4.0f)),
+                 (Seq(1.0f, 0.0f, 0.0f), Seq(0.0f, 1.0f, 0.0f)),
+                 (Seq(0.0f, 0.0f, 0.0f), Seq(1.0f, 1.0f, 1.0f)))
+      .toDF("a", "b")
+    val got = df.select(
+      VectorFuncs.dot($"a", $"b").as("d"),
+      VectorFuncs.cosine($"a", $"b").as("c")).collect()
+    assert(got(0).getDouble(0) == 18.0)
+    assert(math.abs(got(0).getDouble(1) - 1.0) < 1e-9)   // parallel
+    assert(math.abs(got(1).getDouble(1)) < 1e-9)          // orthogonal
+    assert(got(2).getDouble(1) == 0.0)                    // zero vector guard
+  }
+
+  test("brute-force top-k is exact and self-consistent") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val q = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val got = VectorFuncs.bruteForceTopK(emb, q, k = 10)
+    val byQuery = got.groupBy($"query_id").agg(count(lit(1)).as("n"),
+      min($"sim").as("min_sim"), max($"sim").as("max_sim"))
+      .collect()
+    assert(byQuery.length == 3)
+    assert(byQuery.forall(_.getLong(1) == 10))
+    // top hit for each query must be the query itself (sim ≈ 1)
+    val self = got.filter($"rk" === 1).select($"query_id", $"vec_id", $"sim").collect()
+    assert(self.forall(r => r.getLong(0) == r.getLong(1) &&
+      math.abs(r.getDouble(2) - 1.0) < 1e-9))
+  }
+
+  test("LSH top-k recall against brute force") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val q = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val exact = VectorFuncs.bruteForceTopK(emb, q, k = 5)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val approx = VectorFuncs.lshTopK(emb, q, k = 5, planes = 4)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall too low: $recall")
+  }
+
+  test("rhp buckets are deterministic and spread") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val b1 = emb.select(VectorFuncs.rhpBucket($"embedding", 8).as("b"))
+    val b2 = emb.select(VectorFuncs.rhpBucket($"embedding", 8).as("b"))
+    assert(b1.collect().toSeq == b2.collect().toSeq)
+    val nBuckets = b1.distinct().count()
+    assert(nBuckets > 10, s"only $nBuckets buckets for 500 vecs")
+  }
+}

@@ -1,0 +1,62 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import graft.services.MapPageFetcher
+import org.apache.spark.sql.functions._
+
+class CrawlSpec extends SparkTestBase {
+  import spark.implicits._
+
+  val base = "https://ir.corp.com"
+  val pages = Map(
+    s"$base/index.html" ->
+      """<html><body>
+        |<a href="/docs/annual-report-2024.pdf">Annual Report</a>
+        |<a href="/quarterly-earnings">Quarterly earnings</a>
+        |<a href="/investor/results">Financial results</a>
+        |<a href="https://app.q4inc.com/feed">Webcast</a>
+        |<a href="https://other.com/out">External</a>
+        |<a href="/about">About</a>
+        |</body></html>""".stripMargin,
+    s"$base/quarterly-earnings" ->
+      """<html><body>
+        |<a href="/docs/q2-2025-earnings.pdf">Q2 2025 Earnings</a>
+        |<a href="/docs/q1-2025-earnings.pdf">Q1 2025 Earnings</a>
+        |<a href="/quarterly-earnings">Self link</a>
+        |</body></html>""".stripMargin,
+    s"$base/investor/results" ->
+      """<html><body>
+        |<a href="/docs/results-2025.xlsx">Results workbook</a>
+        |</body></html>""".stripMargin)
+
+  lazy val links = Crawl.crawl(
+    spark,
+    Seq(("corp", s"$base/index.html")).toDF("company", "url"),
+    MapPageFetcher(pages), maxDepth = 2, topK = 5).cache()
+
+  test("crawl harvests documents from seed and promising pages") {
+    val docs = links.filter($"link_type" === "document")
+      .select($"href").as[String].collect().toSet
+    assert(docs == Set(
+      s"$base/docs/annual-report-2024.pdf",
+      s"$base/docs/q2-2025-earnings.pdf",
+      s"$base/docs/q1-2025-earnings.pdf",
+      s"$base/docs/results-2025.xlsx"))
+  }
+
+  test("crawl does not follow excluded or external domains") {
+    val visited = links.select($"source_url").distinct().as[String].collect().toSet
+    assert(visited == pages.keySet)  // q4inc / other.com never fetched
+  }
+
+  test("hrefs are resolved absolute and deduped per company") {
+    assert(links.filter(!$"href".startsWith("http")).count() == 0)
+    assert(links.groupBy($"company", $"href").count().filter($"count" > 1).count() == 0)
+  }
+
+  test("crawlStats matches reference counter semantics") {
+    val stats = Crawl.crawlStats(links).head()
+    assert(stats.getAs[Long]("urls_visited") == 3)
+    assert(stats.getAs[Long]("urls_found") == 4)
+  }
+}

@@ -1,0 +1,71 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkTestBase
+import graft.io.LineFormats
+import org.apache.spark.sql.functions._
+
+/** Golden-file replay against the reference's committed run artifacts
+  * (SURVEY §5.2-3). Reads /root/reference fixtures read-only; skipped
+  * if the snapshot is absent.
+  */
+class GoldenReplaySpec extends SparkTestBase {
+  import spark.implicits._
+
+  val refDir = "/root/reference"
+  def fixture(p: String): String = s"$refDir/$p"
+  def hasRef: Boolean = Files.isDirectory(Paths.get(refDir))
+
+  test("links line-format reader parses the 3M fixture") {
+    assume(hasRef)
+    // 152 physical lines, but full_html embeds newlines → 108 records
+    // (exactly the reference's per-line regex parse behavior)
+    val links = LineFormats.readLinks(spark, fixture("ir_links/financial_links_3M.txt"))
+    assert(links.count() == 108)
+    assert(links.filter($"url".startsWith("http")).count() == 108)
+    assert(links.select($"link_type").distinct().as[String].collect().toSet == Set("document"))
+  }
+
+  test("metadata golden: 3M urls_found matches distinct document urls") {
+    assume(hasRef)
+    // metadata_3M_20251010_143035.json records urls_found=108
+    val links = LineFormats.readLinks(spark, fixture("ir_links/financial_links_3M.txt"))
+    assert(links.dropDuplicates("url").count() == 108)
+  }
+
+  test("latest-quarter extraction re-derives the 3M golden property") {
+    assume(hasRef)
+    val links = LineFormats.readLinks(spark, fixture("ir_links/financial_links_3M.txt"))
+    val reports = Extract.latestQuarterReports(links, maxYear = 2025).cache()
+    val yq = reports.select($"year", $"quarter").distinct()
+      .as[(Int, Int)].collect().toSet
+    // golden: all extracted 3M reports are 2025 Q2 (FIXTURES.md A3)
+    assert(yq == Set((2025, 2)), s"got $yq")
+    // and the LLM-extracted fixture urls are a subset of our selection
+    val fixtureUrls = LineFormats.readReports(
+      spark, fixture("extracted_reports/extracted_reports_3M.txt"))
+      .select($"url").as[String].collect().toSet
+    val ours = reports.select($"url").as[String].collect().toSet
+    val missed = fixtureUrls -- ours
+    assert(missed.isEmpty, s"fixture urls not selected: $missed")
+  }
+
+  test("reports line-format round-trip is byte-stable") {
+    assume(hasRef)
+    val path = fixture("extracted_reports/extracted_reports_3M.txt")
+    val parsed = LineFormats.readReports(spark, path)
+    val rewritten = LineFormats.reportsToLines(parsed).as[String].collect().toSet
+    val original = scala.io.Source.fromFile(path).getLines()
+      .filter(_.trim.nonEmpty).toSet
+    assert(rewritten == original)
+  }
+
+  test("companies csv reader") {
+    assume(hasRef)
+    val c = LineFormats.readCompaniesCsv(spark, fixture("dow30_companies.csv"))
+    assert(c.count() == 30)
+    assert(c.filter($"ir_url".startsWith("http")).count() == 30)
+    assert(c.select($"ticker").distinct().count() == 30)
+  }
+}

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class EventStreamsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("hourlyCounts batch-mode equals a plain group-by") {
+    val events = Tables.events(spark, sf0001)
+    val got = EventStreams.hourlyCounts(events)
+      .select($"window_start", $"event_type", $"n")
+    val want = events
+      .groupBy(date_trunc("hour", $"ts").as("window_start"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
+  test("hourlyCounts runs as a real streaming query with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.hourlyCounts(df)
+      .writeStream.format("memory").queryName("hourly_out")
+      .outputMode("append").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:15:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 10:45:00")
+    val late = java.sql.Timestamp.valueOf("2024-01-01 13:00:00")
+    mem.addData((t0, "click", 1.0), (t1, "click", 2.0))
+    q.processAllAvailable()
+    // advance past watermark so the 10:00 window finalizes
+    mem.addData((late, "view", 1.0))
+    q.processAllAvailable()
+    val out = spark.table("hourly_out")
+      .select($"window_start", $"event_type", $"n", $"total_value").collect()
+    q.stop()
+    assert(out.length == 1)
+    assert(out.head.getAs[java.sql.Timestamp]("window_start") ==
+      java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))
+    assert(out.head.getAs[Long]("n") == 2 &&
+      out.head.getAs[Double]("total_value") == 3.0)
+  }
+
+  test("sessionize splits on inactivity gaps") {
+    import EventStreams.{Event, Session}
+    def e(id: Long, ts: String, u: Long) =
+      Event(id, java.sql.Timestamp.valueOf(ts), u, "click", 1.0)
+    val events = Seq(
+      e(1, "2024-01-01 10:00:00", 1), e(2, "2024-01-01 10:05:00", 1),
+      e(3, "2024-01-01 12:00:00", 1),            // new session after 2h gap
+      e(4, "2024-01-01 10:00:00", 2)).toDS()
+    val sessions = EventStreams.sessionize(events, gapMillis = 30 * 60 * 1000)
+      .collect().toSet
+    def ms(s: String) = java.sql.Timestamp.valueOf(s).getTime
+    assert(sessions == Set(
+      Session(1, ms("2024-01-01 10:00:00"), ms("2024-01-01 10:05:00"), 2, 2.0),
+      Session(1, ms("2024-01-01 12:00:00"), ms("2024-01-01 12:00:00"), 1, 1.0),
+      Session(2, ms("2024-01-01 10:00:00"), ms("2024-01-01 10:00:00"), 1, 1.0)))
+  }
+}
