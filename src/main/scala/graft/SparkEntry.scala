@@ -258,10 +258,13 @@ object SparkEntry {
     }),
 
     // llmops language ID heuristic: detected language histogram.
+    // Tokenize once in a lower projection; the five per-language hit
+    // counters reference the materialized token array.
     "q22_lang_id" -> ((s, d) => {
       import s.implicits._
       t(s, d, "documents")
-        .groupBy(graft.llmops.TextFuncs.langId($"text").as("detected"))
+        .withColumn("toks", graft.llmops.TextFuncs.tokens($"text"))
+        .groupBy(graft.llmops.TextFuncs.langIdFromTokens($"toks").as("detected"))
         .agg(count(lit(1)).as("n"))
         .orderBy($"detected")
     }),

@@ -145,8 +145,11 @@ object Dedup {
       col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(first(VectorFuncs.cosine(col("v_a"), col("v_b"))).as("sim"))
+      // collapse multi-band hits BEFORE the cosine so each candidate
+      // pair is scored exactly once
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("sim", VectorFuncs.cosine(col("v_a"), col("v_b")))
       .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
   }
 }

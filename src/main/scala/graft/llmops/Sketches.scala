@@ -26,9 +26,14 @@ object SketchKernels {
     z ^ (z >>> 31)
   }
 
-  /** MinHash signature: k-char shingles hashed once, then n cheap
-    * permutations h_i(x) = mix64(x ^ seed_i), tracking the min per
-    * permutation. Deterministic for fixed (k, n).
+  /** MinHash signature via densified one-permutation hashing
+    * (Shrivastava & Li, ICML 2014): each k-char shingle is hashed ONCE,
+    * routed to one of `n` bins by its top bits, and the min hash per
+    * bin is kept; empty bins borrow from the nearest non-empty bin to
+    * the right (rotation densification), which keeps the collision
+    * probability equal to the Jaccard similarity. O(len) per document
+    * instead of the classic O(len · n) — the difference between the
+    * sketch pass being free and being the bottleneck at corpus scale.
     */
   def minhash(text: String, k: Int, n: Int): Array[Long] = {
     val sig = Array.fill(n)(Long.MaxValue)
@@ -36,7 +41,6 @@ object SketchKernels {
     val t = text.toLowerCase.replaceAll("\\s+", " ")
     val len = t.length
     if (len == 0) return sig
-    val seeds = minhashSeeds(n)
     val upper = math.max(len - k + 1, 1)
     var i = 0
     while (i < upper) {
@@ -45,21 +49,31 @@ object SketchKernels {
       var j = i
       val end = math.min(i + k, len)
       while (j < end) { h = 31 * h + t.charAt(j); j += 1 }
-      val base = mix64(h)
-      var p = 0
-      while (p < n) {
-        val v = mix64(base ^ seeds(p))
-        if (v < sig(p)) sig(p) = v
-        p += 1
-      }
+      val v = mix64(h)
+      val bin = ((v >>> 1) % n).toInt
+      if (v < sig(bin)) sig(bin) = v
       i += 1
+    }
+    // rotation densification: every empty bin copies the nearest
+    // filled bin to its right (cyclically)
+    var firstFilled = -1
+    var p = 0
+    while (p < n && firstFilled < 0) {
+      if (sig(p) != Long.MaxValue) firstFilled = p
+      p += 1
+    }
+    if (firstFilled >= 0) {
+      var last = sig(firstFilled)
+      var q = 0
+      while (q < n) {
+        val pos = (firstFilled + n - q) % n
+        if (sig(pos) == Long.MaxValue) sig(pos) = last
+        else last = sig(pos)
+        q += 1
+      }
     }
     sig
   }
-
-  private val seedCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
-  private def minhashSeeds(n: Int): Array[Long] =
-    seedCache.computeIfAbsent(n, m => Array.tabulate(m)(i => mix64(0x9e3779b97f4a7c15L * (i + 1))))
 
   /** 64-bit SimHash over whitespace tokens: per-token 64-bit hash votes
     * on each bit; the sign of the vote sum forms the fingerprint.

@@ -37,18 +37,22 @@ object TextFuncs {
     "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不"))
 
   /** Stopword occurrence count (with multiplicity) for one language. */
-  def langHits(text: Column, lang: String): Column =
-    size(filter(tokens(text),
+  def langHitsFromTokens(toks: Column, lang: String): Column =
+    size(filter(toks,
       t => array_contains(array(langStopwords(lang).map(lit): _*), t)))
 
   /** Heuristic language ID over the declared stopword sets: the language
     * with the most stopword occurrences wins; ties break alphabetically
     * (first-match-wins `>=` chain); zero hits → "und". Defined so the
     * exact same logic is expressible in ANSI SQL for the oracle.
+    *
+    * Takes a token array so callers tokenize once — the split is the
+    * expensive part and Catalyst does not CSE it across the five
+    * per-language filters.
     */
-  def langId(text: Column): Column = {
+  def langIdFromTokens(toks: Column): Column = {
     val langs = langStopwords.keys.toSeq.sorted
-    val hits = langs.map(l => l -> langHits(text, l)).toMap
+    val hits = langs.map(l => l -> langHitsFromTokens(toks, l)).toMap
     val allZero = hits.values.reduce(_ + _) === 0
     val chain = langs.init.zipWithIndex.foldLeft(when(allZero, "und")) {
       case (acc, (l, i)) =>
@@ -57,6 +61,8 @@ object TextFuncs {
     }
     chain.otherwise(langs.last)
   }
+
+  def langId(text: Column): Column = langIdFromTokens(tokens(text))
 
   /** Quality-scoring signals (length, punctuation density, stopword
     * ratio, mean word length) combined into [0,1].

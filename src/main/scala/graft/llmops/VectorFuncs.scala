@@ -1,8 +1,63 @@
 package graft.llmops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Random-hyperplane kernels: pseudo-random ±1 weight rows derived from
+  * a seed (no stored model — any executor recomputes identical planes).
+  */
+object RhpKernels {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), Array[Array[Float]]]()
+
+  def signs(seed: Long, planes: Int, dim: Int): Array[Array[Float]] =
+    cache.computeIfAbsent((seed, planes, dim), { case (s, p, d) =>
+      Array.tabulate(p) { pl =>
+        Array.tabulate(d) { i =>
+          val h = SketchKernels.mix64(s * 0x9e3779b97f4a7c15L ^ (pl * 1000003L) ^ i)
+          if ((h & 1L) == 1L) 1.0f else -1.0f
+        }
+      }
+    })
+
+  def bucket(vec: ArrayData, planes: Int, seed: Long): Long = {
+    val d = vec.numElements()
+    val w = signs(seed, planes, d)
+    var out = 0L
+    var p = 0
+    while (p < planes) {
+      var proj = 0.0
+      val row = w(p)
+      var i = 0
+      while (i < d) { proj += vec.getFloat(i) * row(i); i += 1 }
+      if (proj > 0) out |= (1L << p)
+      p += 1
+    }
+    out
+  }
+}
+
+/** `rhp_bucket(vec)` — sign bits of `planes` pseudo-random hyperplane
+  * projections packed into a long. One kernel call per row replaces a
+  * per-element expression tree (planes × dim xxhash64 calls), keeping
+  * the bucketing pass I/O-bound rather than CPU-bound.
+  */
+case class RhpBucket(child: Expression, planes: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  require(planes <= 63, "bucket packed into a long")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rhp_bucket"
+  override def nullSafeEval(input: Any): Any =
+    RhpKernels.bucket(input.asInstanceOf[ArrayData], planes, seed)
+  override protected def withNewChildInternal(c: Expression): RhpBucket =
+    copy(child = c)
+}
 
 /** Embedding-vector operators over `array<float>` columns, built from
   * Spark's higher-order functions (`zip_with` / `aggregate`) so the hot
@@ -47,27 +102,9 @@ object VectorFuncs {
       .select(col(queryId), col(corpusId), col("sim"), col("rk"))
   }
 
-  /** Random-hyperplane LSH bucket id: sign bit per hyperplane packed
-    * into a long. Deterministic pseudo-hyperplanes derived from
-    * splitmix64(seed, plane, dim) — no stored model, so the same
-    * expression computes the same buckets on any cluster.
-    */
-  def rhpBucket(vec: Column, planes: Int, seed: Long = 42L): Column = {
-    require(planes <= 63, "bucket packed into a long")
-    val bits = (0 until planes).map { p =>
-      // pseudo-random ±1 weights: sign of mix64(seed ⊕ plane ⊕ dim)
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => {
-            val h = xxhash64(lit(seed), lit(p), i)
-            when(h.bitwiseAND(lit(1L)) === 1L, x.cast("double"))
-              .otherwise(-x.cast("double"))
-          }),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    bits.reduce(_.bitwiseOR(_))
-  }
+  /** Random-hyperplane LSH bucket id — see [[RhpBucket]]. */
+  def rhpBucket(vec: Column, planes: Int, seed: Long = 42L): Column =
+    ColumnBridge.column(RhpBucket(ColumnBridge.expression(vec), planes, seed))
 
   /** LSH-bucketed approximate top-k: corpus and queries are bucketed by
     * [[rhpBucket]]; candidates = corpus rows sharing the query's bucket

@@ -100,8 +100,87 @@ final class LocalFileDownloader extends Downloader {
   * output schema.
   */
 trait StructuredExtractor extends Serializable {
-  def extract(links: Seq[(String, String, String)]): Seq[graft.model.Report]
-  // (url, text, title) in — Report rows out
+  def extract(links: Seq[graft.model.DocumentLink]): Seq[graft.model.Report]
+}
+
+/** Scala-side year/quarter extraction — the same rules as
+  * `graft.expr.LinkFuncs.extractYearQuarter`'s column pipeline, for
+  * per-row service use. `ExtractorConsistencySpec` pins the two
+  * implementations together on the reference fixtures.
+  */
+object YearQuarterKernel {
+  private val yearRe = "(19|20)\\d{2}".r
+  private val qNumRe = "q([1-4])(?![0-9a-z])".r
+  private val numQRe = "(?<![0-9])([1-4])q(?![a-z])".r
+  private val wordQRe = "(first|second|third|fourth)[ -]quarter".r
+  private val words = Map("first" -> 1, "second" -> 2, "third" -> 3, "fourth" -> 4)
+  private val joint1 = "q([1-4])[^0-9]{0,10}((19|20)\\d{2})".r
+  private val joint2 = "((19|20)\\d{2})[^0-9]{1,10}q([1-4])(?![0-9a-z])".r
+  private val joint3 = "(?<![0-9])([1-4])q[^0-9]{1,10}((19|20)\\d{2})".r
+  private val joint4 = "(first|second|third|fourth)[ -]quarter[^0-9]{0,30}((19|20)\\d{2})".r
+
+  /** (year, quarter), either possibly None. */
+  def yearQuarter(text: String, maxYear: Int): (Option[Int], Option[Int]) = {
+    val t = text.toLowerCase
+    def ok(y: Int) = y >= 1990 && y <= maxYear
+    val joint =
+      joint1.findAllMatchIn(t).map(m => (m.group(2).toInt, m.group(1).toInt)) ++
+      joint2.findAllMatchIn(t).map(m => (m.group(1).toInt, m.group(3).toInt)) ++
+      joint3.findAllMatchIn(t).map(m => (m.group(2).toInt, m.group(1).toInt)) ++
+      joint4.findAllMatchIn(t).map(m => (m.group(2).toInt, words(m.group(1))))
+    val jointOk = joint.filter(p => ok(p._1)).toSeq
+    if (jointOk.nonEmpty) {
+      val (y, q) = jointOk.max
+      (Some(y), Some(q))
+    } else {
+      val years = yearRe.findAllIn(t).map(_.toInt).filter(ok).toSeq
+      val quarters =
+        (qNumRe.findAllMatchIn(t).map(_.group(1).toInt) ++
+         numQRe.findAllMatchIn(t).map(_.group(1).toInt) ++
+         wordQRe.findAllMatchIn(t).map(m => words(m.group(1)))).toSeq
+      (years.sorted.lastOption, quarters.sorted.lastOption)
+    }
+  }
+}
+
+/** Deterministic U6 impl: the latest-quarter relational query (U5 → A2
+  * → W4) executed per-company on the service side — the rule-based
+  * stand-in for the reference's LLM call. A production impl would be a
+  * drop-in replacement calling an LLM with `Report` as the response
+  * schema.
+  */
+final class RuleBasedExtractor(maxYear: Int, minYear: Int = 2023)
+    extends StructuredExtractor {
+  import graft.model.{DocumentLink, Report}
+
+  override def extract(links: Seq[DocumentLink]): Seq[Report] = {
+    val docs = links
+      .filter(_.link_type == "document")
+      .groupBy(_.href).map(_._2.head).toSeq  // dedup by url, keep first
+      .map { l =>
+        val (y, q) = YearQuarterKernel.yearQuarter(
+          Seq(l.text, l.title, l.href).mkString(" "), maxYear)
+        (l, y, q)
+      }
+      .filter { case (l, y, _) =>
+        !(l.file_extension == "pdf" && y.exists(_ < minYear)) }
+    val dated = docs.collect { case (_, Some(y), q) => (y, q.getOrElse(-1)) }
+    if (dated.isEmpty) {
+      docs.map { case (l, y, q) => mkReport(l, y.getOrElse(maxYear), q.getOrElse(4)) }
+    } else {
+      val (ly, lqRaw) = dated.max
+      val lq = if (lqRaw == -1) 4 else lqRaw
+      docs.filter { case (_, y, q) =>
+        y.isEmpty || y.exists(_ > ly) ||
+          (y.contains(ly) && (q.isEmpty || q.exists(_ >= lq)))
+      }.map { case (l, y, q) => mkReport(l, y.getOrElse(ly), q.getOrElse(lq)) }
+    }
+  }
+
+  private def mkReport(l: DocumentLink, y: Int, q: Int): Report =
+    Report(
+      title = if (l.text.trim.nonEmpty) l.text.trim else l.title,
+      category = l.document_type, url = l.href, year = y, quarter = q)
 }
 
 /** Token-bucket rate limiter, per-JVM (SURVEY U9). The reference uses a
