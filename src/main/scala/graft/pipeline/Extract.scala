@@ -56,9 +56,12 @@ object Extract {
         when(col("latest.quarter") === -1, 4)
           .otherwise(col("latest.quarter")).as("latest_quarter"): _*)
 
+    // left join so a corpus with no dated links still flows through
+    // (latest_* null → null-permissive acceptance admits everything)
     val joined =
       if (hasCompany) docs.join(broadcast(latest), Seq("company"), "left")
-      else docs.join(broadcast(latest.drop("g")))
+      else docs.withColumn("g", lit(1))
+        .join(broadcast(latest), Seq("g"), "left").drop("g")
 
     // W4: acceptance with null-permissive rules — unknown year passes;
     // within the latest year an unknown quarter passes (reference

@@ -1,0 +1,71 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import graft.services.MapPageFetcher
+import org.apache.spark.sql.functions._
+
+class DiscoverySeedSpec extends SparkTestBase {
+  import spark.implicits._
+
+  val irHtml =
+    """<html><head><title>Acme Investor Relations</title></head><body>
+      |Quarterly results, annual report archive, SEC filings and
+      |earnings information for shareholders. Dividend history.
+      |</body></html>""".stripMargin
+  val bareHtml = "<html><head><title>Acme</title></head><body>Products</body></html>"
+
+  test("discovery cascade: subdomain beats path; misses are Not Found") {
+    val fetcher = MapPageFetcher(Map(
+      // acme: both subdomain and path exist → subdomain (priority) wins
+      "https://investors.acme.com" -> irHtml,
+      "https://acme.com/investors" -> irHtml,
+      // beta: only path probe hits
+      "https://beta.com/investor-relations" -> irHtml,
+      // gamma: page exists but is not investor-ish → rejected by score
+      "https://investors.gamma.com" -> bareHtml))
+    val companies = Seq(
+      ("ACME", "Acme Corp", "https://www.acme.com"),
+      ("BETA", "Beta Inc", "https://beta.com"),
+      ("GAMA", "Gamma Plc", "https://gamma.com"))
+      .toDF("ticker", "company", "website")
+    val got = Discovery.discover(spark, companies, fetcher)
+      .select($"ticker", $"ir_url", $"status")
+      .as[(String, String, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got("ACME") == (("https://investors.acme.com", "Found")))
+    assert(got("BETA") == (("https://beta.com/investor-relations", "Found")))
+    assert(got("GAMA") == (("", "Not Found")))
+  }
+
+  val wikitable =
+    """<table class="wikitable">
+      |<tr><th>Company</th><th>Symbol</th><th>Industry</th></tr>
+      |<tr><td>3M</td><td>MMM</td><td>Conglomerate</td></tr>
+      |<tr><td>American Express</td><td>AXP</td><td>Financial services</td></tr>
+      |<tr><td></td><td></td><td></td></tr>
+      |</table>""".stripMargin
+
+  test("seed builder: wikitable → keyword-mapped columns → J2 join → CSV") {
+    val pages = Seq(Tuple1(s"<html><body>$wikitable</body></html>")).toDF("html")
+    val companies = Seed.companiesFromWikitable(spark, pages)
+    val got = companies.as[(String, String, Option[String])].collect().toSet
+    assert(got == Set(
+      ("MMM", "3M", Some("Conglomerate")),
+      ("AXP", "American Express", Some("Financial services"))))
+
+    val dim = Seq(("MMM", "https://investors.3m.com")).toDF("ticker", "ir_url")
+    val joined = Seed.withIrUrls(companies, dim)
+    assert(joined.filter($"ticker" === "MMM")
+      .select($"ir_url").as[String].head() == "https://investors.3m.com")
+    assert(joined.filter($"ticker" === "AXP")
+      .select($"ir_url").isEmpty == false)
+
+    val out = Files.createTempDirectory("graft-csv").resolve("seed").toString
+    Seed.writeCsv(joined, out)
+    val back = spark.read.option("header", "true").csv(out)
+    assert(back.count() == 2)
+    assert(back.columns.toSet == Set("ticker", "company", "sector", "ir_url"))
+  }
+}
