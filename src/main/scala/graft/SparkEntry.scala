@@ -401,6 +401,68 @@ object SparkEntry {
         .orderBy($"o_custkey", $"o_orderkey")
     }),
 
+    // llmops multimodal: binary assets → per-partition feature
+    // extraction → per-media-type stats (rows-only: stub decoder).
+    "q35_multimodal" -> ((s, d) => {
+      import s.implicits._
+      val assets = graft.llmops.Multimodal.syntheticAssets(
+        s, t(s, d, "documents"))
+      graft.llmops.Multimodal.extractFeatures(s, assets)
+        .groupBy($"media_type")
+        .agg(count(lit(1)).as("n"),
+             sum($"n_bytes").as("total_bytes"),
+             round(sum(element_at($"feature", 1)), 2).as("f0_sum"))
+        .orderBy($"media_type")
+    }),
+
+    // llmops ANN: LSH-bucketed approximate top-k (rows-only — bucket
+    // assignment is kernel-specific; recall asserted in VectorFuncsSpec).
+    "q36_lsh_topk" -> ((s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+      graft.llmops.VectorFuncs.lshTopK(emb, q, k = 5, planes = 4)
+        .select($"query_id", $"vec_id", round($"sim", 4).as("sim"), $"rk")
+        .orderBy($"query_id", $"rk")
+    }),
+
+    // Batch sessionization via window functions (30-min inactivity
+    // gap): lag → gap flag → running session counter → session aggs.
+    // The streaming form (flatMapGroupsWithState) lives in
+    // graft.streaming; this declarative form scales as two window
+    // passes over the same (user_id, ts) partitioning — one shuffle.
+    "q37_sessionize" -> ((s, d) => {
+      import s.implicits._
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val sess = Tables.events(s, d)
+        .withColumn("gap_us",
+          unix_micros($"ts") - lag(unix_micros($"ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when($"gap_us".isNull || $"gap_us" > 30L * 60 * 1000 * 1000, 1)
+            .otherwise(0))
+        .withColumn("session_id",
+          sum($"new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      sess.groupBy($"user_id", $"session_id")
+        .agg(count(lit(1)).as("n_events"),
+             min($"ts").as("session_start"),
+             max($"ts").as("session_end"),
+             sum($"value").as("total_value"))
+        .orderBy($"user_id", $"session_id")
+    }),
+
+    // Exact interpolated percentiles per group.
+    "q38_percentiles" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "orders")
+        .groupBy($"o_orderstatus")
+        .agg(
+          percentile($"o_totalprice", lit(0.5)).as("p50"),
+          percentile($"o_totalprice", lit(0.95)).as("p95"),
+          count(lit(1)).as("n"))
+        .orderBy($"o_orderstatus")
+    }),
+
     // S3/S4 + U5→A2→W4 replay over the reference's committed fixture
     // (rows-only check: the line-format file is not a DuckDB table).
     "q40_links_replay" -> ((s, d) => {
@@ -595,6 +657,30 @@ object SparkEntry {
          FROM (SELECT 'https://' || source || '.example.com/docs/' || doc_id || '.pdf' AS url
                FROM documents)
          GROUP BY 1 ORDER BY host""",
+    "q37_sessionize" ->
+      """WITH s AS (
+           SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         t AS (
+           SELECT user_id, event_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM s)
+         SELECT user_id, session_id, count(*) AS n_events,
+                min(ts) AS session_start, max(ts) AS session_end,
+                sum(value) AS total_value
+         FROM t GROUP BY user_id, session_id
+         ORDER BY user_id, session_id""",
+    "q38_percentiles" ->
+      """SELECT o_orderstatus,
+                quantile_cont(o_totalprice, 0.5) AS p50,
+                quantile_cont(o_totalprice, 0.95) AS p95,
+                count(*) AS n
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q30_collect_list" ->
       """SELECT o_custkey, list_sort(array_agg(o_orderkey)) AS order_keys,
                 count(*) AS n

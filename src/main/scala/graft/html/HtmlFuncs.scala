@@ -9,14 +9,21 @@ import org.apache.spark.sql.graftshim.ColumnBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** `clean_html(html)` scalar expression (SURVEY U2/P12). */
+/** `clean_html(html)` scalar expression (SURVEY U2/P12, codegen'd). */
 case class CleanHtml(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = StringType
   override def prettyName: String = "clean_html"
   override def nullSafeEval(input: Any): Any =
     UTF8String.fromString(
       HtmlKit.cleanHtml(input.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.html.HtmlKit.cleanHtml($c.toString()));")
   override protected def withNewChildInternal(c: Expression): CleanHtml =
     copy(child = c)
 }

@@ -2,7 +2,7 @@ package graft.llmops
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.ColumnBridge
@@ -108,6 +108,10 @@ object SketchKernels {
     out
   }
 
+  /** [[minhash]] boxed for Catalyst (also the codegen entry point). */
+  def minhashArray(text: String, k: Int, n: Int): GenericArrayData =
+    new GenericArrayData(minhash(text, k, n))
+
   /** Fraction of equal components between two equal-length signatures
     * — the MinHash estimate of Jaccard similarity.
     */
@@ -119,29 +123,36 @@ object SketchKernels {
   }
 }
 
-/** `minhash_signature(text)` → array<bigint> of length `numHashes`. */
+/** `minhash_signature(text)` → array<bigint> of length `numHashes`.
+  * Generates code calling the static kernel so the surrounding
+  * projection stays inside one whole-stage-codegen span.
+  */
 case class MinHashSignature(child: Expression, shingleSize: Int, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "minhash_signature"
-  override def nullSafeEval(input: Any): Any = {
-    val sig = SketchKernels.minhash(
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.minhashArray(
       input.asInstanceOf[UTF8String].toString, shingleSize, numHashes)
-    new GenericArrayData(sig)
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.llmops.SketchKernels.minhashArray($c.toString(), $shingleSize, $numHashes);")
   override protected def withNewChildInternal(c: Expression): MinHashSignature =
     copy(child = c)
 }
 
-/** `simhash64(text)` → bigint fingerprint. */
+/** `simhash64(text)` → bigint fingerprint (codegen'd). */
 case class SimHash(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "simhash64"
   override def nullSafeEval(input: Any): Any =
     SketchKernels.simhash64(input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.llmops.SketchKernels.simhash64($c.toString());")
   override protected def withNewChildInternal(c: Expression): SimHash =
     copy(child = c)
 }

@@ -2,7 +2,7 @@ package graft.llmops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -49,12 +49,15 @@ object RhpKernels {
   * the bucketing pass I/O-bound rather than CPU-bound.
   */
 case class RhpBucket(child: Expression, planes: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(planes <= 63, "bucket packed into a long")
   override def dataType: DataType = LongType
   override def prettyName: String = "rhp_bucket"
   override def nullSafeEval(input: Any): Any =
     RhpKernels.bucket(input.asInstanceOf[ArrayData], planes, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.llmops.RhpKernels.bucket($c, $planes, ${seed}L);")
   override protected def withNewChildInternal(c: Expression): RhpBucket =
     copy(child = c)
 }

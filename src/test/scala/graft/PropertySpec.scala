@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.expr.{LinkFuncs, UrlKernels}
+import graft.llmops.SketchKernels
+import graft.services.YearQuarterKernel
+
+/** Generative properties (SURVEY §5.2-4) — ScalaCheck generators with a
+  * fixed seed, asserted over bulk samples inside Spark where the
+  * operator is a Column, driver-side where it is a kernel.
+  */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("resolve_url matches java.net.URI on generated clean inputs") {
+    val seg = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString.take(8))
+    val base = for {
+      host <- seg; p1 <- seg; p2 <- seg
+    } yield s"https://$host.example.com/$p1/$p2.html"
+    val href = Gen.oneOf(
+      seg.map(s => s"$s.pdf"),
+      seg.map(s => s"/$s/x.pdf"),
+      seg.map(s => s"../$s.pdf"),
+      seg.map(s => s"//cdn.example.org/$s"),
+      seg.map(s => s"https://other.com/$s"),
+      seg.map(s => s"?q=$s"),
+      seg.map(s => s"#$s"))
+    val cases = samples(Gen.zip(href, base), 300)
+    for ((h, b) <- cases) {
+      assert(UrlKernels.resolve(h, b) == new java.net.URI(b).resolve(h).toString,
+        s"href=$h base=$b")
+    }
+  }
+
+  test("sanitizeFilename output never contains forbidden chars; idempotent") {
+    val g = Gen.listOf(Gen.frequency(
+      5 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf('<', '>', ':', '"', '/', '\\', '|', '?', '*'),
+      1 -> Gen.oneOf(' ', '.', '-', '_'))).map(_.mkString)
+    val names = samples(g, 400)
+    val out = names.toDF("name")
+      .select($"name", LinkFuncs.sanitizeFilename($"name").as("s"),
+        LinkFuncs.sanitizeFilename(LinkFuncs.sanitizeFilename($"name")).as("s2"))
+      .collect()
+    assert(out.forall(r => !r.getString(1).exists("<>:\"/\\|?*".contains(_))))
+    assert(out.forall(r => r.getString(1) == r.getString(2)), "not idempotent")
+  }
+
+  test("year/quarter extraction: bounds hold and kernels agree with columns") {
+    val word = Gen.oneOf("earnings", "report", "results", "call", "presentation")
+    val yr = Gen.choose(1985, 2035)
+    val q = Gen.choose(1, 4)
+    val text = Gen.oneOf(
+      Gen.zip(word, q, yr).map { case (w, qq, yy) => s"$w Q$qq $yy" },
+      Gen.zip(word, q, yr).map { case (w, qq, yy) => s"$yy Q$qq $w" },
+      Gen.zip(word, q, yr).map { case (w, qq, yy) => s"${qq}Q $yy $w" },
+      Gen.zip(word, yr).map { case (w, yy) => s"$w $yy" },
+      word.map(w => s"just $w"))
+    val texts = samples(text, 400)
+    val maxYear = 2026
+    val colResults = texts.toDF("t")
+      .select(LinkFuncs.extractYearQuarter($"t", maxYear).as("yq"))
+      .select($"yq.year", $"yq.quarter")
+      .collect()
+      .map(r => (Option(r.get(0)).map(_.asInstanceOf[Int]),
+                 Option(r.get(1)).map(_.asInstanceOf[Int])))
+    texts.zip(colResults).foreach { case (t, (cy, cq)) =>
+      val (ky, kq) = YearQuarterKernel.yearQuarter(t, maxYear)
+      assert((ky, kq) == ((cy, cq)), s"kernel/column disagree on '$t'")
+      assert(cy.forall(y => y >= 1990 && y <= maxYear), s"year out of bounds: $t")
+      assert(cq.forall(q => q >= 1 && q <= 4))
+    }
+  }
+
+  test("minhash similarity estimate tracks exact shingle jaccard") {
+    val wordG = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    val doc = Gen.listOfN(30, wordG).map(_.mkString(" "))
+    def shingles(t: String) = {
+      val s = t.toLowerCase.replaceAll("\\s+", " ")
+      (0 until math.max(s.length - 4, 1)).map(i => s.substring(i, math.min(i + 5, s.length))).toSet
+    }
+    val docs = samples(doc, 40)
+    for (Seq(a, b) <- docs.grouped(2) if a != b) {
+      val exact = {
+        val (sa, sb) = (shingles(a), shingles(b))
+        (sa & sb).size.toDouble / (sa ++ sb).size
+      }
+      val est = SketchKernels.signatureSimilarity(
+        SketchKernels.minhash(a, 5, 256), SketchKernels.minhash(b, 5, 256))
+      assert(math.abs(est - exact) < 0.22, s"est=$est exact=$exact")
+    }
+  }
+
+  test("dedup is idempotent and never grows") {
+    val docs = Tables.documents(spark, sf0001).select($"doc_id", $"text")
+    val once = graft.llmops.Dedup.exact(docs)
+    val twice = graft.llmops.Dedup.exact(once)
+    assert(once.count() <= docs.count())
+    assert(twice.count() == once.count())
+  }
+}
