@@ -463,6 +463,25 @@ object SparkEntry {
         .orderBy($"o_orderstatus")
     }),
 
+    // P2: the central link-classification CASE over constructed hrefs.
+    "q39_classify_links" -> ((s, d) => {
+      import s.implicits._
+      val href = when($"doc_id" % 5 === 0,
+          concat(lit("https://ir.example.com/docs/"), $"doc_id", lit(".pdf")))
+        .when($"doc_id" % 5 === 1,
+          concat(lit("https://ir.example.com/page/"), $"doc_id"))
+        .when($"doc_id" % 5 === 2,
+          concat(lit("https://elsewhere.org/p/"), $"doc_id"))
+        .when($"doc_id" % 5 === 3, concat(lit("/relative/"), $"doc_id"))
+        .otherwise(lit("javascript:void(0)"))
+      t(s, d, "documents")
+        .withColumn("link_type", graft.expr.LinkFuncs.classifyLink(
+          href, lit("https://ir.example.com/index.html")))
+        .groupBy($"link_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"link_type")
+    }),
+
     // S3/S4 + U5→A2→W4 replay over the reference's committed fixture
     // (rows-only check: the line-format file is not a DuckDB table).
     "q40_links_replay" -> ((s, d) => {
@@ -675,6 +694,14 @@ object SparkEntry {
                 sum(value) AS total_value
          FROM t GROUP BY user_id, session_id
          ORDER BY user_id, session_id""",
+    "q39_classify_links" ->
+      """SELECT CASE WHEN doc_id % 5 = 4 THEN 'invalid'
+                     WHEN doc_id % 5 = 0 THEN 'document'
+                     WHEN doc_id % 5 = 3 THEN 'internal'
+                     WHEN doc_id % 5 = 1 THEN 'internal'
+                     ELSE 'external' END AS link_type,
+                count(*) AS n
+         FROM documents GROUP BY 1 ORDER BY link_type""",
     "q38_percentiles" ->
       """SELECT o_orderstatus,
                 quantile_cont(o_totalprice, 0.5) AS p50,

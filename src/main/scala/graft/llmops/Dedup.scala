@@ -43,22 +43,27 @@ object Dedup {
     val sigs = docs
       .select(col(idCol).as("id"),
         Sketches.minhash_signature(col(textCol), shingleSize, n).as("sig"))
+    // candidate generation over SLIM band rows — (id, band, hash) only;
+    // shipping the n-long signature with each of `bands` rows would
+    // multiply the shuffle by `bands`
     val banded = sigs
-      .select(col("id"), col("sig"),
+      .select(col("id"),
         explode(Sketches.lshBands(col("sig"), bands, rowsPerBand)).as("b"))
-      .select(col("id"), col("sig"),
+      .select(col("id"),
         col("b.band").as("band"), col("b.band_hash").as("band_hash"))
-    val a = banded.select(col("band"), col("band_hash"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("band_hash"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "band_hash"))
+    val candidates = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("band_hash"), col("id").as("id_b")),
+        Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    // verification: signatures join back once per side
+    candidates
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         Sketches.signatureSim(col("sig_a"), col("sig_b")).as("sim"))
       .filter(col("sim") >= threshold)
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(max(col("sim")).as("sim"))
   }
 
   /** MinHash dedup: drop every doc that has a near-duplicate with a
@@ -145,11 +150,14 @@ object Dedup {
       col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
-      // collapse multi-band hits BEFORE the cosine so each candidate
-      // pair is scored exactly once
-      .dropDuplicates("id_a", "id_b")
+      // cosine map-side, threshold BEFORE the pair-dedup shuffle: a
+      // pair seen in k bands is scored k times (cheap, local) but the
+      // shuffle carries only (id_a, id_b, sim) for survivors — never
+      // the vectors. Shuffling vectors to dedup first is strictly
+      // worse at scale (measured 2x slower even at sf0.1).
       .withColumn("sim", VectorFuncs.cosine(col("v_a"), col("v_b")))
       .filter(col("sim") >= threshold)
-      .select(col("id_a"), col("id_b"), col("sim"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("sim")).as("sim"))
   }
 }
