@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Public facade — the one-import surface a user of the reference
+  * pipeline would switch to. Everything delegates to the specialized
+  * modules; see README.md's coverage matrix for the SURVEY §2 mapping.
+  *
+  * {{{
+  * import graft.Graft
+  * val spark = Graft.session()                  // extensions registered
+  * val docs  = Graft.documents(spark, dir)
+  * val clean = Graft.minhashDedup(docs)         // near-dup removal
+  * val ranked = Graft.cosineTopK(emb, queries, k = 10)
+  * }}}
+  */
+object Graft {
+
+  /** Session with the engine's extensions, tuned local defaults. */
+  def session(master: String = "local[*]", shufflePartitions: Int = 32)
+      : SparkSession = {
+    val s = SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  // ---- sources -----------------------------------------------------
+  def documents(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
+  def embeddings(s: SparkSession, dir: String): DataFrame = Tables.embeddings(s, dir)
+  def events(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
+  def companiesCsv(s: SparkSession, path: String): DataFrame =
+    io.LineFormats.readCompaniesCsv(s, path)
+  def linksFile(s: SparkSession, path: String): DataFrame =
+    io.LineFormats.readLinks(s, path)
+
+  // ---- reference pipeline ------------------------------------------
+  def crawl(s: SparkSession, seeds: DataFrame, fetcher: services.PageFetcher,
+            maxDepth: Int = 2): DataFrame =
+    pipeline.Crawl.crawl(s, seeds, fetcher, maxDepth)
+  def latestQuarterReports(links: DataFrame, maxYear: Int): DataFrame =
+    pipeline.Extract.latestQuarterReports(links, maxYear)
+  def discoverIrPages(s: SparkSession, companies: DataFrame,
+                      fetcher: services.PageFetcher): DataFrame =
+    pipeline.Discovery.discover(s, companies, fetcher)
+
+  // ---- dedup -------------------------------------------------------
+  def exactDedup(docs: DataFrame): DataFrame = llmops.Dedup.exact(docs)
+  def minhashDedup(docs: DataFrame, threshold: Double = 0.7): DataFrame =
+    llmops.Dedup.minhashDedup(docs, threshold)
+  def nearDupPairs(docs: DataFrame, threshold: Double = 0.7): DataFrame =
+    llmops.Dedup.minhashPairs(docs, threshold)
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    llmops.Dedup.simhashPairs(docs, maxHamming)
+
+  // ---- similarity search -------------------------------------------
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    llmops.VectorFuncs.bruteForceTopK(corpus, queries, k)
+  def approxTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                 planes: Int = 8): DataFrame =
+    llmops.VectorFuncs.lshTopK(corpus, queries, k, planes)
+
+  // ---- text analysis -----------------------------------------------
+  def langId(text: Column): Column = llmops.TextFuncs.langId(text)
+  def qualityScore(text: Column): Column = llmops.TextFuncs.qualityScore(text)
+  def tokenCount(text: Column): Column = llmops.TextFuncs.tokenCount(text)
+  def minhashSignature(text: Column): Column =
+    llmops.Sketches.minhash_signature(text)
+  def simhash(text: Column): Column = llmops.Sketches.simhash64(text)
+
+  // ---- url / html --------------------------------------------------
+  def resolveUrl(href: Column, base: Column): Column =
+    expr.UrlFuncs.resolve_url(href, base)
+  def extractLinks(html: Column): Column = graft.html.HtmlFuncs.extract_links(html)
+  def cleanHtml(html: Column): Column = graft.html.HtmlFuncs.clean_html(html)
+}

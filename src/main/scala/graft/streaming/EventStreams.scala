@@ -33,6 +33,18 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("n"))
 
+  /** Streaming exact dedup: drops events whose key was already seen
+    * within the watermark horizon (`dropDuplicatesWithinWatermark` —
+    * state is bounded by the watermark instead of growing forever,
+    * which is what makes streaming dedup viable on an infinite
+    * stream).
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp,
                          user_id: Long, event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int, total: Double)

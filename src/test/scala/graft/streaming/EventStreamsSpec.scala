@@ -42,6 +42,23 @@ class EventStreamsSpec extends SparkTestBase {
       out.head.getAs[Double]("total_value") == 3.0)
   }
 
+  test("streaming dedup within watermark drops repeats, keeps firsts") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val df = mem.toDF().toDF("ts", "user_id")
+    val q = EventStreams.dedupStream(df, Seq("user_id"), "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    val t = java.sql.Timestamp.valueOf(_: String)
+    mem.addData((t("2024-01-01 10:00:00"), 1L), (t("2024-01-01 10:01:00"), 1L),
+                (t("2024-01-01 10:02:00"), 2L))
+    q.processAllAvailable()
+    q.stop()
+    val users = spark.table("dedup_out").select($"user_id")
+      .as[Long].collect().sorted.toSeq
+    assert(users == Seq(1L, 2L))
+  }
+
   test("sessionize splits on inactivity gaps") {
     import EventStreams.{Event, Session}
     def e(id: Long, ts: String, u: Long) =
