@@ -482,6 +482,21 @@ object SparkEntry {
         .orderBy($"link_type")
     }),
 
+    // As-of join (union + carry-forward window — one shuffle, no join)
+    // checked against DuckDB's native ASOF JOIN.
+    "q41_asof_join" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val signups = ev.filter($"event_type" === "signup")
+        .select($"user_id", $"ts".as("sts"), $"event_id".as("signup_event"))
+      val others = ev.filter($"event_type" =!= "signup")
+        .select($"user_id", $"ts", $"event_id")
+      graft.ops.AsOf.joinAsOf(others, signups, Seq("user_id"), "ts", "sts",
+        Seq("signup_event"))
+        .select($"event_id", $"signup_event")
+        .orderBy($"event_id")
+    }),
+
     // S3/S4 + U5→A2→W4 replay over the reference's committed fixture
     // (rows-only check: the line-format file is not a DuckDB table).
     "q40_links_replay" -> ((s, d) => {
@@ -694,6 +709,15 @@ object SparkEntry {
                 sum(value) AS total_value
          FROM t GROUP BY user_id, session_id
          ORDER BY user_id, session_id""",
+    "q41_asof_join" ->
+      """WITH s AS (SELECT user_id, ts AS sts, event_id AS signup_event
+                    FROM events WHERE event_type = 'signup'),
+              o AS (SELECT user_id, ts, event_id
+                    FROM events WHERE event_type <> 'signup')
+         SELECT o.event_id, s.signup_event
+         FROM o ASOF LEFT JOIN s
+           ON o.user_id = s.user_id AND o.ts >= s.sts
+         ORDER BY o.event_id""",
     "q39_classify_links" ->
       """SELECT CASE WHEN doc_id % 5 = 4 THEN 'invalid'
                      WHEN doc_id % 5 = 0 THEN 'document'
