@@ -54,6 +54,15 @@ class CrawlSpec extends SparkTestBase {
     assert(links.groupBy($"company", $"href").count().filter($"count" > 1).count() == 0)
   }
 
+  test("depth 0 stays on the seed page; depth is a real parameter") {
+    val shallow = Crawl.crawl(spark,
+      Seq(("corp", s"$base/index.html")).toDF("company", "url"),
+      MapPageFetcher(pages), maxDepth = 0, topK = 5)
+    assert(shallow.select($"source_url").distinct().as[String].collect().toSeq ==
+      Seq(s"$base/index.html"))
+    assert(shallow.filter($"link_type" === "document").count() == 1)
+  }
+
   test("crawlStats matches reference counter semantics") {
     val stats = Crawl.crawlStats(links).head()
     assert(stats.getAs[Long]("urls_visited") == 3)
