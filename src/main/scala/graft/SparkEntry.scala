@@ -482,6 +482,27 @@ object SparkEntry {
         .orderBy($"link_type")
     }),
 
+    // P11: content-type acceptance predicates (discovery wants HTML,
+    // title-probe wants PDF/octet-stream).
+    "q42_content_type" -> ((s, d) => {
+      import s.implicits._
+      val ct = when($"doc_id" % 4 === 0, "text/html; charset=utf-8")
+        .when($"doc_id" % 4 === 1, "application/xhtml+xml")
+        .when($"doc_id" % 4 === 2, "application/pdf")
+        .otherwise("application/octet-stream")
+      t(s, d, "documents")
+        .withColumn("content_type", ct)
+        .withColumn("ok_discovery",
+          $"content_type".contains("text/html") ||
+            $"content_type".contains("application/xhtml"))
+        .withColumn("ok_title",
+          $"content_type".contains("application/pdf") ||
+            $"content_type".contains("octet-stream"))
+        .groupBy($"ok_discovery", $"ok_title")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"ok_discovery", $"ok_title")
+    }),
+
     // As-of join (union + carry-forward window — one shuffle, no join)
     // checked against DuckDB's native ASOF JOIN.
     "q41_asof_join" -> ((s, d) => {
@@ -718,6 +739,16 @@ object SparkEntry {
          FROM o ASOF LEFT JOIN s
            ON o.user_id = s.user_id AND o.ts >= s.sts
          ORDER BY o.event_id""",
+    "q42_content_type" ->
+      """SELECT (ct LIKE '%text/html%' OR ct LIKE '%application/xhtml%') AS ok_discovery,
+                (ct LIKE '%application/pdf%' OR ct LIKE '%octet-stream%') AS ok_title,
+                count(*) AS n
+         FROM (SELECT CASE WHEN doc_id % 4 = 0 THEN 'text/html; charset=utf-8'
+                           WHEN doc_id % 4 = 1 THEN 'application/xhtml+xml'
+                           WHEN doc_id % 4 = 2 THEN 'application/pdf'
+                           ELSE 'application/octet-stream' END AS ct
+               FROM documents)
+         GROUP BY 1, 2 ORDER BY ok_discovery, ok_title""",
     "q39_classify_links" ->
       """SELECT CASE WHEN doc_id % 5 = 4 THEN 'invalid'
                      WHEN doc_id % 5 = 0 THEN 'document'
