@@ -66,6 +66,9 @@ object Graft {
   def approxTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                  planes: Int = 8): DataFrame =
     llmops.VectorFuncs.lshTopK(corpus, queries, k, planes)
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame =
+    llmops.Ivf.ivfTopK(corpus, queries, k, nlist, nprobe)
 
   // ---- text analysis -----------------------------------------------
   def langId(text: Column): Column = llmops.TextFuncs.langId(text)

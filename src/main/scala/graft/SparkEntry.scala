@@ -427,6 +427,18 @@ object SparkEntry {
         .orderBy($"query_id", $"rk")
     }),
 
+    // llmops ANN, IVF variant: coarse-quantizer inverted lists +
+    // nprobe re-ranking (rows-only; recall asserted in IvfSpec).
+    "q43_ivf_topk" -> ((s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+      graft.llmops.Ivf.ivfTopK(emb, q, k = 5, nlist = 16, nprobe = 4)
+        .select($"query_id", $"vec_id", round($"sim", 4).as("sim"), $"rk")
+        .orderBy($"query_id", $"rk")
+    }),
+
     // Batch sessionization via window functions (30-min inactivity
     // gap): lag → gap flag → running session counter → session aggs.
     // The streaming form (flatMapGroupsWithState) lives in

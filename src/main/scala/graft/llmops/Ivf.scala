@@ -1,0 +1,111 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
+
+/** IVF-style approximate nearest neighbour: a coarse quantizer assigns
+  * every vector to its nearest centroid (inverted list); queries probe
+  * only their `nprobe` nearest lists and re-rank exactly within them.
+  * Complements [[VectorFuncs.lshTopK]]: IVF adapts to the data's
+  * cluster structure (the synthetic embeddings are label-clustered,
+  * where random hyperplanes are blind to geometry).
+  *
+  * Centroids here are a deterministic hash-ordered sample of the
+  * corpus — at production scale they would come from an offline
+  * k-means; the assignment/probe/re-rank dataflow is identical and is
+  * the part that must scale: assignment is a map-side kernel call, the
+  * probe join is an equi-join on `list_id`, and only (query, list)
+  * pairs ever meet.
+  */
+object Ivf {
+
+  /** Kernel: nearest / top-n nearest centroid indices by cosine. */
+  def nearestCentroids(vec: ArrayData, cents: Array[Array[Float]],
+                       nprobe: Int): GenericArrayData = {
+    val d = vec.numElements()
+    val sims = new Array[Double](cents.length)
+    var c = 0
+    while (c < cents.length) {
+      var dot = 0.0; var nv = 0.0; var nc = 0.0
+      val cv = cents(c)
+      var i = 0
+      while (i < d && i < cv.length) {
+        val x = vec.getFloat(i); val y = cv(i)
+        dot += x * y; nv += x * x; nc += y * y
+        i += 1
+      }
+      sims(c) = if (nv == 0 || nc == 0) -2.0 else dot / math.sqrt(nv * nc)
+      c += 1
+    }
+    val idx = sims.zipWithIndex.sortBy { case (s, i) => (-s, i) }
+      .take(nprobe).map(_._2)
+    new GenericArrayData(idx)
+  }
+
+  /** `nearest_centroids(vec)` → array<int> of the nprobe nearest
+    * centroid indices. Centroids ride along as a reference object in
+    * generated code (no per-row deserialization).
+    */
+  case class NearestCentroids(child: Expression,
+                              centroids: Array[Array[Float]], nprobe: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "nearest_centroids"
+    override def nullSafeEval(input: Any): Any =
+      nearestCentroids(input.asInstanceOf[ArrayData], centroids, nprobe)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("centroids", centroids, "float[][]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.llmops.Ivf.nearestCentroids($c, $ref, $nprobe);")
+    }
+    override protected def withNewChildInternal(c: Expression): NearestCentroids =
+      copy(child = c)
+  }
+
+  def nearest_centroids(vec: Column, centroids: Array[Array[Float]],
+                        nprobe: Int): Column =
+    ColumnBridge.column(
+      NearestCentroids(ColumnBridge.expression(vec), centroids, nprobe))
+
+  /** Deterministic coarse centroids: the `nlist` corpus vectors with
+    * the smallest xxhash64(id) — a seeded uniform sample.
+    */
+  def sampleCentroids(corpus: DataFrame, nlist: Int,
+                      idCol: String = "vec_id", vecCol: String = "embedding")
+      : Array[Array[Float]] =
+    corpus.select(col(idCol), col(vecCol))
+      .withColumn("__h", xxhash64(col(idCol)))
+      .orderBy(col("__h"))
+      .limit(nlist)
+      .select(col(vecCol))
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+
+  /** IVF approximate top-k by cosine. Output: (query_id, vec_id, sim, rk). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4,
+              corpusId: String = "vec_id", corpusVec: String = "embedding",
+              queryId: String = "query_id", queryVec: String = "query_vec")
+      : DataFrame = {
+    val cents = sampleCentroids(corpus, nlist, corpusId, corpusVec)
+    val assigned = corpus.withColumn("list_id",
+      element_at(nearest_centroids(col(corpusVec), cents, 1), 1))
+    val probes = queries.withColumn("list_id",
+      explode(nearest_centroids(col(queryVec), cents, nprobe)))
+    val scored = assigned.join(broadcast(probes), Seq("list_id"))
+      .filter(col(corpusId) =!= col(queryId))
+      .withColumn("sim", VectorFuncs.cosine(col(corpusVec), col(queryVec)))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("sim").desc, col(corpusId))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(queryId), col(corpusId), col("sim"), col("rk"))
+  }
+}
