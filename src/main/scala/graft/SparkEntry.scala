@@ -427,6 +427,25 @@ object SparkEntry {
         .orderBy($"query_id", $"rk")
     }),
 
+    // llmops: BPE-ish regex pretokenization counts (GPT-2 pattern).
+    "q44_bpe_tokens" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .groupBy($"lang")
+        .agg(sum(graft.llmops.TextFuncs.bpeishTokenCount($"text")).as("sum_bpe_tokens"),
+             count(lit(1)).as("n_docs"))
+        .orderBy($"lang")
+    }),
+
+    // llmops: winnowing fingerprint containment pairs (rows-only —
+    // guarantee property asserted in WinnowingSpec).
+    "q45_winnow_pairs" -> ((s, d) => {
+      import s.implicits._
+      graft.llmops.Winnowing.containmentPairs(
+        t(s, d, "documents"), minShared = 5)
+        .orderBy($"id_a", $"id_b")
+    }),
+
     // llmops ANN, IVF variant: coarse-quantizer inverted lists +
     // nprobe re-ranking (rows-only; recall asserted in IvfSpec).
     "q43_ivf_topk" -> ((s, d) => {
@@ -751,6 +770,13 @@ object SparkEntry {
          FROM o ASOF LEFT JOIN s
            ON o.user_id = s.user_id AND o.ts >= s.sts
          ORDER BY o.event_id""",
+    "q44_bpe_tokens" ->
+      """SELECT lang,
+                sum(len(regexp_extract_all(lower(text),
+                  '''s|''t|''re|''ve|''m|''ll|''d| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9'']+')))
+                  AS sum_bpe_tokens,
+                count(*) AS n_docs
+         FROM documents GROUP BY lang ORDER BY lang""",
     "q42_content_type" ->
       """SELECT (ct LIKE '%text/html%' OR ct LIKE '%application/xhtml%') AS ok_discovery,
                 (ct LIKE '%application/pdf%' OR ct LIKE '%octet-stream%') AS ok_title,

@@ -25,6 +25,21 @@ object TextFuncs {
     aggregate(tokens(text), lit(0L),
       (acc, w) => acc + ceil(length(w) / lit(4.0)).cast("long"))
 
+  /** GPT-2-style pretokenizer pattern: contractions, letter runs,
+    * digit runs, punctuation runs (lowercased input, so no upper
+    * class). Shared verbatim with the DuckDB oracle.
+    */
+  val bpePattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^\\sa-z0-9']+"
+
+  /** BPE-ish regex pretokenization (the merge step is model-specific;
+    * the pretokenizer split is what data pipelines count).
+    */
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit(bpePattern), lit(0))
+
+  def bpeishTokenCount(text: Column): Column = size(bpeishTokens(text))
+
   /** Stopword sets used by the language-ID heuristic. Tiny n-gram-free
     * heuristic: score = stopword hits per language, argmax wins,
     * "und" (undetermined) when nothing hits.
