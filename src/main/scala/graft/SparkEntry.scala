@@ -427,6 +427,18 @@ object SparkEntry {
         .orderBy($"query_id", $"rk")
     }),
 
+    // Range join: time-proximity pairs via bucketed equi-join, checked
+    // against DuckDB's native inequality join.
+    "q46_range_join" -> ((s, d) => {
+      import s.implicits._
+      graft.ops.RangeJoin.timeProximityPairs(
+        Tables.events(s, d), Seq("user_id"), "event_id", "ts",
+        maxGapMicros = 600000000L)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_pairs"), min($"gap_us").as("min_gap_us"))
+        .orderBy($"user_id")
+    }),
+
     // llmops: BPE-ish regex pretokenization counts (GPT-2 pattern).
     "q44_bpe_tokens" -> ((s, d) => {
       import s.implicits._
@@ -777,6 +789,13 @@ object SparkEntry {
                   AS sum_bpe_tokens,
                 count(*) AS n_docs
          FROM documents GROUP BY lang ORDER BY lang""",
+    "q46_range_join" ->
+      """SELECT e1.user_id AS user_id, count(*) AS n_pairs,
+                min(abs(date_diff('microsecond', e1.ts, e2.ts))) AS min_gap_us
+         FROM events e1 JOIN events e2
+           ON e1.user_id = e2.user_id AND e1.event_id < e2.event_id
+          AND abs(date_diff('microsecond', e1.ts, e2.ts)) <= 600000000
+         GROUP BY 1 ORDER BY user_id""",
     "q42_content_type" ->
       """SELECT (ct LIKE '%text/html%' OR ct LIKE '%application/xhtml%') AS ok_discovery,
                 (ct LIKE '%application/pdf%' OR ct LIKE '%octet-stream%') AS ok_title,
