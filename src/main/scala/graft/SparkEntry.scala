@@ -427,6 +427,30 @@ object SparkEntry {
         .orderBy($"query_id", $"rk")
     }),
 
+    // Pivot: event counts per hour-of-day × type (wide form).
+    "q47_pivot" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .withColumn("hod", hour($"ts"))
+        .groupBy($"hod")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy($"hod")
+    }),
+
+    // Explode/unnest: word frequency via generator + top-k.
+    "q48_explode_words" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .select(explode(graft.llmops.TextFuncs.tokens($"text")).as("word"))
+        .filter(length($"word") > 0)
+        .groupBy($"word")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"word")
+        .limit(10)
+    }),
+
     // Range join: time-proximity pairs via bucketed equi-join, checked
     // against DuckDB's native inequality join.
     "q46_range_join" -> ((s, d) => {
@@ -789,6 +813,20 @@ object SparkEntry {
                   AS sum_bpe_tokens,
                 count(*) AS n_docs
          FROM documents GROUP BY lang ORDER BY lang""",
+    "q47_pivot" ->
+      """SELECT hour(ts) AS hod,
+                sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+                sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+                sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+                sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+                sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+         FROM events GROUP BY 1 ORDER BY hod""",
+    "q48_explode_words" ->
+      """SELECT word, count(*) AS n FROM (
+           SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+           FROM documents)
+         WHERE length(word) > 0
+         GROUP BY word ORDER BY n DESC, word LIMIT 10""",
     "q46_range_join" ->
       """SELECT e1.user_id AS user_id, count(*) AS n_pairs,
                 min(abs(date_diff('microsecond', e1.ts, e2.ts))) AS min_gap_us

@@ -74,18 +74,27 @@ object Winnowing {
       WinnowFingerprints(ColumnBridge.expression(text), k, w))
 
   /** Containment pairs: docs sharing ≥ `minShared` fingerprints.
-    * Scale shape: explode fingerprints (slim (id, fp) rows), self-join
-    * on fp, count shared per pair — the shuffle carries 16-byte rows
-    * and only fingerprint-collision pairs ever materialize.
+    * Scale shape: explode fingerprints (slim (id, fp) rows), drop
+    * fingerprints appearing in more than `maxDocFreq` docs (boilerplate
+    * — the classic stop-fingerprint step, and the guard against
+    * quadratic fan-out when many docs share a substring), self-join on
+    * the surviving fps, count shared per pair. Pair count per fp is
+    * then bounded by maxDocFreq², keeping the join linear in corpus
+    * size.
     */
   def containmentPairs(docs: DataFrame, minShared: Int = 3,
-                       k: Int = 8, w: Int = 12,
+                       k: Int = 8, w: Int = 12, maxDocFreq: Int = 50,
                        idCol: String = "doc_id", textCol: String = "text")
       : DataFrame = {
     val fps = docs.select(col(idCol).as("id"),
       explode(array_distinct(winnow_fingerprints(col(textCol), k, w))).as("fp"))
-    fps.select(col("fp"), col("id").as("id_a"))
-      .join(fps.select(col("fp"), col("id").as("id_b")), Seq("fp"))
+    val rare = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq)
+      .select(col("fp"))
+    val slim = fps.join(rare, Seq("fp"))
+    slim.select(col("fp"), col("id").as("id_a"))
+      .join(slim.select(col("fp"), col("id").as("id_b")), Seq("fp"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared_fingerprints"))

@@ -1,0 +1,23 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+/** Time a single named query: runMain graft.tools.QTime <name> [sfDir] */
+object QTime {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val fn = graft.SparkEntry.queries(name)
+    for (i <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      println(f"$name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s, $n rows")
+    }
+    spark.stop()
+  }
+}

@@ -25,12 +25,34 @@ class WinnowingSpec extends SparkTestBase {
     assert(WinnowKernels.fingerprints(null, 8, 12).isEmpty)
   }
 
-  test("containment pairs find the corpus near-dups") {
-    val docs = Tables.documents(spark, sf0001)
-    val pairs = Winnowing.containmentPairs(docs, minShared = 5)
+  test("containment pairs find docs sharing a distinctive passage") {
+    // constructed corpus: doc i has unique filler; docs 3 and 7 embed
+    // the same long distinctive sentence (the winnowing use case —
+    // quote/boilerplate detection, not global near-dup)
+    val quote = "shareholders of record will receive the quarterly dividend " +
+      "payable on the fifteenth business day following declaration"
+    val docs = (0L until 20L).map { i =>
+      // per-doc filler from a disjoint alphabet: letter runs can't
+      // share shingles across docs
+      val c = ('a' + i).toChar.toString
+      val filler = Seq.fill(10)(c * 6).mkString(" ")
+      val text = if (i == 3 || i == 7) s"$filler $quote $filler" else s"$filler $filler"
+      (i, text)
+    }.toDF("doc_id", "text")
+    // maxDocFreq=3: the cross-doc filler shingle collisions (df≈20)
+    // are boilerplate and must be dropped; the quote (df=2) survives
+    val pairs = Winnowing.containmentPairs(docs, minShared = 3, maxDocFreq = 3)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
-    // the known planted near-dup (8, 245) shares nearly all content
-    assert(pairs.contains((8L, 245L)), s"missing known near-dup; got ${pairs.size} pairs")
+    assert(pairs == Set((3L, 7L)), s"got $pairs")
+  }
+
+  test("df guard drops boilerplate fingerprints (no pair explosion)") {
+    // every doc shares the same boilerplate; no pair shares anything rare
+    val docs = (0L until 30L).map { i =>
+      (i, s"standard legal disclaimer applies to all documents herein unique-token-$i")
+    }.toDF("doc_id", "text")
+    val pairs = Winnowing.containmentPairs(docs, minShared = 3, maxDocFreq = 10)
+    assert(pairs.count() == 0)
   }
 
   test("expression works in DataFrames under codegen") {
