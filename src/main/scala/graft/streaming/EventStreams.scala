@@ -33,6 +33,15 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("n"))
 
+  /** Stream-static enrichment: join a live event stream against a
+    * static dimension (broadcast — re-planned per micro-batch, so a
+    * refreshed dim snapshot is picked up on restart). The streaming
+    * analog of J1/J2.
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+                   key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Streaming exact dedup: drops events whose key was already seen
     * within the watermark horizon (`dropDuplicatesWithinWatermark` —
     * state is bounded by the watermark instead of growing forever,

@@ -42,6 +42,23 @@ class EventStreamsSpec extends SparkTestBase {
       out.head.getAs[Double]("total_value") == 3.0)
   }
 
+  test("stream-static enrichment joins the broadcast dim per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val stream = mem.toDF().toDF("user_id", "value")
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val q = EventStreams.enrichStream(stream, dim, "user_id")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    mem.addData((1L, 10.0), (2L, 5.0), (9L, 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("enrich_out")
+      .select($"user_id", $"tier").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got == Map(1L -> Some("gold"), 2L -> Some("basic"), 9L -> None))
+  }
+
   test("streaming dedup within watermark drops repeats, keeps firsts") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Long)]
