@@ -349,7 +349,8 @@ object SparkEntry {
       t(s, d, "orders")
         .filter($"o_custkey" <= 50)
         .groupBy($"o_custkey")
-        .agg(array_sort(collect_list($"o_orderkey")).as("order_keys"),
+        .agg(array_join(transform(array_sort(collect_list($"o_orderkey")),
+               _.cast("string")), ",").as("order_keys"),
              count(lit(1)).as("n"))
         .orderBy($"o_custkey")
     }),
@@ -661,20 +662,20 @@ object SparkEntry {
              SELECT l_partkey AS pk FROM lineitem
              UNION ALL SELECT p_partkey AS pk FROM part))""",
     "q11_string_ops" ->
-      """SELECT source, count(*) AS n_docs, sum(length(text)) AS total_chars,
-                sum(CASE WHEN lower(text) LIKE '%spark%' THEN 1 ELSE 0 END) AS n_spark,
+      """SELECT source, count(*) AS n_docs, sum(length(text))::BIGINT AS total_chars,
+                sum(CASE WHEN lower(text) LIKE '%spark%' THEN 1 ELSE 0 END)::BIGINT AS n_spark,
                 min(split_part(trim(text), ' ', 1)) AS first_word
          FROM documents GROUP BY source ORDER BY source""",
     "q12_regex_extract" ->
       """SELECT event_type, count(*) AS n,
-                sum(regexp_extract(props, '"k": (\d+)', 1)::int) AS sum_k,
+                sum(regexp_extract(props, '"k": (\d+)', 1)::int)::BIGINT AS sum_k,
                 max(regexp_extract(props, '"k": (\d+)', 1)::int) AS max_k
          FROM events GROUP BY event_type ORDER BY event_type""",
     "q13_json_extract" ->
       """SELECT event_type,
                 avg(json_extract(props, '$.k')::int) AS avg_k,
                 sum(coalesce(json_extract(props, '$.missing')::int,
-                             json_extract(props, '$.k')::int, -1)) AS sum_k2
+                             json_extract(props, '$.k')::int, -1))::BIGINT AS sum_k2
          FROM events GROUP BY event_type ORDER BY event_type""",
     "q14_hourly_window" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
@@ -705,12 +706,12 @@ object SparkEntry {
     "q19_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
                 sum(CASE WHEN length(trim(text)) = 0 THEN 0
-                    ELSE len(string_split_regex(lower(trim(text)), '\s+')) END)
+                    ELSE len(string_split_regex(lower(trim(text)), '\s+')) END)::BIGINT
                   AS sum_tokens,
-                sum(length(text)) AS sum_chars,
+                sum(length(text))::BIGINT AS sum_chars,
                 sum(list_sum(list_transform(
                   string_split_regex(lower(trim(text)), '\s+'),
-                  w -> ceil(length(w) / 4.0)))::bigint) AS sum_bpe
+                  w -> ceil(length(w) / 4.0)))::bigint)::BIGINT AS sum_bpe
          FROM documents GROUP BY lang ORDER BY lang""",
     "q20_exact_dedup" ->
       """SELECT min(doc_id) AS keep_id FROM (
@@ -789,8 +790,8 @@ object SparkEntry {
            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          t AS (
            SELECT user_id, event_id, ts, value,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             (sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_id
            FROM s)
          SELECT user_id, session_id, count(*) AS n_events,
                 min(ts) AS session_start, max(ts) AS session_end,
@@ -809,17 +810,17 @@ object SparkEntry {
     "q44_bpe_tokens" ->
       """SELECT lang,
                 sum(len(regexp_extract_all(lower(text),
-                  '''s|''t|''re|''ve|''m|''ll|''d| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9'']+')))
+                  '''s|''t|''re|''ve|''m|''ll|''d| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9'']+')))::BIGINT
                   AS sum_bpe_tokens,
                 count(*) AS n_docs
          FROM documents GROUP BY lang ORDER BY lang""",
     "q47_pivot" ->
       """SELECT hour(ts) AS hod,
-                sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-                sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-                sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-                sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-                sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+                sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
+                sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error,
+                sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+                sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
+                sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view
          FROM events GROUP BY 1 ORDER BY hod""",
     "q48_explode_words" ->
       """SELECT word, count(*) AS n FROM (
@@ -859,7 +860,7 @@ object SparkEntry {
                 count(*) AS n
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q30_collect_list" ->
-      """SELECT o_custkey, list_sort(array_agg(o_orderkey)) AS order_keys,
+      """SELECT o_custkey, array_to_string(list_sort(array_agg(o_orderkey)), ',') AS order_keys,
                 count(*) AS n
          FROM orders WHERE o_custkey <= 50
          GROUP BY o_custkey ORDER BY o_custkey""",
