@@ -15,6 +15,26 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Guard against quadratic fan-out in banded self-joins: drop every
+    * row belonging to a (band, band_hash) bucket with more than
+    * `maxBucket` members. A degenerate bucket (thousands of docs with
+    * an identical band hash — boilerplate, empty docs, a template
+    * corpus) otherwise produces |bucket|² candidate pairs; capping
+    * bounds the join output at maxBucket² per bucket, linear in corpus
+    * size. Same mechanism as Winnowing.containmentPairs' stop-
+    * fingerprint df-filter. Members of dropped buckets can still pair
+    * through their other bands (multi-band OR), and truly identical
+    * docs belong to `exact` dedup, not near-dup pair generation.
+    * The window count partitions by the same keys the subsequent
+    * self-join shuffles on, so Catalyst reuses one exchange.
+    */
+  private def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame = {
+    val w = Window.partitionBy(col("band"), col("band_hash"))
+    banded.withColumn("bucket_n", count(lit(1)).over(w))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+  }
+
   /** Exact dedup: keep the lowest-id document per identical content.
     * `xxhash64` (+ length) is the grouping key, so the shuffle carries
     * 16 bytes per doc, never the text.
@@ -36,7 +56,7 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, threshold: Double = 0.7,
                    bands: Int = 16, rowsPerBand: Int = 8,
-                   shingleSize: Int = 5,
+                   shingleSize: Int = 5, maxBucket: Int = 200,
                    idCol: String = "doc_id", textCol: String = "text")
       : DataFrame = {
     val n = bands * rowsPerBand
@@ -46,11 +66,12 @@ object Dedup {
     // candidate generation over SLIM band rows — (id, band, hash) only;
     // shipping the n-long signature with each of `bands` rows would
     // multiply the shuffle by `bands`
-    val banded = sigs
+    val banded = capBuckets(sigs
       .select(col("id"),
         explode(Sketches.lshBands(col("sig"), bands, rowsPerBand)).as("b"))
       .select(col("id"),
-        col("b.band").as("band"), col("b.band_hash").as("band_hash"))
+        col("b.band").as("band"), col("b.band_hash").as("band_hash")),
+      maxBucket)
     val candidates = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("band_hash"), col("id").as("id_b")),
         Seq("band", "band_hash"))
@@ -84,16 +105,17 @@ object Dedup {
     * bands ⇒ every pair within Hamming distance 3 shares a band), then
     * exact Hamming verification.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, maxBucket: Int = 200,
                    idCol: String = "doc_id", textCol: String = "text")
       : DataFrame = {
     val fps = docs.select(col(idCol).as("id"),
       Sketches.simhash64(col(textCol)).as("fp"))
-    val banded = fps
+    val banded = capBuckets(fps
       .select(col("id"), col("fp"),
         explode(Sketches.simhashBands(col("fp"))).as("b"))
       .select(col("id"), col("fp"),
-        col("b.band").as("band"), col("b.band_hash").as("band_hash"))
+        col("b.band").as("band"), col("b.band_hash").as("band_hash")),
+      maxBucket)
     val a = banded.select(col("band"), col("band_hash"),
       col("id").as("id_a"), col("fp").as("fp_a"))
     val b = banded.select(col("band"), col("band_hash"),
@@ -134,16 +156,18 @@ object Dedup {
     */
   def embeddingPairs(vecs: DataFrame, threshold: Double = 0.95,
                      planes: Int = 8, bandsOfPlanes: Int = 4,
+                     maxBucket: Int = 200,
                      idCol: String = "vec_id", vecCol: String = "embedding")
       : DataFrame = {
-    val banded = vecs.select(
+    val banded = capBuckets(vecs.select(
       col(idCol).as("id"), col(vecCol).as("v"),
       explode(array((0 until bandsOfPlanes).map(bd =>
         struct(lit(bd).as("band"),
           VectorFuncs.rhpBucket(col(vecCol), planes, seed = 42L + bd)
             .as("band_hash"))): _*)).as("b"))
       .select(col("id"), col("v"),
-        col("b.band").as("band"), col("b.band_hash").as("band_hash"))
+        col("b.band").as("band"), col("b.band_hash").as("band_hash")),
+      maxBucket)
     val a = banded.select(col("band"), col("band_hash"),
       col("id").as("id_a"), col("v").as("v_a"))
     val b = banded.select(col("band"), col("band_hash"),

@@ -84,4 +84,36 @@ class DedupSpec extends SparkTestBase {
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
     assert(rows.forall(_.getDouble(2) >= 0.95))
   }
+
+  test("hot-bucket cap bounds a degenerate 5k-identical-doc corpus") {
+    // 5000 copies of one text: every band bucket has 5000 members, so an
+    // unguarded banded self-join would emit 16 bands x 5000^2/2 = 200M
+    // candidate rows. The cap drops the hot buckets entirely — the join
+    // stays empty and the query finishes in seconds, not hours.
+    val clones = spark.range(5000)
+      .select($"id".as("doc_id"), lit("the same boilerplate text repeated " +
+        "over and over across the whole corpus").as("text"))
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    assert(Dedup.minhashPairs(clones).count() == 0L)
+    assert(Dedup.simhashPairs(clones).count() == 0L)
+    assert(System.nanoTime() < deadline,
+      "guarded pair generation should complete well inside 60s")
+  }
+
+  test("hot-bucket cap leaves clusters below the cap intact") {
+    // 50 identical docs (< maxBucket=200) must still produce all pairs.
+    val small = spark.range(50)
+      .select($"id".as("doc_id"),
+        lit("a modest cluster of identical documents").as("text"))
+    assert(Dedup.minhashPairs(small).count() == 50L * 49 / 2)
+  }
+
+  test("hot-bucket cap does not change results on the normal corpus") {
+    val capped = Dedup.minhashPairs(docs, threshold = 0.7)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val uncapped = Dedup.minhashPairs(docs, threshold = 0.7,
+        maxBucket = Int.MaxValue)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(capped == uncapped)
+  }
 }
