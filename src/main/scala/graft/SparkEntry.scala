@@ -190,6 +190,37 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // U8/F10/F4: download-stage filename chain — metadata name →
+    // Content-Disposition (RFC 6266/5987) → URL slug → download{ext},
+    // with content-type→extension inference, as pure column logic
+    // (reference src/download_reports.py:349-418).
+    "q16_filename_chain" -> ((s, d) => {
+      import s.implicits._
+      val id = $"doc_id".cast("string")
+      val url = when($"doc_id" % 4 === 0,
+          concat(lit("https://ir.example.com/files/report-"), id, lit(".pdf")))
+        .when($"doc_id" % 4 === 1, lit("https://ir.example.com/files/statement"))
+        .when($"doc_id" % 4 === 2, lit("https://ir.example.com/"))
+        .otherwise(concat(lit("https://cdn.example.org/a/b/deck-"), id, lit(".xlsx")))
+      val cd = when($"doc_id" % 3 === 0, lit(""))
+        .when($"doc_id" % 3 === 1, lit("attachment; filename=\"quarterly report.pdf\""))
+        .otherwise(lit("attachment; filename*=UTF-8'en'q4%20report.pdf"))
+      val ct = when($"doc_id" % 5 === 0, lit("application/pdf"))
+        .when($"doc_id" % 5 === 1, lit("text/html; charset=utf-8"))
+        .when($"doc_id" % 5 === 2,
+          lit("application/vnd.openxmlformats-officedocument.spreadsheetml.sheet"))
+        .when($"doc_id" % 5 === 3, lit("text/plain"))
+        .otherwise(lit("application/octet-stream"))
+      val title = when($"doc_id" % 2 === 0, lit("Earnings Report")).otherwise(lit(""))
+      val yr = when($"doc_id" % 2 === 0, (lit(2020) + $"doc_id" % 5).cast("long"))
+      val qtr = when($"doc_id" % 2 === 0, (lit(1) + $"doc_id" % 4).cast("long"))
+      t(s, d, "documents")
+        .select($"doc_id",
+          graft.expr.DownloadFuncs.buildFilename(url, cd, ct, title, yr, qtr)
+            .as("filename"))
+        .orderBy($"doc_id")
+    }),
+
     // U5/A3/F13: year/quarter extraction via regexp_extract_all +
     // array_max over constructed report-title strings.
     "q17_year_quarter" -> ((s, d) => {
@@ -686,6 +717,65 @@ object SparkEntry {
                 regexp_replace(source || '<' || lang || '>:' || doc_id,
                                '[<>:"/\\|?*]', '_', 'g') AS fname
          FROM documents ORDER BY doc_id""",
+    "q16_filename_chain" ->
+      """WITH f AS (
+           SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN 'https://ir.example.com/files/report-' || doc_id || '.pdf'
+               WHEN 1 THEN 'https://ir.example.com/files/statement'
+               WHEN 2 THEN 'https://ir.example.com/'
+               ELSE 'https://cdn.example.org/a/b/deck-' || doc_id || '.xlsx' END AS url,
+             CASE doc_id % 3
+               WHEN 0 THEN ''
+               WHEN 1 THEN 'attachment; filename="quarterly report.pdf"'
+               ELSE 'attachment; filename*=UTF-8''en''q4%20report.pdf' END AS cd,
+             CASE doc_id % 5
+               WHEN 0 THEN 'application/pdf'
+               WHEN 1 THEN 'text/html; charset=utf-8'
+               WHEN 2 THEN 'application/vnd.openxmlformats-officedocument.spreadsheetml.sheet'
+               WHEN 3 THEN 'text/plain'
+               ELSE 'application/octet-stream' END AS ct,
+             CASE WHEN doc_id % 2 = 0 THEN 'Earnings Report' ELSE '' END AS title,
+             CASE WHEN doc_id % 2 = 0 THEN 2020 + doc_id % 5 END AS year,
+             CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 4 END AS quarter
+           FROM documents),
+         g AS (
+           SELECT *, regexp_extract(regexp_replace(
+               regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+               '/+$', ''), '([^/]*)$', 1) AS seg
+           FROM f),
+         h AS (
+           SELECT *, regexp_extract(seg, '.+(\.[^.]+)$', 1) AS seg_ext,
+                  lower(ct) AS ctl
+           FROM g),
+         i AS (
+           SELECT *,
+             CASE WHEN seg_ext <> '' THEN seg_ext
+                  WHEN contains(ctl, 'pdf') THEN '.pdf'
+                  WHEN contains(ctl, 'html') OR contains(ctl, 'htm') THEN '.html'
+                  WHEN contains(ctl, 'spreadsheetml') OR contains(ctl, 'excel')
+                       OR contains(ctl, 'xlsx') THEN '.xlsx'
+                  WHEN contains(ctl, 'zip') THEN '.zip'
+                  WHEN contains(ctl, 'msword') OR contains(ctl, 'wordprocessingml')
+                       OR contains(ctl, 'docx') THEN '.docx'
+                  WHEN contains(ctl, 'plain') OR contains(ctl, 'text/') THEN '.txt'
+                  ELSE '.bin' END AS ext,
+             nullif(trim(regexp_replace(trim(regexp_extract(cd,
+               'filename\*\s*=\s*[^'']+''[^'']+''\s*([^;]+)', 1)), '^"+|"+$', '')), '')
+               AS star,
+             nullif(trim(regexp_extract(cd,
+               'filename\s*=\s*"?([^";]+)"?', 1)), '') AS plain
+           FROM h)
+         SELECT doc_id,
+           regexp_replace(
+             CASE WHEN title <> '' AND year IS NOT NULL AND quarter IS NOT NULL
+                  THEN title || '_' || year || 'Q' || quarter || ext
+                  WHEN coalesce(star, plain) IS NOT NULL THEN coalesce(star, plain)
+                  WHEN seg <> '' THEN
+                    CASE WHEN seg_ext <> '' THEN seg ELSE seg || ext END
+                  ELSE 'download' || ext END,
+             '[<>:"/\\|?*]', '_', 'g') AS filename
+         FROM i ORDER BY doc_id""",
     "q17_year_quarter" ->
       """SELECT event_id,
                 list_max(list_transform(

@@ -33,9 +33,20 @@ object Orchestrator {
       .as[DownloadRow]
     rows.mapPartitions { it =>
       it.map { r =>
-        val safe = r.title.replaceAll("[<>:\"/\\\\|?*]", "_")
-        val ext = if (r.file_extension.nonEmpty) "." + r.file_extension else ""
-        val fname = s"${safe}_${r.year}Q${r.quarter}$ext"
+        // Reference filename chain (download_reports.py:389-418): no
+        // response headers exist pre-request, so the known metadata
+        // extension stands in for Content-Type in the inference step.
+        val ctHint = r.file_extension match {
+          case "pdf" => "application/pdf"
+          case "html" | "htm" => "text/html"
+          case "xlsx" => "application/vnd.ms-excel"
+          case "zip" => "application/zip"
+          case "docx" => "application/msword"
+          case "txt" => "text/plain"
+          case _ => ""
+        }
+        val fname = graft.services.FilenameKernel.build(
+          r.url, "", ctHint, r.title, r.year, r.quarter)
         val res: FileResult =
           downloader.download(r.url, s"$destRoot/${r.company}", fname)
         (r.company, r.url, r.title, r.category, r.year, r.quarter,

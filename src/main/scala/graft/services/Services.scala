@@ -48,6 +48,113 @@ trait Downloader extends Serializable {
   def download(url: String, destDir: String, filename: String): FileResult
 }
 
+/** Row-at-a-time mirror of `graft.expr.DownloadFuncs` for service-side
+  * use (reference src/download_reports.py:349-418). The column pipeline
+  * is the scale path; this kernel exists for per-row service code like
+  * `Orchestrator.download`. `FilenameConsistencySpec` pins the two
+  * implementations together.
+  */
+object FilenameKernel {
+  private val starRe =
+    "(?i)filename\\*\\s*=\\s*[^']+'[^']+'\\s*([^;]+)".r
+  private val plainRe = "(?i)filename\\s*=\\s*\"?([^\";]+)\"?".r
+
+  def cdFilename(cd: String): Option[String] =
+    if (cd == null || cd.isEmpty) None
+    else starRe.findFirstMatchIn(cd)
+      .map(_.group(1).trim.replaceAll("^\"+|\"+$", "").trim)
+      .orElse(plainRe.findFirstMatchIn(cd).map(_.group(1).trim))
+      .filter(_.nonEmpty)
+
+  def lastSegment(url: String): String = {
+    val path =
+      if (url.contains("://"))
+        "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)".r
+          .findFirstMatchIn(url).map(_.group(1)).getOrElse("")
+      else url.takeWhile(c => c != '?' && c != '#')
+    val stripped = path.reverse.dropWhile(_ == '/').reverse
+    stripped.substring(stripped.lastIndexOf('/') + 1)
+  }
+
+  private def segmentExt(seg: String): String = {
+    val i = seg.lastIndexOf('.')
+    if (i > 0) seg.substring(i) else ""
+  }
+
+  def extensionFromContentType(contentType: String, lastSegment: String): String = {
+    val urlExt = segmentExt(lastSegment)
+    if (urlExt.nonEmpty) return urlExt
+    val ct = Option(contentType).getOrElse("").toLowerCase
+    if (ct.contains("pdf")) ".pdf"
+    else if (ct.contains("html") || ct.contains("htm")) ".html"
+    else if (ct.contains("spreadsheetml") || ct.contains("excel") ||
+      ct.contains("xlsx")) ".xlsx"
+    else if (ct.contains("zip")) ".zip"
+    else if (ct.contains("msword") || ct.contains("wordprocessingml") ||
+      ct.contains("docx")) ".docx"
+    else if (ct.contains("plain") || ct.contains("text/")) ".txt"
+    else ".bin"
+  }
+
+  /** Priority chain: metadata name → Content-Disposition → URL segment
+    * → `download{ext}`, then sanitize (download_reports.py:389-418,536).
+    */
+  def build(url: String, contentDisposition: String, contentType: String,
+            title: String, year: Int, quarter: Int): String = {
+    val seg = lastSegment(url)
+    val ext = extensionFromContentType(contentType, seg)
+    val raw =
+      if (title != null && title.nonEmpty && year != 0 && quarter != 0)
+        s"${title}_${year}Q$quarter$ext"
+      else cdFilename(contentDisposition).getOrElse {
+        if (seg.nonEmpty) { if (segmentExt(seg).nonEmpty) seg else seg + ext }
+        else s"download$ext"
+      }
+    raw.replaceAll("[<>:\"/\\\\|?*]", "_")
+  }
+}
+
+/** First-bytes content sniffing (reference src/download_reports.py:
+  * 517-530 peeks the first chunk for `%PDF`). Used to correct a lying
+  * or absent Content-Type after download.
+  */
+object MagicBytes {
+  def sniff(first: Array[Byte]): Option[String] = {
+    def startsWith(p: Array[Byte]) =
+      first.length >= p.length && p.indices.forall(i => first(i) == p(i))
+    if (startsWith("%PDF".getBytes("US-ASCII"))) Some("application/pdf")
+    else if (startsWith(Array[Byte](0x50, 0x4b, 0x03, 0x04))) Some("application/zip")
+    else if (startsWith(Array[Byte](0x1f, 0x8b.toByte))) Some("application/gzip")
+    else {
+      val head = new String(first.take(256), "UTF-8").trim.toLowerCase
+      if (head.startsWith("<!doctype html") || head.startsWith("<html"))
+        Some("text/html")
+      else None
+    }
+  }
+}
+
+/** Retry-with-backoff decorator for any Downloader (reference
+  * `_session_with_retries`, src/download_reports.py:439-449: total=3,
+  * backoff_factor=0.5 → 0.5s, 1s between attempts). The sleeper is
+  * injectable so specs assert the schedule without waiting.
+  */
+final class RetryingDownloader(
+    inner: Downloader, attempts: Int = 3, backoffMillis: Long = 500,
+    sleeper: Long => Unit = Thread.sleep) extends Downloader {
+  override def download(url: String, destDir: String, filename: String): FileResult = {
+    var last: FileResult = FileResult(url, "", 0L, "", "", ok = false, "no attempt")
+    var i = 0
+    while (i < attempts) {
+      last = inner.download(url, destDir, filename)
+      if (last.ok) return last
+      i += 1
+      if (i < attempts) sleeper(backoffMillis << (i - 1))
+    }
+    last
+  }
+}
+
 /** Deterministic downloader: `file:` URLs are copied from local disk
   * with streamed MD5 (4 KiB chunks like the reference's checksum loop,
   * src/simple_metadata_collector.py:132-145); anything else fails like
@@ -75,8 +182,14 @@ final class LocalFileDownloader extends Downloader {
         }
       } finally { in.close(); out.close() }
       val hex = md.digest().map("%02x".format(_)).mkString
+      // magic-byte sniff beats the extension guess when they disagree
+      // (reference peeks the first chunk for %PDF, download_reports.py:517)
+      val head = new Array[Byte](256)
+      val hin = Files.newInputStream(dest)
+      val hn = try hin.read(head) finally hin.close()
+      val sniffed = MagicBytes.sniff(head.take(math.max(hn, 0)))
       FileResult(url, dest.toString, Files.size(dest), hex,
-        contentTypeFor(filename), ok = true, "")
+        sniffed.getOrElse(contentTypeFor(filename)), ok = true, "")
     } catch {
       case e: Exception =>
         FileResult(url, "", 0L, "", "", ok = false, String.valueOf(e.getMessage))
