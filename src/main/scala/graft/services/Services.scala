@@ -11,6 +11,35 @@ import java.security.MessageDigest
   * `mapPartitions` — they must be `Serializable` and cheap to construct.
   */
 
+/** Injected time source (SURVEY §7.4-1). The reference stamps each
+  * pipeline stage with `datetime.now().isoformat()`
+  * (src/simple_metadata_collector.py:40-117); a trait makes those
+  * stamps deterministic under test and consistent across executors.
+  */
+trait Clock extends Serializable {
+  def nowMillis(): Long
+  /** ISO-8601 UTC with fixed width, so lexicographic min/max over
+    * stamps is chronological (used for per-company download windows).
+    */
+  final def nowIso(): String =
+    java.time.Instant.ofEpochMilli(nowMillis())
+      .atZone(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"))
+}
+
+/** Wall-clock production impl. */
+object SystemClock extends Clock {
+  override def nowMillis(): Long = System.currentTimeMillis()
+}
+
+/** Deterministic test clock: each call advances by `stepMillis`. */
+final class FixedClock(startMillis: Long, stepMillis: Long = 1000L)
+    extends Clock {
+  private val n = new java.util.concurrent.atomic.AtomicLong(0)
+  override def nowMillis(): Long = startMillis + stepMillis * n.getAndIncrement()
+}
+
 /** Page fetcher (reference src/enhanced_selenium_scraper.py:208-252). */
 trait PageFetcher extends Serializable {
   /** Rendered HTML for a URL, or None on fetch failure. */

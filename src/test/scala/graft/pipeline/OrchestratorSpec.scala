@@ -27,11 +27,26 @@ class OrchestratorSpec extends SparkTestBase {
 
     val companies = Seq(("corp", "MMM", s"$base/index.html"))
       .toDF("company", "ticker", "ir_url")
+    val clock = new graft.services.FixedClock(
+      java.time.Instant.parse("2026-02-01T00:00:00Z").toEpochMilli, 1000L)
     val meta = Orchestrator.run(spark, companies, MapPageFetcher(pages),
-      new LocalFileDownloader, work.resolve("out").toString, maxYear = 2026)
+      new LocalFileDownloader, work.resolve("out").toString, maxYear = 2026,
+      clock = clock)
       .cache()
 
     val row = meta.head()
+    // stage boundaries stamped by the injected clock, in pipeline order
+    val stampCols = Seq("pipeline_start_time", "scraping_start_time",
+      "scraping_end_time", "extraction_start_time", "extraction_end_time",
+      "pipeline_end_time")
+    val stamps = stampCols.map(c => row.getAs[String](c))
+    assert(stamps.forall(_ != null))
+    assert(stamps == stamps.sorted, s"stage stamps out of order: $stamps")
+    assert(stamps.head == "2026-02-01T00:00:00.000Z")
+    // download window comes from per-row stamps taken on the executors
+    assert(row.getAs[String]("download_start_time") >= stamps(4))
+    assert(row.getAs[String]("download_end_time") >=
+      row.getAs[String]("download_start_time"))
     assert(row.getAs[String]("status") == "failed") // one missing file
     assert(row.getAs[Long]("n_downloaded") == 2)
     assert(row.getAs[Long]("n_failed") == 1)
