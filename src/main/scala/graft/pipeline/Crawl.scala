@@ -28,9 +28,17 @@ object Crawl {
 
   final case class Page(company: String, url: String, depth: Int, html: String)
 
-  /** @param seeds DataFrame(company, url) — one IR seed page per company. */
+  /** @param seeds DataFrame(company, url) — one IR seed page per company.
+    * @param promisingAtAllDepths the reference extends the frontier ONLY
+    *   from depth-0 pages (`if depth == 0:`,
+    *   src/enhanced_selenium_scraper.py:739-751), so deeper pages are
+    *   leaves; `false` (default) reproduces that. `true` generalizes to
+    *   a full bounded BFS that keeps extending from promising pages at
+    *   every depth < maxDepth.
+    */
   def crawl(spark: SparkSession, seeds: DataFrame, fetcher: PageFetcher,
-            maxDepth: Int = 2, topK: Int = 5): DataFrame = {
+            maxDepth: Int = 2, topK: Int = 5,
+            promisingAtAllDepths: Boolean = false): DataFrame = {
     import spark.implicits._
 
     var frontier = seeds.select(col("company"), col("url"))
@@ -65,7 +73,7 @@ object Crawl {
       allLinks = if (allLinks == null) links
                  else allLinks.unionByName(links).dropDuplicates("company", "href")
 
-      if (depth < maxDepth) {
+      if (depth < maxDepth && (depth == 0 || promisingAtAllDepths)) {
         // promising-links frontier: internal, unexcluded, scored, top-K
         // per company (W1), minus already-visited (D2)
         val w = org.apache.spark.sql.expressions.Window

@@ -63,6 +63,32 @@ class CrawlSpec extends SparkTestBase {
     assert(shallow.filter($"link_type" === "document").count() == 1)
   }
 
+  test("frontier extends only from depth-0 pages by default (reference fidelity)") {
+    // chain: index → earnings (depth 1) → archive (depth 2). The
+    // reference's `if depth == 0:` guard makes depth-1 pages leaves, so
+    // the archive page must NOT be fetched by default even at maxDepth=2.
+    val chain = Map(
+      s"$base/index.html" ->
+        """<html><body><a href="/quarterly-earnings">Quarterly earnings</a></body></html>""",
+      s"$base/quarterly-earnings" ->
+        """<html><body>
+          |<a href="/docs/q2-2025-earnings.pdf">Q2 2025 Earnings</a>
+          |<a href="/earnings-archive">Quarterly results archive</a>
+          |</body></html>""".stripMargin,
+      s"$base/earnings-archive" ->
+        """<html><body><a href="/docs/q1-2020-earnings.pdf">Q1 2020 Earnings</a></body></html>""")
+    val seeds = Seq(("corp", s"$base/index.html")).toDF("company", "url")
+
+    val faithful = Crawl.crawl(spark, seeds, MapPageFetcher(chain), maxDepth = 2)
+    assert(faithful.select($"source_url").distinct().as[String].collect().toSet ==
+      Set(s"$base/index.html", s"$base/quarterly-earnings"))
+
+    val bfs = Crawl.crawl(spark, seeds, MapPageFetcher(chain), maxDepth = 2,
+      promisingAtAllDepths = true)
+    assert(bfs.select($"source_url").distinct().as[String].collect().toSet ==
+      chain.keySet)
+  }
+
   test("crawlStats matches reference counter semantics") {
     val stats = Crawl.crawlStats(links).head()
     assert(stats.getAs[Long]("urls_visited") == 3)
