@@ -39,6 +39,24 @@ object Discovery {
     if (h == null) "" else h.stripPrefix("www.")
   }
 
+  /** Hosts with any of these substrings are investor-ish, exempt from
+    * the same-domain redirect rule (reference find_IR_pgs_v1.py:94).
+    */
+  val investorMarkers: Seq[String] = Seq("investor", "ir", "pginvestor")
+
+  /** P15 full redirect-domain rule (reference find_IR_pgs_v1.py:89-95):
+    * a post-redirect host is acceptable iff it contains the company's
+    * own host OR an investor-ish marker. Substring containment on both
+    * sides, exactly like the reference — quirks (e.g. 'ir' matching
+    * anywhere in the host) included. An empty own-host skips the check,
+    * mirroring the reference's `if company_name:` guard.
+    */
+  def redirectHostOk(finalHost: String, ownHost: String): Boolean = {
+    val fh = Option(finalHost).getOrElse("").toLowerCase
+    val oh = Option(ownHost).getOrElse("").toLowerCase
+    oh.isEmpty || fh.contains(oh) || investorMarkers.exists(fh.contains)
+  }
+
   final case class Probe(ticker: String, company: String, website: String,
                          candidate: String, priority: Int)
   final case class Scored(ticker: String, company: String, website: String,
@@ -66,19 +84,31 @@ object Discovery {
         subs ++ pths
     }
 
-    // fetch + score: one fetcher per partition; cheap guards first
+    // fetch + score: one fetcher per partition; cheap guards first.
+    // A redirect-aware fetcher reports the final URL, which the
+    // reference re-checks against both the skip patterns (:80) and the
+    // P15 redirect-domain rule (:89-95).
     val scored = candidates
       .mapPartitions { it =>
         it.flatMap { p =>
           if (skipPatterns.exists(p.candidate.toLowerCase.contains)) None
-          else fetcher.fetch(p.candidate).map(html =>
-            (p.ticker, p.company, p.website, p.candidate, p.priority, html))
+          else {
+            val fetched = fetcher match {
+              case rf: graft.services.RedirectingPageFetcher =>
+                rf.fetchFinal(p.candidate)
+              case f => f.fetch(p.candidate).map(html => (p.candidate, html))
+            }
+            fetched
+              .filterNot { case (finalUrl, _) =>
+                skipPatterns.exists(finalUrl.toLowerCase.contains) }
+              .filter { case (finalUrl, _) =>
+                redirectHostOk(hostOf(finalUrl), hostOf(p.website)) }
+              .map { case (finalUrl, html) =>
+                (p.ticker, p.company, p.website, finalUrl, p.priority, html) }
+          }
         }
       }
       .toDF("ticker", "company", "website", "ir_url", "priority", "html")
-      // P15 redirect-domain analog: candidate host must relate to the
-      // company's own host (fixture fetcher returns no redirects, so
-      // this is a host-containment check)
       .filter(LinkFuncs.irIndicatorScore(
         graft.html.HtmlFuncs.clean_html(col("html")),
         regexp_extract(col("html"), "<title>([^<]*)</title>", 1)) >= minScore)

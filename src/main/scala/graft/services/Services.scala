@@ -51,6 +51,22 @@ final case class MapPageFetcher(pages: Map[String, String]) extends PageFetcher 
   override def fetch(url: String): Option[String] = pages.get(url)
 }
 
+/** Fetcher that also reports the final URL after redirects, so callers
+  * can apply the redirect-domain rule (SURVEY P15). A production impl
+  * wraps an HTTP client with allow_redirects and returns response.url.
+  */
+trait RedirectingPageFetcher extends PageFetcher {
+  /** (finalUrl, html) after following redirects, or None on failure. */
+  def fetchFinal(url: String): Option[(String, String)]
+  override def fetch(url: String): Option[String] = fetchFinal(url).map(_._2)
+}
+
+/** Fixture-backed redirecting fetcher: URL → (finalUrl, HTML). */
+final case class MapRedirectFetcher(pages: Map[String, (String, String)])
+    extends RedirectingPageFetcher {
+  override def fetchFinal(url: String): Option[(String, String)] = pages.get(url)
+}
+
 /** Fetcher serving `file:` URLs from local disk (integration tests). */
 final class LocalFilePageFetcher extends PageFetcher {
   override def fetch(url: String): Option[String] = {

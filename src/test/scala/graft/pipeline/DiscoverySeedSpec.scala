@@ -39,6 +39,48 @@ class DiscoverySeedSpec extends SparkTestBase {
     assert(got("GAMA") == (("", "Not Found")))
   }
 
+  test("P15: off-domain redirect accepted only via investor-ish host") {
+    import graft.services.MapRedirectFetcher
+    val fetcher = MapRedirectFetcher(Map(
+      // acme's probe redirects off-domain to a third-party investor
+      // portal → investor marker exempts it (find_IR_pgs_v1.py:94)
+      "https://investors.acme.com" ->
+        (("https://investor.thirdpartyhub.com/acme", irHtml)),
+      // beta's probe redirects to an unrelated host with no marker
+      // ('example-media.com' contains neither 'beta.com' nor any of
+      // investor/ir/pginvestor) → rejected
+      "https://investors.beta.com" ->
+        (("https://cdn.example-media.com/landing", irHtml)),
+      // gamma's probe redirects to a login page → skip-pattern on the
+      // FINAL url rejects it (find_IR_pgs_v1.py:80)
+      "https://investors.gamma.com" ->
+        (("https://investors.gamma.com/login", irHtml))))
+    val companies = Seq(
+      ("ACME", "Acme Corp", "https://www.acme.com"),
+      ("BETA", "Beta Inc", "https://beta.com"),
+      ("GAMA", "Gamma Plc", "https://gamma.com"))
+      .toDF("ticker", "company", "website")
+    val got = Discovery.discover(spark, companies, fetcher)
+      .select($"ticker", $"ir_url", $"status")
+      .as[(String, String, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got("ACME") ==
+      (("https://investor.thirdpartyhub.com/acme", "Found")))
+    assert(got("BETA") == (("", "Not Found")))
+    assert(got("GAMA") == (("", "Not Found")))
+  }
+
+  test("P15 rule itself: containment + marker semantics match the reference") {
+    assert(Discovery.redirectHostOk("investors.acme.com", "acme.com"))
+    assert(Discovery.redirectHostOk("investor.other.com", "acme.com"))
+    assert(Discovery.redirectHostOk("pginvestor.example.com", "acme.com"))
+    assert(!Discovery.redirectHostOk("cdn.example-media.com", "acme.com"))
+    // reference quirk: 'ir' matches anywhere in the host
+    assert(Discovery.redirectHostOk("thirdparty.com", "acme.com"))
+    // empty own host skips the check (reference `if company_name:`)
+    assert(Discovery.redirectHostOk("anything.com", ""))
+  }
+
   val wikitable =
     """<table class="wikitable">
       |<tr><th>Company</th><th>Symbol</th><th>Industry</th></tr>
