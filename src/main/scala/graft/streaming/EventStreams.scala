@@ -62,31 +62,56 @@ object EventStreams {
 
   /** Session windows via `flatMapGroupsWithState` (SURVEY §2.9 custom
     * state): a session closes after `gapMillis` of user inactivity.
+    *
+    * Streaming: the open session is persisted via `state.update` and
+    * closed by an event-time timeout once the watermark passes
+    * `last + gapMillis` — sessions spanning micro-batches merge instead
+    * of splitting. Batch: the function runs once per group, timeouts
+    * never fire, so the trailing session is emitted directly.
     */
   def sessionize(events: Dataset[Event], gapMillis: Long): Dataset[Session] = {
     import events.sparkSession.implicits._
-    events
+    val streaming = events.isStreaming
+    val src =
+      if (streaming) events.withWatermark("ts", s"$gapMillis milliseconds")
+      else events
+    src
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append,
+        if (streaming) GroupStateTimeout.EventTimeTimeout
+        else GroupStateTimeout.NoTimeout) {
         (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          // batch-mode friendly: process this group's events in ts order
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
-          var st = state.getOption.orNull
-          for (e <- sorted) {
-            val t = e.ts.getTime
-            if (st == null) st = SessionState(t, t, 1, e.value)
-            else if (t - st.last > gapMillis) {
-              out += Session(userId, st.start, st.last, st.n, st.total)
-              st = SessionState(t, t, 1, e.value)
-            } else st = SessionState(st.start, t, st.n + 1, st.total + e.value)
-          }
-          if (st != null) {
-            out += Session(userId, st.start, st.last, st.n, st.total)
+          if (state.hasTimedOut) {
+            // watermark passed last+gap with no new events: close it
+            val st = state.get
             state.remove()
+            Iterator.single(Session(userId, st.start, st.last, st.n, st.total))
+          } else {
+            // merge this invocation's events in ts order onto any open
+            // session carried over from previous micro-batches
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+            var st = state.getOption.orNull
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              if (st == null) st = SessionState(t, t, 1, e.value)
+              else if (t - st.last > gapMillis) {
+                out += Session(userId, st.start, st.last, st.n, st.total)
+                st = SessionState(t, t, 1, e.value)
+              } else st = SessionState(st.start, t, st.n + 1, st.total + e.value)
+            }
+            if (st != null) {
+              if (streaming) {
+                state.update(st)
+                state.setTimeoutTimestamp(st.last + gapMillis)
+              } else {
+                out += Session(userId, st.start, st.last, st.n, st.total)
+                state.remove()
+              }
+            }
+            out.iterator
           }
-          out.iterator
       }
   }
 }

@@ -76,6 +76,44 @@ class EventStreamsSpec extends SparkTestBase {
     assert(users == Seq(1L, 2L))
   }
 
+  test("sessionize merges sessions across micro-batches and closes on timeout") {
+    import EventStreams.{Event, Session}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.sessionize(mem.toDS(), gapMillis = 30 * 60 * 1000)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    def e(id: Long, ts: String, u: Long) =
+      Event(id, java.sql.Timestamp.valueOf(ts), u, "click", 1.0)
+    def ms(s: String) = java.sql.Timestamp.valueOf(s).getTime
+
+    // batch 1: open a session for user 1
+    mem.addData(e(1, "2024-01-01 10:00:00", 1))
+    q.processAllAvailable()
+    assert(spark.table("sess_out").count() == 0) // still open, NOT emitted
+
+    // batch 2: within the gap → must MERGE into the open session, not split
+    mem.addData(e(2, "2024-01-01 10:05:00", 1))
+    q.processAllAvailable()
+    assert(spark.table("sess_out").count() == 0)
+
+    // batch 3: watermark jumps past 10:05+30min → session closes via timeout
+    mem.addData(e(3, "2024-01-01 12:00:00", 2))
+    q.processAllAvailable()
+    val first = spark.table("sess_out").as[Session].collect().toSet
+    assert(first == Set(
+      Session(1, ms("2024-01-01 10:00:00"), ms("2024-01-01 10:05:00"), 2, 2.0)))
+
+    // batch 4: advance watermark far enough to flush user 2's session
+    mem.addData(e(4, "2024-01-01 14:00:00", 3))
+    q.processAllAvailable()
+    val second = spark.table("sess_out").as[Session].collect().toSet
+    q.stop()
+    assert(second == Set(
+      Session(1, ms("2024-01-01 10:00:00"), ms("2024-01-01 10:05:00"), 2, 2.0),
+      Session(2, ms("2024-01-01 12:00:00"), ms("2024-01-01 12:00:00"), 1, 1.0)))
+  }
+
   test("sessionize splits on inactivity gaps") {
     import EventStreams.{Event, Session}
     def e(id: Long, ts: String, u: Long) =
