@@ -617,18 +617,28 @@ object SparkEntry {
         .orderBy($"event_id")
     }),
 
-    // S3/S4 + U5→A2→W4 replay over the reference's committed fixture
-    // (rows-only check: the line-format file is not a DuckDB table).
+    // S3/S4 + U5→A2→W4 replay over the reference's committed fixture.
+    // The parsed docs table (post U5 extraction, pre selection) is
+    // materialized to spark-warehouse so the DuckDB oracle can rerun
+    // the P6+A2+W4 selection independently — the regex extraction
+    // itself is pinned by golden-replay specs (RE2 lacks the
+    // lookarounds the joint-pair rules need, so it can't be mirrored
+    // in DuckDB SQL directly).
     "q40_links_replay" -> ((s, d) => {
       val path = "/root/reference/ir_links/financial_links_3M.txt"
       if (java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
         val links = graft.io.LineFormats.readLinks(s, path)
+        graft.pipeline.Extract.docsWithYearQuarter(links, maxYear = 2025)
+          .coalesce(1).write.mode("overwrite")
+          .parquet("/root/repo/spark-warehouse/links3m_yq")
         graft.pipeline.Extract.latestQuarterReports(links, maxYear = 2025)
           .orderBy(col("url"))
       } else {
         t(s, d, "documents").limit(0)
           .select(lit("").as("title"), lit("").as("category"),
-            lit("").as("url"), lit(0).as("year"), lit(0).as("quarter"))
+            lit("").as("url"), lit("").as("source_url"),
+            lit("").as("file_extension"), lit(0).as("year"),
+            lit(0).as("quarter"))
       }
     })
   )
@@ -888,6 +898,27 @@ object SparkEntry {
                 sum(value) AS total_value
          FROM t GROUP BY user_id, session_id
          ORDER BY user_id, session_id""",
+    "q40_links_replay" ->
+      """WITH docs AS (
+           SELECT * FROM read_parquet('/root/repo/spark-warehouse/links3m_yq/*.parquet')
+           WHERE NOT (file_extension = 'pdf' AND year IS NOT NULL AND year < 2023)),
+         latest AS (
+           SELECT max(year) AS latest_year FROM docs WHERE year IS NOT NULL),
+         lq AS (
+           SELECT CASE WHEN max(coalesce(quarter, -1)) IS NULL
+                         OR max(coalesce(quarter, -1)) = -1 THEN 4
+                       ELSE max(coalesce(quarter, -1)) END AS latest_quarter
+           FROM docs, latest WHERE docs.year = latest.latest_year)
+         SELECT CASE WHEN length(trim(text)) > 0 THEN trim(text)
+                     ELSE title END AS title,
+                document_type AS category, url, source_url, file_extension,
+                coalesce(year, latest_year, 2025) AS year,
+                coalesce(quarter, latest_quarter, 4) AS quarter
+         FROM docs, latest, lq
+         WHERE latest_year IS NULL OR year IS NULL
+            OR (year = latest_year AND (quarter IS NULL OR quarter >= latest_quarter))
+            OR year > latest_year
+         ORDER BY url""",
     "q41_asof_join" ->
       """WITH s AS (SELECT user_id, ts AS sts, event_id AS signup_event
                     FROM events WHERE event_type = 'signup'),

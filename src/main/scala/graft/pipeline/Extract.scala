@@ -21,6 +21,22 @@ import graft.expr.LinkFuncs
   */
 object Extract {
 
+  /** Document rows with parsed (year, quarter) — the U5 extraction
+    * stage of `latestQuarterReports`, exposed so callers (e.g. the q40
+    * oracle materialization) can checkpoint the pre-selection table.
+    */
+  def docsWithYearQuarter(links: DataFrame, maxYear: Int): DataFrame = {
+    val hasCompany = links.columns.contains("company")
+    links
+      .filter(col("link_type") === "document")
+      .dropDuplicates((if (hasCompany) Seq("company") else Nil) :+ "url")
+      .withColumn("yq", LinkFuncs.extractYearQuarter(
+        concat_ws(" ", col("text"), col("title"), col("url")), maxYear))
+      .withColumn("year", col("yq.year"))
+      .withColumn("quarter", col("yq.quarter"))
+      .drop("yq")
+  }
+
   /** @param links DocumentLink rows, optionally with a `company` column
     *              (per-company latest computed when present).
     */
@@ -29,14 +45,7 @@ object Extract {
     val hasCompany = links.columns.contains("company")
     val keyCols = if (hasCompany) Seq(col("company")) else Seq(lit(1).as("g"))
 
-    val docs = links
-      .filter(col("link_type") === "document")
-      .dropDuplicates((if (hasCompany) Seq("company") else Nil) :+ "url")
-      .withColumn("yq", LinkFuncs.extractYearQuarter(
-        concat_ws(" ", col("text"), col("title"), col("url")), maxYear))
-      .withColumn("year", col("yq.year"))
-      .withColumn("quarter", col("yq.quarter"))
-      .drop("yq")
+    val docs = docsWithYearQuarter(links, maxYear)
       // P6: old-PDF filter — known-old PDFs never qualify
       .filter(!(col("file_extension") === "pdf" &&
         col("year").isNotNull && col("year") < minYear))
