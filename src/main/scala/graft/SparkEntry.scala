@@ -14,9 +14,21 @@ object SparkEntry {
   private def t(s: SparkSession, d: String, name: String): DataFrame =
     Tables.table(s, d, name)
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+  /** Flagship: the engine's distinctive path — parse the reference's
+    * committed link fixture (S3 line-format scan) and run the
+    * latest-quarter report selection (U5→A2→W4), the core semantics of
+    * the whole pipeline. Driver smoke-checks rows>0 (35 reports).
+    * Falls back to q01 when the fixture isn't present.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val path = "/root/reference/ir_links/financial_links_3M.txt"
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
+      val links = graft.io.LineFormats.readLinks(spark, path)
+      graft.pipeline.Extract.latestQuarterReports(links, maxYear = 2025)
+        .orderBy(col("url"))
+    } else
+      queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
