@@ -105,6 +105,28 @@ object VectorFuncs {
       .select(col(queryId), col(corpusId), col("sim"), col("rk"))
   }
 
+  /** Exact brute-force top-k with the scale-safe plan shape: a
+    * bounded-heap partial aggregation ([[TopK]]) replaces the rank
+    * window, so each partition pre-reduces to ≤k candidates per query
+    * before the shuffle (map-side combine) instead of funnelling every
+    * scored row through |queries| window reducers. Identical results
+    * to [[bruteForceTopK]] — same ordering, same tie-break — different
+    * physical plan.
+    */
+  def bruteForceTopKAgg(corpus: DataFrame, queries: DataFrame, k: Int,
+                        corpusId: String = "vec_id", corpusVec: String = "embedding",
+                        queryId: String = "query_id", queryVec: String = "query_vec")
+      : DataFrame = {
+    val scored = corpus.join(broadcast(queries))
+      .withColumn("sim", cosine(col(corpusVec), col(queryVec)))
+    scored
+      .groupBy(col(queryId))
+      .agg(TopK.topK(col(corpusId), col("sim"), k).as("topk"))
+      .select(col(queryId), posexplode(col("topk")).as(Seq("pos", "t")))
+      .select(col(queryId), col("t._1").as(corpusId),
+        col("t._2").as("sim"), (col("pos") + 1).cast("int").as("rk"))
+  }
+
   /** Random-hyperplane LSH bucket id — see [[RhpBucket]]. */
   def rhpBucket(vec: Column, planes: Int, seed: Long = 42L): Column =
     ColumnBridge.column(RhpBucket(ColumnBridge.expression(vec), planes, seed))

@@ -36,6 +36,35 @@ class VectorFuncsSpec extends SparkTestBase {
       math.abs(r.getDouble(2) - 1.0) < 1e-9))
   }
 
+  test("bounded-heap top-k aggregate matches the window formulation exactly") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val q = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val viaWindow = VectorFuncs.bruteForceTopK(emb, q, k = 10)
+      .select($"query_id", $"vec_id", $"rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val viaAgg = VectorFuncs.bruteForceTopKAgg(emb, q, k = 10)
+      .select($"query_id", $"vec_id", $"rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaAgg == viaWindow)
+    // the scale property: partial (map-side) aggregation before the
+    // exchange — ObjectHashAggregate appears twice (partial + final)
+    val plan = VectorFuncs.bruteForceTopKAgg(emb, q, k = 10)
+      .queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan.take(2000))
+  }
+
+  test("TopKAgg reduce/merge keep k best with window tie-break order") {
+    val agg = new TopK.TopKAgg(3)
+    val buf = Seq((5L, 0.5), (1L, 0.9), (2L, 0.9), (9L, 0.1), (7L, 0.5))
+      .foldLeft(agg.zero)(agg.reduce)
+    // sim desc, id asc on ties; k=3 keeps (1,.9),(2,.9),(5,.5)
+    assert(buf == Seq((1L, 0.9), (2L, 0.9), (5L, 0.5)))
+    val other = Seq((3L, 0.95), (8L, 0.5)).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.merge(buf, other) == Seq((3L, 0.95), (1L, 0.9), (2L, 0.9)))
+    assert(agg.merge(agg.zero, buf) == buf)
+  }
+
   test("LSH top-k recall against brute force") {
     val emb = Tables.embeddings(spark, sf0001)
     val q = emb.filter($"vec_id" < 10)
