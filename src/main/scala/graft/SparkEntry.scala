@@ -417,6 +417,41 @@ object SparkEntry {
         .orderBy($"query_id", $"rk")
     }),
 
+    // Deterministic content-hash train/val/test assignment — no RNG,
+    // stable under reruns/appends/parallelism; per-split stats.
+    "q50_hash_split" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .withColumn("split", graft.llmops.Splits.assignSplit($"text"))
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length($"text")).as("sum_chars"))
+        .orderBy($"split")
+    }),
+
+    // TF-IDF top terms: explode → tf groupBy → corpus df → idf join —
+    // the classic text-analysis shuffle pipeline (words aggregate
+    // map-side; the vocabulary-sized df table joins back by word).
+    "q51_tfidf" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val words = docs
+        .select($"doc_id", explode(split(lower(trim($"text")), "\\s+")).as("word"))
+        .filter(length($"word") > 0)
+      val tf = words.groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+      val dfreq = words.groupBy($"word").agg(countDistinct($"doc_id").as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"word")
+      tf.filter($"doc_id" < 10)
+        .join(dfreq, "word")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("tfidf", $"tf" * log($"n_docs".cast("double") / $"df"))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 3)
+        .select($"doc_id", $"word", $"tfidf", $"rk")
+        .orderBy($"doc_id", $"rk")
+    }),
+
     // Rollup: hierarchical subtotals (free via Catalyst, declared for
     // the inventory's grouping-sets surface).
     "q31_rollup" -> ((s, d) => {
@@ -916,6 +951,31 @@ object SparkEntry {
            FROM embeddings c, embeddings q
            WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
          WHERE rk <= 5 ORDER BY query_id, rk""",
+    "q50_hash_split" ->
+      """SELECT CASE WHEN substring(md5(text), 1, 2) < 'cd' THEN 'train'
+                     WHEN substring(md5(text), 1, 2) < 'e6' THEN 'val'
+                     ELSE 'test' END AS split,
+                count(*) AS n_docs,
+                sum(length(text))::BIGINT AS sum_chars
+         FROM documents GROUP BY 1 ORDER BY split""",
+    "q51_tfidf" ->
+      """WITH w AS (
+           SELECT doc_id,
+                  unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+           FROM documents),
+         w2 AS (SELECT doc_id, word FROM w WHERE length(word) > 0),
+         tf AS (SELECT doc_id, word, count(*) AS tf FROM w2 GROUP BY 1, 2),
+         df AS (SELECT word, count(DISTINCT doc_id) AS df FROM w2 GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents)
+         SELECT doc_id, word, tfidf, rk FROM (
+           SELECT tf.doc_id, tf.word,
+                  tf.tf * ln(n.n_docs::double / df.df) AS tfidf,
+                  row_number() OVER (PARTITION BY tf.doc_id
+                    ORDER BY tf.tf * ln(n.n_docs::double / df.df) DESC, tf.word)
+                    AS rk
+           FROM tf JOIN df USING (word), n
+           WHERE tf.doc_id < 10)
+         WHERE rk <= 3 ORDER BY doc_id, rk""",
     "q28_url_host" ->
       """SELECT lower(regexp_extract(url, '://([^/]+)', 1)) AS host, count(*) AS n
          FROM (SELECT 'https://' || source || '.example.com/docs/' || doc_id || '.pdf' AS url

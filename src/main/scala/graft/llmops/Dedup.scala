@@ -129,6 +129,48 @@ object Dedup {
       .agg(min(col("hamming")).as("hamming"))
   }
 
+  /** Cross-corpus contamination detection: near-duplicate pairs
+    * between a training corpus and a held-out benchmark set (the
+    * decontamination step of a training-data pipeline). Same
+    * LSH-banded shape as [[minhashPairs]] but two-sided — corpus bands
+    * join benchmark bands on (band, band_hash), so the work is
+    * |corpus|·|benchmark-collisions|, never |corpus|² — and only the
+    * (typically small) benchmark side is exempt from the hot-bucket
+    * cap. Returns (corpus_id, bench_id, sim) with estimated Jaccard
+    * ≥ `threshold`; anti-join the corpus on corpus_id to decontaminate.
+    */
+  def contaminationPairs(corpus: DataFrame, benchmark: DataFrame,
+                         threshold: Double = 0.7,
+                         bands: Int = 16, rowsPerBand: Int = 8,
+                         shingleSize: Int = 5, maxBucket: Int = 200,
+                         idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    val n = bands * rowsPerBand
+    def sketch(df: DataFrame) = df.select(col(idCol).as("id"),
+      Sketches.minhash_signature(col(textCol), shingleSize, n).as("sig"))
+    def band(sigs: DataFrame) = sigs
+      .select(col("id"),
+        explode(Sketches.lshBands(col("sig"), bands, rowsPerBand)).as("b"))
+      .select(col("id"),
+        col("b.band").as("band"), col("b.band_hash").as("band_hash"))
+    val corpusSigs = sketch(corpus)
+    val benchSigs = sketch(benchmark)
+    val candidates = capBuckets(band(corpusSigs), maxBucket)
+      .withColumnRenamed("id", "corpus_id")
+      .join(band(benchSigs).withColumnRenamed("id", "bench_id"),
+        Seq("band", "band_hash"))
+      .select(col("corpus_id"), col("bench_id"))
+      .distinct()
+    candidates
+      .join(corpusSigs.select(col("id").as("corpus_id"), col("sig").as("sig_a")),
+        "corpus_id")
+      .join(benchSigs.select(col("id").as("bench_id"), col("sig").as("sig_b")),
+        "bench_id")
+      .select(col("corpus_id"), col("bench_id"),
+        Sketches.signatureSim(col("sig_a"), col("sig_b")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** Exact word-n-gram Jaccard pairs within LSH candidates: MinHash
     * banding proposes, exact Jaccard disposes. The exact set compare
     * only runs on bucket-mates.

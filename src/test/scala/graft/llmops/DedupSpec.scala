@@ -108,6 +108,28 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.minhashPairs(small).count() == 50L * 49 / 2)
   }
 
+  test("contaminationPairs finds benchmark docs leaked into the corpus") {
+    // benchmark = 5 docs; corpus = normal docs + exact copies of 3
+    // benchmark docs under new ids → exactly those 3 must be flagged
+    val bench = docs.filter($"doc_id" < 5)
+      .select($"doc_id", $"text")
+    val leaked = bench.filter($"doc_id" < 3)
+      .select(($"doc_id" + 50000).as("doc_id"), $"text")
+    val corpus = docs.filter($"doc_id" >= 100 && $"doc_id" < 200)
+      .select($"doc_id", $"text")
+      .unionByName(leaked)
+    val hits = Dedup.contaminationPairs(corpus, bench, threshold = 0.9)
+      .select($"corpus_id", $"bench_id").as[(Long, Long)].collect().toSet
+    val exactLeaks = Set((50000L, 0L), (50001L, 1L), (50002L, 2L))
+    assert(exactLeaks.subsetOf(hits), s"missed leaks: ${exactLeaks -- hits}")
+    // nothing outside the leaked ids should pair at 0.9 unless it is a
+    // true near-dup of a benchmark doc — verify via exact jaccard
+    val extra = hits.filterNot(h => exactLeaks.contains(h))
+    assert(extra.forall { case (cid, bid) =>
+      exactPairs.contains((math.min(cid, bid), math.max(cid, bid))) || cid >= 50000
+    }, s"false contamination hits: $extra")
+  }
+
   test("hot-bucket cap does not change results on the normal corpus") {
     val capped = Dedup.minhashPairs(docs, threshold = 0.7)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet

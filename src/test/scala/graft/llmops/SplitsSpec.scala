@@ -1,0 +1,44 @@
+package graft.llmops
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+
+class SplitsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  lazy val docs = Tables.documents(spark, sf0001)
+
+  test("split assignment is deterministic and content-based") {
+    val a = docs.withColumn("split", Splits.assignSplit($"text"))
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    // same content → same split, regardless of partitioning or order
+    val b = docs.repartition(7).orderBy($"doc_id".desc)
+      .withColumn("split", Splits.assignSplit($"text"))
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(a == b)
+    assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
+  }
+
+  test("realized split fractions approximate the requested ones") {
+    val counts = docs.withColumn("split", Splits.assignSplit($"text", 0.8, 0.1))
+      .groupBy($"split").count()
+      .as[(String, Long)].collect().toMap
+    val n = counts.values.sum.toDouble
+    // 500 docs: allow generous sampling noise around 80/10/10
+    assert(math.abs(counts.getOrElse("train", 0L) / n - 0.8) < 0.08)
+    assert(math.abs(counts.getOrElse("val", 0L) / n - 0.1) < 0.06)
+    assert(math.abs(counts.getOrElse("test", 0L) / n - 0.1) < 0.06)
+  }
+
+  test("appending new documents never reassigns existing ones") {
+    val before = docs.withColumn("split", Splits.assignSplit($"text"))
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val appended = docs.select($"doc_id", $"text").unionByName(
+      docs.select(($"doc_id" + 100000).as("doc_id"),
+        concat($"text", lit(" fresh suffix")).as("text")))
+    val after = appended.withColumn("split", Splits.assignSplit($"text"))
+      .filter($"doc_id" < 100000)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(after == before)
+  }
+}
