@@ -63,4 +63,11 @@ object Seed {
   /** S12: header CSV sink. */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+
+  /** S13: Excel sink for the seed table — the reference's
+    * `df.to_excel('dow30_companies.xlsx')`
+    * (src/scrapers/get30DowTickers.py:243).
+    */
+  def writeExcel(df: DataFrame, path: String): Unit =
+    graft.io.ExcelSink.write(df, path, sheetName = "Dow30")
 }

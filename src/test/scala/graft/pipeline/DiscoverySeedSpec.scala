@@ -109,5 +109,12 @@ class DiscoverySeedSpec extends SparkTestBase {
     val back = spark.read.option("header", "true").csv(out)
     assert(back.count() == 2)
     assert(back.columns.toSet == Set("ticker", "company", "sector", "ir_url"))
+
+    // S13: same table as a workbook (reference get30DowTickers.py:243)
+    val xlsx = Files.createTempDirectory("graft-xlsx").resolve("seed.xlsx").toString
+    Seed.writeExcel(joined, xlsx)
+    val zip = new java.util.zip.ZipFile(xlsx)
+    try assert(zip.getEntry("xl/worksheets/sheet1.xml") != null)
+    finally zip.close()
   }
 }
