@@ -16,12 +16,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
   * cluster structure (the synthetic embeddings are label-clustered,
   * where random hyperplanes are blind to geometry).
   *
-  * Centroids here are a deterministic hash-ordered sample of the
-  * corpus — at production scale they would come from an offline
-  * k-means; the assignment/probe/re-rank dataflow is identical and is
-  * the part that must scale: assignment is a map-side kernel call, the
-  * probe join is an equi-join on `list_id`, and only (query, list)
-  * pairs ever meet.
+  * Centroids come either from a deterministic hash-ordered sample of
+  * the corpus (cheapest) or from [[kmeansCentroids]], a distributed
+  * Lloyd refinement whose per-iteration driver traffic is just
+  * nlist·dim means. Either way the assignment/probe/re-rank dataflow
+  * is identical and is the part that must scale: assignment is a
+  * map-side kernel call, the probe join is an equi-join on `list_id`,
+  * and only (query, list) pairs ever meet.
   */
 object Ivf {
 
@@ -87,13 +88,55 @@ object Ivf {
       .collect()
       .map(_.getSeq[Float](0).toArray)
 
-  /** IVF approximate top-k by cosine. Output: (query_id, vec_id, sim, rk). */
+  /** Distributed Lloyd k-means for the coarse quantizer. Assignment is
+    * the same map-side [[nearest_centroids]] kernel the query path
+    * uses; the update step averages member vectors per (cluster, dim)
+    * with partial aggregation, so only nlist·dim means ever reach the
+    * driver per iteration — the corpus itself never moves. Seeded by
+    * [[sampleCentroids]]; empty clusters keep their previous centroid.
+    */
+  def kmeansCentroids(corpus: DataFrame, nlist: Int, iters: Int = 5,
+                      idCol: String = "vec_id", vecCol: String = "embedding")
+      : Array[Array[Float]] = {
+    var cents = sampleCentroids(corpus, nlist, idCol, vecCol)
+    var it = 0
+    while (it < iters) {
+      val assigned = corpus.withColumn("list_id",
+        element_at(nearest_centroids(col(vecCol), cents, 1), 1))
+      val means = assigned
+        .select(col("list_id"), posexplode(col(vecCol)).as(Seq("dim", "x")))
+        .groupBy(col("list_id"), col("dim"))
+        .agg(avg(col("x")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+      cents = cents.zipWithIndex.map { case (old, ci) =>
+        means.get(ci) match {
+          case Some(rows) =>
+            val arr = old.clone()
+            rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2).toFloat)
+            arr
+          case None => old
+        }
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** IVF approximate top-k by cosine. Output: (query_id, vec_id, sim, rk).
+    * @param kmeansIters 0 = hash-sampled centroids (cheapest); >0 runs
+    *   that many Lloyd refinement passes first (the production-shape
+    *   quantizer — better list balance on clustered corpora).
+    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 4,
+              nlist: Int = 16, nprobe: Int = 4, kmeansIters: Int = 0,
               corpusId: String = "vec_id", corpusVec: String = "embedding",
               queryId: String = "query_id", queryVec: String = "query_vec")
       : DataFrame = {
-    val cents = sampleCentroids(corpus, nlist, corpusId, corpusVec)
+    val cents =
+      if (kmeansIters > 0)
+        kmeansCentroids(corpus, nlist, kmeansIters, corpusId, corpusVec)
+      else sampleCentroids(corpus, nlist, corpusId, corpusVec)
     val assigned = corpus.withColumn("list_id",
       element_at(nearest_centroids(col(corpusVec), cents, 1), 1))
     val probes = queries.withColumn("list_id",

@@ -179,6 +179,38 @@ object MagicBytes {
   }
 }
 
+/** Two-phase download (reference src/download_reports.py:496-513):
+  * a cheap primary attempt; when it fails — or "succeeds" with an HTML
+  * payload where a document was expected (the interstitial/anti-bot
+  * signature, `:509`) — warm up the origin (cookie acquisition, `:496-501`)
+  * and retry through the fallback (the reference's alternate-Accept
+  * profile). Both phases are plain Downloaders, so profiles (headers,
+  * referers) live in the impls, and the decorator stays testable.
+  */
+final class TwoPhaseDownloader(
+    primary: Downloader, fallback: Downloader,
+    warmUp: String => Unit = _ => ()) extends Downloader {
+
+  private def origin(url: String): String =
+    "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*".r.findFirstIn(url).getOrElse(url)
+
+  override def download(url: String, destDir: String, filename: String): FileResult = {
+    val first = primary.download(url, destDir, filename)
+    // HTML where the filename promises a document = likely interstitial
+    val interstitial = first.ok &&
+      !filename.toLowerCase.endsWith(".html") &&
+      first.contentType.startsWith("text/html")
+    if (first.ok && !interstitial) first
+    else {
+      warmUp(origin(url))
+      val second = fallback.download(url, destDir, filename)
+      if (second.ok) second
+      else if (first.ok) first // keep the suspicious payload over nothing
+      else second
+    }
+  }
+}
+
 /** Retry-with-backoff decorator for any Downloader (reference
   * `_session_with_retries`, src/download_reports.py:439-449: total=3,
   * backoff_factor=0.5 → 0.5s, 1s between attempts). The sleeper is

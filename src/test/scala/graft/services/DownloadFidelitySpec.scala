@@ -95,6 +95,60 @@ class DownloadFidelitySpec extends SparkTestBase {
     assert(!res.ok && calls == 3 && res.error == "always down")
   }
 
+  private def fixed(ok: Boolean, ct: String, onCall: () => Unit = () => ()) =
+    new Downloader {
+      override def download(url: String, destDir: String, fn: String): FileResult = {
+        onCall()
+        if (ok) FileResult(url, "/x/" + fn, 1, "cc", ct, ok = true, "")
+        else FileResult(url, "", 0, "", "", ok = false, "403")
+      }
+    }
+
+  test("TwoPhaseDownloader: clean primary success skips warm-up and fallback") {
+    var warmed = List.empty[String]
+    var fallbackCalls = 0
+    val d = new TwoPhaseDownloader(
+      fixed(ok = true, "application/pdf"),
+      fixed(ok = true, "application/pdf", () => fallbackCalls += 1),
+      warmUp = warmed ::= _)
+    assert(d.download("https://h.example.com/a/b.pdf", "/t", "b.pdf").ok)
+    assert(warmed.isEmpty && fallbackCalls == 0)
+  }
+
+  test("TwoPhaseDownloader: failure warms up the origin then retries fallback") {
+    var warmed = List.empty[String]
+    val d = new TwoPhaseDownloader(
+      fixed(ok = false, ""),
+      fixed(ok = true, "application/pdf"),
+      warmUp = warmed ::= _)
+    val res = d.download("https://h.example.com/a/b.pdf", "/t", "b.pdf")
+    assert(res.ok && res.contentType == "application/pdf")
+    assert(warmed == List("https://h.example.com")) // origin only, no path
+  }
+
+  test("TwoPhaseDownloader: HTML payload for a pdf target triggers the fallback") {
+    val d = new TwoPhaseDownloader(
+      fixed(ok = true, "text/html"), // interstitial page, not the document
+      fixed(ok = true, "application/pdf"))
+    val res = d.download("https://h.example.com/q.pdf", "/t", "q.pdf")
+    assert(res.contentType == "application/pdf")
+    // ...but an html target legitimately returns text/html — no retry
+    var fallbackCalls = 0
+    val d2 = new TwoPhaseDownloader(
+      fixed(ok = true, "text/html"),
+      fixed(ok = true, "text/html", () => fallbackCalls += 1))
+    assert(d2.download("https://h.example.com/page.html", "/t", "page.html").ok)
+    assert(fallbackCalls == 0)
+  }
+
+  test("TwoPhaseDownloader: suspicious primary kept when fallback also fails") {
+    val d = new TwoPhaseDownloader(
+      fixed(ok = true, "text/html"),
+      fixed(ok = false, ""))
+    val res = d.download("https://h.example.com/q.pdf", "/t", "q.pdf")
+    assert(res.ok && res.contentType == "text/html")
+  }
+
   test("MagicBytes sniffs pdf/zip/gzip/html and rejects noise") {
     assert(MagicBytes.sniff("%PDF-1.7 blah".getBytes).contains("application/pdf"))
     assert(MagicBytes.sniff(Array[Byte](0x50, 0x4b, 0x03, 0x04, 9, 9))
