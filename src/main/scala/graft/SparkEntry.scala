@@ -452,6 +452,19 @@ object SparkEntry {
         .orderBy($"doc_id", $"rk")
     }),
 
+    // Decontamination: LSH-banded cross-corpus pairs at threshold 1.0
+    // — identical texts agree on every signature band, so the full
+    // sketch→band→join→verify pipeline is checkable against an exact
+    // text-equality oracle (the only hash-checked row for the LSH
+    // candidate-generation family; q24-q27 are rows-only).
+    "q52_contamination" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").select($"doc_id", $"text")
+      val bench = corpus.filter($"doc_id" % 100 === 0)
+      graft.llmops.Dedup.contaminationPairs(corpus, bench, threshold = 1.0)
+        .orderBy($"corpus_id", $"bench_id")
+    }),
+
     // Rollup: hierarchical subtotals (free via Catalyst, declared for
     // the inventory's grouping-sets surface).
     "q31_rollup" -> ((s, d) => {
@@ -951,6 +964,11 @@ object SparkEntry {
            FROM embeddings c, embeddings q
            WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
          WHERE rk <= 5 ORDER BY query_id, rk""",
+    "q52_contamination" ->
+      """SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id, 1.0 AS sim
+         FROM documents c JOIN documents b ON c.text = b.text
+         WHERE b.doc_id % 100 = 0
+         ORDER BY corpus_id, bench_id""",
     "q50_hash_split" ->
       """SELECT CASE WHEN substring(md5(text), 1, 2) < 'cd' THEN 'train'
                      WHEN substring(md5(text), 1, 2) < 'e6' THEN 'val'
