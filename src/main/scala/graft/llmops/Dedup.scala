@@ -101,18 +101,34 @@ object Dedup {
     docs.join(dupIds, Seq(idCol), "left_anti")
   }
 
-  /** SimHash near-duplicate pairs: banded candidate generation (4×16-bit
-    * bands ⇒ every pair within Hamming distance 3 shares a band), then
+  /** SimHash near-duplicate pairs: banded candidate generation, then
     * exact Hamming verification.
+    *
+    * Default (64-bit fp, 4×16-bit bands): every pair within Hamming
+    * distance 3 shares a band — but only 65k distinct buckets exist,
+    * so on a large corpus every bucket saturates the cap.
+    * `wideBands = true` switches to the corpus-scale configuration:
+    * a 128-bit fingerprint with 4×32-bit bands (2^32 bucket keys, same
+    * ≤3-of-128 pigeonhole guarantee); `maxHamming` then applies to the
+    * 128-bit distance, so roughly double the 64-bit threshold for
+    * comparable selectivity.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3, maxBucket: Int = 200,
+                   wideBands: Boolean = false,
                    idCol: String = "doc_id", textCol: String = "text")
       : DataFrame = {
-    val fps = docs.select(col(idCol).as("id"),
-      Sketches.simhash64(col(textCol)).as("fp"))
+    val (fpCol, bandsOf, hammingOf) =
+      if (wideBands)
+        (Sketches.simhash128(col(textCol)),
+          Sketches.simhash128Bands _,
+          Sketches.hamming128 _)
+      else
+        (Sketches.simhash64(col(textCol)),
+          Sketches.simhashBands _,
+          Sketches.hamming64 _)
+    val fps = docs.select(col(idCol).as("id"), fpCol.as("fp"))
     val banded = capBuckets(fps
-      .select(col("id"), col("fp"),
-        explode(Sketches.simhashBands(col("fp"))).as("b"))
+      .select(col("id"), col("fp"), explode(bandsOf(col("fp"))).as("b"))
       .select(col("id"), col("fp"),
         col("b.band").as("band"), col("b.band_hash").as("band_hash")),
       maxBucket)
@@ -123,7 +139,7 @@ object Dedup {
     a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        Sketches.hamming64(col("fp_a"), col("fp_b")).as("hamming"))
+        hammingOf(col("fp_a"), col("fp_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .groupBy(col("id_a"), col("id_b"))
       .agg(min(col("hamming")).as("hamming"))

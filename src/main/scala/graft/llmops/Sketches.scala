@@ -78,7 +78,19 @@ object SketchKernels {
   /** 64-bit SimHash over whitespace tokens: per-token 64-bit hash votes
     * on each bit; the sign of the vote sum forms the fingerprint.
     */
-  def simhash64(text: String): Long = {
+  def simhash64(text: String): Long = simhash64Seeded(text, 0L)
+
+  /** 128-bit SimHash as two independently-seeded 64-bit halves — the
+    * corpus-scale fingerprint: 32-bit bands over 128 bits give 2^32
+    * buckets where 16-bit bands over 64 bits max out at 65k (every
+    * bucket hot on a large corpus).
+    */
+  def simhash128(text: String): GenericArrayData =
+    new GenericArrayData(Array(
+      simhash64Seeded(text, 0L),
+      simhash64Seeded(text, 0x9e3779b97f4a7c15L)))
+
+  def simhash64Seeded(text: String, seed: Long): Long = {
     if (text == null) return 0L
     val counts = new Array[Int](64)
     var start = 0
@@ -88,7 +100,7 @@ object SketchKernels {
     while (i <= len) {
       if (i == len || Character.isWhitespace(t.charAt(i))) {
         if (i > start) {
-          var h = 1125899906842597L
+          var h = 1125899906842597L ^ seed
           var j = start
           while (j < i) { h = 31 * h + t.charAt(j); j += 1 }
           h = mix64(h)
@@ -157,6 +169,21 @@ case class SimHash(child: Expression)
     copy(child = c)
 }
 
+/** `simhash128(text)` → array<bigint>[2] fingerprint (codegen'd). */
+case class SimHash128(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "simhash128"
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.simhash128(input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.llmops.SketchKernels.simhash128($c.toString());")
+  override protected def withNewChildInternal(c: Expression): SimHash128 =
+    copy(child = c)
+}
+
 object Sketches {
   /** Column wrapper: MinHash signature of a text column. */
   def minhash_signature(text: Column, shingleSize: Int = 5, numHashes: Int = 128): Column =
@@ -197,4 +224,24 @@ object Sketches {
     array((0 until 4).map(b => struct(
       lit(b).as("band"),
       shiftright(fp, b * 16).bitwiseAND(lit(0xffffL)).as("band_hash"))): _*)
+
+  /** Column wrapper: 128-bit SimHash (two seeded 64-bit halves). */
+  def simhash128(text: Column): Column =
+    ColumnBridge.column(SimHash128(ColumnBridge.expression(text)))
+
+  /** 32-bit bands (4 per 128-bit fingerprint): docs within Hamming
+    * distance 3 of each other's 128-bit fingerprints share ≥1 band
+    * (pigeonhole), and 2^32 bucket keys stay sparse at corpus scale
+    * where the 16-bit variant saturates.
+    */
+  def simhash128Bands(fp: Column): Column =
+    array((0 until 4).map(b => struct(
+      lit(b).as("band"),
+      shiftright(element_at(fp, b / 2 + 1), (b % 2) * 32)
+        .bitwiseAND(lit(0xffffffffL)).as("band_hash"))): _*)
+
+  /** Hamming distance between two 128-bit (two-half) fingerprints. */
+  def hamming128(a: Column, b: Column): Column =
+    hamming64(element_at(a, 1), element_at(b, 1)) +
+      hamming64(element_at(a, 2), element_at(b, 2))
 }

@@ -70,6 +70,28 @@ class DedupSpec extends SparkTestBase {
     assert(hit >= exactPairs.size / 2, s"simhash found $hit of ${exactPairs.size}")
   }
 
+  test("wide-band simhash (128-bit fp, 32-bit bands) matches 64-bit recall") {
+    val got = Dedup.simhashPairs(docs, maxHamming = 20, wideBands = true)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val hit = exactPairs.count(got.contains)
+    assert(hit >= exactPairs.size / 2, s"wide simhash found $hit of ${exactPairs.size}")
+    // identical texts have identical fingerprints → hamming 0
+    val dup = docs.select($"doc_id", $"text").limit(1)
+      .unionByName(docs.select(($"doc_id" + 7000).as("doc_id"), $"text").limit(1))
+    val pair = Dedup.simhashPairs(dup, maxHamming = 0, wideBands = true).collect()
+    assert(pair.length == 1 && pair.head.getAs[Int]("hamming") == 0)
+  }
+
+  test("wide bands use the full 32-bit key space (not 65k buckets)") {
+    val hashes = docs.limit(200)
+      .select(explode(Sketches.simhash128Bands(
+        Sketches.simhash128($"text"))).as("b"))
+      .select($"b.band_hash").as[Long].collect()
+    assert(hashes.forall(h => h >= 0 && h <= 0xffffffffL))
+    assert(hashes.exists(_ > 0xffffL),
+      "800 32-bit band hashes should not all fit in 16 bits")
+  }
+
   test("ngramJaccardPairs verifies candidates with exact jaccard") {
     val got = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.8)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
