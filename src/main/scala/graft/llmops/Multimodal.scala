@@ -70,6 +70,69 @@ object Multimodal {
     }
   }
 
+  /** Payload→payload transform abstraction (resize, transcode) — one
+    * instance per partition, same batch plumbing as [[Decoder]].
+    */
+  trait Transformer extends Serializable {
+    def apply(a: Asset): Asset
+  }
+
+  /** STUB image resize: a real impl decodes, scales, re-encodes via a
+    * codec library. The deterministic fake preserves the contract —
+    * width/height metadata updated, payload replaced by a smaller
+    * deterministic function of the original, non-images untouched.
+    */
+  final class StubResize(w: Int, h: Int) extends Transformer {
+    override def apply(a: Asset): Asset =
+      if (a.media_type != "image" || a.content == null) a
+      else {
+        val target = math.max(1, math.min(a.content.length, w * h / 16))
+        val step = math.max(1, a.content.length / target)
+        val out = Array.tabulate(math.min(target, a.content.length)) { i =>
+          a.content(math.min(i * step, a.content.length - 1))
+        }
+        a.copy(content = out, width = Some(w), height = Some(h))
+      }
+  }
+
+  /** Distributed payload transform: binary in, binary out, never via
+    * the driver.
+    */
+  def transformAssets(spark: SparkSession, assets: Dataset[Asset],
+                      mkTransformer: () => Transformer): Dataset[Asset] = {
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      val t = mkTransformer()
+      it.map(t.apply)
+    }
+  }
+
+  /** One sampled frame of a time-based asset. */
+  final case class Frame(asset_id: Long, frame_index: Int, ts_ms: Long,
+                         content: Array[Byte])
+
+  /** STUB frame sampling: `n` evenly-spaced frames per video/audio
+    * asset (images are skipped). A real impl seeks the container
+    * format; the fake slices the payload deterministically — the
+    * row-explosion shape (1 asset → n frame rows, payload split, never
+    * collected) is the part that must scale and is real.
+    */
+  def sampleFrames(spark: SparkSession, assets: Dataset[Asset], n: Int)
+      : Dataset[Frame] = {
+    import spark.implicits._
+    assets.filter(a => a.media_type != "image" && a.content != null)
+      .flatMap { a =>
+        val dur = a.duration_ms.getOrElse(0L)
+        val len = a.content.length
+        (0 until n).map { i =>
+          val from = (len.toLong * i / n).toInt
+          val until = (len.toLong * (i + 1) / n).toInt
+          Frame(a.asset_id, i, dur * i / math.max(n, 1),
+            java.util.Arrays.copyOfRange(a.content, from, math.max(from, until)))
+        }
+      }
+  }
+
   /** Synthetic asset table derived from the documents corpus (the
     * testdata has no binary tables): deterministic pseudo-payloads so
     * the multimodal path is exercised end-to-end at any SF.

@@ -52,4 +52,24 @@ class PlanShapeSpec extends SparkTestBase {
     val agg = plan("q49_cosine_topk_agg")
     assert("ObjectHashAggregate".r.findAllIn(agg).size >= 2)
   }
+
+  test("q41: as-of join is union+window — no join operator at all") {
+    val p = plan("q41_asof_join")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin")
+      && !p.contains("NestedLoop"), p.take(1500))
+    assert(p.contains("Window") && p.contains("Union"))
+  }
+
+  test("q46: range join is bucketed equi-join, never a cartesian product") {
+    val p = plan("q46_range_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+  }
+
+  test("q37: sessionize windows and aggregation share one hash exchange") {
+    // lag + running sum + groupBy all partition by user_id — Catalyst
+    // must plan exactly one hashpartitioning exchange for all three
+    val p = plan("q37_sessionize")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(2500))
+  }
 }

@@ -19,6 +19,40 @@ class MultimodalSpec extends SparkTestBase {
     assert(again.feature.toSeq == r.feature.toSeq)
   }
 
+  test("resize transform updates image metadata, leaves other media alone") {
+    val docs = Tables.documents(spark, sf0001).limit(60)
+    val assets = Multimodal.syntheticAssets(spark, docs)
+    val resized = Multimodal.transformAssets(spark, assets,
+      () => new Multimodal.StubResize(16, 16)).cache()
+    assert(resized.count() == assets.count())
+    val images = resized.filter($"media_type" === "image").collect()
+    assert(images.nonEmpty)
+    assert(images.forall(a => a.width.contains(16) && a.height.contains(16)))
+    // deterministic + payload shrinks (or stays) under downsampling
+    val origSizes = assets.filter($"media_type" === "image")
+      .collect().map(a => a.asset_id -> a.content.length).toMap
+    assert(images.forall(a => a.content.length <= origSizes(a.asset_id)))
+    val av = resized.filter($"media_type" =!= "image").collect()
+    val origAv = assets.filter($"media_type" =!= "image").collect()
+      .map(a => a.asset_id -> a.content.toSeq).toMap
+    assert(av.forall(a => a.content.toSeq == origAv(a.asset_id)))
+  }
+
+  test("frame sampling explodes av assets into n evenly-spaced frames") {
+    val docs = Tables.documents(spark, sf0001).limit(30)
+    val assets = Multimodal.syntheticAssets(spark, docs)
+    val nAv = assets.filter($"media_type" =!= "image").count()
+    val frames = Multimodal.sampleFrames(spark, assets, n = 4).cache()
+    assert(frames.count() == nAv * 4)
+    // frames partition the payload: concatenation reconstructs it
+    val one = assets.filter($"media_type" =!= "image").head()
+    val parts = frames.filter($"asset_id" === one.asset_id)
+      .orderBy($"frame_index").collect()
+    assert(parts.map(_.frame_index).toSeq == Seq(0, 1, 2, 3))
+    assert(parts.flatMap(_.content).toSeq == one.content.toSeq)
+    assert(parts.map(_.ts_ms).toSeq == parts.map(_.ts_ms).toSeq.sorted)
+  }
+
   test("binary payloads round-trip through parquet (BinaryType IO)") {
     val docs = Tables.documents(spark, sf0001).limit(50)
     val assets = Multimodal.syntheticAssets(spark, docs)
