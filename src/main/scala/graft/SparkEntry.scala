@@ -465,6 +465,20 @@ object SparkEntry {
         .orderBy($"corpus_id", $"bench_id")
     }),
 
+    // Skew-salted fact join: the salt spreads each hot key over 16
+    // tasks; the oracle is the PLAIN join — salting must be
+    // semantically invisible.
+    "q53_salted_join" -> ((s, d) => {
+      import s.implicits._
+      val joined = graft.ops.Skew.saltedJoin(
+        t(s, d, "orders").select($"o_custkey".as("c_custkey"), $"o_totalprice"),
+        t(s, d, "customer").select($"c_custkey", $"c_mktsegment"),
+        key = "c_custkey")
+      joined.groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), sum($"o_totalprice").as("revenue"))
+        .orderBy($"c_mktsegment")
+    }),
+
     // Rollup: hierarchical subtotals (free via Catalyst, declared for
     // the inventory's grouping-sets surface).
     "q31_rollup" -> ((s, d) => {
@@ -969,6 +983,10 @@ object SparkEntry {
          FROM documents c JOIN documents b ON c.text = b.text
          WHERE b.doc_id % 100 = 0
          ORDER BY corpus_id, bench_id""",
+    "q53_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders, sum(o_totalprice) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q50_hash_split" ->
       """SELECT CASE WHEN substring(md5(text), 1, 2) < 'cd' THEN 'train'
                      WHEN substring(md5(text), 1, 2) < 'e6' THEN 'val'
