@@ -57,26 +57,39 @@ object Graft {
     llmops.Dedup.minhashDedup(docs, threshold)
   def nearDupPairs(docs: DataFrame, threshold: Double = 0.7): DataFrame =
     llmops.Dedup.minhashPairs(docs, threshold)
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
-    llmops.Dedup.simhashPairs(docs, maxHamming)
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   wideBands: Boolean = false): DataFrame =
+    llmops.Dedup.simhashPairs(docs, maxHamming, wideBands = wideBands)
+  /** Decontamination: near-dup pairs between corpus and benchmark. */
+  def contaminationPairs(corpus: DataFrame, benchmark: DataFrame,
+                         threshold: Double = 0.7): DataFrame =
+    llmops.Dedup.contaminationPairs(corpus, benchmark, threshold)
 
   // ---- similarity search -------------------------------------------
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
     llmops.VectorFuncs.bruteForceTopK(corpus, queries, k)
+  /** Exact top-k with the scale-safe partial-aggregation plan. */
+  def cosineTopKAgg(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    llmops.VectorFuncs.bruteForceTopKAgg(corpus, queries, k)
   def approxTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                  planes: Int = 8): DataFrame =
     llmops.VectorFuncs.lshTopK(corpus, queries, k, planes)
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 4): DataFrame =
-    llmops.Ivf.ivfTopK(corpus, queries, k, nlist, nprobe)
+              nlist: Int = 16, nprobe: Int = 4,
+              kmeansIters: Int = 0): DataFrame =
+    llmops.Ivf.ivfTopK(corpus, queries, k, nlist, nprobe, kmeansIters)
 
-  // ---- text analysis -----------------------------------------------
+  // ---- text analysis / curation ------------------------------------
   def langId(text: Column): Column = llmops.TextFuncs.langId(text)
   def qualityScore(text: Column): Column = llmops.TextFuncs.qualityScore(text)
   def tokenCount(text: Column): Column = llmops.TextFuncs.tokenCount(text)
   def minhashSignature(text: Column): Column =
     llmops.Sketches.minhash_signature(text)
   def simhash(text: Column): Column = llmops.Sketches.simhash64(text)
+  /** Deterministic content-hash train/val/test assignment. */
+  def assignSplit(text: Column, trainFrac: Double = 0.8,
+                  valFrac: Double = 0.1): Column =
+    llmops.Splits.assignSplit(text, trainFrac, valFrac)
 
   // ---- url / html --------------------------------------------------
   def resolveUrl(href: Column, base: Column): Column =
