@@ -479,6 +479,21 @@ object SparkEntry {
         .orderBy($"c_mktsegment")
     }),
 
+    // Windowed top-k via the bounded-heap aggregate (the batch analog
+    // of EventStreams.windowTopK): per-hour top events by value, with
+    // the rank-window as the DuckDB oracle — checks TopK's ordering
+    // against row_number on a second, independent shape.
+    "q54_window_topk" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy(date_trunc("hour", $"ts").as("hour"))
+        .agg(graft.llmops.TopK.topK($"event_id", $"value", 3).as("topk"))
+        .select($"hour", posexplode($"topk").as(Seq("pos", "t")))
+        .select($"hour", $"t._1".as("event_id"), $"t._2".as("value"),
+          ($"pos" + 1).cast("int").as("rk"))
+        .orderBy($"hour", $"rk")
+    }),
+
     // Rollup: hierarchical subtotals (free via Catalyst, declared for
     // the inventory's grouping-sets surface).
     "q31_rollup" -> ((s, d) => {
@@ -987,6 +1002,13 @@ object SparkEntry {
       """SELECT c_mktsegment, count(*) AS n_orders, sum(o_totalprice) AS revenue
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q54_window_topk" ->
+      """SELECT hour, event_id, value, rk FROM (
+           SELECT date_trunc('hour', ts) AS hour, event_id, value,
+                  row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                    ORDER BY value DESC, event_id) AS rk
+           FROM events)
+         WHERE rk <= 3 ORDER BY hour, rk""",
     "q50_hash_split" ->
       """SELECT CASE WHEN substring(md5(text), 1, 2) < 'cd' THEN 'train'
                      WHEN substring(md5(text), 1, 2) < 'e6' THEN 'val'

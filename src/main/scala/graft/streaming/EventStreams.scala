@@ -33,6 +33,26 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("n"))
 
+  /** Per-window top-k events by score (e.g. largest transactions per
+    * hour) via the bounded-heap [[graft.llmops.TopK]] aggregate:
+    * streaming state per window is ≤k slim entries — constant, not
+    * proportional to the window's row count — and the same code runs
+    * in batch (q54's oracle pins it against a rank window).
+    */
+  def windowTopK(events: DataFrame, k: Int,
+                 windowLen: String = "1 hour",
+                 watermark: String = "10 minutes",
+                 idCol: String = "event_id",
+                 scoreCol: String = "value"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(graft.llmops.TopK.topK(col(idCol), col(scoreCol), k).as("topk"))
+      .select(col("window.start").as("window_start"),
+        posexplode(col("topk")).as(Seq("pos", "t")))
+      .select(col("window_start"), col("t._1").as(idCol),
+        col("t._2").as(scoreCol), (col("pos") + 1).cast("int").as("rk"))
+
   /** Stream-static enrichment: join a live event stream against a
     * static dimension (broadcast — re-planned per micro-batch, so a
     * refreshed dim snapshot is picked up on restart). The streaming

@@ -42,6 +42,29 @@ class EventStreamsSpec extends SparkTestBase {
       out.head.getAs[Double]("total_value") == 3.0)
   }
 
+  test("windowTopK emits k best per finalized window on a real stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val df = mem.toDF().toDF("ts", "event_id", "value")
+    val q = EventStreams.windowTopK(df, k = 2)
+      .writeStream.format("memory").queryName("topk_out")
+      .outputMode("append").start()
+    val t = java.sql.Timestamp.valueOf(_: String)
+    mem.addData(
+      (t("2024-01-01 10:05:00"), 1L, 5.0),
+      (t("2024-01-01 10:10:00"), 2L, 9.0),
+      (t("2024-01-01 10:20:00"), 3L, 7.0),
+      (t("2024-01-01 10:25:00"), 4L, 1.0))
+    q.processAllAvailable()
+    mem.addData((t("2024-01-01 13:00:00"), 9L, 2.0)) // advance watermark
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("topk_out")
+      .select($"event_id", $"value", $"rk").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet
+    assert(out == Set((2L, 9.0, 1), (3L, 7.0, 2))) // top-2 of the 10:00 window
+  }
+
   test("stream-static enrichment joins the broadcast dim per batch") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Double)]
