@@ -452,16 +452,24 @@ object SparkEntry {
         .orderBy($"doc_id", $"rk")
     }),
 
-    // Decontamination: LSH-banded cross-corpus pairs at threshold 1.0
-    // — identical texts agree on every signature band, so the full
-    // sketch→band→join→verify pipeline is checkable against an exact
-    // text-equality oracle (the only hash-checked row for the LSH
-    // candidate-generation family; q24-q27 are rows-only).
+    // Decontamination with exact verification: LSH banding PROPOSES
+    // (identical texts always agree on every band, so recall is 1.0 at
+    // threshold 1.0), an exact text-equality join DISPOSES (a 128-hash
+    // sketch can collide for near-identical texts — observed at
+    // sf0.1). The query is therefore provably equal to the
+    // text-equality oracle at any scale while still exercising the
+    // full sketch→band→bucket-join→verify pipeline; the exact compare
+    // only ever runs on LSH candidates, never all pairs.
     "q52_contamination" -> ((s, d) => {
       import s.implicits._
       val corpus = t(s, d, "documents").select($"doc_id", $"text")
       val bench = corpus.filter($"doc_id" % 100 === 0)
       graft.llmops.Dedup.contaminationPairs(corpus, bench, threshold = 1.0)
+        .join(corpus.select($"doc_id".as("corpus_id"), $"text".as("ta")), "corpus_id")
+        .join(broadcast(bench.select($"doc_id".as("bench_id"), $"text".as("tb"))),
+          "bench_id")
+        .filter($"ta" === $"tb")
+        .select($"corpus_id", $"bench_id", lit(1.0).as("sim"))
         .orderBy($"corpus_id", $"bench_id")
     }),
 
