@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.expr.ResolveUrl
 import graft.html.{CleanHtml, ExtractLinks, ExtractTables}
-import graft.llmops.{MinHashSignature, SimHash}
+import graft.llmops.{MinHashSignature, SimHash, SimHash128, WinnowFingerprints}
 
 /** Registers the engine's custom expressions for SQL use:
   *
@@ -51,5 +51,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(text) - 64-bit SimHash fingerprint"),
       (args: Seq[Expression]) => SimHash(args.head)))
+    e.injectFunction((FunctionIdentifier("simhash128"),
+      info("simhash128", "simhash128(text) - 128-bit SimHash (two seeded halves)"),
+      (args: Seq[Expression]) => SimHash128(args.head)))
+    e.injectFunction((FunctionIdentifier("winnow_fingerprints"),
+      info("winnow_fingerprints",
+        "winnow_fingerprints(text[, k, w]) - winnowing fingerprint array"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => WinnowFingerprints(t, 8, 12)
+        case Seq(t, k, w) => WinnowFingerprints(t,
+          k.eval().asInstanceOf[Int], w.eval().asInstanceOf[Int])
+        case _ => throw new IllegalArgumentException(
+          "winnow_fingerprints(text[, k, w])")
+      }))
   }
 }

@@ -14,4 +14,18 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(spark.sql(
       """SELECT extract_links('<a href="/x.pdf">X</a>')""").count() == 1)
   }
+
+  test("round-2 expressions registered: simhash128 and winnow_fingerprints") {
+    val r = spark.sql(
+      """SELECT size(simhash128('hello world')) AS halves,
+                element_at(simhash128('hello world'), 1) AS h1,
+                simhash64('hello world') AS h64,
+                size(winnow_fingerprints('the quick brown fox jumps over')) AS nfp,
+                size(winnow_fingerprints('the quick brown fox jumps over', 4, 6)) AS nfp2
+      """).head()
+    assert(r.getAs[Int]("halves") == 2)
+    // first half is seeded with 0 — identical to the 64-bit fingerprint
+    assert(r.getAs[Long]("h1") == r.getAs[Long]("h64"))
+    assert(r.getAs[Int]("nfp") > 0 && r.getAs[Int]("nfp2") > 0)
+  }
 }
