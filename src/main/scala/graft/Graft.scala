@@ -64,6 +64,10 @@ object Graft {
   def contaminationPairs(corpus: DataFrame, benchmark: DataFrame,
                          threshold: Double = 0.7): DataFrame =
     llmops.Dedup.contaminationPairs(corpus, benchmark, threshold)
+  /** Drop corpus docs that near-duplicate any benchmark doc. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    threshold: Double = 0.7): DataFrame =
+    llmops.Dedup.decontaminate(corpus, benchmark, threshold)
 
   // ---- similarity search -------------------------------------------
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =

@@ -187,6 +187,20 @@ object Dedup {
       .filter(col("sim") >= threshold)
   }
 
+  /** Remove from `corpus` every document that near-duplicates a
+    * benchmark document (the decontamination step itself): anti-join
+    * on [[contaminationPairs]]' corpus endpoints.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    threshold: Double = 0.7,
+                    idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    val contaminated = contaminationPairs(corpus, benchmark, threshold,
+      idCol = idCol, textCol = textCol)
+      .select(col("corpus_id").as(idCol)).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Exact word-n-gram Jaccard pairs within LSH candidates: MinHash
     * banding proposes, exact Jaccard disposes. The exact set compare
     * only runs on bucket-mates.

@@ -152,6 +152,21 @@ class DedupSpec extends SparkTestBase {
     }, s"false contamination hits: $extra")
   }
 
+  test("decontaminate drops exactly the leaked docs") {
+    val bench = docs.filter($"doc_id" < 5).select($"doc_id", $"text")
+    val leaked = bench.filter($"doc_id" < 3)
+      .select(($"doc_id" + 50000).as("doc_id"), $"text")
+    val corpus = docs.filter($"doc_id" >= 100 && $"doc_id" < 200)
+      .select($"doc_id", $"text").unionByName(leaked)
+    val clean = Dedup.decontaminate(corpus, bench, threshold = 0.9)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(clean.intersect(Set(50000L, 50001L, 50002L)).isEmpty)
+    // non-leaked docs survive unless they genuinely near-dup a bench doc
+    val dropped = corpus.select($"doc_id").as[Long].collect().toSet -- clean
+    assert(dropped.forall(id => id >= 50000 ||
+      exactPairs.exists(p => p._2 == id && p._1 < 5)))
+  }
+
   test("hot-bucket cap does not change results on the normal corpus") {
     val capped = Dedup.minhashPairs(docs, threshold = 0.7)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
