@@ -5,6 +5,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors).toString)
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -19,19 +20,25 @@ object Bench {
     ordered.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    // min of two timed runs — the box is shared, a single sample is
-    // noise-dominated for sub-second queries
-    val results = ordered.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+    // Per-query min across `passes` FULL passes over the query set (not
+    // back-to-back reps of one query): the box is shared, and observed
+    // interference arrives as multi-minute load spikes that poison every
+    // sample taken inside the spike window. Separated passes put
+    // minutes between a query's samples, so a spike must span the whole
+    // bench to poison all of them.
+    val times = scala.collection.mutable.Map.empty[String, Double]
+      .withDefaultValue(Double.MaxValue)
+    (1 to passes).foreach { _ =>
+      ordered.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        val t = (System.nanoTime() - t0) / 1e9
+        if (t < times(name)) times(name) = t
       }
-      name -> times.min
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    }
+    val qs = times.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (times.nonEmpty) times.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

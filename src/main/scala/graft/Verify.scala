@@ -6,6 +6,12 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // Queries with sketch-based oracles dump their deterministic
+    // intermediates (signatures, fingerprints, bucket assignments) to
+    // spark-warehouse so the DuckDB oracle can re-derive the relational
+    // part independently. Verify-only: Bench leaves the flag unset and
+    // skips the writes.
+    System.setProperty("graft.materialize", "1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors).toString)
     val spark = SparkSession.builder()

@@ -138,19 +138,28 @@ object VectorFuncs {
     * bucket column is a partition key: each query touches 1/2^planes of
     * the corpus instead of all of it.
     */
+  /** Multi-probe bucket list for a query set: the query's own bucket
+    * plus all 1-bit flips. Exposed so callers (and the verify dump) can
+    * materialize the exact probe set [[lshTopK]] joins on.
+    */
+  def lshProbes(queries: DataFrame, planes: Int,
+                queryId: String = "query_id", queryVec: String = "query_vec")
+      : DataFrame = {
+    val probeCols = col("bucket0") +: (0 until planes).map(p =>
+      col("bucket0").bitwiseXOR(shiftleft(lit(1L), p)))
+    queries
+      .withColumn("bucket0", rhpBucket(col(queryVec), planes))
+      .withColumn("bucket", explode(array(probeCols: _*)))
+      .drop("bucket0")
+      .dropDuplicates(queryId, "bucket")
+  }
+
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 8,
               corpusId: String = "vec_id", corpusVec: String = "embedding",
               queryId: String = "query_id", queryVec: String = "query_vec")
       : DataFrame = {
     val cb = corpus.withColumn("bucket", rhpBucket(col(corpusVec), planes))
-    // multi-probe: the query's own bucket plus all 1-bit flips
-    val probeCols = col("bucket0") +: (0 until planes).map(p =>
-      col("bucket0").bitwiseXOR(shiftleft(lit(1L), p)))
-    val qb = queries
-      .withColumn("bucket0", rhpBucket(col(queryVec), planes))
-      .withColumn("bucket", explode(array(probeCols: _*)))
-      .drop("bucket0")
-      .dropDuplicates(queryId, "bucket")
+    val qb = lshProbes(queries, planes, queryId, queryVec)
     val scored = cb.join(broadcast(qb), Seq("bucket"))
       .withColumn("sim", cosine(col(corpusVec), col(queryVec)))
     val w = Window.partitionBy(col(queryId))
