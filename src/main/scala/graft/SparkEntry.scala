@@ -564,6 +564,61 @@ object SparkEntry {
         .orderBy($"hour", $"rk")
     }),
 
+    // llmops PII scrubbing: typed redaction of emails / phone numbers /
+    // IPv4 addresses with RE2-safe patterns shared verbatim with the
+    // oracle. The corpus has no PII, so deterministic synthetic PII is
+    // woven in from doc fields (q29 precedent) before redacting.
+    "q55_pii_redact" -> ((s, d) => {
+      import s.implicits._
+      val T = graft.llmops.TextFuncs
+      val withPii = t(s, d, "documents")
+        .filter($"doc_id" < 50)
+        .select($"doc_id", concat(
+          lit("user"), $"doc_id".cast("string"), lit("@example.com says: "),
+          $"text",
+          lit(" call 555-"),
+          lpad(pmod($"doc_id" * 7919, lit(10000)).cast("string"), 4, "0"),
+          lit(" or visit 10."), pmod($"doc_id", lit(256)).cast("string"),
+          lit(".0.1")).as("text"))
+      withPii.select(
+        $"doc_id",
+        T.emailCount($"text").as("n_emails"),
+        T.phoneCount($"text").as("n_phones"),
+        T.ipCount($"text").as("n_ips"),
+        length($"text").as("len_before"),
+        length(T.redactPii($"text")).as("len_after"),
+        substring(T.redactPii($"text"), 1, 30).as("head"))
+        .orderBy($"doc_id")
+    }),
+
+    // llmops repetition quality filters (Gopher-style): duplicate-word
+    // and duplicate-2-gram fractions, aggregated as integer flag counts
+    // per source (integer outputs — immune to float-sum ordering).
+    "q56_repetition" -> ((s, d) => {
+      import s.implicits._
+      val T = graft.llmops.TextFuncs
+      t(s, d, "documents")
+        .select($"source",
+          T.duplicateWordFraction($"text").as("dw"),
+          T.duplicateNgramFraction($"text", 2).as("d2"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"dw" > 0.55, 1L).otherwise(0L)).as("n_dup_word_flagged"),
+          sum(when($"d2" > 0.05, 1L).otherwise(0L)).as("n_dup_2gram_flagged"))
+        .orderBy($"source")
+    }),
+
+    // llmops sequence packing: concat-and-chunk bin assignment via
+    // stream-parallel window cumsum (see Packing for the 100 TB shape),
+    // reduced to bin-level stats.
+    "q57_pack_bins" -> ((s, d) => {
+      import s.implicits._
+      val packed = graft.llmops.Packing.packBins(
+        t(s, d, "documents"), targetTokens = 512, streams = 8)
+      graft.llmops.Packing.binStats(packed)
+        .orderBy($"source", $"stream", $"bin_id")
+    }),
+
     // Rollup: hierarchical subtotals (free via Catalyst, declared for
     // the inventory's grouping-sets surface).
     "q31_rollup" -> ((s, d) => {
@@ -1214,6 +1269,68 @@ object SparkEntry {
          WHERE a.id < b.id
          GROUP BY 1, 2 HAVING count(*) >= 5
          ORDER BY 1, 2""",
+    "q55_pii_redact" ->
+      """WITH withpii AS (
+           SELECT doc_id,
+                  'user' || doc_id::VARCHAR || '@example.com says: ' || text ||
+                  ' call 555-' || lpad(((doc_id * 7919) % 10000)::VARCHAR, 4, '0') ||
+                  ' or visit 10.' || (doc_id % 256)::VARCHAR || '.0.1' AS text
+           FROM documents WHERE doc_id < 50),
+         red AS (
+           SELECT doc_id, text,
+                  regexp_replace(regexp_replace(regexp_replace(text,
+                    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                    '\b\d{3}-\d{4}\b', '<PHONE>', 'g'),
+                    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS r
+           FROM withpii)
+         SELECT doc_id,
+                len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))::INTEGER AS n_emails,
+                len(regexp_extract_all(text, '\b\d{3}-\d{4}\b'))::INTEGER AS n_phones,
+                len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::INTEGER AS n_ips,
+                length(text)::INTEGER AS len_before,
+                length(r)::INTEGER AS len_after,
+                substring(r, 1, 30) AS head
+         FROM red ORDER BY doc_id""",
+    "q56_repetition" ->
+      """WITH base AS (
+           SELECT source, string_split_regex(lower(trim(text)), '\s+') AS l
+           FROM documents),
+         m AS (
+           SELECT source, l,
+                  list_transform(generate_series(1, greatest(len(l) - 1, 1)),
+                    i -> CASE WHEN i < len(l) THEN l[i] || ' ' || l[i+1]
+                              ELSE l[i] END) AS g
+           FROM base),
+         fr AS (
+           SELECT source,
+                  CASE WHEN len(l) = 0 THEN 0.0
+                       ELSE 1.0 - (len(list_distinct(l))::DOUBLE / len(l)) END AS dw,
+                  CASE WHEN len(g) = 0 THEN 0.0
+                       ELSE 1.0 - (len(list_distinct(g))::DOUBLE / len(g)) END AS d2
+           FROM m)
+         SELECT source, count(*) AS n_docs,
+                sum(CASE WHEN dw > 0.55 THEN 1 ELSE 0 END)::BIGINT AS n_dup_word_flagged,
+                sum(CASE WHEN d2 > 0.05 THEN 1 ELSE 0 END)::BIGINT AS n_dup_2gram_flagged
+         FROM fr GROUP BY source ORDER BY source""",
+    "q57_pack_bins" ->
+      """WITH packed AS (
+           SELECT source, doc_id % 8 AS stream, doc_id,
+                  (CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(lower(trim(text)), '\s+'))
+                   END)::BIGINT AS n_tokens
+           FROM documents),
+         cum AS (
+           SELECT source, stream, n_tokens,
+                  sum(n_tokens) OVER (PARTITION BY source, stream ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+           FROM packed),
+         b AS (
+           SELECT source, stream, n_tokens,
+                  floor((cum_tokens - n_tokens) / 512.0)::BIGINT AS bin_id
+           FROM cum)
+         SELECT source, stream, bin_id, count(*) AS n_docs,
+                sum(n_tokens)::BIGINT AS bin_tokens
+         FROM b GROUP BY 1, 2, 3 ORDER BY source, stream, bin_id""",
     "q49_cosine_topk_agg" ->
       """SELECT query_id, vec_id, sim, rk FROM (
            SELECT q.vec_id AS query_id, c.vec_id AS vec_id,

@@ -140,4 +140,63 @@ object TextFuncs {
     val union = size(array_union(sa, sb)).cast("double")
     when(union === 0, 0.0).otherwise(inter / union)
   }
+
+  // --- PII scrubbing ---------------------------------------------------
+  // Patterns are deliberately RE2-compatible (no lookaround, no
+  // backreferences) so the DuckDB oracle can run them verbatim.
+
+  val emailPattern: String = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val phonePattern: String = "\\b\\d{3}-\\d{4}\\b"
+  val ipPattern: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Redact emails, phone numbers, and IPv4 addresses with typed
+    * placeholder tags. Order matters (emails first — an email never
+    * contains a phone, but the IP pattern could bite into a dotted
+    * hostname, so hostnames are consumed by the email pass first).
+    * A narrow map over the text column — no shuffle, codegen'd.
+    */
+  def redactPii(text: Column): Column = {
+    val e = regexp_replace(text, emailPattern, "<EMAIL>")
+    val p = regexp_replace(e, phonePattern, "<PHONE>")
+    regexp_replace(p, ipPattern, "<IP>")
+  }
+
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(emailPattern), lit(0)))
+  def phoneCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(phonePattern), lit(0)))
+  def ipCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(ipPattern), lit(0)))
+
+  // --- Repetition filters (Gopher-style quality signals) ---------------
+
+  /** Word n-grams WITH multiplicity (no distinct) — the denominator for
+    * repetition ratios.
+    */
+  def wordNgramsAll(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val limit = greatest(size(toks) - lit(n - 1), lit(1))
+    transform(sequence(lit(1), limit), i => concat_ws(" ", slice(toks, i, lit(n))))
+  }
+
+  /** Fraction of word occurrences that repeat an earlier word:
+    * 1 − |distinct words| / |words|. High values flag keyword-stuffed
+    * or template text.
+    */
+  def duplicateWordFraction(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, 0.0)
+      .otherwise(lit(1.0) - size(array_distinct(toks)) /
+        size(toks).cast("double"))
+  }
+
+  /** Fraction of word n-grams that repeat an earlier n-gram — the
+    * classic duplicate-n-gram repetition signal.
+    */
+  def duplicateNgramFraction(text: Column, n: Int): Column = {
+    val grams = wordNgramsAll(text, n)
+    when(size(grams) === 0, 0.0)
+      .otherwise(lit(1.0) - size(array_distinct(grams)) /
+        size(grams).cast("double"))
+  }
 }

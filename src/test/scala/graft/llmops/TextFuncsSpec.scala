@@ -47,4 +47,38 @@ class TextFuncsSpec extends SparkTestBase {
     val got = df.select(TextFuncs.charShingles($"t", 3).as("s")).as[Seq[String]].head()
     assert(got == Seq("aaa"))
   }
+
+  test("PII redaction replaces emails, phones, and IPs with typed tags") {
+    val df = Seq(
+      "mail bob.smith+x@corp.example.co or call 555-0142 from 10.1.2.3",
+      "no pii here").toDF("t")
+    val got = df.select(TextFuncs.redactPii($"t").as("r")).as[String].collect().toSeq
+    assert(got.head == "mail <EMAIL> or call <PHONE> from <IP>")
+    assert(got(1) == "no pii here")
+    val counts = df.select(
+      TextFuncs.emailCount($"t").as("e"),
+      TextFuncs.phoneCount($"t").as("p"),
+      TextFuncs.ipCount($"t").as("i")).as[(Int, Int, Int)].collect().toSeq
+    assert(counts == Seq((1, 1, 1), (0, 0, 0)))
+  }
+
+  test("phone pattern needs word boundaries; partial numbers survive") {
+    val df = Seq("id 1555-01421 stays, 555-0142 goes").toDF("t")
+    val r = df.select(TextFuncs.redactPii($"t")).as[String].head()
+    assert(r == "id 1555-01421 stays, <PHONE> goes")
+  }
+
+  test("duplicate word/ngram fractions") {
+    val df = Seq("a b a b a", "a b c d e", "").toDF("t")
+    val got = df.select(
+      TextFuncs.duplicateWordFraction($"t").as("dw"),
+      TextFuncs.duplicateNgramFraction($"t", 2).as("d2"))
+      .as[(Double, Double)].collect().toSeq
+    // "a b a b a": 5 words, 2 distinct → dw 0.6; 2-grams {a b, b a, a b,
+    // b a} → 4 grams, 2 distinct → 0.5
+    assert(math.abs(got.head._1 - 0.6) < 1e-9)
+    assert(math.abs(got.head._2 - 0.5) < 1e-9)
+    assert(got(1) == ((0.0, 0.0)))
+    assert(got(2) == ((0.0, 0.0)))
+  }
 }
