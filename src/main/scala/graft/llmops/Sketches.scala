@@ -26,6 +26,15 @@ object SketchKernels {
     z ^ (z >>> 31)
   }
 
+  /** Whitespace-collapse normalization, shared by the sketch kernels.
+    * Precompiled once: `String.replaceAll` recompiles its pattern on
+    * EVERY call, which at one call per document turns the sketch pass
+    * from I/O-bound into regex-compile-bound.
+    */
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+  @inline def normalize(text: String): String =
+    ws.matcher(text.toLowerCase).replaceAll(" ")
+
   /** MinHash signature via densified one-permutation hashing
     * (Shrivastava & Li, ICML 2014): each k-char shingle is hashed ONCE,
     * routed to one of `n` bins by its top bits, and the min hash per
@@ -38,7 +47,7 @@ object SketchKernels {
   def minhash(text: String, k: Int, n: Int): Array[Long] = {
     val sig = Array.fill(n)(Long.MaxValue)
     if (text == null) return sig
-    val t = text.toLowerCase.replaceAll("\\s+", " ")
+    val t = normalize(text)
     val len = t.length
     if (len == 0) return sig
     val upper = math.max(len - k + 1, 1)

@@ -21,7 +21,7 @@ object WinnowKernels {
 
   def fingerprints(text: String, k: Int, w: Int): Array[Long] = {
     if (text == null) return Array.emptyLongArray
-    val t = text.toLowerCase.replaceAll("\\s+", " ")
+    val t = SketchKernels.normalize(text)
     val n = t.length - k + 1
     if (n <= 0) return Array.emptyLongArray
     val hashes = new Array[Long](n)
