@@ -94,6 +94,16 @@ object Graft {
   def assignSplit(text: Column, trainFrac: Double = 0.8,
                   valFrac: Double = 0.1): Column =
     llmops.Splits.assignSplit(text, trainFrac, valFrac)
+  /** Redact emails / phone numbers / IPv4 addresses with typed tags. */
+  def redactPii(text: Column): Column = llmops.TextFuncs.redactPii(text)
+  /** Gopher-style repetition signals. */
+  def duplicateWordFraction(text: Column): Column =
+    llmops.TextFuncs.duplicateWordFraction(text)
+  def duplicateNgramFraction(text: Column, n: Int): Column =
+    llmops.TextFuncs.duplicateNgramFraction(text, n)
+  /** Concat-and-chunk sequence packing (bin id per document). */
+  def packBins(docs: DataFrame, targetTokens: Int, streams: Int = 8): DataFrame =
+    llmops.Packing.packBins(docs, targetTokens, streams)
 
   // ---- url / html --------------------------------------------------
   def resolveUrl(href: Column, base: Column): Column =

@@ -72,4 +72,32 @@ class PlanShapeSpec extends SparkTestBase {
     val p = plan("q37_sessionize")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(2500))
   }
+
+  test("q55/q56: PII redaction and repetition stats shuffle only to aggregate") {
+    // the per-doc signals are narrow maps; q55 is shuffle-free modulo
+    // the output sort, q56 shuffles once for the per-source aggregate
+    val p55 = plan("q55_pii_redact")
+    assert(!p55.contains("Exchange hashpartitioning"), p55.take(1500))
+    val p56 = plan("q56_repetition")
+    assert("Exchange hashpartitioning".r.findAllIn(p56).size == 1, p56.take(2000))
+  }
+
+  test("q57: packing cumsum window and bin stats share one hash exchange") {
+    // the window partitions by (source, stream) and the groupBy by
+    // (source, stream, bin_id) — the agg's partial phase runs on the
+    // window's partitioning, so only one hash exchange + the partial
+    // aggregation appears before the final agg
+    val p = plan("q57_pack_bins")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p.take(2500))
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p.take(2500))
+  }
+
+  test("banded pair generators: bucket-cap window reuses the join exchange") {
+    // capBuckets counts over (band, band_hash) — the same keys the
+    // candidate self-join shuffles on; the window's exchange must be
+    // reused for the join rather than shuffling a second time
+    val p = plan("q24_minhash_pairs")
+    assert(p.contains("ReusedExchange") ||
+      "Exchange hashpartitioning\\(band".r.findAllIn(p).size <= 2, p.take(3000))
+  }
 }
