@@ -1,0 +1,68 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+class DocStreamsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val goodText =
+    "the quick brown fox jumps over the lazy dog and then the fox " +
+      "rests in the shade of a tall tree while the dog watches"
+
+  test("ingest runs as a real stream: gate, redact, dedup, decontaminate") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val docs = mem.toDF().toDF("ingest_ts", "doc_id", "text")
+    val contaminated = "the held out benchmark question about the fox"
+    val benchmark = Seq(contaminated).toDF("text")
+    // minQuality 0.6: "tiny" scores 0.5 (no length band, no stopwords)
+    val q = DocStreams.ingest(docs, benchmark, minQuality = 0.6)
+      .writeStream.format("memory").queryName("ingest_out")
+      .outputMode("append").start()
+    val t = java.sql.Timestamp.valueOf(_: String)
+    mem.addData(
+      (t("2024-01-01 10:00:00"), 1L, goodText + " mail me a@b.io now"),
+      (t("2024-01-01 10:00:10"), 2L, goodText + " mail me a@b.io now"), // dup of 1
+      (t("2024-01-01 10:00:20"), 3L, "tiny"),                           // low quality
+      (t("2024-01-01 10:00:30"), 4L, contaminated))                     // benchmark hit
+    q.processAllAvailable()
+    val out = spark.table("ingest_out").select($"doc_id", $"text")
+      .as[(Long, String)].collect().toMap
+    q.stop()
+    assert(out.keySet == Set(1L))
+    assert(out(1L).contains("<EMAIL>") && !out(1L).contains("a@b.io"))
+  }
+
+  test("dedup state is horizon-bounded: same content re-admitted after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val docs = mem.toDF().toDF("ingest_ts", "doc_id", "text")
+    val q = DocStreams.dedupDocs(docs.toDF(), watermark = "1 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    val t = java.sql.Timestamp.valueOf(_: String)
+    mem.addData((t("2024-01-01 10:00:00"), 1L, goodText))
+    q.processAllAvailable()
+    // push the watermark far past the first doc, then resend the content
+    mem.addData((t("2024-01-01 12:00:00"), 2L, "filler to advance time"))
+    q.processAllAvailable()
+    mem.addData((t("2024-01-01 12:00:30"), 3L, goodText))
+    q.processAllAvailable()
+    val ids = spark.table("dedup_out").select($"doc_id").as[Long].collect().toSet
+    q.stop()
+    assert(ids == Set(1L, 2L, 3L)) // 3 re-admitted: state for doc 1 expired
+  }
+
+  test("batch mode equals the batch llmops pipeline on the corpus") {
+    val docs = graft.Tables.documents(spark, sf0001)
+      .withColumn("ingest_ts",
+        org.apache.spark.sql.functions.lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    val benchmark = docs.filter($"doc_id" % 100 === 0).select($"text")
+    val got = DocStreams.ingest(docs, benchmark, minQuality = 0.0)
+    // every benchmark text is gone, non-benchmark survivors unique by text
+    assert(got.join(benchmark, Seq("text")).count() == 0)
+    val n = got.count()
+    assert(n > 0 && got.select($"text").distinct().count() == n)
+  }
+}
