@@ -105,4 +105,61 @@ class PropertySpec extends SparkTestBase {
     assert(once.count() <= docs.count())
     assert(twice.count() == once.count())
   }
+
+  test("redactPii is idempotent and leaves no matchable PII behind") {
+    val T = graft.llmops.TextFuncs
+    val user = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString.take(8))
+    val g = for {
+      u <- user; h <- user
+      p <- Gen.chooseNum(0, 9999)
+      a <- Gen.chooseNum(0, 255); b <- Gen.chooseNum(0, 255)
+      pre <- Gen.listOfN(4, user).map(_.mkString(" "))
+    } yield f"$pre $u@$h.org tel 555-$p%04d ip 10.$a.$b.1 end"
+    val texts = samples(g, 300)
+    val rows = texts.toDF("t")
+      .select($"t",
+        T.redactPii($"t").as("r"),
+        T.redactPii(T.redactPii($"t")).as("rr"),
+        T.emailCount(T.redactPii($"t")).as("e2"),
+        T.phoneCount(T.redactPii($"t")).as("p2"),
+        T.ipCount(T.redactPii($"t")).as("i2"))
+      .collect()
+    rows.foreach { row =>
+      assert(row.getAs[String]("r") == row.getAs[String]("rr"))
+      assert(row.getAs[Int]("e2") == 0 && row.getAs[Int]("p2") == 0
+        && row.getAs[Int]("i2") == 0, row.getAs[String]("r"))
+      assert(row.getAs[String]("r").contains("<EMAIL>")
+        && row.getAs[String]("r").contains("<PHONE>")
+        && row.getAs[String]("r").contains("<IP>"))
+    }
+  }
+
+  test("packing partitions every doc into exactly one bin; bins fill in order") {
+    val wordG = Gen.oneOf("a", "bb", "ccc", "dddd")
+    val docG = Gen.chooseNum(1, 40).flatMap(n =>
+      Gen.listOfN(n, wordG).map(_.mkString(" ")))
+    val texts = samples(docG, 200)
+    val df = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, if (i % 2 == 0) "x" else "y", t) }
+      .toDF("doc_id", "source", "text")
+    val packed = graft.llmops.Packing.packBins(df, targetTokens = 64, streams = 4)
+    assert(packed.count() == 200) // 1:1 — no doc lost or duplicated
+    // within each (source, stream), bin ids are non-decreasing in doc_id
+    // and never skip: bin boundaries come from a running sum
+    val rows = packed.select($"source", $"stream", $"doc_id", $"bin_id", $"n_tokens")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .groupBy(t => (t._1, t._2))
+    rows.values.foreach { grp =>
+      val sorted = grp.sortBy(_._3)
+      var cum = 0L
+      var prevBin = -1L
+      sorted.foreach { case (_, _, _, bin, toks) =>
+        assert(bin == cum / 64, s"bin=$bin cum=$cum")
+        assert(bin >= prevBin)
+        prevBin = bin
+        cum += toks
+      }
+    }
+  }
 }
