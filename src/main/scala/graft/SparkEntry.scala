@@ -608,6 +608,30 @@ object SparkEntry {
         .orderBy($"source")
     }),
 
+    // Supplier-region revenue (TPC-H Q5 shape): the fact table streams
+    // through a chain of broadcast dimension joins (supplier → nation →
+    // region) — zero shuffle until the final low-cardinality aggregate.
+    // Revenue is summed in exact integer cent·basis-point space (the
+    // prices are 2-decimal) so the total is independent of accumulation
+    // order — a double sum over 600k rows lands wherever the shuffle
+    // ordered it, which the hash oracle would flag.
+    "q58_supplier_revenue" -> ((s, d) => {
+      import s.implicits._
+      val cents = round($"l_extendedprice" * 100).cast("long")
+      val discBp = lit(100L) - round($"l_discount" * 100).cast("long")
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "supplier")), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(t(s, d, "nation")), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(t(s, d, "region")), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name")
+        .agg(count(lit(1)).as("n_items"),
+          sum(cents * discBp).as("rev_units"),
+          countDistinct($"s_suppkey").as("n_suppliers"))
+        .select($"r_name", $"n_items",
+          ($"rev_units" / 10000.0).as("revenue"), $"n_suppliers")
+        .orderBy($"r_name")
+    }),
+
     // llmops sequence packing: concat-and-chunk bin assignment via
     // stream-parallel window cumsum (see Packing for the 100 TB shape),
     // reduced to bin-level stats.
@@ -1269,6 +1293,17 @@ object SparkEntry {
          WHERE a.id < b.id
          GROUP BY 1, 2 HAVING count(*) >= 5
          ORDER BY 1, 2""",
+    "q58_supplier_revenue" ->
+      """SELECT r_name, count(*) AS n_items,
+                sum(round(l_extendedprice * 100)::BIGINT *
+                    (100 - round(l_discount * 100)::BIGINT))::BIGINT
+                  / 10000.0 AS revenue,
+                count(DISTINCT s_suppkey) AS n_suppliers
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
     "q55_pii_redact" ->
       """WITH withpii AS (
            SELECT doc_id,

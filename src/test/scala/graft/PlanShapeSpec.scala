@@ -92,6 +92,12 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("partial_count") || p.contains("partial_sum"), p.take(2500))
   }
 
+  test("q58: the dimension chain is all broadcast — fact side never shuffles for a join") {
+    val p = plan("q58_supplier_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 3, p.take(2000))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("banded pair generators: bucket-cap window reuses the join exchange") {
     // capBuckets counts over (band, band_hash) — the same keys the
     // candidate self-join shuffles on; the window's exchange must be
