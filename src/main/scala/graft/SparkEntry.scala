@@ -354,15 +354,11 @@ object SparkEntry {
     "q24_minhash_pairs" -> ((s, d) => {
       import s.implicits._
       val docs = t(s, d, "documents")
-      val S = graft.llmops.Sketches
-      val sigs = docs.select($"doc_id".as("id"),
-        S.minhash_signature($"text", 5, 128).as("sig"))
+      val D = graft.llmops.Dedup
+      val sigs = D.minhashSigs(docs)
       materialize(sigs, "q24_sigs")
-      materialize(sigs
-        .select($"id", explode(S.lshBands($"sig", 16, 8)).as("b"))
-        .select($"id", $"b.band".as("band"), $"b.band_hash".as("band_hash")),
-        "q24_bands")
-      graft.llmops.Dedup.minhashPairs(docs, threshold = 0.7)
+      materialize(D.lshBanded(sigs), "q24_bands")
+      D.minhashPairs(docs, threshold = 0.7)
         .select($"id_a", $"id_b", round($"sim", 2).as("sim_bucket"))
         .orderBy($"id_a", $"id_b")
     }),
@@ -409,15 +405,11 @@ object SparkEntry {
     "q27_minhash_dedup" -> ((s, d) => {
       import s.implicits._
       val docs = t(s, d, "documents")
-      val S = graft.llmops.Sketches
-      val sigs = docs.select($"doc_id".as("id"),
-        S.minhash_signature($"text", 5, 128).as("sig"))
+      val D = graft.llmops.Dedup
+      val sigs = D.minhashSigs(docs)
       materialize(sigs, "q27_sigs")
-      materialize(sigs
-        .select($"id", explode(S.lshBands($"sig", 16, 8)).as("b"))
-        .select($"id", $"b.band".as("band"), $"b.band_hash".as("band_hash")),
-        "q27_bands")
-      graft.llmops.Dedup.minhashDedup(docs, threshold = 0.7)
+      materialize(D.lshBanded(sigs), "q27_bands")
+      D.minhashDedup(docs, threshold = 0.7)
         .groupBy($"source").agg(count(lit(1)).as("n_docs"))
         .orderBy($"source")
     }),
@@ -630,6 +622,36 @@ object SparkEntry {
         .select($"r_name", $"n_items",
           ($"rev_units" / 10000.0).as("revenue"), $"n_suppliers")
         .orderBy($"r_name")
+    }),
+
+    // llmops incremental dedup: clean a synthetic delta (fresh docs +
+    // copies of corpus docs + within-delta copies) against the
+    // persisted corpus sketch tables — corpus text is never touched.
+    // Verify dumps both sides' sigs/bands; the oracle replays the
+    // two-phase anti-join from them.
+    "q59_incremental_dedup" -> ((s, d) => {
+      import s.implicits._
+      val D = graft.llmops.Dedup
+      val base = t(s, d, "documents")
+      val corpus = base.filter($"doc_id" % 5 =!= 0)
+      val fresh = base.filter($"doc_id" % 5 === 0)
+      val corpusDups = corpus.filter($"doc_id" % 7 === 1)
+        .withColumn("doc_id", $"doc_id" + 1000000L)
+      val deltaDups = fresh.filter($"doc_id" % 9 === 0)
+        .withColumn("doc_id", $"doc_id" + 3000000L)
+      val delta = fresh.unionByName(corpusDups).unionByName(deltaDups)
+      val cSigs = D.minhashSigs(corpus)
+      val cBands = D.lshBanded(cSigs)
+      if (materializing) {
+        materialize(cSigs, "q59_csigs")
+        materialize(cBands, "q59_cbands")
+        val dSigs = D.minhashSigs(delta)
+        materialize(dSigs, "q59_dsigs")
+        materialize(D.lshBanded(dSigs), "q59_dbands")
+      }
+      D.incrementalDedup(delta, cBands, cSigs)
+        .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+        .orderBy($"source")
     }),
 
     // llmops sequence packing: concat-and-chunk bin assignment via
@@ -1304,6 +1326,57 @@ object SparkEntry {
          JOIN nation ON s_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name ORDER BY r_name""",
+    "q59_incremental_dedup" ->
+      """WITH delta AS (
+           SELECT doc_id, source FROM documents WHERE doc_id % 5 = 0
+           UNION ALL
+           SELECT doc_id + 1000000, source FROM documents
+           WHERE doc_id % 5 <> 0 AND doc_id % 7 = 1
+           UNION ALL
+           SELECT doc_id + 3000000, source FROM documents
+           WHERE doc_id % 5 = 0 AND doc_id % 9 = 0),
+         csigs AS (SELECT * FROM read_parquet('/root/repo/spark-warehouse/q59_csigs/*.parquet')),
+         dsigs AS (SELECT * FROM read_parquet('/root/repo/spark-warehouse/q59_dsigs/*.parquet')),
+         dbands AS (SELECT * FROM read_parquet('/root/repo/spark-warehouse/q59_dbands/*.parquet')),
+         cband AS (
+           SELECT id, band, band_hash FROM (
+             SELECT id, band, band_hash,
+                    count(*) OVER (PARTITION BY band, band_hash) AS n
+             FROM read_parquet('/root/repo/spark-warehouse/q59_cbands/*.parquet'))
+           WHERE n <= 200),
+         cand AS (
+           SELECT DISTINCT c.id AS corpus_id, d.id AS delta_id
+           FROM cband c JOIN dbands d USING (band, band_hash)),
+         dup1 AS (
+           SELECT DISTINCT delta_id FROM cand
+           JOIN csigs cs ON cs.id = cand.corpus_id
+           JOIN dsigs ds ON ds.id = cand.delta_id
+           WHERE len(list_filter(list_zip(cs.sig, ds.sig), p -> p[1] = p[2]))::DOUBLE
+                   / len(cs.sig) >= 0.7),
+         clean AS (
+           SELECT id FROM dsigs
+           WHERE id NOT IN (SELECT delta_id FROM dup1)),
+         dband2 AS (
+           SELECT id, band, band_hash FROM (
+             SELECT id, band, band_hash,
+                    count(*) OVER (PARTITION BY band, band_hash) AS n
+             FROM dbands WHERE id IN (SELECT id FROM clean))
+           WHERE n <= 200),
+         cand2 AS (
+           SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           FROM dband2 a JOIN dband2 b USING (band, band_hash)
+           WHERE a.id < b.id),
+         dup2 AS (
+           SELECT DISTINCT id_b FROM cand2
+           JOIN dsigs sa ON sa.id = cand2.id_a
+           JOIN dsigs sb ON sb.id = cand2.id_b
+           WHERE len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2]))::DOUBLE
+                   / len(sa.sig) >= 0.7),
+         surv AS (
+           SELECT id FROM clean WHERE id NOT IN (SELECT id_b FROM dup2))
+         SELECT source, count(*) AS n_docs
+         FROM delta JOIN surv ON delta.doc_id = surv.id
+         GROUP BY source ORDER BY source""",
     "q55_pii_redact" ->
       """WITH withpii AS (
            SELECT doc_id,

@@ -48,6 +48,27 @@ object Dedup {
       .filter(col("rn") === 1).drop("rn")
   }
 
+  /** MinHash signature table (id, sig) for a document table — the
+    * materialized sketch state an incremental pipeline persists
+    * alongside the corpus.
+    */
+  def minhashSigs(docs: DataFrame, shingleSize: Int = 5, numHashes: Int = 128,
+                  idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame =
+    docs.select(col(idCol).as("id"),
+      Sketches.minhash_signature(col(textCol), shingleSize, numHashes).as("sig"))
+
+  /** Slim LSH band rows (id, band, band_hash) for a signature table —
+    * (id, band, hash) only; shipping the n-long signature with each of
+    * `bands` rows would multiply the band shuffle by `bands`.
+    */
+  def lshBanded(sigs: DataFrame, bands: Int = 16, rowsPerBand: Int = 8)
+      : DataFrame =
+    sigs.select(col("id"),
+      explode(Sketches.lshBands(col("sig"), bands, rowsPerBand)).as("b"))
+      .select(col("id"),
+        col("b.band").as("band"), col("b.band_hash").as("band_hash"))
+
   /** Candidate near-duplicate pairs via MinHash + LSH banding.
     * Returns (id_a, id_b, sim) with id_a < id_b and estimated Jaccard
     * ≥ `threshold`. Bands×rows must equal the signature length; with
@@ -60,18 +81,8 @@ object Dedup {
                    idCol: String = "doc_id", textCol: String = "text")
       : DataFrame = {
     val n = bands * rowsPerBand
-    val sigs = docs
-      .select(col(idCol).as("id"),
-        Sketches.minhash_signature(col(textCol), shingleSize, n).as("sig"))
-    // candidate generation over SLIM band rows — (id, band, hash) only;
-    // shipping the n-long signature with each of `bands` rows would
-    // multiply the shuffle by `bands`
-    val banded = capBuckets(sigs
-      .select(col("id"),
-        explode(Sketches.lshBands(col("sig"), bands, rowsPerBand)).as("b"))
-      .select(col("id"),
-        col("b.band").as("band"), col("b.band_hash").as("band_hash")),
-      maxBucket)
+    val sigs = minhashSigs(docs, shingleSize, n, idCol, textCol)
+    val banded = capBuckets(lshBanded(sigs, bands, rowsPerBand), maxBucket)
     val candidates = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("band_hash"), col("id").as("id_b")),
         Seq("band", "band_hash"))
@@ -162,18 +173,12 @@ object Dedup {
                          idCol: String = "doc_id", textCol: String = "text")
       : DataFrame = {
     val n = bands * rowsPerBand
-    def sketch(df: DataFrame) = df.select(col(idCol).as("id"),
-      Sketches.minhash_signature(col(textCol), shingleSize, n).as("sig"))
-    def band(sigs: DataFrame) = sigs
-      .select(col("id"),
-        explode(Sketches.lshBands(col("sig"), bands, rowsPerBand)).as("b"))
-      .select(col("id"),
-        col("b.band").as("band"), col("b.band_hash").as("band_hash"))
-    val corpusSigs = sketch(corpus)
-    val benchSigs = sketch(benchmark)
-    val candidates = capBuckets(band(corpusSigs), maxBucket)
+    val corpusSigs = minhashSigs(corpus, shingleSize, n, idCol, textCol)
+    val benchSigs = minhashSigs(benchmark, shingleSize, n, idCol, textCol)
+    val candidates = capBuckets(lshBanded(corpusSigs, bands, rowsPerBand), maxBucket)
       .withColumnRenamed("id", "corpus_id")
-      .join(band(benchSigs).withColumnRenamed("id", "bench_id"),
+      .join(lshBanded(benchSigs, bands, rowsPerBand)
+        .withColumnRenamed("id", "bench_id"),
         Seq("band", "band_hash"))
       .select(col("corpus_id"), col("bench_id"))
       .distinct()
@@ -199,6 +204,44 @@ object Dedup {
       idCol = idCol, textCol = textCol)
       .select(col("corpus_id").as(idCol)).distinct()
     corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /** Incremental dedup: clean a DELTA batch against an already-sketched
+    * corpus without touching corpus text — the operational pattern for
+    * a growing corpus, where re-sketching 100 TB per append is not an
+    * option. `corpusBands`/`corpusSigs` are the persisted outputs of
+    * [[lshBanded]]/[[minhashSigs]] (slim tables, appended as the corpus
+    * grows). The delta's bands join the corpus band table (hot corpus
+    * buckets capped, mirroring [[contaminationPairs]]), candidates
+    * verify by signature similarity, survivors then minhash-dedupe
+    * within the delta itself. Work is |delta|·collisions, never
+    * |corpus|.
+    */
+  def incrementalDedup(delta: DataFrame, corpusBands: DataFrame,
+                       corpusSigs: DataFrame, threshold: Double = 0.7,
+                       bands: Int = 16, rowsPerBand: Int = 8,
+                       shingleSize: Int = 5, maxBucket: Int = 200,
+                       idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    val n = bands * rowsPerBand
+    val dSigs = minhashSigs(delta, shingleSize, n, idCol, textCol)
+    val dBands = lshBanded(dSigs, bands, rowsPerBand)
+    val candidates = capBuckets(corpusBands, maxBucket)
+      .withColumnRenamed("id", "corpus_id")
+      .join(dBands.withColumnRenamed("id", "delta_id"),
+        Seq("band", "band_hash"))
+      .select(col("corpus_id"), col("delta_id"))
+      .distinct()
+    val dupDeltaIds = candidates
+      .join(corpusSigs.select(col("id").as("corpus_id"), col("sig").as("sig_a")),
+        "corpus_id")
+      .join(dSigs.select(col("id").as("delta_id"), col("sig").as("sig_b")),
+        "delta_id")
+      .filter(Sketches.signatureSim(col("sig_a"), col("sig_b")) >= threshold)
+      .select(col("delta_id").as(idCol))
+      .distinct()
+    minhashDedup(delta.join(dupDeltaIds, Seq(idCol), "left_anti"),
+      threshold, idCol, textCol)
   }
 
   /** Exact word-n-gram Jaccard pairs within LSH candidates: MinHash

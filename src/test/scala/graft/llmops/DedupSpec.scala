@@ -175,4 +175,36 @@ class DedupSpec extends SparkTestBase {
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     assert(capped == uncapped)
   }
+
+  test("incrementalDedup: delta cleaned against persisted corpus sketches") {
+    val corpus = docs.filter($"doc_id" < 100).select($"doc_id", $"text")
+    // delta: 50 fresh docs, one exact copy of a corpus doc, and an
+    // exact within-delta duplicate of a fresh doc
+    val fresh = docs.filter($"doc_id" >= 100 && $"doc_id" < 150)
+      .select($"doc_id", $"text")
+    val corpusCopy = corpus.filter($"doc_id" === 7)
+      .select(($"doc_id" + 70000).as("doc_id"), $"text")
+    val deltaCopy = fresh.filter($"doc_id" === 120)
+      .select(($"doc_id" + 80000).as("doc_id"), $"text")
+    val delta = fresh.unionByName(corpusCopy).unionByName(deltaCopy)
+    val cSigs = Dedup.minhashSigs(corpus)
+    // collect once — the survivor set is reused below, and each action
+    // on the raw result would otherwise recompute the full join chain
+    val out = Dedup.incrementalDedup(delta, Dedup.lshBanded(cSigs), cSigs)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val ids = out.map(_._1).toSet
+    assert(!ids.contains(70007L), "corpus duplicate must be dropped")
+    assert(!ids.contains(80120L), "within-delta duplicate must be dropped")
+    assert(ids.nonEmpty && ids.subsetOf(
+      delta.select($"doc_id").as[Long].collect().toSet))
+    // exact-level cleanliness: no surviving text equals a corpus text
+    // or another surviving text
+    val corpusTexts = corpus.select($"text").as[String].collect().toSet
+    assert(out.forall(d => !corpusTexts.contains(d._2)))
+    assert(out.map(_._2).distinct.size == out.size)
+    // idempotence: running the survivors through again removes nothing
+    val outDf = out.toDF("doc_id", "text")
+    val again = Dedup.incrementalDedup(outDf, Dedup.lshBanded(cSigs), cSigs)
+    assert(again.count() == out.size.toLong)
+  }
 }
