@@ -640,7 +640,9 @@ object SparkEntry {
       val deltaDups = fresh.filter($"doc_id" % 9 === 0)
         .withColumn("doc_id", $"doc_id" + 3000000L)
       val delta = fresh.unionByName(corpusDups).unionByName(deltaDups)
-      val cSigs = D.minhashSigs(corpus)
+      // in production these two come from persisted tables; checkpoint
+      // here so the corpus is sketched once, not once per consumer
+      val cSigs = D.minhashSigs(corpus).localCheckpoint(false)
       val cBands = D.lshBanded(cSigs)
       if (materializing) {
         materialize(cSigs, "q59_csigs")

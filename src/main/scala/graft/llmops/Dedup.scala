@@ -81,7 +81,11 @@ object Dedup {
                    idCol: String = "doc_id", textCol: String = "text")
       : DataFrame = {
     val n = bands * rowsPerBand
+    // sigs feed three branches (bands + both verify joins); checkpoint
+    // so the sketch kernel runs once per doc — the sig table is
+    // ~1 KB/doc where every recompute is a full text scan
     val sigs = minhashSigs(docs, shingleSize, n, idCol, textCol)
+      .localCheckpoint(false)
     val banded = capBuckets(lshBanded(sigs, bands, rowsPerBand), maxBucket)
     val candidates = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("band_hash"), col("id").as("id_b")),
@@ -174,7 +178,9 @@ object Dedup {
       : DataFrame = {
     val n = bands * rowsPerBand
     val corpusSigs = minhashSigs(corpus, shingleSize, n, idCol, textCol)
+      .localCheckpoint(false)
     val benchSigs = minhashSigs(benchmark, shingleSize, n, idCol, textCol)
+      .localCheckpoint(false)
     val candidates = capBuckets(lshBanded(corpusSigs, bands, rowsPerBand), maxBucket)
       .withColumnRenamed("id", "corpus_id")
       .join(lshBanded(benchSigs, bands, rowsPerBand)
@@ -224,7 +230,12 @@ object Dedup {
                        idCol: String = "doc_id", textCol: String = "text")
       : DataFrame = {
     val n = bands * rowsPerBand
+    // The delta's signatures feed four plan branches (its own bands,
+    // the corpus verify, and both sides of the within-delta verify);
+    // checkpoint so the sketch kernel runs once per doc — the sig
+    // table is ~1 KB/doc where each recompute is a full text scan.
     val dSigs = minhashSigs(delta, shingleSize, n, idCol, textCol)
+      .localCheckpoint(false)
     val dBands = lshBanded(dSigs, bands, rowsPerBand)
     val candidates = capBuckets(corpusBands, maxBucket)
       .withColumnRenamed("id", "corpus_id")
@@ -238,10 +249,27 @@ object Dedup {
       .join(dSigs.select(col("id").as("delta_id"), col("sig").as("sig_b")),
         "delta_id")
       .filter(Sketches.signatureSim(col("sig_a"), col("sig_b")) >= threshold)
-      .select(col("delta_id").as(idCol))
+      .select(col("delta_id").as("id"))
       .distinct()
-    minhashDedup(delta.join(dupDeltaIds, Seq(idCol), "left_anti"),
-      threshold, idCol, textCol)
+    // phase 2: dedup within the cleaned delta, reusing the checkpointed
+    // signatures instead of re-sketching the filtered text
+    val cleanSigs = dSigs.join(dupDeltaIds, Seq("id"), "left_anti")
+    val banded2 = capBuckets(lshBanded(cleanSigs, bands, rowsPerBand), maxBucket)
+    val cand2 = banded2.select(col("band"), col("band_hash"), col("id").as("id_a"))
+      .join(banded2.select(col("band"), col("band_hash"), col("id").as("id_b")),
+        Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val dup2 = cand2
+      .join(cleanSigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(cleanSigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .filter(Sketches.signatureSim(col("sig_a"), col("sig_b")) >= threshold)
+      .select(col("id_b"))
+      .distinct()
+    val dropIds = dupDeltaIds.unionByName(dup2.withColumnRenamed("id_b", "id"))
+      .distinct().withColumnRenamed("id", idCol)
+    delta.join(dropIds, Seq(idCol), "left_anti")
   }
 
   /** Exact word-n-gram Jaccard pairs within LSH candidates: MinHash

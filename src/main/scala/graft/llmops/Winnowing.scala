@@ -86,8 +86,14 @@ object Winnowing {
                        k: Int = 8, w: Int = 12, maxDocFreq: Int = 50,
                        idCol: String = "doc_id", textCol: String = "text")
       : DataFrame = {
+    // fps feed three branches (the df count, the slim join, and through
+    // it both self-join sides); checkpoint so the O(len·w) fingerprint
+    // kernel runs once per doc. The exploded fp table is comparable in
+    // size to the text — at corpus scale persist it to a table instead
+    // and df-filter there.
     val fps = docs.select(col(idCol).as("id"),
       explode(array_distinct(winnow_fingerprints(col(textCol), k, w))).as("fp"))
+      .localCheckpoint(false)
     val rare = fps.groupBy(col("fp"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq)
