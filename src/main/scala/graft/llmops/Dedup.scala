@@ -35,6 +35,24 @@ object Dedup {
       .drop("bucket_n")
   }
 
+  /** Pin a signature table that feeds multiple plan branches so the
+    * sketch kernel runs once per document. Default is
+    * `localCheckpoint` — cheap, but the blocks are executor-local and
+    * UNREPLICATED: on a real cluster an executor loss fails the job
+    * mid-query. Set `spark.graft.dedup.reliableSigs=true` to persist
+    * with MEMORY_AND_DISK instead, which keeps lineage and survives
+    * executor loss (at the cost of possible re-sketching on a lost
+    * partition). At true corpus scale, do neither: write the sig/band
+    * tables to storage and run the incremental path
+    * ([[incrementalDedup]] consumes exactly those persisted tables).
+    */
+  private def pinSigs(sigs: DataFrame): DataFrame =
+    if (sigs.sparkSession.conf.getOption("spark.graft.dedup.reliableSigs")
+          .exists(_.toBoolean))
+      sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else sigs.localCheckpoint(false)
+
+
   /** Exact dedup: keep the lowest-id document per identical content.
     * `xxhash64` (+ length) is the grouping key, so the shuffle carries
     * 16 bytes per doc, never the text.
@@ -84,8 +102,7 @@ object Dedup {
     // sigs feed three branches (bands + both verify joins); checkpoint
     // so the sketch kernel runs once per doc — the sig table is
     // ~1 KB/doc where every recompute is a full text scan
-    val sigs = minhashSigs(docs, shingleSize, n, idCol, textCol)
-      .localCheckpoint(false)
+    val sigs = pinSigs(minhashSigs(docs, shingleSize, n, idCol, textCol))
     val banded = capBuckets(lshBanded(sigs, bands, rowsPerBand), maxBucket)
     val candidates = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("band_hash"), col("id").as("id_b")),
@@ -177,10 +194,8 @@ object Dedup {
                          idCol: String = "doc_id", textCol: String = "text")
       : DataFrame = {
     val n = bands * rowsPerBand
-    val corpusSigs = minhashSigs(corpus, shingleSize, n, idCol, textCol)
-      .localCheckpoint(false)
-    val benchSigs = minhashSigs(benchmark, shingleSize, n, idCol, textCol)
-      .localCheckpoint(false)
+    val corpusSigs = pinSigs(minhashSigs(corpus, shingleSize, n, idCol, textCol))
+    val benchSigs = pinSigs(minhashSigs(benchmark, shingleSize, n, idCol, textCol))
     val candidates = capBuckets(lshBanded(corpusSigs, bands, rowsPerBand), maxBucket)
       .withColumnRenamed("id", "corpus_id")
       .join(lshBanded(benchSigs, bands, rowsPerBand)
@@ -234,8 +249,7 @@ object Dedup {
     // the corpus verify, and both sides of the within-delta verify);
     // checkpoint so the sketch kernel runs once per doc — the sig
     // table is ~1 KB/doc where each recompute is a full text scan.
-    val dSigs = minhashSigs(delta, shingleSize, n, idCol, textCol)
-      .localCheckpoint(false)
+    val dSigs = pinSigs(minhashSigs(delta, shingleSize, n, idCol, textCol))
     val dBands = lshBanded(dSigs, bands, rowsPerBand)
     val candidates = capBuckets(corpusBands, maxBucket)
       .withColumnRenamed("id", "corpus_id")

@@ -145,7 +145,10 @@ object TextFuncs {
   // Patterns are deliberately RE2-compatible (no lookaround, no
   // backreferences) so the DuckDB oracle can run them verbatim.
 
-  val emailPattern: String = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  // (?i) rather than widened classes: redaction runs on RAW text, so
+  // Bob@Example.COM must match too. RE2 supports the inline flag, so
+  // the DuckDB oracle can still run the pattern verbatim.
+  val emailPattern: String = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   val phonePattern: String = "\\b\\d{3}-\\d{4}\\b"
   val ipPattern: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 

@@ -34,26 +34,41 @@ object DocStreams {
       .withColumn(textCol, TextFuncs.redactPii(col(textCol)))
 
   /** Drop documents whose content was already seen within the
-    * watermark horizon. Streaming state is one 8-byte digest per
-    * unique doc in the horizon — never the text.
+    * watermark horizon. Streaming state is one ~24-byte digest pair
+    * per unique doc in the horizon — never the text.
+    *
+    * Collision tradeoff: dedup keys on content digests, not on text
+    * equality (shuffling/keeping full text in state is exactly what
+    * this operator exists to avoid at corpus scale). A digest
+    * collision drops a distinct document. With the 8-byte xxhash64
+    * alone that risk is real at corpus scale (birthday bound ~2^32
+    * docs), so the key is widened with the independent 128-bit md5 —
+    * a combined ~192-bit key whose collision probability is
+    * negligible at any corpus size, for 16 extra bytes of state.
     */
   def dedupDocs(docs: DataFrame, watermark: String = "10 minutes",
                 tsCol: String = "ingest_ts",
                 textCol: String = "text"): DataFrame = {
     val keyed = docs
       .withColumn("__digest", xxhash64(col(textCol), length(col(textCol))))
+      .withColumn("__digest2", md5(col(textCol).cast("binary")))
     val deduped =
       if (docs.isStreaming)
         keyed.withWatermark(tsCol, watermark)
-          .dropDuplicatesWithinWatermark("__digest")
-      else // batch analog: horizonless exact dedup on the same digest
-        keyed.dropDuplicates("__digest")
-    deduped.drop("__digest")
+          .dropDuplicatesWithinWatermark("__digest", "__digest2")
+      else // batch analog: horizonless exact dedup on the same digests
+        keyed.dropDuplicates("__digest", "__digest2")
+    deduped.drop("__digest", "__digest2")
   }
 
   /** Remove documents exactly matching a benchmark document:
     * stream-static left join on the content digest (broadcast static
     * side) with a text-equality verify, keep the misses. Stateless.
+    *
+    * Both sides must be in the SAME normalization: exact matching is
+    * literal, so if the stream text was transformed upstream (e.g.
+    * PII-redacted by [[cleanDocs]]), apply the same transform to
+    * `benchmark` before calling — [[ingest]] does exactly that.
     */
   def decontaminateStream(docs: DataFrame, benchmark: DataFrame,
                           textCol: String = "text"): DataFrame = {
@@ -70,7 +85,13 @@ object DocStreams {
       .drop("__digest", "__bdigest", "__btext")
   }
 
-  /** Full ingest: clean → dedup-in-horizon → decontaminate. */
+  /** Full ingest: clean → dedup-in-horizon → decontaminate. The
+    * benchmark text is redacted with the same PII pass [[cleanDocs]]
+    * applies to the stream, so a PII-bearing benchmark document still
+    * exact-matches its redacted stream counterpart (digesting the raw
+    * benchmark text would let exactly those documents escape
+    * decontamination).
+    */
   def ingest(docs: DataFrame, benchmark: DataFrame,
              minQuality: Double = 0.25,
              watermark: String = "10 minutes",
@@ -78,5 +99,6 @@ object DocStreams {
              textCol: String = "text"): DataFrame =
     decontaminateStream(
       dedupDocs(cleanDocs(docs, minQuality, textCol), watermark, tsCol, textCol),
-      benchmark, textCol)
+      benchmark.withColumn(textCol, TextFuncs.redactPii(col(textCol))),
+      textCol)
 }

@@ -108,7 +108,9 @@ class PropertySpec extends SparkTestBase {
 
   test("redactPii is idempotent and leaves no matchable PII behind") {
     val T = graft.llmops.TextFuncs
-    val user = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString.take(8))
+    // mixed-case locals/hosts: redaction runs on RAW text, so
+    // Bob@Example.COM must be caught too (the patterns carry (?i))
+    val user = Gen.nonEmptyListOf(Gen.alphaChar).map(_.mkString.take(8))
     val g = for {
       u <- user; h <- user
       p <- Gen.chooseNum(0, 9999)

@@ -62,6 +62,14 @@ class TextFuncsSpec extends SparkTestBase {
     assert(counts == Seq((1, 1, 1), (0, 0, 0)))
   }
 
+  test("PII redaction is case-insensitive on raw (non-lowercased) text") {
+    val df = Seq("reach Bob@Example.COM or ADMIN@CORP.IO today").toDF("t")
+    val r = df.select(TextFuncs.redactPii($"t")).as[String].head()
+    assert(r == "reach <EMAIL> or <EMAIL> today")
+    val n = df.select(TextFuncs.emailCount($"t")).as[Int].head()
+    assert(n == 2)
+  }
+
   test("phone pattern needs word boundaries; partial numbers survive") {
     val df = Seq("id 1555-01421 stays, 555-0142 goes").toDF("t")
     val r = df.select(TextFuncs.redactPii($"t")).as[String].head()

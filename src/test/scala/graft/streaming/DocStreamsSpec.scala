@@ -54,6 +54,29 @@ class DocStreamsSpec extends SparkTestBase {
     assert(ids == Set(1L, 2L, 3L)) // 3 re-admitted: state for doc 1 expired
   }
 
+  test("PII-bearing benchmark doc still decontaminates the redacted stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val docs = mem.toDF().toDF("ingest_ts", "doc_id", "text")
+    // the benchmark doc contains an email: the stream copy gets
+    // redacted by cleanDocs, so digesting the RAW benchmark text
+    // would never match — ingest must digest the redacted form
+    val leaky = goodText + " contact Admin@Bench.ORG for the answer key"
+    val benchmark = Seq(leaky).toDF("text")
+    val q = DocStreams.ingest(docs, benchmark, minQuality = 0.0)
+      .writeStream.format("memory").queryName("pii_bench_out")
+      .outputMode("append").start()
+    val t = java.sql.Timestamp.valueOf(_: String)
+    mem.addData(
+      (t("2024-01-01 10:00:00"), 1L, leaky),      // benchmark hit, must drop
+      (t("2024-01-01 10:00:10"), 2L, goodText))   // clean, must survive
+    q.processAllAvailable()
+    val ids = spark.table("pii_bench_out").select($"doc_id")
+      .as[Long].collect().toSet
+    q.stop()
+    assert(ids == Set(2L))
+  }
+
   test("batch mode equals the batch llmops pipeline on the corpus") {
     val docs = graft.Tables.documents(spark, sf0001)
       .withColumn("ingest_ts",
