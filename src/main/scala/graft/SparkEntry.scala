@@ -656,6 +656,66 @@ object SparkEntry {
         .orderBy($"source")
     }),
 
+    // llmops exact n-gram Jaccard dedup family: MinHash banding
+    // PROPOSES candidates (threshold 0.3 — recall knob), the exact
+    // word-3-gram set Jaccard DISPOSES (threshold 0.4). The exact set
+    // compare only ever runs on bucket-mates. Verify dumps the
+    // candidate pairs and the exploded gram table; the oracle
+    // recomputes intersections/unions relationally from them.
+    "q60_ngram_jaccard" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val D = graft.llmops.Dedup
+      if (materializing) {
+        materialize(D.minhashPairs(docs, threshold = 0.3)
+          .select($"id_a", $"id_b"), "q60_cands")
+        materialize(docs.select($"doc_id".as("id"),
+          explode(graft.llmops.TextFuncs.wordNgrams($"text", 3)).as("gram")),
+          "q60_grams")
+      }
+      D.ngramJaccardPairs(docs, n = 3, threshold = 0.4)
+        .select($"id_a", $"id_b", round($"jaccard", 2).as("jac_bucket"))
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // llmops stratified corpus sampling: per-source deterministic
+    // rates (downsample-web / keep-books corpus mixing). Keep is a
+    // pure function of (source, text) — an md5-prefix range check at
+    // 1/65536 granularity — so the sample is stable under reruns,
+    // repartitioning, and appends. No shuffle until the count.
+    "q61_stratified_sample" -> ((s, d) => {
+      import s.implicits._
+      val S = graft.llmops.Splits
+      val thr = S.stratumThreshold($"source",
+        Map("src0" -> 0.75, "src1" -> 0.5, "src2" -> 0.25),
+        defaultFrac = 0.1)
+      t(s, d, "documents")
+        .withColumn("keep", S.sampleHash($"text", thr))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"keep", 1L).otherwise(0L)).as("n_sampled"))
+        .orderBy($"source")
+    }),
+
+    // Bloom-pruned semi-join (explicit runtime-filter shape): the
+    // urgent-order key set compresses to bloom bits tested at the
+    // lineitem scan, so non-matching rows die before the join shuffle;
+    // the exact semi-join behind it disposes of false positives, so
+    // the result equals the plain semi-join the oracle runs. Revenue
+    // in exact cents (order-independent sum).
+    "q62_bloom_prune" -> ((s, d) => {
+      import s.implicits._
+      val urgent = t(s, d, "orders")
+        .filter($"o_orderpriority" === "1-URGENT" && $"o_custkey" < 100)
+      graft.ops.Bloom.prunedSemiJoin(
+          t(s, d, "lineitem"), $"l_orderkey", urgent, $"o_orderkey",
+          expectedItems = 10000L, fpp = 0.01)
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          sum(round($"l_extendedprice" * 100).cast("long")).as("sum_cents"))
+        .orderBy($"l_returnflag")
+    }),
+
     // llmops sequence packing: concat-and-chunk bin assignment via
     // stream-parallel window cumsum (see Packing for the 100 TB shape),
     // reduced to bin-level stats.
@@ -1379,6 +1439,47 @@ object SparkEntry {
          SELECT source, count(*) AS n_docs
          FROM delta JOIN surv ON delta.doc_id = surv.id
          GROUP BY source ORDER BY source""",
+    "q60_ngram_jaccard" ->
+      """WITH cand AS (
+           SELECT id_a, id_b
+           FROM read_parquet('/root/repo/spark-warehouse/q60_cands/*.parquet')),
+         grams AS (
+           SELECT id, gram
+           FROM read_parquet('/root/repo/spark-warehouse/q60_grams/*.parquet')),
+         sizes AS (SELECT id, count(*) AS n FROM grams GROUP BY id),
+         inter AS (
+           SELECT c.id_a, c.id_b, count(*) AS i
+           FROM cand c
+           JOIN grams ga ON ga.id = c.id_a
+           JOIN grams gb ON gb.id = c.id_b AND gb.gram = ga.gram
+           GROUP BY c.id_a, c.id_b),
+         jac AS (
+           SELECT c.id_a, c.id_b,
+                  coalesce(i.i, 0)::DOUBLE
+                    / (sa.n + sb.n - coalesce(i.i, 0)) AS j
+           FROM cand c
+           JOIN sizes sa ON sa.id = c.id_a
+           JOIN sizes sb ON sb.id = c.id_b
+           LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b)
+         SELECT id_a, id_b, round(j, 2) AS jac_bucket
+         FROM jac WHERE j >= 0.4 ORDER BY id_a, id_b""",
+    "q61_stratified_sample" ->
+      """SELECT source, count(*) AS n_docs,
+                sum(CASE WHEN substring(md5(text), 1, 4) <
+                      CASE source WHEN 'src0' THEN 'c000'
+                                  WHEN 'src1' THEN '8000'
+                                  WHEN 'src2' THEN '4000'
+                                  ELSE '199a' END
+                    THEN 1 ELSE 0 END)::BIGINT AS n_sampled
+         FROM documents GROUP BY source ORDER BY source""",
+    "q62_bloom_prune" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+                sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS sum_cents
+         FROM lineitem
+         WHERE l_orderkey IN (
+           SELECT o_orderkey FROM orders
+           WHERE o_orderpriority = '1-URGENT' AND o_custkey < 100)
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q55_pii_redact" ->
       """WITH withpii AS (
            SELECT doc_id,

@@ -14,9 +14,15 @@ import org.apache.spark.sql.functions._
   */
 object Splits {
 
-  /** Hex threshold for a fraction of the 256 two-hex-digit buckets. */
-  private def hexAt(frac: Double): String =
-    f"${math.min(256, math.round(frac * 256)).toInt}%02x"
+  /** Hex threshold for a fraction of the 256 two-hex-digit buckets.
+    * A saturated fraction returns "g": every hex prefix sorts below it
+    * (hex digits end at 'f'), whereas the naive "100" would sort
+    * BELOW "ff" lexicographically and silently invert the test.
+    */
+  private def hexAt(frac: Double): String = {
+    val n = math.round(frac * 256).toInt
+    if (n >= 256) "g" else f"$n%02x"
+  }
 
   /** 'train' | 'val' | 'test' from the first md5 byte of `text`.
     * Fractions are quantized to 1/256 granularity (md5 bytes are
@@ -31,4 +37,39 @@ object Splits {
       .when(b < lit(hexAt(trainFrac + valFrac)), "val")
       .otherwise("test")
   }
+
+  /** Hex threshold for a fraction of the 65536 four-hex-digit buckets;
+    * saturates to "g" like [[hexAt]].
+    */
+  private def hexAt4(frac: Double): String = {
+    val n = math.round(frac * 65536).toInt
+    if (n >= 65536) "g" else f"$n%04x"
+  }
+
+  /** Deterministic keep-decision for sampling at rate `frac`, keyed on
+    * content: true iff the first two md5 bytes of `key` fall under the
+    * fraction threshold (1/65536 granularity). Same properties as
+    * [[assignSplit]] — stable under reruns, parallelism, and appends,
+    * no shuffle, no RNG — which is what lets a sample of a growing
+    * corpus stay a superset-consistent sample. `frac` may be a per-row
+    * column (per-stratum rates via a CASE/when over the stratum).
+    */
+  def sampleHash(key: Column, frac: Column): Column =
+    substring(md5(key), 1, 4) < frac
+
+  /** Per-stratum deterministic sampling rates: a `when`-chain mapping
+    * each stratum value to its [[hexAt4]] threshold. The common
+    * downsample-web/keep-books corpus-mixing shape: rates differ by
+    * source but each document's fate is a pure function of its text.
+    */
+  def stratumThreshold(stratum: Column, fractions: Map[String, Double],
+                       defaultFrac: Double): Column =
+    fractions.foldLeft(null.asInstanceOf[Column]) { case (acc, (k, f)) =>
+      val hex = lit(hexAt4(f))
+      if (acc == null) when(stratum === k, hex)
+      else acc.when(stratum === k, hex)
+    } match {
+      case null => lit(hexAt4(defaultFrac))
+      case c => c.otherwise(lit(hexAt4(defaultFrac)))
+    }
 }

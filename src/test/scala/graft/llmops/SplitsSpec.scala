@@ -30,6 +30,25 @@ class SplitsSpec extends SparkTestBase {
     assert(math.abs(counts.getOrElse("test", 0L) / n - 0.1) < 0.06)
   }
 
+  test("stratified sample hits per-stratum rates and is content-stable") {
+    val thr = Splits.stratumThreshold($"source",
+      Map("src0" -> 1.0, "src1" -> 0.5), defaultFrac = 0.0)
+    val kept = docs.withColumn("keep", Splits.sampleHash($"text", thr))
+    val rates = kept.groupBy($"source")
+      .agg((sum(when($"keep", 1.0).otherwise(0.0)) / count(lit(1))).as("r"))
+      .as[(String, Double)].collect().toMap
+    assert(rates("src0") == 1.0)                    // frac 1.0 keeps all
+    assert(math.abs(rates("src1") - 0.5) < 0.25)    // 25 docs: noisy but near
+    assert(rates.filter(r => r._1 != "src0" && r._1 != "src1")
+      .values.forall(_ == 0.0))                     // default 0 keeps none
+    // same doc, same fate under repartition/order changes
+    val a = kept.select($"doc_id", $"keep").as[(Long, Boolean)].collect().toMap
+    val b = docs.repartition(5).orderBy($"doc_id".desc)
+      .withColumn("keep", Splits.sampleHash($"text", thr))
+      .select($"doc_id", $"keep").as[(Long, Boolean)].collect().toMap
+    assert(a == b)
+  }
+
   test("appending new documents never reassigns existing ones") {
     val before = docs.withColumn("split", Splits.assignSplit($"text"))
       .select($"doc_id", $"split").as[(Long, String)].collect().toMap
