@@ -68,6 +68,15 @@ object Graft {
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                     threshold: Double = 0.7): DataFrame =
     llmops.Dedup.decontaminate(corpus, benchmark, threshold)
+  /** Exact word-n-gram Jaccard pairs within LSH candidates. */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
+                        threshold: Double = 0.5): DataFrame =
+    llmops.Dedup.ngramJaccardPairs(docs, n, threshold)
+  /** Clean a delta batch against persisted corpus sketch tables. */
+  def incrementalDedup(delta: DataFrame, corpusBands: DataFrame,
+                       corpusSigs: DataFrame,
+                       threshold: Double = 0.7): DataFrame =
+    llmops.Dedup.incrementalDedup(delta, corpusBands, corpusSigs, threshold)
 
   // ---- similarity search -------------------------------------------
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
@@ -104,6 +113,22 @@ object Graft {
   /** Concat-and-chunk sequence packing (bin id per document). */
   def packBins(docs: DataFrame, targetTokens: Int, streams: Int = 8): DataFrame =
     llmops.Packing.packBins(docs, targetTokens, streams)
+  /** Deterministic per-stratum sampling decision (corpus mixing):
+    * true iff the row survives its stratum's rate.
+    */
+  def stratifiedKeep(stratum: Column, key: Column,
+                     fractions: Map[String, Double],
+                     defaultFrac: Double): Column =
+    llmops.Splits.sampleHash(key,
+      llmops.Splits.stratumThreshold(stratum, fractions, defaultFrac))
+
+  // ---- join pruning ------------------------------------------------
+  /** Exact semi-join with a bloom pre-filter at the fact scan. */
+  def bloomSemiJoin(fact: DataFrame, factKey: Column,
+                    dim: DataFrame, dimKey: Column,
+                    expectedItems: Long = 1000000L,
+                    fpp: Double = 0.03): DataFrame =
+    ops.Bloom.prunedSemiJoin(fact, factKey, dim, dimKey, expectedItems, fpp)
 
   // ---- url / html --------------------------------------------------
   def resolveUrl(href: Column, base: Column): Column =

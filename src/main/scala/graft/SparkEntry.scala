@@ -716,6 +716,40 @@ object SparkEntry {
         .orderBy($"l_returnflag")
     }),
 
+    // HLL approximate distinct per source. The estimate itself has no
+    // cross-engine oracle (HLL implementations differ), so the
+    // contract column IS the oracle: the query asserts the estimate
+    // lands within 5% of exact (rsd 0.01 → expected error ~1%), the
+    // SQL side emits the literal the assertion must equal — same
+    // pattern as q53, where the oracle pins "salting is invisible".
+    // At 100 TB this replaces the exact count-distinct shuffle (every
+    // distinct text key) with fixed-size mergeable registers.
+    "q63_approx_distinct" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .groupBy($"source")
+        .agg(countDistinct($"text").as("n_exact"),
+          approx_count_distinct($"text", rsd = 0.01).as("n_approx"))
+        .select($"source", $"n_exact",
+          (abs($"n_approx" - $"n_exact") <= $"n_exact" * 0.05).as("approx_ok"))
+        .orderBy($"source")
+    }),
+
+    // Deterministic per-group sample: k docs per source chosen by
+    // content-hash order — the uniform-but-reproducible spot-check
+    // sample (same docs on any cluster, any run). The rank window
+    // lowers to WindowGroupLimit, so each task keeps ≤k rows per
+    // group before the shuffle.
+    "q64_group_sample" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"source").orderBy(md5($"text"), $"doc_id")
+      t(s, d, "documents")
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 3)
+        .select($"source", $"rk", $"doc_id")
+        .orderBy($"source", $"rk")
+    }),
+
     // llmops sequence packing: concat-and-chunk bin assignment via
     // stream-parallel window cumsum (see Packing for the 100 TB shape),
     // reduced to bin-level stats.
@@ -1480,6 +1514,17 @@ object SparkEntry {
            SELECT o_orderkey FROM orders
            WHERE o_orderpriority = '1-URGENT' AND o_custkey < 100)
          GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q63_approx_distinct" ->
+      """SELECT source, count(DISTINCT text)::BIGINT AS n_exact,
+                TRUE AS approx_ok
+         FROM documents GROUP BY source ORDER BY source""",
+    "q64_group_sample" ->
+      """SELECT source, rk, doc_id FROM (
+           SELECT source, doc_id,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY md5(text), doc_id) AS rk
+           FROM documents)
+         WHERE rk <= 3 ORDER BY source, rk""",
     "q55_pii_redact" ->
       """WITH withpii AS (
            SELECT doc_id,

@@ -98,6 +98,27 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q62: bloom test filters the fact scan before any join") {
+    val p = plan("q62_bloom_prune")
+    // the might_contain filter sits below the semi-join in the plan
+    assert(p.contains("might_contain"), p.take(2000))
+    val filterAt = p.indexOf("might_contain")
+    val joinAt = p.indexOf("Join LeftSemi") match {
+      case -1 => p.indexOf("BroadcastHashJoin")
+      case i => i
+    }
+    assert(joinAt >= 0 && filterAt > joinAt, // physical plans print top-down
+      s"join@$joinAt filter@$filterAt\n" + p.take(2000))
+  }
+
+  test("q61: stratified sample is a scalar projection — one hash exchange, for the agg") {
+    val p = plan("q61_stratified_sample")
+    // keep-decision shuffles nothing; the only hash exchange is the
+    // aggregation's (the display orderBy adds a range exchange)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(2000))
+    assert(p.contains("partial_"), p.take(2000)) // map-side combine
+  }
+
   test("banded pair generators: bucket-cap window reuses the join exchange") {
     // capBuckets counts over (band, band_hash) — the same keys the
     // candidate self-join shuffles on; the window's exchange must be
