@@ -72,6 +72,14 @@ object Graft {
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
                         threshold: Double = 0.5): DataFrame =
     llmops.Dedup.ngramJaccardPairs(docs, n, threshold)
+  /** Exact decontamination with a bloom pre-split (benchmark too big
+    * to broadcast): misses skip the join entirely.
+    */
+  def bloomDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+                         expectedItems: Long = 1000000L,
+                         fpp: Double = 0.01): DataFrame =
+    llmops.Dedup.bloomDecontaminate(corpus, benchmark,
+      expectedItems = expectedItems, fpp = fpp)
   /** Clean a delta batch against persisted corpus sketch tables. */
   def incrementalDedup(delta: DataFrame, corpusBands: DataFrame,
                        corpusSigs: DataFrame,

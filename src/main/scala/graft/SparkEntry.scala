@@ -750,6 +750,22 @@ object SparkEntry {
         .orderBy($"source", $"rk")
     }),
 
+    // Bloom-accelerated exact decontamination: the scale path when the
+    // benchmark outgrows the broadcast threshold. Bloom splits the
+    // corpus at the scan (misses are definitely clean, zero shuffle);
+    // only suspects anti-join the benchmark, on a 192-bit digest pair
+    // so text never shuffles. Result ≡ the plain NOT IN the oracle
+    // runs.
+    "q65_bloom_decontam" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents")
+      val bench = corpus.filter($"doc_id" % 50 === 0).select($"text")
+      graft.llmops.Dedup.bloomDecontaminate(corpus, bench,
+          expectedItems = 10000L, fpp = 0.01)
+        .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+        .orderBy($"source")
+    }),
+
     // llmops sequence packing: concat-and-chunk bin assignment via
     // stream-parallel window cumsum (see Packing for the 100 TB shape),
     // reduced to bin-level stats.
@@ -1525,6 +1541,11 @@ object SparkEntry {
                                      ORDER BY md5(text), doc_id) AS rk
            FROM documents)
          WHERE rk <= 3 ORDER BY source, rk""",
+    "q65_bloom_decontam" ->
+      """SELECT source, count(*) AS n_docs
+         FROM documents
+         WHERE text NOT IN (SELECT text FROM documents WHERE doc_id % 50 = 0)
+         GROUP BY source ORDER BY source""",
     "q55_pii_redact" ->
       """WITH withpii AS (
            SELECT doc_id,

@@ -38,8 +38,14 @@ object Bloom {
     */
   def bloomBytesOf(dim: DataFrame, dimKey: Column,
                    expectedItems: Long, fpp: Double): Array[Byte] = {
-    val bf = dim.select(xxhash64(dimKey).as("__h"))
-      .stat.bloomFilter("__h", expectedItems, fpp)
+    val keyed = dim.select(xxhash64(dimKey).as("__h"))
+    // stat.bloomFilter NPEs on zero rows (null aggregation buffer);
+    // an empty key set is a valid dim — its bloom rejects everything
+    val bf =
+      if (keyed.isEmpty)
+        org.apache.spark.util.sketch.BloomFilter.create(
+          math.max(1L, expectedItems), fpp)
+      else keyed.stat.bloomFilter("__h", expectedItems, fpp)
     val bos = new ByteArrayOutputStream()
     bf.writeTo(bos)
     bos.toByteArray

@@ -152,6 +152,17 @@ class DedupSpec extends SparkTestBase {
     }, s"false contamination hits: $extra")
   }
 
+  test("bloomDecontaminate equals the plain text anti-join exactly") {
+    val bench = docs.filter($"doc_id" % 10 === 0).select($"text")
+    val got = Dedup.bloomDecontaminate(docs, bench,
+      expectedItems = 1000L, fpp = 0.01)
+      .select($"doc_id").as[Long].collect().toSet
+    val want = docs.join(bench.distinct(), Seq("text"), "left_anti")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty && got.size < docs.count())
+  }
+
   test("decontaminate drops exactly the leaked docs") {
     val bench = docs.filter($"doc_id" < 5).select($"doc_id", $"text")
     val leaked = bench.filter($"doc_id" < 3)

@@ -32,6 +32,14 @@ class BloomSpec extends SparkTestBase {
     assert(missed.count() == 0)
   }
 
+  test("empty dim side yields an empty result, not an error") {
+    val dim = orders.filter($"o_orderkey" < 0) // empty key set
+    val pruned = Bloom.prunedSemiJoin(
+      lineitem, $"l_orderkey", dim, $"o_orderkey",
+      expectedItems = 10L, fpp = 0.01)
+    assert(pruned.count() == 0)
+  }
+
   test("bloom pre-filter actually prunes at a selective fpp") {
     val dim = orders.filter($"o_custkey" < 10) // very selective key set
     val bytes = Bloom.bloomBytesOf(dim, $"o_orderkey", 100L, 0.01)
