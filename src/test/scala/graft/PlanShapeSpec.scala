@@ -119,6 +119,14 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("partial_"), p.take(2000)) // map-side combine
   }
 
+  test("q65: bloom split keeps the clean branch join-free; suspects broadcast-anti-join") {
+    val p = plan("q65_bloom_decontam")
+    assert(p.contains("might_contain"), p.take(2000))
+    // the anti-join is broadcast (digest keys), never a sort-merge
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
   test("banded pair generators: bucket-cap window reuses the join exchange") {
     // capBuckets counts over (band, band_hash) — the same keys the
     // candidate self-join shuffles on; the window's exchange must be

@@ -136,6 +136,23 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("hash samples are nested: raising the rate only ever adds rows") {
+    val S = graft.llmops.Splits
+    val docs = Tables.documents(spark, sf0001).select($"doc_id", $"text")
+    // md5-prefix thresholds are nested ranges, so a 20% sample is a
+    // strict subset of the 50% sample of the same corpus — the
+    // property that keeps longitudinal samples comparable as rates
+    // are tuned
+    val kept = docs.select($"doc_id",
+      S.sampleHash($"text", S.stratumThreshold(lit("x"), Map.empty, 0.2)).as("k20"),
+      S.sampleHash($"text", S.stratumThreshold(lit("x"), Map.empty, 0.5)).as("k50"))
+      .collect()
+    assert(kept.forall(r => !r.getAs[Boolean]("k20") || r.getAs[Boolean]("k50")))
+    val n20 = kept.count(_.getAs[Boolean]("k20"))
+    val n50 = kept.count(_.getAs[Boolean]("k50"))
+    assert(n20 < n50 && n50 < kept.length)
+  }
+
   test("packing partitions every doc into exactly one bin; bins fill in order") {
     val wordG = Gen.oneOf("a", "bb", "ccc", "dddd")
     val docG = Gen.chooseNum(1, 40).flatMap(n =>
