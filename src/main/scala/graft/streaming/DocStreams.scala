@@ -85,20 +85,33 @@ object DocStreams {
       .drop("__digest", "__bdigest", "__btext")
   }
 
-  /** Full ingest: clean → dedup-in-horizon → decontaminate. The
-    * benchmark text is redacted with the same PII pass [[cleanDocs]]
-    * applies to the stream, so a PII-bearing benchmark document still
-    * exact-matches its redacted stream counterpart (digesting the raw
-    * benchmark text would let exactly those documents escape
-    * decontamination).
+  /** Full ingest: clean → sample → dedup-in-horizon → decontaminate.
+    * The benchmark text is redacted with the same PII pass
+    * [[cleanDocs]] applies to the stream, so a PII-bearing benchmark
+    * document still exact-matches its redacted stream counterpart
+    * (digesting the raw benchmark text would let exactly those
+    * documents escape decontamination).
+    *
+    * `sampleFrac` downsamples by content hash
+    * ([[graft.llmops.Splits.sampleHash]]) — stateless, so it composes
+    * into the stream for free, and placed BEFORE dedup so dropped
+    * docs never enter dedup state. Content-keyed sampling keeps the
+    * decision consistent if the same doc re-arrives in a later
+    * micro-batch.
     */
   def ingest(docs: DataFrame, benchmark: DataFrame,
              minQuality: Double = 0.25,
              watermark: String = "10 minutes",
              tsCol: String = "ingest_ts",
-             textCol: String = "text"): DataFrame =
+             textCol: String = "text",
+             sampleFrac: Double = 1.0): DataFrame = {
+    val S = graft.llmops.Splits
+    val sampled = cleanDocs(docs, minQuality, textCol)
+      .filter(S.sampleHash(col(textCol),
+        S.stratumThreshold(lit(""), Map.empty, sampleFrac)))
     decontaminateStream(
-      dedupDocs(cleanDocs(docs, minQuality, textCol), watermark, tsCol, textCol),
+      dedupDocs(sampled, watermark, tsCol, textCol),
       benchmark.withColumn(textCol, TextFuncs.redactPii(col(textCol))),
       textCol)
+  }
 }

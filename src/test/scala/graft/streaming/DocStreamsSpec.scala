@@ -77,6 +77,23 @@ class DocStreamsSpec extends SparkTestBase {
     assert(ids == Set(2L))
   }
 
+  test("ingest sampleFrac downsamples deterministically before dedup") {
+    val docs = graft.Tables.documents(spark, sf0001)
+      .withColumn("ingest_ts",
+        org.apache.spark.sql.functions.lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    val noBench = docs.filter($"doc_id" < 0).select($"text")
+    val all = DocStreams.ingest(docs, noBench, minQuality = 0.0)
+    val half = DocStreams.ingest(docs, noBench, minQuality = 0.0, sampleFrac = 0.5)
+    val none = DocStreams.ingest(docs, noBench, minQuality = 0.0, sampleFrac = 0.0)
+    assert(none.count() == 0)
+    val (nAll, nHalf) = (all.count(), half.count())
+    assert(nHalf > 0 && nHalf < nAll)
+    assert(math.abs(nHalf.toDouble / nAll - 0.5) < 0.15) // content-uniform
+    // rerun → identical sample (content-keyed, no RNG)
+    assert(DocStreams.ingest(docs, noBench, minQuality = 0.0, sampleFrac = 0.5)
+      .count() == nHalf)
+  }
+
   test("batch mode equals the batch llmops pipeline on the corpus") {
     val docs = graft.Tables.documents(spark, sf0001)
       .withColumn("ingest_ts",
