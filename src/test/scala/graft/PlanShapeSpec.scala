@@ -119,6 +119,10 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("partial_"), p.take(2000)) // map-side combine
   }
 
+  test("q64: per-group sample lowers to WindowGroupLimit") {
+    assert(plan("q64_group_sample").contains("WindowGroupLimit"))
+  }
+
   test("q65: bloom split keeps the clean branch join-free; suspects broadcast-anti-join") {
     val p = plan("q65_bloom_decontam")
     assert(p.contains("might_contain"), p.take(2000))
