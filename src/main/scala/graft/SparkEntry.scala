@@ -766,6 +766,43 @@ object SparkEntry {
         .orderBy($"source")
     }),
 
+    // Deterministic corpus shuffle (training order): sort by a seeded
+    // content hash — reproducible "random" order with no RNG, a
+    // distributed range-partition sort at full scale. The head-20
+    // probe here lowers to TakeOrderedAndProject (per-partition top-k,
+    // no global sort materialized).
+    "q66_corpus_shuffle" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .select($"doc_id",
+          substring(md5(concat($"text", lit("seed42"))), 1, 8).as("h"))
+        .orderBy($"h", $"doc_id")
+        .limit(20)
+    }),
+
+    // Quantile binning without a global sort (curriculum bucketing):
+    // exact quartile thresholds from ONE aggregation, broadcast back,
+    // bin assignment as a narrow map — the scale-correct alternative
+    // to ntile's single-partition global window. Char sum per bin in
+    // BIGINT (oracle casts DuckDB's HUGEINT).
+    "q67_quantile_bins" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val qs = docs.agg(
+        percentile($"n_chars", lit(0.25)).as("q1"),
+        percentile($"n_chars", lit(0.5)).as("q2"),
+        percentile($"n_chars", lit(0.75)).as("q3"))
+      docs.crossJoin(broadcast(qs))
+        .withColumn("bin",
+          when($"n_chars" <= $"q1", 0)
+            .when($"n_chars" <= $"q2", 1)
+            .when($"n_chars" <= $"q3", 2)
+            .otherwise(3))
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+        .orderBy($"bin")
+    }),
+
     // llmops sequence packing: concat-and-chunk bin assignment via
     // stream-parallel window cumsum (see Packing for the 100 TB shape),
     // reduced to bin-level stats.
@@ -1546,6 +1583,21 @@ object SparkEntry {
          FROM documents
          WHERE text NOT IN (SELECT text FROM documents WHERE doc_id % 50 = 0)
          GROUP BY source ORDER BY source""",
+    "q66_corpus_shuffle" ->
+      """SELECT doc_id, substring(md5(text || 'seed42'), 1, 8) AS h
+         FROM documents ORDER BY h, doc_id LIMIT 20""",
+    "q67_quantile_bins" ->
+      """WITH qs AS (
+           SELECT quantile_cont(n_chars, 0.25) AS q1,
+                  quantile_cont(n_chars, 0.5) AS q2,
+                  quantile_cont(n_chars, 0.75) AS q3
+           FROM documents)
+         SELECT CASE WHEN n_chars <= q1 THEN 0
+                     WHEN n_chars <= q2 THEN 1
+                     WHEN n_chars <= q3 THEN 2 ELSE 3 END AS bin,
+                count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+         FROM documents, qs
+         GROUP BY 1 ORDER BY bin""",
     "q55_pii_redact" ->
       """WITH withpii AS (
            SELECT doc_id,

@@ -123,6 +123,16 @@ class PlanShapeSpec extends SparkTestBase {
     assert(plan("q64_group_sample").contains("WindowGroupLimit"))
   }
 
+  test("q66: shuffle-order probe lowers to TakeOrderedAndProject, not a global sort") {
+    assert(plan("q66_corpus_shuffle").contains("TakeOrderedAndProject"))
+  }
+
+  test("q67: quantile thresholds broadcast; bin assignment is a narrow map") {
+    val p = plan("q67_quantile_bins")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
   test("q65: bloom split keeps the clean branch join-free; suspects broadcast-anti-join") {
     val p = plan("q65_bloom_decontam")
     assert(p.contains("might_contain"), p.take(2000))
