@@ -121,6 +121,13 @@ object Graft {
   /** Concat-and-chunk sequence packing (bin id per document). */
   def packBins(docs: DataFrame, targetTokens: Int, streams: Int = 8): DataFrame =
     llmops.Packing.packBins(docs, targetTokens, streams)
+  /** Seeded content-hash key for deterministic corpus shuffling. */
+  def shuffleKey(key: Column, seed: String): Column =
+    llmops.Splits.shuffleKey(key, seed)
+  /** Quantile binning via broadcast thresholds (no global sort). */
+  def quantileBins(df: DataFrame, value: Column, probs: Seq[Double],
+                   binCol: String = "bin"): DataFrame =
+    llmops.Binning.quantileBins(df, value, probs, binCol)
   /** Deterministic per-stratum sampling decision (corpus mixing):
     * true iff the row survives its stratum's rate.
     */

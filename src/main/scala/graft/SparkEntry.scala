@@ -775,7 +775,8 @@ object SparkEntry {
       import s.implicits._
       t(s, d, "documents")
         .select($"doc_id",
-          substring(md5(concat($"text", lit("seed42"))), 1, 8).as("h"))
+          substring(graft.llmops.Splits.shuffleKey($"text", "seed42"), 1, 8)
+            .as("h"))
         .orderBy($"h", $"doc_id")
         .limit(20)
     }),
@@ -787,17 +788,8 @@ object SparkEntry {
     // BIGINT (oracle casts DuckDB's HUGEINT).
     "q67_quantile_bins" -> ((s, d) => {
       import s.implicits._
-      val docs = t(s, d, "documents")
-      val qs = docs.agg(
-        percentile($"n_chars", lit(0.25)).as("q1"),
-        percentile($"n_chars", lit(0.5)).as("q2"),
-        percentile($"n_chars", lit(0.75)).as("q3"))
-      docs.crossJoin(broadcast(qs))
-        .withColumn("bin",
-          when($"n_chars" <= $"q1", 0)
-            .when($"n_chars" <= $"q2", 1)
-            .when($"n_chars" <= $"q3", 2)
-            .otherwise(3))
+      graft.llmops.Binning.quantileBins(
+          t(s, d, "documents"), $"n_chars", Seq(0.25, 0.5, 0.75))
         .groupBy($"bin")
         .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
         .orderBy($"bin")

@@ -1,0 +1,42 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Quantile binning without a global sort — curriculum bucketing for
+  * training-data pipelines (mix-by-length, mix-by-quality).
+  *
+  * `ntile` over a global ORDER BY funnels the whole corpus through one
+  * window partition; this instead computes the exact quantile
+  * thresholds in ONE aggregation (a handful of doubles), broadcasts
+  * them back, and assigns bins with a narrow `when`-chain — two scans,
+  * zero wide shuffles, any corpus size. Thresholds are exact
+  * (`percentile`, not approx), so the binning is deterministic and
+  * reproducible across engines.
+  */
+object Binning {
+
+  /** Append `binCol` (0..probs.size) to `df`, where row value ≤ the
+    * k-th quantile of `value` ⇒ bin k. `probs` must be strictly
+    * increasing, each in (0, 1).
+    */
+  def quantileBins(df: DataFrame, value: Column, probs: Seq[Double],
+                   binCol: String = "bin"): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p < 1) &&
+      probs == probs.sorted && probs.distinct == probs,
+      "probs must be strictly increasing fractions in (0,1)")
+    val thrCols = probs.indices.map(i => s"__q$i")
+    val thresholds = df.agg(
+      percentile(value, lit(probs.head)).as(thrCols.head),
+      probs.tail.zipWithIndex.map { case (p, i) =>
+        percentile(value, lit(p)).as(thrCols(i + 1)) }: _*)
+    val bin = thrCols.zipWithIndex.foldLeft(null.asInstanceOf[Column]) {
+      case (acc, (c, i)) =>
+        if (acc == null) when(value <= col(c), i)
+        else acc.when(value <= col(c), i)
+    }.otherwise(probs.size)
+    df.crossJoin(broadcast(thresholds))
+      .withColumn(binCol, bin)
+      .drop(thrCols: _*)
+  }
+}

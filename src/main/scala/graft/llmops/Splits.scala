@@ -38,6 +38,14 @@ object Splits {
       .otherwise("test")
   }
 
+  /** Seeded content-hash ordering key for deterministic corpus
+    * shuffling: sorting by it gives a reproducible "random" training
+    * order with no RNG — a distributed range-partition sort at scale,
+    * and the same order on any cluster for the same seed.
+    */
+  def shuffleKey(key: Column, seed: String): Column =
+    md5(concat(key, lit(seed)))
+
   /** Hex threshold for a fraction of the 65536 four-hex-digit buckets;
     * saturates to "g" like [[hexAt]].
     */
