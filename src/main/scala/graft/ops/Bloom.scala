@@ -63,13 +63,26 @@ object Bloom {
     * pre-filter at the fact side so only probable matches reach the
     * join shuffle. Result is EXACTLY the plain semi-join (the bloom
     * admits no false negatives and the join removes false positives).
+    *
+    * xxhash64 is physical-type-sensitive (hash(5: int) ≠
+    * hash(5L: long)), while the join itself coerces mixed key types —
+    * so when the two sides' types differ, both are hashed through a
+    * string cast to keep representations aligned. Integer-family
+    * mixes (int vs long) align exactly; fractional-vs-integral mixes
+    * ("5.0" vs "5") do not — pre-cast such keys to a common type
+    * before calling.
     */
   def prunedSemiJoin(fact: DataFrame, factKey: Column,
                      dim: DataFrame, dimKey: Column,
                      expectedItems: Long = 1000000L,
                      fpp: Double = 0.03): DataFrame = {
-    val bytes = bloomBytesOf(dim, dimKey, expectedItems, fpp)
-    fact.filter(mightContain(bytes, factKey))
+    val sameType = dim.select(dimKey).schema.head.dataType ==
+      fact.select(factKey).schema.head.dataType
+    val (dk, fk) =
+      if (sameType) (dimKey, factKey)
+      else (dimKey.cast("string"), factKey.cast("string"))
+    val bytes = bloomBytesOf(dim, dk, expectedItems, fpp)
+    fact.filter(mightContain(bytes, fk))
       .join(dim.select(dimKey.as("__bloom_k")).distinct(),
         factKey === col("__bloom_k"), "left_semi")
   }

@@ -32,6 +32,21 @@ class BloomSpec extends SparkTestBase {
     assert(missed.count() == 0)
   }
 
+  test("mixed int/long key types still equal the plain coerced semi-join") {
+    // xxhash64(5: int) != xxhash64(5L): without representation
+    // alignment the bloom would reject every row and silently empty
+    // the result while the coerced join would have matched
+    val dim = orders.filter($"o_custkey" < 50)
+      .select($"o_orderkey".cast("int").as("o_orderkey"))
+    val pruned = Bloom.prunedSemiJoin(
+      lineitem, $"l_orderkey", dim, $"o_orderkey",
+      expectedItems = 1000L, fpp = 0.01)
+    val plain = lineitem.join(
+      dim.select($"o_orderkey".as("k")).distinct(),
+      $"l_orderkey" === $"k", "left_semi")
+    assert(pruned.count() == plain.count() && plain.count() > 0)
+  }
+
   test("empty dim side yields an empty result, not an error") {
     val dim = orders.filter($"o_orderkey" < 0) // empty key set
     val pruned = Bloom.prunedSemiJoin(
