@@ -795,6 +795,31 @@ object SparkEntry {
         .orderBy($"bin")
     }),
 
+    // Mergeable HLL sketch tables (Datasketches): per-(source, half)
+    // sketches union into per-source estimates — the persisted-sketch
+    // pattern for incremental distinct counts (append a sketch row per
+    // ingest batch; never rescan the corpus). Like q63 the estimate
+    // has no cross-engine oracle, so the contract column pins it:
+    // union-of-partial-sketches lands within 5% of the exact global
+    // distinct (sketches this small sit in sparse mode — near-exact).
+    "q68_hll_union" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val partials = docs
+        .withColumn("half", pmod($"doc_id", lit(2)))
+        .groupBy($"source", $"half")
+        .agg(hll_sketch_agg($"text", lit(12)).as("sk"))
+      val unioned = partials.groupBy($"source")
+        .agg(hll_sketch_estimate(hll_union_agg($"sk", lit(false)))
+          .as("n_approx"))
+      docs.groupBy($"source")
+        .agg(countDistinct($"text").as("n_exact"))
+        .join(unioned, "source")
+        .select($"source", $"n_exact",
+          (abs($"n_approx" - $"n_exact") <= $"n_exact" * 0.05).as("union_ok"))
+        .orderBy($"source")
+    }),
+
     // llmops sequence packing: concat-and-chunk bin assignment via
     // stream-parallel window cumsum (see Packing for the 100 TB shape),
     // reduced to bin-level stats.
@@ -1590,6 +1615,10 @@ object SparkEntry {
                 count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
          FROM documents, qs
          GROUP BY 1 ORDER BY bin""",
+    "q68_hll_union" ->
+      """SELECT source, count(DISTINCT text)::BIGINT AS n_exact,
+                TRUE AS union_ok
+         FROM documents GROUP BY source ORDER BY source""",
     "q55_pii_redact" ->
       """WITH withpii AS (
            SELECT doc_id,
