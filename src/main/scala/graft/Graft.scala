@@ -72,6 +72,33 @@ object Graft {
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
                         threshold: Double = 0.5): DataFrame =
     llmops.Dedup.ngramJaccardPairs(docs, n, threshold)
+  /** Near-dup components of a pair graph (large-star/small-star). */
+  def dupClusters(pairs: DataFrame): DataFrame =
+    ops.ConnectedComponents.components(pairs)
+  /** Transitive-closure-correct dedup: one representative per
+    * connected component of the near-dup pair graph.
+    */
+  def clusterDedup(docs: DataFrame, threshold: Double = 0.7): DataFrame =
+    ops.ConnectedComponents.dedupByComponent(docs,
+      llmops.Dedup.minhashPairs(docs, threshold)
+        .select(org.apache.spark.sql.functions.col("id_a"),
+                org.apache.spark.sql.functions.col("id_b")))
+  /** Sliding token-window chunking with overlap (training sequences /
+    * retrieval units).
+    */
+  def slidingChunks(docs: DataFrame, windowTokens: Int,
+                    strideTokens: Int): DataFrame =
+    llmops.Chunking.slidingChunks(docs, windowTokens, strideTokens)
+  /** One-call batch corpus cleaning: quality/lang gate → PII redact →
+    * hash sample → exact dedup → near-dup cluster dedup →
+    * decontaminate. See [[llmops.Corpus.clean]] for stage rationale.
+    */
+  def cleanCorpus(docs: DataFrame, benchmark: Option[DataFrame] = None,
+                  minQuality: Double = 0.25, lang: Option[String] = None,
+                  sampleFrac: Double = 1.0,
+                  nearDupThreshold: Option[Double] = Some(0.7)): DataFrame =
+    llmops.Corpus.clean(docs, benchmark, minQuality, lang,
+      redact = true, sampleFrac, nearDupThreshold)
   /** Exact decontamination with a bloom pre-split (benchmark too big
     * to broadcast): misses skip the join entirely.
     */

@@ -1118,6 +1118,85 @@ object SparkEntry {
             lit("").as("file_extension"), lit(0).as("year"),
             lit(0).as("quarter"))
       }
+    }),
+
+    // ops.ConnectedComponents over the MinHash near-dup pair graph:
+    // near-dup clusters with exact transitive-closure semantics
+    // (large-star/small-star contraction — O(log n) rounds, shuffles
+    // carry only (long,long) edges). Verify dumps the edge list; the
+    // DuckDB oracle recomputes components independently with a
+    // recursive CTE and compares the full cluster membership.
+    "q69_dup_clusters" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val edges = graft.llmops.Dedup.minhashPairs(docs, threshold = 0.7)
+        .select($"id_a", $"id_b")
+      materialize(edges, "q69_edges")
+      graft.ops.ConnectedComponents.components(edges)
+        .groupBy($"component")
+        .agg(count(lit(1)).as("n_docs"),
+          array_join(transform(array_sort(collect_list($"id")),
+            _.cast("string")), ",").as("members"))
+        .orderBy($"component")
+    }),
+
+    // Cluster-aware dedup end-to-end: one representative (min id) per
+    // connected component survives — the transitive-closure-correct
+    // counterpart of q27's single-round endpoint rule.
+    "q70_cluster_dedup" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val edges = graft.llmops.Dedup.minhashPairs(docs, threshold = 0.7)
+        .select($"id_a", $"id_b")
+      materialize(edges, "q70_edges")
+      graft.ops.ConnectedComponents.dedupByComponent(docs, edges)
+        .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+        .orderBy($"source")
+    }),
+
+    // llmops sliding-window chunking: fixed token windows with overlap
+    // (window 32, stride 16) — pure narrow pipeline, no shuffle; the
+    // whole transform mirrors in SQL (string_split_regex +
+    // generate_series + list_slice), so the oracle replays it exactly.
+    "q71_chunk_windows" -> ((s, d) => {
+      import s.implicits._
+      graft.llmops.Chunking.slidingChunks(
+        t(s, d, "documents").filter($"doc_id" < 40)
+          .select($"doc_id", $"text"),
+        windowTokens = 32, strideTokens = 16)
+        .select($"doc_id", $"chunk_idx", $"chunk_text", $"n_tokens")
+        .orderBy($"doc_id", $"chunk_idx")
+    }),
+
+    // Full-cube grouping sets: every (status, priority) margin in one
+    // pass — Catalyst expands the cube map-side, so it's one shuffle,
+    // not 4 scans (completes the q31 rollup's grouping-sets surface).
+    "q72_cube" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "orders")
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round($"o_totalprice" * 100).cast("long")).as("sum_cents"))
+        .orderBy($"o_orderstatus".asc_nulls_first,
+          $"o_orderpriority".asc_nulls_first)
+    }),
+
+    // llmops.Corpus.clean: the composed batch cleaning path (quality
+    // gate → PII redact → exact dedup → exact decontaminate) with the
+    // sketch stages off, so the oracle replays the WHOLE pipeline in
+    // SQL — the near-dup stages are oracle-checked separately
+    // (q24/q27/q69/q70). Benchmark = every 50th doc of the same
+    // corpus, so decontamination provably removes its exact matches.
+    "q73_clean_corpus" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val bench = docs.filter($"doc_id" % 50 === 0).select($"text")
+      graft.llmops.Corpus.clean(docs, benchmark = Some(bench),
+        minQuality = 0.5)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length($"text")).as("sum_chars"))
+        .orderBy($"source")
     })
   )
 
@@ -1619,6 +1698,107 @@ object SparkEntry {
       """SELECT source, count(DISTINCT text)::BIGINT AS n_exact,
                 TRUE AS union_ok
          FROM documents GROUP BY source ORDER BY source""",
+    "q69_dup_clusters" ->
+      """WITH RECURSIVE sym AS (
+           SELECT id_a AS u, id_b AS v
+           FROM read_parquet('/root/repo/spark-warehouse/q69_edges/*.parquet')
+           UNION
+           SELECT id_b, id_a
+           FROM read_parquet('/root/repo/spark-warehouse/q69_edges/*.parquet')),
+         nodes AS (SELECT DISTINCT u AS id FROM sym),
+         walk(id, comp) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT sym.v, walk.comp FROM walk JOIN sym ON sym.u = walk.id),
+         labels AS (SELECT id, min(comp) AS component FROM walk GROUP BY id)
+         SELECT component, count(*) AS n_docs,
+                array_to_string(list_sort(array_agg(id)), ',') AS members
+         FROM labels GROUP BY component ORDER BY component""",
+    "q70_cluster_dedup" ->
+      """WITH RECURSIVE sym AS (
+           SELECT id_a AS u, id_b AS v
+           FROM read_parquet('/root/repo/spark-warehouse/q70_edges/*.parquet')
+           UNION
+           SELECT id_b, id_a
+           FROM read_parquet('/root/repo/spark-warehouse/q70_edges/*.parquet')),
+         nodes AS (SELECT DISTINCT u AS id FROM sym),
+         walk(id, comp) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT sym.v, walk.comp FROM walk JOIN sym ON sym.u = walk.id),
+         labels AS (SELECT id, min(comp) AS component FROM walk GROUP BY id),
+         dropped AS (SELECT id FROM labels WHERE id <> component)
+         SELECT source, count(*) AS n_docs
+         FROM documents
+         WHERE doc_id NOT IN (SELECT id FROM dropped)
+         GROUP BY source ORDER BY source""",
+    "q71_chunk_windows" ->
+      """WITH tok AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+           FROM documents
+           WHERE doc_id < 40 AND length(trim(text)) > 0),
+         starts AS (
+           SELECT doc_id, toks, len(toks) AS n,
+                  unnest(generate_series(0, len(toks) - 1, 16)) AS st
+           FROM tok)
+         SELECT doc_id, (st // 16)::INTEGER AS chunk_idx,
+                array_to_string(list_slice(toks, st + 1, st + 32), ' ')
+                  AS chunk_text,
+                least(32, n - st)::INTEGER AS n_tokens
+         FROM starts
+         WHERE st = 0 OR st + 32 - 16 < n
+         ORDER BY doc_id, chunk_idx""",
+    "q72_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+                sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS sum_cents
+         FROM orders
+         GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q73_clean_corpus" ->
+      """WITH scored AS (
+           SELECT doc_id, source, text,
+             string_split_regex(lower(trim(text)), '\s+') AS toks,
+             length(text) AS n,
+             length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS np
+           FROM documents),
+         gated AS (
+           SELECT doc_id, source, text FROM scored
+           WHERE (CASE WHEN n BETWEEN 50 AND 20000 THEN 0.25 ELSE 0.0 END) +
+                 (CASE WHEN len(toks) > 0 AND
+                    len(list_filter(toks, t -> t IN
+                      ('the','and','of','to','a','in','is','that')))::double
+                      / len(toks) >= 0.01 THEN 0.25 ELSE 0.0 END) +
+                 (CASE WHEN len(toks) > 0 AND
+                    list_sum(list_transform(toks, w -> length(w)))::double
+                      / len(toks) BETWEEN 2.0 AND 12.0
+                    THEN 0.25 ELSE 0.0 END) +
+                 (CASE WHEN n > 0 AND np::double / n <= 0.1
+                    THEN 0.25 ELSE 0.0 END) >= 0.5),
+         red AS (
+           SELECT doc_id, source,
+             regexp_replace(regexp_replace(regexp_replace(text,
+               '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{3}-\d{4}\b', '<PHONE>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
+               AS rtext
+           FROM gated),
+         ded AS (
+           SELECT doc_id, source, rtext,
+             row_number() OVER (PARTITION BY rtext ORDER BY doc_id) AS rn
+           FROM red),
+         bench AS (
+           SELECT DISTINCT
+             regexp_replace(regexp_replace(regexp_replace(text,
+               '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{3}-\d{4}\b', '<PHONE>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
+               AS btext
+           FROM documents WHERE doc_id % 50 = 0)
+         SELECT source, count(*) AS n_docs,
+                sum(length(rtext))::BIGINT AS sum_chars
+         FROM ded
+         WHERE rn = 1 AND rtext NOT IN (SELECT btext FROM bench)
+         GROUP BY source ORDER BY source""",
     "q55_pii_redact" ->
       """WITH withpii AS (
            SELECT doc_id,

@@ -1,0 +1,56 @@
+package graft.llmops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sliding-window document chunking: split each document into fixed
+  * token windows with overlap — the preparation step for context-window
+  * training sequences and retrieval indexing (each chunk then flows
+  * into the embedding / ANN operators as its own row).
+  *
+  * Scale shape: a pure narrow column pipeline — tokenize once, generate
+  * window starts with `sequence`, `posexplode` into chunk rows. No
+  * shuffle, no UDF, whole-stage codegen throughout; output size is
+  * input tokens × (window/stride) overlap factor, and the fan-out
+  * happens AFTER filters/projections, so Catalyst pushes any downstream
+  * chunk predicate to before the explode only when legal. Contrast with
+  * [[Packing]] (which concatenates ACROSS documents and needs a window
+  * cumsum): chunking is per-document, hence embarrassingly parallel.
+  */
+object Chunking {
+
+  /** One row per chunk: input columns + (chunk_idx, chunk_text,
+    * n_tokens). `windowTokens` is the chunk size, `strideTokens` the
+    * step — stride < window gives overlapping chunks, every token
+    * appears in at least one chunk, and a trailing window that would
+    * only repeat tokens the previous chunk already covered is not
+    * emitted (kept iff `start == 0` or the previous window did not
+    * reach the end of the document). Whitespace-only documents yield
+    * zero chunks. Tokenization is whitespace-split on the trimmed text,
+    * original case preserved.
+    */
+  def slidingChunks(docs: DataFrame, windowTokens: Int, strideTokens: Int,
+                    textCol: String = "text"): DataFrame = {
+    require(windowTokens > 0, "windowTokens must be positive")
+    require(strideTokens > 0 && strideTokens <= windowTokens,
+      "strideTokens must be in [1, windowTokens]")
+    val passthrough = docs.columns.filterNot(_ == textCol).map(col)
+    docs
+      .withColumn("__toks", split(trim(col(textCol)), "\\s+"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(length(trim(col(textCol))) > 0)
+      .select(passthrough :+
+        col("__toks") :+ col("__n") :+
+        posexplode(sequence(lit(0), col("__n") - 1, lit(strideTokens))): _*)
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumnRenamed("col", "__start")
+      .filter(col("__start") === 0 ||
+        col("__start") + windowTokens - strideTokens < col("__n"))
+      .withColumn("chunk_text",
+        concat_ws(" ",
+          slice(col("__toks"), col("__start") + 1, lit(windowTokens))))
+      .withColumn("n_tokens",
+        least(lit(windowTokens), col("__n") - col("__start")).cast("int"))
+      .drop("__toks", "__n", "__start")
+  }
+}

@@ -149,4 +149,13 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("ReusedExchange") ||
       "Exchange hashpartitioning\\(band".r.findAllIn(p).size <= 2, p.take(3000))
   }
+
+  test("chunking: sliding windows are a narrow shuffle-free pipeline") {
+    // tokenize → sequence → posexplode never leaves the input
+    // partition: any Exchange here would be a scale regression
+    val p = llmops.Chunking.slidingChunks(
+      Tables.documents(spark, sf0001).select("doc_id", "text"), 32, 16)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(2000))
+  }
 }

@@ -1,0 +1,73 @@
+package graft.llmops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class ChunkingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def chunksOf(text: String, window: Int, stride: Int)
+      : Seq[(Int, String, Int)] =
+    Chunking.slidingChunks(Seq((1L, text)).toDF("doc_id", "text"),
+        window, stride)
+      .select($"chunk_idx", $"chunk_text", $"n_tokens")
+      .as[(Int, String, Int)].collect().sortBy(_._1).toSeq
+
+  test("overlapping windows cover every token with the stride overlap") {
+    val text = (1 to 10).map(i => s"w$i").mkString(" ")
+    val got = chunksOf(text, window = 4, stride = 2)
+    assert(got == Seq(
+      (0, "w1 w2 w3 w4", 4),
+      (1, "w3 w4 w5 w6", 4),
+      (2, "w5 w6 w7 w8", 4),
+      (3, "w7 w8 w9 w10", 4)))
+  }
+
+  test("trailing window that repeats covered tokens is suppressed") {
+    // 10 tokens, window 8, stride 4: starts 0 and 4 cover 1..10;
+    // start 8 would only repeat tokens 9,10 already in chunk 1
+    val text = (1 to 10).map(i => s"w$i").mkString(" ")
+    val got = chunksOf(text, window = 8, stride = 4)
+    assert(got.map(_._1) == Seq(0, 1))
+    assert(got(1) == (1, "w5 w6 w7 w8 w9 w10", 6))
+  }
+
+  test("short document yields one chunk; whitespace-only yields none") {
+    assert(chunksOf("a b", 8, 4) == Seq((0, "a b", 2)))
+    assert(chunksOf("   ", 8, 4).isEmpty)
+  }
+
+  test("non-overlapping stride == window partitions the tokens") {
+    val text = (1 to 9).map(i => s"w$i").mkString(" ")
+    val got = chunksOf(text, window = 3, stride = 3)
+    assert(got.map(_._2) == Seq("w1 w2 w3", "w4 w5 w6", "w7 w8 w9"))
+    assert(got.map(_._3) == Seq(3, 3, 3))
+  }
+
+  test("every token of a corpus sample appears in at least one chunk") {
+    val docs = graft.Tables.documents(spark, sf0001).limit(50)
+    val chunked = Chunking.slidingChunks(docs, windowTokens = 16,
+      strideTokens = 8)
+    val originalTokens = docs
+      .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("tok"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val coveredFirst = chunked
+      .select($"doc_id", $"n_tokens", $"chunk_idx")
+      .groupBy($"doc_id")
+      .agg(max($"chunk_idx" * 8 + $"n_tokens").as("last_covered"))
+    val joined = originalTokens.join(coveredFirst, "doc_id")
+    assert(joined.filter($"last_covered" < $"n").count() == 0)
+  }
+
+  test("passthrough columns survive and chunk counts follow the formula") {
+    val docs = Seq((1L, "s0", (1 to 20).map("t" + _).mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val got = Chunking.slidingChunks(docs, 8, 4)
+    assert(got.columns.toSet ==
+      Set("doc_id", "source", "chunk_idx", "chunk_text", "n_tokens"))
+    // 20 tokens, window 8, stride 4: starts 0,4,8,12 cover through 20;
+    // start 16 would end at 24 but previous (12) already reached 20
+    assert(got.count() == 4)
+    assert(got.select(countDistinct($"source")).as[Long].head() == 1)
+  }
+}
