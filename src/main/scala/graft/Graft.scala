@@ -99,6 +99,9 @@ object Graft {
                   nearDupThreshold: Option[Double] = Some(0.7)): DataFrame =
     llmops.Corpus.clean(docs, benchmark, minQuality, lang,
       redact = true, sampleFrac, nearDupThreshold)
+  /** One-pass per-column audit: nulls, approx distinct, min/max. */
+  def profile(df: DataFrame, columns: Seq[String] = Seq.empty): DataFrame =
+    ops.Profiling.profile(df, columns)
   /** Exact decontamination with a bloom pre-split (benchmark too big
     * to broadcast): misses skip the join entirely.
     */
@@ -134,6 +137,8 @@ object Graft {
   def minhashSignature(text: Column): Column =
     llmops.Sketches.minhash_signature(text)
   def simhash(text: Column): Column = llmops.Sketches.simhash64(text)
+  def compressionRatio(text: Column): Column =
+    llmops.Compression.compressionRatio(text)
   /** Deterministic content-hash train/val/test assignment. */
   def assignSplit(text: Column, trainFrac: Double = 0.8,
                   valFrac: Double = 0.1): Column =

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.expr.ResolveUrl
 import graft.html.{CleanHtml, ExtractLinks, ExtractTables}
-import graft.llmops.{MinHashSignature, SimHash, SimHash128, WinnowFingerprints}
+import graft.llmops.{CompressionRatio, MinHashSignature, SimHash, SimHash128, WinnowFingerprints}
 
 /** Registers the engine's custom expressions for SQL use:
   *
@@ -54,6 +54,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("simhash128"),
       info("simhash128", "simhash128(text) - 128-bit SimHash (two seeded halves)"),
       (args: Seq[Expression]) => SimHash128(args.head)))
+    e.injectFunction((FunctionIdentifier("compression_ratio"),
+      info("compression_ratio",
+        "compression_ratio(text) - deflate size / raw size repetition signal"),
+      (args: Seq[Expression]) => CompressionRatio(args.head)))
     e.injectFunction((FunctionIdentifier("winnow_fingerprints"),
       info("winnow_fingerprints",
         "winnow_fingerprints(text[, k, w]) - winnowing fingerprint array"),

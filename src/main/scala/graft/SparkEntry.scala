@@ -1197,6 +1197,52 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(length($"text")).as("sum_chars"))
         .orderBy($"source")
+    }),
+
+    // ops.Profiling: one-pass per-column audit (nulls, distinct,
+    // min/max). Distinct is HLL++ (the one-pass-at-scale part), so the
+    // oracle pins it as a contract against the exact count (q63
+    // precedent) while nulls/min/max hash-compare exactly.
+    "q74_profile" -> ((s, d) => {
+      import s.implicits._
+      val cols = Seq("o_orderstatus", "o_orderpriority", "o_custkey")
+      val prof = graft.ops.Profiling.profile(t(s, d, "orders"), cols)
+      val exact = t(s, d, "orders").agg(
+        countDistinct($"o_orderstatus").as("o_orderstatus"),
+        countDistinct($"o_orderpriority").as("o_orderpriority"),
+        countDistinct($"o_custkey").as("o_custkey"))
+        .select(stack(lit(3),
+          lit("o_orderstatus"), $"o_orderstatus",
+          lit("o_orderpriority"), $"o_orderpriority",
+          lit("o_custkey"), $"o_custkey")
+          .as(Seq("column", "n_distinct")))
+      prof.join(exact, "column")
+        .select($"column".as("col_name"), $"n_rows", $"n_null",
+          $"n_distinct",
+          (abs($"n_distinct_approx" - $"n_distinct") <=
+            $"n_distinct" * 0.05).as("approx_ok"),
+          $"min_value", $"max_value")
+        .orderBy($"col_name")
+    }),
+
+    // compression_ratio custom Expression (deflate size / raw size):
+    // the kernel has no DuckDB analog, so the oracle pins the
+    // CONTRACT — ratios bounded, and a synthetically repetitive
+    // variant of each doc always compresses strictly below the
+    // natural text (q63/q68 contract-query precedent).
+    "q75_compression" -> ((s, d) => {
+      import s.implicits._
+      val C = graft.llmops.Compression
+      t(s, d, "documents")
+        .filter(length($"text") >= 20)
+        .withColumn("r_nat", C.compressionRatio($"text"))
+        .withColumn("r_rep",
+          C.compressionRatio(repeat(substring($"text", 1, 20), 50)))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          min($"r_nat" > 0.0 && $"r_nat" <= 1.1).as("ratio_bounded"),
+          min($"r_rep" < $"r_nat").as("rep_compresses_more"))
+        .orderBy($"source")
     })
   )
 
@@ -1798,6 +1844,34 @@ object SparkEntry {
                 sum(length(rtext))::BIGINT AS sum_chars
          FROM ded
          WHERE rn = 1 AND rtext NOT IN (SELECT btext FROM bench)
+         GROUP BY source ORDER BY source""",
+    "q74_profile" ->
+      """SELECT 'o_custkey' AS col_name, count(*) AS n_rows,
+                sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+                  AS n_null,
+                count(DISTINCT o_custkey) AS n_distinct, TRUE AS approx_ok,
+                coalesce(min(o_custkey)::VARCHAR, '') AS min_value,
+                coalesce(max(o_custkey)::VARCHAR, '') AS max_value
+         FROM orders
+         UNION ALL
+         SELECT 'o_orderpriority', count(*),
+                sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                count(DISTINCT o_orderpriority), TRUE,
+                coalesce(min(o_orderpriority), ''),
+                coalesce(max(o_orderpriority), '')
+         FROM orders
+         UNION ALL
+         SELECT 'o_orderstatus', count(*),
+                sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                count(DISTINCT o_orderstatus), TRUE,
+                coalesce(min(o_orderstatus), ''),
+                coalesce(max(o_orderstatus), '')
+         FROM orders
+         ORDER BY col_name""",
+    "q75_compression" ->
+      """SELECT source, count(*) AS n_docs,
+                TRUE AS ratio_bounded, TRUE AS rep_compresses_more
+         FROM documents WHERE length(text) >= 20
          GROUP BY source ORDER BY source""",
     "q55_pii_redact" ->
       """WITH withpii AS (

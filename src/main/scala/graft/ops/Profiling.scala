@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** One-pass dataset profiling: per-column null counts, distinct
+  * estimates, and min/max — the data-audit step that gates a 100 TB
+  * ingest (schema drift, null explosions, and cardinality surprises
+  * show up here before they corrupt downstream state).
+  *
+  * Scale shape: ONE aggregation over the table computes every
+  * column's statistics simultaneously (a flat list of agg expressions
+  * — partial map-side, final reduce-side, no per-column scans), then a
+  * driver-free unpivot via `stack` reshapes the single stats row into
+  * one row per column. Distinct counts use `approx_count_distinct`
+  * (HLL++, fixed-size mergeable registers): an exact multi-column
+  * distinct would expand the scan |columns|× and shuffle every value —
+  * the estimate is the part that keeps one-pass true at scale. Min and
+  * max are rendered as strings so heterogeneous column types survive
+  * the unpivot's common schema.
+  */
+object Profiling {
+
+  /** Profile `columns` (default: all) of `df` in one aggregation pass.
+    * Output: (column, n_rows, n_null, n_distinct_approx, min_value,
+    * max_value) — one row per profiled column; `n_rows` counts all
+    * table rows, `n_distinct_approx` ignores nulls, and min/max are
+    * cast to strings ("" when the column is entirely null).
+    */
+  def profile(df: DataFrame, columns: Seq[String] = Seq.empty,
+              rsd: Double = 0.01): DataFrame = {
+    val cols = if (columns.nonEmpty) columns else df.columns.toSeq
+    require(cols.nonEmpty, "no columns to profile")
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      Seq(
+        count(lit(1)).as(s"__rows_$c"),
+        count(when(col(c).isNull, 1)).as(s"__null_$c"),
+        approx_count_distinct(col(c), rsd).as(s"__dist_$c"),
+        coalesce(min(col(c)).cast("string"), lit("")).as(s"__min_$c"),
+        coalesce(max(col(c)).cast("string"), lit("")).as(s"__max_$c"))
+    }
+    val statsRow = df.agg(aggs.head, aggs.tail: _*)
+    // unpivot: stack(n, name1, rows1, null1, dist1, min1, max1, ...)
+    val stackArgs: Seq[Column] = cols.flatMap { c =>
+      Seq(lit(c), col(s"__rows_$c"), col(s"__null_$c"), col(s"__dist_$c"),
+        col(s"__min_$c"), col(s"__max_$c"))
+    }
+    statsRow.select(stack(
+      lit(cols.size) +: stackArgs: _*)
+      .as(Seq("column", "n_rows", "n_null", "n_distinct_approx",
+        "min_value", "max_value")))
+  }
+}

@@ -24,7 +24,9 @@ class RobustnessSpec extends SparkTestBase {
       "q43_ivf_topk", "q45_winnow_pairs", "q46_range_join",
       "q60_ngram_jaccard", "q61_stratified_sample", "q62_bloom_prune",
       "q63_approx_distinct", "q65_bloom_decontam", "q66_corpus_shuffle",
-      "q67_quantile_bins")
+      "q67_quantile_bins", "q69_dup_clusters", "q70_cluster_dedup",
+      "q71_chunk_windows", "q73_clean_corpus", "q74_profile",
+      "q75_compression")
     for (name <- picked) {
       val fn = SparkEntry.queries(name)
       val a = fn(spark, sf0001).collect().map(_.toString).sorted.toSeq
@@ -60,6 +62,25 @@ class RobustnessSpec extends SparkTestBase {
       S.sampleHash($"text", S.stratumThreshold(lit("s"), Map.empty, 1.0)))
       .count()
     assert(kept == 1) // rate 1.0 keeps every non-null row
+  }
+
+  test("round-4 operators validate args and survive degenerate inputs") {
+    val docs = Tables.documents(spark, sf0001)
+      .filter($"doc_id" < 20).select($"doc_id", $"text")
+    // stride must not exceed window
+    intercept[IllegalArgumentException] {
+      graft.llmops.Chunking.slidingChunks(docs, 4, 8)
+    }
+    // cleaning an empty corpus is empty, not an error
+    assert(graft.llmops.Corpus.clean(docs.limit(0),
+      benchmark = Some(docs.select($"text"))).count() == 0)
+    // self-loop-only edge set: no real components, empty labeling
+    val loops = Seq((1L, 1L), (2L, 2L)).toDF("id_a", "id_b")
+    assert(graft.ops.ConnectedComponents.components(loops).count() == 0)
+    // profiling a zero-row table still yields one row per column
+    val prof = graft.ops.Profiling.profile(docs.limit(0))
+    assert(prof.count() == 2)
+    assert(prof.filter($"n_rows" =!= 0).count() == 0)
   }
 
   test("text operators survive nulls, empties, and non-ASCII") {

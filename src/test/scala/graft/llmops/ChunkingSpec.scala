@@ -59,6 +59,22 @@ class ChunkingSpec extends SparkTestBase {
     assert(joined.filter($"last_covered" < $"n").count() == 0)
   }
 
+  test("chunking composes into a stream unchanged (stateless narrow op)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = Chunking.slidingChunks(mem.toDF().toDF("doc_id", "text"), 4, 2)
+      .writeStream.format("memory").queryName("chunk_out")
+      .outputMode("append").start()
+    mem.addData((1L, (1 to 6).map("w" + _).mkString(" ")))
+    q.processAllAvailable()
+    val out = spark.table("chunk_out")
+      .select($"chunk_idx", $"chunk_text").as[(Int, String)]
+      .collect().sortBy(_._1).toSeq
+    q.stop()
+    assert(out == Seq((0, "w1 w2 w3 w4"), (1, "w3 w4 w5 w6")))
+  }
+
   test("passthrough columns survive and chunk counts follow the formula") {
     val docs = Seq((1L, "s0", (1 to 20).map("t" + _).mkString(" ")))
       .toDF("doc_id", "source", "text")
