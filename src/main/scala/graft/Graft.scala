@@ -102,6 +102,16 @@ object Graft {
   /** One-pass per-column audit: nulls, approx distinct, min/max. */
   def profile(df: DataFrame, columns: Seq[String] = Seq.empty): DataFrame =
     ops.Profiling.profile(df, columns)
+  /** N-gram-overlap decontamination: drop corpus docs sharing any
+    * word n-gram with a benchmark document.
+    */
+  def ngramDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+                         n: Int = 8): DataFrame =
+    llmops.Dedup.ngramDecontaminate(corpus, benchmark, n)
+  /** Keep docs per group until a token quota fills (mixture building). */
+  def tokenBudgetSample(docs: DataFrame, budgetPerGroup: Long,
+                        streams: Int = 8): DataFrame =
+    llmops.Splits.tokenBudgetSample(docs, budgetPerGroup, streams)
   /** Exact decontamination with a bloom pre-split (benchmark too big
     * to broadcast): misses skip the join entirely.
     */

@@ -1243,6 +1243,51 @@ object SparkEntry {
           min($"r_nat" > 0.0 && $"r_nat" <= 1.1).as("ratio_bounded"),
           min($"r_rep" < $"r_nat").as("rep_compresses_more"))
         .orderBy($"source")
+    }),
+
+    // llmops n-gram-overlap decontamination (GPT-3-report method):
+    // drop corpus docs sharing any word-8-gram with the benchmark
+    // slice. Fully SQL-mirrorable (the q71 generate_series/list_slice
+    // gram technique), so the oracle replays gram generation, the
+    // overlap semi-join, and the anti-join end-to-end.
+    "q76_ngram_decontam" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val bench = docs.filter($"doc_id" % 37 === 0).select($"text")
+      graft.llmops.Dedup.ngramDecontaminate(docs, bench, n = 8)
+        .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+        .orderBy($"source")
+    }),
+
+    // llmops token-budget sampling: keep docs per source, in
+    // deterministic content-hash order, until the stream's token quota
+    // fills (mixture building with TOKEN quotas). The whole transform
+    // — stream assignment, hash order, window cumsum, quota cut —
+    // mirrors in ANSI SQL exactly.
+    "q77_token_budget" -> ((s, d) => {
+      import s.implicits._
+      graft.llmops.Splits.tokenBudgetSample(
+        t(s, d, "documents"), budgetPerGroup = 4000L, streams = 4)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("sum_tokens"))
+        .orderBy($"source")
+    }),
+
+    // Forward as-of join (nearest FUTURE right row): same one-shuffle
+    // union+carry composition as q41 with the window over descending
+    // time. Oracle = DuckDB native ASOF on negated epochs (−lt ≥ −rt
+    // ⟺ rt ≥ lt).
+    "q78_asof_forward" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val signups = ev.filter($"event_type" === "signup")
+        .select($"user_id", $"ts".as("sts"), $"event_id".as("next_signup"))
+      val others = ev.filter($"event_type" =!= "signup")
+        .select($"user_id", $"ts", $"event_id")
+      graft.ops.AsOf.joinAsOf(others, signups, Seq("user_id"), "ts", "sts",
+        Seq("next_signup"), forward = true)
+        .select($"event_id", $"next_signup")
+        .orderBy($"event_id")
     })
   )
 
@@ -1873,6 +1918,61 @@ object SparkEntry {
                 TRUE AS ratio_bounded, TRUE AS rep_compresses_more
          FROM documents WHERE length(text) >= 20
          GROUP BY source ORDER BY source""",
+    "q76_ngram_decontam" ->
+      """WITH ctoks AS (
+           SELECT doc_id, source,
+                  string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         cgrams AS (
+           SELECT doc_id,
+                  array_to_string(list_slice(toks, st + 1, st + 8), ' ') AS g
+           FROM (SELECT doc_id, toks,
+                        unnest(generate_series(0,
+                          greatest(len(toks) - 8, 0), 1)) AS st
+                 FROM ctoks)),
+         bgrams AS (
+           SELECT DISTINCT
+                  array_to_string(list_slice(toks, st + 1, st + 8), ' ') AS g
+           FROM (SELECT toks,
+                        unnest(generate_series(0,
+                          greatest(len(toks) - 8, 0), 1)) AS st
+                 FROM (SELECT string_split_regex(lower(trim(text)), '\s+')
+                         AS toks
+                       FROM documents WHERE doc_id % 37 = 0))),
+         contaminated AS (
+           SELECT DISTINCT c.doc_id
+           FROM cgrams c JOIN bgrams b ON c.g = b.g)
+         SELECT source, count(*) AS n_docs
+         FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+         GROUP BY source ORDER BY source""",
+    "q77_token_budget" ->
+      """WITH keyed AS (
+           SELECT source, doc_id, doc_id % 4 AS stream,
+                  md5(text) AS ord,
+                  (CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(lower(trim(text)), '\s+'))
+                   END)::BIGINT AS n_tokens
+           FROM documents),
+         cum AS (
+           SELECT source, n_tokens,
+                  sum(n_tokens) OVER (PARTITION BY source, stream
+                                      ORDER BY ord, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS c
+           FROM keyed)
+         SELECT source, count(*) AS n_docs, sum(n_tokens)::BIGINT AS sum_tokens
+         FROM cum WHERE c <= 1000
+         GROUP BY source ORDER BY source""",
+    "q78_asof_forward" ->
+      """WITH s AS (SELECT user_id, -epoch_us(ts) AS nts,
+                           event_id AS next_signup
+                    FROM events WHERE event_type = 'signup'),
+              o AS (SELECT user_id, -epoch_us(ts) AS nts, event_id
+                    FROM events WHERE event_type <> 'signup')
+         SELECT o.event_id, s.next_signup
+         FROM o ASOF LEFT JOIN s
+           ON o.user_id = s.user_id AND o.nts >= s.nts
+         ORDER BY o.event_id""",
     "q55_pii_redact" ->
       """WITH withpii AS (
            SELECT doc_id,

@@ -355,6 +355,39 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** N-gram-overlap decontamination (the GPT-3-report method): a
+    * corpus document is contaminated when it shares ANY word n-gram
+    * (default n = 8) with any benchmark document — stricter than
+    * exact-match decontam, cheaper and more predictable than LSH
+    * similarity. Returns the surviving corpus rows.
+    *
+    * Scale shape: the benchmark's distinct gram set is tiny next to
+    * the corpus (benchmarks are thousands of docs), so it broadcasts
+    * and the corpus side is a narrow explode → broadcast semi-join —
+    * no corpus shuffle at all. The join key is the 8-byte gram hash
+    * with the gram string as residual equality (collision-proof);
+    * only matching ids (a tiny set) reach the final anti-join. For a
+    * benchmark too big to broadcast, split at the scan with a gram
+    * bloom first (the [[bloomDecontaminate]] pattern).
+    */
+  def ngramDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+                         n: Int = 8,
+                         idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(TextFuncs.wordNgrams(col(textCol), n)).as("g"))
+      .distinct()
+      .select(xxhash64(col("g")).as("bgh"), col("g").as("bg"))
+    val contaminated = corpus
+      .select(col(idCol),
+        explode(TextFuncs.wordNgrams(col(textCol), n)).as("g"))
+      .withColumn("gh", xxhash64(col("g")))
+      .join(broadcast(benchGrams),
+        col("gh") === col("bgh") && col("g") === col("bg"), "left_semi")
+      .select(col(idCol)).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Embedding-cosine near-duplicate pairs within random-hyperplane
     * buckets (near-identical vectors land in the same bucket with high
     * probability; multi-band OR raises recall).

@@ -1,6 +1,6 @@
 package graft.llmops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic dataset-split assignment for training-data pipelines.
@@ -80,4 +80,45 @@ object Splits {
       case null => lit(hexAt4(defaultFrac))
       case c => c.otherwise(lit(hexAt4(defaultFrac)))
     }
+
+  /** Token-budget sampling: keep documents per group, in deterministic
+    * content-hash order, until the group's token quota is reached —
+    * the mixture-building step ("3 B web tokens, 1 B code tokens")
+    * where quotas are on TOKENS, not documents. A doc is kept iff the
+    * running token total up to and including it fits the budget, so
+    * the kept set is the quota prefix of the hash order — a pure
+    * function of the corpus: stable under reruns and repartitioning,
+    * and an unbiased sample of the group (hash order is uncorrelated
+    * with content). An APPEND can insert new docs anywhere in the
+    * order and displace part of the previously-kept tail — quota
+    * sampling trades the append stability of rate sampling
+    * ([[sampleHash]]) for an exact token total.
+    *
+    * Scale shape: the same stream-sharding as [[Packing.packBins]] —
+    * `(group, id % streams)` splits each group's cumulative sum
+    * across `streams` independent window partitions with
+    * `budget/streams` each, so no group funnels through a single
+    * task; quota accuracy is within one document per stream. Output:
+    * input columns + (stream, n_tokens).
+    */
+  def tokenBudgetSample(docs: DataFrame, budgetPerGroup: Long,
+                        streams: Int = 8, groupCol: String = "source",
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    require(budgetPerGroup > 0 && streams > 0)
+    import org.apache.spark.sql.expressions.Window
+    // id tiebreak: identical texts share a hash, and an unstable order
+    // between them would make the quota cut nondeterministic
+    val w = Window
+      .partitionBy(col(groupCol), col("stream"))
+      .orderBy(col("__ord"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("stream", pmod(col(idCol), lit(streams)))
+      .withColumn("__ord", md5(col(textCol)))
+      .withColumn("n_tokens", TextFuncs.tokenCount(col(textCol)).cast("long"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .filter(col("__cum") <= lit(budgetPerGroup / streams))
+      .drop("__ord", "__cum")
+  }
 }

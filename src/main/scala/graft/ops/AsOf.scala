@@ -21,10 +21,15 @@ object AsOf {
     *                  and `valueCols`
     * @param valueCols right columns carried onto matching left rows
     *                  (null when no right row precedes the left row)
+    * @param forward   false (default): most recent right row with
+    *                  `rightTime <= leftTime`; true: nearest FUTURE
+    *                  right row (`rightTime >= leftTime`) — the same
+    *                  one-shuffle union composition with the carry
+    *                  window running over descending time
     */
   def joinAsOf(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTime: String, rightTime: String,
-               valueCols: Seq[String]): DataFrame = {
+               valueCols: Seq[String], forward: Boolean = false): DataFrame = {
     val leftCols = left.columns.toSeq
 
     // tag and align schemas: right rows sort BEFORE left rows at equal
@@ -44,8 +49,13 @@ object AsOf {
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         valueCols.map(c => col(c).as(s"__v_$c")): _*)
 
+    // right rows sort before left at equal __t in BOTH directions, so
+    // an exactly-coincident right row matches the <= / >= bound
+    val order =
+      if (forward) Seq(col("__t").desc, col("__side"))
+      else Seq(col("__t"), col("__side"))
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t"), col("__side"))
+      .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     l.unionByName(r)

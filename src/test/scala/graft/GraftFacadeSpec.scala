@@ -29,4 +29,26 @@ class GraftFacadeSpec extends SparkTestBase {
       .select(Graft.resolveUrl($"h", $"b")).as[String].head()
     assert(resolved == "https://h.com/x/a.pdf")
   }
+
+  test("facade: round-4 additions delegate correctly") {
+    val docs = Graft.documents(spark, sf0001)
+      .select($"doc_id", $"source", $"text").limit(60).cache()
+    // cluster dedup keeps at most as many docs and ≥ one per component
+    val cd = Graft.clusterDedup(docs)
+    assert(cd.count() > 0 && cd.count() <= docs.count())
+    // chunks cover the corpus sample
+    assert(Graft.slidingChunks(docs, 32, 16).count() >= docs.count())
+    // profile yields one row per column
+    assert(Graft.profile(docs).count() == 3)
+    // compression ratio bounded
+    val ratios = docs.select(Graft.compressionRatio($"text").as("r"))
+      .filter($"r" <= 0.0 || $"r" > 1.2).count()
+    assert(ratios == 0)
+    // token budget keeps a subset
+    assert(Graft.tokenBudgetSample(docs, 2000L).count() <= docs.count())
+    // ngram decontam against itself drops everything
+    assert(Graft.ngramDecontaminate(docs, docs.select($"text")).count() == 0)
+    // composed cleaning runs end-to-end
+    assert(Graft.cleanCorpus(docs, minQuality = 0.0).count() > 0)
+  }
 }

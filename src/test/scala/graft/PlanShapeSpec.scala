@@ -150,6 +150,12 @@ class PlanShapeSpec extends SparkTestBase {
       "Exchange hashpartitioning\\(band".r.findAllIn(p).size <= 2, p.take(3000))
   }
 
+  test("q76: benchmark gram set broadcasts — corpus side never shuffles for the join") {
+    val p = plan("q76_ngram_decontam")
+    assert(p.contains("BroadcastHashJoin") &&
+      p.toLowerCase.contains("leftsemi"), p.take(3000))
+  }
+
   test("chunking: sliding windows are a narrow shuffle-free pipeline") {
     // tokenize → sequence → posexplode never leaves the input
     // partition: any Exchange here would be a scale regression

@@ -218,4 +218,22 @@ class DedupSpec extends SparkTestBase {
     val again = Dedup.incrementalDedup(outDf, Dedup.lshBanded(cSigs), cSigs)
     assert(again.count() == out.size.toLong)
   }
+
+  test("ngramDecontaminate drops on any shared 8-gram, keeps shorter overlap") {
+    val eight = (1 to 8).map("shared" + _).mkString(" ")
+    val seven = (1 to 7).map("shared" + _).mkString(" ")
+    val corpus = Seq(
+      (1L, s"intro words then $eight and a tail"),   // full 8-gram leak
+      (2L, s"intro words then $seven and a tail"),   // only 7 shared
+      (3L, "a wholly different document about nothing at all here today")
+    ).toDF("doc_id", "text")
+    val bench = Seq(s"prefix $eight suffix").toDF("text")
+    val kept = Dedup.ngramDecontaminate(corpus, bench)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L))
+    // case-insensitive: grams tokenize lowercased
+    val benchUpper = Seq(s"PREFIX ${eight.toUpperCase} SUFFIX").toDF("text")
+    assert(Dedup.ngramDecontaminate(corpus, benchUpper)
+      .select($"doc_id").as[Long].collect().toSet == Set(2L, 3L))
+  }
 }

@@ -60,4 +60,37 @@ class SplitsSpec extends SparkTestBase {
       .select($"doc_id", $"split").as[(Long, String)].collect().toMap
     assert(after == before)
   }
+
+  test("token-budget sample respects per-stream quotas deterministically") {
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"source", $"text")
+    val budget = 2000L
+    val streams = 4
+    val kept = Splits.tokenBudgetSample(docs, budget, streams)
+    // per-(source, stream) token totals never exceed the stream quota
+    val over = kept.groupBy($"source", $"stream")
+      .agg(sum($"n_tokens").as("tok"))
+      .filter($"tok" > budget / streams)
+    assert(over.count() == 0)
+    // deterministic across runs
+    val a = kept.select($"doc_id").as[Long].collect().sorted.toSeq
+    val b = Splits.tokenBudgetSample(docs, budget, streams)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b && a.nonEmpty)
+    // quota actually binds: the kept set is a strict subset
+    assert(a.size < docs.count())
+    // greedy prefix: any stream that EXCLUDED a doc is filled to
+    // within one max-doc of its quota (max over ALL docs — the
+    // excluded doc at the cut can be larger than any kept one)
+    val maxDoc = docs
+      .agg(max(TextFuncs.tokenCount($"text").cast("long"))).as[Long].head()
+    val slack = docs
+      .withColumn("stream", pmod($"doc_id", lit(streams)))
+      .groupBy($"source", $"stream").agg(count(lit(1)).as("n_total"))
+      .join(kept.groupBy($"source", $"stream")
+        .agg(count(lit(1)).as("n_kept"), sum($"n_tokens").as("tok")),
+        Seq("source", "stream"))
+      .filter($"n_kept" < $"n_total" && $"tok" < budget / streams - maxDoc)
+    assert(slack.count() == 0)
+  }
 }

@@ -52,5 +52,17 @@ class AsOfSpec extends SparkTestBase {
         eid -> (if (prior.isEmpty) None else Some(prior.maxBy(_._2.getTime)._3))
     }.toMap
     assert(got == naive)
+
+    // forward direction: nearest right row at or AFTER the left time
+    val fwd = AsOf.joinAsOf(others, signups, Seq("user_id"), "ts", "sts",
+      Seq("signup_event"), forward = true)
+      .select($"event_id", $"signup_event")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val naiveFwd = others.as[(Long, java.sql.Timestamp, Long)].collect().map {
+      case (u, t, eid) =>
+        val later = sgn.filter(s => s._1 == u && !s._2.before(t))
+        eid -> (if (later.isEmpty) None else Some(later.minBy(_._2.getTime)._3))
+    }.toMap
+    assert(fwd == naiveFwd)
   }
 }
