@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.expr.ResolveUrl
 import graft.html.{CleanHtml, ExtractLinks, ExtractTables}
-import graft.llmops.{CompressionRatio, MinHashSignature, SimHash, SimHash128, WinnowFingerprints}
+import graft.llmops.{CompressionRatio, MinHashSignature, SimHash, SimHash128, WinnowFingerprints, WordNgrams}
 
 /** Registers the engine's custom expressions for SQL use:
   *
@@ -54,6 +54,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("simhash128"),
       info("simhash128", "simhash128(text) - 128-bit SimHash (two seeded halves)"),
       (args: Seq[Expression]) => SimHash128(args.head)))
+    e.injectFunction((FunctionIdentifier("word_ngrams"),
+      info("word_ngrams", "word_ngrams(text, n) - distinct word n-grams"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, n) => WordNgrams(t, n.eval().asInstanceOf[Int])
+        case _ => throw new IllegalArgumentException("word_ngrams(text, n)")
+      }))
     e.injectFunction((FunctionIdentifier("compression_ratio"),
       info("compression_ratio",
         "compression_ratio(text) - deflate size / raw size repetition signal"),

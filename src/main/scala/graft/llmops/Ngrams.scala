@@ -1,0 +1,84 @@
+package graft.llmops
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Word-n-gram kernel: one pass over the text, distinct grams in
+  * first-seen order. Semantics are EXACTLY
+  * `array_distinct(transform(sequence(1, greatest(len-n+1, 1)),
+  * i => concat_ws(" ", slice(split(lower(trim(text)), "\\s+"), i, n))))`
+  * — the higher-order-function formulation [[TextFuncs.wordNgrams]]
+  * used to build inline (and the DuckDB oracles still mirror):
+  * lowercased, whitespace-split, space-joined; a text shorter than n
+  * tokens yields its whole token join as the single gram; an
+  * empty/whitespace text yields one empty gram (split of "" is [""]).
+  *
+  * Why an Expression: the HOF pipeline allocates a token array, a
+  * sequence array, a slice and a concat per gram, all interpreted —
+  * measured as the dominant cost of the n-gram decontamination pass.
+  * The kernel builds each gram with a rolling StringBuilder window
+  * and generated code calls it statically, keeping the projection in
+  * one whole-stage span.
+  */
+object NgramKernels {
+
+  // identical pattern object semantics to Spark's split(_, "\\s+"):
+  // ASCII \s classes, limit -1 keeps trailing empties
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
+  def wordNgrams(text: String, n: Int): GenericArrayData = {
+    // Spark's trim strips ONLY ' ' (0x20) — String.trim would also
+    // strip \n/\t and change the token list for texts bounded by them
+    var b = 0
+    var e = text.length
+    while (b < e && text.charAt(b) == ' ') b += 1
+    while (e > b && text.charAt(e - 1) == ' ') e -= 1
+    // plain toLowerCase matches UTF8String.toLowerCase's non-ASCII
+    // fallback (same JVM default locale on both paths)
+    val t = text.substring(b, e).toLowerCase
+    val tokens = ws.split(t, -1)
+
+    val m = tokens.length
+    val windows = math.max(m - n + 1, 1)
+    val seen = new java.util.LinkedHashSet[String]()
+    var w = 0
+    while (w < windows) {
+      val sb = new java.lang.StringBuilder()
+      var j = w
+      val end = math.min(w + n, m)
+      while (j < end) {
+        if (j > w) sb.append(' ')
+        sb.append(tokens(j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      w += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Codegen entry point. */
+  def wordNgramsU(text: UTF8String, n: Int): GenericArrayData =
+    wordNgrams(text.toString, n)
+}
+
+/** `word_ngrams(text, n)` → array<string> of distinct grams (codegen'd). */
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "word_ngrams"
+  override def nullSafeEval(input: Any): Any =
+    NgramKernels.wordNgramsU(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.llmops.NgramKernels.wordNgramsU($c, $n);")
+  override protected def withNewChildInternal(c: Expression): WordNgrams =
+    copy(child = c)
+}

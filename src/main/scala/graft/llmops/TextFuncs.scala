@@ -123,8 +123,20 @@ object TextFuncs {
       transform(sequence(lit(1), limit), i => substring(t, i, lit(n))))
   }
 
-  /** Word n-grams joined with a space. */
-  def wordNgrams(text: Column, n: Int): Column = {
+  /** Word n-grams joined with a space (distinct, first-seen order).
+    * Delegates to the [[NgramKernels]] codegen Expression; the
+    * higher-order-function formulation it replaces is kept as
+    * [[wordNgramsHof]] and pinned equivalent by TextFuncsSpec.
+    */
+  def wordNgrams(text: Column, n: Int): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      WordNgrams(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(text), n))
+
+  /** Reference HOF formulation of [[wordNgrams]] (the shape the DuckDB
+    * oracles mirror) — retained to pin kernel equivalence in tests.
+    */
+  def wordNgramsHof(text: Column, n: Int): Column = {
     val toks = tokens(text)
     val limit = greatest(size(toks) - lit(n - 1), lit(1))
     array_distinct(

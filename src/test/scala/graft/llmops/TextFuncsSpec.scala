@@ -89,4 +89,20 @@ class TextFuncsSpec extends SparkTestBase {
     assert(got(1) == ((0.0, 0.0)))
     assert(got(2) == ((0.0, 0.0)))
   }
+
+  test("word-ngram kernel is element-identical to the HOF formulation") {
+    // edge inputs where trim/split semantics bite: Spark trim strips
+    // only spaces, split keeps leading/trailing empties from \n \t
+    val edges = Seq("", "   ", "a", "a b", "\nleading newline", "tab\tsep",
+      "trailing newline\n", "a  double  space", "MiXeD Case Tokens",
+      "exactly three tokens", "héllo wörld ünïcode tokens here")
+    val corpus = graft.Tables.documents(spark, sf0001).limit(200)
+      .select($"text").as[String].collect().toSeq
+    for (n <- Seq(2, 3, 8); t <- edges ++ corpus) {
+      val df = Seq(t).toDF("t")
+      val fast = df.select(TextFuncs.wordNgrams($"t", n)).head().getSeq[String](0)
+      val hof = df.select(TextFuncs.wordNgramsHof($"t", n)).head().getSeq[String](0)
+      assert(fast == hof, s"n=$n text=${t.take(40).replace("\n", "\\n")}")
+    }
+  }
 }
