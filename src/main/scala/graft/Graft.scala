@@ -40,6 +40,9 @@ object Graft {
     io.LineFormats.readCompaniesCsv(s, path)
   def linksFile(s: SparkSession, path: String): DataFrame =
     io.LineFormats.readLinks(s, path)
+  /** JSONL corpus with corrupt-line quarantine: (clean, quarantined). */
+  def jsonlDocs(s: SparkSession, path: String): (DataFrame, DataFrame) =
+    io.JsonlDocs.readSplit(s, path)
 
   // ---- reference pipeline ------------------------------------------
   def crawl(s: SparkSession, seeds: DataFrame, fetcher: services.PageFetcher,
@@ -96,9 +99,10 @@ object Graft {
   def cleanCorpus(docs: DataFrame, benchmark: Option[DataFrame] = None,
                   minQuality: Double = 0.25, lang: Option[String] = None,
                   sampleFrac: Double = 1.0,
-                  nearDupThreshold: Option[Double] = Some(0.7)): DataFrame =
+                  nearDupThreshold: Option[Double] = Some(0.7),
+                  minCompressionRatio: Double = 0.0): DataFrame =
     llmops.Corpus.clean(docs, benchmark, minQuality, lang,
-      redact = true, sampleFrac, nearDupThreshold)
+      redact = true, sampleFrac, nearDupThreshold, minCompressionRatio)
   /** One-pass per-column audit: nulls, approx distinct, min/max. */
   def profile(df: DataFrame, columns: Seq[String] = Seq.empty): DataFrame =
     ops.Profiling.profile(df, columns)

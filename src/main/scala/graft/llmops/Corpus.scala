@@ -44,12 +44,21 @@ object Corpus {
             redact: Boolean = true,
             sampleFrac: Double = 1.0,
             nearDupThreshold: Option[Double] = None,
+            minCompressionRatio: Double = 0.0,
             idCol: String = "doc_id",
             textCol: String = "text"): DataFrame = {
     val T = TextFuncs
     val gated = {
-      val q = docs.filter(T.qualityScore(col(textCol)) >= minQuality)
-      lang.fold(q)(l => q.filter(T.langId(col(textCol)) === l))
+      val q0 = docs.filter(T.qualityScore(col(textCol)) >= minQuality)
+      val q1 =
+        if (minCompressionRatio > 0.0)
+          // deflate-ratio gate: templated/repetitive docs compress far
+          // below prose (part of the quality gate, so it runs before
+          // any digesting)
+          q0.filter(Compression.compressionRatio(col(textCol)) >=
+            minCompressionRatio)
+        else q0
+      lang.fold(q1)(l => q1.filter(T.langId(col(textCol)) === l))
     }
     val redacted =
       if (redact) gated.withColumn(textCol, T.redactPii(col(textCol)))

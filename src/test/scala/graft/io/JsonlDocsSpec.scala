@@ -1,0 +1,54 @@
+package graft.io
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+class JsonlDocsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("malformed lines are quarantined with the raw line, not dropped") {
+    val dir = Files.createTempDirectory("jsonl").toFile
+    val f = new java.io.File(dir, "part.jsonl")
+    Files.writeString(f.toPath,
+      """{"doc_id": 1, "source": "s0", "lang": "en", "text": "alpha"}
+        |{"doc_id": 2, "source": "s0", "lang": "en", "text": "beta"}
+        |{"doc_id": 3, "source": "s1", BROKEN JSON HERE
+        |not json at all
+        |{"doc_id": 4, "source": "s1", "lang": "de", "text": "gamma"}
+        |""".stripMargin)
+    val (clean, bad) = JsonlDocs.readSplit(spark, f.getAbsolutePath)
+    assert(clean.select($"doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 4L))
+    val rawLines = bad.as[String].collect().toSeq
+    assert(rawLines.size == 2)
+    assert(rawLines.exists(_.contains("BROKEN JSON HERE")))
+    assert(rawLines.contains("not json at all"))
+  }
+
+  test("round trip: documents → jsonl → identical rows back") {
+    val dir = Files.createTempDirectory("jsonl_rt").toFile.getAbsolutePath
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"source", $"lang", $"text").limit(100)
+    JsonlDocs.write(docs, dir)
+    val (back, bad) = JsonlDocs.readSplit(spark, dir)
+    assert(bad.count() == 0)
+    val a = docs.orderBy($"doc_id").collect().toSeq
+    val b = back.select($"doc_id", $"source", $"lang", $"text")
+      .orderBy($"doc_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("typed fields survive: wrong-typed value quarantines the line") {
+    val dir = Files.createTempDirectory("jsonl_t").toFile
+    val f = new java.io.File(dir, "part.jsonl")
+    Files.writeString(f.toPath,
+      """{"doc_id": "not a number", "source": "s0", "lang": "en", "text": "x"}
+        |{"doc_id": 7, "source": "s0", "lang": "en", "text": "y"}
+        |""".stripMargin)
+    val (clean, bad) = JsonlDocs.readSplit(spark, f.getAbsolutePath)
+    assert(clean.select($"doc_id").as[Long].collect().toSeq == Seq(7L))
+    assert(bad.count() == 1)
+  }
+}

@@ -50,6 +50,17 @@ class CorpusSpec extends SparkTestBase {
     assert(kept == Set(1L, 3L))
   }
 
+  test("compression gate drops templated docs, keeps prose") {
+    val docs = Seq(
+      (1L, goodText),
+      (2L, "spam " * 120)    // deflate ratio well under 0.2
+    ).toDF("doc_id", "text")
+    val kept = Corpus.clean(docs, minQuality = 0.0, redact = false,
+      minCompressionRatio = 0.2)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+  }
+
   test("language filter keeps only the requested language") {
     val en = "the cat and the dog sat in a quiet corner of the house that day"
     val de = "der hund und die katze sind von dem haus mit den kindern gegangen"
