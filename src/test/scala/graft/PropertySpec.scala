@@ -181,4 +181,31 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("word-ngram kernel equals the HOF formulation on fuzzed unicode") {
+    val T = graft.llmops.TextFuncs
+    // whitespace-heavy alphabet incl. unicode letters, tabs, newlines,
+    // NBSP (not regex-\s!), and case variation — the edges where a
+    // hand-rolled tokenizer diverges from split(lower(trim(_)))
+    val charG = Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf(' ', '\t', '\n', '\r'),
+      1 -> Gen.oneOf('É', 'ß', '你', 'Ω', ' '),
+      1 -> Gen.oneOf('.', ',', '\'', '-'))
+    val textG = Gen.listOf(charG).map(_.mkString)
+    val texts = samples(textG, 300)
+    val df = texts.zipWithIndex.map(_.swap).toDF("i", "t")
+    for (n <- Seq(2, 5)) {
+      val rows = df
+        .select($"i", T.wordNgrams($"t", n).as("fast"),
+          T.wordNgramsHof($"t", n).as("hof"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"n=$n i=${r.getInt(0)} " +
+            s"text=${texts(r.getInt(0)).take(40).flatMap(c =>
+              if (c < ' ' || c == ' ') f"\\u${c.toInt}%04x" else c.toString)}")
+      }
+    }
+  }
 }
