@@ -106,6 +106,13 @@ object Graft {
   /** One-pass per-column audit: nulls, approx distinct, min/max. */
   def profile(df: DataFrame, columns: Seq[String] = Seq.empty): DataFrame =
     ops.Profiling.profile(df, columns)
+  /** Release diff between two corpus snapshots: (key, status). */
+  def snapshotDiff(before: DataFrame, after: DataFrame,
+                   keyCol: String = "doc_id"): DataFrame =
+    ops.SnapshotDiff.diff(before, after, keyCol)
+  /** PageRank centrality over a (src, dst) link graph. */
+  def pageRank(edges: DataFrame, iterations: Int = 5): DataFrame =
+    ops.PageRank.ranks(edges, iterations)
   /** N-gram-overlap decontamination: drop corpus docs sharing any
     * word n-gram with a benchmark document.
     */

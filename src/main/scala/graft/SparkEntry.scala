@@ -1288,6 +1288,39 @@ object SparkEntry {
         Seq("next_signup"), forward = true)
         .select($"event_id", $"next_signup")
         .orderBy($"event_id")
+    }),
+
+    // ops.SnapshotDiff: corpus release diff (added/removed/changed/
+    // unchanged) between two derived snapshot versions. The engine
+    // compares 24-byte digests; the oracle compares the payloads
+    // directly — equivalent modulo hash collisions.
+    "q79_snapshot_diff" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val before = docs.filter($"doc_id" % 10 =!= 0)
+      val after = docs.filter($"doc_id" % 7 =!= 0)
+        .withColumn("text",
+          when($"doc_id" % 5 === 0, concat($"text", lit(" v2")))
+            .otherwise($"text"))
+      graft.ops.SnapshotDiff.summary(before, after,
+        valueCols = Seq("lang", "text"))
+        .orderBy($"status")
+    }),
+
+    // ops.PageRank over a deterministic synthetic link graph (each doc
+    // links to 3 modular hub nodes). Three damped power iterations,
+    // mirrored by three unrolled CTE stages in the oracle; ranks
+    // rounded to 3dp on both sides to absorb float-association drift.
+    "q80_pagerank" -> ((s, d) => {
+      import s.implicits._
+      val edges = t(s, d, "documents")
+        .select($"doc_id".as("src"),
+          explode(array((0 until 3).map(k =>
+            pmod($"doc_id" * 7919 + lit(k), lit(500))): _*)).as("dst"))
+      graft.ops.PageRank.ranks(edges, iterations = 3)
+        .filter($"node" < 40)
+        .select($"node", round($"rank", 3).as("rank_3dp"))
+        .orderBy($"node")
     })
   )
 
@@ -1973,6 +2006,48 @@ object SparkEntry {
          FROM o ASOF LEFT JOIN s
            ON o.user_id = s.user_id AND o.nts >= s.nts
          ORDER BY o.event_id""",
+    "q79_snapshot_diff" ->
+      """WITH b AS (
+           SELECT doc_id, lang || ' ' || text AS payload
+           FROM documents WHERE doc_id % 10 <> 0),
+         a AS (
+           SELECT doc_id,
+                  lang || ' ' || (CASE WHEN doc_id % 5 = 0
+                                       THEN text || ' v2' ELSE text END)
+                    AS payload
+           FROM documents WHERE doc_id % 7 <> 0)
+         SELECT status, count(*) AS n FROM (
+           SELECT CASE WHEN b.doc_id IS NULL THEN 'added'
+                       WHEN a.doc_id IS NULL THEN 'removed'
+                       WHEN b.payload = a.payload THEN 'unchanged'
+                       ELSE 'changed' END AS status
+           FROM b FULL OUTER JOIN a ON b.doc_id = a.doc_id)
+         GROUP BY status ORDER BY status""",
+    "q80_pagerank" ->
+      """WITH e AS (
+           SELECT DISTINCT doc_id AS src, (doc_id * 7919 + k) % 500 AS dst
+           FROM documents, (VALUES (0), (1), (2)) AS ks(k)),
+         nodes AS (
+           SELECT src AS node FROM e UNION SELECT dst FROM e),
+         deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         r0 AS (SELECT node, 1.0::DOUBLE AS rank FROM nodes),
+         c1 AS (SELECT e.dst AS node, sum(r0.rank / deg.deg) AS m
+                FROM e JOIN deg USING (src) JOIN r0 ON r0.node = e.src
+                GROUP BY e.dst),
+         r1 AS (SELECT n.node, 0.15 + 0.85 * coalesce(c1.m, 0) AS rank
+                FROM nodes n LEFT JOIN c1 ON c1.node = n.node),
+         c2 AS (SELECT e.dst AS node, sum(r1.rank / deg.deg) AS m
+                FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src
+                GROUP BY e.dst),
+         r2 AS (SELECT n.node, 0.15 + 0.85 * coalesce(c2.m, 0) AS rank
+                FROM nodes n LEFT JOIN c2 ON c2.node = n.node),
+         c3 AS (SELECT e.dst AS node, sum(r2.rank / deg.deg) AS m
+                FROM e JOIN deg USING (src) JOIN r2 ON r2.node = e.src
+                GROUP BY e.dst),
+         r3 AS (SELECT n.node, 0.15 + 0.85 * coalesce(c3.m, 0) AS rank
+                FROM nodes n LEFT JOIN c3 ON c3.node = n.node)
+         SELECT node, round(rank, 3) AS rank_3dp
+         FROM r3 WHERE node < 40 ORDER BY node""",
     "q55_pii_redact" ->
       """WITH withpii AS (
            SELECT doc_id,
