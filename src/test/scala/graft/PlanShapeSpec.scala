@@ -156,6 +156,25 @@ class PlanShapeSpec extends SparkTestBase {
       p.toLowerCase.contains("leftsemi"), p.take(3000))
   }
 
+  test("q77: token budget is ONE window pass — a single exchange for the cumsum") {
+    val p = graft.llmops.Splits.tokenBudgetSample(
+      Tables.documents(spark, sf0001).select("doc_id", "source", "text"),
+      budgetPerGroup = 4000L, streams = 4)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(2500))
+    assert(p.contains("Window"), p.take(2500))
+  }
+
+  test("q79: snapshot diff joins digests — text never reaches the join exchange") {
+    // the full-outer join's exchanges must carry only key+digests;
+    // the text column dies at the project below the digest computation
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "lang", "text")
+    val p = graft.ops.SnapshotDiff.diff(docs, docs)
+      .queryExecution.executedPlan.toString
+    val exchanges = "(?s)Exchange[^\\n]*".r.findAllIn(p).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(!_.contains("text")), p.take(2500))
+  }
+
   test("chunking: sliding windows are a narrow shuffle-free pipeline") {
     // tokenize → sequence → posexplode never leaves the input
     // partition: any Exchange here would be a scale regression
