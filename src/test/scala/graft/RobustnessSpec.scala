@@ -82,6 +82,15 @@ class RobustnessSpec extends SparkTestBase {
     val prof = graft.ops.Profiling.profile(docs.limit(0))
     assert(prof.count() == 2)
     assert(prof.filter($"n_rows" =!= 0).count() == 0)
+    // pagerank of an empty edge set: no nodes, no error
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(graft.ops.PageRank.ranks(noEdges, iterations = 2).count() == 0)
+    // snapshot diff with disjoint key spaces: pure adds + removes
+    val b = Seq((1L, "x")).toDF("doc_id", "text")
+    val a = Seq((2L, "y")).toDF("doc_id", "text")
+    val st = graft.ops.SnapshotDiff.diff(b, a)
+      .as[(Long, String)].collect().toMap
+    assert(st == Map(1L -> "removed", 2L -> "added"))
   }
 
   test("text operators survive nulls, empties, and non-ASCII") {
