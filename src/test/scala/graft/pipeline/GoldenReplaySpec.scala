@@ -61,6 +61,28 @@ class GoldenReplaySpec extends SparkTestBase {
     assert(rewritten == original)
   }
 
+  test("every committed extracted_reports fixture parses and round-trips") {
+    assume(hasRef)
+    val dir = new java.io.File(fixture("extracted_reports"))
+    val files = dir.listFiles().filter(_.getName.endsWith(".txt"))
+    assert(files.length == 4) // 3M, JPMorgan Chase, Sherwin-Williams, UnitedHealth
+    files.foreach { f =>
+      val parsed = LineFormats.readReports(spark, f.getAbsolutePath).cache()
+      assert(parsed.count() > 0, f.getName)
+      // every parsed row is structurally sound
+      assert(parsed.filter(!$"url".startsWith("http")).count() == 0, f.getName)
+      assert(parsed.filter($"year" < 2000 || $"year" > 2026).count() == 0,
+        f.getName)
+      assert(parsed.filter(!$"quarter".between(1, 4)).count() == 0, f.getName)
+      // byte-stable round trip through the line-format sink
+      val rewritten = LineFormats.reportsToLines(parsed)
+        .as[String].collect().toSet
+      val original = scala.io.Source.fromFile(f).getLines()
+        .filter(_.trim.nonEmpty).toSet
+      assert(rewritten == original, f.getName)
+    }
+  }
+
   test("companies csv reader") {
     assume(hasRef)
     val c = LineFormats.readCompaniesCsv(spark, fixture("dow30_companies.csv"))
