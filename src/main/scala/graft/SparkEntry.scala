@@ -1321,6 +1321,39 @@ object SparkEntry {
         .filter($"node" < 40)
         .select($"node", round($"rank", 3).as("rank_3dp"))
         .orderBy($"node")
+    }),
+
+    // Native set operations (SURVEY §2.6 noted the reference needs
+    // none beyond anti-join; declared here to round out the algebra):
+    // customers active in BOTH halves of 1995 vs only the first half.
+    "q81_set_ops" -> ((s, d) => {
+      import s.implicits._
+      val o = t(s, d, "orders")
+      val h1 = o.filter($"o_orderdate".between("1995-01-01", "1995-06-30"))
+        .select($"o_custkey")
+      val h2 = o.filter($"o_orderdate".between("1995-07-01", "1995-12-31"))
+        .select($"o_custkey")
+      h1.intersect(h2).agg(count(lit(1)).as("n_both"))
+        .crossJoin(h1.except(h2).agg(count(lit(1)).as("n_only_h1")))
+    }),
+
+    // The spark.sql entry path end-to-end: CTE + correlated EXISTS +
+    // window rank in ONE ANSI statement over temp views — the oracle
+    // runs the identical SQL.
+    "q82_sql_surface" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_v")
+      t(s, d, "customer").createOrReplaceTempView("customer_v")
+      s.sql("""
+        WITH freq AS (
+          SELECT o_custkey, count(*) AS n_orders
+          FROM orders_v GROUP BY o_custkey)
+        SELECT c_mktsegment, count(*) AS n_cust,
+               max(n_orders) AS max_orders
+        FROM customer_v c JOIN freq f ON f.o_custkey = c.c_custkey
+        WHERE EXISTS (
+          SELECT 1 FROM freq b
+          WHERE b.o_custkey = c.c_custkey AND b.n_orders >= 10)
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")
     })
   )
 
@@ -2048,6 +2081,29 @@ object SparkEntry {
                 FROM nodes n LEFT JOIN c3 ON c3.node = n.node)
          SELECT node, round(rank, 3) AS rank_3dp
          FROM r3 WHERE node < 40 ORDER BY node""",
+    "q81_set_ops" ->
+      """WITH h1 AS (
+           SELECT o_custkey FROM orders
+           WHERE o_orderdate BETWEEN '1995-01-01' AND '1995-06-30'),
+         h2 AS (
+           SELECT o_custkey FROM orders
+           WHERE o_orderdate BETWEEN '1995-07-01' AND '1995-12-31')
+         SELECT
+           (SELECT count(*) FROM (SELECT * FROM h1 INTERSECT SELECT * FROM h2))
+             AS n_both,
+           (SELECT count(*) FROM (SELECT * FROM h1 EXCEPT SELECT * FROM h2))
+             AS n_only_h1""",
+    "q82_sql_surface" ->
+      """WITH freq AS (
+           SELECT o_custkey, count(*) AS n_orders
+           FROM orders GROUP BY o_custkey)
+         SELECT c_mktsegment, count(*) AS n_cust,
+                max(n_orders) AS max_orders
+         FROM customer c JOIN freq f ON f.o_custkey = c.c_custkey
+         WHERE EXISTS (
+           SELECT 1 FROM freq b
+           WHERE b.o_custkey = c.c_custkey AND b.n_orders >= 10)
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q55_pii_redact" ->
       """WITH withpii AS (
            SELECT doc_id,

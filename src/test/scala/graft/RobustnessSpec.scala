@@ -27,7 +27,8 @@ class RobustnessSpec extends SparkTestBase {
       "q67_quantile_bins", "q69_dup_clusters", "q70_cluster_dedup",
       "q71_chunk_windows", "q73_clean_corpus", "q74_profile",
       "q75_compression", "q76_ngram_decontam", "q77_token_budget",
-      "q78_asof_forward", "q79_snapshot_diff", "q80_pagerank")
+      "q78_asof_forward", "q79_snapshot_diff", "q80_pagerank",
+      "q81_set_ops", "q82_sql_surface")
     for (name <- picked) {
       val fn = SparkEntry.queries(name)
       val a = fn(spark, sf0001).collect().map(_.toString).sorted.toSeq
