@@ -40,6 +40,36 @@ class JsonlDocsSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("gzipped JSONL reads transparently — quarantine flow included") {
+    // corpora ship as .jsonl.gz; the text source must decompress and
+    // the quarantine split must behave identically
+    val dir = Files.createTempDirectory("jsonl_gz").toFile
+    val f = new java.io.File(dir, "part.jsonl.gz")
+    val out = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(f))
+    out.write(
+      """{"doc_id": 1, "source": "s0", "lang": "en", "text": "alpha"}
+        |broken line
+        |{"doc_id": 2, "source": "s0", "lang": "en", "text": "beta"}
+        |""".stripMargin.getBytes("UTF-8"))
+    out.close()
+    val (clean, bad) = JsonlDocs.readSplit(spark, f.getAbsolutePath)
+    assert(clean.select($"doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L))
+    assert(bad.as[String].collect().toSeq == Seq("broken line"))
+  }
+
+  test("orc round trip preserves the documents schema and rows") {
+    val dir = Files.createTempDirectory("orc_rt").toFile.getAbsolutePath
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"source", $"lang", $"text").limit(100)
+    docs.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema == docs.schema)
+    assert(back.orderBy($"doc_id").collect().toSeq ==
+      docs.orderBy($"doc_id").collect().toSeq)
+  }
+
   test("typed fields survive: wrong-typed value quarantines the line") {
     val dir = Files.createTempDirectory("jsonl_t").toFile
     val f = new java.io.File(dir, "part.jsonl")
