@@ -36,10 +36,24 @@ object Bench {
         if (t < times(name)) times(name) = t
       }
     }
-    val qs = times.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Artifact contract: the driver tail-captures a noisy sbt log, and
+    // rounds 3-4 lost the JSON line to truncation. Defense in depth:
+    // (a) the full JSON is written to bench_out.json so the artifact
+    // is recoverable from the working tree regardless of log capture;
+    // (b) the printed line is compact (sorted keys, 4-decimal values,
+    // ~2 KB for 83 queries) with `total` first AND repeated last, so a
+    // clip from either end still leaves the headline metric parseable.
+    def num(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = times.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val total = if (times.nonEmpty) times.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
+      s""""sf":"$sfDir","queries":$qs,"total":${num(total)}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
+    println("bench JSON also written to bench_out.json")
+    println(json)
   }
 }

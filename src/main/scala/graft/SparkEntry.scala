@@ -1233,8 +1233,12 @@ object SparkEntry {
     "q75_compression" -> ((s, d) => {
       import s.implicits._
       val C = graft.llmops.Compression
+      // length floor 50, not 20: deflate's ~5-byte framing dominates
+      // very short texts and can push a legitimate ratio past the 1.1
+      // bound — the bound is a property of compressible PROSE, so the
+      // contract only asserts it where framing is amortized away.
       t(s, d, "documents")
-        .filter(length($"text") >= 20)
+        .filter(length($"text") >= 50)
         .withColumn("r_nat", C.compressionRatio($"text"))
         .withColumn("r_rep",
           C.compressionRatio(repeat(substring($"text", 1, 20), 50)))
@@ -1982,7 +1986,7 @@ object SparkEntry {
     "q75_compression" ->
       """SELECT source, count(*) AS n_docs,
                 TRUE AS ratio_bounded, TRUE AS rep_compresses_more
-         FROM documents WHERE length(text) >= 20
+         FROM documents WHERE length(text) >= 50
          GROUP BY source ORDER BY source""",
     "q76_ngram_decontam" ->
       """WITH ctoks AS (

@@ -96,9 +96,14 @@ object Splits {
     *
     * Scale shape: the same stream-sharding as [[Packing.packBins]] —
     * `(group, id % streams)` splits each group's cumulative sum
-    * across `streams` independent window partitions with
-    * `budget/streams` each, so no group funnels through a single
-    * task; quota accuracy is within one document per stream. Output:
+    * across `streams` independent window partitions, so no group
+    * funnels through a single task; quota accuracy is within one
+    * document per stream. The budget divides as `budget/streams` per
+    * stream with the remainder spread one token each over the first
+    * `budget % streams` streams — the stream quotas sum EXACTLY to
+    * `budgetPerGroup` (no floor loss), and a budget smaller than
+    * `streams` yields small-but-nonzero quotas for the first
+    * `budget` streams rather than a silently empty result. Output:
     * input columns + (stream, n_tokens).
     */
   def tokenBudgetSample(docs: DataFrame, budgetPerGroup: Long,
@@ -118,7 +123,8 @@ object Splits {
       .withColumn("__ord", md5(col(textCol)))
       .withColumn("n_tokens", TextFuncs.tokenCount(col(textCol)).cast("long"))
       .withColumn("__cum", sum(col("n_tokens")).over(w))
-      .filter(col("__cum") <= lit(budgetPerGroup / streams))
+      .filter(col("__cum") <= lit(budgetPerGroup / streams) +
+        when(col("stream") < lit(budgetPerGroup % streams), 1L).otherwise(0L))
       .drop("__ord", "__cum")
   }
 }

@@ -93,4 +93,18 @@ class SplitsSpec extends SparkTestBase {
       .filter($"n_kept" < $"n_total" && $"tok" < budget / streams - maxDoc)
     assert(slack.count() == 0)
   }
+
+  test("token-budget remainder spreads over streams instead of flooring away") {
+    // 100 one-token docs, budget 3 over 8 streams: floor division alone
+    // would give every stream quota 0 (silently empty); the remainder
+    // spread gives streams 0-2 one token each → exactly 3 docs kept.
+    val docs = (0L until 100L).map(i => (i, "g", s"w$i"))
+      .toDF("doc_id", "source", "text")
+    val kept = Splits.tokenBudgetSample(docs, budgetPerGroup = 3L, streams = 8)
+    assert(kept.count() == 3)
+    assert(kept.select($"stream").as[Long].collect().sorted.toSeq == Seq(0L, 1L, 2L))
+    // non-divisible budget: stream quotas sum to exactly the budget
+    val kept2 = Splits.tokenBudgetSample(docs, budgetPerGroup = 11L, streams = 4)
+    assert(kept2.agg(sum($"n_tokens")).as[Long].head() == 11L)
+  }
 }
