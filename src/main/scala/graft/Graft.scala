@@ -60,8 +60,12 @@ object Graft {
     llmops.Dedup.minhashDedup(docs, threshold)
   def nearDupPairs(docs: DataFrame, threshold: Double = 0.7): DataFrame =
     llmops.Dedup.minhashPairs(docs, threshold)
+  /** SimHash near-dup pairs; defaults to the 128-bit wide-band config
+    * (see [[llmops.Dedup.simhashPairs]] — `wideBands = false` is the
+    * sub-100k-doc fast path only).
+    */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
-                   wideBands: Boolean = false): DataFrame =
+                   wideBands: Boolean = true): DataFrame =
     llmops.Dedup.simhashPairs(docs, maxHamming, wideBands = wideBands)
   /** Decontamination: near-dup pairs between corpus and benchmark. */
   def contaminationPairs(corpus: DataFrame, benchmark: DataFrame,
@@ -138,9 +142,15 @@ object Graft {
     llmops.Dedup.incrementalDedup(delta, corpusBands, corpusSigs, threshold)
 
   // ---- similarity search -------------------------------------------
+  /** Exact brute-force top-k. Defaults to the scale-safe bounded-heap
+    * partial-aggregation plan; the rank-window formulation is only
+    * reachable via `VectorFuncs.bruteForceTopK(impl = "window")` (the
+    * documented oracle anchor — it funnels every scored row through
+    * |queries| reducers and must not be used at scale).
+    */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
     llmops.VectorFuncs.bruteForceTopK(corpus, queries, k)
-  /** Exact top-k with the scale-safe partial-aggregation plan. */
+  /** Alias for [[cosineTopK]] (the agg plan is the default now). */
   def cosineTopKAgg(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
     llmops.VectorFuncs.bruteForceTopKAgg(corpus, queries, k)
   def approxTopK(corpus: DataFrame, queries: DataFrame, k: Int,

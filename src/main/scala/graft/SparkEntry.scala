@@ -373,7 +373,11 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       materialize(docs.select($"doc_id".as("id"),
         graft.llmops.Sketches.simhash64($"text").as("fp")), "q25_fps")
-      graft.llmops.Dedup.simhashPairs(docs, maxHamming = 3)
+      // wideBands = false: this query pins the 64-bit oracle (DuckDB
+      // replays 16-bit banding + bit_count over the dumped 64-bit
+      // fps); the library default is the 128-bit wide-band config
+      graft.llmops.Dedup.simhashPairs(docs, maxHamming = 3,
+          wideBands = false)
         .orderBy($"id_a", $"id_b")
     }),
 
@@ -1358,6 +1362,32 @@ object SparkEntry {
           SELECT 1 FROM freq b
           WHERE b.o_custkey = c.c_custkey AND b.n_orders >= 10)
         GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    }),
+
+    // llmops ANN, IVF with the Lloyd-refined quantizer (kmeansIters>0
+    // — the production-shape path; q43 covers the hash-sampled seed).
+    // The centroids are trained ONCE and shared between the verify
+    // dump and the query via ivfTopKWithCentroids, so the oracle's
+    // replay (probe join → cosine → rank over the dumped inverted
+    // lists) is exact regardless of float drift in re-training.
+    "q83_ivf_kmeans" -> ((s, d) => {
+      import s.implicits._
+      val I = graft.llmops.Ivf
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+      val cents = I.kmeansCentroids(emb, nlist = 16, iters = 2)
+      if (materializing) {
+        materialize(emb.select($"vec_id",
+          element_at(I.nearest_centroids($"embedding", cents, 1), 1)
+            .as("list_id")), "q83_assigned")
+        materialize(q.select($"query_id",
+          explode(I.nearest_centroids($"query_vec", cents, 4)).as("list_id")),
+          "q83_probes")
+      }
+      I.ivfTopKWithCentroids(emb, q, k = 5, cents, nprobe = 4)
+        .select($"query_id", $"vec_id", round($"sim", 4).as("sim"), $"rk")
+        .orderBy($"query_id", $"rk")
     })
   )
 
@@ -2108,6 +2138,21 @@ object SparkEntry {
            SELECT 1 FROM freq b
            WHERE b.o_custkey = c.c_custkey AND b.n_orders >= 10)
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q83_ivf_kmeans" ->
+      """WITH scored AS (
+           SELECT p.query_id, a.vec_id,
+                  list_cosine_similarity(ce.embedding::DOUBLE[], qe.embedding::DOUBLE[]) AS sim
+           FROM read_parquet('/root/repo/spark-warehouse/q83_assigned/*.parquet') a
+           JOIN read_parquet('/root/repo/spark-warehouse/q83_probes/*.parquet') p USING (list_id)
+           JOIN embeddings ce ON ce.vec_id = a.vec_id
+           JOIN embeddings qe ON qe.vec_id = p.query_id
+           WHERE a.vec_id <> p.query_id),
+         ranked AS (
+           SELECT query_id, vec_id, sim,
+                  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
+           FROM scored)
+         SELECT query_id, vec_id, round(sim, 4) AS sim, rk::INTEGER AS rk
+         FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""",
     "q55_pii_redact" ->
       """WITH withpii AS (
            SELECT doc_id,

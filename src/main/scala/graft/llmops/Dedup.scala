@@ -136,17 +136,22 @@ object Dedup {
   /** SimHash near-duplicate pairs: banded candidate generation, then
     * exact Hamming verification.
     *
-    * Default (64-bit fp, 4×16-bit bands): every pair within Hamming
-    * distance 3 shares a band — but only 65k distinct buckets exist,
-    * so on a large corpus every bucket saturates the cap.
-    * `wideBands = true` switches to the corpus-scale configuration:
-    * a 128-bit fingerprint with 4×32-bit bands (2^32 bucket keys, same
-    * ≤3-of-128 pigeonhole guarantee); `maxHamming` then applies to the
-    * 128-bit distance, so roughly double the 64-bit threshold for
-    * comparable selectivity.
+    * Default (`wideBands = true`, the corpus-scale configuration): a
+    * 128-bit fingerprint with 4×32-bit bands — 2^32 distinct bucket
+    * keys, so bucket occupancy stays proportional to real collisions
+    * even at billions of documents, and every pair within Hamming
+    * distance 3 of 128 still shares a band (pigeonhole). `maxHamming`
+    * applies to the 128-bit distance.
+    *
+    * `wideBands = false` is the small-corpus fast path: 64-bit
+    * fingerprint, 4×16-bit bands — half the sketch bytes and hash
+    * work, but only 65k distinct buckets exist, so on a large corpus
+    * every bucket saturates `maxBucket` and recall collapses; never
+    * use it past ~10^5 documents. A 64-bit `maxHamming` is roughly
+    * half the 128-bit one for comparable selectivity.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3, maxBucket: Int = 200,
-                   wideBands: Boolean = false,
+                   wideBands: Boolean = true,
                    idCol: String = "doc_id", textCol: String = "text")
       : DataFrame = {
     val (fpCol, bandsOf, hammingOf) =

@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
@@ -131,24 +130,41 @@ object Ivf {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4, kmeansIters: Int = 0,
               corpusId: String = "vec_id", corpusVec: String = "embedding",
-              queryId: String = "query_id", queryVec: String = "query_vec")
+              queryId: String = "query_id", queryVec: String = "query_vec",
+              impl: String = "agg")
       : DataFrame = {
     val cents =
       if (kmeansIters > 0)
         kmeansCentroids(corpus, nlist, kmeansIters, corpusId, corpusVec)
       else sampleCentroids(corpus, nlist, corpusId, corpusVec)
+    ivfTopKWithCentroids(corpus, queries, k, cents, nprobe,
+      corpusId, corpusVec, queryId, queryVec, impl)
+  }
+
+  /** [[ivfTopK]] with an externally supplied quantizer. Lets a caller
+    * train centroids once and reuse them across query batches (and
+    * lets the verify dump derive the materialized inverted lists from
+    * the SAME centroid instance the query uses — Lloyd means are
+    * float sums, so re-training is not guaranteed bit-identical).
+    */
+  def ivfTopKWithCentroids(corpus: DataFrame, queries: DataFrame, k: Int,
+                           centroids: Array[Array[Float]], nprobe: Int = 4,
+                           corpusId: String = "vec_id",
+                           corpusVec: String = "embedding",
+                           queryId: String = "query_id",
+                           queryVec: String = "query_vec",
+                           impl: String = "agg")
+      : DataFrame = {
     val assigned = corpus.withColumn("list_id",
-      element_at(nearest_centroids(col(corpusVec), cents, 1), 1))
+      element_at(nearest_centroids(col(corpusVec), centroids, 1), 1))
     val probes = queries.withColumn("list_id",
-      explode(nearest_centroids(col(queryVec), cents, nprobe)))
+      explode(nearest_centroids(col(queryVec), centroids, nprobe)))
     val scored = assigned.join(broadcast(probes), Seq("list_id"))
       .filter(col(corpusId) =!= col(queryId))
       .withColumn("sim", VectorFuncs.cosine(col(corpusVec), col(queryVec)))
-    val w = Window.partitionBy(col(queryId))
-      .orderBy(col("sim").desc, col(corpusId))
-    scored
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col(queryId), col(corpusId), col("sim"), col("rk"))
+    // an inverted list holds |corpus|/nlist vectors — still huge at
+    // corpus scale, so the scale-safe bounded-heap re-rank is the
+    // default here too (impl contract: [[VectorFuncs.rerankTopK]])
+    VectorFuncs.rerankTopK(scored, k, queryId, corpusId, impl)
   }
 }

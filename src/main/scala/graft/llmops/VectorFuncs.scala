@@ -82,50 +82,75 @@ object VectorFuncs {
     when(denom === 0, 0.0).otherwise(dot(a, b) / denom)
   }
 
+  /** Per-query top-k re-rank of a scored candidate set — the shared
+    * tail of every similarity-search entry point.
+    *
+    * `impl = "agg"` (the default everywhere): bounded-heap partial
+    * aggregation ([[TopK]]) — each partition pre-reduces to ≤k
+    * candidates per query before the shuffle (map-side combine), so
+    * the exchange carries ≤ partitions·|queries|·k slim pairs no
+    * matter how large the candidate set is. Requires a LONG id column
+    * (the heap entry type).
+    *
+    * `impl = "window"`: the rank-window formulation. It funnels EVERY
+    * candidate row through |queries| window reducers — the known
+    * scale-killer — and exists only as the oracle anchor (DuckDB
+    * replays it as a ROW_NUMBER window) and for non-long id columns.
+    * Results are bit-identical between the two (same score-desc,
+    * id-asc tie-break; top-k of a union is the top-k of per-part
+    * top-ks); only the physical plan differs.
+    */
+  private[llmops] def rerankTopK(scored: DataFrame, k: Int,
+                                 queryId: String, corpusId: String,
+                                 impl: String): DataFrame = impl match {
+    case "agg" =>
+      scored
+        .groupBy(col(queryId))
+        .agg(TopK.topK(col(corpusId), col("sim"), k).as("topk"))
+        .select(col(queryId), posexplode(col("topk")).as(Seq("pos", "t")))
+        .select(col(queryId), col("t._1").as(corpusId),
+          col("t._2").as("sim"), (col("pos") + 1).cast("int").as("rk"))
+    case "window" =>
+      val w = Window.partitionBy(col(queryId))
+        .orderBy(col("sim").desc, col(corpusId))
+      scored
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .select(col(queryId), col(corpusId), col("sim"), col("rk"))
+    case other =>
+      throw new IllegalArgumentException(
+        s"""impl must be "agg" or "window", got "$other"""")
+  }
+
   /** Brute-force top-k nearest neighbours by cosine similarity.
     *
     * `queries` must be small (it is broadcast); the corpus streams
-    * map-side — the only shuffle is the per-query top-k window, which
-    * moves k·|queries| candidate rows after partial filtering. This is
-    * the exact baseline; [[lshTopK]] is the sublinear variant.
+    * map-side. This is the exact baseline; [[lshTopK]] / [[Ivf.ivfTopK]]
+    * are the sublinear variants. The default re-rank is the scale-safe
+    * bounded-heap aggregation — see [[rerankTopK]] for the `impl`
+    * contract and why "window" is an oracle-anchor-only escape hatch.
     *
     * Output: (query_id, vec_id, sim, rk).
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      corpusId: String = "vec_id", corpusVec: String = "embedding",
-                     queryId: String = "query_id", queryVec: String = "query_vec")
+                     queryId: String = "query_id", queryVec: String = "query_vec",
+                     impl: String = "agg")
       : DataFrame = {
     val scored = corpus.join(broadcast(queries))
       .withColumn("sim", cosine(col(corpusVec), col(queryVec)))
-    val w = Window.partitionBy(col(queryId))
-      .orderBy(col("sim").desc, col(corpusId))
-    scored
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col(queryId), col(corpusId), col("sim"), col("rk"))
+    rerankTopK(scored, k, queryId, corpusId, impl)
   }
 
-  /** Exact brute-force top-k with the scale-safe plan shape: a
-    * bounded-heap partial aggregation ([[TopK]]) replaces the rank
-    * window, so each partition pre-reduces to ≤k candidates per query
-    * before the shuffle (map-side combine) instead of funnelling every
-    * scored row through |queries| window reducers. Identical results
-    * to [[bruteForceTopK]] — same ordering, same tie-break — different
-    * physical plan.
+  /** Alias for `bruteForceTopK(impl = "agg")`, kept for source compat
+    * with round-3 callers; the agg plan is the default now.
     */
   def bruteForceTopKAgg(corpus: DataFrame, queries: DataFrame, k: Int,
                         corpusId: String = "vec_id", corpusVec: String = "embedding",
                         queryId: String = "query_id", queryVec: String = "query_vec")
-      : DataFrame = {
-    val scored = corpus.join(broadcast(queries))
-      .withColumn("sim", cosine(col(corpusVec), col(queryVec)))
-    scored
-      .groupBy(col(queryId))
-      .agg(TopK.topK(col(corpusId), col("sim"), k).as("topk"))
-      .select(col(queryId), posexplode(col("topk")).as(Seq("pos", "t")))
-      .select(col(queryId), col("t._1").as(corpusId),
-        col("t._2").as("sim"), (col("pos") + 1).cast("int").as("rk"))
-  }
+      : DataFrame =
+    bruteForceTopK(corpus, queries, k, corpusId, corpusVec, queryId, queryVec,
+      impl = "agg")
 
   /** Random-hyperplane LSH bucket id — see [[RhpBucket]]. */
   def rhpBucket(vec: Column, planes: Int, seed: Long = 42L): Column =
@@ -156,17 +181,16 @@ object VectorFuncs {
 
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 8,
               corpusId: String = "vec_id", corpusVec: String = "embedding",
-              queryId: String = "query_id", queryVec: String = "query_vec")
+              queryId: String = "query_id", queryVec: String = "query_vec",
+              impl: String = "agg")
       : DataFrame = {
     val cb = corpus.withColumn("bucket", rhpBucket(col(corpusVec), planes))
     val qb = lshProbes(queries, planes, queryId, queryVec)
     val scored = cb.join(broadcast(qb), Seq("bucket"))
       .withColumn("sim", cosine(col(corpusVec), col(queryVec)))
-    val w = Window.partitionBy(col(queryId))
-      .orderBy(col("sim").desc, col(corpusId))
-    scored
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col(queryId), col(corpusId), col("sim"), col("rk"))
+    // bucketing prunes candidates ~2^planes-fold, but at corpus scale a
+    // query's bucket can still hold millions of rows — same re-rank
+    // discipline as the brute-force path (impl contract: [[rerankTopK]])
+    rerankTopK(scored, k, queryId, corpusId, impl)
   }
 }

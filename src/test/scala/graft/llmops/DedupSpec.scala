@@ -62,8 +62,8 @@ class DedupSpec extends SparkTestBase {
     assert(survivors.size == docs.count() - droppedIds.size)
   }
 
-  test("simhash pairs overlap exact near-dups") {
-    val got = Dedup.simhashPairs(docs, maxHamming = 10)
+  test("simhash pairs overlap exact near-dups (64-bit small-corpus path)") {
+    val got = Dedup.simhashPairs(docs, maxHamming = 10, wideBands = false)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     // simhash is token-frequency based; demand decent recall on 0.8-jaccard pairs
     val hit = exactPairs.count(got.contains)

@@ -40,7 +40,7 @@ class VectorFuncsSpec extends SparkTestBase {
     val emb = Tables.embeddings(spark, sf0001)
     val q = emb.filter($"vec_id" < 3)
       .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
-    val viaWindow = VectorFuncs.bruteForceTopK(emb, q, k = 10)
+    val viaWindow = VectorFuncs.bruteForceTopK(emb, q, k = 10, impl = "window")
       .select($"query_id", $"vec_id", $"rk").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     val viaAgg = VectorFuncs.bruteForceTopKAgg(emb, q, k = 10)
