@@ -1,0 +1,76 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Generate a scaled-up synthetic `documents` table with the same
+  * statistical shape as the driver's testdata (TESTDATA.md): word-salad
+  * text over a small vocabulary, 5 langs (en-heavy), 20 sources,
+  * lengths ~45-580 chars, a sprinkle of exact duplicates and near
+  * duplicates (a copy with a few words swapped — what MinHash/CC must
+  * find). Used only by the local scale probe (SCALING.md): the driver
+  * ships sf≤0.1, and substantiating "per-round fixed cost amortizes"
+  * for the iterative operators needs one decade more data.
+  *
+  * Deterministic: every row derives from splitmix64(doc_id), no RNG
+  * state — rerunning or repartitioning yields identical bytes.
+  *
+  *   sbt "runMain graft.tools.GenDocs <rows> <outDir>"
+  */
+object GenDocs {
+  private val vocab: Array[String] = Array(
+    "batch", "part", "spark", "line", "column", "order", "small", "sort",
+    "fast", "value", "scan", "merge", "join", "shuffle", "stage", "task",
+    "row", "group", "key", "hash", "range", "filter", "map", "reduce",
+    "cache", "disk", "memory", "read", "write", "plan", "query", "table",
+    "index", "page", "block", "codec", "stream", "state", "window", "event")
+  private val langs = Array("en", "en", "de", "es", "fr", "zh")
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private def wordsFor(id: Long): Array[String] = {
+    val n = 8 + (math.abs(mix64(id * 31 + 7)) % 90).toInt // 8-97 words ≈ 45-580 chars
+    Array.tabulate(n)(i => vocab((math.abs(mix64(id * 131 + i)) % vocab.length).toInt))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val rows = if (args.length > 0) args(0).toLong else 50000L
+    val out = if (args.length > 1) args(1) else "/root/repo/tmpdata/sf1"
+    val spark = SparkSession.builder()
+      .master(s"local[${math.min(32, Runtime.getRuntime.availableProcessors)}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val docs = spark.range(rows).map { id =>
+      val h = mix64(id)
+      // ~1.5% near-dups: copy an earlier doc's words, swap a few;
+      // ~0.3% exact dups of an earlier doc
+      val kind = math.abs(h) % 1000
+      val words =
+        if (id > 100 && kind < 3) wordsFor(id - 1 - (math.abs(h) % 100))
+        else if (id > 100 && kind < 18) {
+          val base = wordsFor(id - 1 - (math.abs(h) % 100))
+          base.zipWithIndex.map { case (w, i) =>
+            if (i % 17 == (id % 17).toInt)
+              vocab((math.abs(mix64(id + i)) % vocab.length).toInt)
+            else w
+          }
+        } else wordsFor(id)
+      val text = words.mkString(" ")
+      val lang = langs((math.abs(mix64(id + 999)) % langs.length).toInt)
+      val source = "src" + (math.abs(mix64(id + 555)) % 20)
+      (id, text, lang, source, text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    docs.coalesce(8).write.mode("overwrite").parquet(s"$out/documents.parquet")
+    println(s"wrote $rows rows to $out/documents.parquet")
+    spark.stop()
+  }
+}
