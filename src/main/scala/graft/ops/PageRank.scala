@@ -12,10 +12,21 @@ import org.apache.spark.sql.functions._
   * Each round is one join (edges ⋈ ranks on the source node) and one
   * aggregation (sum of contributions per destination) — shuffles carry
   * (long, double) pairs only. The edge+degree table is pinned once and
-  * reused every round; rank lineage is cut per round. At cluster
-  * scale, pre-partition edges and ranks by node id so the per-round
-  * join reuses one partitioning instead of re-shuffling the edge table
-  * (edges are the big side; ranks are |V| ≪ |E|).
+  * reused every round; rank lineage is cut per round.
+  *
+  * Partitioning is arranged so the big side never re-shuffles:
+  * edges+degrees are hash-partitioned by `src` (and sorted within
+  * partitions) BEFORE the lineage cut — `localCheckpoint` captures the
+  * physical partitioning/ordering, so every round's edges⋈ranks join
+  * sees a pre-clustered, pre-sorted edge side and only moves the
+  * (node, rank) table (|V| ≪ |E|). Likewise `nodes` comes out of its
+  * `distinct` hash-partitioned by node, and each round's rank table
+  * inherits that partitioning through the contribution left-join, so
+  * the only unavoidable per-round shuffle is the contribution
+  * aggregation itself (hash by destination). On a small input AQE
+  * broadcasts the rank side and the point is moot; at cluster scale
+  * (edges >> broadcast threshold) this is the difference between
+  * shuffling E once ever and shuffling E every round.
   *
   * Dangling nodes (no out-links) leak their damped mass instead of
   * redistributing it — the common simplification for link scoring;
@@ -35,6 +46,8 @@ object PageRank {
       .localCheckpoint(true)
     val eDeg = e
       .join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .repartition(col("src"))
+      .sortWithinPartitions("src")
       .localCheckpoint(true)
 
     var ranks = nodes.withColumn("rank", lit(1.0))

@@ -43,6 +43,60 @@ class PageRankSpec extends SparkTestBase {
     assert(got(0L) > got(1L) * 5)
   }
 
+  test("per-round plans never re-shuffle edge rows") {
+    // The at-scale contract from the scaladoc: edges+degrees are
+    // pinned pre-partitioned by src, so the only per-round exchange is
+    // the contribution aggregation — no exchange ever carries edge
+    // rows (dst/deg columns). Broadcast off emulates |V| above the
+    // threshold; AQE off keeps captured plans final and deterministic.
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.{SortMergeJoinExec, ShuffledHashJoinExec}
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[QueryExecution]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution, ns: Long): Unit =
+        captured.add(qe)
+      override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val edges = spark.range(2000)
+        .selectExpr("id % 97 AS src", "(id * 31) % 89 AS dst")
+      PageRank.ranks(edges, iterations = 3)
+      // listener delivery is async; each round's checkpoint is one QE
+      // with two joins (edges⋈ranks, nodes⋈contribs)
+      def roundPlans() = {
+        import scala.jdk.CollectionConverters._
+        captured.asScala.map(_.executedPlan).filter(p => p.collect {
+          case j: SortMergeJoinExec => j
+          case j: ShuffledHashJoinExec => j
+        }.size == 2).toSeq
+      }
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (roundPlans().size < 3 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val rounds = roundPlans()
+      assert(rounds.size >= 3, s"captured only ${rounds.size} round plans")
+      for (p <- rounds) {
+        val edgeShuffles = p.collect {
+          case e: ShuffleExchangeLike
+              if e.output.exists(a => a.name == "dst" || a.name == "deg") => e
+        }
+        assert(edgeShuffles.isEmpty,
+          s"edge rows re-shuffled:\n${edgeShuffles.mkString("\n")}\nin plan:\n$p")
+        // exactly the one unavoidable exchange: the contribution agg
+        val all = p.collect { case e: ShuffleExchangeLike => e }
+        assert(all.size <= 1, s"expected at most 1 exchange per round:\n$p")
+      }
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      spark.listenerManager.unregister(listener)
+    }
+  }
+
   test("symmetric cycle converges to equal ranks") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L))
     val got = run(edges, iters = 30)
