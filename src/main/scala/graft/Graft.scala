@@ -79,6 +79,18 @@ object Graft {
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
                         threshold: Double = 0.5): DataFrame =
     llmops.Dedup.ngramJaccardPairs(docs, n, threshold)
+  /** Embedding near-dup pairs within IVF cluster lists — the semantic
+    * bucketing alternative to hyperplane LSH ([[llmops.Dedup.semanticPairs]]).
+    */
+  def semanticPairs(vecs: DataFrame, threshold: Double = 0.95,
+                    nlist: Int = 16, kmeansIters: Int = 0): DataFrame =
+    llmops.Dedup.semanticPairs(vecs, threshold, nlist,
+      kmeansIters = kmeansIters)
+  /** One BPE merge-selection round: frequency-weighted adjacent
+    * char-pair counts over the corpus's word dictionary.
+    */
+  def bpePairCounts(docs: DataFrame, textCol: Column): DataFrame =
+    llmops.Vocab.bpePairCounts(docs, textCol)
   /** Near-dup components of a pair graph (large-star/small-star). */
   def dupClusters(pairs: DataFrame): DataFrame =
     ops.ConnectedComponents.components(pairs)

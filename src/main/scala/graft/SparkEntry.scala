@@ -1388,6 +1388,37 @@ object SparkEntry {
       I.ivfTopKWithCentroids(emb, q, k = 5, cents, nprobe = 4)
         .select($"query_id", $"vec_id", round($"sim", 4).as("sim"), $"rk")
         .orderBy($"query_id", $"rk")
+    }),
+
+    // llmops vocabulary induction: one BPE merge-selection round —
+    // frequency-weighted adjacent char-pair counts over the word
+    // dictionary (aggregate-before-explode; Vocab.scala).
+    "q84_bpe_pairs" -> ((s, d) => {
+      import s.implicits._
+      graft.llmops.Vocab.bpePairCounts(t(s, d, "documents"), $"text")
+        .orderBy($"cnt".desc, $"pair")
+        .limit(30)
+    }),
+
+    // llmops semantic near-dup pairs: IVF-cluster-scoped cosine (the
+    // LSH-free bucketing — quantizer adapts to cluster structure where
+    // q26's random hyperplanes are data-blind). Centroids trained once
+    // and shared with the assignment dump, like q83; the oracle
+    // replays cap → within-list pairs → cosine from the dumped lists.
+    "q85_semantic_dedup" -> ((s, d) => {
+      import s.implicits._
+      val I = graft.llmops.Ivf
+      val emb = t(s, d, "embeddings")
+      val cents = I.kmeansCentroids(emb, nlist = 64, iters = 2)
+      if (materializing) {
+        materialize(emb.select($"vec_id",
+          explode(I.nearest_centroids($"embedding", cents, 2)).as("list_id")),
+          "q85_assigned")
+      }
+      graft.llmops.Dedup.semanticPairsWithCentroids(
+          emb, threshold = 0.4, cents, nprobe = 2)
+        .select($"id_a", $"id_b", round($"sim", 2).as("sim_bucket"))
+        .orderBy($"id_a", $"id_b")
     })
   )
 
@@ -2153,6 +2184,34 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, vec_id, round(sim, 4) AS sim, rk::INTEGER AS rk
          FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""",
+    "q84_bpe_pairs" ->
+      """WITH words AS (
+           SELECT w, count(*) AS wc FROM (
+             SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+             FROM documents)
+           WHERE length(w) >= 2 GROUP BY w),
+         pos AS (
+           SELECT w, wc, unnest(range(1, length(w)::BIGINT)) AS g FROM words)
+         SELECT substring(w, g::INT, 2) AS pair, sum(wc)::BIGINT AS cnt
+         FROM pos GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 30""",
+    "q85_semantic_dedup" ->
+      """WITH assigned AS (
+           SELECT vec_id, list_id FROM (
+             SELECT vec_id, list_id,
+                    count(*) OVER (PARTITION BY list_id) AS list_n
+             FROM read_parquet('/root/repo/spark-warehouse/q85_assigned/*.parquet'))
+           WHERE list_n <= 200),
+         cand AS (
+           SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM assigned a JOIN assigned b USING (list_id)
+           WHERE a.vec_id < b.vec_id),
+         sims AS (
+           SELECT id_a, id_b,
+                  list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS sim
+           FROM cand JOIN embeddings ea ON ea.vec_id = cand.id_a
+                     JOIN embeddings eb ON eb.vec_id = cand.id_b)
+         SELECT id_a, id_b, round(sim, 2) AS sim_bucket
+         FROM sims WHERE sim >= 0.4 ORDER BY id_a, id_b""",
     "q55_pii_redact" ->
       """WITH withpii AS (
            SELECT doc_id,

@@ -427,4 +427,57 @@ object Dedup {
       .groupBy(col("id_a"), col("id_b"))
       .agg(max(col("sim")).as("sim"))
   }
+
+  /** Embedding near-duplicate pairs within IVF cluster lists — the
+    * semantic-bucketing alternative to [[embeddingPairs]]: a coarse
+    * quantizer ([[Ivf]] sample or Lloyd-refined centroids) assigns
+    * each vector to its `nprobe` nearest lists and only list-mates are
+    * compared. Random hyperplanes are data-blind; the quantizer adapts
+    * to the corpus's cluster structure, so near-dups concentrate in
+    * far fewer buckets. `nprobe > 1` is the multi-band OR analog — a
+    * pair straddling a list boundary still meets in a runner-up list.
+    * Same scale discipline as every banded generator here: the
+    * list-size cap bounds the self-join output, cosine runs map-side
+    * before the pair shuffle, and vectors never shuffle.
+    */
+  def semanticPairs(vecs: DataFrame, threshold: Double = 0.95,
+                    nlist: Int = 16, nprobe: Int = 2, kmeansIters: Int = 0,
+                    maxList: Int = 200,
+                    idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val cents =
+      if (kmeansIters > 0)
+        Ivf.kmeansCentroids(vecs, nlist, kmeansIters, idCol, vecCol)
+      else Ivf.sampleCentroids(vecs, nlist, idCol, vecCol)
+    semanticPairsWithCentroids(vecs, threshold, cents, nprobe, maxList,
+      idCol, vecCol)
+  }
+
+  /** [[semanticPairs]] with pre-trained centroids, so a caller (or the
+    * oracle contract) can share one training run across the assignment
+    * dump and the pair stage.
+    */
+  def semanticPairsWithCentroids(vecs: DataFrame, threshold: Double,
+                                 centroids: Array[Array[Float]],
+                                 nprobe: Int = 2, maxList: Int = 200,
+                                 idCol: String = "vec_id",
+                                 vecCol: String = "embedding")
+      : DataFrame = {
+    val w = Window.partitionBy(col("list_id"))
+    val capped = vecs.select(
+        col(idCol).as("id"), col(vecCol).as("v"),
+        explode(Ivf.nearest_centroids(col(vecCol), centroids, nprobe))
+          .as("list_id"))
+      .withColumn("list_n", count(lit(1)).over(w))
+      .filter(col("list_n") <= maxList)
+      .drop("list_n")
+    val a = capped.select(col("list_id"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = capped.select(col("list_id"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("list_id"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", VectorFuncs.cosine(col("v_a"), col("v_b")))
+      .filter(col("sim") >= threshold)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("sim")).as("sim"))
+  }
 }

@@ -107,6 +107,43 @@ class DedupSpec extends SparkTestBase {
     assert(rows.forall(_.getDouble(2) >= 0.95))
   }
 
+  test("semantic pairs: cluster-scoped cosine, exact precision, high recall") {
+    val vecs = Tables.embeddings(spark, sf0001)
+    // brute-force ground truth (sf0.001 is small enough to cross on
+    // the driver)
+    val all = vecs.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      if (na == 0 || nb == 0) -2 else dot / (na * nb)
+    }
+    val want = (for {
+      i <- all.indices.iterator; j <- (i + 1) until all.length
+      if cos(all(i)._2, all(j)._2) >= 0.95
+    } yield (math.min(all(i)._1, all(j)._1), math.max(all(i)._1, all(j)._1)))
+      .toSet
+    val got = Dedup.semanticPairs(vecs, threshold = 0.95, nlist = 8, nprobe = 2)
+      .select($"id_a", $"id_b", $"sim").collect()
+    assert(got.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(got.forall(_.getDouble(2) >= 0.95)) // precision exact by verify
+    val gotPairs = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotPairs.subsetOf(want))
+    // nprobe=2 over a label-clustered corpus: near-dups share a list
+    if (want.nonEmpty)
+      assert(gotPairs.size >= want.size * 7 / 10,
+        s"recall ${gotPairs.size}/${want.size}")
+  }
+
+  test("semantic pairs with Lloyd-refined centroids stay exact-precision") {
+    val vecs = Tables.embeddings(spark, sf0001)
+    val got = Dedup.semanticPairs(vecs, threshold = 0.95, nlist = 8,
+      nprobe = 2, kmeansIters = 2).collect()
+    assert(got.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(got.forall(_.getDouble(2) >= 0.95))
+  }
+
   test("hot-bucket cap bounds a degenerate 5k-identical-doc corpus") {
     // 5000 copies of one text: every band bucket has 5000 members, so an
     // unguarded banded self-join would emit 16 bands x 5000^2/2 = 200M
