@@ -9,7 +9,10 @@ import graft.expr.ResolveUrl
 import graft.html.{CleanHtml, ExtractLinks, ExtractTables}
 import graft.llmops.{CompressionRatio, MinHashSignature, SimHash, SimHash128, WinnowFingerprints, WordNgrams}
 
-/** Registers the engine's custom expressions for SQL use:
+/** Registers the engine's custom expressions for SQL use, and the
+  * [[graft.plans.RewriteWindowTopK]] optimizer rule (rank-window top-k
+  * → bounded-heap aggregate; disable with
+  * `spark.graft.rewriteWindowTopK=false`):
   *
   * {{{
   * val spark = SparkSession.builder()
@@ -27,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "scala_udf")
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => graft.plans.RewriteWindowTopK)
     e.injectFunction((FunctionIdentifier("resolve_url"),
       info("resolve_url", "resolve_url(href, base) - RFC 3986 URL resolution"),
       (args: Seq[Expression]) => ResolveUrl(args(0), args(1))))
@@ -64,6 +68,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("compression_ratio",
         "compression_ratio(text) - deflate size / raw size repetition signal"),
       (args: Seq[Expression]) => CompressionRatio(args.head)))
+    e.injectFunction((FunctionIdentifier("collect_top_k"),
+      info("collect_top_k",
+        "collect_top_k(id, score, k) - bounded-heap exact per-group top-k " +
+          "(array of (id, score) structs, score desc / id asc)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(id, s, k) if k.foldable =>
+          graft.llmops.CollectTopK(id, s,
+            k.eval().asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException(
+          "collect_top_k(id, score, k) with literal k")
+      }))
     e.injectFunction((FunctionIdentifier("winnow_fingerprints"),
       info("winnow_fingerprints",
         "winnow_fingerprints(text[, k, w]) - winnowing fingerprint array"),

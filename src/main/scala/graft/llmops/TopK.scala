@@ -63,9 +63,22 @@ object TopK {
   }
 
   /** `df.groupBy(g).agg(TopK.topK(idCol, scoreCol, k))` → array of
-    * (id, score) structs sorted score-desc, id-asc.
+    * (id, score) structs sorted score-desc, id-asc. Backed by the
+    * native [[CollectTopK]] Catalyst aggregate (no per-row encoder
+    * serde; ObjectHashAggregate-eligible); [[TopKAgg]] is the typed
+    * `Aggregator` formulation of the same kernel, kept as the
+    * differential-testing reference (TopKSpec pins them equal).
     */
-  def topK(idCol: Column, scoreCol: Column, k: Int): Column =
+  def topK(idCol: Column, scoreCol: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(CollectTopK(
+        ColumnBridge.expression(idCol.cast("long")),
+        ColumnBridge.expression(scoreCol.cast("double")), k)
+      .toAggregateExpression()).as("topk")
+  }
+
+  /** The pre-round-5 UDAF plan shape, kept callable for comparison. */
+  def topKUdaf(idCol: Column, scoreCol: Column, k: Int): Column =
     udaf(new TopKAgg(k), ExpressionEncoder[Entry]())
       .apply(idCol, scoreCol).as("topk")
 }

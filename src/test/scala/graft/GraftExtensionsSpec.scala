@@ -15,6 +15,20 @@ class GraftExtensionsSpec extends SparkTestBase {
       """SELECT extract_links('<a href="/x.pdf">X</a>')""").count() == 1)
   }
 
+  test("collect_top_k aggregate is usable from SQL") {
+    spark.range(0, 100)
+      .selectExpr("id % 4 AS g", "id", "CAST(id % 13 AS DOUBLE) AS s")
+      .createOrReplaceTempView("topk_in")
+    val rows = spark.sql(
+      """SELECT g, t.col._1 AS id, t.col._2 AS s
+         FROM (SELECT g, collect_top_k(id, s, 3) AS tk
+               FROM topk_in GROUP BY g),
+         LATERAL explode(tk) AS t""").collect()
+    assert(rows.length == 12) // 4 groups x 3
+    // every kept score is a group maximum-tier score (12.0 at id%13==12)
+    assert(rows.forall(_.getAs[Double]("s") >= 11.0))
+  }
+
   test("round-2 expressions registered: simhash128 and winnow_fingerprints") {
     val r = spark.sql(
       """SELECT size(simhash128('hello world')) AS halves,

@@ -22,9 +22,15 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"))
   }
 
-  test("q07: rank-window top-k lowers to WindowGroupLimit") {
+  test("q07: rank-window top-k becomes the bounded-heap aggregate") {
+    // in a GraftExtensions session the RewriteWindowTopK rule replaces
+    // the window with collect_top_k (map-side partial top-k); without
+    // the rule, Spark's own WindowGroupLimit lowering is the floor —
     // each partition discards rows below rank k BEFORE the shuffle
-    assert(plan("q07_topk_per_group").contains("WindowGroupLimit"))
+    assert(plan("q07_topk_per_group").contains("collect_top_k"))
+    spark.conf.set("spark.graft.rewriteWindowTopK", "false")
+    try assert(plan("q07_topk_per_group").contains("WindowGroupLimit"))
+    finally spark.conf.unset("spark.graft.rewriteWindowTopK")
   }
 
   test("q02: filter is pushed into the parquet scan") {
@@ -48,7 +54,13 @@ class PlanShapeSpec extends SparkTestBase {
   }
 
   test("q23/q49: scale path replaces the window with partial aggregation") {
-    assert(plan("q23_cosine_topk").contains("Window"))
+    // q23 is written as the rank window (the oracle anchor); in a
+    // GraftExtensions session RewriteWindowTopK turns even that form
+    // into the bounded-heap plan. q49 uses the aggregate API directly.
+    assert(plan("q23_cosine_topk").contains("collect_top_k"))
+    spark.conf.set("spark.graft.rewriteWindowTopK", "false")
+    try assert(plan("q23_cosine_topk").contains("Window"))
+    finally spark.conf.unset("spark.graft.rewriteWindowTopK")
     val agg = plan("q49_cosine_topk_agg")
     assert("ObjectHashAggregate".r.findAllIn(agg).size >= 2)
   }

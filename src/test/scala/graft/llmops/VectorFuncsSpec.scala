@@ -40,9 +40,16 @@ class VectorFuncsSpec extends SparkTestBase {
     val emb = Tables.embeddings(spark, sf0001)
     val q = emb.filter($"vec_id" < 3)
       .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
-    val viaWindow = VectorFuncs.bruteForceTopK(emb, q, k = 10, impl = "window")
-      .select($"query_id", $"vec_id", $"rk").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // keep the window side a real window plan: the session-registered
+    // RewriteWindowTopK rule would otherwise rewrite it into the very
+    // aggregate this test compares against (RewriteWindowTopKSpec
+    // covers that path with its own rule-off differential)
+    spark.conf.set("spark.graft.rewriteWindowTopK", "false")
+    val viaWindow = try {
+      VectorFuncs.bruteForceTopK(emb, q, k = 10, impl = "window")
+        .select($"query_id", $"vec_id", $"rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    } finally spark.conf.unset("spark.graft.rewriteWindowTopK")
     val viaAgg = VectorFuncs.bruteForceTopKAgg(emb, q, k = 10)
       .select($"query_id", $"vec_id", $"rk").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
@@ -52,6 +59,21 @@ class VectorFuncsSpec extends SparkTestBase {
     val plan = VectorFuncs.bruteForceTopKAgg(emb, q, k = 10)
       .queryExecution.executedPlan.toString
     assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan.take(2000))
+  }
+
+  test("native collect_top_k equals the typed Aggregator kernel") {
+    // duplicate scores force the id tie-break through both kernels
+    val df = spark.range(0, 5000).select(
+      ($"id" % 11).as("g"), $"id",
+      (($"id" * 37 % 101).cast("double") / 10).as("s"))
+    def run(c: org.apache.spark.sql.Column): Set[(Long, Int, Long, Double)] =
+      df.groupBy($"g").agg(c)
+        .select($"g", posexplode($"topk").as(Seq("pos", "t")))
+        .select($"g", $"pos", $"t._1", $"t._2")
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    assert(run(TopK.topK($"id", $"s", 7)) == run(TopK.topKUdaf($"id", $"s", 7)))
   }
 
   test("TopKAgg reduce/merge keep k best with window tie-break order") {
