@@ -182,6 +182,68 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("CollectTopK equals sort-take under fuzzed partitions, nulls, NaN") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val entryG: Gen[(Option[Long], Option[Double])] = for {
+      id <- Gen.option(Gen.chooseNum(-5L, 5L)) // small range forces ties
+      s <- Gen.option(Gen.oneOf(
+        Gen.chooseNum(-2.0, 2.0).map(x => math.rint(x * 4) / 4), // tie-prone
+        Gen.oneOf(Double.NaN, Double.PositiveInfinity,
+          Double.NegativeInfinity, -0.0, 0.0)))
+    } yield (id, s)
+    // Spark's (score desc NULLS LAST, id asc NULLS FIRST) total order:
+    // NaN largest among scores (so FIRST under desc), -0.0 == 0.0 —
+    // java.lang.Double.compare gives both once -0.0 is normalized
+    // via s + 0.0
+    implicit val ord: Ordering[(Option[Long], Option[Double])] =
+      (a, b) => {
+        val (aSN, bSN) = (a._2.isEmpty, b._2.isEmpty)
+        if (aSN != bSN) { if (aSN) 1 else -1 }
+        else {
+          val c = if (aSN) 0 else java.lang.Double.compare(
+            b._2.get + 0.0, a._2.get + 0.0) // desc, -0.0 normalized
+          if (c != 0) c
+          else {
+            val (aIN, bIN) = (a._1.isEmpty, b._1.isEmpty)
+            if (aIN != bIN) { if (aIN) -1 else 1 }
+            else if (aIN) 0
+            else java.lang.Long.compare(a._1.get, b._1.get)
+          }
+        }
+      }
+    val listG = Gen.listOf(entryG)
+    for (i <- 0 until 200) {
+      val entries = samples(listG, 1)(0)
+      val k = 1 + i % 7
+      val agg = graft.llmops.CollectTopK(
+        BoundReference(0, LongType, nullable = true),
+        BoundReference(1, DoubleType, nullable = true), k)
+      // split into random partitions, update each, then merge
+      val parts = entries.grouped(math.max(1, 1 + i % 4)).toSeq
+      val bufs = parts.map { p =>
+        p.foldLeft(agg.createAggregationBuffer()) { (b, e) =>
+          agg.update(b, InternalRow(e._1.orNull, e._2.orNull))
+        }
+      }
+      val merged = bufs.foldLeft(agg.createAggregationBuffer())(agg.merge)
+      // round-trip through serialization like a real exchange would
+      val got = agg.eval(agg.deserialize(agg.serialize(merged)))
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+        .array.toSeq.map { r =>
+          val row = r.asInstanceOf[InternalRow]
+          (if (row.isNullAt(0)) None else Some(row.getLong(0)),
+           if (row.isNullAt(1)) None else Some(row.getDouble(1)))
+        }
+      val want = entries.sorted.take(k)
+        .map(e => (e._1, e._2.map(s => if (s.isNaN) s else s + 0.0)))
+      def show(s: Seq[(Option[Long], Option[Double])]) = s.mkString(",")
+      // NaN-safe compare: stringify
+      assert(show(got) == show(want), s"k=$k entries=$entries")
+    }
+  }
+
   test("word-ngram kernel equals the HOF formulation on fuzzed unicode") {
     val T = graft.llmops.TextFuncs
     // whitespace-heavy alphabet incl. unicode letters, tabs, newlines,
