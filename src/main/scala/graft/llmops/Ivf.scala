@@ -80,6 +80,7 @@ object Ivf {
                       idCol: String = "vec_id", vecCol: String = "embedding")
       : Array[Array[Float]] =
     corpus.select(col(idCol), col(vecCol))
+      .where(col(vecCol).isNotNull) // a null vector can't seed a list
       .withColumn("__h", xxhash64(col(idCol)))
       .orderBy(col("__h"))
       .limit(nlist)

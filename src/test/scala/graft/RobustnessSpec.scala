@@ -94,6 +94,29 @@ class RobustnessSpec extends SparkTestBase {
     assert(st == Map(1L -> "removed", 2L -> "added"))
   }
 
+  test("round-5 operators survive degenerate inputs") {
+    // vocab induction: null text rows vanish, empty corpus is empty
+    val odd = Seq[Option[String]](None, Some(""), Some("   "), Some("a b"))
+      .toDF("text")
+    assert(graft.llmops.Vocab.bpePairCounts(odd, $"text").count() == 0)
+    assert(graft.llmops.Vocab.bpePairCounts(odd.limit(0), $"text").count() == 0)
+    // semantic pairs: empty corpus (empty centroid set) and null
+    // embeddings produce empty results, not errors
+    val emptyVecs = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(graft.llmops.Dedup.semanticPairs(emptyVecs, nlist = 4).count() == 0)
+    val withNulls = Tables.embeddings(spark, sf0001).limit(20)
+      .unionByName(Seq((9999L, null: Seq[Float], 0))
+        .toDF("vec_id", "embedding", "label"))
+    assert(graft.llmops.Dedup
+      .semanticPairs(withNulls, threshold = 2.0, nlist = 4).count() == 0)
+    // CollectTopK rejects out-of-range k at construction
+    intercept[IllegalArgumentException] {
+      graft.llmops.CollectTopK(
+        org.apache.spark.sql.catalyst.expressions.Literal(1L),
+        org.apache.spark.sql.catalyst.expressions.Literal(1.0), 0)
+    }
+  }
+
   test("text operators survive nulls, empties, and non-ASCII") {
     val T = graft.llmops.TextFuncs
     val df = Seq[Option[String]](None, Some(""), Some("   "),
