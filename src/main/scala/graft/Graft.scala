@@ -62,9 +62,10 @@ object Graft {
     llmops.Dedup.minhashPairs(docs, threshold)
   /** SimHash near-dup pairs; defaults to the 128-bit wide-band config
     * (see [[llmops.Dedup.simhashPairs]] — `wideBands = false` is the
-    * sub-100k-doc fast path only).
+    * sub-100k-doc fast path only). `maxHamming = -1` auto-scales the
+    * threshold to the fingerprint width (3 per 64 bits).
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+  def simhashPairs(docs: DataFrame, maxHamming: Int = -1,
                    wideBands: Boolean = true): DataFrame =
     llmops.Dedup.simhashPairs(docs, maxHamming, wideBands = wideBands)
   /** Decontamination: near-dup pairs between corpus and benchmark. */

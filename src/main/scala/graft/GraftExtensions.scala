@@ -73,11 +73,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "collect_top_k(id, score, k) - bounded-heap exact per-group top-k " +
           "(array of (id, score) structs, score desc / id asc)"),
       (args: Seq[Expression]) => args match {
-        case Seq(id, s, k) if k.foldable =>
+        case Seq(id, s, k) if k.foldable && k.eval() != null =>
           graft.llmops.CollectTopK(id, s,
             k.eval().asInstanceOf[Number].intValue())
         case _ => throw new IllegalArgumentException(
-          "collect_top_k(id, score, k) with literal k")
+          "collect_top_k(id, score, k) with literal non-null k")
       }))
     e.injectFunction((FunctionIdentifier("winnow_fingerprints"),
       info("winnow_fingerprints",

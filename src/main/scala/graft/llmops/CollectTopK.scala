@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftshim.LongDoubleInputTypes
 import org.apache.spark.sql.types._
 
 /** Bounded top-k buffer: parallel arrays sorted by the window order
@@ -36,8 +37,11 @@ final class TopKBuffer(val k: Int) {
   * Results are bit-identical to
   * `row_number().over(partitionBy(g).orderBy(score.desc, id)) <= k`:
   * the buffer comparator reproduces Spark's null ordering (desc →
-  * NULLS LAST, asc → NULLS FIRST) and -0.0/0.0 normalization; NaN
-  * scores rank above +∞ exactly like Spark's double ordering.
+  * NULLS LAST, asc → NULLS FIRST), treats -0.0 == 0.0 for ORDERING
+  * while emitting the original score value (like the window does), and
+  * ranks NaN above +∞ exactly like Spark's double ordering. Inputs are
+  * implicitly cast (so `int` ids work from SQL), and non-castable
+  * id/score types fail analysis, not execution.
   *
   * Output: `array<struct<_1: bigint, _2: double>>` sorted by rank —
   * field names match the tuple-encoder schema the original UDAF
@@ -46,7 +50,8 @@ final class TopKBuffer(val k: Int) {
 case class CollectTopK(left: Expression, right: Expression, k: Int,
                        mutableAggBufferOffset: Int = 0,
                        inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[TopKBuffer] with BinaryLike[Expression] {
+    extends TypedImperativeAggregate[TopKBuffer] with BinaryLike[Expression]
+    with LongDoubleInputTypes {
   require(k >= 1 && k <= CollectTopK.maxK,
     s"k must be in [1, ${CollectTopK.maxK}], got $k")
 
@@ -68,9 +73,10 @@ case class CollectTopK(left: Expression, right: Expression, k: Int,
       : Boolean = {
     if (aSN != bSN) return !aSN // desc → non-null scores first
     if (!aSN) {
-      // Double.compare: NaN > +Inf (Spark's ordering); -0.0 was
-      // normalized to 0.0 on insert
-      val c = java.lang.Double.compare(aS, bS)
+      // Double.compare: NaN > +Inf (Spark's ordering); + 0.0 collapses
+      // -0.0 onto 0.0 for COMPARISON only — the stored (and emitted)
+      // value keeps its original sign, matching the window plan
+      val c = java.lang.Double.compare(aS + 0.0, bS + 0.0)
       if (c != 0) return c > 0 // desc
     }
     if (aIdN != bIdN) return aIdN // asc → null ids first
@@ -80,7 +86,7 @@ case class CollectTopK(left: Expression, right: Expression, k: Int,
 
   private def insert(b: TopKBuffer, idN: Boolean, id: Long,
                      sN: Boolean, s0: Double): Unit = {
-    val s = if (sN) 0.0 else s0 + 0.0 // -0.0 → 0.0, matches Spark sort
+    val s = if (sN) 0.0 else s0 // placeholder when null; original bits kept
     if (b.n >= b.k &&
         !beats(idN, id, sN, s,
                b.idNulls(b.n - 1), b.ids(b.n - 1),

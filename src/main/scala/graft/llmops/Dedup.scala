@@ -28,11 +28,37 @@ object Dedup {
     * The window count partitions by the same keys the subsequent
     * self-join shuffles on, so Catalyst reuses one exchange.
     */
-  private def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame = {
-    val w = Window.partitionBy(col("band"), col("band_hash"))
+  private def capBuckets(banded: DataFrame, maxBucket: Int,
+                         keys: Seq[String] = Seq("band", "band_hash"))
+      : DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
     banded.withColumn("bucket_n", count(lit(1)).over(w))
       .filter(col("bucket_n") <= maxBucket)
       .drop("bucket_n")
+  }
+
+  /** Shared verify tail for the vector pair generators: within-bucket
+    * self-join on `keys` over (keys…, id, v) rows, cosine computed
+    * map-side and thresholded BEFORE the pair-dedup shuffle. The
+    * bucket join necessarily moves each vector once (that is the
+    * bucketing); everything downstream carries only slim
+    * (id_a, id_b, sim) survivor rows — shuffling vectors to dedup
+    * pairs first is strictly worse at scale (measured 2x slower even
+    * at sf0.1).
+    */
+  private def cosineVerifiedPairs(capped: DataFrame, keys: Seq[String],
+                                  threshold: Double): DataFrame = {
+    val keyCols = keys.map(col)
+    val a = capped.select(
+      keyCols :+ col("id").as("id_a") :+ col("v").as("v_a"): _*)
+    val b = capped.select(
+      keyCols :+ col("id").as("id_b") :+ col("v").as("v_b"): _*)
+    a.join(b, keys)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", VectorFuncs.cosine(col("v_a"), col("v_b")))
+      .filter(col("sim") >= threshold)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("sim")).as("sim"))
   }
 
   /** Pin a signature table that feeds multiple plan branches so the
@@ -148,12 +174,17 @@ object Dedup {
     * work, but only 65k distinct buckets exist, so on a large corpus
     * every bucket saturates `maxBucket` and recall collapses; never
     * use it past ~10^5 documents. A 64-bit `maxHamming` is roughly
-    * half the 128-bit one for comparable selectivity.
+    * half the 128-bit one for comparable selectivity, which is why the
+    * default (`maxHamming = -1`) auto-scales: 3 per 64 fingerprint
+    * bits (3 for the 64-bit path, 6 for wide bands).
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, maxBucket: Int = 200,
+  def simhashPairs(docs: DataFrame, maxHamming: Int = -1, maxBucket: Int = 200,
                    wideBands: Boolean = true,
                    idCol: String = "doc_id", textCol: String = "text")
       : DataFrame = {
+    val hammingCap =
+      if (maxHamming >= 0) maxHamming
+      else if (wideBands) 6 else 3
     val (fpCol, bandsOf, hammingOf) =
       if (wideBands)
         (Sketches.simhash128(col(textCol)),
@@ -177,7 +208,7 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         hammingOf(col("fp_a"), col("fp_b")).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+      .filter(col("hamming") <= hammingCap)
       .groupBy(col("id_a"), col("id_b"))
       .agg(min(col("hamming")).as("hamming"))
   }
@@ -411,21 +442,7 @@ object Dedup {
       .select(col("id"), col("v"),
         col("b.band").as("band"), col("b.band_hash").as("band_hash")),
       maxBucket)
-    val a = banded.select(col("band"), col("band_hash"),
-      col("id").as("id_a"), col("v").as("v_a"))
-    val b = banded.select(col("band"), col("band_hash"),
-      col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("band", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      // cosine map-side, threshold BEFORE the pair-dedup shuffle: a
-      // pair seen in k bands is scored k times (cheap, local) but the
-      // shuffle carries only (id_a, id_b, sim) for survivors — never
-      // the vectors. Shuffling vectors to dedup first is strictly
-      // worse at scale (measured 2x slower even at sf0.1).
-      .withColumn("sim", VectorFuncs.cosine(col("v_a"), col("v_b")))
-      .filter(col("sim") >= threshold)
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(max(col("sim")).as("sim"))
+    cosineVerifiedPairs(banded, Seq("band", "band_hash"), threshold)
   }
 
   /** Embedding near-duplicate pairs within IVF cluster lists — the
@@ -437,8 +454,9 @@ object Dedup {
     * far fewer buckets. `nprobe > 1` is the multi-band OR analog — a
     * pair straddling a list boundary still meets in a runner-up list.
     * Same scale discipline as every banded generator here: the
-    * list-size cap bounds the self-join output, cosine runs map-side
-    * before the pair shuffle, and vectors never shuffle.
+    * list-size cap bounds the self-join output, each vector shuffles
+    * exactly once (into its lists), and the pair-dedup shuffle carries
+    * only slim (id_a, id_b, sim) survivor rows.
     */
   def semanticPairs(vecs: DataFrame, threshold: Double = 0.95,
                     nlist: Int = 16, nprobe: Int = 2, kmeansIters: Int = 0,
@@ -463,21 +481,12 @@ object Dedup {
                                  idCol: String = "vec_id",
                                  vecCol: String = "embedding")
       : DataFrame = {
-    val w = Window.partitionBy(col("list_id"))
-    val capped = vecs.select(
+    val capped = capBuckets(
+      vecs.select(
         col(idCol).as("id"), col(vecCol).as("v"),
         explode(Ivf.nearest_centroids(col(vecCol), centroids, nprobe))
-          .as("list_id"))
-      .withColumn("list_n", count(lit(1)).over(w))
-      .filter(col("list_n") <= maxList)
-      .drop("list_n")
-    val a = capped.select(col("list_id"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = capped.select(col("list_id"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("list_id"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", VectorFuncs.cosine(col("v_a"), col("v_b")))
-      .filter(col("sim") >= threshold)
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(max(col("sim")).as("sim"))
+          .as("list_id")),
+      maxList, keys = Seq("list_id"))
+    cosineVerifiedPairs(capped, Seq("list_id"), threshold)
   }
 }

@@ -104,6 +104,18 @@ object VectorFuncs {
                                  queryId: String, corpusId: String,
                                  impl: String): DataFrame = impl match {
     case "agg" =>
+      // the bounded-heap entry is a long — an integral id widens
+      // losslessly, anything else (string/uuid ids) would cast to null
+      // and silently corrupt the result; fail fast instead
+      scored.schema(corpusId).dataType match {
+        case org.apache.spark.sql.types.LongType
+           | org.apache.spark.sql.types.IntegerType
+           | org.apache.spark.sql.types.ShortType
+           | org.apache.spark.sql.types.ByteType => ()
+        case other => throw new IllegalArgumentException(
+          s"""impl="agg" needs an integral id column; "$corpusId" is """ +
+            s"""$other — use impl="window" or map ids to longs first""")
+      }
       scored
         .groupBy(col(queryId))
         .agg(TopK.topK(col(corpusId), col("sim"), k).as("topk"))

@@ -144,7 +144,11 @@ final class HttpDownloader(
     parentPage: Option[String] = None) extends Downloader {
 
   override def download(url: String, destDir: String,
-                        filename: String): FileResult =
+                        filename: String): FileResult = {
+    // visible to the catch so a mid-stream failure can remove the
+    // truncated file instead of leaving it to be mistaken for a
+    // complete download
+    var partial: java.nio.file.Path = null
     try {
       val referer = parentPage.getOrElse(HttpServices.origin(url))
       val resp = ctx.get(url, headers :+ ("Referer" -> referer),
@@ -164,6 +168,7 @@ final class HttpDownloader(
 
       Files.createDirectories(Paths.get(destDir))
       val dest = Paths.get(destDir, name)
+      partial = dest
       val md = MessageDigest.getInstance("MD5")
       val in = resp.body()
       val out = Files.newOutputStream(dest)
@@ -184,7 +189,12 @@ final class HttpDownloader(
           }
           n = in.read(buf)
         }
-      } finally { in.close(); out.close() }
+      } finally {
+        // independent closes: a broken connection throwing from
+        // in.close() must not leak the file descriptor behind out
+        try in.close() finally out.close()
+      }
+      partial = null // fully written — don't clean up below
 
       val sniffed = MagicBytes.sniff(head.take(headLen))
       val ct = sniffed.getOrElse(
@@ -195,9 +205,14 @@ final class HttpDownloader(
         ok = true, "")
     } catch {
       case e: Exception =>
+        if (partial != null) {
+          try Files.deleteIfExists(partial)
+          catch { case _: Exception => () }
+        }
         FileResult(url, "", 0L, "", "", ok = false,
           String.valueOf(e.getMessage))
     }
+  }
 }
 
 /** U7 production impl: rendered-HTML stand-in over plain HTTP (no JS —
@@ -223,8 +238,15 @@ final class HttpPageFetcher(
           HttpServices.BrowseryHeaders :+ ("Referer" -> HttpServices.origin(url)),
           requestTimeout, HttpResponse.BodyHandlers.ofString())
         val status = resp.statusCode()
-        if (status >= 200 && status < 300)
-          return Some((resp.uri().toString, resp.body()))
+        if (status >= 200 && status < 300) {
+          // a 2xx non-HTML payload (PDF, zip, …) is a definitive
+          // "not a page" — the documented None, with no retry
+          val ct = resp.headers().firstValue("Content-Type").orElse("")
+            .toLowerCase
+          if (ct.isEmpty || ct.contains("html") || ct.startsWith("text/"))
+            return Some((resp.uri().toString, resp.body()))
+          else return None
+        }
       } catch { case _: Exception => () }
       attempt += 1
       if (attempt <= retries) sleeper(backoffMillis << (attempt - 1))

@@ -196,8 +196,11 @@ final class TwoPhaseDownloader(
 
   override def download(url: String, destDir: String, filename: String): FileResult = {
     val first = primary.download(url, destDir, filename)
-    // HTML where the filename promises a document = likely interstitial
+    // HTML where the filename promises a document = likely
+    // interstitial; a null/empty filename promises nothing, so it
+    // cannot flag (HttpDownloader accepts null and derives a name)
     val interstitial = first.ok &&
+      filename != null && filename.nonEmpty &&
       !filename.toLowerCase.endsWith(".html") &&
       first.contentType.startsWith("text/html")
     if (first.ok && !interstitial) first

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes
+import org.apache.spark.sql.types.{AbstractDataType, DoubleType, LongType}
+
+/** `AbstractDataType` is `private[sql]`, so an expression outside the
+  * Spark package tree cannot override `inputTypes` directly; this
+  * bridge trait (like [[ColumnBridge]], access-only — no Spark code)
+  * pins the (long, double) signature used by graft's top-k aggregate
+  * so the analyzer inserts implicit casts and rejects non-castable
+  * inputs at analysis time.
+  */
+trait LongDoubleInputTypes extends ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, DoubleType)
+}

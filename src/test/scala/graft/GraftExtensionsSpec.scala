@@ -16,8 +16,11 @@ class GraftExtensionsSpec extends SparkTestBase {
   }
 
   test("collect_top_k aggregate is usable from SQL") {
+    // INT id + INT score: ImplicitCastInputTypes must widen both at
+    // analysis (a raw registration would ClassCastException at runtime)
     spark.range(0, 100)
-      .selectExpr("id % 4 AS g", "id", "CAST(id % 13 AS DOUBLE) AS s")
+      .selectExpr("id % 4 AS g", "CAST(id AS INT) AS id",
+        "CAST(id % 13 AS INT) AS s")
       .createOrReplaceTempView("topk_in")
     val rows = spark.sql(
       """SELECT g, t.col._1 AS id, t.col._2 AS s

@@ -236,8 +236,9 @@ class PropertySpec extends SparkTestBase {
           (if (row.isNullAt(0)) None else Some(row.getLong(0)),
            if (row.isNullAt(1)) None else Some(row.getDouble(1)))
         }
+      // original score values survive (incl. -0.0's sign), only the
+      // ORDER treats -0.0 == 0.0 — exactly like the window plan
       val want = entries.sorted.take(k)
-        .map(e => (e._1, e._2.map(s => if (s.isNaN) s else s + 0.0)))
       def show(s: Seq[(Option[Long], Option[Double])]) = s.mkString(",")
       // NaN-safe compare: stringify
       assert(show(got) == show(want), s"k=$k entries=$entries")

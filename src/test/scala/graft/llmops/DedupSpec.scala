@@ -82,6 +82,21 @@ class DedupSpec extends SparkTestBase {
     assert(pair.length == 1 && pair.head.getAs[Int]("hamming") == 0)
   }
 
+  test("default maxHamming auto-scales with fingerprint width") {
+    // wide bands (128-bit) default to 6; the 64-bit path keeps 3 —
+    // 3 per 64 fingerprint bits, so default recall doesn't silently
+    // halve when the wide default is in effect
+    val wideDefault = Dedup.simhashPairs(docs).collect().toSet
+    val wideExplicit = Dedup.simhashPairs(docs, maxHamming = 6).collect().toSet
+    assert(wideDefault == wideExplicit)
+    val narrowDefault =
+      Dedup.simhashPairs(docs, wideBands = false).collect().toSet
+    val narrowExplicit =
+      Dedup.simhashPairs(docs, maxHamming = 3, wideBands = false)
+        .collect().toSet
+    assert(narrowDefault == narrowExplicit)
+  }
+
   test("wide bands use the full 32-bit key space (not 65k buckets)") {
     val hashes = docs.limit(200)
       .select(explode(Sketches.simhash128Bands(

@@ -61,6 +61,19 @@ class VectorFuncsSpec extends SparkTestBase {
     assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan.take(2000))
   }
 
+  test("agg re-rank fails fast on non-integral id columns") {
+    // string ids would cast to null and silently corrupt the top-k;
+    // the guard routes the caller to impl="window" instead
+    val emb = Tables.embeddings(spark, sf0001)
+      .withColumn("vec_id", concat(lit("v"), $"vec_id"))
+    val q = Tables.embeddings(spark, sf0001).filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val e = intercept[IllegalArgumentException] {
+      VectorFuncs.bruteForceTopK(emb, q, k = 3)
+    }
+    assert(e.getMessage.contains("integral id"))
+  }
+
   test("native collect_top_k equals the typed Aggregator kernel") {
     // duplicate scores force the id tie-break through both kernels
     val df = spark.range(0, 5000).select(

@@ -54,6 +54,16 @@ class HttpServicesSpec extends AnyFunSuite with BeforeAndAfterAll {
     server.createContext("/redirect", (ex: HttpExchange) =>
       respond(ex, 302, Array.emptyByteArray,
         "Location" -> s"$base/doc.pdf"))
+    server.createContext("/redirect-page", (ex: HttpExchange) =>
+      respond(ex, 302, Array.emptyByteArray,
+        "Location" -> s"$base/page"))
+    // promises more bytes than it sends — a mid-stream connection drop
+    server.createContext("/truncated", (ex: HttpExchange) => {
+      ex.getResponseHeaders.add("Content-Type", "application/pdf")
+      ex.sendResponseHeaders(200, 100000)
+      ex.getResponseBody.write("%PDF-1.7 short".getBytes("US-ASCII"))
+      ex.close()
+    })
     server.createContext("/page", (ex: HttpExchange) =>
       respond(ex, 200, "<html><body><a href='/doc.pdf'>r</a></body></html>"
         .getBytes("UTF-8"), "Content-Type" -> "text/html"))
@@ -174,8 +184,32 @@ class HttpServicesSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("page fetcher returns body and post-redirect final URL") {
     val pf = new HttpPageFetcher(sleeper = _ => ())
     assert(pf.fetch(s"$base/page").exists(_.contains("doc.pdf")))
-    val viaRedirect = pf.fetchFinal(s"$base/redirect")
-    assert(viaRedirect.exists(_._1 == s"$base/doc.pdf"))
+    val viaRedirect = pf.fetchFinal(s"$base/redirect-page")
+    assert(viaRedirect.exists(_._1 == s"$base/page"))
+  }
+
+  test("page fetcher maps 2xx non-HTML payloads to None, no retries") {
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val pf = new HttpPageFetcher(retries = 2, sleeper = sleeps += _)
+    assert(pf.fetchFinal(s"$base/doc.pdf").isEmpty) // application/pdf
+    assert(sleeps.isEmpty, "a definitive non-page must not retry")
+  }
+
+  test("mid-stream failure reports not-ok and leaves no partial file") {
+    val dir = tmpDir()
+    val r = new HttpDownloader(new HttpContext())
+      .download(s"$base/truncated", dir.toString, "t.pdf")
+    assert(!r.ok)
+    assert(!Files.exists(dir.resolve("t.pdf")),
+      "truncated download must be cleaned up")
+  }
+
+  test("null filename is accepted through the full robust composition") {
+    val dir = tmpDir()
+    val r = HttpServices.robustDownloader(sleeper = _ => ())
+      .download(s"$base/doc.pdf", dir.toString, null)
+    assert(r.ok && r.checksum == md5Of(pdfBytes))
+    assert(Files.exists(Path.of(r.path)))
   }
 
   test("page fetcher retries with backoff then yields None") {
