@@ -457,6 +457,15 @@ object Dedup {
     * list-size cap bounds the self-join output, each vector shuffles
     * exactly once (into its lists), and the pair-dedup shuffle carries
     * only slim (id_a, id_b, sim) survivor rows.
+    *
+    * Sizing rule (measured in SCALING.md): scale `nlist ∝ corpus
+    * size` so list occupancy ≈ nprobe·n/nlist stays below `maxList` —
+    * a small-corpus nlist on a big corpus pushes EVERY list over the
+    * cap, and since the cap drops whole lists (never compares them),
+    * the result is silent recall collapse (zero pairs), not slowness.
+    * At corpus scale where n·nlist assignment cost bites, train a
+    * hierarchical quantizer externally and pass its flattened leaves
+    * via [[semanticPairsWithCentroids]].
     */
   def semanticPairs(vecs: DataFrame, threshold: Double = 0.95,
                     nlist: Int = 16, nprobe: Int = 2, kmeansIters: Int = 0,

@@ -71,6 +71,37 @@ object GenDocs {
 
     docs.coalesce(8).write.mode("overwrite").parquet(s"$out/documents.parquet")
     println(s"wrote $rows rows to $out/documents.parquet")
+
+    // embeddings with the driver testdata's shape, measured from
+    // /root/testdata/sf0.1/embeddings.parquet rather than assumed:
+    // 64-dim UNIT vectors, isotropic (cosine ~ N(0, 1/sqrt(64)); the
+    // label column carries no cosine signal), so pairs >= 0.4 are the
+    // ~3.2-sigma random tail — 920 brute-force pairs at n=2000 in the
+    // driver corpus vs ~1000 here. On top of that, a planted ~1.5%
+    // near-dup population (small jitter on an earlier vector,
+    // cosine ≈ 0.98) gives the dedup operators a population the driver
+    // corpus lacks. Per-dim = sum of 4 splitmix uniforms (≈ gaussian,
+    // so the cosine tail is not distorted by per-dim kurtosis); jitter
+    // keys use the negative range so they never collide with raw keys.
+    val emb = spark.range(rows).map { id =>
+      val dup = id > 100 && math.abs(mix64(id * 13 + 1)) % 1000 < 15
+      val baseId: Long = if (dup) id - 1 - (math.abs(mix64(id)) % 100) else id
+      val lbl = (math.abs(mix64(baseId * 7 + 3)) % 10).toInt
+      val raw = Array.tabulate(64) { d =>
+        var s = 0.0
+        var k = 0
+        while (k < 4) {
+          s += (mix64(baseId * 256L + d * 4 + k) % 1000) / 1000.0
+          k += 1
+        }
+        if (dup) s + (mix64(-(id * 64L + d) - 1) % 1000) / 2500.0 else s
+      }
+      val norm = math.sqrt(raw.map(x => x * x).sum)
+      val v = raw.map(x => (x / norm).toFloat)
+      (id, v, lbl)
+    }.toDF("vec_id", "embedding", "label")
+    emb.coalesce(8).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    println(s"wrote $rows rows to $out/embeddings.parquet")
     spark.stop()
   }
 }
