@@ -87,6 +87,14 @@ object Graft {
                     nlist: Int = 16, kmeansIters: Int = 0): DataFrame =
     llmops.Dedup.semanticPairs(vecs, threshold, nlist,
       kmeansIters = kmeansIters)
+  /** [[semanticPairs]] over the two-level IMI product quantizer
+    * (k² lists from 2·k half-codebooks) — the corpus-scale quantizer
+    * once `nlist ∝ corpus` makes flat assignment quadratic.
+    */
+  def semanticPairsImi(vecs: DataFrame, threshold: Double = 0.95,
+                       k: Int = 8, kmeansIters: Int = 0): DataFrame =
+    llmops.Dedup.semanticPairsImi(vecs, threshold, k,
+      kmeansIters = kmeansIters)
   /** One BPE merge-selection round: frequency-weighted adjacent
     * char-pair counts over the corpus's word dictionary.
     */

@@ -1419,6 +1419,27 @@ object SparkEntry {
           emb, threshold = 0.4, cents, nprobe = 2)
         .select($"id_a", $"id_b", round($"sim", 2).as("sim_bucket"))
         .orderBy($"id_a", $"id_b")
+    }),
+
+    // llmops IMI semantic pairs: the corpus-scale variant of q85 — a
+    // two-level product quantizer (k² lists from 2·k half-codebooks)
+    // whose assignment cost grows as √nlist instead of nlist. Same
+    // oracle contract as q85: the dumped (vec_id, list_id) assignment
+    // is replayed cap → within-list pairs → cosine in SQL.
+    "q86_imi_dedup" -> ((s, d) => {
+      import s.implicits._
+      val I = graft.llmops.Ivf
+      val emb = t(s, d, "embeddings")
+      val (c1, c2) = I.imiCentroids(emb, k = 8, iters = 2)
+      if (materializing) {
+        materialize(emb.select($"vec_id",
+          explode(I.imiLists($"embedding", c1, c2, 2)).as("list_id")),
+          "q86_assigned")
+      }
+      graft.llmops.Dedup.semanticPairsImiWithCentroids(
+          emb, threshold = 0.4, c1, c2, p = 2)
+        .select($"id_a", $"id_b", round($"sim", 2).as("sim_bucket"))
+        .orderBy($"id_a", $"id_b")
     })
   )
 
@@ -2200,6 +2221,24 @@ object SparkEntry {
              SELECT vec_id, list_id,
                     count(*) OVER (PARTITION BY list_id) AS list_n
              FROM read_parquet('/root/repo/spark-warehouse/q85_assigned/*.parquet'))
+           WHERE list_n <= 200),
+         cand AS (
+           SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM assigned a JOIN assigned b USING (list_id)
+           WHERE a.vec_id < b.vec_id),
+         sims AS (
+           SELECT id_a, id_b,
+                  list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS sim
+           FROM cand JOIN embeddings ea ON ea.vec_id = cand.id_a
+                     JOIN embeddings eb ON eb.vec_id = cand.id_b)
+         SELECT id_a, id_b, round(sim, 2) AS sim_bucket
+         FROM sims WHERE sim >= 0.4 ORDER BY id_a, id_b""",
+    "q86_imi_dedup" ->
+      """WITH assigned AS (
+           SELECT vec_id, list_id FROM (
+             SELECT vec_id, list_id,
+                    count(*) OVER (PARTITION BY list_id) AS list_n
+             FROM read_parquet('/root/repo/spark-warehouse/q86_assigned/*.parquet'))
            WHERE list_n <= 200),
          cand AS (
            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b

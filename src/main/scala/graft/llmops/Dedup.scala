@@ -480,6 +480,44 @@ object Dedup {
       idCol, vecCol)
   }
 
+  /** [[semanticPairs]] over the two-level IMI product quantizer
+    * ([[Ivf.imiCentroids]]): k² product lists from 2·k·(dim/2)
+    * assignment flops per vector, each vector entering its p²
+    * crossed probe lists. The corpus-scale form of the same
+    * operator — flat assignment cost is n·nlist·dim, IMI's is
+    * n·2·√nlist·(dim/2) at equal list count — with the identical
+    * capped-self-join + map-side-verify tail, so the [[semanticPairs]]
+    * sizing rule carries over with k² in place of nlist.
+    */
+  def semanticPairsImi(vecs: DataFrame, threshold: Double = 0.95,
+                       k: Int = 8, p: Int = 2, kmeansIters: Int = 0,
+                       maxList: Int = 200,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val (c1, c2) = Ivf.imiCentroids(vecs, k, kmeansIters, idCol, vecCol)
+    semanticPairsImiWithCentroids(vecs, threshold, c1, c2, p, maxList,
+      idCol, vecCol)
+  }
+
+  /** [[semanticPairsImi]] with pre-trained half-codebooks (the
+    * train-once seam, mirroring [[semanticPairsWithCentroids]]).
+    */
+  def semanticPairsImiWithCentroids(vecs: DataFrame, threshold: Double,
+                                    cents1: Array[Array[Float]],
+                                    cents2: Array[Array[Float]],
+                                    p: Int = 2, maxList: Int = 200,
+                                    idCol: String = "vec_id",
+                                    vecCol: String = "embedding")
+      : DataFrame = {
+    val capped = capBuckets(
+      vecs.select(
+        col(idCol).as("id"), col(vecCol).as("v"),
+        explode(Ivf.imiLists(col(vecCol), cents1, cents2, p))
+          .as("list_id")),
+      maxList, keys = Seq("list_id"))
+    cosineVerifiedPairs(capped, Seq("list_id"), threshold)
+  }
+
   /** [[semanticPairs]] with pre-trained centroids, so a caller (or the
     * oracle contract) can share one training run across the assignment
     * dump and the pair stage.

@@ -123,6 +123,58 @@ object Ivf {
     cents
   }
 
+  /** Two-level inverted multi-index (IMI) coarse quantizer: the
+    * vector is split in half and each half gets its own k-centroid
+    * codebook, so k² product lists cost only 2·k·(dim/2) assignment
+    * flops per vector — versus k²·dim for a flat quantizer with the
+    * same list count. This is the hierarchical quantizer SCALING.md
+    * prescribes once `nlist ∝ corpus` makes flat assignment
+    * quadratic: at equal occupancy, assignment cost grows as √nlist
+    * instead of nlist. Training reuses [[kmeansCentroids]] on the
+    * half-vectors (`iters = 0` degrades to the hash-ordered sample
+    * seed, same as the flat path). After Babenko & Lempitsky, "The
+    * inverted multi-index" (CVPR 2012), re-expressed as dataflow:
+    * everything downstream of `list_id` is IDENTICAL to the flat
+    * path — capped bucket self-join, map-side cosine verify.
+    */
+  def imiCentroids(corpus: DataFrame, k: Int, iters: Int = 0,
+                   idCol: String = "vec_id", vecCol: String = "embedding")
+      : (Array[Array[Float]], Array[Array[Float]]) = {
+    val d = corpus.select(col(vecCol)).where(col(vecCol).isNotNull)
+      .limit(1).collect() match {
+        case Array(row) => row.getSeq[Float](0).length
+        case _          => 0
+      }
+    if (d < 2) return (Array.empty, Array.empty)
+    val h = d / 2
+    (kmeansCentroids(
+       corpus.select(col(idCol), slice(col(vecCol), 1, h).as(vecCol)),
+       k, iters, idCol, vecCol),
+     kmeansCentroids(
+       corpus.select(col(idCol), slice(col(vecCol), h + 1, d - h).as(vecCol)),
+       k, iters, idCol, vecCol))
+  }
+
+  /** Product-list ids for the crossed top-p probes per half: an
+    * array of p² ints in [0, k²) — `first_half_centroid · k +
+    * second_half_centroid`. p = 1 is plain assignment; p > 1 is the
+    * multi-probe analog (a vector near a codeword boundary in either
+    * half still meets its neighbors in a runner-up product list).
+    * Built from the existing [[nearest_centroids]] kernel plus
+    * higher-order array functions — no new Expression needed.
+    */
+  def imiLists(vec: Column, cents1: Array[Array[Float]],
+               cents2: Array[Array[Float]], p: Int): Column = {
+    if (cents1.isEmpty || cents2.isEmpty)
+      return typedLit(Array.empty[Int])
+    val h = cents1(0).length
+    val rest = cents2(0).length
+    val k = cents1.length
+    val a = nearest_centroids(slice(vec, 1, h), cents1, p)
+    val b = nearest_centroids(slice(vec, h + 1, rest), cents2, p)
+    flatten(transform(a, x => transform(b, y => x * lit(k) + y)))
+  }
+
   /** IVF approximate top-k by cosine. Output: (query_id, vec_id, sim, rk).
     * @param kmeansIters 0 = hash-sampled centroids (cheapest); >0 runs
     *   that many Lloyd refinement passes first (the production-shape

@@ -159,6 +159,66 @@ class DedupSpec extends SparkTestBase {
     assert(got.forall(_.getDouble(2) >= 0.95))
   }
 
+  test("IMI product quantizer: bounded list space, exact precision") {
+    val vecs = Tables.embeddings(spark, sf0001)
+    val k = 4
+    val (c1, c2) = Ivf.imiCentroids(vecs, k, iters = 1)
+    assert(c1.length == k && c2.length == k)
+    assert(c1.forall(_.length == 32) && c2.forall(_.length == 32),
+      "each half-codebook spans half the 64 dims")
+    val lists = vecs
+      .select(explode(Ivf.imiLists($"embedding", c1, c2, 2)).as("l"))
+      .as[Int].collect()
+    assert(lists.forall(l => l >= 0 && l < k * k))
+    assert(lists.distinct.length > k,
+      "crossed probes should populate the product space, not one row of it")
+    val got = Dedup.semanticPairsImiWithCentroids(vecs, 0.95, c1, c2)
+      .collect()
+    assert(got.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(got.forall(_.getDouble(2) >= 0.95)) // precision exact by verify
+  }
+
+  test("IMI pairs recall a planted near-dup population") {
+    // sf0.001 embeddings are isotropic (no >=0.95 pairs to find), so
+    // plant our own: 120 gaussian bases + a jittered copy of each.
+    val r = new scala.util.Random(42)
+    def gauss(n: Int) = Array.fill(n)(r.nextGaussian().toFloat)
+    val bases = Array.fill(120)(gauss(64))
+    val rows = bases.zipWithIndex.flatMap { case (b, i) =>
+      val copy = b.zip(gauss(64)).map { case (x, j) => x + 0.05f * j }
+      Seq((i.toLong, b.toSeq), ((i + 1000).toLong, copy.toSeq))
+    }
+    val vecs = rows.toSeq.toDF("vec_id", "embedding")
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+             math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val want = (for {
+      i <- rows.indices.iterator; j <- (i + 1) until rows.length
+      if cos(rows(i)._2, rows(j)._2) >= 0.95
+    } yield (math.min(rows(i)._1, rows(j)._1),
+             math.max(rows(i)._1, rows(j)._1))).toSet
+    assert(want.size >= 120, "every planted copy pairs with its base")
+    val got = Dedup
+      .semanticPairsImi(vecs, threshold = 0.95, k = 3, p = 2,
+        kmeansIters = 2)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(want)) // verify keeps precision exact
+    assert(got.size >= want.size * 7 / 10,
+      s"recall ${got.size}/${want.size}")
+  }
+
+  test("IMI on degenerate inputs: empty corpus, null vectors") {
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Dedup.semanticPairsImi(empty, k = 4).count() == 0)
+    val withNulls = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    assert(Dedup.semanticPairsImi(withNulls, threshold = 2.0, k = 2)
+      .count() == 0)
+  }
+
   test("hot-bucket cap bounds a degenerate 5k-identical-doc corpus") {
     // 5000 copies of one text: every band bucket has 5000 members, so an
     // unguarded banded self-join would emit 16 bands x 5000^2/2 = 200M
