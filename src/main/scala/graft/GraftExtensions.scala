@@ -79,6 +79,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "collect_top_k(id, score, k) with literal non-null k")
       }))
+    e.injectFunction((FunctionIdentifier("cosine_sim"),
+      info("cosine_sim",
+        "cosine_sim(a, b) - cosine similarity of two float arrays " +
+          "(0.0 when either is a zero vector)"),
+      (args: Seq[Expression]) =>
+        graft.llmops.CosineSim(args(0), args(1))))
     e.injectFunction((FunctionIdentifier("winnow_fingerprints"),
       info("winnow_fingerprints",
         "winnow_fingerprints(text[, k, w]) - winnowing fingerprint array"),

@@ -140,19 +140,55 @@ object Ivf {
   def imiCentroids(corpus: DataFrame, k: Int, iters: Int = 0,
                    idCol: String = "vec_id", vecCol: String = "embedding")
       : (Array[Array[Float]], Array[Array[Float]]) = {
-    val d = corpus.select(col(vecCol)).where(col(vecCol).isNotNull)
-      .limit(1).collect() match {
-        case Array(row) => row.getSeq[Float](0).length
-        case _          => 0
-      }
-    if (d < 2) return (Array.empty, Array.empty)
+    // Seed both halves from ONE hash-ordered sample scan (identical to
+    // seeding each half-corpus separately — same ids, same hash order).
+    val seeds = sampleCentroids(corpus, k, idCol, vecCol)
+    if (seeds.isEmpty || seeds(0).length < 2) return (Array.empty, Array.empty)
+    val d = seeds(0).length
     val h = d / 2
-    (kmeansCentroids(
-       corpus.select(col(idCol), slice(col(vecCol), 1, h).as(vecCol)),
-       k, iters, idCol, vecCol),
-     kmeansCentroids(
-       corpus.select(col(idCol), slice(col(vecCol), h + 1, d - h).as(vecCol)),
-       k, iters, idCol, vecCol))
+    var c1 = seeds.map(_.slice(0, h))
+    var c2 = seeds.map(_.slice(h, d))
+    // Joint Lloyd: one corpus scan per iteration updates BOTH
+    // half-codebooks — a posexploded dim either belongs to half 1
+    // (cluster l1) or half 2 (cluster l2), so one partial-agg shuffle
+    // carries both update sets and only 2·k·(d/2) means reach the
+    // driver. Training therefore costs the same scans as the FLAT
+    // quantizer while the assignment kernel probes 2·k half-centroids
+    // instead of nlist full ones.
+    var it = 0
+    while (it < iters) {
+      val halfDim = when(col("dim") < h, col("dim"))
+        .otherwise(col("dim") - h)
+      val means = corpus
+        .select(
+          element_at(nearest_centroids(
+            slice(col(vecCol), 1, h), c1, 1), 1).as("l1"),
+          element_at(nearest_centroids(
+            slice(col(vecCol), h + 1, d - h), c2, 1), 1).as("l2"),
+          posexplode(col(vecCol)).as(Seq("dim", "x")))
+        .select(
+          when(col("dim") < h, lit(0)).otherwise(lit(1)).as("half"),
+          when(col("dim") < h, col("l1")).otherwise(col("l2")).as("list_id"),
+          halfDim.as("hdim"), col("x"))
+        .groupBy(col("half"), col("list_id"), col("hdim"))
+        .agg(avg(col("x")).as("m"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+      def refresh(old: Array[Array[Float]], half: Int) =
+        old.zipWithIndex.map { case (prev, ci) =>
+          means.get((half, ci)) match {
+            case Some(rows) =>
+              val arr = prev.clone()
+              rows.foreach(r => arr(r.getInt(2)) = r.getDouble(3).toFloat)
+              arr
+            case None => prev // empty cluster keeps its centroid
+          }
+        }
+      c1 = refresh(c1, 0)
+      c2 = refresh(c2, 1)
+      it += 1
+    }
+    (c1, c2)
   }
 
   /** Product-list ids for the crossed top-p probes per half: an

@@ -20,6 +20,45 @@ class VectorFuncsSpec extends SparkTestBase {
     assert(got(2).getDouble(1) == 0.0)                    // zero vector guard
   }
 
+  test("cosine kernel matches the HOF formulation it replaced") {
+    // the native CosineSim must be bit-compatible with
+    // aggregate(zip_with(...)): same accumulation order, same
+    // sqrt(na)*sqrt(nb) denominator, null on mismatch/null element
+    def hofCosine(a: org.apache.spark.sql.Column,
+                  b: org.apache.spark.sql.Column) = {
+      val denom = VectorFuncs.norm(a) * VectorFuncs.norm(b)
+      when(denom === 0, 0.0).otherwise(VectorFuncs.dot(a, b) / denom)
+    }
+    val r = new scala.util.Random(7)
+    val rand = Seq.fill(200)((
+      Seq.fill(64)(r.nextGaussian().toFloat),
+      Seq.fill(64)(r.nextGaussian().toFloat)))
+    val edge: Seq[(Seq[Float], Seq[Float])] = Seq(
+      (Seq(0.0f, 0.0f), Seq(1.0f, 2.0f)),      // zero vector
+      (Seq(1.0f, 2.0f), Seq(1.0f)),            // length mismatch
+      (Seq(1.0f, Float.NaN), Seq(1.0f, 1.0f)), // NaN propagates alike
+      (null, Seq(1.0f)))                       // null array
+    val df = (rand ++ edge).toDF("a", "b")
+      .select(VectorFuncs.cosine($"a", $"b").as("kernel"),
+        hofCosine($"a", $"b").as("hof"))
+    val rows = df.collect()
+    rows.foreach { row =>
+      val k = if (row.isNullAt(0)) null else row.getDouble(0)
+      val h = if (row.isNullAt(1)) null else row.getDouble(1)
+      (k, h) match {
+        case (null, null) => ()
+        case (x: java.lang.Double, y: java.lang.Double)
+            if x.isNaN && y.isNaN => ()
+        case _ => assert(k == h, s"kernel=$k hof=$h")
+      }
+    }
+    // null-element arrays null out in both forms
+    val withNullElem = Seq((Seq[java.lang.Float](1.0f, null), Seq[java.lang.Float](1.0f, 2.0f)))
+      .toDF("a", "b")
+      .select(VectorFuncs.cosine($"a", $"b").as("kernel"))
+    assert(withNullElem.collect()(0).isNullAt(0))
+  }
+
   test("brute-force top-k is exact and self-consistent") {
     val emb = Tables.embeddings(spark, sf0001)
     val q = emb.filter($"vec_id" < 3)
