@@ -32,6 +32,23 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(rows.forall(_.getAs[Double]("s") >= 11.0))
   }
 
+  test("cosine_sim is usable from SQL") {
+    val r = spark.sql(
+      """SELECT cosine_sim(array(CAST(1 AS FLOAT), CAST(0 AS FLOAT)),
+                           array(CAST(1 AS FLOAT), CAST(0 AS FLOAT))) AS same,
+                cosine_sim(array(CAST(1 AS FLOAT), CAST(0 AS FLOAT)),
+                           array(CAST(0 AS FLOAT), CAST(2 AS FLOAT))) AS orth,
+                cosine_sim(array(CAST(0 AS FLOAT), CAST(0 AS FLOAT)),
+                           array(CAST(1 AS FLOAT), CAST(1 AS FLOAT))) AS zero,
+                cosine_sim(array(CAST(1 AS FLOAT)),
+                           array(CAST(1 AS FLOAT), CAST(1 AS FLOAT))) AS bad
+      """).head()
+    assert(math.abs(r.getAs[Double]("same") - 1.0) < 1e-12)
+    assert(r.getAs[Double]("orth") == 0.0)
+    assert(r.getAs[Double]("zero") == 0.0)   // zero-vector guard
+    assert(r.isNullAt(r.fieldIndex("bad")))  // length mismatch -> null
+  }
+
   test("round-2 expressions registered: simhash128 and winnow_fingerprints") {
     val r = spark.sql(
       """SELECT size(simhash128('hello world')) AS halves,
