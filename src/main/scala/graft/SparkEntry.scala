@@ -1440,6 +1440,36 @@ object SparkEntry {
           emb, threshold = 0.4, c1, c2, p = 2)
         .select($"id_a", $"id_b", round($"sim", 2).as("sim_bucket"))
         .orderBy($"id_a", $"id_b")
+    }),
+
+    // llmops product-quantization ANN: the corpus compresses to m=8
+    // codeword ids per vector (8 bytes vs 256 of raw floats — the
+    // at-scale memory story) and queries rank by the ADC inner
+    // product against codeword reconstructions. Oracle contract:
+    // the dumped per-vector codes + the codebook table let DuckDB
+    // rebuild every reconstruction and replay the exact scoring —
+    // the L2 k-means encode kernel itself has no SQL analog, but
+    // everything downstream of the codes is relational.
+    "q87_pq_adc_topk" -> ((s, d) => {
+      import s.implicits._
+      val I = graft.llmops.Ivf
+      val emb = t(s, d, "embeddings")
+      val books = I.pqCodebooks(emb, m = 8, k = 16, iters = 2)
+      if (materializing) {
+        materialize(emb.where($"embedding".isNotNull)
+          .select($"vec_id",
+            posexplode(I.pqEncode($"embedding", books)).as(Seq("sub", "code"))),
+          "q87_codes")
+        val flat = for {
+          sub <- books.indices; code <- books(sub).indices
+          sdim <- books(sub)(code).indices
+        } yield (sub, code, sdim, books(sub)(code)(sdim).toDouble)
+        materialize(flat.toDF("sub", "code", "sdim", "w"), "q87_codebooks")
+      }
+      val q = emb.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+      I.pqTopKWithBooks(emb, q, k = 5, books)
+        .orderBy($"query_id", $"rk")
     })
   )
 
@@ -2251,6 +2281,33 @@ object SparkEntry {
                      JOIN embeddings eb ON eb.vec_id = cand.id_b)
          SELECT id_a, id_b, round(sim, 2) AS sim_bucket
          FROM sims WHERE sim >= 0.4 ORDER BY id_a, id_b""",
+    // the PQ encode kernel (L2 k-means codeword assignment) has no SQL
+    // analog; the dumped codes + codebook rows let the oracle rebuild
+    // every codeword reconstruction and replay the ADC scoring exactly
+    "q87_pq_adc_topk" ->
+      """WITH codes AS (
+           SELECT vec_id, sub, code
+           FROM read_parquet('/root/repo/spark-warehouse/q87_codes/*.parquet')),
+         cb AS (
+           SELECT sub, code, sdim, w
+           FROM read_parquet('/root/repo/spark-warehouse/q87_codebooks/*.parquet')),
+         q AS (
+           SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+         recon AS (
+           SELECT c.vec_id, cb.sub * 8 + cb.sdim AS dim, cb.w
+           FROM codes c JOIN cb ON cb.sub = c.sub AND cb.code = c.code),
+         scored AS (
+           SELECT q.query_id, r.vec_id,
+                  round(sum(r.w * q.embedding[r.dim + 1]::DOUBLE), 6) AS sim
+           FROM recon r CROSS JOIN q
+           WHERE r.vec_id <> q.query_id
+           GROUP BY q.query_id, r.vec_id)
+         SELECT query_id, vec_id, sim, rk FROM (
+           SELECT query_id, vec_id, sim,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, vec_id) AS rk
+           FROM scored WHERE sim IS NOT NULL)
+         WHERE rk <= 5 ORDER BY query_id, rk""",
     "q55_pii_redact" ->
       """WITH withpii AS (
            SELECT doc_id,

@@ -1,12 +1,12 @@
 package graft.llmops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** IVF-style approximate nearest neighbour: a coarse quantizer assigns
   * every vector to its nearest centroid (inverted list); queries probe
@@ -25,22 +25,38 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
   */
 object Ivf {
 
-  /** Kernel: nearest / top-n nearest centroid indices by cosine. */
+  /** Kernel: nearest / top-n nearest centroid indices. Default metric
+    * is cosine (the coarse-quantizer contract every existing oracle
+    * pins); `l2 = true` ranks by squared Euclidean distance instead —
+    * the metric product-quantizer codebooks train and encode under,
+    * where subvector magnitude matters for reconstruction.
+    */
   def nearestCentroids(vec: ArrayData, cents: Array[Array[Float]],
-                       nprobe: Int): GenericArrayData = {
+                       nprobe: Int, l2: Boolean = false): GenericArrayData = {
     val d = vec.numElements()
     val sims = new Array[Double](cents.length)
     var c = 0
     while (c < cents.length) {
-      var dot = 0.0; var nv = 0.0; var nc = 0.0
       val cv = cents(c)
-      var i = 0
-      while (i < d && i < cv.length) {
-        val x = vec.getFloat(i); val y = cv(i)
-        dot += x * y; nv += x * x; nc += y * y
-        i += 1
+      if (l2) {
+        var dist = 0.0
+        var i = 0
+        while (i < d && i < cv.length) {
+          val diff = vec.getFloat(i) - cv(i)
+          dist += diff * diff
+          i += 1
+        }
+        sims(c) = -dist // higher = closer, same sort as cosine
+      } else {
+        var dot = 0.0; var nv = 0.0; var nc = 0.0
+        var i = 0
+        while (i < d && i < cv.length) {
+          val x = vec.getFloat(i); val y = cv(i)
+          dot += x * y; nv += x * x; nc += y * y
+          i += 1
+        }
+        sims(c) = if (nv == 0 || nc == 0) -2.0 else dot / math.sqrt(nv * nc)
       }
-      sims(c) = if (nv == 0 || nc == 0) -2.0 else dot / math.sqrt(nv * nc)
       c += 1
     }
     val idx = sims.zipWithIndex.sortBy { case (s, i) => (-s, i) }
@@ -53,16 +69,17 @@ object Ivf {
     * generated code (no per-row deserialization).
     */
   case class NearestCentroids(child: Expression,
-                              centroids: Array[Array[Float]], nprobe: Int)
+                              centroids: Array[Array[Float]], nprobe: Int,
+                              l2: Boolean = false)
       extends UnaryExpression {
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     override def prettyName: String = "nearest_centroids"
     override def nullSafeEval(input: Any): Any =
-      nearestCentroids(input.asInstanceOf[ArrayData], centroids, nprobe)
+      nearestCentroids(input.asInstanceOf[ArrayData], centroids, nprobe, l2)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val ref = ctx.addReferenceObj("centroids", centroids, "float[][]")
       nullSafeCodeGen(ctx, ev, c =>
-        s"${ev.value} = graft.llmops.Ivf.nearestCentroids($c, $ref, $nprobe);")
+        s"${ev.value} = graft.llmops.Ivf.nearestCentroids($c, $ref, $nprobe, $l2);")
     }
     override protected def withNewChildInternal(c: Expression): NearestCentroids =
       copy(child = c)
@@ -72,6 +89,13 @@ object Ivf {
                         nprobe: Int): Column =
     ColumnBridge.column(
       NearestCentroids(ColumnBridge.expression(vec), centroids, nprobe))
+
+  private def nearest_centroids_l2(vec: Column,
+                                   centroids: Array[Array[Float]],
+                                   nprobe: Int): Column =
+    ColumnBridge.column(
+      NearestCentroids(ColumnBridge.expression(vec), centroids, nprobe,
+        l2 = true))
 
   /** Deterministic coarse centroids: the `nlist` corpus vectors with
     * the smallest xxhash64(id) — a seeded uniform sample.
@@ -159,12 +183,17 @@ object Ivf {
     while (it < iters) {
       val halfDim = when(col("dim") < h, col("dim"))
         .otherwise(col("dim") - h)
+      // assignment in its OWN projection below the explode — in the
+      // same select as the generator it would re-evaluate per
+      // exploded dim (see pqCodebooks)
       val means = corpus
         .select(
           element_at(nearest_centroids(
             slice(col(vecCol), 1, h), c1, 1), 1).as("l1"),
           element_at(nearest_centroids(
             slice(col(vecCol), h + 1, d - h), c2, 1), 1).as("l2"),
+          col(vecCol))
+        .select(col("l1"), col("l2"),
           posexplode(col(vecCol)).as(Seq("dim", "x")))
         .select(
           when(col("dim") < h, lit(0)).otherwise(lit(1)).as("half"),
@@ -254,6 +283,191 @@ object Ivf {
     // an inverted list holds |corpus|/nlist vectors — still huge at
     // corpus scale, so the scale-safe bounded-heap re-rank is the
     // default here too (impl contract: [[VectorFuncs.rerankTopK]])
+    VectorFuncs.rerankTopK(scored, k, queryId, corpusId, impl)
+  }
+
+  // ---------------------------------------------------------------- PQ
+
+  /** Product-quantizer codebooks (Jégou, Douze & Schmid, "Product
+    * quantization for nearest neighbor search", TPAMI 2011): the
+    * vector splits into `m` subvectors of dim/m dims, each with its
+    * own `k`-codeword codebook trained by L2 k-means, so a vector
+    * compresses to m small ints (m bytes at k ≤ 256) — the memory
+    * story for similarity search over a 100 TB corpus, where full
+    * float vectors cannot stay resident. Training generalizes
+    * [[imiCentroids]]'s joint Lloyd: ONE corpus scan per iteration
+    * assigns all m subspaces map-side and one partial-agg shuffle
+    * carries every (subspace, code, dim) mean — m·k·(dim/m) = k·dim
+    * values reach the driver per iteration regardless of m.
+    * `iters = 0` keeps the hash-ordered sample seeds, mirroring the
+    * flat/IMI paths. Returns `books(sub)(code)(subdim)`.
+    */
+  def pqCodebooks(corpus: DataFrame, m: Int, k: Int, iters: Int = 0,
+                  idCol: String = "vec_id", vecCol: String = "embedding")
+      : Array[Array[Array[Float]]] = {
+    val seeds = sampleCentroids(corpus, k, idCol, vecCol)
+    if (seeds.isEmpty) return Array.empty
+    val d = seeds(0).length
+    require(m > 0 && d % m == 0, s"dim $d must divide into m=$m subspaces")
+    val dsub = d / m
+    var books = Array.tabulate(m)(s =>
+      seeds.map(_.slice(s * dsub, (s + 1) * dsub)))
+    var it = 0
+    while (it < iters) {
+      val assigns = (0 until m).map(s =>
+        element_at(nearest_centroids_l2(
+          slice(col(vecCol), s * dsub + 1, dsub), books(s), 1), 1)
+          .as(s"__l$s"))
+      // assignment in its OWN projection below the explode: an
+      // expression in the same select as a generator is evaluated in
+      // the Project above Generate — i.e. dim× per vector, not once
+      val assigned = corpus.select(assigns :+ col(vecCol): _*)
+      val means = assigned
+        .select((0 until m).map(s => col(s"__l$s")) :+
+          posexplode(col(vecCol)).as(Seq("dim", "x")): _*)
+        .select(
+          (col("dim") / dsub).cast("int").as("sub"),
+          element_at(
+            array((0 until m).map(s => col(s"__l$s")): _*),
+            (col("dim") / dsub).cast("int") + 1).as("code"),
+          (col("dim") % dsub).as("sdim"), col("x"))
+        .groupBy(col("sub"), col("code"), col("sdim"))
+        .agg(avg(col("x")).as("mn"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+      books = Array.tabulate(m)(s => books(s).zipWithIndex.map {
+        case (prev, ci) =>
+          means.get((s, ci)) match {
+            case Some(rows) =>
+              val arr = prev.clone()
+              rows.foreach(r => arr(r.getInt(2)) = r.getDouble(3).toFloat)
+              arr
+            case None => prev // empty code keeps its codeword
+          }
+      })
+      it += 1
+    }
+    books
+  }
+
+  /** Encode a vector to its `m` nearest codeword ids (L2 per
+    * subspace) — array<int> of length m, each in [0, k). Composed
+    * from the [[NearestCentroids]] kernel per slice; all m calls stay
+    * in one whole-stage-codegen projection.
+    */
+  def pqEncode(vec: Column, books: Array[Array[Array[Float]]]): Column = {
+    require(books.nonEmpty, "empty codebooks")
+    val dsub = books(0)(0).length
+    array(books.indices.map(s =>
+      element_at(nearest_centroids_l2(
+        slice(vec, s * dsub + 1, dsub), books(s), 1), 1)): _*)
+  }
+
+  /** Kernel behind [[PqAdcDot]]: asymmetric-distance inner product —
+    * the exact query vector against the codeword reconstruction of a
+    * coded corpus vector: Σ_s dot(query[s·dsub..], books(s)(code_s)).
+    * Null on a null code element, a code out of range, or a query
+    * whose length is not m·dsub.
+    */
+  def pqAdcDot(codes: ArrayData, query: ArrayData,
+               books: Array[Array[Array[Float]]]): java.lang.Double = {
+    val m = books.length
+    if (codes.numElements() != m) return null
+    val dsub = books(0)(0).length
+    if (query.numElements() != m * dsub) return null
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      if (codes.isNullAt(s)) return null
+      val c = codes.getInt(s)
+      if (c < 0 || c >= books(s).length) return null
+      val cw = books(s)(c)
+      var j = 0
+      while (j < dsub) {
+        acc += query.getFloat(s * dsub + j).toDouble * cw(j)
+        j += 1
+      }
+      s += 1
+    }
+    acc
+  }
+
+  /** `pq_adc_dot(codes, query)` → double: ADC inner-product score of
+    * a PQ-coded corpus vector against an uncompressed query. The
+    * codebooks ride along as a codegen reference object; the scan
+    * reads m ints per corpus row instead of dim floats.
+    */
+  case class PqAdcDot(left: Expression, right: Expression,
+                      books: Array[Array[Array[Float]]])
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "pq_adc_dot"
+    override def nullSafeEval(codes: Any, query: Any): Any =
+      pqAdcDot(codes.asInstanceOf[ArrayData],
+        query.asInstanceOf[ArrayData], books)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("books", books, "float[][][]")
+      nullSafeCodeGen(ctx, ev, (c, q) => {
+        val r = ctx.freshName("adc")
+        s"""java.lang.Double $r = graft.llmops.Ivf.pqAdcDot($c, $q, $ref);
+           |if ($r == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $r.doubleValue(); }""".stripMargin
+      })
+    }
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): PqAdcDot =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def pq_adc_dot(codes: Column, query: Column,
+                 books: Array[Array[Array[Float]]]): Column =
+    ColumnBridge.column(PqAdcDot(ColumnBridge.expression(codes),
+      ColumnBridge.expression(query), books))
+
+  /** PQ approximate top-k by ADC inner product: train codebooks,
+    * compress the corpus to (id, m codes), broadcast the query batch
+    * and scan the codes — the exhaustive-scan shape whose per-row
+    * cost is m codebook lookups over m ints, versus dim float
+    * multiplies for brute force, and whose scan input is ~dim·4/m×
+    * smaller than the raw vectors. Output: (query_id, vec_id, sim,
+    * rk) where sim is the ADC score ROUNDED to 6 dp before ranking:
+    * identical-code candidates tie exactly and fall back to the id
+    * tiebreak deterministically, in this engine and in any replay
+    * whose floating-point summation order differs (the driver
+    * oracle's GROUP BY sum).
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 8, codewords: Int = 16, iters: Int = 0,
+             corpusId: String = "vec_id", corpusVec: String = "embedding",
+             queryId: String = "query_id", queryVec: String = "query_vec",
+             impl: String = "agg"): DataFrame = {
+    val books = pqCodebooks(corpus, m, codewords, iters, corpusId, corpusVec)
+    pqTopKWithBooks(corpus, queries, k, books,
+      corpusId, corpusVec, queryId, queryVec, impl)
+  }
+
+  /** [[pqTopK]] with externally trained codebooks — same seam as
+    * [[ivfTopKWithCentroids]]: train once, reuse across query
+    * batches, and let the verify dump derive codes from the SAME
+    * codebook instance the query scores with.
+    */
+  def pqTopKWithBooks(corpus: DataFrame, queries: DataFrame, k: Int,
+                      books: Array[Array[Array[Float]]],
+                      corpusId: String = "vec_id",
+                      corpusVec: String = "embedding",
+                      queryId: String = "query_id",
+                      queryVec: String = "query_vec",
+                      impl: String = "agg"): DataFrame = {
+    val coded = corpus.select(col(corpusId),
+      pqEncode(col(corpusVec), books).as("codes"))
+    val scored = coded.crossJoin(broadcast(queries))
+      .filter(col(corpusId) =!= col(queryId))
+      .withColumn("sim",
+        round(pq_adc_dot(col("codes"), col(queryVec), books), 6))
+      // an unscorable candidate (null vector, dim mismatch) cannot
+      // rank — drop it rather than let a null score pad a sparse heap
+      .filter(col("sim").isNotNull)
     VectorFuncs.rerankTopK(scored, k, queryId, corpusId, impl)
   }
 }

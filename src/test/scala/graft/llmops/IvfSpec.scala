@@ -68,4 +68,68 @@ class IvfSpec extends SparkTestBase {
     val r3 = Ivf.ivfTopK(emb, q, k = 5, nlist = 8, nprobe = 3).count()
     assert(r3 >= r1)
   }
+
+  test("PQ codebooks and codes have the contracted shape") {
+    val books = Ivf.pqCodebooks(emb, m = 8, k = 16, iters = 1)
+    assert(books.length == 8)
+    assert(books.forall(b => b.length == 16 && b.forall(_.length == 8)))
+    val codes = emb.where($"embedding".isNotNull)
+      .select(Ivf.pqEncode($"embedding", books).as("codes"))
+      .as[Seq[Int]].collect()
+    assert(codes.forall(_.length == 8))
+    assert(codes.forall(_.forall(c => c >= 0 && c < 16)))
+    // training moved at least one codeword off its sampled seed
+    val seeded = Ivf.pqCodebooks(emb, m = 8, k = 16, iters = 0)
+    assert(books.flatten.flatten.toSeq != seeded.flatten.flatten.toSeq)
+  }
+
+  test("ADC kernel matches a driver-side codeword reconstruction") {
+    val books = Ivf.pqCodebooks(emb, m = 8, k = 16, iters = 1)
+    val rows = emb.where($"embedding".isNotNull).limit(20).select($"embedding",
+        Ivf.pqEncode($"embedding", books).as("codes"),
+        Ivf.pq_adc_dot(Ivf.pqEncode($"embedding", books),
+          $"embedding", books).as("adc"))
+      .collect()
+    rows.foreach { r =>
+      val vec = r.getSeq[Float](0)
+      val codes = r.getSeq[Int](1)
+      var want = 0.0
+      for (s <- codes.indices; j <- 0 until 8)
+        want += vec(s * 8 + j).toDouble * books(s)(codes(s))(j)
+      assert(math.abs(r.getDouble(2) - want) < 1e-9,
+        s"adc=${r.getDouble(2)} manual=$want")
+    }
+  }
+
+  test("PQ top-k recalls planted near-dups and handles bad inputs") {
+    // planted pairs: ADC must rank each jittered copy's base first-ish
+    val r = new scala.util.Random(11)
+    def gauss(n: Int) = Array.fill(n)(r.nextGaussian().toFloat)
+    val bases = Array.fill(100)(gauss(64))
+    val rows = bases.zipWithIndex.flatMap { case (b, i) =>
+      val copy = b.zip(gauss(64)).map { case (x, j) => x + 0.05f * j }
+      Seq((i.toLong, b.toSeq), ((i + 1000).toLong, copy.toSeq))
+    }
+    val vecs = rows.toSeq.toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" >= 1000)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val top1 = Ivf.pqTopK(vecs, queries, k = 1, m = 8, codewords = 16,
+        iters = 2)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect()
+    val hits = top1.count { case (qid, vid) => vid == qid - 1000 }
+    assert(hits >= 70, s"PQ top-1 found only $hits/100 planted bases")
+
+    // a null vector scores null and drops out of the ranking
+    val withNull = vecs.unionByName(
+      Seq((5000L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding"))
+    val got = Ivf.pqTopK(withNull, queries.limit(3), k = 3,
+      m = 8, codewords = 16)
+    assert(!got.select($"vec_id").as[Long].collect().contains(5000L))
+
+    // wrong-dimension query → null sim for every candidate → no rows
+    val shortQ = Seq((9000L, Seq.fill(32)(0.1f)))
+      .toDF("query_id", "query_vec")
+    assert(Ivf.pqTopKWithBooks(vecs, shortQ, k = 3,
+      Ivf.pqCodebooks(vecs, 8, 16)).count() == 0)
+  }
 }
