@@ -181,6 +181,15 @@ object Graft {
               nlist: Int = 16, nprobe: Int = 4,
               kmeansIters: Int = 0): DataFrame =
     llmops.Ivf.ivfTopK(corpus, queries, k, nlist, nprobe, kmeansIters)
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 8, codewords: Int = 16, iters: Int = 0): DataFrame =
+    llmops.Ivf.pqTopK(corpus, queries, k, m, codewords, iters)
+  def ivfAdcTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                 nlist: Int = 16, nprobe: Int = 4,
+                 m: Int = 8, codewords: Int = 16,
+                 coarseIters: Int = 0, pqIters: Int = 0): DataFrame =
+    llmops.Ivf.ivfAdcTopK(corpus, queries, k, nlist, nprobe, m,
+      codewords, coarseIters, pqIters)
 
   // ---- text analysis / curation ------------------------------------
   def langId(text: Column): Column = llmops.TextFuncs.langId(text)

@@ -1470,6 +1470,40 @@ object SparkEntry {
         .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
       I.pqTopKWithBooks(emb, q, k = 5, books)
         .orderBy($"query_id", $"rk")
+    }),
+
+    // llmops IVFADC: the standard composition of both pruning axes —
+    // coarse lists bound WHICH candidates a query meets (q43's probe
+    // join), PQ codes bound what each candidate COSTS (q87's ADC
+    // scan). The oracle replays candidate generation (probes ⋈
+    // assigned lists) and scoring (codeword reconstruction dot) from
+    // four dumped deterministic tables.
+    "q88_ivfadc_topk" -> ((s, d) => {
+      import s.implicits._
+      val I = graft.llmops.Ivf
+      val emb = t(s, d, "embeddings")
+      val cents = I.kmeansCentroids(emb, nlist = 16, iters = 2)
+      val books = I.pqCodebooks(emb, m = 8, k = 16, iters = 2)
+      val q = emb.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+      if (materializing) {
+        materialize(emb.where($"embedding".isNotNull).select($"vec_id",
+          element_at(I.nearest_centroids($"embedding", cents, 1), 1)
+            .as("list_id")), "q88_assigned")
+        materialize(q.select($"query_id",
+          explode(I.nearest_centroids($"query_vec", cents, 4))
+            .as("list_id")), "q88_probes")
+        materialize(emb.where($"embedding".isNotNull).select($"vec_id",
+          posexplode(I.pqEncode($"embedding", books)).as(Seq("sub", "code"))),
+          "q88_codes")
+        val flat = for {
+          sub <- books.indices; code <- books(sub).indices
+          sdim <- books(sub)(code).indices
+        } yield (sub, code, sdim, books(sub)(code)(sdim).toDouble)
+        materialize(flat.toDF("sub", "code", "sdim", "w"), "q88_codebooks")
+      }
+      I.ivfAdcTopKWithModels(emb, q, k = 5, cents, books, nprobe = 4)
+        .orderBy($"query_id", $"rk")
     })
   )
 
@@ -2302,6 +2336,40 @@ object SparkEntry {
            FROM recon r CROSS JOIN q
            WHERE r.vec_id <> q.query_id
            GROUP BY q.query_id, r.vec_id)
+         SELECT query_id, vec_id, sim, rk FROM (
+           SELECT query_id, vec_id, sim,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, vec_id) AS rk
+           FROM scored WHERE sim IS NOT NULL)
+         WHERE rk <= 5 ORDER BY query_id, rk""",
+    "q88_ivfadc_topk" ->
+      """WITH assigned AS (
+           SELECT vec_id, list_id
+           FROM read_parquet('/root/repo/spark-warehouse/q88_assigned/*.parquet')),
+         probes AS (
+           SELECT query_id, list_id
+           FROM read_parquet('/root/repo/spark-warehouse/q88_probes/*.parquet')),
+         codes AS (
+           SELECT vec_id, sub, code
+           FROM read_parquet('/root/repo/spark-warehouse/q88_codes/*.parquet')),
+         cb AS (
+           SELECT sub, code, sdim, w
+           FROM read_parquet('/root/repo/spark-warehouse/q88_codebooks/*.parquet')),
+         q AS (
+           SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+         cand AS (
+           SELECT DISTINCT p.query_id, a.vec_id
+           FROM probes p JOIN assigned a USING (list_id)
+           WHERE a.vec_id <> p.query_id),
+         recon AS (
+           SELECT c.vec_id, cb.sub * 8 + cb.sdim AS dim, cb.w
+           FROM codes c JOIN cb ON cb.sub = c.sub AND cb.code = c.code),
+         scored AS (
+           SELECT cand.query_id, cand.vec_id,
+                  round(sum(r.w * q.embedding[r.dim + 1]::DOUBLE), 6) AS sim
+           FROM cand JOIN recon r ON r.vec_id = cand.vec_id
+                     JOIN q ON q.query_id = cand.query_id
+           GROUP BY cand.query_id, cand.vec_id)
          SELECT query_id, vec_id, sim, rk FROM (
            SELECT query_id, vec_id, sim,
                   row_number() OVER (PARTITION BY query_id

@@ -470,4 +470,57 @@ object Ivf {
       .filter(col("sim").isNotNull)
     VectorFuncs.rerankTopK(scored, k, queryId, corpusId, impl)
   }
+
+  /** IVFADC (Jégou et al. 2011 §V): the standard composition of the
+    * two pruning axes — the coarse quantizer bounds WHICH candidates
+    * a query meets (probe `nprobe` inverted lists, as [[ivfTopK]]),
+    * and PQ codes bound what each candidate COSTS to hold and score
+    * (m ints + m codebook lookups, as [[pqTopK]]). The scan that
+    * reaches the ADC kernel carries only (list_id, id, codes): at
+    * corpus scale neither the raw vectors nor the unpruned candidate
+    * set ever flows. Same dataflow as ivfTopK with the exact-cosine
+    * re-rank swapped for the compressed score.
+    */
+  def ivfAdcTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                 nlist: Int = 16, nprobe: Int = 4,
+                 m: Int = 8, codewords: Int = 16,
+                 coarseIters: Int = 0, pqIters: Int = 0,
+                 corpusId: String = "vec_id", corpusVec: String = "embedding",
+                 queryId: String = "query_id", queryVec: String = "query_vec",
+                 impl: String = "agg"): DataFrame = {
+    val cents =
+      if (coarseIters > 0)
+        kmeansCentroids(corpus, nlist, coarseIters, corpusId, corpusVec)
+      else sampleCentroids(corpus, nlist, corpusId, corpusVec)
+    val books = pqCodebooks(corpus, m, codewords, pqIters, corpusId, corpusVec)
+    ivfAdcTopKWithModels(corpus, queries, k, cents, books, nprobe,
+      corpusId, corpusVec, queryId, queryVec, impl)
+  }
+
+  /** [[ivfAdcTopK]] with externally trained coarse centroids and
+    * codebooks — the train-once / verify-from-the-same-instance seam
+    * shared with [[ivfTopKWithCentroids]] and [[pqTopKWithBooks]].
+    */
+  def ivfAdcTopKWithModels(corpus: DataFrame, queries: DataFrame, k: Int,
+                           centroids: Array[Array[Float]],
+                           books: Array[Array[Array[Float]]],
+                           nprobe: Int = 4,
+                           corpusId: String = "vec_id",
+                           corpusVec: String = "embedding",
+                           queryId: String = "query_id",
+                           queryVec: String = "query_vec",
+                           impl: String = "agg"): DataFrame = {
+    val coded = corpus.select(col(corpusId),
+      element_at(nearest_centroids(col(corpusVec), centroids, 1), 1)
+        .as("list_id"),
+      pqEncode(col(corpusVec), books).as("codes"))
+    val probes = queries.withColumn("list_id",
+      explode(nearest_centroids(col(queryVec), centroids, nprobe)))
+    val scored = coded.join(broadcast(probes), Seq("list_id"))
+      .filter(col(corpusId) =!= col(queryId))
+      .withColumn("sim",
+        round(pq_adc_dot(col("codes"), col(queryVec), books), 6))
+      .filter(col("sim").isNotNull)
+    VectorFuncs.rerankTopK(scored, k, queryId, corpusId, impl)
+  }
 }

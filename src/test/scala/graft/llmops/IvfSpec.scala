@@ -132,4 +132,38 @@ class IvfSpec extends SparkTestBase {
     assert(Ivf.pqTopKWithBooks(vecs, shortQ, k = 3,
       Ivf.pqCodebooks(vecs, 8, 16)).count() == 0)
   }
+
+  test("IVFADC degenerates to the pure PQ scan with one list") {
+    // a single coarse list probed once = every candidate meets every
+    // query, so the composition must reproduce pqTopKWithBooks exactly
+    val books = Ivf.pqCodebooks(emb, m = 8, k = 16, iters = 1)
+    val oneList = Ivf.sampleCentroids(emb, 1)
+    val viaIvfAdc = Ivf.ivfAdcTopKWithModels(emb, q, k = 5, oneList,
+        books, nprobe = 1)
+      .select($"query_id", $"vec_id", $"sim", $"rk")
+      .collect().map(_.toSeq).toSet
+    val viaPq = Ivf.pqTopKWithBooks(emb, q, k = 5, books)
+      .select($"query_id", $"vec_id", $"sim", $"rk")
+      .collect().map(_.toSeq).toSet
+    assert(viaIvfAdc == viaPq)
+  }
+
+  test("IVFADC recalls planted near-dups through both pruning axes") {
+    val r = new scala.util.Random(23)
+    def gauss(n: Int) = Array.fill(n)(r.nextGaussian().toFloat)
+    val bases = Array.fill(100)(gauss(64))
+    val rows = bases.zipWithIndex.flatMap { case (b, i) =>
+      val copy = b.zip(gauss(64)).map { case (x, j) => x + 0.05f * j }
+      Seq((i.toLong, b.toSeq), ((i + 1000).toLong, copy.toSeq))
+    }
+    val vecs = rows.toSeq.toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" >= 1000)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val top1 = Ivf.ivfAdcTopK(vecs, queries, k = 1,
+        nlist = 8, nprobe = 2, m = 8, codewords = 16,
+        coarseIters = 1, pqIters = 2)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect()
+    val hits = top1.count { case (qid, vid) => vid == qid - 1000 }
+    assert(hits >= 60, s"IVFADC top-1 found only $hits/100 planted bases")
+  }
 }
