@@ -12,6 +12,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // bounded-buffer object aggs (CollectTopK, HLL) hash safely far
+      // beyond Spark's 128-group sort-fallback default — see Graft.session
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "65536")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

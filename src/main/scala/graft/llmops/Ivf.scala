@@ -1,5 +1,6 @@
 package graft.llmops
 
+import graft.expr.FastRound
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -425,12 +426,124 @@ object Ivf {
     ColumnBridge.column(PqAdcDot(ColumnBridge.expression(codes),
       ColumnBridge.expression(query), books))
 
+  /** Kernel behind [[PqLut]]: the classic per-query ADC lookup table
+    * (Jégou et al. 2011 §IV-A) — `lut[s·k + c] = dot(query[s·dsub..],
+    * books(s)(c))` for every (subspace, codeword). Built ONCE per
+    * query row; afterwards a candidate's ADC score is just m table
+    * lookups ([[pqLutDot]]) instead of a dim-float reconstruction
+    * dot. Null on a query whose length is not m·dsub.
+    */
+  def pqLut(query: ArrayData,
+            books: Array[Array[Array[Float]]]): GenericArrayData = {
+    val m = books.length
+    val k = books(0).length
+    val dsub = books(0)(0).length
+    if (query.numElements() != m * dsub) return null
+    val lut = new Array[Double](m * k)
+    var s = 0
+    while (s < m) {
+      var c = 0
+      while (c < k) {
+        val cw = books(s)(c)
+        var acc = 0.0
+        var j = 0
+        while (j < dsub) {
+          acc += query.getFloat(s * dsub + j).toDouble * cw(j)
+          j += 1
+        }
+        lut(s * k + c) = acc
+        c += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(lut)
+  }
+
+  /** `pq_lut(query)` → array<double> of m·k precomputed subspace
+    * partial dots. Evaluated on the QUERY side before the broadcast,
+    * so the table is built once per query row and ships inside the
+    * broadcast relation — the corpus-side scan never recomputes it.
+    */
+  case class PqLut(child: Expression, books: Array[Array[Array[Float]]])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "pq_lut"
+    override def nullSafeEval(input: Any): Any =
+      pqLut(input.asInstanceOf[ArrayData], books)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("books", books, "float[][][]")
+      nullSafeCodeGen(ctx, ev, q => {
+        val r = ctx.freshName("lut")
+        s"""org.apache.spark.sql.catalyst.util.GenericArrayData $r =
+           |  graft.llmops.Ivf.pqLut($q, $ref);
+           |if ($r == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $r; }""".stripMargin
+      })
+    }
+    override protected def withNewChildInternal(c: Expression): PqLut =
+      copy(child = c)
+  }
+
+  def pq_lut(query: Column, books: Array[Array[Array[Float]]]): Column =
+    ColumnBridge.column(PqLut(ColumnBridge.expression(query), books))
+
+  /** Kernel behind [[PqLutDot]]: Σ_s lut[s·k + codes_s] — the
+    * lookup-table ADC score. Same null contract as [[pqAdcDot]]
+    * (null code element or out-of-range code → null; a lut of the
+    * wrong length → null), so the two scans rank identically.
+    */
+  def pqLutDot(codes: ArrayData, lut: ArrayData, k: Int): java.lang.Double = {
+    val m = codes.numElements()
+    if (lut.numElements() != m * k) return null
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      if (codes.isNullAt(s)) return null
+      val c = codes.getInt(s)
+      if (c < 0 || c >= k) return null
+      acc += lut.getDouble(s * k + c)
+      s += 1
+    }
+    acc
+  }
+
+  /** `pq_lut_dot(codes, lut)` → double: the table-lookup ADC score.
+    * Needs no codebook reference at all — the per-query table already
+    * folded the codewords in, so the hot scan touches only m ints and
+    * m table cells per candidate.
+    */
+  case class PqLutDot(left: Expression, right: Expression, k: Int)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "pq_lut_dot"
+    override def nullSafeEval(codes: Any, lut: Any): Any =
+      pqLutDot(codes.asInstanceOf[ArrayData], lut.asInstanceOf[ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (c, l) => {
+        val r = ctx.freshName("lutdot")
+        s"""java.lang.Double $r = graft.llmops.Ivf.pqLutDot($c, $l, $k);
+           |if ($r == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $r.doubleValue(); }""".stripMargin
+      })
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): PqLutDot =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def pq_lut_dot(codes: Column, lut: Column, k: Int): Column =
+    ColumnBridge.column(PqLutDot(ColumnBridge.expression(codes),
+      ColumnBridge.expression(lut), k))
+
   /** PQ approximate top-k by ADC inner product: train codebooks,
     * compress the corpus to (id, m codes), broadcast the query batch
     * and scan the codes — the exhaustive-scan shape whose per-row
-    * cost is m codebook lookups over m ints, versus dim float
-    * multiplies for brute force, and whose scan input is ~dim·4/m×
-    * smaller than the raw vectors. Output: (query_id, vec_id, sim,
+    * cost is m table lookups over m ints (the default `scan = "lut"`
+    * precomputes each query's m·k subspace dots once — Jégou et al.
+    * 2011 §IV-A), versus dim float multiplies for brute force, and
+    * whose scan input is ~dim·4/m× smaller than the raw vectors.
+    * Output: (query_id, vec_id, sim,
     * rk) where sim is the ADC score ROUNDED to 6 dp before ranking:
     * identical-code candidates tie exactly and fall back to the id
     * tiebreak deterministically, in this engine and in any replay
@@ -441,10 +554,10 @@ object Ivf {
              m: Int = 8, codewords: Int = 16, iters: Int = 0,
              corpusId: String = "vec_id", corpusVec: String = "embedding",
              queryId: String = "query_id", queryVec: String = "query_vec",
-             impl: String = "agg"): DataFrame = {
+             impl: String = "agg", scan: String = "lut"): DataFrame = {
     val books = pqCodebooks(corpus, m, codewords, iters, corpusId, corpusVec)
     pqTopKWithBooks(corpus, queries, k, books,
-      corpusId, corpusVec, queryId, queryVec, impl)
+      corpusId, corpusVec, queryId, queryVec, impl, scan)
   }
 
   /** [[pqTopK]] with externally trained codebooks — same seam as
@@ -458,17 +571,55 @@ object Ivf {
                       corpusVec: String = "embedding",
                       queryId: String = "query_id",
                       queryVec: String = "query_vec",
-                      impl: String = "agg"): DataFrame = {
+                      impl: String = "agg",
+                      scan: String = "lut"): DataFrame = {
     val coded = corpus.select(col(corpusId),
       pqEncode(col(corpusVec), books).as("codes"))
-    val scored = coded.crossJoin(broadcast(queries))
+    val scored = adcScore(coded.crossJoin(broadcast(
+        withLut(queries, queryVec, books, scan))),
+        books, queryVec, scan)
       .filter(col(corpusId) =!= col(queryId))
-      .withColumn("sim",
-        round(pq_adc_dot(col("codes"), col(queryVec), books), 6))
       // an unscorable candidate (null vector, dim mismatch) cannot
       // rank — drop it rather than let a null score pad a sparse heap
       .filter(col("sim").isNotNull)
     VectorFuncs.rerankTopK(scored, k, queryId, corpusId, impl)
+  }
+
+  /** Shared scan plumbing for [[pqTopKWithBooks]] / [[ivfAdcTopKWithModels]]:
+    * `scan = "lut"` (default) precomputes the per-query lookup table
+    * on the query side — it ships inside the broadcast relation, and
+    * every candidate then costs m lookups + adds instead of a
+    * dim-float reconstruction dot; `scan = "dot"` scores by the
+    * spelled-out reconstruction dot (the form the kernel specs pin
+    * against). Both round to 6 dp before ranking and carry the same
+    * null contract, so they rank identically.
+    */
+  private def withLut(queries: DataFrame, queryVec: String,
+                      books: Array[Array[Array[Float]]],
+                      scan: String): DataFrame = scan match {
+    case "lut" => queries.withColumn("__lut", pq_lut(col(queryVec), books))
+    case "dot" => queries
+    case other => throw new IllegalArgumentException(
+      s"""scan="$other" — use "lut" or "dot"""")
+  }
+
+  private def adcScore(pairs: DataFrame,
+                       books: Array[Array[Array[Float]]],
+                       queryVec: String, scan: String): DataFrame = scan match {
+    // fast_round, not functions.round: Spark's double round goes
+    // through BigDecimal.valueOf (a Double.toString per row) and
+    // measured ~20× the cost of the whole lookup-table kernel it
+    // quantizes (AdcProbe, 51 M candidates) — and the pushed-down
+    // null filter makes the join condition pay it a second time
+    case "lut" =>
+      pairs.withColumn("sim",
+          FastRound.fast_round(
+            pq_lut_dot(col("codes"), col("__lut"), books(0).length), 6))
+        .drop("__lut")
+    case _ =>
+      pairs.withColumn("sim",
+        FastRound.fast_round(
+          pq_adc_dot(col("codes"), col(queryVec), books), 6))
   }
 
   /** IVFADC (Jégou et al. 2011 §V): the standard composition of the
@@ -487,14 +638,14 @@ object Ivf {
                  coarseIters: Int = 0, pqIters: Int = 0,
                  corpusId: String = "vec_id", corpusVec: String = "embedding",
                  queryId: String = "query_id", queryVec: String = "query_vec",
-                 impl: String = "agg"): DataFrame = {
+                 impl: String = "agg", scan: String = "lut"): DataFrame = {
     val cents =
       if (coarseIters > 0)
         kmeansCentroids(corpus, nlist, coarseIters, corpusId, corpusVec)
       else sampleCentroids(corpus, nlist, corpusId, corpusVec)
     val books = pqCodebooks(corpus, m, codewords, pqIters, corpusId, corpusVec)
     ivfAdcTopKWithModels(corpus, queries, k, cents, books, nprobe,
-      corpusId, corpusVec, queryId, queryVec, impl)
+      corpusId, corpusVec, queryId, queryVec, impl, scan)
   }
 
   /** [[ivfAdcTopK]] with externally trained coarse centroids and
@@ -509,17 +660,21 @@ object Ivf {
                            corpusVec: String = "embedding",
                            queryId: String = "query_id",
                            queryVec: String = "query_vec",
-                           impl: String = "agg"): DataFrame = {
+                           impl: String = "agg",
+                           scan: String = "lut"): DataFrame = {
     val coded = corpus.select(col(corpusId),
       element_at(nearest_centroids(col(corpusVec), centroids, 1), 1)
         .as("list_id"),
       pqEncode(col(corpusVec), books).as("codes"))
-    val probes = queries.withColumn("list_id",
-      explode(nearest_centroids(col(queryVec), centroids, nprobe)))
-    val scored = coded.join(broadcast(probes), Seq("list_id"))
+    // the lut projection sits BELOW the probe explode — in the same
+    // select it would land in the Project above Generate and rebuild
+    // the m·k table once per probed list instead of once per query
+    val probes = withLut(queries, queryVec, books, scan)
+      .withColumn("list_id",
+        explode(nearest_centroids(col(queryVec), centroids, nprobe)))
+    val scored = adcScore(coded.join(broadcast(probes), Seq("list_id")),
+        books, queryVec, scan)
       .filter(col(corpusId) =!= col(queryId))
-      .withColumn("sim",
-        round(pq_adc_dot(col("codes"), col(queryVec), books), 6))
       .filter(col("sim").isNotNull)
     VectorFuncs.rerankTopK(scored, k, queryId, corpusId, impl)
   }

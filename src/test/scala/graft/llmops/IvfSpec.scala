@@ -133,6 +133,39 @@ class IvfSpec extends SparkTestBase {
       Ivf.pqCodebooks(vecs, 8, 16)).count() == 0)
   }
 
+  test("LUT scan scores match the reconstruction dot and rank identically") {
+    val books = Ivf.pqCodebooks(emb, m = 8, k = 16, iters = 1)
+    // kernel level: pq_lut + pq_lut_dot vs pq_adc_dot, pre-rounding
+    val rows = emb.where($"embedding".isNotNull).limit(50)
+      .select(
+        Ivf.pq_lut_dot(Ivf.pqEncode($"embedding", books),
+          Ivf.pq_lut($"embedding", books), 16).as("lut"),
+        Ivf.pq_adc_dot(Ivf.pqEncode($"embedding", books),
+          $"embedding", books).as("dot"))
+      .as[(Double, Double)].collect()
+    rows.foreach { case (l, d) =>
+      assert(math.abs(l - d) < 1e-9, s"lut=$l dot=$d")
+    }
+    // plan level: both scans produce the same ranked result
+    val viaLut = Ivf.pqTopKWithBooks(emb, q, k = 5, books, scan = "lut")
+      .select($"query_id", $"vec_id", $"sim", $"rk")
+      .collect().map(_.toSeq).toSet
+    val viaDot = Ivf.pqTopKWithBooks(emb, q, k = 5, books, scan = "dot")
+      .select($"query_id", $"vec_id", $"sim", $"rk")
+      .collect().map(_.toSeq).toSet
+    assert(viaLut == viaDot)
+
+    // the null contract carries over: a wrong-dimension query builds
+    // no table and scores no candidates on either path
+    val shortQ = Seq((9000L, Seq.fill(32)(0.1f)))
+      .toDF("query_id", "query_vec")
+    assert(Ivf.pqTopKWithBooks(emb, shortQ, k = 3, books, scan = "lut")
+      .count() == 0)
+    intercept[IllegalArgumentException] {
+      Ivf.pqTopKWithBooks(emb, q, k = 3, books, scan = "nope")
+    }
+  }
+
   test("IVFADC degenerates to the pure PQ scan with one list") {
     // a single coarse list probed once = every candidate meets every
     // query, so the composition must reproduce pqTopKWithBooks exactly
