@@ -1018,7 +1018,8 @@ object SparkEntry {
       val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
       val sess = Tables.events(s, d)
         .withColumn("gap_us",
-          unix_micros($"ts") - lag(unix_micros($"ts"), 1).over(byUser))
+          graft.expr.TimeFuncs.tsMicros($"ts") -
+            lag(graft.expr.TimeFuncs.tsMicros($"ts"), 1).over(byUser))
         .withColumn("new_session",
           when($"gap_us".isNull || $"gap_us" > 30L * 60 * 1000 * 1000, 1)
             .otherwise(0))

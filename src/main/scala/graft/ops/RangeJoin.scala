@@ -21,7 +21,7 @@ object RangeJoin {
     val base = df.select(
       keys.map(col) ++ Seq(
         col(idCol).as("__id"),
-        unix_micros(col(timeCol)).as("__us")): _*)
+        graft.expr.TimeFuncs.tsMicros(col(timeCol)).as("__us")): _*)
       .withColumn("__bucket", floor(col("__us") / maxGapMicros))
     // probe own bucket and the next: any pair within gap lands together
     val probe = base.withColumn("__bucket",

@@ -11,7 +11,8 @@ class RangeJoinSpec extends SparkTestBase {
     val gap = 3600L * 1000 * 1000 // 1h in micros
     val got = RangeJoin.timeProximityPairs(ev, Seq("user_id"), "event_id", "ts", gap)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
-    val rows = ev.select($"user_id", $"event_id", unix_micros($"ts"))
+    val rows = ev.select($"user_id", $"event_id",
+        graft.expr.TimeFuncs.tsMicros($"ts"))
       .as[(Long, Long, Long)].collect()
     val naive = (for {
       a <- rows.iterator
