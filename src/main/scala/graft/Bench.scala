@@ -17,12 +17,19 @@ object Bench {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "65536")
       .config("spark.ui.enabled", "false")
+      // match Graft.session(): the bench must measure the plans the
+      // library gives its users — RewriteWindowTopK + SQL registry on
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    // warmup pass: JIT + codegen + parquet footer caches, untimed
-    ordered.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    // warmup pass: JIT + codegen + parquet footer caches, untimed.
+    // Failures are remembered so the timed loop can surface them in the
+    // artifact instead of silently recording time-to-exception.
+    val errs = scala.collection.mutable.Map.empty[String, String]
+    ordered.foreach { case (name, fn) =>
+      try fn(spark, sfDir).count()
+      catch { case e: Throwable => errs(name) = e.getClass.getSimpleName }
     }
     // Per-query min across `passes` FULL passes over the query set (not
     // back-to-back reps of one query): the box is shared, and observed
@@ -35,7 +42,8 @@ object Bench {
     (1 to passes).foreach { _ =>
       ordered.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable => errs(name) = e.getClass.getSimpleName }
         val t = (System.nanoTime() - t0) / 1e9
         if (t < times(name)) times(name) = t
       }
@@ -52,8 +60,14 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val total = if (times.nonEmpty) times.values.sum else 0.0
+    // A query that threw anywhere (warmup or timed) is listed here: its
+    // timing above is time-to-exception, not a benchmark. Empty = clean run.
+    val errJson = errs.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
-      s""""sf":"$sfDir","queries":$qs,"total":${num(total)}}"""
+      s""""sf":"$sfDir","queries":$qs,"errors":$errJson,""" +
+      s""""total":${num(total)}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()

@@ -25,6 +25,9 @@ object Verify {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "65536")
       .config("spark.ui.enabled", "false")
+      // match Graft.session(): verify the plans users actually get
+      // (RewriteWindowTopK + SQL function registry active)
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
