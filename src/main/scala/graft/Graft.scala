@@ -198,6 +198,34 @@ object Graft {
                  coarseIters: Int = 0, pqIters: Int = 0): DataFrame =
     llmops.Ivf.ivfAdcTopK(corpus, queries, k, nlist, nprobe, m,
       codewords, coarseIters, pqIters)
+  /** IMI coarse lists (√nlist assignment) over the PQ ADC scan — the
+    * corpus-scale composition (Babenko-Lempitsky × Jégou).
+    */
+  def imiAdcTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                 kHalf: Int = 8, p: Int = 2,
+                 m: Int = 8, codewords: Int = 16,
+                 imiIters: Int = 0, pqIters: Int = 0): DataFrame =
+    llmops.Ivf.imiAdcTopK(corpus, queries, k, kHalf, p, m, codewords,
+      imiIters, pqIters)
+  /** IVFADC proper: PQ codes quantize the coarse residual
+    * (Jégou §V.A) — lower reconstruction error at the same m·k budget.
+    */
+  def ivfAdcResidualTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                         nlist: Int = 16, nprobe: Int = 4,
+                         m: Int = 8, codewords: Int = 16,
+                         coarseIters: Int = 0, pqIters: Int = 0): DataFrame =
+    llmops.Ivf.ivfAdcResidualTopK(corpus, queries, k, nlist, nprobe, m,
+      codewords, coarseIters, pqIters)
+  /** Persist / restore trained ANN models (centroids + codebooks) —
+    * the train-once / serve-many seam; see [[llmops.Models]].
+    */
+  def saveAnnModel(s: SparkSession, dir: String,
+                   cents: Array[Array[Float]],
+                   books: Array[Array[Array[Float]]]): Unit =
+    llmops.Models.saveIvfAdc(s, dir, cents, books)
+  def loadAnnModel(s: SparkSession, dir: String)
+      : (Array[Array[Float]], Array[Array[Array[Float]]]) =
+    llmops.Models.loadIvfAdc(s, dir)
 
   // ---- text analysis / curation ------------------------------------
   def langId(text: Column): Column = llmops.TextFuncs.langId(text)

@@ -1505,6 +1505,153 @@ object SparkEntry {
       }
       I.ivfAdcTopKWithModels(emb, q, k = 5, cents, books, nprobe = 4)
         .orderBy($"query_id", $"rk")
+    }),
+
+    // Quality CONTRACT for the approximate operators: q87/q88 pin exact
+    // replay of the approximate result, so a quantizer bug that stays
+    // self-consistent (bad training, degraded pruning) slips through —
+    // this row pins IVFADC quality against the independently computed
+    // exact baseline, the q63/q74 estimate-within-contract pattern.
+    // Metric: the effectiveness ratio (true-dot sum of the approx
+    // picks / true-dot sum of the exact top-5 under the same inner-
+    // product metric) — ≤ 1 by construction, robust to the near-tied
+    // margins that make set-recall flap, and it craters on a real
+    // regression. n_hits/recall ride along as diagnostics. The oracle
+    // recomputes BOTH sides: exact top-5 from raw embeddings
+    // (list_inner_product), approx top-5 from the dumped
+    // assignment/probe/code/codebook tables.
+    "q89_ann_recall" -> ((s, d) => {
+      import s.implicits._
+      val I = graft.llmops.Ivf
+      val emb = t(s, d, "embeddings")
+      val cents = I.kmeansCentroids(emb, nlist = 16, iters = 2)
+      // the hi-fi config (dsub=4, 64 codewords): the m8k16 default is
+      // honest about this corpus's near-tied dot margins but too noisy
+      // to contract on — measured min ratio 0.84 here vs 0.44 there
+      val books = I.pqCodebooks(emb, m = 16, k = 64, iters = 2)
+      val q = emb.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+      if (materializing) {
+        materialize(emb.where($"embedding".isNotNull).select($"vec_id",
+          element_at(I.nearest_centroids($"embedding", cents, 1), 1)
+            .as("list_id")), "q89_assigned")
+        materialize(q.select($"query_id",
+          explode(I.nearest_centroids($"query_vec", cents, 8))
+            .as("list_id")), "q89_probes")
+        materialize(emb.where($"embedding".isNotNull).select($"vec_id",
+          posexplode(I.pqEncode($"embedding", books)).as(Seq("sub", "code"))),
+          "q89_codes")
+        val flat = for {
+          sub <- books.indices; code <- books(sub).indices
+          sdim <- books(sub)(code).indices
+        } yield (sub, code, sdim, books(sub)(code)(sdim).toDouble)
+        materialize(flat.toDF("sub", "code", "sdim", "w"), "q89_codebooks")
+      }
+      val approx = I.ivfAdcTopKWithModels(emb, q, k = 5, cents, books,
+        nprobe = 8)
+      // exact baseline under the SAME metric the ADC family ranks by
+      // (inner product), self-pairs excluded like the approx path;
+      // q49's bounded-heap shape with the dot kernel
+      val exactScored = emb.join(broadcast(q))
+        .filter($"vec_id" =!= $"query_id")
+        .withColumn("sim",
+          graft.llmops.VectorFuncs.dotp($"embedding", $"query_vec"))
+      val exact = exactScored
+        .groupBy($"query_id")
+        .agg(graft.llmops.TopK.topK($"vec_id", $"sim", 5).as("topk"))
+        .select($"query_id", explode($"topk").as("t"))
+        .select($"query_id", $"t._1".as("vec_id"), $"t._2".as("sim"))
+      val trueDots = exactScored.select($"query_id", $"vec_id", $"sim")
+      val sApprox = approx.select($"query_id", $"vec_id")
+        .join(trueDots, Seq("query_id", "vec_id"))
+        .groupBy($"query_id").agg(sum($"sim").as("sa"))
+      val sExact = exact.groupBy($"query_id").agg(sum($"sim").as("se"))
+      val hits = exact.select($"query_id", $"vec_id")
+        .join(approx.select($"query_id", $"vec_id"),
+          Seq("query_id", "vec_id"))
+        .groupBy($"query_id").agg(count(lit(1)).as("h"))
+      sExact
+        .join(hits, Seq("query_id"), "left")
+        .join(sApprox, Seq("query_id"), "left")
+        .select($"query_id",
+          coalesce($"h", lit(0L)).as("n_hits"),
+          (coalesce($"h", lit(0L)) / 5.0).as("recall"),
+          round(coalesce($"sa", lit(0.0)) / $"se", 4).as("score_ratio"),
+          (round(coalesce($"sa", lit(0.0)) / $"se", 4) >= 0.5)
+            .as("recall_ok"))
+        .orderBy($"query_id")
+    }),
+
+    // llmops IMI+ADC: the corpus-scale composition — √nlist coarse
+    // assignment (q86's multi-index) over the m-int ADC scan (q87).
+    // Oracle replays candidate generation from product-list ids and
+    // scoring from codeword reconstructions, exactly the q88 pattern.
+    "q90_imi_adc_topk" -> ((s, d) => {
+      import s.implicits._
+      val I = graft.llmops.Ivf
+      val emb = t(s, d, "embeddings")
+      val (c1, c2) = I.imiCentroids(emb, k = 4, iters = 2)
+      val books = I.pqCodebooks(emb, m = 8, k = 16, iters = 2)
+      val q = emb.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+      if (materializing) {
+        materialize(emb.where($"embedding".isNotNull).select($"vec_id",
+          element_at(I.imiLists($"embedding", c1, c2, 1), 1)
+            .as("list_id")), "q90_assigned")
+        materialize(q.select($"query_id",
+          explode(I.imiLists($"query_vec", c1, c2, 2)).as("list_id")),
+          "q90_probes")
+        materialize(emb.where($"embedding".isNotNull).select($"vec_id",
+          posexplode(I.pqEncode($"embedding", books)).as(Seq("sub", "code"))),
+          "q90_codes")
+        val flat = for {
+          sub <- books.indices; code <- books(sub).indices
+          sdim <- books(sub)(code).indices
+        } yield (sub, code, sdim, books(sub)(code)(sdim).toDouble)
+        materialize(flat.toDF("sub", "code", "sdim", "w"), "q90_codebooks")
+      }
+      I.imiAdcTopKWithModels(emb, q, k = 5, c1, c2, books, p = 2)
+        .orderBy($"query_id", $"rk")
+    }),
+
+    // llmops residual IVFADC (IVFADC proper, Jégou §V.A): codes
+    // quantize (vec − coarse centroid); score = centroid_dot +
+    // residual reconstruction dot. The oracle adds one CTE to the q88
+    // replay: the per-(query, list) centroid term, rebuilt from the
+    // dumped centroid table.
+    "q91_residual_adc" -> ((s, d) => {
+      import s.implicits._
+      val I = graft.llmops.Ivf
+      val emb = t(s, d, "embeddings")
+      val cents = I.kmeansCentroids(emb, nlist = 16, iters = 2)
+      val books = I.pqCodebooksResidual(emb, cents, m = 8, k = 16, iters = 2)
+      val q = emb.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+      if (materializing) {
+        val assigned = emb.where($"embedding".isNotNull).select($"vec_id",
+          element_at(I.nearest_centroids($"embedding", cents, 1), 1)
+            .as("list_id"), $"embedding")
+        materialize(assigned.select($"vec_id", $"list_id"), "q91_assigned")
+        materialize(q.select($"query_id",
+          explode(I.nearest_centroids($"query_vec", cents, 4))
+            .as("list_id")), "q91_probes")
+        materialize(assigned.select($"vec_id",
+          posexplode(I.pqEncode(
+            I.centroid_residual($"embedding", $"list_id", cents), books))
+            .as(Seq("sub", "code"))), "q91_codes")
+        val flatB = for {
+          sub <- books.indices; code <- books(sub).indices
+          sdim <- books(sub)(code).indices
+        } yield (sub, code, sdim, books(sub)(code)(sdim).toDouble)
+        materialize(flatB.toDF("sub", "code", "sdim", "w"), "q91_codebooks")
+        val flatC = for {
+          (c, list) <- cents.zipWithIndex.toSeq
+          (w, sdim) <- c.zipWithIndex.toSeq
+        } yield (list, sdim, w.toDouble)
+        materialize(flatC.toDF("list_id", "sdim", "w"), "q91_centroids")
+      }
+      I.ivfAdcResidualTopKWithModels(emb, q, k = 5, cents, books, nprobe = 4)
+        .orderBy($"query_id", $"rk")
     })
   )
 
@@ -2371,6 +2518,151 @@ object SparkEntry {
            FROM cand JOIN recon r ON r.vec_id = cand.vec_id
                      JOIN q ON q.query_id = cand.query_id
            GROUP BY cand.query_id, cand.vec_id)
+         SELECT query_id, vec_id, sim, rk FROM (
+           SELECT query_id, vec_id, sim,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, vec_id) AS rk
+           FROM scored WHERE sim IS NOT NULL)
+         WHERE rk <= 5 ORDER BY query_id, rk""",
+    "q89_ann_recall" ->
+      """WITH assigned AS (
+           SELECT vec_id, list_id
+           FROM read_parquet('/root/repo/spark-warehouse/q89_assigned/*.parquet')),
+         probes AS (
+           SELECT query_id, list_id
+           FROM read_parquet('/root/repo/spark-warehouse/q89_probes/*.parquet')),
+         codes AS (
+           SELECT vec_id, sub, code
+           FROM read_parquet('/root/repo/spark-warehouse/q89_codes/*.parquet')),
+         cb AS (
+           SELECT sub, code, sdim, w
+           FROM read_parquet('/root/repo/spark-warehouse/q89_codebooks/*.parquet')),
+         q AS (
+           SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+         cand AS (
+           SELECT DISTINCT p.query_id, a.vec_id
+           FROM probes p JOIN assigned a USING (list_id)
+           WHERE a.vec_id <> p.query_id),
+         recon AS (
+           SELECT c.vec_id, cb.sub * 4 + cb.sdim AS dim, cb.w
+           FROM codes c JOIN cb ON cb.sub = c.sub AND cb.code = c.code),
+         scored AS (
+           SELECT cand.query_id, cand.vec_id,
+                  round(sum(r.w * q.embedding[r.dim + 1]::DOUBLE), 6) AS sim
+           FROM cand JOIN recon r ON r.vec_id = cand.vec_id
+                     JOIN q ON q.query_id = cand.query_id
+           GROUP BY cand.query_id, cand.vec_id),
+         approx AS (
+           SELECT query_id, vec_id FROM (
+             SELECT query_id, vec_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY sim DESC, vec_id) AS rk
+             FROM scored WHERE sim IS NOT NULL)
+           WHERE rk <= 5),
+         exact AS (
+           SELECT query_id, vec_id, sim FROM (
+             SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                    list_inner_product(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS sim,
+                    row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY list_inner_product(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                               c.vec_id) AS rk
+             FROM embeddings c, embeddings q
+             WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+           WHERE rk <= 5),
+         se AS (
+           SELECT query_id, sum(sim) AS se FROM exact GROUP BY query_id),
+         sa AS (
+           SELECT a.query_id,
+                  sum(list_inner_product(c.embedding::DOUBLE[], q.embedding::DOUBLE[])) AS sa
+           FROM approx a JOIN embeddings c ON c.vec_id = a.vec_id
+                         JOIN q ON q.query_id = a.query_id
+           GROUP BY a.query_id),
+         h AS (
+           SELECT e.query_id, count(a.vec_id) AS n_hits
+           FROM exact e LEFT JOIN approx a
+             ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+           GROUP BY e.query_id)
+         SELECT se.query_id, h.n_hits, h.n_hits / 5.0 AS recall,
+                round(coalesce(sa.sa, 0) / se.se, 4) AS score_ratio,
+                round(coalesce(sa.sa, 0) / se.se, 4) >= 0.5 AS recall_ok
+         FROM se JOIN h ON h.query_id = se.query_id
+                 LEFT JOIN sa ON sa.query_id = se.query_id
+         ORDER BY se.query_id""",
+    "q90_imi_adc_topk" ->
+      """WITH assigned AS (
+           SELECT vec_id, list_id
+           FROM read_parquet('/root/repo/spark-warehouse/q90_assigned/*.parquet')),
+         probes AS (
+           SELECT query_id, list_id
+           FROM read_parquet('/root/repo/spark-warehouse/q90_probes/*.parquet')),
+         codes AS (
+           SELECT vec_id, sub, code
+           FROM read_parquet('/root/repo/spark-warehouse/q90_codes/*.parquet')),
+         cb AS (
+           SELECT sub, code, sdim, w
+           FROM read_parquet('/root/repo/spark-warehouse/q90_codebooks/*.parquet')),
+         q AS (
+           SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+         cand AS (
+           SELECT DISTINCT p.query_id, a.vec_id
+           FROM probes p JOIN assigned a USING (list_id)
+           WHERE a.vec_id <> p.query_id),
+         recon AS (
+           SELECT c.vec_id, cb.sub * 8 + cb.sdim AS dim, cb.w
+           FROM codes c JOIN cb ON cb.sub = c.sub AND cb.code = c.code),
+         scored AS (
+           SELECT cand.query_id, cand.vec_id,
+                  round(sum(r.w * q.embedding[r.dim + 1]::DOUBLE), 6) AS sim
+           FROM cand JOIN recon r ON r.vec_id = cand.vec_id
+                     JOIN q ON q.query_id = cand.query_id
+           GROUP BY cand.query_id, cand.vec_id)
+         SELECT query_id, vec_id, sim, rk FROM (
+           SELECT query_id, vec_id, sim,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, vec_id) AS rk
+           FROM scored WHERE sim IS NOT NULL)
+         WHERE rk <= 5 ORDER BY query_id, rk""",
+    "q91_residual_adc" ->
+      """WITH assigned AS (
+           SELECT vec_id, list_id
+           FROM read_parquet('/root/repo/spark-warehouse/q91_assigned/*.parquet')),
+         probes AS (
+           SELECT query_id, list_id
+           FROM read_parquet('/root/repo/spark-warehouse/q91_probes/*.parquet')),
+         codes AS (
+           SELECT vec_id, sub, code
+           FROM read_parquet('/root/repo/spark-warehouse/q91_codes/*.parquet')),
+         cb AS (
+           SELECT sub, code, sdim, w
+           FROM read_parquet('/root/repo/spark-warehouse/q91_codebooks/*.parquet')),
+         cents AS (
+           SELECT list_id, sdim, w
+           FROM read_parquet('/root/repo/spark-warehouse/q91_centroids/*.parquet')),
+         q AS (
+           SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+         cand AS (
+           SELECT DISTINCT p.query_id, a.vec_id, a.list_id
+           FROM probes p JOIN assigned a USING (list_id)
+           WHERE a.vec_id <> p.query_id),
+         cdot AS (
+           SELECT cand.query_id, cand.vec_id,
+                  sum(ct.w * q.embedding[ct.sdim + 1]::DOUBLE) AS cd
+           FROM cand JOIN cents ct ON ct.list_id = cand.list_id
+                     JOIN q ON q.query_id = cand.query_id
+           GROUP BY cand.query_id, cand.vec_id),
+         recon AS (
+           SELECT c.vec_id, cb.sub * 8 + cb.sdim AS dim, cb.w
+           FROM codes c JOIN cb ON cb.sub = c.sub AND cb.code = c.code),
+         rsum AS (
+           SELECT cand.query_id, cand.vec_id,
+                  sum(r.w * q.embedding[r.dim + 1]::DOUBLE) AS rs
+           FROM cand JOIN recon r ON r.vec_id = cand.vec_id
+                     JOIN q ON q.query_id = cand.query_id
+           GROUP BY cand.query_id, cand.vec_id),
+         scored AS (
+           SELECT c.query_id, c.vec_id, round(c.cd + r.rs, 6) AS sim
+           FROM cdot c JOIN rsum r
+             ON r.query_id = c.query_id AND r.vec_id = c.vec_id)
          SELECT query_id, vec_id, sim, rk FROM (
            SELECT query_id, vec_id, sim,
                   row_number() OVER (PARTITION BY query_id

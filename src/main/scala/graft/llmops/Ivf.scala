@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** IVF-style approximate nearest neighbour: a coarse quantizer assigns
   * every vector to its nearest centroid (inverted list); queries probe
@@ -622,6 +622,131 @@ object Ivf {
           pq_adc_dot(col("codes"), col(queryVec), books), 6))
   }
 
+  /** Kernel behind [[CentroidResidual]]: vec − centroids(list), the
+    * residual the classic IVFADC encodes (Jégou et al. 2011 §V.A) —
+    * residuals concentrate around the origin, so the same m·k codeword
+    * budget quantizes them with less error than raw vectors. Null on
+    * an out-of-range list id or a dim mismatch.
+    */
+  def centroidResidual(vec: ArrayData, list: Int,
+                       cents: Array[Array[Float]]): GenericArrayData = {
+    if (list < 0 || list >= cents.length) return null
+    val cv = cents(list)
+    val d = vec.numElements()
+    if (d != cv.length) return null
+    val out = new Array[Float](d)
+    var i = 0
+    while (i < d) {
+      out(i) = vec.getFloat(i) - cv(i)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** `centroid_residual(vec, list_id)` → array<float>: the vector
+    * minus its assigned coarse centroid. Centroids ride along as a
+    * codegen reference object, same as [[NearestCentroids]].
+    */
+  case class CentroidResidual(left: Expression, right: Expression,
+                              cents: Array[Array[Float]])
+      extends BinaryExpression {
+    override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "centroid_residual"
+    override def nullSafeEval(vec: Any, list: Any): Any =
+      centroidResidual(vec.asInstanceOf[ArrayData],
+        list.asInstanceOf[Int], cents)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("cents", cents, "float[][]")
+      nullSafeCodeGen(ctx, ev, (v, l) => {
+        val r = ctx.freshName("resid")
+        s"""org.apache.spark.sql.catalyst.util.GenericArrayData $r =
+           |  graft.llmops.Ivf.centroidResidual($v, $l, $ref);
+           |if ($r == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $r; }""".stripMargin
+      })
+    }
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): CentroidResidual =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def centroid_residual(vec: Column, listId: Column,
+                        cents: Array[Array[Float]]): Column =
+    ColumnBridge.column(CentroidResidual(ColumnBridge.expression(vec),
+      ColumnBridge.expression(listId), cents))
+
+  /** Kernel behind [[CentroidDot]]: dot(vec, centroids(list)) — the
+    * coarse term of the residual ADC score: dot(q, centroid + Σ
+    * codewords) = dot(q, centroid) + the residual LUT sum, so the
+    * centroid dot is computed once per (query, probed list) on the
+    * broadcast side and every candidate in the list reuses it. Null
+    * on an out-of-range list or dim mismatch.
+    */
+  def centroidDot(vec: ArrayData, list: Int,
+                  cents: Array[Array[Float]]): java.lang.Double = {
+    if (list < 0 || list >= cents.length) return null
+    val cv = cents(list)
+    val d = vec.numElements()
+    if (d != cv.length) return null
+    var acc = 0.0
+    var i = 0
+    while (i < d) {
+      acc += vec.getFloat(i).toDouble * cv(i)
+      i += 1
+    }
+    acc
+  }
+
+  /** `centroid_dot(vec, list_id)` → double. */
+  case class CentroidDot(left: Expression, right: Expression,
+                         cents: Array[Array[Float]])
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "centroid_dot"
+    override def nullSafeEval(vec: Any, list: Any): Any =
+      centroidDot(vec.asInstanceOf[ArrayData], list.asInstanceOf[Int], cents)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("cents", cents, "float[][]")
+      nullSafeCodeGen(ctx, ev, (v, l) => {
+        val r = ctx.freshName("cdot")
+        s"""java.lang.Double $r = graft.llmops.Ivf.centroidDot($v, $l, $ref);
+           |if ($r == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $r.doubleValue(); }""".stripMargin
+      })
+    }
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): CentroidDot =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def centroid_dot(vec: Column, listId: Column,
+                   cents: Array[Array[Float]]): Column =
+    ColumnBridge.column(CentroidDot(ColumnBridge.expression(vec),
+      ColumnBridge.expression(listId), cents))
+
+  /** PQ codebooks trained on coarse residuals (vec − assigned
+    * centroid) instead of raw vectors — the codebook half of IVFADC
+    * proper (Jégou et al. 2011 §V.A). One extra map-side projection
+    * (assign + subtract) in front of the SAME one-scan-per-iteration
+    * joint Lloyd as [[pqCodebooks]]; driver traffic is unchanged at
+    * k·dim means per iteration.
+    */
+  def pqCodebooksResidual(corpus: DataFrame,
+                          centroids: Array[Array[Float]],
+                          m: Int, k: Int, iters: Int = 0,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding")
+      : Array[Array[Array[Float]]] = {
+    val resid = corpus.where(col(vecCol).isNotNull)
+      .select(col(idCol),
+        centroid_residual(col(vecCol),
+          element_at(nearest_centroids(col(vecCol), centroids, 1), 1),
+          centroids).as(vecCol))
+    pqCodebooks(resid, m, k, iters, idCol, vecCol)
+  }
+
   /** IVFADC (Jégou et al. 2011 §V): the standard composition of the
     * two pruning axes — the coarse quantizer bounds WHICH candidates
     * a query meets (probe `nprobe` inverted lists, as [[ivfTopK]]),
@@ -674,6 +799,132 @@ object Ivf {
         explode(nearest_centroids(col(queryVec), centroids, nprobe)))
     val scored = adcScore(coded.join(broadcast(probes), Seq("list_id")),
         books, queryVec, scan)
+      .filter(col(corpusId) =!= col(queryId))
+      .filter(col("sim").isNotNull)
+    VectorFuncs.rerankTopK(scored, k, queryId, corpusId, impl)
+  }
+
+  /** IMI+ADC: the full Babenko & Lempitsky multi-index composed with
+    * the Jégou ADC scan — the 100 TB end-state of the quantizer
+    * progression. The coarse axis is the k² product lists of
+    * [[imiCentroids]] (assignment probes 2·k half-centroids, √nlist
+    * cost), the candidate axis is [[pqEncode]]'s m-int codes (the
+    * scan touches m ints + m LUT cells per candidate, never raw
+    * floats). Everything downstream of (list_id, codes) is IDENTICAL
+    * to [[ivfAdcTopKWithModels]] — same join, same LUT scan, same
+    * bounded-heap re-rank.
+    */
+  def imiAdcTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                 kHalf: Int = 8, p: Int = 2,
+                 m: Int = 8, codewords: Int = 16,
+                 imiIters: Int = 0, pqIters: Int = 0,
+                 corpusId: String = "vec_id", corpusVec: String = "embedding",
+                 queryId: String = "query_id", queryVec: String = "query_vec",
+                 impl: String = "agg", scan: String = "lut"): DataFrame = {
+    val (c1, c2) = imiCentroids(corpus, kHalf, imiIters, corpusId, corpusVec)
+    val books = pqCodebooks(corpus, m, codewords, pqIters, corpusId, corpusVec)
+    imiAdcTopKWithModels(corpus, queries, k, c1, c2, books, p,
+      corpusId, corpusVec, queryId, queryVec, impl, scan)
+  }
+
+  /** [[imiAdcTopK]] with externally trained half-codebooks and PQ
+    * codebooks — the same train-once seam as the other `*WithModels`
+    * entry points ([[Models]] persists both shapes).
+    */
+  def imiAdcTopKWithModels(corpus: DataFrame, queries: DataFrame, k: Int,
+                           cents1: Array[Array[Float]],
+                           cents2: Array[Array[Float]],
+                           books: Array[Array[Array[Float]]],
+                           p: Int = 2,
+                           corpusId: String = "vec_id",
+                           corpusVec: String = "embedding",
+                           queryId: String = "query_id",
+                           queryVec: String = "query_vec",
+                           impl: String = "agg",
+                           scan: String = "lut"): DataFrame = {
+    val coded = corpus.select(col(corpusId),
+      element_at(imiLists(col(corpusVec), cents1, cents2, 1), 1)
+        .as("list_id"),
+      pqEncode(col(corpusVec), books).as("codes"))
+    // lut below the probe explode, as in ivfAdcTopKWithModels
+    val probes = withLut(queries, queryVec, books, scan)
+      .withColumn("list_id",
+        explode(imiLists(col(queryVec), cents1, cents2, p)))
+    val scored = adcScore(coded.join(broadcast(probes), Seq("list_id")),
+        books, queryVec, scan)
+      .filter(col(corpusId) =!= col(queryId))
+      .filter(col("sim").isNotNull)
+    VectorFuncs.rerankTopK(scored, k, queryId, corpusId, impl)
+  }
+
+  /** Residual-encoding IVFADC — IVFADC *proper* (Jégou et al. 2011
+    * §V.A): codes quantize the residual (vec − coarse centroid), not
+    * the raw vector, so the m·k codeword budget models a distribution
+    * concentrated near the origin — better codeword utilization at
+    * the same m (recall side-by-side vs the raw-vector variant is
+    * recorded in SCALING.md). The score decomposes exactly:
+    * dot(q, centroid + Σ codewords) = centroid_dot + the residual
+    * LUT sum — the centroid term is computed once per (query, probed
+    * list) on the broadcast side; the per-candidate scan still
+    * touches only m ints + m LUT cells.
+    */
+  def ivfAdcResidualTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                         nlist: Int = 16, nprobe: Int = 4,
+                         m: Int = 8, codewords: Int = 16,
+                         coarseIters: Int = 0, pqIters: Int = 0,
+                         corpusId: String = "vec_id",
+                         corpusVec: String = "embedding",
+                         queryId: String = "query_id",
+                         queryVec: String = "query_vec",
+                         impl: String = "agg",
+                         scan: String = "lut"): DataFrame = {
+    val cents =
+      if (coarseIters > 0)
+        kmeansCentroids(corpus, nlist, coarseIters, corpusId, corpusVec)
+      else sampleCentroids(corpus, nlist, corpusId, corpusVec)
+    val books = pqCodebooksResidual(corpus, cents, m, codewords, pqIters,
+      corpusId, corpusVec)
+    ivfAdcResidualTopKWithModels(corpus, queries, k, cents, books, nprobe,
+      corpusId, corpusVec, queryId, queryVec, impl, scan)
+  }
+
+  /** [[ivfAdcResidualTopK]] with externally trained models. */
+  def ivfAdcResidualTopKWithModels(corpus: DataFrame, queries: DataFrame,
+                                   k: Int,
+                                   centroids: Array[Array[Float]],
+                                   books: Array[Array[Array[Float]]],
+                                   nprobe: Int = 4,
+                                   corpusId: String = "vec_id",
+                                   corpusVec: String = "embedding",
+                                   queryId: String = "query_id",
+                                   queryVec: String = "query_vec",
+                                   impl: String = "agg",
+                                   scan: String = "lut"): DataFrame = {
+    // assignment in its own projection, residual-encode above it — the
+    // residual needs the assigned list, so the two stay separate
+    // projections inside one whole-stage-codegen span
+    val coded = corpus
+      .select(col(corpusId), col(corpusVec),
+        element_at(nearest_centroids(col(corpusVec), centroids, 1), 1)
+          .as("list_id"))
+      .select(col(corpusId), col("list_id"),
+        pqEncode(centroid_residual(col(corpusVec), col("list_id"),
+          centroids), books).as("codes"))
+    val probes = withLut(queries, queryVec, books, scan)
+      .withColumn("list_id",
+        explode(nearest_centroids(col(queryVec), centroids, nprobe)))
+      .withColumn("__cdot",
+        centroid_dot(col(queryVec), col("list_id"), centroids))
+    val joined = coded.join(broadcast(probes), Seq("list_id"))
+    val scored = (scan match {
+      case "lut" => joined.withColumn("sim",
+          FastRound.fast_round(col("__cdot") +
+            pq_lut_dot(col("codes"), col("__lut"), books(0).length), 6))
+        .drop("__lut")
+      case _ => joined.withColumn("sim",
+        FastRound.fast_round(col("__cdot") +
+          pq_adc_dot(col("codes"), col(queryVec), books), 6))
+    }).drop("__cdot")
       .filter(col(corpusId) =!= col(queryId))
       .filter(col("sim").isNotNull)
     VectorFuncs.rerankTopK(scored, k, queryId, corpusId, impl)

@@ -1,0 +1,122 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Row, SparkSession}
+
+/** Parquet persistence for ANN model parameters — coarse centroids and
+  * product-quantizer codebooks. This is the train-once / serve-many
+  * seam behind every `*WithCentroids` / `*WithBooks` / `*WithModels`
+  * entry point: train on one (expensive) corpus scan, persist, and
+  * serve later query batches — or other clusters — from the saved
+  * model without retraining. Reference analog: its extraction model
+  * (the LLM choice at `extract_reports.py:38-51`) is externally
+  * persisted by definition; here the "model" is the quantizer itself.
+  *
+  * Layout matches the Verify dump shape the DuckDB oracle already
+  * replays (SparkEntry q87/q88): one row per weight,
+  * `(sub, code, sdim, w)` for codebooks and `(code, sdim, w)` for
+  * centroids — but `w` is stored as FLOAT, not DOUBLE, so a
+  * load∘save round-trip is bit-identical and a query served from a
+  * persisted model reproduces the in-memory run exactly (pinned by
+  * ModelsSpec). Weights are tiny (nlist·dim + m·k·dim/m floats), so
+  * single-file parquet and a driver-side collect are the right shape
+  * at any corpus scale — the model size never grows with the data.
+  */
+object Models {
+
+  /** Save a coarse-quantizer centroid table: rows (code, sdim, w). */
+  def saveCentroids(spark: SparkSession, path: String,
+                    cents: Array[Array[Float]]): Unit = {
+    import spark.implicits._
+    val rows = for {
+      (c, code) <- cents.zipWithIndex.toSeq
+      (w, sdim) <- c.zipWithIndex
+    } yield (code, sdim, w)
+    rows.toDF("code", "sdim", "w")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load centroids saved by [[saveCentroids]]. Rebuilds the ragged
+    * array from explicit (code, sdim) indices, so it is insensitive
+    * to parquet row order.
+    */
+  def loadCentroids(spark: SparkSession, path: String): Array[Array[Float]] = {
+    val rows = spark.read.parquet(path)
+      .select("code", "sdim", "w").collect()
+    rebuild2(rows.map(r => (r.getInt(0), r.getInt(1), r.getFloat(2))))
+  }
+
+  /** Save PQ codebooks (or IMI half-codebooks — any ragged
+    * `books(sub)(code)(sdim)`): rows (sub, code, sdim, w).
+    */
+  def saveCodebooks(spark: SparkSession, path: String,
+                    books: Array[Array[Array[Float]]]): Unit = {
+    import spark.implicits._
+    val rows = for {
+      (book, sub) <- books.zipWithIndex.toSeq
+      (c, code) <- book.zipWithIndex.toSeq
+      (w, sdim) <- c.zipWithIndex.toSeq
+    } yield (sub, code, sdim, w)
+    rows.toDF("sub", "code", "sdim", "w")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load codebooks saved by [[saveCodebooks]]. */
+  def loadCodebooks(spark: SparkSession, path: String)
+      : Array[Array[Array[Float]]] = {
+    val rows = spark.read.parquet(path)
+      .select("sub", "code", "sdim", "w").collect()
+    val bySub = rows.groupBy(_.getInt(0))
+    Array.tabulate(if (bySub.isEmpty) 0 else bySub.keys.max + 1) { sub =>
+      rebuild2(bySub.getOrElse(sub, Array.empty[Row])
+        .map(r => (r.getInt(1), r.getInt(2), r.getFloat(3))))
+    }
+  }
+
+  /** Save a full IVFADC model (coarse centroids + PQ codebooks) under
+    * one directory: `dir/centroids`, `dir/codebooks`.
+    */
+  def saveIvfAdc(spark: SparkSession, dir: String,
+                 cents: Array[Array[Float]],
+                 books: Array[Array[Array[Float]]]): Unit = {
+    saveCentroids(spark, s"$dir/centroids", cents)
+    saveCodebooks(spark, s"$dir/codebooks", books)
+  }
+
+  /** Load a model saved by [[saveIvfAdc]]: (centroids, codebooks). */
+  def loadIvfAdc(spark: SparkSession, dir: String)
+      : (Array[Array[Float]], Array[Array[Array[Float]]]) =
+    (loadCentroids(spark, s"$dir/centroids"),
+      loadCodebooks(spark, s"$dir/codebooks"))
+
+  /** Save an IMI coarse quantizer (two half-codebooks) — stored in
+    * codebook shape with sub ∈ {0, 1}; the halves may have different
+    * widths (odd dim), which the ragged rebuild preserves.
+    */
+  def saveImi(spark: SparkSession, path: String,
+              c1: Array[Array[Float]], c2: Array[Array[Float]]): Unit =
+    saveCodebooks(spark, path, Array(c1, c2))
+
+  /** Load an IMI quantizer saved by [[saveImi]]: (firstHalf, secondHalf). */
+  def loadImi(spark: SparkSession, path: String)
+      : (Array[Array[Float]], Array[Array[Float]]) = {
+    val halves = loadCodebooks(spark, path)
+    require(halves.length == 2,
+      s"IMI model at $path has ${halves.length} halves, expected 2")
+    (halves(0), halves(1))
+  }
+
+  /** (outer, inner, w) triples → ragged Array[Array[Float]], shaped by
+    * the max indices actually present.
+    */
+  private def rebuild2(rows: Array[(Int, Int, Float)]): Array[Array[Float]] = {
+    if (rows.isEmpty) return Array.empty
+    val byOuter = rows.groupBy(_._1)
+    Array.tabulate(byOuter.keys.max + 1) { outer =>
+      val inner = byOuter.getOrElse(outer, Array.empty[(Int, Int, Float)])
+      val arr = new Array[Float](
+        if (inner.isEmpty) 0 else inner.map(_._2).max + 1)
+      inner.foreach { case (_, i, w) => arr(i) = w }
+      arr
+    }
+  }
+}

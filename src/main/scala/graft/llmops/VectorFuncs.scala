@@ -109,6 +109,50 @@ object VectorKernels {
     val denom = math.sqrt(na) * math.sqrt(nb)
     if (denom == 0) 0.0 else dot / denom
   }
+
+  /** Kernel behind [[DotProduct]]: Σ aᵢ·bᵢ, left-to-right double
+    * accumulation (bit-matching DuckDB's `list_inner_product` order),
+    * null on length mismatch or null element — the same contract
+    * shape as [[cosineBoxed]].
+    */
+  def dotBoxed(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    dot
+  }
+}
+
+/** `dot_product(a, b)` — native inner product; the ranking metric of
+  * the ADC family ([[Ivf.pqTopK]] and descendants score dot(q,
+  * reconstruction)), so the exact baseline those operators are
+  * recall-measured against must rank by the SAME metric
+  * ([[VectorFuncs.bruteForceTopK]] `metric = "dot"`; q89).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "dot_product"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dotBoxed(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("dp")
+      s"""java.lang.Double $r = graft.llmops.VectorKernels.dotBoxed($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.doubleValue(); }""".stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Embedding-vector operators over `array<float>` columns: the hot
@@ -132,6 +176,13 @@ object VectorFuncs {
   def cosine(a: Column, b: Column): Column =
     ColumnBridge.column(
       CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Native inner product — see [[DotProduct]]. Unlike [[dot]] (the
+    * HOF utility) this is a single codegen'd kernel call per row.
+    */
+  def dotp(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Per-query top-k re-rank of a scored candidate set — the shared
     * tail of every similarity-search entry point.
@@ -198,10 +249,17 @@ object VectorFuncs {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      corpusId: String = "vec_id", corpusVec: String = "embedding",
                      queryId: String = "query_id", queryVec: String = "query_vec",
-                     impl: String = "agg")
+                     impl: String = "agg", metric: String = "cosine")
       : DataFrame = {
-    val scored = corpus.join(broadcast(queries))
-      .withColumn("sim", cosine(col(corpusVec), col(queryVec)))
+    val score = metric match {
+      case "cosine" => cosine(col(corpusVec), col(queryVec))
+      // the ADC family ranks by inner product, so its exact recall
+      // baseline must too (q89's contract)
+      case "dot" => dotp(col(corpusVec), col(queryVec))
+      case other => throw new IllegalArgumentException(
+        s"""metric must be "cosine" or "dot", got "$other"""")
+    }
+    val scored = corpus.join(broadcast(queries)).withColumn("sim", score)
     rerankTopK(scored, k, queryId, corpusId, impl)
   }
 

@@ -181,6 +181,180 @@ class IvfSpec extends SparkTestBase {
     assert(viaIvfAdc == viaPq)
   }
 
+  test("ADC-family effectiveness ratio vs the exact dot baseline holds") {
+    // the training-regression tripwire behind the q89 driver contract:
+    // a quantizer regression degrades BOTH the q89 dump and its replay
+    // (they stay self-consistent), so the hard floor lives here.
+    // Metric: effectiveness ratio — true-dot sum of the approx picks
+    // over the exact top-5's — because this corpus's near-tied dot
+    // margins make set-recall flap (pure exhaustive PQ at m8k16 gets
+    // set-recall 0.14 here while ranking quality is fine); the ratio
+    // is ≤ 1 by construction and craters on a real regression.
+    // Baseline metric = inner product (what ADC ranks by), self-pairs
+    // excluded like every approx path.
+    val exactScored = emb.join(broadcast(q))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("sim", VectorFuncs.dotp($"embedding", $"query_vec"))
+    val trueDots = exactScored.select($"query_id", $"vec_id", $"sim")
+    val sExact = VectorFuncs.rerankTopK(exactScored, 5, "query_id",
+        "vec_id", "agg")
+      .groupBy($"query_id").agg(sum($"sim").as("se"))
+    def minRatio(df: org.apache.spark.sql.DataFrame): Double =
+      df.select($"query_id", $"vec_id")
+        .join(trueDots, Seq("query_id", "vec_id"))
+        .groupBy($"query_id").agg(sum($"sim").as("sa"))
+        .join(sExact, Seq("query_id"))
+        .select(($"sa" / $"se").as("r")).as[Double].collect().min
+    // the q89 hi-fi config: dsub=4, 64 codewords, probe half the lists
+    val cents = Ivf.kmeansCentroids(emb, nlist = 16, iters = 2)
+    val books = Ivf.pqCodebooks(emb, m = 16, k = 64, iters = 2)
+    val adc = minRatio(Ivf.ivfAdcTopKWithModels(emb, q, k = 5, cents,
+      books, nprobe = 8))
+    assert(adc >= 0.6, s"IVFADC min effectiveness ratio too low: $adc")
+    val booksR = Ivf.pqCodebooksResidual(emb, cents, m = 16, k = 64,
+      iters = 2)
+    val resid = minRatio(Ivf.ivfAdcResidualTopKWithModels(emb, q, k = 5,
+      cents, booksR, nprobe = 8))
+    assert(resid >= 0.6, s"residual IVFADC min ratio too low: $resid")
+    val (c1, c2) = Ivf.imiCentroids(emb, k = 4, iters = 2)
+    val imi = minRatio(Ivf.imiAdcTopKWithModels(emb, q, k = 5, c1, c2,
+      books, p = 2))
+    assert(imi >= 0.4, s"IMI+ADC min ratio too low: $imi")
+  }
+
+  test("IMI+ADC degenerates to the pure PQ scan with one product list") {
+    // k=1 half-codebooks → a single product list, probed once: every
+    // candidate meets every query, so the multi-index composition must
+    // reproduce pqTopKWithBooks exactly (the q88-style degeneracy pin)
+    val books = Ivf.pqCodebooks(emb, m = 8, k = 16, iters = 1)
+    val (c1, c2) = Ivf.imiCentroids(emb, k = 1)
+    val viaImi = Ivf.imiAdcTopKWithModels(emb, q, k = 5, c1, c2, books,
+        p = 1)
+      .select($"query_id", $"vec_id", $"sim", $"rk")
+      .collect().map(_.toSeq).toSet
+    val viaPq = Ivf.pqTopKWithBooks(emb, q, k = 5, books)
+      .select($"query_id", $"vec_id", $"sim", $"rk")
+      .collect().map(_.toSeq).toSet
+    assert(viaImi == viaPq)
+  }
+
+  test("IMI+ADC recalls planted near-dups") {
+    val r = new scala.util.Random(31)
+    def gauss(n: Int) = Array.fill(n)(r.nextGaussian().toFloat)
+    val bases = Array.fill(100)(gauss(64))
+    val rows = bases.zipWithIndex.flatMap { case (b, i) =>
+      val copy = b.zip(gauss(64)).map { case (x, j) => x + 0.05f * j }
+      Seq((i.toLong, b.toSeq), ((i + 1000).toLong, copy.toSeq))
+    }
+    val vecs = rows.toSeq.toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" >= 1000)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val top1 = Ivf.imiAdcTopK(vecs, queries, k = 1,
+        kHalf = 3, p = 2, m = 8, codewords = 16,
+        imiIters = 1, pqIters = 2)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect()
+    val hits = top1.count { case (qid, vid) => vid == qid - 1000 }
+    assert(hits >= 55, s"IMI+ADC top-1 found only $hits/100 planted bases")
+  }
+
+  test("residual kernels: subtraction, decomposition, null contract") {
+    val cents = Ivf.sampleCentroids(emb, 8)
+    val rows = emb.where($"embedding".isNotNull).limit(20)
+      .select($"embedding",
+        element_at(Ivf.nearest_centroids($"embedding", cents, 1), 1)
+          .as("l"))
+      .select($"embedding", $"l",
+        Ivf.centroid_residual($"embedding", $"l", cents).as("resid"),
+        Ivf.centroid_dot($"embedding", $"l", cents).as("cdot"))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](0); val l = r.getInt(1)
+      val resid = r.getSeq[Float](2); val cdot = r.getDouble(3)
+      v.indices.foreach { i =>
+        assert(resid(i) == v(i) - cents(l)(i))
+      }
+      val want = v.indices.map(i => v(i).toDouble * cents(l)(i)).sum
+      assert(math.abs(cdot - want) < 1e-9)
+    }
+    // out-of-range list → null, dim mismatch → null
+    val bad = spark.sql("SELECT array(1.0f, 2.0f) AS v")
+      .select(Ivf.centroid_residual($"v", lit(99), cents).as("r"),
+        Ivf.centroid_dot($"v", lit(0), cents).as("d"))
+      .collect()(0)
+    assert(bad.isNullAt(0) && bad.isNullAt(1))
+  }
+
+  test("residual encoding reconstructs the clustered corpus with lower error") {
+    // the Jégou §V.A claim, measured directly: at the same m·k budget,
+    // quantizing residuals (vec − coarse centroid) yields strictly
+    // lower reconstruction error than quantizing raw vectors on a
+    // clustered corpus — the whole reason IVFADC-proper exists
+    val cents = Ivf.kmeansCentroids(emb, nlist = 8, iters = 2)
+    val booksRaw = Ivf.pqCodebooks(emb, m = 8, k = 16, iters = 2)
+    val booksRes = Ivf.pqCodebooksResidual(emb, cents, m = 8, k = 16,
+      iters = 2)
+    val rows = emb.where($"embedding".isNotNull)
+      .select($"embedding",
+        element_at(Ivf.nearest_centroids($"embedding", cents, 1), 1)
+          .as("l"))
+      .select($"embedding", $"l",
+        Ivf.pqEncode($"embedding", booksRaw).as("cr"),
+        Ivf.pqEncode(Ivf.centroid_residual($"embedding", $"l", cents),
+          booksRes).as("cs"))
+      .collect()
+    var mseRaw = 0.0; var mseRes = 0.0
+    rows.foreach { r =>
+      val v = r.getSeq[Float](0); val l = r.getInt(1)
+      val cRaw = r.getSeq[Int](2); val cRes = r.getSeq[Int](3)
+      val dsub = v.length / 8
+      v.indices.foreach { i =>
+        val s = i / dsub; val j = i % dsub
+        val rawRec = booksRaw(s)(cRaw(s))(j)
+        val resRec = cents(l)(i) + booksRes(s)(cRes(s))(j)
+        mseRaw += (v(i) - rawRec) * (v(i) - rawRec)
+        mseRes += (v(i) - resRec) * (v(i) - resRec)
+      }
+    }
+    assert(mseRes < mseRaw,
+      s"residual MSE $mseRes not below raw MSE $mseRaw")
+  }
+
+  test("residual IVFADC recalls planted near-dups") {
+    // same corpus/config as the raw-variant planted test: the residual
+    // path must clear the same end-to-end bar
+    val r = new scala.util.Random(23)
+    def gauss(n: Int) = Array.fill(n)(r.nextGaussian().toFloat)
+    val bases = Array.fill(100)(gauss(64))
+    val rows = bases.zipWithIndex.flatMap { case (b, i) =>
+      val copy = b.zip(gauss(64)).map { case (x, j) => x + 0.05f * j }
+      Seq((i.toLong, b.toSeq), ((i + 1000).toLong, copy.toSeq))
+    }
+    val vecs = rows.toSeq.toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" >= 1000)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val top1 = Ivf.ivfAdcResidualTopK(vecs, queries, k = 1,
+        nlist = 8, nprobe = 2, m = 8, codewords = 16,
+        coarseIters = 1, pqIters = 2)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect()
+    val hits = top1.count { case (qid, vid) => vid == qid - 1000 }
+    assert(hits >= 60, s"residual IVFADC top-1 found only $hits/100")
+  }
+
+  test("residual IVFADC from persisted models matches in-memory") {
+    val cents = Ivf.kmeansCentroids(emb, nlist = 8, iters = 1)
+    val books = Ivf.pqCodebooksResidual(emb, cents, m = 8, k = 16,
+      iters = 1)
+    val d = java.nio.file.Files.createTempDirectory("graft-resid")
+    d.toFile.deleteOnExit()
+    Models.saveIvfAdc(spark, d.resolve("m").toString, cents, books)
+    val (lc, lb) = Models.loadIvfAdc(spark, d.resolve("m").toString)
+    val a = Ivf.ivfAdcResidualTopKWithModels(emb, q, k = 5, cents, books,
+      nprobe = 3).collect().map(_.toSeq).toSet
+    val b = Ivf.ivfAdcResidualTopKWithModels(emb, q, k = 5, lc, lb,
+      nprobe = 3).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("IVFADC recalls planted near-dups through both pruning axes") {
     val r = new scala.util.Random(23)
     def gauss(n: Int) = Array.fill(n)(r.nextGaussian().toFloat)

@@ -1,0 +1,81 @@
+package graft.llmops
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+
+class ModelsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  lazy val emb = Tables.embeddings(spark, sf0001).cache()
+  lazy val q = emb.filter($"vec_id" < 5)
+    .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+
+  private def tmp(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft-$name")
+    d.toFile.deleteOnExit()
+    d.resolve("model").toString
+  }
+
+  test("load∘save is the identity for centroids and codebooks") {
+    val cents = Ivf.kmeansCentroids(emb, nlist = 8, iters = 2)
+    val p1 = tmp("cents")
+    Models.saveCentroids(spark, p1, cents)
+    val back = Models.loadCentroids(spark, p1)
+    assert(back.length == cents.length)
+    cents.zip(back).foreach { case (a, b) => assert(a.sameElements(b)) }
+
+    val books = Ivf.pqCodebooks(emb, m = 8, k = 16, iters = 2)
+    val p2 = tmp("books")
+    Models.saveCodebooks(spark, p2, books)
+    val backB = Models.loadCodebooks(spark, p2)
+    assert(backB.length == books.length)
+    for (s <- books.indices) {
+      assert(backB(s).length == books(s).length)
+      books(s).zip(backB(s)).foreach { case (a, b) =>
+        assert(a.sameElements(b)) // bit-exact: floats stored as FLOAT
+      }
+    }
+  }
+
+  test("a query served from a persisted model is bit-identical to in-memory") {
+    val cents = Ivf.kmeansCentroids(emb, nlist = 8, iters = 1)
+    val books = Ivf.pqCodebooks(emb, m = 8, k = 16, iters = 1)
+    val dir = tmp("ivfadc")
+    Models.saveIvfAdc(spark, dir, cents, books)
+    val (lc, lb) = Models.loadIvfAdc(spark, dir)
+
+    val inMem = Ivf.ivfAdcTopKWithModels(emb, q, k = 5, cents, books,
+        nprobe = 3)
+      .select($"query_id", $"vec_id", $"sim", $"rk")
+      .collect().map(_.toSeq).toSet
+    val persisted = Ivf.ivfAdcTopKWithModels(emb, q, k = 5, lc, lb,
+        nprobe = 3)
+      .select($"query_id", $"vec_id", $"sim", $"rk")
+      .collect().map(_.toSeq).toSet
+    assert(inMem == persisted)
+
+    // pure-PQ path through the same persisted codebooks
+    val pqMem = Ivf.pqTopKWithBooks(emb, q, k = 5, books)
+      .collect().map(_.toSeq).toSet
+    val pqLoaded = Ivf.pqTopKWithBooks(emb, q, k = 5, lb)
+      .collect().map(_.toSeq).toSet
+    assert(pqMem == pqLoaded)
+  }
+
+  test("IMI halves round-trip, including odd-dim ragged halves") {
+    val (c1, c2) = Ivf.imiCentroids(emb, k = 4, iters = 1)
+    val p = tmp("imi")
+    Models.saveImi(spark, p, c1, c2)
+    val (b1, b2) = Models.loadImi(spark, p)
+    c1.zip(b1).foreach { case (a, b) => assert(a.sameElements(b)) }
+    c2.zip(b2).foreach { case (a, b) => assert(a.sameElements(b)) }
+
+    // ragged: halves of different widths survive the rebuild
+    val odd1 = Array(Array(1.5f, -2.0f, 0.25f))
+    val odd2 = Array(Array(3.0f, 4.0f))
+    val p2 = tmp("imi-odd")
+    Models.saveImi(spark, p2, odd1, odd2)
+    val (o1, o2) = Models.loadImi(spark, p2)
+    assert(o1(0).sameElements(odd1(0)) && o2(0).sameElements(odd2(0)))
+  }
+}
