@@ -216,6 +216,12 @@ object Graft {
                          coarseIters: Int = 0, pqIters: Int = 0): DataFrame =
     llmops.Ivf.ivfAdcResidualTopK(corpus, queries, k, nlist, nprobe, m,
       codewords, coarseIters, pqIters)
+  /** SQ8 scalar-quantized brute-force top-k: 4× smaller scans than
+    * raw floats at near-exact ranking — the first compression tier
+    * before PQ.
+    */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    llmops.Ivf.sq8TopK(corpus, queries, k)
   /** Persist / restore trained ANN models (centroids + codebooks) —
     * the train-once / serve-many seam; see [[llmops.Models]].
     */
@@ -226,6 +232,20 @@ object Graft {
   def loadAnnModel(s: SparkSession, dir: String)
       : (Array[Array[Float]], Array[Array[Array[Float]]]) =
     llmops.Models.loadIvfAdc(s, dir)
+  /** Write a list-partitioned persisted ANN index (codes + models);
+    * [[queryAnnIndex]] then reads ONLY the probed partitions —
+    * partition pruning makes the nprobe budget an I/O bound, not
+    * just a join filter. See [[llmops.AnnIndex]].
+    */
+  def writeAnnIndex(corpus: DataFrame, path: String,
+                    nlist: Int = 16, coarseIters: Int = 2,
+                    m: Int = 8, codewords: Int = 16,
+                    pqIters: Int = 2): Unit =
+    llmops.AnnIndex.write(corpus, path, nlist, coarseIters, m,
+      codewords, pqIters)
+  def queryAnnIndex(s: SparkSession, path: String, queries: DataFrame,
+                    k: Int, nprobe: Int = 4): DataFrame =
+    llmops.AnnIndex.topK(s, path, queries, k, nprobe)
 
   // ---- text analysis / curation ------------------------------------
   def langId(text: Column): Column = llmops.TextFuncs.langId(text)

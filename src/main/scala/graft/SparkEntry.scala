@@ -1652,6 +1652,30 @@ object SparkEntry {
       }
       I.ivfAdcResidualTopKWithModels(emb, q, k = 5, cents, books, nprobe = 4)
         .orderBy($"query_id", $"rk")
+    }),
+
+    // llmops SQ8 scalar quantization: the first compression tier of
+    // the quantizer progression (raw floats → SQ8 → PQ) — 4× smaller
+    // scans, near-exact ranking (each dim keeps 8 bits of its own
+    // range). Codes and per-dim bounds are dumped; the oracle
+    // dequantizes (mn + sc·code) and replays the scoring exactly.
+    "q92_sq8_topk" -> ((s, d) => {
+      import s.implicits._
+      val I = graft.llmops.Ivf
+      val emb = t(s, d, "embeddings")
+      val (mins, scales) = I.sq8Bounds(emb)
+      val q = emb.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+      if (materializing) {
+        materialize(emb.where($"embedding".isNotNull).select($"vec_id",
+          posexplode(I.sq8_encode($"embedding", mins, scales))
+            .as(Seq("dim", "code"))), "q92_codes")
+        materialize(mins.indices
+          .map(i => (i, mins(i), scales(i)))
+          .toDF("dim", "mn", "sc"), "q92_bounds")
+      }
+      I.sq8TopKWithBounds(emb, q, k = 5, mins, scales)
+        .orderBy($"query_id", $"rk")
     })
   )
 
@@ -2663,6 +2687,30 @@ object SparkEntry {
            SELECT c.query_id, c.vec_id, round(c.cd + r.rs, 6) AS sim
            FROM cdot c JOIN rsum r
              ON r.query_id = c.query_id AND r.vec_id = c.vec_id)
+         SELECT query_id, vec_id, sim, rk FROM (
+           SELECT query_id, vec_id, sim,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, vec_id) AS rk
+           FROM scored WHERE sim IS NOT NULL)
+         WHERE rk <= 5 ORDER BY query_id, rk""",
+    "q92_sq8_topk" ->
+      """WITH codes AS (
+           SELECT vec_id, dim, code
+           FROM read_parquet('/root/repo/spark-warehouse/q92_codes/*.parquet')),
+         b AS (
+           SELECT dim, mn, sc
+           FROM read_parquet('/root/repo/spark-warehouse/q92_bounds/*.parquet')),
+         q AS (
+           SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+         deq AS (
+           SELECT c.vec_id, c.dim, b.mn + b.sc * c.code AS w
+           FROM codes c JOIN b ON b.dim = c.dim),
+         scored AS (
+           SELECT q.query_id, d.vec_id,
+                  round(sum(q.embedding[d.dim + 1]::DOUBLE * d.w), 6) AS sim
+           FROM deq d CROSS JOIN q
+           WHERE d.vec_id <> q.query_id
+           GROUP BY q.query_id, d.vec_id)
          SELECT query_id, vec_id, sim, rk FROM (
            SELECT query_id, vec_id, sim,
                   row_number() OVER (PARTITION BY query_id

@@ -594,18 +594,18 @@ object Ivf {
     * against). Both round to 6 dp before ranking and carry the same
     * null contract, so they rank identically.
     */
-  private def withLut(queries: DataFrame, queryVec: String,
-                      books: Array[Array[Array[Float]]],
-                      scan: String): DataFrame = scan match {
+  private[llmops] def withLut(queries: DataFrame, queryVec: String,
+                              books: Array[Array[Array[Float]]],
+                              scan: String): DataFrame = scan match {
     case "lut" => queries.withColumn("__lut", pq_lut(col(queryVec), books))
     case "dot" => queries
     case other => throw new IllegalArgumentException(
       s"""scan="$other" — use "lut" or "dot"""")
   }
 
-  private def adcScore(pairs: DataFrame,
-                       books: Array[Array[Array[Float]]],
-                       queryVec: String, scan: String): DataFrame = scan match {
+  private[llmops] def adcScore(pairs: DataFrame,
+                               books: Array[Array[Array[Float]]],
+                               queryVec: String, scan: String): DataFrame = scan match {
     // fast_round, not functions.round: Spark's double round goes
     // through BigDecimal.valueOf (a Double.toString per row) and
     // measured ~20× the cost of the whole lookup-table kernel it
@@ -745,6 +745,171 @@ object Ivf {
           element_at(nearest_centroids(col(vecCol), centroids, 1), 1),
           centroids).as(vecCol))
     pqCodebooks(resid, m, k, iters, idCol, vecCol)
+  }
+
+  // ---------------------------------------------------------------- SQ8
+
+  /** Per-dimension (min, scale) bounds for 8-bit scalar quantization:
+    * scale_d = (max_d − min_d)/255, so codes 0–255 span the observed
+    * range. One aggregation pass (posexplode → groupBy(dim)); 2·dim
+    * doubles reach the driver. SQ8 is the first compression tier of
+    * the quantizer progression — 4× smaller scans than raw floats
+    * with near-exact ranking (each dim keeps 8 bits of its own range,
+    * vs PQ's m codes for the whole vector) — the right trade when
+    * memory, not flops, is the binding constraint but PQ's recall
+    * loss is not yet acceptable.
+    */
+  def sq8Bounds(corpus: DataFrame, vecCol: String = "embedding")
+      : (Array[Double], Array[Double]) = {
+    val rows = corpus.where(col(vecCol).isNotNull)
+      .select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect()
+    if (rows.isEmpty) return (Array.empty, Array.empty)
+    val d = rows.map(_.getInt(0)).max + 1
+    val mins = new Array[Double](d)
+    val scales = new Array[Double](d)
+    rows.foreach { r =>
+      val i = r.getInt(0)
+      mins(i) = r.getFloat(1).toDouble
+      scales(i) = (r.getFloat(2).toDouble - mins(i)) / 255.0
+    }
+    (mins, scales)
+  }
+
+  /** Kernel behind [[Sq8Encode]]: code_d = floor((x_d − min_d)/scale_d
+    * + 0.5) clamped to [0, 255] (plain floor(x+0.5), no banker's
+    * rounding — replayable bit-for-bit as SQL). A constant dimension
+    * (scale 0) encodes as 0 and dequantizes to its min. Null on a dim
+    * mismatch.
+    */
+  def sq8Encode(vec: ArrayData, mins: Array[Double],
+                scales: Array[Double]): GenericArrayData = {
+    val d = vec.numElements()
+    if (d != mins.length) return null
+    val out = new Array[Int](d)
+    var i = 0
+    while (i < d) {
+      val c =
+        if (scales(i) == 0) 0
+        else math.floor((vec.getFloat(i) - mins(i)) / scales(i) + 0.5).toInt
+      out(i) = if (c < 0) 0 else if (c > 255) 255 else c
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** `sq8_encode(vec)` → array<int> of dim 8-bit codes. */
+  case class Sq8Encode(child: Expression, mins: Array[Double],
+                       scales: Array[Double]) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "sq8_encode"
+    override def nullSafeEval(input: Any): Any =
+      sq8Encode(input.asInstanceOf[ArrayData], mins, scales)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val mRef = ctx.addReferenceObj("mins", mins, "double[]")
+      val sRef = ctx.addReferenceObj("scales", scales, "double[]")
+      nullSafeCodeGen(ctx, ev, v => {
+        val r = ctx.freshName("sq8")
+        s"""org.apache.spark.sql.catalyst.util.GenericArrayData $r =
+           |  graft.llmops.Ivf.sq8Encode($v, $mRef, $sRef);
+           |if ($r == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $r; }""".stripMargin
+      })
+    }
+    override protected def withNewChildInternal(c: Expression): Sq8Encode =
+      copy(child = c)
+  }
+
+  def sq8_encode(vec: Column, mins: Array[Double],
+                 scales: Array[Double]): Column =
+    ColumnBridge.column(Sq8Encode(ColumnBridge.expression(vec), mins, scales))
+
+  /** Kernel behind [[Sq8Dot]]: dot(query, dequantized codes) =
+    * Σ q_d·(min_d + scale_d·code_d). The scan reads dim small ints
+    * instead of dim floats; flops are unchanged (this tier buys
+    * memory, not compute). Null on any length mismatch or null code.
+    */
+  def sq8Dot(codes: ArrayData, query: ArrayData, mins: Array[Double],
+             scales: Array[Double]): java.lang.Double = {
+    val d = codes.numElements()
+    if (d != mins.length || query.numElements() != d) return null
+    var acc = 0.0
+    var i = 0
+    while (i < d) {
+      if (codes.isNullAt(i)) return null
+      acc += query.getFloat(i).toDouble *
+        (mins(i) + scales(i) * codes.getInt(i))
+      i += 1
+    }
+    acc
+  }
+
+  /** `sq8_dot(codes, query)` → double. */
+  case class Sq8Dot(left: Expression, right: Expression,
+                    mins: Array[Double], scales: Array[Double])
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "sq8_dot"
+    override def nullSafeEval(codes: Any, query: Any): Any =
+      sq8Dot(codes.asInstanceOf[ArrayData],
+        query.asInstanceOf[ArrayData], mins, scales)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val mRef = ctx.addReferenceObj("mins", mins, "double[]")
+      val sRef = ctx.addReferenceObj("scales", scales, "double[]")
+      nullSafeCodeGen(ctx, ev, (c, q) => {
+        val r = ctx.freshName("sqd")
+        s"""java.lang.Double $r = graft.llmops.Ivf.sq8Dot($c, $q, $mRef, $sRef);
+           |if ($r == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $r.doubleValue(); }""".stripMargin
+      })
+    }
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Sq8Dot =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def sq8_dot(codes: Column, query: Column, mins: Array[Double],
+              scales: Array[Double]): Column =
+    ColumnBridge.column(Sq8Dot(ColumnBridge.expression(codes),
+      ColumnBridge.expression(query), mins, scales))
+
+  /** SQ8 brute-force top-k by dequantized inner product — the
+    * exhaustive-scan shape of [[pqTopK]] at the 4×-compression /
+    * near-exact-recall point of the trade curve. Scores round to
+    * 6 dp before ranking (same determinism contract as the ADC
+    * scans). Output: (query_id, vec_id, sim, rk).
+    */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              corpusId: String = "vec_id", corpusVec: String = "embedding",
+              queryId: String = "query_id", queryVec: String = "query_vec",
+              impl: String = "agg"): DataFrame = {
+    val (mins, scales) = sq8Bounds(corpus, corpusVec)
+    sq8TopKWithBounds(corpus, queries, k, mins, scales,
+      corpusId, corpusVec, queryId, queryVec, impl)
+  }
+
+  /** [[sq8TopK]] with externally computed bounds — the same
+    * train-once seam as the other `*With*` entry points.
+    */
+  def sq8TopKWithBounds(corpus: DataFrame, queries: DataFrame, k: Int,
+                        mins: Array[Double], scales: Array[Double],
+                        corpusId: String = "vec_id",
+                        corpusVec: String = "embedding",
+                        queryId: String = "query_id",
+                        queryVec: String = "query_vec",
+                        impl: String = "agg"): DataFrame = {
+    val coded = corpus.select(col(corpusId),
+      sq8_encode(col(corpusVec), mins, scales).as("codes"))
+    val scored = coded.crossJoin(broadcast(queries))
+      .withColumn("sim", FastRound.fast_round(
+        sq8_dot(col("codes"), col(queryVec), mins, scales), 6))
+      .filter(col(corpusId) =!= col(queryId))
+      .filter(col("sim").isNotNull)
+    VectorFuncs.rerankTopK(scored, k, queryId, corpusId, impl)
   }
 
   /** IVFADC (Jégou et al. 2011 §V): the standard composition of the

@@ -1,0 +1,89 @@
+package graft.llmops
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+
+class AnnIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  lazy val emb = Tables.embeddings(spark, sf0001).cache()
+  lazy val q = emb.filter($"vec_id" < 5)
+    .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+
+  private def tmp(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-annidx")
+    d.toFile.deleteOnExit()
+    d.resolve("idx").toString
+  }
+
+  test("indexed query is bit-identical to the in-memory IVFADC path") {
+    val path = tmp()
+    val (cents, books) = AnnIndex.write(emb, path,
+      nlist = 8, coarseIters = 1, m = 8, codewords = 16, pqIters = 1)
+    val viaIndex = AnnIndex.topK(spark, path, q, k = 5, nprobe = 3)
+      .select($"query_id", $"vec_id", $"sim", $"rk")
+      .collect().map(_.toSeq).toSet
+    val inMem = Ivf.ivfAdcTopKWithModels(emb, q, k = 5, cents, books,
+        nprobe = 3)
+      .select($"query_id", $"vec_id", $"sim", $"rk")
+      .collect().map(_.toSeq).toSet
+    assert(viaIndex == inMem)
+  }
+
+  test("the scan reads only probed partitions (partition pruning)") {
+    val path = tmp()
+    val (cents, books) = AnnIndex.write(emb, path,
+      nlist = 8, coarseIters = 1, m = 8, codewords = 16, pqIters = 1)
+    val all = spark.read.parquet(path)
+    val nLists = all.select($"list_id").distinct().count()
+    assert(nLists >= 4, s"degenerate index: only $nLists lists")
+    // probe 1 list per query → at most 5 distinct probed lists
+    val probes = q.withColumn("list_id",
+      explode(Ivf.nearest_centroids($"query_vec", cents, 1)))
+    val probed = probes.select($"list_id").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    assert(probed.size < nLists,
+      "probe set covers every list — pruning untestable")
+    val pruned = all.filter($"list_id".isin(probed: _*))
+    // the probe set must land in PartitionFilters (pruned before read),
+    // not in a post-scan Filter node
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(500))
+    // and the pruned read still holds exactly the probed lists' rows
+    val expect = all.collect().count(r =>
+      probed.contains(r.getAs[Int]("list_id")))
+    assert(pruned.count() == expect)
+    // files actually touched: the scan node's numFiles metric after
+    // execution (DataFrame.inputFiles ignores partition filters)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scanOf(df: org.apache.spark.sql.DataFrame): FileSourceScanExec = {
+      df.collect() // executes THIS DataFrame's own QueryExecution
+      val p = df.queryExecution.executedPlan
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+      inner.collectFirst { case s: FileSourceScanExec => s }.get
+    }
+    val prunedFiles = scanOf(pruned).metrics("numFiles").value
+    val allFiles = scanOf(all.filter($"list_id" >= 0)).metrics("numFiles").value
+    assert(prunedFiles < allFiles,
+      s"pruned scan touched $prunedFiles of $allFiles files")
+  }
+
+  test("a fresh session serves queries from the persisted models alone") {
+    val path = tmp()
+    AnnIndex.write(emb, path, nlist = 8, coarseIters = 1,
+      m = 8, codewords = 16, pqIters = 1)
+    // no in-memory models passed: everything reloads from path
+    val got = AnnIndex.topK(spark, path, q, k = 3, nprobe = 2)
+    assert(got.count() > 0)
+    assert(got.select($"query_id").distinct().count() == 5)
+    // rk is dense 1..k per query
+    val rks = got.groupBy($"query_id")
+      .agg(collect_list($"rk").as("rks"))
+      .select($"rks").as[Seq[Int]].collect()
+    rks.foreach(r => assert(r.sorted == (1 to r.length)))
+  }
+}
