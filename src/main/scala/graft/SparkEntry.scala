@@ -1676,6 +1676,34 @@ object SparkEntry {
       }
       I.sq8TopKWithBounds(emb, q, k = 5, mins, scales)
         .orderBy($"query_id", $"rk")
+    }),
+
+    // llmops persisted ANN index: write the corpus PARTITIONED BY
+    // coarse list (codes + models), then answer the query batch by
+    // reading ONLY probed partitions — partition pruning makes the
+    // nprobe budget an I/O bound. The timed path deliberately includes
+    // the index write (the operator's honest cost); the oracle reads
+    // the written index FILES themselves (hive-partitioned parquet +
+    // the persisted codebook table) and replays candidate generation
+    // and ADC scoring from them.
+    "q93_ann_index" -> ((s, d) => {
+      import s.implicits._
+      val I = graft.llmops.Ivf
+      val A = graft.llmops.AnnIndex
+      val emb = t(s, d, "embeddings")
+      val cents = I.kmeansCentroids(emb, nlist = 16, iters = 2)
+      val books = I.pqCodebooks(emb, m = 8, k = 16, iters = 2)
+      val idx = "/root/repo/spark-warehouse/q93_index"
+      A.writeWithModels(emb, idx, cents, books)
+      val q = emb.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+      if (materializing) {
+        materialize(q.select($"query_id",
+          explode(I.nearest_centroids($"query_vec", cents, 4))
+            .as("list_id")), "q93_probes")
+      }
+      A.topK(s, idx, q, k = 5, nprobe = 4)
+        .orderBy($"query_id", $"rk")
     })
   )
 
@@ -2711,6 +2739,40 @@ object SparkEntry {
            FROM deq d CROSS JOIN q
            WHERE d.vec_id <> q.query_id
            GROUP BY q.query_id, d.vec_id)
+         SELECT query_id, vec_id, sim, rk FROM (
+           SELECT query_id, vec_id, sim,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, vec_id) AS rk
+           FROM scored WHERE sim IS NOT NULL)
+         WHERE rk <= 5 ORDER BY query_id, rk""",
+    "q93_ann_index" ->
+      """WITH idx AS (
+           SELECT vec_id, codes, list_id::INT AS list_id
+           FROM read_parquet('/root/repo/spark-warehouse/q93_index/list_id=*/*.parquet', hive_partitioning=true)),
+         cb AS (
+           SELECT sub, code, sdim, w::DOUBLE AS w
+           FROM read_parquet('/root/repo/spark-warehouse/q93_index/_models/codebooks/*.parquet')),
+         probes AS (
+           SELECT query_id, list_id
+           FROM read_parquet('/root/repo/spark-warehouse/q93_probes/*.parquet')),
+         q AS (
+           SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+         codes AS (
+           SELECT vec_id, s.i - 1 AS sub, codes[s.i] AS code
+           FROM idx, generate_series(1, 8) s(i)),
+         cand AS (
+           SELECT DISTINCT p.query_id, a.vec_id
+           FROM probes p JOIN idx a USING (list_id)
+           WHERE a.vec_id <> p.query_id),
+         recon AS (
+           SELECT c.vec_id, cb.sub * 8 + cb.sdim AS dim, cb.w
+           FROM codes c JOIN cb ON cb.sub = c.sub AND cb.code = c.code),
+         scored AS (
+           SELECT cand.query_id, cand.vec_id,
+                  round(sum(r.w * q.embedding[r.dim + 1]::DOUBLE), 6) AS sim
+           FROM cand JOIN recon r ON r.vec_id = cand.vec_id
+                     JOIN q ON q.query_id = cand.query_id
+           GROUP BY cand.query_id, cand.vec_id)
          SELECT query_id, vec_id, sim, rk FROM (
            SELECT query_id, vec_id, sim,
                   row_number() OVER (PARTITION BY query_id
