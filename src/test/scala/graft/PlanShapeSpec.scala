@@ -195,4 +195,25 @@ class PlanShapeSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), p.take(2000))
   }
+
+  test("q92: SQ8 scan broadcasts the query batch — corpus never shuffles") {
+    val p = plan("q92_sq8_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(1500))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(1500))
+    // the re-rank is the bounded-heap aggregate, not a window
+    assert(p.contains("collect_top_k"))
+  }
+
+  test("q93: indexed query scan carries the probe partition filter") {
+    // the probed lists must reach the index scan as PartitionFilters —
+    // pruned before read, not filtered after (spark-warehouse write
+    // happens inside the query; plan() builds it fresh)
+    val p = plan("q93_ann_index")
+    val scanSection = p.slice(math.max(0, p.indexOf("PartitionFilters") - 100),
+      math.min(p.length, p.indexOf("PartitionFilters") + 300))
+    assert(p.contains("PartitionFilters: [list_id"), scanSection)
+    assert(p.contains("collect_top_k"))
+  }
 }

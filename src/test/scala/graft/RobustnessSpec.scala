@@ -28,7 +28,9 @@ class RobustnessSpec extends SparkTestBase {
       "q71_chunk_windows", "q73_clean_corpus", "q74_profile",
       "q75_compression", "q76_ngram_decontam", "q77_token_budget",
       "q78_asof_forward", "q79_snapshot_diff", "q80_pagerank",
-      "q81_set_ops", "q82_sql_surface")
+      "q81_set_ops", "q82_sql_surface", "q89_ann_recall",
+      "q90_imi_adc_topk", "q91_residual_adc", "q92_sq8_topk",
+      "q93_ann_index")
     for (name <- picked) {
       val fn = SparkEntry.queries(name)
       val a = fn(spark, sf0001).collect().map(_.toString).sorted.toSeq
