@@ -85,6 +85,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "(0.0 when either is a zero vector)"),
       (args: Seq[Expression]) =>
         graft.llmops.CosineSim(args(0), args(1))))
+    e.injectFunction((FunctionIdentifier("dot_product"),
+      info("dot_product",
+        "dot_product(a, b) - inner product of two float arrays " +
+          "(the ADC family's ranking metric)"),
+      (args: Seq[Expression]) =>
+        graft.llmops.DotProduct(args(0), args(1))))
     e.injectFunction((FunctionIdentifier("winnow_fingerprints"),
       info("winnow_fingerprints",
         "winnow_fingerprints(text[, k, w]) - winnowing fingerprint array"),

@@ -49,6 +49,17 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(r.isNullAt(r.fieldIndex("bad")))  // length mismatch -> null
   }
 
+  test("dot_product is usable from SQL") {
+    val r = spark.sql(
+      """SELECT dot_product(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)),
+                            array(CAST(3 AS FLOAT), CAST(4 AS FLOAT))) AS d,
+                dot_product(array(CAST(1 AS FLOAT)),
+                            array(CAST(1 AS FLOAT), CAST(1 AS FLOAT))) AS bad
+      """).head()
+    assert(r.getAs[Double]("d") == 11.0)
+    assert(r.isNullAt(r.fieldIndex("bad")))
+  }
+
   test("round-2 expressions registered: simhash128 and winnow_fingerprints") {
     val r = spark.sql(
       """SELECT size(simhash128('hello world')) AS halves,

@@ -59,6 +59,49 @@ class VectorFuncsSpec extends SparkTestBase {
     assert(withNullElem.collect()(0).isNullAt(0))
   }
 
+  test("dot kernel matches the HOF formulation and DuckDB's sum order") {
+    // DotProduct must be bit-compatible with aggregate(zip_with(...)):
+    // same left-to-right double accumulation (also DuckDB's
+    // list_inner_product order — the q89 oracle depends on it),
+    // null on mismatch/null array, NaN propagates
+    val r = new scala.util.Random(13)
+    val rand = Seq.fill(200)((
+      Seq.fill(64)(r.nextGaussian().toFloat),
+      Seq.fill(64)(r.nextGaussian().toFloat)))
+    val edge: Seq[(Seq[Float], Seq[Float])] = Seq(
+      (Seq(0.0f, 0.0f), Seq(1.0f, 2.0f)),
+      (Seq(1.0f, 2.0f), Seq(1.0f)),            // length mismatch → null
+      (Seq(1.0f, Float.NaN), Seq(1.0f, 1.0f)), // NaN propagates alike
+      (null, Seq(1.0f)))                       // null array → null
+    val rows = (rand ++ edge).toDF("a", "b")
+      .select(VectorFuncs.dotp($"a", $"b").as("kernel"),
+        VectorFuncs.dot($"a", $"b").as("hof"))
+      .collect()
+    rows.foreach { row =>
+      val k = if (row.isNullAt(0)) null else row.getDouble(0)
+      val h = if (row.isNullAt(1)) null else row.getDouble(1)
+      (k, h) match {
+        case (null, null) => ()
+        case (x: java.lang.Double, y: java.lang.Double)
+            if x.isNaN && y.isNaN => ()
+        case _ => assert(k == h, s"kernel=$k hof=$h")
+      }
+    }
+    // length mismatch is null (zip_with pads with null elements, so
+    // the HOF form nulls out too — the loop above already compared
+    // them; this pins the kernel's contract on its own)
+    val mm = Seq((Seq(1.0f, 2.0f), Seq(1.0f))).toDF("a", "b")
+      .select(VectorFuncs.dotp($"a", $"b").as("k")).collect()(0)
+    assert(mm.isNullAt(0))
+    // invalid metric name fails fast
+    intercept[IllegalArgumentException] {
+      VectorFuncs.bruteForceTopK(
+        Seq((1L, Seq(1.0f))).toDF("vec_id", "embedding"),
+        Seq((2L, Seq(1.0f))).toDF("query_id", "query_vec"),
+        k = 1, metric = "manhattan")
+    }
+  }
+
   test("brute-force top-k is exact and self-consistent") {
     val emb = Tables.embeddings(spark, sf0001)
     val q = emb.filter($"vec_id" < 3)
