@@ -1704,6 +1704,42 @@ object SparkEntry {
       }
       A.topK(s, idx, q, k = 5, nprobe = 4)
         .orderBy($"query_id", $"rk")
+    }),
+
+    // llmops OPQ (Ge et al. CVPR 2013): an orthogonal rotation learned
+    // by Procrustes alternation re-axes the corpus before PQ, so the
+    // independent per-subspace codebooks stop paying for
+    // cross-subspace correlation; rotation preserves inner products,
+    // so the rotated-space ADC scan estimates the same raw-space
+    // similarity. Oracle contract: the dumped rotation matrix lets
+    // DuckDB rotate the raw query vectors itself (double sums
+    // truncated to REAL, mirroring the mat_vec kernel), then replay
+    // the standard codes ⋈ codebooks reconstruction scoring — the
+    // learned model is fully auditable from three relational dumps.
+    "q94_opq_topk" -> ((s, d) => {
+      import s.implicits._
+      val O = graft.llmops.Opq
+      val emb = t(s, d, "embeddings")
+      val (rot, books) = O.trainOpq(emb, m = 8, k = 16,
+        pqIters = 2, opqIters = 2)
+      if (materializing) {
+        materialize(emb.where($"embedding".isNotNull)
+          .select($"vec_id", posexplode(
+            graft.llmops.Ivf.pqEncode(O.mat_vec($"embedding", rot), books))
+            .as(Seq("sub", "code"))), "q94_codes")
+        val flatB = for {
+          sub <- books.indices; code <- books(sub).indices
+          sdim <- books(sub)(code).indices
+        } yield (sub, code, sdim, books(sub)(code)(sdim).toDouble)
+        materialize(flatB.toDF("sub", "code", "sdim", "w"), "q94_codebooks")
+        val flatR = for { i <- rot.indices; j <- rot(i).indices }
+          yield (i, j, rot(i)(j).toDouble)
+        materialize(flatR.toDF("i", "j", "w"), "q94_rot")
+      }
+      val q = emb.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+      O.opqTopKWithModels(emb, q, k = 5, rot, books)
+        .orderBy($"query_id", $"rk")
     })
   )
 
@@ -2773,6 +2809,43 @@ object SparkEntry {
            FROM cand JOIN recon r ON r.vec_id = cand.vec_id
                      JOIN q ON q.query_id = cand.query_id
            GROUP BY cand.query_id, cand.vec_id)
+         SELECT query_id, vec_id, sim, rk FROM (
+           SELECT query_id, vec_id, sim,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, vec_id) AS rk
+           FROM scored WHERE sim IS NOT NULL)
+         WHERE rk <= 5 ORDER BY query_id, rk""",
+    // OPQ: the dumped d×d rotation lets the oracle rotate the raw
+    // query vectors itself — double-accumulated sums truncated to
+    // REAL reproduce the mat_vec kernel's float32 elements — then the
+    // scoring replay is exactly q87's codes ⋈ codebooks shape in the
+    // rotated space. Encode (L2 codeword assignment) stays kernel-only,
+    // as in every PQ-family oracle.
+    "q94_opq_topk" ->
+      """WITH codes AS (
+           SELECT vec_id, sub, code
+           FROM read_parquet('/root/repo/spark-warehouse/q94_codes/*.parquet')),
+         cb AS (
+           SELECT sub, code, sdim, w
+           FROM read_parquet('/root/repo/spark-warehouse/q94_codebooks/*.parquet')),
+         rot AS (
+           SELECT i, j, w
+           FROM read_parquet('/root/repo/spark-warehouse/q94_rot/*.parquet')),
+         q AS (
+           SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+         rotq AS (
+           SELECT q.query_id, r.i AS dim,
+                  CAST(sum(r.w * q.embedding[r.j + 1]::DOUBLE) AS REAL) AS v
+           FROM rot r CROSS JOIN q GROUP BY q.query_id, r.i),
+         recon AS (
+           SELECT c.vec_id, cb.sub * 8 + cb.sdim AS dim, cb.w
+           FROM codes c JOIN cb ON cb.sub = c.sub AND cb.code = c.code),
+         scored AS (
+           SELECT rq.query_id, r.vec_id,
+                  round(sum(r.w * rq.v::DOUBLE), 6) AS sim
+           FROM recon r JOIN rotq rq ON rq.dim = r.dim
+           WHERE r.vec_id <> rq.query_id
+           GROUP BY rq.query_id, r.vec_id)
          SELECT query_id, vec_id, sim, rk FROM (
            SELECT query_id, vec_id, sim,
                   row_number() OVER (PARTITION BY query_id

@@ -88,6 +88,24 @@ object Models {
     (loadCentroids(spark, s"$dir/centroids"),
       loadCodebooks(spark, s"$dir/codebooks"))
 
+  /** Save an OPQ model (rotation matrix + PQ codebooks trained in the
+    * rotated space) under one directory: `dir/rotation`,
+    * `dir/codebooks`. The rotation reuses the centroid row shape —
+    * (code, sdim, w) = (row, col, weight) — d² floats, single-file.
+    */
+  def saveOpq(spark: SparkSession, dir: String,
+              rot: Array[Array[Float]],
+              books: Array[Array[Array[Float]]]): Unit = {
+    saveCentroids(spark, s"$dir/rotation", rot)
+    saveCodebooks(spark, s"$dir/codebooks", books)
+  }
+
+  /** Load a model saved by [[saveOpq]]: (rotation, codebooks). */
+  def loadOpq(spark: SparkSession, dir: String)
+      : (Array[Array[Float]], Array[Array[Array[Float]]]) =
+    (loadCentroids(spark, s"$dir/rotation"),
+      loadCodebooks(spark, s"$dir/codebooks"))
+
   /** Save an IMI coarse quantizer (two half-codebooks) — stored in
     * codebook shape with sub ∈ {0, 1}; the halves may have different
     * widths (odd dim), which the ragged rebuild preserves.
