@@ -1740,6 +1740,22 @@ object SparkEntry {
         .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
       O.opqTopKWithModels(emb, q, k = 5, rot, books)
         .orderBy($"query_id", $"rk")
+    }),
+
+    // llmops duplicated-span coverage (Lee et al. 2021): duplication
+    // lives at SPAN granularity — boilerplate and quoted passages
+    // inside documents that are not near-duplicates as wholes. Each
+    // doc explodes to (pos, gram-hash) slim rows (text never
+    // shuffles); one count-distinct aggregation finds cross-document
+    // repeated 8-grams; covered positions union per doc. Fully
+    // relational, so the oracle replays every step from the raw table.
+    "q95_dup_spans" -> ((s, d) => {
+      import s.implicits._
+      graft.llmops.Dedup.duplicateSpanStats(
+          t(s, d, "documents"), n = 8, minDocs = 2)
+        .select($"doc_id", $"n_tokens", $"dup_grams", $"dup_tokens",
+          round($"dup_frac", 4).as("dup_frac"))
+        .orderBy($"doc_id")
     })
   )
 
@@ -2852,6 +2868,37 @@ object SparkEntry {
                     ORDER BY sim DESC, vec_id) AS rk
            FROM scored WHERE sim IS NOT NULL)
          WHERE rk <= 5 ORDER BY query_id, rk""",
+    // duplicated spans: fully relational — tokenize, hash every word
+    // 8-gram with its start position, keep grams in >= 2 distinct
+    // docs, union covered positions per doc
+    "q95_dup_spans" ->
+      """WITH base AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
+           FROM documents),
+         sized AS (
+           SELECT doc_id, l, len(l) AS nt FROM base WHERE len(l) >= 8),
+         posn AS (
+           SELECT doc_id, nt, l,
+                  unnest(generate_series(1, nt - 7)) AS i
+           FROM sized),
+         occ AS (
+           SELECT doc_id, nt, i - 1 AS pos,
+                  substring(md5(array_to_string(l[i:i+7], ' ')), 1, 16) AS gh
+           FROM posn),
+         dup AS (
+           SELECT gh FROM occ GROUP BY gh
+           HAVING count(DISTINCT doc_id) >= 2),
+         dupocc AS (
+           SELECT o.doc_id, o.nt, o.pos FROM occ o JOIN dup USING (gh)),
+         cov AS (
+           SELECT doc_id, nt, pos,
+                  unnest(generate_series(pos, pos + 7)) AS p
+           FROM dupocc)
+         SELECT doc_id, any_value(nt)::INTEGER AS n_tokens,
+                count(DISTINCT pos)::BIGINT AS dup_grams,
+                count(DISTINCT p)::BIGINT AS dup_tokens,
+                round(count(DISTINCT p)::DOUBLE / any_value(nt), 4) AS dup_frac
+         FROM cov GROUP BY doc_id ORDER BY doc_id""",
     "q55_pii_redact" ->
       """WITH withpii AS (
            SELECT doc_id,

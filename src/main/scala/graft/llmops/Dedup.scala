@@ -536,4 +536,91 @@ object Dedup {
       maxList, keys = Seq("list_id"))
     cosineVerifiedPairs(capped, Seq("list_id"), threshold)
   }
+
+  /** Positioned duplicated-span occurrences — the shared core of
+    * [[duplicateSpanStats]] / [[dropDuplicateSpans]] (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better":
+    * duplication lives at SPAN granularity — boilerplate, licenses,
+    * quoted passages — inside documents that are not near-duplicates
+    * as wholes, so doc-level MinHash never sees it). A span is a word
+    * `n`-gram occurring in ≥ `minDocs` distinct documents.
+    *
+    * Scale shape: each document explodes to (id, pos, 16-hex-char
+    * gram hash) — the text itself never shuffles. The global
+    * duplicated-gram set is one count-distinct aggregation over those
+    * slim rows (map-side partial on the gram hash), and occurrences
+    * rejoin it on the hash — both sides narrow, both partitioned by
+    * the same key. Nothing is quadratic: cost is O(total tokens) rows
+    * through one aggregation and one equi-join. (The reference
+    * achieves span dedup with a suffix array over the concatenated
+    * corpus — a global sort unavailable at 100 TB; fixed-width gram
+    * hashing is the standard distributed approximation.)
+    */
+  private def dupSpanOccurrences(docs: DataFrame, n: Int, minDocs: Int,
+                                 idCol: String, textCol: String)
+      : DataFrame = {
+    require(n >= 1, s"span length n=$n must be >= 1")
+    val occ = docs
+      .select(col(idCol), TextFuncs.tokens(col(textCol)).as("__toks"))
+      .withColumn("__nt", size(col("__toks")))
+      // sequence(1, x) with x < 1 runs DESCENDING — guard short docs out
+      .filter(col("__nt") >= n)
+      .select(col(idCol), col("__nt"),
+        posexplode(transform(
+          sequence(lit(1), col("__nt") - (n - 1)),
+          i => substring(md5(concat_ws(" ", slice(col("__toks"), i, lit(n)))),
+            1, 16))).as(Seq("__pos", "__gh")))
+    val dup = occ.groupBy(col("__gh"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__gh"))
+    occ.join(dup, "__gh")
+  }
+
+  /** Per-document duplicated-span coverage: how many word positions
+    * sit inside at least one cross-document repeated `n`-gram. Returns
+    * one row per document that contains any such span:
+    * (id, n_tokens, dup_grams, dup_tokens, dup_frac) where dup_grams
+    * counts repeated-gram occurrences (distinct start positions) and
+    * dup_tokens counts distinct covered token positions — overlapping
+    * spans are unioned, not double-counted.
+    */
+  def duplicateSpanStats(docs: DataFrame, n: Int = 8, minDocs: Int = 2,
+                         idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame =
+    dupSpanOccurrences(docs, n, minDocs, idCol, textCol)
+      .select(col(idCol), col("__nt"), col("__pos"),
+        explode(sequence(col("__pos"), col("__pos") + (n - 1))).as("__p"))
+      .groupBy(col(idCol))
+      .agg(first(col("__nt")).as("n_tokens"),
+        countDistinct(col("__pos")).as("dup_grams"),
+        countDistinct(col("__p")).as("dup_tokens"))
+      .withColumn("dup_frac",
+        col("dup_tokens") / col("n_tokens").cast("double"))
+
+  /** Remove duplicated spans from the corpus text (the Lee et al.
+    * transform): every token position covered by a ≥`minDocs`-document
+    * repeated `n`-gram is dropped and the survivors are re-joined with
+    * single spaces. Documents with no repeated span (including those
+    * shorter than `n` tokens) pass through with text untouched modulo
+    * the shared lowercase/trim tokenizer. The covered-position set is
+    * per-document bounded (≤ token count), so the collect_set buffer
+    * never exceeds one document's length — no global state.
+    */
+  def dropDuplicateSpans(docs: DataFrame, n: Int = 8, minDocs: Int = 2,
+                         idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    val covered = dupSpanOccurrences(docs, n, minDocs, idCol, textCol)
+      .select(col(idCol),
+        explode(sequence(col("__pos"), col("__pos") + (n - 1))).as("__p"))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("__p")).as("__cov"))
+    docs.join(covered, Seq(idCol), "left")
+      .withColumn(textCol,
+        when(col("__cov").isNull, col(textCol))
+          .otherwise(concat_ws(" ",
+            filter(TextFuncs.tokens(col(textCol)),
+              (_, i) => !array_contains(col("__cov"), i)))))
+      .drop("__cov")
+  }
 }
