@@ -76,6 +76,22 @@ object AnnIndex {
            queryId: String = "query_id", queryVec: String = "query_vec",
            impl: String = "agg", scan: String = "lut"): DataFrame = {
     val (cents, books) = loadModels(spark, path)
+    topKWithModels(spark, path, queries, k, cents, books, nprobe,
+      corpusId, queryId, queryVec, impl, scan)
+  }
+
+  /** [[topK]] with pre-loaded models — the seam a long-lived server
+    * (e.g. [[graft.streaming.AnnServe]]) uses to load the model tables
+    * once and answer every subsequent query batch without re-reading
+    * `_models`.
+    */
+  def topKWithModels(spark: SparkSession, path: String, queries: DataFrame,
+                     k: Int, cents: Array[Array[Float]],
+                     books: Array[Array[Array[Float]]],
+                     nprobe: Int = 4,
+                     corpusId: String = "vec_id",
+                     queryId: String = "query_id", queryVec: String = "query_vec",
+                     impl: String = "agg", scan: String = "lut"): DataFrame = {
     val probes = Ivf.withLut(queries, queryVec, books, scan)
       .withColumn("list_id",
         explode(Ivf.nearest_centroids(col(queryVec), cents, nprobe)))

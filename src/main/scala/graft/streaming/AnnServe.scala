@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.llmops.AnnIndex
+
+/** Continuous ANN serving: answer a stream of query vectors against a
+  * persisted [[graft.llmops.AnnIndex]]. The index is the train-once /
+  * serve-many artifact; this is the serve-forever shape on top of it.
+  *
+  * Why `foreachBatch` and not a stream-static join: the index's whole
+  * point is that the probe set becomes a STATIC partition filter
+  * (`list_id IN (...)`) so unprobed partitions are never read — and
+  * that filter is computed from the query batch, so it can only be
+  * planned once a micro-batch is in hand. A stream-static join would
+  * plan one scan shape for all batches and read every partition.
+  * Inside `foreachBatch` each batch is a plain DataFrame, so serving
+  * IS [[AnnIndex.topKWithModels]] — bit-identical to the batch path
+  * (AnnServeSpec pins it), with models loaded once at stream start,
+  * not per batch.
+  *
+  * State: none. Every batch is independent; fault tolerance is the
+  * sink's concern (foreachBatch re-delivers a batch id on retry, so
+  * an idempotent-by-batch-id sink gets exactly-once results).
+  */
+object AnnServe {
+
+  /** Build the serving writer: each query micro-batch (queryId,
+    * queryVec rows) is answered with top-`k` over the index at `path`
+    * and handed to `sink` with its batch id. Call `.start()` (after
+    * any checkpoint/trigger options) to begin serving.
+    */
+  def serve(spark: SparkSession, path: String, queries: DataFrame, k: Int,
+            nprobe: Int = 4,
+            corpusId: String = "vec_id",
+            queryId: String = "query_id", queryVec: String = "query_vec",
+            impl: String = "agg", scan: String = "lut")
+           (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val (cents, books) = AnnIndex.loadModels(spark, path)
+    queries.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty) {
+        sink(AnnIndex.topKWithModels(batch.sparkSession, path, batch, k,
+          cents, books, nprobe, corpusId, queryId, queryVec, impl, scan),
+          batchId)
+      }
+    }
+  }
+}

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import graft.{SparkTestBase, Tables}
+import graft.llmops.AnnIndex
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+class AnnServeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  lazy val emb = Tables.embeddings(spark, sf0001).cache()
+
+  test("streamed query batches get bit-identical answers to the batch path") {
+    val idx = java.nio.file.Files.createTempDirectory("ann-serve").toString
+    AnnIndex.write(emb, idx, nlist = 8, coarseIters = 1,
+      m = 8, codewords = 16, pqIters = 1)
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Float])]
+    val queries = mem.toDF().toDF("query_id", "query_vec")
+
+    val answered = mutable.Map.empty[Long, Seq[(Long, Long, Int)]]
+    val q = AnnServe.serve(spark, idx, queries, k = 3, nprobe = 3) {
+      (res, batchId) =>
+        answered(batchId) = res.orderBy($"query_id", $"rk")
+          .select($"query_id", $"vec_id", $"rk")
+          .as[(Long, Long, Int)].collect().toSeq
+    }.start()
+
+    val qvecs = emb.filter($"vec_id" < 4)
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+
+    mem.addData(qvecs.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(qvecs.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    assert(answered.size == 2, s"expected 2 served batches: $answered")
+
+    // the batch path over the same per-batch query sets
+    def batchAnswer(vs: Seq[(Long, Array[Float])]) =
+      AnnIndex.topK(spark, idx,
+          vs.toDF("query_id", "query_vec"), k = 3, nprobe = 3)
+        .orderBy($"query_id", $"rk")
+        .select($"query_id", $"vec_id", $"rk")
+        .as[(Long, Long, Int)].collect().toSeq
+
+    val sortedIds = answered.keys.toSeq.sorted
+    assert(answered(sortedIds.head) == batchAnswer(qvecs.take(2)))
+    assert(answered(sortedIds.last) == batchAnswer(qvecs.drop(2)))
+  }
+
+  test("empty micro-batches are skipped, not served") {
+    val idx = java.nio.file.Files.createTempDirectory("ann-serve-empty").toString
+    AnnIndex.write(emb, idx, nlist = 4, coarseIters = 0,
+      m = 8, codewords = 8, pqIters = 0)
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Float])]
+    val queries = mem.toDF().toDF("query_id", "query_vec")
+    var served = 0
+    val q = AnnServe.serve(spark, idx, queries, k = 2) { (_, _) => served += 1 }
+      .start()
+    q.processAllAvailable() // no data yet
+    val one = emb.filter($"vec_id" === 0)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    mem.addData(one.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(served == 1, s"expected exactly one non-empty batch served, got $served")
+  }
+}
