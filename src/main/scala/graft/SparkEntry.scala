@@ -1756,6 +1756,31 @@ object SparkEntry {
         .select($"doc_id", $"n_tokens", $"dup_grams", $"dup_tokens",
           round($"dup_frac", 4).as("dup_frac"))
         .orderBy($"doc_id")
+    }),
+
+    // Semantic near-dup clustering: the embedding-space composition of
+    // q85 (IVF-scoped cosine pairs) and q69 (large-star/small-star
+    // connected components) — textual MinHash clusters catch verbatim
+    // near-dups, this catches paraphrase families. Same relational
+    // contract as q69: the edge list is dumped and DuckDB re-derives
+    // the components independently (recursive CTE vs the O(log n)
+    // star rounds — two different algorithms, one fixpoint).
+    "q96_semantic_clusters" -> ((s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      // nlist 64 = the measured nlist∝n rule at this SF (see q85):
+      // fewer lists overflow the maxList cap and pairs vanish
+      val cents = graft.llmops.Ivf.kmeansCentroids(emb, nlist = 64, iters = 2)
+      val edges = graft.llmops.Dedup.semanticPairsWithCentroids(
+          emb, threshold = 0.4, cents, nprobe = 2)
+        .select($"id_a", $"id_b")
+      materialize(edges, "q96_edges")
+      graft.ops.ConnectedComponents.components(edges)
+        .groupBy($"component")
+        .agg(count(lit(1)).as("n_vecs"),
+          array_join(transform(array_sort(collect_list($"id")),
+            _.cast("string")), ",").as("members"))
+        .orderBy($"component")
     })
   )
 
@@ -2899,6 +2924,22 @@ object SparkEntry {
                 count(DISTINCT p)::BIGINT AS dup_tokens,
                 round(count(DISTINCT p)::DOUBLE / any_value(nt), 4) AS dup_frac
          FROM cov GROUP BY doc_id ORDER BY doc_id""",
+    "q96_semantic_clusters" ->
+      """WITH RECURSIVE sym AS (
+           SELECT id_a AS u, id_b AS v
+           FROM read_parquet('/root/repo/spark-warehouse/q96_edges/*.parquet')
+           UNION
+           SELECT id_b, id_a
+           FROM read_parquet('/root/repo/spark-warehouse/q96_edges/*.parquet')),
+         nodes AS (SELECT DISTINCT u AS id FROM sym),
+         walk(id, comp) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT sym.v, walk.comp FROM walk JOIN sym ON sym.u = walk.id),
+         labels AS (SELECT id, min(comp) AS component FROM walk GROUP BY id)
+         SELECT component, count(*) AS n_vecs,
+                array_to_string(list_sort(array_agg(id)), ',') AS members
+         FROM labels GROUP BY component ORDER BY component""",
     "q55_pii_redact" ->
       """WITH withpii AS (
            SELECT doc_id,
