@@ -1781,6 +1781,29 @@ object SparkEntry {
           array_join(transform(array_sort(collect_list($"id")),
             _.cast("string")), ",").as("members"))
         .orderBy($"component")
+    }),
+
+    // llmops model-based quality scoring: logistic regression over
+    // hashed bag-of-words features, trained distributed (two slim
+    // shuffles per epoch, <=65536 gradient doubles to the driver) to
+    // distill the fixed quality heuristic into a learned scorer — the
+    // GPT-3/CCNet classifier stage. Scoring is pure dataflow
+    // (explode -> broadcast weight join -> sum -> sigmoid), so the
+    // dumped weight table lets DuckDB replay every probability; the
+    // training loop itself (like Lloyd) has no SQL analog.
+    "q97_quality_model" -> ((s, d) => {
+      import s.implicits._
+      val Q = graft.llmops.QualityModel
+      val docs = t(s, d, "documents")
+      val labeled = docs.withColumn("label",
+        (graft.llmops.TextFuncs.qualityScore($"text") >= 1.0).cast("int"))
+      val (w, b) = Q.train(labeled)
+      if (materializing)
+        materialize(Q.weightsTable(docs, w, b), "q97_weights")
+      Q.score(docs, w, b)
+        .select($"doc_id", round($"prob", 4).as("prob"),
+          ($"prob" >= 0.5).cast("int").as("pred"))
+        .orderBy($"doc_id")
     })
   )
 
@@ -2940,6 +2963,33 @@ object SparkEntry {
          SELECT component, count(*) AS n_vecs,
                 array_to_string(list_sort(array_agg(id)), ',') AS members
          FROM labels GROUP BY component ORDER BY component""",
+    // quality model: scoring replays exactly from the dumped weight
+    // table — distinct token md5-prefix features, left join weights,
+    // sigmoid(bias + sum). The 'bias' key can't collide (not hex).
+    "q97_quality_model" ->
+      """WITH w AS (
+           SELECT fh, w
+           FROM read_parquet('/root/repo/spark-warehouse/q97_weights/*.parquet')),
+         b AS (SELECT w AS bias FROM w WHERE fh = 'bias'),
+         toks AS (
+           SELECT doc_id,
+                  unnest(list_distinct(
+                    string_split_regex(lower(trim(text)), '\s+'))) AS t
+           FROM documents),
+         fh AS (
+           SELECT DISTINCT doc_id, substring(md5(t), 1, 4) AS fh FROM toks),
+         s AS (
+           SELECT f.doc_id, sum(coalesce(w.w, 0)) AS s
+           FROM fh f LEFT JOIN w ON w.fh = f.fh
+           GROUP BY f.doc_id),
+         p AS (
+           SELECT d.doc_id,
+                  1.0 / (1.0 + exp(-(coalesce(s.s, 0) +
+                    (SELECT bias FROM b)))) AS prob
+           FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id)
+         SELECT doc_id, round(prob, 4) AS prob,
+                (prob >= 0.5)::INTEGER AS pred
+         FROM p ORDER BY doc_id""",
     "q55_pii_redact" ->
       """WITH withpii AS (
            SELECT doc_id,

@@ -1,0 +1,121 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-based quality scoring — the classifier stage of the standard
+  * web-corpus pipeline (GPT-3 / CCNet practice: score every document
+  * with a trained quality model, keep by threshold or importance-
+  * sample by score), distinct from [[TextFuncs.qualityScore]]'s fixed
+  * heuristic. The model is logistic regression over hashed
+  * bag-of-words features: distinct lowercased tokens hash to a 4-hex-
+  * char md5 prefix (65 536 buckets), so the whole weight table is
+  * bounded and broadcastable regardless of corpus vocabulary.
+  *
+  * Training is batch gradient descent where each epoch is two slim
+  * shuffles, nothing more: (feature-hash, doc) rows join the
+  * broadcast weight table and aggregate to per-doc margins; residuals
+  * join back and aggregate per feature-hash to the gradient — at most
+  * 65 536 (hash, grad) doubles reach the driver per epoch, invariant
+  * in corpus size. Text is tokenized once into the cached feature
+  * frame; at 100 TB train on a sample (quality models are
+  * sample-trained in practice) and score the full corpus with
+  * [[score]], which is one broadcast join + one map-side-combinable
+  * sum per document.
+  *
+  * Scoring is deliberately pure dataflow (explode → broadcast join →
+  * sum → sigmoid), so a dumped weight table lets any engine replay
+  * every score exactly — the q97 oracle contract.
+  */
+object QualityModel {
+
+  /** Bias row sentinel in a persisted weight table: 'bias' is 4 chars
+    * but not hex, so it can never collide with an md5-prefix feature.
+    */
+  val BiasKey = "bias"
+
+  /** Distinct hashed token features of a document: lowercase
+    * whitespace tokens → first 4 md5 hex chars. Distinct BEFORE and
+    * AFTER hashing: a document contributes each feature bucket once.
+    */
+  def featureKeys(text: Column): Column =
+    array_distinct(transform(
+      array_distinct(TextFuncs.tokens(text)),
+      t => substring(md5(t), 1, 4)))
+
+  /** Train logistic-regression weights against a 0/1 `labelCol`.
+    * Returns the weight map (feature hash → weight) plus bias.
+    * Deterministic per run up to float summation order; the dump-and-
+    * replay contract never depends on bit-identical retraining.
+    */
+  def train(docs: DataFrame, labelCol: String = "label",
+            idCol: String = "doc_id", textCol: String = "text",
+            epochs: Int = 8, lr: Double = 4.0)
+      : (Map[String, Double], Double) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val labels = docs
+      .select(col(idCol).as("id"), col(labelCol).cast("double").as("y"))
+      .cache()
+    val n = labels.count().toDouble
+    if (n == 0) return (Map.empty, 0.0)
+    val feats = docs.select(col(idCol).as("id"),
+        explode(featureKeys(col(textCol))).as("fh"))
+      .cache()
+    var weights = Map.empty[String, Double]
+    var bias = 0.0
+    var epoch = 0
+    while (epoch < epochs) {
+      val wDf = if (weights.isEmpty) Seq.empty[(String, Double)].toDF("fh", "w")
+        else weights.toSeq.toDF("fh", "w")
+      val margins = feats.join(broadcast(wDf), Seq("fh"), "left")
+        .groupBy($"id").agg(sum(coalesce($"w", lit(0.0))).as("s"))
+      val resid = labels.join(margins, Seq("id"), "left")
+        .select($"id",
+          (lit(1.0) / (lit(1.0) +
+            exp(-(coalesce($"s", lit(0.0)) + bias))) - $"y").as("r"))
+        .cache()
+      val grad = feats.join(resid, Seq("id"))
+        .groupBy($"fh").agg(sum($"r").as("g"))
+        .as[(String, Double)].collect()
+      val gBias = resid.agg(sum($"r")).head().getDouble(0)
+      resid.unpersist()
+      weights = weights ++ grad.map { case (fh, g) =>
+        fh -> (weights.getOrElse(fh, 0.0) - lr * g / n)
+      }
+      bias -= lr * gBias / n
+      epoch += 1
+    }
+    feats.unpersist(); labels.unpersist()
+    (weights, bias)
+  }
+
+  /** Weight map (+ bias row) as a DataFrame in the persisted/dumped
+    * table shape (fh, w).
+    */
+  def weightsTable(docs: DataFrame, weights: Map[String, Double],
+                   bias: Double): DataFrame = {
+    import docs.sparkSession.implicits._
+    (weights.toSeq :+ (BiasKey -> bias)).toDF("fh", "w")
+  }
+
+  /** Score every document: prob = sigmoid(bias + Σ w(feature)).
+    * Returns (idCol, prob). One broadcast join + one partial-agg sum
+    * per document — the corpus never shuffles text or full vectors.
+    */
+  def score(docs: DataFrame, weights: Map[String, Double], bias: Double,
+            idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wDf = if (weights.isEmpty) Seq.empty[(String, Double)].toDF("fh", "w")
+      else weights.toSeq.toDF("fh", "w")
+    docs.select(col(idCol),
+        explode_outer(featureKeys(col(textCol))).as("fh"))
+      .join(broadcast(wDf), Seq("fh"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(coalesce(col("w"), lit(0.0))).as("s"))
+      .select(col(idCol),
+        (lit(1.0) / (lit(1.0) + exp(-(col("s") + bias)))).as("prob"))
+  }
+}
