@@ -1804,6 +1804,26 @@ object SparkEntry {
         .select($"doc_id", round($"prob", 4).as("prob"),
           ($"prob" >= 0.5).cast("int").as("pred"))
         .orderBy($"doc_id")
+    }),
+
+    // llmops quality-weighted importance sampling (the GPT-3 corpus
+    // mixing move): keep probability rises with the quality score
+    // (score^2 here), the uniform draw is the doc's md5-prefix hash —
+    // deterministic under reruns/appends, a pure per-row predicate
+    // that pushes to the scan. Fully relational (the heuristic score
+    // has a SQL replica, q21), so the oracle recomputes every fate.
+    "q98_quality_sample" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      docs
+        .withColumn("qs", graft.llmops.TextFuncs.qualityScore($"text"))
+        .withColumn("keep",
+          graft.llmops.Splits.importanceKeep($"qs", $"text", 2.0))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
+          round(avg($"qs"), 4).as("avg_quality"))
+        .orderBy($"source")
     })
   )
 
@@ -2990,6 +3010,39 @@ object SparkEntry {
          SELECT doc_id, round(prob, 4) AS prob,
                 (prob >= 0.5)::INTEGER AS pred
          FROM p ORDER BY doc_id""",
+    // quality-weighted sampling: q21's heuristic replica supplies the
+    // score; the uniform draw is ('0x' || md5-prefix)::INT / 65536,
+    // matching Spark's conv(..., 16, 10). score^2 and u are exact
+    // binary fractions, so the keep predicate has no float ambiguity.
+    "q98_quality_sample" ->
+      """WITH q AS (
+           SELECT source, text,
+             string_split_regex(lower(trim(text)), '\s+') AS toks,
+             length(text) AS n,
+             length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS np
+           FROM documents),
+         r AS (
+           SELECT source, text,
+             (CASE WHEN n BETWEEN 50 AND 20000 THEN 0.25 ELSE 0.0 END) +
+             (CASE WHEN (CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE len(list_filter(toks, t -> t IN
+                    ('the','and','of','to','a','in','is','that')))::double / len(toks)
+              END) >= 0.01 THEN 0.25 ELSE 0.0 END) +
+             (CASE WHEN (CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE list_sum(list_transform(toks, w -> length(w)))::double / len(toks)
+              END) BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END) +
+             (CASE WHEN (CASE WHEN n = 0 THEN 0.0 ELSE np::double / n END) <= 0.1
+              THEN 0.25 ELSE 0.0 END) AS qs
+           FROM q),
+         k AS (
+           SELECT source, qs,
+                  (('0x' || substring(md5(text), 1, 4))::INTEGER / 65536.0)
+                    < pow(qs, 2) AS keep
+           FROM r)
+         SELECT source, count(*) AS n_docs,
+                sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+                round(avg(qs), 4) AS avg_quality
+         FROM k GROUP BY source ORDER BY source""",
     "q55_pii_redact" ->
       """WITH withpii AS (
            SELECT doc_id,

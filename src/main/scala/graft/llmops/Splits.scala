@@ -65,6 +65,21 @@ object Splits {
   def sampleHash(key: Column, frac: Column): Column =
     substring(md5(key), 1, 4) < frac
 
+  /** Quality-weighted importance sampling (the GPT-3 corpus-mixing
+    * move: keep a document with probability that rises with its
+    * quality score), made deterministic: the uniform draw is the
+    * document's md5-prefix hash, so the sample is stable under
+    * reruns, repartitioning, and appends — same contract as
+    * [[sampleHash]]. Keep ⇔ u < score^alpha with u = first 4 md5 hex
+    * chars / 65536; `alpha` sharpens (α>1) or flattens (α<1) the
+    * preference. Scores in [0,1]: score 1 always keeps (u < 1
+    * strictly), score 0 never does. Pure per-row function — no
+    * shuffle, pushes past any scan.
+    */
+  def importanceKeep(score: Column, key: Column, alpha: Double): Column =
+    (conv(substring(md5(key), 1, 4), 16, 10).cast("double") / 65536.0) <
+      pow(score, alpha)
+
   /** Per-stratum deterministic sampling rates: a `when`-chain mapping
     * each stratum value to its [[hexAt4]] threshold. The common
     * downsample-web/keep-books corpus-mixing shape: rates differ by

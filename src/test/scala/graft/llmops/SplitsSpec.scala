@@ -107,4 +107,22 @@ class SplitsSpec extends SparkTestBase {
     val kept2 = Splits.tokenBudgetSample(docs, budgetPerGroup = 11L, streams = 4)
     assert(kept2.agg(sum($"n_tokens")).as[Long].head() == 11L)
   }
+
+  test("importance sampling: score 1 always keeps, 0 never, rate tracks score^alpha") {
+    val docs = (0L until 2000L).map(i => (i, s"document body $i")).toDF("id", "text")
+    def rate(score: Double, alpha: Double): Double =
+      docs.filter(Splits.importanceKeep(lit(score), $"text", alpha))
+        .count().toDouble / 2000.0
+    assert(rate(1.0, 2.0) == 1.0)
+    assert(rate(0.0, 2.0) == 0.0)
+    val r5 = rate(0.5, 2.0) // expect ~0.25
+    assert(math.abs(r5 - 0.25) < 0.05, s"keep rate $r5, expected ~0.25")
+    assert(rate(0.5, 1.0) > r5, "flatter alpha must keep more")
+    // deterministic: same inputs, same fates
+    val a = docs.filter(Splits.importanceKeep(lit(0.5), $"text", 2.0))
+      .select($"id").as[Long].collect().toSet
+    val b = docs.filter(Splits.importanceKeep(lit(0.5), $"text", 2.0))
+      .select($"id").as[Long].collect().toSet
+    assert(a == b)
+  }
 }

@@ -39,4 +39,122 @@ class VocabSpec extends SparkTestBase {
       .select($"text").as[String].collect().toSeq
     assert(run(texts) == naive(texts))
   }
+
+  // ---- full BPE training + encode ----
+
+  /** Independent driver-side BPE trainer (list-walk merges, no regex):
+    * same semantics as the distributed trainer — count weighted
+    * adjacent pairs, merge ALL non-overlapping occurrences of the
+    * (count desc, pair asc) argmax each round.
+    */
+  private def refTrain(texts: Seq[String], numMerges: Int): Seq[(String, String)] = {
+    var dict: Map[Vector[String], Long] =
+      texts.flatMap(_.trim.toLowerCase.split("\\s+"))
+        .filter(_.length >= 2)
+        .groupBy(identity).view.mapValues(_.size.toLong)
+        .map { case (w, c) => w.map(_.toString).toVector -> c }.toMap
+    val merges = Seq.newBuilder[(String, String)]
+    var round = 0
+    var done = false
+    while (round < numMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      dict.foreach { case (syms, c) =>
+        syms.sliding(2).foreach {
+          case Vector(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + c
+          case _ =>
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val (l, r) = counts.toSeq
+          .minBy { case ((a, b), c) => (-c, a + "" + b) }._1
+        merges += ((l, r))
+        dict = dict.toSeq.map { case (syms, c) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+              out += (l + r); i += 2  // left-to-right, non-overlapping
+            } else { out += syms(i); i += 1 }
+          }
+          out.result() -> c
+        }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        round += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Independent driver-side encoder: rank-priority merging. */
+  private def refEncode(text: String, merges: Seq[(String, String)]): Seq[String] = {
+    val rank = merges.zipWithIndex.toMap
+    text.trim.toLowerCase.split("\\s+").toSeq.flatMap { w =>
+      var syms = w.map(_.toString).toVector
+      var go = true
+      while (go && syms.length > 1) {
+        val cands = syms.indices.dropRight(1)
+          .flatMap(i => rank.get((syms(i), syms(i + 1))).map(r => (r, i)))
+        if (cands.isEmpty) go = false
+        else {
+          val (_, i) = cands.min
+          syms = syms.patch(i, Seq(syms(i) + syms(i + 1)), 2)
+        }
+      }
+      syms
+    }
+  }
+
+  test("trainBpe matches the independent reference on the classic corpus") {
+    val texts = Seq(
+      "low low low low low",
+      "lower lower newest newest",
+      "newest newest newest newest widest widest widest")
+    val got = Vocab.trainBpe(texts.toDF("text"), $"text", 8)
+    assert(got == refTrain(texts, 8))
+  }
+
+  test("trainBpe matches the reference on real documents") {
+    val docs = Tables.documents(spark, sf0001).limit(50).cache()
+    val texts = docs.select($"text").as[String].collect().toSeq
+    assert(Vocab.trainBpe(docs, $"text", 10) == refTrain(texts, 10))
+  }
+
+  test("trainBpe stops early when no pairs remain") {
+    val merges = Vocab.trainBpe(Seq("ab ab").toDF("text"), $"text", 10)
+    assert(merges == Seq(("a", "b"))) // after merging "ab" no pair is left
+  }
+
+  test("bpe_encode applies merges by rank and matches the reference") {
+    val merges = Seq(("l", "o"), ("lo", "w"))
+    val got = Seq(Tuple1("Low lowly unknown"))
+      .toDF("text")
+      .select(Vocab.bpe_encode($"text", merges).as("t"))
+      .head().getSeq[String](0)
+    assert(got == Seq("low", "low", "l", "y",
+      "u", "n", "k", "n", "o", "w", "n"))
+    assert(got == refEncode("Low lowly unknown", merges))
+  }
+
+  test("round trip: encoding with trained merges compresses the corpus") {
+    val docs = Tables.documents(spark, sf0001).limit(100).cache()
+    val merges = Vocab.trainBpe(docs, $"text", 30)
+    val texts = docs.select($"text").as[String].collect().toSeq
+    val counts = docs
+      .select(size(Vocab.bpe_encode($"text", merges)).as("n_bpe"),
+        size(split(lower(trim($"text")), "\\s+")).as("n_words"),
+        length(regexp_replace($"text", "\\s+", "")).as("n_chars"))
+      .agg(sum($"n_bpe"), sum($"n_words"), sum($"n_chars"))
+      .head()
+    val (nBpe, nWords, nChars) =
+      (counts.getLong(0), counts.getLong(1), counts.getLong(2))
+    assert(nBpe < nChars, "BPE must compress below character count")
+    assert(nBpe > nWords, "30 merges cannot reach word-level tokens")
+    // kernel agrees with the reference encoder on every document
+    texts.take(20).foreach { t =>
+      val k = Seq(Tuple1(t)).toDF("text")
+        .select(Vocab.bpe_encode($"text", merges).as("x"))
+        .head().getSeq[String](0)
+      assert(k == refEncode(t, merges), s"mismatch on: ${t.take(40)}")
+    }
+  }
 }
