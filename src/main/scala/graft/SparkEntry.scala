@@ -1824,6 +1824,27 @@ object SparkEntry {
           sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
           round(avg($"qs"), 4).as("avg_quality"))
         .orderBy($"source")
+    }),
+
+    // llmops LM-perplexity scoring (CCNet): an add-k bigram LM is a
+    // pair of count tables — training is one aggregation each, the
+    // model is relational data, and scoring is explode -> two joins ->
+    // -log. Self-perplexity here (repetition scores LOW, gibberish
+    // HIGH); the uni/bi params are the seam for a curated reference
+    // LM. Oracle replays every score from the dumped count tables.
+    "q99_lm_perplexity" -> ((s, d) => {
+      import s.implicits._
+      val L = graft.llmops.LangModel
+      val docs = t(s, d, "documents")
+      val uni = L.unigramCounts(docs, $"text")
+      val bi = L.bigramCounts(docs, $"text")
+      if (materializing) {
+        materialize(uni, "q99_unigrams")
+        materialize(bi, "q99_bigrams")
+      }
+      L.nllScores(docs, uni, bi, k = 0.5)
+        .select($"doc_id", $"n_bigrams", round($"avg_nll", 4).as("avg_nll"))
+        .orderBy($"doc_id")
     })
   )
 
@@ -3043,6 +3064,35 @@ object SparkEntry {
                 sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
                 round(avg(qs), 4) AS avg_quality
          FROM k GROUP BY source ORDER BY source""",
+    // bigram-LM perplexity: replayed entirely from the dumped count
+    // tables; V = unigram row count, smoothing k = 0.5
+    "q99_lm_perplexity" ->
+      """WITH uni AS (
+           SELECT w, c
+           FROM read_parquet('/root/repo/spark-warehouse/q99_unigrams/*.parquet')),
+         bi AS (
+           SELECT w1, w2, c
+           FROM read_parquet('/root/repo/spark-warehouse/q99_bigrams/*.parquet')),
+         v AS (SELECT count(*)::DOUBLE AS v FROM uni),
+         toks AS (
+           SELECT doc_id,
+                  string_split_regex(lower(trim(text)), '\s+') AS l
+           FROM documents),
+         pairs AS (
+           SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+           FROM (SELECT doc_id, l,
+                        unnest(generate_series(1, len(l) - 1)) AS i
+                 FROM toks WHERE len(l) >= 2)),
+         nll AS (
+           SELECT p.doc_id,
+                  -ln((coalesce(bi.c, 0) + 0.5) /
+                      (coalesce(uni.c, 0) + 0.5 * (SELECT v FROM v))) AS nll
+           FROM pairs p
+           LEFT JOIN bi ON bi.w1 = p.w1 AND bi.w2 = p.w2
+           LEFT JOIN uni ON uni.w = p.w1)
+         SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                round(avg(nll), 4) AS avg_nll
+         FROM nll GROUP BY doc_id ORDER BY doc_id""",
     "q55_pii_redact" ->
       """WITH withpii AS (
            SELECT doc_id,

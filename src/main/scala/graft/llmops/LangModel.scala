@@ -1,0 +1,81 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** N-gram language-model perplexity scoring — the CCNet quality
+  * signal: train a cheap LM on a reference corpus, score every crawl
+  * document by its per-token negative log-likelihood, filter or
+  * bucket by the score (Wenzek et al. 2020). The model here is an
+  * add-k-smoothed bigram LM, which is exactly a pair of count tables:
+  *
+  *   P(w₂|w₁) = (c(w₁w₂) + k) / (c(w₁) + k·V)
+  *
+  * so "training" is one aggregation per table (map-side partial on
+  * the word/pair key — |vocab| rows shuffle, never the corpus) and
+  * the model is relational data, not opaque weights: the q99 oracle
+  * replays every score from the dumped tables.
+  *
+  * Scoring explodes each document to its bigram occurrences and joins
+  * the count tables — Spark broadcasts them when small and falls back
+  * to a shuffle join on the word keys when a 100 TB reference corpus
+  * makes them big; either way rows are (id, w₁, w₂) slim. Unseen
+  * bigrams/words degrade smoothly to the k/(k·V) floor rather than
+  * −∞, the add-k point.
+  *
+  * Train on the corpus itself for self-perplexity (repetition/
+  * boilerplate shows up LOW, gibberish HIGH), or pass tables trained
+  * on a curated reference corpus for CCNet-style filtering — the
+  * `uni`/`bi` parameters are that seam.
+  */
+object LangModel {
+
+  /** Unigram counts (w, c) — every occurrence, not distinct. */
+  def unigramCounts(docs: DataFrame, textCol: Column): DataFrame =
+    docs.select(explode(TextFuncs.tokens(textCol)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+
+  /** Bigram counts (w1, w2, c) over adjacent token pairs. */
+  def bigramCounts(docs: DataFrame, textCol: Column): DataFrame =
+    docs.select(TextFuncs.tokens(textCol).as("__toks"))
+      // sequence(1, x) with x < 1 runs DESCENDING — guard 1-token docs
+      .filter(size(col("__toks")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("__toks")) - 1),
+        i => struct(
+          element_at(col("__toks"), i).as("w1"),
+          element_at(col("__toks"), i + 1).as("w2")))).as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+
+  /** Per-document average negative log-likelihood under the bigram LM
+    * defined by (`uni`, `bi`, add-k): (id, n_bigrams, avg_nll).
+    * Higher avg_nll = more surprising text. Documents with fewer than
+    * 2 tokens have no bigrams and produce no row.
+    */
+  def nllScores(docs: DataFrame, uni: DataFrame, bi: DataFrame,
+                k: Double = 0.5,
+                idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    val v = uni.count().toDouble
+    val pairs = docs
+      .select(col(idCol), TextFuncs.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("__toks")) - 1),
+        i => struct(
+          element_at(col("__toks"), i).as("w1"),
+          element_at(col("__toks"), i + 1).as("w2")))).as("bg"))
+      .select(col(idCol), col("bg.w1"), col("bg.w2"))
+    pairs
+      .join(bi.select(col("w1"), col("w2"), col("c").as("__cb")),
+        Seq("w1", "w2"), "left")
+      .join(uni.select(col("w").as("w1"), col("c").as("__cu")),
+        Seq("w1"), "left")
+      .select(col(idCol),
+        (-log((coalesce(col("__cb"), lit(0L)) + k) /
+          (coalesce(col("__cu"), lit(0L)) + k * v))).as("__nll"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), avg(col("__nll")).as("avg_nll"))
+  }
+}
