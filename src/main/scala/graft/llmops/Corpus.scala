@@ -9,10 +9,21 @@ import org.apache.spark.sql.functions._
   *
   *  1. quality / language gate   — narrow, cheapest, runs first so
   *                                 every later stage sees fewer rows;
+  *  1b. model gates (optional)   — LM perplexity ≤ maxNll and/or
+  *                                 classifier prob ≥ minModelProb:
+  *                                 join-shaped, so they run after the
+  *                                 narrow heuristics and before
+  *                                 anything rewrites text (models
+  *                                 score what they were trained on);
   *  2. PII redaction             — before ANY digesting, so no dedup
   *                                 or decontamination state ever holds
   *                                 raw PII, and exact matching is in
   *                                 one normalization everywhere;
+  *  2b. span removal (optional)  — cross-document duplicated n-gram
+  *                                 spans drop after redaction (it
+  *                                 rewrites text) and before any
+  *                                 digesting, so boilerplate never
+  *                                 pollutes dedup signatures;
   *  3. content-hash sampling     — stateless, deterministic, before
   *                                 dedup so dropped docs never pay the
   *                                 digest shuffle;
@@ -45,6 +56,11 @@ object Corpus {
             sampleFrac: Double = 1.0,
             nearDupThreshold: Option[Double] = None,
             minCompressionRatio: Double = 0.0,
+            lmTables: Option[(DataFrame, DataFrame)] = None,
+            maxNll: Double = Double.MaxValue,
+            qualityModel: Option[(Map[String, Double], Double)] = None,
+            minModelProb: Double = 0.5,
+            dropSpanNgram: Option[Int] = None,
             idCol: String = "doc_id",
             textCol: String = "text"): DataFrame = {
     val T = TextFuncs
@@ -60,12 +76,34 @@ object Corpus {
         else q0
       lang.fold(q1)(l => q1.filter(T.langId(col(textCol)) === l))
     }
+    // model gates AFTER the narrow heuristics (they involve joins, so
+    // every heuristically-dropped row is a join row saved), BEFORE
+    // redaction (both models score raw text, like their train side)
+    val lmGated = lmTables.fold(gated) { case (uni, bi) =>
+      val scores = LangModel.nllScores(gated, uni, bi,
+        idCol = idCol, textCol = textCol)
+        .select(col(idCol), col("avg_nll"))
+      // docs too short to score (no bigrams) pass: absence of evidence
+      gated.join(scores, Seq(idCol), "left")
+        .filter(col("avg_nll").isNull || col("avg_nll") <= maxNll)
+        .drop("avg_nll")
+    }
+    val modelGated = qualityModel.fold(lmGated) { case (w, b) =>
+      val scores = QualityModel.score(lmGated, w, b, idCol, textCol)
+      lmGated.join(scores, Seq(idCol), "left")
+        .filter(col("prob") >= minModelProb)
+        .drop("prob")
+    }
     val redacted =
-      if (redact) gated.withColumn(textCol, T.redactPii(col(textCol)))
-      else gated
+      if (redact) modelGated.withColumn(textCol, T.redactPii(col(textCol)))
+      else modelGated
+    // span removal after redaction (it rewrites text) and before any
+    // digesting, so boilerplate never pollutes dedup signatures
+    val spanned = dropSpanNgram.fold(redacted)(n =>
+      Dedup.dropDuplicateSpans(redacted, n, idCol = idCol, textCol = textCol))
     val sampled =
-      if (sampleFrac >= 1.0) redacted
-      else redacted.filter(Splits.sampleHash(col(textCol),
+      if (sampleFrac >= 1.0) spanned
+      else spanned.filter(Splits.sampleHash(col(textCol),
         Splits.stratumThreshold(lit(""), Map.empty, sampleFrac)))
     val exact = Dedup.exact(sampled, idCol, textCol)
     val nearDeduped = nearDupThreshold.fold(exact) { th =>

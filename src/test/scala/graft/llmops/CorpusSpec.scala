@@ -69,4 +69,51 @@ class CorpusSpec extends SparkTestBase {
       .select($"doc_id").as[Long].collect().toSet
     assert(kept == Set(1L))
   }
+
+  test("LM-perplexity gate drops gibberish, passes short and normal docs") {
+    val ref = (0L until 10L).map(i => (i, goodText)).toDF("doc_id", "text")
+    val uni = LangModel.unigramCounts(ref, $"text")
+    val bi = LangModel.bigramCounts(ref, $"text")
+    val docs = Seq(
+      (1L, goodText),                  // low self-perplexity
+      (2L, "zq xv qp wk jx vz pq kx"), // gibberish under the reference LM
+      (3L, goodText + " indeed")       // normal doc, distinct from 1
+    ).toDF("doc_id", "text")
+    // tiny reference vocab: the unseen floor ln(V) ~ 2.9, so the
+    // threshold sits between seen-bigram prose (~0.6) and the floor
+    val kept = Corpus.clean(docs, minQuality = 0.0, redact = false,
+        lmTables = Some((uni, bi)), maxNll = 2.0)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("classifier gate composes: trained weights filter low-prob docs") {
+    val train = (0L until 40L).map { i =>
+      if (i % 2 == 0) (i, goodText + " extra clean prose", 1)
+      else (i, "spam junk buy now click banner offer", 0)
+    }.toDF("doc_id", "text", "label")
+    val (w, b) = QualityModel.train(train, epochs = 10, lr = 4.0)
+    val docs = Seq(
+      (1L, goodText + " extra clean prose"),
+      (2L, "spam junk buy now click banner offer")
+    ).toDF("doc_id", "text")
+    val kept = Corpus.clean(docs, minQuality = 0.0, redact = false,
+        qualityModel = Some((w, b)), minModelProb = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+  }
+
+  test("span-removal stage strips shared boilerplate before dedup") {
+    val boiler = "all rights reserved worldwide inc"
+    val docs = Seq(
+      (1L, s"$goodText $boiler"),
+      (2L, s"completely different text body here that is long enough to pass quality $boiler")
+    ).toDF("doc_id", "text")
+    val out = Corpus.clean(docs, minQuality = 0.0, redact = false,
+      dropSpanNgram = Some(5))
+    val texts = out.select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(texts.size == 2)
+    assert(!texts(1L).contains("rights reserved") &&
+      !texts(2L).contains("rights reserved"))
+  }
 }
