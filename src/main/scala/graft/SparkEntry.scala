@@ -1845,6 +1845,93 @@ object SparkEntry {
       L.nllScores(docs, uni, bi, k = 0.5)
         .select($"doc_id", $"n_bigrams", round($"avg_nll", 4).as("avg_nll"))
         .orderBy($"doc_id")
+    }),
+
+    // llmops DSIR importance resampling (Xie et al. 2023): pick raw
+    // docs whose hashed-n-gram distribution matches a target corpus
+    // (here: the English slice as the curated-seed proxy). The model
+    // is the per-bucket log-ratio table — dumped, so the oracle
+    // replays every feature count, importance weight, and the
+    // Gumbel-top-k selection itself from it.
+    "q100_dsir_select" -> ((s, d) => {
+      import s.implicits._
+      val D = graft.llmops.Dsir
+      val docs = t(s, d, "documents")
+      val ratios = D.logRatios(docs.filter($"lang" === "en"), docs)
+      if (materializing) materialize(ratios, "q100_ratios")
+      val scored = D.importanceScores(docs, ratios)
+        .join(docs.select($"doc_id", $"lang"), Seq("doc_id"))
+      D.gumbelTopK(
+          scored.join(docs.select($"doc_id", $"text"), Seq("doc_id")),
+          k = 100, keyCol = $"text")
+        .select($"doc_id", $"lang", round($"logw", 4).as("logw"),
+          $"sel_key")
+        .orderBy($"doc_id")
+    }),
+
+    // llmops temperature-based corpus mixing (mT5/XLM-R sampling
+    // rule, the Pile's per-source epochs): weights ∝ n_tokens^α,
+    // token budget realized as per-source rates/epochs, applied via
+    // the deterministic md5-uniform keep. Fully relational — the
+    // oracle recomputes the whole mixture table and every keep fate.
+    "q101_temperature_mix" -> ((s, d) => {
+      import s.implicits._
+      val M = graft.llmops.Mixture
+      val docs = t(s, d, "documents")
+      val weights = M.temperatureWeights(docs, alpha = 0.7,
+        tokenBudget = 30000L)
+      val kept = M.applyRates(docs, weights)
+        .groupBy($"source")
+        .agg(sum(when($"keep", 1L).otherwise(0L)).as("n_kept"))
+      weights.join(kept, Seq("source"))
+        .select($"source", $"n_docs", $"n_tokens", $"weight", $"rate",
+          $"epochs", $"n_kept")
+        .orderBy($"source")
+    }),
+
+    // llmops CCNet head/middle/tail bucketing (Wenzek et al. 2020):
+    // per-LANGUAGE perplexity terciles — the thresholds are dumped so
+    // the oracle replays scoring from the dumped count tables and
+    // bucket assignment from the threshold table.
+    "q102_ccnet_buckets" -> ((s, d) => {
+      import s.implicits._
+      val L = graft.llmops.LangModel
+      val B = graft.llmops.Binning
+      val docs = t(s, d, "documents")
+      val uni = L.unigramCounts(docs, $"text")
+      val bi = L.bigramCounts(docs, $"text")
+      val scored = L.nllScores(docs, uni, bi, k = 0.5)
+        // bucket on the 4-dp score (cross-engine determinism) but mean
+        // the RAW one: a mean of already-rounded values lands exactly
+        // on .00005 midpoints where engines' round modes disagree
+        .withColumn("nll_raw", $"avg_nll")
+        .withColumn("avg_nll", round($"avg_nll", 4))
+        .join(docs.select($"doc_id", $"lang"), Seq("doc_id"))
+      val thr = B.groupQuantileThresholds(scored, $"lang", $"avg_nll",
+        Seq(1.0 / 3, 2.0 / 3))
+      if (materializing) {
+        materialize(uni, "q102_unigrams")
+        materialize(bi, "q102_bigrams")
+        materialize(thr, "q102_thresholds")
+      }
+      B.groupBins(scored, thr, $"lang", $"avg_nll", "bucket")
+        .groupBy($"lang", $"bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg($"nll_raw"), 4).as("mean_nll"))
+        .orderBy($"lang", $"bucket")
+    }),
+
+    // llmops BM25 retrieval (Okapi, Lucene idf form): query-term
+    // broadcast semi-join inside the tokenize scan, dl rides the
+    // posting rows, TakeOrdered top-k. Fully relational — the oracle
+    // recomputes tf/df/idf/avgdl and every score.
+    "q103_bm25_topk" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      graft.llmops.Bm25.topK(docs,
+          Seq("vector", "window", "merge", "stream"), k = 20)
+        .select($"doc_id", $"n_terms_hit", $"score")
+        .orderBy($"doc_id")
     })
   )
 
@@ -3352,6 +3439,169 @@ object SparkEntry {
                        THEN 'https://ir.example.com/abs/' || doc_id || '.pdf'
                      ELSE 'https://ir.example.com/filings/rel/' || doc_id || '.pdf'
                 END AS resolved
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    // DSIR: feature counts, importance weights, and the Gumbel-top-k
+    // selection all replayed from the dumped per-bucket log-ratio
+    // table; the Gumbel uniform is the same md5-prefix draw as q98.
+    "q100_dsir_select" ->
+      """WITH r AS (
+           SELECT fh, lr
+           FROM read_parquet('/root/repo/spark-warehouse/q100_ratios/*.parquet')),
+         dflt AS (SELECT lr FROM r WHERE fh = 'dflt'),
+         toks AS (
+           SELECT doc_id,
+                  string_split_regex(lower(trim(text)), '\s+') AS l
+           FROM documents),
+         u1 AS (SELECT doc_id, unnest(l) AS t FROM toks),
+         uni AS (SELECT doc_id, substring(md5(t), 1, 4) AS fh FROM u1),
+         b1 AS (
+           SELECT doc_id, l[i] || ' ' || l[i + 1] AS g
+           FROM (SELECT doc_id, l,
+                        unnest(generate_series(1, len(l) - 1)) AS i
+                 FROM toks WHERE len(l) >= 2)),
+         bi AS (SELECT doc_id, substring(md5(g), 1, 4) AS fh FROM b1),
+         fc AS (
+           SELECT doc_id, fh, count(*)::BIGINT AS cnt
+           FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+           GROUP BY 1, 2),
+         sc AS (
+           SELECT f.doc_id,
+                  sum(f.cnt * coalesce(rt.lr, (SELECT lr FROM dflt))) AS logw
+           FROM fc f
+           LEFT JOIN (SELECT * FROM r WHERE fh <> 'dflt') rt
+             ON rt.fh = f.fh
+           GROUP BY 1),
+         g AS (
+           SELECT s.doc_id, d.lang, s.logw,
+                  round(s.logw + (-ln(-ln(
+                    (('0x' || substring(md5(d.text), 1, 4))::INTEGER + 0.5)
+                      / 65536.0))), 4) AS sel_key
+           FROM sc s JOIN documents d ON d.doc_id = s.doc_id),
+         top AS (SELECT * FROM g ORDER BY sel_key DESC, doc_id LIMIT 100)
+         SELECT doc_id, lang, round(logw, 4) AS logw, sel_key
+         FROM top ORDER BY doc_id""",
+    // temperature mixing: fully relational — the mixture table and
+    // every keep fate recomputed; rates rounded to 6 decimals before
+    // the keep comparison on both sides (the determinism contract).
+    "q101_temperature_mix" ->
+      """WITH tok AS (
+           SELECT source, text,
+                  CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(lower(trim(text)), '\s+'))
+                  END AS nt
+           FROM documents),
+         agg AS (
+           SELECT source, count(*)::BIGINT AS n_docs,
+                  sum(nt)::BIGINT AS n_tokens
+           FROM tok GROUP BY source),
+         w AS (
+           SELECT source, n_docs, n_tokens,
+                  round(pow(n_tokens::DOUBLE, 0.7) /
+                    sum(pow(n_tokens::DOUBLE, 0.7)) OVER (), 6) AS weight
+           FROM agg),
+         w2 AS (
+           SELECT source, n_docs, n_tokens, weight,
+                  round(30000.0 * weight / n_tokens, 6) AS epochs
+           FROM w),
+         w3 AS (SELECT *, least(1.0, epochs) AS rate FROM w2),
+         k AS (
+           SELECT t.source,
+                  sum(CASE WHEN (('0x' || substring(md5(t.text), 1, 4))::INTEGER
+                        / 65536.0) < w3.rate
+                      THEN 1 ELSE 0 END)::BIGINT AS n_kept
+           FROM tok t JOIN w3 ON w3.source = t.source
+           GROUP BY t.source)
+         SELECT w3.source, n_docs, n_tokens, weight, rate, epochs, n_kept
+         FROM w3 JOIN k ON k.source = w3.source
+         ORDER BY w3.source""",
+    // CCNet buckets: scores replayed from the dumped count tables
+    // (q99's replica), bucket assignment from the dumped per-language
+    // threshold table.
+    "q102_ccnet_buckets" ->
+      """WITH uni AS (
+           SELECT w, c
+           FROM read_parquet('/root/repo/spark-warehouse/q102_unigrams/*.parquet')),
+         bi AS (
+           SELECT w1, w2, c
+           FROM read_parquet('/root/repo/spark-warehouse/q102_bigrams/*.parquet')),
+         v AS (SELECT count(*)::DOUBLE AS v FROM uni),
+         toks AS (
+           SELECT doc_id,
+                  string_split_regex(lower(trim(text)), '\s+') AS l
+           FROM documents),
+         pairs AS (
+           SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+           FROM (SELECT doc_id, l,
+                        unnest(generate_series(1, len(l) - 1)) AS i
+                 FROM toks WHERE len(l) >= 2)),
+         nll AS (
+           SELECT p.doc_id,
+                  -ln((coalesce(bi.c, 0) + 0.5) /
+                      (coalesce(uni.c, 0) + 0.5 * (SELECT v FROM v))) AS nll
+           FROM pairs p
+           LEFT JOIN bi ON bi.w1 = p.w1 AND bi.w2 = p.w2
+           LEFT JOIN uni ON uni.w = p.w1),
+         sc AS (
+           SELECT doc_id, avg(nll) AS nll_raw,
+                  round(avg(nll), 4) AS avg_nll
+           FROM nll GROUP BY doc_id),
+         sl AS (
+           SELECT s.doc_id, d.lang, s.avg_nll, s.nll_raw
+           FROM sc s JOIN documents d ON d.doc_id = s.doc_id),
+         thr AS (
+           SELECT grp, q0, q1
+           FROM read_parquet('/root/repo/spark-warehouse/q102_thresholds/*.parquet')),
+         b AS (
+           SELECT sl.lang,
+                  CASE WHEN sl.avg_nll <= t.q0 THEN 0
+                       WHEN sl.avg_nll <= t.q1 THEN 1
+                       ELSE 2 END AS bucket,
+                  sl.nll_raw
+           FROM sl LEFT JOIN thr t ON t.grp = sl.lang)
+         SELECT lang, bucket, count(*)::BIGINT AS n_docs,
+                round(avg(nll_raw), 4) AS mean_nll
+         FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
+    // BM25: tf/df/idf/avgdl and every score recomputed relationally.
+    // Float-parity notes: constants are written as the same arithmetic
+    // Spark evaluates ((1.2 + 1), not 2.2 — they differ in the last
+    // ulp) and the score is rounded to 4 decimals before ranking on
+    // both sides, with doc_id tiebreak.
+    "q103_bm25_topk" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  string_split_regex(lower(trim(text)), '\s+') AS l,
+                  CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(lower(trim(text)), '\s+'))
+                  END AS dl
+           FROM documents),
+         stats AS (
+           SELECT count(*)::DOUBLE AS n, avg(dl::DOUBLE) AS avgdl
+           FROM toks),
+         q AS (
+           SELECT unnest(['vector', 'window', 'merge', 'stream']) AS term),
+         posts AS (SELECT doc_id, dl, unnest(l) AS term FROM toks),
+         tf AS (
+           SELECT p.doc_id, p.term, count(*)::BIGINT AS tf,
+                  max(p.dl)::DOUBLE AS dl
+           FROM posts p JOIN q ON q.term = p.term
+           GROUP BY 1, 2),
+         df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+         idf AS (
+           SELECT term,
+                  ln(1.0 + ((SELECT n FROM stats) - df + 0.5) / (df + 0.5))
+                    AS idf
+           FROM df),
+         contrib AS (
+           SELECT tf.doc_id,
+                  idf.idf * (tf.tf * (1.2 + 1)) /
+                    (tf.tf + 1.2 * (1.0 - 0.75 +
+                      0.75 * tf.dl / (SELECT avgdl FROM stats))) AS c
+           FROM tf JOIN idf ON idf.term = tf.term),
+         sc AS (
+           SELECT doc_id, count(*)::BIGINT AS n_terms_hit,
+                  round(sum(c), 4) AS score
+           FROM contrib GROUP BY 1),
+         top AS (SELECT * FROM sc ORDER BY score DESC, doc_id LIMIT 20)
+         SELECT doc_id, n_terms_hit, score FROM top ORDER BY doc_id"""
   )
 }

@@ -39,4 +39,43 @@ object Binning {
       .withColumn(binCol, bin)
       .drop(thrCols: _*)
   }
+
+  /** Per-group quantile thresholds — the CCNet move (Wenzek et al.
+    * 2020 bucket perplexity into head/middle/tail PER LANGUAGE, not
+    * globally, because perplexity scales differ by language). One
+    * aggregation (|groups|·|probs| doubles), returned as its own
+    * frame so callers can persist/dump it: bucketing then replays
+    * from the threshold table alone in any engine — the q102 oracle
+    * contract. Thresholds are rounded to 6 decimals so the replayed
+    * comparisons are unambiguous across engines.
+    */
+  def groupQuantileThresholds(df: DataFrame, group: Column,
+                              value: Column, probs: Seq[Double])
+      : DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p < 1) &&
+      probs == probs.sorted && probs.distinct == probs,
+      "probs must be strictly increasing fractions in (0,1)")
+    df.groupBy(group.as("grp")).agg(
+      round(percentile(value, lit(probs.head)), 6).as("q0"),
+      probs.tail.zipWithIndex.map { case (p, i) =>
+        round(percentile(value, lit(p)), 6).as(s"q${i + 1}") }: _*)
+  }
+
+  /** Assign per-group bins from a [[groupQuantileThresholds]] table:
+    * value ≤ group's q_k ⇒ bin k, else |probs|. A broadcast join on
+    * the group key (the table is |groups| rows) plus a narrow
+    * when-chain — no wide shuffle, any corpus size.
+    */
+  def groupBins(df: DataFrame, thresholds: DataFrame, group: Column,
+                value: Column, binCol: String = "bin"): DataFrame = {
+    val nq = thresholds.columns.count(_.startsWith("q"))
+    val bin = (0 until nq).foldLeft(null.asInstanceOf[Column]) {
+      case (acc, i) =>
+        if (acc == null) when(value <= col(s"q$i"), i)
+        else acc.when(value <= col(s"q$i"), i)
+    }.otherwise(nq)
+    df.join(broadcast(thresholds), group === col("grp"), "left")
+      .withColumn(binCol, bin)
+      .drop((0 until nq).map(i => s"q$i") :+ "grp": _*)
+  }
 }

@@ -32,4 +32,39 @@ class BinningSpec extends SparkTestBase {
       Binning.quantileBins(docs, $"n_chars", Seq(0.0, 0.5))
     }
   }
+
+  test("per-group thresholds differ by group and bucket per-group terciles") {
+    // two groups with disjoint value ranges: global terciles would mix
+    // them; per-group terciles must split each group ~evenly
+    val df = ((1 to 90).map(i => ("lo", i.toDouble)) ++
+      (1 to 90).map(i => ("hi", 1000.0 + i))).toDF("g", "v")
+    val thr = Binning.groupQuantileThresholds(df, $"g", $"v",
+      Seq(1.0 / 3, 2.0 / 3))
+    val tm = thr.collect()
+      .map(r => (r.getString(0), (r.getDouble(1), r.getDouble(2)))).toMap
+    assert(tm("lo")._1 < 100 && tm("hi")._1 > 1000)
+    val binned = Binning.groupBins(df, thr, $"g", $"v", "bucket")
+    val counts = binned.groupBy($"g", $"bucket").count()
+      .collect().map(r => ((r.getString(0), r.getInt(1)), r.getLong(2)))
+      .toMap
+    for (g <- Seq("lo", "hi"); b <- 0 to 2)
+      assert(math.abs(counts((g, b)) - 30L) <= 1,
+        s"group $g bucket $b: ${counts((g, b))}")
+    // buckets respect the dumped thresholds exactly
+    val viol = binned.filter(
+      ($"bucket" === 0 && $"v" > tm("lo")._1 && $"g" === "lo") ||
+      ($"bucket" === 2 && $"v" <= tm("lo")._2 && $"g" === "lo")).count()
+    assert(viol == 0)
+  }
+
+  test("groupBins leaves rows of unseen groups in the overflow bucket") {
+    val df = Seq(("a", 1.0), ("zz", 5.0)).toDF("g", "v")
+    val thr = Binning.groupQuantileThresholds(
+      df.filter($"g" === "a"), $"g", $"v", Seq(0.5))
+    val out = Binning.groupBins(df, thr, $"g", $"v")
+      .collect().map(r => (r.getString(0), r.getInt(2))).toMap
+    assert(out("a") == 0)
+    // unseen group: thresholds null, all comparisons false → last bucket
+    assert(out("zz") == 1)
+  }
 }

@@ -1,0 +1,74 @@
+package graft.llmops
+
+import graft.SparkTestBase
+
+class Bm25Spec extends SparkTestBase {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "quarterly earnings report revenue growth"),
+    (2L, "earnings call transcript earnings earnings"),
+    (3L, "cat pictures and dog videos"),
+    (4L, "revenue revenue revenue revenue revenue revenue revenue " +
+      "revenue revenue revenue earnings and some very long filler " +
+      "text to stretch the document length out considerably more"),
+    (5L, "annual report"))
+  private def docs = corpus.toDF("doc_id", "text")
+
+  test("closed-form check on a tiny corpus") {
+    // score doc 1 for query [earnings]: N=5, df=3 (docs 1,2,4),
+    // idf = ln(1 + (5-3+0.5)/(3+0.5)) = ln(1 + 2.5/3.5)
+    // doc1: tf=1, dl=5, avgdl=(5+5+5+25+2)/5=8.4
+    val idf = math.log(1 + 2.5 / 3.5)
+    val k1 = 1.2; val b = 0.75
+    val denom = 1 + k1 * (1 - b + b * 5.0 / 8.4)
+    val expected = idf * (1 * (k1 + 1)) / denom
+    val s = Bm25.scores(docs, Seq("earnings"))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(math.abs(s(1L) - expected) < 1e-9, s"got ${s(1L)} want $expected")
+    assert(!s.contains(3L) && !s.contains(5L), "non-matching docs excluded")
+  }
+
+  test("tf saturation: repeated term beats single but sub-linearly") {
+    val s = Bm25.scores(docs, Seq("earnings"))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    // doc2 (tf=3, same dl as doc1) must outrank doc1 (tf=1) but by
+    // far less than 3x — the k1 saturation
+    assert(s(2L) > s(1L))
+    assert(s(2L) < 3 * s(1L))
+  }
+
+  test("length normalization: same tf in a longer doc scores lower") {
+    val s = Bm25.scores(docs, Seq("earnings"))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    // doc4 has tf=1 like doc1 but dl 24 vs 5
+    assert(s(4L) < s(1L))
+  }
+
+  test("multi-term query sums per-term contributions; n_terms_hit counts") {
+    val s = Bm25.scores(docs, Seq("earnings", "revenue"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(s(1L)._1 == 2) // both terms
+    assert(s(2L)._1 == 1)
+    val single = Bm25.scores(docs, Seq("earnings"))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(s(1L)._2 > single(1L), "adding a matching term adds score")
+  }
+
+  test("topK: k rows, descending, deterministic under repartition") {
+    val t1 = Bm25.topK(docs, Seq("earnings", "revenue"), 2)
+      .select($"doc_id").as[Long].collect().toSeq
+    val t2 = Bm25.topK(docs.repartition(4), Seq("earnings", "revenue"), 2)
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(t1 == t2)
+    assert(t1.size == 2)
+  }
+
+  test("query terms are lowercased and deduped; no match = empty") {
+    val s = Bm25.scores(docs, Seq("EARNINGS", "earnings"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(s(1L) == 1, "dup/case variants collapse to one term")
+    assert(Bm25.scores(docs, Seq("zzzzz")).count() == 0)
+  }
+}

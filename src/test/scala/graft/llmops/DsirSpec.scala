@@ -1,0 +1,97 @@
+package graft.llmops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class DsirSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("featureCounts: unigram + bigram multiplicities") {
+    val d = docs((1L, "a b a"))
+    val fc = Dsir.featureCounts(d).collect()
+      .map(r => (r.getString(1), r.getLong(2))).toMap
+    // unigrams: a(×2), b(×1); bigrams: "a b", "b a"
+    val ha = md5hex("a"); val hb = md5hex("b")
+    assert(fc(ha) == 2L)
+    assert(fc(hb) == 1L)
+    assert(fc(md5hex("a b")) == 1L)
+    assert(fc(md5hex("b a")) == 1L)
+    assert(fc.values.sum == 5L)
+  }
+
+  private def md5hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    d.map("%02x".format(_)).mkString.take(4)
+  }
+
+  test("fitLogProbs: probabilities sum to <1 with smoothing mass, " +
+    "observed bucket matches closed form") {
+    val d = docs((1L, "x x y"))
+    // features: x,x,y + "x x","x y" → total 5 occurrences
+    val (lps, dflt) = Dsir.fitLogProbs(d, alpha = 1.0)
+    val m = lps.collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    val denom = 5.0 + Dsir.Buckets
+    assert(math.abs(m(md5hex("x")) - math.log(3.0 / denom)) < 1e-12)
+    assert(math.abs(m(md5hex("y")) - math.log(2.0 / denom)) < 1e-12)
+    assert(math.abs(dflt - math.log(1.0 / denom)) < 1e-12)
+  }
+
+  test("logRatios: target-distinctive buckets score positive, " +
+    "raw-only buckets negative, default row present") {
+    val target = docs((1L, "quant finance quant"))
+    val raw = docs((1L, "quant finance quant"), (2L, "spam spam spam"),
+      (3L, "noise junk noise"))
+    val r = Dsir.logRatios(target, raw)
+    val m = r.collect().map(x => (x.getString(0), x.getDouble(1))).toMap
+    assert(m.contains(Dsir.DefaultKey))
+    // "quant" is all of the target but a third of raw: ratio > 0
+    assert(m(md5hex("quant")) > 0)
+    // "spam" never appears in target: ratio < 0
+    assert(m(md5hex("spam")) < 0)
+  }
+
+  test("importanceScores: target-like docs outrank off-target docs") {
+    val target = docs((1L, "alpha beta gamma alpha beta"))
+    val raw = docs(
+      (10L, "alpha beta gamma alpha"),
+      (11L, "zeta eta theta iota kappa"),
+      (12L, "alpha zeta beta eta"))
+    val ratios = Dsir.logRatios(target, raw)
+    val s = Dsir.importanceScores(raw, ratios).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(s(10L) > s(12L))
+    assert(s(12L) > s(11L))
+  }
+
+  test("gumbelTopK: deterministic, k rows, keys descending") {
+    val target = docs((1L, "alpha beta alpha"))
+    val raw = (1L to 40L).map(i =>
+      (i, if (i % 2 == 0) s"alpha beta g$i" else s"junk spam j$i"))
+    val rawDf = docs(raw: _*)
+    val ratios = Dsir.logRatios(target, rawDf)
+    val scored = Dsir.importanceScores(rawDf, ratios)
+      .join(rawDf, Seq("doc_id"))
+    val pick1 = Dsir.gumbelTopK(scored, 10, $"text")
+      .select($"doc_id").as[Long].collect().toSet
+    val pick2 = Dsir.gumbelTopK(scored.repartition(7), 10, $"text")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(pick1 == pick2, "selection must be repartition-invariant")
+    assert(pick1.size == 10)
+    // softmax over logw should prefer the target-like (even) docs
+    val evens = pick1.count(_ % 2 == 0)
+    assert(evens >= 7, s"expected mostly target-like picks, got $evens/10")
+  }
+
+  test("empty target degenerates to pure-smoothing ratios (all ~0 vs raw)") {
+    val raw = docs((1L, "a b c"))
+    val target = docs()
+    val r = Dsir.logRatios(target, raw)
+    // with an empty target every ratio is dflt_t - lp_raw; just
+    // assert it evaluates without error and has the default row
+    assert(r.filter(col("fh") === Dsir.DefaultKey).count() == 1)
+  }
+}
