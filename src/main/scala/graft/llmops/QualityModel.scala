@@ -59,35 +59,39 @@ object QualityModel {
       .cache()
     val n = labels.count().toDouble
     if (n == 0) return (Map.empty, 0.0)
+    // the bias is an always-on synthetic feature: one extra slim row
+    // per doc makes each epoch a single gradient aggregation (ONE
+    // driver collect covering weights AND bias) instead of separate
+    // weight-gradient and bias-sum jobs — same update arithmetic,
+    // half the actions per epoch. BiasKey can never collide with a
+    // real md5-prefix bucket (not hex).
     val feats = docs.select(col(idCol).as("id"),
         explode(featureKeys(col(textCol))).as("fh"))
+      .unionByName(labels.select($"id", lit(BiasKey).as("fh")))
       .cache()
-    var weights = Map.empty[String, Double]
-    var bias = 0.0
+    var weights = Map.empty[String, Double] // includes BiasKey
     var epoch = 0
     while (epoch < epochs) {
       val wDf = if (weights.isEmpty) Seq.empty[(String, Double)].toDF("fh", "w")
         else weights.toSeq.toDF("fh", "w")
+      // every doc has the bias row, so the margin sum is s + bias and
+      // no doc is absent from `margins`
       val margins = feats.join(broadcast(wDf), Seq("fh"), "left")
         .groupBy($"id").agg(sum(coalesce($"w", lit(0.0))).as("s"))
       val resid = labels.join(margins, Seq("id"), "left")
         .select($"id",
           (lit(1.0) / (lit(1.0) +
-            exp(-(coalesce($"s", lit(0.0)) + bias))) - $"y").as("r"))
-        .cache()
+            exp(-coalesce($"s", lit(0.0)))) - $"y").as("r"))
       val grad = feats.join(resid, Seq("id"))
         .groupBy($"fh").agg(sum($"r").as("g"))
         .as[(String, Double)].collect()
-      val gBias = resid.agg(sum($"r")).head().getDouble(0)
-      resid.unpersist()
       weights = weights ++ grad.map { case (fh, g) =>
         fh -> (weights.getOrElse(fh, 0.0) - lr * g / n)
       }
-      bias -= lr * gBias / n
       epoch += 1
     }
     feats.unpersist(); labels.unpersist()
-    (weights, bias)
+    (weights - BiasKey, weights.getOrElse(BiasKey, 0.0))
   }
 
   /** Weight map (+ bias row) as a DataFrame in the persisted/dumped

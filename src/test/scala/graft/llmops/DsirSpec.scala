@@ -86,6 +86,23 @@ class DsirSpec extends SparkTestBase {
     assert(evens >= 7, s"expected mostly target-like picks, got $evens/10")
   }
 
+  test("ratio table IS the persisted model: parquet round-trip scores " +
+    "bit-identically (train-once/serve-many seam)") {
+    val target = docs((1L, "alpha beta gamma"))
+    val raw = docs((10L, "alpha beta x"), (11L, "junk spam y"))
+    val ratios = Dsir.logRatios(target, raw)
+    val dir = java.nio.file.Files
+      .createTempDirectory("dsir-model").toString + "/ratios"
+    ratios.write.mode("overwrite").parquet(dir)
+    val loaded = spark.read.parquet(dir)
+    val a = Dsir.importanceScores(raw, ratios).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val b = Dsir.importanceScores(raw, loaded).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(a.keySet == b.keySet)
+    a.foreach { case (k, v) => assert(v == b(k), s"doc $k drifted") }
+  }
+
   test("empty target degenerates to pure-smoothing ratios (all ~0 vs raw)") {
     val raw = docs((1L, "a b c"))
     val target = docs()
