@@ -146,6 +146,46 @@ object Dsir {
       .withColumnRenamed("id", idCol)
   }
 
+  /** Shuffle-free scalar form of the importance log-weight: the ratio
+    * table rides along as a map LITERAL (the model is ≤65 536 doubles
+    * — "broadcast the model" as an expression), features are hashed
+    * and summed per row with higher-order functions, so scoring is a
+    * pure projection — no explode, no join, no aggregation shuffle.
+    * This is the form a STREAMING gate needs (append-mode legal, zero
+    * state) and the cheapest batch path when only a keep-decision is
+    * wanted. Bigrams pair adjacent tokens via `zip_with` over two
+    * slices — NOT `element_at` inside a lambda, which would
+    * re-evaluate the tokenizer per element (see [[featureRows]]).
+    * Float-summation order differs from [[importanceScores]] (per
+    * occurrence, in document order), so totals agree to ~1e-12
+    * relative, not bit-for-bit.
+    */
+  def logwColumn(text: Column, ratios: Map[String, Double],
+                 dflt: Double): Column = {
+    val m = typedLit(ratios)
+    def lr(tok: Column): Column =
+      coalesce(element_at(m, substring(md5(tok), 1, 4)), lit(dflt))
+    val toks = TextFuncs.tokens(text)
+    val uniSum = aggregate(toks, lit(0.0), (acc, t) => acc + lr(t))
+    val biSum = aggregate(
+      zip_with(slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => concat_ws(" ", a, b)),
+      lit(0.0), (acc, g) => acc + lr(g))
+    uniSum + biSum
+  }
+
+  /** A ratio DataFrame (as produced by [[logRatios]] or loaded from
+    * its parquet dump) collected to the ([[logwColumn]]) literal form:
+    * (bucket → lr map, default). ≤65 536 rows by construction.
+    */
+  def ratioMap(ratios: DataFrame): (Map[String, Double], Double) = {
+    val rows = ratios.select(col("fh"), col("lr")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val dflt = rows.collectFirst { case (DefaultKey, v) => v }.getOrElse(0.0)
+    (rows.toMap - DefaultKey, dflt)
+  }
+
   /** Deterministic Gumbel draw from a content key: u = (md5-prefix
     * int + 0.5) / 65536 (the +0.5 keeps u strictly inside (0,1)),
     * g = −ln(−ln(u)).

@@ -98,15 +98,30 @@ object DocStreams {
     * docs never enter dedup state. Content-keyed sampling keeps the
     * decision consistent if the same doc re-arrives in a later
     * micro-batch.
+    *
+    * `dsir` gates on a DSIR importance log-weight floor
+    * ((ratioMap, default, minLogw) — see
+    * [[graft.llmops.Dsir.ratioMap]]): the model rides as a map
+    * literal in a pure projection ([[graft.llmops.Dsir.logwColumn]]),
+    * so the gate is append-mode legal with zero state — the
+    * streaming analog of the q100 batch selection. It runs on RAW
+    * text (before redaction), matching the batch side where ratios
+    * are fit on raw text.
     */
   def ingest(docs: DataFrame, benchmark: DataFrame,
              minQuality: Double = 0.25,
              watermark: String = "10 minutes",
              tsCol: String = "ingest_ts",
              textCol: String = "text",
-             sampleFrac: Double = 1.0): DataFrame = {
+             sampleFrac: Double = 1.0,
+             dsir: Option[(Map[String, Double], Double, Double)] = None)
+      : DataFrame = {
     val S = graft.llmops.Splits
-    val sampled = cleanDocs(docs, minQuality, textCol)
+    val dsirGated = dsir.fold(docs) { case (ratios, dflt, minLogw) =>
+      docs.filter(
+        graft.llmops.Dsir.logwColumn(col(textCol), ratios, dflt) >= minLogw)
+    }
+    val sampled = cleanDocs(dsirGated, minQuality, textCol)
       .filter(S.sampleHash(col(textCol),
         S.stratumThreshold(lit(""), Map.empty, sampleFrac)))
     decontaminateStream(

@@ -86,6 +86,29 @@ class DsirSpec extends SparkTestBase {
     assert(evens >= 7, s"expected mostly target-like picks, got $evens/10")
   }
 
+  test("logwColumn (shuffle-free scalar form) matches importanceScores " +
+    "to float-order tolerance; ratioMap extracts the literal model") {
+    val target = docs((1L, "alpha beta gamma alpha"))
+    val raw = docs(
+      (10L, "alpha beta gamma"),
+      (11L, "zeta eta theta"),
+      (12L, "single"),
+      (13L, ""))
+    val ratios = Dsir.logRatios(target, raw)
+    val (m, dflt) = Dsir.ratioMap(ratios)
+    assert(!m.contains(Dsir.DefaultKey))
+    val joined = Dsir.importanceScores(raw, ratios).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val scalar = raw.select($"doc_id",
+        Dsir.logwColumn($"text", m, dflt).as("logw")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(joined.keySet == scalar.keySet)
+    joined.foreach { case (k, v) =>
+      assert(math.abs(v - scalar(k)) <= 1e-9 * math.max(1.0, math.abs(v)),
+        s"doc $k: join=$v scalar=${scalar(k)}")
+    }
+  }
+
   test("ratio table IS the persisted model: parquet round-trip scores " +
     "bit-identically (train-once/serve-many seam)") {
     val target = docs((1L, "alpha beta gamma"))

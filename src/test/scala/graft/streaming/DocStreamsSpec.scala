@@ -94,6 +94,42 @@ class DocStreamsSpec extends SparkTestBase {
       .count() == nHalf)
   }
 
+  test("dsir gate runs in a real stream (append-legal, stateless) and " +
+    "matches the batch logw floor") {
+    implicit val sqlCtx = spark.sqlContext
+    val D = graft.llmops.Dsir
+    // target prefers "alpha beta"-style docs
+    val target = Seq((1L, "alpha beta alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (10L, goodText + " alpha beta alpha beta"),
+      (11L, goodText + " junk spam junk spam junk"))
+      .toDF("doc_id", "text")
+    val (m, dflt) = D.ratioMap(D.logRatios(target, raw))
+    // floor between the two docs' batch scores
+    val scores = raw.select($"doc_id",
+        D.logwColumn($"text", m, dflt).as("w"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(scores(10L) > scores(11L))
+    val floor = (scores(10L) + scores(11L)) / 2
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val docs = mem.toDF().toDF("ingest_ts", "doc_id", "text")
+    val noBench = Seq.empty[String].toDF("text")
+    val q = DocStreams.ingest(docs, noBench, minQuality = 0.0,
+        dsir = Some((m, dflt, floor)))
+      .writeStream.format("memory").queryName("dsir_gate_out")
+      .outputMode("append").start()
+    val t = java.sql.Timestamp.valueOf(_: String)
+    mem.addData(
+      (t("2024-01-01 10:00:00"), 10L, goodText + " alpha beta alpha beta"),
+      (t("2024-01-01 10:00:10"), 11L, goodText + " junk spam junk spam junk"))
+    q.processAllAvailable()
+    val out = spark.table("dsir_gate_out").select($"doc_id")
+      .as[Long].collect().toSet
+    q.stop()
+    assert(out == Set(10L), s"got $out")
+  }
+
   test("batch mode equals the batch llmops pipeline on the corpus") {
     val docs = graft.Tables.documents(spark, sf0001)
       .withColumn("ingest_ts",
