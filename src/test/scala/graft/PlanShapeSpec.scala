@@ -216,4 +216,38 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("PartitionFilters: [list_id"), scanSection)
     assert(p.contains("collect_top_k"))
   }
+
+  test("q100: DSIR ratio table broadcasts; selection is TakeOrdered, " +
+    "and the only sort-merge join is the bounded model-table merge") {
+    val p = plan("q100_dsir_select")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    // logRatios merges the two ≤65 536-row bucket tables FULL OUTER —
+    // full outer has no broadcast build side, and both inputs are
+    // model-sized, so an SMJ there is correct; what must never SMJ is
+    // the corpus side
+    val smjLines = p.linesIterator.filter(_.contains("SortMergeJoin")).toSeq
+    assert(smjLines.forall(_.contains("FullOuter")), smjLines.mkString("\n"))
+  }
+
+  test("q101: mixture rates broadcast back — the corpus side never " +
+    "shuffles for the rate join") {
+    val p = plan("q101_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
+
+  test("q103: BM25 query terms and idf broadcast; top-k is TakeOrdered") {
+    val p = plan("q103_bm25_topk")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(1500))
+  }
+
+  test("q104: the quantile sketch partial-aggregates map-side") {
+    val p = plan("q104_approx_quantile")
+    assert(p.contains("partial_percentile_approx") ||
+      p.contains("partial_percentile"), p.take(2000))
+  }
 }
