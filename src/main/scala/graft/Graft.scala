@@ -294,6 +294,55 @@ object Graft {
                     fpp: Double = 0.03): DataFrame =
     ops.Bloom.prunedSemiJoin(fact, factKey, dim, dimKey, expectedItems, fpp)
 
+  // ---- quality models / selection / mixing -------------------------
+  /** Train the hashed-bag-of-words LR quality classifier (q97). */
+  def trainQualityModel(labeled: DataFrame, labelCol: String = "label")
+      : (Map[String, Double], Double) =
+    llmops.QualityModel.train(labeled, labelCol)
+  /** Score docs with a trained quality model: (doc_id, prob). */
+  def qualityModelScore(docs: DataFrame, weights: Map[String, Double],
+                        bias: Double): DataFrame =
+    llmops.QualityModel.score(docs, weights, bias)
+  /** Bigram-LM per-doc avg negative log-likelihood (CCNet, q99). */
+  def lmPerplexityScores(docs: DataFrame, uni: DataFrame, bi: DataFrame,
+                         k: Double = 0.5): DataFrame =
+    llmops.LangModel.nllScores(docs, uni, bi, k)
+  /** DSIR importance log-ratio model: fit target vs raw (q100). */
+  def dsirRatios(target: DataFrame, raw: DataFrame,
+                 alpha: Double = 1.0): DataFrame =
+    llmops.Dsir.logRatios(target, raw, alpha)
+  /** DSIR Gumbel-top-k selection from a ratio model (q100). */
+  def dsirSelect(raw: DataFrame, ratios: DataFrame, k: Int): DataFrame = {
+    val scored = llmops.Dsir.importanceScores(raw, ratios)
+      .join(raw, Seq("doc_id"))
+    llmops.Dsir.gumbelTopK(scored, k, org.apache.spark.sql.functions.col("text"))
+  }
+  /** Temperature mixture table: weight ∝ n_tokens^α (q101). */
+  def temperatureWeights(docs: DataFrame, alpha: Double,
+                         tokenBudget: Long): DataFrame =
+    llmops.Mixture.temperatureWeights(docs, alpha, tokenBudget)
+  /** Apply a mixture table's per-source rates (adds `keep`). */
+  def applyMixture(docs: DataFrame, rates: DataFrame): DataFrame =
+    llmops.Mixture.applyRates(docs, rates)
+  /** Per-group quantile thresholds + bucket assignment (CCNet, q102). */
+  def groupQuantileBins(df: DataFrame, group: Column, value: Column,
+                        probs: Seq[Double], binCol: String = "bin")
+      : DataFrame = {
+    val thr = llmops.Binning.groupQuantileThresholds(df, group, value, probs)
+    llmops.Binning.groupBins(df, thr, group, value, binCol)
+  }
+  /** BM25 top-k retrieval over a text corpus (q103). */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int): DataFrame =
+    llmops.Bm25.topK(docs, terms, k)
+  /** Drop cross-document duplicated spans (Lee et al. 2021, q95). */
+  def dropDuplicateSpans(docs: DataFrame, n: Int, minDocs: Int = 2)
+      : DataFrame =
+    llmops.Dedup.dropDuplicateSpans(docs, n, minDocs)
+  /** OPQ top-k: learned-rotation PQ ANN (q94). */
+  def opqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              m: Int = 16, codebookK: Int = 16): DataFrame =
+    llmops.Opq.opqTopK(corpus, queries, k, m, codebookK)
+
   // ---- url / html --------------------------------------------------
   def resolveUrl(href: Column, base: Column): Column =
     expr.UrlFuncs.resolve_url(href, base)

@@ -54,4 +54,32 @@ class GraftFacadeSpec extends SparkTestBase {
     // composed cleaning runs end-to-end
     assert(Graft.cleanCorpus(docs, minQuality = 0.0).count() > 0)
   }
+
+  test("facade: round-6 selection/mixing/retrieval delegate correctly") {
+    val docs = Graft.documents(spark, sf0001)
+      .select($"doc_id", $"lang", $"source", $"text").limit(80).cache()
+    // DSIR: fit en-target ratios, select half the corpus
+    val ratios = Graft.dsirRatios(docs.filter($"lang" === "en"), docs)
+    val picked = Graft.dsirSelect(docs, ratios, k = 20)
+    assert(picked.count() == 20)
+    // quality model: train on heuristic labels, score everything
+    val labeled = docs.withColumn("label",
+      (Graft.qualityScore($"text") >= 0.75).cast("int"))
+    val (w, b) = Graft.trainQualityModel(labeled)
+    val probs = Graft.qualityModelScore(docs, w, b)
+    assert(probs.count() == docs.count())
+    // temperature mixing: rates in (0,1], keep column present
+    val mix = Graft.temperatureWeights(docs, alpha = 0.7,
+      tokenBudget = 1000L)
+    assert(mix.count() > 0)
+    assert(Graft.applyMixture(docs, mix).columns.contains("keep"))
+    // per-group bins: every row lands in a bucket 0..2
+    val binned = Graft.groupQuantileBins(docs, $"lang",
+      length($"text").cast("double"), Seq(1.0 / 3, 2.0 / 3))
+    assert(binned.filter($"bin" < 0 || $"bin" > 2).count() == 0)
+    // BM25 returns ranked hits for a corpus term
+    assert(Graft.bm25TopK(docs, Seq("spark", "query"), 5).count() <= 5)
+    // span removal never grows the corpus
+    assert(Graft.dropDuplicateSpans(docs, n = 8).count() == docs.count())
+  }
 }
