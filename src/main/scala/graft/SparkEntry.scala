@@ -1965,6 +1965,27 @@ object SparkEntry {
           (abs($"r90" / $"n" - 0.9) <= lit(0.05) + lit(1.0) / $"n")
             .as("p90_ok"))
         .orderBy($"source")
+    }),
+
+    // llmops DSIR scalar gate (the shuffle-free logwColumn kernel that
+    // gates streams and Corpus.clean): per-source keep counts under an
+    // importance floor. The oracle replays the per-OCCURRENCE log-ratio
+    // sum from the dumped table — this puts the scalar scoring path
+    // under the cross-engine gate, complementing q100's join path.
+    "q105_dsir_gate" -> ((s, d) => {
+      import s.implicits._
+      val D = graft.llmops.Dsir
+      val docs = t(s, d, "documents")
+      val ratios = D.logRatios(docs.filter($"lang" === "en"), docs)
+      if (materializing) materialize(ratios, "q105_ratios")
+      val (m, dflt) = D.ratioMap(ratios)
+      docs
+        .withColumn("logw", D.logwColumn($"text", m, dflt))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"logw" >= 0.0, 1L).otherwise(0L)).as("n_kept"),
+          round(avg($"logw"), 4).as("avg_logw"))
+        .orderBy($"source")
     })
   )
 
@@ -3644,6 +3665,39 @@ object SparkEntry {
                 round(quantile_cont(n_chars, 0.5), 4) AS p50_exact,
                 round(quantile_cont(n_chars, 0.9), 4) AS p90_exact,
                 TRUE AS p50_ok, TRUE AS p90_ok
-         FROM documents GROUP BY source ORDER BY source"""
+         FROM documents GROUP BY source ORDER BY source""",
+    // DSIR scalar gate: per-occurrence log-ratio sums replayed from
+    // the dumped table (unigrams + bigrams, default for unseen)
+    "q105_dsir_gate" ->
+      """WITH r AS (
+           SELECT fh, lr
+           FROM read_parquet('/root/repo/spark-warehouse/q105_ratios/*.parquet')),
+         dflt AS (SELECT lr FROM r WHERE fh = 'dflt'),
+         toks AS (
+           SELECT doc_id, source,
+                  string_split_regex(lower(trim(text)), '\s+') AS l
+           FROM documents),
+         occ AS (
+           SELECT doc_id, substring(md5(t), 1, 4) AS fh
+           FROM (SELECT doc_id, unnest(l) AS t FROM toks)
+           UNION ALL
+           SELECT doc_id, substring(md5(g), 1, 4) AS fh
+           FROM (SELECT doc_id, l[i] || ' ' || l[i + 1] AS g
+                 FROM (SELECT doc_id, l,
+                              unnest(generate_series(1, len(l) - 1)) AS i
+                       FROM toks WHERE len(l) >= 2))),
+         sc AS (
+           SELECT o.doc_id,
+                  sum(coalesce(rt.lr, (SELECT lr FROM dflt))) AS logw
+           FROM occ o
+           LEFT JOIN (SELECT * FROM r WHERE fh <> 'dflt') rt
+             ON rt.fh = o.fh
+           GROUP BY 1)
+         SELECT t.source, count(*)::BIGINT AS n_docs,
+                sum(CASE WHEN s.logw >= 0.0 THEN 1 ELSE 0 END)::BIGINT
+                  AS n_kept,
+                round(avg(s.logw), 4) AS avg_logw
+         FROM toks t JOIN sc s ON s.doc_id = t.doc_id
+         GROUP BY t.source ORDER BY t.source"""
   )
 }

@@ -61,11 +61,19 @@ object Corpus {
             qualityModel: Option[(Map[String, Double], Double)] = None,
             minModelProb: Double = 0.5,
             dropSpanNgram: Option[Int] = None,
+            dsir: Option[(Map[String, Double], Double, Double)] = None,
             idCol: String = "doc_id",
             textCol: String = "text"): DataFrame = {
     val T = TextFuncs
     val gated = {
-      val q0 = docs.filter(T.qualityScore(col(textCol)) >= minQuality)
+      // DSIR floor first when present: (ratioMap, default, minLogw) —
+      // the shuffle-free scalar form ([[Dsir.logwColumn]]), a pure
+      // projection like the heuristics, applied to RAW text to match
+      // the fit side (same contract as DocStreams.ingest's gate)
+      val qd = dsir.fold(docs) { case (ratios, dflt, minLogw) =>
+        docs.filter(Dsir.logwColumn(col(textCol), ratios, dflt) >= minLogw)
+      }
+      val q0 = qd.filter(T.qualityScore(col(textCol)) >= minQuality)
       val q1 =
         if (minCompressionRatio > 0.0)
           // deflate-ratio gate: templated/repetitive docs compress far

@@ -116,4 +116,23 @@ class CorpusSpec extends SparkTestBase {
     assert(!texts(1L).contains("rights reserved") &&
       !texts(2L).contains("rights reserved"))
   }
+
+  test("DSIR gate composes: importance floor drops off-target docs, " +
+    "batch matches the streaming gate semantics") {
+    val target = Seq((100L, s"$goodText $goodText")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, goodText + " fox dog field"),
+      (2L, "entirely unrelated spam junk words repeated spam junk words " +
+        "that stretch long enough to pass the quality floor easily today"))
+      .toDF("doc_id", "text")
+    val (m, dflt) = Dsir.ratioMap(Dsir.logRatios(target, docs))
+    val scores = docs.select($"doc_id",
+        Dsir.logwColumn($"text", m, dflt).as("w"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(scores(1L) > scores(2L))
+    val floor = (scores(1L) + scores(2L)) / 2
+    val out = Corpus.clean(docs, minQuality = 0.0, redact = false,
+      dsir = Some((m, dflt, floor)))
+    assert(out.select($"doc_id").as[Long].collect().toSet == Set(1L))
+  }
 }
