@@ -91,6 +91,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "(the ADC family's ranking metric)"),
       (args: Seq[Expression]) =>
         graft.llmops.DotProduct(args(0), args(1))))
+    e.injectFunction((FunctionIdentifier("freq_items"),
+      info("freq_items",
+        "freq_items(item, k) - Misra-Gries heavy-hitters summary " +
+          "(array of (item, est) structs; est in [true-n/(k+1), true])"),
+      (args: Seq[Expression]) => args match {
+        case Seq(item, k) if k.foldable && k.eval() != null =>
+          graft.llmops.MisraGries(item,
+            k.eval().asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException(
+          "freq_items(item, k) with literal non-null k")
+      }))
+    e.injectFunction((FunctionIdentifier("kmv_sketch"),
+      info("kmv_sketch",
+        "kmv_sketch(hash, k) - bottom-k distinct-hash sketch " +
+          "(ascending array of the k smallest distinct longs)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(h, k) if k.foldable && k.eval() != null =>
+          graft.llmops.KmvMinK(h,
+            k.eval().asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException(
+          "kmv_sketch(hash, k) with literal non-null k")
+      }))
     e.injectFunction((FunctionIdentifier("winnow_fingerprints"),
       info("winnow_fingerprints",
         "winnow_fingerprints(text[, k, w]) - winnowing fingerprint array"),

@@ -1986,6 +1986,80 @@ object SparkEntry {
           sum(when($"logw" >= 0.0, 1L).otherwise(0L)).as("n_kept"),
           round(avg($"logw"), 4).as("avg_logw"))
         .orderBy($"source")
+    }),
+
+    // Heavy-hitters contract (Misra-Gries, the q63/q104
+    // estimate-contract pattern): exact heavy hitters need a
+    // full-corpus shuffle of one row per DISTINCT item — at 100 TB
+    // (distinct tokens/domains ~ billions) that's the wrong plan for a
+    // top-handful question. The MG summary holds ≤ k counters per
+    // partition, merges with the Agarwal et al. counter-offset rule,
+    // and guarantees: no overcount, undercount ≤ n/(k+1), and every
+    // item with true share > 1/(k+1) present. The synthetic tables are
+    // deliberately uniform (no natural heavy hitter), so the item
+    // stream here manufactures a deterministic Zipf-ish skew from the
+    // engine's md5-uniform trick: u ∈ (0,1] from the row key, item =
+    // floor(1/u) → P(item=j) = 1/j − 1/(j+1) ≈ j⁻² (item "1" carries
+    // half the stream; hundreds of distinct tail items force
+    // evictions). The exact-count side is the contract harness, not
+    // the operator (q74 precedent).
+    "q106_heavy_hitters" -> ((s, d) => {
+      import s.implicits._
+      val k = 16
+      val u = (conv(substring(md5(concat_ws("-", $"l_orderkey",
+          $"l_linenumber")), 1, 8), 16, 10).cast("double") + 1.0) /
+        4294967296.0
+      val items = t(s, d, "lineitem")
+        .select(floor(lit(1.0) / u).cast("long").cast("string").as("item"))
+      val mg = items.agg(graft.llmops.Freq.freqItems($"item", k).as("sm"))
+        .select(explode($"sm").as("e"))
+        .select($"e.item".as("item"), $"e.est".as("est"))
+      val exact = items.groupBy($"item").agg(count(lit(1)).as("n_exact"))
+      val tot = items.agg(count(lit(1)).cast("double").as("n"))
+      exact.crossJoin(broadcast(tot))
+        .filter($"n_exact" > $"n" / (k + 1))
+        .join(mg, Seq("item"), "left")
+        .select($"item", $"n_exact",
+          $"est".isNotNull.as("present_ok"),
+          ($"est".isNotNull && $"est" <= $"n_exact" &&
+            $"est" >= $"n_exact" - $"n" / (k + 1)).as("bound_ok"))
+        .orderBy($"item")
+    }),
+
+    // Corpus-overlap contract (KMV bottom-k sketch): "how much of
+    // corpus A is in corpus B" — the contamination/overlap number —
+    // exactly needs a distinct-join of both corpora; the KMV sketch
+    // answers it from 2·k longs. HLL (q63/q68) can't: it unions but
+    // doesn't intersect. The bottom-k of the union of two bottom-k
+    // sketches IS the bottom-k of the union set, and its members'
+    // joint presence in both sketches estimates Jaccard (Bar-Yossef et
+    // al. 2002; Beyer et al. SIGMOD 2007). Overlapping doc slices
+    // (doc_id%2 vs doc_id%3 → true J = 1/4) make the estimate
+    // non-trivial; the estimator is deterministic (xxhash64, no RNG),
+    // so the tolerance is a regression tripwire, not a probabilistic
+    // bet. Exact side = contract harness.
+    "q107_kmv_overlap" -> ((s, d) => {
+      import s.implicits._
+      val k = 256
+      val F = graft.llmops.Freq
+      val docs = t(s, d, "documents")
+      val sa = docs.filter($"doc_id" % 2 === 0)
+        .agg(F.kmvSketch(xxhash64($"text"), k).as("ka"))
+      val sb = docs.filter($"doc_id" % 3 === 0)
+        .agg(F.kmvSketch(xxhash64($"text"), k).as("kb"))
+      val est = sa.crossJoin(sb)
+        .select(F.kmvJaccard($"ka", $"kb", k).as("j_est"))
+      val flags = docs
+        .filter($"doc_id" % 2 === 0 || $"doc_id" % 3 === 0)
+        .groupBy($"text")
+        .agg(max(when($"doc_id" % 2 === 0, 1).otherwise(0)).as("ia"),
+          max(when($"doc_id" % 3 === 0, 1).otherwise(0)).as("ib"))
+      val ex = flags.agg(
+        (sum(when($"ia" === 1 && $"ib" === 1, 1.0).otherwise(0.0)) /
+          count(lit(1))).as("j_exact"))
+      ex.crossJoin(est).select(
+        round($"j_exact", 4).as("j_exact"),
+        (abs($"j_est" - $"j_exact") <= 0.12).as("overlap_ok"))
     })
   )
 
@@ -3698,6 +3772,36 @@ object SparkEntry {
                   AS n_kept,
                 round(avg(s.logw), 4) AS avg_logw
          FROM toks t JOIN sc s ON s.doc_id = t.doc_id
-         GROUP BY t.source ORDER BY t.source"""
+         GROUP BY t.source ORDER BY t.source""",
+    // heavy-hitter contract: the oracle recomputes the deterministic
+    // Zipf stream and the exact counts; the booleans are the MG
+    // guarantee, which the Spark side must honestly evaluate (q63
+    // pattern: a summary regression makes Spark emit false → hash red)
+    "q106_heavy_hitters" ->
+      """WITH items AS (
+           SELECT floor(1.0 / ((('0x' || substring(md5(
+                    l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR),
+                    1, 8))::BIGINT::DOUBLE + 1.0) / 4294967296.0))
+                  ::BIGINT::VARCHAR AS item
+           FROM lineitem),
+         cnt AS (SELECT item, count(*)::BIGINT AS n_exact
+                 FROM items GROUP BY item),
+         tot AS (SELECT count(*)::DOUBLE AS n FROM items)
+         SELECT item, n_exact, TRUE AS present_ok, TRUE AS bound_ok
+         FROM cnt, tot WHERE n_exact > n / 17.0
+         ORDER BY item""",
+    // KMV overlap contract: exact Jaccard of the two doc slices'
+    // distinct-text sets; the tolerance boolean is TRUE by contract
+    "q107_kmv_overlap" ->
+      """WITH fl AS (
+           SELECT text,
+                  max(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS ia,
+                  max(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS ib
+           FROM documents WHERE doc_id % 2 = 0 OR doc_id % 3 = 0
+           GROUP BY text)
+         SELECT round(sum(CASE WHEN ia = 1 AND ib = 1 THEN 1.0 ELSE 0.0 END)
+                      / count(*), 4) AS j_exact,
+                TRUE AS overlap_ok
+         FROM fl"""
   )
 }

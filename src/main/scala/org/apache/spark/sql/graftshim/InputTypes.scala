@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graftshim
 
 import org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes
-import org.apache.spark.sql.types.{AbstractDataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{AbstractDataType, DoubleType, LongType, StringType}
 
 /** `AbstractDataType` is `private[sql]`, so an expression outside the
   * Spark package tree cannot override `inputTypes` directly; this
@@ -12,4 +12,14 @@ import org.apache.spark.sql.types.{AbstractDataType, DoubleType, LongType}
   */
 trait LongDoubleInputTypes extends ImplicitCastInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(LongType, DoubleType)
+}
+
+/** Single string input (the heavy-hitter item column). */
+trait StringInputTypes extends ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+}
+
+/** Single long input (a pre-hashed sketch key column). */
+trait LongInputTypes extends ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
 }
