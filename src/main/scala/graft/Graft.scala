@@ -342,6 +342,15 @@ object Graft {
   def opqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               m: Int = 16, codebookK: Int = 16): DataFrame =
     llmops.Opq.opqTopK(corpus, queries, k, m, codebookK)
+  /** Misra-Gries heavy-hitters summary of an item column (q106). */
+  def freqItems(item: Column, k: Int): Column =
+    llmops.Freq.freqItems(item, k)
+  /** KMV bottom-k distinct sketch of a pre-hashed long column (q107). */
+  def kmvSketch(hash: Column, k: Int): Column =
+    llmops.Freq.kmvSketch(hash, k)
+  /** Jaccard estimate from two [[kmvSketch]] arrays (q107). */
+  def kmvJaccard(a: Column, b: Column, k: Int): Column =
+    llmops.Freq.kmvJaccard(a, b, k)
 
   // ---- url / html --------------------------------------------------
   def resolveUrl(href: Column, base: Column): Column =

@@ -250,4 +250,18 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("partial_percentile_approx") ||
       p.contains("partial_percentile"), p.take(2000))
   }
+
+  test("q106: the MG summary partial-aggregates map-side as an object " +
+       "hash agg — the exchange carries one k-entry buffer per partition") {
+    val p = plan("q106_heavy_hitters")
+    assert(p.contains("partial_freq_items"), p.take(2000))
+    assert(p.contains("ObjectHashAggregate"), p.take(2000))
+  }
+
+  test("q107: both KMV sketches partial-aggregate; the 1x1 sketch " +
+       "combine is a broadcast, not a cartesian") {
+    val p = plan("q107_kmv_overlap")
+    assert(p.contains("partial_kmv_sketch"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
 }
