@@ -12,16 +12,18 @@ import org.apache.spark.sql.functions._
   * char md5 prefix (65 536 buckets), so the whole weight table is
   * bounded and broadcastable regardless of corpus vocabulary.
   *
-  * Training is batch gradient descent where each epoch is two slim
-  * shuffles, nothing more: (feature-hash, doc) rows join the
-  * broadcast weight table and aggregate to per-doc margins; residuals
-  * join back and aggregate per feature-hash to the gradient — at most
-  * 65 536 (hash, grad) doubles reach the driver per epoch, invariant
-  * in corpus size. Text is tokenized once into the cached feature
-  * frame; at 100 TB train on a sample (quality models are
-  * sample-trained in practice) and score the full corpus with
-  * [[score]], which is one broadcast join + one map-side-combinable
-  * sum per document.
+  * Training is batch gradient descent where each epoch is ONE slim
+  * shuffle, nothing more: the per-doc margin is a pure projection
+  * (the ≤65 536-entry weight table ships as a map literal and the
+  * cached feature arrays fold over it — the [[Dsir.logwColumn]]
+  * scalar-kernel move), so residuals materialize in the same map
+  * task as the features, and the only exchange is the per-feature
+  * gradient aggregation — at most 65 536 (hash, grad) doubles reach
+  * the driver per epoch, invariant in corpus size. Text is tokenized
+  * once into the cached feature frame; at 100 TB train on a sample
+  * (quality models are sample-trained in practice) and score the
+  * full corpus with [[score]], which is one broadcast join + one
+  * map-side-combinable sum per document.
   *
   * Scoring is deliberately pure dataflow (explode → broadcast join →
   * sum → sigmoid), so a dumped weight table lets any engine replay
@@ -54,43 +56,43 @@ object QualityModel {
       : (Map[String, Double], Double) = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val labels = docs
-      .select(col(idCol).as("id"), col(labelCol).cast("double").as("y"))
+    // the bias is an always-on synthetic feature appended to every
+    // doc's feature array: ONE gradient aggregation per epoch covers
+    // weights AND bias. BiasKey can never collide with a real
+    // md5-prefix bucket (not hex).
+    val base = docs.select(col(idCol).as("id"),
+        col(labelCol).cast("double").as("y"),
+        concat(coalesce(featureKeys(col(textCol)),
+          array().cast("array<string>")), array(lit(BiasKey))).as("fhs"))
       .cache()
-    val n = labels.count().toDouble
-    if (n == 0) return (Map.empty, 0.0)
-    // the bias is an always-on synthetic feature: one extra slim row
-    // per doc makes each epoch a single gradient aggregation (ONE
-    // driver collect covering weights AND bias) instead of separate
-    // weight-gradient and bias-sum jobs — same update arithmetic,
-    // half the actions per epoch. BiasKey can never collide with a
-    // real md5-prefix bucket (not hex).
-    val feats = docs.select(col(idCol).as("id"),
-        explode(featureKeys(col(textCol))).as("fh"))
-      .unionByName(labels.select($"id", lit(BiasKey).as("fh")))
-      .cache()
+    val n = base.count().toDouble
+    if (n == 0) { base.unpersist(); return (Map.empty, 0.0) }
     var weights = Map.empty[String, Double] // includes BiasKey
     var epoch = 0
     while (epoch < epochs) {
-      val wDf = if (weights.isEmpty) Seq.empty[(String, Double)].toDF("fh", "w")
-        else weights.toSeq.toDF("fh", "w")
-      // every doc has the bias row, so the margin sum is s + bias and
-      // no doc is absent from `margins`
-      val margins = feats.join(broadcast(wDf), Seq("fh"), "left")
-        .groupBy($"id").agg(sum(coalesce($"w", lit(0.0))).as("s"))
-      val resid = labels.join(margins, Seq("id"), "left")
-        .select($"id",
-          (lit(1.0) / (lit(1.0) +
-            exp(-coalesce($"s", lit(0.0)))) - $"y").as("r"))
-      val grad = feats.join(resid, Seq("id"))
-        .groupBy($"fh").agg(sum($"r").as("g"))
+      // margin as a pure projection over the weight map literal: the
+      // residual is computed in the same map task that holds the
+      // feature array, so the epoch's ONLY exchange is the ≤65 536-row
+      // per-feature gradient agg (map-side combined)
+      val margin =
+        if (weights.isEmpty) lit(0.0)
+        else {
+          val wm = typedLit(weights)
+          aggregate($"fhs", lit(0.0),
+            (acc, fh) => acc + coalesce(element_at(wm, fh), lit(0.0)))
+        }
+      val grad = base
+        .select(($"y" - lit(1.0) / (lit(1.0) + exp(-margin))).as("negr"),
+          $"fhs")
+        .select(explode($"fhs").as("fh"), $"negr")
+        .groupBy($"fh").agg(sum($"negr").as("ng"))
         .as[(String, Double)].collect()
-      weights = weights ++ grad.map { case (fh, g) =>
-        fh -> (weights.getOrElse(fh, 0.0) - lr * g / n)
+      weights = weights ++ grad.map { case (fh, ng) =>
+        fh -> (weights.getOrElse(fh, 0.0) + lr * ng / n)
       }
       epoch += 1
     }
-    feats.unpersist(); labels.unpersist()
+    base.unpersist()
     (weights - BiasKey, weights.getOrElse(BiasKey, 0.0))
   }
 
