@@ -97,10 +97,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "(array of (item, est) structs; est in [true-n/(k+1), true])"),
       (args: Seq[Expression]) => args match {
         case Seq(item, k) if k.foldable && k.eval() != null =>
-          graft.llmops.MisraGries(item,
-            k.eval().asInstanceOf[Number].intValue())
+          k.eval() match {
+            case n: Number => graft.llmops.MisraGries(item, n.intValue())
+            case _ => throw new IllegalArgumentException(
+              "freq_items(item, k) with literal non-null numeric k")
+          }
         case _ => throw new IllegalArgumentException(
-          "freq_items(item, k) with literal non-null k")
+          "freq_items(item, k) with literal non-null numeric k")
       }))
     e.injectFunction((FunctionIdentifier("kmv_sketch"),
       info("kmv_sketch",
@@ -108,10 +111,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "(ascending array of the k smallest distinct longs)"),
       (args: Seq[Expression]) => args match {
         case Seq(h, k) if k.foldable && k.eval() != null =>
-          graft.llmops.KmvMinK(h,
-            k.eval().asInstanceOf[Number].intValue())
+          k.eval() match {
+            case n: Number => graft.llmops.KmvMinK(h, n.intValue())
+            case _ => throw new IllegalArgumentException(
+              "kmv_sketch(hash, k) with literal non-null numeric k")
+          }
         case _ => throw new IllegalArgumentException(
-          "kmv_sketch(hash, k) with literal non-null k")
+          "kmv_sketch(hash, k) with literal non-null numeric k")
       }))
     e.injectFunction((FunctionIdentifier("winnow_fingerprints"),
       info("winnow_fingerprints",

@@ -2042,7 +2042,11 @@ object SparkEntry {
       import s.implicits._
       val k = 256
       val F = graft.llmops.Freq
-      val docs = t(s, d, "documents")
+      // text IS NOT NULL on BOTH sides: the sketch hashes non-null
+      // texts only, so the exact side must be defined over the same
+      // distinct-text set or a null-text fixture would silently skew
+      // the contract's denominator.
+      val docs = t(s, d, "documents").filter($"text".isNotNull)
       val sa = docs.filter($"doc_id" % 2 === 0)
         .agg(F.kmvSketch(xxhash64($"text"), k).as("ka"))
       val sb = docs.filter($"doc_id" % 3 === 0)
@@ -3797,7 +3801,8 @@ object SparkEntry {
            SELECT text,
                   max(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS ia,
                   max(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS ib
-           FROM documents WHERE doc_id % 2 = 0 OR doc_id % 3 = 0
+           FROM documents
+           WHERE text IS NOT NULL AND (doc_id % 2 = 0 OR doc_id % 3 = 0)
            GROUP BY text)
          SELECT round(sum(CASE WHEN ia = 1 AND ib = 1 THEN 1.0 ELSE 0.0 END)
                       / count(*), 4) AS j_exact,

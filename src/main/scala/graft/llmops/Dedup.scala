@@ -555,6 +555,13 @@ object Dedup {
     * achieves span dedup with a suffix array over the concatenated
     * corpus — a global sort unavailable at 100 TB; fixed-width gram
     * hashing is the standard distributed approximation.)
+    *
+    * The gram stream feeds BOTH the duplicate-gram aggregation and
+    * the probe side of the join back, so it is localCheckpoint-ed:
+    * without it Spark recomputes the tokenize+posexplode scan — the
+    * most expensive stage of span dedup — once per consumer, doubling
+    * the corpus read at scale. The checkpoint holds only the slim
+    * (id, nt, pos, 16-hex-char) rows, never the text.
     */
   private def dupSpanOccurrences(docs: DataFrame, n: Int, minDocs: Int,
                                  idCol: String, textCol: String)
@@ -570,6 +577,7 @@ object Dedup {
           sequence(lit(1), col("__nt") - (n - 1)),
           i => substring(md5(concat_ws(" ", slice(col("__toks"), i, lit(n)))),
             1, 16))).as(Seq("__pos", "__gh")))
+      .localCheckpoint()
     val dup = occ.groupBy(col("__gh"))
       .agg(countDistinct(col(idCol)).as("__nd"))
       .filter(col("__nd") >= minDocs)
@@ -606,6 +614,13 @@ object Dedup {
     * the shared lowercase/trim tokenizer. The covered-position set is
     * per-document bounded (≤ token count), so the collect_set buffer
     * never exceeds one document's length — no global state.
+    *
+    * The survivor computation is LINEAR in document length:
+    * `array_except(all positions, covered)` is one hash-set pass over
+    * both arrays (order-preserving on the first), vs the quadratic
+    * `filter(toks, i -> !array_contains(cov, i))` formulation whose
+    * membership scan made a fully-duplicated long document
+    * O(tokens × covered).
     */
   def dropDuplicateSpans(docs: DataFrame, n: Int = 8, minDocs: Int = 2,
                          idCol: String = "doc_id", textCol: String = "text")
@@ -615,12 +630,14 @@ object Dedup {
         explode(sequence(col("__pos"), col("__pos") + (n - 1))).as("__p"))
       .groupBy(col(idCol))
       .agg(collect_set(col("__p")).as("__cov"))
+    val toks = TextFuncs.tokens(col(textCol))
     docs.join(covered, Seq(idCol), "left")
       .withColumn(textCol,
         when(col("__cov").isNull, col(textCol))
           .otherwise(concat_ws(" ",
-            filter(TextFuncs.tokens(col(textCol)),
-              (_, i) => !array_contains(col("__cov"), i)))))
+            transform(
+              array_except(sequence(lit(0), size(toks) - 1), col("__cov")),
+              p => element_at(toks, p + 1)))))
       .drop("__cov")
   }
 }

@@ -63,13 +63,17 @@ object Freq {
     * the union's bottom-k that lies in both sketches (the standard KMV
     * resemblance estimator). Exact when the union fits in k. Pure
     * array arithmetic on 2·k longs — evaluate it on the 1×1 cross join
-    * of two per-corpus aggregation rows.
+    * of two per-corpus aggregation rows. Two empty sketches (empty or
+    * all-null corpora) estimate J = 0.0 — guarded explicitly because
+    * the denominator would otherwise be 0 and ANSI mode makes that an
+    * error, not a null.
     */
   def kmvJaccard(a: Column, b: Column, k: Int): Column = {
     import org.apache.spark.sql.functions._
     val u = slice(array_sort(array_union(a, b)), 1, k)
-    size(array_intersect(u, array_intersect(a, b))).cast("double") /
-      least(lit(k), size(u)).cast("double")
+    when(size(u) === 0, lit(0.0)).otherwise(
+      size(array_intersect(u, array_intersect(a, b))).cast("double") /
+        least(lit(k), size(u)).cast("double"))
   }
 }
 

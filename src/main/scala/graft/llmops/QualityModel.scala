@@ -73,7 +73,13 @@ object QualityModel {
       // margin as a pure projection over the weight map literal: the
       // residual is computed in the same map task that holds the
       // feature array, so the epoch's ONLY exchange is the ≤65 536-row
-      // per-feature gradient agg (map-side combined)
+      // per-feature gradient agg (map-side combined). CPU tradeoff:
+      // Catalyst's GetMapValue linear-scans a literal map's keys, so
+      // each epoch costs O(tokens × |weights|) comparisons map-side —
+      // cheap at the sample-train sizes this is documented for (train
+      // on a sample, score the corpus with the fixed weight map), but
+      // near the 65,536-bucket fill a broadcast hash join on fh would
+      // trade the shuffle back for O(1) lookups.
       val margin =
         if (weights.isEmpty) lit(0.0)
         else {

@@ -60,4 +60,30 @@ class DupSpanSpec extends SparkTestBase {
     val stats = Dedup.duplicateSpanStats(docs, n = 4, minDocs = 4)
     assert(stats.isEmpty, "no span reaches 4 distinct docs")
   }
+
+  test("pathological long doc: every gram duplicated stays linear") {
+    // Two identical 4,000-token docs: every 4-gram is duplicated, so
+    // the covered set is the full document — the worst case for the
+    // old O(tokens × covered) membership scan (16M comparisons per
+    // doc). The linear array_except path handles it instantly; the
+    // assertions pin the semantics: full coverage, empty survivors,
+    // and a half-covered doc keeps exactly its uncovered suffix in
+    // order.
+    val longText = (1 to 4000).map(i => s"w${i % 997}").mkString(" ")
+    val suffix = (1 to 2000).map(i => s"u$i").mkString(" ")
+    val d = Seq(
+      (1L, longText), (2L, longText), (3L, s"$longText $suffix")
+    ).toDF("doc_id", "text")
+    val stats = Dedup.duplicateSpanStats(d, n = 4, minDocs = 2)
+      .orderBy($"doc_id").collect()
+    assert(stats.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(stats.take(2).forall(r => r.getDouble(4) == 1.0), "full coverage")
+    val cleaned = Dedup.dropDuplicateSpans(d, n = 4, minDocs = 2)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(cleaned(1L) == "" && cleaned(2L) == "")
+    // doc 3: every gram of the shared prefix (through the one starting
+    // 4 from its end) is also in docs 1/2, so the whole prefix is
+    // covered; the unique suffix survives in order.
+    assert(cleaned(3L) == suffix)
+  }
 }

@@ -114,4 +114,28 @@ class FreqSpec extends SparkTestBase {
       .select($"s").as[Seq[Long]].head()
     assert(out === Seq(2L, 9L))
   }
+
+  test("KMV Jaccard of two empty sketches is a defined 0.0, not an error") {
+    // empty/all-null corpora → empty sketches → union size 0; under
+    // ANSI mode an unguarded division would throw DIVIDE_BY_ZERO
+    val empty = Seq.empty[Long].toDF("h")
+      .agg(Freq.kmvSketch($"h", 16).as("s"))
+    val j = empty.crossJoin(empty.withColumnRenamed("s", "s2"))
+      .select(Freq.kmvJaccard($"s", $"s2", 16)).as[Double].head()
+    assert(j === 0.0)
+  }
+
+  test("SQL builders reject a non-numeric literal k with the intended message") {
+    Seq("a").toDF("item").createOrReplaceTempView("fi_in")
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT freq_items(item, 'four') FROM fi_in").collect()
+    }
+    assert(e1.getMessage.contains("literal non-null numeric k"),
+      s"got: ${e1.getMessage}")
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT kmv_sketch(xxhash64(item), 'four') FROM fi_in").collect()
+    }
+    assert(e2.getMessage.contains("literal non-null numeric k"),
+      s"got: ${e2.getMessage}")
+  }
 }
