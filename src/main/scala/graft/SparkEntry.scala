@@ -2064,6 +2064,24 @@ object SparkEntry {
       ex.crossJoin(est).select(
         round($"j_exact", 4).as("j_exact"),
         (abs($"j_est" - $"j_exact") <= 0.12).as("overlap_ok"))
+    }),
+
+    // llmops REAL image decode (javax.imageio): solid-gray PNGs are
+    // planted with dimensions/shade that are pure arithmetic on
+    // doc_id, decoded distributed (payloads never on the driver), and
+    // the oracle predicts every recovered stat without touching a
+    // byte — including NULLs for the every-37th truncated payload.
+    // This is the honest multimodal gate q35's stub couldn't be: the
+    // decoder is the JDK's actual PNG reader, not a byte-fold.
+    "q108_image_decode" -> ((s, d) => {
+      import s.implicits._
+      val M = graft.llmops.Multimodal
+      val assets = M.plantedImages(s, t(s, d, "documents")
+        .filter($"doc_id" < 500))
+      M.decodeImageStats(s, assets).toDF()
+        .select($"asset_id", $"width", $"height", $"bands",
+          round($"mean_luma", 4).as("mean_luma"))
+        .orderBy($"asset_id")
     })
   )
 
@@ -3807,6 +3825,16 @@ object SparkEntry {
          SELECT round(sum(CASE WHEN ia = 1 AND ib = 1 THEN 1.0 ELSE 0.0 END)
                       / count(*), 4) AS j_exact,
                 TRUE AS overlap_ok
-         FROM fl"""
+         FROM fl""",
+    "q108_image_decode" ->
+      """SELECT doc_id AS asset_id,
+                CASE WHEN doc_id % 37 = 0 THEN NULL
+                     ELSE (1 + doc_id % 7)::INT END AS width,
+                CASE WHEN doc_id % 37 = 0 THEN NULL
+                     ELSE (1 + doc_id % 5)::INT END AS height,
+                CASE WHEN doc_id % 37 = 0 THEN NULL ELSE 1 END AS bands,
+                CASE WHEN doc_id % 37 = 0 THEN NULL
+                     ELSE round(((doc_id * 17) % 256)::DOUBLE, 4) END AS mean_luma
+         FROM documents WHERE doc_id < 500 ORDER BY asset_id"""
   )
 }

@@ -31,13 +31,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    // SPARK_GRAFT_QUERIES: same comma-separated name-prefix subset as
+    // Bench, for fast local iteration on one query. The driver never
+    // sets it → full dump.
+    val subset = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    SparkEntry.queries
+      .filter { case (name, _) => subset.forall(_.exists(name.startsWith)) }
+      .foreach { case (name, fn) =>
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
       }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

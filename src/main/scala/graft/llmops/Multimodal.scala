@@ -9,10 +9,14 @@ import org.apache.spark.sql.types._
   * feature-extraction runs in `mapPartitions` with a per-partition
   * decoder instance (the Scala analog of `mapInPandas` batch UDFs).
   *
-  * The container has no image/audio codecs, so [[StubDecoder]] is a
-  * clearly-marked deterministic fake — the Spark-side contract
-  * (schema, partitioning, batch shape) is real and tested; swapping in
-  * a JNI/FFI decoder changes one class.
+  * IMAGE decode is REAL: the JDK bundles `javax.imageio` readers for
+  * PNG/JPEG/GIF/BMP, so [[ImageIoDecoder]] / [[decodeImageStats]]
+  * produce actual width/height/band/pixel statistics (q108 gates them
+  * against a DuckDB-predicted oracle over planted fixtures). The
+  * container has no AUDIO/VIDEO codecs, so [[StubDecoder]] remains the
+  * clearly-marked deterministic fake for those — the Spark-side
+  * contract (schema, partitioning, batch shape) is identical, and
+  * swapping in a JNI/FFI codec changes one class.
   */
 object Multimodal {
 
@@ -67,6 +71,131 @@ object Multimodal {
     assets.mapPartitions { it =>
       val dec = mkDecoder() // one decoder per partition
       it.map(dec.features)
+    }
+  }
+
+  /** Real JDK image codec (javax.imageio — PNG/JPEG/GIF/BMP readers
+    * ship with every JRE; no container codec needed). Kept tiny and
+    * static so executor-side decode has no per-row setup beyond the
+    * shared reader registry.
+    */
+  object ImageCodec {
+    // per-decode tmp-file caching off: small payloads decode in memory
+    locally { javax.imageio.ImageIO.setUseCache(false) }
+
+    /** Encode a solid-gray `w`×`h` PNG — the deterministic fixture
+      * generator behind q108's planted images: every stat the decoder
+      * recovers is predictable arithmetic on the plant parameters.
+      */
+    def encodePng(w: Int, h: Int, gray: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { raster.setSample(x, y, 0, gray); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Decode any ImageIO-readable payload to
+      * (width, height, bands, mean sample value of band 0 in 0–255).
+      * `None` for undecodable/truncated/empty bytes — corrupt rows
+      * yield nulls, never task failures.
+      */
+    def decodeStats(bytes: Array[Byte]): Option[(Int, Int, Int, Double)] =
+      try {
+        if (bytes == null || bytes.isEmpty) None
+        else {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          if (img == null) None
+          else {
+            val r = img.getRaster
+            val (w, h) = (img.getWidth, img.getHeight)
+            var sum = 0.0
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { sum += r.getSample(x, y, 0); x += 1 }
+              y += 1
+            }
+            Some((w, h, r.getNumBands, sum / (w.toLong * h)))
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Decoded per-image statistics row — null stats = undecodable. */
+  final case class ImageStats(asset_id: Long, media_type: String,
+                              width: Option[Int], height: Option[Int],
+                              bands: Option[Int], mean_luma: Option[Double])
+
+  /** Distributed REAL image decode: binary payloads → per-image
+    * stats via `javax.imageio`, one partition at a time, payloads
+    * never on the driver. Non-image and undecodable rows produce null
+    * stats (the corrupt-bytes contract MultimodalSpec pins).
+    */
+  def decodeImageStats(spark: SparkSession, assets: Dataset[Asset])
+      : Dataset[ImageStats] = {
+    import spark.implicits._
+    assets.mapPartitions(_.map { a =>
+      val stats =
+        if (a.media_type == "image") ImageCodec.decodeStats(a.content)
+        else None
+      stats match {
+        case Some((w, h, b, m)) =>
+          ImageStats(a.asset_id, a.media_type, Some(w), Some(h), Some(b), Some(m))
+        case None =>
+          ImageStats(a.asset_id, a.media_type, None, None, None, None)
+      }
+    })
+  }
+
+  /** REAL image feature extraction — the [[Decoder]] seam backed by
+    * `javax.imageio`: decodable images yield
+    * [width, height, bands, mean_luma]; audio/video fall back to the
+    * deterministic byte-fold (their codecs aren't in the JDK), and
+    * corrupt images yield an empty feature vector rather than a task
+    * failure.
+    */
+  final class ImageIoDecoder extends Decoder {
+    private val fallback = new StubDecoder
+    override def features(a: Asset): AssetFeatures =
+      if (a.media_type != "image") fallback.features(a)
+      else {
+        val nb = if (a.content == null) 0L else a.content.length.toLong
+        ImageCodec.decodeStats(a.content) match {
+          case Some((w, h, b, m)) =>
+            AssetFeatures(a.asset_id, a.media_type, nb,
+              Array(w.toFloat, h.toFloat, b.toFloat, m.toFloat))
+          case None =>
+            AssetFeatures(a.asset_id, a.media_type, nb, Array.empty[Float])
+        }
+      }
+  }
+
+  /** Planted image fixtures from the documents table: a solid-gray
+    * PNG per doc with dimensions/shade that are pure arithmetic on
+    * `doc_id` — so a SQL oracle that never decodes a byte still
+    * predicts every stat [[decodeImageStats]] recovers. Every 37th
+    * asset is truncated to its first 8 bytes (a corrupt payload that
+    * must decode to nulls).
+    */
+  def plantedImages(spark: SparkSession, docs: DataFrame): Dataset[Asset] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val w = 1 + (id % 7).toInt
+      val h = 1 + (id % 5).toInt
+      val g = ((id * 17) % 256).toInt
+      val png = ImageCodec.encodePng(w, h, g)
+      val content =
+        if (id % 37 == 0) java.util.Arrays.copyOf(png, 8) else png
+      Asset(id, "image", content, Some(w), Some(h), None, Some("png"))
     }
   }
 

@@ -76,4 +76,61 @@ class MultimodalSpec extends SparkTestBase {
       .groupByKey(_.media_type).count().collect().toMap
     assert(byType.keySet == Set("image", "audio", "video"))
   }
+
+  test("real ImageIO decode recovers planted PNG stats exactly") {
+    // the q108 contract in miniature: encode with the JDK, decode with
+    // the JDK, and every stat must equal the plant arithmetic
+    val bytes = Multimodal.ImageCodec.encodePng(5, 3, 200)
+    assert(Multimodal.ImageCodec.decodeStats(bytes)
+      === Some((5, 3, 1, 200.0)))
+    val docs = Tables.documents(spark, sf0001).filter($"doc_id" < 120)
+    val assets = Multimodal.plantedImages(spark, docs)
+    val stats = Multimodal.decodeImageStats(spark, assets).collect()
+    assert(stats.nonEmpty)
+    stats.foreach { s =>
+      val id = s.asset_id
+      if (id % 37 == 0) {
+        assert(s.width.isEmpty && s.height.isEmpty &&
+          s.bands.isEmpty && s.mean_luma.isEmpty,
+          s"truncated asset $id must decode to nulls")
+      } else {
+        assert(s.width.contains(1 + (id % 7).toInt), s"width of $id")
+        assert(s.height.contains(1 + (id % 5).toInt), s"height of $id")
+        assert(s.bands.contains(1))
+        assert(s.mean_luma.contains(((id * 17) % 256).toDouble),
+          s"mean_luma of $id: ${s.mean_luma}")
+      }
+    }
+  }
+
+  test("corrupt bytes decode to nulls, never task failure") {
+    import spark.implicits._
+    val junk = Seq(
+      Multimodal.Asset(1L, "image", Array[Byte](1, 2, 3), None, None, None, None),
+      Multimodal.Asset(2L, "image", null, None, None, None, None),
+      Multimodal.Asset(3L, "image", Array.emptyByteArray, None, None, None, None),
+      Multimodal.Asset(4L, "audio", Array[Byte](9), None, None, Some(10L), None)
+    ).toDS()
+    val stats = Multimodal.decodeImageStats(spark, junk).collect()
+    assert(stats.length == 4)
+    assert(stats.forall(s => s.width.isEmpty && s.mean_luma.isEmpty))
+  }
+
+  test("ImageIoDecoder plugs into the Decoder seam") {
+    import spark.implicits._
+    val good = Multimodal.ImageCodec.encodePng(4, 2, 16)
+    val assets = Seq(
+      Multimodal.Asset(1L, "image", good, None, None, None, None),
+      Multimodal.Asset(2L, "image", Array[Byte](0, 1), None, None, None, None),
+      Multimodal.Asset(3L, "audio", Array[Byte](1, 2, 3, 4), None, None, Some(5L), None)
+    ).toDS()
+    val feats = Multimodal.extractFeatures(spark, assets,
+        () => new Multimodal.ImageIoDecoder)
+      .collect().map(f => f.asset_id -> f).toMap
+    assert(feats(1L).feature.toSeq == Seq(4f, 2f, 1f, 16f))
+    assert(feats(1L).n_bytes == good.length.toLong)
+    assert(feats(2L).feature.isEmpty, "corrupt image: empty features")
+    // audio falls back to the deterministic byte-fold (8-dim)
+    assert(feats(3L).feature.length == 8)
+  }
 }
