@@ -75,6 +75,58 @@ object Freq {
       size(array_intersect(u, array_intersect(a, b))).cast("double") /
         least(lit(k), size(u)).cast("double"))
   }
+
+  // ---- driver-space merges over the aggregates' OUTPUT values ------------
+  //
+  // Mergeability is the whole point of the MG/KMV constructions: a
+  // per-shard (or per-micro-batch) summary merges into a summary OF THE
+  // UNION with the same guarantees. Inside one query Spark's partial
+  // aggregation does this on the buffers; these functions do the same
+  // on the eval outputs, which is what cross-job composition needs —
+  // [[graft.streaming.SketchStreams]] folds one bounded row per
+  // micro-batch into a running corpus summary with them.
+
+  /** Merge two Misra-Gries summaries (Agarwal et al. 2012): sum
+    * counters pointwise; if more than k survive, subtract the
+    * (k+1)-th largest value and keep the positive ones. The combined
+    * undercount stays ≤ n_total/(k+1). Result ordered est desc, item
+    * asc — the same order [[MisraGries]] evals.
+    */
+  def mergeFreqSummaries(a: Seq[(String, Long)], b: Seq[(String, Long)],
+                         k: Int): Seq[(String, Long)] = {
+    val m = scala.collection.mutable.HashMap.empty[String, Long]
+    (a.iterator ++ b.iterator).foreach { case (i, c) =>
+      m.update(i, m.getOrElse(i, 0L) + c)
+    }
+    val kept =
+      if (m.size <= k) m.toSeq
+      else {
+        val vals = m.values.toArray
+        java.util.Arrays.sort(vals)
+        val off = vals(vals.length - k - 1)
+        m.iterator.collect { case (i, c) if c > off => (i, c - off) }.toSeq
+      }
+    kept.sortBy { case (i, c) => (-c, i) }
+  }
+
+  /** Merge two KMV sketches: the k smallest distinct hashes of the
+    * union — exactly the sketch the union itself would produce
+    * (order/merge-tree independent).
+    */
+  def mergeKmvSketches(a: Seq[Long], b: Seq[Long], k: Int): Seq[Long] =
+    (a ++ b).distinct.sorted.take(k)
+
+  /** Driver-space [[kmvJaccard]] — same estimator, same empty-union
+    * guard, for merged sketch values held outside a DataFrame.
+    */
+  def kmvJaccardValue(a: Seq[Long], b: Seq[Long], k: Int): Double = {
+    val u = (a ++ b).distinct.sorted.take(k)
+    if (u.isEmpty) 0.0
+    else {
+      val inter = a.toSet.intersect(b.toSet)
+      u.count(inter.contains).toDouble / math.min(k, u.size)
+    }
+  }
 }
 
 /** Bounded counter table: the Misra-Gries aggregation state. */

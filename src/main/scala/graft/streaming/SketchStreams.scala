@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.llmops.Freq
+
+/** Continuous corpus summaries over a document stream: per-micro-batch
+  * Misra-Gries heavy-hitters and KMV distinct sketches, merged across
+  * batches into a running summary — "top domains/templates so far" and
+  * "overlap with a reference corpus so far" as streaming answers.
+  *
+  * Why foreachBatch + driver-side merge, not a stateful streaming agg:
+  * mergeability is the defining property of both constructions
+  * (Agarwal et al. 2012; Bar-Yossef et al. 2002), so the correct
+  * streaming shape is one bounded aggregation row per micro-batch
+  * (≤ k counters + ≤ k longs — the batch's exchange is already
+  * partitions·k regardless of batch size) folded into ≤ 2k entries of
+  * driver state with the aggregates' own merge rules. A
+  * `mapGroupsWithState` formulation would carry the same ≤ 2k entries
+  * as store state but serialize them through the state store every
+  * batch and pin the output to update-mode semantics; the fold keeps
+  * the summary queryable at any moment between batches, with the same
+  * guarantees over the union of everything ingested
+  * (SketchStreamsSpec pins streamed ≡ batch-over-union).
+  */
+object SketchStreams {
+
+  /** Running summary of everything ingested so far. Mutated only by
+    * the stream's micro-batch thread; volatile so a concurrent reader
+    * (metrics poller, test assertion) sees the latest fold.
+    */
+  final class CorpusSummary(val k: Int) extends Serializable {
+    @volatile var freq: Seq[(String, Long)] = Nil
+    @volatile var kmv: Seq[Long] = Nil
+    @volatile var n: Long = 0L
+
+    /** MG undercount bound for the stream so far: any item with true
+      * count > bound is guaranteed present in [[freq]], and every
+      * estimate e satisfies true − bound ≤ e ≤ true.
+      */
+    def errorBound: Double = n.toDouble / (k + 1)
+
+    /** Estimated Jaccard overlap between everything ingested and a
+      * reference-corpus sketch (same k) — the streaming contamination
+      * number q107 computes in batch.
+      */
+    def jaccardVs(reference: Seq[Long]): Double =
+      Freq.kmvJaccardValue(kmv, reference, k)
+  }
+
+  /** Build the tracking writer: each micro-batch contributes ONE
+    * bounded row (its MG summary, its KMV sketch, its item count),
+    * folded into `summary` with the mergeable-summaries rules, then
+    * `onBatch(summary, batchId)` fires for reporting/alerting. Call
+    * `.start()` (after checkpoint/trigger options) to begin. Returns
+    * the live summary object alongside the writer.
+    *
+    * `item` feeds the heavy-hitters summary (e.g. a domain or
+    * template column); `hash` feeds the distinct sketch (pre-hash
+    * with `xxhash64(...)` like the batch q107 contract).
+    */
+  def summarize(docs: DataFrame, item: Column, hash: Column, k: Int)
+               (onBatch: (CorpusSummary, Long) => Unit = (_, _) => ())
+      : (CorpusSummary, DataStreamWriter[Row]) = {
+    val summary = new CorpusSummary(k)
+    val writer = docs.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val row = batch.agg(
+          Freq.freqItems(item, k).as("f"),
+          Freq.kmvSketch(hash, k).as("s"),
+          count(item).as("n")).head()
+        val bf = row.getSeq[Row](0).map(r => (r.getString(0), r.getLong(1)))
+        val bs = row.getSeq[Long](1)
+        summary.freq = Freq.mergeFreqSummaries(summary.freq, bf, k)
+        summary.kmv = Freq.mergeKmvSketches(summary.kmv, bs, k)
+        summary.n += row.getLong(2)
+        onBatch(summary, batchId)
+    }
+    (summary, writer)
+  }
+}

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.llmops.Freq
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The streamed sketch tier's contract: a summary folded across N
+  * micro-batches must match the batch aggregate over the union of
+  * those batches — exactly for KMV (a deterministic set function) and
+  * within the MG guarantees (no overcount, undercount ≤ n/(k+1),
+  * heavy-completeness) where decrements make exact equality
+  * order-dependent. Same guarantee booleans as the q106/q107 oracles.
+  */
+class SketchStreamsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def streamBatches(batches: Seq[Seq[(Long, String)]], k: Int)
+      : SketchStreams.CorpusSummary = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "item")
+    val (summary, writer) = SketchStreams.summarize(
+      docs, col("item"), xxhash64(col("item")), k)()
+    val q = writer.outputMode("update").start()
+    batches.foreach { b =>
+      mem.addData(b: _*)
+      q.processAllAvailable() // force one micro-batch per addData
+    }
+    q.stop()
+    summary
+  }
+
+  test("streamed KMV over N batches equals the batch sketch of the union") {
+    val batches = Seq(
+      (1 to 40).map(i => (i.toLong, s"item$i")),
+      (20 to 70).map(i => (i.toLong, s"item$i")), // overlaps batch 1
+      (60 to 90).map(i => (i.toLong, s"item$i")))
+    val k = 32
+    val streamed = streamBatches(batches, k)
+    val union = batches.flatten.toDF("doc_id", "item")
+    val batchSketch = union
+      .agg(Freq.kmvSketch(xxhash64($"item"), k)).as[Seq[Long]].head()
+    assert(streamed.kmv == batchSketch,
+      "merged per-batch sketches must BE the union's sketch")
+    assert(streamed.n == batches.map(_.size).sum)
+  }
+
+  test("streamed MG equals the batch aggregate when k covers the distincts") {
+    val batches = Seq(
+      Seq.fill(5)((1L, "a")) ++ Seq.fill(2)((2L, "b")),
+      Seq.fill(3)((3L, "a")) ++ Seq.fill(4)((4L, "c")))
+    val k = 8
+    val streamed = streamBatches(batches, k)
+    val union = batches.flatten.toDF("doc_id", "item")
+    val batchAgg = union.agg(Freq.freqItems($"item", k).as("s"))
+      .select(explode($"s").as("e"))
+      .select($"e.item", $"e.est").as[(String, Long)].collect().toSeq
+    // both are exact below k → identical (a,8),(c,4),(b,2) ordering
+    assert(streamed.freq == batchAgg)
+    assert(streamed.freq == Seq(("a", 8L), ("c", 4L), ("b", 2L)))
+  }
+
+  test("MG guarantees survive cross-batch merges on a skewed stream") {
+    // Zipf-ish items split across 3 batches so the driver-side
+    // counter-offset merge really fires (distincts 60 >> k 8)
+    val rows = (1 to 60).flatMap(j => Seq.fill(600 / j)(j.toString))
+    val batches = rows.grouped(rows.size / 3 + 1)
+      .map(_.zipWithIndex.map { case (s, i) => (i.toLong, s) }).toSeq
+    val k = 8
+    val streamed = streamBatches(batches, k)
+    val exact = rows.groupBy(identity).map { case (i, v) => (i, v.size.toLong) }
+    val bound = streamed.errorBound
+    assert(streamed.n == rows.size.toLong)
+    streamed.freq.foreach { case (i, e) =>
+      assert(e <= exact(i), s"overcount on $i")
+      assert(e >= exact(i) - bound, s"undercount beyond n/(k+1) on $i")
+    }
+    exact.foreach { case (i, ex) =>
+      if (ex > bound)
+        assert(streamed.freq.exists(_._1 == i),
+          s"heavy item $i (count $ex > $bound) missing from merged summary")
+    }
+  }
+
+  test("per-batch contamination vs a reference corpus sketch") {
+    // reference = items 50..149; stream = 1..100 across two batches
+    // → true J = |50..100| / |1..149| ≈ 51/149
+    val k = 2048 // above every distinct count: estimator is exact
+    val reference = (50 to 149).map(i => s"item$i").toDF("item")
+      .agg(Freq.kmvSketch(xxhash64($"item"), k)).as[Seq[Long]].head()
+    val batches = Seq(
+      (1 to 60).map(i => (i.toLong, s"item$i")),
+      (61 to 100).map(i => (i.toLong, s"item$i")))
+    val streamed = streamBatches(batches, k)
+    assert(streamed.jaccardVs(reference) === 51.0 / 149.0)
+  }
+}
