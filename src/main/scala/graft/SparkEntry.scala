@@ -2082,6 +2082,19 @@ object SparkEntry {
         .select($"asset_id", $"width", $"height", $"bands",
           round($"mean_luma", 4).as("mean_luma"))
         .orderBy($"asset_id")
+    }),
+
+    // llmops unigram-LM tokenizer seed (Kudo 2018): candidate pieces =
+    // every substring of length ≤ 3 of every dictionary word, weighted
+    // by word frequency — the q84 shape generalized from adjacent
+    // pairs to the unigram trainer's seed set. (The EM loop itself is
+    // differential-tested in VocabSpec, like BPE's merge loop.)
+    "q109_unigram_seed" -> ((s, d) => {
+      import s.implicits._
+      graft.llmops.Vocab.unigramSeedCounts(
+          t(s, d, "documents"), $"text", maxLen = 3)
+        .orderBy($"cnt".desc, $"piece")
+        .limit(30)
     })
   )
 
@@ -3835,6 +3848,21 @@ object SparkEntry {
                 CASE WHEN doc_id % 37 = 0 THEN NULL ELSE 1 END AS bands,
                 CASE WHEN doc_id % 37 = 0 THEN NULL
                      ELSE round(((doc_id * 17) % 256)::DOUBLE, 4) END AS mean_luma
-         FROM documents WHERE doc_id < 500 ORDER BY asset_id"""
+         FROM documents WHERE doc_id < 500 ORDER BY asset_id""",
+    "q109_unigram_seed" ->
+      """WITH words AS (
+           SELECT w, count(*) AS wc FROM (
+             SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+             FROM documents)
+           WHERE length(w) >= 1 GROUP BY w),
+         pos AS (
+           SELECT w, wc, unnest(range(1, length(w)::BIGINT + 1)) AS i
+           FROM words),
+         sub AS (
+           SELECT w, wc, i,
+                  unnest(range(1, least(3, length(w) - i + 1)::BIGINT + 1)) AS l
+           FROM pos)
+         SELECT substring(w, i::INT, l::INT) AS piece, sum(wc)::BIGINT AS cnt
+         FROM sub GROUP BY 1 ORDER BY cnt DESC, piece LIMIT 30"""
   )
 }

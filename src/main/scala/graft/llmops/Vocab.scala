@@ -171,4 +171,193 @@ object Vocab {
 
   def bpe_encode(text: Column, merges: Seq[(String, String)]): Column =
     ColumnBridge.column(BpeEncodeExpr(ColumnBridge.expression(text), merges))
+
+  // ---- Unigram-LM tokenizer (SentencePiece-style; Kudo 2018) -----------
+  //
+  // The other tokenizer family used for frontier-scale corpora: a
+  // vocabulary of PIECES with probabilities, segmentation = the
+  // max-likelihood piece cover of each word (Viterbi DP), training =
+  // seed a large candidate set, re-estimate piece usage under the
+  // current model, prune the least-used pieces, repeat (the hard-EM /
+  // Viterbi-counts variant of Kudo 2018 §3.2 — expectation replaced by
+  // the argmax segmentation, the standard distributed simplification).
+  //
+  // Distribution: identical dictionary-shuffle shape to [[trainBpe]] —
+  // the corpus collapses ONCE to its (word, count) dictionary; every
+  // round is one kernel-projection + one (piece, weight) aggregation
+  // over dictionary rows, and the driver holds only the piece table
+  // (≤ seedSize + |alphabet| rows, like the DSIR/quality-model tables).
+
+  /** Word-frequency dictionary INCLUDING single-char words (unigram
+    * pieces need them for coverage; BPE's pair counting doesn't).
+    */
+  def wordCountsAll(docs: DataFrame, textCol: Column): DataFrame =
+    docs.select(explode(TextFuncs.tokens(textCol)).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+
+  /** Frequency-weighted counts of every substring of length 1..maxLen
+    * of every dictionary word — the unigram candidate seed (Kudo
+    * trains from "all substrings of the corpus" capped by length).
+    */
+  private def substrCounts(dict: DataFrame, maxLen: Int): DataFrame =
+    dict.select(explode(flatten(transform(
+        sequence(lit(1), length(col("w"))),
+        i => transform(
+          sequence(lit(1), least(lit(maxLen), length(col("w")) - i + 1)),
+          l => col("w").substr(i, l))))).as("piece"), col("wc"))
+      .groupBy("piece").agg(sum(col("wc")).as("cnt"))
+
+  /** Candidate-piece seed counts over a corpus: (piece, cnt) for every
+    * substring of length ≤ `maxLen` of every word, weighted by word
+    * frequency. The q109 oracle replays this relationally.
+    */
+  def unigramSeedCounts(docs: DataFrame, textCol: Column, maxLen: Int = 4)
+      : DataFrame =
+    substrCounts(wordCountsAll(docs, textCol), maxLen)
+
+  /** Log-prob assigned to a character absent from the vocabulary —
+    * harsh enough that any in-vocab cover beats an unknown char, mild
+    * enough that sums stay finite (segmentation must always exist).
+    */
+  val UnkLogProb: Double = -1e4
+
+  /** Kernel behind [[UnigramEncodeExpr]]: whitespace-tokenize
+    * (lowercased, mirroring [[TextFuncs.tokens]]), then Viterbi-segment
+    * each word under the piece log-prob table: best(i) = max over
+    * piece lengths l of best(i−l) + logp(w[i−l..i)). Ties prefer the
+    * LONGER piece (deterministic); characters missing from the
+    * vocabulary fall back to [[UnkLogProb]] singletons, so every word
+    * has a segmentation and concat(pieces) == word always.
+    */
+  def unigramEncodeText(text: UTF8String,
+                        logp: java.util.HashMap[String, java.lang.Double],
+                        maxLen: Int): GenericArrayData = {
+    val words = text.toString.toLowerCase.trim.split("\\s+")
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    words.foreach { w =>
+      val n = w.length
+      if (n > 0) {
+        val best = new Array[Double](n + 1)
+        val back = new Array[Int](n + 1)
+        var i = 1
+        while (i <= n) {
+          var bestScore = Double.NegativeInfinity
+          var bestLen = 1
+          var l = 1
+          val lmax = math.min(maxLen, i)
+          while (l <= lmax) {
+            val p = logp.get(w.substring(i - l, i))
+            val sc =
+              if (p != null) best(i - l) + p.doubleValue()
+              else if (l == 1) best(i - 1) + UnkLogProb
+              else Double.NegativeInfinity
+            if (sc > bestScore || (sc == bestScore && l > bestLen)) {
+              bestScore = sc; bestLen = l
+            }
+            l += 1
+          }
+          best(i) = bestScore; back(i) = bestLen
+          i += 1
+        }
+        val pieces = scala.collection.mutable.ArrayBuffer.empty[String]
+        var j = n
+        while (j > 0) { pieces += w.substring(j - back(j), j); j -= back(j) }
+        pieces.reverseIterator.foreach(p => out += UTF8String.fromString(p))
+      }
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  /** `unigram_encode(text)` → array<string> of max-likelihood pieces
+    * under a trained vocabulary. The log-prob map rides as a codegen
+    * reference object, like [[BpeEncodeExpr]]'s rank map.
+    */
+  case class UnigramEncodeExpr(child: Expression,
+                               pieces: Seq[(String, Double)], maxLen: Int)
+      extends UnaryExpression {
+    @transient private lazy val logp = {
+      val m = new java.util.HashMap[String, java.lang.Double]()
+      pieces.foreach { case (p, lp) => m.putIfAbsent(p, lp) }
+      m
+    }
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "unigram_encode"
+    override def nullSafeEval(input: Any): Any =
+      Vocab.unigramEncodeText(input.asInstanceOf[UTF8String], logp, maxLen)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("logp", logp, "java.util.HashMap")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.llmops.Vocab.unigramEncodeText($c, $ref, $maxLen);")
+    }
+    override protected def withNewChildInternal(c: Expression): UnigramEncodeExpr =
+      copy(child = c)
+  }
+
+  def unigram_encode(text: Column, pieces: Seq[(String, Double)],
+                     maxLen: Int = 4): Column =
+    ColumnBridge.column(
+      UnigramEncodeExpr(ColumnBridge.expression(text), pieces, maxLen))
+
+  /** Unigram-LM vocabulary training: seed with the top-`seedSize`
+    * multi-char substrings (every single char is always kept — full
+    * coverage), then `iters` rounds of [Viterbi-segment the dictionary
+    * under the current model → frequency-weighted piece-usage counts →
+    * re-estimate probs (add-one smoothing keeps idle chars finite) →
+    * prune multi-char pieces to max(vocabSize − |chars|,
+    * ⌈shrink · current⌉) by usage]. Gradual pruning is Kudo's schedule:
+    * dropping straight to the target lets borderline pieces starve
+    * before usage re-concentrates. Deterministic: all ties break on
+    * the piece string; the returned table is (piece, logp) sorted by
+    * logp desc, piece asc.
+    *
+    * Scale: per round ONE aggregation of ≤ |vocab| slim rows crosses
+    * the wire and the driver holds the bounded piece table — corpus
+    * size only affects the one-time dictionary build.
+    */
+  def trainUnigram(docs: DataFrame, textCol: Column, vocabSize: Int,
+                   iters: Int = 4, maxPieceLen: Int = 4,
+                   seedSize: Int = 2048, shrink: Double = 0.75)
+      : Seq[(String, Double)] = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    require(seedSize >= vocabSize,
+      s"seedSize $seedSize must be >= vocabSize $vocabSize")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dict = wordCountsAll(docs, textCol).localCheckpoint()
+    val seed = substrCounts(dict, maxPieceLen)
+    val chars0 = seed.filter(length(col("piece")) === 1)
+      .as[(String, Long)].collect()
+    val multi0 = seed.filter(length(col("piece")) > 1)
+      .orderBy(col("cnt").desc, col("piece")).limit(seedSize)
+      .as[(String, Long)].collect()
+    def toModel(pieces: Seq[(String, Long)]): Seq[(String, Double)] = {
+      val total = pieces.map(_._2).sum.toDouble + pieces.size
+      pieces.map { case (p, c) => p -> math.log((c + 1.0) / total) }
+    }
+    var charSet = chars0.map(_._1).toSet
+    var vocab = toModel((chars0 ++ multi0).toSeq)
+    var round = 0
+    while (round < iters) {
+      val usage = dict
+        .select(explode(unigram_encode(col("w"), vocab, maxPieceLen))
+          .as("piece"), col("wc"))
+        .groupBy("piece").agg(sum(col("wc")).as("cnt"))
+        .as[(String, Long)].collect().toMap
+      // chars persist even when longer pieces absorb all their usage
+      // (coverage); unknown chars emitted by the encoder join them
+      charSet = charSet ++ usage.keysIterator.filter(_.length == 1)
+      val chars = charSet.toSeq.sorted.map(c => c -> usage.getOrElse(c, 0L))
+      val multiKept = vocab.iterator.map(_._1).filter(_.length > 1).toSeq
+      val finalMulti = math.max(0, vocabSize - chars.size)
+      val targetMulti = math.max(finalMulti,
+        math.min(multiKept.size, math.ceil(multiKept.size * shrink).toInt))
+      val keep = if (round == iters - 1) finalMulti else targetMulti
+      val multi = multiKept.map(p => p -> usage.getOrElse(p, 0L))
+        .sortBy { case (p, c) => (-c, p) }.take(keep)
+      vocab = toModel(chars ++ multi)
+      round += 1
+    }
+    vocab.sortBy { case (p, lp) => (-lp, p) }
+  }
 }

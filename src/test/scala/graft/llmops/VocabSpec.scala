@@ -157,4 +157,124 @@ class VocabSpec extends SparkTestBase {
       assert(k == refEncode(t, merges), s"mismatch on: ${t.take(40)}")
     }
   }
+
+  // ---- unigram-LM tokenizer (seed → Viterbi encode → hard-EM train) ----
+
+  /** Independent driver-side Viterbi segmenter: memoized recursion
+    * (a deliberately different shape from the kernel's iterative DP),
+    * same semantics — longer piece wins score ties, unknown chars
+    * fall back to UnkLogProb singletons.
+    */
+  private def refSegment(word: String, logp: Map[String, Double],
+                         maxLen: Int): Seq[String] = {
+    val memo = scala.collection.mutable.Map.empty[Int, (Double, Int)]
+    def best(i: Int): (Double, Int) = // (score, winning piece length)
+      if (i == 0) (0.0, 0)
+      else memo.getOrElseUpdate(i, {
+        (1 to math.min(maxLen, i)).foldLeft((Double.NegativeInfinity, 1)) {
+          case (acc @ (bs, bl), l) =>
+            val piece = word.substring(i - l, i)
+            val sc = logp.get(piece) match {
+              case Some(p) => best(i - l)._1 + p
+              case None if l == 1 => best(i - 1)._1 + Vocab.UnkLogProb
+              case None => Double.NegativeInfinity
+            }
+            if (sc > bs || (sc == bs && l > bl)) (sc, l) else acc
+        }
+      })
+    val out = List.newBuilder[String]
+    var stack = List.empty[String]
+    var j = word.length
+    while (j > 0) {
+      val l = best(j)._2
+      stack = word.substring(j - l, j) :: stack
+      j -= l
+    }
+    stack
+  }
+
+  private def refEncodeUni(text: String, logp: Map[String, Double],
+                           maxLen: Int): Seq[String] =
+    text.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+      .flatMap(refSegment(_, logp, maxLen))
+
+  test("unigram seed counts match a driver-side substring walk") {
+    val texts = Seq("Spark spark ab", "a  spark", "  b  ")
+    val naive = texts.flatMap(_.trim.toLowerCase.split("\\s+"))
+      .filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .flatMap { case (w, c) =>
+        for { i <- 0 until w.length
+              l <- 1 to math.min(3, w.length - i) }
+          yield w.substring(i, i + l) -> c
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val got = Vocab.unigramSeedCounts(texts.toDF("text"), $"text", maxLen = 3)
+      .as[(String, Long)].collect().toMap
+    assert(got == naive)
+  }
+
+  test("unigram_encode is max-likelihood and matches the reference DP") {
+    // "abc": cover {ab,c} = -1-3 = -4 beats {a,bc} = -2-3 = -5 and
+    // {abc} absent; ties prefer the longer piece
+    val logp = Seq("a" -> -2.0, "b" -> -3.0, "c" -> -3.0, "ab" -> -1.0,
+      "bc" -> -3.0, "abcd" -> -9.0)
+    val got = Seq(Tuple1("abc ABCD zq"))
+      .toDF("text")
+      .select(Vocab.unigram_encode($"text", logp, maxLen = 4).as("x"))
+      .head().getSeq[String](0)
+    assert(got == Seq("ab", "c", "abcd", "z", "q")) // z,q: unknown-char fallback
+    assert(got == refEncodeUni("abc ABCD zq", logp.toMap, 4))
+  }
+
+  test("unigram_encode matches the reference DP on real documents") {
+    val docs = Tables.documents(spark, sf0001).limit(60).cache()
+    val vocab = Vocab.trainUnigram(docs, $"text", vocabSize = 150,
+      iters = 3, maxPieceLen = 4, seedSize = 400)
+    val logp = vocab.toMap
+    val texts = docs.select($"text").as[String].collect().toSeq
+    val kernel = docs
+      .select($"text", Vocab.unigram_encode($"text", vocab, 4).as("x"))
+      .as[(String, Seq[String])].collect()
+    kernel.foreach { case (t, pieces) =>
+      assert(pieces == refEncodeUni(t, logp, 4), s"mismatch on: ${t.take(40)}")
+      // lossless cover: pieces concatenate back to the tokenized text
+      assert(pieces.mkString ==
+        t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).mkString)
+    }
+  }
+
+  test("trainUnigram respects the vocab budget and keeps char coverage") {
+    val docs = Tables.documents(spark, sf0001).limit(80).cache()
+    val vocabSize = 120
+    val vocab = Vocab.trainUnigram(docs, $"text", vocabSize,
+      iters = 3, maxPieceLen = 4, seedSize = 300)
+    val pieces = vocab.map(_._1)
+    val chars = docs.select($"text").as[String].collect()
+      .flatMap(_.trim.toLowerCase.split("\\s+")).flatMap(_.toSeq)
+      .map(_.toString).toSet
+    assert(chars.subsetOf(pieces.filter(_.length == 1).toSet),
+      "every corpus character must stay in the vocabulary")
+    assert(pieces.size == math.max(vocabSize, chars.size))
+    assert(pieces.distinct.size == pieces.size)
+    // deterministic: retraining reproduces the table bit-for-bit
+    val again = Vocab.trainUnigram(docs, $"text", vocabSize,
+      iters = 3, maxPieceLen = 4, seedSize = 300)
+    assert(again == vocab)
+  }
+
+  test("trained unigram compresses below characters, like BPE") {
+    val docs = Tables.documents(spark, sf0001).limit(100).cache()
+    val vocab = Vocab.trainUnigram(docs, $"text", vocabSize = 200,
+      iters = 3, maxPieceLen = 4, seedSize = 600)
+    val counts = docs
+      .select(size(Vocab.unigram_encode($"text", vocab, 4)).as("n_uni"),
+        size(split(lower(trim($"text")), "\\s+")).as("n_words"),
+        length(regexp_replace($"text", "\\s+", "")).as("n_chars"))
+      .agg(sum($"n_uni"), sum($"n_words"), sum($"n_chars")).head()
+    val (nUni, nWords, nChars) =
+      (counts.getLong(0), counts.getLong(1), counts.getLong(2))
+    assert(nUni < nChars, "unigram must compress below character count")
+    assert(nUni > nWords, "a 200-piece vocab cannot reach word-level tokens")
+  }
 }
