@@ -246,6 +246,16 @@ object Graft {
   def queryAnnIndex(s: SparkSession, path: String, queries: DataFrame,
                     k: Int, nprobe: Int = 4): DataFrame =
     llmops.AnnIndex.topK(s, path, queries, k, nprobe)
+  /** Incremental index lifecycle: encode new vectors with the
+    * persisted models into the existing partitions ([[appendAnnIndex]]
+    * — equal to a fresh full write while the models fit), and the
+    * retrain signal ([[annIndexDrift]]: assignment-MSE ratio vs the
+    * training-time fit recorded at write).
+    */
+  def appendAnnIndex(s: SparkSession, newVecs: DataFrame, path: String): Unit =
+    llmops.AnnIndex.append(s, newVecs, path)
+  def annIndexDrift(s: SparkSession, newVecs: DataFrame, path: String): DataFrame =
+    llmops.AnnIndex.drift(s, newVecs, path)
 
   // ---- text analysis / curation ------------------------------------
   def langId(text: Column): Column = llmops.TextFuncs.langId(text)

@@ -41,20 +41,92 @@ object AnnIndex {
     (cents, books)
   }
 
-  /** [[write]] with externally trained models. */
+  /** The index row shape: (id, coarse list assignment, PQ codes). */
+  private def encoded(corpus: DataFrame,
+                      centroids: Array[Array[Float]],
+                      books: Array[Array[Array[Float]]],
+                      corpusId: String, corpusVec: String): DataFrame =
+    corpus.where(col(corpusVec).isNotNull)
+      .select(col(corpusId),
+        element_at(Ivf.nearest_centroids(col(corpusVec), centroids, 1), 1)
+          .as("list_id"),
+        Ivf.pqEncode(col(corpusVec), books).as("codes"))
+
+  /** Mean squared distance to the nearest persisted centroid — the
+    * k-means inertia per vector, the fit statistic the drift probe
+    * compares against. 0.0 for an empty frame.
+    */
+  private def assignMse(vecs: DataFrame, centroids: Array[Array[Float]],
+                        vecCol: String): Double =
+    vecs.where(col(vecCol).isNotNull)
+      .agg(coalesce(avg(Ivf.centroid_sq_dist(col(vecCol), centroids)),
+        lit(0.0)))
+      .head().getDouble(0)
+
+  /** [[write]] with externally trained models. Also records the
+    * training-time assignment MSE under `path/_stats/metrics`
+    * (underscore-prefixed parent → invisible to index scans, leaf dir
+    * plain so the read needs no root-path filter exemption — the
+    * `_models/centroids` pattern) — the
+    * baseline [[drift]] compares incoming batches against. One extra
+    * corpus pass at write time; write-once, serve-many.
+    */
   def writeWithModels(corpus: DataFrame, path: String,
                       centroids: Array[Array[Float]],
                       books: Array[Array[Array[Float]]],
                       corpusId: String = "vec_id",
                       corpusVec: String = "embedding"): Unit = {
     val spark = corpus.sparkSession
-    corpus.where(col(corpusVec).isNotNull)
-      .select(col(corpusId),
-        element_at(Ivf.nearest_centroids(col(corpusVec), centroids, 1), 1)
-          .as("list_id"),
-        Ivf.pqEncode(col(corpusVec), books).as("codes"))
+    encoded(corpus, centroids, books, corpusId, corpusVec)
       .write.mode("overwrite").partitionBy("list_id").parquet(path)
     Models.saveIvfAdc(spark, s"$path/_models", centroids, books)
+    import spark.implicits._
+    Seq(("train_mse", assignMse(corpus, centroids, corpusVec)))
+      .toDF("metric", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_stats/metrics")
+  }
+
+  /** Incremental append: encode NEW vectors with the PERSISTED models
+    * into the existing list partitions — the index stays serveable
+    * throughout, and as long as the models are unchanged the result
+    * is indistinguishable from a fresh full write (AnnIndexSpec pins
+    * topK equality). No retraining, no rewrite of existing
+    * partitions: the appended files land only in the lists the new
+    * vectors assign to. When [[drift]] says the models no longer fit
+    * the data, retrain + [[writeWithModels]] instead.
+    *
+    * Id uniqueness across write+appends is the caller's contract,
+    * like any append-mode sink.
+    */
+  def append(spark: SparkSession, newVecs: DataFrame, path: String,
+             corpusId: String = "vec_id",
+             corpusVec: String = "embedding"): Unit = {
+    val (cents, books) = loadModels(spark, path)
+    encoded(newVecs, cents, books, corpusId, corpusVec)
+      .write.mode("append").partitionBy("list_id").parquet(path)
+  }
+
+  /** Drift probe — the retrain signal for an append-mode index: mean
+    * assignment error of an incoming batch under the PERSISTED coarse
+    * centroids vs the training-time error recorded at write. One row:
+    * (train_mse, new_mse, ratio). A ratio near 1 means the quantizer
+    * still fits (append freely); a ratio well above 1 means the data
+    * distribution moved — new vectors crowd into lists the centroids
+    * don't represent, probe recall decays silently — so retrain and
+    * rewrite. Cost: one kernel-projection pass over the batch; the
+    * index itself is not read.
+    */
+  def drift(spark: SparkSession, newVecs: DataFrame, path: String,
+            corpusVec: String = "embedding"): DataFrame = {
+    val (cents, _) = loadModels(spark, path)
+    val trainMse = spark.read.parquet(s"$path/_stats/metrics")
+      .filter(col("metric") === "train_mse")
+      .head().getDouble(1)
+    val newMse = assignMse(newVecs, cents, corpusVec)
+    import spark.implicits._
+    Seq((trainMse, newMse,
+        if (trainMse > 0) newMse / trainMse else Double.NaN))
+      .toDF("train_mse", "new_mse", "ratio")
   }
 
   /** Load the persisted models back: (centroids, codebooks). */

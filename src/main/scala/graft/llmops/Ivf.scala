@@ -98,6 +98,53 @@ object Ivf {
       NearestCentroids(ColumnBridge.expression(vec), centroids, nprobe,
         l2 = true))
 
+  /** Kernel: squared L2 distance to the closest centroid — the
+    * per-vector term of k-means inertia. The [[AnnIndex]] drift probe
+    * averages it to compare a new batch's fit under the persisted
+    * coarse quantizer with the training-time fit.
+    */
+  def minCentroidSqDist(vec: ArrayData, cents: Array[Array[Float]]): Double = {
+    val d = vec.numElements()
+    var best = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val cv = cents(c)
+      var dist = 0.0
+      var i = 0
+      while (i < d && i < cv.length) {
+        val diff = vec.getFloat(i) - cv(i)
+        dist += diff * diff
+        i += 1
+      }
+      if (dist < best) best = dist
+      c += 1
+    }
+    if (cents.isEmpty) 0.0 else best
+  }
+
+  /** `centroid_sq_dist(vec)` → double: squared distance to the nearest
+    * centroid (codegen; centroids ride as a reference object).
+    */
+  case class CentroidSqDist(child: Expression,
+                            centroids: Array[Array[Float]])
+      extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "centroid_sq_dist"
+    override def nullSafeEval(input: Any): Any =
+      minCentroidSqDist(input.asInstanceOf[ArrayData], centroids)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("centroids", centroids, "float[][]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.llmops.Ivf.minCentroidSqDist($c, $ref);")
+    }
+    override protected def withNewChildInternal(c: Expression): CentroidSqDist =
+      copy(child = c)
+  }
+
+  def centroid_sq_dist(vec: Column, centroids: Array[Array[Float]]): Column =
+    ColumnBridge.column(
+      CentroidSqDist(ColumnBridge.expression(vec), centroids))
+
   /** Deterministic coarse centroids: the `nlist` corpus vectors with
     * the smallest xxhash64(id) — a seeded uniform sample.
     */

@@ -86,4 +86,43 @@ class AnnIndexSpec extends SparkTestBase {
       .select($"rks").as[Seq[Int]].collect()
     rks.foreach(r => assert(r.sorted == (1 to r.length)))
   }
+
+  test("append with unchanged models equals a fresh full write") {
+    val path = tmp()
+    val half1 = emb.filter($"vec_id" % 2 === 0)
+    val half2 = emb.filter($"vec_id" % 2 =!= 0)
+    val (cents, books) = AnnIndex.write(half1, path,
+      nlist = 8, coarseIters = 1, m = 8, codewords = 16, pqIters = 1)
+    // serveable before AND after the append, no retrain, no rewrite
+    assert(AnnIndex.topK(spark, path, q, k = 3, nprobe = 2).count() > 0)
+    AnnIndex.append(spark, half2, path)
+    val fresh = tmp()
+    AnnIndex.writeWithModels(emb, fresh, cents, books)
+    val appended = AnnIndex.topK(spark, path, q, k = 5, nprobe = 3)
+      .select($"query_id", $"vec_id", $"sim", $"rk")
+      .collect().map(_.toSeq).toSet
+    val full = AnnIndex.topK(spark, fresh, q, k = 5, nprobe = 3)
+      .select($"query_id", $"vec_id", $"sim", $"rk")
+      .collect().map(_.toSeq).toSet
+    assert(appended == full)
+  }
+
+  test("drift probe: in-distribution batch ~1, shifted batch signals retrain") {
+    val path = tmp()
+    AnnIndex.write(emb, path,
+      nlist = 8, coarseIters = 1, m = 8, codewords = 16, pqIters = 1)
+    val d0 = AnnIndex.drift(spark, emb, path).head()
+    val (train0, ratio0) =
+      (d0.getAs[Double]("train_mse"), d0.getAs[Double]("ratio"))
+    assert(train0 > 0.0)
+    assert(math.abs(ratio0 - 1.0) < 1e-6,
+      s"training corpus must reproduce its own fit, got ratio $ratio0")
+    // a shifted distribution: every component moved far off-centroid
+    val shifted = emb.select($"vec_id",
+      transform($"embedding", x => (x + lit(10.0f)).cast("float"))
+        .as("embedding"))
+    val d1 = AnnIndex.drift(spark, shifted, path).head()
+    assert(d1.getAs[Double]("ratio") > 2.0,
+      s"shifted batch must flag drift, got ${d1.getAs[Double]("ratio")}")
+  }
 }
