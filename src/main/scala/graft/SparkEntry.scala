@@ -2095,6 +2095,35 @@ object SparkEntry {
           t(s, d, "documents"), $"text", maxLen = 3)
         .orderBy($"cnt".desc, $"piece")
         .limit(30)
+    }),
+
+    // llmops ANN index lifecycle: q93's contract run against an index
+    // built by write-then-APPEND — the even half written with the
+    // trained models, the odd half appended from the PERSISTED models
+    // only. The oracle replays candidate join → reconstruction →
+    // ranking from the appended index FILES, so it proves the
+    // append landed correct codes in correct list partitions and that
+    // serving reads them exactly like original rows (no retrain, no
+    // rewrite). AnnIndexSpec separately pins append ≡ fresh-full-write.
+    "q110_ann_append" -> ((s, d) => {
+      import s.implicits._
+      val I = graft.llmops.Ivf
+      val A = graft.llmops.AnnIndex
+      val emb = t(s, d, "embeddings")
+      val cents = I.kmeansCentroids(emb, nlist = 16, iters = 2)
+      val books = I.pqCodebooks(emb, m = 8, k = 16, iters = 2)
+      val idx = "/root/repo/spark-warehouse/q110_index"
+      A.writeWithModels(emb.filter($"vec_id" % 2 === 0), idx, cents, books)
+      A.append(s, emb.filter($"vec_id" % 2 =!= 0), idx)
+      val q = emb.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+      if (materializing) {
+        materialize(q.select($"query_id",
+          explode(I.nearest_centroids($"query_vec", cents, 4))
+            .as("list_id")), "q110_probes")
+      }
+      A.topK(s, idx, q, k = 5, nprobe = 4)
+        .orderBy($"query_id", $"rk")
     })
   )
 
@@ -3863,6 +3892,40 @@ object SparkEntry {
                   unnest(range(1, least(3, length(w) - i + 1)::BIGINT + 1)) AS l
            FROM pos)
          SELECT substring(w, i::INT, l::INT) AS piece, sum(wc)::BIGINT AS cnt
-         FROM sub GROUP BY 1 ORDER BY cnt DESC, piece LIMIT 30"""
+         FROM sub GROUP BY 1 ORDER BY cnt DESC, piece LIMIT 30""",
+    "q110_ann_append" ->
+      """WITH idx AS (
+           SELECT vec_id, codes, list_id::INT AS list_id
+           FROM read_parquet('/root/repo/spark-warehouse/q110_index/list_id=*/*.parquet', hive_partitioning=true)),
+         cb AS (
+           SELECT sub, code, sdim, w::DOUBLE AS w
+           FROM read_parquet('/root/repo/spark-warehouse/q110_index/_models/codebooks/*.parquet')),
+         probes AS (
+           SELECT query_id, list_id
+           FROM read_parquet('/root/repo/spark-warehouse/q110_probes/*.parquet')),
+         q AS (
+           SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+         codes AS (
+           SELECT vec_id, s.i - 1 AS sub, codes[s.i] AS code
+           FROM idx, generate_series(1, 8) s(i)),
+         cand AS (
+           SELECT DISTINCT p.query_id, a.vec_id
+           FROM probes p JOIN idx a USING (list_id)
+           WHERE a.vec_id <> p.query_id),
+         recon AS (
+           SELECT c.vec_id, cb.sub * 8 + cb.sdim AS dim, cb.w
+           FROM codes c JOIN cb ON cb.sub = c.sub AND cb.code = c.code),
+         scored AS (
+           SELECT cand.query_id, cand.vec_id,
+                  round(sum(r.w * q.embedding[r.dim + 1]::DOUBLE), 6) AS sim
+           FROM cand JOIN recon r ON r.vec_id = cand.vec_id
+                     JOIN q ON q.query_id = cand.query_id
+           GROUP BY cand.query_id, cand.vec_id)
+         SELECT query_id, vec_id, sim, rk FROM (
+           SELECT query_id, vec_id, sim,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, vec_id) AS rk
+           FROM scored WHERE sim IS NOT NULL)
+         WHERE rk <= 5 ORDER BY query_id, rk"""
   )
 }
