@@ -277,6 +277,10 @@ object Graft {
     llmops.TextFuncs.duplicateWordFraction(text)
   def duplicateNgramFraction(text: Column, n: Int): Column =
     llmops.TextFuncs.duplicateNgramFraction(text, n)
+  /** Positional Gopher repetition stats (top-n-gram count + unioned
+    * duplicated-n-gram coverage, integer token space). */
+  def repetitionStats(docs: DataFrame, n: Int = 2, minCount: Int = 2): DataFrame =
+    llmops.TextFuncs.repetitionStats(docs, n, minCount)
   /** Concat-and-chunk sequence packing (bin id per document). */
   def packBins(docs: DataFrame, targetTokens: Int, streams: Int = 8): DataFrame =
     llmops.Packing.packBins(docs, targetTokens, streams)

@@ -2124,6 +2124,18 @@ object SparkEntry {
       }
       A.topK(s, idx, q, k = 5, nprobe = 4)
         .orderBy($"query_id", $"rk")
+    }),
+
+    // llmops positional Gopher repetition rules (Rae et al. 2021
+    // Table A1): per-document most-frequent-2-gram count and unioned
+    // coverage of duplicated 2-grams, in exact integer token space —
+    // the within-doc sibling of q95's cross-doc span coverage. All
+    // outputs integers: no float-ordering hazard anywhere.
+    "q111_doc_repetition" -> ((s, d) => {
+      import s.implicits._
+      graft.llmops.TextFuncs.repetitionStats(
+          t(s, d, "documents").filter($"doc_id" < 200), n = 2)
+        .orderBy($"doc_id")
     })
   )
 
@@ -3926,6 +3938,39 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY query_id
                     ORDER BY sim DESC, vec_id) AS rk
            FROM scored WHERE sim IS NOT NULL)
-         WHERE rk <= 5 ORDER BY query_id, rk"""
+         WHERE rk <= 5 ORDER BY query_id, rk""",
+    "q111_doc_repetition" ->
+      """WITH d AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents WHERE doc_id < 200),
+         t AS (
+           SELECT doc_id, len(toks) AS nt, toks FROM d WHERE len(toks) >= 2),
+         pos AS (
+           SELECT doc_id, nt, toks, unnest(range(1, nt::BIGINT)) AS i FROM t),
+         occ AS (
+           SELECT doc_id, i, toks[i::INT] || ' ' || toks[(i + 1)::INT] AS gram
+           FROM pos),
+         cnts AS (
+           SELECT doc_id, gram, count(*) AS c FROM occ GROUP BY 1, 2),
+         top AS (
+           SELECT doc_id, max(c)::BIGINT AS top_gram_cnt FROM cnts GROUP BY 1),
+         dupocc AS (
+           SELECT o.doc_id, o.i FROM occ o
+           JOIN cnts c ON c.doc_id = o.doc_id AND c.gram = o.gram
+           WHERE c.c >= 2),
+         cover AS (
+           SELECT doc_id, i AS p FROM dupocc
+           UNION ALL SELECT doc_id, i + 1 FROM dupocc),
+         dup AS (
+           SELECT g.doc_id, g.dgo, v.dtc FROM
+             (SELECT doc_id, count(DISTINCT i)::BIGINT AS dgo
+              FROM dupocc GROUP BY 1) g
+           JOIN (SELECT doc_id, count(DISTINCT p)::BIGINT AS dtc
+                 FROM cover GROUP BY 1) v USING (doc_id))
+         SELECT t.doc_id, t.nt::INT AS n_tokens, top.top_gram_cnt,
+                coalesce(dup.dgo, 0) AS dup_gram_occurrences,
+                coalesce(dup.dtc, 0) AS dup_token_cover
+         FROM t JOIN top USING (doc_id) LEFT JOIN dup USING (doc_id)
+         ORDER BY doc_id"""
   )
 }

@@ -1,6 +1,6 @@
 package graft.llmops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM training-data pipelines, expressed as
@@ -213,5 +213,61 @@ object TextFuncs {
     when(size(grams) === 0, 0.0)
       .otherwise(lit(1.0) - size(array_distinct(grams)) /
         size(grams).cast("double"))
+  }
+
+  /** Within-document repetition statistics — the positional Gopher
+    * repetition rules (Rae et al. 2021, Table A1: "fraction of
+    * characters in the most frequent n-gram" for small n, "fraction
+    * of characters in duplicated n-grams" for large n), in exact
+    * integer token space so flags are deterministic (thresholds
+    * rescale; the char variants just weight by word length). One row
+    * per document with ≥ n tokens:
+    * (id, n_tokens, top_gram_cnt, dup_gram_occurrences,
+    * dup_token_cover) — top_gram_cnt = occurrences of the most
+    * frequent word n-gram; dup_token_cover = distinct token positions
+    * inside n-grams occurring ≥ `minCount` times (overlaps UNIONED,
+    * the part [[duplicateNgramFraction]]'s blunt distinct-ratio
+    * cannot express).
+    *
+    * Relational shape — the within-doc sibling of
+    * [[Dedup.duplicateSpanStats]]: slim (id, pos, gram) rows through
+    * one (id, gram) count and a join-back on the same key; text never
+    * shuffles and nothing is quadratic in document length. (The HOF
+    * alternative — count each distinct gram by filtering the gram
+    * array — is O(len²) per row and dies on exactly the long template
+    * documents this rule exists to flag.)
+    */
+  def repetitionStats(docs: DataFrame, n: Int = 2, minCount: Int = 2,
+                      idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    require(n >= 1, s"n-gram length n=$n must be >= 1")
+    val occ = docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("__nt", size(col("__toks")))
+      // sequence(1, x) with x < 1 runs DESCENDING — guard short docs out
+      .filter(col("__nt") >= n)
+      .select(col(idCol), col("__nt"),
+        posexplode(transform(sequence(lit(1), col("__nt") - (n - 1)),
+          i => concat_ws(" ", slice(col("__toks"), i, lit(n)))))
+          .as(Seq("__pos", "__g")))
+      .localCheckpoint() // one tokenize scan for both consumers (q95 pattern)
+    val cnts = occ.groupBy(col(idCol), col("__g"))
+      .agg(count(lit(1)).as("__c"), first(col("__nt")).as("__ntg"))
+    val top = cnts.groupBy(col(idCol))
+      .agg(first(col("__ntg")).as("n_tokens"),
+        max(col("__c")).as("top_gram_cnt"))
+    val dup = occ
+      .join(cnts.filter(col("__c") >= minCount)
+        .select(col(idCol), col("__g")), Seq(idCol, "__g"))
+      .select(col(idCol), col("__pos"),
+        explode(sequence(col("__pos"), col("__pos") + (n - 1))).as("__p"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("__pos")).as("dup_gram_occurrences"),
+        countDistinct(col("__p")).as("dup_token_cover"))
+    top.join(dup, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"), col("top_gram_cnt"),
+        coalesce(col("dup_gram_occurrences"), lit(0L))
+          .as("dup_gram_occurrences"),
+        coalesce(col("dup_token_cover"), lit(0L)).as("dup_token_cover"))
   }
 }

@@ -105,4 +105,27 @@ class TextFuncsSpec extends SparkTestBase {
       assert(fast == hof, s"n=$n text=${t.take(40).replace("\n", "\\n")}")
     }
   }
+
+  test("repetitionStats: positional Gopher rules in integer token space") {
+    val docs = Seq(
+      (1L, "a b a b c"),   // top "a b"=2; dup occ at 2 positions; cover {a,b,a,b}=4
+      (2L, "x y z"),       // no repetition
+      (3L, "w"),           // < n tokens: excluded
+      (4L, "t t t t"),     // "t t" x3; every position dup; cover 4
+      (5L, "a b a b a")    // overlap: 4 dup occ, cover 5 (unioned, not 8)
+    ).toDF("doc_id", "text")
+    val got = TextFuncs.repetitionStats(docs, n = 2)
+      .orderBy($"doc_id")
+      .as[(Long, Int, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 5, 2L, 2L, 4L),
+      (2L, 3, 1L, 0L, 0L),
+      (4L, 4, 3L, 3L, 4L),
+      (5L, 5, 2L, 4L, 5L)))
+    // minCount above every within-doc frequency: dup stats go to zero
+    val strict = TextFuncs.repetitionStats(docs, n = 2, minCount = 4)
+      .orderBy($"doc_id")
+      .as[(Long, Int, Long, Long, Long)].collect().toSeq
+    assert(strict.forall { case (_, _, _, dgo, dtc) => dgo == 0L && dtc == 0L })
+  }
 }
