@@ -2136,6 +2136,24 @@ object SparkEntry {
       graft.llmops.TextFuncs.repetitionStats(
           t(s, d, "documents").filter($"doc_id" < 200), n = 2)
         .orderBy($"doc_id")
+    }),
+
+    // llmops interpolated Kneser-Ney perplexity — the smoothing KenLM
+    // (CCNet's actual LM) implements, upgrading q99's add-k floor:
+    // unseen mass is redistributed by continuation TYPE counts, all
+    // derived relationally from the bigram table alone. Trained on
+    // the English slice and scoring EVERY doc, so the unseen-history
+    // backoff branch is exercised; the oracle re-derives history,
+    // continuation, and both scalars from the single dumped table.
+    "q112_kn_perplexity" -> ((s, d) => {
+      import s.implicits._
+      val L = graft.llmops.LangModel
+      val docs = t(s, d, "documents")
+      val bi = L.bigramCounts(docs.filter($"lang" === "en"), $"text")
+      if (materializing) materialize(bi, "q112_bigrams")
+      L.knNllScores(docs, bi, d = 0.75)
+        .select($"doc_id", $"n_bigrams", round($"avg_nll", 4).as("avg_nll"))
+        .orderBy($"doc_id")
     })
   )
 
@@ -3971,6 +3989,39 @@ object SparkEntry {
                 coalesce(dup.dgo, 0) AS dup_gram_occurrences,
                 coalesce(dup.dtc, 0) AS dup_token_cover
          FROM t JOIN top USING (doc_id) LEFT JOIN dup USING (doc_id)
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+    "q112_kn_perplexity" ->
+      """WITH bi AS (
+           SELECT w1, w2, c
+           FROM read_parquet('/root/repo/spark-warehouse/q112_bigrams/*.parquet')),
+         hist AS (SELECT w1, sum(c) AS ch, count(*) AS n1p FROM bi GROUP BY 1),
+         cont AS (SELECT w2, count(*) AS nc FROM bi GROUP BY 1),
+         sc AS (SELECT (SELECT count(*) FROM bi)::DOUBLE AS ntypes,
+                       (SELECT count(*) FROM cont)::DOUBLE AS v),
+         toks AS (
+           SELECT doc_id,
+                  string_split_regex(lower(trim(text)), '\s+') AS l
+           FROM documents),
+         pairs AS (
+           SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+           FROM (SELECT doc_id, l,
+                        unnest(generate_series(1, len(l) - 1)) AS i
+                 FROM toks WHERE len(l) >= 2)),
+         nll AS (
+           SELECT p.doc_id,
+                  -ln(CASE WHEN h.ch IS NULL
+                       THEN (coalesce(ct.nc, 0) + 1.0) /
+                            (sc.ntypes + sc.v + 1.0)
+                       ELSE greatest(coalesce(bi.c, 0) - 0.75, 0) / h.ch
+                            + (0.75 * h.n1p / h.ch) *
+                              ((coalesce(ct.nc, 0) + 1.0) /
+                               (sc.ntypes + sc.v + 1.0)) END) AS nll
+           FROM pairs p
+           LEFT JOIN bi ON bi.w1 = p.w1 AND bi.w2 = p.w2
+           LEFT JOIN hist h ON h.w1 = p.w1
+           LEFT JOIN cont ct ON ct.w2 = p.w2, sc)
+         SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                round(avg(nll), 4) AS avg_nll
+         FROM nll GROUP BY doc_id ORDER BY doc_id"""
   )
 }

@@ -52,4 +52,74 @@ class LangModelSpec extends SparkTestBase {
       .select($"doc_id").as[Long].collect().toSet
     assert(ids == Set(1L))
   }
+
+  // ---- interpolated Kneser-Ney ----
+
+  /** Driver-side KN reference: same formulas, independent list-walk. */
+  private def refKn(train: Seq[String], score: Seq[(Long, String)],
+                    d: Double): Map[Long, (Long, Double)] = {
+    def pairsOf(t: String): Seq[(String, String)] = {
+      val w = t.trim.toLowerCase.split("\\s+").toSeq
+      if (w.length < 2) Nil else w.zip(w.tail)
+    }
+    val bi = train.flatMap(pairsOf).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val ch = bi.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    val n1p = bi.keys.toSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nc = bi.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nTypes = bi.size.toDouble
+    val v = nc.size.toDouble
+    def pCont(w2: String): Double =
+      (nc.getOrElse(w2, 0L) + 1.0) / (nTypes + v + 1.0)
+    def prob(w1: String, w2: String): Double = ch.get(w1) match {
+      case None => pCont(w2)
+      case Some(h) =>
+        math.max(bi.getOrElse((w1, w2), 0L) - d, 0.0) / h +
+          (d * n1p(w1) / h) * pCont(w2)
+    }
+    score.flatMap { case (id, t) =>
+      val ps = pairsOf(t)
+      if (ps.isEmpty) None
+      else Some(id -> (ps.size.toLong,
+        ps.map { case (a, b) => -math.log(prob(a, b)) }.sum / ps.size))
+    }.toMap
+  }
+
+  test("KN scores match the independent reference, incl. unseen histories") {
+    val train = Seq("the cat sat on the mat", "the dog sat on the rug",
+      "a cat and a dog")
+    val score = Seq(
+      (1L, "the cat sat"), (2L, "the dog ate"), // "dog ate" unseen pair
+      (3L, "zz qq zz"))                          // fully unseen history
+    val trainDf = train.map(Tuple1(_)).toDF("text")
+    val bi = LangModel.bigramCounts(trainDf, $"text")
+    val got = LangModel.knNllScores(score.toDF("doc_id", "text"), bi)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val want = refKn(train, score, 0.75)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, (n, nll)) =>
+      assert(n == want(id)._1)
+      assert(math.abs(nll - want(id)._2) < 1e-9, s"doc $id: $nll vs ${want(id)._2}")
+    }
+  }
+
+  test("KN continuation: frequent single-context word gets less unseen mass") {
+    // "francisco" appears 4 times but ONLY after "san"; "things"
+    // appears twice after two different words. After an UNSEEN
+    // history, KN must prefer "things" — add-k would prefer
+    // "francisco" on raw frequency.
+    val train = Seq("san francisco san francisco san francisco san francisco",
+      "good things", "bad things")
+    val trainDf = train.map(Tuple1(_)).toDF("text")
+    val bi = LangModel.bigramCounts(trainDf, $"text")
+    val score = Seq((1L, "unseen francisco"), (2L, "unseen things"))
+      .toDF("doc_id", "text")
+    val nll = LangModel.knNllScores(score, bi)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(nll(2L) < nll(1L),
+      s"KN must score multi-context 'things' (${nll(2L)}) more likely " +
+        s"than single-context 'francisco' (${nll(1L)})")
+  }
 }
