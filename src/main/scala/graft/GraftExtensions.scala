@@ -74,10 +74,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "(array of (id, score) structs, score desc / id asc)"),
       (args: Seq[Expression]) => args match {
         case Seq(id, s, k) if k.foldable && k.eval() != null =>
-          graft.llmops.CollectTopK(id, s,
-            k.eval().asInstanceOf[Number].intValue())
+          k.eval() match {
+            case n: Number => graft.llmops.CollectTopK(id, s, n.intValue())
+            case _ => throw new IllegalArgumentException(
+              "collect_top_k(id, score, k) with literal non-null numeric k")
+          }
         case _ => throw new IllegalArgumentException(
-          "collect_top_k(id, score, k) with literal non-null k")
+          "collect_top_k(id, score, k) with literal non-null numeric k")
       }))
     e.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim",

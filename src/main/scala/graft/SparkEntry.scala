@@ -2154,6 +2154,26 @@ object SparkEntry {
       L.knNllScores(docs, bi, d = 0.75)
         .select($"doc_id", $"n_bigrams", round($"avg_nll", 4).as("avg_nll"))
         .orderBy($"doc_id")
+    }),
+
+    // llmops perceptual image near-dup (the LAION-style image-dedup
+    // path): REAL decoded pixels → 64-bit dHash (exact integer
+    // gradient signs, so any engine reproduces it bit-for-bit) → the
+    // same banded-Hamming join text SimHash rides. The planted PNGs'
+    // pixel values depend only on the 9×8 grid cell, so the oracle
+    // predicts every 64-bit hash in closed form WITHOUT decoding a
+    // byte — and its all-pairs join checks the LSH path's
+    // completeness guarantee at Hamming ≤ 3 (4 bands, pigeonhole).
+    "q113_image_dhash" -> ((s, d) => {
+      import s.implicits._
+      val M = graft.llmops.Multimodal
+      val assets = M.plantedHashImages(s,
+        t(s, d, "documents").filter($"doc_id" < 300))
+      M.imageNearDupPairs(M.imageDHashes(s, assets), maxHamming = 3)
+        .select($"id_a".cast("long").as("id_a"),
+          $"id_b".cast("long").as("id_b"),
+          $"hamming".cast("long").as("hamming"))
+        .orderBy($"id_a", $"id_b")
     })
   )
 
@@ -4022,6 +4042,33 @@ object SparkEntry {
            LEFT JOIN cont ct ON ct.w2 = p.w2, sc)
          SELECT doc_id, count(*)::BIGINT AS n_bigrams,
                 round(avg(nll), 4) AS avg_nll
-         FROM nll GROUP BY doc_id ORDER BY doc_id"""
+         FROM nll GROUP BY doc_id ORDER BY doc_id""",
+    "q113_image_dhash" ->
+      """WITH d AS (SELECT doc_id, doc_id % 25 AS g, (doc_id % 11 = 0) AS bump
+                    FROM documents WHERE doc_id < 300),
+         cells AS (
+           SELECT doc_id, i, j,
+                  (31*g + 17*i + 29*j + 23*((g*(i+2*j)) % 13)) % 150 +
+                    CASE WHEN bump AND i = 4 AND j = 0 THEN 50 ELSE 0 END AS v
+           FROM d,
+                (SELECT unnest(generate_series(0, 8)) AS i),
+                (SELECT unnest(generate_series(0, 7)) AS j)),
+         bits AS (
+           SELECT l.doc_id, (l.j*8 + l.i) AS idx
+           FROM cells l JOIN cells r
+             ON r.doc_id = l.doc_id AND r.j = l.j AND r.i = l.i + 1
+           WHERE r.v > l.v),
+         hs AS (SELECT doc_id,
+                       bit_or(CASE WHEN idx = 63
+                              THEN (-9223372036854775807 - 1)::BIGINT
+                              ELSE 1::BIGINT << idx END) AS dh
+                FROM bits GROUP BY doc_id),
+         hashes AS (SELECT d.doc_id, coalesce(hs.dh, 0) AS dh
+                    FROM d LEFT JOIN hs USING (doc_id))
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                bit_count(xor(a.dh, b.dh))::BIGINT AS hamming
+         FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.dh, b.dh)) <= 3
+         ORDER BY id_a, id_b"""
   )
 }

@@ -185,15 +185,15 @@ object Dedup {
     val hammingCap =
       if (maxHamming >= 0) maxHamming
       else if (wideBands) 6 else 3
+    if (!wideBands)
+      return bandedHammingPairs(
+        docs.select(col(idCol).as("id"),
+          Sketches.simhash64(col(textCol)).as("fp")),
+        hammingCap, maxBucket)
     val (fpCol, bandsOf, hammingOf) =
-      if (wideBands)
-        (Sketches.simhash128(col(textCol)),
-          Sketches.simhash128Bands _,
-          Sketches.hamming128 _)
-      else
-        (Sketches.simhash64(col(textCol)),
-          Sketches.simhashBands _,
-          Sketches.hamming64 _)
+      (Sketches.simhash128(col(textCol)),
+        Sketches.simhash128Bands _,
+        Sketches.hamming128 _)
     val fps = docs.select(col(idCol).as("id"), fpCol.as("fp"))
     val banded = capBuckets(fps
       .select(col("id"), col("fp"), explode(bandsOf(col("fp"))).as("b"))
@@ -209,6 +209,37 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         hammingOf(col("fp_a"), col("fp_b")).as("hamming"))
       .filter(col("hamming") <= hammingCap)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("hamming")).as("hamming"))
+  }
+
+  /** Banded Hamming-neighbor pairs over ANY 64-bit fingerprint frame
+    * `fps` = (id, fp) — the fingerprint-agnostic core of
+    * [[simhashPairs]], shared with perceptual image hashes
+    * ([[Multimodal.imageNearDupPairs]]). 16-bit band buckets (4 per
+    * fingerprint, so recall is COMPLETE for `maxHamming` ≤ 3 by
+    * pigeonhole), hot-bucket cap against degenerate buckets, exact
+    * `bit_count(xor)` verification, pair-dedup via group-min. Only
+    * (long, long) rows move — never the payloads the fingerprints
+    * summarize.
+    */
+  def bandedHammingPairs(fps: DataFrame, maxHamming: Int,
+                         maxBucket: Int = 200): DataFrame = {
+    val banded = capBuckets(fps
+      .select(col("id"), col("fp"),
+        explode(Sketches.simhashBands(col("fp"))).as("b"))
+      .select(col("id"), col("fp"),
+        col("b.band").as("band"), col("b.band_hash").as("band_hash")),
+      maxBucket)
+    val a = banded.select(col("band"), col("band_hash"),
+      col("id").as("id_a"), col("fp").as("fp_a"))
+    val b = banded.select(col("band"), col("band_hash"),
+      col("id").as("id_b"), col("fp").as("fp_b"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Sketches.hamming64(col("fp_a"), col("fp_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
       .groupBy(col("id_a"), col("id_b"))
       .agg(min(col("hamming")).as("hamming"))
   }

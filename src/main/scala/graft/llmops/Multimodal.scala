@@ -83,24 +83,90 @@ object Multimodal {
     // per-decode tmp-file caching off: small payloads decode in memory
     locally { javax.imageio.ImageIO.setUseCache(false) }
 
-    /** Encode a solid-gray `w`×`h` PNG — the deterministic fixture
-      * generator behind q108's planted images: every stat the decoder
-      * recovers is predictable arithmetic on the plant parameters.
+    /** Encode a grayscale `w`×`h` PNG with per-pixel values from `f`
+      * (clamped to 0–255) — the deterministic fixture generator
+      * behind the planted-image oracles: every stat/hash the decoder
+      * recovers is predictable arithmetic on the plant parameters
+      * because PNG grayscale is lossless.
       */
-    def encodePng(w: Int, h: Int, gray: Int): Array[Byte] = {
+    def encodeGrayPng(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(w, h,
         java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
       val raster = img.getRaster
       var y = 0
       while (y < h) {
         var x = 0
-        while (x < w) { raster.setSample(x, y, 0, gray); x += 1 }
+        while (x < w) {
+          raster.setSample(x, y, 0, math.max(0, math.min(255, f(x, y))))
+          x += 1
+        }
         y += 1
       }
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "png", bos)
       bos.toByteArray
     }
+
+    /** Encode a solid-gray `w`×`h` PNG — q108's planted fixture. */
+    def encodePng(w: Int, h: Int, gray: Int): Array[Byte] =
+      encodeGrayPng(w, h, (_, _) => gray)
+
+    /** 64-bit difference hash (dHash — the standard perceptual
+      * near-dup fingerprint; see e.g. the pHash family used for
+      * LAION-scale image dedup): downsample band 0 to a 9×8 grid by
+      * EXACT integer area-average (cell (i,j) covers
+      * x ∈ [i·w/9, (i+1)·w/9) × y ∈ [j·h/8, (j+1)·h/8), floor
+      * boundaries), then bit (j·8+i) = mean(i+1,j) > mean(i,j) —
+      * the horizontal-gradient sign. The comparison cross-multiplies
+      * integer sums (no floating point), so the hash is
+      * bit-reproducible by any engine from the same pixel values —
+      * q113's oracle recomputes it in SQL from the plant parameters
+      * without decoding a byte. Uniform-brightness shifts leave every
+      * gradient sign unchanged, so the hash is exposure-invariant by
+      * construction (pinned in MultimodalSpec).
+      *
+      * `None` for undecodable payloads or images smaller than the
+      * 9×8 grid — corrupt rows yield nulls, never task failures.
+      */
+    def dHash64(bytes: Array[Byte]): Option[Long] =
+      try {
+        if (bytes == null || bytes.isEmpty) None
+        else {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          if (img == null || img.getWidth < 9 || img.getHeight < 8) None
+          else {
+            val r = img.getRaster
+            val (w, h) = (img.getWidth, img.getHeight)
+            val sums = Array.ofDim[Long](9, 8)
+            val cnts = Array.ofDim[Long](9, 8)
+            var y = 0
+            while (y < h) {
+              val j = math.min(y * 8 / h, 7)
+              var x = 0
+              while (x < w) {
+                val i = math.min(x * 9 / w, 8)
+                sums(i)(j) += r.getSample(x, y, 0)
+                cnts(i)(j) += 1
+                x += 1
+              }
+              y += 1
+            }
+            var hash = 0L
+            var j = 0
+            while (j < 8) {
+              var i = 0
+              while (i < 8) {
+                if (sums(i + 1)(j) * cnts(i)(j) > sums(i)(j) * cnts(i + 1)(j))
+                  hash |= 1L << (j * 8 + i)
+                i += 1
+              }
+              j += 1
+            }
+            Some(hash)
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
 
     /** Decode any ImageIO-readable payload to
       * (width, height, bands, mean sample value of band 0 in 0–255).
@@ -196,6 +262,65 @@ object Multimodal {
       val content =
         if (id % 37 == 0) java.util.Arrays.copyOf(png, 8) else png
       Asset(id, "image", content, Some(w), Some(h), None, Some("png"))
+    }
+  }
+
+  /** Distributed perceptual hashing: image payloads → 64-bit dHash,
+    * one decode per row inside the partition, payloads never on the
+    * driver. Output is the slim (asset_id, dhash) frame — 16 bytes a
+    * row no matter the image size, which is the whole point: at
+    * 100 TB of images, everything downstream of this map (banding,
+    * bucket joins, Hamming verification) moves longs, not pixels.
+    * Undecodable / too-small / non-image rows get a null dhash.
+    */
+  def imageDHashes(spark: SparkSession, assets: Dataset[Asset]): DataFrame = {
+    import spark.implicits._
+    assets.mapPartitions(_.map { a =>
+      val hash =
+        if (a.media_type == "image") ImageCodec.dHash64(a.content)
+        else None
+      (a.asset_id, hash)
+    }).toDF("asset_id", "dhash")
+  }
+
+  /** Image near-duplicate pairs from dHash fingerprints: the
+    * LAION-style image-dedup path. Rides [[Dedup.bandedHammingPairs]]
+    * — 16-bit band buckets, hot-bucket cap, Hamming verify — so the
+    * join is |bucket-collisions|, never |images|². Complete for
+    * `maxHamming` ≤ 3 (4 disjoint bands, pigeonhole); q113 gates that
+    * completeness against an all-pairs SQL oracle. Returns
+    * (id_a, id_b, hamming), id_a < id_b.
+    */
+  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 3,
+                        maxBucket: Int = 200): DataFrame =
+    Dedup.bandedHammingPairs(
+      hashes.filter(col("dhash").isNotNull)
+        .select(col("asset_id").as("id"), col("dhash").as("fp")),
+      maxHamming, maxBucket)
+
+  /** Planted perceptual-hash fixtures: an 18×16 grayscale PNG per doc
+    * whose pixel values depend only on the 9×8 grid cell —
+    * `V(g,i,j) = (31g + 17i + 29j + 23·((g·(i+2j)) mod 13)) mod 150`
+    * with `g = doc_id mod 25` — plus a +50 bump on cell (4,0) for
+    * every doc_id ≡ 0 (mod 11). Same-group docs are exact hash
+    * duplicates, bumped-vs-unbumped same-group docs differ in ≤ 2
+    * gradient signs (Hamming 1–2 — the near-dup band), cross-group
+    * hashes scatter. All values ≤ 199, so no clamping and no mod-256
+    * wrap: a SQL oracle predicts every 64-bit hash in closed form
+    * from (g, bump) without decoding a byte.
+    */
+  def plantedHashImages(spark: SparkSession, docs: DataFrame): Dataset[Asset] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val g = (id % 25).toInt
+      val bump = id % 11 == 0
+      val png = ImageCodec.encodeGrayPng(18, 16, (x, y) => {
+        val i = x / 2
+        val j = y / 2
+        (31 * g + 17 * i + 29 * j + 23 * ((g * (i + 2 * j)) % 13)) % 150 +
+          (if (bump && i == 4 && j == 0) 50 else 0)
+      })
+      Asset(id, "image", png, Some(18), Some(16), None, Some("png"))
     }
   }
 

@@ -137,5 +137,10 @@ class FreqSpec extends SparkTestBase {
     }
     assert(e2.getMessage.contains("literal non-null numeric k"),
       s"got: ${e2.getMessage}")
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT collect_top_k(item, 1.0, 'four') FROM fi_in").collect()
+    }
+    assert(e3.getMessage.contains("literal non-null numeric k"),
+      s"got: ${e3.getMessage}")
   }
 }

@@ -133,4 +133,75 @@ class MultimodalSpec extends SparkTestBase {
     // audio falls back to the deterministic byte-fold (8-dim)
     assert(feats(3L).feature.length == 8)
   }
+
+  // ---- perceptual dHash ----
+
+  /** Independent closed-form replay of the planted-fixture hash (the
+    * same arithmetic the q113 SQL oracle runs): cell values from the
+    * plant formula, bit = right-neighbor greater.
+    */
+  private def plantedHashRef(id: Long): Long = {
+    val g = (id % 25).toInt
+    val bump = id % 11 == 0
+    def v(i: Int, j: Int): Int =
+      (31 * g + 17 * i + 29 * j + 23 * ((g * (i + 2 * j)) % 13)) % 150 +
+        (if (bump && i == 4 && j == 0) 50 else 0)
+    var hash = 0L
+    for (j <- 0 until 8; i <- 0 until 8)
+      if (v(i + 1, j) > v(i, j)) hash |= 1L << (j * 8 + i)
+    hash
+  }
+
+  test("dHash of a decoded planted PNG equals the closed-form hash") {
+    val docs = Seq(0L, 1L, 11L, 25L, 26L, 37L, 123L, 299L).toDF("doc_id")
+    val got = Multimodal.imageDHashes(spark,
+        Multimodal.plantedHashImages(spark, docs))
+      .as[(Long, Option[Long])].collect().toMap
+    docs.as[Long].collect().foreach { id =>
+      assert(got(id).contains(plantedHashRef(id)),
+        s"doc $id: decode-path hash ${got(id)} != ref ${plantedHashRef(id)}")
+    }
+  }
+
+  test("dHash is exposure-invariant and gradient-sensitive") {
+    val C = Multimodal.ImageCodec
+    def pat(x: Int, y: Int): Int = (x * 7 + (x * y) % 5 * 13) % 140
+    val base = C.dHash64(C.encodeGrayPng(18, 16, pat)).get
+    // uniform brightness shift: every gradient sign unchanged
+    val brighter = C.dHash64(C.encodeGrayPng(18, 16, (x, y) => pat(x, y) + 60)).get
+    assert(brighter == base, "uniform exposure shift must not move the hash")
+    // mirrored image reverses the gradient signs: far in Hamming space
+    val mirrored = C.dHash64(C.encodeGrayPng(18, 16, (x, y) => pat(17 - x, y))).get
+    assert(java.lang.Long.bitCount(base ^ mirrored) > 16,
+      "mirror must scatter the hash")
+    // solid gray has no gradients at all
+    assert(C.dHash64(C.encodePng(18, 16, 77)).contains(0L))
+  }
+
+  test("dHash rejects undecodable and sub-grid payloads as None") {
+    val C = Multimodal.ImageCodec
+    assert(C.dHash64(null).isEmpty)
+    assert(C.dHash64(Array[Byte](1, 2, 3)).isEmpty)
+    assert(C.dHash64(C.encodePng(4, 4, 10)).isEmpty, "smaller than the 9x8 grid")
+    val truncated = java.util.Arrays.copyOf(C.encodePng(18, 16, 10), 8)
+    assert(C.dHash64(truncated).isEmpty)
+  }
+
+  test("banded image near-dup pairs are complete vs brute force at Hamming <= 3") {
+    val docs = spark.range(120).toDF("doc_id")
+    val hashes = Multimodal.imageDHashes(spark,
+      Multimodal.plantedHashImages(spark, docs)).cache()
+    val got = Multimodal.imageNearDupPairs(hashes, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val hs = hashes.as[(Long, Option[Long])].collect()
+      .map { case (id, h) => id -> h.get }
+    val want = (for {
+      (ia, ha) <- hs; (ib, hb) <- hs if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib, d)).toSet
+    assert(got == want)
+    assert(want.exists(_._3 == 0), "planted exact dups must exist")
+    assert(want.exists(p => p._3 > 0 && p._3 <= 2),
+      "planted bump near-dups must exist")
+  }
 }
