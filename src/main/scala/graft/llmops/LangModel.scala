@@ -35,9 +35,20 @@ object LangModel {
     docs.select(explode(TextFuncs.tokens(textCol)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
 
-  /** Bigram counts (w1, w2, c) over adjacent token pairs. */
-  def bigramCounts(docs: DataFrame, textCol: Column): DataFrame =
-    docs.select(TextFuncs.tokens(textCol).as("__toks"))
+  /** Bigram counts (w1, w2, c) over adjacent token pairs.
+    *
+    * `minCount` is the KenLM-style count-pruning threshold — the
+    * scale valve for the one unbounded object in this family: the
+    * pair table grows with the reference corpus's bigram TYPE count
+    * (worst case \|vocab\|²) while everything else here is bounded.
+    * Pruning at train time keeps the dumped model broadcastable;
+    * pruned pairs simply take the unseen branch at scoring time
+    * (add-k floor / KN continuation backoff), which is exactly how a
+    * count-pruned KenLM behaves. The default 1 keeps every pair.
+    */
+  def bigramCounts(docs: DataFrame, textCol: Column,
+                   minCount: Long = 1L): DataFrame = {
+    val counts = docs.select(TextFuncs.tokens(textCol).as("__toks"))
       // sequence(1, x) with x < 1 runs DESCENDING — guard 1-token docs
       .filter(size(col("__toks")) >= 2)
       .select(explode(transform(
@@ -47,6 +58,8 @@ object LangModel {
           element_at(col("__toks"), i + 1).as("w2")))).as("bg"))
       .select(col("bg.w1"), col("bg.w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    if (minCount <= 1L) counts else counts.filter(col("c") >= minCount)
+  }
 
   /** Per-document average negative log-likelihood under the bigram LM
     * defined by (`uni`, `bi`, add-k): (id, n_bigrams, avg_nll).

@@ -105,6 +105,23 @@ class LangModelSpec extends SparkTestBase {
     }
   }
 
+  test("count pruning drops rare pairs; pruned pairs score via the unseen branch") {
+    val train = Seq("a b a b a b", "c d")   // (a,b)x3, (b,a)x2, (c,d)x1
+    val trainDf = train.map(Tuple1(_)).toDF("text")
+    val full = LangModel.bigramCounts(trainDf, $"text")
+    val pruned = LangModel.bigramCounts(trainDf, $"text", minCount = 2L)
+    assert(full.count() == 3 && pruned.count() == 2)
+    // the pruned model is still a complete KN model: "c d" now takes
+    // the unseen-history branch (c left the history table entirely),
+    // and the score equals the independent reference computed over
+    // the PRUNED table — pruning changes the model, not the math
+    val score = Seq((1L, "c d")).toDF("doc_id", "text")
+    val got = LangModel.knNllScores(score, pruned)
+      .as[(Long, Long, Double)].head()
+    val want = refKn(Seq("a b a b a b"), Seq((1L, "c d")), 0.75)
+    assert(math.abs(got._3 - want(1L)._2) < 1e-9)
+  }
+
   test("KN continuation: frequent single-context word gets less unseen mass") {
     // "francisco" appears 4 times but ONLY after "san"; "things"
     // appears twice after two different words. After an UNSEEN
