@@ -2174,6 +2174,44 @@ object SparkEntry {
           $"id_b".cast("long").as("id_b"),
           $"hamming".cast("long").as("hamming"))
         .orderBy($"id_a", $"id_b")
+    }),
+
+    // llmops REAL audio decode: canonical RIFF/WAVE PCM needs no codec
+    // library — the parse is ByteBuffer arithmetic, so WAV decode is
+    // as real as q108's imageio path. Planted mono square waves have
+    // closed-form stats (mean |sample| = amplitude, zero crossings =
+    // floor((n-1)/half), duration = n/8 ms), so the oracle predicts
+    // every recovered value without parsing a byte — including NULLs
+    // for the every-37th truncated payload.
+    "q114_audio_decode" -> ((s, d) => {
+      import s.implicits._
+      val A = graft.llmops.Audio
+      val assets = A.plantedAudio(s, t(s, d, "documents")
+        .filter($"doc_id" < 500))
+      A.decodeAudioStats(s, assets).toDF()
+        .select($"asset_id", $"sample_rate", $"channels", $"n_frames",
+          $"duration_ms", round($"mean_abs", 4).as("mean_abs"),
+          $"zero_crossings")
+        .orderBy($"asset_id")
+    }),
+
+    // llmops audio near-dup: REAL decoded samples → 64-bit energy
+    // dHash (integer frame energies, gradient-sign bits — the 1-D
+    // sibling of q113's spatial dHash, volume-invariant because
+    // energy is quadratic in amplitude) → the same banded-Hamming
+    // join. Planted clips' frame energies depend only on (group,
+    // frame), so the oracle predicts every hash in closed form and
+    // its all-pairs join checks LSH completeness at Hamming ≤ 3.
+    "q115_audio_fingerprint" -> ((s, d) => {
+      import s.implicits._
+      val A = graft.llmops.Audio
+      val assets = A.plantedFingerprintAudio(s, t(s, d, "documents")
+        .filter($"doc_id" < 300))
+      A.audioNearDupPairs(A.audioEnergyHashes(s, assets), maxHamming = 3)
+        .select($"id_a".cast("long").as("id_a"),
+          $"id_b".cast("long").as("id_b"),
+          $"hamming".cast("long").as("hamming"))
+        .orderBy($"id_a", $"id_b")
     })
   )
 
@@ -4069,6 +4107,53 @@ object SparkEntry {
                 bit_count(xor(a.dh, b.dh))::BIGINT AS hamming
          FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.dh, b.dh)) <= 3
+         ORDER BY id_a, id_b""",
+    // audio decode: every stat is closed-form arithmetic on the plant
+    // parameters (square wave: mean |s| = amp, crossings at multiples
+    // of the half-period); every 37th payload is truncated → NULLs
+    "q114_audio_decode" ->
+      """WITH d AS (SELECT doc_id,
+                           1 + doc_id % 5 AS half,
+                           (1000 + (doc_id % 7) * 100)::DOUBLE AS amp,
+                           160 + (doc_id % 11) * 16 AS n,
+                           (doc_id % 37 = 0) AS corrupt
+                    FROM documents WHERE doc_id < 500)
+         SELECT doc_id AS asset_id,
+                CASE WHEN corrupt THEN NULL ELSE 8000 END AS sample_rate,
+                CASE WHEN corrupt THEN NULL ELSE 1 END AS channels,
+                CASE WHEN corrupt THEN NULL ELSE n END AS n_frames,
+                CASE WHEN corrupt THEN NULL ELSE n // 8 END AS duration_ms,
+                CASE WHEN corrupt THEN NULL ELSE round(amp, 4) END AS mean_abs,
+                CASE WHEN corrupt THEN NULL ELSE (n - 1) // half
+                     END AS zero_crossings
+         FROM d ORDER BY asset_id""",
+    // audio fingerprint: frame energies are 4·A(g,b)² with A positive,
+    // so bit b ⇔ A(g,b+1) > A(g,b) — the hash in closed form, then
+    // the all-pairs Hamming join (checks the LSH path's completeness)
+    "q115_audio_fingerprint" ->
+      """WITH d AS (SELECT doc_id, doc_id % 25 AS g, (doc_id % 11 = 0) AS bump
+                    FROM documents WHERE doc_id < 300),
+         bins AS (
+           SELECT doc_id, b,
+                  100 + (31*g + 17*b + 23*((g*(b+3)) % 13)) % 150 +
+                    CASE WHEN bump AND b = 4 THEN 50 ELSE 0 END AS v
+           FROM d, (SELECT unnest(generate_series(0, 64)) AS b)),
+         bits AS (
+           SELECT l.doc_id, l.b AS idx
+           FROM bins l JOIN bins r
+             ON r.doc_id = l.doc_id AND r.b = l.b + 1
+           WHERE r.v > l.v),
+         hs AS (SELECT doc_id,
+                       bit_or(CASE WHEN idx = 63
+                              THEN (-9223372036854775807 - 1)::BIGINT
+                              ELSE 1::BIGINT << idx END) AS ah
+                FROM bits GROUP BY doc_id),
+         hashes AS (SELECT d.doc_id, coalesce(hs.ah, 0) AS ah
+                    FROM d LEFT JOIN hs USING (doc_id))
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                bit_count(xor(a.ah, b.ah))::BIGINT AS hamming
+         FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.ah, b.ah)) <= 3
          ORDER BY id_a, id_b"""
   )
 }
