@@ -2212,6 +2212,24 @@ object SparkEntry {
           $"id_b".cast("long").as("id_b"),
           $"hamming".cast("long").as("hamming"))
         .orderBy($"id_a", $"id_b")
+    }),
+
+    // llmops exact training-sequence packing (the loader layout
+    // q57's coarse bin assignment approximates): the global token
+    // stream sliced into fixed 256-token sequences with boundary-
+    // straddling fragments and zero padding. The one global construct
+    // — the prefix sum in doc order — runs as range-bucketed windows
+    // plus a ≤|buckets|-row offset table, never a single-task sort;
+    // the oracle replays it with a plain global window.
+    "q116_pack_sequences" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+        .select($"doc_id",
+          graft.llmops.TextFuncs.tokenCount($"text").as("n_toks"))
+      graft.llmops.Packing.packSequences(docs, seqLen = 256)
+        .select($"seq_id", $"id".as("doc_id"), $"doc_offset",
+          $"seq_offset", $"n_toks")
+        .orderBy($"seq_id", $"doc_id")
     })
   )
 
@@ -4154,6 +4172,32 @@ object SparkEntry {
                 bit_count(xor(a.ah, b.ah))::BIGINT AS hamming
          FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.ah, b.ah)) <= 3
-         ORDER BY id_a, id_b"""
+         ORDER BY id_a, id_b""",
+    // exact sequence packing: the oracle replays the bucketed prefix
+    // sum with a plain global window (same stream, same fragments)
+    "q116_pack_sequences" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  CASE WHEN len(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(lower(trim(text)), '\s+'))
+                       END::BIGINT AS nt
+           FROM documents),
+         offs AS (
+           SELECT doc_id, nt,
+                  coalesce(sum(nt) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0)::BIGINT AS st
+           FROM toks WHERE nt >= 1),
+         frags AS (
+           SELECT doc_id, nt, st,
+                  unnest(generate_series(st // 256,
+                                         (st + nt - 1) // 256)) AS seq_id
+           FROM offs)
+         SELECT seq_id, doc_id,
+                greatest(seq_id * 256 - st, 0) AS doc_offset,
+                greatest(st - seq_id * 256, 0) AS seq_offset,
+                least(st + nt, (seq_id + 1) * 256)
+                  - greatest(st, seq_id * 256) AS n_toks
+         FROM frags ORDER BY seq_id, doc_id"""
   )
 }
