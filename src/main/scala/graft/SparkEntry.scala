@@ -2230,6 +2230,25 @@ object SparkEntry {
         .select($"seq_id", $"id".as("doc_id"), $"doc_offset",
           $"seq_offset", $"n_toks")
         .orderBy($"seq_id", $"doc_id")
+    }),
+
+    // llmops REAL multi-frame decode: animated GIF is the one
+    // frame-sequence container the JDK decodes without codec libs,
+    // so the 1-asset→n-frame explode (q35's sampleFrames shape) runs
+    // over ACTUAL decoded frames here. Planted solid-gray frames have
+    // shade (13·id + 31·f) mod 200, so the oracle predicts every
+    // frame row — count, dimensions, exact mean — without decoding a
+    // byte; the every-37th truncated payload (GIF magic intact,
+    // body gone) must contribute ZERO rows, never a task failure.
+    "q117_frame_decode" -> ((s, d) => {
+      import s.implicits._
+      val M = graft.llmops.Multimodal
+      val assets = M.plantedGifs(s, t(s, d, "documents")
+        .filter($"doc_id" < 400))
+      M.decodeVideoFrameStats(s, assets).toDF()
+        .select($"asset_id", $"frame_index", $"width", $"height",
+          round($"mean_luma", 4).as("mean_luma"))
+        .orderBy($"asset_id", $"frame_index")
     })
   )
 
@@ -4198,6 +4217,19 @@ object SparkEntry {
                 greatest(st - seq_id * 256, 0) AS seq_offset,
                 least(st + nt, (seq_id + 1) * 256)
                   - greatest(st, seq_id * 256) AS n_toks
-         FROM frags ORDER BY seq_id, doc_id"""
+         FROM frags ORDER BY seq_id, doc_id""",
+    // multi-frame decode: every frame row predicted from the plant
+    // arithmetic; corrupt (every 37th) assets contribute no rows
+    "q117_frame_decode" ->
+      """WITH d AS (SELECT doc_id, 3 + doc_id % 4 AS w,
+                           2 + doc_id % 3 AS h, 2 + doc_id % 4 AS nf
+                    FROM documents
+                    WHERE doc_id < 400 AND doc_id % 37 <> 0)
+         SELECT doc_id AS asset_id, f AS frame_index,
+                w::INT AS width, h::INT AS height,
+                round(((13 * doc_id + 31 * f) % 200)::DOUBLE, 4) AS mean_luma
+         FROM d, (SELECT unnest(generate_series(0, 4)) AS f)
+         WHERE f < nf
+         ORDER BY asset_id, frame_index"""
   )
 }

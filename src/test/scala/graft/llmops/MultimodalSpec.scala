@@ -204,4 +204,45 @@ class MultimodalSpec extends SparkTestBase {
     assert(want.exists(p => p._3 > 0 && p._3 <= 2),
       "planted bump near-dups must exist")
   }
+
+  test("animated-GIF frames round-trip exactly, incl. non-solid pixels") {
+    val C = Multimodal.ImageCodec
+    // solid frames: exact shades back, in frame order
+    val solid = C.encodeGrayGifFrames(4, 3,
+      Seq((_, _) => 77, (_, _) => 108, (_, _) => 199))
+    assert(C.decodeFrameStats(solid) ==
+      Seq((0, 4, 3, 77.0), (1, 4, 3, 108.0), (2, 4, 3, 199.0)))
+    // gradient frame: per-pixel fidelity, not just the mean of a
+    // constant — expected mean computed independently
+    val grad = C.encodeGrayGifFrames(5, 4, Seq((x, y) => 10 * x + 7 * y))
+    val want = (for (y <- 0 until 4; x <- 0 until 5) yield 10 * x + 7 * y)
+      .sum.toDouble / 20
+    val got = C.decodeFrameStats(grad)
+    assert(got.size == 1 && got.head._4 == want)
+    // corrupt payloads (even ones keeping the GIF magic) → zero rows
+    assert(C.decodeFrameStats(java.util.Arrays.copyOf(solid, 8)).isEmpty)
+    assert(C.decodeFrameStats("not a gif".getBytes).isEmpty)
+    assert(C.decodeFrameStats(Array.emptyByteArray).isEmpty)
+  }
+
+  test("distributed multi-frame decode: planted gifs explode to exact frame rows") {
+    val docs = spark.range(80).toDF("doc_id")
+    val rows = Multimodal.decodeVideoFrameStats(spark,
+      Multimodal.plantedGifs(spark, docs)).cache()
+    // corrupt (every 37th) assets contribute zero rows; others nf each
+    val perAsset = rows.groupBy($"asset_id").count()
+      .as[(Long, Long)].collect().toMap
+    (0L until 80L).foreach { id =>
+      if (id % 37 == 0) assert(!perAsset.contains(id))
+      else assert(perAsset(id) == 2 + id % 4, s"doc $id")
+    }
+    // every frame row matches the plant formula exactly
+    import org.apache.spark.sql.functions.lit
+    val bad = rows.filter(
+      $"width" =!= lit(3) + $"asset_id" % 4 ||
+        $"height" =!= lit(2) + $"asset_id" % 3 ||
+        $"mean_luma" =!= (($"asset_id" * 13 + $"frame_index" * 31) % 200)
+          .cast("double")).count()
+    assert(bad == 0)
+  }
 }
