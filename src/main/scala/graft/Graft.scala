@@ -365,6 +365,46 @@ object Graft {
   /** Jaccard estimate from two [[kmvSketch]] arrays (q107). */
   def kmvJaccard(a: Column, b: Column, k: Int): Column =
     llmops.Freq.kmvJaccard(a, b, k)
+  /** Interpolated Kneser-Ney per-doc NLL from a bigram count table
+    * (q112); train the table with [[bigramCounts]]. */
+  def knPerplexityScores(docs: DataFrame, bigrams: DataFrame,
+                         d: Double = 0.75): DataFrame =
+    llmops.LangModel.knNllScores(docs, bigrams, d)
+  /** Bigram count table over a reference corpus, with KenLM-style
+    * count pruning (q112). */
+  def bigramCounts(docs: DataFrame, textCol: Column,
+                   minCount: Long = 1L): DataFrame =
+    llmops.LangModel.bigramCounts(docs, textCol, minCount)
+  /** Perceptual 64-bit dHashes of image assets (q113). */
+  def imageDHashes(s: SparkSession,
+                   assets: org.apache.spark.sql.Dataset[llmops.Multimodal.Asset])
+      : DataFrame = llmops.Multimodal.imageDHashes(s, assets)
+  /** Image near-dup pairs from [[imageDHashes]] output (q113). */
+  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame =
+    llmops.Multimodal.imageNearDupPairs(hashes, maxHamming)
+  /** Real WAV/PCM per-clip stats (q114). */
+  def audioStats(s: SparkSession,
+                 assets: org.apache.spark.sql.Dataset[llmops.Multimodal.Asset])
+      : DataFrame = llmops.Audio.decodeAudioStats(s, assets).toDF()
+  /** 64-bit energy-dHash audio fingerprints (q115). */
+  def audioEnergyHashes(s: SparkSession,
+                        assets: org.apache.spark.sql.Dataset[llmops.Multimodal.Asset])
+      : DataFrame = llmops.Audio.audioEnergyHashes(s, assets)
+  /** Audio near-dup pairs from [[audioEnergyHashes]] output (q115). */
+  def audioNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame =
+    llmops.Audio.audioNearDupPairs(hashes, maxHamming)
+  /** Exact training-sequence packing: fragment layout rows (q116). */
+  def packSequences(docs: DataFrame, seqLen: Int,
+                    idCol: String = "doc_id",
+                    ntokCol: String = "n_toks"): DataFrame =
+    llmops.Packing.packSequences(docs, seqLen, idCol, ntokCol)
+  /** Per-sequence fill/doc-start stats over [[packSequences]]. */
+  def sequenceStats(fragments: DataFrame): DataFrame =
+    llmops.Packing.sequenceStats(fragments)
+  /** Real multi-frame (animated GIF) per-frame stats (q117). */
+  def videoFrameStats(s: SparkSession,
+                      assets: org.apache.spark.sql.Dataset[llmops.Multimodal.Asset])
+      : DataFrame = llmops.Multimodal.decodeVideoFrameStats(s, assets).toDF()
 
   // ---- url / html --------------------------------------------------
   def resolveUrl(href: Column, base: Column): Column =

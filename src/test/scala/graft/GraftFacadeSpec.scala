@@ -82,4 +82,33 @@ class GraftFacadeSpec extends SparkTestBase {
     // span removal never grows the corpus
     assert(Graft.dropDuplicateSpans(docs, n = 8).count() == docs.count())
   }
+
+  test("facade: round-7 LM/multimodal/packing delegate correctly") {
+    val docs = Graft.documents(spark, sf0001)
+      .select($"doc_id", $"lang", $"text").limit(80).cache()
+    // KN scoring from a (optionally pruned) bigram table
+    val bi = Graft.bigramCounts(docs, $"text", minCount = 2L)
+    val scored = Graft.knPerplexityScores(docs, bi)
+    assert(scored.count() > 0 &&
+      scored.filter($"avg_nll" < 0).count() == 0)
+    // multimodal: image dHash pairs, audio stats/fingerprints, frames
+    val ids = docs.select($"doc_id")
+    val ih = Graft.imageDHashes(spark,
+      llmops.Multimodal.plantedHashImages(spark, ids))
+    assert(Graft.imageNearDupPairs(ih).count() > 0)
+    val aud = llmops.Audio.plantedAudio(spark, ids)
+    assert(Graft.audioStats(spark, aud)
+      .filter($"sample_rate" === 8000).count() > 0)
+    val ah = Graft.audioEnergyHashes(spark,
+      llmops.Audio.plantedFingerprintAudio(spark, ids))
+    assert(Graft.audioNearDupPairs(ah).count() > 0)
+    assert(Graft.videoFrameStats(spark,
+      llmops.Multimodal.plantedGifs(spark, ids)).count() > 0)
+    // exact packing: fragments tile, stats aggregate
+    val frags = Graft.packSequences(
+      docs.select($"doc_id", Graft.tokenCount($"text").as("n_toks")),
+      seqLen = 64)
+    assert(Graft.sequenceStats(frags)
+      .filter($"n_toks" > 64).count() == 0)
+  }
 }
