@@ -27,10 +27,13 @@ import org.apache.spark.sql.functions._
   * then ride the SAME [[Dedup.bandedHammingPairs]] machinery text
   * SimHash and image dHash use.
   *
-  * Reference analog: the pipeline treats downloaded media as opaque
-  * binary payloads with typed metadata
-  * (reference `download_reports.py` content handling); this module is
-  * the audio instance of that column's decode/fingerprint surface.
+  * Reference-analog note: the reference downloads opaque binary
+  * payloads and hands them to a document-understanding stage
+  * (`/root/reference/README.md:17` — "downloads and parses reports
+  * using advanced PDF parsing (Docling)"; byte handling in
+  * `/root/reference/src/download_reports.py:400-418`); this module is
+  * the audio instance of that binary column's decode/fingerprint
+  * surface, per the training-data extension brief.
   */
 object Audio {
 

@@ -32,10 +32,11 @@ import org.apache.spark.sql.functions._
   * buckets; no stage ever sees the corpus in one task. Document ids
   * must be unique (they define the canonical stream order).
   *
-  * Reference analog: the report pipeline's ordered assembly of
-  * per-company fragments into one output stream
-  * (`excel_generation.py`'s ordered sheet append) — generalized to
-  * the token-stream layout an LLM trainer needs.
+  * Reference-analog note: the reference pipeline stops at storing
+  * parsed documents (`/root/reference/README.md:17` — download,
+  * Docling-parse, store); sequence packing is part of this library's
+  * training-data extension brief — the layout step between a cleaned
+  * corpus and a trainer's data loader, with no reference counterpart.
   */
 object Packing {
 
