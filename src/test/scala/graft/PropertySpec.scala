@@ -271,4 +271,78 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("media decoders never throw on fuzzed bytes; WAV mutations stay total") {
+    import graft.llmops.Audio.WavCodec
+    import graft.llmops.Multimodal.ImageCodec
+    // pure fuzz: arbitrary byte arrays (incl. RIFF/GIF/PNG magics spliced in)
+    val junk = Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue))
+      .map(_.toArray)
+    val magic = Gen.oneOf("RIFF", "GIF89a", "PNG", "RIFFxxxxWAVE")
+    val fuzzed = Gen.oneOf(junk,
+      Gen.zip(magic, junk).map { case (m, b) => m.getBytes("ISO-8859-1") ++ b })
+    samples(fuzzed, 400).foreach { bytes =>
+      WavCodec.decodeStats(bytes)      // Option — must not throw
+      WavCodec.energyHash64(bytes)
+      ImageCodec.decodeStats(bytes)
+      ImageCodec.dHash64(bytes)
+      ImageCodec.decodeFrameStats(bytes)
+    }
+    // structured fuzz: take a VALID wav and corrupt one byte anywhere —
+    // decode must stay total and, when it succeeds, self-consistent
+    val wav = WavCodec.encodePcm16Wav(8000, 1,
+      Array.tabulate(50)(k => (k * 37 - 600).toShort))
+    samples(Gen.zip(Gen.choose(0, wav.length - 1),
+      Gen.choose(Byte.MinValue, Byte.MaxValue)), 300).foreach {
+      case (pos, b) =>
+        val m = wav.clone(); m(pos) = b
+        WavCodec.decodeStats(m).foreach { st =>
+          assert(st.nFrames >= 0 && st.channels >= 1 && st.sampleRate > 0)
+          assert(st.zeroCrossings <= math.max(0, st.nFrames - 1))
+        }
+    }
+  }
+
+  test("packSequences invariants hold on fuzzed corpora and seq lengths") {
+    import graft.llmops.Packing
+    val corpusGen = for {
+      n <- Gen.choose(1, 60)
+      ids <- Gen.pick(n, 0L until 500L)
+      toks <- Gen.listOfN(n, Gen.choose(0L, 40L))
+    } yield ids.zip(toks).toSeq
+    val cases = samples(Gen.zip(corpusGen, Gen.choose(1, 17),
+      Gen.choose(1, 9)), 12)
+    for ((corpus, l, buckets) <- cases) {
+      val df = corpus.toDF("doc_id", "n_toks")
+      val frags = Packing.packSequences(df, seqLen = l, buckets = buckets)
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      val total = corpus.collect { case (_, t) if t >= 1 => t }.sum
+      // full coverage: fragment lengths sum to the token total
+      assert(frags.map(_._5).sum == total)
+      // per-doc coverage is contiguous from offset 0
+      frags.groupBy(_._2).foreach { case (id, fs) =>
+        val sorted = fs.sortBy(_._3)
+        assert(sorted.head._3 == 0)
+        assert(sorted.sliding(2).forall {
+          case Seq(a, b) => a._3 + a._5 == b._3
+          case _ => true
+        }, s"doc $id fragments not contiguous")
+      }
+      // per-seq tiling: offsets cover [0, fill) exactly; fill <= L and
+      // every sequence below the last is exactly full
+      val bySeq = frags.groupBy(_._1)
+      val lastSeq = if (bySeq.isEmpty) -1L else bySeq.keys.max
+      bySeq.foreach { case (sid, fs) =>
+        val fill = fs.map(_._5).sum
+        assert(fill <= l)
+        if (sid < lastSeq) assert(fill == l, s"seq $sid underfull")
+        val sorted = fs.sortBy(_._4)
+        assert(sorted.head._4 == 0)
+        assert(sorted.sliding(2).forall {
+          case Seq(a, b) => a._4 + a._5 == b._4
+          case _ => true
+        }, s"seq $sid not tiled")
+      }
+    }
+  }
 }
