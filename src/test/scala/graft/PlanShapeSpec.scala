@@ -264,4 +264,20 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("partial_kmv_sketch"), p.take(2000))
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
+
+  test("q116: the packing prefix sum is bucket-partitioned — no " +
+       "single-task global sort anywhere in the operator") {
+    // the window must run partitionBy(__b); its required ordering is a
+    // PARTITION-LOCAL sort after a hash exchange on the bucket column.
+    // The only range/global sort allowed is the harness's display
+    // ORDER BY — i.e. it must sit ABOVE the Generate (fragment
+    // explode), never below it.
+    val p = plan("q116_pack_sequences")
+    assert(p.contains("windowspecdefinition(__b"), p.take(3000))
+    assert(p.contains("hashpartitioning(__b"), p.take(3000))
+    val gen = p.indexOf("Generate")
+    val range = p.lastIndexOf("rangepartitioning")
+    assert(gen >= 0 && (range < 0 || range < gen),
+      "a range sort appeared below the fragment explode:\n" + p.take(3000))
+  }
 }
