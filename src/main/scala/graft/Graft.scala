@@ -401,6 +401,10 @@ object Graft {
   /** Per-sequence fill/doc-start stats over [[packSequences]]. */
   def sequenceStats(fragments: DataFrame): DataFrame =
     llmops.Packing.sequenceStats(fragments)
+  /** LSH parameter planning: pick (bands, rowsPerBand) for a target
+    * Jaccard threshold and hash budget (feeds [[minhashDedup]] &c.). */
+  def planLsh(threshold: Double, maxHashes: Int = 128): llmops.LshPlan.Plan =
+    llmops.LshPlan.plan(threshold, maxHashes)
   /** Real multi-frame (animated GIF) per-frame stats (q117). */
   def videoFrameStats(s: SparkSession,
                       assets: org.apache.spark.sql.Dataset[llmops.Multimodal.Asset])
