@@ -355,9 +355,12 @@ object SparkEntry {
       import s.implicits._
       val docs = t(s, d, "documents")
       val D = graft.llmops.Dedup
-      val sigs = D.minhashSigs(docs)
+      // dump with the SAME split the operator auto-plans for 0.7, so
+      // the oracle's parametric replay (len(sig)-driven) stays exact
+      val p = graft.llmops.LshPlan.plan(0.7)
+      val sigs = D.minhashSigs(docs, numHashes = p.nHashes)
       materialize(sigs, "q24_sigs")
-      materialize(D.lshBanded(sigs), "q24_bands")
+      materialize(D.lshBanded(sigs, p.bands, p.rowsPerBand), "q24_bands")
       D.minhashPairs(docs, threshold = 0.7)
         .select($"id_a", $"id_b", round($"sim", 2).as("sim_bucket"))
         .orderBy($"id_a", $"id_b")
@@ -410,9 +413,10 @@ object SparkEntry {
       import s.implicits._
       val docs = t(s, d, "documents")
       val D = graft.llmops.Dedup
-      val sigs = D.minhashSigs(docs)
+      val p = graft.llmops.LshPlan.plan(0.7)
+      val sigs = D.minhashSigs(docs, numHashes = p.nHashes)
       materialize(sigs, "q27_sigs")
-      materialize(D.lshBanded(sigs), "q27_bands")
+      materialize(D.lshBanded(sigs, p.bands, p.rowsPerBand), "q27_bands")
       D.minhashDedup(docs, threshold = 0.7)
         .groupBy($"source").agg(count(lit(1)).as("n_docs"))
         .orderBy($"source")
@@ -644,16 +648,21 @@ object SparkEntry {
       val deltaDups = fresh.filter($"doc_id" % 9 === 0)
         .withColumn("doc_id", $"doc_id" + 3000000L)
       val delta = fresh.unionByName(corpusDups).unionByName(deltaDups)
-      // in production these two come from persisted tables; checkpoint
-      // here so the corpus is sketched once, not once per consumer
-      val cSigs = D.minhashSigs(corpus).localCheckpoint(false)
-      val cBands = D.lshBanded(cSigs)
+      // in production these two come from persisted tables (with the
+      // plan saved alongside — Models.saveLshPlan); checkpoint here so
+      // the corpus is sketched once, not once per consumer. The corpus
+      // is sketched under the SAME plan incrementalDedup derives for
+      // its default threshold — the split-consistency contract.
+      val p = graft.llmops.LshPlan.plan(0.7)
+      val cSigs = D.minhashSigs(corpus, numHashes = p.nHashes)
+        .localCheckpoint(false)
+      val cBands = D.lshBanded(cSigs, p.bands, p.rowsPerBand)
       if (materializing) {
         materialize(cSigs, "q59_csigs")
         materialize(cBands, "q59_cbands")
-        val dSigs = D.minhashSigs(delta)
+        val dSigs = D.minhashSigs(delta, numHashes = p.nHashes)
         materialize(dSigs, "q59_dsigs")
-        materialize(D.lshBanded(dSigs), "q59_dbands")
+        materialize(D.lshBanded(dSigs, p.bands, p.rowsPerBand), "q59_dbands")
       }
       D.incrementalDedup(delta, cBands, cSigs)
         .groupBy($"source").agg(count(lit(1)).as("n_docs"))

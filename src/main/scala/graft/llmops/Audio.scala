@@ -174,7 +174,10 @@ object Audio {
           var k = 0
           while (k < p.nFrames) {
             val s = p.ch0(k).toLong
-            e(((k * bins) / n).toInt) += s * s
+            // k.toLong: k * 65 overflows Int past ~33M frames (~12.5
+            // min at 44.1 kHz) — a negative index would be swallowed
+            // by the NonFatal catch, silently excluding long clips
+            e(((k.toLong * bins) / n).toInt) += s * s
             k += 1
           }
           var hash = 0L

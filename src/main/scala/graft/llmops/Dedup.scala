@@ -61,6 +61,28 @@ object Dedup {
       .agg(max(col("sim")).as("sim"))
   }
 
+  /** Resolve the LSH split for a threshold-taking entry point: an
+    * explicit (bands, rowsPerBand) override wins; the sentinel
+    * (`bands <= 0 && rowsPerBand <= 0`, the default everywhere) derives
+    * the split from the threshold via [[LshPlan.plan]], so the S-curve
+    * operating point actually matches the `threshold` a caller passes
+    * instead of silently staying at the old fixed (16, 8) ≈ 0.71
+    * midpoint. The threshold is clamped to [0.05, 0.95] for planning —
+    * e.g. an exact-match caller at threshold 1.0 gets the sharpest
+    * plannable curve, and recall at s = 1.0 is 1.0 under ANY split.
+    * Driver-side closed-form arithmetic; nothing touches data.
+    */
+  private[llmops] def resolveSplit(threshold: Double, bands: Int,
+                                   rowsPerBand: Int): (Int, Int) =
+    if (bands > 0 || rowsPerBand > 0) {
+      require(bands > 0 && rowsPerBand > 0,
+        s"bands=$bands rowsPerBand=$rowsPerBand: override both or neither")
+      (bands, rowsPerBand)
+    } else {
+      val p = LshPlan.plan(math.min(math.max(threshold, 0.05), 0.95))
+      (p.bands, p.rowsPerBand)
+    }
+
   /** Pin a signature table that feeds multiple plan branches so the
     * sketch kernel runs once per document. Default is
     * `localCheckpoint` — cheap, but the blocks are executor-local and
@@ -115,21 +137,27 @@ object Dedup {
 
   /** Candidate near-duplicate pairs via MinHash + LSH banding.
     * Returns (id_a, id_b, sim) with id_a < id_b and estimated Jaccard
-    * ≥ `threshold`. Bands×rows must equal the signature length; with
-    * (16 bands × 8 rows) the S-curve puts the 50% catch point at
-    * sim ≈ (1/16)^(1/8) ≈ 0.71.
+    * ≥ `threshold`. The (bands, rowsPerBand) split is derived from the
+    * threshold via [[LshPlan.plan]] by default — the S-curve's 50%
+    * catch point lands at ≈ `threshold` (e.g. 0.7 → (14, 9) with
+    * midpoint ≈ 0.714; a 0.4 caller gets (32, 4) instead of the old
+    * fixed (16, 8) whose ≈ 0.71 midpoint would collapse candidate
+    * recall). Pass both explicitly to pin a split (e.g. one matching
+    * previously persisted sketch tables); bands×rows is the signature
+    * length either way.
     */
   def minhashPairs(docs: DataFrame, threshold: Double = 0.7,
-                   bands: Int = 16, rowsPerBand: Int = 8,
+                   bands: Int = 0, rowsPerBand: Int = 0,
                    shingleSize: Int = 5, maxBucket: Int = 200,
                    idCol: String = "doc_id", textCol: String = "text")
       : DataFrame = {
-    val n = bands * rowsPerBand
+    val (b, r) = resolveSplit(threshold, bands, rowsPerBand)
+    val n = b * r
     // sigs feed three branches (bands + both verify joins); checkpoint
     // so the sketch kernel runs once per doc — the sig table is
     // ~1 KB/doc where every recompute is a full text scan
     val sigs = pinSigs(minhashSigs(docs, shingleSize, n, idCol, textCol))
-    val banded = capBuckets(lshBanded(sigs, bands, rowsPerBand), maxBucket)
+    val banded = capBuckets(lshBanded(sigs, b, r), maxBucket)
     val candidates = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("band_hash"), col("id").as("id_b")),
         Seq("band", "band_hash"))
@@ -152,9 +180,11 @@ object Dedup {
     * near-identical docs).
     */
   def minhashDedup(docs: DataFrame, threshold: Double = 0.7,
+                   bands: Int = 0, rowsPerBand: Int = 0,
                    idCol: String = "doc_id", textCol: String = "text")
       : DataFrame = {
-    val dupIds = minhashPairs(docs, threshold, idCol = idCol, textCol = textCol)
+    val dupIds = minhashPairs(docs, threshold, bands, rowsPerBand,
+      idCol = idCol, textCol = textCol)
       .select(col("id_b").as(idCol)).distinct()
     docs.join(dupIds, Seq(idCol), "left_anti")
   }
@@ -256,16 +286,17 @@ object Dedup {
     */
   def contaminationPairs(corpus: DataFrame, benchmark: DataFrame,
                          threshold: Double = 0.7,
-                         bands: Int = 16, rowsPerBand: Int = 8,
+                         bands: Int = 0, rowsPerBand: Int = 0,
                          shingleSize: Int = 5, maxBucket: Int = 200,
                          idCol: String = "doc_id", textCol: String = "text")
       : DataFrame = {
-    val n = bands * rowsPerBand
+    val (b, r) = resolveSplit(threshold, bands, rowsPerBand)
+    val n = b * r
     val corpusSigs = pinSigs(minhashSigs(corpus, shingleSize, n, idCol, textCol))
     val benchSigs = pinSigs(minhashSigs(benchmark, shingleSize, n, idCol, textCol))
-    val candidates = capBuckets(lshBanded(corpusSigs, bands, rowsPerBand), maxBucket)
+    val candidates = capBuckets(lshBanded(corpusSigs, b, r), maxBucket)
       .withColumnRenamed("id", "corpus_id")
-      .join(lshBanded(benchSigs, bands, rowsPerBand)
+      .join(lshBanded(benchSigs, b, r)
         .withColumnRenamed("id", "bench_id"),
         Seq("band", "band_hash"))
       .select(col("corpus_id"), col("bench_id"))
@@ -304,20 +335,29 @@ object Dedup {
     * verify by signature similarity, survivors then minhash-dedupe
     * within the delta itself. Work is |delta|·collisions, never
     * |corpus|.
+    *
+    * The delta MUST be sketched with the SAME (bands, rowsPerBand,
+    * shingleSize) its corpus tables were built with — persist the
+    * plan alongside the sketch tables ([[Models.saveLshPlan]]) and
+    * pass it back explicitly. The default sentinel re-plans from
+    * `threshold`, which matches a corpus sketched by this round's
+    * default path at the same threshold; corpus tables persisted under
+    * the historical fixed split need `bands = 16, rowsPerBand = 8`.
     */
   def incrementalDedup(delta: DataFrame, corpusBands: DataFrame,
                        corpusSigs: DataFrame, threshold: Double = 0.7,
-                       bands: Int = 16, rowsPerBand: Int = 8,
+                       bands: Int = 0, rowsPerBand: Int = 0,
                        shingleSize: Int = 5, maxBucket: Int = 200,
                        idCol: String = "doc_id", textCol: String = "text")
       : DataFrame = {
-    val n = bands * rowsPerBand
+    val (b, r) = resolveSplit(threshold, bands, rowsPerBand)
+    val n = b * r
     // The delta's signatures feed four plan branches (its own bands,
     // the corpus verify, and both sides of the within-delta verify);
     // checkpoint so the sketch kernel runs once per doc — the sig
     // table is ~1 KB/doc where each recompute is a full text scan.
     val dSigs = pinSigs(minhashSigs(delta, shingleSize, n, idCol, textCol))
-    val dBands = lshBanded(dSigs, bands, rowsPerBand)
+    val dBands = lshBanded(dSigs, b, r)
     val candidates = capBuckets(corpusBands, maxBucket)
       .withColumnRenamed("id", "corpus_id")
       .join(dBands.withColumnRenamed("id", "delta_id"),
@@ -335,7 +375,7 @@ object Dedup {
     // phase 2: dedup within the cleaned delta, reusing the checkpointed
     // signatures instead of re-sketching the filtered text
     val cleanSigs = dSigs.join(dupDeltaIds, Seq("id"), "left_anti")
-    val banded2 = capBuckets(lshBanded(cleanSigs, bands, rowsPerBand), maxBucket)
+    val banded2 = capBuckets(lshBanded(cleanSigs, b, r), maxBucket)
     val cand2 = banded2.select(col("band"), col("band_hash"), col("id").as("id_a"))
       .join(banded2.select(col("band"), col("band_hash"), col("id").as("id_b")),
         Seq("band", "band_hash"))

@@ -19,8 +19,9 @@ package graft.llmops
   *    split whose curve best matches an ideal step at `threshold`
   *    (minimizing false-negative area above the threshold plus
   *    false-positive area below it, a plain trapezoid integral);
-  *  - [[Plan.expectedRecall]] / [[Plan.expectedFalsePositiveRate]] —
-  *    what the chosen split actually delivers at a given similarity.
+  *  - [[Plan.collisionProbabilityAt]] — what the chosen split
+  *    actually delivers at a given similarity (recall above the
+  *    threshold, false-positive rate below it).
   *
   * Everything is driver-side closed-form arithmetic over O(maxHashes)
   * candidate splits — nothing touches data; the cluster-side cost of
@@ -43,11 +44,16 @@ object LshPlan {
       * threshold the join actually implements. */
     def effectiveThreshold: Double =
       math.pow(1.0 - math.pow(0.5, 1.0 / bands), 1.0 / rowsPerBand)
-    /** P(a true pair at similarity s reaches Hamming/Jaccard verify). */
-    def expectedRecall(s: Double): Double =
-      collisionProbability(s, bands, rowsPerBand)
-    /** P(a non-pair at similarity s costs a verify comparison). */
-    def expectedFalsePositiveRate(s: Double): Double =
+    /** The split's S-curve at similarity s — ONE function with two
+      * readings: above the threshold it is the expected recall (P a
+      * true pair reaches the verify stage); below it, the expected
+      * false-positive rate (P a non-pair costs a verify comparison).
+      * A single accessor on purpose: the former `expectedRecall` /
+      * `expectedFalsePositiveRate` pair had identical bodies, which
+      * invited the misreading that the FP variant incorporated the
+      * threshold or returned a complement.
+      */
+    def collisionProbabilityAt(s: Double): Double =
       collisionProbability(s, bands, rowsPerBand)
   }
 

@@ -123,6 +123,30 @@ object Models {
     (halves(0), halves(1))
   }
 
+  /** Persist the LSH plan a sketch-table pair was built with — one row
+    * (bands, rows_per_band, threshold, shingle_size) next to the
+    * persisted [[Dedup.minhashSigs]]/[[Dedup.lshBanded]] outputs, so a
+    * later [[Dedup.incrementalDedup]] run can re-derive the EXACT split
+    * instead of re-planning from a threshold that may since have
+    * defaulted differently. Same train-once/serve-many contract as the
+    * ANN models: load∘save identity, pinned by ModelsSpec.
+    */
+  def saveLshPlan(spark: SparkSession, path: String, plan: LshPlan.Plan,
+                  shingleSize: Int = 5): Unit = {
+    import spark.implicits._
+    Seq((plan.bands, plan.rowsPerBand, plan.threshold, shingleSize))
+      .toDF("bands", "rows_per_band", "threshold", "shingle_size")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a plan saved by [[saveLshPlan]]: (plan, shingleSize). */
+  def loadLshPlan(spark: SparkSession, path: String)
+      : (LshPlan.Plan, Int) = {
+    val r = spark.read.parquet(path)
+      .select("bands", "rows_per_band", "threshold", "shingle_size").head()
+    (LshPlan.Plan(r.getInt(0), r.getInt(1), r.getDouble(2)), r.getInt(3))
+  }
+
   /** (outer, inner, w) triples → ragged Array[Array[Float]], shaped by
     * the max indices actually present.
     */

@@ -227,28 +227,33 @@ object Multimodal {
         if (bytes == null || bytes.isEmpty) return Seq.empty
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(bytes))
-        val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) return Seq.empty
-        val reader = readers.next()
-        reader.setInput(iis)
+        // iis.close() releases the memory-cache buffer eagerly — this
+        // runs once per asset in the hot mapPartitions path, so leaving
+        // it to GC would pile up native/heap cache buffers
         try {
-          val n = reader.getNumImages(true)
-          (0 until n).map { i =>
-            val img = reader.read(i)
-            val (w, h) = (img.getWidth, img.getHeight)
-            var sum = 0.0
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                sum += (img.getRGB(x, y) >> 16) & 0xff
-                x += 1
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) return Seq.empty
+          val reader = readers.next()
+          reader.setInput(iis)
+          try {
+            val n = reader.getNumImages(true)
+            (0 until n).map { i =>
+              val img = reader.read(i)
+              val (w, h) = (img.getWidth, img.getHeight)
+              var sum = 0.0
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  sum += (img.getRGB(x, y) >> 16) & 0xff
+                  x += 1
+                }
+                y += 1
               }
-              y += 1
+              (i, w, h, sum / (w.toLong * h))
             }
-            (i, w, h, sum / (w.toLong * h))
-          }
-        } finally reader.dispose()
+          } finally reader.dispose()
+        } finally iis.close()
       } catch { case scala.util.control.NonFatal(_) => Seq.empty }
 
     /** Decode any ImageIO-readable payload to

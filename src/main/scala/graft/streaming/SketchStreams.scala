@@ -27,14 +27,42 @@ import graft.llmops.Freq
   */
 object SketchStreams {
 
+  /** One immutable fold state — published as a single volatile write
+    * per batch so a concurrent reader can never observe a torn summary
+    * (e.g. `n` from batch i+1 paired with `freq` from batch i, which
+    * would make [[CorpusSummary.errorBound]]/[[CorpusSummary.jaccardVs]]
+    * momentarily inconsistent).
+    */
+  final case class SummaryState(freq: Seq[(String, Long)],
+                                kmv: Seq[Long], n: Long)
+
   /** Running summary of everything ingested so far. Mutated only by
-    * the stream's micro-batch thread; volatile so a concurrent reader
-    * (metrics poller, test assertion) sees the latest fold.
+    * the stream's micro-batch thread; the whole (freq, kmv, n) triple
+    * is replaced in one volatile write, so a concurrent reader
+    * (metrics poller, test assertion) always sees one consistent fold.
     */
   final class CorpusSummary(val k: Int) extends Serializable {
-    @volatile var freq: Seq[(String, Long)] = Nil
-    @volatile var kmv: Seq[Long] = Nil
-    @volatile var n: Long = 0L
+    @volatile private var state: SummaryState = SummaryState(Nil, Nil, 0L)
+
+    /** The latest consistent fold — read once and destructure when
+      * several fields must agree.
+      */
+    def snapshot: SummaryState = state
+    def freq: Seq[(String, Long)] = state.freq
+    def kmv: Seq[Long] = state.kmv
+    def n: Long = state.n
+
+    /** Fold one micro-batch's (MG summary, KMV sketch, count) in with
+      * the mergeable-summaries rules; single volatile publish.
+      */
+    private[streaming] def ingest(bf: Seq[(String, Long)], bs: Seq[Long],
+                                  bn: Long): Unit = {
+      val s = state
+      state = SummaryState(
+        Freq.mergeFreqSummaries(s.freq, bf, k),
+        Freq.mergeKmvSketches(s.kmv, bs, k),
+        s.n + bn)
+    }
 
     /** MG undercount bound for the stream so far: any item with true
       * count > bound is guaranteed present in [[freq]], and every
@@ -73,9 +101,7 @@ object SketchStreams {
           count(item).as("n")).head()
         val bf = row.getSeq[Row](0).map(r => (r.getString(0), r.getLong(1)))
         val bs = row.getSeq[Long](1)
-        summary.freq = Freq.mergeFreqSummaries(summary.freq, bf, k)
-        summary.kmv = Freq.mergeKmvSketches(summary.kmv, bs, k)
-        summary.n += row.getLong(2)
+        summary.ingest(bf, bs, row.getLong(2))
         onBatch(summary, batchId)
     }
     (summary, writer)

@@ -135,4 +135,53 @@ class CorpusSpec extends SparkTestBase {
       dsir = Some((m, dflt, floor)))
     assert(out.select($"doc_id").as[Long].collect().toSet == Set(1L))
   }
+
+  test("nearDupThreshold = 0.4 plans a split that catches a mid-similarity " +
+    "pair the historical fixed (16, 8) split misses") {
+    // Planted pair at char-5-shingle Jaccard ≈ 0.48: a shared prefix
+    // with distinct tails (J ≈ p/(p + 2t)). The fixed (16, 8) split's
+    // S-curve midpoint sits at ≈ 0.71, so at s ≈ 0.48 its band-collision
+    // probability is ~4% — the pair never reaches the verify stage.
+    // LshPlan.plan(0.4) = (32, 4) puts the midpoint at ≈ 0.38 and the
+    // collision probability at ~0.8. Both outcomes are deterministic
+    // here: the sketch kernel's hash functions are fixed.
+    val prefix = "the annual shareholder letter describes revenue growth " +
+      "across every operating segment of the business this fiscal year"
+    val tailA = " while margin pressure persisted in the retail arm overall"
+    val tailB = " and the board also approved a dividend increase this week"
+    val docs = Seq(
+      (1L, prefix + tailA),
+      (2L, prefix + tailB),
+      (3L, "an entirely unrelated filler document about logistics and " +
+        "warehouse throughput optimization during the busy season"))
+      .toDF("doc_id", "text")
+
+    // sanity: the planted pair really sits in the mid-similarity band —
+    // well under the fixed split's ~0.71 operating point, above 0.4
+    val sim = docs.filter($"doc_id" <= 2).select(
+        Sketches.minhash_signature($"text", 5, 128).as("sig"))
+      .as[Array[Long]].collect() match {
+        case Array(a, b) => a.zip(b).count(p => p._1 == p._2) / 128.0
+      }
+    assert(sim > 0.4 && sim < 0.6, s"planted pair sim=$sim out of band")
+
+    // the historical fixed split: no candidate, hence no pair
+    val fixed = Dedup.minhashPairs(docs, threshold = 0.4,
+        bands = 16, rowsPerBand = 8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(!fixed.contains((1L, 2L)),
+      "the fixed (16, 8) split should miss the mid-similarity pair " +
+        "(if this ever fires, re-tune the planted tails)")
+
+    // the planned split (auto-derived from the threshold): pair found
+    val planned = Dedup.minhashPairs(docs, threshold = 0.4)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(planned.contains((1L, 2L)), s"planned split missed the pair: $planned")
+
+    // end-to-end: clean(nearDupThreshold = 0.4) drops the higher id
+    val kept = Corpus.clean(docs, minQuality = 0.0, redact = false,
+        nearDupThreshold = Some(0.4))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L), s"kept=$kept")
+  }
 }

@@ -310,10 +310,14 @@ class DedupSpec extends SparkTestBase {
     val deltaCopy = fresh.filter($"doc_id" === 120)
       .select(($"doc_id" + 80000).as("doc_id"), $"text")
     val delta = fresh.unionByName(corpusCopy).unionByName(deltaCopy)
-    val cSigs = Dedup.minhashSigs(corpus)
+    // split-consistency contract: the corpus is sketched under the
+    // same plan incrementalDedup derives for its default threshold
+    val p = LshPlan.plan(0.7)
+    val cSigs = Dedup.minhashSigs(corpus, numHashes = p.nHashes)
+    val cBands = Dedup.lshBanded(cSigs, p.bands, p.rowsPerBand)
     // collect once — the survivor set is reused below, and each action
     // on the raw result would otherwise recompute the full join chain
-    val out = Dedup.incrementalDedup(delta, Dedup.lshBanded(cSigs), cSigs)
+    val out = Dedup.incrementalDedup(delta, cBands, cSigs)
       .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
     val ids = out.map(_._1).toSet
     assert(!ids.contains(70007L), "corpus duplicate must be dropped")
@@ -327,7 +331,7 @@ class DedupSpec extends SparkTestBase {
     assert(out.map(_._2).distinct.size == out.size)
     // idempotence: running the survivors through again removes nothing
     val outDf = out.toDF("doc_id", "text")
-    val again = Dedup.incrementalDedup(outDf, Dedup.lshBanded(cSigs), cSigs)
+    val again = Dedup.incrementalDedup(outDf, cBands, cSigs)
     assert(again.count() == out.size.toLong)
   }
 

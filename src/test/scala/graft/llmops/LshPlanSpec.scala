@@ -26,9 +26,10 @@ class LshPlanSpec extends AnyFunSuite {
     // effective threshold = (1 - 0.5^(1/16))^(1/8) ~ 0.67
     assert(math.abs(p.effectiveThreshold - 0.67) < 0.02)
     assert(LshPlan.collisionProbability(p.effectiveThreshold, 16, 8) - 0.5 < 1e-9)
-    // high recall above, low false-positive mass well below
-    assert(p.expectedRecall(0.85) > 0.95)
-    assert(p.expectedFalsePositiveRate(0.4) < 0.05)
+    // one curve, two readings: high recall above the threshold, low
+    // false-positive mass well below it
+    assert(p.collisionProbabilityAt(0.85) > 0.95)
+    assert(p.collisionProbabilityAt(0.4) < 0.05)
   }
 
   test("planner picks a split whose operating point matches the ask") {

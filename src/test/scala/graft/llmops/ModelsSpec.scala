@@ -78,4 +78,16 @@ class ModelsSpec extends SparkTestBase {
     val (o1, o2) = Models.loadImi(spark, p2)
     assert(o1(0).sameElements(odd1(0)) && o2(0).sameElements(odd2(0)))
   }
+
+  test("load∘save is the identity for LSH plans (the incremental-dedup " +
+    "split-consistency seam)") {
+    val plan = LshPlan.plan(0.4)
+    val p = tmp("lshplan")
+    Models.saveLshPlan(spark, p, plan, shingleSize = 7)
+    val (back, shingle) = Models.loadLshPlan(spark, p)
+    assert(back == plan && shingle == 7)
+    // a persisted plan drives incrementalDedup to the exact split its
+    // corpus sketches were built with
+    assert((back.bands, back.rowsPerBand) == (plan.bands, plan.rowsPerBand))
+  }
 }
