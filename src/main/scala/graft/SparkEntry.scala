@@ -2258,6 +2258,26 @@ object SparkEntry {
         .select($"asset_id", $"frame_index", $"width", $"height",
           round($"mean_luma", 4).as("mean_luma"))
         .orderBy($"asset_id", $"frame_index")
+    }),
+
+    // llmops REAL PDF text extraction — the document modality, and
+    // the reference's actual payload type (it downloads PDF earnings
+    // reports and parses them; reference README.md:80-82, 149-162).
+    // Planted three-line PDFs (Flate-compressed content streams,
+    // literal strings with escaped parens, a TJ array with kern
+    // numbers and a hex-string half) carry text that is pure
+    // arithmetic on doc_id, so the oracle predicts the EXACT
+    // extracted string without parsing a byte; every 37th payload is
+    // truncated to 8 bytes and must extract to nulls, never a task
+    // failure.
+    "q118_pdf_extract" -> ((s, d) => {
+      import s.implicits._
+      val P = graft.llmops.Pdf
+      val assets = P.plantedPdfs(s, t(s, d, "documents")
+        .filter($"doc_id" < 500))
+      P.extractPdfText(s, assets).toDF()
+        .select($"asset_id", $"n_chars", $"text")
+        .orderBy($"asset_id")
     })
   )
 
@@ -4239,6 +4259,18 @@ object SparkEntry {
                 round(((13 * doc_id + 31 * f) % 200)::DOUBLE, 4) AS mean_luma
          FROM d, (SELECT unnest(generate_series(0, 4)) AS f)
          WHERE f < nf
-         ORDER BY asset_id, frame_index"""
+         ORDER BY asset_id, frame_index""",
+    "q118_pdf_extract" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  'report ' || doc_id || ' earnings (net) summary' || chr(10) ||
+                  'revenue ' || (doc_id * 31 + 1) || ' usd' || chr(10) ||
+                  'total ' || (doc_id * 7) || ' qtr ' || (doc_id % 4) AS txt
+           FROM documents WHERE doc_id < 500)
+         SELECT doc_id AS asset_id,
+                CASE WHEN doc_id % 37 = 0 THEN NULL
+                     ELSE length(txt) END AS n_chars,
+                CASE WHEN doc_id % 37 = 0 THEN NULL ELSE txt END AS text
+         FROM t ORDER BY asset_id"""
   )
 }

@@ -1,0 +1,373 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Multimodal.Asset
+
+/** JDK-only PDF text extraction — the document modality of the
+  * multimodal tier, and the reference's ACTUAL payload type: its
+  * pipeline downloads PDF earnings reports and runs a parsing stage
+  * over them (reference `README.md:80-82`, `:149-162` — the Docling
+  * parse step; `download_reports.py` fetches the PDFs themselves).
+  * Same architecture as the image ([[Multimodal.ImageCodec]]) and
+  * audio ([[Audio.WavCodec]]) codecs: a from-scratch encoder for
+  * planted fixtures whose text a SQL oracle predicts in closed form
+  * without parsing a byte, and a from-scratch extractor that runs
+  * `mapPartitions`-distributed with payloads never on the driver.
+  *
+  * The extractor implements the minimal viable subset of ISO 32000
+  * (PDF 1.x, public spec) that text extraction needs:
+  *
+  *  - content streams located by a linear `stream`…`endstream` scan
+  *    (deliberately NOT via the xref table: a byte-offset index is an
+  *    optimization for random access, and real-world crawled PDFs
+  *    routinely have broken xrefs — the linear scan extracts from
+  *    exactly the documents a crawler actually encounters);
+  *  - `/FlateDecode` streams inflated with `java.util.zip.Inflater`
+  *    (the overwhelmingly dominant filter; others are skipped, never
+  *    a task failure);
+  *  - text collected from the `Tj`, `'`, `"`, and `TJ` show operators
+  *    inside BT…ET blocks, with literal-string escapes (`\(`, `\)`,
+  *    `\\`, `\n`, `\r`, `\t`, `\b`, `\f`, octal `\ddd`, and
+  *    backslash line continuation), balanced nested parentheses, and
+  *    `<…>` hex strings — the full string syntax of §7.3.4;
+  *  - a text-positioning operator (`Td`, `TD`, `T*`, or the implicit
+  *    moves of `'`/`"`) between two shows emits one `\n` — the
+  *    layout-free line semantics every practical extractor converges
+  *    on.
+  *
+  * Corrupt, truncated, encrypted, or non-PDF payloads extract to
+  * `None` — the q108/q114 contract: nulls, never task failures.
+  */
+object Pdf {
+
+  object PdfCodec {
+
+    // ---------------------------------------------------------- encode
+
+    /** Escape a literal string for a PDF `(…)` string (§7.3.4.2). */
+    private def esc(s: String): String =
+      s.flatMap {
+        case '\\' => "\\\\"
+        case '(' => "\\("
+        case ')' => "\\)"
+        case c => c.toString
+      }
+
+    private def hexStr(s: String): String =
+      s.map(c => f"${c.toInt}%02X").mkString
+
+    /** Build the page content stream: one `Td` move then one show op
+      * per line — even lines as literal-string `Tj`, odd lines as a
+      * `TJ` array split into a literal part, a kern number (which
+      * extraction must ignore), and a hex-string part, so every
+      * multi-line document exercises both show operators and both
+      * string syntaxes.
+      */
+    private def contentStream(lines: Seq[String]): String = {
+      val ops = lines.zipWithIndex.map { case (line, i) =>
+        val show =
+          if (i % 2 == 0) s"(${esc(line)}) Tj"
+          else {
+            val split = line.length / 2
+            val (a, b) = line.splitAt(split)
+            s"[(${esc(a)}) -250 <${hexStr(b)}>] TJ"
+          }
+        val move = if (i == 0) "72 720 Td" else "0 -14 Td"
+        s"$move\n$show"
+      }
+      s"BT\n/F1 12 Tf\n${ops.mkString("\n")}\nET\n"
+    }
+
+    private def deflate(data: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(data); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end()
+      out.toByteArray
+    }
+
+    /** Encode a complete single-page PDF showing `lines` — catalog,
+      * page tree, Helvetica font, Flate-compressed content stream
+      * (raw when `compress = false`, exercising the unfiltered path),
+      * and a byte-exact xref table + trailer, so the fixture is a
+      * fully valid document for ANY reader, not just ours.
+      */
+    def encodePdf(lines: Seq[String], compress: Boolean = true): Array[Byte] = {
+      val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+      val content = contentStream(lines).getBytes(latin1)
+      val payload = if (compress) deflate(content) else content
+      val filter = if (compress) " /Filter /FlateDecode" else ""
+      val out = new java.io.ByteArrayOutputStream()
+      def w(s: String): Unit = out.write(s.getBytes(latin1))
+      val offsets = new Array[Int](6)
+      w("%PDF-1.4\n")
+      offsets(1) = out.size()
+      w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+      offsets(2) = out.size()
+      w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+      offsets(3) = out.size()
+      w("3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >> endobj\n")
+      offsets(4) = out.size()
+      w("4 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n")
+      offsets(5) = out.size()
+      w(s"5 0 obj << /Length ${payload.length}$filter >> stream\n")
+      out.write(payload)
+      w("\nendstream endobj\n")
+      val xref = out.size()
+      w("xref\n0 6\n0000000000 65535 f \n")
+      (1 to 5).foreach(i => w(f"${offsets(i)}%010d 00000 n \n"))
+      w(s"trailer << /Size 6 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+      out.toByteArray
+    }
+
+    // ---------------------------------------------------------- decode
+
+    private def inflate(data: Array[Byte]): Option[Array[Byte]] =
+      try {
+        val inf = new java.util.zip.Inflater()
+        inf.setInput(data)
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        while (!inf.finished()) {
+          val n = inf.inflate(buf)
+          if (n == 0 && inf.needsInput()) throw new java.io.EOFException
+          out.write(buf, 0, n)
+        }
+        inf.end()
+        Some(out.toByteArray)
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Parse one `(…)` literal string starting at `i` (which must be
+      * the '('): returns (decoded string, index just past ')').
+      * Handles the §7.3.4.2 escapes, octal codes, line continuations,
+      * and balanced unescaped nested parentheses.
+      */
+    private def parseLiteral(c: String, i0: Int): (String, Int) = {
+      val sb = new StringBuilder
+      var i = i0 + 1
+      var depth = 1
+      while (i < c.length && depth > 0) {
+        c.charAt(i) match {
+          case '\\' if i + 1 < c.length =>
+            c.charAt(i + 1) match {
+              case 'n' => sb += '\n'; i += 2
+              case 'r' => sb += '\r'; i += 2
+              case 't' => sb += '\t'; i += 2
+              case 'b' => sb += '\b'; i += 2
+              case 'f' => sb += '\f'; i += 2
+              case '\n' => i += 2 // continuation
+              case '\r' => i += (if (i + 2 < c.length && c.charAt(i + 2) == '\n') 3 else 2)
+              case d if d >= '0' && d <= '7' =>
+                var v = 0; var k = i + 1
+                while (k < c.length && k < i + 4 &&
+                  c.charAt(k) >= '0' && c.charAt(k) <= '7') {
+                  v = v * 8 + (c.charAt(k) - '0'); k += 1
+                }
+                sb += (v & 0xff).toChar; i = k
+              case other => sb += other; i += 2
+            }
+          case '(' => depth += 1; sb += '('; i += 1
+          case ')' =>
+            depth -= 1
+            if (depth > 0) sb += ')'
+            i += 1
+          case ch => sb += ch; i += 1
+        }
+      }
+      (sb.toString, i)
+    }
+
+    /** Parse one `<…>` hex string starting at `i` (the '<'): returns
+      * (decoded string, index just past '>'). Odd trailing digit is
+      * padded with 0 per spec; non-hex chars are skipped.
+      */
+    private def parseHex(c: String, i0: Int): (String, Int) = {
+      val sb = new StringBuilder
+      var i = i0 + 1
+      var hi = -1
+      while (i < c.length && c.charAt(i) != '>') {
+        val ch = c.charAt(i)
+        val v = Character.digit(ch, 16)
+        if (v >= 0) {
+          if (hi < 0) hi = v
+          else { sb += ((hi << 4) | v).toChar; hi = -1 }
+        }
+        i += 1
+      }
+      if (hi >= 0) sb += (hi << 4).toChar
+      (sb.toString, if (i < c.length) i + 1 else i)
+    }
+
+    /** Extract the shown text of one decoded content stream: lines of
+      * `Tj`/`'`/`"`/`TJ` output, split at text-positioning operators.
+      */
+    private def parseContent(c: String): Seq[String] = {
+      val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+      val cur = new StringBuilder
+      val pending = scala.collection.mutable.ArrayBuffer.empty[String]
+      var shown = false
+      def newline(): Unit =
+        if (shown) { lines += cur.toString; cur.clear(); shown = false }
+      var i = 0
+      while (i < c.length) {
+        val ch = c.charAt(i)
+        if (ch == '(') {
+          val (s, ni) = parseLiteral(c, i); pending += s; i = ni
+        } else if (ch == '<' && i + 1 < c.length && c.charAt(i + 1) == '<') {
+          i += 2 // dictionary (inline image params &c.) — not a string
+        } else if (ch == '<') {
+          val (s, ni) = parseHex(c, i); pending += s; i = ni
+        } else if (ch == '[' || ch == ']') {
+          i += 1 // TJ array delimiters — strings accumulate across them
+        } else if (ch == '%') {
+          while (i < c.length && c.charAt(i) != '\n' && c.charAt(i) != '\r') i += 1
+        } else if (ch == '/') {
+          i += 1 // name operand (e.g. /F1) — skip token body below
+          while (i < c.length && !c.charAt(i).isWhitespace &&
+            !"()<>[]{}/%".contains(c.charAt(i))) i += 1
+        } else if (ch.isWhitespace) {
+          i += 1
+        } else if (ch == '\'' || ch == '"') {
+          // shorthand shows: move to next line, then show pending
+          newline()
+          cur ++= pending.mkString; pending.clear(); shown = true
+          i += 1
+        } else {
+          val start = i
+          while (i < c.length && !c.charAt(i).isWhitespace &&
+            !"()<>[]{}/%".contains(c.charAt(i))) i += 1
+          val tok = c.substring(start, i)
+          tok match {
+            case "Tj" | "TJ" =>
+              cur ++= pending.mkString; pending.clear(); shown = true
+            case "Td" | "TD" | "T*" =>
+              newline(); pending.clear()
+            case "BT" | "ET" =>
+              newline(); pending.clear()
+            case t if t.nonEmpty &&
+              (t.charAt(0).isDigit || t.charAt(0) == '-' ||
+                t.charAt(0) == '+' || t.charAt(0) == '.') =>
+              () // numeric operand (kern values, coordinates) — ignore
+            case _ =>
+              pending.clear() // any other operator consumes its operands
+          }
+        }
+      }
+      newline()
+      lines.toSeq
+    }
+
+    /** Extract all shown text of a PDF payload: content-stream lines
+      * joined with `\n`, streams in document order. `None` for null,
+      * truncated, non-PDF, or text-free payloads — never a throw.
+      */
+    def extractText(bytes: Array[Byte]): Option[String] =
+      try {
+        if (bytes == null || bytes.length < 16) return None
+        val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+        val s = new String(bytes, latin1)
+        if (!s.startsWith("%PDF-")) return None
+        val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+        var from = 0
+        var found = true
+        while (found) {
+          val k = s.indexOf("stream", from)
+          if (k < 0) found = false
+          else {
+            // dict between the enclosing "obj" and the keyword decides
+            // the filter; "endstream" contains "stream", so only treat
+            // a keyword not preceded by "end" as a stream start
+            val isStart = k < 3 || s.regionMatches(k - 3, "end", 0, 3) == false
+            if (!isStart) from = k + 6
+            else {
+              var ds = k + 6
+              if (ds < s.length && s.charAt(ds) == '\r') ds += 1
+              if (ds < s.length && s.charAt(ds) == '\n') ds += 1
+              val de = s.indexOf("endstream", ds)
+              if (de < 0) { found = false }
+              else {
+                val objStart = math.max(0, s.lastIndexOf("obj", k))
+                val dict = s.substring(objStart, k)
+                // /Length is authoritative when sane — trimming the
+                // EOL before "endstream" by inspection would corrupt a
+                // compressed payload whose own last byte is \r or \n
+                val lenRe = "/Length\\s+(\\d+)".r
+                val end = lenRe.findFirstMatchIn(dict)
+                  .map(_.group(1).toInt)
+                  .filter(l => ds + l <= de)
+                  .map(ds + _)
+                  .getOrElse {
+                    var e = de
+                    if (e > ds && s.charAt(e - 1) == '\n') e -= 1
+                    if (e > ds && s.charAt(e - 1) == '\r') e -= 1
+                    e
+                  }
+                val raw = java.util.Arrays.copyOfRange(bytes, ds, end)
+                val dataOpt =
+                  if (dict.contains("/FlateDecode")) inflate(raw)
+                  else Some(raw)
+                dataOpt.foreach { data =>
+                  val c = new String(data, latin1)
+                  if (c.contains("BT")) lines ++= parseContent(c)
+                }
+                from = de + 9
+              }
+            }
+          }
+        }
+        if (lines.isEmpty) None else Some(lines.mkString("\n"))
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Extraction result row — null text = unextractable payload. */
+  final case class PdfText(asset_id: Long, media_type: String,
+                           n_bytes: Long, text: Option[String],
+                           n_chars: Option[Long])
+
+  /** Distributed PDF text extraction: binary payloads → extracted
+    * text, one partition at a time, payloads never on the driver —
+    * the document-modality sibling of [[Multimodal.decodeImageStats]]
+    * and [[Audio.decodeAudioStats]]. Non-document and unextractable
+    * rows get null text, never a task failure.
+    */
+  def extractPdfText(spark: SparkSession, assets: Dataset[Asset])
+      : Dataset[PdfText] = {
+    import spark.implicits._
+    assets.mapPartitions(_.map { a =>
+      val nb = if (a.content == null) 0L else a.content.length.toLong
+      val t =
+        if (a.media_type == "document") PdfCodec.extractText(a.content)
+        else None
+      PdfText(a.asset_id, a.media_type, nb, t, t.map(_.length.toLong))
+    })
+  }
+
+  /** Planted PDF fixtures from the documents table: a three-line
+    * earnings-note PDF per doc whose text is pure arithmetic on
+    * `doc_id`, so a SQL oracle predicts the EXACT extracted string
+    * without parsing a byte. Line 1 carries literal parentheses
+    * (escape-handling in the oracle-gated path); line 2 is emitted as
+    * a TJ array with a kern number and a hex-string half (both string
+    * syntaxes in the oracle-gated path). Every 37th asset is
+    * truncated to its first 8 bytes (must extract to null).
+    */
+  def plantedPdfs(spark: SparkSession, docs: org.apache.spark.sql.DataFrame)
+      : Dataset[Asset] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val lines = Seq(
+        s"report $id earnings (net) summary",
+        s"revenue ${id * 31 + 1} usd",
+        s"total ${id * 7} qtr ${id % 4}")
+      val pdf = PdfCodec.encodePdf(lines)
+      val content =
+        if (id % 37 == 0) java.util.Arrays.copyOf(pdf, 8) else pdf
+      Asset(id, "document", content, None, None, None, Some("pdf"))
+    }
+  }
+}

@@ -1,0 +1,111 @@
+package graft.llmops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+import Pdf.PdfCodec
+
+class PdfSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("encode/extract round-trips plain multi-line text") {
+    for (n <- 1 to 5) {
+      val lines = (0 until n).map(i => s"line $i with words and 12$i numbers")
+      val got = PdfCodec.extractText(PdfCodec.encodePdf(lines))
+      assert(got.contains(lines.mkString("\n")), s"n=$n got=$got")
+    }
+  }
+
+  test("literal-string escapes round-trip: parens, backslash, control") {
+    val lines = Seq(
+      "parens (nested (deep)) and \\ backslash",
+      "tab\there newline-free",
+      "trailing (unbalanced-looking close) ok")
+    val got = PdfCodec.extractText(PdfCodec.encodePdf(lines))
+    assert(got.contains(lines.mkString("\n")), s"got=$got")
+  }
+
+  test("TJ arrays with kern numbers and hex strings extract cleanly") {
+    // odd lines go through the TJ-array + hex-string path by
+    // construction; make every variant-length split land there
+    val lines = Seq("even tj line", "odd tj-array line with hex half",
+      "even again", "x")
+    val got = PdfCodec.extractText(PdfCodec.encodePdf(lines))
+    assert(got.contains(lines.mkString("\n")))
+  }
+
+  test("uncompressed content streams (no /FlateDecode) extract too") {
+    val lines = Seq("raw stream body", "second line")
+    val got = PdfCodec.extractText(PdfCodec.encodePdf(lines, compress = false))
+    assert(got.contains(lines.mkString("\n")))
+  }
+
+  test("octal escapes and hex oddities decode per spec") {
+    // hand-built content stream exercising \101 (= 'A'), a hex string
+    // with whitespace and an odd trailing digit (padded with 0), and
+    // a comment that must not swallow text
+    val content = "BT /F1 12 Tf 72 720 Td (\\101BC) Tj " +
+      "0 -14 Td <4 84 9> Tj % comment (not text)\n" +
+      "0 -14 Td (after) Tj ET"
+    val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+    val pdf = ("%PDF-1.4\n1 0 obj << /Length " + content.length +
+      " >> stream\n" + content + "\nendstream endobj\n%%EOF\n")
+      .getBytes(latin1)
+    val got = PdfCodec.extractText(pdf)
+    // <4 84 9> = digit stream 4,8,4,9 -> byte pairs 0x48 0x49 = "HI"
+    assert(got.contains("ABC\nHI\nafter"), s"got=$got")
+  }
+
+  test("corrupt, truncated, and non-PDF payloads extract to None") {
+    val pdf = PdfCodec.encodePdf(Seq("some text"))
+    assert(PdfCodec.extractText(null).isEmpty)
+    assert(PdfCodec.extractText(Array.emptyByteArray).isEmpty)
+    assert(PdfCodec.extractText("plain text file".getBytes).isEmpty)
+    assert(PdfCodec.extractText(java.util.Arrays.copyOf(pdf, 8)).isEmpty)
+    assert(PdfCodec.extractText(java.util.Arrays.copyOf(pdf, 60)).isEmpty)
+    // flipped bytes inside the deflate payload: inflate fails -> None,
+    // never a throw
+    val broken = pdf.clone()
+    val k = new String(pdf, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .indexOf("stream\n") + 10
+    broken(k) = (broken(k) ^ 0x5a).toByte
+    broken(k + 1) = (broken(k + 1) ^ 0x5a).toByte
+    assert(PdfCodec.extractText(broken).isEmpty ||
+      PdfCodec.extractText(broken) != PdfCodec.extractText(pdf))
+  }
+
+  test("distributed extraction: planted pdfs recover closed-form text, " +
+    "corrupt rows null") {
+    val docs = spark.range(0, 120).select($"id".as("doc_id"))
+    val assets = Pdf.plantedPdfs(spark, docs)
+    val out = Pdf.extractPdfText(spark, assets).collect()
+    assert(out.length == 120)
+    out.foreach { r =>
+      if (r.asset_id % 37 == 0) {
+        assert(r.text.isEmpty && r.n_chars.isEmpty, s"id=${r.asset_id}")
+      } else {
+        val id = r.asset_id
+        val want = s"report $id earnings (net) summary\n" +
+          s"revenue ${id * 31 + 1} usd\n" +
+          s"total ${id * 7} qtr ${id % 4}"
+        assert(r.text.contains(want), s"id=$id got=${r.text}")
+        assert(r.n_chars.contains(want.length.toLong))
+      }
+    }
+  }
+
+  test("planted fixtures are valid PDFs for the structure they declare") {
+    // xref offsets must point at the objects they index — byte-exact
+    val pdf = PdfCodec.encodePdf(Seq("check xref"))
+    val s = new String(pdf, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val xrefAt = s.indexOf("xref\n0 6\n")
+    assert(xrefAt > 0)
+    val entries = s.substring(xrefAt).linesIterator.drop(3).take(5).toSeq
+    entries.zipWithIndex.foreach { case (e, i) =>
+      val off = e.take(10).toInt
+      assert(s.startsWith(s"${i + 1} 0 obj", off),
+        s"xref entry ${i + 1} points at '${s.substring(off, off + 12)}'")
+    }
+    assert(s.substring(s.indexOf("startxref")).contains(xrefAt.toString))
+  }
+}
