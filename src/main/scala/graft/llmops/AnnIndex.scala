@@ -63,6 +63,23 @@ object AnnIndex {
         lit(0.0)))
       .head().getDouble(0)
 
+  /** Coarse-assignment MSE and PQ-reconstruction MSE in ONE pass over
+    * the batch — both kernels live in the same whole-stage-codegen
+    * projection, so the second statistic is free of a second scan.
+    */
+  private def fitMse(vecs: DataFrame, centroids: Array[Array[Float]],
+                     books: Array[Array[Array[Float]]],
+                     vecCol: String): (Double, Double) = {
+    val r = vecs.where(col(vecCol).isNotNull)
+      .agg(
+        coalesce(avg(Ivf.centroid_sq_dist(col(vecCol), centroids)),
+          lit(0.0)),
+        coalesce(avg(Ivf.pq_reconstruction_sq_dist(col(vecCol), books)),
+          lit(0.0)))
+      .head()
+    (r.getDouble(0), r.getDouble(1))
+  }
+
   /** [[write]] with externally trained models. Also records the
     * training-time assignment MSE under `path/_stats/metrics`
     * (underscore-prefixed parent → invisible to index scans, leaf dir
@@ -81,7 +98,8 @@ object AnnIndex {
       .write.mode("overwrite").partitionBy("list_id").parquet(path)
     Models.saveIvfAdc(spark, s"$path/_models", centroids, books)
     import spark.implicits._
-    Seq(("train_mse", assignMse(corpus, centroids, corpusVec)))
+    val (coarse, recon) = fitMse(corpus, centroids, books, corpusVec)
+    Seq(("train_mse", coarse), ("train_recon_mse", recon))
       .toDF("metric", "value")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_stats/metrics")
   }
@@ -106,27 +124,44 @@ object AnnIndex {
       .write.mode("append").partitionBy("list_id").parquet(path)
   }
 
-  /** Drift probe — the retrain signal for an append-mode index: mean
-    * assignment error of an incoming batch under the PERSISTED coarse
-    * centroids vs the training-time error recorded at write. One row:
-    * (train_mse, new_mse, ratio). A ratio near 1 means the quantizer
-    * still fits (append freely); a ratio well above 1 means the data
-    * distribution moved — new vectors crowd into lists the centroids
-    * don't represent, probe recall decays silently — so retrain and
-    * rewrite. Cost: one kernel-projection pass over the batch; the
-    * index itself is not read.
+  /** Drift probe — the retrain signal for an append-mode index: the
+    * fit of an incoming batch under the PERSISTED models vs the
+    * training-time fit recorded at write, along BOTH axes a quantizer
+    * can rot on:
+    *
+    *  - coarse-assignment MSE (`ratio`): the batch crowds into lists
+    *    the centroids don't represent → probe recall decays;
+    *  - PQ-reconstruction MSE (`recon_ratio`): coarse geometry still
+    *    fits but the batch's WITHIN-list detail no longer matches the
+    *    residual codebooks → ADC scores go mushy and ranking quality
+    *    decays while the coarse probe looks healthy. A coarse-only
+    *    probe is blind to exactly this failure (a distribution shift
+    *    that preserves cluster positions but rotates/reshapes the
+    *    fine structure), which is why both are checked.
+    *
+    * One row: (train_mse, new_mse, ratio, train_recon_mse,
+    * new_recon_mse, recon_ratio). Either ratio near 1 → that axis
+    * still fits (append freely); well above 1 → retrain + rewrite.
+    * Cost: ONE kernel-projection pass over the batch (both statistics
+    * share the scan); the index itself is never read. Indexes written
+    * before reconstruction tracking carry no `train_recon_mse` row —
+    * the recon columns come back NaN rather than failing the probe.
     */
   def drift(spark: SparkSession, newVecs: DataFrame, path: String,
             corpusVec: String = "embedding"): DataFrame = {
-    val (cents, _) = loadModels(spark, path)
-    val trainMse = spark.read.parquet(s"$path/_stats/metrics")
-      .filter(col("metric") === "train_mse")
-      .head().getDouble(1)
-    val newMse = assignMse(newVecs, cents, corpusVec)
+    val (cents, books) = loadModels(spark, path)
+    val metrics = spark.read.parquet(s"$path/_stats/metrics")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val trainMse = metrics("train_mse")
+    val trainRecon = metrics.getOrElse("train_recon_mse", Double.NaN)
+    val (newMse, newRecon) = fitMse(newVecs, cents, books, corpusVec)
     import spark.implicits._
     Seq((trainMse, newMse,
-        if (trainMse > 0) newMse / trainMse else Double.NaN))
-      .toDF("train_mse", "new_mse", "ratio")
+        if (trainMse > 0) newMse / trainMse else Double.NaN,
+        trainRecon, newRecon,
+        if (trainRecon > 0) newRecon / trainRecon else Double.NaN))
+      .toDF("train_mse", "new_mse", "ratio",
+        "train_recon_mse", "new_recon_mse", "recon_ratio")
   }
 
   /** Load the persisted models back: (centroids, codebooks). */

@@ -145,6 +145,23 @@ object Ivf {
     ColumnBridge.column(
       CentroidSqDist(ColumnBridge.expression(vec), centroids))
 
+  /** `pq_reconstruction_sq_dist(vec)` → double: squared error of the
+    * vector's PQ reconstruction, Σ_s min_c ‖vec[s·dsub..] − books(s)(c)‖².
+    * Exact by construction — [[pqEncode]] picks the NEAREST codeword
+    * per subspace, so the per-subspace reconstruction error IS the
+    * minimum squared distance, and this composes the same
+    * [[CentroidSqDist]] codegen kernel per slice (all m calls stay in
+    * one whole-stage-codegen projection, like [[pqEncode]]).
+    */
+  def pq_reconstruction_sq_dist(vec: Column,
+                                books: Array[Array[Array[Float]]]): Column = {
+    require(books.nonEmpty, "empty codebooks")
+    val dsub = books(0)(0).length
+    books.indices.map(s =>
+      centroid_sq_dist(slice(vec, s * dsub + 1, dsub), books(s)))
+      .reduce(_ + _)
+  }
+
   /** Deterministic coarse centroids: the `nlist` corpus vectors with
     * the smallest xxhash64(id) — a seeded uniform sample.
     */

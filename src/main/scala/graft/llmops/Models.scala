@@ -1,6 +1,6 @@
 package graft.llmops
 
-import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 
 /** Parquet persistence for ANN model parameters — coarse centroids and
   * product-quantizer codebooks. This is the train-once / serve-many
@@ -146,6 +146,67 @@ object Models {
       .select("bands", "rows_per_band", "threshold", "shingle_size").head()
     (LshPlan.Plan(r.getInt(0), r.getInt(1), r.getDouble(2)), r.getInt(3))
   }
+
+  /** Persist a trained BPE merge list ([[Vocab.trainBpe]] output).
+    * Merge ORDER is the model — rank is stored explicitly as a column
+    * so the load is insensitive to parquet row order, and a fresh
+    * session's `bpe_encode` over the loaded list is bit-identical to
+    * the training session's (pinned by ModelsSpec). Train-once /
+    * serve-many for tokenizers, mirroring the ANN model seam.
+    */
+  def saveBpe(spark: SparkSession, path: String,
+              merges: Seq[(String, String)]): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((l, r), rank) => (rank, l, r) }
+      .toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load merges saved by [[saveBpe]], in training order. */
+  def loadBpe(spark: SparkSession, path: String): Seq[(String, String)] =
+    spark.read.parquet(path).select("rank", "left", "right").collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+
+  /** Persist a trained unigram-LM vocabulary ([[Vocab.trainUnigram]]
+    * output): rows (rank, piece, logp), logp as DOUBLE so load∘save is
+    * the identity and `unigram_encode` from the loaded table Viterbi-
+    * segments bit-identically to the in-memory model.
+    */
+  def saveUnigram(spark: SparkSession, path: String,
+                  pieces: Seq[(String, Double)]): Unit = {
+    import spark.implicits._
+    pieces.zipWithIndex.map { case ((p, lp), rank) => (rank, p, lp) }
+      .toDF("rank", "piece", "logp")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a vocabulary saved by [[saveUnigram]], in model order. */
+  def loadUnigram(spark: SparkSession, path: String): Seq[(String, Double)] =
+    spark.read.parquet(path).select("rank", "piece", "logp").collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getDouble(2))).toSeq
+
+  /** Persist the n-gram LM count tables behind [[LangModel.nllScores]]
+    * / [[LangModel.knNllScores]] under one directory (`dir/unigrams`,
+    * `dir/bigrams`). The tables are exact integer counts, so persisted
+    * scoring is bit-identical to in-session scoring by construction;
+    * count-prune with `LangModel.bigramCounts(minCount)` BEFORE saving
+    * to keep the stored model broadcastable (the KenLM discipline).
+    * Unlike the driver-side models above these stay DataFrames end to
+    * end — the count tables join against the corpus, so they must live
+    * on the cluster, never on the driver.
+    */
+  def saveLmTables(dir: String, uni: DataFrame, bi: DataFrame): Unit = {
+    uni.select("w", "c").write.mode("overwrite").parquet(s"$dir/unigrams")
+    bi.select("w1", "w2", "c").write.mode("overwrite").parquet(s"$dir/bigrams")
+  }
+
+  /** Load LM tables saved by [[saveLmTables]]: (unigrams, bigrams). */
+  def loadLmTables(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$dir/unigrams"),
+      spark.read.parquet(s"$dir/bigrams"))
 
   /** (outer, inner, w) triples → ragged Array[Array[Float]], shaped by
     * the max indices actually present.

@@ -125,4 +125,51 @@ class AnnIndexSpec extends SparkTestBase {
     assert(d1.getAs[Double]("ratio") > 2.0,
       s"shifted batch must flag drift, got ${d1.getAs[Double]("ratio")}")
   }
+
+  test("reconstruction drift: codebook-only rot flags recon_ratio while " +
+    "the coarse probe stays healthy") {
+    val path = tmp()
+    // tighter PQ than the default so the reconstruction floor sits
+    // well below the coarse floor — the regime where the two probes
+    // are genuinely independent signals
+    AnnIndex.write(emb, path,
+      nlist = 8, coarseIters = 1, m = 8, codewords = 32, pqIters = 3)
+    val d0 = AnnIndex.drift(spark, emb, path).head()
+    val trainMse = d0.getAs[Double]("train_mse")
+    val trainRecon = d0.getAs[Double]("train_recon_mse")
+    assert(trainRecon > 0.0 && trainRecon < trainMse,
+      s"PQ must fit finer than the coarse quantizer " +
+        s"(recon $trainRecon vs coarse $trainMse)")
+    assert(math.abs(d0.getAs[Double]("recon_ratio") - 1.0) < 1e-6,
+      "training corpus must reproduce its own reconstruction fit")
+    // Plant codebook-only drift: concentrate each vector's WHOLE
+    // residual norm onto one dimension of its assigned centroid —
+    // v' = c + (‖v − c‖, 0, …, 0). The distance to the assigned
+    // centroid is preserved exactly, so the batch's nearest-centroid
+    // MSE can only stay or DROP (the min reassigns) — the coarse
+    // probe sees a healthy batch — while subspace 0 now lives far
+    // outside anything the residual codebooks were trained on.
+    // Exactly the fine-structure rot a coarse-only probe cannot see.
+    val (cents, _) = AnnIndex.loadModels(spark, path)
+    def sq(a: Seq[Float], b: Array[Float]): Double =
+      a.iterator.zip(b.iterator).map { case (x, y) =>
+        (x - y).toDouble * (x - y) }.sum
+    val rotted = emb.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().toSeq.map { case (id, v) =>
+        val c = cents.minBy(sq(v, _))
+        val r = math.sqrt(sq(v, c)).toFloat
+        (id, c.toSeq.zipWithIndex.map { case (y, i) =>
+          if (i == 0) y + r else y })
+      }.toDF("vec_id", "embedding")
+    val d1 = AnnIndex.drift(spark, rotted, path).head()
+    val coarseRatio = d1.getAs[Double]("ratio")
+    val reconRatio = d1.getAs[Double]("recon_ratio")
+    assert(coarseRatio < 1.0 + 1e-6,
+      s"norm-preserving rot must keep the coarse probe healthy, " +
+        s"got $coarseRatio")
+    assert(reconRatio > 2.0,
+      s"codebook drift must flag recon_ratio, got $reconRatio")
+    assert(reconRatio > 2.0 * coarseRatio,
+      s"recon axis must dominate: recon $reconRatio vs coarse $coarseRatio")
+  }
 }

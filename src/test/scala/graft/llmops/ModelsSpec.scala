@@ -79,6 +79,66 @@ class ModelsSpec extends SparkTestBase {
     assert(o1(0).sameElements(odd1(0)) && o2(0).sameElements(odd2(0)))
   }
 
+  test("tokenizer models: load∘save identity, persisted encode bit-identical") {
+    val docs = Tables.documents(spark, sf0001).limit(60).cache()
+    val probe = docs.limit(20)
+
+    // BPE: merge ORDER is the model — verify rank survives the round
+    // trip and a fresh encode from the loaded list matches exactly
+    val merges = Vocab.trainBpe(docs, $"text", numMerges = 12)
+    val pb = tmp("bpe")
+    Models.saveBpe(spark, pb, merges)
+    val mergesBack = Models.loadBpe(spark, pb)
+    assert(mergesBack == merges)
+    val encA = probe.select($"doc_id",
+        Vocab.bpe_encode($"text", merges).as("toks"))
+      .as[(Long, Seq[String])].collect().toMap
+    val encB = probe.select($"doc_id",
+        Vocab.bpe_encode($"text", mergesBack).as("toks"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(encA == encB && encA.nonEmpty)
+
+    // unigram: (piece, logp) doubles round-trip bit-exact; Viterbi
+    // segmentation from the loaded model is identical
+    val pieces = Vocab.trainUnigram(docs, $"text", vocabSize = 200, iters = 2)
+    val pu = tmp("unigram")
+    Models.saveUnigram(spark, pu, pieces)
+    val piecesBack = Models.loadUnigram(spark, pu)
+    assert(piecesBack == pieces)
+    val segA = probe.select($"doc_id",
+        Vocab.unigram_encode($"text", pieces).as("toks"))
+      .as[(Long, Seq[String])].collect().toMap
+    val segB = probe.select($"doc_id",
+        Vocab.unigram_encode($"text", piecesBack).as("toks"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(segA == segB && segA.nonEmpty)
+  }
+
+  test("LM count tables: persisted scoring equals in-session scoring") {
+    val docs = Tables.documents(spark, sf0001).limit(80).cache()
+    val ref = Tables.documents(spark, sf0001).limit(200)
+    val uni = LangModel.unigramCounts(ref, $"text")
+    val bi = LangModel.bigramCounts(ref, $"text", minCount = 2)
+    val dir = tmp("lm")
+    Models.saveLmTables(dir, uni, bi)
+    val (uniBack, biBack) = Models.loadLmTables(spark, dir)
+    // exact integer counts → identical tables
+    assert(uniBack.orderBy("w").collect().toSeq ==
+      uni.select("w", "c").orderBy("w").collect().toSeq)
+    assert(biBack.orderBy("w1", "w2").collect().toSeq ==
+      bi.select("w1", "w2", "c").orderBy("w1", "w2").collect().toSeq)
+    // served-from-parquet scoring is bit-identical for add-k and KN
+    def scores(u: org.apache.spark.sql.DataFrame,
+               b: org.apache.spark.sql.DataFrame) =
+      LangModel.nllScores(docs, u, b)
+        .select($"doc_id", $"avg_nll").as[(Long, Double)].collect().toMap
+    assert(scores(uniBack, biBack) == scores(uni, bi))
+    def kn(b: org.apache.spark.sql.DataFrame) =
+      LangModel.knNllScores(docs, b)
+        .select($"doc_id", $"avg_nll").as[(Long, Double)].collect().toMap
+    assert(kn(biBack) == kn(bi))
+  }
+
   test("load∘save is the identity for LSH plans (the incremental-dedup " +
     "split-consistency seam)") {
     val plan = LshPlan.plan(0.4)
