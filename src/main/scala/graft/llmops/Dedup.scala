@@ -274,6 +274,38 @@ object Dedup {
       .agg(min(col("hamming")).as("hamming"))
   }
 
+  /** Two-sided banded Hamming pairs over 64-bit fingerprint frames —
+    * the [[contaminationPairs]] shape for perceptual hashes: `fpsA`
+    * (the large/persisted side, hot buckets capped) joins `fpsB` (the
+    * small/incoming side, exempt from the cap) on 16-bit band
+    * buckets, exact `bit_count(xor)` verify, group-min pair dedup.
+    * Complete for `maxHamming` ≤ 3 by pigeonhole, like
+    * [[bandedHammingPairs]]. Returns (id_a, id_b, hamming) with id_a
+    * from `fpsA`, id_b from `fpsB` — work is |collisions|, never
+    * |A|·|B|, and only (long, long) rows move.
+    */
+  def bandedHammingPairsAB(fpsA: DataFrame, fpsB: DataFrame,
+                           maxHamming: Int, maxBucket: Int = 200)
+      : DataFrame = {
+    def banded(fps: DataFrame): DataFrame = fps
+      .select(col("id"), col("fp"),
+        explode(Sketches.simhashBands(col("fp"))).as("b"))
+      .select(col("id"), col("fp"),
+        col("b.band").as("band"), col("b.band_hash").as("band_hash"))
+    val a = capBuckets(banded(fpsA), maxBucket)
+      .select(col("band"), col("band_hash"),
+        col("id").as("id_a"), col("fp").as("fp_a"))
+    val b = banded(fpsB)
+      .select(col("band"), col("band_hash"),
+        col("id").as("id_b"), col("fp").as("fp_b"))
+    a.join(b, Seq("band", "band_hash"))
+      .select(col("id_a"), col("id_b"),
+        Sketches.hamming64(col("fp_a"), col("fp_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("hamming")).as("hamming"))
+  }
+
   /** Cross-corpus contamination detection: near-duplicate pairs
     * between a training corpus and a held-out benchmark set (the
     * decontamination step of a training-data pipeline). Same
