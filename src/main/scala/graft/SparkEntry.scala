@@ -2086,7 +2086,7 @@ object SparkEntry {
       import s.implicits._
       val M = graft.llmops.Multimodal
       val assets = M.plantedImages(s, t(s, d, "documents")
-        .filter($"doc_id" < 500))
+        .filter($"doc_id" % 11 === 0))
       M.decodeImageStats(s, assets).toDF()
         .select($"asset_id", $"width", $"height", $"bands",
           round($"mean_luma", 4).as("mean_luma"))
@@ -2177,7 +2177,7 @@ object SparkEntry {
       import s.implicits._
       val M = graft.llmops.Multimodal
       val assets = M.plantedHashImages(s,
-        t(s, d, "documents").filter($"doc_id" < 300))
+        t(s, d, "documents").filter($"doc_id" % 17 === 0))
       M.imageNearDupPairs(M.imageDHashes(s, assets), maxHamming = 3)
         .select($"id_a".cast("long").as("id_a"),
           $"id_b".cast("long").as("id_b"),
@@ -2215,7 +2215,7 @@ object SparkEntry {
       import s.implicits._
       val A = graft.llmops.Audio
       val assets = A.plantedFingerprintAudio(s, t(s, d, "documents")
-        .filter($"doc_id" < 300))
+        .filter($"doc_id" % 17 === 0))
       A.audioNearDupPairs(A.audioEnergyHashes(s, assets), maxHamming = 3)
         .select($"id_a".cast("long").as("id_a"),
           $"id_b".cast("long").as("id_b"),
@@ -2253,7 +2253,7 @@ object SparkEntry {
       import s.implicits._
       val M = graft.llmops.Multimodal
       val assets = M.plantedGifs(s, t(s, d, "documents")
-        .filter($"doc_id" < 400))
+        .filter($"doc_id" % 13 === 0))
       M.decodeVideoFrameStats(s, assets).toDF()
         .select($"asset_id", $"frame_index", $"width", $"height",
           round($"mean_luma", 4).as("mean_luma"))
@@ -2274,7 +2274,7 @@ object SparkEntry {
       import s.implicits._
       val P = graft.llmops.Pdf
       val assets = P.plantedPdfs(s, t(s, d, "documents")
-        .filter($"doc_id" < 500))
+        .filter($"doc_id" % 11 === 0))
       P.extractPdfText(s, assets).toDF()
         .select($"asset_id", $"n_chars", $"text")
         .orderBy($"asset_id")
@@ -4031,7 +4031,7 @@ object SparkEntry {
                 CASE WHEN doc_id % 37 = 0 THEN NULL ELSE 1 END AS bands,
                 CASE WHEN doc_id % 37 = 0 THEN NULL
                      ELSE round(((doc_id * 17) % 256)::DOUBLE, 4) END AS mean_luma
-         FROM documents WHERE doc_id < 500 ORDER BY asset_id""",
+         FROM documents WHERE doc_id % 11 = 0 ORDER BY asset_id""",
     "q109_unigram_seed" ->
       """WITH words AS (
            SELECT w, count(*) AS wc FROM (
@@ -4149,7 +4149,7 @@ object SparkEntry {
          FROM nll GROUP BY doc_id ORDER BY doc_id""",
     "q113_image_dhash" ->
       """WITH d AS (SELECT doc_id, doc_id % 25 AS g, (doc_id % 11 = 0) AS bump
-                    FROM documents WHERE doc_id < 300),
+                    FROM documents WHERE doc_id % 17 = 0),
          cells AS (
            SELECT doc_id, i, j,
                   (31*g + 17*i + 29*j + 23*((g*(i+2*j)) % 13)) % 150 +
@@ -4198,7 +4198,7 @@ object SparkEntry {
     // the all-pairs Hamming join (checks the LSH path's completeness)
     "q115_audio_fingerprint" ->
       """WITH d AS (SELECT doc_id, doc_id % 25 AS g, (doc_id % 11 = 0) AS bump
-                    FROM documents WHERE doc_id < 300),
+                    FROM documents WHERE doc_id % 17 = 0),
          bins AS (
            SELECT doc_id, b,
                   100 + (31*g + 17*b + 23*((g*(b+3)) % 13)) % 150 +
@@ -4253,7 +4253,7 @@ object SparkEntry {
       """WITH d AS (SELECT doc_id, 3 + doc_id % 4 AS w,
                            2 + doc_id % 3 AS h, 2 + doc_id % 4 AS nf
                     FROM documents
-                    WHERE doc_id < 400 AND doc_id % 37 <> 0)
+                    WHERE doc_id % 13 = 0 AND doc_id % 37 <> 0)
          SELECT doc_id AS asset_id, f AS frame_index,
                 w::INT AS width, h::INT AS height,
                 round(((13 * doc_id + 31 * f) % 200)::DOUBLE, 4) AS mean_luma
@@ -4266,7 +4266,7 @@ object SparkEntry {
                   'report ' || doc_id || ' earnings (net) summary' || chr(10) ||
                   'revenue ' || (doc_id * 31 + 1) || ' usd' || chr(10) ||
                   'total ' || (doc_id * 7) || ' qtr ' || (doc_id % 4) AS txt
-           FROM documents WHERE doc_id < 500)
+           FROM documents WHERE doc_id % 11 = 0)
          SELECT doc_id AS asset_id,
                 CASE WHEN doc_id % 37 = 0 THEN NULL
                      ELSE length(txt) END AS n_chars,
