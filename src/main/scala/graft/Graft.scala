@@ -409,6 +409,31 @@ object Graft {
   def videoFrameStats(s: SparkSession,
                       assets: org.apache.spark.sql.Dataset[llmops.Multimodal.Asset])
       : DataFrame = llmops.Multimodal.decodeVideoFrameStats(s, assets).toDF()
+  /** JDK-only PDF text extraction — the reference's actual payload
+    * type (q118): distributed, corrupt rows → null text. */
+  def pdfText(s: SparkSession,
+              assets: org.apache.spark.sql.Dataset[llmops.Multimodal.Asset])
+      : DataFrame = llmops.Pdf.extractPdfText(s, assets).toDF()
+  /** Persist / restore a trained BPE merge list (rank-exact). */
+  def saveBpeModel(s: SparkSession, path: String,
+                   merges: Seq[(String, String)]): Unit =
+    llmops.Models.saveBpe(s, path, merges)
+  def loadBpeModel(s: SparkSession, path: String): Seq[(String, String)] =
+    llmops.Models.loadBpe(s, path)
+  /** Persist / restore a trained unigram-LM vocabulary. */
+  def saveUnigramModel(s: SparkSession, path: String,
+                       pieces: Seq[(String, Double)]): Unit =
+    llmops.Models.saveUnigram(s, path, pieces)
+  def loadUnigramModel(s: SparkSession, path: String): Seq[(String, Double)] =
+    llmops.Models.loadUnigram(s, path)
+  /** Persist / restore the (bands, rows, threshold, shingle) plan a
+    * sketch-table pair was built with — required by the incremental
+    * dedup split-consistency contract. */
+  def saveLshPlan(s: SparkSession, path: String, plan: llmops.LshPlan.Plan,
+                  shingleSize: Int = 5): Unit =
+    llmops.Models.saveLshPlan(s, path, plan, shingleSize)
+  def loadLshPlan(s: SparkSession, path: String): (llmops.LshPlan.Plan, Int) =
+    llmops.Models.loadLshPlan(s, path)
 
   // ---- url / html --------------------------------------------------
   def resolveUrl(href: Column, base: Column): Column =

@@ -2278,6 +2278,23 @@ object SparkEntry {
       P.extractPdfText(s, assets).toDF()
         .select($"asset_id", $"n_chars", $"text")
         .orderBy($"asset_id")
+    }),
+
+    // The document modality end-to-end on REAL corpus text: every 7th
+    // document is rendered into an actual PDF (escaped literal string,
+    // Flate-compressed content stream) and extracted back — the oracle
+    // is a STRAIGHT read of the documents table, so the whole
+    // encoder→deflate→stream-scan→inflate→string-parser path must
+    // reproduce every corpus byte (md5-pinned) to pass.
+    "q119_pdf_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      val P = graft.llmops.Pdf
+      val docs = t(s, d, "documents")
+        .filter($"text".isNotNull && $"doc_id" % 7 === 0)
+      P.extractPdfText(s, P.encodeCorpusPdfs(s, docs)).toDF()
+        .select($"asset_id", $"n_chars",
+          md5($"text".cast("binary")).as("text_md5"))
+        .orderBy($"asset_id")
     })
   )
 
@@ -4271,6 +4288,11 @@ object SparkEntry {
                 CASE WHEN doc_id % 37 = 0 THEN NULL
                      ELSE length(txt) END AS n_chars,
                 CASE WHEN doc_id % 37 = 0 THEN NULL ELSE txt END AS text
-         FROM t ORDER BY asset_id"""
+         FROM t ORDER BY asset_id""",
+    "q119_pdf_roundtrip" ->
+      """SELECT doc_id AS asset_id, length(text)::BIGINT AS n_chars,
+                md5(text) AS text_md5
+         FROM documents WHERE text IS NOT NULL AND doc_id % 7 = 0
+         ORDER BY asset_id"""
   )
 }

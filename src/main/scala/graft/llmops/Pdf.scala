@@ -347,6 +347,27 @@ object Pdf {
     })
   }
 
+  /** Render REAL corpus text into PDF assets — one single-page PDF
+    * per document, the document's text as one literal-string show op
+    * (escapes applied by the encoder, so parentheses/backslashes in
+    * corpus text survive). Extraction is then an exact round trip:
+    * `extractText(encodeCorpusPdfs(docs)) == text`, which is what
+    * makes the q119 oracle a straight read of the documents table —
+    * the whole encoder→Flate→parser path must reproduce every corpus
+    * byte to pass. Runs distributed; text never leaves its partition.
+    */
+  def encodeCorpusPdfs(spark: SparkSession,
+                       docs: org.apache.spark.sql.DataFrame,
+                       idCol: String = "doc_id", textCol: String = "text")
+      : Dataset[Asset] = {
+    import spark.implicits._
+    docs.select(col(idCol), col(textCol)).as[(Long, String)].map {
+      case (id, text) =>
+        Asset(id, "document", PdfCodec.encodePdf(Seq(text)),
+          None, None, None, Some("pdf"))
+    }
+  }
+
   /** Planted PDF fixtures from the documents table: a three-line
     * earnings-note PDF per doc whose text is pure arithmetic on
     * `doc_id`, so a SQL oracle predicts the EXACT extracted string

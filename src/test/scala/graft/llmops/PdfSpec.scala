@@ -94,6 +94,20 @@ class PdfSpec extends SparkTestBase {
     }
   }
 
+  test("real corpus text round-trips byte-exact through encode/extract") {
+    val docs = graft.Tables.documents(spark, sf0001)
+      .filter($"text".isNotNull).limit(120)
+    val src = docs.select($"doc_id", $"text")
+      .as[(Long, String)].collect().toMap
+    val out = Pdf.extractPdfText(spark, Pdf.encodeCorpusPdfs(spark, docs))
+      .collect()
+    assert(out.length == src.size)
+    out.foreach { r =>
+      assert(r.text.contains(src(r.asset_id)),
+        s"doc ${r.asset_id}: extraction diverged")
+    }
+  }
+
   test("planted fixtures are valid PDFs for the structure they declare") {
     // xref offsets must point at the objects they index — byte-exact
     val pdf = PdfCodec.encodePdf(Seq("check xref"))
