@@ -465,13 +465,26 @@ object Dedup {
   /** Exact word-n-gram Jaccard pairs within LSH candidates: MinHash
     * banding proposes, exact Jaccard disposes. The exact set compare
     * only runs on bucket-mates.
+    *
+    * `proposalThreshold` is the CANDIDATE stage's MinHash threshold —
+    * deliberately below `threshold` (default 0.75·threshold) because
+    * the proposal estimates char-shingle Jaccard while the verify
+    * measures word-n-gram Jaccard: the two similarity spaces
+    * correlate but differ, and the margin is what keeps true
+    * word-gram pairs from being lost to estimator mismatch before
+    * the exact compare ever sees them. Lower = more recall, more
+    * candidate fan-out (the planned low-threshold split uses short
+    * bands — see SCALING.md round 8 on q60's honest cost).
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+                        proposalThreshold: Double = Double.NaN,
                         idCol: String = "doc_id", textCol: String = "text")
       : DataFrame = {
+    val propose =
+      if (proposalThreshold.isNaN) 0.75 * threshold else proposalThreshold
     // candidates feed three consumers (the id-prune plus both verify
     // joins) — pin so the LSH round runs once
-    val candidates = pinSigs(minhashPairs(docs, threshold = 0.3,
+    val candidates = pinSigs(minhashPairs(docs, threshold = propose,
       idCol = idCol, textCol = textCol).select(col("id_a"), col("id_b")))
     // the gram kernel only ever runs on candidate-involved docs: the
     // candidate id set is tiny next to the corpus, so semi-joining

@@ -90,38 +90,57 @@ object Pdf {
       out.toByteArray
     }
 
-    /** Encode a complete single-page PDF showing `lines` — catalog,
-      * page tree, Helvetica font, Flate-compressed content stream
-      * (raw when `compress = false`, exercising the unfiltered path),
-      * and a byte-exact xref table + trailer, so the fixture is a
-      * fully valid document for ANY reader, not just ours.
+    /** Encode a complete single-page PDF showing `lines` — see
+      * [[encodePdfPages]] (this is its one-page form).
       */
-    def encodePdf(lines: Seq[String], compress: Boolean = true): Array[Byte] = {
+    def encodePdf(lines: Seq[String], compress: Boolean = true): Array[Byte] =
+      encodePdfPages(Seq(lines), compress)
+
+    /** Encode a complete multi-page PDF, one content stream per page —
+      * catalog, page tree, shared Helvetica font, Flate-compressed
+      * content streams (raw when `compress = false`, exercising the
+      * unfiltered path), and a byte-exact xref table + trailer, so the
+      * fixture is a fully valid document for ANY reader, not just
+      * ours. Object layout: 1 catalog, 2 page tree, 3 font, then per
+      * page i: page object (4 + 2i) and content stream (5 + 2i).
+      */
+    def encodePdfPages(pages: Seq[Seq[String]],
+                       compress: Boolean = true): Array[Byte] = {
+      require(pages.nonEmpty, "at least one page")
       val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
-      val content = contentStream(lines).getBytes(latin1)
-      val payload = if (compress) deflate(content) else content
-      val filter = if (compress) " /Filter /FlateDecode" else ""
+      val n = pages.length
+      val nObj = 3 + 2 * n
       val out = new java.io.ByteArrayOutputStream()
       def w(s: String): Unit = out.write(s.getBytes(latin1))
-      val offsets = new Array[Int](6)
+      val offsets = new Array[Int](nObj + 1)
       w("%PDF-1.4\n")
       offsets(1) = out.size()
       w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
       offsets(2) = out.size()
-      w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+      val kids = (0 until n).map(i => s"${4 + 2 * i} 0 R").mkString(" ")
+      w(s"2 0 obj << /Type /Pages /Kids [$kids] /Count $n >> endobj\n")
       offsets(3) = out.size()
-      w("3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
-        "/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >> endobj\n")
-      offsets(4) = out.size()
-      w("4 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n")
-      offsets(5) = out.size()
-      w(s"5 0 obj << /Length ${payload.length}$filter >> stream\n")
-      out.write(payload)
-      w("\nendstream endobj\n")
+      w("3 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n")
+      pages.zipWithIndex.foreach { case (lines, i) =>
+        val pageId = 4 + 2 * i
+        val contentId = 5 + 2 * i
+        offsets(pageId) = out.size()
+        w(s"$pageId 0 obj << /Type /Page /Parent 2 0 R " +
+          "/MediaBox [0 0 612 792] " +
+          s"/Resources << /Font << /F1 3 0 R >> >> " +
+          s"/Contents $contentId 0 R >> endobj\n")
+        val content = contentStream(lines).getBytes(latin1)
+        val payload = if (compress) deflate(content) else content
+        val filter = if (compress) " /Filter /FlateDecode" else ""
+        offsets(contentId) = out.size()
+        w(s"$contentId 0 obj << /Length ${payload.length}$filter >> stream\n")
+        out.write(payload)
+        w("\nendstream endobj\n")
+      }
       val xref = out.size()
-      w("xref\n0 6\n0000000000 65535 f \n")
-      (1 to 5).foreach(i => w(f"${offsets(i)}%010d 00000 n \n"))
-      w(s"trailer << /Size 6 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+      w(s"xref\n0 ${nObj + 1}\n0000000000 65535 f \n")
+      (1 to nObj).foreach(i => w(f"${offsets(i)}%010d 00000 n \n"))
+      w(s"trailer << /Size ${nObj + 1} /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
       out.toByteArray
     }
 
@@ -135,7 +154,11 @@ object Pdf {
         val buf = new Array[Byte](4096)
         while (!inf.finished()) {
           val n = inf.inflate(buf)
-          if (n == 0 && inf.needsInput()) throw new java.io.EOFException
+          // needsDictionary: a preset-dictionary stream we can't serve
+          // — without this guard the loop would spin forever (n = 0,
+          // not finished, input not consumed) on such a payload
+          if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+            throw new java.io.EOFException
           out.write(buf, 0, n)
         }
         inf.end()

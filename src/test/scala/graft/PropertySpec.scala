@@ -303,6 +303,37 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("pdf codec: fuzzed text round-trips; fuzzed bytes never throw") {
+    import graft.llmops.Pdf.PdfCodec
+    // text with the full escape surface: parens, backslashes, quotes,
+    // angle brackets, percent — anything the literal-string writer
+    // must escape or the parser must pass through verbatim
+    val line = Gen.listOf(Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf('(', ')', '\\', '<', '>', '[', ']', '%', '\'', '"'),
+      2 -> Gen.oneOf(' ', '.', ',', '-', '/'))).map(_.mkString)
+    val doc = Gen.nonEmptyListOf(line).map(_.take(6))
+    samples(doc, 200).foreach { lines =>
+      val got = PdfCodec.extractText(PdfCodec.encodePdf(lines))
+      assert(got.contains(lines.mkString("\n")),
+        s"lines=${lines.map(l => s"[$l]")} got=$got")
+    }
+    // total on fuzz: junk bytes, spliced PDF magic, and single-byte
+    // corruptions of a valid document must never throw
+    val junk = Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue))
+      .map(_.toArray)
+    val fuzzed = Gen.oneOf(junk,
+      junk.map(b => "%PDF-1.4\n".getBytes("ISO-8859-1") ++ b))
+    samples(fuzzed, 300).foreach(bytes => PdfCodec.extractText(bytes))
+    val pdf = PdfCodec.encodePdf(Seq("a stable document", "two lines"))
+    samples(Gen.zip(Gen.choose(0, pdf.length - 1),
+      Gen.choose(Byte.MinValue, Byte.MaxValue)), 300).foreach {
+      case (pos, b) =>
+        val m = pdf.clone(); m(pos) = b
+        PdfCodec.extractText(m) // Option — must not throw
+    }
+  }
+
   test("packSequences invariants hold on fuzzed corpora and seq lengths") {
     import graft.llmops.Packing
     val corpusGen = for {

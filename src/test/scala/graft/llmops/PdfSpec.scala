@@ -34,6 +34,18 @@ class PdfSpec extends SparkTestBase {
     assert(got.contains(lines.mkString("\n")))
   }
 
+  test("multi-page PDFs: per-page content streams extract in document order") {
+    val pages = Seq(
+      Seq("page one line a", "page one line b"),
+      Seq("page two only line"),
+      Seq("page three first", "page three second"))
+    val got = PdfCodec.extractText(PdfCodec.encodePdfPages(pages))
+    assert(got.contains(pages.flatten.mkString("\n")), s"got=$got")
+    val raw = PdfCodec.extractText(PdfCodec.encodePdfPages(pages,
+      compress = false))
+    assert(raw == got)
+  }
+
   test("uncompressed content streams (no /FlateDecode) extract too") {
     val lines = Seq("raw stream body", "second line")
     val got = PdfCodec.extractText(PdfCodec.encodePdf(lines, compress = false))
