@@ -120,4 +120,59 @@ object MediaStreams {
       b => Audio.audioEnergyHashes(b.sparkSession, b)
         .select(col("asset_id").as("id"), col("ahash").as("fp")),
       maxHamming, maxBucket)(onBatch)
+
+  /** One micro-batch of the document-text gate: extract text from PDF
+    * payloads ([[graft.llmops.Pdf.extractPdfText]] — real parse,
+    * corrupt → dropped), quality-gate + PII-redact it with the SAME
+    * pass the batch/stream text tiers use ([[DocStreams.cleanDocs]]),
+    * exact-dedup against the persisted text table on the widened
+    * digest pair ([[DocStreams.dedupDocs]]'s 192-bit key — the state
+    * here is digests, never crawled payloads), dedup within the
+    * batch, and append surviving (doc_id, text) rows. Batch-shaped
+    * for spec/backfill, like [[admitBatch]].
+    */
+  def admitDocumentBatch(spark: SparkSession, assets: Dataset[Asset],
+                         tablePath: String,
+                         minQuality: Double = 0.25): DataFrame = {
+    import spark.implicits._
+    val extracted = graft.llmops.Pdf.extractPdfText(spark, assets).toDF()
+      .filter(col("text").isNotNull)
+      .select(col("asset_id").as("doc_id"), col("text"))
+    val cleaned = DocStreams.cleanDocs(extracted, minQuality)
+      .withColumn("__d1", xxhash64(col("text"), length(col("text"))))
+      .withColumn("__d2", md5(col("text").cast("binary")))
+    val corpus =
+      try spark.read.parquet(tablePath).select(
+        xxhash64(col("text"), length(col("text"))).as("__d1"),
+        md5(col("text").cast("binary")).as("__d2")).distinct()
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          spark.emptyDataset[(Long, String)].toDF("__d1", "__d2")
+      }
+    val survivors = cleaned
+      .join(corpus, Seq("__d1", "__d2"), "left_anti")
+      .dropDuplicates("__d1", "__d2")
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint()
+    survivors.write.mode("append").parquet(tablePath)
+    survivors
+  }
+
+  /** Streaming crawler-to-corpus path for the reference's actual
+    * payload type: a stream of PDF assets becomes a growing table of
+    * clean, deduplicated, PII-redacted text. Same shape as
+    * [[imageIngest]]; the text table is directly consumable by every
+    * batch llmops stage (near-dup LSH, decontamination, training-set
+    * assembly).
+    */
+  def pdfTextIngest(assets: Dataset[Asset], tablePath: String,
+                    minQuality: Double = 0.25)
+                   (onBatch: (Long, Long) => Unit = (_, _) => ())
+      : DataStreamWriter[Asset] =
+    assets.writeStream.foreachBatch {
+      (batch: Dataset[Asset], batchId: Long) =>
+        val admitted = admitDocumentBatch(batch.sparkSession, batch,
+          tablePath, minQuality)
+        onBatch(batchId, admitted.count())
+    }
 }

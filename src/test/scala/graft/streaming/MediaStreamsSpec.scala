@@ -103,6 +103,36 @@ class MediaStreamsSpec extends SparkTestBase {
     assert(table == Set(1L), s"table=$table")
   }
 
+  test("streamed pdf ingest: extract, gate, exact-dedup, land clean text") {
+    val path = tmp()
+    val good = "the quick brown fox jumps over a lazy dog and keeps " +
+      "running through the field for quite a while longer today"
+    val P = graft.llmops.Pdf.PdfCodec
+    def pdf(id: Long, text: String) =
+      Asset(id, "document", P.encodePdf(Seq(text)), None, None, None,
+        Some("pdf"))
+    val b1 = Seq(
+      pdf(1L, good),
+      pdf(2L, "x"), // fails the quality gate
+      Asset(3L, "document", Array[Byte](1, 2, 3), None, None, None,
+        Some("pdf"))) // corrupt -> no text -> dropped
+    val b2 = Seq(
+      pdf(4L, good), // exact re-arrival of 1's text -> gated
+      pdf(5L, good + " but genuinely new material this time"),
+      pdf(6L, good + " but genuinely new material this time")) // in-batch dup
+    streamAssets(Seq(b1, b2), path,
+      (ds, p) => MediaStreams.pdfTextIngest(ds, p, minQuality = 0.5)())
+    val landed = spark.read.parquet(path)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(landed.keySet == Set(1L, 5L) || landed.keySet == Set(1L, 6L),
+      s"landed=${landed.keySet}")
+    assert(landed(1L) == good, "extracted text must land verbatim")
+    // idempotence: replaying an already-landed batch admits nothing
+    val again = MediaStreams.admitDocumentBatch(spark,
+      spark.createDataset(b1 ++ b2), path, minQuality = 0.5)
+    assert(again.count() == 0L)
+  }
+
   test("streamed audio ingest gates energy-hash near-dups across batches") {
     val path = tmp()
     val b1 = Audio.plantedFingerprintAudio(spark,
