@@ -264,6 +264,12 @@ object Pdf {
           val start = i
           while (i < c.length && !c.charAt(i).isWhitespace &&
             !"()<>[]{}/%".contains(c.charAt(i))) i += 1
+          // a stray delimiter none of the branches above claimed
+          // (PostScript braces, an unmatched ')' or '>'): the token is
+          // empty and i has not advanced — skip the char, or this loop
+          // would spin forever on malformed content (a hang, which the
+          // NonFatal catch can never rescue)
+          if (i == start) i += 1
           val tok = c.substring(start, i)
           tok match {
             case "Tj" | "TJ" =>

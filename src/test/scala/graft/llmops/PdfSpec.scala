@@ -68,6 +68,21 @@ class PdfSpec extends SparkTestBase {
     assert(got.contains("ABC\nHI\nafter"), s"got=$got")
   }
 
+  test("stray delimiters in content streams terminate (no hang) and " +
+    "surrounding text survives") {
+    // PostScript braces (Type-4 functions), an unmatched ')', a stray
+    // '>': none may stall the tokenizer — a hang is the one failure
+    // mode the per-row NonFatal catch cannot rescue
+    val content = "BT /F1 12 Tf 72 720 Td (before) Tj " +
+      "{ 2 mul } ) > 0 -14 Td (after) Tj ET"
+    val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+    val pdf = ("%PDF-1.4\n1 0 obj << /Length " + content.length +
+      " >> stream\n" + content + "\nendstream endobj\n%%EOF\n")
+      .getBytes(latin1)
+    val got = PdfCodec.extractText(pdf)
+    assert(got.contains("before\nafter"), s"got=$got")
+  }
+
   test("corrupt, truncated, and non-PDF payloads extract to None") {
     val pdf = PdfCodec.encodePdf(Seq("some text"))
     assert(PdfCodec.extractText(null).isEmpty)
