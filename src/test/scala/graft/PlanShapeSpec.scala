@@ -265,6 +265,18 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("q118/q119: pdf decode is one narrow mapPartitions pass — the " +
+       "only exchange is the display sort") {
+    for (q <- Seq("q118_pdf_extract", "q119_pdf_roundtrip")) {
+      val p = plan(q)
+      assert(p.contains("MapPartitions"), s"$q lost the narrow decode:\n" +
+        p.take(2000))
+      assert(!p.contains("hashpartitioning"),
+        s"$q grew a shuffle beyond the display sort:\n" + p.take(3000))
+      assert(!p.contains("Join"), s"$q grew a join:\n" + p.take(2000))
+    }
+  }
+
   test("q116: the packing prefix sum is bucket-partitioned — no " +
        "single-task global sort anywhere in the operator") {
     // the window must run partitionBy(__b); its required ordering is a
