@@ -414,6 +414,14 @@ object Graft {
   def pdfText(s: SparkSession,
               assets: org.apache.spark.sql.Dataset[llmops.Multimodal.Asset])
       : DataFrame = llmops.Pdf.extractPdfText(s, assets).toDF()
+  /** Column faces of the media decoders (also SQL: `pdf_text`,
+    * `image_dhash`, `audio_energy_hash` via GraftExtensions). */
+  def pdfTextCol(content: Column): Column =
+    llmops.MediaExprs.pdf_text(content)
+  def imageDHashCol(content: Column): Column =
+    llmops.MediaExprs.image_dhash(content)
+  def audioEnergyHashCol(content: Column): Column =
+    llmops.MediaExprs.audio_energy_hash(content)
   /** Persist / restore a trained BPE merge list (rank-exact). */
   def saveBpeModel(s: SparkSession, path: String,
                    merges: Seq[(String, String)]): Unit =

@@ -68,6 +68,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("compression_ratio",
         "compression_ratio(text) - deflate size / raw size repetition signal"),
       (args: Seq[Expression]) => CompressionRatio(args.head)))
+    e.injectFunction((FunctionIdentifier("pdf_text"),
+      info("pdf_text", "pdf_text(binary) - extracted PDF text, null if corrupt"),
+      (args: Seq[Expression]) => graft.llmops.PdfTextExpr(args.head)))
+    e.injectFunction((FunctionIdentifier("image_dhash"),
+      info("image_dhash",
+        "image_dhash(binary) - 64-bit perceptual dHash, null if undecodable"),
+      (args: Seq[Expression]) => graft.llmops.ImageDHash(args.head)))
+    e.injectFunction((FunctionIdentifier("audio_energy_hash"),
+      info("audio_energy_hash",
+        "audio_energy_hash(binary) - 64-bit energy dHash, null if undecodable"),
+      (args: Seq[Expression]) => graft.llmops.AudioEnergyHash(args.head)))
     e.injectFunction((FunctionIdentifier("collect_top_k"),
       info("collect_top_k",
         "collect_top_k(id, score, k) - bounded-heap exact per-group top-k " +
