@@ -2295,6 +2295,28 @@ object SparkEntry {
         .select($"asset_id", $"n_chars",
           md5($"text".cast("binary")).as("text_md5"))
         .orderBy($"asset_id")
+    }),
+
+    // The media-decoder EXPRESSION face under the oracle gate: the
+    // SQL-registered image_dhash runs inside a plain spark.sql
+    // projection (no Dataset path anywhere), banded 4x16-bit in SQL —
+    // and the oracle predicts every hash in closed form from the q113
+    // fixture arithmetic, then replays the same banding. Pins that the
+    // codegen expression computes THE hash, not merely a hash.
+    "q120_dhash_expr" -> ((s, d) => {
+      import s.implicits._
+      val M = graft.llmops.Multimodal
+      M.plantedHashImages(s, t(s, d, "documents")
+        .filter($"doc_id" % 17 === 0)).toDF()
+        .createOrReplaceTempView("q120_assets")
+      s.sql("""SELECT band, band_hash, count(*) AS n FROM (
+           SELECT b.band,
+                  shiftright(image_dhash(content), b.band * 16) & 65535
+                    AS band_hash
+           FROM q120_assets,
+                (VALUES (0), (1), (2), (3)) AS b(band)
+           WHERE image_dhash(content) IS NOT NULL)
+         GROUP BY band, band_hash ORDER BY band, band_hash""")
     })
   )
 
@@ -4293,6 +4315,32 @@ object SparkEntry {
       """SELECT doc_id AS asset_id, length(text)::BIGINT AS n_chars,
                 md5(text) AS text_md5
          FROM documents WHERE text IS NOT NULL AND doc_id % 7 = 0
-         ORDER BY asset_id"""
+         ORDER BY asset_id""",
+    "q120_dhash_expr" ->
+      """WITH d AS (SELECT doc_id, doc_id % 25 AS g, (doc_id % 11 = 0) AS bump
+                    FROM documents WHERE doc_id % 17 = 0),
+         cells AS (
+           SELECT doc_id, i, j,
+                  (31*g + 17*i + 29*j + 23*((g*(i+2*j)) % 13)) % 150 +
+                    CASE WHEN bump AND i = 4 AND j = 0 THEN 50 ELSE 0 END AS v
+           FROM d,
+                (SELECT unnest(generate_series(0, 8)) AS i),
+                (SELECT unnest(generate_series(0, 7)) AS j)),
+         bits AS (
+           SELECT l.doc_id, (l.j*8 + l.i) AS idx
+           FROM cells l JOIN cells r
+             ON r.doc_id = l.doc_id AND r.j = l.j AND r.i = l.i + 1
+           WHERE r.v > l.v),
+         hs AS (SELECT doc_id,
+                       bit_or(CASE WHEN idx = 63
+                              THEN (-9223372036854775807 - 1)::BIGINT
+                              ELSE 1::BIGINT << idx END) AS dh
+                FROM bits GROUP BY doc_id),
+         hashes AS (SELECT d.doc_id, coalesce(hs.dh, 0) AS dh
+                    FROM d LEFT JOIN hs USING (doc_id))
+         SELECT b.band, (dh >> (b.band * 16)) & 65535 AS band_hash,
+                count(*) AS n
+         FROM hashes, (VALUES (0), (1), (2), (3)) AS b(band)
+         GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }
