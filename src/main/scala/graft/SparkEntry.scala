@@ -2317,6 +2317,42 @@ object SparkEntry {
                 (VALUES (0), (1), (2), (3)) AS b(band)
            WHERE image_dhash(content) IS NOT NULL)
          GROUP BY band, band_hash ORDER BY band, band_hash""")
+    }),
+
+    // WARC crawl-archive source (ISO 28500): every 3rd document is
+    // wrapped in an HTML page, framed as an HTTP response record, and
+    // packed into multi-record WARC files (16 of them, alternating
+    // plain / one-gzip-member-per-record layout — built and parsed
+    // entirely inside the tasks, file bytes never on the driver). The
+    // parsed rows must reproduce URI/status/byte-length exactly as the
+    // oracle predicts them straight from the documents table — the
+    // whole frame→HTTP-parse→body-slice path is on the hook.
+    "q121_warc_scan" -> ((s, d) => {
+      import s.implicits._
+      val W = graft.io.Warc
+      val files = t(s, d, "documents")
+        .filter($"doc_id" % 3 === 0)
+        .select($"doc_id", $"source", $"text")
+        .as[(Long, String, String)]
+        .groupByKey(_._1 % 16)
+        .mapGroups { (g, it) =>
+          val docs = it.toSeq.sortBy(_._1)
+          val recs = W.encodeWarcinfo(s"part-$g.warc",
+            "2026-01-01T00:00:00Z") +:
+            docs.map { case (id, src, text) =>
+              val html = s"""<html><body><p>$text</p><a href="/next/$id">n</a></body></html>"""
+              W.encodeResponse(s"https://$src.example.com/doc/$id",
+                "2026-01-01T00:00:00Z",
+                html.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+            }
+          W.encodeFile(recs, gzip = g % 2 == 0)
+        }
+      files.flatMap(W.parseRecords)
+        .filter(_.warc_type == "response")
+        .map(r => (r.target_uri.getOrElse(""),
+          r.http_status.getOrElse(-1), r.content.length.toLong))
+        .toDF("target_uri", "http_status", "n_bytes")
+        .orderBy($"target_uri")
     })
   )
 
@@ -4341,6 +4377,15 @@ object SparkEntry {
          SELECT b.band, (dh >> (b.band * 16)) & 65535 AS band_hash,
                 count(*) AS n
          FROM hashes, (VALUES (0), (1), (2), (3)) AS b(band)
-         GROUP BY 1, 2 ORDER BY 1, 2"""
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q121_warc_scan" ->
+      """SELECT 'https://' || source || '.example.com/doc/' || doc_id
+                  AS target_uri,
+                200 AS http_status,
+                length('<html><body><p>' || text || '</p><a href="/next/'
+                       || doc_id || '">n</a></body></html>')::BIGINT
+                  AS n_bytes
+         FROM documents WHERE doc_id % 3 = 0
+         ORDER BY target_uri"""
   )
 }

@@ -1,0 +1,213 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WARC (Web ARChive, ISO 28500 — the standard crawl-archive format)
+  * source, JDK-only. The reference's pipeline IS a crawler
+  * (`enhanced_selenium_scraper.py` walks IR sites page by page); at
+  * platform scale the crawl side delivers WARC files, and this source
+  * turns them into the (url, status, payload) rows every downstream
+  * tier here consumes (clean_html/extract_links, the link classifiers,
+  * the document pipeline).
+  *
+  * Spark shape: WARC files are NOT splittable (gzip members, framed
+  * records), so the right unit of parallelism is the FILE — Spark's
+  * `binaryFile` source gives one row per file, and the record parse
+  * runs as a per-row flatMap inside the partition. Crawl archives are
+  * conventionally written at ~1 GB/file precisely so that file-level
+  * parallelism is enough; payload bytes never reach the driver.
+  *
+  * Format subset (the records a data pipeline consumes):
+  *  - `WARC/1.0` / `WARC/1.1` version line, CRLF header block,
+  *    `Content-Length`-framed body, CRLF CRLF record separator;
+  *  - gzip transparently (magic-sniffed; java's GZIPInputStream
+  *    consumes multi-member concatenations, the standard .warc.gz
+  *    layout of one member per record);
+  *  - for `WARC-Type: response` records carrying `application/http`,
+  *    the HTTP status line and headers are parsed off and the row's
+  *    `content` is the HTTP BODY (what a consumer actually wants);
+  *    other record types (warcinfo, request, metadata) pass through
+  *    with their raw block as content.
+  *
+  * Truncated/corrupt tails yield the records parsed so far — never a
+  * task failure (the q108/q114/q118 codec contract).
+  */
+object Warc extends Serializable {
+
+  final case class WarcRecord(warc_type: String,
+                              target_uri: Option[String],
+                              warc_date: Option[String],
+                              content_type: Option[String],
+                              http_status: Option[Int],
+                              http_content_type: Option[String],
+                              content: Array[Byte])
+
+  private val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+
+  // ------------------------------------------------------------ encode
+
+  /** Encode one response record: a full HTTP response block framed by
+    * the WARC header. `body` is the payload (e.g. HTML bytes).
+    */
+  def encodeResponse(uri: String, date: String, body: Array[Byte],
+                     status: Int = 200,
+                     httpContentType: String = "text/html"): Array[Byte] = {
+    val http = (s"HTTP/1.1 $status OK\r\n" +
+      s"Content-Type: $httpContentType\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes(latin1) ++ body
+    val header = ("WARC/1.0\r\n" +
+      "WARC-Type: response\r\n" +
+      s"WARC-Target-URI: $uri\r\n" +
+      s"WARC-Date: $date\r\n" +
+      "Content-Type: application/http;msgtype=response\r\n" +
+      s"Content-Length: ${http.length}\r\n\r\n").getBytes(latin1)
+    header ++ http ++ "\r\n\r\n".getBytes(latin1)
+  }
+
+  /** Encode a warcinfo header record (every real WARC file opens with
+    * one — fixtures should too, so parsers can't cheat by assuming
+    * response-only files).
+    */
+  def encodeWarcinfo(filename: String, date: String): Array[Byte] = {
+    val body = s"software: graft\r\nisPartOf: $filename\r\n".getBytes(latin1)
+    val header = ("WARC/1.0\r\n" +
+      "WARC-Type: warcinfo\r\n" +
+      s"WARC-Date: $date\r\n" +
+      "Content-Type: application/warc-fields\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes(latin1)
+    header ++ body ++ "\r\n\r\n".getBytes(latin1)
+  }
+
+  /** Concatenate records into one file payload, optionally as the
+    * standard one-gzip-member-per-record .warc.gz layout.
+    */
+  def encodeFile(records: Seq[Array[Byte]], gzip: Boolean = false)
+      : Array[Byte] =
+    if (!gzip) records.flatten.toArray
+    else records.map { r =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(r); g.close()
+      bos.toByteArray
+    }.flatten.toArray
+
+  // ------------------------------------------------------------ decode
+
+  private def gunzipAll(bytes: Array[Byte]): Array[Byte] =
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } catch { case scala.util.control.NonFatal(_) => Array.emptyByteArray }
+
+  private def headerEnd(b: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i + 3 < b.length) {
+      if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' &&
+        b(i + 3) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+
+  private def parseHeaders(s: String): Map[String, String] =
+    s.split("\r\n").drop(1).iterator // drop the version / status line
+      .flatMap { line =>
+        val k = line.indexOf(':')
+        if (k <= 0) None
+        else Some(line.take(k).trim.toLowerCase -> line.drop(k + 1).trim)
+      }.toMap
+
+  /** Parse every record of one WARC file's bytes (gzip-sniffed).
+    * A malformed or truncated tail ends the parse with the records
+    * seen so far.
+    */
+  def parseRecords(bytesIn: Array[Byte]): Seq[WarcRecord] = {
+    if (bytesIn == null || bytesIn.length < 4) return Seq.empty
+    val bytes =
+      if ((bytesIn(0) & 0xff) == 0x1f && (bytesIn(1) & 0xff) == 0x8b)
+        gunzipAll(bytesIn)
+      else bytesIn
+    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
+    var pos = 0
+    var ok = true
+    while (ok && pos < bytes.length) {
+      // skip inter-record CRLFs
+      while (pos < bytes.length &&
+        (bytes(pos) == '\r' || bytes(pos) == '\n')) pos += 1
+      if (pos >= bytes.length) ok = false
+      else {
+        val he = headerEnd(bytes, pos)
+        if (he < 0) ok = false
+        else {
+          val head = new String(bytes, pos, he - pos, latin1)
+          if (!head.startsWith("WARC/")) ok = false
+          else {
+            val h = parseHeaders(head)
+            val len = h.get("content-length").flatMap(_.toLongOption)
+            len match {
+              case Some(l) if he + 4 + l <= bytes.length =>
+                val blockStart = he + 4
+                val block = java.util.Arrays.copyOfRange(
+                  bytes, blockStart, blockStart + l.toInt)
+                out += toRecord(h, block)
+                pos = blockStart + l.toInt
+              case _ => ok = false // truncated tail — keep what we have
+            }
+          }
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  private def toRecord(h: Map[String, String],
+                       block: Array[Byte]): WarcRecord = {
+    val wtype = h.getOrElse("warc-type", "unknown")
+    val isHttp = wtype == "response" &&
+      h.get("content-type").exists(_.startsWith("application/http"))
+    if (!isHttp)
+      WarcRecord(wtype, h.get("warc-target-uri"), h.get("warc-date"),
+        h.get("content-type"), None, None, block)
+    else {
+      val he = headerEnd(block, 0)
+      if (he < 0)
+        WarcRecord(wtype, h.get("warc-target-uri"), h.get("warc-date"),
+          h.get("content-type"), None, None, block)
+      else {
+        val head = new String(block, 0, he, latin1)
+        val status = head.split("\r\n").headOption
+          .flatMap(_.split(" ").lift(1)).flatMap(_.toIntOption)
+        val hh = parseHeaders(head)
+        WarcRecord(wtype, h.get("warc-target-uri"), h.get("warc-date"),
+          h.get("content-type"), status, hh.get("content-type"),
+          java.util.Arrays.copyOfRange(block, he + 4, block.length))
+      }
+    }
+  }
+
+  /** The source: one row per WARC RECORD under `path` (glob ok),
+    * columns (file, warc_type, target_uri, warc_date, content_type,
+    * http_status, http_content_type, content). File-level parallelism
+    * via Spark's binaryFile source; per-file parse is a partition-local
+    * flatMap — payloads never on the driver.
+    */
+  def readFiles(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (file, bytes) =>
+        parseRecords(bytes).map(r => (file, r.warc_type, r.target_uri,
+          r.warc_date, r.content_type, r.http_status,
+          r.http_content_type, r.content))
+      }
+      .toDF("file", "warc_type", "target_uri", "warc_date",
+        "content_type", "http_status", "http_content_type", "content")
+  }
+}

@@ -1,0 +1,72 @@
+package graft.io
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class WarcSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+
+  private def mkFile(gzip: Boolean): (Array[Byte], Seq[String]) = {
+    val bodies = Seq("<html>alpha</html>", "<html>beta two</html>",
+      "plain text payload")
+    val recs = Warc.encodeWarcinfo("f.warc", "2026-01-01T00:00:00Z") +:
+      bodies.zipWithIndex.map { case (b, i) =>
+        Warc.encodeResponse(s"https://ex.example.com/p$i",
+          "2026-01-01T00:00:00Z", b.getBytes(latin1),
+          status = if (i == 2) 404 else 200,
+          httpContentType = if (i == 2) "text/plain" else "text/html")
+      }
+    (Warc.encodeFile(recs, gzip), bodies)
+  }
+
+  test("records round-trip: types, uris, status, and exact bodies") {
+    for (gz <- Seq(false, true)) {
+      val (bytes, bodies) = mkFile(gz)
+      val recs = Warc.parseRecords(bytes)
+      assert(recs.length == 4, s"gz=$gz got ${recs.length}")
+      assert(recs.head.warc_type == "warcinfo" &&
+        recs.head.http_status.isEmpty)
+      val resp = recs.tail
+      assert(resp.map(_.warc_type).forall(_ == "response"))
+      assert(resp.map(_.target_uri.get) ==
+        Seq(0, 1, 2).map(i => s"https://ex.example.com/p$i"))
+      assert(resp.map(_.http_status.get) == Seq(200, 200, 404))
+      assert(resp.map(r => new String(r.content, latin1)) == bodies)
+      assert(resp(2).http_content_type.contains("text/plain"))
+    }
+  }
+
+  test("truncated tails keep parsed records; junk parses to empty") {
+    val (bytes, _) = mkFile(gzip = false)
+    val cut = java.util.Arrays.copyOf(bytes, bytes.length - 40)
+    val recs = Warc.parseRecords(cut)
+    assert(recs.length == 3, s"got ${recs.length}") // last record lost
+    assert(Warc.parseRecords(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Warc.parseRecords(null).isEmpty)
+    assert(Warc.parseRecords("WARC/1.0\r\nbroken".getBytes(latin1)).isEmpty)
+  }
+
+  test("readFiles: file-parallel source over plain and gzip files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc")
+    dir.toFile.deleteOnExit()
+    val (plain, _) = mkFile(gzip = false)
+    val (gz, _) = mkFile(gzip = true)
+    java.nio.file.Files.write(dir.resolve("a.warc"), plain)
+    java.nio.file.Files.write(dir.resolve("b.warc.gz"), gz)
+    val df = Warc.readFiles(spark, dir.toString + "/*").cache()
+    assert(df.count() == 8)
+    assert(df.filter($"warc_type" === "response").count() == 6)
+    // bodies land exactly, per file
+    val byFile = df.filter($"http_status" === 200)
+      .groupBy($"file").agg(count(lit(1)).as("n")).collect()
+    assert(byFile.length == 2 && byFile.forall(_.getLong(1) == 2L))
+    // the payload feeds the html tier directly
+    val links = df.filter($"http_content_type" === "text/html")
+      .select(graft.html.HtmlFuncs.clean_html(
+        $"content".cast("string")).as("t"))
+      .collect()
+    assert(links.length == 4)
+  }
+}
