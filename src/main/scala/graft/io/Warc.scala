@@ -191,6 +191,27 @@ object Warc extends Serializable {
     }
   }
 
+  /** Archive-replay seam for the crawl pipeline: the url → HTML map of
+    * every 2xx HTML response under `path`, for
+    * `Crawl.crawl(..., MapPageFetcher(Warc.pageMap(...)))` — the BFS
+    * walks an ARCHIVED site snapshot hermetically, no network, same
+    * classification/scoring/dedup as a live crawl. Driver-side by
+    * design (the fetcher ships with the tasks), so this is for
+    * snapshot-scale replays — regression-crawling a site capture, not
+    * a common-crawl-sized archive; for the latter, join the frontier
+    * against [[readFiles]] output instead.
+    */
+  def pageMap(spark: SparkSession, path: String): Map[String, String] = {
+    import spark.implicits._
+    readFiles(spark, path)
+      .filter(col("warc_type") === "response" &&
+        col("http_status").between(200, 299) &&
+        col("http_content_type").startsWith("text/html") &&
+        col("target_uri").isNotNull)
+      .select(col("target_uri"), col("content").cast("string"))
+      .as[(String, String)].collect().toMap
+  }
+
   /** The source: one row per WARC RECORD under `path` (glob ok),
     * columns (file, warc_type, target_uri, warc_date, content_type,
     * http_status, http_content_type, content). File-level parallelism

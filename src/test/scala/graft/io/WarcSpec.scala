@@ -48,6 +48,36 @@ class WarcSpec extends SparkTestBase {
     assert(Warc.parseRecords("WARC/1.0\r\nbroken".getBytes(latin1)).isEmpty)
   }
 
+  test("archive replay: the BFS crawl walks a WARC site snapshot " +
+    "exactly like a live crawl") {
+    // the CrawlSpec site, captured to .warc.gz and replayed
+    val base = "https://ir.corp.com"
+    val site = Map(
+      s"$base/index.html" ->
+        """<html><body><a href="/docs/annual-report-2024.pdf">Annual</a>
+          |<a href="/quarterly-earnings">Quarterly earnings</a></body></html>"""
+          .stripMargin,
+      s"$base/quarterly-earnings" ->
+        """<html><body><a href="/docs/q2-2025-earnings.pdf">Q2</a></body></html>""")
+    val recs = Warc.encodeWarcinfo("site.warc", "2026-01-01T00:00:00Z") +:
+      site.toSeq.map { case (u, html) =>
+        Warc.encodeResponse(u, "2026-01-01T00:00:00Z", html.getBytes(latin1))
+      }
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-site")
+    dir.toFile.deleteOnExit()
+    java.nio.file.Files.write(dir.resolve("site.warc.gz"),
+      Warc.encodeFile(recs, gzip = true))
+    val pages = Warc.pageMap(spark, dir.toString)
+    assert(pages.keySet == site.keySet)
+    val links = graft.pipeline.Crawl.crawl(spark,
+      Seq(("corp", s"$base/index.html")).toDF("company", "url"),
+      graft.services.MapPageFetcher(pages), maxDepth = 2, topK = 5)
+    val docs = links.filter($"link_type" === "document")
+      .select($"href").as[String].collect().toSet
+    assert(docs == Set(s"$base/docs/annual-report-2024.pdf",
+      s"$base/docs/q2-2025-earnings.pdf"))
+  }
+
   test("readFiles: file-parallel source over plain and gzip files") {
     val dir = java.nio.file.Files.createTempDirectory("graft-warc")
     dir.toFile.deleteOnExit()
