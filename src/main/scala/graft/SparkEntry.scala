@@ -2353,6 +2353,44 @@ object SparkEntry {
           r.http_status.getOrElse(-1), r.content.length.toLong))
         .toDF("target_uri", "http_status", "n_bytes")
         .orderBy($"target_uri")
+    }),
+
+    // The reference's ACTUAL flow end-to-end: crawl archive → PDF
+    // payload → extracted text. Every 5th document's text is rendered
+    // into a real PDF, framed as an application/pdf HTTP response in
+    // multi-record WARC files, parsed back by the WARC source, and the
+    // text recovered by the pdf_text EXPRESSION — three codecs
+    // composed, and the oracle is still a straight md5-pinned read of
+    // the documents table.
+    "q122_warc_pdf_pipeline" -> ((s, d) => {
+      import s.implicits._
+      val W = graft.io.Warc
+      val files = t(s, d, "documents")
+        .filter($"text".isNotNull && $"doc_id" % 5 === 0)
+        .select($"doc_id", $"source", $"text")
+        .as[(Long, String, String)]
+        .groupByKey(_._1 % 8)
+        .mapGroups { (g, it) =>
+          val docs = it.toSeq.sortBy(_._1)
+          val recs = W.encodeWarcinfo(s"pdfs-$g.warc",
+            "2026-01-01T00:00:00Z") +:
+            docs.map { case (id, src, text) =>
+              W.encodeResponse(s"https://$src.example.com/reports/$id.pdf",
+                "2026-01-01T00:00:00Z",
+                graft.llmops.Pdf.PdfCodec.encodePdf(Seq(text)),
+                httpContentType = "application/pdf")
+            }
+          W.encodeFile(recs, gzip = g % 2 == 0)
+        }
+      files.flatMap(W.parseRecords)
+        .filter(r => r.warc_type == "response" &&
+          r.http_content_type.contains("application/pdf"))
+        .map(r => (r.target_uri.getOrElse(""), r.content))
+        .toDF("target_uri", "content")
+        .select($"target_uri",
+          md5(graft.llmops.MediaExprs.pdf_text($"content").cast("binary"))
+            .as("text_md5"))
+        .orderBy($"target_uri")
     })
   )
 
@@ -4386,6 +4424,12 @@ object SparkEntry {
                        || doc_id || '">n</a></body></html>')::BIGINT
                   AS n_bytes
          FROM documents WHERE doc_id % 3 = 0
+         ORDER BY target_uri""",
+    "q122_warc_pdf_pipeline" ->
+      """SELECT 'https://' || source || '.example.com/reports/' || doc_id
+                  || '.pdf' AS target_uri,
+                md5(text) AS text_md5
+         FROM documents WHERE text IS NOT NULL AND doc_id % 5 = 0
          ORDER BY target_uri"""
   )
 }
