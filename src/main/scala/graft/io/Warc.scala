@@ -94,16 +94,22 @@ object Warc extends Serializable {
 
   // ------------------------------------------------------------ decode
 
-  private def gunzipAll(bytes: Array[Byte]): Array[Byte] =
+  private def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
     try {
       val in = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      val out = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](8192)
       var n = in.read(buf)
       while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-      out.toByteArray
-    } catch { case scala.util.control.NonFatal(_) => Array.emptyByteArray }
+    } catch {
+      // a truncated/corrupt member: keep every byte already inflated,
+      // so gzip truncation degrades exactly like plain truncation —
+      // the records before the cut survive
+      case scala.util.control.NonFatal(_) => ()
+    }
+    out.toByteArray
+  }
 
   private def headerEnd(b: Array[Byte], from: Int): Int = {
     var i = from

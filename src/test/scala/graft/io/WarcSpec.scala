@@ -46,6 +46,13 @@ class WarcSpec extends SparkTestBase {
     assert(Warc.parseRecords(Array[Byte](1, 2, 3)).isEmpty)
     assert(Warc.parseRecords(null).isEmpty)
     assert(Warc.parseRecords("WARC/1.0\r\nbroken".getBytes(latin1)).isEmpty)
+    // gzip truncation degrades like plain truncation: members inflated
+    // before the cut survive
+    val (gz, _) = mkFile(gzip = true)
+    val gzCut = java.util.Arrays.copyOf(gz, gz.length - 30)
+    val gzRecs = Warc.parseRecords(gzCut)
+    assert(gzRecs.length == 3, s"got ${gzRecs.length}")
+    assert(gzRecs.last.target_uri.contains("https://ex.example.com/p1"))
   }
 
   test("archive replay: the BFS crawl walks a WARC site snapshot " +
