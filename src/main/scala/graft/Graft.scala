@@ -446,6 +446,8 @@ object Graft {
   // ---- url / html --------------------------------------------------
   def resolveUrl(href: Column, base: Column): Column =
     expr.UrlFuncs.resolve_url(href, base)
+  /** Visited-set canonical URL (also SQL: `canonical_url`). */
+  def canonicalUrl(url: Column): Column = expr.UrlFuncs.canonical_url(url)
   def extractLinks(html: Column): Column = graft.html.HtmlFuncs.extract_links(html)
   def cleanHtml(html: Column): Column = graft.html.HtmlFuncs.clean_html(html)
 }

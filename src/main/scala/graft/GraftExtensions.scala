@@ -68,6 +68,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("compression_ratio",
         "compression_ratio(text) - deflate size / raw size repetition signal"),
       (args: Seq[Expression]) => CompressionRatio(args.head)))
+    e.injectFunction((FunctionIdentifier("canonical_url"),
+      info("canonical_url",
+        "canonical_url(url) - visited-set canonical form (lowercased " +
+          "scheme/host, default ports and fragments dropped, dot-segments " +
+          "resolved, tracking params removed, query sorted)"),
+      (args: Seq[Expression]) => graft.expr.CanonicalUrl(args.head)))
     e.injectFunction((FunctionIdentifier("pdf_text"),
       info("pdf_text", "pdf_text(binary) - extracted PDF text, null if corrupt"),
       (args: Seq[Expression]) => graft.llmops.PdfTextExpr(args.head)))

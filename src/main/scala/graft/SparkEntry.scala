@@ -2391,6 +2391,24 @@ object SparkEntry {
           md5(graft.llmops.MediaExprs.pdf_text($"content").cast("binary"))
             .as("text_md5"))
         .orderBy($"target_uri")
+    }),
+
+    // URL canonicalization — the crawl-scale visited-set key: messy
+    // URLs (uppercase scheme/host, default port, duplicate slashes,
+    // dot segments, tracking params, unsorted query, fragment) built
+    // per doc must collapse to the EXACT canonical the oracle
+    // constructs directly. Pure narrow projection; the only shuffle is
+    // the count.
+    "q123_canonical_url" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .withColumn("messy",
+          concat(lit("HTTPS://"), upper($"source"),
+            lit(".Example.COM:443/docs//"), $"doc_id", lit("/../"),
+            $"doc_id", lit(".pdf?utm_source=x&b=2&a=1#sec")))
+        .groupBy(graft.expr.UrlFuncs.canonical_url($"messy").as("canonical"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"canonical")
     })
   )
 
@@ -4430,6 +4448,11 @@ object SparkEntry {
                   || '.pdf' AS target_uri,
                 md5(text) AS text_md5
          FROM documents WHERE text IS NOT NULL AND doc_id % 5 = 0
-         ORDER BY target_uri"""
+         ORDER BY target_uri""",
+    "q123_canonical_url" ->
+      """SELECT 'https://' || lower(source) || '.example.com/docs/'
+                  || doc_id || '.pdf?a=1&b=2' AS canonical,
+                count(*) AS n
+         FROM documents GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -75,6 +75,70 @@ object UrlKernels {
     if (colon >= 0) h = h.substring(0, colon)
     if (h.isEmpty) null else h.toLowerCase
   }
+
+  /** Tracking parameters every crawler strips — the public
+    * common-crawl/ad-attribution set; matching is by exact key or the
+    * `utm_` prefix.
+    */
+  private val trackingParams =
+    Set("gclid", "fbclid", "msclkid", "ref", "ref_src", "mc_cid", "mc_eid")
+
+  /** Canonical form of a URL for visited-set dedup — the reason two
+    * crawls of `HTTP://Ex.COM:80/a//b/../c?utm_source=x&b=2&a=1#f` and
+    * `http://ex.com/a/c?a=1&b=2` must count as ONE page:
+    *
+    *  - scheme + host lowercased; default ports (80/443) dropped;
+    *  - fragment dropped (client-side only);
+    *  - path: duplicate slashes collapsed, dot segments resolved,
+    *    empty path → `/`;
+    *  - query: tracking params removed (utm_*, gclid, fbclid, …),
+    *    the rest sorted by (key, value) so parameter order cannot
+    *    split a visited-set key; empty query drops its `?`.
+    *
+    * Unparseable input falls back to the trimmed original (never
+    * null-out a URL the crawl could still fetch). At 100 TB of crawl
+    * state this is the difference between a visited set keyed on page
+    * IDENTITY and one inflated by every tracking-param permutation.
+    */
+  def canonicalize(url: String): String = {
+    if (url == null) return null
+    val raw = url.trim
+    if (raw.isEmpty) return raw
+    try {
+      val u = new java.net.URI(raw)
+      if (u.getScheme == null || u.getHost == null) return raw
+      val scheme = u.getScheme.toLowerCase
+      val host = u.getHost.toLowerCase
+      val port = u.getPort
+      val keepPort =
+        port >= 0 && !((scheme == "http" && port == 80) ||
+          (scheme == "https" && port == 443))
+      val rawPath = Option(u.getPath).getOrElse("")
+      val collapsed = rawPath.replaceAll("/{2,}", "/")
+      val normPath = new java.net.URI(null, null,
+        if (collapsed.isEmpty) "/" else collapsed, null)
+        .normalize().getPath
+      val query = Option(u.getQuery).map { q =>
+        q.split("&").iterator.filter(_.nonEmpty)
+          .map { kv =>
+            val eq = kv.indexOf('=')
+            if (eq < 0) (kv, "") else (kv.take(eq), kv.drop(eq + 1))
+          }
+          .filterNot { case (k, _) =>
+            val lk = k.toLowerCase
+            lk.startsWith("utm_") || trackingParams.contains(lk)
+          }
+          .toSeq.sortBy(identity)
+          .map { case (k, v) => if (v.isEmpty) k else s"$k=$v" }
+          .mkString("&")
+      }.filter(_.nonEmpty)
+      val sb = new StringBuilder(scheme).append("://").append(host)
+      if (keepPort) sb.append(':').append(port)
+      sb.append(if (normPath.isEmpty) "/" else normPath)
+      query.foreach(q => sb.append('?').append(q))
+      sb.toString
+    } catch { case scala.util.control.NonFatal(_) => raw }
+  }
 }
 
 /** `resolve_url(href, base)` as a native Catalyst expression with code
@@ -110,11 +174,35 @@ case class ResolveUrl(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `canonical_url(url)` — [[UrlKernels.canonicalize]] as a codegen
+  * scalar: the visited-set / URL-dedup key (SURVEY D1/D2 at crawl
+  * scale). Null in, null out; unparseable stays itself.
+  */
+case class CanonicalUrl(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "canonical_url"
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      UrlKernels.canonicalize(input.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = UTF8String.fromString(
+         |  graft.expr.UrlKernels.canonicalize($c.toString()));""".stripMargin)
+  override protected def withNewChildInternal(c: Expression): CanonicalUrl =
+    copy(child = c)
+}
+
 object UrlFuncs {
   /** Column wrapper for [[ResolveUrl]]. */
   def resolve_url(href: Column, base: Column): Column =
     ColumnBridge.column(
       ResolveUrl(ColumnBridge.expression(href), ColumnBridge.expression(base)))
+
+  /** Column wrapper for [[CanonicalUrl]]. */
+  def canonical_url(url: Column): Column =
+    ColumnBridge.column(CanonicalUrl(ColumnBridge.expression(url)))
 
   /** Hostname via Spark's built-in parse_url (stays codegen'd). */
   def url_host(url: Column): Column = lower(parse_url(url, lit("HOST")))

@@ -42,6 +42,35 @@ class UrlFuncsSpec extends SparkTestBase {
     assert(out == Seq("https://h.com/x/a.pdf", "https://h.com/r.pdf"))
   }
 
+  test("canonical_url: the visited-set key collapses page-identity noise") {
+    val cases = Seq(
+      // scheme/host case, default port, fragment
+      ("HTTP://Ex.COM:80/a?x=1#frag", "http://ex.com/a?x=1"),
+      ("https://ex.com:443/a", "https://ex.com/a"),
+      ("https://ex.com:8443/a", "https://ex.com:8443/a"), // non-default kept
+      // path: duplicate slashes, dot segments, empty path
+      ("https://ex.com/a//b/../c", "https://ex.com/a/c"),
+      ("https://ex.com", "https://ex.com/"),
+      // query: tracking stripped, rest sorted, empty query dropped
+      ("https://ex.com/p?utm_source=x&b=2&a=1", "https://ex.com/p?a=1&b=2"),
+      ("https://ex.com/p?gclid=99&fbclid=z", "https://ex.com/p"),
+      ("https://ex.com/p?b=2&a=1&a=0", "https://ex.com/p?a=0&a=1&b=2"),
+      // unparseable stays itself
+      ("not a url at all", "not a url at all"))
+    cases.foreach { case (in, want) =>
+      assert(UrlKernels.canonicalize(in) == want, s"in=$in")
+    }
+    // idempotent: canonical of canonical is canonical
+    cases.foreach { case (in, want) =>
+      assert(UrlKernels.canonicalize(want) == want, s"want=$want")
+    }
+    // the expression path (codegen) agrees with the kernel
+    import spark.implicits._
+    val got = cases.map(_._1).toDF("u")
+      .select(UrlFuncs.canonical_url($"u")).as[String].collect().toSeq
+    assert(got == cases.map(_._2))
+  }
+
   test("same_host built-in pipeline") {
     import spark.implicits._
     val df = Seq(("https://a.com/x", "https://A.com/y", true),
