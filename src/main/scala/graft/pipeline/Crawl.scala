@@ -35,16 +35,30 @@ object Crawl {
     *   leaves; `false` (default) reproduces that. `true` generalizes to
     *   a full bounded BFS that keeps extending from promising pages at
     *   every depth < maxDepth.
+    * @param canonicalizeVisited key the visited set on
+    *   [[UrlFuncs.canonical_url]] instead of the raw href, so tracking
+    *   params / case noise / dot-segment spellings of an already-seen
+    *   page cannot re-enter the frontier. `false` (default) is
+    *   reference fidelity (its visited set is raw strings,
+    *   src/enhanced_selenium_scraper.py:712-737); `true` is what a
+    *   crawl at scale wants — the frontier still fetches the ORIGINAL
+    *   href (servers may key on params), only the seen-key changes.
     */
   def crawl(spark: SparkSession, seeds: DataFrame, fetcher: PageFetcher,
             maxDepth: Int = 2, topK: Int = 5,
-            promisingAtAllDepths: Boolean = false): DataFrame = {
+            promisingAtAllDepths: Boolean = false,
+            canonicalizeVisited: Boolean = false): DataFrame = {
     import spark.implicits._
+
+    def visitKey(url: org.apache.spark.sql.Column) =
+      if (canonicalizeVisited) UrlFuncs.canonical_url(url) else url
 
     var frontier = seeds.select(col("company"), col("url"))
       .withColumn("depth", lit(0))
       .localCheckpoint()
-    var visited = frontier.select(col("company"), col("url")).localCheckpoint()
+    var visited = frontier
+      .select(col("company"), visitKey(col("url")).as("url"))
+      .localCheckpoint()
     var allLinks: DataFrame = null
 
     var depth = 0
@@ -87,13 +101,22 @@ object Crawl {
           .filter(col("score") > 0)
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") <= topK)
-          .select(col("company"), col("href").as("url"))
-          .join(visited, Seq("company", "url"), "left_anti")
+          .select(col("company"), col("href").as("url"),
+            visitKey(col("href")).as("__vkey"))
+          .join(visited.withColumnRenamed("url", "__vkey"),
+            Seq("company", "__vkey"), "left_anti")
+          // one frontier row per seen-key: two tracking-param variants
+          // of the same page surviving the anti-join must not BOTH
+          // fetch (raw hrefs are already unique per company, so the
+          // default path skips the extra dedup shuffle)
+          .transform(df => if (canonicalizeVisited)
+            df.dropDuplicates("company", "__vkey") else df)
           .withColumn("depth", lit(depth + 1))
           .localCheckpoint()
-        visited = visited.unionByName(next.select(col("company"), col("url")))
+        visited = visited.unionByName(
+            next.select(col("company"), col("__vkey").as("url")))
           .localCheckpoint()
-        frontier = next
+        frontier = next.drop("__vkey")
       } else {
         frontier = seeds.select(col("company"), col("url"))
           .withColumn("depth", lit(0)).limit(0)

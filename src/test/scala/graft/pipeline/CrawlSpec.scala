@@ -89,6 +89,38 @@ class CrawlSpec extends SparkTestBase {
       chain.keySet)
   }
 
+  test("canonicalizeVisited: tracking-param variants of a page fetch once") {
+    // the index links the SAME quarterly page under two utm variants
+    val site = Map(
+      s"$base/index.html" ->
+        """<html><body>
+          |<a href="/q?utm_source=a">Quarterly earnings</a>
+          |<a href="/q?utm_source=b">Quarterly earnings</a>
+          |</body></html>""".stripMargin,
+      s"$base/q?utm_source=a" ->
+        """<html><body><a href="/docs/q2-2025-earnings.pdf">Q2</a></body></html>""",
+      s"$base/q?utm_source=b" ->
+        """<html><body><a href="/docs/q1-2025-earnings.pdf">Q1</a></body></html>""")
+    val seeds = Seq(("corp", s"$base/index.html")).toDF("company", "url")
+
+    // reference fidelity (raw-string visited set): both variants fetch
+    val raw = Crawl.crawl(spark, seeds, MapPageFetcher(site), maxDepth = 1)
+    assert(raw.select($"source_url").distinct().count() == 3)
+
+    // canonical visited set: the second variant is the SAME page — one
+    // fetch (the tie breaks on href asc, so variant 'a' wins), and the
+    // fetched URL is still the ORIGINAL href, params intact
+    val canon = Crawl.crawl(spark, seeds, MapPageFetcher(site), maxDepth = 1,
+      canonicalizeVisited = true)
+    val visited = canon.select($"source_url").distinct()
+      .as[String].collect().toSet
+    assert(visited == Set(s"$base/index.html", s"$base/q?utm_source=a"),
+      s"visited=$visited")
+    val docs = canon.filter($"link_type" === "document")
+      .select($"href").as[String].collect().toSet
+    assert(docs == Set(s"$base/docs/q2-2025-earnings.pdf"))
+  }
+
   test("crawlStats matches reference counter semantics") {
     val stats = Crawl.crawlStats(links).head()
     assert(stats.getAs[Long]("urls_visited") == 3)
