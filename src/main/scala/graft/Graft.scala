@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, lit}
 
 /** Public facade — the one-import surface a user of the reference
   * pipeline would switch to. Everything delegates to the specialized
@@ -450,4 +451,26 @@ object Graft {
   def canonicalUrl(url: Column): Column = expr.UrlFuncs.canonical_url(url)
   def extractLinks(html: Column): Column = graft.html.HtmlFuncs.extract_links(html)
   def cleanHtml(html: Column): Column = graft.html.HtmlFuncs.clean_html(html)
+
+  // ---- unicode normalization (also SQL-registered) -----------------
+  /** Unicode NFC — the exact-dedup/token-identity canonical form. */
+  def nfcNorm(text: Column): Column = expr.NormFuncs.nfc_norm(text)
+  /** Unicode NFKC — the tokenizer-facing compatibility fold. */
+  def nfkcNorm(text: Column): Column = expr.NormFuncs.nfkc_norm(text)
+  /** Diacritic removal (NFD-strip-NFC; DuckDB `strip_accents` analog). */
+  def stripAccents(text: Column): Column = expr.NormFuncs.strip_accents(text)
+  /** Control-strip + whitespace-collapse crawl-payload scrub. */
+  def cleanText(text: Column): Column = expr.NormFuncs.clean_text(text)
+
+  // ---- crawl policy (robots.txt / sitemaps) ------------------------
+  /** RFC 9309 verdict, failing OPEN on a null/missing robots file
+    * (§2.3.1.4's unreachable-robots rule). */
+  def robotsAllowed(robots: Column, agent: Column, url: Column): Column =
+    coalesce(expr.CrawlPolicyFuncs.robots_allowed(robots, agent, url), lit(true))
+  /** `Sitemap:` URLs listed in a robots.txt file. */
+  def robotsSitemaps(robots: Column): Column =
+    expr.CrawlPolicyFuncs.robots_sitemaps(robots)
+  /** Generator of sitemap url/sitemap entries. */
+  def extractSitemap(xml: Column): Column =
+    expr.CrawlPolicyFuncs.extract_sitemap(xml)
 }

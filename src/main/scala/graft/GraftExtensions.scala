@@ -139,6 +139,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "kmv_sketch(hash, k) with literal non-null numeric k")
       }))
+    e.injectFunction((FunctionIdentifier("nfc_norm"),
+      info("nfc_norm", "nfc_norm(text) - Unicode NFC canonical composition"),
+      (args: Seq[Expression]) => graft.expr.NfcNormalize(args.head)))
+    e.injectFunction((FunctionIdentifier("nfkc_norm"),
+      info("nfkc_norm",
+        "nfkc_norm(text) - Unicode NFKC compatibility composition " +
+          "(ligatures, fullwidth forms, fractions folded)"),
+      (args: Seq[Expression]) => graft.expr.NfkcNormalize(args.head)))
+    e.injectFunction((FunctionIdentifier("strip_accents"),
+      info("strip_accents",
+        "strip_accents(text) - remove combining marks (NFD-strip-NFC)"),
+      (args: Seq[Expression]) => graft.expr.StripAccents(args.head)))
+    e.injectFunction((FunctionIdentifier("clean_text"),
+      info("clean_text",
+        "clean_text(text) - strip C0/DEL controls, collapse whitespace, trim"),
+      (args: Seq[Expression]) => graft.expr.CleanText(args.head)))
+    e.injectFunction((FunctionIdentifier("robots_allowed"),
+      info("robots_allowed",
+        "robots_allowed(robots_txt, agent, url) - RFC 9309 crawl verdict"),
+      (args: Seq[Expression]) =>
+        graft.expr.RobotsAllowed(args(0), args(1), args(2))))
+    e.injectFunction((FunctionIdentifier("robots_sitemaps"),
+      info("robots_sitemaps",
+        "robots_sitemaps(robots_txt) - the file's Sitemap: URLs"),
+      (args: Seq[Expression]) => graft.expr.RobotsSitemaps(args.head)))
+    e.injectFunction((FunctionIdentifier("extract_sitemap"),
+      info("extract_sitemap",
+        "extract_sitemap(xml) - generator of sitemap url/sitemap entries"),
+      (args: Seq[Expression]) => graft.expr.ExtractSitemap(args.head)))
     e.injectFunction((FunctionIdentifier("winnow_fingerprints"),
       info("winnow_fingerprints",
         "winnow_fingerprints(text[, k, w]) - winnowing fingerprint array"),

@@ -2409,6 +2409,81 @@ object SparkEntry {
         .groupBy(graft.expr.UrlFuncs.canonical_url($"messy").as("canonical"))
         .agg(count(lit(1)).as("n"))
         .orderBy($"canonical")
+    }),
+
+    // Unicode normalization tier (X92): NFC / strip-accents / clean-text
+    // over per-doc messy strings the oracle reconstructs byte-identically
+    // with DuckDB's own nfc_normalize/strip_accents/regexp pipeline.
+    "q124_unicode_norm" -> ((s, d) => {
+      import s.implicits._
+      import graft.expr.NormFuncs._
+      t(s, d, "documents")
+        .filter($"doc_id" % 7 === 0)
+        .withColumn("messy",
+          concat(lit("A\u0301"), substring($"text", 1, 24),
+            lit("\t Nun\u0303ez\u000B\u000C x\u007F  ")))
+        .select($"doc_id",
+          md5(nfc_norm($"messy")).as("nfc_md5"),
+          md5(strip_accents($"messy")).as("plain_md5"),
+          md5(clean_text($"messy")).as("clean_md5"),
+          length(clean_text($"messy")).as("n_clean"))
+        .orderBy($"doc_id")
+    }),
+
+    // robots.txt politeness (X93): RFC 9309 group selection (named over
+    // *), longest-match precedence, Allow tie-break, $-anchored
+    // wildcards — every verdict predicted closed-form from doc_id.
+    "q125_robots_policy" -> ((s, d) => {
+      import s.implicits._
+      val robots =
+        """# graft politeness fixture
+          |User-agent: graftbot-images
+          |Disallow: /
+          |
+          |User-agent: graftbot
+          |Disallow: /private/
+          |Allow: /private/open/
+          |Disallow: /*.pdf$
+          |Sitemap: https://ex.com/sitemap.xml
+          |Sitemap: https://ex.com/news.xml
+          |
+          |User-agent: *
+          |Disallow: /
+          |""".stripMargin
+      t(s, d, "documents")
+        .filter($"doc_id" % 5 === 0)
+        .withColumn("path",
+          when($"doc_id" % 4 === 0, concat(lit("/private/p"), $"doc_id"))
+            .when($"doc_id" % 4 === 1, concat(lit("/private/open/p"), $"doc_id"))
+            .when($"doc_id" % 4 === 2, concat(lit("/docs/r"), $"doc_id", lit(".pdf")))
+            .otherwise(concat(lit("/docs/r"), $"doc_id", lit(".html"))))
+        .select($"doc_id",
+          Graft.robotsAllowed(lit(robots), lit("graftbot/1.0"),
+            concat(lit("https://ex.com"), $"path")).as("allowed"),
+          size(Graft.robotsSitemaps(lit(robots))).as("n_sitemaps"))
+        .orderBy($"doc_id")
+    }),
+
+    // Sitemap extraction (X94): urlset + index entries, entity-decoded
+    // and CDATA locs, optional per-entry fields — the generator's rows
+    // predicted closed-form per doc_id.
+    "q126_sitemap_extract" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .filter($"doc_id" % 6 === 0)
+        .withColumn("xml", concat(
+          lit("<?xml version=\"1.0\"?>\n" +
+            "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+            " <url><loc>https://s.ex.com/d"), $"doc_id",
+          lit("/p0</loc><lastmod>2026-08-01</lastmod>" +
+            "<priority>0.5</priority></url>\n <url><loc>https://s.ex.com/d"),
+          $"doc_id",
+          lit("/p1?a=1&amp;b=2</loc></url>\n" +
+            " <url><loc><![CDATA[https://s.ex.com/d"), $"doc_id",
+          lit("/p2]]></loc><changefreq>daily</changefreq></url>\n</urlset>")))
+        .select($"doc_id", Graft.extractSitemap($"xml")
+          .as(Seq("kind", "loc", "lastmod", "changefreq", "priority")))
+        .orderBy($"doc_id", $"loc")
     })
   )
 
@@ -4453,6 +4528,50 @@ object SparkEntry {
       """SELECT 'https://' || lower(source) || '.example.com/docs/'
                   || doc_id || '.pdf?a=1&b=2' AS canonical,
                 count(*) AS n
-         FROM documents GROUP BY 1 ORDER BY 1"""
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    "q124_unicode_norm" ->
+      """WITH m AS (
+           SELECT doc_id,
+                  'A' || chr(769) || substr(text, 1, 24) || chr(9)
+                      || ' Nun' || chr(771) || 'ez' || chr(11) || chr(12)
+                      || ' x' || chr(127) || '  ' AS messy
+           FROM documents WHERE doc_id % 7 = 0),
+         c AS (
+           SELECT doc_id, messy,
+                  trim(regexp_replace(regexp_replace(messy,
+                         '[\x01-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                       '[ \t\n\r]+', ' ', 'g'), ' ') AS clean
+           FROM m)
+         SELECT doc_id,
+                md5(nfc_normalize(messy)) AS nfc_md5,
+                md5(strip_accents(messy)) AS plain_md5,
+                md5(clean) AS clean_md5,
+                length(clean) AS n_clean
+         FROM c ORDER BY doc_id""",
+    "q125_robots_policy" ->
+      """SELECT doc_id,
+                doc_id % 4 IN (1, 3) AS allowed,
+                2 AS n_sitemaps
+         FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_id""",
+    "q126_sitemap_extract" ->
+      """WITH e AS (
+           SELECT doc_id, 'url' AS kind,
+                  'https://s.ex.com/d' || doc_id || '/p0' AS loc,
+                  '2026-08-01' AS lastmod,
+                  CAST(NULL AS VARCHAR) AS changefreq,
+                  '0.5' AS priority
+           FROM documents WHERE doc_id % 6 = 0
+           UNION ALL
+           SELECT doc_id, 'url',
+                  'https://s.ex.com/d' || doc_id || '/p1?a=1&b=2',
+                  NULL, NULL, NULL
+           FROM documents WHERE doc_id % 6 = 0
+           UNION ALL
+           SELECT doc_id, 'url',
+                  'https://s.ex.com/d' || doc_id || '/p2',
+                  NULL, 'daily', NULL
+           FROM documents WHERE doc_id % 6 = 0)
+         SELECT doc_id, kind, loc, lastmod, changefreq, priority
+         FROM e ORDER BY doc_id, loc"""
   )
 }
