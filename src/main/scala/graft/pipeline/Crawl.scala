@@ -43,18 +43,47 @@ object Crawl {
     *   src/enhanced_selenium_scraper.py:712-737); `true` is what a
     *   crawl at scale wants — the frontier still fetches the ORIGINAL
     *   href (servers may key on params), only the seen-key changes.
+    * @param robots optional politeness table `(host, robots_txt)` — one
+    *   row per hostname. When set, every frontier URL (seeds included)
+    *   is gated by [[graft.expr.RobotsKernels]]' RFC 9309 verdict for
+    *   `robotsAgent` BEFORE it is fetched. The table is tiny by
+    *   construction (one row per crawled host), so the gate is a
+    *   broadcast join + codegen filter — no extra shuffle on the
+    *   frontier. Hosts absent from the table fail OPEN (RFC 9309
+    *   §2.3.1.4's unreachable-robots rule). `None` (default) is
+    *   reference fidelity: the scraper never consults robots.txt.
     */
   def crawl(spark: SparkSession, seeds: DataFrame, fetcher: PageFetcher,
             maxDepth: Int = 2, topK: Int = 5,
             promisingAtAllDepths: Boolean = false,
-            canonicalizeVisited: Boolean = false): DataFrame = {
+            canonicalizeVisited: Boolean = false,
+            robots: Option[DataFrame] = None,
+            robotsAgent: String = "graftbot"): DataFrame = {
     import spark.implicits._
 
     def visitKey(url: org.apache.spark.sql.Column) =
       if (canonicalizeVisited) UrlFuncs.canonical_url(url) else url
 
-    var frontier = seeds.select(col("company"), col("url"))
-      .withColumn("depth", lit(0))
+    // RFC 9309 frontier gate: broadcast the per-host robots bodies in,
+    // keep rows whose verdict is allowed-or-unknown, drop the joined
+    // columns again. Identity when no robots table is supplied.
+    val politeness: DataFrame => DataFrame = df => robots match {
+      case None => df
+      case Some(r) =>
+        df.withColumn("__host", UrlFuncs.url_host(col("url")))
+          .join(
+            broadcast(r.select(lower(col("host")).as("__host"),
+              col("robots_txt").as("__robots"))),
+            Seq("__host"), "left")
+          .filter(coalesce(
+            graft.expr.CrawlPolicyFuncs.robots_allowed(
+              col("__robots"), lit(robotsAgent), col("url")),
+            lit(true)))
+          .drop("__host", "__robots")
+    }
+
+    var frontier = politeness(
+        seeds.select(col("company"), col("url")).withColumn("depth", lit(0)))
       .localCheckpoint()
     var visited = frontier
       .select(col("company"), visitKey(col("url")).as("url"))
@@ -116,7 +145,7 @@ object Crawl {
         visited = visited.unionByName(
             next.select(col("company"), col("__vkey").as("url")))
           .localCheckpoint()
-        frontier = next.drop("__vkey")
+        frontier = politeness(next.drop("__vkey"))
       } else {
         frontier = seeds.select(col("company"), col("url"))
           .withColumn("depth", lit(0)).limit(0)

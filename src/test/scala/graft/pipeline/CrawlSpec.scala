@@ -121,6 +121,44 @@ class CrawlSpec extends SparkTestBase {
     assert(docs == Set(s"$base/docs/q2-2025-earnings.pdf"))
   }
 
+  test("robots gate: disallowed frontier pages are never fetched; " +
+      "missing hosts fail open") {
+    // the graftbot group forbids /quarterly-earnings; /investor stays
+    // allowed — the promising-link to earnings must be pruned BEFORE
+    // the fetch, the rest of the crawl proceeds unchanged.
+    val robots = Seq(("ir.corp.com",
+      "User-agent: graftbot\nDisallow: /quarterly-earnings\n" +
+        "User-agent: *\nAllow: /\n")).toDF("host", "robots_txt")
+    val polite = Crawl.crawl(spark,
+      Seq(("corp", s"$base/index.html")).toDF("company", "url"),
+      MapPageFetcher(pages), maxDepth = 2, topK = 5,
+      robots = Some(robots))
+    val visited = polite.select($"source_url").distinct()
+      .as[String].collect().toSet
+    assert(visited == Set(s"$base/index.html", s"$base/investor/results"),
+      s"visited=$visited")
+    assert(polite.filter($"href" === s"$base/docs/q2-2025-earnings.pdf")
+      .count() == 0) // the disallowed page's documents were never seen
+
+    // a robots table that doesn't know this host gates nothing
+    val unknownHost = Seq(("other.example", "User-agent: *\nDisallow: /\n"))
+      .toDF("host", "robots_txt")
+    val open = Crawl.crawl(spark,
+      Seq(("corp", s"$base/index.html")).toDF("company", "url"),
+      MapPageFetcher(pages), maxDepth = 2, topK = 5,
+      robots = Some(unknownHost))
+    assert(open.select($"source_url").distinct().count() == 3)
+
+    // a deny-all group for the agent blocks even the seed
+    val denyAll = Seq(("ir.corp.com", "User-agent: *\nDisallow: /\n"))
+      .toDF("host", "robots_txt")
+    val blocked = Crawl.crawl(spark,
+      Seq(("corp", s"$base/index.html")).toDF("company", "url"),
+      MapPageFetcher(pages), maxDepth = 2, topK = 5,
+      robots = Some(denyAll))
+    assert(blocked.count() == 0)
+  }
+
   test("crawlStats matches reference counter semantics") {
     val stats = Crawl.crawlStats(links).head()
     assert(stats.getAs[Long]("urls_visited") == 3)
