@@ -7,6 +7,13 @@ import org.apache.spark.sql.functions._
   * user actually runs, assembling the llmops stages in the order that
   * is right at scale:
   *
+  *  0. unicode normalization     — (optional) NFC + control/whitespace
+  *                                 scrub FIRST, so every heuristic,
+  *                                 model, and digest downstream sees
+  *                                 one canonical spelling per text —
+  *                                 two byte spellings of the same
+  *                                 rendered doc must not survive exact
+  *                                 dedup as distinct;
   *  1. quality / language gate   — narrow, cheapest, runs first so
   *                                 every later stage sees fewer rows;
   *  1b. model gates (optional)   — LM perplexity ≤ maxNll and/or
@@ -62,16 +69,24 @@ object Corpus {
             minModelProb: Double = 0.5,
             dropSpanNgram: Option[Int] = None,
             dsir: Option[(Map[String, Double], Double, Double)] = None,
+            normalizeUnicode: Boolean = false,
             idCol: String = "doc_id",
             textCol: String = "text"): DataFrame = {
     val T = TextFuncs
+    // stage 0: canonical spelling before anything reads or digests text
+    val canonical =
+      if (normalizeUnicode)
+        docs.withColumn(textCol, graft.expr.NormFuncs.clean_text(
+          graft.expr.NormFuncs.nfc_norm(col(textCol))))
+      else docs
     val gated = {
       // DSIR floor first when present: (ratioMap, default, minLogw) —
       // the shuffle-free scalar form ([[Dsir.logwColumn]]), a pure
       // projection like the heuristics, applied to RAW text to match
       // the fit side (same contract as DocStreams.ingest's gate)
-      val qd = dsir.fold(docs) { case (ratios, dflt, minLogw) =>
-        docs.filter(Dsir.logwColumn(col(textCol), ratios, dflt) >= minLogw)
+      val qd = dsir.fold(canonical) { case (ratios, dflt, minLogw) =>
+        canonical.filter(
+          Dsir.logwColumn(col(textCol), ratios, dflt) >= minLogw)
       }
       val q0 = qd.filter(T.qualityScore(col(textCol)) >= minQuality)
       val q1 =

@@ -184,4 +184,23 @@ class CorpusSpec extends SparkTestBase {
       .select($"doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 3L), s"kept=$kept")
   }
+
+  test("normalizeUnicode stage: byte-spelling variants collapse in " +
+      "exact dedup; default keeps both") {
+    // same rendered text, NFC vs combining-mark spelling, plus
+    // whitespace noise clean_text scrubs
+    val pre = goodText + " caf\u00E9"
+    val comb = goodText + "  cafe\u0301 "
+    val docs = Seq((1L, pre), (2L, comb)).toDF("doc_id", "text")
+
+    val raw = Corpus.clean(docs, minQuality = 0.0, redact = false)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(raw == Set(1L, 2L)) // distinct bytes -> both survive
+
+    val norm = Corpus.clean(docs, minQuality = 0.0, redact = false,
+        normalizeUnicode = true)
+    assert(norm.select($"doc_id").as[Long].collect().toSet == Set(1L))
+    // the surviving text is the canonical spelling
+    assert(norm.select($"text").as[String].head() == pre)
+  }
 }
