@@ -470,6 +470,10 @@ object Graft {
   /** `Sitemap:` URLs listed in a robots.txt file. */
   def robotsSitemaps(robots: Column): Column =
     expr.CrawlPolicyFuncs.robots_sitemaps(robots)
+  /** Matching group's Crawl-delay seconds (null = none declared) —
+    * feed to [[graft.services.RateLimiter]] for per-host pacing. */
+  def robotsCrawlDelay(robots: Column, agent: Column): Column =
+    expr.CrawlPolicyFuncs.robots_crawl_delay(robots, agent)
   /** Generator of sitemap url/sitemap entries. */
   def extractSitemap(xml: Column): Column =
     expr.CrawlPolicyFuncs.extract_sitemap(xml)

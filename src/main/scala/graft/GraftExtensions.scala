@@ -160,6 +160,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "robots_allowed(robots_txt, agent, url) - RFC 9309 crawl verdict"),
       (args: Seq[Expression]) =>
         graft.expr.RobotsAllowed(args(0), args(1), args(2))))
+    e.injectFunction((FunctionIdentifier("robots_crawl_delay"),
+      info("robots_crawl_delay",
+        "robots_crawl_delay(robots_txt, agent) - matching group's " +
+          "Crawl-delay seconds, null when undeclared"),
+      (args: Seq[Expression]) =>
+        graft.expr.RobotsCrawlDelay(args(0), args(1))))
     e.injectFunction((FunctionIdentifier("robots_sitemaps"),
       info("robots_sitemaps",
         "robots_sitemaps(robots_txt) - the file's Sitemap: URLs"),

@@ -2444,6 +2444,7 @@ object SparkEntry {
           |Disallow: /private/
           |Allow: /private/open/
           |Disallow: /*.pdf$
+          |Crawl-delay: 2.5
           |Sitemap: https://ex.com/sitemap.xml
           |Sitemap: https://ex.com/news.xml
           |
@@ -2460,7 +2461,9 @@ object SparkEntry {
         .select($"doc_id",
           Graft.robotsAllowed(lit(robots), lit("graftbot/1.0"),
             concat(lit("https://ex.com"), $"path")).as("allowed"),
-          size(Graft.robotsSitemaps(lit(robots))).as("n_sitemaps"))
+          size(Graft.robotsSitemaps(lit(robots))).as("n_sitemaps"),
+          Graft.robotsCrawlDelay(lit(robots), lit("graftbot/1.0"))
+            .as("delay_s"))
         .orderBy($"doc_id")
     }),
 
@@ -4551,7 +4554,8 @@ object SparkEntry {
     "q125_robots_policy" ->
       """SELECT doc_id,
                 doc_id % 4 IN (1, 3) AS allowed,
-                2 AS n_sitemaps
+                2 AS n_sitemaps,
+                CAST(2.5 AS DOUBLE) AS delay_s
          FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_id""",
     "q126_sitemap_extract" ->
       """WITH e AS (

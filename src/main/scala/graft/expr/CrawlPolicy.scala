@@ -35,13 +35,17 @@ import org.apache.spark.unsafe.types.UTF8String
 object RobotsKernels {
   /** allow? + pattern */
   private type Rule = (Boolean, String)
-  /** (lowercased agent token → rules) resolved view of one file. */
+  /** (lowercased agent token → rules) resolved view of one file;
+    * `delays` carries each group's `Crawl-delay:` seconds when present.
+    */
   final case class Robots(groups: Vector[(String, Vector[Rule])],
-                          sitemaps: Vector[String])
+                          sitemaps: Vector[String],
+                          delays: Map[String, Double])
 
   def parse(txt: String): Robots = {
     val groups = ArrayBuffer.empty[(String, ArrayBuffer[Rule])]
     val sitemaps = ArrayBuffer.empty[String]
+    val delays = scala.collection.mutable.Map.empty[String, Double]
     // agents being accumulated for the group whose rules come next
     var pendingAgents = List.empty[String]
     var openAgents = List.empty[String] // agents of the group receiving rules
@@ -70,6 +74,12 @@ object RobotsKernels {
             if (value.nonEmpty) ruleSinks().foreach(_ += ((allow, value)))
             else ruleSinks() // still closes the pending agent run
           case "sitemap" => if (value.nonEmpty) sitemaps += value
+          case "crawl-delay" =>
+            ruleSinks() // closes a pending UA run like any rule
+            try {
+              val d = value.toDouble
+              if (d >= 0) openAgents.foreach(a => delays(a) = d)
+            } catch { case _: NumberFormatException => }
           case _ => ruleSinks() // any other directive ends a UA run
         }
       }
@@ -77,7 +87,7 @@ object RobotsKernels {
     if (pendingAgents.nonEmpty) // trailing rule-less group(s)
       pendingAgents.foreach(a => groups += ((a, ArrayBuffer.empty[Rule])))
     Robots(groups.map { case (a, rs) => (a, rs.toVector) }.toVector,
-      sitemaps.toVector)
+      sitemaps.toVector, delays.toMap)
   }
 
   /** `*`-wildcard prefix match with optional trailing `$` anchor. */
@@ -171,6 +181,25 @@ object RobotsKernels {
   /** Kernel behind `robots_sitemaps(robots)`. */
   def sitemapUrls(robotsTxt: String): Array[String] =
     if (robotsTxt == null) Array.empty else cached(robotsTxt).sitemaps.toArray
+
+  /** `Crawl-delay:` seconds of the most specific matching group (same
+    * selection rule as [[decide]]), or null when the file declares
+    * none — the per-host pacing input for the fetch rate limiter.
+    */
+  def crawlDelay(robotsTxt: String, agent: String): java.lang.Double = {
+    if (robotsTxt == null) return null
+    val r = cached(robotsTxt)
+    val a = (if (agent == null) "*" else agent).toLowerCase
+    val named = r.groups.map(_._1).distinct
+      .filter(tok => tok != "*" && a.startsWith(tok))
+    val chosen =
+      if (named.nonEmpty) {
+        val best = named.map(_.length).max
+        named.filter(_.length == best)
+      } else Vector("*")
+    chosen.flatMap(t => r.delays.get(t)).headOption
+      .map(Double.box).orNull
+  }
 }
 
 /** Sitemap XML (sitemaps.org protocol) — the crawl's push-side frontier
@@ -273,6 +302,32 @@ case class RobotsAllowed(first: Expression, second: Expression,
     copy(first = f, second = s, third = t)
 }
 
+/** `robots_crawl_delay(robots_txt, agent)` — the matching group's
+  * Crawl-delay seconds, null when undeclared (or null operands).
+  */
+case class RobotsCrawlDelay(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "robots_crawl_delay"
+  override def nullSafeEval(r: Any, a: Any): Any = {
+    val d = RobotsKernels.crawlDelay(
+      r.asInstanceOf[UTF8String].toString, a.asInstanceOf[UTF8String].toString)
+    if (d == null) null else d.doubleValue()
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (r, a) => {
+      val d = ctx.freshName("delay")
+      s"""java.lang.Double $d = graft.expr.RobotsKernels.crawlDelay(
+         |  $r.toString(), $a.toString());
+         |if ($d == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $d.doubleValue(); }""".stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): RobotsCrawlDelay =
+    copy(left = l, right = r)
+}
+
 /** `robots_sitemaps(robots_txt)` — the file's Sitemap: URLs. */
 case class RobotsSitemaps(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -331,6 +386,9 @@ object CrawlPolicyFuncs {
       ColumnBridge.expression(agent), ColumnBridge.expression(url)))
   def robots_sitemaps(robots: Column): Column =
     ColumnBridge.column(RobotsSitemaps(ColumnBridge.expression(robots)))
+  def robots_crawl_delay(robots: Column, agent: Column): Column =
+    ColumnBridge.column(RobotsCrawlDelay(
+      ColumnBridge.expression(robots), ColumnBridge.expression(agent)))
   def extract_sitemap(xml: Column): Column =
     ColumnBridge.column(ExtractSitemap(ColumnBridge.expression(xml)))
 }

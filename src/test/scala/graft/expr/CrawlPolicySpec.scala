@@ -76,6 +76,32 @@ class CrawlPolicySpec extends SparkTestBase {
     assert(RobotsKernels.decide(multi, "c", "/x/1"))
   }
 
+  test("crawl-delay: matching group's value, null when undeclared") {
+    // the fixture declares Crawl-delay: 2 inside the graftbot group
+    assert(RobotsKernels.crawlDelay(robots, "graftbot/1.0") == 2.0)
+    // graftbot-images and * groups declare none
+    assert(RobotsKernels.crawlDelay(robots, "graftbot-images") == null)
+    assert(RobotsKernels.crawlDelay(robots, "otherbot") == null)
+    assert(RobotsKernels.crawlDelay(null, "any") == null)
+    // * group delay reaches unmatched agents; malformed values ignored
+    val star = RobotsKernels.parse(
+      "User-agent: *\nCrawl-delay: 1.5\nDisallow: /x\n" +
+        "User-agent: bad\nCrawl-delay: soon\n")
+    assert(RobotsKernels.crawlDelay("User-agent: *\nCrawl-delay: 1.5\n",
+      "any") == 1.5)
+    assert(star.delays.get("bad").isEmpty)
+    // expression path: DataFrame + SQL, null for undeclared
+    import spark.implicits._
+    val df = Seq(robots).toDF("r")
+    val row = df.select(
+      CrawlPolicyFuncs.robots_crawl_delay($"r", lit("graftbot")).as("d"),
+      CrawlPolicyFuncs.robots_crawl_delay($"r", lit("nobody")).as("n")).head
+    assert(row.getDouble(0) == 2.0 && row.isNullAt(1))
+    df.createOrReplaceTempView("rcd_t")
+    assert(spark.sql("SELECT robots_crawl_delay(r, 'graftbot') FROM rcd_t")
+      .head.getDouble(0) == 2.0)
+  }
+
   test("sitemap URLs are collected file-wide") {
     assert(RobotsKernels.sitemapUrls(robots).toSeq ==
       Seq("https://ex.com/sitemap.xml", "https://ex.com/news.xml"))
