@@ -2487,6 +2487,48 @@ object SparkEntry {
         .select($"doc_id", Graft.extractSitemap($"xml")
           .as(Seq("kind", "loc", "lastmod", "changefreq", "priority")))
         .orderBy($"doc_id", $"loc")
+    }),
+
+    // CDX-style archive index (X95): real WARC shards written by the
+    // tasks, indexed to (uri, file, offset, length) rows, then every
+    // payload recovered by RANGED point reads off the index alone —
+    // the oracle md5-pins each body straight against the documents
+    // table, so a wrong offset, member bound, or slice anywhere fails.
+    "q127_warc_cdx" -> ((s, d) => {
+      import s.implicits._
+      val W = graft.io.Warc
+      val dir = java.nio.file.Files.createTempDirectory("graft_cdx_q127")
+        .toFile.getAbsolutePath
+      t(s, d, "documents")
+        .filter($"doc_id" % 4 === 1)
+        .select($"doc_id", $"source", $"text")
+        .as[(Long, String, String)]
+        .groupByKey(_._1 % 12)
+        .mapGroups { (g, it) =>
+          val docs = it.toSeq.sortBy(_._1)
+          val recs = W.encodeWarcinfo(s"part-$g.warc",
+            "2026-01-01T00:00:00Z") +:
+            docs.map { case (id, src, text) =>
+              val html = s"<html><body><p>$text</p></body></html>"
+              W.encodeResponse(s"https://$src.example.com/cdx/$id",
+                "2026-01-01T00:00:00Z",
+                html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            }
+          val gz = g % 2 == 0
+          (s"part-$g.warc" + (if (gz) ".gz" else ""),
+            W.encodeFile(recs, gz))
+        }
+        // task-side shard write (the archive-writer pattern; shared FS)
+        .foreach { case (name, bytes) =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, name), bytes): Unit
+        }
+      val idx = W.cdxIndex(s, dir + "/*")
+        .filter($"warc_type" === "response")
+      W.fetchRecords(s, idx)
+        .select($"target_uri", md5($"content").as("body_md5"),
+          $"http_status")
+        .orderBy($"target_uri")
     })
   )
 
@@ -4576,6 +4618,13 @@ object SparkEntry {
                   NULL, 'daily', NULL
            FROM documents WHERE doc_id % 6 = 0)
          SELECT doc_id, kind, loc, lastmod, changefreq, priority
-         FROM e ORDER BY doc_id, loc"""
+         FROM e ORDER BY doc_id, loc""",
+    "q127_warc_cdx" ->
+      """SELECT 'https://' || source || '.example.com/cdx/' || doc_id
+                  AS target_uri,
+                md5('<html><body><p>' || text || '</p></body></html>')
+                  AS body_md5,
+                200 AS http_status
+         FROM documents WHERE doc_id % 4 = 1 ORDER BY target_uri"""
   )
 }

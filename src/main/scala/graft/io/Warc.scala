@@ -237,4 +237,183 @@ object Warc extends Serializable {
       .toDF("file", "warc_type", "target_uri", "warc_date",
         "content_type", "http_status", "http_content_type", "content")
   }
+
+  // --------------------------------------------------- CDX-style index
+
+  /** One gzip MEMBER's (offset, length) bounds within a .warc.gz file —
+    * the unit a CDX index points at (the standard layout is one record
+    * per member, so a member is independently gunzippable). Walks the
+    * RFC 1952 framing by hand: header (with optional FEXTRA/FNAME/
+    * FCOMMENT/FHCRC fields), raw-deflate body measured via
+    * `Inflater.getBytesRead`, 8-byte CRC32+ISIZE trailer. A truncated
+    * or corrupt tail ends the walk with the members seen so far.
+    */
+  private[io] def gzipMemberBounds(b: Array[Byte]): Seq[(Long, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var pos = 0
+    try {
+      while (pos + 10 <= b.length &&
+        (b(pos) & 0xff) == 0x1f && (b(pos + 1) & 0xff) == 0x8b) {
+        val start = pos
+        val flg = b(pos + 3) & 0xff
+        var p = pos + 10
+        if ((flg & 4) != 0) { // FEXTRA
+          val xlen = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+          p += 2 + xlen
+        }
+        if ((flg & 8) != 0) { while (b(p) != 0) p += 1; p += 1 } // FNAME
+        if ((flg & 16) != 0) { while (b(p) != 0) p += 1; p += 1 } // FCOMMENT
+        if ((flg & 2) != 0) p += 2 // FHCRC
+        val inf = new java.util.zip.Inflater(true)
+        inf.setInput(b, p, b.length - p)
+        val buf = new Array[Byte](8192)
+        while (!inf.finished() && inf.inflate(buf) >= 0 && !inf.needsInput()) ()
+        if (!inf.finished()) { inf.end(); return out.toSeq } // truncated
+        val consumed = inf.getBytesRead
+        inf.end()
+        val end = p + consumed.toInt + 8 // CRC32 + ISIZE trailer
+        if (end > b.length) return out.toSeq
+        out += ((start.toLong, (end - start).toLong))
+        pos = end
+      }
+    } catch { case scala.util.control.NonFatal(_) => }
+    out.toSeq
+  }
+
+  /** [[parseRecords]] plus each record's (offset, length) into the RAW
+    * file bytes — compressed member bounds for .warc.gz (every record
+    * of a multi-record member shares its member's bounds), byte spans
+    * for plain files. The slice `bytes[offset, offset+length)` re-parses
+    * to the record(s) via [[parseRecords]] — the point-read contract.
+    */
+  def parseRecordsIndexed(bytesIn: Array[Byte])
+      : Seq[(WarcRecord, Long, Long)] = {
+    if (bytesIn == null || bytesIn.length < 4) return Seq.empty
+    if ((bytesIn(0) & 0xff) == 0x1f && (bytesIn(1) & 0xff) == 0x8b)
+      gzipMemberBounds(bytesIn).flatMap { case (off, len) =>
+        parseRecords(java.util.Arrays.copyOfRange(
+          bytesIn, off.toInt, (off + len).toInt))
+          .map(r => (r, off, len))
+      }
+    else {
+      val bytes = bytesIn
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(WarcRecord, Long, Long)]
+      var pos = 0
+      var ok = true
+      while (ok && pos < bytes.length) {
+        while (pos < bytes.length &&
+          (bytes(pos) == '\r' || bytes(pos) == '\n')) pos += 1
+        if (pos >= bytes.length) ok = false
+        else {
+          val start = pos
+          val he = headerEnd(bytes, pos)
+          if (he < 0) ok = false
+          else {
+            val head = new String(bytes, pos, he - pos, latin1)
+            if (!head.startsWith("WARC/")) ok = false
+            else {
+              val h = parseHeaders(head)
+              h.get("content-length").flatMap(_.toLongOption) match {
+                case Some(l) if he + 4 + l <= bytes.length =>
+                  val blockStart = he + 4
+                  val block = java.util.Arrays.copyOfRange(
+                    bytes, blockStart, blockStart + l.toInt)
+                  val end = blockStart + l.toInt
+                  out += ((toRecord(h, block), start.toLong,
+                    (end - start).toLong))
+                  pos = end
+                case _ => ok = false
+              }
+            }
+          }
+        }
+      }
+      out.toSeq
+    }
+  }
+
+  /** CDX-style index of every record under `path`: (uri, file, offset,
+    * length, warc_type, http_status, n_bytes) — the Common Crawl
+    * pattern that makes a 100 TB archive randomly accessible: the index
+    * is the only thing a lookup scans (slim rows, no payloads), and a
+    * hit costs one `length`-byte ranged read of one file instead of a
+    * full-archive pass. Built with the same file-level parallelism as
+    * [[readFiles]]; payload bytes are dropped before the rows move.
+    */
+  def cdxIndex(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (file, bytes) =>
+        parseRecordsIndexed(bytes).map { case (r, off, len) =>
+          (r.target_uri.orNull, file, off, len, r.warc_type,
+            r.http_status, r.content.length.toLong)
+        }
+      }
+      .toDF("uri", "file", "offset", "length", "warc_type",
+        "http_status", "n_bytes")
+  }
+
+  private def localPath(file: String): java.nio.file.Path =
+    java.nio.file.Paths.get(
+      if (file.startsWith("file:")) new java.net.URI(file).getPath else file)
+
+  /** One point read: the record(s) at a CDX index entry, via a ranged
+    * read of `length` bytes at `offset` — never a full-file scan.
+    */
+  def readRecordAt(file: String, offset: Long, length: Long)
+      : Seq[WarcRecord] = {
+    val ch = java.nio.channels.FileChannel.open(localPath(file),
+      java.nio.file.StandardOpenOption.READ)
+    try {
+      val buf = java.nio.ByteBuffer.allocate(length.toInt)
+      ch.position(offset)
+      while (buf.hasRemaining && ch.read(buf) >= 0) ()
+      parseRecords(buf.array())
+    } finally ch.close()
+  }
+
+  /** Distributed point reads for a set of index entries: rows of
+    * (file, offset, length) → the records behind them. Partition-local
+    * sort by (file, offset) turns each partition's lookups into one
+    * sequential sweep per file — one open, forward seeks only — so the
+    * cost is proportional to the HITS, not the archive. Co-locate
+    * same-file entries first (`repartition(col("file"))`) when the hit
+    * set is large.
+    */
+  def fetchRecords(spark: SparkSession, index: DataFrame): DataFrame = {
+    import spark.implicits._
+    index.select(col("file"), col("offset"), col("length"))
+      .as[(String, Long, Long)]
+      .mapPartitions { it =>
+        val sorted = it.toSeq.sortBy(e => (e._1, e._2))
+        var openFile: String = null
+        var ch: java.nio.channels.FileChannel = null
+        val out = sorted.iterator.map { case (file, off, len) =>
+          if (file != openFile) {
+            if (ch != null) ch.close()
+            ch = java.nio.channels.FileChannel.open(localPath(file),
+              java.nio.file.StandardOpenOption.READ)
+            openFile = file
+          }
+          val buf = java.nio.ByteBuffer.allocate(len.toInt)
+          ch.position(off)
+          while (buf.hasRemaining && ch.read(buf) >= 0) ()
+          (file, off, parseRecords(buf.array()))
+        }
+        new Iterator[(String, Long, Seq[WarcRecord])] {
+          def hasNext: Boolean = { val h = out.hasNext
+            if (!h && ch != null) { ch.close(); ch = null }; h }
+          def next(): (String, Long, Seq[WarcRecord]) = out.next()
+        }
+      }
+      .flatMap { case (file, off, recs) =>
+        recs.map(r => (file, off, r.warc_type, r.target_uri,
+          r.http_status, r.http_content_type, r.content))
+      }
+      .toDF("file", "offset", "warc_type", "target_uri", "http_status",
+        "http_content_type", "content")
+  }
 }

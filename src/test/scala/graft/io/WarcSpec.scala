@@ -106,4 +106,76 @@ class WarcSpec extends SparkTestBase {
       .collect()
     assert(links.length == 4)
   }
+
+  test("indexed parse: every (offset, length) slice re-parses to its " +
+      "record, plain and gzip") {
+    for (gz <- Seq(false, true)) {
+      val (bytes, _) = mkFile(gz)
+      val idx = Warc.parseRecordsIndexed(bytes)
+      assert(idx.length == 4, s"gz=$gz got ${idx.length}")
+      // same records in the same order as the plain parse
+      val plain = Warc.parseRecords(bytes)
+      assert(idx.map(_._1.target_uri) == plain.map(_.target_uri))
+      for ((rec, off, len) <- idx) {
+        val slice = java.util.Arrays.copyOfRange(
+          bytes, off.toInt, (off + len).toInt)
+        val reparsed = Warc.parseRecords(slice)
+        assert(reparsed.length == 1, s"gz=$gz off=$off")
+        assert(reparsed.head.target_uri == rec.target_uri)
+        assert(java.util.Arrays.equals(reparsed.head.content, rec.content))
+      }
+      // offsets are disjoint ascending spans
+      assert(idx.map(_._2) == idx.map(_._2).sorted)
+      idx.sliding(2).foreach {
+        case Seq((_, o1, l1), (_, o2, _)) => assert(o1 + l1 <= o2)
+        case _ =>
+      }
+    }
+  }
+
+  test("gzip member walker: bounds cover the file; truncation keeps " +
+      "prior members") {
+    val (gz, _) = mkFile(gzip = true)
+    val bounds = Warc.gzipMemberBounds(gz)
+    assert(bounds.length == 4)
+    assert(bounds.head._1 == 0L)
+    assert(bounds.map(b => b._1 + b._2).max == gz.length.toLong)
+    // cut inside the last member: the first three survive
+    val cut = java.util.Arrays.copyOfRange(gz, 0, gz.length - 10)
+    assert(Warc.gzipMemberBounds(cut).length == 3)
+    assert(Warc.gzipMemberBounds(Array[Byte](0x1f, 0x8b.toByte)).isEmpty)
+  }
+
+  test("cdx index + point reads reproduce every payload without a scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdx")
+    dir.toFile.deleteOnExit()
+    val (plain, _) = mkFile(gzip = false)
+    val (gz, _) = mkFile(gzip = true)
+    java.nio.file.Files.write(dir.resolve("a.warc"), plain)
+    java.nio.file.Files.write(dir.resolve("b.warc.gz"), gz)
+
+    val idx = Warc.cdxIndex(spark, dir.toString + "/*").cache()
+    assert(idx.count() == 8)
+    assert(idx.columns.toSeq == Seq("uri", "file", "offset", "length",
+      "warc_type", "http_status", "n_bytes"))
+
+    // single point read straight from an index row
+    val row = idx.filter($"uri" === "https://ex.example.com/p1" &&
+      $"file".endsWith("b.warc.gz")).head
+    val recs = Warc.readRecordAt(row.getString(1), row.getLong(2),
+      row.getLong(3))
+    assert(recs.length == 1 &&
+      new String(recs.head.content, latin1) == "<html>beta two</html>")
+
+    // distributed fetch of all responses: bodies byte-identical to the
+    // full-scan source
+    val hits = idx.filter($"warc_type" === "response")
+    val fetched = Warc.fetchRecords(spark, hits)
+      .select($"target_uri", md5($"content").as("h"))
+    val scanned = Warc.readFiles(spark, dir.toString + "/*")
+      .filter($"warc_type" === "response")
+      .select($"target_uri", md5($"content").as("h"))
+    assert(fetched.except(scanned).count() == 0 &&
+      scanned.except(fetched).count() == 0 && fetched.count() == 6)
+  }
 }
