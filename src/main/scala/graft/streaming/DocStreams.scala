@@ -107,6 +107,12 @@ object DocStreams {
     * streaming analog of the q100 batch selection. It runs on RAW
     * text (before redaction), matching the batch side where ratios
     * are fit on raw text.
+    *
+    * `normalizeUnicode` mirrors [[graft.llmops.Corpus.clean]]'s stage
+    * 0: NFC + control/whitespace scrub FIRST (a stateless projection,
+    * append-mode legal), so byte-spelling variants of one document
+    * collapse in the streaming dedup horizon exactly as they do in
+    * the batch path.
     */
   def ingest(docs: DataFrame, benchmark: DataFrame,
              minQuality: Double = 0.25,
@@ -114,11 +120,17 @@ object DocStreams {
              tsCol: String = "ingest_ts",
              textCol: String = "text",
              sampleFrac: Double = 1.0,
-             dsir: Option[(Map[String, Double], Double, Double)] = None)
+             dsir: Option[(Map[String, Double], Double, Double)] = None,
+             normalizeUnicode: Boolean = false)
       : DataFrame = {
     val S = graft.llmops.Splits
-    val dsirGated = dsir.fold(docs) { case (ratios, dflt, minLogw) =>
-      docs.filter(
+    val canonical =
+      if (normalizeUnicode)
+        docs.withColumn(textCol, graft.expr.NormFuncs.clean_text(
+          graft.expr.NormFuncs.nfc_norm(col(textCol))))
+      else docs
+    val dsirGated = dsir.fold(canonical) { case (ratios, dflt, minLogw) =>
+      canonical.filter(
         graft.llmops.Dsir.logwColumn(col(textCol), ratios, dflt) >= minLogw)
     }
     val sampled = cleanDocs(dsirGated, minQuality, textCol)

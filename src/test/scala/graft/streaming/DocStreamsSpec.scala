@@ -141,4 +141,28 @@ class DocStreamsSpec extends SparkTestBase {
     val n = got.count()
     assert(n > 0 && got.select($"text").distinct().count() == n)
   }
+
+  test("normalizeUnicode: byte-spelling variants collapse in the " +
+      "streaming dedup horizon, matching the batch stage 0") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val docs = mem.toDF().toDF("ingest_ts", "doc_id", "text")
+    val benchmark = Seq("unrelated benchmark").toDF("text")
+    val q = DocStreams.ingest(docs, benchmark, minQuality = 0.0,
+        normalizeUnicode = true)
+      .writeStream.format("memory").queryName("norm_ingest_out")
+      .outputMode("append").start()
+    val t = java.sql.Timestamp.valueOf(_: String)
+    val pre = goodText + " caf\u00E9" // precomposed spelling
+    val comb = goodText + "  cafe\u0301 " // combining + whitespace noise
+    mem.addData(
+      (t("2024-01-01 10:00:00"), 1L, pre),
+      (t("2024-01-01 10:00:10"), 2L, comb)) // same rendered doc
+    q.processAllAvailable()
+    val out = spark.table("norm_ingest_out")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    q.stop()
+    assert(out.keySet == Set(1L), s"got ${out.keySet}")
+    assert(out(1L) == pre) // landed text is the canonical spelling
+  }
 }
