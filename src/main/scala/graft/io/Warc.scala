@@ -238,6 +238,35 @@ object Warc extends Serializable {
         "content_type", "http_status", "http_content_type", "content")
   }
 
+  /** Streaming twin of [[readFiles]]: WARC shards LANDING under `dir`
+    * (the continuous-crawl delivery pattern — archives appear as the
+    * crawl rolls them) parsed per micro-batch into the same record
+    * rows. The file source tracks seen files, so each shard is parsed
+    * exactly once; parallelism and payload locality are identical to
+    * the batch source (one task per file, partition-local parse).
+    * readStream requires the schema up front — binaryFile's is fixed.
+    */
+  def readFilesStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val binaryFileSchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    spark.readStream.format("binaryFile").schema(binaryFileSchema)
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (file, bytes) =>
+        parseRecords(bytes).map(r => (file, r.warc_type, r.target_uri,
+          r.warc_date, r.content_type, r.http_status,
+          r.http_content_type, r.content))
+      }
+      .toDF("file", "warc_type", "target_uri", "warc_date",
+        "content_type", "http_status", "http_content_type", "content")
+  }
+
   // --------------------------------------------------- CDX-style index
 
   /** One gzip MEMBER's (offset, length) bounds within a .warc.gz file —

@@ -175,4 +175,35 @@ object MediaStreams {
           tablePath, minQuality)
         onBatch(batchId, admitted.count())
     }
+
+  /** The whole crawl-archive→corpus flow as one continuous stream —
+    * the q122 composition running against a LANDING directory instead
+    * of a fixed fixture: WARC shards appear under `warcDir` (the
+    * continuous-crawl delivery pattern), each micro-batch parses the
+    * new shards ([[graft.io.Warc.readFilesStream]] — one task per
+    * shard, payloads stay in their tasks), keeps the 2xx
+    * `application/pdf` responses, and pushes them through the SAME
+    * extract→quality-gate→exact-dedup→land transition as
+    * [[pdfTextIngest]]. Asset ids key on `xxhash64(target_uri)` so a
+    * re-crawled or re-shipped URI is stable across shards and retries;
+    * content-level re-arrivals are gated by the digest table exactly
+    * as in the fixture-stream path.
+    */
+  def warcPdfIngest(spark: SparkSession, warcDir: String,
+                    tablePath: String, minQuality: Double = 0.25)
+                   (onBatch: (Long, Long) => Unit = (_, _) => ())
+      : DataStreamWriter[Asset] = {
+    import spark.implicits._
+    val assets = graft.io.Warc.readFilesStream(spark, warcDir)
+      .filter(col("warc_type") === "response" &&
+        col("http_status").between(200, 299) &&
+        col("http_content_type").startsWith("application/pdf") &&
+        col("target_uri").isNotNull)
+      .select(xxhash64(col("target_uri")).as("id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, content) =>
+        Asset(id, "document", content, None, None, None, Some("pdf"))
+      }
+    pdfTextIngest(assets, tablePath, minQuality)(onBatch)
+  }
 }

@@ -156,4 +156,46 @@ class MediaStreamsSpec extends SparkTestBase {
     assert(admitted == expected)
     assert(admitted.nonEmpty && admitted.size < 40)
   }
+
+  test("warc landing-dir ingest: shards dropped over time become clean " +
+      "corpus text, re-shipped uris gated") {
+    val W = graft.io.Warc
+    val P = graft.llmops.Pdf.PdfCodec
+    val landing = java.nio.file.Files.createTempDirectory("graft-warc-land")
+    landing.toFile.deleteOnExit()
+    val table = tmp()
+    val good = "the quick brown fox jumps over a lazy dog and keeps " +
+      "running through the field for quite a while longer today"
+    def shard(name: String, docs: Seq[(String, String)], gz: Boolean): Unit = {
+      val recs = W.encodeWarcinfo(name, "2026-01-01T00:00:00Z") +:
+        docs.map { case (uri, text) =>
+          W.encodeResponse(uri, "2026-01-01T00:00:00Z",
+            P.encodePdf(Seq(text)), httpContentType = "application/pdf")
+        }
+      java.nio.file.Files.write(landing.resolve(name),
+        W.encodeFile(recs, gz))
+    }
+
+    val q = MediaStreams.warcPdfIngest(spark, landing.toString, table,
+        minQuality = 0.5)()
+      .outputMode("update").start()
+    // shard 1 lands: one good doc, one quality reject
+    shard("s1.warc", Seq(
+      ("https://ex.com/a.pdf", good),
+      ("https://ex.com/tiny.pdf", "x")), gz = false)
+    q.processAllAvailable()
+    // shard 2 lands later, gzip layout: same text re-shipped under a
+    // new uri (content-gated), plus genuinely new material
+    shard("s2.warc.gz", Seq(
+      ("https://ex.com/a-copy.pdf", good),
+      ("https://ex.com/b.pdf", good + " with genuinely new material")),
+      gz = true)
+    q.processAllAvailable()
+    q.stop()
+
+    val landed = spark.read.parquet(table)
+      .select($"text").as[String].collect().toSet
+    assert(landed == Set(good, good + " with genuinely new material"),
+      s"landed=$landed")
+  }
 }
