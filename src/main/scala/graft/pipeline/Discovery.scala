@@ -128,4 +128,71 @@ object Discovery {
         when(col("ir_url").isNotNull, "Found").otherwise("Not Found"))
       .withColumn("ir_url", coalesce(col("ir_url"), lit("")))
   }
+
+  /** URL substrings that mark a sitemap loc as an IR-page candidate —
+    * the same investor-ish vocabulary the probe cascade and P15 use.
+    */
+  private val irUrlMarkers =
+    Seq("investor", "shareholder", "/ir/", "ir.", "financial", "earnings")
+
+  /** Sitemap-seeded discovery — the push-side alternative to the probe
+    * cascade: instead of fetching |subdomains| + |paths| speculative
+    * URLs per company, fetch the company's robots.txt, follow its
+    * `Sitemap:` URLs (plus the conventional `/sitemap.xml` fallback),
+    * and score only the locs whose URL already looks investor-ish.
+    * Candidates then pass through the SAME fetch + indicator-score +
+    * cascade-pick tail as [[discover]] (priority = sitemap position,
+    * so earlier-listed pages win ties). At fleet scale this is the
+    * difference between ~20 speculative fetches per company and
+    * 2 + |IR-looking locs| — and the sitemap is the site's OWN claim
+    * about what exists, so the miss rate is structural, not guessed.
+    */
+  def discoverFromSitemaps(spark: SparkSession, companies: DataFrame,
+                           fetcher: PageFetcher, minScore: Int = 2,
+                           maxCandidates: Int = 8): DataFrame = {
+    import spark.implicits._
+    val base = companies.select(col("ticker"), col("company"), col("website"))
+
+    val candidates = base.as[(String, String, String)].mapPartitions { it =>
+      it.flatMap { case (ticker, company, website) =>
+        val host = hostOf(website)
+        val robots = fetcher.fetch(s"https://$host/robots.txt")
+        val sitemapUrls = (robots.toSeq.flatMap(r =>
+          graft.expr.RobotsKernels.sitemapUrls(r).toSeq) :+
+          s"https://$host/sitemap.xml").distinct
+        val locs = sitemapUrls.flatMap(u => fetcher.fetch(u).toSeq
+          .flatMap(graft.expr.SitemapKernels.entries))
+          .map(_.loc)
+        locs.filter(l => irUrlMarkers.exists(l.toLowerCase.contains))
+          .distinct.take(maxCandidates).zipWithIndex
+          .map { case (loc, i) => Probe(ticker, company, website, loc, i) }
+      }
+    }
+
+    val scored = candidates
+      .mapPartitions { it =>
+        it.flatMap { p =>
+          if (skipPatterns.exists(p.candidate.toLowerCase.contains)) None
+          else fetcher.fetch(p.candidate).map(html =>
+            (p.ticker, p.company, p.website, p.candidate, p.priority, html))
+        }
+      }
+      .toDF("ticker", "company", "website", "ir_url", "priority", "html")
+      .filter(LinkFuncs.irIndicatorScore(
+        graft.html.HtmlFuncs.clean_html(col("html")),
+        regexp_extract(col("html"), "<title>([^<]*)</title>", 1)) >= minScore)
+      .select(col("ticker"), col("ir_url"), col("priority"))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ticker")).orderBy(col("priority"), col("ir_url"))
+    val found = scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("ticker"), col("ir_url"))
+
+    base.join(found, Seq("ticker"), "left")
+      .withColumn("status",
+        when(col("ir_url").isNotNull, "Found").otherwise("Not Found"))
+      .withColumn("ir_url", coalesce(col("ir_url"), lit("")))
+  }
 }

@@ -39,6 +39,47 @@ class DiscoverySeedSpec extends SparkTestBase {
     assert(got("GAMA") == (("", "Not Found")))
   }
 
+  test("sitemap-seeded discovery: robots -> sitemap -> IR locs scored; " +
+      "fallback /sitemap.xml; non-IR locs never fetched") {
+    val sm =
+      """<urlset>
+        | <url><loc>https://acme.com/products</loc></url>
+        | <url><loc>https://acme.com/investor-relations</loc></url>
+        | <url><loc>https://acme.com/careers</loc></url>
+        |</urlset>""".stripMargin
+    val fetcher = MapPageFetcher(Map(
+      // acme declares its sitemap in robots.txt (hostOf strips www.)
+      "https://acme.com/robots.txt" ->
+        "User-agent: *\nAllow: /\nSitemap: https://acme.com/maps/main.xml\n",
+      "https://acme.com/maps/main.xml" -> sm,
+      "https://acme.com/investor-relations" -> irHtml,
+      // if a non-IR loc were fetched, this would score and win by
+      // priority — its absence from the fetcher map also means a fetch
+      // attempt returns None rather than failing
+      // beta has no robots.txt; the conventional fallback serves it
+      "https://beta.com/sitemap.xml" ->
+        """<urlset><url><loc>https://beta.com/shareholder-info</loc></url>
+          |<url><loc>https://beta.com/about</loc></url></urlset>""".stripMargin,
+      "https://beta.com/shareholder-info" -> irHtml,
+      // gamma's sitemap lists an IR-looking loc whose PAGE is not
+      // investor-ish -> rejected by the indicator score
+      "https://gamma.com/sitemap.xml" ->
+        "<urlset><url><loc>https://gamma.com/investors</loc></url></urlset>",
+      "https://gamma.com/investors" -> bareHtml))
+    val companies = Seq(
+      ("ACME", "Acme Corp", "https://www.acme.com"),
+      ("BETA", "Beta Inc", "https://beta.com"),
+      ("GAMA", "Gamma Plc", "https://gamma.com"))
+      .toDF("ticker", "company", "website")
+    val got = Discovery.discoverFromSitemaps(spark, companies, fetcher)
+      .select($"ticker", $"ir_url", $"status")
+      .as[(String, String, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got("ACME") == (("https://acme.com/investor-relations", "Found")))
+    assert(got("BETA") == (("https://beta.com/shareholder-info", "Found")))
+    assert(got("GAMA") == (("", "Not Found")))
+  }
+
   test("P15: off-domain redirect accepted only via investor-ish host") {
     import graft.services.MapRedirectFetcher
     val fetcher = MapRedirectFetcher(Map(
