@@ -2529,6 +2529,24 @@ object SparkEntry {
         .select($"target_uri", md5($"content").as("body_md5"),
           $"http_status")
         .orderBy($"target_uri")
+    }),
+
+    // Cross-document line boilerplate removal (X97): nav/footer lines
+    // planted into every doc are dropped corpus-wide, per-doc unique
+    // lines survive in order — the whole rule replayed relationally.
+    "q128_line_boilerplate" -> ((s, d) => {
+      import s.implicits._
+      val messy = t(s, d, "documents")
+        .filter($"doc_id" % 3 === 0)
+        .select($"doc_id", concat(
+          lit("NAV MENU HOME\n"), $"text",
+          lit("\nunique "), $"doc_id",
+          lit("\nCOPYRIGHT 2026 FOOTER")).as("mtext"))
+      graft.llmops.TextFuncs
+        .dropBoilerplateLines(messy, minDocs = 2, textCol = "mtext")
+        .select($"doc_id", md5($"mtext").as("clean_md5"),
+          length($"mtext").as("n_chars"))
+        .orderBy($"doc_id")
     })
   )
 
@@ -4625,6 +4643,29 @@ object SparkEntry {
                 md5('<html><body><p>' || text || '</p></body></html>')
                   AS body_md5,
                 200 AS http_status
-         FROM documents WHERE doc_id % 4 = 1 ORDER BY target_uri"""
+         FROM documents WHERE doc_id % 4 = 1 ORDER BY target_uri""",
+    "q128_line_boilerplate" ->
+      """WITH m AS (
+           SELECT doc_id,
+                  'NAV MENU HOME' || chr(10) || text || chr(10)
+                    || 'unique ' || doc_id || chr(10)
+                    || 'COPYRIGHT 2026 FOOTER' AS mtext
+           FROM documents WHERE doc_id % 3 = 0),
+         l AS (
+           SELECT doc_id, string_split(mtext, chr(10)) AS ls FROM m),
+         e AS (
+           SELECT doc_id, unnest(ls) AS line,
+                  generate_subscripts(ls, 1) AS ord
+           FROM l),
+         b AS (
+           SELECT line FROM e WHERE trim(line) <> ''
+           GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
+         k AS (
+           SELECT e.doc_id, e.line, e.ord
+           FROM e ANTI JOIN b USING (line))
+         SELECT doc_id,
+                md5(string_agg(line, chr(10) ORDER BY ord)) AS clean_md5,
+                length(string_agg(line, chr(10) ORDER BY ord)) AS n_chars
+         FROM k GROUP BY doc_id ORDER BY doc_id"""
   )
 }

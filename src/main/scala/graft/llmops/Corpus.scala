@@ -26,11 +26,13 @@ import org.apache.spark.sql.functions._
   *                                 or decontamination state ever holds
   *                                 raw PII, and exact matching is in
   *                                 one normalization everywhere;
-  *  2b. span removal (optional)  — cross-document duplicated n-gram
-  *                                 spans drop after redaction (it
-  *                                 rewrites text) and before any
-  *                                 digesting, so boilerplate never
-  *                                 pollutes dedup signatures;
+  *  2b. line/span removal (opt.) — cross-document boilerplate LINES
+  *                                 (nav, footers — whole-line key),
+  *                                 then duplicated n-gram spans; both
+  *                                 after redaction (they rewrite text)
+  *                                 and before any digesting, so
+  *                                 boilerplate never pollutes dedup
+  *                                 signatures;
   *  3. content-hash sampling     — stateless, deterministic, before
   *                                 dedup so dropped docs never pay the
   *                                 digest shuffle;
@@ -68,6 +70,7 @@ object Corpus {
             qualityModel: Option[(Map[String, Double], Double)] = None,
             minModelProb: Double = 0.5,
             dropSpanNgram: Option[Int] = None,
+            dropLineBoilerplateMinDocs: Option[Int] = None,
             dsir: Option[(Map[String, Double], Double, Double)] = None,
             normalizeUnicode: Boolean = false,
             idCol: String = "doc_id",
@@ -120,10 +123,15 @@ object Corpus {
     val redacted =
       if (redact) modelGated.withColumn(textCol, T.redactPii(col(textCol)))
       else modelGated
-    // span removal after redaction (it rewrites text) and before any
-    // digesting, so boilerplate never pollutes dedup signatures
-    val spanned = dropSpanNgram.fold(redacted)(n =>
-      Dedup.dropDuplicateSpans(redacted, n, idCol = idCol, textCol = textCol))
+    // structural line boilerplate first (cheaper key: whole lines),
+    // then n-gram span removal — both after redaction (they rewrite
+    // text) and before any digesting, so boilerplate never pollutes
+    // dedup signatures
+    val lined = dropLineBoilerplateMinDocs.fold(redacted)(m =>
+      TextFuncs.dropBoilerplateLines(redacted, m, idCol = idCol,
+        textCol = textCol))
+    val spanned = dropSpanNgram.fold(lined)(n =>
+      Dedup.dropDuplicateSpans(lined, n, idCol = idCol, textCol = textCol))
     val sampled =
       if (sampleFrac >= 1.0) spanned
       else spanned.filter(Splits.sampleHash(col(textCol),

@@ -270,4 +270,51 @@ object TextFuncs {
           .as("dup_gram_occurrences"),
         coalesce(col("dup_token_cover"), lit(0L)).as("dup_token_cover"))
   }
+
+  /** Cross-document line-level boilerplate removal — the CCNet /
+    * RefinedWeb line-dedup stage: a LINE that appears verbatim in
+    * `minDocs`-or-more distinct documents is navigation, a cookie
+    * banner, or a copyright footer, not content, and is dropped from
+    * every document; each document's remaining lines keep their order.
+    * The complement of [[Dedup.dropDuplicateSpans]] (n-gram spans
+    * inside reflowed prose) — boilerplate that is LINE-structured is
+    * caught here in one pass with no sketching.
+    *
+    * Relational shape: slim (id, pos, line-hash) rows through one
+    * distinct-doc count per hash and a join-back on the hash; the
+    * count table carries 16 bytes per DISTINCT line, documents
+    * reassemble with one sort_array per row. Blank lines are
+    * structure, not boilerplate — never counted, always kept
+    * (documents that end up all-boilerplate return "" rather than
+    * disappearing: dropping rows is [[Corpus.clean]]'s decision, not
+    * a rewrite stage's).
+    */
+  def dropBoilerplateLines(docs: DataFrame, minDocs: Int = 2,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    require(minDocs >= 2, s"minDocs=$minDocs must be >= 2")
+    val others = docs.columns.filter(c => c != idCol && c != textCol)
+    val lines = docs
+      .select(col(idCol) +: others.map(col) :+
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")): _*)
+      .withColumn("__h", xxhash64(col("__line"), length(col("__line"))))
+    val boiler = lines
+      .filter(trim(col("__line")) =!= "")
+      .groupBy(col("__h"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__h"))
+    val rebuilt = lines
+      .join(boiler, Seq("__h"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("__pos"), col("__line")))),
+        s => s.getField("__line")), "\n").as(textCol))
+    // join back to the input ids so an all-boilerplate document
+    // returns "" instead of disappearing
+    docs.drop(textCol)
+      .join(rebuilt, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col(textCol), lit("")))
+      .select(docs.columns.map(col): _*)
+  }
 }

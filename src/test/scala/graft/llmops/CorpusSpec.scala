@@ -185,6 +185,25 @@ class CorpusSpec extends SparkTestBase {
     assert(kept == Set(1L, 3L), s"kept=$kept")
   }
 
+  test("line-boilerplate stage composes: shared footer lines drop, " +
+      "bodies survive, then exact dedup sees clean text") {
+    // footer is in all 3 docs (>= minDocs=3 -> dropped); the shared
+    // BODY line is in only 2 docs (< 3 -> survives), so docs 1 and 3
+    // become exact dups after line removal and collapse in dedup
+    val docs = Seq(
+      (1L, goodText + "\nCOPYRIGHT FOOTER LINE"),
+      (2L, "a different body of reasonable length that reads like prose " +
+        "for the quality gate\nCOPYRIGHT FOOTER LINE"),
+      (3L, goodText + "\nCOPYRIGHT FOOTER LINE")
+    ).toDF("doc_id", "text")
+    val out = Corpus.clean(docs, minQuality = 0.0, redact = false,
+        dropLineBoilerplateMinDocs = Some(3))
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(out.keySet == Set(1L, 2L), s"kept=${out.keySet}")
+    assert(out(1L) == goodText) // footer gone
+    assert(!out(2L).contains("COPYRIGHT"))
+  }
+
   test("normalizeUnicode stage: byte-spelling variants collapse in " +
       "exact dedup; default keeps both") {
     // same rendered text, NFC vs combining-mark spelling, plus

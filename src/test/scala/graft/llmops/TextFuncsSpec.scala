@@ -128,4 +128,49 @@ class TextFuncsSpec extends SparkTestBase {
       .as[(Long, Int, Long, Long, Long)].collect().toSeq
     assert(strict.forall { case (_, _, _, dgo, dtc) => dgo == 0L && dtc == 0L })
   }
+
+  test("dropBoilerplateLines: corpus-wide lines drop, unique lines keep " +
+      "their order, blanks are structure") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "NAV\nalpha body one\n\nbeta body one\nFOOTER 2026"),
+      (2L, "NAV\ngamma body two\nFOOTER 2026"),
+      (3L, "NAV\nalpha body one\nalpha body one\ndelta three\nFOOTER 2026"))
+      .toDF("doc_id", "text")
+    val out = TextFuncs.dropBoilerplateLines(docs, minDocs = 2)
+      .as[(Long, String)].collect().toMap
+    // NAV and FOOTER appear in all 3 docs -> dropped everywhere;
+    // "alpha body one" appears in docs 1 and 3 -> dropped too (minDocs=2)
+    assert(out(1L) == "\nbeta body one")
+    assert(out(2L) == "gamma body two")
+    assert(out(3L) == "delta three")
+
+    // minDocs=3: the 2-doc line survives, within-doc repeat intact
+    val loose = TextFuncs.dropBoilerplateLines(docs, minDocs = 3)
+      .as[(Long, String)].collect().toMap
+    assert(loose(1L) == "alpha body one\n\nbeta body one")
+    assert(loose(3L) == "alpha body one\nalpha body one\ndelta three")
+
+    // blank lines shared by every doc are never counted as boilerplate
+    val blanky = Seq((1L, "a\n\nx"), (2L, "b\n\ny")).toDF("doc_id", "text")
+    val kept = TextFuncs.dropBoilerplateLines(blanky, minDocs = 2)
+      .as[(Long, String)].collect().toMap
+    assert(kept(1L) == "a\n\nx" && kept(2L) == "b\n\ny")
+
+    // an all-boilerplate doc returns empty text, not a dropped row
+    val allBoiler = Seq((1L, "SAME"), (2L, "SAME"), (3L, "SAME\nreal"))
+      .toDF("doc_id", "text")
+    val emptied = TextFuncs.dropBoilerplateLines(allBoiler, minDocs = 2)
+      .as[(Long, String)].collect().toMap
+    assert(emptied.keySet == Set(1L, 2L, 3L))
+    assert(emptied(1L) == "" && emptied(3L) == "real")
+
+    // extra columns ride through untouched
+    val wide = Seq((1L, "en", "NAV\nx"), (2L, "de", "NAV\ny"))
+      .toDF("doc_id", "lang", "text")
+    val w = TextFuncs.dropBoilerplateLines(wide, minDocs = 2)
+    assert(w.columns.toSeq == Seq("doc_id", "lang", "text"))
+    assert(w.filter($"doc_id" === 2L).select($"lang", $"text")
+      .as[(String, String)].head() == (("de", "y")))
+  }
 }
