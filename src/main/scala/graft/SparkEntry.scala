@@ -2547,6 +2547,24 @@ object SparkEntry {
         .select($"doc_id", md5($"mtext").as("clean_md5"),
           length($"mtext").as("n_chars"))
         .orderBy($"doc_id")
+    }),
+
+    // Line-shape quality signals (X98): duplicate-line and
+    // terminal-punctuation fractions (FineWeb/C4 heuristics), the
+    // whole rule replayed relationally over the same planted lines.
+    "q129_line_quality" -> ((s, d) => {
+      import s.implicits._
+      val T = graft.llmops.TextFuncs
+      t(s, d, "documents")
+        .filter($"doc_id" % 5 === 2)
+        .withColumn("mtext", concat($"text",
+          lit("\nmenu item\nmenu item\nA proper sentence."),
+          when($"doc_id" % 2 === 0, lit("\nAnother one!"))
+            .otherwise(lit(""))))
+        .select($"doc_id",
+          T.duplicateLineFraction($"mtext").as("dup_line_frac"),
+          T.terminalPunctLineFraction($"mtext").as("punct_line_frac"))
+        .orderBy($"doc_id")
     })
   )
 
@@ -4666,6 +4684,30 @@ object SparkEntry {
          SELECT doc_id,
                 md5(string_agg(line, chr(10) ORDER BY ord)) AS clean_md5,
                 length(string_agg(line, chr(10) ORDER BY ord)) AS n_chars
-         FROM k GROUP BY doc_id ORDER BY doc_id"""
+         FROM k GROUP BY doc_id ORDER BY doc_id""",
+    "q129_line_quality" ->
+      """WITH m AS (
+           SELECT doc_id,
+                  text || chr(10) || 'menu item' || chr(10) || 'menu item'
+                    || chr(10) || 'A proper sentence.'
+                    || CASE WHEN doc_id % 2 = 0
+                            THEN chr(10) || 'Another one!' ELSE '' END
+                    AS mtext
+           FROM documents WHERE doc_id % 5 = 2),
+         n AS (
+           SELECT doc_id,
+                  list_filter(string_split(mtext, chr(10)),
+                              l -> trim(l) <> '') AS nb
+           FROM m)
+         SELECT doc_id,
+                CASE WHEN len(nb) = 0 THEN 0.0
+                     ELSE 1.0 - len(list_distinct(nb)) / len(nb)::DOUBLE
+                END AS dup_line_frac,
+                CASE WHEN len(nb) = 0 THEN 0.0
+                     ELSE len(list_filter(nb, l ->
+                            regexp_matches(trim(l), '[.!?"'']$')))
+                          / len(nb)::DOUBLE
+                END AS punct_line_frac
+         FROM n ORDER BY doc_id"""
   )
 }

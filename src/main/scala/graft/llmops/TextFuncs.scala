@@ -205,6 +205,35 @@ object TextFuncs {
         size(toks).cast("double"))
   }
 
+  /** Non-blank lines of a document, for the line-shape signals. */
+  private def nonBlankLines(text: Column): Column =
+    filter(split(text, "\n"), l => trim(l) =!= "")
+
+  /** Fraction of non-blank lines that repeat an earlier line — the
+    * FineWeb/Gopher "fraction of duplicated lines" signal: high values
+    * mark listings, chat logs, and scraper echo, not prose. 0.0 for
+    * line-less docs.
+    */
+  def duplicateLineFraction(text: Column): Column = {
+    val ls = nonBlankLines(text)
+    when(size(ls) === 0, 0.0)
+      .otherwise(lit(1.0) - size(array_distinct(ls)) /
+        size(ls).cast("double"))
+  }
+
+  /** Fraction of non-blank lines ending in terminal punctuation
+    * (. ! ? " ') — prose sentences end with it, navigation/menu lines
+    * do not (the FineWeb "line ends with punctuation" filter, after
+    * C4's heuristic). 0.0 for line-less docs.
+    */
+  def terminalPunctLineFraction(text: Column): Column = {
+    val ls = nonBlankLines(text)
+    val punct = filter(ls, l =>
+      trim(l).rlike("[.!?\"']$"))
+    when(size(ls) === 0, 0.0)
+      .otherwise(size(punct) / size(ls).cast("double"))
+  }
+
   /** Fraction of word n-grams that repeat an earlier n-gram — the
     * classic duplicate-n-gram repetition signal.
     */

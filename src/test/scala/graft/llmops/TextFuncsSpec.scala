@@ -129,6 +129,26 @@ class TextFuncsSpec extends SparkTestBase {
     assert(strict.forall { case (_, _, _, dgo, dtc) => dgo == 0L && dtc == 0L })
   }
 
+  test("line-shape signals: duplicate-line and terminal-punct fractions") {
+    import spark.implicits._
+    val rows = Seq(
+      // 4 non-blank lines, one repeat, two end in punctuation
+      (1L, "First sentence.\nmenu\nmenu\nIs that all?"),
+      (2L, "no lines just prose"), // 1 line, no punct end
+      (3L, ""),                    // no non-blank lines -> 0.0 / 0.0
+      (4L, "A!\n\n  \nB\"\nC'")    // blanks skipped; ! " ' all terminal
+    ).toDF("doc_id", "text")
+    val got = rows.select($"doc_id",
+        TextFuncs.duplicateLineFraction($"text").as("d"),
+        TextFuncs.terminalPunctLineFraction($"text").as("p"))
+      .as[(Long, Double, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got(1L) == ((0.25, 0.5)))
+    assert(got(2L) == ((0.0, 0.0)))
+    assert(got(3L) == ((0.0, 0.0)))
+    assert(got(4L) == ((0.0, 1.0)))
+  }
+
   test("dropBoilerplateLines: corpus-wide lines drop, unique lines keep " +
       "their order, blanks are structure") {
     import spark.implicits._
