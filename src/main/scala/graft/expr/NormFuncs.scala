@@ -83,19 +83,13 @@ object NormKernels {
 private[expr] abstract class NormExprBase extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
-  /** Kernel method name on [[NormKernels]], used by eval and codegen. */
+  /** Kernel method name on [[NormKernels]], spliced into codegen. */
   protected def kernel: String
+  /** The same kernel as a direct reference for the interpreted path. */
+  protected def kernelFn: String => String
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    val r = kernel match {
-      case "nfc"          => NormKernels.nfc(s)
-      case "nfkc"         => NormKernels.nfkc(s)
-      case "stripAccents" => NormKernels.stripAccents(s)
-      case "cleanText"    => NormKernels.cleanText(s)
-    }
-    UTF8String.fromString(r)
-  }
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(kernelFn(input.asInstanceOf[UTF8String].toString))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
@@ -107,6 +101,7 @@ private[expr] abstract class NormExprBase extends UnaryExpression {
 case class NfcNormalize(child: Expression) extends NormExprBase {
   override def prettyName: String = "nfc_norm"
   override protected def kernel: String = "nfc"
+  override protected def kernelFn: String => String = NormKernels.nfc
   override protected def withNewChildInternal(c: Expression): NfcNormalize =
     copy(child = c)
 }
@@ -115,6 +110,7 @@ case class NfcNormalize(child: Expression) extends NormExprBase {
 case class NfkcNormalize(child: Expression) extends NormExprBase {
   override def prettyName: String = "nfkc_norm"
   override protected def kernel: String = "nfkc"
+  override protected def kernelFn: String => String = NormKernels.nfkc
   override protected def withNewChildInternal(c: Expression): NfkcNormalize =
     copy(child = c)
 }
@@ -123,6 +119,7 @@ case class NfkcNormalize(child: Expression) extends NormExprBase {
 case class StripAccents(child: Expression) extends NormExprBase {
   override def prettyName: String = "strip_accents"
   override protected def kernel: String = "stripAccents"
+  override protected def kernelFn: String => String = NormKernels.stripAccents
   override protected def withNewChildInternal(c: Expression): StripAccents =
     copy(child = c)
 }
@@ -131,6 +128,7 @@ case class StripAccents(child: Expression) extends NormExprBase {
 case class CleanText(child: Expression) extends NormExprBase {
   override def prettyName: String = "clean_text"
   override protected def kernel: String = "cleanText"
+  override protected def kernelFn: String => String = NormKernels.cleanText
   override protected def withNewChildInternal(c: Expression): CleanText =
     copy(child = c)
 }
