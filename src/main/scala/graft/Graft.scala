@@ -350,6 +350,10 @@ object Graft {
   def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int): DataFrame =
     llmops.Bm25.topK(docs, terms, k)
   /** Drop cross-document duplicated spans (Lee et al. 2021, q95). */
+  /** Rule-based sentence segmentation to array<string> (also SQL:
+    * `split_sentences` — distinct from Spark's built-in locale
+    * word-tokenizer `sentences`). */
+  def splitSentences(text: Column): Column = llmops.Sentences.sentences(text)
   /** Cross-document line boilerplate removal (CCNet/RefinedWeb line
     * dedup): lines verbatim in >= minDocs documents drop everywhere. */
   def dropBoilerplateLines(docs: DataFrame, minDocs: Int = 2): DataFrame =

@@ -174,6 +174,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("extract_sitemap",
         "extract_sitemap(xml) - generator of sitemap url/sitemap entries"),
       (args: Seq[Expression]) => graft.expr.ExtractSitemap(args.head)))
+    // "sentences" would shadow Spark's built-in locale tokenizer —
+    // register under a distinct name
+    e.injectFunction((FunctionIdentifier("split_sentences"),
+      info("split_sentences",
+        "split_sentences(text) - rule-based sentence segmentation " +
+          "to array<string> (abbreviation-guarded boundaries)"),
+      (args: Seq[Expression]) => graft.llmops.SentencesExpr(args.head)))
     e.injectFunction((FunctionIdentifier("winnow_fingerprints"),
       info("winnow_fingerprints",
         "winnow_fingerprints(text[, k, w]) - winnowing fingerprint array"),

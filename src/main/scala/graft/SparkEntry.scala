@@ -2565,6 +2565,25 @@ object SparkEntry {
           T.duplicateLineFraction($"mtext").as("dup_line_frac"),
           T.terminalPunctLineFraction($"mtext").as("punct_line_frac"))
         .orderBy($"doc_id")
+    }),
+
+    // Sentence segmentation (X99): abbreviation-guarded boundaries —
+    // "Dr." and "Inc." must not split, ! and ? must — every sentence
+    // predicted closed-form from the planted construction.
+    "q130_sentences" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .filter($"doc_id" % 6 === 3)
+        .withColumn("prose", concat(
+          lit("First part about "), $"source",
+          lit(". Dr. Smith of Acme Inc. spoke! Was it "), $"doc_id",
+          lit("? The end.")))
+        .withColumn("sents", Graft.splitSentences($"prose"))
+        .select($"doc_id",
+          size($"sents").as("n_sent"),
+          md5(element_at($"sents", 1)).as("first_md5"),
+          md5(element_at($"sents", 3)).as("third_md5"))
+        .orderBy($"doc_id")
     })
   )
 
@@ -4708,6 +4727,11 @@ object SparkEntry {
                             regexp_matches(trim(l), '[.!?"'']$')))
                           / len(nb)::DOUBLE
                 END AS punct_line_frac
-         FROM n ORDER BY doc_id"""
+         FROM n ORDER BY doc_id""",
+    "q130_sentences" ->
+      """SELECT doc_id, 4 AS n_sent,
+                md5('First part about ' || source || '.') AS first_md5,
+                md5('Was it ' || doc_id || '?') AS third_md5
+         FROM documents WHERE doc_id % 6 = 3 ORDER BY doc_id"""
   )
 }

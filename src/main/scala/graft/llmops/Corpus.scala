@@ -65,6 +65,7 @@ object Corpus {
             sampleFrac: Double = 1.0,
             nearDupThreshold: Option[Double] = None,
             minCompressionRatio: Double = 0.0,
+            maxDupLineFrac: Double = 1.0,
             lmTables: Option[(DataFrame, DataFrame)] = None,
             maxNll: Double = Double.MaxValue,
             qualityModel: Option[(Map[String, Double], Double)] = None,
@@ -100,7 +101,15 @@ object Corpus {
           q0.filter(Compression.compressionRatio(col(textCol)) >=
             minCompressionRatio)
         else q0
-      lang.fold(q1)(l => q1.filter(T.langId(col(textCol)) === l))
+      val q2 =
+        if (maxDupLineFrac < 1.0)
+          // line-shape gate (FineWeb): a doc whose lines repeat is a
+          // listing/scraper echo, not prose — same narrow-projection
+          // family as the score gate
+          q1.filter(T.duplicateLineFraction(col(textCol)) <=
+            maxDupLineFrac)
+        else q1
+      lang.fold(q2)(l => q2.filter(T.langId(col(textCol)) === l))
     }
     // model gates AFTER the narrow heuristics (they involve joins, so
     // every heuristically-dropped row is a join row saved), BEFORE

@@ -185,6 +185,18 @@ class CorpusSpec extends SparkTestBase {
     assert(kept == Set(1L, 3L), s"kept=$kept")
   }
 
+  test("maxDupLineFrac gate drops listing-shaped docs, keeps prose") {
+    val listing = (1 to 10).map(_ => "item row repeated").mkString("\n")
+    val docs = Seq((1L, goodText), (2L, listing)).toDF("doc_id", "text")
+    val kept = Corpus.clean(docs, minQuality = 0.0, redact = false,
+        maxDupLineFrac = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+    // default 1.0 gates nothing
+    assert(Corpus.clean(docs, minQuality = 0.0, redact = false)
+      .count() == 2)
+  }
+
   test("line-boilerplate stage composes: shared footer lines drop, " +
       "bodies survive, then exact dedup sees clean text") {
     // footer is in all 3 docs (>= minDocs=3 -> dropped); the shared
