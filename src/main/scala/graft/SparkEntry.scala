@@ -2584,6 +2584,23 @@ object SparkEntry {
           md5(element_at($"sents", 1)).as("first_md5"),
           md5(element_at($"sents", 3)).as("third_md5"))
         .orderBy($"doc_id")
+    }),
+
+    // Sentence-aligned retrieval chunking (X100): the same planted
+    // sentences as q130 packed to a 40-char budget — the cumulative
+    // sum, chunk assignment, and reassembly replayed relationally.
+    "q131_sentence_chunks" -> ((s, d) => {
+      import s.implicits._
+      val prose = t(s, d, "documents")
+        .filter($"doc_id" % 6 === 3)
+        .select($"doc_id", concat(
+          lit("First part about "), $"source",
+          lit(". Dr. Smith of Acme Inc. spoke! Was it "), $"doc_id",
+          lit("? The end.")).as("text"))
+      graft.llmops.Chunking.sentenceChunks(prose, targetChars = 40)
+        .select($"doc_id", $"chunk_idx",
+          md5($"chunk_text").as("chunk_md5"), $"n_sentences")
+        .orderBy($"doc_id", $"chunk_idx")
     })
   )
 
@@ -4732,6 +4749,33 @@ object SparkEntry {
       """SELECT doc_id, 4 AS n_sent,
                 md5('First part about ' || source || '.') AS first_md5,
                 md5('Was it ' || doc_id || '?') AS third_md5
-         FROM documents WHERE doc_id % 6 = 3 ORDER BY doc_id"""
+         FROM documents WHERE doc_id % 6 = 3 ORDER BY doc_id""",
+    "q131_sentence_chunks" ->
+      """WITH s AS (
+           SELECT doc_id, 0 AS pos,
+                  'First part about ' || source || '.' AS s
+           FROM documents WHERE doc_id % 6 = 3
+           UNION ALL
+           SELECT doc_id, 1, 'Dr. Smith of Acme Inc. spoke!'
+           FROM documents WHERE doc_id % 6 = 3
+           UNION ALL
+           SELECT doc_id, 2, 'Was it ' || doc_id || '?'
+           FROM documents WHERE doc_id % 6 = 3
+           UNION ALL
+           SELECT doc_id, 3, 'The end.'
+           FROM documents WHERE doc_id % 6 = 3),
+         c AS (
+           SELECT doc_id, pos, s,
+                  COALESCE(SUM(length(s) + 1) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS bf
+           FROM s)
+         SELECT doc_id,
+                CAST(floor(bf / 40.0) AS INTEGER) AS chunk_idx,
+                md5(string_agg(s, ' ' ORDER BY pos)) AS chunk_md5,
+                CAST(count(*) AS INTEGER) AS n_sentences
+         FROM c GROUP BY doc_id, CAST(floor(bf / 40.0) AS INTEGER)
+         ORDER BY doc_id, chunk_idx"""
   )
 }

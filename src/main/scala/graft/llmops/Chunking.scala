@@ -53,4 +53,42 @@ object Chunking {
         least(lit(windowTokens), col("__n") - col("__start")).cast("int"))
       .drop("__toks", "__n", "__start")
   }
+
+  /** Sentence-aligned chunking for retrieval indexing: sentences stay
+    * ATOMIC (a chunk boundary never cuts inside one — the property
+    * embedding quality actually depends on), and a sentence opens
+    * chunk `floor(charsBefore / targetChars)` — so a chunk runs until
+    * the running character count crosses the next `targetChars`
+    * multiple and then takes the crossing sentence with it. A chunk
+    * can exceed `targetChars` by at most one sentence; both engines
+    * replay the assignment from the same cumulative sum, so fates are
+    * deterministic. One row per chunk: (id, chunk_idx, chunk_text,
+    * n_sentences).
+    *
+    * Scale shape: one per-document window cumsum (shuffle on the id —
+    * the locality any per-doc stage needs anyway) over slim
+    * (id, pos, sentence) rows, then a per-chunk reassembly; nothing
+    * quadratic, no driver participation.
+    */
+  def sentenceChunks(docs: DataFrame, targetChars: Int,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    require(targetChars > 0, "targetChars must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .select(col(idCol),
+        posexplode(Sentences.sentences(col(textCol))).as(Seq("__pos", "__s")))
+      .withColumn("__before",
+        coalesce(sum(length(col("__s")) + 1).over(w), lit(0L)))
+      .withColumn("chunk_idx",
+        floor(col("__before") / targetChars).cast("int"))
+      .groupBy(col(idCol), col("chunk_idx"))
+      .agg(
+        concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("__pos"), col("__s")))),
+          x => x.getField("__s"))).as("chunk_text"),
+        count(lit(1)).cast("int").as("n_sentences"))
+  }
 }

@@ -86,4 +86,34 @@ class ChunkingSpec extends SparkTestBase {
     assert(got.count() == 4)
     assert(got.select(countDistinct($"source")).as[Long].head() == 1)
   }
+
+  test("sentenceChunks: sentences stay atomic, budget crossings open " +
+      "new chunks, reassembly preserves order") {
+    // sentence lengths: 10, 10, 26 chars -> +1 separators:
+    // before = 0, 11, 22 -> target 20: chunks 0, 0, 1
+    val text = "Alpha one. Betas two! Gamma three runs much longer."
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val got = Chunking.sentenceChunks(docs, targetChars = 20)
+      .orderBy($"chunk_idx")
+      .select($"chunk_idx", $"chunk_text", $"n_sentences")
+      .as[(Int, String, Int)].collect().toSeq
+    assert(got == Seq(
+      (0, "Alpha one. Betas two!", 2),
+      (1, "Gamma three runs much longer.", 1)))
+
+    // a huge budget -> one chunk, text reassembled in full
+    val one = Chunking.sentenceChunks(docs, targetChars = 10000)
+      .select($"chunk_text").as[String].head()
+    assert(one == text)
+
+    // a tiny budget -> one chunk per sentence (atomicity: no sentence
+    // is ever cut)
+    val tiny = Chunking.sentenceChunks(docs, targetChars = 1)
+      .orderBy($"chunk_idx").select($"n_sentences").as[Int].collect().toSeq
+    assert(tiny == Seq(1, 1, 1))
+
+    // sentence-less doc -> zero chunks
+    assert(Chunking.sentenceChunks(
+      Seq((2L, "")).toDF("doc_id", "text"), 20).count() == 0)
+  }
 }
