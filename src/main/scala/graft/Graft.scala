@@ -178,6 +178,17 @@ object Graft {
     * documented oracle anchor — it funnels every scored row through
     * |queries| reducers and must not be used at scale).
     */
+  /** Model-free hashing-trick text embedder (signed feature hashing,
+    * md5-deterministic): makes chunk → embed → ANN executable
+    * end-to-end with nothing external. */
+  def hashedEmbedding(docs: DataFrame, dim: Int = 256,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame =
+    llmops.VectorFuncs.hashedEmbedding(docs, dim, idCol, textCol)
+  /** Sentence-aligned retrieval chunks (atomic sentences, char
+    * budget). */
+  def sentenceChunks(docs: DataFrame, targetChars: Int): DataFrame =
+    llmops.Chunking.sentenceChunks(docs, targetChars)
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
     llmops.VectorFuncs.bruteForceTopK(corpus, queries, k)
   /** Alias for [[cosineTopK]] (the agg plan is the default now). */

@@ -2601,6 +2601,16 @@ object SparkEntry {
         .select($"doc_id", $"chunk_idx",
           md5($"chunk_text").as("chunk_md5"), $"n_sentences")
         .orderBy($"doc_id", $"chunk_idx")
+    }),
+
+    // Feature-hash embedder core (X101): every (doc, bucket) signed
+    // count of the hashing-trick embedding replayed exactly — all
+    // integer, md5-deterministic.
+    "q132_hashed_embedding" -> ((s, d) => {
+      import s.implicits._
+      graft.llmops.VectorFuncs.hashedBuckets(
+          t(s, d, "documents").filter($"doc_id" % 9 === 1), dim = 64)
+        .orderBy($"doc_id", $"bucket")
     })
   )
 
@@ -4776,6 +4786,20 @@ object SparkEntry {
                 md5(string_agg(s, ' ' ORDER BY pos)) AS chunk_md5,
                 CAST(count(*) AS INTEGER) AS n_sentences
          FROM c GROUP BY doc_id, CAST(floor(bf / 40.0) AS INTEGER)
-         ORDER BY doc_id, chunk_idx"""
+         ORDER BY doc_id, chunk_idx""",
+    "q132_hashed_embedding" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+           FROM documents WHERE doc_id % 9 = 1),
+         h AS (
+           SELECT doc_id,
+                  CAST(('0x' || substr(md5(t), 1, 8))::BIGINT % 64
+                       AS INTEGER) AS bucket,
+                  CASE WHEN substr(md5(t), 9, 1) < '8'
+                       THEN 1 ELSE -1 END AS sgn
+           FROM tok WHERE t <> '')
+         SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS v
+         FROM h GROUP BY doc_id, bucket ORDER BY doc_id, bucket"""
   )
 }

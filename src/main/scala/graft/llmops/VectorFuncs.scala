@@ -314,4 +314,59 @@ object VectorFuncs {
     // discipline as the brute-force path (impl contract: [[rerankTopK]])
     rerankTopK(scored, k, queryId, corpusId, impl)
   }
+
+  // ---------------------------------------------- feature-hash embedder
+
+  /** Signed feature-hashing core (Weinberger et al. 2009, the hashing
+    * trick): each token OCCURRENCE lands in bucket
+    * `md5[0:8] mod dim` with sign `md5[8] < '8' ? +1 : -1`, and the
+    * per-(doc, bucket) signed counts are the raw sparse embedding. All
+    * integer and md5-deterministic, so any engine replays every bucket
+    * and value exactly — this is the oracle-checkable half of
+    * [[hashedEmbedding]]. Empty tokens are dropped. One count
+    * aggregation over slim (id, bucket, sign) rows; text never
+    * shuffles.
+    */
+  def hashedBuckets(docs: DataFrame, dim: Int,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    val h = md5(col("__t"))
+    docs
+      .select(col(idCol), explode(TextFuncs.tokens(col(textCol))).as("__t"))
+      .filter(length(col("__t")) > 0)
+      .withColumn("bucket",
+        (conv(substring(h, 1, 8), 16, 10).cast("long") % dim).cast("int"))
+      .withColumn("__sgn",
+        when(substring(h, 9, 1) < "8", 1L).otherwise(-1L))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(sum(col("__sgn")).as("v"))
+  }
+
+  /** Dense L2-normalized `array<float>` embedding from
+    * [[hashedBuckets]] — the model-free text embedder that makes the
+    * whole retrieval path (sentence chunks → embed → IVF/ANN index)
+    * executable end-to-end with nothing external: hashed bag-of-words
+    * cosine IS token-distribution similarity (random signs make
+    * colliding buckets cancel in expectation). An all-zero document
+    * embeds as the zero vector (cosine handles it as 0.0 downstream).
+    * Output shape matches the `embeddings` table (`Array[Float]`), so
+    * every ANN operator consumes it directly.
+    */
+  def hashedEmbedding(docs: DataFrame, dim: Int,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    hashedBuckets(docs, dim, idCol, textCol)
+      .groupBy(col(idCol))
+      .agg(map_from_entries(
+        collect_list(struct(col("bucket"), col("v")))).as("__m"))
+      .withColumn("__raw", transform(sequence(lit(0), lit(dim - 1)),
+        i => coalesce(element_at(col("__m"), i), lit(0L)).cast("double")))
+      .withColumn("__norm",
+        sqrt(aggregate(col("__raw"), lit(0.0), (a, x) => a + x * x)))
+      .withColumn("embedding", transform(col("__raw"), x =>
+        when(col("__norm") > 0, x / col("__norm"))
+          .otherwise(lit(0.0)).cast("float")))
+      .select(col(idCol), col("embedding"))
+  }
 }

@@ -202,4 +202,57 @@ class VectorFuncsSpec extends SparkTestBase {
     val nBuckets = b1.distinct().count()
     assert(nBuckets > 10, s"only $nBuckets buckets for 500 vecs")
   }
+
+  test("hashedEmbedding: unit norm, dense shape, determinism, and " +
+      "similarity ordering by shared tokens") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta"),   // 4/5 shared with 1
+      (3L, "one two three four five"))        // disjoint from 1
+      .toDF("doc_id", "text")
+    val emb = VectorFuncs.hashedEmbedding(docs, dim = 64).cache()
+    val vecs = emb.as[(Long, Seq[Float])].collect().toMap
+    assert(vecs.values.forall(_.length == 64))
+    assert(vecs.values.forall(v =>
+      math.abs(v.map(x => x.toDouble * x).sum - 1.0) < 1e-6))
+    // rerun is bit-identical (md5, no RNG)
+    val again = VectorFuncs.hashedEmbedding(docs, dim = 64)
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(again == vecs)
+    def cos(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map(p => p._1.toDouble * p._2).sum
+    assert(cos(vecs(1L), vecs(2L)) > 0.5)
+    assert(cos(vecs(1L), vecs(2L)) > cos(vecs(1L), vecs(3L)) + 0.3)
+    // zero-token doc embeds as the zero vector
+    val zero = VectorFuncs.hashedEmbedding(
+      Seq((9L, "   ")).toDF("doc_id", "text"), dim = 8)
+    assert(zero.count() == 0 ||
+      zero.as[(Long, Seq[Float])].head()._2.forall(_ == 0f))
+  }
+
+  test("text -> sentence chunks -> hashed embeddings -> exact top-k " +
+      "retrieval composes end-to-end") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Revenue grew this quarter. Margins compressed in retail. " +
+        "The dividend was raised."),
+      (2L, "The weather station recorded rainfall. Winds were calm."))
+      .toDF("doc_id", "text")
+    val chunks = Chunking.sentenceChunks(docs, targetChars = 30)
+      .withColumn("vec_id",
+        col("doc_id") * 100 + col("chunk_idx"))
+    val corpus = VectorFuncs.hashedEmbedding(
+      chunks, dim = 64, idCol = "vec_id", textCol = "chunk_text")
+    // query with a sentence about dividends: its nearest chunk must
+    // come from doc 1
+    val queries = VectorFuncs.hashedEmbedding(
+      Seq((0L, "the dividend was raised")).toDF("q", "text"),
+      dim = 64, idCol = "q", textCol = "text")
+      .withColumnRenamed("q", "query_id")
+      .withColumnRenamed("embedding", "query_vec")
+    val top = VectorFuncs.bruteForceTopK(corpus, queries, k = 1)
+      .select(col("vec_id")).as[Long].head()
+    assert(top / 100 == 1L, s"nearest chunk $top not from doc 1")
+  }
 }
