@@ -189,6 +189,16 @@ object Graft {
     * budget). */
   def sentenceChunks(docs: DataFrame, targetChars: Int): DataFrame =
     llmops.Chunking.sentenceChunks(docs, targetChars)
+  /** One-call retrieval: text in, persisted chunk+ANN index out. */
+  def buildRetrievalIndex(docs: DataFrame, path: String,
+                          targetChars: Int = 400, dim: Int = 256): Unit =
+    llmops.Retrieval.buildIndex(docs, path, targetChars, dim)
+  /** Question texts in, (query_id, rk, doc_id, chunk_text, sim) out —
+    * served from the persisted index alone. */
+  def searchRetrievalIndex(s: SparkSession, path: String,
+                           queries: DataFrame, k: Int = 5,
+                           nprobe: Int = 4): DataFrame =
+    llmops.Retrieval.search(s, path, queries, k, nprobe)
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
     llmops.VectorFuncs.bruteForceTopK(corpus, queries, k)
   /** Alias for [[cosineTopK]] (the agg plan is the default now). */
