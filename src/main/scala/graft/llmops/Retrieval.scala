@@ -74,4 +74,84 @@ object Retrieval {
       .select((-col("__rq") - 1).as(queryId), col("rk"), col("doc_id"),
         col("chunk_idx"), col("chunk_text"), col("sim"))
   }
+
+  /** Incremental corpus growth — the X74 append lifecycle at the
+    * retrieval level: new documents chunk and embed in the PERSISTED
+    * space (same params, same hash space — no retrain, no rewrite),
+    * their chunk rows append to the chunk table and their codes to the
+    * existing index partitions. Serveable throughout; the drift probe
+    * ([[AnnIndex.drift]]) remains the retrain signal.
+    */
+  def appendDocs(docs: DataFrame, path: String,
+                 idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val spark = docs.sparkSession
+    val params = spark.read.parquet(s"$path/params").head()
+    val (dim, targetChars) = (params.getInt(0), params.getInt(1))
+    val chunks = Chunking.sentenceChunks(docs, targetChars, idCol, textCol)
+      .withColumn("vec_id", col(idCol) * MaxChunks + col("chunk_idx"))
+      .select(col("vec_id"), col(idCol).as("doc_id"),
+        col("chunk_idx"), col("chunk_text"))
+      .localCheckpoint()
+    chunks.write.mode("append").parquet(s"$path/chunks")
+    AnnIndex.append(spark,
+      VectorFuncs.hashedEmbedding(chunks, dim,
+        idCol = "vec_id", textCol = "chunk_text"),
+      s"$path/index")
+  }
+
+  /** Hybrid lexical + vector retrieval by reciprocal-rank fusion
+    * (Cormack et al. 2009): per query, the BM25 top-k over chunk text
+    * and the ANN top-k fuse as Σ 1/(rrfK + rank) — exact integer-rank
+    * arithmetic, no score normalization across incomparable scales.
+    * The lexical side catches exact terms the hash embedding smears
+    * (ticker symbols, error codes); the vector side catches
+    * paraphrases BM25 cannot see. Output: (query_id, rk, doc_id,
+    * chunk_idx, chunk_text, rrf_score).
+    */
+  def hybridSearch(spark: SparkSession, path: String, queries: DataFrame,
+                   k: Int = 5, nprobe: Int = 4, rrfK: Int = 60,
+                   queryId: String = "query_id",
+                   textCol: String = "text"): DataFrame = {
+    val chunks = spark.read.parquet(s"$path/chunks")
+
+    // vector side: the [[search]] ranking, kept at vec_id granularity
+    val vec = search(spark, path, queries, k, nprobe, queryId, textCol)
+      .withColumn("vec_id",
+        col("doc_id") * MaxChunks + col("chunk_idx"))
+      .select(col(queryId), col("vec_id"), col("rk").as("__vrk"))
+
+    // lexical side: per-query BM25 over the chunk text. The query
+    // batch is driver-bounded by design (the ANN side already
+    // broadcasts it), so the per-query loop is |queries| bounded jobs.
+    val qRows = queries
+      .select(col(queryId).cast("long"), col(textCol)).collect()
+    val lex = qRows.map { r =>
+      val qid = r.getLong(0)
+      val terms = r.getString(1).toLowerCase
+        .split("\\s+").filter(_.nonEmpty).toSeq
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("vec_id"))
+      Bm25.topK(chunks, terms, k, idCol = "vec_id",
+          textCol = "chunk_text")
+        .withColumn("__lrk", row_number().over(w))
+        .select(lit(qid).as(queryId), col("vec_id"), col("__lrk"))
+    }.reduceOption(_.unionByName(_))
+      .getOrElse(vec.limit(0).withColumnRenamed("__vrk", "__lrk"))
+
+    // reciprocal-rank fusion: exact integer-rank arithmetic, no
+    // cross-scale score normalization
+    val fused = vec.join(lex, Seq(queryId, "vec_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(lit(1.0) / (lit(rrfK) + col("__vrk")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("__lrk")), lit(0.0)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryId))
+      .orderBy(col("rrf_score").desc, col("vec_id"))
+    fused
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .join(chunks, Seq("vec_id"))
+      .select(col(queryId), col("rk"), col("doc_id"), col("chunk_idx"),
+        col("chunk_text"), col("rrf_score"))
+  }
 }

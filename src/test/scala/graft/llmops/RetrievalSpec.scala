@@ -54,6 +54,62 @@ class RetrievalSpec extends SparkTestBase {
       .toLowerCase.contains("dividend"))
   }
 
+  test("appendDocs: passages from appended documents are served " +
+      "without a rebuild") {
+    val docs = Seq(
+      (1L, "Revenue grew nine percent this quarter. The dividend rose."),
+      (2L, "Rainfall was heavy and winds were calm all evening there."))
+      .toDF("doc_id", "text")
+    val path = tmp()
+    Retrieval.buildIndex(docs, path, targetChars = 60, dim = 128,
+      nlist = 2, m = 4)
+    Retrieval.appendDocs(
+      Seq((7L, "The cluster migration halved latency at peak load."))
+        .toDF("doc_id", "text"), path)
+    // the appended doc is SERVED from the persisted files (ranking
+    // quality at 3-vector codebook scale is AnnIndexSpec's domain —
+    // here the contract is append-then-serve with no rebuild)
+    val hits = Retrieval.search(spark, path,
+      Seq((0L, "what halved the cluster latency at peak"))
+        .toDF("query_id", "text"),
+      k = 10, nprobe = 2)
+    assert(hits.filter($"doc_id" === 7L).count() >= 1,
+      s"appended doc absent from ${hits.collect().toSeq}")
+    // its chunk rows and index codes are on disk
+    assert(spark.read.parquet(s"$path/chunks")
+      .filter($"doc_id" === 7L).count() >= 1)
+    assert(spark.read.parquet(s"$path/index")
+      .filter($"vec_id" === 7L * 1000000L).count() == 1)
+  }
+
+  test("hybridSearch: RRF fuses lexical and vector ranks; exact rare " +
+      "terms surface even when the embedding smears them") {
+    val docs = Seq(
+      (1L, "The incident ticket referenced error code EX4711 in the " +
+        "payment service logs during the outage window."),
+      (2L, "Revenue grew nine percent this quarter. Margins compressed " +
+        "in the retail arm. The dividend was raised."),
+      (3L, "Rainfall was heavy and the winds were calm through the " +
+        "whole evening at the coastal station."))
+      .toDF("doc_id", "text")
+    val path = tmp()
+    Retrieval.buildIndex(docs, path, targetChars = 300, dim = 128,
+      nlist = 2, m = 4)
+    val hits = Retrieval.hybridSearch(spark, path,
+      Seq((0L, "ex4711 error"), (1L, "was the dividend raised"))
+        .toDF("query_id", "text"), k = 2, nprobe = 2)
+    assert(hits.columns.toSeq == Seq("query_id", "rk", "doc_id",
+      "chunk_idx", "chunk_text", "rrf_score"))
+    val best = hits.filter($"rk" === 1)
+      .select($"query_id", $"doc_id").as[(Long, Long)].collect().toMap
+    assert(best(0L) == 1L, s"exact-term query routed to ${best(0L)}")
+    assert(best(1L) == 2L)
+    // a doc ranked by BOTH sides outscores single-side hits
+    val scores = hits.filter($"query_id" === 1L)
+      .select($"rrf_score").as[Double].collect()
+    assert(scores.nonEmpty && scores.max <= 2.0 / 61 + 1e-9)
+  }
+
   test("query id zero cannot collide with chunk vec_id zero") {
     // doc 0 chunk 0 has vec_id 0; a query with id 0 must still be
     // able to retrieve it (the negative-remap guard)
