@@ -134,9 +134,20 @@ object Graft {
                   minQuality: Double = 0.25, lang: Option[String] = None,
                   sampleFrac: Double = 1.0,
                   nearDupThreshold: Option[Double] = Some(0.7),
-                  minCompressionRatio: Double = 0.0): DataFrame =
+                  minCompressionRatio: Double = 0.0,
+                  maxDupLineFrac: Double = 1.0,
+                  lmTables: Option[(DataFrame, DataFrame)] = None,
+                  maxNll: Double = Double.MaxValue,
+                  qualityModel: Option[(Map[String, Double], Double)] = None,
+                  minModelProb: Double = 0.5,
+                  dropSpanNgram: Option[Int] = None,
+                  dropLineBoilerplateMinDocs: Option[Int] = None,
+                  dsir: Option[(Map[String, Double], Double, Double)] = None,
+                  normalizeUnicode: Boolean = false): DataFrame =
     llmops.Corpus.clean(docs, benchmark, minQuality, lang,
-      redact = true, sampleFrac, nearDupThreshold, minCompressionRatio)
+      redact = true, sampleFrac, nearDupThreshold, minCompressionRatio,
+      maxDupLineFrac, lmTables, maxNll, qualityModel, minModelProb,
+      dropSpanNgram, dropLineBoilerplateMinDocs, dsir, normalizeUnicode)
   /** One-pass per-column audit: nulls, approx distinct, min/max. */
   def profile(df: DataFrame, columns: Seq[String] = Seq.empty): DataFrame =
     ops.Profiling.profile(df, columns)
