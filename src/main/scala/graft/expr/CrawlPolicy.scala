@@ -164,17 +164,25 @@ object RobotsKernels {
     }
   }
 
-  /** Kernel behind `robots_allowed(robots, agent, url_or_path)`. */
+  /** Kernel behind `robots_allowed(robots, agent, url_or_path)`:
+    * a leading `/` means the input IS a path (doubled slashes inside
+    * it are path content, not a scheme separator); otherwise the path
+    * starts at the first `/` after the authority — `scheme://host`,
+    * scheme-relative `//host`, and bare `host/path` all resolve.
+    */
   def allowed(robotsTxt: String, agent: String, url: String): Boolean = {
     if (robotsTxt == null || url == null) return true
-    val path = {
-      val i = url.indexOf("//")
-      if (i < 0) url
+    val path =
+      if (url.startsWith("/") && !url.startsWith("//")) url
       else {
-        val j = url.indexOf('/', i + 2)
-        if (j < 0) "/" else url.substring(j)
+        val schemeIdx = url.indexOf("://")
+        val afterAuthority =
+          if (schemeIdx >= 0) schemeIdx + 3
+          else if (url.startsWith("//")) 2
+          else 0
+        val slash = url.indexOf('/', afterAuthority)
+        if (slash < 0) "/" else url.substring(slash)
       }
-    }
     decide(cached(robotsTxt), if (agent == null) "*" else agent, path)
   }
 

@@ -420,9 +420,15 @@ object Warc extends Serializable {
         val sorted = it.toSeq.sortBy(e => (e._1, e._2))
         var openFile: String = null
         var ch: java.nio.channels.FileChannel = null
+        def closeCh(): Unit = if (ch != null) { ch.close(); ch = null }
+        // a downstream limit()/take() may abandon this iterator before
+        // exhaustion — close on task completion, not just on the last
+        // element
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => closeCh())
         val out = sorted.iterator.map { case (file, off, len) =>
           if (file != openFile) {
-            if (ch != null) ch.close()
+            closeCh()
             ch = java.nio.channels.FileChannel.open(localPath(file),
               java.nio.file.StandardOpenOption.READ)
             openFile = file
@@ -434,7 +440,7 @@ object Warc extends Serializable {
         }
         new Iterator[(String, Long, Seq[WarcRecord])] {
           def hasNext: Boolean = { val h = out.hasNext
-            if (!h && ch != null) { ch.close(); ch = null }; h }
+            if (!h) closeCh(); h }
           def next(): (String, Long, Seq[WarcRecord]) = out.next()
         }
       }

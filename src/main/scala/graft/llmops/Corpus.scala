@@ -77,11 +77,19 @@ object Corpus {
             idCol: String = "doc_id",
             textCol: String = "text"): DataFrame = {
     val T = TextFuncs
-    // stage 0: canonical spelling before anything reads or digests text
+    // stage 0: canonical spelling before anything reads or digests
+    // text. clean_text runs PER LINE and lines rejoin on \n — a whole-
+    // text clean would collapse newlines and silently blind the
+    // line-granular stages downstream (maxDupLineFrac,
+    // dropLineBoilerplateMinDocs) while merging every doc into one
+    // "line".
     val canonical =
       if (normalizeUnicode)
-        docs.withColumn(textCol, graft.expr.NormFuncs.clean_text(
-          graft.expr.NormFuncs.nfc_norm(col(textCol))))
+        docs.withColumn(textCol, array_join(
+          transform(
+            split(graft.expr.NormFuncs.nfc_norm(col(textCol)), "\n"),
+            l => graft.expr.NormFuncs.clean_text(l)),
+          "\n"))
       else docs
     val gated = {
       // DSIR floor first when present: (ratioMap, default, minLogw) —

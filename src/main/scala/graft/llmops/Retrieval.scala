@@ -41,6 +41,11 @@ object Retrieval {
         col(idCol) * MaxChunks + col("chunk_idx"))
       .select(col("vec_id"), col(idCol).as("doc_id"),
         col("chunk_idx"), col("chunk_text"))
+    // the composite vec_id space and the query remap both assume
+    // non-negative doc ids — fail fast, not silently-wrong retrieval
+    val idMin = chunks.agg(min(col("doc_id"))).head()
+    require(idMin.isNullAt(0) || idMin.getLong(0) >= 0L,
+      "buildIndex requires non-negative doc ids (composite vec_id space)")
     chunks.write.mode("overwrite").parquet(s"$path/chunks")
     val persisted = spark.read.parquet(s"$path/chunks")
     val emb = VectorFuncs.hashedEmbedding(persisted, dim,
@@ -51,11 +56,13 @@ object Retrieval {
       .write.mode("overwrite").parquet(s"$path/params")
   }
 
-  /** `queries` = (query_id numeric, text); returns one row per hit:
-    * (query_id as long, rk, doc_id, chunk_idx, chunk_text, sim).
-    * Query ids are remapped to negative longs internally so the
-    * index's self-match guard (`vec_id =!= query_id`) can never
-    * collide with a corpus vec_id.
+  /** `queries` = (query_id numeric NON-NEGATIVE, text); returns one
+    * row per hit: (query_id as long, rk, doc_id, chunk_idx,
+    * chunk_text, sim). Query ids remap to negative longs internally so
+    * the index's self-match guard (`vec_id =!= query_id`) cannot
+    * collide with a corpus vec_id — which is also why a negative
+    * query id (it would remap into vec_id space) fails fast instead
+    * of silently dropping one corpus chunk.
     */
   def search(spark: SparkSession, path: String, queries: DataFrame,
              k: Int = 5, nprobe: Int = 4,
@@ -63,6 +70,9 @@ object Retrieval {
              textCol: String = "text"): DataFrame = {
     val dim = spark.read.parquet(s"$path/params")
       .select(col("dim")).head().getInt(0)
+    val qMin = queries.agg(min(col(queryId).cast("long"))).head()
+    require(qMin.isNullAt(0) || qMin.getLong(0) >= 0L,
+      "search requires non-negative query ids (remap guard)")
     val remapped = queries
       .withColumn("__rq", -col(queryId).cast("long") - 1)
     val qVecs = VectorFuncs.hashedEmbedding(remapped, dim,
@@ -92,6 +102,9 @@ object Retrieval {
       .select(col("vec_id"), col(idCol).as("doc_id"),
         col("chunk_idx"), col("chunk_text"))
       .localCheckpoint()
+    val idMin = chunks.agg(min(col("doc_id"))).head()
+    require(idMin.isNullAt(0) || idMin.getLong(0) >= 0L,
+      "appendDocs requires non-negative doc ids (composite vec_id space)")
     chunks.write.mode("append").parquet(s"$path/chunks")
     AnnIndex.append(spark,
       VectorFuncs.hashedEmbedding(chunks, dim,
@@ -112,7 +125,8 @@ object Retrieval {
                    k: Int = 5, nprobe: Int = 4, rrfK: Int = 60,
                    queryId: String = "query_id",
                    textCol: String = "text"): DataFrame = {
-    val chunks = spark.read.parquet(s"$path/chunks")
+    // cached: the lexical loop below scans it once per query
+    val chunks = spark.read.parquet(s"$path/chunks").cache()
 
     // vector side: the [[search]] ranking, kept at vec_id granularity
     val vec = search(spark, path, queries, k, nprobe, queryId, textCol)
@@ -120,11 +134,14 @@ object Retrieval {
         col("doc_id") * MaxChunks + col("chunk_idx"))
       .select(col(queryId), col("vec_id"), col("rk").as("__vrk"))
 
-    // lexical side: per-query BM25 over the chunk text. The query
-    // batch is driver-bounded by design (the ANN side already
+    // lexical side: per-query BM25 over the (cached) chunk text. The
+    // query batch is driver-bounded by design (the ANN side already
     // broadcasts it), so the per-query loop is |queries| bounded jobs.
+    // Null text or null id cannot score lexically — they ride the
+    // vector side only (where the embedder drops them row-wise).
     val qRows = queries
       .select(col(queryId).cast("long"), col(textCol)).collect()
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
     val lex = qRows.map { r =>
       val qid = r.getLong(0)
       val terms = r.getString(1).toLowerCase
@@ -147,11 +164,16 @@ object Retrieval {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(queryId))
       .orderBy(col("rrf_score").desc, col("vec_id"))
-    fused
+    // materialize before unpersisting the cached chunk table — the
+    // result is k·|queries| rows, checkpoint-small by construction
+    val out = fused
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .join(chunks, Seq("vec_id"))
       .select(col(queryId), col("rk"), col("doc_id"), col("chunk_idx"),
         col("chunk_text"), col("rrf_score"))
+      .localCheckpoint()
+    chunks.unpersist()
+    out
   }
 }

@@ -348,10 +348,12 @@ object VectorFuncs {
     * whole retrieval path (sentence chunks → embed → IVF/ANN index)
     * executable end-to-end with nothing external: hashed bag-of-words
     * cosine IS token-distribution similarity (random signs make
-    * colliding buckets cancel in expectation). An all-zero document
-    * embeds as the zero vector (cosine handles it as 0.0 downstream).
-    * Output shape matches the `embeddings` table (`Array[Float]`), so
-    * every ANN operator consumes it directly.
+    * colliding buckets cancel in expectation). A token-less document
+    * yields NO row (there is nothing to embed — same contract as a
+    * doc with no sentences yielding no chunks); callers that need
+    * every input id present anti-join for the missing ones. Output
+    * shape matches the `embeddings` table (`Array[Float]`), so every
+    * ANN operator consumes it directly.
     */
   def hashedEmbedding(docs: DataFrame, dim: Int,
                       idCol: String = "doc_id",

@@ -160,8 +160,15 @@ object Discovery {
         val sitemapUrls = (robots.toSeq.flatMap(r =>
           graft.expr.RobotsKernels.sitemapUrls(r).toSeq) :+
           s"https://$host/sitemap.xml").distinct
-        val locs = sitemapUrls.flatMap(u => fetcher.fetch(u).toSeq
+        val top = sitemapUrls.flatMap(u => fetcher.fetch(u).toSeq
           .flatMap(graft.expr.SitemapKernels.entries))
+        // one level of sitemap-INDEX recursion: kind="sitemap" locs are
+        // child sitemaps (the standard large-site layout), not pages
+        val (childMaps, pages) = top.partition(_.kind == "sitemap")
+        val locs = (pages ++ childMaps.map(_.loc).distinct.take(16)
+          .flatMap(u => fetcher.fetch(u).toSeq
+            .flatMap(graft.expr.SitemapKernels.entries))
+          .filter(_.kind == "url"))
           .map(_.loc)
         locs.filter(l => irUrlMarkers.exists(l.toLowerCase.contains))
           .distinct.take(maxCandidates).zipWithIndex

@@ -124,10 +124,15 @@ object DocStreams {
              normalizeUnicode: Boolean = false)
       : DataFrame = {
     val S = graft.llmops.Splits
+    // per-line clean, lines rejoined — the same line-structure-
+    // preserving form as Corpus.clean's stage 0
     val canonical =
       if (normalizeUnicode)
-        docs.withColumn(textCol, graft.expr.NormFuncs.clean_text(
-          graft.expr.NormFuncs.nfc_norm(col(textCol))))
+        docs.withColumn(textCol, array_join(
+          transform(
+            split(graft.expr.NormFuncs.nfc_norm(col(textCol)), "\n"),
+            l => graft.expr.NormFuncs.clean_text(l)),
+          "\n"))
       else docs
     val dsirGated = dsir.fold(canonical) { case (ratios, dflt, minLogw) =>
       canonical.filter(

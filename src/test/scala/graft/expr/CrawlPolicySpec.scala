@@ -108,6 +108,21 @@ class CrawlPolicySpec extends SparkTestBase {
     assert(RobotsKernels.sitemapUrls(null).isEmpty)
   }
 
+  test("allowed kernel path extraction: bare paths with doubled " +
+      "slashes, schemeless and scheme-relative URLs") {
+    val r = "User-agent: *\nDisallow: /downloads\nDisallow: /private/\n"
+    // a bare path IS the path — '//' inside it is path content
+    assert(!RobotsKernels.allowed(r, "a", "/downloads//file.pdf"))
+    assert(RobotsKernels.allowed(r, "a", "/public//file.pdf"))
+    // schemeless host/path form
+    assert(!RobotsKernels.allowed(r, "a", "www.ex.com/private/x"))
+    assert(RobotsKernels.allowed(r, "a", "www.ex.com/open/x"))
+    // scheme-relative
+    assert(!RobotsKernels.allowed(r, "a", "//ex.com/private/x"))
+    // host only -> path "/"
+    assert(RobotsKernels.allowed(r, "a", "//ex.com"))
+  }
+
   test("allowed kernel extracts the path from a full URL") {
     assert(!RobotsKernels.allowed(robots, "graftbot", "https://ex.com/private/a"))
     assert(RobotsKernels.allowed(robots, "graftbot", "https://ex.com/private/open/a"))

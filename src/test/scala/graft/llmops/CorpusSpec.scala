@@ -216,6 +216,24 @@ class CorpusSpec extends SparkTestBase {
     assert(!out(2L).contains("COPYRIGHT"))
   }
 
+  test("normalizeUnicode preserves line structure so the line stages " +
+      "still see lines") {
+    val comb = "é"
+    val docs = Seq(
+      (1L, s"caf$comb body one\nNAV FOOTER\nmore"),
+      (2L, s"café body two\nNAV FOOTER\nother"),
+      (3L, s"café body three\nNAV FOOTER\nlast"))
+      .toDF("doc_id", "text")
+    val out = Corpus.clean(docs, minQuality = 0.0, redact = false,
+        normalizeUnicode = true, dropLineBoilerplateMinDocs = Some(3))
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    // the shared NAV line dropped (lines survived normalization);
+    // spelling canonicalized; per-doc lines intact and ordered
+    assert(out(1L) == "café body one\nmore", s"got ${out(1L)}")
+    assert(!out(2L).contains("NAV"))
+  }
+
   test("normalizeUnicode stage: byte-spelling variants collapse in " +
       "exact dedup; default keeps both") {
     // same rendered text, NFC vs combining-mark spelling, plus

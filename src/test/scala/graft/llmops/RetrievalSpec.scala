@@ -110,6 +110,32 @@ class RetrievalSpec extends SparkTestBase {
     assert(scores.nonEmpty && scores.max <= 2.0 / 61 + 1e-9)
   }
 
+  test("guards: negative ids fail fast; null query text cannot crash " +
+      "hybrid search") {
+    val docs = Seq(
+      (1L, "Revenue grew nine percent this quarter and margins held."))
+      .toDF("doc_id", "text")
+    val path = tmp()
+    Retrieval.buildIndex(docs, path, targetChars = 200, dim = 64,
+      nlist = 2, m = 4)
+    // negative doc id at build: fail fast, not silent vec_id collision
+    intercept[IllegalArgumentException] {
+      Retrieval.buildIndex(Seq((-1L, "some text here. More text."))
+        .toDF("doc_id", "text"), tmp(), targetChars = 200, dim = 64,
+        nlist = 2, m = 4)
+    }
+    // negative query id: would remap INTO vec_id space
+    intercept[IllegalArgumentException] {
+      Retrieval.search(spark, path,
+        Seq((-3L, "margins")).toDF("query_id", "text"), k = 1)
+    }
+    // null query text rides the vector side only, no driver NPE
+    val hits = Retrieval.hybridSearch(spark, path,
+      Seq((0L, Option.empty[String]), (1L, Some("revenue margins")))
+        .toDF("query_id", "text"), k = 1, nprobe = 2)
+    assert(hits.filter($"query_id" === 1L).count() >= 1)
+  }
+
   test("query id zero cannot collide with chunk vec_id zero") {
     // doc 0 chunk 0 has vec_id 0; a query with id 0 must still be
     // able to retrieve it (the negative-remap guard)

@@ -80,6 +80,30 @@ class DiscoverySeedSpec extends SparkTestBase {
     assert(got("GAMA") == (("", "Not Found")))
   }
 
+  test("sitemap-index discovery: child sitemaps are fetched as " +
+      "sitemaps, not scored as pages") {
+    val fetcher = MapPageFetcher(Map(
+      // the standard large-site layout: /sitemap.xml is an INDEX
+      "https://delta.com/sitemap.xml" ->
+        """<sitemapindex>
+          | <sitemap><loc>https://delta.com/maps/a.xml</loc></sitemap>
+          | <sitemap><loc>https://delta.com/maps/b.xml</loc></sitemap>
+          |</sitemapindex>""".stripMargin,
+      "https://delta.com/maps/a.xml" ->
+        "<urlset><url><loc>https://delta.com/products</loc></url></urlset>",
+      "https://delta.com/maps/b.xml" ->
+        ("<urlset><url><loc>https://delta.com/investor-relations</loc>" +
+          "</url></urlset>"),
+      "https://delta.com/investor-relations" -> irHtml))
+    val companies = Seq(("DLTA", "Delta Co", "https://delta.com"))
+      .toDF("ticker", "company", "website")
+    val got = Discovery.discoverFromSitemaps(spark, companies, fetcher)
+      .select($"ticker", $"ir_url", $"status")
+      .as[(String, String, String)].head()
+    assert(got == (("DLTA", "https://delta.com/investor-relations",
+      "Found")))
+  }
+
   test("P15: off-domain redirect accepted only via investor-ish host") {
     import graft.services.MapRedirectFetcher
     val fetcher = MapRedirectFetcher(Map(
