@@ -112,6 +112,23 @@ object Retrieval {
       s"$path/index")
   }
 
+  /** Streaming corpus growth: a document stream (e.g. the landed
+    * output of `MediaStreams.pdfTextIngest`/`warcPdfIngest`, or any
+    * cleaned append stream) feeds [[appendDocs]] per micro-batch, so
+    * the retrieval index grows continuously and stays serveable
+    * throughout — the crawl-to-searchable-corpus loop closed as one
+    * running query.
+    */
+  def ingestStream(docs: DataFrame, path: String,
+                   idCol: String = "doc_id", textCol: String = "text")
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+       _: Long) =>
+        if (!batch.isEmpty) appendDocs(batch, path, idCol, textCol)
+    }
+
   /** Hybrid lexical + vector retrieval by reciprocal-rank fusion
     * (Cormack et al. 2009): per query, the BM25 top-k over chunk text
     * and the ANN top-k fuse as Σ 1/(rrfK + rank) — exact integer-rank

@@ -110,6 +110,32 @@ class RetrievalSpec extends SparkTestBase {
     assert(scores.nonEmpty && scores.max <= 2.0 / 61 + 1e-9)
   }
 
+  test("ingestStream: a document stream grows the index per " +
+      "micro-batch, serveable throughout") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "Revenue grew nine percent this quarter. The dividend rose."))
+      .toDF("doc_id", "text")
+    val path = tmp()
+    Retrieval.buildIndex(docs, path, targetChars = 200, dim = 64,
+      nlist = 2, m = 4)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = Retrieval.ingestStream(
+        mem.toDF().toDF("doc_id", "text"), path)
+      .outputMode("update").start()
+    mem.addData((5L, "Rainfall was heavy and winds were calm there."))
+    q.processAllAvailable()
+    mem.addData((6L, "The cluster migration halved latency at peak."))
+    q.processAllAvailable()
+    q.stop()
+    val served = Retrieval.search(spark, path,
+        Seq((0L, "anything at all really")).toDF("query_id", "text"),
+        k = 10, nprobe = 2)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(Set(1L, 5L, 6L).subsetOf(served), s"served=$served")
+  }
+
   test("guards: negative ids fail fast; null query text cannot crash " +
       "hybrid search") {
     val docs = Seq(
