@@ -2611,6 +2611,31 @@ object SparkEntry {
       graft.llmops.VectorFuncs.hashedBuckets(
           t(s, d, "documents").filter($"doc_id" % 9 === 1), dim = 64)
         .orderBy($"doc_id", $"bucket")
+    }),
+
+    // PDF embedded-image extraction (X103): planted lossless DeviceGray
+    // XObjects — every pixel closed-form, stats all-integer, truncated
+    // assets contribute zero rows (the q117 contract).
+    "q133_pdf_images" -> ((s, d) => {
+      import s.implicits._
+      val assets = t(s, d, "documents")
+        .filter($"doc_id" % 8 === 5)
+        .select($"doc_id").as[Long]
+        .map { id =>
+          val w = (8 + id % 5).toInt
+          val h = (6 + id % 3).toInt
+          val full = graft.llmops.Pdf.PdfCodec.encodePdfWithImage(
+            Seq(s"Img doc $id"), w, h,
+            (x, y) => ((id * 7 + x * 3 + y * 11) % 251).toInt)
+          val content = if (id % 11 == 0) full.take(60) else full
+          graft.llmops.Multimodal.Asset(id, "document", content,
+            None, None, None, Some("pdf"))
+        }
+      graft.llmops.Pdf.extractPdfImages(s, assets)
+        .toDF()
+        .select($"asset_id".as("doc_id"), $"img_idx", $"width",
+          $"height", $"n_pixels", $"sum_gray")
+        .orderBy($"doc_id")
     })
   )
 
@@ -4800,6 +4825,25 @@ object SparkEntry {
                        THEN 1 ELSE -1 END AS sgn
            FROM tok WHERE t <> '')
          SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS v
-         FROM h GROUP BY doc_id, bucket ORDER BY doc_id, bucket"""
+         FROM h GROUP BY doc_id, bucket ORDER BY doc_id, bucket""",
+    "q133_pdf_images" ->
+      """WITH d AS (
+           SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h
+           FROM documents
+           WHERE doc_id % 8 = 5 AND doc_id % 11 <> 0),
+         px AS (
+           SELECT doc_id, w, h,
+                  unnest(generate_series(0, w - 1)) AS x
+           FROM d),
+         pxy AS (
+           SELECT doc_id, w, h, x,
+                  unnest(generate_series(0, h - 1)) AS y
+           FROM px)
+         SELECT doc_id, 0 AS img_idx,
+                CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+                CAST(w * h AS BIGINT) AS n_pixels,
+                CAST(sum((doc_id * 7 + x * 3 + y * 11) % 251) AS BIGINT)
+                  AS sum_gray
+         FROM pxy GROUP BY doc_id, w, h ORDER BY doc_id"""
   )
 }

@@ -144,6 +144,64 @@ object Pdf {
       out.toByteArray
     }
 
+    /** Encode a single-page PDF carrying `lines` of text AND one
+      * embedded grayscale image XObject — 8-bit /DeviceGray raw
+      * samples under /FlateDecode, so the pixel payload is LOSSLESS
+      * and closed-form predictable (the q108 planted-fixture
+      * discipline; DCT/JPEG would be lossy). `gray(x, y)` supplies
+      * row-major samples. Object layout: 1 catalog, 2 pages, 3 font,
+      * 4 page, 5 content, 6 image.
+      */
+    def encodePdfWithImage(lines: Seq[String], imgW: Int, imgH: Int,
+                           gray: (Int, Int) => Int): Array[Byte] = {
+      require(imgW > 0 && imgH > 0, "image dims must be positive")
+      val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+      val out = new java.io.ByteArrayOutputStream()
+      def w(s: String): Unit = out.write(s.getBytes(latin1))
+      val offsets = new Array[Int](7)
+      w("%PDF-1.4\n")
+      offsets(1) = out.size()
+      w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+      offsets(2) = out.size()
+      w("2 0 obj << /Type /Pages /Kids [4 0 R] /Count 1 >> endobj\n")
+      offsets(3) = out.size()
+      w("3 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n")
+      offsets(4) = out.size()
+      w("4 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Resources << /Font << /F1 3 0 R >> " +
+        "/XObject << /Im1 6 0 R >> >> /Contents 5 0 R >> endobj\n")
+      val content = (contentStream(lines) +
+        "q 100 0 0 100 50 50 cm /Im1 Do Q\n").getBytes(latin1)
+      val cPayload = deflate(content)
+      offsets(5) = out.size()
+      w(s"5 0 obj << /Length ${cPayload.length} /Filter /FlateDecode " +
+        ">> stream\n")
+      out.write(cPayload)
+      w("\nendstream endobj\n")
+      val pixels = new Array[Byte](imgW * imgH)
+      var y = 0
+      while (y < imgH) {
+        var x = 0
+        while (x < imgW) {
+          pixels(y * imgW + x) = (gray(x, y) & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      val iPayload = deflate(pixels)
+      offsets(6) = out.size()
+      w(s"6 0 obj << /Type /XObject /Subtype /Image /Width $imgW " +
+        s"/Height $imgH /ColorSpace /DeviceGray /BitsPerComponent 8 " +
+        s"/Filter /FlateDecode /Length ${iPayload.length} >> stream\n")
+      out.write(iPayload)
+      w("\nendstream endobj\n")
+      val xref = out.size()
+      w("xref\n0 7\n0000000000 65535 f \n")
+      (1 to 6).foreach(i => w(f"${offsets(i)}%010d 00000 n \n"))
+      w(s"trailer << /Size 7 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+      out.toByteArray
+    }
+
     // ---------------------------------------------------------- decode
 
     private def inflate(data: Array[Byte]): Option[Array[Byte]] =
@@ -295,62 +353,103 @@ object Pdf {
       * joined with `\n`, streams in document order. `None` for null,
       * truncated, non-PDF, or text-free payloads — never a throw.
       */
-    def extractText(bytes: Array[Byte]): Option[String] =
-      try {
-        if (bytes == null || bytes.length < 16) return None
-        val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
-        val s = new String(bytes, latin1)
-        if (!s.startsWith("%PDF-")) return None
-        val lines = scala.collection.mutable.ArrayBuffer.empty[String]
-        var from = 0
-        var found = true
-        while (found) {
-          val k = s.indexOf("stream", from)
-          if (k < 0) found = false
+    /** Linear object scan shared by text and image extraction: every
+      * `stream`…`endstream` block as (enclosing dict, DECODED data) —
+      * /FlateDecode inflated, /Length-authoritative bounds, tolerant
+      * of broken xrefs and truncation (blocks that fail to decode are
+      * skipped). Returns Nil for anything that is not a PDF.
+      */
+    private def scanStreams(bytes: Array[Byte])
+        : Seq[(String, Array[Byte])] = {
+      if (bytes == null || bytes.length < 16) return Nil
+      val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+      val s = new String(bytes, latin1)
+      if (!s.startsWith("%PDF-")) return Nil
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Array[Byte])]
+      var from = 0
+      var found = true
+      while (found) {
+        val k = s.indexOf("stream", from)
+        if (k < 0) found = false
+        else {
+          // dict between the enclosing "obj" and the keyword decides
+          // the filter; "endstream" contains "stream", so only treat
+          // a keyword not preceded by "end" as a stream start
+          val isStart = k < 3 || s.regionMatches(k - 3, "end", 0, 3) == false
+          if (!isStart) from = k + 6
           else {
-            // dict between the enclosing "obj" and the keyword decides
-            // the filter; "endstream" contains "stream", so only treat
-            // a keyword not preceded by "end" as a stream start
-            val isStart = k < 3 || s.regionMatches(k - 3, "end", 0, 3) == false
-            if (!isStart) from = k + 6
+            var ds = k + 6
+            if (ds < s.length && s.charAt(ds) == '\r') ds += 1
+            if (ds < s.length && s.charAt(ds) == '\n') ds += 1
+            val de = s.indexOf("endstream", ds)
+            if (de < 0) { found = false }
             else {
-              var ds = k + 6
-              if (ds < s.length && s.charAt(ds) == '\r') ds += 1
-              if (ds < s.length && s.charAt(ds) == '\n') ds += 1
-              val de = s.indexOf("endstream", ds)
-              if (de < 0) { found = false }
-              else {
-                val objStart = math.max(0, s.lastIndexOf("obj", k))
-                val dict = s.substring(objStart, k)
-                // /Length is authoritative when sane — trimming the
-                // EOL before "endstream" by inspection would corrupt a
-                // compressed payload whose own last byte is \r or \n
-                val lenRe = "/Length\\s+(\\d+)".r
-                val end = lenRe.findFirstMatchIn(dict)
-                  .map(_.group(1).toInt)
-                  .filter(l => ds + l <= de)
-                  .map(ds + _)
-                  .getOrElse {
-                    var e = de
-                    if (e > ds && s.charAt(e - 1) == '\n') e -= 1
-                    if (e > ds && s.charAt(e - 1) == '\r') e -= 1
-                    e
-                  }
-                val raw = java.util.Arrays.copyOfRange(bytes, ds, end)
-                val dataOpt =
-                  if (dict.contains("/FlateDecode")) inflate(raw)
-                  else Some(raw)
-                dataOpt.foreach { data =>
-                  val c = new String(data, latin1)
-                  if (c.contains("BT")) lines ++= parseContent(c)
+              val objStart = math.max(0, s.lastIndexOf("obj", k))
+              val dict = s.substring(objStart, k)
+              // /Length is authoritative when sane — trimming the
+              // EOL before "endstream" by inspection would corrupt a
+              // compressed payload whose own last byte is \r or \n
+              val lenRe = "/Length\\s+(\\d+)".r
+              val end = lenRe.findFirstMatchIn(dict)
+                .map(_.group(1).toInt)
+                .filter(l => ds + l <= de)
+                .map(ds + _)
+                .getOrElse {
+                  var e = de
+                  if (e > ds && s.charAt(e - 1) == '\n') e -= 1
+                  if (e > ds && s.charAt(e - 1) == '\r') e -= 1
+                  e
                 }
-                from = de + 9
-              }
+              val raw = java.util.Arrays.copyOfRange(bytes, ds, end)
+              val dataOpt =
+                if (dict.contains("/FlateDecode")) inflate(raw)
+                else Some(raw)
+              dataOpt.foreach(data => out += ((dict, data)))
+              from = de + 9
             }
           }
         }
+      }
+      out.toSeq
+    }
+
+    def extractText(bytes: Array[Byte]): Option[String] =
+      try {
+        val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+        val lines = scanStreams(bytes).flatMap { case (_, data) =>
+          val c = new String(data, latin1)
+          if (c.contains("BT")) parseContent(c) else Nil
+        }
         if (lines.isEmpty) None else Some(lines.mkString("\n"))
       } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** One embedded raster: 8-bit /DeviceGray row-major samples. */
+    final case class PdfImage(width: Int, height: Int, gray: Array[Byte])
+
+    /** Every decodable embedded image XObject, in document order. The
+      * supported subset is the lossless one the fixtures plant (8-bit
+      * /DeviceGray, raw or /FlateDecode); JPEG (/DCTDecode) and other
+      * color spaces are skipped, not failed — same degradation contract
+      * as every codec here (corrupt/unsupported → fewer rows, never a
+      * task failure).
+      */
+    def extractImages(bytes: Array[Byte]): Seq[PdfImage] =
+      try {
+        val wRe = "/Width\\s+(\\d+)".r
+        val hRe = "/Height\\s+(\\d+)".r
+        scanStreams(bytes).flatMap { case (dict, data) =>
+          val isImage = dict.matches("(?s).*?/Subtype\\s*/Image.*") &&
+            dict.contains("/DeviceGray") &&
+            dict.matches("(?s).*?/BitsPerComponent\\s+8.*")
+          if (!isImage) None
+          else for {
+            w <- wRe.findFirstMatchIn(dict).map(_.group(1).toInt)
+            h <- hRe.findFirstMatchIn(dict).map(_.group(1).toInt)
+            if w > 0 && h > 0 && data.length == w * h
+          } yield PdfImage(w, h, data)
+        }
+      } catch { case scala.util.control.NonFatal(_) => Nil }
   }
 
   /** Extraction result row — null text = unextractable payload. */
@@ -373,6 +472,34 @@ object Pdf {
         if (a.media_type == "document") PdfCodec.extractText(a.content)
         else None
       PdfText(a.asset_id, a.media_type, nb, t, t.map(_.length.toLong))
+    })
+  }
+
+  /** One row per embedded image: exact integer pixel stats. */
+  final case class PdfImageStats(asset_id: Long, img_idx: Int,
+                                 width: Int, height: Int,
+                                 n_pixels: Long, sum_gray: Long)
+
+  /** Distributed embedded-image extraction — the document↔multimodal
+    * bridge: every decodable image XObject of every PDF asset as one
+    * stats row (exact integer sum, so the oracle replays it without a
+    * float). Unsupported/corrupt assets contribute zero rows; payloads
+    * never leave their partition.
+    */
+  def extractPdfImages(spark: SparkSession, assets: Dataset[Asset])
+      : Dataset[PdfImageStats] = {
+    import spark.implicits._
+    assets.mapPartitions(_.flatMap { a =>
+      val imgs =
+        if (a.media_type == "document") PdfCodec.extractImages(a.content)
+        else Nil
+      imgs.zipWithIndex.map { case (im, i) =>
+        var sum = 0L
+        var p = 0
+        while (p < im.gray.length) { sum += im.gray(p) & 0xff; p += 1 }
+        PdfImageStats(a.asset_id, i, im.width, im.height,
+          im.gray.length.toLong, sum)
+      }
     })
   }
 

@@ -149,4 +149,51 @@ class PdfSpec extends SparkTestBase {
     }
     assert(s.substring(s.indexOf("startxref")).contains(xrefAt.toString))
   }
+
+  test("embedded image: exact pixel round-trip, text coexists, " +
+      "unsupported and truncated payloads degrade to zero images") {
+    val P = Pdf.PdfCodec
+    val bytes = P.encodePdfWithImage(Seq("caption line"), 5, 3,
+      (x, y) => 10 * y + x)
+    val imgs = P.extractImages(bytes)
+    assert(imgs.length == 1)
+    val im = imgs.head
+    assert(im.width == 5 && im.height == 3)
+    // row-major exact bytes
+    assert(im.gray.map(_ & 0xff).toSeq ==
+      (0 until 3).flatMap(y => (0 until 5).map(x => 10 * y + x)))
+    // the text channel is unaffected by the image object
+    assert(P.extractText(bytes).contains("caption line"))
+    // a text-only PDF has no images
+    assert(P.extractImages(P.encodePdf(Seq("just text"))).isEmpty)
+    // truncation and junk yield zero images, never a throw
+    assert(P.extractImages(bytes.take(60)).isEmpty)
+    assert(P.extractImages("junk".getBytes).isEmpty)
+    assert(P.extractImages(null).isEmpty)
+    // 255-clamped samples survive (byte sign handling)
+    val bright = P.extractImages(
+      P.encodePdfWithImage(Seq("x"), 2, 1, (_, _) => 255)).head
+    assert(bright.gray.map(_ & 0xff).toSeq == Seq(255, 255))
+  }
+
+  test("distributed image stats: planted gradients recover exactly, " +
+      "truncated assets contribute no rows") {
+    import spark.implicits._
+    val assets = spark.createDataset((1L to 20L).map { id =>
+      val full = Pdf.PdfCodec.encodePdfWithImage(
+        Seq(s"doc $id"), 4, 2, (x, y) => ((id + x + 2 * y) % 7).toInt)
+      val content = if (id % 5 == 0) full.take(50) else full
+      graft.llmops.Multimodal.Asset(id, "document", content,
+        None, None, None, Some("pdf"))
+    })
+    val got = Pdf.extractPdfImages(spark, assets).collect()
+      .map(s => s.asset_id -> s).toMap
+    assert(got.keySet == (1L to 20L).filterNot(_ % 5 == 0).toSet)
+    got.values.foreach { s =>
+      assert(s.width == 4 && s.height == 2 && s.n_pixels == 8L)
+      val expect = (for { y <- 0 until 2; x <- 0 until 4 }
+        yield (s.asset_id + x + 2 * y) % 7).sum
+      assert(s.sum_gray == expect, s"asset ${s.asset_id}")
+    }
+  }
 }
