@@ -105,11 +105,19 @@ object Pdf {
       * page i: page object (4 + 2i) and content stream (5 + 2i).
       */
     def encodePdfPages(pages: Seq[Seq[String]],
-                       compress: Boolean = true): Array[Byte] = {
+                       compress: Boolean = true,
+                       image: Option[(Int, Int, (Int, Int) => Int)] = None)
+        : Array[Byte] = {
       require(pages.nonEmpty, "at least one page")
+      image.foreach { case (iw, ih, _) =>
+        require(iw > 0 && ih > 0, "image dims must be positive") }
       val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
       val n = pages.length
-      val nObj = 3 + 2 * n
+      // image XObject (when present) is the LAST object, so the text
+      // layout — and every byte the image-free fixtures pin — is
+      // identical with image = None
+      val nObj = 3 + 2 * n + (if (image.isDefined) 1 else 0)
+      val imageId = 3 + 2 * n + 1
       val out = new java.io.ByteArrayOutputStream()
       def w(s: String): Unit = out.write(s.getBytes(latin1))
       val offsets = new Array[Int](nObj + 1)
@@ -124,17 +132,41 @@ object Pdf {
       pages.zipWithIndex.foreach { case (lines, i) =>
         val pageId = 4 + 2 * i
         val contentId = 5 + 2 * i
+        val withImage = image.isDefined && i == 0
         offsets(pageId) = out.size()
+        val xobj =
+          if (withImage) s"/XObject << /Im1 $imageId 0 R >> " else ""
         w(s"$pageId 0 obj << /Type /Page /Parent 2 0 R " +
           "/MediaBox [0 0 612 792] " +
-          s"/Resources << /Font << /F1 3 0 R >> >> " +
+          s"/Resources << /Font << /F1 3 0 R >> $xobj>> " +
           s"/Contents $contentId 0 R >> endobj\n")
-        val content = contentStream(lines).getBytes(latin1)
+        val body = contentStream(lines) +
+          (if (withImage) "q 100 0 0 100 50 50 cm /Im1 Do Q\n" else "")
+        val content = body.getBytes(latin1)
         val payload = if (compress) deflate(content) else content
         val filter = if (compress) " /Filter /FlateDecode" else ""
         offsets(contentId) = out.size()
         w(s"$contentId 0 obj << /Length ${payload.length}$filter >> stream\n")
         out.write(payload)
+        w("\nendstream endobj\n")
+      }
+      image.foreach { case (iw, ih, gray) =>
+        val pixels = new Array[Byte](iw * ih)
+        var y = 0
+        while (y < ih) {
+          var x = 0
+          while (x < iw) {
+            pixels(y * iw + x) = (gray(x, y) & 0xff).toByte
+            x += 1
+          }
+          y += 1
+        }
+        val iPayload = deflate(pixels)
+        offsets(imageId) = out.size()
+        w(s"$imageId 0 obj << /Type /XObject /Subtype /Image /Width $iw " +
+          s"/Height $ih /ColorSpace /DeviceGray /BitsPerComponent 8 " +
+          s"/Filter /FlateDecode /Length ${iPayload.length} >> stream\n")
+        out.write(iPayload)
         w("\nendstream endobj\n")
       }
       val xref = out.size()
@@ -149,58 +181,13 @@ object Pdf {
       * samples under /FlateDecode, so the pixel payload is LOSSLESS
       * and closed-form predictable (the q108 planted-fixture
       * discipline; DCT/JPEG would be lossy). `gray(x, y)` supplies
-      * row-major samples. Object layout: 1 catalog, 2 pages, 3 font,
-      * 4 page, 5 content, 6 image.
+      * row-major samples. One framing writer: this is
+      * [[encodePdfPages]] with its optional image object.
       */
     def encodePdfWithImage(lines: Seq[String], imgW: Int, imgH: Int,
-                           gray: (Int, Int) => Int): Array[Byte] = {
-      require(imgW > 0 && imgH > 0, "image dims must be positive")
-      val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
-      val out = new java.io.ByteArrayOutputStream()
-      def w(s: String): Unit = out.write(s.getBytes(latin1))
-      val offsets = new Array[Int](7)
-      w("%PDF-1.4\n")
-      offsets(1) = out.size()
-      w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
-      offsets(2) = out.size()
-      w("2 0 obj << /Type /Pages /Kids [4 0 R] /Count 1 >> endobj\n")
-      offsets(3) = out.size()
-      w("3 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n")
-      offsets(4) = out.size()
-      w("4 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
-        "/Resources << /Font << /F1 3 0 R >> " +
-        "/XObject << /Im1 6 0 R >> >> /Contents 5 0 R >> endobj\n")
-      val content = (contentStream(lines) +
-        "q 100 0 0 100 50 50 cm /Im1 Do Q\n").getBytes(latin1)
-      val cPayload = deflate(content)
-      offsets(5) = out.size()
-      w(s"5 0 obj << /Length ${cPayload.length} /Filter /FlateDecode " +
-        ">> stream\n")
-      out.write(cPayload)
-      w("\nendstream endobj\n")
-      val pixels = new Array[Byte](imgW * imgH)
-      var y = 0
-      while (y < imgH) {
-        var x = 0
-        while (x < imgW) {
-          pixels(y * imgW + x) = (gray(x, y) & 0xff).toByte
-          x += 1
-        }
-        y += 1
-      }
-      val iPayload = deflate(pixels)
-      offsets(6) = out.size()
-      w(s"6 0 obj << /Type /XObject /Subtype /Image /Width $imgW " +
-        s"/Height $imgH /ColorSpace /DeviceGray /BitsPerComponent 8 " +
-        s"/Filter /FlateDecode /Length ${iPayload.length} >> stream\n")
-      out.write(iPayload)
-      w("\nendstream endobj\n")
-      val xref = out.size()
-      w("xref\n0 7\n0000000000 65535 f \n")
-      (1 to 6).foreach(i => w(f"${offsets(i)}%010d 00000 n \n"))
-      w(s"trailer << /Size 7 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
-      out.toByteArray
-    }
+                           gray: (Int, Int) => Int): Array[Byte] =
+      encodePdfPages(Seq(lines), compress = true,
+        image = Some((imgW, imgH, gray)))
 
     // ---------------------------------------------------------- decode
 
@@ -349,17 +336,18 @@ object Pdf {
       lines.toSeq
     }
 
-    /** Extract all shown text of a PDF payload: content-stream lines
-      * joined with `\n`, streams in document order. `None` for null,
-      * truncated, non-PDF, or text-free payloads — never a throw.
-      */
     /** Linear object scan shared by text and image extraction: every
-      * `stream`…`endstream` block as (enclosing dict, DECODED data) —
-      * /FlateDecode inflated, /Length-authoritative bounds, tolerant
-      * of broken xrefs and truncation (blocks that fail to decode are
-      * skipped). Returns Nil for anything that is not a PDF.
+      * `stream`…`endstream` block whose enclosing dict passes `keep`
+      * as (dict, DECODED data) — /FlateDecode inflated,
+      * /Length-authoritative bounds, tolerant of broken xrefs and
+      * truncation (blocks that fail to decode are skipped). The
+      * filter runs BEFORE decoding, so a caller that wants only
+      * content streams never inflates a multi-megapixel image payload
+      * (and vice versa) — peak memory stays one decoded stream of the
+      * kind asked for. Returns Nil for anything that is not a PDF.
       */
-    private def scanStreams(bytes: Array[Byte])
+    private def scanStreams(bytes: Array[Byte],
+                            keep: String => Boolean)
         : Seq[(String, Array[Byte])] = {
       if (bytes == null || bytes.length < 16) return Nil
       val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
@@ -401,11 +389,13 @@ object Pdf {
                   if (e > ds && s.charAt(e - 1) == '\r') e -= 1
                   e
                 }
-              val raw = java.util.Arrays.copyOfRange(bytes, ds, end)
-              val dataOpt =
-                if (dict.contains("/FlateDecode")) inflate(raw)
-                else Some(raw)
-              dataOpt.foreach(data => out += ((dict, data)))
+              if (keep(dict)) {
+                val raw = java.util.Arrays.copyOfRange(bytes, ds, end)
+                val dataOpt =
+                  if (dict.contains("/FlateDecode")) inflate(raw)
+                  else Some(raw)
+                dataOpt.foreach(data => out += ((dict, data)))
+              }
               from = de + 9
             }
           }
@@ -414,13 +404,26 @@ object Pdf {
       out.toSeq
     }
 
+    private val imageDictRe =
+      java.util.regex.Pattern.compile("/Subtype\\s*/Image")
+
+    private def isImageDict(dict: String): Boolean =
+      imageDictRe.matcher(dict).find()
+
+    /** Extract all shown text of a PDF payload: content-stream lines
+      * joined with `\n`, streams in document order. Image XObject
+      * streams are excluded BY DICT (pixel bytes that happen to
+      * contain `BT` must not parse as text). `None` for null,
+      * truncated, non-PDF, or text-free payloads — never a throw.
+      */
     def extractText(bytes: Array[Byte]): Option[String] =
       try {
         val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
-        val lines = scanStreams(bytes).flatMap { case (_, data) =>
-          val c = new String(data, latin1)
-          if (c.contains("BT")) parseContent(c) else Nil
-        }
+        val lines = scanStreams(bytes, d => !isImageDict(d))
+          .flatMap { case (_, data) =>
+            val c = new String(data, latin1)
+            if (c.contains("BT")) parseContent(c) else Nil
+          }
         if (lines.isEmpty) None else Some(lines.mkString("\n"))
       } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -438,15 +441,16 @@ object Pdf {
       try {
         val wRe = "/Width\\s+(\\d+)".r
         val hRe = "/Height\\s+(\\d+)".r
-        scanStreams(bytes).flatMap { case (dict, data) =>
-          val isImage = dict.matches("(?s).*?/Subtype\\s*/Image.*") &&
-            dict.contains("/DeviceGray") &&
+        scanStreams(bytes, isImageDict).flatMap { case (dict, data) =>
+          val supported = dict.contains("/DeviceGray") &&
             dict.matches("(?s).*?/BitsPerComponent\\s+8.*")
-          if (!isImage) None
+          if (!supported) None
           else for {
-            w <- wRe.findFirstMatchIn(dict).map(_.group(1).toInt)
-            h <- hRe.findFirstMatchIn(dict).map(_.group(1).toInt)
-            if w > 0 && h > 0 && data.length == w * h
+            // toIntOption: one hostile /Width must skip ONE stream,
+            // not drop the asset's other images via the outer catch
+            w <- wRe.findFirstMatchIn(dict).flatMap(_.group(1).toIntOption)
+            h <- hRe.findFirstMatchIn(dict).flatMap(_.group(1).toIntOption)
+            if w > 0 && h > 0 && data.length.toLong == w.toLong * h
           } yield PdfImage(w, h, data)
         }
       } catch { case scala.util.control.NonFatal(_) => Nil }

@@ -24,12 +24,15 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
-  /** chunk_idx must fit under this for the composite vec_id to be
-    * collision-free: vec_id = doc_id · 1e6 + chunk_idx. A million
-    * chunks per document ≈ a 400 MB single document at default budget
-    * — beyond any real corpus row.
+  /** vec_id = xxhash64(doc_id, chunk_idx) with the sign bit cleared:
+    * non-negative by construction for ANY doc id (hash-keyed ingests
+    * like `warcPdfIngest` produce full-range signed ids), so the
+    * negative query-id remap in [[search]] can never collide with a
+    * corpus vector. The chunk table is the id↔(doc, chunk) mapping;
+    * collisions are birthday-bounded in a 2^63 space.
     */
-  private val MaxChunks = 1000000L
+  private def vecId(idCol: String) =
+    xxhash64(col(idCol), col("chunk_idx")).bitwiseAND(lit(Long.MaxValue))
 
   def buildIndex(docs: DataFrame, path: String,
                  targetChars: Int = 400, dim: Int = 256,
@@ -37,15 +40,9 @@ object Retrieval {
                  idCol: String = "doc_id", textCol: String = "text"): Unit = {
     val spark = docs.sparkSession
     val chunks = Chunking.sentenceChunks(docs, targetChars, idCol, textCol)
-      .withColumn("vec_id",
-        col(idCol) * MaxChunks + col("chunk_idx"))
+      .withColumn("vec_id", vecId(idCol))
       .select(col("vec_id"), col(idCol).as("doc_id"),
         col("chunk_idx"), col("chunk_text"))
-    // the composite vec_id space and the query remap both assume
-    // non-negative doc ids — fail fast, not silently-wrong retrieval
-    val idMin = chunks.agg(min(col("doc_id"))).head()
-    require(idMin.isNullAt(0) || idMin.getLong(0) >= 0L,
-      "buildIndex requires non-negative doc ids (composite vec_id space)")
     chunks.write.mode("overwrite").parquet(s"$path/chunks")
     val persisted = spark.read.parquet(s"$path/chunks")
     val emb = VectorFuncs.hashedEmbedding(persisted, dim,
@@ -98,13 +95,10 @@ object Retrieval {
     val params = spark.read.parquet(s"$path/params").head()
     val (dim, targetChars) = (params.getInt(0), params.getInt(1))
     val chunks = Chunking.sentenceChunks(docs, targetChars, idCol, textCol)
-      .withColumn("vec_id", col(idCol) * MaxChunks + col("chunk_idx"))
+      .withColumn("vec_id", vecId(idCol))
       .select(col("vec_id"), col(idCol).as("doc_id"),
         col("chunk_idx"), col("chunk_text"))
       .localCheckpoint()
-    val idMin = chunks.agg(min(col("doc_id"))).head()
-    require(idMin.isNullAt(0) || idMin.getLong(0) >= 0L,
-      "appendDocs requires non-negative doc ids (composite vec_id space)")
     chunks.write.mode("append").parquet(s"$path/chunks")
     AnnIndex.append(spark,
       VectorFuncs.hashedEmbedding(chunks, dim,
@@ -118,6 +112,13 @@ object Retrieval {
     * the retrieval index grows continuously and stays serveable
     * throughout — the crawl-to-searchable-corpus loop closed as one
     * running query.
+    *
+    * foreachBatch is at-least-once: a restart can replay a committed
+    * batch, and [[appendDocs]] is an append. A `<path>/_batches`
+    * ledger makes the replay a no-op — a batchId already recorded is
+    * skipped, so chunks and codes never double-append. (A crash
+    * BETWEEN the chunk and code appends of one batch still needs the
+    * ledger row to land last, which it does.)
     */
   def ingestStream(docs: DataFrame, path: String,
                    idCol: String = "doc_id", textCol: String = "text")
@@ -125,8 +126,20 @@ object Retrieval {
         org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-       _: Long) =>
-        if (!batch.isEmpty) appendDocs(batch, path, idCol, textCol)
+       batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val seen =
+          try spark.read.parquet(s"$path/_batches")
+            .filter(col("batch_id") === batchId).limit(1).count() > 0
+          catch {
+            case _: org.apache.spark.sql.AnalysisException => false
+          }
+        if (!seen) {
+          appendDocs(batch, path, idCol, textCol)
+          Seq(batchId).toDF("batch_id")
+            .write.mode("append").parquet(s"$path/_batches")
+        }
     }
 
   /** Hybrid lexical + vector retrieval by reciprocal-rank fusion
@@ -145,10 +158,12 @@ object Retrieval {
     // cached: the lexical loop below scans it once per query
     val chunks = spark.read.parquet(s"$path/chunks").cache()
 
-    // vector side: the [[search]] ranking, kept at vec_id granularity
+    // vector side: the [[search]] ranking, joined back to vec_id
+    // granularity through the chunk table (vec_id is a hash — not
+    // derivable from (doc, chunk) without it)
     val vec = search(spark, path, queries, k, nprobe, queryId, textCol)
-      .withColumn("vec_id",
-        col("doc_id") * MaxChunks + col("chunk_idx"))
+      .join(chunks.select(col("vec_id"), col("doc_id"), col("chunk_idx")),
+        Seq("doc_id", "chunk_idx"))
       .select(col(queryId), col("vec_id"), col("rk").as("__vrk"))
 
     // lexical side: per-query BM25 over the (cached) chunk text. The

@@ -31,8 +31,9 @@ class RetrievalSpec extends SparkTestBase {
     assert(chunks.columns.toSeq ==
       Seq("vec_id", "doc_id", "chunk_idx", "chunk_text"))
     assert(chunks.count() >= 3)
-    assert(chunks.filter($"vec_id" =!=
-      $"doc_id" * 1000000L + $"chunk_idx").count() == 0)
+    // hash vec_ids: non-negative (the remap guard's invariant), unique
+    assert(chunks.filter($"vec_id" < 0).count() == 0)
+    assert(chunks.select($"vec_id").distinct().count() == chunks.count())
 
     // a FRESH search session: everything needed is on disk
     val questions = Seq(
@@ -76,10 +77,12 @@ class RetrievalSpec extends SparkTestBase {
     assert(hits.filter($"doc_id" === 7L).count() >= 1,
       s"appended doc absent from ${hits.collect().toSeq}")
     // its chunk rows and index codes are on disk
-    assert(spark.read.parquet(s"$path/chunks")
-      .filter($"doc_id" === 7L).count() >= 1)
+    val newVecIds = spark.read.parquet(s"$path/chunks")
+      .filter($"doc_id" === 7L).select($"vec_id").as[Long].collect().toSet
+    assert(newVecIds.nonEmpty)
     assert(spark.read.parquet(s"$path/index")
-      .filter($"vec_id" === 7L * 1000000L).count() == 1)
+      .filter($"vec_id".isin(newVecIds.toSeq: _*)).count()
+      == newVecIds.size)
   }
 
   test("hybridSearch: RRF fuses lexical and vector ranks; exact rare " +
@@ -96,7 +99,8 @@ class RetrievalSpec extends SparkTestBase {
     Retrieval.buildIndex(docs, path, targetChars = 300, dim = 128,
       nlist = 2, m = 4)
     val hits = Retrieval.hybridSearch(spark, path,
-      Seq((0L, "ex4711 error"), (1L, "was the dividend raised"))
+      Seq((0L, "ex4711 error"),
+        (1L, "revenue margins dividend raised this quarter"))
         .toDF("query_id", "text"), k = 2, nprobe = 2)
     assert(hits.columns.toSeq == Seq("query_id", "rk", "doc_id",
       "chunk_idx", "chunk_text", "rrf_score"))
@@ -134,9 +138,13 @@ class RetrievalSpec extends SparkTestBase {
         k = 10, nprobe = 2)
       .select($"doc_id").as[Long].collect().toSet
     assert(Set(1L, 5L, 6L).subsetOf(served), s"served=$served")
+    // the at-least-once ledger recorded each applied batch exactly once
+    assert(spark.read.parquet(s"$path/_batches")
+      .select($"batch_id").as[Long].collect().sorted.toSeq.size == 2)
   }
 
-  test("guards: negative ids fail fast; null query text cannot crash " +
+  test("guards: negative DOC ids (hash-keyed ingests) index and serve; " +
+      "negative query ids fail fast; null query text cannot crash " +
       "hybrid search") {
     val docs = Seq(
       (1L, "Revenue grew nine percent this quarter and margins held."))
@@ -144,12 +152,18 @@ class RetrievalSpec extends SparkTestBase {
     val path = tmp()
     Retrieval.buildIndex(docs, path, targetChars = 200, dim = 64,
       nlist = 2, m = 4)
-    // negative doc id at build: fail fast, not silent vec_id collision
-    intercept[IllegalArgumentException] {
-      Retrieval.buildIndex(Seq((-1L, "some text here. More text."))
-        .toDF("doc_id", "text"), tmp(), targetChars = 200, dim = 64,
-        nlist = 2, m = 4)
-    }
+    // negative doc ids — what xxhash64-keyed ingests produce — are a
+    // first-class id space now (hash vec_ids, no composite overflow)
+    val negPath = tmp()
+    Retrieval.buildIndex(
+      Seq((-6075990116865310859L, "The dividend was raised by the board."))
+        .toDF("doc_id", "text"), negPath, targetChars = 200, dim = 64,
+      nlist = 2, m = 4)
+    val negHits = Retrieval.search(spark, negPath,
+      Seq((0L, "dividend raised")).toDF("query_id", "text"), k = 1,
+      nprobe = 2)
+    assert(negHits.select($"doc_id").as[Long].head()
+      == -6075990116865310859L)
     // negative query id: would remap INTO vec_id space
     intercept[IllegalArgumentException] {
       Retrieval.search(spark, path,
