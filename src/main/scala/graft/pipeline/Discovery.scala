@@ -149,7 +149,8 @@ object Discovery {
     */
   def discoverFromSitemaps(spark: SparkSession, companies: DataFrame,
                            fetcher: PageFetcher, minScore: Int = 2,
-                           maxCandidates: Int = 8): DataFrame = {
+                           maxCandidates: Int = 8,
+                           robotsAgent: String = "graftbot"): DataFrame = {
     import spark.implicits._
     val base = companies.select(col("ticker"), col("company"), col("website"))
 
@@ -171,6 +172,11 @@ object Discovery {
           .filter(_.kind == "url"))
           .map(_.loc)
         locs.filter(l => irUrlMarkers.exists(l.toLowerCase.contains))
+          // the robots body is already in hand — candidates its rules
+          // disallow are never fetched (fails open on a missing file,
+          // the RFC 9309 §2.3.1.4 rule the kernel implements)
+          .filter(l => graft.expr.RobotsKernels.allowed(
+            robots.orNull, robotsAgent, l))
           .distinct.take(maxCandidates).zipWithIndex
           .map { case (loc, i) => Probe(ticker, company, website, loc, i) }
       }

@@ -80,6 +80,26 @@ class DiscoverySeedSpec extends SparkTestBase {
     assert(got("GAMA") == (("", "Not Found")))
   }
 
+  test("sitemap discovery respects the robots rules it already holds: " +
+      "disallowed IR candidates are never fetched") {
+    val fetcher = MapPageFetcher(Map(
+      "https://zeta.com/robots.txt" ->
+        ("User-agent: *\nDisallow: /private-investor/\n" +
+          "Sitemap: https://zeta.com/maps/m.xml\n"),
+      "https://zeta.com/maps/m.xml" ->
+        ("<urlset><url><loc>https://zeta.com/private-investor/portal</loc>" +
+          "</url><url><loc>https://zeta.com/investor-relations</loc>" +
+          "</url></urlset>"),
+      // both pages exist and would score; robots must prune the first
+      "https://zeta.com/private-investor/portal" -> irHtml,
+      "https://zeta.com/investor-relations" -> irHtml))
+    val companies = Seq(("ZETA", "Zeta Plc", "https://zeta.com"))
+      .toDF("ticker", "company", "website")
+    val got = Discovery.discoverFromSitemaps(spark, companies, fetcher)
+      .select($"ir_url").as[String].head()
+    assert(got == "https://zeta.com/investor-relations")
+  }
+
   test("sitemap-index discovery: child sitemaps are fetched as " +
       "sitemaps, not scored as pages") {
     val fetcher = MapPageFetcher(Map(
