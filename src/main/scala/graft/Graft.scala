@@ -183,12 +183,6 @@ object Graft {
     llmops.Dedup.incrementalDedup(delta, corpusBands, corpusSigs, threshold)
 
   // ---- similarity search -------------------------------------------
-  /** Exact brute-force top-k. Defaults to the scale-safe bounded-heap
-    * partial-aggregation plan; the rank-window formulation is only
-    * reachable via `VectorFuncs.bruteForceTopK(impl = "window")` (the
-    * documented oracle anchor — it funnels every scored row through
-    * |queries| reducers and must not be used at scale).
-    */
   /** Model-free hashing-trick text embedder (signed feature hashing,
     * md5-deterministic): makes chunk → embed → ANN executable
     * end-to-end with nothing external. */
@@ -210,6 +204,12 @@ object Graft {
                            queries: DataFrame, k: Int = 5,
                            nprobe: Int = 4): DataFrame =
     llmops.Retrieval.search(s, path, queries, k, nprobe)
+  /** Exact brute-force top-k. Defaults to the scale-safe bounded-heap
+    * partial-aggregation plan; the rank-window formulation is only
+    * reachable via `VectorFuncs.bruteForceTopK(impl = "window")` (the
+    * documented oracle anchor — it funnels every scored row through
+    * |queries| reducers and must not be used at scale).
+    */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
     llmops.VectorFuncs.bruteForceTopK(corpus, queries, k)
   /** Alias for [[cosineTopK]] (the agg plan is the default now). */
@@ -381,7 +381,6 @@ object Graft {
   /** BM25 top-k retrieval over a text corpus (q103). */
   def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int): DataFrame =
     llmops.Bm25.topK(docs, terms, k)
-  /** Drop cross-document duplicated spans (Lee et al. 2021, q95). */
   /** Rule-based sentence segmentation to array<string> (also SQL:
     * `split_sentences` — distinct from Spark's built-in locale
     * word-tokenizer `sentences`). */
@@ -390,6 +389,7 @@ object Graft {
     * dedup): lines verbatim in >= minDocs documents drop everywhere. */
   def dropBoilerplateLines(docs: DataFrame, minDocs: Int = 2): DataFrame =
     llmops.TextFuncs.dropBoilerplateLines(docs, minDocs)
+  /** Drop cross-document duplicated spans (Lee et al. 2021, q95). */
   def dropDuplicateSpans(docs: DataFrame, n: Int, minDocs: Int = 2)
       : DataFrame =
     llmops.Dedup.dropDuplicateSpans(docs, n, minDocs)

@@ -83,6 +83,48 @@ object UrlKernels {
   private val trackingParams =
     Set("gclid", "fbclid", "msclkid", "ref", "ref_src", "mc_cid", "mc_eid")
 
+  /** Uppercase the hex digits of every `%XX` escape (RFC 3986 §6.2.2.1
+    * case normalization) so `%2f` and `%2F` canonicalize identically —
+    * WITHOUT decoding, so escaped structural delimiters (`%2F`, `%26`,
+    * `%3D`) stay distinct from their literal forms.
+    */
+  private def upperHexEscapes(s: String): String = {
+    if (s.indexOf('%') < 0) return s
+    def hex(c: Char) =
+      (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          hex(s.charAt(i + 1)) && hex(s.charAt(i + 2))) {
+        sb.append('%')
+          .append(Character.toUpperCase(s.charAt(i + 1)))
+          .append(Character.toUpperCase(s.charAt(i + 2)))
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** RFC 3986 §5.2.4 dot-segment removal over the RAW (still
+    * percent-encoded) path — `%2E` never counts as a dot, `%2F` never
+    * counts as a slash. Leading `..` above the root of an absolute
+    * path are dropped (crawl semantics: servers resolve them to `/`).
+    */
+  private def removeDotSegments(path: String): String = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    path.split("/", -1).foreach {
+      case "" | "." => // duplicate slashes are pre-collapsed; "." drops
+      case ".." => if (out.nonEmpty) out.remove(out.size - 1)
+      case seg => out += seg
+    }
+    val trailingSlash = path.endsWith("/") || path.endsWith("/.") ||
+      path.endsWith("/..") || path == "." || path == ".."
+    val joined = "/" + out.mkString("/")
+    if (trailingSlash && out.nonEmpty) joined + "/" else joined
+  }
+
   /** Canonical form of a URL for visited-set dedup — the reason two
     * crawls of `HTTP://Ex.COM:80/a//b/../c?utm_source=x&b=2&a=1#f` and
     * `http://ex.com/a/c?a=1&b=2` must count as ONE page:
@@ -94,6 +136,13 @@ object UrlKernels {
     *  - query: tracking params removed (utm_*, gclid, fbclid, …),
     *    the rest sorted by (key, value) so parameter order cannot
     *    split a visited-set key; empty query drops its `?`.
+    *
+    * Path and query are processed RAW (percent-encoded): escapes get
+    * their hex case-normalized (`%2f` → `%2F`) but are never decoded,
+    * so URLs differing only in encoded-vs-literal delimiters
+    * (`?a=1%262` vs `?a=1&2`, `%2F` in a path segment vs `/`) keep
+    * DISTINCT visited-set keys — decoding would merge genuinely
+    * different pages and the crawl would silently skip one.
     *
     * Unparseable input falls back to the trimmed original (never
     * null-out a URL the crawl could still fetch). At 100 TB of crawl
@@ -113,12 +162,10 @@ object UrlKernels {
       val keepPort =
         port >= 0 && !((scheme == "http" && port == 80) ||
           (scheme == "https" && port == 443))
-      val rawPath = Option(u.getPath).getOrElse("")
+      val rawPath = upperHexEscapes(Option(u.getRawPath).getOrElse(""))
       val collapsed = rawPath.replaceAll("/{2,}", "/")
-      val normPath = new java.net.URI(null, null,
-        if (collapsed.isEmpty) "/" else collapsed, null)
-        .normalize().getPath
-      val query = Option(u.getQuery).map { q =>
+      val normPath = removeDotSegments(collapsed)
+      val query = Option(u.getRawQuery).map(upperHexEscapes).map { q =>
         q.split("&").iterator.filter(_.nonEmpty)
           .map { kv =>
             val eq = kv.indexOf('=')

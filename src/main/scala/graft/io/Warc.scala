@@ -385,23 +385,23 @@ object Warc extends Serializable {
         "http_status", "n_bytes")
   }
 
-  private def localPath(file: String): java.nio.file.Path =
-    java.nio.file.Paths.get(
-      if (file.startsWith("file:")) new java.net.URI(file).getPath else file)
-
   /** One point read: the record(s) at a CDX index entry, via a ranged
     * read of `length` bytes at `offset` — never a full-file scan.
+    * Resolved through the Hadoop FileSystem API, so any URI scheme the
+    * index was built over (`file:`, `hdfs:`, `s3a:`, …) fetches — the
+    * same resolution rules as the binaryFile source [[cdxIndex]] used.
     */
-  def readRecordAt(file: String, offset: Long, length: Long)
+  def readRecordAt(file: String, offset: Long, length: Long,
+                   conf: org.apache.hadoop.conf.Configuration =
+                     new org.apache.hadoop.conf.Configuration())
       : Seq[WarcRecord] = {
-    val ch = java.nio.channels.FileChannel.open(localPath(file),
-      java.nio.file.StandardOpenOption.READ)
+    val p = new org.apache.hadoop.fs.Path(file)
+    val in = p.getFileSystem(conf).open(p)
     try {
-      val buf = java.nio.ByteBuffer.allocate(length.toInt)
-      ch.position(offset)
-      while (buf.hasRemaining && ch.read(buf) >= 0) ()
-      parseRecords(buf.array())
-    } finally ch.close()
+      val buf = new Array[Byte](length.toInt)
+      in.readFully(offset, buf, 0, buf.length)
+      parseRecords(buf)
+    } finally in.close()
   }
 
   /** Distributed point reads for a set of index entries: rows of
@@ -410,37 +410,40 @@ object Warc extends Serializable {
     * sequential sweep per file — one open, forward seeks only — so the
     * cost is proportional to the HITS, not the archive. Co-locate
     * same-file entries first (`repartition(col("file"))`) when the hit
-    * set is large.
+    * set is large. Files open through Hadoop's FileSystem (the session
+    * conf ships with the tasks), so the fetch side accepts every URI
+    * scheme [[cdxIndex]]'s binaryFile scan does.
     */
   def fetchRecords(spark: SparkSession, index: DataFrame): DataFrame = {
     import spark.implicits._
+    val hconf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
     index.select(col("file"), col("offset"), col("length"))
       .as[(String, Long, Long)]
       .mapPartitions { it =>
+        val conf = hconf.value
         val sorted = it.toSeq.sortBy(e => (e._1, e._2))
         var openFile: String = null
-        var ch: java.nio.channels.FileChannel = null
-        def closeCh(): Unit = if (ch != null) { ch.close(); ch = null }
+        var in: org.apache.hadoop.fs.FSDataInputStream = null
+        def closeIn(): Unit = if (in != null) { in.close(); in = null }
         // a downstream limit()/take() may abandon this iterator before
         // exhaustion — close on task completion, not just on the last
         // element
         val tc = org.apache.spark.TaskContext.get()
-        if (tc != null) tc.addTaskCompletionListener[Unit](_ => closeCh())
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => closeIn())
         val out = sorted.iterator.map { case (file, off, len) =>
           if (file != openFile) {
-            closeCh()
-            ch = java.nio.channels.FileChannel.open(localPath(file),
-              java.nio.file.StandardOpenOption.READ)
+            closeIn()
+            val p = new org.apache.hadoop.fs.Path(file)
+            in = p.getFileSystem(conf).open(p)
             openFile = file
           }
-          val buf = java.nio.ByteBuffer.allocate(len.toInt)
-          ch.position(off)
-          while (buf.hasRemaining && ch.read(buf) >= 0) ()
-          (file, off, parseRecords(buf.array()))
+          val buf = new Array[Byte](len.toInt)
+          in.readFully(off, buf, 0, buf.length)
+          (file, off, parseRecords(buf))
         }
         new Iterator[(String, Long, Seq[WarcRecord])] {
           def hasNext: Boolean = { val h = out.hasNext
-            if (!h) closeCh(); h }
+            if (!h) closeIn(); h }
           def next(): (String, Long, Seq[WarcRecord]) = out.next()
         }
       }
@@ -450,5 +453,29 @@ object Warc extends Serializable {
       }
       .toDF("file", "offset", "warc_type", "target_uri", "http_status",
         "http_content_type", "content")
+  }
+}
+
+/** Ships a Hadoop `Configuration` inside a task closure — Configuration
+  * itself is a Writable, not `java.io.Serializable`, so it round-trips
+  * through its own `write`/`readFields` (the standard Hadoop-on-Spark
+  * pattern). Needed so [[Warc.fetchRecords]]'s executors resolve the
+  * SAME filesystems (hdfs:/s3a: credentials and all) the driver's
+  * binaryFile scan did.
+  */
+final class SerializableHadoopConf(
+    @transient private var conf: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  def value: org.apache.hadoop.conf.Configuration = conf
+
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    conf.write(out)
+  }
+
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    conf = new org.apache.hadoop.conf.Configuration(false)
+    conf.readFields(in)
   }
 }

@@ -58,17 +58,30 @@ object Pdf {
     private def hexStr(s: String): String =
       s.map(c => f"${c.toInt}%02X").mkString
 
+    /** UTF-16BE hex string with the §7.9.2.2 BOM — the PDF text-string
+      * convention for anything beyond Latin-1.
+      */
+    private def utf16Hex(s: String): String =
+      "FEFF" + s.getBytes(java.nio.charset.StandardCharsets.UTF_16BE)
+        .map(b => f"${b & 0xff}%02X").mkString
+
     /** Build the page content stream: one `Td` move then one show op
       * per line — even lines as literal-string `Tj`, odd lines as a
       * `TJ` array split into a literal part, a kern number (which
       * extraction must ignore), and a hex-string part, so every
       * multi-line document exercises both show operators and both
-      * string syntaxes.
+      * string syntaxes. Lines with any char above U+00FF can't ride
+      * the Latin-1 byte path — they emit as ONE `<FEFF…>` UTF-16BE hex
+      * string (the §7.9.2.2 text-string convention), which the
+      * extractor's BOM check decodes back exactly; pure-Latin-1 input
+      * produces byte-identical output to the pre-UTF-16 encoder, so
+      * every md5-pinned ASCII fixture is untouched.
       */
     private def contentStream(lines: Seq[String]): String = {
       val ops = lines.zipWithIndex.map { case (line, i) =>
         val show =
-          if (i % 2 == 0) s"(${esc(line)}) Tj"
+          if (line.exists(_ > '\u00FF')) s"<${utf16Hex(line)}> Tj"
+          else if (i % 2 == 0) s"(${esc(line)}) Tj"
           else {
             val split = line.length / 2
             val (a, b) = line.splitAt(split)
@@ -210,6 +223,20 @@ object Pdf {
         Some(out.toByteArray)
       } catch { case scala.util.control.NonFatal(_) => None }
 
+    /** §7.9.2.2 text-string convention: a string whose first two BYTES
+      * (here chars 0–255, one per byte) are the FE FF BOM is UTF-16BE —
+      * reinterpret; anything else stays the byte-per-char (PDFDoc/
+      * Latin-1) reading. This is how real extractors round-trip
+      * non-Latin-1 text, and what [[contentStream]]'s `utf16Hex` emits.
+      */
+    private def maybeUtf16(s: String): String =
+      if (s.length >= 2 && s.charAt(0) == '\u00FE' && s.charAt(1) == '\u00FF') {
+        val bytes = new Array[Byte](s.length - 2)
+        var i = 0
+        while (i < bytes.length) { bytes(i) = s.charAt(i + 2).toByte; i += 1 }
+        new String(bytes, java.nio.charset.StandardCharsets.UTF_16BE)
+      } else s
+
     /** Parse one `(…)` literal string starting at `i` (which must be
       * the '('): returns (decoded string, index just past ')').
       * Handles the §7.3.4.2 escapes, octal codes, line continuations,
@@ -247,7 +274,7 @@ object Pdf {
           case ch => sb += ch; i += 1
         }
       }
-      (sb.toString, i)
+      (maybeUtf16(sb.toString), i)
     }
 
     /** Parse one `<…>` hex string starting at `i` (the '<'): returns
@@ -268,7 +295,7 @@ object Pdf {
         i += 1
       }
       if (hi >= 0) sb += (hi << 4).toChar
-      (sb.toString, if (i < c.length) i + 1 else i)
+      (maybeUtf16(sb.toString), if (i < c.length) i + 1 else i)
     }
 
     /** Extract the shown text of one decoded content stream: lines of
@@ -508,9 +535,13 @@ object Pdf {
   }
 
   /** Render REAL corpus text into PDF assets — one single-page PDF
-    * per document, the document's text as one literal-string show op
-    * (escapes applied by the encoder, so parentheses/backslashes in
-    * corpus text survive). Extraction is then an exact round trip:
+    * per document, the document's text as one show op: a literal
+    * string for Latin-1 text (escapes applied by the encoder, so
+    * parentheses/backslashes in corpus text survive), a `<FEFF…>`
+    * UTF-16BE hex string for anything beyond Latin-1 (§7.9.2.2 — the
+    * encoder's byte path is ISO-8859-1, which would otherwise fold
+    * non-Latin-1 chars to '?'). Extraction is then an exact round
+    * trip for ARBITRARY Unicode corpus text:
     * `extractText(encodeCorpusPdfs(docs)) == text`, which is what
     * makes the q119 oracle a straight read of the documents table —
     * the whole encoder→Flate→parser path must reproduce every corpus

@@ -146,11 +146,24 @@ object Discovery {
     * difference between ~20 speculative fetches per company and
     * 2 + |IR-looking locs| — and the sitemap is the site's OWN claim
     * about what exists, so the miss rate is structural, not guessed.
+    *
+    * `<sitemapindex>` nesting is walked breadth-first to `maxDepth`
+    * levels of children under one per-company `sitemapFetchBudget`
+    * (real hosts nest indexes more than one level; an adversarial host
+    * could nest forever — the budget bounds fetch cost either way).
+    * Every fetch beyond robots.txt itself is gated by the host's
+    * robots rules with the kernel's fail-open-on-missing-file
+    * semantics (RFC 9309 §2.3.1.4): the conventional `/sitemap.xml`
+    * fallback, each child sitemap, and each page candidate —
+    * robots-DECLARED `Sitemap:` URLs are the host's own instruction
+    * to fetch and are not re-gated.
     */
   def discoverFromSitemaps(spark: SparkSession, companies: DataFrame,
                            fetcher: PageFetcher, minScore: Int = 2,
                            maxCandidates: Int = 8,
-                           robotsAgent: String = "graftbot"): DataFrame = {
+                           robotsAgent: String = "graftbot",
+                           maxDepth: Int = 2,
+                           sitemapFetchBudget: Int = 64): DataFrame = {
     import spark.implicits._
     val base = companies.select(col("ticker"), col("company"), col("website"))
 
@@ -158,19 +171,36 @@ object Discovery {
       it.flatMap { case (ticker, company, website) =>
         val host = hostOf(website)
         val robots = fetcher.fetch(s"https://$host/robots.txt")
-        val sitemapUrls = (robots.toSeq.flatMap(r =>
-          graft.expr.RobotsKernels.sitemapUrls(r).toSeq) :+
-          s"https://$host/sitemap.xml").distinct
-        val top = sitemapUrls.flatMap(u => fetcher.fetch(u).toSeq
-          .flatMap(graft.expr.SitemapKernels.entries))
-        // one level of sitemap-INDEX recursion: kind="sitemap" locs are
-        // child sitemaps (the standard large-site layout), not pages
-        val (childMaps, pages) = top.partition(_.kind == "sitemap")
-        val locs = (pages ++ childMaps.map(_.loc).distinct.take(16)
-          .flatMap(u => fetcher.fetch(u).toSeq
-            .flatMap(graft.expr.SitemapKernels.entries))
-          .filter(_.kind == "url"))
-          .map(_.loc)
+        def robotsOk(u: String) =
+          graft.expr.RobotsKernels.allowed(robots.orNull, robotsAgent, u)
+        val declared = robots.toSeq.flatMap(r =>
+          graft.expr.RobotsKernels.sitemapUrls(r).toSeq)
+        val roots = (declared ++
+          Seq(s"https://$host/sitemap.xml").filter(robotsOk)).distinct
+        // breadth-first sitemap-index walk: kind="sitemap" locs are
+        // child sitemaps, kind="url" locs are pages; depth- and
+        // budget-bounded, children robots-gated before fetching
+        val pages = scala.collection.mutable.ArrayBuffer
+          .empty[graft.expr.SitemapKernels.Entry]
+        val seen = scala.collection.mutable.HashSet.empty[String]
+        var frontier = roots
+        var depth = 0
+        var budget = sitemapFetchBudget
+        while (frontier.nonEmpty && depth <= maxDepth && budget > 0) {
+          val children = scala.collection.mutable.ArrayBuffer.empty[String]
+          frontier.foreach { u =>
+            if (budget > 0 && seen.add(u)) {
+              budget -= 1
+              val entries = fetcher.fetch(u).toSeq
+                .flatMap(graft.expr.SitemapKernels.entries)
+              pages ++= entries.filter(_.kind == "url")
+              children ++= entries.filter(_.kind == "sitemap").map(_.loc)
+            }
+          }
+          frontier = children.distinct.filter(robotsOk).toSeq
+          depth += 1
+        }
+        val locs = pages.map(_.loc).toSeq
         locs.filter(l => irUrlMarkers.exists(l.toLowerCase.contains))
           // the robots body is already in hand — candidates its rules
           // disallow are never fetched (fails open on a missing file,

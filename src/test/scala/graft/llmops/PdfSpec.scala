@@ -135,6 +135,33 @@ class PdfSpec extends SparkTestBase {
     }
   }
 
+  test("non-Latin-1 text round-trips via the FEFF UTF-16BE hex path") {
+    // chars the ISO-8859-1 byte path would fold to '?': Greek, CJK,
+    // combining marks, and an astral emoji (surrogate pair)
+    val lines = Seq(
+      "ascii line stays on the literal path",
+      "\u03B1\u03B2\u03B3 \u4E2D\u6587 r\u00E9sum\u00E9",
+      "combining: e\u0301 astral: \uD83D\uDE00 end")
+    val got = PdfCodec.extractText(PdfCodec.encodePdf(lines))
+    assert(got.contains(lines.mkString("\n")))
+    // mixed Latin-1 (<= U+00FF) lines keep the byte path — byte-identical
+    // to the pre-UTF-16 encoder for every md5-pinned fixture
+    val latin = Seq("caf\u00E9 \u00FF ok", "plain")
+    assert(PdfCodec.extractText(PdfCodec.encodePdf(latin))
+      .contains(latin.mkString("\n")))
+    // corpus-level round trip with Unicode injected
+    val docs = graft.Tables.documents(spark, sf0001)
+      .filter($"text".isNotNull).limit(24)
+      .select($"doc_id",
+        concat(lit("\u00DCml\u00E4ut \u2192 \u4ECA "), $"text").as("text"))
+    val src = docs.as[(Long, String)].collect().toMap
+    Pdf.extractPdfText(spark, Pdf.encodeCorpusPdfs(spark, docs))
+      .collect().foreach { r =>
+        assert(r.text.contains(src(r.asset_id)),
+          s"doc ${r.asset_id}: unicode extraction diverged")
+      }
+  }
+
   test("planted fixtures are valid PDFs for the structure they declare") {
     // xref offsets must point at the objects they index — byte-exact
     val pdf = PdfCodec.encodePdf(Seq("check xref"))

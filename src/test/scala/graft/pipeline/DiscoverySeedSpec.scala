@@ -124,6 +124,70 @@ class DiscoverySeedSpec extends SparkTestBase {
       "Found")))
   }
 
+  test("sitemap-index discovery walks nested indexes to maxDepth " +
+      "under a fetch budget") {
+    // real hosts nest indexes: /sitemap.xml → index → child index →
+    // urlset. Default maxDepth=2 reaches the grandchild urlset.
+    val fetcher = MapPageFetcher(Map(
+      "https://eps.com/sitemap.xml" ->
+        ("<sitemapindex><sitemap><loc>https://eps.com/maps/l1.xml</loc>" +
+          "</sitemap></sitemapindex>"),
+      "https://eps.com/maps/l1.xml" ->
+        ("<sitemapindex><sitemap><loc>https://eps.com/maps/l2.xml</loc>" +
+          "</sitemap></sitemapindex>"),
+      "https://eps.com/maps/l2.xml" ->
+        ("<urlset><url><loc>https://eps.com/investor-relations</loc>" +
+          "</url></urlset>"),
+      "https://eps.com/investor-relations" -> irHtml))
+    val companies = Seq(("EPSN", "Eps Co", "https://eps.com"))
+      .toDF("ticker", "company", "website")
+    val deep = Discovery.discoverFromSitemaps(spark, companies, fetcher)
+      .select($"ir_url", $"status").as[(String, String)].head()
+    assert(deep == (("https://eps.com/investor-relations", "Found")))
+    // maxDepth=1 stops at the child INDEX — the urlset is never read
+    val shallow = Discovery.discoverFromSitemaps(spark, companies, fetcher,
+        maxDepth = 1)
+      .select($"status").as[String].head()
+    assert(shallow == "Not Found")
+    // a 1-fetch budget covers only the root — same structural bound
+    val broke = Discovery.discoverFromSitemaps(spark, companies, fetcher,
+        sitemapFetchBudget = 1)
+      .select($"status").as[String].head()
+    assert(broke == "Not Found")
+  }
+
+  test("robots gates the fallback sitemap and child sitemaps, " +
+      "not just page candidates") {
+    val fetcher = MapPageFetcher(Map(
+      // theta disallows /sitemap.xml; the fallback WOULD serve an IR
+      // loc whose page scores — robots must keep it unfetched
+      "https://theta.com/robots.txt" ->
+        "User-agent: *\nDisallow: /sitemap.xml\n",
+      "https://theta.com/sitemap.xml" ->
+        ("<urlset><url><loc>https://theta.com/investor-relations</loc>" +
+          "</url></urlset>"),
+      "https://theta.com/investor-relations" -> irHtml,
+      // iota's declared sitemap is an index whose CHILD is disallowed
+      "https://iota.com/robots.txt" ->
+        ("User-agent: *\nDisallow: /private/\n" +
+          "Sitemap: https://iota.com/root.xml\n"),
+      "https://iota.com/root.xml" ->
+        ("<sitemapindex><sitemap><loc>https://iota.com/private/m.xml" +
+          "</loc></sitemap></sitemapindex>"),
+      "https://iota.com/private/m.xml" ->
+        ("<urlset><url><loc>https://iota.com/investor-relations</loc>" +
+          "</url></urlset>"),
+      "https://iota.com/investor-relations" -> irHtml))
+    val companies = Seq(
+      ("THTA", "Theta Co", "https://theta.com"),
+      ("IOTA", "Iota Co", "https://iota.com"))
+      .toDF("ticker", "company", "website")
+    val got = Discovery.discoverFromSitemaps(spark, companies, fetcher)
+      .select($"ticker", $"status").as[(String, String)].collect().toMap
+    assert(got("THTA") == "Not Found")
+    assert(got("IOTA") == "Not Found")
+  }
+
   test("P15: off-domain redirect accepted only via investor-ish host") {
     import graft.services.MapRedirectFetcher
     val fetcher = MapRedirectFetcher(Map(
