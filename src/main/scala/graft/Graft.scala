@@ -381,6 +381,25 @@ object Graft {
   /** BM25 top-k retrieval over a text corpus (q103). */
   def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int): DataFrame =
     llmops.Bm25.topK(docs, terms, k)
+  /** Multi-query BM25 in one dataflow: queries (query_id, text) →
+    * (query_id, rk, doc_id, n_terms_hit, score). One corpus pass for
+    * the union of all query terms (q134). */
+  def bm25TopKBatch(docs: DataFrame, queries: DataFrame, k: Int)
+      : DataFrame =
+    llmops.Bm25.topKBatch(docs, queries, k)
+  /** Per-benchmark-question top-k corpus docs with BM25 ≥ minScore —
+    * the bulk decontamination-review probe, one job for the whole
+    * benchmark. */
+  def bm25DecontaminationProbe(corpus: DataFrame, benchmark: DataFrame,
+                               k: Int = 10, minScore: Double = 0.0)
+      : DataFrame =
+    llmops.Bm25.decontaminationProbe(corpus, benchmark, k, minScore)
+  /** Reciprocal-rank fusion of two (query_id, id, rk) rankings (q134);
+    * the fusion arithmetic inside `Retrieval.hybridSearch`. */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, rrfK: Int = 60,
+              queryId: String = "query_id",
+              idCol: String = "doc_id"): DataFrame =
+    llmops.Retrieval.rrfFuse(a, b, k, rrfK, queryId, idCol)
   /** Rule-based sentence segmentation to array<string> (also SQL:
     * `split_sentences` — distinct from Spark's built-in locale
     * word-tokenizer `sentences`). */

@@ -2636,6 +2636,30 @@ object SparkEntry {
         .select($"asset_id".as("doc_id"), $"img_idx", $"width",
           $"height", $"n_pixels", $"sum_gray")
         .orderBy($"doc_id")
+    }),
+
+    // Set-based multi-query BM25 + RRF fusion (the bulk-evaluation
+    // serving shape): THREE queries score in ONE dataflow
+    // (Bm25.topKBatch — corpus tokenized once for the union of all
+    // query terms, per-query top-k via the bounded-heap aggregate, no
+    // rank window, no per-query jobs), twice under different
+    // length-normalization (b = 0.75 and b = 0 — two genuinely
+    // different rankings), fused by Retrieval.rrfFuse's exact
+    // 1/(60+rank) arithmetic. The oracle recomputes every tf/df/idf,
+    // both score sets, both rankings, and the fusion relationally.
+    "q134_bm25_batch_rrf" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val queries = Seq(
+        (0L, "vector window merge"),
+        (1L, "stream window"),
+        (2L, "vector stream merge window")).toDF("query_id", "text")
+      val lex = graft.llmops.Bm25.topKBatch(docs, queries, k = 15)
+      val alt = graft.llmops.Bm25.topKBatch(docs, queries, k = 15, b = 0.0)
+      graft.llmops.Retrieval.rrfFuse(lex, alt, k = 12)
+        .select($"query_id", $"rk", $"doc_id",
+          round($"rrf_score", 6).as("rrf_score"))
+        .orderBy($"query_id", $"rk")
     })
   )
 
@@ -4844,6 +4868,75 @@ object SparkEntry {
                 CAST(w * h AS BIGINT) AS n_pixels,
                 CAST(sum((doc_id * 7 + x * 3 + y * 11) % 251) AS BIGINT)
                   AS sum_gray
-         FROM pxy GROUP BY doc_id, w, h ORDER BY doc_id"""
+         FROM pxy GROUP BY doc_id, w, h ORDER BY doc_id""",
+    // Multi-query BM25 batch + RRF fusion: the q103 relational replay
+    // extended to (query, term) pairs, TWO rankings (b=0.75 / b=0 —
+    // same float-parity constant forms as Spark evaluates), and the
+    // exact 1/(60+rank) fusion; ranks tie-break on doc_id after the
+    // 4-decimal score round on both sides.
+    "q134_bm25_batch_rrf" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  string_split_regex(lower(trim(text)), '\s+') AS l,
+                  CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(lower(trim(text)), '\s+'))
+                  END AS dl
+           FROM documents),
+         stats AS (
+           SELECT count(*)::DOUBLE AS n, avg(dl::DOUBLE) AS avgdl
+           FROM toks),
+         q AS (
+           SELECT * FROM (VALUES
+             (0, 'vector'), (0, 'window'), (0, 'merge'),
+             (1, 'stream'), (1, 'window'),
+             (2, 'vector'), (2, 'stream'), (2, 'merge'), (2, 'window'))
+           AS t(qid, term)),
+         posts AS (SELECT doc_id, dl, unnest(l) AS term FROM toks),
+         tf AS (
+           SELECT p.doc_id, p.term, count(*)::BIGINT AS tf,
+                  max(p.dl)::DOUBLE AS dl
+           FROM posts p JOIN (SELECT DISTINCT term FROM q) u
+             ON u.term = p.term
+           GROUP BY 1, 2),
+         df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+         idf AS (
+           SELECT term,
+                  ln(1.0 + ((SELECT n FROM stats) - df + 0.5) / (df + 0.5))
+                    AS idf
+           FROM df),
+         contrib AS (
+           SELECT q.qid, tf.doc_id,
+                  idf.idf * (tf.tf * (1.2 + 1)) /
+                    (tf.tf + 1.2 * (1.0 - 0.75 +
+                      0.75 * tf.dl / (SELECT avgdl FROM stats))) AS ca,
+                  idf.idf * (tf.tf * (1.2 + 1)) /
+                    (tf.tf + 1.2 * (1.0 - 0.0 +
+                      0.0 * tf.dl / (SELECT avgdl FROM stats))) AS cb
+           FROM tf JOIN idf ON idf.term = tf.term
+                   JOIN q ON q.term = tf.term),
+         sc AS (
+           SELECT qid, doc_id, round(sum(ca), 4) AS sa,
+                  round(sum(cb), 4) AS sb
+           FROM contrib GROUP BY 1, 2),
+         ra AS (
+           SELECT qid, doc_id, row_number() OVER (
+             PARTITION BY qid ORDER BY sa DESC, doc_id) AS r
+           FROM sc QUALIFY r <= 15),
+         rb AS (
+           SELECT qid, doc_id, row_number() OVER (
+             PARTITION BY qid ORDER BY sb DESC, doc_id) AS r
+           FROM sc QUALIFY r <= 15),
+         fused AS (
+           SELECT qid, doc_id,
+                  coalesce(1.0 / (60 + ra.r), 0.0) +
+                  coalesce(1.0 / (60 + rb.r), 0.0) AS rrf
+           FROM ra FULL JOIN rb USING (qid, doc_id)),
+         ranked AS (
+           SELECT qid, doc_id, rrf, row_number() OVER (
+             PARTITION BY qid ORDER BY rrf DESC, doc_id) AS rk
+           FROM fused QUALIFY rk <= 12)
+         SELECT qid::BIGINT AS query_id, rk::INTEGER AS rk, doc_id,
+                round(rrf, 6) AS rrf_score
+         FROM ranked ORDER BY query_id, rk"""
   )
 }

@@ -96,4 +96,106 @@ object Bm25 {
       .withColumn("score", round(col("score"), 4))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
+
+  /** Multi-query BM25 in ONE dataflow — the bulk-evaluation shape
+    * (10k benchmark questions against the corpus is 10k sequential
+    * jobs under a per-query loop; here it is one). `queries` =
+    * (queryIdCol numeric, queryTextCol string), tokenized with the
+    * same whitespace analyzer as documents. The corpus-sized work —
+    * tokenize/explode semi-joined down to slim posting rows, df, idf,
+    * dl, per-term contributions — runs ONCE for the UNION of all query
+    * terms (a term's tf/df/idf do not depend on which query asked);
+    * the broadcast (query, term) map then fans each computed
+    * contribution out to its queries, so |queries| costs one extra
+    * broadcast join, not |queries| Spark jobs.
+    *
+    * Returns (queryIdCol as long, idCol, n_terms_hit, score); the
+    * slice at any query id is bit-identical to [[scores]] with that
+    * query's terms. Null query ids/texts drop (they cannot score).
+    */
+  def scoresBatch(docs: DataFrame, queries: DataFrame,
+                  k1: Double = 1.2, b: Double = 0.75,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  queryIdCol: String = "query_id",
+                  queryTextCol: String = "text"): DataFrame = {
+    // per-query distinct terms (bag-of-words query semantics, same as
+    // `scores`); the term union drives the single corpus pass
+    val qTerms = queries
+      .filter(col(queryIdCol).isNotNull && col(queryTextCol).isNotNull)
+      .select(col(queryIdCol).cast("long").as("__qid"),
+        explode(TextFuncs.tokens(col(queryTextCol))).as("term"))
+      .filter(col("term") =!= "")
+      .distinct()
+    val uniqTerms = qTerms.select(col("term")).distinct()
+    val stats = docs.select(
+        TextFuncs.tokenCount(col(textCol)).cast("double").as("dl"))
+      .agg(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"))
+    val tf = docs.select(col(idCol).as("id"),
+        TextFuncs.tokenCount(col(textCol)).cast("double").as("dl"),
+        explode(TextFuncs.tokens(col(textCol))).as("term"))
+      .join(broadcast(uniqTerms), Seq("term"))
+      .groupBy("id", "term")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val idf = df.crossJoin(broadcast(stats.select(col("n"))))
+      .select(col("term"),
+        log(lit(1.0) + (col("n") - col("df") + 0.5) /
+          (col("df") + 0.5)).as("idf"))
+    tf.join(broadcast(idf), Seq("term"))
+      .crossJoin(broadcast(stats.select(col("avgdl"))))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * (k1 + 1)) /
+          (col("tf") +
+            lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl"))))
+      .join(broadcast(qTerms), Seq("term")) // fan out to asking queries
+      .groupBy(col("__qid"), col("id"))
+      .agg(count(lit(1)).as("n_terms_hit"), sum(col("contrib")).as("score"))
+      .withColumnRenamed("__qid", queryIdCol)
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** Per-query top-k over [[scoresBatch]] via the [[CollectTopK]]
+    * bounded-heap aggregate — ≤ k candidates per partition per query
+    * cross the exchange, the reduce side merges k-sorted lists; NO
+    * rank window (which would funnel every scored row through
+    * |queries| reducers). Score rounds to 4 decimals with id tiebreak
+    * BEFORE ranking, so per-query slices are identical to [[topK]].
+    * Returns (queryIdCol, rk, idCol, n_terms_hit, score).
+    */
+  def topKBatch(docs: DataFrame, queries: DataFrame, k: Int,
+                k1: Double = 1.2, b: Double = 0.75,
+                idCol: String = "doc_id", textCol: String = "text",
+                queryIdCol: String = "query_id",
+                queryTextCol: String = "text"): DataFrame = {
+    val sc = scoresBatch(docs, queries, k1, b, idCol, textCol,
+        queryIdCol, queryTextCol)
+      .withColumn("score", round(col("score"), 4))
+    val top = sc
+      .groupBy(col(queryIdCol))
+      .agg(TopK.topK(col(idCol).cast("long"), col("score"), k))
+      .select(col(queryIdCol), posexplode(col("topk")))
+      .select(col(queryIdCol), (col("pos") + 1).cast("int").as("rk"),
+        col("col._1").as(idCol))
+    // join n_terms_hit/score back; the top side is k·|queries| rows —
+    // broadcast it so the scored side never shuffles
+    sc.join(broadcast(top), Seq(queryIdCol, idCol))
+      .select(col(queryIdCol), col("rk"), col(idCol),
+        col("n_terms_hit"), col("score"))
+  }
+
+  /** Benchmark-decontamination probe, the workload [[topKBatch]]
+    * exists for: for every benchmark question, the top-k corpus
+    * documents whose BM25 score ≥ `minScore` — the documents that
+    * could answer it and belong in a hold-out review. One job
+    * regardless of |benchmark|.
+    */
+  def decontaminationProbe(corpus: DataFrame, benchmark: DataFrame,
+                           k: Int = 10, minScore: Double = 0.0,
+                           idCol: String = "doc_id",
+                           textCol: String = "text",
+                           queryIdCol: String = "query_id",
+                           queryTextCol: String = "text"): DataFrame =
+    topKBatch(corpus, benchmark, k, idCol = idCol, textCol = textCol,
+        queryIdCol = queryIdCol, queryTextCol = queryTextCol)
+      .filter(col("score") >= minScore)
 }

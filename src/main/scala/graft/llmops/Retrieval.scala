@@ -142,6 +142,33 @@ object Retrieval {
         }
     }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two per-query
+    * rankings, each (queryId, idCol, rk): full-outer on (query, id),
+    * `rrf_score = Σ 1/(rrfK + rk_i)` — exact integer-rank arithmetic,
+    * no score normalization across incomparable scales — then
+    * per-query top-k by (rrf_score desc, id) via the [[CollectTopK]]
+    * bounded-heap aggregate (no rank window). This is
+    * [[hybridSearch]]'s fusion arithmetic, reusable for ANY two
+    * rankings (lexical×vector, two lexical variants, …); the q134
+    * oracle replays it relationally.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, rrfK: Int = 60,
+              queryId: String = "query_id",
+              idCol: String = "doc_id"): DataFrame = {
+    val fused = a
+      .select(col(queryId), col(idCol), col("rk").as("__ra"))
+      .join(b.select(col(queryId), col(idCol), col("rk").as("__rb")),
+        Seq(queryId, idCol), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(lit(1.0) / (lit(rrfK) + col("__ra")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("__rb")), lit(0.0)))
+    fused.groupBy(col(queryId))
+      .agg(TopK.topK(col(idCol).cast("long"), col("rrf_score"), k))
+      .select(col(queryId), posexplode(col("topk")))
+      .select(col(queryId), (col("pos") + 1).cast("int").as("rk"),
+        col("col._1").as(idCol), col("col._2").as("rrf_score"))
+  }
+
   /** Hybrid lexical + vector retrieval by reciprocal-rank fusion
     * (Cormack et al. 2009): per query, the BM25 top-k over chunk text
     * and the ANN top-k fuse as Σ 1/(rrfK + rank) — exact integer-rank
@@ -155,7 +182,7 @@ object Retrieval {
                    k: Int = 5, nprobe: Int = 4, rrfK: Int = 60,
                    queryId: String = "query_id",
                    textCol: String = "text"): DataFrame = {
-    // cached: the lexical loop below scans it once per query
+    // cached: the vector join-backs and the lexical pass share it
     val chunks = spark.read.parquet(s"$path/chunks").cache()
 
     // vector side: the [[search]] ranking, joined back to vec_id
@@ -164,43 +191,22 @@ object Retrieval {
     val vec = search(spark, path, queries, k, nprobe, queryId, textCol)
       .join(chunks.select(col("vec_id"), col("doc_id"), col("chunk_idx")),
         Seq("doc_id", "chunk_idx"))
-      .select(col(queryId), col("vec_id"), col("rk").as("__vrk"))
+      .select(col(queryId), col("vec_id"), col("rk"))
 
-    // lexical side: per-query BM25 over the (cached) chunk text. The
-    // query batch is driver-bounded by design (the ANN side already
-    // broadcasts it), so the per-query loop is |queries| bounded jobs.
-    // Null text or null id cannot score lexically — they ride the
+    // lexical side: ONE set-based multi-query BM25 job
+    // ([[Bm25.topKBatch]] — the chunk text tokenizes once for the
+    // union of all query terms; per-query top-k is the bounded-heap
+    // aggregate), not a per-query driver loop. Null query text or id
+    // cannot score lexically — topKBatch drops them, so they ride the
     // vector side only (where the embedder drops them row-wise).
-    val qRows = queries
-      .select(col(queryId).cast("long"), col(textCol)).collect()
-      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
-    val lex = qRows.map { r =>
-      val qid = r.getLong(0)
-      val terms = r.getString(1).toLowerCase
-        .split("\\s+").filter(_.nonEmpty).toSeq
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("score").desc, col("vec_id"))
-      Bm25.topK(chunks, terms, k, idCol = "vec_id",
-          textCol = "chunk_text")
-        .withColumn("__lrk", row_number().over(w))
-        .select(lit(qid).as(queryId), col("vec_id"), col("__lrk"))
-    }.reduceOption(_.unionByName(_))
-      .getOrElse(vec.limit(0).withColumnRenamed("__vrk", "__lrk"))
+    val lex = Bm25.topKBatch(chunks, queries, k,
+        idCol = "vec_id", textCol = "chunk_text",
+        queryIdCol = queryId, queryTextCol = textCol)
+      .select(col(queryId), col("vec_id"), col("rk"))
 
-    // reciprocal-rank fusion: exact integer-rank arithmetic, no
-    // cross-scale score normalization
-    val fused = vec.join(lex, Seq(queryId, "vec_id"), "full_outer")
-      .withColumn("rrf_score",
-        coalesce(lit(1.0) / (lit(rrfK) + col("__vrk")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(rrfK) + col("__lrk")), lit(0.0)))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(queryId))
-      .orderBy(col("rrf_score").desc, col("vec_id"))
     // materialize before unpersisting the cached chunk table — the
     // result is k·|queries| rows, checkpoint-small by construction
-    val out = fused
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    val out = rrfFuse(vec, lex, k, rrfK, queryId, "vec_id")
       .join(chunks, Seq("vec_id"))
       .select(col(queryId), col("rk"), col("doc_id"), col("chunk_idx"),
         col("chunk_text"), col("rrf_score"))

@@ -71,4 +71,59 @@ class Bm25Spec extends SparkTestBase {
     assert(s(1L) == 1, "dup/case variants collapse to one term")
     assert(Bm25.scores(docs, Seq("zzzzz")).count() == 0)
   }
+
+  test("scoresBatch: every per-query slice is bit-identical to scores") {
+    val queries = Seq(
+      (0L, "earnings revenue"),
+      (1L, "EARNINGS earnings"), // dup/case variants, one term
+      (2L, "annual report"),
+      (3L, "zzzzz")) // no hits
+    val batch = Bm25.scoresBatch(docs, queries.toDF("query_id", "text"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    val single = queries.flatMap { case (qid, text) =>
+      Bm25.scores(docs, text.split(" ").toSeq).collect()
+        .map(r => ((qid, r.getLong(0)), (r.getLong(1), r.getDouble(2))))
+    }.toMap
+    assert(batch.keySet == single.keySet)
+    batch.foreach { case (key, (nth, score)) =>
+      assert(single(key)._1 == nth, s"n_terms_hit at $key")
+      assert(single(key)._2 == score, s"score at $key") // BIT-identical
+    }
+  }
+
+  test("topKBatch: per-query top-k matches topK; null queries drop; " +
+      "rk is dense from 1") {
+    val queries = Seq(
+      (Some(0L), Some("earnings revenue")),
+      (Some(1L), Some("annual report")),
+      (Some(2L), None), // null text: no lexical rows
+      (None, Some("earnings"))) // null id: dropped
+      .toDF("query_id", "text")
+    val batch = Bm25.topKBatch(docs, queries, k = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(4)))
+    assert(batch.map(_._1).toSet == Set(0L, 1L))
+    Seq(0L -> Seq("earnings", "revenue"), 1L -> Seq("annual", "report"))
+      .foreach { case (qid, terms) =>
+        val want = Bm25.topK(docs, terms, 2).collect()
+          .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+        val got = batch.filter(_._1 == qid).sortBy(_._2)
+          .map(t => (t._3, t._4)).toSeq
+        assert(got == want, s"query $qid: got $got want $want")
+        assert(batch.filter(_._1 == qid).map(_._2).sorted.toSeq ==
+          (1 to got.size).toSeq)
+      }
+  }
+
+  test("decontaminationProbe: min-score gate on the batch ranking") {
+    val bench = Seq((10L, "quarterly earnings"), (11L, "cat videos"))
+      .toDF("query_id", "text")
+    val flagged = Bm25.decontaminationProbe(docs, bench, k = 3,
+        minScore = 0.1)
+      .select($"query_id", $"doc_id").as[(Long, Long)].collect().toSet
+    assert(flagged.contains((10L, 1L))) // both terms hit doc 1
+    assert(flagged.contains((11L, 3L))) // cat/videos doc
+    assert(!flagged.exists(p => p._1 == 11L && p._2 == 5L))
+  }
 }

@@ -114,6 +114,66 @@ class RetrievalSpec extends SparkTestBase {
     assert(scores.nonEmpty && scores.max <= 2.0 / 61 + 1e-9)
   }
 
+  test("hybridSearch: the set-based lexical batch reproduces the " +
+      "per-query formulation exactly") {
+    val docs = Seq(
+      (1L, "The incident ticket referenced error code EX4711 in the " +
+        "payment service logs during the outage window."),
+      (2L, "Revenue grew nine percent this quarter. Margins compressed " +
+        "in the retail arm. The dividend was raised."),
+      (3L, "Rainfall was heavy and the winds were calm through the " +
+        "whole evening at the coastal station."))
+      .toDF("doc_id", "text")
+    val path = tmp()
+    Retrieval.buildIndex(docs, path, targetChars = 120, dim = 128,
+      nlist = 2, m = 4)
+    val queries = Seq(
+      (0L, "ex4711 error"),
+      (1L, "revenue margins dividend raised this quarter"),
+      (2L, "calm winds in the evening"))
+      .toDF("query_id", "text")
+    val k = 2; val rrfK = 60
+    val got = Retrieval.hybridSearch(spark, path, queries, k = k,
+        nprobe = 2)
+      .select($"query_id", $"rk", $"doc_id", $"chunk_idx", $"rrf_score")
+      .as[(Long, Int, Long, Int, Double)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4, t._5))).toMap
+
+    // reference: the per-query-loop formulation the batch replaced
+    val chunks = spark.read.parquet(s"$path/chunks")
+    val vcMap = chunks.select($"vec_id", $"doc_id", $"chunk_idx")
+      .as[(Long, Long, Int)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    val vec = Retrieval.search(spark, path, queries, k, 2)
+      .join(chunks.select($"vec_id", $"doc_id", $"chunk_idx"),
+        Seq("doc_id", "chunk_idx"))
+      .select($"query_id", $"vec_id", $"rk").as[(Long, Long, Int)]
+      .collect().map { case (q, v, r) => (q, v) -> r }.toMap
+    val lex = queries.as[(Long, String)].collect().flatMap {
+      case (qid, text) =>
+        Bm25.topK(chunks, text.toLowerCase.split("\\s+").toSeq, k,
+            idCol = "vec_id", textCol = "chunk_text")
+          .collect().zipWithIndex
+          .map { case (r, i) => (qid, r.getLong(0)) -> (i + 1) }
+    }.toMap
+    val want = (vec.keySet ++ lex.keySet).toSeq
+      .map { key =>
+        (key, vec.get(key).map(r => 1.0 / (rrfK + r)).getOrElse(0.0) +
+          lex.get(key).map(r => 1.0 / (rrfK + r)).getOrElse(0.0))
+      }
+      .groupBy(_._1._1).flatMap { case (qid, rows) =>
+        rows.sortBy { case ((_, v), s) => (-s, v) }.take(k).zipWithIndex
+          .map { case (((_, v), s), i) =>
+            (qid, i + 1) -> ((vcMap(v)._1, vcMap(v)._2, s)) }
+      }
+    assert(got.keySet == want.keySet, s"got=$got want=$want")
+    want.foreach { case (key, (d, c, s)) =>
+      val (gd, gc, gs) = got(key)
+      assert(gd == d && gc == c && math.abs(gs - s) < 1e-12,
+        s"$key: got=${got(key)} want=${(d, c, s)}")
+    }
+  }
+
   test("ingestStream: a document stream grows the index per " +
       "micro-batch, serveable throughout") {
     implicit val sqlCtx = spark.sqlContext
