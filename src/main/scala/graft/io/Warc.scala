@@ -203,19 +203,33 @@ object Warc extends Serializable {
     * walks an ARCHIVED site snapshot hermetically, no network, same
     * classification/scoring/dedup as a live crawl. Driver-side by
     * design (the fetcher ships with the tasks), so this is for
-    * snapshot-scale replays — regression-crawling a site capture, not
-    * a common-crawl-sized archive; for the latter, join the frontier
-    * against [[readFiles]] output instead.
+    * snapshot-scale replays ONLY — regression-crawling a site capture,
+    * not a common-crawl-sized archive. `maxPages` makes that contract
+    * mechanical: more than `maxPages` qualifying pages raises an error
+    * naming the scale path (`Crawl.crawlArchive` over [[cdxIndex]] +
+    * [[fetchRecords]] — distributed, payloads never on the driver)
+    * instead of silently OOMing the driver.
     */
-  def pageMap(spark: SparkSession, path: String): Map[String, String] = {
+  def pageMap(spark: SparkSession, path: String,
+              maxPages: Int = 10000): Map[String, String] = {
     import spark.implicits._
-    readFiles(spark, path)
+    // limit(cap + 1) bounds the collect structurally — the driver
+    // never holds more than one page beyond the cap even on the way
+    // to the error
+    val rows = readFiles(spark, path)
       .filter(col("warc_type") === "response" &&
         col("http_status").between(200, 299) &&
         col("http_content_type").startsWith("text/html") &&
         col("target_uri").isNotNull)
       .select(col("target_uri"), col("content").cast("string"))
-      .as[(String, String)].collect().toMap
+      .as[(String, String)].limit(maxPages + 1).collect()
+    require(rows.length <= maxPages,
+      s"Warc.pageMap: archive under '$path' holds more than $maxPages " +
+        "HTML pages — pageMap is a driver-side snapshot-replay seam. " +
+        "Use Crawl.crawlArchive(seeds, Warc.cdxIndex(...)) for " +
+        "distributed archive replay (payloads never on the driver), " +
+        "or raise maxPages explicitly.")
+    rows.toMap
   }
 
   /** The source: one row per WARC RECORD under `path` (glob ok),
@@ -378,11 +392,12 @@ object Warc extends Serializable {
       .flatMap { case (file, bytes) =>
         parseRecordsIndexed(bytes).map { case (r, off, len) =>
           (r.target_uri.orNull, file, off, len, r.warc_type,
-            r.http_status, r.content.length.toLong)
+            r.http_status, r.content.length.toLong,
+            r.http_content_type.orNull)
         }
       }
       .toDF("uri", "file", "offset", "length", "warc_type",
-        "http_status", "n_bytes")
+        "http_status", "n_bytes", "http_content_type")
   }
 
   /** One point read: the record(s) at a CDX index entry, via a ranged

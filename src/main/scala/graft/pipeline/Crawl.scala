@@ -58,7 +58,103 @@ object Crawl {
             promisingAtAllDepths: Boolean = false,
             canonicalizeVisited: Boolean = false,
             robots: Option[DataFrame] = None,
-            robotsAgent: String = "graftbot"): DataFrame = {
+            robotsAgent: String = "graftbot"): DataFrame =
+    crawlPages(spark, seeds, fetcherSource(fetcher), maxDepth, topK,
+      promisingAtAllDepths, canonicalizeVisited, robots, robotsAgent)
+
+  /** Distributed archive-backed crawl replay: the SAME BFS over a
+    * CDX-indexed WARC capture ([[graft.io.Warc.cdxIndex]]), with pages
+    * recovered by ranged point reads ([[graft.io.Warc.fetchRecords]])
+    * instead of live fetches. Per iteration the slim index joins the
+    * broadcast frontier, one capture per frontier URL is picked
+    * deterministically (earliest (file, offset) among 2xx HTML
+    * responses), and only those members are read — fetch cost ∝ the
+    * FRONTIER, not the archive, and page payloads never touch the
+    * driver (the `Warc.pageMap` + `MapPageFetcher` replay collects
+    * every page into the fetcher closure; this is its at-scale
+    * replacement, the Common-Crawl-sized shape). Cache the index
+    * DataFrame when replaying deep crawls — each depth re-reads it.
+    */
+  def crawlArchive(spark: SparkSession, seeds: DataFrame,
+                   index: DataFrame,
+                   maxDepth: Int = 2, topK: Int = 5,
+                   promisingAtAllDepths: Boolean = false,
+                   canonicalizeVisited: Boolean = false,
+                   robots: Option[DataFrame] = None,
+                   robotsAgent: String = "graftbot"): DataFrame =
+    crawlPages(spark, seeds, archiveSource(index), maxDepth, topK,
+      promisingAtAllDepths, canonicalizeVisited, robots, robotsAgent)
+
+  /** frontier (company, url, depth) → pages (company, url, depth, html) */
+  private type PageSource = (SparkSession, DataFrame) => DataFrame
+
+  /** The live-fetch page source: one [[PageFetcher]] client per
+    * partition (U7), fetches inside `mapPartitions` so cheap frontier
+    * filters always run BEFORE the expensive fetch.
+    */
+  private def fetcherSource(fetcher: PageFetcher): PageSource =
+    (s, frontier) => {
+      import s.implicits._
+      frontier
+        .as[(String, String, Int)]
+        .mapPartitions { it =>
+          // one fetcher per partition ≈ one browser per worker (U7)
+          it.flatMap { case (c, u, dep) =>
+            fetcher.fetch(u).map(html => Page(c, u, dep, html))
+          }
+        }
+        .toDF()
+    }
+
+  /** The archive page source behind [[crawlArchive]]. `index` is
+    * [[graft.io.Warc.cdxIndex]] output (slim rows — no payloads). The
+    * frontier is broadcast into the index scan; the distinct matched
+    * (file, offset, length) units go through ranged reads; the
+    * recovered records re-join the frontier on (file, offset) +
+    * target-URI equality (multi-record gzip members share bounds, the
+    * URI check keeps the right one).
+    */
+  private def archiveSource(index: DataFrame): PageSource =
+    (s, frontier) => {
+      val idx = index.filter(col("warc_type") === "response" &&
+          col("http_status").between(200, 299) &&
+          col("http_content_type").startsWith("text/html") &&
+          col("uri").isNotNull)
+        .select(col("uri"), col("file"), col("offset"), col("length"))
+      // earliest capture per frontier row wins — archives hold
+      // re-crawls of the same URI; the pick must be deterministic
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("company"), col("url"), col("depth"))
+        .orderBy(col("file"), col("offset"))
+      val picked = idx
+        .join(broadcast(frontier.select(col("company"), col("url"),
+          col("depth"))), col("uri") === col("url"))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+        .select(col("company"), col("url"), col("depth"),
+          col("file"), col("offset"), col("length"))
+      val units = picked
+        .select(col("file"), col("offset"), col("length")).distinct()
+      val recs = graft.io.Warc.fetchRecords(s, units)
+        .filter(col("warc_type") === "response" &&
+          col("http_status").between(200, 299) &&
+          col("http_content_type").startsWith("text/html") &&
+          col("target_uri").isNotNull)
+        .select(col("file"), col("offset"), col("target_uri"),
+          col("content").cast("string").as("html"))
+      picked
+        .join(recs, Seq("file", "offset"))
+        .filter(col("target_uri") === col("url"))
+        .select(col("company"), col("url"), col("depth"), col("html"))
+    }
+
+  private def crawlPages(spark: SparkSession, seeds: DataFrame,
+                         pageSource: PageSource,
+                         maxDepth: Int, topK: Int,
+                         promisingAtAllDepths: Boolean,
+                         canonicalizeVisited: Boolean,
+                         robots: Option[DataFrame],
+                         robotsAgent: String): DataFrame = {
     import spark.implicits._
 
     def visitKey(url: org.apache.spark.sql.Column) =
@@ -92,15 +188,7 @@ object Crawl {
 
     var depth = 0
     while (depth <= maxDepth && frontier.limit(1).count() > 0) {
-      val pages = frontier
-        .as[(String, String, Int)]
-        .mapPartitions { it =>
-          // one fetcher per partition ≈ one browser per worker (U7)
-          it.flatMap { case (c, u, dep) =>
-            fetcher.fetch(u).map(html => Page(c, u, dep, html))
-          }
-        }
-        .toDF()
+      val pages = pageSource(spark, frontier)
 
       val links = pages
         .select(col("company"), col("url").as("source_url"), col("depth"),

@@ -157,7 +157,7 @@ class WarcSpec extends SparkTestBase {
     val idx = Warc.cdxIndex(spark, dir.toString + "/*").cache()
     assert(idx.count() == 8)
     assert(idx.columns.toSeq == Seq("uri", "file", "offset", "length",
-      "warc_type", "http_status", "n_bytes"))
+      "warc_type", "http_status", "n_bytes", "http_content_type"))
 
     // single point read straight from an index row
     val row = idx.filter($"uri" === "https://ex.example.com/p1" &&

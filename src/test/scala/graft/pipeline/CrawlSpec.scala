@@ -164,4 +164,47 @@ class CrawlSpec extends SparkTestBase {
     assert(stats.getAs[Long]("urls_visited") == 3)
     assert(stats.getAs[Long]("urls_found") == 4)
   }
+
+  test("crawlArchive: CDX-ranged archive replay produces the identical " +
+      "link output to the live-fetch crawl — payloads never driver-side") {
+    import graft.io.Warc
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val dir = java.nio.file.Files.createTempDirectory("graft-crawl-warc")
+    dir.toFile.deleteOnExit()
+    // the site capture: every fixture page as a WARC response, plus
+    // noise the replay must skip — a warcinfo record, a 404, a non-HTML
+    // response under a crawlable URL, and a RE-CRAWL of the seed whose
+    // content differs (the earliest capture must win deterministically)
+    val recs =
+      Warc.encodeWarcinfo("crawl.warc", "2026-01-01T00:00:00Z") +:
+      pages.toSeq.sortBy(_._1).map { case (url, html) =>
+        Warc.encodeResponse(url, "2026-01-01T00:00:00Z", html.getBytes(utf8))
+      } :+
+      Warc.encodeResponse(s"$base/gone", "2026-01-01T00:00:00Z",
+        "<html>gone</html>".getBytes(utf8), status = 404) :+
+      Warc.encodeResponse(s"$base/feed.pdf", "2026-01-01T00:00:00Z",
+        "%PDF".getBytes(utf8), httpContentType = "application/pdf") :+
+      Warc.encodeResponse(s"$base/index.html", "2026-02-01T00:00:00Z",
+        "<html><body><a href=\"/late\">Late recrawl</a></body></html>"
+          .getBytes(utf8))
+    java.nio.file.Files.write(dir.resolve("crawl.warc.gz"),
+      Warc.encodeFile(recs, gzip = true))
+
+    val idx = Warc.cdxIndex(spark, dir.toString + "/*").cache()
+    val seeds = Seq(("corp", s"$base/index.html")).toDF("company", "url")
+    val replayed = Crawl.crawlArchive(spark, seeds, idx,
+      maxDepth = 2, topK = 5)
+
+    // identical rows, column for column, to the fixture-fetcher crawl
+    val cols = links.columns.sorted.map(col)
+    assert(replayed.select(cols: _*).except(links.select(cols: _*))
+      .count() == 0)
+    assert(links.select(cols: _*).except(replayed.select(cols: _*))
+      .count() == 0)
+    assert(replayed.count() == links.count())
+    // the re-crawled seed's "late" link must NOT appear (first capture
+    // won), and nothing from the 404/non-HTML records leaked
+    assert(replayed.filter($"href".contains("/late")).count() == 0)
+    assert(replayed.filter($"source_url" === s"$base/gone").count() == 0)
+  }
 }
