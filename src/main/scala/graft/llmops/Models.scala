@@ -208,6 +208,47 @@ object Models {
     (spark.read.parquet(s"$dir/unigrams"),
       spark.read.parquet(s"$dir/bigrams"))
 
+  /** Persist a trained quality model ([[QualityModel.train]] output):
+    * rows (fh, w), the bias under [[QualityModel.BiasKey]] (4 chars,
+    * non-hex — can never collide with an md5-prefix bucket). Weights
+    * stay DOUBLE (the training arithmetic is double end-to-end), so
+    * load∘save is the identity and a fresh session scoring from the
+    * loaded weights is bit-identical to the training session
+    * (ModelsSpec). ≤ 65 537 rows by construction — the same
+    * bounded-model contract as every other seam here.
+    */
+  def saveQualityModel(spark: SparkSession, path: String,
+                       weights: Map[String, Double], bias: Double): Unit = {
+    import spark.implicits._
+    (weights.toSeq :+ (QualityModel.BiasKey -> bias)).toDF("fh", "w")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a model saved by [[saveQualityModel]]: (weights, bias). */
+  def loadQualityModel(spark: SparkSession, path: String)
+      : (Map[String, Double], Double) = {
+    val rows = spark.read.parquet(path).select("fh", "w").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val bias = rows.collectFirst {
+      case (QualityModel.BiasKey, v) => v }.getOrElse(0.0)
+    (rows.toMap - QualityModel.BiasKey, bias)
+  }
+
+  /** Persist a DSIR ratio table ([[Dsir.logRatios]] output, its
+    * [[Dsir.DefaultKey]] unseen-bucket row included): rows (fh, lr),
+    * lr as DOUBLE. ≤ 65 537 rows regardless of corpus size. The loaded
+    * table drops into [[Dsir.importanceScores]] (DataFrame form) or
+    * [[Dsir.ratioMap]] → [[Dsir.logwColumn]] (scalar/streaming form)
+    * with scores bit-identical to the training session (ModelsSpec).
+    */
+  def saveDsir(path: String, ratios: DataFrame): Unit =
+    ratios.select("fh", "lr")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Load a ratio table saved by [[saveDsir]]. */
+  def loadDsir(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).select("fh", "lr")
+
   /** (outer, inner, w) triples → ragged Array[Array[Float]], shaped by
     * the max indices actually present.
     */

@@ -139,6 +139,52 @@ class ModelsSpec extends SparkTestBase {
     assert(kn(biBack) == kn(bi))
   }
 
+  test("quality model: load∘save identity, fresh-session scoring " +
+      "bit-identical from parquet alone") {
+    val docs = Tables.documents(spark, sf0001)
+      .filter($"text".isNotNull).limit(80)
+      .withColumn("label", ($"doc_id" % 2 === 0).cast("int"))
+    val (w, b) = QualityModel.train(docs, epochs = 2)
+    assert(w.nonEmpty)
+    val p = tmp("qmodel")
+    Models.saveQualityModel(spark, p, w, b)
+    val (w2, b2) = Models.loadQualityModel(spark, p)
+    assert(w2 == w && b2 == b) // DOUBLE storage: exact identity
+    // scoring from the loaded model reproduces every probability bit
+    // for bit — the train-once/serve-many contract
+    val a = QualityModel.score(docs, w, b)
+      .as[(Long, Double)].collect().toMap
+    val c = QualityModel.score(docs, w2, b2)
+      .as[(Long, Double)].collect().toMap
+    assert(a == c)
+  }
+
+  test("DSIR ratio table: load∘save identity, persisted gating " +
+      "bit-identical in both the join and scalar forms") {
+    val target = Tables.documents(spark, sf0001)
+      .filter($"doc_id" % 3 === 0).limit(40)
+    val raw = Tables.documents(spark, sf0001)
+      .filter($"doc_id" % 3 =!= 0).limit(80)
+    val ratios = Dsir.logRatios(target, raw)
+    val p = tmp("dsir")
+    Models.saveDsir(p, ratios)
+    val back = Models.loadDsir(spark, p)
+    // table identity (fh is a unique key, order-insensitive)
+    val origRows = ratios.as[(String, Double)].collect().toMap
+    val backRows = back.as[(String, Double)].collect().toMap
+    assert(backRows == origRows)
+    // DataFrame scoring form
+    val a = Dsir.importanceScores(raw, ratios)
+      .as[(Long, Double)].collect().toMap
+    val b = Dsir.importanceScores(raw, back)
+      .as[(Long, Double)].collect().toMap
+    assert(a == b)
+    // scalar/streaming form via ratioMap
+    val (m1, d1) = Dsir.ratioMap(ratios)
+    val (m2, d2) = Dsir.ratioMap(back)
+    assert(m1 == m2 && d1 == d2)
+  }
+
   test("load∘save is the identity for LSH plans (the incremental-dedup " +
     "split-consistency seam)") {
     val plan = LshPlan.plan(0.4)
