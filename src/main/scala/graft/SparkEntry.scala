@@ -2660,6 +2660,43 @@ object SparkEntry {
         .select($"query_id", $"rk", $"doc_id",
           round($"rrf_score", 6).as("rrf_score"))
         .orderBy($"query_id", $"rk")
+    }),
+
+    // One-call retrieval served end-to-end from the WRITTEN files
+    // (X102's composition under its own oracle): buildIndex chunks +
+    // embeds + writes the list-partitioned ANN index; the oracle
+    // recomputes the query embeddings from the question TEXTS via the
+    // q132 md5 arithmetic (integer bucket counts → exact double norm →
+    // REAL cast, bit-identical to the float kernel), then replays
+    // candidate generation (materialized probes, the q93 pattern), the
+    // codes ⋈ codebooks ADC scoring, the (sim desc, vec_id) ranking,
+    // and the chunk-table join — every serving stage from parquet
+    // alone.
+    "q135_retrieval_serve" -> ((s, d) => {
+      import s.implicits._
+      val R = graft.llmops.Retrieval
+      val base = "/root/repo/spark-warehouse/q135_ret"
+      val docs = t(s, d, "documents")
+        .filter($"doc_id" % 10 === 2 && $"text".isNotNull)
+        .select($"doc_id", $"text")
+      R.buildIndex(docs, base, targetChars = 200, dim = 64,
+        nlist = 16, m = 8)
+      val questions = Seq(
+        (0L, "vector window merge"),
+        (1L, "stream processing window"),
+        (2L, "merge stream vector")).toDF("query_id", "text")
+      if (materializing) {
+        val (cents, _) = graft.llmops.AnnIndex.loadModels(s, s"$base/index")
+        val qv = graft.llmops.VectorFuncs.hashedEmbedding(questions, 64,
+          idCol = "query_id", textCol = "text")
+        materialize(qv.select($"query_id",
+          explode(graft.llmops.Ivf.nearest_centroids($"embedding", cents, 4))
+            .as("list_id")), "q135_probes")
+      }
+      R.search(s, base, questions, k = 5, nprobe = 4)
+        .select($"query_id", $"rk", $"doc_id", $"chunk_idx",
+          md5($"chunk_text").as("chunk_md5"), $"sim")
+        .orderBy($"query_id", $"rk")
     })
   )
 
@@ -4937,6 +4974,74 @@ object SparkEntry {
            FROM fused QUALIFY rk <= 12)
          SELECT qid::BIGINT AS query_id, rk::INTEGER AS rk, doc_id,
                 round(rrf, 6) AS rrf_score
-         FROM ranked ORDER BY query_id, rk"""
+         FROM ranked ORDER BY query_id, rk""",
+    // Retrieval served from the written files: query embeddings
+    // recomputed from question texts (q132 arithmetic — integer bucket
+    // counts, exact double norm, REAL cast = the float kernel's
+    // values), candidates from the materialized probes (q93 pattern),
+    // ADC scoring from the persisted codes ⋈ codebooks, rank by
+    // (sim desc, vec_id), chunk metadata from the chunk table.
+    "q135_retrieval_serve" ->
+      """WITH qt AS (
+           SELECT * FROM (VALUES
+             (0, 'vector window merge'),
+             (1, 'stream processing window'),
+             (2, 'merge stream vector')) AS t(query_id, qtext)),
+         qtok AS (
+           SELECT query_id,
+                  unnest(string_split_regex(lower(trim(qtext)), '\s+')) AS t
+           FROM qt),
+         qb AS (
+           SELECT query_id,
+                  CAST(('0x' || substr(md5(t), 1, 8))::BIGINT % 64
+                       AS INTEGER) AS dim,
+                  CASE WHEN substr(md5(t), 9, 1) < '8'
+                       THEN 1 ELSE -1 END AS sgn
+           FROM qtok WHERE t <> ''),
+         qraw AS (
+           SELECT query_id, dim, CAST(sum(sgn) AS DOUBLE) AS v
+           FROM qb GROUP BY 1, 2),
+         qnorm AS (
+           SELECT query_id, sqrt(sum(v * v)) AS nrm
+           FROM qraw GROUP BY 1),
+         qv AS (
+           SELECT q.query_id, q.dim, CAST(q.v / n.nrm AS REAL) AS val
+           FROM qraw q JOIN qnorm n USING (query_id) WHERE n.nrm > 0),
+         idx AS (
+           SELECT vec_id, codes, list_id::INT AS list_id
+           FROM read_parquet('/root/repo/spark-warehouse/q135_ret/index/list_id=*/*.parquet', hive_partitioning=true)),
+         cb AS (
+           SELECT sub, code, sdim, w::DOUBLE AS w
+           FROM read_parquet('/root/repo/spark-warehouse/q135_ret/index/_models/codebooks/*.parquet')),
+         probes AS (
+           SELECT query_id, list_id
+           FROM read_parquet('/root/repo/spark-warehouse/q135_probes/*.parquet')),
+         codes AS (
+           SELECT vec_id, s.i - 1 AS sub, codes[s.i] AS code
+           FROM idx, generate_series(1, 8) s(i)),
+         cand AS (
+           SELECT DISTINCT p.query_id, a.vec_id
+           FROM probes p JOIN idx a USING (list_id)),
+         recon AS (
+           SELECT c.vec_id, cb.sub * 8 + cb.sdim AS dim, cb.w
+           FROM codes c JOIN cb ON cb.sub = c.sub AND cb.code = c.code),
+         scored AS (
+           SELECT cand.query_id, cand.vec_id,
+                  round(sum(r.w * qv.val::DOUBLE), 6) AS sim
+           FROM cand JOIN recon r ON r.vec_id = cand.vec_id
+                     JOIN qv ON qv.query_id = cand.query_id
+                            AND qv.dim = r.dim
+           GROUP BY 1, 2),
+         ranked AS (
+           SELECT query_id, vec_id, sim, row_number() OVER (
+             PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
+           FROM scored WHERE sim IS NOT NULL),
+         ch AS (
+           SELECT vec_id, doc_id, chunk_idx, md5(chunk_text) AS chunk_md5
+           FROM read_parquet('/root/repo/spark-warehouse/q135_ret/chunks/*.parquet'))
+         SELECT r.query_id::BIGINT AS query_id, r.rk::INTEGER AS rk,
+                ch.doc_id, ch.chunk_idx, ch.chunk_md5, r.sim
+         FROM ranked r JOIN ch ON ch.vec_id = r.vec_id
+         WHERE r.rk <= 5 ORDER BY query_id, rk"""
   )
 }
