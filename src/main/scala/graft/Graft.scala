@@ -69,6 +69,14 @@ object Graft {
     llmops.Dedup.minhashDedup(docs, threshold)
   def nearDupPairs(docs: DataFrame, threshold: Double = 0.7): DataFrame =
     llmops.Dedup.minhashPairs(docs, threshold)
+  /** Exact hot-bucket cap audit: the over-cap LSH buckets (and the
+    * candidate recall they cost) a [[nearDupPairs]]/[[minhashDedup]]
+    * run at the same parameters silently dropped. Empty = cap cost
+    * nothing. In-run telemetry also flows via observed metrics
+    * (`Dedup.capDropMetrics`). */
+  def dedupCapAudit(docs: DataFrame, threshold: Double = 0.7,
+                    maxBucket: Int = 200): DataFrame =
+    llmops.Dedup.capAudit(docs, threshold, maxBucket = maxBucket)
   /** SimHash near-dup pairs; defaults to the 128-bit wide-band config
     * (see [[llmops.Dedup.simhashPairs]] — `wideBands = false` is the
     * sub-100k-doc fast path only). `maxHamming = -1` auto-scales the

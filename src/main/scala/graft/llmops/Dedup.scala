@@ -28,13 +28,81 @@ object Dedup {
     * The window count partitions by the same keys the subsequent
     * self-join shuffles on, so Catalyst reuses one exchange.
     */
+  /** Prefix of the observed-metric names [[capBuckets]] emits. Every
+    * cap site reports (rows_dropped, max_bucket_n, rows_seen) through
+    * Spark's `observe` — collected DURING the run by the same job, no
+    * second pass — so a production run can SEE what the cap cost
+    * (silent candidate-recall loss on adversarial skew is the failure
+    * mode). Read them from a `QueryExecutionListener`, or after an
+    * action on the result's own plan via [[capDropMetrics]].
+    */
+  val CapMetricPrefix = "graft.dedup.cap"
+
+  /** Observation names must be unique per query and one query can hold
+    * several cap sites (incremental dedup runs two LSH rounds) — a
+    * monotonic suffix keeps them distinct. Self-joins reusing ONE
+    * capped table are fine: both branches carry the identical node.
+    */
+  private val capSeq = new java.util.concurrent.atomic.AtomicLong()
+
   private def capBuckets(banded: DataFrame, maxBucket: Int,
                          keys: Seq[String] = Seq("band", "band_hash"))
       : DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*)
     banded.withColumn("bucket_n", count(lit(1)).over(w))
+      .observe(s"$CapMetricPrefix-${capSeq.incrementAndGet()}",
+        sum(when(col("bucket_n") > maxBucket, lit(1L)).otherwise(lit(0L)))
+          .as("rows_dropped"),
+        coalesce(max(col("bucket_n")), lit(0L)).as("max_bucket_n"),
+        count(lit(1)).as("rows_seen"))
       .filter(col("bucket_n") <= maxBucket)
       .drop("bucket_n")
+  }
+
+  /** The hot-bucket cap metrics observed by the last execution of
+    * `df`'s own plan (run `df.collect()`/`.write` first — a derived
+    * action like `count()` executes a derived plan and lands its
+    * metrics there): metric name → (rows_dropped, max_bucket_n,
+    * rows_seen), one entry per cap site in the plan. `rows_dropped`
+    * counts BAND rows in over-cap buckets — the exact recall surface
+    * the cap traded away; members can still pair through their other
+    * bands, so nonzero is a signal to inspect, not an error.
+    *
+    * CAVEAT — the adversarial-skew blind spot: when the cap empties
+    * the candidate stream entirely (every bucket hot), AQE's
+    * empty-relation propagation can replace the subtree CONTAINING the
+    * CollectMetrics node, and the observed map comes back empty for
+    * exactly the run you most wanted to inspect. A suspiciously empty
+    * dedup result on skewed data therefore warrants the exact audit:
+    * [[capAudit]].
+    */
+  def capDropMetrics(df: DataFrame): Map[String, (Long, Long, Long)] =
+    df.queryExecution.observedMetrics.collect {
+      case (name, row) if name.startsWith(CapMetricPrefix) =>
+        name -> ((row.getLong(0), row.getLong(1), row.getLong(2)))
+    }
+
+  /** Exact hot-bucket cap audit — the X33 profiling shape: one row per
+    * OVER-cap (band, band_hash) bucket with its size, under the SAME
+    * planned split and sketch parameters [[minhashPairs]] uses, so the
+    * audit sees exactly the buckets the pair generator saw. Each
+    * returned row represents `bucket_n` band rows the cap dropped
+    * whole (`bucket_n²/2` candidate pairs that were never proposed
+    * through that band). Run it when a dedup pass over skewed data
+    * returns suspiciously few pairs; empty output = the cap cost
+    * nothing. One extra slim-row aggregation — deliberately a separate
+    * pass, immune to the [[capDropMetrics]] AQE caveat.
+    */
+  def capAudit(docs: DataFrame, threshold: Double = 0.7,
+               bands: Int = 0, rowsPerBand: Int = 0,
+               shingleSize: Int = 5, maxBucket: Int = 200,
+               idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    val (b, r) = resolveSplit(threshold, bands, rowsPerBand)
+    lshBanded(minhashSigs(docs, shingleSize, b * r, idCol, textCol), b, r)
+      .groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
   }
 
   /** Shared verify tail for the vector pair generators: within-bucket

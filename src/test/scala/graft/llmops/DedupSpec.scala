@@ -242,6 +242,42 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.minhashPairs(small).count() == 50L * 49 / 2)
   }
 
+  test("hot-bucket cap is observable: in-run metrics on the live path, " +
+      "exact audit on a planted hot bucket") {
+    // 30 identical docs + 1 distinct: under maxBucket=8 every one of
+    // the plan's band buckets holds 30 members and is dropped whole;
+    // the cap's cost must be VISIBLE, not inferred from a silent
+    // empty result.
+    val plan = LshPlan.plan(0.7)
+    val hot = spark.range(0, 30)
+      .select($"id".as("doc_id"),
+        lit("identical boilerplate body shared by the hot cluster " +
+          "of documents").as("text"))
+      .unionByName(Seq((100L, "a genuinely different document about " +
+        "entirely other things and words")).toDF("doc_id", "text"))
+
+    // exact audit: one row per over-cap bucket, bucket_n = 30, and
+    // exactly plan.bands of them (identical docs share every band)
+    val audit = Dedup.capAudit(hot, threshold = 0.7, maxBucket = 8)
+      .collect()
+    assert(audit.length == plan.bands, s"audit=${audit.length}")
+    assert(audit.forall(_.getAs[Long]("bucket_n") == 30L))
+    // below-cap run: the audit reports nothing
+    assert(Dedup.capAudit(hot, threshold = 0.7, maxBucket = 200)
+      .collect().isEmpty)
+
+    // in-run observe metrics on a live (non-empty) pair run: the
+    // calm path reports zero drops with exact row counts. (The
+    // all-dropped case is the documented AQE empty-relation blind
+    // spot — capDropMetrics' scaladoc routes it to capAudit.)
+    val calm = Dedup.minhashPairs(hot, threshold = 0.7, maxBucket = 200)
+    calm.collect()
+    val m = Dedup.capDropMetrics(calm)
+    assert(m.size == 1 && m.keys.head.startsWith(Dedup.CapMetricPrefix))
+    val (d2, m2, s2) = m.values.head
+    assert(d2 == 0L && m2 == 30L && s2 == 31L * plan.bands)
+  }
+
   test("contaminationPairs finds benchmark docs leaked into the corpus") {
     // benchmark = 5 docs; corpus = normal docs + exact copies of 3
     // benchmark docs under new ids → exactly those 3 must be flagged
