@@ -252,4 +252,54 @@ class CorpusSpec extends SparkTestBase {
     // the surviving text is the canonical spelling
     assert(norm.select($"text").as[String].head() == pre)
   }
+
+  test("periodic re-clean recipe: landed table -> re-clean -> snapshot " +
+      "diff surfaces the retroactive rewrites streaming cannot make") {
+    // The X97 line-boilerplate stage is batch-only BY DESIGN: a line
+    // only becomes boilerplate after minDocs documents carry it, so a
+    // streaming gate would need to rewrite ALREADY-LANDED documents.
+    // The honest posture (SCALING.md's runnable recipe) is: land the
+    // stream, re-clean the landed table periodically, and let the
+    // snapshot diff say exactly which documents the new evidence
+    // rewrote.
+    val dir = java.nio.file.Files.createTempDirectory("graft-reclean")
+    dir.toFile.deleteOnExit()
+    val landed = dir.resolve("landed").toString
+    val body1 = "unique content of the first landed document"
+    val body2 = "entirely different content in the second arrival"
+    val footer = "SIGN UP FOR OUR NEWSLETTER"
+
+    // micro-batch 1 lands; its footer line is UNIQUE so far
+    Seq((1L, s"$body1\n$footer")).toDF("doc_id", "text")
+      .write.mode("append").parquet(landed)
+    val cleanV1 = TextFuncs.dropBoilerplateLines(
+      spark.read.parquet(landed), minDocs = 2)
+    // nothing crosses minDocs yet: doc 1 keeps its footer
+    assert(cleanV1.select($"text").as[String].head()
+      == s"$body1\n$footer")
+    val snapV1 = dir.resolve("clean_v1").toString
+    cleanV1.write.parquet(snapV1)
+
+    // micro-batch 2 lands the SAME footer under a new doc — the line
+    // is now corpus-boilerplate, including inside already-landed doc 1
+    Seq((2L, s"$body2\n$footer")).toDF("doc_id", "text")
+      .write.mode("append").parquet(landed)
+    val cleanV2 = TextFuncs.dropBoilerplateLines(
+      spark.read.parquet(landed), minDocs = 2)
+    val snapV2 = dir.resolve("clean_v2").toString
+    cleanV2.write.parquet(snapV2)
+
+    val byDoc = spark.read.parquet(snapV2)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(byDoc(1L) == body1, "re-clean must rewrite the LANDED doc")
+    assert(byDoc(2L) == body2)
+
+    // the snapshot diff names the retroactive rewrite: doc 1 CHANGED
+    // (its footer vanished under new evidence), doc 2 is ADDED
+    val statuses = graft.ops.SnapshotDiff.diff(
+        spark.read.parquet(snapV1), spark.read.parquet(snapV2))
+      .as[(Long, String)].collect().toMap
+    assert(statuses == Map(1L -> "changed", 2L -> "added"),
+      s"statuses=$statuses")
+  }
 }
