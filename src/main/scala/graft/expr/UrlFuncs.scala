@@ -83,22 +83,32 @@ object UrlKernels {
   private val trackingParams =
     Set("gclid", "fbclid", "msclkid", "ref", "ref_src", "mc_cid", "mc_eid")
 
-  /** Uppercase the hex digits of every `%XX` escape (RFC 3986 §6.2.2.1
-    * case normalization) so `%2f` and `%2F` canonicalize identically —
-    * WITHOUT decoding, so escaped structural delimiters (`%2F`, `%26`,
-    * `%3D`) stay distinct from their literal forms.
+  /** RFC 3986 §6.2.2 escape normalization, delimiter-safe by
+    * construction: a `%XX` escape of an UNRESERVED character
+    * (letters, digits, `-._~` — §6.2.2.2) decodes to the character
+    * (`%32` ≡ `2`, `utm%5Fsource` ≡ `utm_source`, so the tracking
+    * filter and visited-set key see one spelling); every other escape
+    * keeps its `%` form with the hex uppercased (§6.2.2.1), so
+    * escaped structural delimiters (`%2F`, `%26`, `%3D`) stay
+    * distinct from their literal forms and decoding can never merge
+    * two genuinely different URLs.
     */
-  private def upperHexEscapes(s: String): String = {
+  private def normalizeEscapes(s: String): String = {
     if (s.indexOf('%') < 0) return s
-    def hex(c: Char) =
-      (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+    def hex(c: Char) = Character.digit(c, 16)
+    def unreserved(c: Int) =
+      (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+        (c >= '0' && c <= '9') || c == '-' || c == '.' || c == '_' || c == '~'
     val sb = new StringBuilder(s.length)
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length &&
-          hex(s.charAt(i + 1)) && hex(s.charAt(i + 2))) {
-        sb.append('%')
+      val h1 = if (c == '%' && i + 2 < s.length) hex(s.charAt(i + 1)) else -1
+      val h2 = if (h1 >= 0) hex(s.charAt(i + 2)) else -1
+      if (h1 >= 0 && h2 >= 0) {
+        val v = (h1 << 4) | h2
+        if (unreserved(v)) sb.append(v.toChar)
+        else sb.append('%')
           .append(Character.toUpperCase(s.charAt(i + 1)))
           .append(Character.toUpperCase(s.charAt(i + 2)))
         i += 3
@@ -107,8 +117,9 @@ object UrlKernels {
     sb.toString
   }
 
-  /** RFC 3986 §5.2.4 dot-segment removal over the RAW (still
-    * percent-encoded) path — `%2E` never counts as a dot, `%2F` never
+  /** RFC 3986 §5.2.4 dot-segment removal over the path AFTER
+    * [[normalizeEscapes]] — so `%2E` (unreserved '.') has already
+    * decoded and counts as a dot, while `%2F` stays encoded and never
     * counts as a slash. Leading `..` above the root of an absolute
     * path are dropped (crawl semantics: servers resolve them to `/`).
     */
@@ -137,12 +148,13 @@ object UrlKernels {
     *    the rest sorted by (key, value) so parameter order cannot
     *    split a visited-set key; empty query drops its `?`.
     *
-    * Path and query are processed RAW (percent-encoded): escapes get
-    * their hex case-normalized (`%2f` → `%2F`) but are never decoded,
-    * so URLs differing only in encoded-vs-literal delimiters
-    * (`?a=1%262` vs `?a=1&2`, `%2F` in a path segment vs `/`) keep
-    * DISTINCT visited-set keys — decoding would merge genuinely
-    * different pages and the crawl would silently skip one.
+    * Path and query are processed RAW: escapes of UNRESERVED chars
+    * decode (`%32` ≡ `2`, `utm%5Fsource` is stripped like
+    * `utm_source`), all other escapes keep their `%` form with the
+    * hex uppercased — so URLs differing only in encoded-vs-literal
+    * DELIMITERS (`?a=1%262` vs `?a=1&2`, `%2F` in a path segment vs
+    * `/`) keep DISTINCT visited-set keys, while spurious encodings of
+    * ordinary characters cannot split a page's identity.
     *
     * Unparseable input falls back to the trimmed original (never
     * null-out a URL the crawl could still fetch). At 100 TB of crawl
@@ -162,10 +174,10 @@ object UrlKernels {
       val keepPort =
         port >= 0 && !((scheme == "http" && port == 80) ||
           (scheme == "https" && port == 443))
-      val rawPath = upperHexEscapes(Option(u.getRawPath).getOrElse(""))
+      val rawPath = normalizeEscapes(Option(u.getRawPath).getOrElse(""))
       val collapsed = rawPath.replaceAll("/{2,}", "/")
       val normPath = removeDotSegments(collapsed)
-      val query = Option(u.getRawQuery).map(upperHexEscapes).map { q =>
+      val query = Option(u.getRawQuery).map(normalizeEscapes).map { q =>
         q.split("&").iterator.filter(_.nonEmpty)
           .map { kv =>
             val eq = kv.indexOf('=')

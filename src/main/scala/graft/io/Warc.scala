@@ -377,8 +377,9 @@ object Warc extends Serializable {
   }
 
   /** CDX-style index of every record under `path`: (uri, file, offset,
-    * length, warc_type, http_status, n_bytes) — the Common Crawl
-    * pattern that makes a 100 TB archive randomly accessible: the index
+    * length, warc_type, http_status, n_bytes, http_content_type) — the
+    * Common Crawl pattern that makes a 100 TB archive randomly
+    * accessible: the index
     * is the only thing a lookup scans (slim rows, no payloads), and a
     * hit costs one `length`-byte ranged read of one file instead of a
     * full-archive pass. Built with the same file-level parallelism as

@@ -118,6 +118,7 @@ object Bm25 {
                   idCol: String = "doc_id", textCol: String = "text",
                   queryIdCol: String = "query_id",
                   queryTextCol: String = "text"): DataFrame = {
+    requireIntegralId(queries, queryIdCol, "query")
     // per-query distinct terms (bag-of-words query semantics, same as
     // `scores`); the term union drives the single corpus pass
     val qTerms = queries
@@ -167,6 +168,7 @@ object Bm25 {
                 idCol: String = "doc_id", textCol: String = "text",
                 queryIdCol: String = "query_id",
                 queryTextCol: String = "text"): DataFrame = {
+    requireIntegralId(docs, idCol, "doc")
     val sc = scoresBatch(docs, queries, k1, b, idCol, textCol,
         queryIdCol, queryTextCol)
       .withColumn("score", round(col("score"), 4))
@@ -189,6 +191,24 @@ object Bm25 {
     * could answer it and belong in a hold-out review. One job
     * regardless of |benchmark|.
     */
+  /** The batch rankers ride the [[CollectTopK]] (long, double)
+    * bounded-heap, so ids must be integral — a silent
+    * `cast("long")` of a string id would null every id and return an
+    * empty/garbage ranking with no error (string-keyed corpora — URLs,
+    * content hashes — should rank on `xxhash64(id)` and join back).
+    * Statically checkable from the schema, so check it.
+    */
+  private def requireIntegralId(df: DataFrame, idCol: String,
+                                what: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"batch BM25 needs an integral $what id column, got " +
+        s"'$idCol': ${dt.simpleString} — rank on xxhash64($idCol) " +
+        "(and join the original ids back), or use the single-query " +
+        "scores/topK which accept any id type")
+  }
+
   def decontaminationProbe(corpus: DataFrame, benchmark: DataFrame,
                            k: Int = 10, minScore: Double = 0.0,
                            idCol: String = "doc_id",

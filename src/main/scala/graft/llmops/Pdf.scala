@@ -79,14 +79,20 @@ object Pdf {
       */
     private def contentStream(lines: Seq[String]): String = {
       val ops = lines.zipWithIndex.map { case (line, i) =>
+        // A Latin-1 string that BEGINS with U+00FE U+00FF would emit
+        // the bytes FE FF \u2014 indistinguishable from the \u00A77.9.2.2 BOM,
+        // so the extractor would (correctly, per spec) misread it as
+        // UTF-16BE. A conforming writer must not emit that prefix as
+        // a byte string; route any such line (whole, or the hex half
+        // of a TJ split) through the unambiguous UTF-16 path too.
+        val (a, b) = line.splitAt(line.length / 2)
+        val bomAmbiguous = line.startsWith("\u00FE\u00FF") ||
+          (i % 2 == 1 && b.startsWith("\u00FE\u00FF"))
         val show =
-          if (line.exists(_ > '\u00FF')) s"<${utf16Hex(line)}> Tj"
+          if (line.exists(_ > '\u00FF') || bomAmbiguous)
+            s"<${utf16Hex(line)}> Tj"
           else if (i % 2 == 0) s"(${esc(line)}) Tj"
-          else {
-            val split = line.length / 2
-            val (a, b) = line.splitAt(split)
-            s"[(${esc(a)}) -250 <${hexStr(b)}>] TJ"
-          }
+          else s"[(${esc(a)}) -250 <${hexStr(b)}>] TJ"
         val move = if (i == 0) "72 720 Td" else "0 -14 Td"
         s"$move\n$show"
       }

@@ -155,6 +155,16 @@ object Retrieval {
   def rrfFuse(a: DataFrame, b: DataFrame, k: Int, rrfK: Int = 60,
               queryId: String = "query_id",
               idCol: String = "doc_id"): DataFrame = {
+    // the re-rank rides the (long, double) bounded heap: a string id
+    // would silently cast to null — fail loudly instead (hash the ids
+    // to longs and join back, the repo-wide pattern)
+    Seq(a, b).foreach { side =>
+      import org.apache.spark.sql.types._
+      val dt = side.schema(idCol).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"rrfFuse needs an integral id column, got '$idCol': " +
+          dt.simpleString)
+    }
     val fused = a
       .select(col(queryId), col(idCol), col("rk").as("__ra"))
       .join(b.select(col(queryId), col(idCol), col("rk").as("__rb")),

@@ -171,8 +171,15 @@ object Discovery {
       it.flatMap { case (ticker, company, website) =>
         val host = hostOf(website)
         val robots = fetcher.fetch(s"https://$host/robots.txt")
+        // robots rules are PER HOST (RFC 9309): the body we hold
+        // speaks only for `host`, so gate same-host URLs by it and
+        // fail OPEN for cross-host locs (CDN-hosted child sitemaps,
+        // off-site IR portals) — we hold no rules for those hosts,
+        // and applying this host's paths to them would be both a miss
+        // source and a politeness error in the other direction
         def robotsOk(u: String) =
-          graft.expr.RobotsKernels.allowed(robots.orNull, robotsAgent, u)
+          hostOf(u) != host ||
+            graft.expr.RobotsKernels.allowed(robots.orNull, robotsAgent, u)
         val declared = robots.toSeq.flatMap(r =>
           graft.expr.RobotsKernels.sitemapUrls(r).toSeq)
         val roots = (declared ++
@@ -202,11 +209,11 @@ object Discovery {
         }
         val locs = pages.map(_.loc).toSeq
         locs.filter(l => irUrlMarkers.exists(l.toLowerCase.contains))
-          // the robots body is already in hand — candidates its rules
-          // disallow are never fetched (fails open on a missing file,
-          // the RFC 9309 §2.3.1.4 rule the kernel implements)
-          .filter(l => graft.expr.RobotsKernels.allowed(
-            robots.orNull, robotsAgent, l))
+          // the robots body is already in hand — same-host candidates
+          // its rules disallow are never fetched (fails open on a
+          // missing file and on cross-host locs, the RFC 9309
+          // §2.3.1.4 rule + per-host rule scoping)
+          .filter(robotsOk)
           .distinct.take(maxCandidates).zipWithIndex
           .map { case (loc, i) => Probe(ticker, company, website, loc, i) }
       }

@@ -55,13 +55,16 @@ class UrlFuncsSpec extends SparkTestBase {
       ("https://ex.com/p?utm_source=x&b=2&a=1", "https://ex.com/p?a=1&b=2"),
       ("https://ex.com/p?gclid=99&fbclid=z", "https://ex.com/p"),
       ("https://ex.com/p?b=2&a=1&a=0", "https://ex.com/p?a=0&a=1&b=2"),
-      // raw components: escaped delimiters stay distinct from literal
-      // ones (never decoded), hex case-normalized to uppercase
+      // raw components: escaped DELIMITERS stay distinct from literal
+      // ones, hex case-normalized to uppercase; escapes of UNRESERVED
+      // chars decode (RFC 3986 6.2.2.2), so encoded tracking params
+      // strip and spurious encodings collapse
       ("https://ex.com/p?a=1%262", "https://ex.com/p?a=1%262"),
       ("https://ex.com/p?a=1&2", "https://ex.com/p?2&a=1"),
       ("https://ex.com/a%2fb", "https://ex.com/a%2Fb"),
       ("https://ex.com/a%2F..%2Fb", "https://ex.com/a%2F..%2Fb"),
-      ("https://ex.com/x/%2E%2E/y", "https://ex.com/x/%2E%2E/y"),
+      ("https://ex.com/x/%2E%2E/y", "https://ex.com/y"),
+      ("https://ex.com/p?utm%5Fsource=x&a=%32", "https://ex.com/p?a=2"),
       // unparseable stays itself
       ("not a url at all", "not a url at all"))
     cases.foreach { case (in, want) =>

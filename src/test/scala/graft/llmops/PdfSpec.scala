@@ -149,6 +149,17 @@ class PdfSpec extends SparkTestBase {
     val latin = Seq("caf\u00E9 \u00FF ok", "plain")
     assert(PdfCodec.extractText(PdfCodec.encodePdf(latin))
       .contains(latin.mkString("\n")))
+    // Latin-1 lines BEGINNING with U+00FE U+00FF would emit literal
+    // bytes indistinguishable from the UTF-16 BOM — the encoder must
+    // route them through the hex path so they still round-trip, both
+    // as a whole line and as the hex half of a TJ split (odd index)
+    val bomish = Seq(
+      "\u00FE\u00FFab starts with the BOM pair",
+      "aaaa\u00FE\u00FFbb", // len 8, split 4: b = "\u00FE\u00FFbb"
+      "plain",
+      "ab\u00FE\u00FFcd") // split 3 -> b = "\u00FFcd": FF alone, safe
+    val gotBom = PdfCodec.extractText(PdfCodec.encodePdf(bomish))
+    assert(gotBom.contains(bomish.mkString("\n")), s"got=$gotBom")
     // corpus-level round trip with Unicode injected
     val docs = graft.Tables.documents(spark, sf0001)
       .filter($"text".isNotNull).limit(24)

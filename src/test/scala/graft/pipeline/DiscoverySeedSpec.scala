@@ -188,6 +188,29 @@ class DiscoverySeedSpec extends SparkTestBase {
     assert(got("IOTA") == "Not Found")
   }
 
+  test("robots rules are host-scoped: a CDN-hosted child sitemap is " +
+      "not gated by the seed host's paths") {
+    val fetcher = MapPageFetcher(Map(
+      // kappa disallows /sitemaps/ ON KAPPA.COM; the child sitemap
+      // lives on a CDN under the same PATH — RFC 9309 rules are per
+      // host, so the seed host's rule must not drop it
+      "https://kappa.com/robots.txt" ->
+        ("User-agent: *\nDisallow: /sitemaps/\n" +
+          "Sitemap: https://kappa.com/root.xml\n"),
+      "https://kappa.com/root.xml" ->
+        ("<sitemapindex><sitemap><loc>https://cdn.kappacdn.net/sitemaps/" +
+          "m.xml</loc></sitemap></sitemapindex>"),
+      "https://cdn.kappacdn.net/sitemaps/m.xml" ->
+        ("<urlset><url><loc>https://kappa.com/investor-relations</loc>" +
+          "</url></urlset>"),
+      "https://kappa.com/investor-relations" -> irHtml))
+    val companies = Seq(("KAPA", "Kappa Co", "https://kappa.com"))
+      .toDF("ticker", "company", "website")
+    val got = Discovery.discoverFromSitemaps(spark, companies, fetcher)
+      .select($"ir_url", $"status").as[(String, String)].head()
+    assert(got == (("https://kappa.com/investor-relations", "Found")))
+  }
+
   test("P15: off-domain redirect accepted only via investor-ish host") {
     import graft.services.MapRedirectFetcher
     val fetcher = MapRedirectFetcher(Map(
