@@ -402,6 +402,20 @@ object Graft {
                                k: Int = 10, minScore: Double = 0.0)
       : DataFrame =
     llmops.Bm25.decontaminationProbe(corpus, benchmark, k, minScore)
+  /** Persisted lexical index: tokenize once, serve many query batches
+    * from bucket-partitioned postings (q136). */
+  def writeBm25Index(docs: DataFrame, path: String,
+                     nBuckets: Int = 64): Unit =
+    llmops.Bm25Index.write(docs, path, nBuckets)
+  /** Append new docs to a [[writeBm25Index]] index (additive stats,
+    * no rewrite). */
+  def appendBm25Index(newDocs: DataFrame, path: String): Unit =
+    llmops.Bm25Index.append(newDocs, path)
+  /** Multi-query BM25 top-k served from a persisted index — only the
+    * probed term buckets are read (q136). */
+  def queryBm25Index(s: SparkSession, path: String, queries: DataFrame,
+                     k: Int): DataFrame =
+    llmops.Bm25Index.topK(s, path, queries, k)
   /** Reciprocal-rank fusion of two (query_id, id, rk) rankings (q134);
     * the fusion arithmetic inside `Retrieval.hybridSearch`. */
   def rrfFuse(a: DataFrame, b: DataFrame, k: Int, rrfK: Int = 60,

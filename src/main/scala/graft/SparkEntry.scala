@@ -2697,6 +2697,28 @@ object SparkEntry {
         .select($"query_id", $"rk", $"doc_id", $"chunk_idx",
           md5($"chunk_text").as("chunk_md5"), $"sim")
         .orderBy($"query_id", $"rk")
+    }),
+
+    // Persisted lexical index (X106): tokenize-once/serve-many BM25.
+    // Written in TWO batches (write + append) so the additive stats
+    // rows are in the oracle-gated path, then served batch queries
+    // read only the probed term buckets. The oracle replays every
+    // df/idf/score from the WRITTEN postings + stats files alone —
+    // the q93/q135 replay-from-files pattern for the lexical side.
+    "q136_bm25_index_serve" -> ((s, d) => {
+      import s.implicits._
+      val B = graft.llmops.Bm25Index
+      val base = "/root/repo/spark-warehouse/q136_lex"
+      val docs = t(s, d, "documents").select($"doc_id", $"text")
+      B.write(docs.filter($"doc_id" % 2 === 0), base, nBuckets = 32)
+      B.append(docs.filter($"doc_id" % 2 =!= 0), base)
+      val queries = Seq(
+        (0L, "vector window merge"),
+        (1L, "stream window"),
+        (2L, "vector stream")).toDF("query_id", "text")
+      B.topK(s, base, queries, k = 12)
+        .select($"query_id", $"rk", $"doc_id", $"n_terms_hit", $"score")
+        .orderBy($"query_id", $"rk")
     })
   )
 
@@ -5042,6 +5064,50 @@ object SparkEntry {
          SELECT r.query_id::BIGINT AS query_id, r.rk::INTEGER AS rk,
                 ch.doc_id, ch.chunk_idx, ch.chunk_md5, r.sim
          FROM ranked r JOIN ch ON ch.vec_id = r.vec_id
-         WHERE r.rk <= 5 ORDER BY query_id, rk"""
+         WHERE r.rk <= 5 ORDER BY query_id, rk""",
+    // Lexical index serve: df/idf/avgdl and every score recomputed
+    // from the WRITTEN postings + additive stats files (write+append
+    // batches sum), same float-parity constant forms as q103/q134.
+    "q136_bm25_index_serve" ->
+      """WITH posts AS (
+           SELECT id, term, tf, dl
+           FROM read_parquet('/root/repo/spark-warehouse/q136_lex/postings/term_bucket=*/*.parquet', hive_partitioning=true)),
+         st AS (
+           SELECT sum(n_docs)::DOUBLE AS n,
+                  sum(sum_dl) / sum(n_docs) AS avgdl
+           FROM read_parquet('/root/repo/spark-warehouse/q136_lex/stats/*.parquet')),
+         q AS (
+           SELECT * FROM (VALUES
+             (0, 'vector'), (0, 'window'), (0, 'merge'),
+             (1, 'stream'), (1, 'window'),
+             (2, 'vector'), (2, 'stream')) AS t(qid, term)),
+         tf AS (
+           SELECT p.id, p.term, p.tf, p.dl
+           FROM posts p JOIN (SELECT DISTINCT term FROM q) u
+             ON u.term = p.term),
+         df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+         idf AS (
+           SELECT term,
+                  ln(1.0 + ((SELECT n FROM st) - df + 0.5) / (df + 0.5))
+                    AS idf
+           FROM df),
+         contrib AS (
+           SELECT q.qid, tf.id,
+                  idf.idf * (tf.tf * (1.2 + 1)) /
+                    (tf.tf + 1.2 * (1.0 - 0.75 +
+                      0.75 * tf.dl / (SELECT avgdl FROM st))) AS c
+           FROM tf JOIN idf ON idf.term = tf.term
+                   JOIN q ON q.term = tf.term),
+         sc AS (
+           SELECT qid, id, count(*)::BIGINT AS n_terms_hit,
+                  round(sum(c), 4) AS score
+           FROM contrib GROUP BY 1, 2),
+         ranked AS (
+           SELECT qid, id, n_terms_hit, score, row_number() OVER (
+             PARTITION BY qid ORDER BY score DESC, id) AS rk
+           FROM sc QUALIFY rk <= 12)
+         SELECT qid::BIGINT AS query_id, rk::INTEGER AS rk, id AS doc_id,
+                n_terms_hit, score
+         FROM ranked ORDER BY query_id, rk"""
   )
 }

@@ -198,7 +198,7 @@ object Bm25 {
     * content hashes — should rank on `xxhash64(id)` and join back).
     * Statically checkable from the schema, so check it.
     */
-  private def requireIntegralId(df: DataFrame, idCol: String,
+  private[llmops] def requireIntegralId(df: DataFrame, idCol: String,
                                 what: String): Unit = {
     import org.apache.spark.sql.types._
     val dt = df.schema(idCol).dataType

@@ -1,0 +1,127 @@
+package graft.llmops
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+
+class Bm25IndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  lazy val docs = Tables.documents(spark, sf0001)
+    .select($"doc_id", $"text").cache()
+
+  private def tmp(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-bm25idx")
+    d.toFile.deleteOnExit()
+    d.resolve("idx").toString
+  }
+
+  private val queries = Seq(
+    (0L, "vector window merge"),
+    (1L, "stream window"),
+    (2L, "zzzz nothing matches here"))
+    .toDF("query_id", "text")
+
+  test("index-served scores match the direct batch (1e-12 relative — " +
+      "float-summation order is the only divergence)") {
+    val path = tmp()
+    Bm25Index.write(docs, path, nBuckets = 16)
+    val direct = Bm25.scoresBatch(docs, queries)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    val served = Bm25Index.scores(spark, path, queries)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(served.keySet == direct.keySet)
+    served.foreach { case (key, (nth, s)) =>
+      val (dn, ds) = direct(key)
+      assert(dn == nth, s"n_terms_hit at $key")
+      assert(math.abs(s - ds) <= 1e-12 * math.max(1.0, math.abs(ds)),
+        s"score at $key: served=$s direct=$ds")
+    }
+    assert(served.nonEmpty)
+
+    // the 4-decimal ROUNDED ranking surface is identical
+    val directTop = Bm25.topKBatch(docs, queries, k = 7).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(4)))
+      .toSet
+    val servedTop = Bm25Index.topK(spark, path, queries, k = 7).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(4)))
+      .toSet
+    assert(servedTop == directTop)
+  }
+
+  test("append: the grown index serves the union corpus exactly " +
+      "(df/avgdl reflect both batches)") {
+    val path = tmp()
+    val half1 = docs.filter($"doc_id" % 2 === 0)
+    val half2 = docs.filter($"doc_id" % 2 === 1)
+    Bm25Index.write(half1, path, nBuckets = 16)
+    Bm25Index.append(half2, path)
+    val direct = Bm25.scoresBatch(docs, queries)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    val served = Bm25Index.scores(spark, path, queries)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(served.keySet == direct.keySet)
+    served.foreach { case (key, (nth, s)) =>
+      val (dn, ds) = direct(key)
+      assert(dn == nth && math.abs(s - ds) <=
+        1e-12 * math.max(1.0, math.abs(ds)), s"at $key")
+    }
+  }
+
+  test("serving reads only the probed term buckets (partition pruning)") {
+    val path = tmp()
+    Bm25Index.write(docs, path, nBuckets = 64)
+    // DataFrame.inputFiles ignores partition filters — read the scan
+    // node's numFiles metric after execution (the AnnIndexSpec probe)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scanFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      val inner = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+      inner.collectFirst { case s: FileSourceScanExec => s }
+        .get.metrics("numFiles").value
+    }
+    val one = Seq((0L, "vector")).toDF("query_id", "text")
+    val buckets = one
+      .select(explode(TextFuncs.tokens($"text")).as("term"))
+      .select(pmod(xxhash64($"term"), lit(64L)))
+      .as[Long].collect().toSeq
+    val pruned = spark.read.parquet(s"$path/postings")
+      .filter(col("term_bucket").isin(buckets: _*))
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("PartitionFilters"))
+    val prunedN = scanFiles(pruned)
+    val allN = scanFiles(
+      spark.read.parquet(s"$path/postings").filter(col("term_bucket") >= 0))
+    assert(prunedN < allN, s"pruned=$prunedN all=$allN")
+    assert(prunedN >= 1)
+    // and the serve path itself returns hits for that query
+    assert(Bm25Index.scores(spark, path, one).count() > 0)
+  }
+
+  test("fresh session serve: everything needed is on disk; string ids " +
+      "rejected loudly") {
+    val path = tmp()
+    Bm25Index.write(docs, path)
+    // a brand-new read of the files alone serves (no state carried)
+    assert(Bm25Index.topK(spark, path, queries, k = 3).count() > 0)
+    intercept[IllegalArgumentException] {
+      Bm25Index.write(docs.select(concat(lit("u"), $"doc_id").as("doc_id"),
+        $"text"), tmp())
+    }
+    intercept[IllegalArgumentException] {
+      Bm25Index.scores(spark, path,
+        Seq(("a", "vector")).toDF("query_id", "text"))
+    }
+  }
+}
