@@ -48,6 +48,11 @@ object Retrieval {
     val emb = VectorFuncs.hashedEmbedding(persisted, dim,
       idCol = "vec_id", textCol = "chunk_text")
     AnnIndex.write(emb, s"$path/index", nlist = nlist, m = m)
+    // the lexical side tokenizes once too: hybridSearch serves BM25
+    // from these bucket-partitioned postings instead of re-tokenizing
+    // the chunk table on every query batch
+    Bm25Index.write(persisted, s"$path/lexical",
+      idCol = "vec_id", textCol = "chunk_text")
     import spark.implicits._
     Seq((dim, targetChars)).toDF("dim", "target_chars")
       .write.mode("overwrite").parquet(s"$path/params")
@@ -104,7 +109,18 @@ object Retrieval {
       VectorFuncs.hashedEmbedding(chunks, dim,
         idCol = "vec_id", textCol = "chunk_text"),
       s"$path/index")
+    // pre-lexical-index layouts (no /lexical dir) stay appendable —
+    // hybridSearch falls back to the chunk-table scan for them
+    if (hasLexical(spark, path))
+      Bm25Index.append(chunks, s"$path/lexical",
+        idCol = "vec_id", textCol = "chunk_text")
   }
+
+  private def hasLexical(spark: SparkSession, path: String): Boolean =
+    try {
+      val p = new org.apache.hadoop.fs.Path(s"$path/lexical/params")
+      p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+    } catch { case scala.util.control.NonFatal(_) => false }
 
   /** Streaming corpus growth: a document stream (e.g. the landed
     * output of `MediaStreams.pdfTextIngest`/`warcPdfIngest`, or any
@@ -203,16 +219,22 @@ object Retrieval {
         Seq("doc_id", "chunk_idx"))
       .select(col(queryId), col("vec_id"), col("rk"))
 
-    // lexical side: ONE set-based multi-query BM25 job
-    // ([[Bm25.topKBatch]] — the chunk text tokenizes once for the
-    // union of all query terms; per-query top-k is the bounded-heap
-    // aggregate), not a per-query driver loop. Null query text or id
-    // cannot score lexically — topKBatch drops them, so they ride the
-    // vector side only (where the embedder drops them row-wise).
-    val lex = Bm25.topKBatch(chunks, queries, k,
-        idCol = "vec_id", textCol = "chunk_text",
-        queryIdCol = queryId, queryTextCol = textCol)
-      .select(col(queryId), col("vec_id"), col("rk"))
+    // lexical side: ONE set-based multi-query BM25 job. Indexes built
+    // with the /lexical postings serve from them (only the probed term
+    // buckets are read — no chunk-table re-tokenize); older layouts
+    // fall back to the direct batch over the cached chunk table. Null
+    // query text or id cannot score lexically — the batch drops them,
+    // so they ride the vector side only (where the embedder drops
+    // them row-wise).
+    val lexTop =
+      if (hasLexical(spark, path))
+        Bm25Index.topK(spark, s"$path/lexical", queries, k,
+          idCol = "vec_id", queryIdCol = queryId, queryTextCol = textCol)
+      else
+        Bm25.topKBatch(chunks, queries, k,
+          idCol = "vec_id", textCol = "chunk_text",
+          queryIdCol = queryId, queryTextCol = textCol)
+    val lex = lexTop.select(col(queryId), col("vec_id"), col("rk"))
 
     // materialize before unpersisting the cached chunk table — the
     // result is k·|queries| rows, checkpoint-small by construction

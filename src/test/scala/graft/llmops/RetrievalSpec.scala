@@ -174,6 +174,50 @@ class RetrievalSpec extends SparkTestBase {
     }
   }
 
+  test("the lexical postings land with the index, grow on append, and " +
+      "hybridSearch works with or without them (old layouts)") {
+    val docs = Seq(
+      (1L, "Revenue grew nine percent this quarter. The dividend rose."),
+      (2L, "Rainfall was heavy and winds were calm all evening there."))
+      .toDF("doc_id", "text")
+    val path = tmp()
+    Retrieval.buildIndex(docs, path, targetChars = 60, dim = 64,
+      nlist = 2, m = 4)
+    assert(spark.read.parquet(s"$path/lexical/postings").count() > 0)
+    val before = spark.read.parquet(s"$path/lexical/stats").count()
+    Retrieval.appendDocs(
+      Seq((7L, "The cluster migration halved latency at peak load."))
+        .toDF("doc_id", "text"), path)
+    assert(spark.read.parquet(s"$path/lexical/stats").count() == before + 1)
+    val queries = Seq((0L, "cluster latency"), (1L, "dividend revenue"))
+      .toDF("query_id", "text")
+    val served = Retrieval.hybridSearch(spark, path, queries, k = 2,
+        nprobe = 2)
+      .select($"query_id", $"rk", $"doc_id").as[(Long, Int, Long)]
+      .collect().toSet
+    // pre-lexical-index layout: drop /lexical, the fallback scan path
+    // must produce the IDENTICAL ranking (Bm25IndexSpec pins the
+    // ranked surfaces equal, so the fused output cannot differ)
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(): Unit
+    }
+    rmrf(new java.io.File(s"$path/lexical"))
+    val fallback = Retrieval.hybridSearch(spark, path, queries, k = 2,
+        nprobe = 2)
+      .select($"query_id", $"rk", $"doc_id").as[(Long, Int, Long)]
+      .collect().toSet
+    assert(fallback == served, s"served=$served fallback=$fallback")
+    // and append on the old layout still works (no lexical dir)
+    Retrieval.appendDocs(
+      Seq((9L, "Another appended document about barometric pressure."))
+        .toDF("doc_id", "text"), path)
+    assert(Retrieval.search(spark, path,
+        Seq((0L, "barometric pressure")).toDF("query_id", "text"),
+        k = 10, nprobe = 2)
+      .filter($"doc_id" === 9L).count() >= 1)
+  }
+
   test("ingestStream: a document stream grows the index per " +
       "micro-batch, serveable throughout") {
     implicit val sqlCtx = spark.sqlContext
