@@ -176,6 +176,11 @@ object Graft {
   def tokenBudgetSample(docs: DataFrame, budgetPerGroup: Long,
                         streams: Int = 8): DataFrame =
     llmops.Splits.tokenBudgetSample(docs, budgetPerGroup, streams)
+  /** Cap documents per host by a deterministic md5 lottery — the
+    * RefinedWeb/CCNet host-bias control (q137). */
+  def hostCapSample(docs: DataFrame, cap: Int,
+                    hostCol: String = "host"): DataFrame =
+    llmops.Splits.hostCapSample(docs, cap, hostCol)
   /** Exact decontamination with a bloom pre-split (benchmark too big
     * to broadcast): misses skip the join entirely.
     */

@@ -2719,6 +2719,18 @@ object SparkEntry {
       B.topK(s, base, queries, k = 12)
         .select($"query_id", $"rk", $"doc_id", $"n_terms_hit", $"score")
         .orderBy($"query_id", $"rk")
+    }),
+
+    // Per-host document cap (X107): at most 7 docs per source, chosen
+    // by the md5-of-id lottery — the exact survivor set pinned via
+    // per-host count and id sum, the whole rule replayed relationally.
+    "q137_host_cap" -> ((s, d) => {
+      import s.implicits._
+      val capped = graft.llmops.Splits.hostCapSample(
+        t(s, d, "documents").withColumn("host", $"source"), cap = 7)
+      capped.groupBy($"host")
+        .agg(count(lit(1)).as("n_docs"), sum($"doc_id").as("id_sum"))
+        .orderBy($"host")
     })
   )
 
@@ -5108,6 +5120,17 @@ object SparkEntry {
            FROM sc QUALIFY rk <= 12)
          SELECT qid::BIGINT AS query_id, rk::INTEGER AS rk, id AS doc_id,
                 n_terms_hit, score
-         FROM ranked ORDER BY query_id, rk"""
+         FROM ranked ORDER BY query_id, rk""",
+    // host cap: the md5-of-id lottery ranked per host, cap 7 — the
+    // survivor set pinned exactly by count + id sum
+    "q137_host_cap" ->
+      """WITH r AS (
+           SELECT doc_id, source AS host, row_number() OVER (
+             PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+           FROM documents)
+         SELECT host, count(*) AS n_docs,
+                CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM r WHERE rk <= 7 GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -142,4 +142,31 @@ object Splits {
         when(col("stream") < lit(budgetPerGroup % streams), 1L).otherwise(0L))
       .drop("__ord", "__cum")
   }
+
+  /** Per-host document cap (the RefinedWeb/CCNet host-bias control: a
+    * handful of mega-hosts must not dominate a web corpus): keep at
+    * most `cap` documents per host, chosen by a content-keyed
+    * deterministic lottery — md5 of the id, id tiebreak — so the
+    * survivor set is an unbiased sample of each host, identical under
+    * reruns and replayable in any engine. The caller supplies the
+    * host column (e.g. `UrlFuncs.url_host(col("url"))` upstream).
+    *
+    * Scale shape: the lottery ranks SLIM (host, id) rows — text never
+    * enters the shuffle — and survivors semi-join back to the full
+    * rows. A skewed host costs one window sort over its slim rows,
+    * which is the operation's intrinsic work.
+    */
+  def hostCapSample(docs: DataFrame, cap: Int,
+                    hostCol: String = "host",
+                    idCol: String = "doc_id"): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(hostCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val keep = docs.select(col(hostCol), col(idCol))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= cap)
+      .select(col(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
 }

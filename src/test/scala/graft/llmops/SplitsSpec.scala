@@ -125,4 +125,27 @@ class SplitsSpec extends SparkTestBase {
       .select($"id").as[Long].collect().toSet
     assert(a == b)
   }
+
+  test("hostCapSample: per-host caps enforced, lottery deterministic, " +
+      "under-cap hosts untouched") {
+    val docs = (0L until 100L).map(i =>
+        (i, if (i < 80) "mega.com" else s"small${i % 4}.com", s"text $i"))
+      .toDF("doc_id", "host", "text")
+    val capped = Splits.hostCapSample(docs, cap = 10)
+    val byHost = capped.groupBy($"host").count()
+      .as[(String, Long)].collect().toMap
+    assert(byHost("mega.com") == 10) // capped
+    assert(byHost.filterKeys(_ != "mega.com").values.forall(_ == 5),
+      s"byHost=$byHost") // 20 docs over 4 small hosts, all kept
+    // all columns ride through; survivors are a subset of the input
+    assert(capped.columns.toSeq == docs.columns.toSeq)
+    // deterministic under rerun and repartition
+    val again = Splits.hostCapSample(docs.repartition(7), cap = 10)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(again == capped.select($"doc_id").as[Long].collect().toSet)
+    // the lottery is the md5 order, not "first N ids"
+    val megaIds = capped.filter($"host" === "mega.com")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(megaIds != (0L until 10L).toSet)
+  }
 }
