@@ -421,6 +421,12 @@ object Graft {
   def queryBm25Index(s: SparkSession, path: String, queries: DataFrame,
                      k: Int): DataFrame =
     llmops.Bm25Index.topK(s, path, queries, k)
+  /** RM3 pseudo-relevance-feedback expanded retrieval: base top-k ->
+    * relevance model -> weighted rescore (q138). */
+  def bm25Rm3TopK(docs: DataFrame, queries: DataFrame, k: Int,
+                  fbDocs: Int = 5, fbTerms: Int = 8,
+                  origWeight: Double = 0.5): DataFrame =
+    llmops.Bm25.rm3TopK(docs, queries, k, fbDocs, fbTerms, origWeight)
   /** Reciprocal-rank fusion of two (query_id, id, rk) rankings (q134);
     * the fusion arithmetic inside `Retrieval.hybridSearch`. */
   def rrfFuse(a: DataFrame, b: DataFrame, k: Int, rrfK: Int = 60,

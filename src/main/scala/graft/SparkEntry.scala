@@ -2731,6 +2731,24 @@ object SparkEntry {
       capped.groupBy($"host")
         .agg(count(lit(1)).as("n_docs"), sum($"doc_id").as("id_sum"))
         .orderBy($"host")
+    }),
+
+    // RM3 pseudo-relevance feedback (X108): base BM25 top-4 per query
+    // → relevance model over their terms (per-occurrence 1/dl, 8-dp
+    // rounded cut) → top-6 expansion terms mixed with the original
+    // query at 0.5 → weighted rescore. EVERY stage — base ranking,
+    // feedback stats, term selection, weight mixing, weighted scores —
+    // replayed relationally.
+    "q138_rm3_expansion" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val queries = Seq(
+        (0L, "vector window"),
+        (1L, "stream merge")).toDF("query_id", "text")
+      graft.llmops.Bm25.rm3TopK(docs, queries, k = 10,
+          fbDocs = 4, fbTerms = 6, origWeight = 0.5)
+        .select($"query_id", $"rk", $"doc_id", $"n_terms_hit", $"score")
+        .orderBy($"query_id", $"rk")
     })
   )
 
@@ -5131,6 +5149,111 @@ object SparkEntry {
            FROM documents)
          SELECT host, count(*) AS n_docs,
                 CAST(sum(doc_id) AS BIGINT) AS id_sum
-         FROM r WHERE rk <= 7 GROUP BY 1 ORDER BY 1"""
+         FROM r WHERE rk <= 7 GROUP BY 1 ORDER BY 1""",
+    // RM3: base ranking, feedback relevance model, 8-dp term cut,
+    // weight mixing, and the weighted rescore all replayed
+    "q138_rm3_expansion" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  string_split_regex(lower(trim(text)), '\s+') AS l,
+                  CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(lower(trim(text)), '\s+'))
+                  END AS dl
+           FROM documents),
+         stats AS (
+           SELECT count(*)::DOUBLE AS n, avg(dl::DOUBLE) AS avgdl
+           FROM toks),
+         q AS (
+           SELECT * FROM (VALUES
+             (0, 'vector'), (0, 'window'),
+             (1, 'stream'), (1, 'merge')) AS t(qid, term)),
+         posts AS (SELECT doc_id, dl, unnest(l) AS term FROM toks),
+         tf0 AS (
+           SELECT p.doc_id, p.term, count(*)::BIGINT AS tf,
+                  max(p.dl)::DOUBLE AS dl
+           FROM posts p JOIN (SELECT DISTINCT term FROM q) u
+             ON u.term = p.term
+           GROUP BY 1, 2),
+         df0 AS (SELECT term, count(*)::DOUBLE AS df FROM tf0 GROUP BY 1),
+         idf0 AS (
+           SELECT term,
+                  ln(1.0 + ((SELECT n FROM stats) - df + 0.5) / (df + 0.5))
+                    AS idf
+           FROM df0),
+         c0 AS (
+           SELECT q.qid, tf0.doc_id,
+                  idf0.idf * (tf0.tf * (1.2 + 1)) /
+                    (tf0.tf + 1.2 * (1.0 - 0.75 +
+                      0.75 * tf0.dl / (SELECT avgdl FROM stats))) AS c
+           FROM tf0 JOIN idf0 ON idf0.term = tf0.term
+                    JOIN q ON q.term = tf0.term),
+         s0 AS (
+           SELECT qid, doc_id, round(sum(c), 4) AS score
+           FROM c0 GROUP BY 1, 2),
+         top AS (
+           SELECT qid, doc_id FROM (
+             SELECT qid, doc_id, row_number() OVER (
+               PARTITION BY qid ORDER BY score DESC, doc_id) AS rk
+             FROM s0)
+           WHERE rk <= 4),
+         rel0 AS (
+           SELECT t.qid, p.term, sum(1.0 / p.dl) AS relsum
+           FROM posts p JOIN top t ON t.doc_id = p.doc_id
+           WHERE p.dl > 0 AND p.term <> ''
+           GROUP BY 1, 2),
+         ntop AS (
+           SELECT qid, count(DISTINCT doc_id)::DOUBLE AS n_top
+           FROM top GROUP BY 1),
+         rel AS (
+           SELECT r.qid, r.term, round(r.relsum / n.n_top, 8) AS rel
+           FROM rel0 r JOIN ntop n USING (qid)),
+         sel AS (
+           SELECT qid, term, rel FROM (
+             SELECT qid, term, rel, row_number() OVER (
+               PARTITION BY qid ORDER BY rel DESC, term) AS trk
+             FROM rel)
+           WHERE trk <= 6),
+         reltot AS (SELECT qid, sum(rel) AS rel_tot FROM sel GROUP BY 1),
+         expw AS (
+           SELECT s.qid, s.term, (1.0 - 0.5) * s.rel / rt.rel_tot AS w
+           FROM sel s JOIN reltot rt USING (qid)),
+         norig AS (SELECT qid, count(*)::DOUBLE AS n_orig FROM q GROUP BY 1),
+         origw AS (
+           SELECT q.qid, q.term, 0.5 / n.n_orig AS w
+           FROM q JOIN norig n USING (qid)),
+         mixed AS (
+           SELECT qid, term, sum(w) AS w FROM (
+             SELECT * FROM origw UNION ALL SELECT * FROM expw)
+           GROUP BY 1, 2),
+         tfm AS (
+           SELECT p.doc_id, p.term, count(*)::BIGINT AS tf,
+                  max(p.dl)::DOUBLE AS dl
+           FROM posts p JOIN (SELECT DISTINCT term FROM mixed) u
+             ON u.term = p.term
+           GROUP BY 1, 2),
+         dfm AS (SELECT term, count(*)::DOUBLE AS df FROM tfm GROUP BY 1),
+         idfm AS (
+           SELECT term,
+                  ln(1.0 + ((SELECT n FROM stats) - df + 0.5) / (df + 0.5))
+                    AS idf
+           FROM dfm),
+         cm AS (
+           SELECT m.qid, tfm.doc_id,
+                  m.w * (idfm.idf * (tfm.tf * (1.2 + 1)) /
+                    (tfm.tf + 1.2 * (1.0 - 0.75 +
+                      0.75 * tfm.dl / (SELECT avgdl FROM stats)))) AS c
+           FROM tfm JOIN idfm ON idfm.term = tfm.term
+                    JOIN mixed m ON m.term = tfm.term),
+         sm AS (
+           SELECT qid, doc_id, count(*)::BIGINT AS n_terms_hit,
+                  round(sum(c), 4) AS score
+           FROM cm GROUP BY 1, 2),
+         fin AS (
+           SELECT qid, doc_id, n_terms_hit, score, row_number() OVER (
+             PARTITION BY qid ORDER BY score DESC, doc_id) AS rk
+           FROM sm QUALIFY rk <= 10)
+         SELECT qid::BIGINT AS query_id, rk::INTEGER AS rk, doc_id,
+                n_terms_hit, score
+         FROM fin ORDER BY query_id, rk"""
   )
 }

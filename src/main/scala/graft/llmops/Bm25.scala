@@ -1,6 +1,7 @@
 package graft.llmops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Okapi BM25 retrieval scoring (Robertson & Zaragoza 2009, the
@@ -191,6 +192,148 @@ object Bm25 {
     * could answer it and belong in a hold-out review. One job
     * regardless of |benchmark|.
     */
+  /** Weighted multi-query BM25: `qTermsW` = (__qid, term, w) rows;
+    * score(d, q) = Σ_t w(q,t) · contrib(t, d). The corpus machinery is
+    * [[scoresBatch]]'s (one pass for the union of all terms); only the
+    * fan-out join carries the per-(query, term) weight. Used by the
+    * RM3 expansion rescore; weights of 1 reduce to the unweighted
+    * batch exactly.
+    */
+  private def scoresWeighted(docs: DataFrame, qTermsW: DataFrame,
+                             k1: Double, b: Double,
+                             idCol: String, textCol: String): DataFrame = {
+    val uniqTerms = qTermsW.select(col("term")).distinct()
+    val stats = docs.select(
+        TextFuncs.tokenCount(col(textCol)).cast("double").as("dl"))
+      .agg(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"))
+    val tf = docs.select(col(idCol).as("id"),
+        TextFuncs.tokenCount(col(textCol)).cast("double").as("dl"),
+        explode(TextFuncs.tokens(col(textCol))).as("term"))
+      .join(broadcast(uniqTerms), Seq("term"))
+      .groupBy("id", "term")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val idf = df.crossJoin(broadcast(stats.select(col("n"))))
+      .select(col("term"),
+        log(lit(1.0) + (col("n") - col("df") + 0.5) /
+          (col("df") + 0.5)).as("idf"))
+    tf.join(broadcast(idf), Seq("term"))
+      .crossJoin(broadcast(stats.select(col("avgdl"))))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * (k1 + 1)) /
+          (col("tf") +
+            lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl"))))
+      .join(broadcast(qTermsW), Seq("term"))
+      .groupBy(col("__qid"), col("id"))
+      .agg(count(lit(1)).as("n_terms_hit"),
+        sum(col("w") * col("contrib")).as("score"))
+  }
+
+  /** RM3 pseudo-relevance-feedback expansion (Abdul-Jaleel et al.,
+    * TREC 2004 — the standard PRF baseline): per query, take the base
+    * BM25 top `fbDocs` documents, estimate a relevance model over
+    * their terms — p(t|R) ∝ Σ_d tf(t,d)/dl(d), i.e. summed
+    * per-occurrence 1/dl, uniform doc prior — keep the top `fbTerms`
+    * terms (weight desc, term tiebreak; weights rounded to 8 decimals
+    * so the cut replays identically in any engine), and mix with the
+    * original query at `origWeight`:
+    *
+    *   w(t) = origWeight·[t ∈ orig]/|orig| +
+    *          (1−origWeight)·rel(t)/Σ_selected rel
+    *
+    * Returns the audit-friendly weighted term table
+    * (queryIdCol, term, w) — feed it back via [[rm3TopK]], or inspect
+    * what the expansion actually added. One dataflow end to end: the
+    * feedback pass tokenizes ONLY the (broadcast-semi-joined) top
+    * documents.
+    */
+  def rm3Terms(docs: DataFrame, queries: DataFrame,
+               fbDocs: Int = 5, fbTerms: Int = 8,
+               origWeight: Double = 0.5,
+               k1: Double = 1.2, b: Double = 0.75,
+               idCol: String = "doc_id", textCol: String = "text",
+               queryIdCol: String = "query_id",
+               queryTextCol: String = "text"): DataFrame = {
+    require(fbDocs > 0 && fbTerms > 0, "fbDocs/fbTerms must be positive")
+    require(origWeight >= 0 && origWeight <= 1, "origWeight in [0, 1]")
+    val qTerms = queries
+      .filter(col(queryIdCol).isNotNull && col(queryTextCol).isNotNull)
+      .select(col(queryIdCol).cast("long").as("__qid"),
+        explode(TextFuncs.tokens(col(queryTextCol))).as("term"))
+      .filter(col("term") =!= "")
+      .distinct()
+    val top = topKBatch(docs, queries, fbDocs, k1, b, idCol, textCol,
+        queryIdCol, queryTextCol)
+      .select(col(queryIdCol).as("__qid"), col(idCol).as("id"))
+      .localCheckpoint(false) // small: fbDocs·|queries| rows, read 3×
+    val topIds = top.select(col("id")).distinct()
+    // feedback term stats over ONLY the top documents (semi-join
+    // before tokenize — the corpus never re-tokenizes here)
+    val fdocs = docs
+      .join(broadcast(topIds.withColumnRenamed("id", idCol)),
+        Seq(idCol), "left_semi")
+      .select(col(idCol).as("id"),
+        TextFuncs.tokenCount(col(textCol)).cast("double").as("dl"),
+        explode(TextFuncs.tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "" && col("dl") > 0)
+    val nTop = top.groupBy(col("__qid"))
+      .agg(countDistinct(col("id")).cast("double").as("n_top"))
+    val rel = fdocs.join(broadcast(top), Seq("id"))
+      .groupBy(col("__qid"), col("term"))
+      .agg(sum(lit(1.0) / col("dl")).as("relsum"))
+      .join(broadcast(nTop), Seq("__qid"))
+      .select(col("__qid"), col("term"),
+        round(col("relsum") / col("n_top"), 8).as("rel"))
+    val w = Window.partitionBy(col("__qid"))
+      .orderBy(col("rel").desc, col("term"))
+    val selected = rel.withColumn("__trk", row_number().over(w))
+      .filter(col("__trk") <= fbTerms)
+    val expansion = selected
+      .join(selected.groupBy(col("__qid"))
+        .agg(sum(col("rel")).as("rel_tot")), Seq("__qid"))
+      .select(col("__qid"), col("term"),
+        (lit(1.0 - origWeight) * col("rel") / col("rel_tot")).as("w"))
+    val nOrig = qTerms.groupBy(col("__qid"))
+      .agg(count(lit(1)).cast("double").as("n_orig"))
+    val orig = qTerms.join(broadcast(nOrig), Seq("__qid"))
+      .select(col("__qid"), col("term"),
+        (lit(origWeight) / col("n_orig")).as("w"))
+    orig.unionByName(expansion)
+      .groupBy(col("__qid"), col("term"))
+      .agg(sum(col("w")).as("w"))
+      .withColumnRenamed("__qid", queryIdCol)
+  }
+
+  /** Top-k under the RM3-expanded weighted query ([[rm3Terms]] →
+    * weighted rescore → 4-decimal round → bounded-heap rank). Returns
+    * (queryIdCol, rk, idCol, n_terms_hit, score).
+    */
+  def rm3TopK(docs: DataFrame, queries: DataFrame, k: Int,
+              fbDocs: Int = 5, fbTerms: Int = 8,
+              origWeight: Double = 0.5,
+              k1: Double = 1.2, b: Double = 0.75,
+              idCol: String = "doc_id", textCol: String = "text",
+              queryIdCol: String = "query_id",
+              queryTextCol: String = "text"): DataFrame = {
+    requireIntegralId(docs, idCol, "doc")
+    val qw = rm3Terms(docs, queries, fbDocs, fbTerms, origWeight, k1, b,
+        idCol, textCol, queryIdCol, queryTextCol)
+      .withColumnRenamed(queryIdCol, "__qid")
+      .localCheckpoint(false) // tiny; cuts the rescore's lineage replay
+    val sc = scoresWeighted(docs, qw, k1, b, idCol, textCol)
+      .withColumn("score", round(col("score"), 4))
+      .withColumnRenamed("__qid", queryIdCol)
+      .withColumnRenamed("id", idCol)
+    val top = sc.groupBy(col(queryIdCol))
+      .agg(TopK.topK(col(idCol).cast("long"), col("score"), k))
+      .select(col(queryIdCol), posexplode(col("topk")))
+      .select(col(queryIdCol), (col("pos") + 1).cast("int").as("rk"),
+        col("col._1").as(idCol))
+    sc.join(broadcast(top), Seq(queryIdCol, idCol))
+      .select(col(queryIdCol), col("rk"), col(idCol),
+        col("n_terms_hit"), col("score"))
+  }
+
   /** The batch rankers ride the [[CollectTopK]] (long, double)
     * bounded-heap, so ids must be integral — a silent
     * `cast("long")` of a string id would null every id and return an

@@ -116,6 +116,43 @@ class Bm25Spec extends SparkTestBase {
       }
   }
 
+  test("rm3: expansion adds feedback terms, weights form a convex mix, " +
+      "and the rescore is deterministic") {
+    val corpus = Seq(
+      (1L, "earnings report revenue growth dividends guidance"),
+      (2L, "earnings call revenue dividends outlook"),
+      (3L, "earnings revenue dividends forecast"),
+      (4L, "cat pictures and dog videos online"),
+      (5L, "weather rainfall wind pressure today"))
+      .toDF("doc_id", "text")
+    val queries = Seq((0L, "earnings")).toDF("query_id", "text")
+    val terms = Bm25.rm3Terms(corpus, queries, fbDocs = 3, fbTerms = 4,
+        origWeight = 0.5)
+      .collect().map(r => (r.getString(1), r.getDouble(2))).toMap
+    // feedback terms from the earnings docs surface...
+    assert(terms.contains("revenue") && terms.contains("dividends"),
+      s"terms=$terms")
+    // ...and none from the off-topic docs
+    assert(!terms.contains("cat") && !terms.contains("rainfall"))
+    // convex mix: weights sum to ~1 (orig 0.5 + expansion 0.5)
+    assert(math.abs(terms.values.sum - 1.0) < 1e-9, s"sum=${terms.values.sum}")
+    // the original term carries at least its orig share
+    assert(terms("earnings") >= 0.5 - 1e-9)
+    // expanded rescore pulls in docs sharing only FEEDBACK terms
+    val hits = Bm25.rm3TopK(corpus, queries, k = 5, fbDocs = 3,
+        fbTerms = 4, origWeight = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(Set(1L, 2L, 3L).subsetOf(hits))
+    // deterministic under repartition
+    val again = Bm25.rm3TopK(corpus.repartition(5), queries, k = 5,
+        fbDocs = 3, fbTerms = 4, origWeight = 0.5)
+      .select($"doc_id", $"rk").as[(Long, Int)].collect().toSet
+    val first = Bm25.rm3TopK(corpus, queries, k = 5, fbDocs = 3,
+        fbTerms = 4, origWeight = 0.5)
+      .select($"doc_id", $"rk").as[(Long, Int)].collect().toSet
+    assert(again == first)
+  }
+
   test("decontaminationProbe: min-score gate on the batch ranking") {
     val bench = Seq((10L, "quarterly earnings"), (11L, "cat videos"))
       .toDF("query_id", "text")
