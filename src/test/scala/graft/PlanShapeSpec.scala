@@ -277,6 +277,31 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("q134: the multi-query batch ranks through the bounded heap — " +
+       "no rank window on the scored stream, term/query maps broadcast") {
+    val p = plan("q134_bm25_batch_rrf")
+    // per-query top-k and the RRF re-rank are collect_top_k object
+    // aggregates, never row_number windows over the scored rows
+    assert(p.contains("collect_top_k"), p.take(2000))
+    assert(!p.contains("row_number"), p.take(3000))
+    // the (query, term) fan-out and the rank join-backs broadcast
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q137: the host-cap lottery ranks slim rows — text stays out " +
+       "of the window exchange") {
+    val p = plan("q137_host_cap")
+    // the window's exchange carries (host, id) — the text column must
+    // not appear in any hashpartitioning output below the semi-join
+    val winAt = p.indexOf("windowspecdefinition")
+    assert(winAt >= 0, p.take(2000))
+    val exchange = p.lastIndexOf("hashpartitioning(host", winAt)
+    assert(exchange >= 0, p.take(3000))
+    assert(!p.substring(exchange, winAt).contains("text"),
+      "document text entered the lottery exchange:\n" + p.take(3000))
+  }
+
   test("q116: the packing prefix sum is bucket-partitioned — no " +
        "single-task global sort anywhere in the operator") {
     // the window must run partitionBy(__b); its required ordering is a
