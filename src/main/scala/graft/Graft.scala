@@ -203,6 +203,13 @@ object Graft {
                       idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame =
     llmops.VectorFuncs.hashedEmbedding(docs, dim, idCol, textCol)
+  /** TF-IDF-weighted hashed embedding: stopwords vanish (idf 0), rare
+    * terms dominate — the quality step above [[hashedEmbedding]]
+    * (q139). */
+  def hashedTfidfEmbedding(docs: DataFrame, dim: Int = 256,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame =
+    llmops.VectorFuncs.hashedTfidfEmbedding(docs, dim, idCol, textCol)
   /** Sentence-aligned retrieval chunks (atomic sentences, char
     * budget). */
   def sentenceChunks(docs: DataFrame, targetChars: Int): DataFrame =

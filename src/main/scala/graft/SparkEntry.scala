@@ -2749,6 +2749,18 @@ object SparkEntry {
           fbDocs = 4, fbTerms = 6, origWeight = 0.5)
         .select($"query_id", $"rk", $"doc_id", $"n_terms_hit", $"score")
         .orderBy($"query_id", $"rk")
+    }),
+
+    // TF-IDF-weighted hashed embedding (X109): every (doc, bucket)
+    // value = Σ sign·tf·ln(N/df) replayed exactly to 6 decimals from
+    // the same md5 arithmetic + corpus stats — the q132 pattern with
+    // the idf weighting in the oracle-gated path.
+    "q139_tfidf_embedding" -> ((s, d) => {
+      import s.implicits._
+      graft.llmops.VectorFuncs.hashedTfidfBuckets(
+          t(s, d, "documents").filter($"doc_id" % 9 === 4), dim = 64)
+        .select($"doc_id", $"bucket", round($"v", 6).as("v"))
+        .orderBy($"doc_id", $"bucket")
     })
   )
 
@@ -5254,6 +5266,33 @@ object SparkEntry {
            FROM sm QUALIFY rk <= 10)
          SELECT qid::BIGINT AS query_id, rk::INTEGER AS rk, doc_id,
                 n_terms_hit, score
-         FROM fin ORDER BY query_id, rk"""
+         FROM fin ORDER BY query_id, rk""",
+    // TF-IDF hashed buckets: md5 bucket/sign + exact corpus stats
+    "q139_tfidf_embedding" ->
+      """WITH sub AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 9 = 4),
+         w AS (
+           SELECT doc_id,
+                  unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+           FROM sub),
+         w2 AS (SELECT doc_id, t FROM w WHERE length(t) > 0),
+         tf AS (
+           SELECT doc_id, t, count(*)::BIGINT AS tf FROM w2 GROUP BY 1, 2),
+         dfq AS (
+           SELECT t, count(DISTINCT doc_id)::BIGINT AS df
+           FROM w2 GROUP BY 1),
+         n AS (SELECT count(*)::DOUBLE AS n_docs FROM sub),
+         h AS (
+           SELECT tf.doc_id,
+                  CAST(('0x' || substr(md5(tf.t), 1, 8))::BIGINT % 64
+                       AS INTEGER) AS bucket,
+                  CASE WHEN substr(md5(tf.t), 9, 1) < '8'
+                       THEN 1.0 ELSE -1.0 END AS sgn,
+                  tf.tf, dfq.df
+           FROM tf JOIN dfq USING (t))
+         SELECT doc_id, bucket,
+                round(sum(sgn * tf * ln((SELECT n_docs FROM n) / df)), 6)
+                  AS v
+         FROM h GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

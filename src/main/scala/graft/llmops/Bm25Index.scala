@@ -93,6 +93,35 @@ object Bm25Index {
       .write.mode("append").parquet(s"$path/stats")
   }
 
+  /** Streaming growth: a document stream appends postings + stats per
+    * micro-batch, so the lexical index tracks a landing corpus
+    * continuously — the [[Retrieval.ingestStream]] pattern, with the
+    * same `_batches` ledger making foreachBatch's at-least-once replay
+    * a no-op (a replayed batch id is skipped, so postings and stats
+    * never double-append; the ledger row lands LAST).
+    */
+  def ingestStream(docs: DataFrame, path: String,
+                   idCol: String = "doc_id", textCol: String = "text")
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+       batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val seen =
+          try spark.read.parquet(s"$path/_batches")
+            .filter(col("batch_id") === batchId).limit(1).count() > 0
+          catch {
+            case _: org.apache.spark.sql.AnalysisException => false
+          }
+        if (!seen) {
+          append(batch, path, idCol, textCol)
+          Seq(batchId).toDF("batch_id")
+            .write.mode("append").parquet(s"$path/_batches")
+        }
+    }
+
   /** Multi-query BM25 scores served from the written index: the query
     * batch's distinct terms resolve to their buckets DRIVER-side (the
     * term set is broadcast-bounded by construction), the postings scan

@@ -357,8 +357,17 @@ object VectorFuncs {
     */
   def hashedEmbedding(docs: DataFrame, dim: Int,
                       idCol: String = "doc_id",
-                      textCol: String = "text"): DataFrame = {
-    hashedBuckets(docs, dim, idCol, textCol)
+                      textCol: String = "text"): DataFrame =
+    densifyNormalize(hashedBuckets(docs, dim, idCol, textCol), dim, idCol)
+
+  /** (id, bucket, v) sparse rows → dense L2-normalized `array<float>`
+    * — the shared tail of both hashed embedders. Bucket sums densify
+    * in FIXED bucket order (sequence 0..dim−1), so the norm sum is
+    * deterministic for a given bucket-value table.
+    */
+  private def densifyNormalize(bucketVals: DataFrame, dim: Int,
+                               idCol: String): DataFrame =
+    bucketVals
       .groupBy(col(idCol))
       .agg(map_from_entries(
         collect_list(struct(col("bucket"), col("v")))).as("__m"))
@@ -370,5 +379,55 @@ object VectorFuncs {
         when(col("__norm") > 0, x / col("__norm"))
           .otherwise(lit(0.0)).cast("float")))
       .select(col(idCol), col("embedding"))
+
+  /** TF-IDF-weighted signed bucket values — [[hashedBuckets]] with
+    * each (doc, term) contributing `sign · tf · ln(N/df)` instead of
+    * its raw signed count, so corpus-common tokens (stopwords,
+    * boilerplate vocabulary) nearly vanish from the vector instead of
+    * dominating its buckets. The idf form is the q51 TF-IDF
+    * operator's (`ln(n_docs / df)`, df = distinct docs containing the
+    * term). Deterministic md5 bucketing and exact corpus stats, so
+    * the oracle replays every (doc, bucket) value to a 6-decimal
+    * round (float-summation order inside a bucket is the only
+    * divergence). Scale shape: tf ⋈ df is a term-keyed join of two
+    * slim derived tables (the vocabulary side is NOT broadcastable at
+    * corpus scale — it grows with the vocabulary); text never
+    * shuffles.
+    */
+  def hashedTfidfBuckets(docs: DataFrame, dim: Int,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    val words = docs
+      .select(col(idCol), explode(TextFuncs.tokens(col(textCol))).as("__t"))
+      .filter(length(col("__t")) > 0)
+    val tf = words.groupBy(col(idCol), col("__t"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = words.groupBy(col("__t"))
+      .agg(countDistinct(col(idCol)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val h = md5(col("__t"))
+    tf.join(dfreq, Seq("__t"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("bucket",
+        (conv(substring(h, 1, 8), 16, 10).cast("long") % dim).cast("int"))
+      .withColumn("__sgn",
+        when(substring(h, 9, 1) < "8", 1.0).otherwise(-1.0))
+      .withColumn("__w", col("__sgn") * col("tf") *
+        log(col("n_docs").cast("double") / col("df")))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(sum(col("__w")).as("v"))
   }
+
+  /** Dense L2-normalized TF-IDF hashed embedding — the quality step
+    * between [[hashedEmbedding]]'s raw count hashing and a trained
+    * encoder, in the same `embeddings`-table shape so every ANN
+    * operator (and [[Retrieval]]) consumes it directly. Same
+    * no-tokens → no-row contract as [[hashedEmbedding]].
+    */
+  def hashedTfidfEmbedding(docs: DataFrame, dim: Int,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame =
+    densifyNormalize(hashedTfidfBuckets(docs, dim, idCol, textCol),
+      dim, idCol)
 }

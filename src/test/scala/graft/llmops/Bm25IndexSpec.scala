@@ -109,6 +109,44 @@ class Bm25IndexSpec extends SparkTestBase {
     assert(Bm25Index.scores(spark, path, one).count() > 0)
   }
 
+  test("ingestStream: micro-batches grow the index, replays are " +
+      "no-ops, served scores equal the batch build of the union") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = tmp()
+    val half1 = docs.filter($"doc_id" < 200)
+    Bm25Index.write(half1, path, nBuckets = 16)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = Bm25Index.ingestStream(
+        mem.toDF().toDF("doc_id", "text"), path)
+      .outputMode("update").start()
+    val batch2 = docs.filter($"doc_id" >= 200 && $"doc_id" < 350)
+      .as[(Long, String)].collect()
+    val batch3 = docs.filter($"doc_id" >= 350)
+      .as[(Long, String)].collect()
+    mem.addData(batch2.toIndexedSeq)
+    q.processAllAvailable()
+    mem.addData(batch3.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    // ledger recorded each applied batch once; stats rows = 1 + 2
+    assert(spark.read.parquet(s"$path/_batches").count() == 2)
+    assert(spark.read.parquet(s"$path/stats").count() == 3)
+    val served = Bm25Index.scores(spark, path, queries)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    val wholePath = tmp()
+    Bm25Index.write(docs, wholePath, nBuckets = 16)
+    val whole = Bm25Index.scores(spark, wholePath, queries)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(served.keySet == whole.keySet)
+    served.foreach { case (key, s) =>
+      assert(math.abs(s - whole(key)) <=
+        1e-12 * math.max(1.0, math.abs(whole(key))), s"at $key")
+    }
+  }
+
   test("fresh session serve: everything needed is on disk; string ids " +
       "rejected loudly") {
     val path = tmp()

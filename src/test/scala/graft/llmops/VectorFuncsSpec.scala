@@ -255,4 +255,54 @@ class VectorFuncsSpec extends SparkTestBase {
       .select(col("vec_id")).as[Long].head()
     assert(top / 100 == 1L, s"nearest chunk $top not from doc 1")
   }
+
+  test("hashedTfidfEmbedding: stopwords vanish (idf 0), rare terms " +
+      "dominate, unit norm, ANN-consumable shape") {
+    val docs = Seq(
+      (1L, "the market rallied on zirconium alloy news the"),
+      (2L, "the weather held steady across the coast"),
+      (3L, "the committee approved the zirconium alloy budget"))
+      .toDF("doc_id", "text")
+    // 'the' is in EVERY doc -> idf = ln(3/3) = 0: its occurrences
+    // contribute nothing to any bucket
+    val buckets = VectorFuncs.hashedTfidfBuckets(docs, dim = 256)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getDouble(2)))
+      .toMap
+    val theBucket = spark.sql(
+      "SELECT CAST(conv(substring(md5('the'), 1, 8), 16, 10) % 256 AS INT)")
+      .collect().head.getInt(0)
+    // doc 2 has no term sharing 'the's bucket unless by collision —
+    // verify via reconstruction: compute doc 2's expected values with
+    // 'the' excluded and compare
+    val noStop = VectorFuncs.hashedTfidfBuckets(
+        docs.withColumn("text",
+          regexp_replace(col("text"), "\\bthe\\b", " ")), dim = 256)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getDouble(2)))
+      .toMap
+    // idf of every other term is unchanged by dropping a zero-weight
+    // token, so the tables must agree everywhere — the stopword's own
+    // bucket survives only as an explicit ZERO row (idf = ln(1) = 0)
+    assert(noStop.keySet.subsetOf(buckets.keySet))
+    buckets.keySet.diff(noStop.keySet).foreach { k =>
+      assert(math.abs(buckets(k)) < 1e-12,
+        s"stopword bucket $k carries weight ${buckets(k)}")
+    }
+    noStop.foreach { case (k, v) =>
+      assert(math.abs(v - buckets(k)) < 1e-9, s"at $k: ${buckets(k)} vs $v")
+    }
+    // the embedding is unit-norm floats in the ANN shape, and the two
+    // zirconium docs are mutually closer than either is to weather
+    val emb = VectorFuncs.hashedTfidfEmbedding(docs, dim = 256)
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    vecs.values.foreach { v =>
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      assert(math.abs(n - 1.0) < 1e-5, s"norm $n")
+    }
+    def cos(a: Array[Float], b: Array[Float]) =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    assert(cos(vecs(1L), vecs(3L)) > cos(vecs(1L), vecs(2L)),
+      "zirconium docs should be mutually closest")
+    assert(theBucket >= 0) // bucket arithmetic sanity (shared w/ oracle)
+  }
 }
