@@ -428,6 +428,12 @@ object Graft {
   def queryBm25Index(s: SparkSession, path: String, queries: DataFrame,
                      k: Int): DataFrame =
     llmops.Bm25Index.topK(s, path, queries, k)
+  /** MMR diversification of a per-query top-N candidate set
+    * (Carbonell-Goldstein 1998): greedy lambda*rel - (1-lambda)*maxSim
+    * re-rank (q140). */
+  def mmrRerank(candidates: DataFrame, k: Int,
+                lambda: Double = 0.7): DataFrame =
+    llmops.Mmr.rerank(candidates, k, lambda)
   /** RM3 pseudo-relevance-feedback expanded retrieval: base top-k ->
     * relevance model -> weighted rescore (q138). */
   def bm25Rm3TopK(docs: DataFrame, queries: DataFrame, k: Int,

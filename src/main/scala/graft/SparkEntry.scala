@@ -2751,6 +2751,24 @@ object SparkEntry {
         .orderBy($"query_id", $"rk")
     }),
 
+    // MMR diversification (X110): the greedy trace over a fixed
+    // 8-candidate set — relevance and pairwise cosines rounded to 6
+    // decimals before the mix so every pick replays exactly; the
+    // oracle unrolls all three selections relationally.
+    "q140_mmr_rerank" -> ((s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter($"vec_id" < 2)
+        .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+      val cand = emb.filter($"vec_id".between(10, 17))
+        .crossJoin(broadcast(q))
+        .withColumn("rel",
+          graft.llmops.VectorFuncs.cosine($"embedding", $"query_vec"))
+        .select($"query_id", $"vec_id", $"rel", $"embedding")
+      graft.llmops.Mmr.rerank(cand, k = 3, lambda = 0.7)
+        .orderBy($"query_id", $"rk")
+    }),
+
     // TF-IDF-weighted hashed embedding (X109): every (doc, bucket)
     // value = Σ sign·tf·ln(N/df) replayed exactly to 6 decimals from
     // the same md5 arithmetic + corpus stats — the q132 pattern with
@@ -5293,6 +5311,61 @@ object SparkEntry {
          SELECT doc_id, bucket,
                 round(sum(sgn * tf * ln((SELECT n_docs FROM n) / df)), 6)
                   AS v
-         FROM h GROUP BY 1, 2 ORDER BY 1, 2"""
+         FROM h GROUP BY 1, 2 ORDER BY 1, 2""",
+    // MMR: the greedy unrolled — pick 1 is pure relevance, picks 2/3
+    // subtract the running max pairwise similarity; all inputs
+    // 6-dp rounded, constants written as the same IEEE arithmetic
+    // Spark evaluates (1.0 - 0.7, never 0.3)
+    "q140_mmr_rerank" ->
+      """WITH qv AS (
+           SELECT vec_id AS qid, embedding FROM embeddings
+           WHERE vec_id < 2),
+         cv AS (
+           SELECT vec_id AS vid, embedding FROM embeddings
+           WHERE vec_id BETWEEN 10 AND 17),
+         cand AS (
+           SELECT q.qid, c.vid,
+                  round(list_cosine_similarity(c.embedding::DOUBLE[],
+                    q.embedding::DOUBLE[]), 6) AS rel
+           FROM qv q, cv c),
+         sims AS (
+           SELECT a.vid AS v1, b.vid AS v2,
+                  round(list_cosine_similarity(a.embedding::DOUBLE[],
+                    b.embedding::DOUBLE[]), 6) AS s
+           FROM cv a, cv b),
+         p1 AS (
+           SELECT qid, vid, 0.7 * rel AS mmr FROM (
+             SELECT qid, vid, rel, row_number() OVER (
+               PARTITION BY qid ORDER BY 0.7 * rel DESC, vid) AS r
+             FROM cand) WHERE r = 1),
+         m1 AS (
+           SELECT c.qid, c.vid, c.rel, s.s AS ms
+           FROM cand c JOIN p1 ON p1.qid = c.qid
+                JOIN sims s ON s.v1 = c.vid AND s.v2 = p1.vid
+           WHERE c.vid <> p1.vid),
+         p2 AS (
+           SELECT qid, vid, mmr FROM (
+             SELECT qid, vid, 0.7 * rel - (1.0 - 0.7) * ms AS mmr,
+                    row_number() OVER (PARTITION BY qid
+                      ORDER BY 0.7 * rel - (1.0 - 0.7) * ms DESC, vid) AS r
+             FROM m1) WHERE r = 1),
+         m2 AS (
+           SELECT m1.qid, m1.vid, m1.rel, greatest(m1.ms, s.s) AS ms
+           FROM m1 JOIN p2 ON p2.qid = m1.qid
+                JOIN sims s ON s.v1 = m1.vid AND s.v2 = p2.vid
+           WHERE m1.vid <> p2.vid),
+         p3 AS (
+           SELECT qid, vid, mmr FROM (
+             SELECT qid, vid, 0.7 * rel - (1.0 - 0.7) * ms AS mmr,
+                    row_number() OVER (PARTITION BY qid
+                      ORDER BY 0.7 * rel - (1.0 - 0.7) * ms DESC, vid) AS r
+             FROM m2) WHERE r = 1)
+         SELECT qid::BIGINT AS query_id, rk::INTEGER AS rk,
+                vid AS vec_id, round(mmr, 6) AS mmr_score
+         FROM (
+           SELECT qid, 1 AS rk, vid, mmr FROM p1
+           UNION ALL SELECT qid, 2, vid, mmr FROM p2
+           UNION ALL SELECT qid, 3, vid, mmr FROM p3)
+         ORDER BY query_id, rk"""
   )
 }
