@@ -428,6 +428,14 @@ object Graft {
   def queryBm25Index(s: SparkSession, path: String, queries: DataFrame,
                      k: Int): DataFrame =
     llmops.Bm25Index.topK(s, path, queries, k)
+  /** Diversified retrieval from a persisted index: over-retrieve
+    * fetchK, MMR-keep the k most relevant-but-distinct passages. */
+  def searchRetrievalIndexDiverse(s: SparkSession, path: String,
+                                  queries: DataFrame, k: Int = 5,
+                                  fetchK: Int = 20,
+                                  lambda: Double = 0.7): DataFrame =
+    llmops.Retrieval.searchDiverse(s, path, queries, k, fetchK,
+      lambda = lambda)
   /** MMR diversification of a per-query top-N candidate set
     * (Carbonell-Goldstein 1998): greedy lambda*rel - (1-lambda)*maxSim
     * re-rank (q140). */

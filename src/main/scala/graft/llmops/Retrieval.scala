@@ -158,6 +158,45 @@ object Retrieval {
         }
     }
 
+  /** Diversified retrieval: [[search]] fetches `fetchK` candidates per
+    * question, each hit's chunk text re-embeds in the SAME hash space
+    * the index was built in (the true vectors are PQ-coded on disk —
+    * re-embedding k·|queries| short chunks is cheaper than storing
+    * raw floats corpus-wide), and [[Mmr.rerank]] greedily keeps the
+    * `k` most relevant-but-mutually-distinct passages. The standard
+    * fetchK ≈ 3–5× k over-retrieve-then-diversify pattern; every
+    * stage is individually verified (q135 serve, q132 embedding, q140
+    * greedy).
+    */
+  def searchDiverse(spark: SparkSession, path: String, queries: DataFrame,
+                    k: Int = 5, fetchK: Int = 20, nprobe: Int = 4,
+                    lambda: Double = 0.7,
+                    queryId: String = "query_id",
+                    textCol: String = "text"): DataFrame = {
+    val dim = spark.read.parquet(s"$path/params")
+      .select(col("dim")).head().getInt(0)
+    val chunks = spark.read.parquet(s"$path/chunks")
+    val withId = search(spark, path, queries, fetchK, nprobe, queryId,
+        textCol)
+      .join(chunks.select(col("vec_id"), col("doc_id"), col("chunk_idx")),
+        Seq("doc_id", "chunk_idx"))
+    // a chunk's embedding is query-independent: embed each DISTINCT
+    // hit chunk once, then fan out to the queries that retrieved it
+    val vecs = VectorFuncs.hashedEmbedding(
+      withId.select(col("vec_id"), col("chunk_text"))
+        .dropDuplicates("vec_id"),
+      dim, idCol = "vec_id", textCol = "chunk_text")
+    val picks = Mmr.rerank(
+      withId.join(vecs, Seq("vec_id"))
+        .select(col(queryId), col("vec_id"), col("sim").as("rel"),
+          col("embedding")),
+      k, lambda, queryIdCol = queryId, idCol = "vec_id")
+    picks
+      .join(chunks, Seq("vec_id"))
+      .select(col(queryId), col("rk"), col("doc_id"), col("chunk_idx"),
+        col("chunk_text"), col("mmr_score"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) of two per-query
     * rankings, each (queryId, idCol, rk): full-outer on (query, id),
     * `rrf_score = Σ 1/(rrfK + rk_i)` — exact integer-rank arithmetic,

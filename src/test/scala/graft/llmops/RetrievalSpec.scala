@@ -85,6 +85,33 @@ class RetrievalSpec extends SparkTestBase {
       == newVecIds.size)
   }
 
+  test("searchDiverse: over-retrieve then MMR — near-duplicate " +
+      "passages give way to distinct aspects") {
+    // doc 1/2 are near-identical (the same revenue sentence), doc 3 is
+    // a distinct aspect with lower relevance to the query
+    val docs = Seq(
+      (1L, "Revenue grew nine percent this quarter and margins held."),
+      (2L, "Revenue grew nine percent this quarter and margins rose."),
+      (3L, "The dividend was raised by the board at the annual vote."))
+      .toDF("doc_id", "text")
+    val path = tmp()
+    Retrieval.buildIndex(docs, path, targetChars = 200, dim = 128,
+      nlist = 2, m = 4)
+    val queries = Seq((0L, "revenue grew this quarter margins"))
+      .toDF("query_id", "text")
+    val diverse = Retrieval.searchDiverse(spark, path, queries,
+        k = 2, fetchK = 3, nprobe = 2, lambda = 0.5)
+      .orderBy($"rk")
+    assert(diverse.columns.toSeq == Seq("query_id", "rk", "doc_id",
+      "chunk_idx", "chunk_text", "mmr_score"))
+    val picks = diverse.select($"doc_id").as[Long].collect().toSeq
+    assert(picks.length == 2)
+    // rank 1 is one of the revenue twins; rank 2 must be the DISTINCT
+    // doc 3, not the near-duplicate twin
+    assert(Set(1L, 2L).contains(picks.head), s"picks=$picks")
+    assert(picks(1) == 3L, s"picks=$picks")
+  }
+
   test("hybridSearch: RRF fuses lexical and vector ranks; exact rare " +
       "terms surface even when the embedding smears them") {
     val docs = Seq(
