@@ -291,15 +291,18 @@ class PlanShapeSpec extends SparkTestBase {
 
   test("q137: the host-cap lottery ranks slim rows — text stays out " +
        "of the window exchange") {
-    val p = plan("q137_host_cap")
-    // the window's exchange carries (host, id) — the text column must
-    // not appear in any hashpartitioning output below the semi-join
-    val winAt = p.indexOf("windowspecdefinition")
-    assert(winAt >= 0, p.take(2000))
-    val exchange = p.lastIndexOf("hashpartitioning(host", winAt)
-    assert(exchange >= 0, p.take(3000))
-    assert(!p.substring(exchange, winAt).contains("text"),
-      "document text entered the lottery exchange:\n" + p.take(3000))
+    // structural, not string-scanned (a cached documents relation from
+    // another suite changes the rendered text): the WindowExec's input
+    // must carry ONLY the slim lottery columns
+    val w = SparkEntry.queries("q137_host_cap")(spark, sf0001)
+      .queryExecution.sparkPlan.collectFirst {
+        case we: org.apache.spark.sql.execution.window.WindowExec => we
+      }.get
+    val cols = w.child.output.map(_.name).toSet
+    assert(!cols.contains("text"),
+      s"document text entered the lottery exchange: $cols")
+    // _w0 is the window's own md5 sort key projection
+    assert(cols.subsetOf(Set("host", "doc_id", "_w0")), s"cols=$cols")
   }
 
   test("q116: the packing prefix sum is bucket-partitioned — no " +
