@@ -52,6 +52,11 @@ object Bm25Index {
       .groupBy(col("id"), col("term"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
       .withColumn("term_bucket", pmod(xxhash64(col("term")), lit(nBuckets)))
+      // co-locate each bucket before the partitioned write: without
+      // this every task writes a sliver of every bucket —
+      // tasks x buckets files, the classic small-files explosion; with
+      // it each bucket lands as one file per write
+      .repartition(col("term_bucket"))
       .write.mode("overwrite").partitionBy("term_bucket")
       .parquet(s"$path/postings")
     statsRow(docs, textCol)
@@ -87,6 +92,7 @@ object Bm25Index {
       .groupBy(col("id"), col("term"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
       .withColumn("term_bucket", pmod(xxhash64(col("term")), lit(nBuckets)))
+      .repartition(col("term_bucket"))
       .write.mode("append").partitionBy("term_bucket")
       .parquet(s"$path/postings")
     statsRow(newDocs, textCol)
