@@ -46,4 +46,26 @@ object AnnServe {
       }
     }
   }
+
+  /** Continuous HYBRID retrieval serving on a [[graft.llmops.Retrieval]]
+    * index: each micro-batch of QUESTIONS (queryId, text rows) is
+    * answered by `Retrieval.hybridSearch` — the vector side reads only
+    * the probed index partitions, the lexical side only the probed
+    * term buckets of the `/lexical` postings — and handed to `sink`
+    * with its batch id. Same statelessness/fault contract as [[serve]]:
+    * batches are independent, an idempotent-by-batch-id sink gets
+    * exactly-once results. The question-in → passages-out loop closed
+    * as one running query against purely persisted artifacts.
+    */
+  def serveHybrid(spark: SparkSession, path: String, questions: DataFrame,
+                  k: Int = 5, nprobe: Int = 4, rrfK: Int = 60,
+                  queryId: String = "query_id", textCol: String = "text")
+                 (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    questions.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          sink(graft.llmops.Retrieval.hybridSearch(batch.sparkSession,
+            path, batch, k, nprobe, rrfK, queryId, textCol), batchId)
+        }
+    }
 }

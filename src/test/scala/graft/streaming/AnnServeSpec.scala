@@ -54,6 +54,47 @@ class AnnServeSpec extends SparkTestBase {
     assert(answered(sortedIds.last) == batchAnswer(qvecs.drop(2)))
   }
 
+  test("serveHybrid: streamed question batches equal the batch " +
+      "hybridSearch over the persisted retrieval index") {
+    import graft.llmops.Retrieval
+    val docs = Seq(
+      (1L, "Revenue grew nine percent this quarter. The dividend rose."),
+      (2L, "Rainfall was heavy and winds were calm all evening there."),
+      (3L, "The cluster migration halved latency at peak load."))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("hybrid-serve")
+      .toString + "/idx"
+    Retrieval.buildIndex(docs, path, targetChars = 60, dim = 64,
+      nlist = 2, m = 4)
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val answered = mutable.Map.empty[Long, Set[(Long, Int, Long)]]
+    val q = AnnServe.serveHybrid(spark, path,
+        mem.toDF().toDF("query_id", "text"), k = 2, nprobe = 2) {
+      (res, batchId) =>
+        answered(batchId) = res
+          .select($"query_id", $"rk", $"doc_id")
+          .as[(Long, Int, Long)].collect().toSet
+    }.start()
+    val batch1 = Seq((0L, "dividend revenue quarter"))
+    val batch2 = Seq((1L, "cluster latency"), (2L, "rainfall winds"))
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(answered.size == 2)
+    def batchAnswer(qs: Seq[(Long, String)]) =
+      Retrieval.hybridSearch(spark, path,
+          qs.toDF("query_id", "text"), k = 2, nprobe = 2)
+        .select($"query_id", $"rk", $"doc_id")
+        .as[(Long, Int, Long)].collect().toSet
+    val ids = answered.keys.toSeq.sorted
+    assert(answered(ids.head) == batchAnswer(batch1))
+    assert(answered(ids.last) == batchAnswer(batch2))
+  }
+
   test("empty micro-batches are skipped, not served") {
     val idx = java.nio.file.Files.createTempDirectory("ann-serve-empty").toString
     AnnIndex.write(emb, idx, nlist = 4, coarseIters = 0,
