@@ -43,6 +43,74 @@ object Bm25 {
         explode(TextFuncs.tokens(col(textCol))).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
 
+  // ------------------------------------------------------------------
+  // The ONE scoring pipeline. Every BM25 path — single-query, batch,
+  // weighted rescore, index-served — goes through these three blocks,
+  // so the float-exact formulas (and the oracle/parity contracts that
+  // pin them) cannot drift apart across copies.
+  // ------------------------------------------------------------------
+
+  /** Corpus statistics: (n, avgdl) in ONE aggregation pass. */
+  private[llmops] def corpusStats(docs: DataFrame,
+                                  textCol: String): DataFrame =
+    docs.select(
+        TextFuncs.tokenCount(col(textCol)).cast("double").as("dl"))
+      .agg(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"))
+
+  /** Slim posting rows for the given term set only: (id, term, tf, dl).
+    * The broadcast semi-join runs inside the explode's map task, and
+    * dl RIDES the posting rows (computed in the same scan) so no
+    * corpus-sized length table ever needs joining back.
+    */
+  private[llmops] def corpusTf(docs: DataFrame, uniqTerms: DataFrame,
+                               idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+        TextFuncs.tokenCount(col(textCol)).cast("double").as("dl"),
+        explode(TextFuncs.tokens(col(textCol))).as("term"))
+      .join(broadcast(uniqTerms), Seq("term"))
+      .groupBy("id", "term")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+
+  /** (id, term, tf, dl) postings + (n, avgdl) stats →
+    * (id, term, contrib): df from the postings themselves, Lucene-form
+    * idf, tf-saturated length-normalized contribution.
+    */
+  private[llmops] def contribs(tf: DataFrame, stats: DataFrame,
+                               k1: Double, b: Double): DataFrame = {
+    val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val idf = df.crossJoin(broadcast(stats.select(col("n"))))
+      .select(col("term"),
+        log(lit(1.0) + (col("n") - col("df") + 0.5) /
+          (col("df") + 0.5)).as("idf"))
+    tf.join(broadcast(idf), Seq("term"))
+      .crossJoin(broadcast(stats.select(col("avgdl"))))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * (k1 + 1)) /
+          (col("tf") +
+            lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl"))))
+  }
+
+  /** Shared per-query ranking tail: 4-decimal round → [[CollectTopK]]
+    * bounded heap → dense rk → broadcast metadata join-back. The three
+    * top-k entry points (batch, RM3, index-served) must rank
+    * IDENTICALLY for the cross-path parity specs to hold — they all
+    * call this.
+    */
+  private[llmops] def rankTail(scored: DataFrame, k: Int,
+                               queryIdCol: String, idCol: String)
+      : DataFrame = {
+    val sc = scored.withColumn("score", round(col("score"), 4))
+    val top = sc
+      .groupBy(col(queryIdCol))
+      .agg(TopK.topK(col(idCol).cast("long"), col("score"), k))
+      .select(col(queryIdCol), posexplode(col("topk")))
+      .select(col(queryIdCol), (col("pos") + 1).cast("int").as("rk"),
+        col("col._1").as(idCol))
+    sc.join(broadcast(top), Seq(queryIdCol, idCol))
+      .select(col(queryIdCol), col("rk"), col(idCol),
+        col("n_terms_hit"), col("score"))
+  }
+
   /** BM25 scores of every document matching ≥1 query term:
     * (id, n_terms_hit, score). `terms` is the analyzed query (it is
     * lowercased here to match the tokenizer); duplicates are ignored
@@ -55,31 +123,8 @@ object Bm25 {
     val spark = docs.sparkSession
     import spark.implicits._
     val qTerms = terms.map(_.toLowerCase).distinct.toDF("term")
-    // corpus statistics: N and avgdl in ONE aggregation pass
-    val stats = docs.select(
-        TextFuncs.tokenCount(col(textCol)).cast("double").as("dl"))
-      .agg(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"))
-    // slim posting rows for query terms only — the broadcast semi-join
-    // runs inside the explode's map task, and dl RIDES the posting
-    // rows (computed in the same scan) so no corpus-sized length table
-    // ever needs joining back
-    val tf = docs.select(col(idCol).as("id"),
-        TextFuncs.tokenCount(col(textCol)).cast("double").as("dl"),
-        explode(TextFuncs.tokens(col(textCol))).as("term"))
-      .join(broadcast(qTerms), Seq("term"))
-      .groupBy("id", "term")
-      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-    val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-    val idf = df.crossJoin(broadcast(stats.select(col("n"))))
-      .select(col("term"),
-        log(lit(1.0) + (col("n") - col("df") + 0.5) /
-          (col("df") + 0.5)).as("idf"))
-    tf.join(broadcast(idf), Seq("term"))
-      .crossJoin(broadcast(stats.select(col("avgdl"))))
-      .withColumn("contrib",
-        col("idf") * (col("tf") * (k1 + 1)) /
-          (col("tf") +
-            lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl"))))
+    contribs(corpusTf(docs, qTerms, idCol, textCol),
+        corpusStats(docs, textCol), k1, b)
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_terms_hit"), sum(col("contrib")).as("score"))
       .withColumnRenamed("id", idCol)
@@ -122,39 +167,29 @@ object Bm25 {
     requireIntegralId(queries, queryIdCol, "query")
     // per-query distinct terms (bag-of-words query semantics, same as
     // `scores`); the term union drives the single corpus pass
-    val qTerms = queries
-      .filter(col(queryIdCol).isNotNull && col(queryTextCol).isNotNull)
-      .select(col(queryIdCol).cast("long").as("__qid"),
-        explode(TextFuncs.tokens(col(queryTextCol))).as("term"))
-      .filter(col("term") =!= "")
-      .distinct()
-    val uniqTerms = qTerms.select(col("term")).distinct()
-    val stats = docs.select(
-        TextFuncs.tokenCount(col(textCol)).cast("double").as("dl"))
-      .agg(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"))
-    val tf = docs.select(col(idCol).as("id"),
-        TextFuncs.tokenCount(col(textCol)).cast("double").as("dl"),
-        explode(TextFuncs.tokens(col(textCol))).as("term"))
-      .join(broadcast(uniqTerms), Seq("term"))
-      .groupBy("id", "term")
-      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-    val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-    val idf = df.crossJoin(broadcast(stats.select(col("n"))))
-      .select(col("term"),
-        log(lit(1.0) + (col("n") - col("df") + 0.5) /
-          (col("df") + 0.5)).as("idf"))
-    tf.join(broadcast(idf), Seq("term"))
-      .crossJoin(broadcast(stats.select(col("avgdl"))))
-      .withColumn("contrib",
-        col("idf") * (col("tf") * (k1 + 1)) /
-          (col("tf") +
-            lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl"))))
+    val qTerms = queryTerms(queries, queryIdCol, queryTextCol)
+    contribs(
+        corpusTf(docs, qTerms.select(col("term")).distinct(),
+          idCol, textCol),
+        corpusStats(docs, textCol), k1, b)
       .join(broadcast(qTerms), Seq("term")) // fan out to asking queries
       .groupBy(col("__qid"), col("id"))
       .agg(count(lit(1)).as("n_terms_hit"), sum(col("contrib")).as("score"))
       .withColumnRenamed("__qid", queryIdCol)
       .withColumnRenamed("id", idCol)
   }
+
+  /** Per-query distinct lowercased terms: (__qid, term); null ids and
+    * texts drop (they cannot score).
+    */
+  private[llmops] def queryTerms(queries: DataFrame, queryIdCol: String,
+                                 queryTextCol: String): DataFrame =
+    queries
+      .filter(col(queryIdCol).isNotNull && col(queryTextCol).isNotNull)
+      .select(col(queryIdCol).cast("long").as("__qid"),
+        explode(TextFuncs.tokens(col(queryTextCol))).as("term"))
+      .filter(col("term") =!= "")
+      .distinct()
 
   /** Per-query top-k over [[scoresBatch]] via the [[CollectTopK]]
     * bounded-heap aggregate — ≤ k candidates per partition per query
@@ -170,20 +205,8 @@ object Bm25 {
                 queryIdCol: String = "query_id",
                 queryTextCol: String = "text"): DataFrame = {
     requireIntegralId(docs, idCol, "doc")
-    val sc = scoresBatch(docs, queries, k1, b, idCol, textCol,
-        queryIdCol, queryTextCol)
-      .withColumn("score", round(col("score"), 4))
-    val top = sc
-      .groupBy(col(queryIdCol))
-      .agg(TopK.topK(col(idCol).cast("long"), col("score"), k))
-      .select(col(queryIdCol), posexplode(col("topk")))
-      .select(col(queryIdCol), (col("pos") + 1).cast("int").as("rk"),
-        col("col._1").as(idCol))
-    // join n_terms_hit/score back; the top side is k·|queries| rows —
-    // broadcast it so the scored side never shuffles
-    sc.join(broadcast(top), Seq(queryIdCol, idCol))
-      .select(col(queryIdCol), col("rk"), col(idCol),
-        col("n_terms_hit"), col("score"))
+    rankTail(scoresBatch(docs, queries, k1, b, idCol, textCol,
+      queryIdCol, queryTextCol), k, queryIdCol, idCol)
   }
 
   /** Benchmark-decontamination probe, the workload [[topKBatch]]
@@ -201,33 +224,15 @@ object Bm25 {
     */
   private def scoresWeighted(docs: DataFrame, qTermsW: DataFrame,
                              k1: Double, b: Double,
-                             idCol: String, textCol: String): DataFrame = {
-    val uniqTerms = qTermsW.select(col("term")).distinct()
-    val stats = docs.select(
-        TextFuncs.tokenCount(col(textCol)).cast("double").as("dl"))
-      .agg(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"))
-    val tf = docs.select(col(idCol).as("id"),
-        TextFuncs.tokenCount(col(textCol)).cast("double").as("dl"),
-        explode(TextFuncs.tokens(col(textCol))).as("term"))
-      .join(broadcast(uniqTerms), Seq("term"))
-      .groupBy("id", "term")
-      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-    val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-    val idf = df.crossJoin(broadcast(stats.select(col("n"))))
-      .select(col("term"),
-        log(lit(1.0) + (col("n") - col("df") + 0.5) /
-          (col("df") + 0.5)).as("idf"))
-    tf.join(broadcast(idf), Seq("term"))
-      .crossJoin(broadcast(stats.select(col("avgdl"))))
-      .withColumn("contrib",
-        col("idf") * (col("tf") * (k1 + 1)) /
-          (col("tf") +
-            lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl"))))
+                             idCol: String, textCol: String): DataFrame =
+    contribs(
+        corpusTf(docs, qTermsW.select(col("term")).distinct(),
+          idCol, textCol),
+        corpusStats(docs, textCol), k1, b)
       .join(broadcast(qTermsW), Seq("term"))
       .groupBy(col("__qid"), col("id"))
       .agg(count(lit(1)).as("n_terms_hit"),
         sum(col("w") * col("contrib")).as("score"))
-  }
 
   /** RM3 pseudo-relevance-feedback expansion (Abdul-Jaleel et al.,
     * TREC 2004 — the standard PRF baseline): per query, take the base
@@ -256,12 +261,7 @@ object Bm25 {
                queryTextCol: String = "text"): DataFrame = {
     require(fbDocs > 0 && fbTerms > 0, "fbDocs/fbTerms must be positive")
     require(origWeight >= 0 && origWeight <= 1, "origWeight in [0, 1]")
-    val qTerms = queries
-      .filter(col(queryIdCol).isNotNull && col(queryTextCol).isNotNull)
-      .select(col(queryIdCol).cast("long").as("__qid"),
-        explode(TextFuncs.tokens(col(queryTextCol))).as("term"))
-      .filter(col("term") =!= "")
-      .distinct()
+    val qTerms = queryTerms(queries, queryIdCol, queryTextCol)
     val top = topKBatch(docs, queries, fbDocs, k1, b, idCol, textCol,
         queryIdCol, queryTextCol)
       .select(col(queryIdCol).as("__qid"), col(idCol).as("id"))
@@ -320,18 +320,11 @@ object Bm25 {
         idCol, textCol, queryIdCol, queryTextCol)
       .withColumnRenamed(queryIdCol, "__qid")
       .localCheckpoint(false) // tiny; cuts the rescore's lineage replay
-    val sc = scoresWeighted(docs, qw, k1, b, idCol, textCol)
-      .withColumn("score", round(col("score"), 4))
-      .withColumnRenamed("__qid", queryIdCol)
-      .withColumnRenamed("id", idCol)
-    val top = sc.groupBy(col(queryIdCol))
-      .agg(TopK.topK(col(idCol).cast("long"), col("score"), k))
-      .select(col(queryIdCol), posexplode(col("topk")))
-      .select(col(queryIdCol), (col("pos") + 1).cast("int").as("rk"),
-        col("col._1").as(idCol))
-    sc.join(broadcast(top), Seq(queryIdCol, idCol))
-      .select(col(queryIdCol), col("rk"), col(idCol),
-        col("n_terms_hit"), col("score"))
+    rankTail(
+      scoresWeighted(docs, qw, k1, b, idCol, textCol)
+        .withColumnRenamed("__qid", queryIdCol)
+        .withColumnRenamed("id", idCol),
+      k, queryIdCol, idCol)
   }
 
   /** The batch rankers ride the [[CollectTopK]] (long, double)

@@ -59,28 +59,43 @@ object Bm25Index {
       .repartition(col("term_bucket"))
       .write.mode("overwrite").partitionBy("term_bucket")
       .parquet(s"$path/postings")
-    statsRow(docs, textCol)
+    statsRow(docs, textCol, "base")
       .write.mode("overwrite").parquet(s"$path/stats")
     Seq(nBuckets).toDF("n_buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
   }
 
-  /** One additive stats row for a document batch: (n_docs, sum_dl).
-    * Docs with empty/whitespace text count toward n (they are corpus
-    * members with dl = 0), exactly like [[Bm25.scores]]' stats pass.
+  /** One additive stats row for a document batch: (n_docs, sum_dl,
+    * batch). Docs with empty/whitespace text count toward n (they are
+    * corpus members with dl = 0), exactly like [[Bm25.scores]]' stats
+    * pass. The `batch` tag exists so a replayed partial append (crash
+    * between the postings and stats writes) dedupes at serve time
+    * instead of permanently double-counting.
     */
-  private def statsRow(docs: DataFrame, textCol: String): DataFrame =
+  private def statsRow(docs: DataFrame, textCol: String,
+                       batchTag: String): DataFrame =
     docs.select(TextFuncs.tokenCount(col(textCol))
         .cast("double").as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .withColumn("batch", lit(batchTag))
 
   /** Incremental growth: new docs' postings append into their term
     * buckets, plus one more additive stats row — no rewrite, the index
     * stays serveable throughout, df/avgdl reflect the union on the
     * next query.
+    *
+    * Crash-safety: the two appends are not one transaction, so a
+    * replay after a crash between them can re-append. Both stores
+    * dedupe at SERVE time — posting rows by the (id, term) uniqueness
+    * contract, stats rows by `batchTag` — so a replayed
+    * [[ingestStream]] batch (which passes its deterministic batch id)
+    * never corrupts served scores. Manual calls get a fresh tag per
+    * invocation (two deliberate appends must both count).
     */
   def append(newDocs: DataFrame, path: String,
-             idCol: String = "doc_id", textCol: String = "text"): Unit = {
+             idCol: String = "doc_id", textCol: String = "text",
+             batchTag: String = java.util.UUID.randomUUID().toString)
+      : Unit = {
     Bm25.requireIntegralId(newDocs, idCol, "doc")
     val spark = newDocs.sparkSession
     val nBuckets = spark.read.parquet(s"$path/params")
@@ -95,37 +110,24 @@ object Bm25Index {
       .repartition(col("term_bucket"))
       .write.mode("append").partitionBy("term_bucket")
       .parquet(s"$path/postings")
-    statsRow(newDocs, textCol)
+    statsRow(newDocs, textCol, batchTag)
       .write.mode("append").parquet(s"$path/stats")
   }
 
   /** Streaming growth: a document stream appends postings + stats per
-    * micro-batch, so the lexical index tracks a landing corpus
-    * continuously — the [[Retrieval.ingestStream]] pattern, with the
-    * same `_batches` ledger making foreachBatch's at-least-once replay
-    * a no-op (a replayed batch id is skipped, so postings and stats
-    * never double-append; the ledger row lands LAST).
+    * micro-batch behind the [[BatchLedger]] (committed batches never
+    * replay). A crash BETWEEN a batch's postings and stats appends is
+    * also harmless: the replay passes the same deterministic
+    * `stream-<batchId>` tag, and [[scores]] dedupes posting rows by
+    * (id, term) and stats rows by tag — so the crash window degrades
+    * to a retried no-op, never a double count.
     */
   def ingestStream(docs: DataFrame, path: String,
                    idCol: String = "doc_id", textCol: String = "text")
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
-    docs.writeStream.foreachBatch {
-      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-       batchId: Long) =>
-        val spark = batch.sparkSession
-        import spark.implicits._
-        val seen =
-          try spark.read.parquet(s"$path/_batches")
-            .filter(col("batch_id") === batchId).limit(1).count() > 0
-          catch {
-            case _: org.apache.spark.sql.AnalysisException => false
-          }
-        if (!seen) {
-          append(batch, path, idCol, textCol)
-          Seq(batchId).toDF("batch_id")
-            .write.mode("append").parquet(s"$path/_batches")
-        }
+    BatchLedger.guarded(docs, path) { (batch, batchId) =>
+      append(batch, path, idCol, textCol, batchTag = s"stream-$batchId")
     }
 
   /** Multi-query BM25 scores served from the written index: the query
@@ -146,35 +148,29 @@ object Bm25Index {
     Bm25.requireIntegralId(queries, queryIdCol, "query")
     val nBuckets = spark.read.parquet(s"$path/params")
       .select(col("n_buckets")).head().getInt(0)
-    val qTerms = queries
-      .filter(col(queryIdCol).isNotNull && col(queryTextCol).isNotNull)
-      .select(col(queryIdCol).cast("long").as("__qid"),
-        explode(TextFuncs.tokens(col(queryTextCol))).as("term"))
-      .filter(col("term") =!= "")
-      .distinct()
+    val qTerms = Bm25.queryTerms(queries, queryIdCol, queryTextCol)
       .localCheckpoint(false) // tiny; read thrice (buckets, join, fan-out)
     val buckets = qTerms
       .select(pmod(xxhash64(col("term")), lit(nBuckets)).as("b"))
       .distinct().as[Long].collect().toSeq
-    val stats = spark.read.parquet(s"$path/stats")
+    // additive stats rows sum to the union corpus; a `batch` tag (new
+    // layouts) dedupes crash-window replays of the same ingest batch
+    val statsRaw = spark.read.parquet(s"$path/stats")
+    val stats = (if (statsRaw.columns.contains("batch"))
+        statsRaw.dropDuplicates("batch") else statsRaw)
       .agg(sum(col("n_docs")).cast("double").as("n"),
         (sum(col("sum_dl")) / sum(col("n_docs"))).as("avgdl"))
     val uniqTerms = qTerms.select(col("term")).distinct()
+    // (id, term) is unique by the id-uniqueness contract, so exact
+    // duplicate posting rows can only be a replayed partial append —
+    // dropDuplicates on the SLIM matched set makes the crash window
+    // harmless at serve time
     val tf = spark.read.parquet(s"$path/postings")
       .filter(col("term_bucket").isin(buckets: _*)) // partition pruning
       .join(broadcast(uniqTerms), Seq("term"))
       .select(col("id"), col("term"), col("tf"), col("dl"))
-    val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-    val idf = df.crossJoin(broadcast(stats.select(col("n"))))
-      .select(col("term"),
-        log(lit(1.0) + (col("n") - col("df") + 0.5) /
-          (col("df") + 0.5)).as("idf"))
-    tf.join(broadcast(idf), Seq("term"))
-      .crossJoin(broadcast(stats.select(col("avgdl"))))
-      .withColumn("contrib",
-        col("idf") * (col("tf") * (k1 + 1)) /
-          (col("tf") +
-            lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl"))))
+      .dropDuplicates("id", "term")
+    Bm25.contribs(tf, stats, k1, b)
       .join(broadcast(qTerms), Seq("term"))
       .groupBy(col("__qid"), col("id"))
       .agg(count(lit(1)).as("n_terms_hit"), sum(col("contrib")).as("score"))
@@ -182,27 +178,16 @@ object Bm25Index {
       .withColumnRenamed("id", idCol)
   }
 
-  /** Per-query top-k over [[scores]] — the [[Bm25.topKBatch]] tail
-    * (4-decimal round, bounded-heap rank, metadata join-back) over the
-    * index-served scores. Returns (queryIdCol, rk, idCol,
+  /** Per-query top-k over [[scores]] — [[Bm25.rankTail]], the same
+    * 4-decimal round / bounded-heap rank / metadata join-back every
+    * other BM25 top-k uses. Returns (queryIdCol, rk, idCol,
     * n_terms_hit, score).
     */
   def topK(spark: SparkSession, path: String, queries: DataFrame, k: Int,
            k1: Double = 1.2, b: Double = 0.75,
            idCol: String = "doc_id",
            queryIdCol: String = "query_id",
-           queryTextCol: String = "text"): DataFrame = {
-    val sc = scores(spark, path, queries, k1, b, idCol,
-        queryIdCol, queryTextCol)
-      .withColumn("score", round(col("score"), 4))
-    val top = sc
-      .groupBy(col(queryIdCol))
-      .agg(TopK.topK(col(idCol).cast("long"), col("score"), k))
-      .select(col(queryIdCol), posexplode(col("topk")))
-      .select(col(queryIdCol), (col("pos") + 1).cast("int").as("rk"),
-        col("col._1").as(idCol))
-    sc.join(broadcast(top), Seq(queryIdCol, idCol))
-      .select(col(queryIdCol), col("rk"), col(idCol),
-        col("n_terms_hit"), col("score"))
-  }
+           queryTextCol: String = "text"): DataFrame =
+    Bm25.rankTail(scores(spark, path, queries, k1, b, idCol,
+      queryIdCol, queryTextCol), k, queryIdCol, idCol)
 }

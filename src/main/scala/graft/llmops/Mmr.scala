@@ -66,6 +66,12 @@ object Mmr {
     val spark = candidates.sparkSession
     import spark.implicits._
     candidates
+      // null ids cannot survive the (Long, Long, ...) encoder and a
+      // NaN relevance is unselectable under every comparison (the
+      // greedy would find no pick and crash) — drop both up front,
+      // the scoresBatch null-row contract
+      .filter(col(queryIdCol).isNotNull && col(idCol).isNotNull &&
+        col(relCol).isNotNull && !isnan(col(relCol).cast("double")))
       .select(col(queryIdCol).cast("long"), col(idCol).cast("long"),
         col(relCol).cast("double"), col(vecCol))
       .as[(Long, Long, Double, Seq[Float])]

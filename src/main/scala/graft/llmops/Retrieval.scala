@@ -116,47 +116,65 @@ object Retrieval {
         idCol = "vec_id", textCol = "chunk_text")
   }
 
-  private def hasLexical(spark: SparkSession, path: String): Boolean =
-    try {
-      val p = new org.apache.hadoop.fs.Path(s"$path/lexical/params")
-      p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
-    } catch { case scala.util.control.NonFatal(_) => false }
+  /** Absence must be a clean `false`; a TRANSIENT filesystem error
+    * must PROPAGATE — mapping it to "no lexical index" would silently
+    * skip the lexical append (leaving a permanently incomplete index)
+    * or silently serve the fallback path. `exists` returns false for
+    * missing paths without throwing, so no catch is correct here.
+    */
+  private def hasLexical(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/lexical/params")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
 
   /** Streaming corpus growth: a document stream (e.g. the landed
     * output of `MediaStreams.pdfTextIngest`/`warcPdfIngest`, or any
-    * cleaned append stream) feeds [[appendDocs]] per micro-batch, so
-    * the retrieval index grows continuously and stays serveable
-    * throughout — the crawl-to-searchable-corpus loop closed as one
-    * running query.
+    * cleaned append stream) feeds [[appendDocs]] per micro-batch
+    * behind the [[BatchLedger]], so the retrieval index grows
+    * continuously and stays serveable throughout — the
+    * crawl-to-searchable-corpus loop closed as one running query.
     *
-    * foreachBatch is at-least-once: a restart can replay a committed
-    * batch, and [[appendDocs]] is an append. A `<path>/_batches`
-    * ledger makes the replay a no-op — a batchId already recorded is
-    * skipped, so chunks and codes never double-append. (A crash
-    * BETWEEN the chunk and code appends of one batch still needs the
-    * ledger row to land last, which it does.)
+    * The ledger makes replays of COMMITTED batches no-ops. A crash
+    * BETWEEN one batch's store appends (chunks, then codes, then
+    * lexical) leaves no ledger row, and the replay re-appends — a
+    * duplicated slice across the stores. vec_ids are deterministic
+    * (hash of doc and chunk position), so the duplicates are exact
+    * copies: [[compact]] is the recovery pass that squeezes them out
+    * and re-derives every artifact from the deduped chunk table.
     */
   def ingestStream(docs: DataFrame, path: String,
                    idCol: String = "doc_id", textCol: String = "text")
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
-    docs.writeStream.foreachBatch {
-      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-       batchId: Long) =>
-        val spark = batch.sparkSession
-        import spark.implicits._
-        val seen =
-          try spark.read.parquet(s"$path/_batches")
-            .filter(col("batch_id") === batchId).limit(1).count() > 0
-          catch {
-            case _: org.apache.spark.sql.AnalysisException => false
-          }
-        if (!seen) {
-          appendDocs(batch, path, idCol, textCol)
-          Seq(batchId).toDF("batch_id")
-            .write.mode("append").parquet(s"$path/_batches")
-        }
+    BatchLedger.guarded(docs, path) { (batch, _) =>
+      appendDocs(batch, path, idCol, textCol)
     }
+
+  /** Recovery + dedupe pass: re-derive every index artifact from the
+    * chunk table alone, using the PERSISTED models (no retrain).
+    * Squeezes out the exact-duplicate rows an interrupted
+    * [[ingestStream]] batch can leave (chunks by vec_id; the ANN codes
+    * and lexical postings are rebuilt wholesale from the deduped
+    * chunks), after which serving is indistinguishable from a clean
+    * build of the same corpus. One full pass over the chunk table —
+    * run it after a crash, not on a schedule.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val deduped = spark.read.parquet(s"$path/chunks")
+      .dropDuplicates("vec_id")
+      .localCheckpoint() // materialized: its source dir is overwritten
+    deduped.write.mode("overwrite").parquet(s"$path/chunks")
+    val dim = spark.read.parquet(s"$path/params")
+      .select(col("dim")).head().getInt(0)
+    val (cents, books) = AnnIndex.loadModels(spark, s"$path/index")
+    AnnIndex.writeWithModels(
+      VectorFuncs.hashedEmbedding(deduped, dim,
+        idCol = "vec_id", textCol = "chunk_text"),
+      s"$path/index", cents, books)
+    if (hasLexical(spark, path))
+      Bm25Index.write(deduped, s"$path/lexical",
+        idCol = "vec_id", textCol = "chunk_text")
+  }
 
   /** Diversified retrieval: [[search]] fetches `fetchK` candidates per
     * question, each hit's chunk text re-embeds in the SAME hash space
@@ -175,7 +193,11 @@ object Retrieval {
                     textCol: String = "text"): DataFrame = {
     val dim = spark.read.parquet(s"$path/params")
       .select(col("dim")).head().getInt(0)
-    val chunks = spark.read.parquet(s"$path/chunks")
+    // cached: search()'s internal read, the vec_id join-back, and the
+    // final metadata join all resolve to this one relation (Spark's
+    // cache manager matches by logical plan), so the chunk table scans
+    // once per call instead of three times
+    val chunks = spark.read.parquet(s"$path/chunks").cache()
     val withId = search(spark, path, queries, fetchK, nprobe, queryId,
         textCol)
       .join(chunks.select(col("vec_id"), col("doc_id"), col("chunk_idx")),
@@ -191,10 +213,13 @@ object Retrieval {
         .select(col(queryId), col("vec_id"), col("sim").as("rel"),
           col("embedding")),
       k, lambda, queryIdCol = queryId, idCol = "vec_id")
-    picks
+    val out = picks
       .join(chunks, Seq("vec_id"))
       .select(col(queryId), col("rk"), col("doc_id"), col("chunk_idx"),
         col("chunk_text"), col("mmr_score"))
+      .localCheckpoint() // k·|queries| rows; outlives the unpersist
+    chunks.unpersist()
+    out
   }
 
   /** Reciprocal-rank fusion (Cormack et al. 2009) of two per-query
@@ -247,9 +272,27 @@ object Retrieval {
                    k: Int = 5, nprobe: Int = 4, rrfK: Int = 60,
                    queryId: String = "query_id",
                    textCol: String = "text"): DataFrame = {
-    // cached: the vector join-backs and the lexical pass share it
+    // cached for THIS call: the vector join-backs and the lexical pass
+    // share it; a long-lived server hoists the cache across calls
+    // instead ([[hybridSearchWith]] — the AnnServe.serveHybrid shape)
     val chunks = spark.read.parquet(s"$path/chunks").cache()
+    val out = hybridSearchWith(spark, path, chunks, queries, k, nprobe,
+      rrfK, queryId, textCol)
+    chunks.unpersist()
+    out
+  }
 
+  /** [[hybridSearch]] with a pre-loaded (typically cached) chunk
+    * table — the seam a long-lived server uses to pay the chunk-table
+    * load once per stream, not once per micro-batch. The result is
+    * `localCheckpoint`ed (k·|queries| rows), so it outlives any later
+    * unpersist of `chunks`.
+    */
+  def hybridSearchWith(spark: SparkSession, path: String,
+                       chunks: DataFrame, queries: DataFrame,
+                       k: Int = 5, nprobe: Int = 4, rrfK: Int = 60,
+                       queryId: String = "query_id",
+                       textCol: String = "text"): DataFrame = {
     // vector side: the [[search]] ranking, joined back to vec_id
     // granularity through the chunk table (vec_id is a hash — not
     // derivable from (doc, chunk) without it)
@@ -275,14 +318,12 @@ object Retrieval {
           queryIdCol = queryId, queryTextCol = textCol)
     val lex = lexTop.select(col(queryId), col("vec_id"), col("rk"))
 
-    // materialize before unpersisting the cached chunk table — the
-    // result is k·|queries| rows, checkpoint-small by construction
-    val out = rrfFuse(vec, lex, k, rrfK, queryId, "vec_id")
+    // materialize: the result is k·|queries| rows, checkpoint-small by
+    // construction — it must outlive the caller's chunk unpersist
+    rrfFuse(vec, lex, k, rrfK, queryId, "vec_id")
       .join(chunks, Seq("vec_id"))
       .select(col(queryId), col("rk"), col("doc_id"), col("chunk_idx"),
         col("chunk_text"), col("rrf_score"))
       .localCheckpoint()
-    chunks.unpersist()
-    out
   }
 }

@@ -327,9 +327,14 @@ object VectorFuncs {
     * aggregation over slim (id, bucket, sign) rows; text never
     * shuffles.
     */
-  def hashedBuckets(docs: DataFrame, dim: Int,
-                    idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame = {
+  /** The ONE hash space both embedders live in: explode tokens, drop
+    * empties, bucket = md5[0:8] mod dim, sign = md5[8] < '8'. Shared
+    * so count- and tfidf-embedded corpora stay ANN-compatible by
+    * construction — a drift in either copy would silently break
+    * cross-embedder similarity.
+    */
+  private def tokenBucketSign(docs: DataFrame, dim: Int,
+                              idCol: String, textCol: String): DataFrame = {
     require(dim > 0, "dim must be positive")
     val h = md5(col("__t"))
     docs
@@ -339,9 +344,14 @@ object VectorFuncs {
         (conv(substring(h, 1, 8), 16, 10).cast("long") % dim).cast("int"))
       .withColumn("__sgn",
         when(substring(h, 9, 1) < "8", 1L).otherwise(-1L))
+  }
+
+  def hashedBuckets(docs: DataFrame, dim: Int,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame =
+    tokenBucketSign(docs, dim, idCol, textCol)
       .groupBy(col(idCol), col("bucket"))
       .agg(sum(col("__sgn")).as("v"))
-  }
 
   /** Dense L2-normalized `array<float>` embedding from
     * [[hashedBuckets]] — the model-free text embedder that makes the
@@ -397,22 +407,15 @@ object VectorFuncs {
   def hashedTfidfBuckets(docs: DataFrame, dim: Int,
                          idCol: String = "doc_id",
                          textCol: String = "text"): DataFrame = {
-    require(dim > 0, "dim must be positive")
-    val words = docs
-      .select(col(idCol), explode(TextFuncs.tokens(col(textCol))).as("__t"))
-      .filter(length(col("__t")) > 0)
-    val tf = words.groupBy(col(idCol), col("__t"))
+    val words = tokenBucketSign(docs, dim, idCol, textCol)
+    val tf = words.groupBy(col(idCol), col("__t"), col("bucket"),
+        col("__sgn"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = words.groupBy(col("__t"))
       .agg(countDistinct(col(idCol)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val h = md5(col("__t"))
     tf.join(dfreq, Seq("__t"))
       .crossJoin(broadcast(nDocs))
-      .withColumn("bucket",
-        (conv(substring(h, 1, 8), 16, 10).cast("long") % dim).cast("int"))
-      .withColumn("__sgn",
-        when(substring(h, 9, 1) < "8", 1.0).otherwise(-1.0))
       .withColumn("__w", col("__sgn") * col("tf") *
         log(col("n_docs").cast("double") / col("df")))
       .groupBy(col(idCol), col("bucket"))

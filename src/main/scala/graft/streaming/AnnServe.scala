@@ -60,12 +60,19 @@ object AnnServe {
   def serveHybrid(spark: SparkSession, path: String, questions: DataFrame,
                   k: Int = 5, nprobe: Int = 4, rrfK: Int = 60,
                   queryId: String = "query_id", textCol: String = "text")
-                 (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+                 (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    // load-once serving discipline (the [[serve]] contract): the chunk
+    // table caches at stream start and every micro-batch serves
+    // through hybridSearchWith — per-batch cost stays probe-sized, not
+    // corpus-sized. The cache lives for the stream's lifetime.
+    val chunks = spark.read.parquet(s"$path/chunks").cache()
     questions.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          sink(graft.llmops.Retrieval.hybridSearch(batch.sparkSession,
-            path, batch, k, nprobe, rrfK, queryId, textCol), batchId)
+          sink(graft.llmops.Retrieval.hybridSearchWith(batch.sparkSession,
+            path, chunks, batch, k, nprobe, rrfK, queryId, textCol),
+            batchId)
         }
     }
+  }
 }

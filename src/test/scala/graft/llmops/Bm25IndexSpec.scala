@@ -147,6 +147,43 @@ class Bm25IndexSpec extends SparkTestBase {
     }
   }
 
+  test("crash-window replay is harmless: a re-appended stream batch " +
+      "(same tag) never double-counts postings or stats") {
+    val path = tmp()
+    val half1 = docs.filter($"doc_id" < 250)
+    val half2 = docs.filter($"doc_id" >= 250)
+    Bm25Index.write(half1, path, nBuckets = 16)
+    // simulate foreachBatch redelivery after a crash between the
+    // postings append and the ledger row: the SAME batch appends twice
+    // with its deterministic stream tag
+    Bm25Index.append(half2, path, batchTag = "stream-7")
+    Bm25Index.append(half2, path, batchTag = "stream-7")
+    assert(spark.read.parquet(s"$path/stats").count() == 3)
+    val served = Bm25Index.scores(spark, path, queries)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    val clean = tmp()
+    Bm25Index.write(docs, clean, nBuckets = 16)
+    val whole = Bm25Index.scores(spark, clean, queries)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(served.keySet == whole.keySet)
+    served.foreach { case (key, (nth, s)) =>
+      assert(whole(key)._1 == nth && math.abs(s - whole(key)._2) <=
+        1e-12 * math.max(1.0, math.abs(whole(key)._2)), s"at $key")
+    }
+    // two DELIBERATE manual appends of different batches both count
+    // (fresh tags) — the dedupe keys on the tag, not the content
+    val p2 = tmp()
+    Bm25Index.write(half1, p2, nBuckets = 16)
+    Bm25Index.append(half2, p2)
+    val n = spark.read.parquet(s"$p2/stats")
+      .agg(org.apache.spark.sql.functions.sum($"n_docs")).head().getLong(0)
+    assert(n == docs.count())
+  }
+
   test("fresh session serve: everything needed is on disk; string ids " +
       "rejected loudly") {
     val path = tmp()

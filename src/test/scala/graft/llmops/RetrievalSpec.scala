@@ -307,6 +307,50 @@ class RetrievalSpec extends SparkTestBase {
     assert(hits.filter($"query_id" === 1L).count() >= 1)
   }
 
+  test("compact: an interrupted-batch double-append is squeezed out — " +
+      "serving equals a clean build afterward") {
+    val docs = Seq(
+      (1L, "Revenue grew nine percent this quarter. The dividend rose."),
+      (2L, "Rainfall was heavy and winds were calm all evening there."))
+      .toDF("doc_id", "text")
+    val late = Seq(
+      (7L, "The cluster migration halved latency at peak load."))
+      .toDF("doc_id", "text")
+    val path = tmp()
+    Retrieval.buildIndex(docs, path, targetChars = 60, dim = 64,
+      nlist = 2, m = 4)
+    // simulate a replayed uncommitted ingest batch: the same docs
+    // append twice (vec_ids are deterministic, so rows are exact dups)
+    Retrieval.appendDocs(late, path)
+    Retrieval.appendDocs(late, path)
+    val chunks = spark.read.parquet(s"$path/chunks")
+    assert(chunks.filter($"doc_id" === 7L).count() >
+      chunks.filter($"doc_id" === 7L).select($"vec_id")
+        .distinct().count()) // duplicates present
+    Retrieval.compact(spark, path)
+    // chunks deduped, codes rebuilt 1:1, lexical rebuilt
+    val after = spark.read.parquet(s"$path/chunks")
+    assert(after.count() == after.select($"vec_id").distinct().count())
+    assert(spark.read.parquet(s"$path/index")
+      .select($"vec_id").distinct().count() == after.count())
+    // serving matches the SINGLE-append path (same models — trained on
+    // the base docs in both — same corpus): compact must make the
+    // double-append indistinguishable from the clean history
+    val clean = tmp()
+    Retrieval.buildIndex(docs, clean, targetChars = 60, dim = 64,
+      nlist = 2, m = 4)
+    Retrieval.appendDocs(late, clean)
+    val q = Seq((0L, "cluster latency"), (1L, "dividend revenue"))
+      .toDF("query_id", "text")
+    val a = Retrieval.search(spark, path, q, k = 3, nprobe = 2)
+      .select($"query_id", $"rk", $"doc_id", $"chunk_idx")
+      .as[(Long, Int, Long, Int)].collect().toSet
+    val b = Retrieval.search(spark, clean, q, k = 3, nprobe = 2)
+      .select($"query_id", $"rk", $"doc_id", $"chunk_idx")
+      .as[(Long, Int, Long, Int)].collect().toSet
+    assert(a == b, s"a=$a b=$b")
+  }
+
   test("query id zero cannot collide with chunk vec_id zero") {
     // doc 0 chunk 0 has vec_id 0; a query with id 0 must still be
     // able to retrieve it (the negative-remap guard)
