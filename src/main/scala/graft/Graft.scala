@@ -181,6 +181,12 @@ object Graft {
   def hostCapSample(docs: DataFrame, cap: Int,
                     hostCol: String = "host"): DataFrame =
     llmops.Splits.hostCapSample(docs, cap, hostCol)
+  /** Per-doc fraction of distinct word n-grams absent from a
+    * reference corpus — the graded decontamination/memorization
+    * signal (q141). */
+  def ngramNoveltyScores(corpus: DataFrame, reference: DataFrame,
+                         n: Int = 8): DataFrame =
+    llmops.Dedup.ngramNoveltyScores(corpus, reference, n)
   /** Exact decontamination with a bloom pre-split (benchmark too big
     * to broadcast): misses skip the join entirely.
     */

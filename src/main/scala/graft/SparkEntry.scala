@@ -2751,6 +2751,21 @@ object SparkEntry {
         .orderBy($"query_id", $"rk")
     }),
 
+    // N-gram novelty scores (X111): the graded decontamination signal
+    // — per-doc fraction of distinct 8-grams absent from a reference
+    // slice; reference members score 0 novelty on their own grams.
+    // Whole rule replayed relationally (the q76 gram machinery + the
+    // left-outer fraction).
+    "q141_ngram_novelty" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      graft.llmops.Dedup.ngramNoveltyScores(
+          docs.filter($"doc_id" % 5 === 2),
+          docs.filter($"doc_id" % 10 === 2), n = 8)
+        .select($"doc_id", $"n_grams", round($"novelty", 6).as("novelty"))
+        .orderBy($"doc_id")
+    }),
+
     // MMR diversification (X110): the greedy trace over a fixed
     // 8-candidate set — relevance and pairwise cosines rounded to 6
     // decimals before the mix so every pick replays exactly; the
@@ -5312,6 +5327,37 @@ object SparkEntry {
                 round(sum(sgn * tf * ln((SELECT n_docs FROM n) / df)), 6)
                   AS v
          FROM h GROUP BY 1, 2 ORDER BY 1, 2""",
+    // n-gram novelty: the q76 gram machinery (short docs contribute
+    // one whole-text gram — greatest(len-8, 0)) + distinct-per-doc +
+    // left-join fraction
+    "q141_ngram_novelty" ->
+      """WITH ctoks AS (
+           SELECT doc_id,
+                  string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents WHERE doc_id % 5 = 2),
+         cgrams AS (
+           SELECT DISTINCT doc_id,
+                  array_to_string(list_slice(toks, st + 1, st + 8), ' ') AS g
+           FROM (SELECT doc_id, toks,
+                        unnest(generate_series(0,
+                          greatest(len(toks) - 8, 0), 1)) AS st
+                 FROM ctoks)),
+         rgrams AS (
+           SELECT DISTINCT
+                  array_to_string(list_slice(toks, st + 1, st + 8), ' ') AS g
+           FROM (SELECT toks,
+                        unnest(generate_series(0,
+                          greatest(len(toks) - 8, 0), 1)) AS st
+                 FROM (SELECT string_split_regex(lower(trim(text)), '\s+')
+                         AS toks
+                       FROM documents WHERE doc_id % 10 = 2))),
+         joined AS (
+           SELECT c.doc_id, c.g, r.g AS rg
+           FROM cgrams c LEFT JOIN rgrams r ON r.g = c.g)
+         SELECT doc_id, count(*) AS n_grams,
+                round(CAST(sum(CASE WHEN rg IS NULL THEN 1 ELSE 0 END)
+                        AS DOUBLE) / count(*), 6) AS novelty
+         FROM joined GROUP BY 1 ORDER BY 1""",
     // MMR: the greedy unrolled — pick 1 is pure relevance, picks 2/3
     // subtract the running max pairwise similarity; all inputs
     // 6-dp rounded, constants written as the same IEEE arithmetic

@@ -608,6 +608,47 @@ object Dedup {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** N-gram novelty scores — the graded form of
+    * [[ngramDecontaminate]]'s boolean verdict: per corpus document,
+    * the fraction of its DISTINCT word n-grams absent from the
+    * reference corpus. 1.0 = fully novel text; 0.0 = every n-gram
+    * already exists verbatim in the reference — the memorization /
+    * near-copy signal behind dedup-threshold tuning and eval-set
+    * hygiene (Lee et al. 2021's overlap analyses, as a per-doc
+    * column). Returns (idCol, n_grams, novelty); a document with
+    * fewer than n words contributes its whole text as ONE short gram
+    * (the [[TextFuncs.wordNgrams]] kernel contract, same as
+    * [[ngramDecontaminate]]), so every document scores.
+    *
+    * Scale shape: the reference gram set broadcasts (hash + residual
+    * string equality, collision-proof); corpus grams are slim
+    * (id, gram) rows deduped per doc before the join. For a reference
+    * too big to broadcast, pre-split the corpus with a gram bloom
+    * first (the [[bloomDecontaminate]] pattern) and score only the
+    * possibly-overlapping remainder — misses are novelty 1 by
+    * construction.
+    */
+  def ngramNoveltyScores(corpus: DataFrame, reference: DataFrame,
+                         n: Int = 8, idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val refGrams = reference
+      .select(explode(TextFuncs.wordNgrams(col(textCol), n)).as("g"))
+      .distinct()
+      .select(xxhash64(col("g")).as("rgh"), col("g").as("rg"))
+    corpus
+      .select(col(idCol),
+        explode(TextFuncs.wordNgrams(col(textCol), n)).as("g"))
+      .distinct()
+      .withColumn("gh", xxhash64(col("g")))
+      .join(broadcast(refGrams),
+        col("gh") === col("rgh") && col("g") === col("rg"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("rg").isNull, 1L).otherwise(0L)).as("novel"))
+      .select(col(idCol), col("n_grams"),
+        (col("novel").cast("double") / col("n_grams")).as("novelty"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within random-hyperplane
     * buckets (near-identical vectors land in the same bucket with high
     * probability; multi-band OR raises recall).

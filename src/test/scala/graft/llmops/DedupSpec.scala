@@ -371,6 +371,32 @@ class DedupSpec extends SparkTestBase {
     assert(again.count() == out.size.toLong)
   }
 
+  test("ngramNoveltyScores: graded overlap — copies score 0, fresh " +
+      "text 1, partial overlap in between; short docs emit no row") {
+    val ref = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // exact copy: every 8-gram exists in the reference
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      // fresh text: nothing overlaps
+      (2L, "one two three four five six seven eight nine ten"),
+      // the reference's 10 words + 2 novel: 5 8-grams, 3 from ref
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "novelx novely"),
+      // 7 words: the kernel emits ONE whole-text short gram
+      (4L, "too short for any eight gram here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.ngramNoveltyScores(corpus, ref, n = 8)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got(1L) == ((3L, 0.0))) // 3 distinct 8-grams, all in ref
+    assert(got(2L) == ((3L, 1.0)))
+    assert(got(3L)._1 == 5L && math.abs(got(3L)._2 - 2.0 / 5) < 1e-12)
+    assert(got(4L) == ((1L, 1.0))) // one short whole-text gram, novel
+  }
+
   test("ngramDecontaminate drops on any shared 8-gram, keeps shorter overlap") {
     val eight = (1 to 8).map("shared" + _).mkString(" ")
     val seven = (1 to 7).map("shared" + _).mkString(" ")
