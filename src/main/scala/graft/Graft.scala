@@ -476,6 +476,14 @@ object Graft {
   def opqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               m: Int = 16, codebookK: Int = 16): DataFrame =
     llmops.Opq.opqTopK(corpus, queries, k, m, codebookK)
+  /** Count-Min point-frequency sketch of an item column (q142);
+    * query with [[cmEstimate]]. */
+  def cmSketch(item: Column, depth: Int = 4, width: Int = 1 << 16): Column =
+    llmops.Freq.cmSketch(item, depth, width)
+  /** Point-frequency estimate from a [[cmSketch]] array (q142). */
+  def cmEstimate(sketch: Column, item: Column,
+                 depth: Int = 4, width: Int = 1 << 16): Column =
+    llmops.Freq.cmEstimate(sketch, item, depth, width)
   /** Misra-Gries heavy-hitters summary of an item column (q106). */
   def freqItems(item: Column, k: Int): Column =
     llmops.Freq.freqItems(item, k)

@@ -2751,6 +2751,32 @@ object SparkEntry {
         .orderBy($"query_id", $"rk")
     }),
 
+    // Count-Min point-frequency sketch (X112): the q104/q106
+    // estimate-contract pattern — exact token counts replayed
+    // relationally, the sketch's never-undercount and bounded-overcount
+    // guarantees asserted as booleans the oracle predicts TRUE.
+    "q142_count_min" -> ((s, d) => {
+      import s.implicits._
+      val F = graft.llmops.Freq
+      val toks = t(s, d, "documents")
+        .select(explode(graft.llmops.TextFuncs.tokens($"text")).as("t"))
+        .filter($"t" =!= "")
+      val sk = toks.agg(F.cmSketch($"t", depth = 4, width = 1024).as("sk"),
+        count(lit(1)).as("n"))
+      val probes = Seq("vector", "window", "merge", "stream",
+        "zzzznothing").toDF("t")
+      val exact = toks.groupBy($"t").agg(count(lit(1)).as("exact"))
+      probes.join(exact, Seq("t"), "left")
+        .na.fill(0L, Seq("exact"))
+        .crossJoin(broadcast(sk))
+        .withColumn("est", F.cmEstimate($"sk", $"t", 4, 1024))
+        .select($"t", $"exact",
+          ($"est" >= $"exact").as("never_under"),
+          ($"est" <= $"exact" + lit(8) * $"n" / lit(1024))
+            .as("bounded_over"))
+        .orderBy($"t")
+    }),
+
     // N-gram novelty scores (X111): the graded decontamination signal
     // — per-doc fraction of distinct 8-grams absent from a reference
     // slice; reference members score 0 novelty on their own grams.
@@ -5327,6 +5353,19 @@ object SparkEntry {
                 round(sum(sgn * tf * ln((SELECT n_docs FROM n) / df)), 6)
                   AS v
          FROM h GROUP BY 1, 2 ORDER BY 1, 2""",
+    // Count-Min contract: exact counts replayed, guarantees asserted
+    "q142_count_min" ->
+      """WITH toks AS (
+           SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+           FROM documents),
+         tok2 AS (SELECT t FROM toks WHERE t <> ''),
+         ex AS (SELECT t, count(*) AS exact FROM tok2 GROUP BY 1),
+         p AS (
+           SELECT unnest(['merge', 'stream', 'vector', 'window',
+             'zzzznothing']) AS t)
+         SELECT p.t, CAST(COALESCE(ex.exact, 0) AS BIGINT) AS exact,
+                TRUE AS never_under, TRUE AS bounded_over
+         FROM p LEFT JOIN ex ON ex.t = p.t ORDER BY p.t""",
     // n-gram novelty: the q76 gram machinery (short docs contribute
     // one whole-text gram — greatest(len-8, 0)) + distinct-per-doc +
     // left-join fraction

@@ -127,6 +127,42 @@ object Freq {
       u.count(inter.contains).toDouble / math.min(k, u.size)
     }
   }
+
+  /** Count-Min sketch of a string item column: `depth·width` longs,
+    * row-major, mergeable by elementwise addition. Query with
+    * [[cmEstimate]].
+    */
+  def cmSketch(item: Column, depth: Int, width: Int): Column =
+    ColumnBridge.column(
+      CountMin(ColumnBridge.expression(item.cast("string")), depth, width)
+        .toAggregateExpression())
+
+  /** Point-frequency estimate from a [[cmSketch]] array — pure Column
+    * arithmetic over the evaled cells (min over the depth rows at
+    * `pmod(xxhash64(item, i), width)`), so the query side runs
+    * anywhere Spark's xxhash64 does, sketch broadcast with the row.
+    * Never undercounts; overcount bounded as documented on
+    * [[CountMin]].
+    */
+  def cmEstimate(sketch: Column, item: Column,
+                 depth: Int, width: Int): Column = {
+    import org.apache.spark.sql.functions._
+    array_min(transform(sequence(lit(0), lit(depth - 1)), i =>
+      element_at(sketch,
+        (i * width +
+          pmod(xxhash64(item.cast("string"), i.cast("long")), lit(width))
+        ).cast("int") + 1)))
+  }
+
+  /** Driver-space merge of two [[cmSketch]] cell arrays (elementwise
+    * add) — the cross-job composition seam, like
+    * [[mergeFreqSummaries]]/[[mergeKmvSketches]].
+    */
+  def mergeCmSketches(a: Seq[Long], b: Seq[Long]): Seq[Long] = {
+    require(a.length == b.length,
+      s"sketch shapes differ: ${a.length} vs ${b.length}")
+    a.zip(b).map { case (x, y) => x + y }
+  }
 }
 
 /** Bounded counter table: the Misra-Gries aggregation state. */
@@ -364,4 +400,103 @@ case class KmvMinK(child: Expression, k: Int,
 object KmvMinK {
   /** State-size guard: 64 KiB of longs per group is the ceiling. */
   val maxK: Int = 8192
+}
+
+/** depth×width counter matrix, row-major: the Count-Min state. */
+final class CmBuffer(val depth: Int, val width: Int) {
+  val cells = new Array[Long](depth * width)
+}
+
+/** Count-Min sketch (Cormode & Muthukrishnan 2005) over a string item
+  * column as a native `TypedImperativeAggregate` — the point-frequency
+  * member of the sketch tier: [[MisraGries]] answers "which items are
+  * heavy", Count-Min answers "how often is THIS item" for any item,
+  * in `depth × width` longs of mergeable state (merge = elementwise
+  * add, so per-shard sketches sum into the union's sketch exactly).
+  *
+  * Guarantee: estimates never undercount; with width w the expected
+  * overcount is n/w per hash row and the reported estimate is the MIN
+  * over `depth` independent rows (P[over > e·n/w] ≤ e^−depth).
+  *
+  * Hashing: row i buckets at `pmod(xxhash64(item, i::long), width)` —
+  * the EXACT arithmetic of Spark's `xxhash64(col, lit(i))` (seed 42,
+  * string then long), reproduced here via the public XXH64 kernels, so
+  * the ESTIMATE side is a pure Column expression over the evaled
+  * array ([[Freq.cmEstimate]]) and any engine with xxhash64 replays
+  * the bucket walk.
+  */
+case class CountMin(child: Expression, depth: Int, width: Int,
+                    mutableAggBufferOffset: Int = 0,
+                    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[CmBuffer] with UnaryLike[Expression]
+    with StringInputTypes {
+  require(depth >= 1 && depth <= CountMin.maxDepth,
+    s"depth must be in [1, ${CountMin.maxDepth}], got $depth")
+  require(width >= 1 && width.toLong * depth <= CountMin.maxCells,
+    s"depth*width must be <= ${CountMin.maxCells}")
+
+  override def prettyName: String = "count_min"
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): CmBuffer =
+    new CmBuffer(depth, width)
+
+  override def update(b: CmBuffer, input: InternalRow): CmBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val base = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUTF8String(v.asInstanceOf[UTF8String], 42L)
+      var i = 0
+      while (i < depth) {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashLong(i.toLong, base)
+        b.cells(i * width + java.lang.Math.floorMod(h, width.toLong).toInt) += 1L
+        i += 1
+      }
+    }
+    b
+  }
+
+  override def merge(a: CmBuffer, other: CmBuffer): CmBuffer = {
+    var i = 0
+    while (i < a.cells.length) { a.cells(i) += other.cells(i); i += 1 }
+    a
+  }
+
+  override def eval(b: CmBuffer): Any = {
+    val out = new Array[Any](b.cells.length)
+    var i = 0
+    while (i < out.length) { out(i) = b.cells(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(b: CmBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 + b.cells.length * 8)
+    bb.putInt(b.depth).putInt(b.width)
+    var i = 0
+    while (i < b.cells.length) { bb.putLong(b.cells(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): CmBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val b = new CmBuffer(bb.getInt, bb.getInt)
+    var i = 0
+    while (i < b.cells.length) { b.cells(i) = bb.getLong; i += 1 }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): CountMin =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): CountMin =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): CountMin =
+    copy(child = newChild)
+}
+
+object CountMin {
+  /** State-size guards, same rationale as [[CollectTopK.maxK]]. */
+  val maxDepth: Int = 16
+  val maxCells: Long = 1 << 22
 }

@@ -125,6 +125,43 @@ class FreqSpec extends SparkTestBase {
     assert(j === 0.0)
   }
 
+  test("Count-Min: exact when wide enough, never undercounts, merge " +
+      "of shards equals the whole, empty-item hygiene") {
+    import graft.llmops.Freq
+    val items = Seq.tabulate(3000)(i => s"item${i % 7}").toDF("t")
+    // width 64 >> 7 distinct: collisions possible but min-over-depth
+    // recovers exact counts for this tiny universe
+    val sk = items.agg(Freq.cmSketch($"t", 4, 64).as("sk")).cache()
+    val probes = (0 until 7).map(i => s"item$i") :+ "absent"
+    val ests = probes.toDF("t").crossJoin(broadcast(sk))
+      .select($"t", Freq.cmEstimate($"sk", $"t", 4, 64).as("est"))
+      .as[(String, Long)].collect().toMap
+    val exact = items.groupBy($"t").count()
+      .as[(String, Long)].collect().toMap
+    probes.dropRight(1).foreach { t =>
+      assert(ests(t) >= exact(t), s"$t undercounted")
+    }
+    assert(ests("absent") >= 0)
+    // deliberately narrow sketch: estimates still never undercount
+    val tight = items.agg(Freq.cmSketch($"t", 2, 3).as("sk"))
+    val tightEsts = probes.dropRight(1).toDF("t")
+      .crossJoin(broadcast(tight))
+      .select($"t", Freq.cmEstimate($"sk", $"t", 2, 3).as("est"))
+      .as[(String, Long)].collect().toMap
+    probes.dropRight(1).foreach { t =>
+      assert(tightEsts(t) >= exact(t), s"$t undercounted under pressure")
+    }
+    // shard merge = whole-corpus sketch, cell for cell
+    val h1 = Seq.tabulate(1500)(i => s"item${i % 7}").toDF("t")
+      .agg(Freq.cmSketch($"t", 4, 64)).as[Seq[Long]].head()
+    val h2 = Seq.tabulate(1500)(i => s"item${(i + 1500) % 7}").toDF("t")
+      .agg(Freq.cmSketch($"t", 4, 64)).as[Seq[Long]].head()
+    val whole = Seq.tabulate(3000)(i =>
+        s"item${(if (i < 1500) i else i) % 7}").toDF("t")
+      .agg(Freq.cmSketch($"t", 4, 64)).as[Seq[Long]].head()
+    assert(Freq.mergeCmSketches(h1, h2) == whole)
+  }
+
   test("SQL builders reject a non-numeric literal k with the intended message") {
     Seq("a").toDF("item").createOrReplaceTempView("fi_in")
     val e1 = intercept[Exception] {
