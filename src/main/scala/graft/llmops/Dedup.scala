@@ -635,10 +635,13 @@ object Dedup {
       .select(explode(TextFuncs.wordNgrams(col(textCol), n)).as("g"))
       .distinct()
       .select(xxhash64(col("g")).as("rgh"), col("g").as("rg"))
+    // wordNgrams already emits DISTINCT grams per document (the
+    // kernel's LinkedHashSet) and doc ids are unique, so the exploded
+    // rows are unique as-is — a distinct() here would shuffle the
+    // whole corpus gram table for nothing
     corpus
       .select(col(idCol),
         explode(TextFuncs.wordNgrams(col(textCol), n)).as("g"))
-      .distinct()
       .withColumn("gh", xxhash64(col("g")))
       .join(broadcast(refGrams),
         col("gh") === col("rgh") && col("g") === col("rg"), "left_outer")

@@ -147,20 +147,30 @@ object Freq {
   def cmEstimate(sketch: Column, item: Column,
                  depth: Int, width: Int): Column = {
     import org.apache.spark.sql.functions._
-    array_min(transform(sequence(lit(0), lit(depth - 1)), i =>
-      element_at(sketch,
-        (i * width +
-          pmod(xxhash64(item.cast("string"), i.cast("long")), lit(width))
-        ).cast("int") + 1)))
+    // xxhash64 SKIPS null children rather than returning null, so an
+    // un-guarded null item would walk real buckets and report a
+    // spurious count for an item the aggregate never inserted
+    when(item.isNull, lit(null).cast("long")).otherwise(
+      array_min(transform(sequence(lit(0), lit(depth - 1)), i =>
+        element_at(sketch,
+          (i * width +
+            pmod(xxhash64(item.cast("string"), i.cast("long")), lit(width))
+          ).cast("int") + 1))))
   }
 
   /** Driver-space merge of two [[cmSketch]] cell arrays (elementwise
     * add) — the cross-job composition seam, like
-    * [[mergeFreqSummaries]]/[[mergeKmvSketches]].
+    * [[mergeFreqSummaries]]/[[mergeKmvSketches]]. The flat cell array
+    * carries no shape, so the caller passes the (depth, width) both
+    * sketches were built with — a same-length different-shape merge
+    * would silently sum cross-row cells into garbage estimates.
     */
-  def mergeCmSketches(a: Seq[Long], b: Seq[Long]): Seq[Long] = {
-    require(a.length == b.length,
-      s"sketch shapes differ: ${a.length} vs ${b.length}")
+  def mergeCmSketches(a: Seq[Long], b: Seq[Long],
+                      depth: Int, width: Int): Seq[Long] = {
+    val expect = depth.toLong * width
+    require(a.length == expect && b.length == expect,
+      s"sketch shapes differ from depth=$depth x width=$width: " +
+        s"${a.length} vs ${b.length} cells (expected $expect)")
     a.zip(b).map { case (x, y) => x + y }
   }
 }

@@ -372,7 +372,8 @@ class DedupSpec extends SparkTestBase {
   }
 
   test("ngramNoveltyScores: graded overlap — copies score 0, fresh " +
-      "text 1, partial overlap in between; short docs emit no row") {
+      "text 1, partial overlap between; short docs score via the " +
+      "whole-text gram") {
     val ref = Seq(
       (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
       .toDF("doc_id", "text")

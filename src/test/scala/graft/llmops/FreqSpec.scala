@@ -125,12 +125,14 @@ class FreqSpec extends SparkTestBase {
     assert(j === 0.0)
   }
 
-  test("Count-Min: exact when wide enough, never undercounts, merge " +
-      "of shards equals the whole, empty-item hygiene") {
+  test("Count-Min: exact recovery for a tiny universe, never " +
+      "undercounts under width pressure, shard merge equals the " +
+      "whole, null probes return null") {
     import graft.llmops.Freq
     val items = Seq.tabulate(3000)(i => s"item${i % 7}").toDF("t")
-    // width 64 >> 7 distinct: collisions possible but min-over-depth
-    // recovers exact counts for this tiny universe
+    // 7 distinct items, width 64, depth 4: the chance all 4 rows
+    // collide for any pair is nil on this fixed hash — estimates are
+    // EXACT, asserted as equality
     val sk = items.agg(Freq.cmSketch($"t", 4, 64).as("sk")).cache()
     val probes = (0 until 7).map(i => s"item$i") :+ "absent"
     val ests = probes.toDF("t").crossJoin(broadcast(sk))
@@ -139,9 +141,15 @@ class FreqSpec extends SparkTestBase {
     val exact = items.groupBy($"t").count()
       .as[(String, Long)].collect().toMap
     probes.dropRight(1).foreach { t =>
-      assert(ests(t) >= exact(t), s"$t undercounted")
+      assert(ests(t) == exact(t), s"$t: est ${ests(t)} != ${exact(t)}")
     }
     assert(ests("absent") >= 0)
+    // a NULL probe is not an item: the estimate is null, never a
+    // spurious bucket sum
+    val nullEst = Seq(Option.empty[String]).toDF("t")
+      .crossJoin(broadcast(sk))
+      .select(Freq.cmEstimate($"sk", $"t", 4, 64)).collect()(0)
+    assert(nullEst.isNullAt(0))
     // deliberately narrow sketch: estimates still never undercount
     val tight = items.agg(Freq.cmSketch($"t", 2, 3).as("sk"))
     val tightEsts = probes.dropRight(1).toDF("t")
@@ -156,10 +164,15 @@ class FreqSpec extends SparkTestBase {
       .agg(Freq.cmSketch($"t", 4, 64)).as[Seq[Long]].head()
     val h2 = Seq.tabulate(1500)(i => s"item${(i + 1500) % 7}").toDF("t")
       .agg(Freq.cmSketch($"t", 4, 64)).as[Seq[Long]].head()
-    val whole = Seq.tabulate(3000)(i =>
-        s"item${(if (i < 1500) i else i) % 7}").toDF("t")
+    val whole = Seq.tabulate(3000)(i => s"item${i % 7}").toDF("t")
       .agg(Freq.cmSketch($"t", 4, 64)).as[Seq[Long]].head()
-    assert(Freq.mergeCmSketches(h1, h2) == whole)
+    assert(Freq.mergeCmSketches(h1, h2, 4, 64) == whole)
+    // a (depth, width) claim that disagrees with the cell count is an
+    // error, not silent garbage (same-TOTAL different-shape is
+    // undetectable from a flat array — the scaladoc owns that caveat)
+    intercept[IllegalArgumentException] {
+      Freq.mergeCmSketches(h1, h2, 2, 100)
+    }
   }
 
   test("SQL builders reject a non-numeric literal k with the intended message") {
