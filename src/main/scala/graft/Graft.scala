@@ -315,6 +315,13 @@ object Graft {
     llmops.AnnIndex.append(s, newVecs, path)
   def annIndexDrift(s: SparkSession, newVecs: DataFrame, path: String): DataFrame =
     llmops.AnnIndex.drift(s, newVecs, path)
+  /** Tombstone-delete vectors from a persisted ANN index (slim append,
+    * no rewrite; serving excludes them on the next query), and the
+    * physical purge + small-file consolidation pass (q143 lifecycle). */
+  def deleteFromAnnIndex(ids: DataFrame, path: String): Unit =
+    llmops.AnnIndex.delete(ids, path)
+  def compactAnnIndex(s: SparkSession, path: String): Unit =
+    llmops.AnnIndex.compact(s, path)
 
   // ---- text analysis / curation ------------------------------------
   def langId(text: Column): Column = llmops.TextFuncs.langId(text)
@@ -434,6 +441,29 @@ object Graft {
   def queryBm25Index(s: SparkSession, path: String, queries: DataFrame,
                      k: Int): DataFrame =
     llmops.Bm25Index.topK(s, path, queries, k)
+  /** Tombstone-delete docs from a persisted lexical index: slim append,
+    * exact stats subtraction at serve via the doclens store (q143). */
+  def deleteFromBm25Index(ids: DataFrame, path: String): Unit =
+    llmops.Bm25Index.delete(ids, path)
+  /** Physically purge tombstoned postings + consolidate bucket files. */
+  def compactBm25Index(s: SparkSession, path: String): Unit =
+    llmops.Bm25Index.compact(s, path)
+  /** Takedown path for a built retrieval index: tombstone a document's
+    * chunks out of BOTH serving tiers plus the chunk table — append-
+    * only, idempotent; `compactRetrievalIndex` reclaims the space. */
+  def deleteRetrievalDocs(s: SparkSession, path: String,
+                          docIds: DataFrame): Unit =
+    llmops.Retrieval.deleteDocs(s, path, docIds)
+  /** Recovery + reclamation: dedupe crash-window chunk rows, purge
+    * tombstoned docs, rebuild every artifact from the surviving chunk
+    * table with the persisted models. */
+  def compactRetrievalIndex(s: SparkSession, path: String): Unit =
+    llmops.Retrieval.compact(s, path)
+  /** Re-crawl update path: physically replace documents (delete →
+    * compact → append — vec_ids are deterministic, so old rows must
+    * purge before the new text lands). */
+  def upsertRetrievalDocs(docs: DataFrame, path: String): Unit =
+    llmops.Retrieval.upsertDocs(docs, path)
   /** Diversified retrieval from a persisted index: over-retrieve
     * fetchK, MMR-keep the k most relevant-but-distinct passages. */
   def searchRetrievalIndexDiverse(s: SparkSession, path: String,

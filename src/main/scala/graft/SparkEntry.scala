@@ -2820,6 +2820,29 @@ object SparkEntry {
           t(s, d, "documents").filter($"doc_id" % 9 === 4), dim = 64)
         .select($"doc_id", $"bucket", round($"v", 6).as("v"))
         .orderBy($"doc_id", $"bucket")
+    }),
+
+    // Persisted-index deletion (X113): build the lexical index over
+    // the full corpus, tombstone every doc_id % 5 == 0 (append-only —
+    // no partition moves), then serve. The oracle replays serving from
+    // the WRITTEN files alone: postings anti-joined against the
+    // tombstone parquet, additive stats minus the doclens∩tombstones
+    // aggregate — pinning that deletion-by-data equals a fresh index
+    // over the surviving corpus.
+    "q143_bm25_index_delete" -> ((s, d) => {
+      import s.implicits._
+      val B = graft.llmops.Bm25Index
+      val base = "/root/repo/spark-warehouse/q143_lex"
+      val docs = t(s, d, "documents").select($"doc_id", $"text")
+      B.write(docs, base, nBuckets = 32)
+      B.delete(docs.filter($"doc_id" % 5 === 0).select($"doc_id"), base)
+      val queries = Seq(
+        (0L, "vector window merge"),
+        (1L, "stream window"),
+        (2L, "vector stream")).toDF("query_id", "text")
+      B.topK(s, base, queries, k = 12)
+        .select($"query_id", $"rk", $"doc_id", $"n_terms_hit", $"score")
+        .orderBy($"query_id", $"rk")
     })
   )
 
@@ -5451,6 +5474,63 @@ object SparkEntry {
            SELECT qid, 1 AS rk, vid, mmr FROM p1
            UNION ALL SELECT qid, 2, vid, mmr FROM p2
            UNION ALL SELECT qid, 3, vid, mmr FROM p3)
-         ORDER BY query_id, rk"""
+         ORDER BY query_id, rk""",
+    // index deletion: serving replayed from the WRITTEN files alone —
+    // postings anti-joined against the tombstone parquet, additive
+    // stats minus the exact doclens∩tombstones aggregate (every dl is
+    // an integral double, so the subtraction is exact)
+    "q143_bm25_index_delete" ->
+      """WITH tomb AS (
+           SELECT DISTINCT id
+           FROM read_parquet('/root/repo/spark-warehouse/q143_lex/tombstones/*.parquet')),
+         posts AS (
+           SELECT id, term, tf, dl
+           FROM read_parquet('/root/repo/spark-warehouse/q143_lex/postings/term_bucket=*/*.parquet', hive_partitioning=true)
+           WHERE id NOT IN (SELECT id FROM tomb)),
+         delstat AS (
+           SELECT count(*)::DOUBLE AS dn, coalesce(sum(dl), 0)::DOUBLE AS ds
+           FROM (SELECT DISTINCT id, dl
+                 FROM read_parquet('/root/repo/spark-warehouse/q143_lex/doclens/*.parquet'))
+           WHERE id IN (SELECT id FROM tomb)),
+         base AS (
+           SELECT sum(n_docs)::DOUBLE AS n0, sum(sum_dl)::DOUBLE AS s0
+           FROM read_parquet('/root/repo/spark-warehouse/q143_lex/stats/*.parquet')),
+         st AS (
+           SELECT (base.n0 - delstat.dn) AS n,
+                  (base.s0 - delstat.ds) / (base.n0 - delstat.dn) AS avgdl
+           FROM base, delstat),
+         q AS (
+           SELECT * FROM (VALUES
+             (0, 'vector'), (0, 'window'), (0, 'merge'),
+             (1, 'stream'), (1, 'window'),
+             (2, 'vector'), (2, 'stream')) AS t(qid, term)),
+         tf AS (
+           SELECT p.id, p.term, p.tf, p.dl
+           FROM posts p JOIN (SELECT DISTINCT term FROM q) u
+             ON u.term = p.term),
+         df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+         idf AS (
+           SELECT term,
+                  ln(1.0 + ((SELECT n FROM st) - df + 0.5) / (df + 0.5))
+                    AS idf
+           FROM df),
+         contrib AS (
+           SELECT q.qid, tf.id,
+                  idf.idf * (tf.tf * (1.2 + 1)) /
+                    (tf.tf + 1.2 * (1.0 - 0.75 +
+                      0.75 * tf.dl / (SELECT avgdl FROM st))) AS c
+           FROM tf JOIN idf ON idf.term = tf.term
+                   JOIN q ON q.term = tf.term),
+         sc AS (
+           SELECT qid, id, count(*)::BIGINT AS n_terms_hit,
+                  round(sum(c), 4) AS score
+           FROM contrib GROUP BY 1, 2),
+         ranked AS (
+           SELECT qid, id, n_terms_hit, score, row_number() OVER (
+             PARTITION BY qid ORDER BY score DESC, id) AS rk
+           FROM sc QUALIFY rk <= 12)
+         SELECT qid::BIGINT AS query_id, rk::INTEGER AS rk, id AS doc_id,
+                n_terms_hit, score
+         FROM ranked ORDER BY query_id, rk"""
   )
 }

@@ -22,6 +22,50 @@ import org.apache.spark.sql.functions._
   */
 object AnnIndex {
 
+  private def dirExists(spark: SparkSession, p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sessionState.newHadoopConf()).exists(hp)
+  }
+
+  /** Tombstone-delete vectors by id: appends the distinct ids under
+    * `path/_tombstones/ids` (underscore parent → invisible to the
+    * root index scan, the `_models` pattern) — no partition moves.
+    * Idempotent; unknown ids are no-ops. [[topK]] anti-joins the
+    * probed rows against the store on the next query; [[compact]]
+    * reclaims the space. The takedown path for a serving index: a
+    * removal request is one slim append, never a rewrite.
+    */
+  def delete(ids: DataFrame, path: String,
+             idCol: String = "vec_id"): Unit =
+    ids.select(col(idCol).cast("long").as("id")).distinct()
+      .write.mode("append").parquet(s"$path/_tombstones/ids")
+
+  /** Physically remove tombstoned vectors: the code rows rewrite
+    * without them — repartitioned by list so each list lands
+    * consolidated, which doubles as small-file cleanup after many
+    * appends — while the persisted models and training metrics are
+    * carried through unchanged (deletion never retrains; [[drift]]
+    * stays the retrain signal) and the tombstone store clears with
+    * the root overwrite. No-op when nothing was deleted.
+    */
+  def compact(spark: SparkSession, path: String,
+              corpusId: String = "vec_id"): Unit = {
+    if (!dirExists(spark, s"$path/_tombstones/ids")) return
+    val (cents, books) = loadModels(spark, path)
+    val metrics = spark.read.parquet(s"$path/_stats/metrics")
+      .localCheckpoint() // materialized: its parent dir is overwritten
+    val tombs = spark.read.parquet(s"$path/_tombstones/ids")
+      .select(col("id").as(corpusId)).distinct()
+    val live = spark.read.parquet(path)
+      .join(tombs, Seq(corpusId), "left_anti")
+      .localCheckpoint()
+    live.repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(path)
+    Models.saveIvfAdc(spark, s"$path/_models", cents, books)
+    metrics.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/_stats/metrics")
+  }
+
   /** Train (or accept) models and write the index: parquet
     * partitioned by `list_id` with (id, codes) rows, plus the models
     * under `path/_models`. Returns the models for immediate reuse.
@@ -206,8 +250,18 @@ object AnnIndex {
     // batch is broadcast-bound anyway, so this collect is bounded
     val probedLists = probes.select(col("list_id")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val coded = spark.read.parquet(path)
+    val codedAll = spark.read.parquet(path)
       .filter(col("list_id").isin(probedLists: _*))
+    // tombstoned ids drop via an anti-join over the PROBED rows only —
+    // cost scales with the probe set, and absence of the store (the
+    // common case) costs one driver-side existence check
+    val coded =
+      if (dirExists(spark, s"$path/_tombstones/ids"))
+        codedAll.join(
+          spark.read.parquet(s"$path/_tombstones/ids")
+            .select(col("id").as(corpusId)).distinct(),
+          Seq(corpusId), "left_anti")
+      else codedAll
     val scored = Ivf.adcScore(coded.join(broadcast(probes), Seq("list_id")),
         books, queryVec, scan)
       .filter(col(corpusId) =!= col(queryId))

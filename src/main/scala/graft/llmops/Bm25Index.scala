@@ -32,12 +32,39 @@ import org.apache.spark.sql.functions._
   * surface of [[topK]] is identical to [[Bm25.topKBatch]]'s. Pinned
   * by Bm25IndexSpec; the q136 oracle replays serving from the
   * written files alone.
+  *
+  * Deletion is DATA, not a rewrite: [[delete]] appends the doomed ids
+  * to `path/tombstones` (idempotent — duplicate tombstones dedupe at
+  * serve, unknown ids never match anything), and [[scores]] anti-joins
+  * the matched postings against them while subtracting the tombstoned
+  * docs' exact (count, summed length) from the additive stats via
+  * `path/doclens` — one slim (id, dl) row per written doc, the store
+  * that makes the subtraction exact even for empty-text docs that have
+  * no postings at all. Every dl is an integral double, so the
+  * subtraction arithmetic equals a fresh stats pass over the surviving
+  * corpus bit for bit. [[compact]] is the physical purge: postings and
+  * doclens rewrite without the tombstoned rows, the stats rows
+  * collapse to one, the tombstone store clears — and the bucket
+  * repartition doubles as small-file consolidation after many appends.
   */
 object Bm25Index {
 
+  private def dirExists(spark: SparkSession, p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sessionState.newHadoopConf()).exists(hp)
+  }
+
+  private def deleteDir(spark: SparkSession, p: String): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sessionState.newHadoopConf()).delete(hp, true)
+  }
+
   /** Build the index at `path`: `path/postings` (partitioned by
-    * term_bucket), `path/stats` (one additive row), `path/params`
-    * (nBuckets — queries must hash into the same bucket space).
+    * term_bucket), `path/stats` (one additive row), `path/doclens`
+    * (one (id, dl) row per doc — the deletion stats base),
+    * `path/params` (nBuckets — queries must hash into the same bucket
+    * space). A reused path's stale tombstones are cleared: write is
+    * the fresh-index contract.
     */
   def write(docs: DataFrame, path: String, nBuckets: Int = 64,
             idCol: String = "doc_id", textCol: String = "text"): Unit = {
@@ -45,6 +72,7 @@ object Bm25Index {
     Bm25.requireIntegralId(docs, idCol, "doc")
     val spark = docs.sparkSession
     import spark.implicits._
+    deleteDir(spark, s"$path/tombstones")
     docs.select(col(idCol).as("id"),
         TextFuncs.tokenCount(col(textCol)).cast("double").as("dl"),
         explode(TextFuncs.tokens(col(textCol))).as("term"))
@@ -61,9 +89,22 @@ object Bm25Index {
       .parquet(s"$path/postings")
     statsRow(docs, textCol, "base")
       .write.mode("overwrite").parquet(s"$path/stats")
+    docLens(docs, idCol, textCol, "base")
+      .write.mode("overwrite").parquet(s"$path/doclens")
     Seq(nBuckets).toDF("n_buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
   }
+
+  /** One slim (id, dl, batch) row per doc — the exact per-doc length
+    * record deletion subtracts from the additive stats. Includes
+    * empty-text docs (dl = 0): they are corpus members with no
+    * postings, and without this row deleting one could not adjust n.
+    */
+  private def docLens(docs: DataFrame, idCol: String, textCol: String,
+                      batchTag: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("id"),
+        TextFuncs.tokenCount(col(textCol)).cast("double").as("dl"))
+      .withColumn("batch", lit(batchTag))
 
   /** One additive stats row for a document batch: (n_docs, sum_dl,
     * batch). Docs with empty/whitespace text count toward n (they are
@@ -112,6 +153,62 @@ object Bm25Index {
       .parquet(s"$path/postings")
     statsRow(newDocs, textCol, batchTag)
       .write.mode("append").parquet(s"$path/stats")
+    docLens(newDocs, idCol, textCol, batchTag)
+      .write.mode("append").parquet(s"$path/doclens")
+  }
+
+  /** Tombstone-delete documents by id: appends the distinct ids to
+    * `path/tombstones` — nothing else moves. Idempotent (re-deleting,
+    * or a replayed crash window, just appends rows that dedupe at
+    * serve), and unknown ids are no-ops (they match no posting and no
+    * doclens row). Serving reflects the deletion on the next query;
+    * [[compact]] reclaims the space. Indexes written before doclens
+    * tracking cannot adjust their stats exactly — they must rebuild
+    * ([[write]]) before they can delete, and this fails loudly rather
+    * than serving silently-wrong avgdl.
+    */
+  def delete(ids: DataFrame, path: String,
+             idCol: String = "doc_id"): Unit = {
+    Bm25.requireIntegralId(ids, idCol, "doc")
+    val spark = ids.sparkSession
+    require(dirExists(spark, s"$path/doclens"),
+      s"$path has no doclens store (written before deletion support); " +
+        "rebuild with Bm25Index.write before deleting")
+    ids.select(col(idCol).cast("long").as("id")).distinct()
+      .write.mode("append").parquet(s"$path/tombstones")
+  }
+
+  /** Physically remove tombstoned docs: postings and doclens rewrite
+    * without them (also squeezing exact-duplicate rows a replayed
+    * partial append left), the additive stats collapse to ONE base row
+    * recomputed from the surviving doclens, and the tombstone store
+    * clears. The bucket repartition before the partitioned write
+    * doubles as small-file consolidation after many appends. No-op
+    * when nothing was deleted.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    if (!dirExists(spark, s"$path/tombstones")) return
+    val tombs = spark.read.parquet(s"$path/tombstones")
+      .select(col("id")).distinct()
+    val posts = spark.read.parquet(s"$path/postings")
+      .join(tombs, Seq("id"), "left_anti")
+      .dropDuplicates("id", "term")
+      .localCheckpoint() // materialized: its source dir is overwritten
+    val lens = spark.read.parquet(s"$path/doclens")
+      .dropDuplicates("id")
+      .join(tombs, Seq("id"), "left_anti")
+      .select(col("id"), col("dl"))
+      .localCheckpoint()
+    posts.repartition(col("term_bucket"))
+      .write.mode("overwrite").partitionBy("term_bucket")
+      .parquet(s"$path/postings")
+    lens.withColumn("batch", lit("base"))
+      .write.mode("overwrite").parquet(s"$path/doclens")
+    lens.agg(count(lit(1)).as("n_docs"), coalesce(sum(col("dl")), lit(0.0))
+        .as("sum_dl"))
+      .withColumn("batch", lit("base"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+    deleteDir(spark, s"$path/tombstones")
   }
 
   /** Streaming growth: a document stream appends postings + stats per
@@ -156,20 +253,49 @@ object Bm25Index {
     // additive stats rows sum to the union corpus; a `batch` tag (new
     // layouts) dedupes crash-window replays of the same ingest batch
     val statsRaw = spark.read.parquet(s"$path/stats")
-    val stats = (if (statsRaw.columns.contains("batch"))
+    val statsBase = (if (statsRaw.columns.contains("batch"))
         statsRaw.dropDuplicates("batch") else statsRaw)
-      .agg(sum(col("n_docs")).cast("double").as("n"),
-        (sum(col("sum_dl")) / sum(col("n_docs"))).as("avgdl"))
+    val hasTombs = dirExists(spark, s"$path/tombstones")
+    val tombs =
+      if (hasTombs)
+        spark.read.parquet(s"$path/tombstones").select(col("id")).distinct()
+      else null
+    // tombstoned docs subtract their EXACT (count, summed length) from
+    // the additive stats via doclens — every dl is an integral double,
+    // so (s0 - ds) / (n0 - dn) equals a fresh stats pass over the
+    // surviving corpus bit for bit
+    val stats =
+      if (hasTombs) {
+        val del = spark.read.parquet(s"$path/doclens")
+          .dropDuplicates("id")
+          .join(tombs, Seq("id"), "left_semi")
+          .agg(count(lit(1)).cast("double").as("__dn"),
+            coalesce(sum(col("dl")), lit(0.0)).as("__ds"))
+        statsBase
+          .agg(sum(col("n_docs")).cast("double").as("__n0"),
+            sum(col("sum_dl")).cast("double").as("__s0"))
+          .crossJoin(del)
+          .select((col("__n0") - col("__dn")).as("n"),
+            ((col("__s0") - col("__ds")) / (col("__n0") - col("__dn")))
+              .as("avgdl"))
+      } else
+        statsBase.agg(sum(col("n_docs")).cast("double").as("n"),
+          (sum(col("sum_dl")) / sum(col("n_docs"))).as("avgdl"))
     val uniqTerms = qTerms.select(col("term")).distinct()
     // (id, term) is unique by the id-uniqueness contract, so exact
     // duplicate posting rows can only be a replayed partial append —
     // dropDuplicates on the SLIM matched set makes the crash window
     // harmless at serve time
-    val tf = spark.read.parquet(s"$path/postings")
+    val tfAll = spark.read.parquet(s"$path/postings")
       .filter(col("term_bucket").isin(buckets: _*)) // partition pruning
       .join(broadcast(uniqTerms), Seq("term"))
       .select(col("id"), col("term"), col("tf"), col("dl"))
       .dropDuplicates("id", "term")
+    // the anti-join runs on the already term-matched slim rows, so its
+    // cost scales with the hits, never the corpus; df (recomputed from
+    // these rows downstream) reflects the deletion automatically
+    val tf =
+      if (hasTombs) tfAll.join(tombs, Seq("id"), "left_anti") else tfAll
     Bm25.contribs(tf, stats, k1, b)
       .join(broadcast(qTerms), Seq("term"))
       .groupBy(col("__qid"), col("id"))

@@ -122,9 +122,66 @@ object Retrieval {
     * or silently serve the fallback path. `exists` returns false for
     * missing paths without throwing, so no catch is correct here.
     */
-  private def hasLexical(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/lexical/params")
-    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  private def hasLexical(spark: SparkSession, path: String): Boolean =
+    dirExists(spark, s"$path/lexical/params")
+
+  private def dirExists(spark: SparkSession, p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sessionState.newHadoopConf()).exists(hp)
+  }
+
+  private def deleteDir(spark: SparkSession, p: String): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sessionState.newHadoopConf()).delete(hp, true)
+  }
+
+  /** Tombstone-delete documents from a built index — the takedown
+    * path (a removal request against a 100 TB serving corpus must not
+    * cost a rewrite): the docs' chunk rows resolve to their vec_ids
+    * through the chunk table, and those ids tombstone BOTH serving
+    * tiers ([[AnnIndex.delete]] and, when present,
+    * [[Bm25Index.delete]]) plus the chunk table itself
+    * (`<path>/chunk_tombstones`, so [[compact]] cannot resurrect the
+    * rows). Slim appends only; every serve path excludes the docs on
+    * its next query batch because the index-side hits are gone before
+    * any metadata join. Idempotent — a crash between the three
+    * appends is repaired by re-running the same call. [[compact]]
+    * reclaims the space. Lexical layouts written before doclens
+    * tracking fail loudly BEFORE any tombstone lands (run [[compact]]
+    * once to upgrade them — it rebuilds the lexical store through
+    * [[Bm25Index.write]], which now emits doclens).
+    */
+  def deleteDocs(spark: SparkSession, path: String, docIds: DataFrame,
+                 idCol: String = "doc_id"): Unit = {
+    val lex = hasLexical(spark, path)
+    require(!lex || dirExists(spark, s"$path/lexical/doclens"),
+      s"$path/lexical predates deletion support; run Retrieval.compact " +
+        "once to upgrade the layout before deleting")
+    val vecIds = spark.read.parquet(s"$path/chunks")
+      .join(docIds.select(col(idCol).as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .select(col("vec_id"))
+      .localCheckpoint()
+    vecIds.write.mode("append").parquet(s"$path/chunk_tombstones")
+    AnnIndex.delete(vecIds, s"$path/index", idCol = "vec_id")
+    if (lex) Bm25Index.delete(vecIds, s"$path/lexical", idCol = "vec_id")
+  }
+
+  /** Replace documents wholesale — the re-crawl update path. vec_ids
+    * are deterministic hashes of (doc, chunk position), so a changed
+    * document re-chunks to the SAME ids with different text: append
+    * alone would violate the id-uniqueness contract, which is why
+    * replacement must physically purge the old rows first. delete →
+    * [[compact]] → append: one full index rewrite per call. Takedowns
+    * are cheap ([[deleteDocs]] is append-only); replacement is the
+    * expensive op — batch the updates and amortize the compact.
+    */
+  def upsertDocs(docs: DataFrame, path: String,
+                 idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val spark = docs.sparkSession
+    deleteDocs(spark, path, docs.select(col(idCol)), idCol)
+    compact(spark, path)
+    appendDocs(docs, path, idCol, textCol)
   }
 
   /** Streaming corpus growth: a document stream (e.g. the landed
@@ -150,18 +207,26 @@ object Retrieval {
       appendDocs(batch, path, idCol, textCol)
     }
 
-  /** Recovery + dedupe pass: re-derive every index artifact from the
-    * chunk table alone, using the PERSISTED models (no retrain).
+  /** Recovery + reclamation pass: re-derive every index artifact from
+    * the chunk table alone, using the PERSISTED models (no retrain).
     * Squeezes out the exact-duplicate rows an interrupted
-    * [[ingestStream]] batch can leave (chunks by vec_id; the ANN codes
-    * and lexical postings are rebuilt wholesale from the deduped
-    * chunks), after which serving is indistinguishable from a clean
-    * build of the same corpus. One full pass over the chunk table —
-    * run it after a crash, not on a schedule.
+    * [[ingestStream]] batch can leave (chunks by vec_id) and
+    * physically purges [[deleteDocs]]-tombstoned chunks (the ANN codes
+    * and lexical postings are rebuilt wholesale from the surviving
+    * chunks, and every tombstone store clears with its rewrite), after
+    * which serving is indistinguishable from a clean build of the same
+    * surviving corpus. One full pass over the chunk table — run it
+    * after a crash or a deletion backlog, not on a schedule.
     */
   def compact(spark: SparkSession, path: String): Unit = {
-    val deduped = spark.read.parquet(s"$path/chunks")
+    val hadTombs = dirExists(spark, s"$path/chunk_tombstones")
+    val raw = spark.read.parquet(s"$path/chunks")
       .dropDuplicates("vec_id")
+    val deduped = (if (hadTombs)
+        raw.join(spark.read.parquet(s"$path/chunk_tombstones")
+            .select(col("vec_id")).distinct(),
+          Seq("vec_id"), "left_anti")
+      else raw)
       .localCheckpoint() // materialized: its source dir is overwritten
     deduped.write.mode("overwrite").parquet(s"$path/chunks")
     val dim = spark.read.parquet(s"$path/params")
@@ -172,8 +237,12 @@ object Retrieval {
         idCol = "vec_id", textCol = "chunk_text"),
       s"$path/index", cents, books)
     if (hasLexical(spark, path))
+      // Bm25Index.write clears the lexical tombstones itself (the
+      // fresh-index contract), and AnnIndex.writeWithModels' root
+      // overwrite clears the ANN ones
       Bm25Index.write(deduped, s"$path/lexical",
         idCol = "vec_id", textCol = "chunk_text")
+    if (hadTombs) deleteDir(spark, s"$path/chunk_tombstones")
   }
 
   /** Diversified retrieval: [[search]] fetches `fetchK` candidates per

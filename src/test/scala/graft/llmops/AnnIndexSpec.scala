@@ -172,4 +172,53 @@ class AnnIndexSpec extends SparkTestBase {
     assert(reconRatio > 2.0 * coarseRatio,
       s"recon axis must dominate: recon $reconRatio vs coarse $coarseRatio")
   }
+
+  test("delete: tombstoned vectors vanish from topK (bit-identical to " +
+      "a fresh index over the survivors); compact purges physically " +
+      "and preserves models + metrics") {
+    val path = tmp()
+    val (cents, books) = AnnIndex.write(emb, path,
+      nlist = 8, coarseIters = 1, m = 8, codewords = 16, pqIters = 1)
+    AnnIndex.delete(emb.filter($"vec_id" % 3 === 0).select($"vec_id"),
+      path)
+    AnnIndex.delete(emb.filter($"vec_id" % 3 === 0).select($"vec_id"),
+      path) // idempotent
+    val tombTop = AnnIndex.topK(spark, path, q, k = 5, nprobe = 8)
+      .select($"query_id", $"vec_id", $"sim", $"rk")
+      .collect().map(_.toSeq).toSet
+    assert(tombTop.nonEmpty)
+    assert(tombTop.forall(r => r(1).asInstanceOf[Long] % 3 != 0),
+      "a tombstoned vector served")
+    // codes are deterministic under fixed models, so serving must be
+    // bit-identical to a fresh writeWithModels over the survivors
+    val fresh = tmp()
+    AnnIndex.writeWithModels(emb.filter($"vec_id" % 3 =!= 0), fresh,
+      cents, books)
+    val freshTop = AnnIndex.topK(spark, fresh, q, k = 5, nprobe = 8)
+      .select($"query_id", $"vec_id", $"sim", $"rk")
+      .collect().map(_.toSeq).toSet
+    assert(tombTop == freshTop)
+
+    val metricsBefore = spark.read.parquet(s"$path/_stats/metrics")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    AnnIndex.compact(spark, path)
+    assert(!new java.io.File(s"$path/_tombstones").exists(),
+      "compact must clear the tombstone store")
+    assert(spark.read.parquet(path).filter($"vec_id" % 3 === 0).count()
+      == 0, "purged codes still on disk")
+    // models and training metrics carry through the rewrite unchanged
+    val (c2, b2) = AnnIndex.loadModels(spark, path)
+    assert(c2.map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq)
+    assert(b2.map(_.map(_.toSeq).toSeq).toSeq ==
+      books.map(_.map(_.toSeq).toSeq).toSeq)
+    val metricsAfter = spark.read.parquet(s"$path/_stats/metrics")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(metricsAfter == metricsBefore)
+    val afterTop = AnnIndex.topK(spark, path, q, k = 5, nprobe = 8)
+      .select($"query_id", $"vec_id", $"sim", $"rk")
+      .collect().map(_.toSeq).toSet
+    assert(afterTop == freshTop)
+    AnnIndex.compact(spark, path) // no tombstones: clean no-op
+    assert(AnnIndex.topK(spark, path, q, k = 5, nprobe = 8).count() > 0)
+  }
 }

@@ -184,6 +184,111 @@ class Bm25IndexSpec extends SparkTestBase {
     assert(n == docs.count())
   }
 
+  test("delete: tombstoned docs vanish and served scores equal the " +
+      "direct batch over the surviving corpus") {
+    val path = tmp()
+    Bm25Index.write(docs, path, nBuckets = 16)
+    Bm25Index.delete(docs.filter($"doc_id" % 5 === 0).select($"doc_id"),
+      path)
+    val survivors = docs.filter($"doc_id" % 5 =!= 0)
+    val direct = Bm25.scoresBatch(survivors, queries).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    val served = Bm25Index.scores(spark, path, queries).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(served.nonEmpty)
+    assert(served.keys.forall(_._2 % 5 != 0), "a tombstoned doc served")
+    assert(served.keySet == direct.keySet)
+    served.foreach { case (key, (nth, s)) =>
+      val (dn, ds) = direct(key)
+      assert(dn == nth && math.abs(s - ds) <=
+        1e-12 * math.max(1.0, math.abs(ds)), s"at $key")
+    }
+    // the 4-decimal ROUNDED ranking surface is identical too
+    val directTop = Bm25.topKBatch(survivors, queries, k = 7).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(4)))
+      .toSet
+    val servedTop = Bm25Index.topK(spark, path, queries, k = 7).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(4)))
+      .toSet
+    assert(servedTop == directTop)
+  }
+
+  test("delete is idempotent, unknown ids are no-ops, and compact " +
+      "physically purges with an identical ranked surface") {
+    val path = tmp()
+    Bm25Index.write(docs, path, nBuckets = 16)
+    val doomed = docs.filter($"doc_id" % 5 === 0).select($"doc_id")
+    Bm25Index.delete(doomed, path)
+    Bm25Index.delete(doomed, path) // re-delete: harmless
+    Bm25Index.delete(Seq(99999999L).toDF("doc_id"), path) // unknown id
+    val before = Bm25Index.topK(spark, path, queries, k = 7).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(4)))
+      .toSet
+    Bm25Index.compact(spark, path)
+    assert(!new java.io.File(s"$path/tombstones").exists(),
+      "compact must clear the tombstone store")
+    assert(spark.read.parquet(s"$path/postings")
+      .filter($"id" % 5 === 0).count() == 0, "purged rows still on disk")
+    assert(spark.read.parquet(s"$path/stats").count() == 1,
+      "stats must collapse to one base row")
+    val n = spark.read.parquet(s"$path/stats").select($"n_docs")
+      .head().getLong(0)
+    assert(n == docs.filter($"doc_id" % 5 =!= 0).count(),
+      "compacted n must count exactly the survivors")
+    val after = Bm25Index.topK(spark, path, queries, k = 7).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(4)))
+      .toSet
+    assert(after == before)
+    // compact with no tombstones: a clean no-op
+    Bm25Index.compact(spark, path)
+    assert(spark.read.parquet(s"$path/stats").count() == 1)
+  }
+
+  test("write on a reused path clears stale tombstones; pre-doclens " +
+      "layouts reject delete loudly") {
+    val path = tmp()
+    Bm25Index.write(docs, path, nBuckets = 16)
+    Bm25Index.delete(docs.filter($"doc_id" % 5 === 0).select($"doc_id"),
+      path)
+    Bm25Index.write(docs, path, nBuckets = 16) // the fresh-index contract
+    val served = Bm25Index.scores(spark, path, queries).collect()
+    assert(served.exists(_.getLong(1) % 5 == 0),
+      "stale tombstones leaked into the fresh index")
+    // an index whose layout predates the doclens store cannot adjust
+    // stats exactly — delete must fail loudly, not serve wrong avgdl
+    val old = tmp()
+    Bm25Index.write(docs, old, nBuckets = 16)
+    val lens = new org.apache.hadoop.fs.Path(s"$old/doclens")
+    lens.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(lens, true)
+    intercept[IllegalArgumentException] {
+      Bm25Index.delete(Seq(1L).toDF("doc_id"), old)
+    }
+  }
+
+  test("deleting an empty-text doc adjusts n exactly: it has no " +
+      "postings, only its doclens row carries it") {
+    val path = tmp()
+    val mini = Seq((1L, "alpha beta"), (2L, ""), (3L, "alpha gamma"))
+      .toDF("doc_id", "text")
+    Bm25Index.write(mini, path, nBuckets = 4)
+    Bm25Index.delete(Seq(2L).toDF("doc_id"), path)
+    val q1 = Seq((0L, "alpha")).toDF("query_id", "text")
+    val served = Bm25Index.scores(spark, path, q1).collect()
+      .map(r => (r.getLong(1), r.getDouble(3))).toMap
+    val direct = Bm25.scoresBatch(
+        Seq((1L, "alpha beta"), (3L, "alpha gamma")).toDF("doc_id", "text"),
+        q1).collect()
+      .map(r => (r.getLong(1), r.getDouble(3))).toMap
+    assert(served.keySet == Set(1L, 3L))
+    served.foreach { case (id, s) =>
+      assert(math.abs(s - direct(id)) <=
+        1e-12 * math.max(1.0, math.abs(direct(id))), s"doc $id")
+    }
+  }
+
   test("fresh session serve: everything needed is on disk; string ids " +
       "rejected loudly") {
     val path = tmp()

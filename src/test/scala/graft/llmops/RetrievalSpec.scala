@@ -366,4 +366,62 @@ class RetrievalSpec extends SparkTestBase {
       k = 1, nprobe = 2)
     assert(hits.select($"doc_id").as[Long].head() == 0L)
   }
+
+  test("deleteDocs: a takedown vanishes from vector, lexical, and " +
+      "hybrid serving; compact purges permanently; upsertDocs " +
+      "replaces a changed document under the same ids") {
+    val docs = Seq(
+      (1L, "Revenue grew nine percent this quarter. Margins compressed " +
+        "in the retail arm. The board raised the quarterly dividend."),
+      (2L, "The weather station recorded heavy rainfall. Winds stayed " +
+        "calm through the evening. Barometric pressure fell slowly."),
+      (3L, "The migration moved the cluster to new hardware. Latency " +
+        "dropped after the cache warmup. Throughput doubled at peak."))
+      .toDF("doc_id", "text")
+    val path = tmp()
+    Retrieval.buildIndex(docs, path, targetChars = 60, dim = 128,
+      nlist = 4, m = 4)
+    val questions = Seq((0L, "was the quarterly dividend raised"))
+      .toDF("query_id", "text")
+    assert(Retrieval.search(spark, path, questions, k = 3, nprobe = 4)
+      .filter($"doc_id" === 1).count() > 0, "fixture must serve doc 1")
+
+    Retrieval.deleteDocs(spark, path, Seq(1L).toDF("doc_id"))
+    assert(Retrieval.search(spark, path, questions, k = 3, nprobe = 4)
+      .filter($"doc_id" === 1).count() == 0, "vector tier still serves it")
+    assert(Retrieval.hybridSearch(spark, path, questions, k = 3,
+      nprobe = 4).filter($"doc_id" === 1).count() == 0,
+      "hybrid (lexical tier) still serves it")
+
+    Retrieval.deleteDocs(spark, path, Seq(1L).toDF("doc_id")) // idempotent
+    Retrieval.compact(spark, path)
+    assert(spark.read.parquet(s"$path/chunks")
+      .filter($"doc_id" === 1).count() == 0,
+      "compact must not resurrect tombstoned chunks")
+    assert(!new java.io.File(s"$path/chunk_tombstones").exists())
+    val q2 = Seq((0L, "how much rainfall was recorded"))
+      .toDF("query_id", "text")
+    assert(Retrieval.search(spark, path, q2, k = 1, nprobe = 4)
+      .filter($"doc_id" === 2).count() == 1, "survivors must still serve")
+
+    // upsert: doc 2 re-crawls with entirely new text — same doc_id
+    // means the SAME chunk vec_ids, so append alone would collide;
+    // upsertDocs must physically replace
+    val newDoc2 = Seq((2L, "The dividend policy changed. Payout ratios " +
+      "moved to forty percent. Shareholders approved the plan."))
+      .toDF("doc_id", "text")
+    Retrieval.upsertDocs(newDoc2, path)
+    val texts = spark.read.parquet(s"$path/chunks")
+      .filter($"doc_id" === 2).select($"chunk_text").as[String].collect()
+    assert(texts.nonEmpty && texts.forall(!_.contains("rainfall")),
+      "stale text survived the upsert")
+    assert(texts.exists(_.contains("Payout")))
+    val all = spark.read.parquet(s"$path/chunks")
+    assert(all.select($"vec_id").distinct().count() == all.count(),
+      "id-uniqueness must survive the upsert")
+    assert(Retrieval.search(spark, path,
+      Seq((0L, "what is the payout ratio")).toDF("query_id", "text"),
+      k = 2, nprobe = 4).filter($"doc_id" === 2).count() > 0,
+      "the replacement text must serve")
+  }
 }
