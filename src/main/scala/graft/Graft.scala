@@ -559,6 +559,17 @@ object Graft {
   /** Per-sequence fill/doc-start stats over [[packSequences]]. */
   def sequenceStats(fragments: DataFrame): DataFrame =
     llmops.Packing.sequenceStats(fragments)
+  /** One-epoch sharded training export: deterministic md5 shuffle into
+    * shards, exact per-shard sequence packing, shard-partitioned
+    * fragment table + manifest + params under `path` (q144). */
+  def exportTrainingShards(docs: DataFrame, path: String, seqLen: Int,
+                           nShards: Int = 64,
+                           seed: String = "epoch-0"): Unit =
+    llmops.TrainExport.writeShards(docs, path, seqLen, nShards, seed)
+  /** The fragment table behind [[exportTrainingShards]], unwritten. */
+  def epochFragments(docs: DataFrame, seqLen: Int, nShards: Int,
+                     seed: String = "epoch-0"): DataFrame =
+    llmops.TrainExport.epochFragments(docs, seqLen, nShards, seed)
   /** LSH parameter planning: pick (bands, rowsPerBand) for a target
     * Jaccard threshold and hash budget (feeds [[minhashDedup]] &c.). */
   def planLsh(threshold: Double, maxHashes: Int = 128): llmops.LshPlan.Plan =

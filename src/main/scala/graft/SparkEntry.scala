@@ -2843,6 +2843,24 @@ object SparkEntry {
       B.topK(s, base, queries, k = 12)
         .select($"query_id", $"rk", $"doc_id", $"n_terms_hit", $"score")
         .orderBy($"query_id", $"rk")
+    }),
+
+    // Sharded training export (X114): one epoch written to disk, the
+    // first three shards' fragment rows read BACK from the written
+    // files and replayed entirely relationally — md5 shuffle key,
+    // 16-bit-prefix shard assignment, the per-shard (key, id) order,
+    // the exclusive token cumsum, and the exact sequence tiling.
+    "q144_train_export" -> ((s, d) => {
+      import s.implicits._
+      val base = "/root/repo/spark-warehouse/q144_shards"
+      graft.llmops.TrainExport.writeShards(
+        t(s, d, "documents").select($"doc_id", $"text"), base,
+        seqLen = 64, nShards = 32, seed = "ep0")
+      s.read.parquet(s"$base/fragments")
+        .filter($"shard" < 3)
+        .select($"shard".cast("long").as("shard"), $"seq_id", $"doc_id",
+          $"doc_offset", $"seq_offset", $"n_toks")
+        .orderBy($"shard", $"seq_id", $"doc_id")
     })
   )
 
@@ -5531,6 +5549,43 @@ object SparkEntry {
            FROM sc QUALIFY rk <= 12)
          SELECT qid::BIGINT AS query_id, rk::INTEGER AS rk, id AS doc_id,
                 n_terms_hit, score
-         FROM ranked ORDER BY query_id, rk"""
+         FROM ranked ORDER BY query_id, rk""",
+    // training export: the whole layout replayed from the documents
+    // table — md5 shuffle key, 16-bit shard prefix, per-shard
+    // (key, id) cumsum, exact tiling arithmetic
+    "q144_train_export" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(lower(trim(text)),
+                         '\s+'))
+                  END AS dl
+           FROM documents),
+         keyed AS (
+           SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+                  md5(CAST(doc_id AS VARCHAR) || 'ep0') AS k
+           FROM toks WHERE dl >= 1),
+         sharded AS (
+           SELECT doc_id, dl, k,
+                  ('0x' || substr(k, 1, 4))::BIGINT % 32 AS shard
+           FROM keyed),
+         off AS (
+           SELECT shard, doc_id, dl,
+                  CAST(coalesce(sum(dl) OVER (PARTITION BY shard
+                    ORDER BY k, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS st
+           FROM sharded),
+         frag AS (
+           SELECT shard, doc_id, dl, st,
+                  unnest(generate_series(st // 64, (st + dl - 1) // 64))
+                    AS seq_id
+           FROM off)
+         SELECT shard, seq_id, doc_id,
+                greatest(seq_id * 64 - st, 0) AS doc_offset,
+                greatest(st - seq_id * 64, 0) AS seq_offset,
+                least(st + dl, (seq_id + 1) * 64) -
+                  greatest(st, seq_id * 64) AS n_toks
+         FROM frag WHERE shard < 3 ORDER BY shard, seq_id, doc_id"""
   )
 }

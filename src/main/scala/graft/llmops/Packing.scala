@@ -45,7 +45,7 @@ object Packing {
     * d, so the one double division is exact for quotients < 2⁵³
     * (~9·10¹⁵ sequences — far past any corpus).
     */
-  private def floorDiv(c: Column, d: Long): Column =
+  private[llmops] def floorDiv(c: Column, d: Long): Column =
     ((c - pmod(c, lit(d))) / lit(d)).cast("long")
 
   /** (id, n_toks, stream_start) — each kept document's exclusive

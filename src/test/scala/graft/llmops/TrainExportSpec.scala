@@ -1,0 +1,88 @@
+package graft.llmops
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+
+class TrainExportSpec extends SparkTestBase {
+  import spark.implicits._
+
+  lazy val docs = Tables.documents(spark, sf0001)
+    .select($"doc_id", $"text").cache()
+
+  private def tmp(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-trainexport")
+    d.toFile.deleteOnExit()
+    d.resolve("shards").toString
+  }
+
+  test("fragments tile every shard's sequences exactly and cover " +
+      "every document completely, each doc in exactly one shard") {
+    val frags = TrainExport.epochFragments(docs, seqLen = 64, nShards = 8)
+      .cache()
+    // every sequence except each shard's tail holds exactly seqLen
+    val fill = frags.groupBy($"shard", $"seq_id")
+      .agg(sum($"n_toks").as("t"))
+    val lastSeq = fill.groupBy($"shard").agg(max($"seq_id").as("last"))
+    assert(fill.join(lastSeq, "shard").filter($"seq_id" =!= $"last")
+      .filter($"t" =!= 64).count() == 0, "a non-tail sequence is not full")
+    // no fragment overruns its sequence
+    assert(frags.filter($"seq_offset" + $"n_toks" > 64).count() == 0)
+    // every nonzero-token doc covered exactly once, from offset 0
+    val dl = docs.select($"doc_id",
+        TextFuncs.tokenCount($"text").cast("long").as("dl"))
+      .filter($"dl" >= 1)
+    val cover = frags.groupBy($"doc_id")
+      .agg(sum($"n_toks").as("got"), min($"doc_offset").as("mn"),
+        countDistinct($"shard").as("n_shards"))
+      .join(dl, "doc_id")
+    assert(cover.count() == dl.count())
+    assert(cover.filter($"got" =!= $"dl" || $"mn" =!= 0 ||
+      $"n_shards" =!= 1).count() == 0)
+    frags.unpersist()
+  }
+
+  test("deterministic: rerun and repartitioned input are identical; " +
+      "a new epoch seed reorders but conserves the token mass") {
+    val a = TrainExport.epochFragments(docs, 64, 8).collect()
+      .map(_.toSeq).toSet
+    val b = TrainExport.epochFragments(docs.repartition(13), 64, 8)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+    val c = TrainExport.epochFragments(docs, 64, 8, seed = "epoch-1")
+      .collect().map(_.toSeq).toSet
+    assert(c != a, "a fresh epoch seed must reshuffle the layout")
+    def mass(s: Set[Seq[Any]]) =
+      s.toSeq.map(_(5).asInstanceOf[Long]).sum
+    assert(mass(c) == mass(a), "token mass must be seed-invariant")
+  }
+
+  test("writeShards: the manifest describes the written fragments " +
+      "exactly; each shard lands as one file; params persist") {
+    val path = tmp()
+    TrainExport.writeShards(docs, path, seqLen = 64, nShards = 8,
+      seed = "epoch-0")
+    val frags = spark.read.parquet(s"$path/fragments")
+    val fromFrags = frags.groupBy($"shard")
+      .agg((max($"seq_id") + 1).as("n_seqs"),
+        countDistinct($"doc_id").as("n_docs"),
+        sum($"n_toks").as("n_tokens"))
+      .collect().map(r => (r.getInt(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    val manifest = spark.read.parquet(s"$path/manifest")
+      .collect().map(r => (r.getInt(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(manifest == fromFrags)
+    assert(manifest.size == 8, "every shard must appear")
+    // one consolidated file per shard directory — not tasks×shards
+    val dirs = new java.io.File(s"$path/fragments").listFiles()
+      .filter(_.getName.startsWith("shard="))
+    assert(dirs.length == 8)
+    dirs.foreach { d =>
+      val n = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(n == 1, s"${d.getName}: $n files")
+    }
+    val p = spark.read.parquet(s"$path/params").head()
+    assert(p.getInt(0) == 64 && p.getInt(1) == 8 &&
+      p.getString(2) == "epoch-0")
+  }
+}
