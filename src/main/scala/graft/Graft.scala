@@ -128,6 +128,17 @@ object Graft {
       llmops.Dedup.minhashPairs(docs, threshold)
         .select(org.apache.spark.sql.functions.col("id_a"),
                 org.apache.spark.sql.functions.col("id_b")))
+  /** [[clusterDedup]] keeping each cluster's BEST member by quality
+    * score (min-id tiebreak) instead of the arbitrary minimum id —
+    * near-dup clusters keep their clean copy (q145).
+    */
+  def clusterDedupBest(docs: DataFrame, threshold: Double = 0.7): DataFrame =
+    ops.ConnectedComponents.dedupByComponentBest(docs,
+      llmops.Dedup.minhashPairs(docs, threshold)
+        .select(org.apache.spark.sql.functions.col("id_a"),
+                org.apache.spark.sql.functions.col("id_b")),
+      llmops.TextFuncs.qualityScore(
+        org.apache.spark.sql.functions.col("text")))
   /** Sliding token-window chunking with overlap (training sequences /
     * retrieval units).
     */
@@ -142,6 +153,7 @@ object Graft {
                   minQuality: Double = 0.25, lang: Option[String] = None,
                   sampleFrac: Double = 1.0,
                   nearDupThreshold: Option[Double] = Some(0.7),
+                  nearDupKeepBest: Boolean = false,
                   minCompressionRatio: Double = 0.0,
                   maxDupLineFrac: Double = 1.0,
                   lmTables: Option[(DataFrame, DataFrame)] = None,
@@ -153,9 +165,15 @@ object Graft {
                   dsir: Option[(Map[String, Double], Double, Double)] = None,
                   normalizeUnicode: Boolean = false): DataFrame =
     llmops.Corpus.clean(docs, benchmark, minQuality, lang,
-      redact = true, sampleFrac, nearDupThreshold, minCompressionRatio,
-      maxDupLineFrac, lmTables, maxNll, qualityModel, minModelProb,
-      dropSpanNgram, dropLineBoilerplateMinDocs, dsir, normalizeUnicode)
+      redact = true, sampleFrac = sampleFrac,
+      nearDupThreshold = nearDupThreshold,
+      nearDupKeepBest = nearDupKeepBest,
+      minCompressionRatio = minCompressionRatio,
+      maxDupLineFrac = maxDupLineFrac, lmTables = lmTables,
+      maxNll = maxNll, qualityModel = qualityModel,
+      minModelProb = minModelProb, dropSpanNgram = dropSpanNgram,
+      dropLineBoilerplateMinDocs = dropLineBoilerplateMinDocs,
+      dsir = dsir, normalizeUnicode = normalizeUnicode)
   /** One-pass per-column audit: nulls, approx distinct, min/max. */
   def profile(df: DataFrame, columns: Seq[String] = Seq.empty): DataFrame =
     ops.Profiling.profile(df, columns)

@@ -2861,6 +2861,26 @@ object SparkEntry {
         .select($"shard".cast("long").as("shard"), $"seq_id", $"doc_id",
           $"doc_offset", $"seq_offset", $"n_toks")
         .orderBy($"shard", $"seq_id", $"doc_id")
+    }),
+
+    // Quality-aware cluster representatives (X115): near-dup clusters
+    // keep their BEST member (argmax quality, min-id tiebreak) instead
+    // of the arbitrary min id. The oracle recomputes components with a
+    // recursive CTE over the materialized edges, scores every doc with
+    // the q21 quality arithmetic, and replays the argmax; the per-
+    // source id sum pins the exact survivor set.
+    "q145_best_rep_dedup" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val edges = graft.llmops.Dedup.minhashPairs(docs, threshold = 0.7)
+        .select($"id_a", $"id_b")
+      materialize(edges, "q145_edges")
+      graft.ops.ConnectedComponents.dedupByComponentBest(docs, edges,
+          graft.llmops.TextFuncs.qualityScore($"text"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"doc_id").cast("long").as("id_sum"))
+        .orderBy($"source")
     })
   )
 
@@ -5586,6 +5606,56 @@ object SparkEntry {
                 greatest(st - seq_id * 64, 0) AS seq_offset,
                 least(st + dl, (seq_id + 1) * 64) -
                   greatest(st, seq_id * 64) AS n_toks
-         FROM frag WHERE shard < 3 ORDER BY shard, seq_id, doc_id"""
+         FROM frag WHERE shard < 3 ORDER BY shard, seq_id, doc_id""",
+    // best-representative dedup: recursive-CTE components over the
+    // materialized edges + the q21 per-doc quality arithmetic + the
+    // argmax replayed as a rank window; id sums pin the survivor set
+    "q145_best_rep_dedup" ->
+      """WITH RECURSIVE sym AS (
+           SELECT id_a AS u, id_b AS v
+           FROM read_parquet('/root/repo/spark-warehouse/q145_edges/*.parquet')
+           UNION
+           SELECT id_b, id_a
+           FROM read_parquet('/root/repo/spark-warehouse/q145_edges/*.parquet')),
+         nodes AS (SELECT DISTINCT u AS id FROM sym),
+         walk(id, comp) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT sym.v, walk.comp FROM walk JOIN sym ON sym.u = walk.id),
+         labels AS (SELECT id, min(comp) AS component FROM walk GROUP BY id),
+         q AS (
+           SELECT doc_id, source,
+             string_split_regex(lower(trim(text)), '\s+') AS toks,
+             length(text) AS n,
+             length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS np
+           FROM documents),
+         r AS (
+           SELECT doc_id, source,
+             (CASE WHEN n BETWEEN 50 AND 20000 THEN 0.25 ELSE 0.0 END) +
+             (CASE WHEN (CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE len(list_filter(toks, t -> t IN
+                    ('the','and','of','to','a','in','is','that')))::double
+                    / len(toks) END) >= 0.01
+                  THEN 0.25 ELSE 0.0 END) +
+             (CASE WHEN (CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE list_sum(list_transform(toks, w -> length(w)))::double
+                    / len(toks) END)
+                  BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END) +
+             (CASE WHEN (CASE WHEN n = 0 THEN 0.0
+                  ELSE np::double / n END) <= 0.1
+                  THEN 0.25 ELSE 0.0 END) AS s
+           FROM q),
+         lab AS (
+           SELECT r.doc_id, r.source, r.s,
+                  coalesce(l.component, r.doc_id) AS component
+           FROM r LEFT JOIN labels l ON l.id = r.doc_id),
+         keep AS (
+           SELECT doc_id, source FROM (
+             SELECT doc_id, source, row_number() OVER (
+               PARTITION BY component ORDER BY s DESC, doc_id) AS rk
+             FROM lab) WHERE rk = 1)
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM keep GROUP BY 1 ORDER BY 1"""
   )
 }

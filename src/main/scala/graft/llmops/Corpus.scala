@@ -64,6 +64,7 @@ object Corpus {
             redact: Boolean = true,
             sampleFrac: Double = 1.0,
             nearDupThreshold: Option[Double] = None,
+            nearDupKeepBest: Boolean = false,
             minCompressionRatio: Double = 0.0,
             maxDupLineFrac: Double = 1.0,
             lmTables: Option[(DataFrame, DataFrame)] = None,
@@ -155,10 +156,18 @@ object Corpus {
         Splits.stratumThreshold(lit(""), Map.empty, sampleFrac)))
     val exact = Dedup.exact(sampled, idCol, textCol)
     val nearDeduped = nearDupThreshold.fold(exact) { th =>
-      graft.ops.ConnectedComponents.dedupByComponent(exact,
+      val pairs =
         Dedup.minhashPairs(exact, th, idCol = idCol, textCol = textCol)
-          .select(col("id_a"), col("id_b")),
-        idCol)
+          .select(col("id_a"), col("id_b"))
+      // keepBest: each cluster keeps its highest-quality member (clean
+      // original over ad-littered scrape) instead of the arbitrary
+      // minimum id — same survivor count, better survivors
+      if (nearDupKeepBest)
+        graft.ops.ConnectedComponents.dedupByComponentBest(exact, pairs,
+          T.qualityScore(col(textCol)), idCol)
+      else
+        graft.ops.ConnectedComponents.dedupByComponent(exact, pairs,
+          idCol)
     }
     benchmark.fold(nearDeduped) { bench =>
       val benchNorm =

@@ -131,4 +131,34 @@ object ConnectedComponents {
     labelClusters(docs, pairs, idCol)
       .filter(col(idCol).cast("long") === col("component"))
       .drop("component")
+
+  /** Cluster-aware dedup keeping each component's BEST member by the
+    * caller's `score` column (quality, length, recency — any
+    * deterministic expression over the doc row) instead of the
+    * arbitrary minimum id: argmax(score), ties broken toward the
+    * smaller id so the pick is total and rerun-stable. The curation
+    * difference matters exactly when near-duplicates differ — a clean
+    * original vs its ad-littered scrape collapse to ONE doc either
+    * way, but only this keeps the clean one.
+    *
+    * Scale shape: the pick is one `max_by` over slim
+    * (component, id, score) rows — the struct ordering
+    * (score, −id) encodes the tiebreak, no rank window — and the
+    * survivors semi-join back, so full doc rows never shuffle.
+    * Singleton docs (in no pair) survive untouched, as in
+    * [[dedupByComponent]].
+    */
+  def dedupByComponentBest(docs: DataFrame, pairs: DataFrame,
+                           score: org.apache.spark.sql.Column,
+                           idCol: String = "doc_id"): DataFrame = {
+    val keep = labelClusters(docs, pairs, idCol)
+      .select(col("component"), col(idCol).cast("long").as("__cid"),
+        score.as("__s"))
+      .groupBy(col("component"))
+      .agg(max_by(col("__cid"),
+        struct(col("__s").as("s"), (-col("__cid")).as("ni"))).as("__keep"))
+      .select(col("__keep"))
+    docs.join(keep, docs(idCol).cast("long") === keep("__keep"),
+      "left_semi")
+  }
 }

@@ -185,6 +185,41 @@ class CorpusSpec extends SparkTestBase {
     assert(kept == Set(1L, 3L), s"kept=$kept")
   }
 
+  test("nearDupKeepBest keeps the cluster's higher-quality member " +
+      "where min-id dedup keeps the scrape") {
+    val prefix = "the annual shareholder letter describes revenue growth " +
+      "across every operating segment of the business this fiscal year"
+    // doc 1: the ad-littered scrape — same content, punctuation junk
+    // pushes its punct ratio past the 0.1 quality component
+    val tailLow = " !!! ??? ;;; ::: !!! ??? ;;; ::: !!! ??? ;;; ::: !!"
+    val tailHigh = " and the board also approved a dividend increase " +
+      "this week"
+    val docs = Seq(
+      (1L, prefix + tailLow),
+      (2L, prefix + tailHigh),
+      (3L, "an entirely unrelated filler document about logistics and " +
+        "warehouse throughput optimization during the busy season"))
+      .toDF("doc_id", "text")
+    // sanity: the quality gap and the near-dup pair both exist
+    val qs = docs.select($"doc_id",
+        TextFuncs.qualityScore($"text").as("q"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(qs(2L) > qs(1L), s"quality fixture broken: $qs")
+    val pairs = Dedup.minhashPairs(docs, threshold = 0.4)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"planted pair not found: $pairs")
+    // min-id dedup keeps the scrape (doc 1); keepBest keeps the clean
+    // original (doc 2) — same survivor count, better survivors
+    val minId = Corpus.clean(docs, minQuality = 0.0, redact = false,
+        nearDupThreshold = Some(0.4))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(minId == Set(1L, 3L), s"min-id kept=$minId")
+    val best = Corpus.clean(docs, minQuality = 0.0, redact = false,
+        nearDupThreshold = Some(0.4), nearDupKeepBest = true)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(best == Set(2L, 3L), s"keepBest kept=$best")
+  }
+
   test("maxDupLineFrac gate drops listing-shaped docs, keeps prose") {
     val listing = (1 to 10).map(_ => "item row repeated").mkString("\n")
     val docs = Seq((1L, goodText), (2L, listing)).toDF("doc_id", "text")

@@ -78,4 +78,29 @@ class ConnectedComponentsSpec extends SparkTestBase {
     val got = runCC(Seq((1L, 2L), (2L, 3L)))
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
+
+  test("dedupByComponentBest keeps the highest-scoring member, not " +
+      "the min id; ties break to the smaller id; singletons survive") {
+    val docs = Seq(
+      (0L, "low", 0.1), (1L, "best", 0.9), (2L, "mid", 0.5), // cluster A
+      (4L, "tie", 0.7), (5L, "tie", 0.7),                    // cluster B
+      (6L, "alone", 0.0))                                    // singleton
+      .toDF("doc_id", "text", "score")
+    val pairs = Seq((0L, 1L), (1L, 2L), (4L, 5L)).toDF("id_a", "id_b")
+    val kept = ConnectedComponents
+      .dedupByComponentBest(docs, pairs, col("score"))
+      .select($"doc_id").as[Long].collect().toSet
+    // cluster A keeps 1 (0.9 beats min-id 0); B's tie keeps min id 4;
+    // the zero-score singleton survives untouched
+    assert(kept == Set(1L, 4L, 6L))
+    // min-id dedup keeps a DIFFERENT, lower-quality doc for A
+    val minId = ConnectedComponents.dedupByComponent(docs, pairs)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(minId == Set(0L, 4L, 6L))
+    // rerun over repartitioned input picks identically
+    val again = ConnectedComponents
+      .dedupByComponentBest(docs.repartition(7), pairs, col("score"))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(again == kept)
+  }
 }
