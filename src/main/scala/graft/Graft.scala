@@ -343,6 +343,11 @@ object Graft {
 
   // ---- text analysis / curation ------------------------------------
   def langId(text: Column): Column = llmops.TextFuncs.langId(text)
+  /** Monolingual line segments of a code-mixed document: per-line
+    * langId, consecutive same-language lines merge into ordered
+    * segments (q146). */
+  def lineLangSegments(docs: DataFrame): DataFrame =
+    llmops.TextFuncs.lineLangSegments(docs)
   def qualityScore(text: Column): Column = llmops.TextFuncs.qualityScore(text)
   def tokenCount(text: Column): Column = llmops.TextFuncs.tokenCount(text)
   def minhashSignature(text: Column): Column =

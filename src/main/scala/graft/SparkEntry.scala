@@ -2881,6 +2881,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum($"doc_id").cast("long").as("id_sum"))
         .orderBy($"source")
+    }),
+
+    // Line-level language segmentation (X116): planted code-mixed docs
+    // (the doc's text, two Spanish stopword lines, one German, the
+    // text again) split into ordered monolingual runs — per-line
+    // langId, the gaps-and-islands grouping, and segment reassembly
+    // all replayed relationally; md5 pins every reassembled segment.
+    "q146_line_lang_segments" -> ((s, d) => {
+      import s.implicits._
+      val mixed = t(s, d, "documents").filter($"doc_id" % 7 === 3)
+        .select($"doc_id", concat(
+          $"text", lit("\nel que la de y los en un" +
+            "\nla de el que y un en los" +
+            "\nder und die das von ist mit den\n"),
+          $"text").as("mtext"))
+      graft.llmops.TextFuncs.lineLangSegments(mixed, textCol = "mtext")
+        .select($"doc_id", $"seg_idx", $"lang", $"n_lines",
+          md5($"seg_text").as("seg_md5"),
+          length($"seg_text").as("n_chars"))
+        .orderBy($"doc_id", $"seg_idx")
     })
   )
 
@@ -5656,6 +5676,58 @@ object SparkEntry {
              FROM lab) WHERE rk = 1)
          SELECT source, count(*) AS n_docs,
                 CAST(sum(doc_id) AS BIGINT) AS id_sum
-         FROM keep GROUP BY 1 ORDER BY 1"""
+         FROM keep GROUP BY 1 ORDER BY 1""",
+    // line-language segmentation: per-line langId (the q22 chain), the
+    // rank-difference run grouping, and ordered reassembly
+    "q146_line_lang_segments" ->
+      """WITH m AS (
+           SELECT doc_id, text || chr(10) ||
+             'el que la de y los en un' || chr(10) ||
+             'la de el que y un en los' || chr(10) ||
+             'der und die das von ist mit den' || chr(10) || text
+               AS mtext
+           FROM documents WHERE doc_id % 7 = 3),
+         lines AS (
+           SELECT doc_id,
+                  generate_subscripts(string_split(mtext, chr(10)), 1) - 1
+                    AS pos,
+                  unnest(string_split(mtext, chr(10))) AS line
+           FROM m),
+         lt AS (
+           SELECT doc_id, pos, line,
+                  string_split_regex(lower(trim(line)), '\s+') AS toks
+           FROM lines),
+         h AS (
+           SELECT doc_id, pos, line,
+             len(list_filter(toks, t -> t IN ('der','die','und','das','ist','von','mit','den'))) AS h_de,
+             len(list_filter(toks, t -> t IN ('the','and','of','to','a','in','is','that'))) AS h_en,
+             len(list_filter(toks, t -> t IN ('el','la','de','que','y','los','en','un'))) AS h_es,
+             len(list_filter(toks, t -> t IN ('le','la','les','des','est','une','dans','et'))) AS h_fr,
+             len(list_filter(toks, t -> t IN ('的','是','在','了','和','有','我','不'))) AS h_zh
+           FROM lt),
+         langed AS (
+           SELECT doc_id, pos, line, CASE
+               WHEN h_de + h_en + h_es + h_fr + h_zh = 0 THEN 'und'
+               WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de >= h_zh THEN 'de'
+               WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
+               WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
+               WHEN h_fr >= h_zh THEN 'fr'
+               ELSE 'zh' END AS lang
+           FROM h),
+         grp AS (
+           SELECT doc_id, pos, line, lang,
+                  pos - row_number() OVER (PARTITION BY doc_id, lang
+                    ORDER BY pos) AS g
+           FROM langed),
+         segs AS (
+           SELECT doc_id, lang, g, min(pos) AS st,
+                  count(*) AS n_lines,
+                  string_agg(line, chr(10) ORDER BY pos) AS seg_text
+           FROM grp GROUP BY 1, 2, 3)
+         SELECT doc_id, row_number() OVER (PARTITION BY doc_id
+                  ORDER BY st)::INTEGER AS seg_idx,
+                lang, n_lines, md5(seg_text) AS seg_md5,
+                length(seg_text) AS n_chars
+         FROM segs ORDER BY doc_id, seg_idx"""
   )
 }

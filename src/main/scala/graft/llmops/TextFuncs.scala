@@ -346,4 +346,50 @@ object TextFuncs {
       .withColumn(textCol, coalesce(col(textCol), lit("")))
       .select(docs.columns.map(col): _*)
   }
+
+  /** Monolingual line segments of a (possibly code-mixed) document —
+    * the CCNet move at line granularity: web pages routinely mix
+    * languages (an English nav around German prose, quoted passages,
+    * bilingual docs), and a document-level language id either drops
+    * the whole page or keeps the noise. Each line classifies with the
+    * shared [[langIdFromTokens]] heuristic and CONSECUTIVE same-label
+    * lines merge into one segment, so downstream per-language
+    * pipelines (quality gates, dedup, mixing quotas) operate on
+    * monolingual units. Blank/unclassifiable lines label "und" and
+    * form their own segments — a deterministic, honest boundary
+    * (dropping or re-attaching them is the caller's policy).
+    *
+    * Output: one row per segment — (idCol, seg_idx, lang, n_lines,
+    * seg_text), seg_idx ordered by position in the document.
+    *
+    * Scale shape: posexplode to slim (id, pos, line) rows; language
+    * is a pure projection; runs form via the gaps-and-islands rank
+    * difference (pos − row_number within (doc, lang)) — both windows
+    * partition by doc, bounded by a document's line count, never
+    * global; reassembly is one groupBy with an in-group sort. The
+    * oracle (q146) replays the entire rule relationally.
+    */
+  def lineLangSegments(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = docs
+      .select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      .withColumn("__lang", langId(col("__line")))
+    val wLang = Window.partitionBy(col(idCol), col("__lang"))
+      .orderBy(col("__pos"))
+    val segs = lines
+      .withColumn("__grp", col("__pos") - row_number().over(wLang))
+      .groupBy(col(idCol), col("__lang"), col("__grp"))
+      .agg(min(col("__pos")).as("__start"),
+        count(lit(1)).as("n_lines"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("__pos"), col("__line")))),
+          s => s.getField("__line")), "\n").as("seg_text"))
+    val wSeg = Window.partitionBy(col(idCol)).orderBy(col("__start"))
+    segs
+      .withColumn("seg_idx", row_number().over(wSeg).cast("int"))
+      .select(col(idCol), col("seg_idx"), col("__lang").as("lang"),
+        col("n_lines"), col("seg_text"))
+  }
 }

@@ -193,4 +193,48 @@ class TextFuncsSpec extends SparkTestBase {
     assert(w.filter($"doc_id" === 2L).select($"lang", $"text")
       .as[(String, String)].head() == (("de", "y")))
   }
+
+  test("lineLangSegments: code-mixed doc splits into ordered " +
+      "monolingual runs; consecutive same-language lines merge") {
+    val doc = Seq((1L,
+      "the cat sat on the mat and that is that\n" +
+      "el que la de y los en un\n" +
+      "la de el que y un en los\n" +
+      "der und die das von ist mit den\n" +
+      "the dog and the fox in a box")).toDF("doc_id", "text")
+    val segs = TextFuncs.lineLangSegments(doc).orderBy($"seg_idx")
+      .select($"seg_idx", $"lang", $"n_lines")
+      .as[(Int, String, Long)].collect().toSeq
+    assert(segs == Seq((1, "en", 1L), (2, "es", 2L), (3, "de", 1L),
+      (4, "en", 1L)), s"segs=$segs")
+    // the two-line Spanish run reassembles in order with its newline
+    val es = TextFuncs.lineLangSegments(doc).filter($"lang" === "es")
+      .select($"seg_text").as[String].head()
+    assert(es == "el que la de y los en un\nla de el que y un en los")
+  }
+
+  test("lineLangSegments: single-language doc is one segment equal " +
+      "to its text; blank lines are und boundaries; repartition-" +
+      "stable") {
+    val one = Seq((1L, "the cat and the dog in a box"))
+      .toDF("doc_id", "text")
+    val s1 = TextFuncs.lineLangSegments(one).collect()
+    assert(s1.length == 1)
+    assert(s1(0).getString(2) == "en")
+    assert(s1(0).getString(4) == "the cat and the dog in a box")
+    val blanky = Seq((2L, "the cat and that\n\nthe dog is in a box"))
+      .toDF("doc_id", "text")
+    val langs = TextFuncs.lineLangSegments(blanky).orderBy($"seg_idx")
+      .select($"lang").as[String].collect().toSeq
+    assert(langs == Seq("en", "und", "en"), s"langs=$langs")
+    val docs = Seq(
+      (1L, "the cat and that\nel que la de y\nthe dog in a box"),
+      (2L, "der und die das\nthe fox is in that box"))
+      .toDF("doc_id", "text")
+    val a = TextFuncs.lineLangSegments(docs).collect()
+      .map(_.toSeq).toSet
+    val b = TextFuncs.lineLangSegments(docs.repartition(7)).collect()
+      .map(_.toSeq).toSet
+    assert(a == b)
+  }
 }
