@@ -529,6 +529,16 @@ object Graft {
   def opqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               m: Int = 16, codebookK: Int = 16): DataFrame =
     llmops.Opq.opqTopK(corpus, queries, k, m, codebookK)
+  /** Top-k hard negatives per query — highest-cosine corpus vectors
+    * not in the positives table (q147). */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+                    positives: DataFrame, k: Int): DataFrame =
+    llmops.Mining.hardNegatives(corpus, queries, positives, k)
+  /** (query, positive, hard-negative) training triplets: mined
+    * negatives round-robin over the query's positives (q147). */
+  def contrastiveTriplets(positives: DataFrame,
+                          negatives: DataFrame): DataFrame =
+    llmops.Mining.contrastiveTriplets(positives, negatives)
   /** Count-Min point-frequency sketch of an item column (q142);
     * query with [[cmEstimate]]. */
   def cmSketch(item: Column, depth: Int = 4, width: Int = 1 << 16): Column =

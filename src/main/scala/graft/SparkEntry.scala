@@ -2901,6 +2901,26 @@ object SparkEntry {
           md5($"seg_text").as("seg_md5"),
           length($"seg_text").as("n_chars"))
         .orderBy($"doc_id", $"seg_idx")
+    }),
+
+    // Contrastive hard-negative mining (X117): queries = every 50th
+    // embedding, positives = the query's label-mates (incl. itself),
+    // hard negatives = top-5 highest-cosine other-label vectors,
+    // triplets = negatives round-robin over the query's positives.
+    // The whole dataflow — cosine, positive anti-join, top-k, the
+    // round-robin pairing — replays relationally.
+    "q147_hard_negatives" -> ((s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter($"vec_id" % 50 === 0)
+        .select($"vec_id".as("query_id"), $"embedding", $"label")
+      val positives = q.select($"query_id", $"label".as("__ql"))
+        .join(emb.select($"vec_id", $"label"), $"label" === $"__ql")
+        .select($"query_id", $"vec_id")
+      val negs = graft.llmops.Mining.hardNegatives(
+        emb, q.select($"query_id", $"embedding"), positives, k = 5)
+      graft.llmops.Mining.contrastiveTriplets(positives, negs)
+        .orderBy($"query_id", $"neg_rk")
     })
   )
 
@@ -5728,6 +5748,36 @@ object SparkEntry {
                   ORDER BY st)::INTEGER AS seg_idx,
                 lang, n_lines, md5(seg_text) AS seg_md5,
                 length(seg_text) AS n_chars
-         FROM segs ORDER BY doc_id, seg_idx"""
+         FROM segs ORDER BY doc_id, seg_idx""",
+    // hard-negative mining: cosine scoring, positive exclusion, top-k,
+    // and the round-robin triplet pairing all replayed relationally
+    "q147_hard_negatives" ->
+      """WITH q AS (
+           SELECT vec_id AS query_id, embedding AS qv, label AS ql
+           FROM embeddings WHERE vec_id % 50 = 0),
+         sc AS (
+           SELECT q.query_id,
+                  e.vec_id,
+                  list_cosine_similarity(e.embedding::DOUBLE[],
+                                         q.qv::DOUBLE[]) AS sim,
+                  e.label, q.ql
+           FROM embeddings e CROSS JOIN q),
+         neg AS (
+           SELECT query_id, vec_id, sim,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, vec_id) AS rk
+           FROM sc WHERE label <> ql),
+         pos AS (
+           SELECT query_id, vec_id AS pos_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY vec_id) - 1 AS pidx,
+                  count(*) OVER (PARTITION BY query_id) AS np
+           FROM sc WHERE label = ql)
+         SELECT n.query_id, p.pos_id, n.vec_id AS neg_id,
+                n.rk::INTEGER AS neg_rk, n.sim AS neg_sim
+         FROM neg n JOIN pos p
+           ON n.query_id = p.query_id AND (n.rk - 1) % p.np = p.pidx
+         WHERE n.rk <= 5
+         ORDER BY n.query_id, n.rk"""
   )
 }
