@@ -539,6 +539,11 @@ object Graft {
   def contrastiveTriplets(positives: DataFrame,
                           negatives: DataFrame): DataFrame =
     llmops.Mining.contrastiveTriplets(positives, negatives)
+  /** Batch gaps-and-islands sessionization of an event log (q148);
+    * the declarative twin of the streaming
+    * [[streaming.EventStreams.sessionize]]. */
+  def sessionize(events: DataFrame, gapMillis: Long): DataFrame =
+    ops.Sessionize.sessions(events, gapMillis)
   /** Count-Min point-frequency sketch of an item column (q142);
     * query with [[cmEstimate]]. */
   def cmSketch(item: Column, depth: Int = 4, width: Int = 1 << 16): Column =

@@ -2921,6 +2921,17 @@ object SparkEntry {
         emb, q.select($"query_id", $"embedding"), positives, k = 5)
       graft.llmops.Mining.contrastiveTriplets(positives, negs)
         .orderBy($"query_id", $"neg_rk")
+    }),
+
+    // Batch sessionization (X118): gaps-and-islands session windows
+    // over the events table — a 12 h inactivity gap closes a session.
+    // The boundary flag, the running session counter, and the roll-up
+    // all replay relationally.
+    "q148_sessionize" -> ((s, d) => {
+      import s.implicits._
+      graft.ops.Sessionize.sessions(t(s, d, "events"),
+          gapMillis = 43200000L)
+        .orderBy($"user_id", $"session_idx")
     })
   )
 
@@ -5778,6 +5789,29 @@ object SparkEntry {
          FROM neg n JOIN pos p
            ON n.query_id = p.query_id AND (n.rk - 1) % p.np = p.pidx
          WHERE n.rk <= 5
-         ORDER BY n.query_id, n.rk"""
+         ORDER BY n.query_id, n.rk""",
+    // batch sessionization: the gaps-and-islands boundary flag, running
+    // session counter, and per-session roll-up replayed relationally
+    "q148_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_ms(ts) AS ms, value
+           FROM events),
+         l AS (
+           SELECT user_id, event_id, ms, value,
+                  CASE WHEN lag(ms) OVER w IS NULL
+                         OR ms - lag(ms) OVER w > 43200000
+                       THEN 1 ELSE 0 END AS nw
+           FROM e
+           WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+         s AS (
+           SELECT user_id, ms, value,
+                  CAST(sum(nw) OVER (PARTITION BY user_id
+                    ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING)
+                    AS INTEGER) AS session_idx
+           FROM l)
+         SELECT user_id, session_idx, min(ms) AS start_ms,
+                max(ms) AS end_ms, CAST(count(*) AS INTEGER) AS n_events,
+                sum(value) AS total_value
+         FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx"""
   )
 }
