@@ -544,6 +544,11 @@ object Graft {
     * [[streaming.EventStreams.sessionize]]. */
   def sessionize(events: DataFrame, gapMillis: Long): DataFrame =
     ops.Sessionize.sessions(events, gapMillis)
+  /** Per-group vocabulary coverage / OOV report against a one-column
+    * `token` list (q149). */
+  def vocabCoverage(docs: DataFrame, vocab: DataFrame,
+                    textCol: Column, groupCol: String): DataFrame =
+    llmops.Vocab.coverageStats(docs, vocab, textCol, groupCol)
   /** Count-Min point-frequency sketch of an item column (q142);
     * query with [[cmEstimate]]. */
   def cmSketch(item: Column, depth: Int = 4, width: Int = 1 << 16): Column =

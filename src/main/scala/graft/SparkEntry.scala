@@ -2932,6 +2932,23 @@ object SparkEntry {
       graft.ops.Sessionize.sessions(t(s, d, "events"),
           gapMillis = 43200000L)
         .orderBy($"user_id", $"session_idx")
+    }),
+
+    // Vocabulary coverage / OOV report (X119): vocab = the corpus's
+    // top-200 words (count desc, word asc — a deterministic total
+    // order), coverage measured per source. The vocab build, the
+    // per-(source, word) pre-aggregation, and the OOV roll-up all
+    // replay relationally.
+    "q149_vocab_coverage" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val words = docs.select(
+          explode(graft.llmops.TextFuncs.tokens($"text")).as("token"))
+        .filter($"token" =!= "")
+      val vocab = words.groupBy($"token").agg(count(lit(1)).as("c"))
+        .orderBy($"c".desc, $"token").limit(200).select($"token")
+      graft.llmops.Vocab.coverageStats(docs, vocab, $"text", "source")
+        .orderBy($"source")
     })
   )
 
@@ -5812,6 +5829,33 @@ object SparkEntry {
          SELECT user_id, session_idx, min(ms) AS start_ms,
                 max(ms) AS end_ms, CAST(count(*) AS INTEGER) AS n_events,
                 sum(value) AS total_value
-         FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx"""
+         FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""",
+    // vocabulary coverage: top-200 vocab build, per-(source, word)
+    // pre-aggregation, and the OOV roll-up replayed relationally
+    "q149_vocab_coverage" ->
+      """WITH w AS (
+           SELECT source,
+                  unnest(string_split_regex(lower(trim(text)), '\s+'))
+                    AS token
+           FROM documents),
+         wf AS (SELECT source, token FROM w WHERE token <> ''),
+         vocab AS (
+           SELECT token FROM (
+             SELECT token, count(*) AS c FROM wf GROUP BY 1
+             ORDER BY c DESC, token LIMIT 200)),
+         c AS (SELECT source, token, count(*) AS cnt
+               FROM wf GROUP BY 1, 2),
+         j AS (SELECT c.source, c.cnt,
+                      CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+               FROM c LEFT JOIN vocab v USING (token))
+         SELECT source,
+                CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                count(*) AS n_types,
+                CAST(sum(cnt * oov) AS BIGINT) AS oov_tokens,
+                CAST(sum(oov) AS BIGINT) AS oov_types,
+                CAST(sum(cnt * oov) AS DOUBLE) / sum(cnt)
+                  AS oov_token_rate,
+                CAST(sum(oov) AS DOUBLE) / count(*) AS oov_type_rate
+         FROM j GROUP BY 1 ORDER BY source"""
   )
 }

@@ -360,4 +360,50 @@ object Vocab {
     }
     vocab.sortBy { case (p, lp) => (-lp, p) }
   }
+
+  /** Vocabulary coverage / out-of-vocabulary report (SURVEY §2.10
+    * X119) — the fit metric between a trained vocabulary and a corpus
+    * slice: before committing a tokenizer (or when a new data source
+    * joins the mix), measure per group what fraction of the token MASS
+    * and of the distinct word TYPES the vocabulary misses. High OOV
+    * token rate on a source means the tokenizer will shatter its words
+    * into char-level pieces (inflated sequence lengths, degraded
+    * compression) — the signal to retrain or re-weight.
+    *
+    * `vocab` is one `token` column — a persisted word list, the word
+    * side of a unigram model, or any relationally-built top-N list;
+    * duplicates are tolerated (distinct applied).
+    *
+    * Scale shape: the corpus side pre-aggregates to slim (group, word,
+    * count) rows BEFORE the vocab join — so the join and the distinct
+    * counting never touch per-occurrence rows — and the vocabulary
+    * broadcasts (vocabularies are bounded by construction; a 1 M-word
+    * list is a few MB). No count-distinct expansion: types are plain
+    * `count(*)` over the pre-deduped rows.
+    *
+    * @return one row per group: (groupCol, n_tokens, n_types,
+    *         oov_tokens, oov_types, oov_token_rate, oov_type_rate)
+    */
+  def coverageStats(docs: DataFrame, vocab: DataFrame,
+                    textCol: Column, groupCol: String): DataFrame = {
+    val counts = docs
+      .select(col(groupCol),
+        explode(TextFuncs.tokens(textCol)).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy(col(groupCol), col("__w"))
+      .agg(count(lit(1)).as("__cnt"))
+    val v = vocab.select(col("token").as("__w")).distinct()
+      .withColumn("__iv", lit(1))
+    counts.join(broadcast(v), Seq("__w"), "left")
+      .withColumn("__oov", when(col("__iv").isNull, 1L).otherwise(0L))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__cnt")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("__cnt") * col("__oov")).as("oov_tokens"),
+        sum(col("__oov")).as("oov_types"))
+      .withColumn("oov_token_rate",
+        col("oov_tokens").cast("double") / col("n_tokens"))
+      .withColumn("oov_type_rate",
+        col("oov_types").cast("double") / col("n_types"))
+  }
 }

@@ -277,4 +277,43 @@ class VocabSpec extends SparkTestBase {
     assert(nUni < nChars, "unigram must compress below character count")
     assert(nUni > nWords, "a 200-piece vocab cannot reach word-level tokens")
   }
+
+  test("coverageStats: exact token/type masses per group, OOV split") {
+    val docs = Seq(
+      ("a", "the cat the cat sat"),   // tokens: the×2 cat×2 sat×1
+      ("a", "the dog"),               // the, dog
+      ("b", "zap zap zoom")           // zap×2 zoom×1
+    ).toDF("source", "text")
+    val vocab = Seq("the", "cat", "zap", "zap").toDF("token") // dup ok
+    val got = Vocab.coverageStats(docs, vocab, $"text", "source")
+      .orderBy($"source")
+      .select($"source", $"n_tokens", $"n_types", $"oov_tokens",
+        $"oov_types", $"oov_token_rate")
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    // a: 7 tokens {the×3 cat×2 sat dog}, 4 types; oov = sat+dog
+    // b: 3 tokens {zap×2 zoom}, 2 types; oov = zoom
+    assert(got == Seq(
+      ("a", 7L, 4L, 2L, 2L, 2.0 / 7),
+      ("b", 3L, 2L, 1L, 1L, 1.0 / 3)), s"got=$got")
+  }
+
+  test("coverageStats: empty vocab marks everything OOV; full vocab " +
+      "marks nothing; repartition-stable") {
+    val docs = Seq(("a", "x y"), ("b", "x")).toDF("source", "text")
+    val none = Vocab.coverageStats(docs,
+        Seq.empty[String].toDF("token"), $"text", "source")
+      .select($"oov_token_rate").as[Double].collect().toSeq
+    assert(none == Seq(1.0, 1.0))
+    val full = Vocab.coverageStats(docs,
+        Seq("x", "y").toDF("token"), $"text", "source")
+      .select($"oov_tokens").as[Long].collect().toSeq
+    assert(full == Seq(0L, 0L))
+    val big = spark.read.parquet(s"$sf0001/documents.parquet")
+    val v = Seq("the", "and", "of").toDF("token")
+    val a = Vocab.coverageStats(big, v, $"text", "source")
+      .collect().map(_.toSeq).toSet
+    val b = Vocab.coverageStats(big.repartition(7), v, $"text", "source")
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
 }
