@@ -613,6 +613,12 @@ object Graft {
   def epochFragments(docs: DataFrame, seqLen: Int, nShards: Int,
                      seed: String = "epoch-0"): DataFrame =
     llmops.TrainExport.epochFragments(docs, seqLen, nShards, seed)
+  /** Takedown blast radius over a written export: every training
+    * sequence containing a doomed doc, with exact token masses
+    * (q150). */
+  def affectedTrainSequences(s: SparkSession, path: String,
+                             docIds: DataFrame): DataFrame =
+    llmops.TrainExport.affectedSequences(s, path, docIds)
   /** LSH parameter planning: pick (bands, rowsPerBand) for a target
     * Jaccard threshold and hash budget (feeds [[minhashDedup]] &c.). */
   def planLsh(threshold: Double, maxHashes: Int = 128): llmops.LshPlan.Plan =

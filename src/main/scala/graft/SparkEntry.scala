@@ -2949,6 +2949,22 @@ object SparkEntry {
         .orderBy($"c".desc, $"token").limit(200).select($"token")
       graft.llmops.Vocab.coverageStats(docs, vocab, $"text", "source")
         .orderBy($"source")
+    }),
+
+    // Training-shard takedown blast radius (X120): every training
+    // sequence of a written export that contains a doomed doc, with
+    // exact doomed/total token masses. The export layout AND the
+    // lineage aggregation replay relationally from the documents table
+    // alone (the q144 arithmetic extended with the doomed roll-up).
+    "q150_takedown_blast_radius" -> ((s, d) => {
+      import s.implicits._
+      val base = "/root/repo/spark-warehouse/q150_export"
+      val docs = t(s, d, "documents").select($"doc_id", $"text")
+      graft.llmops.TrainExport.writeShards(docs, base,
+        seqLen = 64, nShards = 32, seed = "ep0")
+      graft.llmops.TrainExport.affectedSequences(s, base,
+          docs.select($"doc_id").filter($"doc_id" % 13 === 5))
+        .orderBy($"shard", $"seq_id")
     })
   )
 
@@ -5856,6 +5872,50 @@ object SparkEntry {
                 CAST(sum(cnt * oov) AS DOUBLE) / sum(cnt)
                   AS oov_token_rate,
                 CAST(sum(oov) AS DOUBLE) / count(*) AS oov_type_rate
-         FROM j GROUP BY 1 ORDER BY source"""
+         FROM j GROUP BY 1 ORDER BY source""",
+    // takedown blast radius: the q144 export-layout arithmetic
+    // extended with the doomed-doc lineage roll-up
+    "q150_takedown_blast_radius" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(lower(trim(text)),
+                         '\s+'))
+                  END AS dl
+           FROM documents),
+         keyed AS (
+           SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+                  md5(CAST(doc_id AS VARCHAR) || 'ep0') AS k
+           FROM toks WHERE dl >= 1),
+         sharded AS (
+           SELECT doc_id, dl, k,
+                  ('0x' || substr(k, 1, 4))::BIGINT % 32 AS shard
+           FROM keyed),
+         off AS (
+           SELECT shard, doc_id, dl,
+                  CAST(coalesce(sum(dl) OVER (PARTITION BY shard
+                    ORDER BY k, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS st
+           FROM sharded),
+         frag AS (
+           SELECT shard, doc_id, st, dl,
+                  unnest(generate_series(st // 64, (st + dl - 1) // 64))
+                    AS seq_id
+           FROM off),
+         fr AS (
+           SELECT shard, seq_id,
+                  least(st + dl, (seq_id + 1) * 64) -
+                    greatest(st, seq_id * 64) AS n_toks,
+                  CASE WHEN doc_id % 13 = 5 THEN 1 ELSE 0 END AS dm
+           FROM frag)
+         SELECT shard, seq_id,
+                CAST(sum(dm) AS BIGINT) AS doomed_docs,
+                CAST(sum(dm * n_toks) AS BIGINT) AS doomed_toks,
+                CAST(sum(n_toks) AS BIGINT) AS seq_toks,
+                CAST(sum(dm * n_toks) AS DOUBLE) / sum(n_toks)
+                  AS doomed_frac
+         FROM fr GROUP BY 1, 2 HAVING sum(dm) > 0
+         ORDER BY shard, seq_id"""
   )
 }

@@ -115,4 +115,39 @@ object TrainExport {
     Seq((seqLen, nShards, seed)).toDF("seq_len", "n_shards", "seed")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
   }
+
+  /** Takedown blast radius over a written export (SURVEY §2.10 X120):
+    * given document ids to remove (a takedown request, a
+    * decontamination hit list), report every training sequence that
+    * contained any of them — the exact set a trainer must mask,
+    * re-pack, or attribute. This is the provenance direction X113's
+    * index deletion cannot answer: the fragment table IS the
+    * doc→sequence lineage, so the answer is one slim scan, no text.
+    *
+    * Scale shape: fragments are slim (shard, seq_id, doc_id, n_toks)
+    * rows and unique per (seq, doc) by the tiling contract, so one
+    * left join against the doomed-id list (takedown lists are
+    * bounded — broadcast) and one groupBy produce both the doomed and
+    * the total token mass per sequence in a single pass; a doc's shard
+    * is a hash of (id, seed), so no partition pruning applies — the
+    * full (slim) fragment scan is the honest cost.
+    *
+    * @return one row per affected sequence: (shard, seq_id,
+    *         doomed_docs, doomed_toks, seq_toks, doomed_frac)
+    */
+  def affectedSequences(s: SparkSession, path: String,
+                        docIds: DataFrame): DataFrame = {
+    val ids = docIds.select(col("doc_id").cast("long").as("doc_id"))
+      .distinct().withColumn("__dm", lit(1))
+    s.read.parquet(s"$path/fragments")
+      .join(broadcast(ids), Seq("doc_id"), "left")
+      .groupBy(col("shard").cast("long").as("shard"), col("seq_id"))
+      .agg(sum(coalesce(col("__dm"), lit(0))).as("doomed_docs"),
+        sum(when(col("__dm") === 1, col("n_toks")).otherwise(0L))
+          .as("doomed_toks"),
+        sum(col("n_toks")).as("seq_toks"))
+      .filter(col("doomed_docs") > 0)
+      .withColumn("doomed_frac",
+        col("doomed_toks").cast("double") / col("seq_toks"))
+  }
 }

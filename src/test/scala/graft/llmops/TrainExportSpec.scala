@@ -85,4 +85,33 @@ class TrainExportSpec extends SparkTestBase {
     assert(p.getInt(0) == 64 && p.getInt(1) == 8 &&
       p.getString(2) == "epoch-0")
   }
+
+  test("affectedSequences: exactly the sequences holding a doomed doc, " +
+      "with exact doomed/total token masses") {
+    val path = tmp()
+    TrainExport.writeShards(docs, path, seqLen = 64, nShards = 8)
+    val doomed = docs.select($"doc_id").filter($"doc_id" % 11 === 3)
+    val got = TrainExport.affectedSequences(spark, path, doomed)
+    // expected straight from the in-memory fragment table
+    val frags = TrainExport.epochFragments(docs, seqLen = 64, nShards = 8)
+    val expected = frags
+      .join(doomed.withColumn("__dm", lit(1)), Seq("doc_id"), "left")
+      .groupBy($"shard", $"seq_id")
+      .agg(sum(coalesce($"__dm", lit(0))).as("doomed_docs"),
+        sum(when($"__dm" === 1, $"n_toks").otherwise(0L))
+          .as("doomed_toks"),
+        sum($"n_toks").as("seq_toks"))
+      .filter($"doomed_docs" > 0)
+      .withColumn("doomed_frac",
+        $"doomed_toks".cast("double") / $"seq_toks")
+    assert(got.count() > 0)
+    assert(got.collect().map(_.toSeq).toSet ==
+      expected.collect().map(_.toSeq).toSet)
+    // sanity: fractions in (0, 1], non-tail totals are exactly seqLen
+    assert(got.filter($"doomed_frac" <= 0 || $"doomed_frac" > 1)
+      .count() == 0)
+    // an empty doom list affects nothing
+    assert(TrainExport.affectedSequences(spark, path,
+      docs.select($"doc_id").limit(0)).count() == 0)
+  }
 }
