@@ -97,6 +97,12 @@ object Graft {
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
                         threshold: Double = 0.5): DataFrame =
     llmops.Dedup.ngramJaccardPairs(docs, n, threshold)
+  /** Normalized-Levenshtein-verified near-dup pairs within LSH
+    * candidates — order-sensitive, banded O(len·cap) verify (q151). */
+  def editSimilarityPairs(docs: DataFrame, threshold: Double = 0.8,
+                          maxChars: Int = 2000): DataFrame =
+    llmops.Dedup.editSimilarityPairs(docs, threshold,
+      maxChars = maxChars)
   /** Embedding near-dup pairs within IVF cluster lists — the semantic
     * bucketing alternative to hyperplane LSH ([[llmops.Dedup.semanticPairs]]).
     */

@@ -2965,6 +2965,23 @@ object SparkEntry {
       graft.llmops.TrainExport.affectedSequences(s, base,
           docs.select($"doc_id").filter($"doc_id" % 13 === 5))
         .orderBy($"shard", $"seq_id")
+    }),
+
+    // Edit-distance near-dup verify (X121): LSH-proposed candidates
+    // confirmed by normalized Levenshtein similarity. Verify dumps
+    // the candidate set (the sketch stage has no SQL analog — q60
+    // precedent); DuckDB replays the banded edit verify over the
+    // documents table with its own levenshtein.
+    "q151_edit_similarity" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val D = graft.llmops.Dedup
+      if (materializing) {
+        materialize(D.minhashPairs(docs, threshold = 0.375)
+          .select($"id_a", $"id_b"), "q151_cands")
+      }
+      D.editSimilarityPairs(docs, threshold = 0.5)
+        .orderBy($"id_a", $"id_b")
     })
   )
 
@@ -5916,6 +5933,26 @@ object SparkEntry {
                 CAST(sum(dm * n_toks) AS DOUBLE) / sum(n_toks)
                   AS doomed_frac
          FROM fr GROUP BY 1, 2 HAVING sum(dm) > 0
-         ORDER BY shard, seq_id"""
+         ORDER BY shard, seq_id""",
+    // edit-distance near-dup verify: the normalized-Levenshtein stage
+    // replayed over the dumped candidates with DuckDB's levenshtein
+    "q151_edit_similarity" ->
+      """WITH cand AS (
+           SELECT id_a, id_b
+           FROM read_parquet('/root/repo/spark-warehouse/q151_cands/*.parquet')),
+         h AS (
+           SELECT doc_id, substring(text, 1, 2000) AS head
+           FROM documents),
+         sim AS (
+           SELECT c.id_a, c.id_b,
+                  1.0 - levenshtein(ha.head, hb.head)::DOUBLE /
+                    greatest(length(ha.head), length(hb.head), 1)
+                    AS edit_sim
+           FROM cand c
+           JOIN h ha ON ha.doc_id = c.id_a
+           JOIN h hb ON hb.doc_id = c.id_b)
+         SELECT id_a, id_b, edit_sim
+         FROM sim WHERE edit_sim >= (1.0 - 0.5)
+         ORDER BY id_a, id_b"""
   )
 }

@@ -575,6 +575,59 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Edit-distance-verified near-duplicate pairs (SURVEY §2.10 X121):
+    * LSH-proposed candidates confirmed by NORMALIZED LEVENSHTEIN
+    * similarity, `1 − dist / max(len_a, len_b)` — the strictest
+    * practical near-dup confirmation: Jaccard (set) and n-gram
+    * (bag) similarity are blind to ORDER, so a doc and its
+    * sentence-shuffled twin score high under both while edit
+    * similarity correctly collapses; conversely small in-place edits
+    * (the true near-dup case) survive all three. Use it as the final
+    * verify stage when survivors feed dedup decisions with legal or
+    * eval-integrity weight.
+    *
+    * Scale shape: candidates come from the planned-split LSH round
+    * (bounded buckets, slim band rows), texts join only for
+    * candidate-involved docs (semi-join first — the q60 move), and
+    * the O(len²) kernel runs banded: Spark's thresholded
+    * `levenshtein(l, r, cap)` abandons a pair the moment its distance
+    * exceeds `cap = ⌈(1−threshold)·maxChars⌉` (returning −1, which is
+    * below every keepable distance by construction), so each verify
+    * costs O(maxChars·cap), not O(maxChars²). Similarity is measured
+    * on the first `maxChars` chars — the caller's honesty knob for
+    * multi-MB documents.
+    *
+    * @return (id_a, id_b, edit_sim) with edit_sim ≥ threshold
+    */
+  def editSimilarityPairs(docs: DataFrame, threshold: Double = 0.8,
+                          proposalThreshold: Double = Double.NaN,
+                          maxChars: Int = 2000,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      "threshold must be in (0, 1]")
+    val propose =
+      if (proposalThreshold.isNaN) 0.75 * threshold else proposalThreshold
+    val candidates = pinSigs(minhashPairs(docs, threshold = propose,
+      idCol = idCol, textCol = textCol).select(col("id_a"), col("id_b")))
+    val candIds = candidates.select(col("id_a").as(idCol))
+      .unionByName(candidates.select(col("id_b").as(idCol)))
+      .distinct()
+    val heads = docs.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol), substring(col(textCol), 1, maxChars).as("h"))
+    val cap = math.ceil((1.0 - threshold) * maxChars).toInt
+    candidates
+      .join(heads.select(col(idCol).as("id_a"), col("h").as("h_a")), "id_a")
+      .join(heads.select(col(idCol).as("id_b"), col("h").as("h_b")), "id_b")
+      .withColumn("__ld", levenshtein(col("h_a"), col("h_b"), cap))
+      .filter(col("__ld") >= 0)
+      .select(col("id_a"), col("id_b"),
+        (lit(1.0) - col("__ld").cast("double") /
+          greatest(length(col("h_a")), length(col("h_b")), lit(1))
+            .cast("double")).as("edit_sim"))
+      .filter(col("edit_sim") >= threshold)
+  }
+
   /** N-gram-overlap decontamination (the GPT-3-report method): a
     * corpus document is contaminated when it shares ANY word n-gram
     * (default n = 8) with any benchmark document — stricter than

@@ -415,4 +415,64 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.ngramDecontaminate(corpus, benchUpper)
       .select($"doc_id").as[Long].collect().toSet == Set(2L, 3L))
   }
+
+  test("editSimilarityPairs: order-sensitive verify — a small in-place " +
+      "edit survives, a half-swapped twin is rejected, identity is 1.0") {
+    val xs = (0 until 20).map(i => s"alpha$i").mkString(" ")
+    val ys = (0 until 20).map(i => s"beta$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$xs $ys"),                                   // base
+      (2L, s"$ys $xs"),                                   // halves swapped
+      (3L, s"$xs ${ys.replace("beta19", "gamma")}"),      // tiny edit
+      (4L, s"$xs $ys")                                    // exact copy
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.editSimilarityPairs(docs, threshold = 0.8)
+      .select($"id_a", $"id_b", $"edit_sim")
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    // shingle-Jaccard proposes (1,2), (1,3), (1,4), (2,4), (3,4) alike;
+    // the edit verify keeps only in-place-edit and identical pairs
+    assert(pairs.contains((1L, 3L)), s"pairs=$pairs")
+    assert(pairs((1L, 4L)) == 1.0)
+    assert(!pairs.contains((1L, 2L)) && !pairs.contains((2L, 4L)),
+      s"an order-scrambled twin must fail the edit verify: $pairs")
+    // exact normalized value against a reference DP over the heads
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = dp(0); dp(0) = i
+        for (j <- 1 to b.length) {
+          val cur = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(b.length)
+    }
+    val t1 = s"$xs $ys"
+    val t3 = s"$xs ${ys.replace("beta19", "gamma")}"
+    val exp = 1.0 - lev(t1, t3).toDouble / math.max(t1.length, t3.length)
+    assert(math.abs(pairs((1L, 3L)) - exp) < 1e-12,
+      s"got ${pairs((1L, 3L))}, want $exp")
+  }
+
+  test("editSimilarityPairs: maxChars truncates the comparison window " +
+      "and the banded cap never drops a keepable pair") {
+    val xs = (0 until 20).map(i => s"alpha$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$xs tail-one"),
+      (2L, s"$xs tail-two-entirely-different")
+    ).toDF("doc_id", "text")
+    // within the first 100 chars the two are identical
+    val head = Dedup.editSimilarityPairs(docs, threshold = 0.9,
+        proposalThreshold = 0.3, maxChars = 100)
+      .select($"edit_sim").as[Double].collect().toSeq
+    assert(head == Seq(1.0), s"head=$head")
+    // over the full heads they differ but stay above a loose threshold
+    val full = Dedup.editSimilarityPairs(docs, threshold = 0.5,
+        proposalThreshold = 0.3)
+      .select($"edit_sim").as[Double].collect().toSeq
+    assert(full.nonEmpty && full.head < 1.0 && full.head >= 0.5)
+  }
 }
