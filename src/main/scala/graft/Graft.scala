@@ -555,6 +555,9 @@ object Graft {
   def vocabCoverage(docs: DataFrame, vocab: DataFrame,
                     textCol: Column, groupCol: String): DataFrame =
     llmops.Vocab.coverageStats(docs, vocab, textCol, groupCol)
+  /** Cohort retention triangle over an event log (q152). */
+  def retentionCohorts(events: DataFrame, periodMillis: Long): DataFrame =
+    ops.Cohorts.retention(events, periodMillis)
   /** Count-Min point-frequency sketch of an item column (q142);
     * query with [[cmEstimate]]. */
   def cmSketch(item: Column, depth: Int = 4, width: Int = 1 << 16): Column =

@@ -2982,6 +2982,15 @@ object SparkEntry {
       }
       D.editSimilarityPairs(docs, threshold = 0.5)
         .orderBy($"id_a", $"id_b")
+    }),
+
+    // Retention cohorts (X122): users cohorted by first-activity week,
+    // the full retention triangle with distinct-user counts and rates.
+    "q152_retention_cohorts" -> ((s, d) => {
+      import s.implicits._
+      graft.ops.Cohorts.retention(t(s, d, "events"),
+          periodMillis = 604800000L)
+        .orderBy($"cohort_period", $"period_offset")
     })
   )
 
@@ -5953,6 +5962,28 @@ object SparkEntry {
            JOIN h hb ON hb.doc_id = c.id_b)
          SELECT id_a, id_b, edit_sim
          FROM sim WHERE edit_sim >= (1.0 - 0.5)
-         ORDER BY id_a, id_b"""
+         ORDER BY id_a, id_b""",
+    // retention cohorts: first-period cohorting, distinct activity,
+    // and the triangle roll-up replayed relationally
+    "q152_retention_cohorts" ->
+      """WITH active AS (
+           SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS period
+           FROM events),
+         cohorts AS (
+           SELECT user_id, min(period) AS cohort_period
+           FROM active GROUP BY 1),
+         counts AS (
+           SELECT c.cohort_period,
+                  a.period - c.cohort_period AS period_offset,
+                  count(*) AS n_users
+           FROM active a JOIN cohorts c USING (user_id)
+           GROUP BY 1, 2),
+         sizes AS (
+           SELECT cohort_period, n_users AS cohort_size
+           FROM counts WHERE period_offset = 0)
+         SELECT cohort_period, period_offset, n_users, cohort_size,
+                CAST(n_users AS DOUBLE) / cohort_size AS retention_rate
+         FROM counts JOIN sizes USING (cohort_period)
+         ORDER BY cohort_period, period_offset"""
   )
 }
