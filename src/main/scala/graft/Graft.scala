@@ -97,12 +97,17 @@ object Graft {
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
                         threshold: Double = 0.5): DataFrame =
     llmops.Dedup.ngramJaccardPairs(docs, n, threshold)
-  /** Normalized-Levenshtein-verified near-dup pairs within LSH
-    * candidates — order-sensitive, banded O(len·cap) verify (q151). */
+  /** Normalized-Levenshtein-verified near-dup pairs — order-sensitive,
+    * banded O(len·cap) verify, exact over its candidate set (q151).
+    * Recall is bounded by the proposal stage: pass `candidates` (any
+    * (id_a, id_b) frame) when shingle-Jaccard LSH proposals at
+    * `proposalThreshold` are not the recall you need. */
   def editSimilarityPairs(docs: DataFrame, threshold: Double = 0.8,
-                          maxChars: Int = 2000): DataFrame =
-    llmops.Dedup.editSimilarityPairs(docs, threshold,
-      maxChars = maxChars)
+                          proposalThreshold: Double = Double.NaN,
+                          maxChars: Int = 2000,
+                          candidates: DataFrame = null): DataFrame =
+    llmops.Dedup.editSimilarityPairs(docs, threshold, proposalThreshold,
+      maxChars, candidates)
   /** Embedding near-dup pairs within IVF cluster lists — the semantic
     * bucketing alternative to hyperplane LSH ([[llmops.Dedup.semanticPairs]]).
     */

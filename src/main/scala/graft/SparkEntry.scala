@@ -2904,18 +2904,23 @@ object SparkEntry {
     }),
 
     // Contrastive hard-negative mining (X117): queries = every 50th
-    // embedding, positives = the query's label-mates (incl. itself),
-    // hard negatives = top-5 highest-cosine other-label vectors,
-    // triplets = negatives round-robin over the query's positives.
-    // The whole dataflow — cosine, positive anti-join, top-k, the
-    // round-robin pairing — replays relationally.
+    // embedding inside the "annotated" prefix (vec_id < 2500 — BOTH
+    // sides stay bounded at every scale factor, honoring Mining's
+    // bounded-broadcast contract: a real training set has a fixed
+    // annotation budget, not one that grows with the corpus),
+    // positives = the query's annotated label-mates (incl. itself),
+    // hard negatives = top-5 highest-cosine non-positives (other
+    // labels AND unannotated label-mates — the sparse-annotation
+    // reality), triplets = negatives round-robin over the positives.
+    // The whole dataflow replays relationally.
     "q147_hard_negatives" -> ((s, d) => {
       import s.implicits._
       val emb = t(s, d, "embeddings")
-      val q = emb.filter($"vec_id" % 50 === 0)
+      val q = emb.filter($"vec_id" % 50 === 0 && $"vec_id" < 2500)
         .select($"vec_id".as("query_id"), $"embedding", $"label")
       val positives = q.select($"query_id", $"label".as("__ql"))
-        .join(emb.select($"vec_id", $"label"), $"label" === $"__ql")
+        .join(emb.select($"vec_id", $"label").filter($"vec_id" < 2500),
+          $"label" === $"__ql")
         .select($"query_id", $"vec_id")
       val negs = graft.llmops.Mining.hardNegatives(
         emb, q.select($"query_id", $"embedding"), positives, k = 5)
@@ -2976,11 +2981,12 @@ object SparkEntry {
       import s.implicits._
       val docs = t(s, d, "documents")
       val D = graft.llmops.Dedup
-      if (materializing) {
-        materialize(D.minhashPairs(docs, threshold = 0.375)
-          .select($"id_a", $"id_b"), "q151_cands")
-      }
-      D.editSimilarityPairs(docs, threshold = 0.5)
+      // ONE LSH round, pinned: the dumped candidate set and the set
+      // the verify runs over are the same frame by construction
+      val cands = D.minhashPairs(docs, threshold = 0.375)
+        .select($"id_a", $"id_b").localCheckpoint(false)
+      if (materializing) materialize(cands, "q151_cands")
+      D.editSimilarityPairs(docs, threshold = 0.5, candidates = cands)
         .orderBy($"id_a", $"id_b")
     }),
 
@@ -5824,7 +5830,7 @@ object SparkEntry {
     "q147_hard_negatives" ->
       """WITH q AS (
            SELECT vec_id AS query_id, embedding AS qv, label AS ql
-           FROM embeddings WHERE vec_id % 50 = 0),
+           FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 2500),
          sc AS (
            SELECT q.query_id,
                   e.vec_id,
@@ -5836,13 +5842,13 @@ object SparkEntry {
            SELECT query_id, vec_id, sim,
                   row_number() OVER (PARTITION BY query_id
                     ORDER BY sim DESC, vec_id) AS rk
-           FROM sc WHERE label <> ql),
+           FROM sc WHERE NOT (label = ql AND vec_id < 2500)),
          pos AS (
            SELECT query_id, vec_id AS pos_id,
                   row_number() OVER (PARTITION BY query_id
                     ORDER BY vec_id) - 1 AS pidx,
                   count(*) OVER (PARTITION BY query_id) AS np
-           FROM sc WHERE label = ql)
+           FROM sc WHERE label = ql AND vec_id < 2500)
          SELECT n.query_id, p.pos_id, n.vec_id AS neg_id,
                 n.rk::INTEGER AS neg_rk, n.sim AS neg_sim
          FROM neg n JOIN pos p

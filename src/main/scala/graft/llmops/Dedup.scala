@@ -576,15 +576,27 @@ object Dedup {
   }
 
   /** Edit-distance-verified near-duplicate pairs (SURVEY §2.10 X121):
-    * LSH-proposed candidates confirmed by NORMALIZED LEVENSHTEIN
-    * similarity, `1 − dist / max(len_a, len_b)` — the strictest
-    * practical near-dup confirmation: Jaccard (set) and n-gram
-    * (bag) similarity are blind to ORDER, so a doc and its
-    * sentence-shuffled twin score high under both while edit
-    * similarity correctly collapses; conversely small in-place edits
-    * (the true near-dup case) survive all three. Use it as the final
-    * verify stage when survivors feed dedup decisions with legal or
-    * eval-integrity weight.
+    * candidate pairs confirmed by NORMALIZED LEVENSHTEIN similarity,
+    * `1 − dist / max(len_a, len_b)` — the strictest practical near-dup
+    * confirmation: Jaccard (set) and n-gram (bag) similarity are blind
+    * to ORDER, so a doc and its sentence-shuffled twin score high
+    * under both while edit similarity correctly collapses; small
+    * in-place edits (the true near-dup case) survive all three. Use it
+    * as the final verify stage when survivors feed dedup decisions
+    * with legal or eval-integrity weight.
+    *
+    * RECALL CONTRACT — this is a VERIFY stage, exact only over its
+    * candidate set: with the default (`candidates = null`) the pairs
+    * come from a MinHash round at `proposalThreshold` (default
+    * `0.75 · threshold` — a heuristic: Jaccard and edit similarity
+    * are different scales, and a pair whose edits are DISPERSED —
+    * one substituted char every few words — can hold a high edit
+    * similarity while its shingle Jaccard collapses below any useful
+    * proposal threshold, so such pairs are NOT proposed). When recall
+    * beyond shingle-Jaccard proposals matters, pass `candidates`
+    * explicitly — any (id_a, id_b) frame: a lower-threshold LSH
+    * round, SimHash bands, embedding buckets, or a domain pairing —
+    * and the verify is exact over exactly that set.
     *
     * Scale shape: candidates come from the planned-split LSH round
     * (bounded buckets, slim band rows), texts join only for
@@ -597,26 +609,34 @@ object Dedup {
     * on the first `maxChars` chars — the caller's honesty knob for
     * multi-MB documents.
     *
+    * @param candidates optional (id_a, id_b) pairs to verify; null →
+    *                   propose via MinHash LSH at `proposalThreshold`.
+    *                   Evaluated once per consumer — pin (cache /
+    *                   localCheckpoint) frames that are expensive to
+    *                   recompute.
     * @return (id_a, id_b, edit_sim) with edit_sim ≥ threshold
     */
   def editSimilarityPairs(docs: DataFrame, threshold: Double = 0.8,
                           proposalThreshold: Double = Double.NaN,
                           maxChars: Int = 2000,
+                          candidates: DataFrame = null,
                           idCol: String = "doc_id",
                           textCol: String = "text"): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       "threshold must be in (0, 1]")
     val propose =
       if (proposalThreshold.isNaN) 0.75 * threshold else proposalThreshold
-    val candidates = pinSigs(minhashPairs(docs, threshold = propose,
-      idCol = idCol, textCol = textCol).select(col("id_a"), col("id_b")))
-    val candIds = candidates.select(col("id_a").as(idCol))
-      .unionByName(candidates.select(col("id_b").as(idCol)))
+    val cands =
+      if (candidates != null) candidates.select(col("id_a"), col("id_b"))
+      else pinSigs(minhashPairs(docs, threshold = propose,
+        idCol = idCol, textCol = textCol).select(col("id_a"), col("id_b")))
+    val candIds = cands.select(col("id_a").as(idCol))
+      .unionByName(cands.select(col("id_b").as(idCol)))
       .distinct()
     val heads = docs.join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol), substring(col(textCol), 1, maxChars).as("h"))
     val cap = math.ceil((1.0 - threshold) * maxChars).toInt
-    candidates
+    cands
       .join(heads.select(col(idCol).as("id_a"), col("h").as("h_a")), "id_a")
       .join(heads.select(col(idCol).as("id_b"), col("h").as("h_b")), "id_b")
       .withColumn("__ld", levenshtein(col("h_a"), col("h_b"), cap))

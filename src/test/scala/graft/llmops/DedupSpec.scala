@@ -475,4 +475,24 @@ class DedupSpec extends SparkTestBase {
       .select($"edit_sim").as[Double].collect().toSeq
     assert(full.nonEmpty && full.head < 1.0 && full.head >= 0.5)
   }
+
+  test("editSimilarityPairs: explicit candidates make the verify exact " +
+      "over pairs the shingle proposal would never surface") {
+    // dispersed edits: one char substituted in EVERY word — edit_sim
+    // stays high while every 5-gram shingle changes (Jaccard ≈ 0)
+    val a = (0 until 30).map(i => s"word${i}x").mkString(" ")
+    val b = (0 until 30).map(i => s"word${i}y").mkString(" ")
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    // the default LSH proposal misses the pair entirely
+    assert(Dedup.editSimilarityPairs(docs, threshold = 0.8).count() == 0)
+    // an explicit candidate list verifies it exactly
+    val cands = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val got = Dedup.editSimilarityPairs(docs, threshold = 0.8,
+        candidates = cands)
+      .select($"id_a", $"id_b", $"edit_sim")
+      .as[(Long, Long, Double)].collect().toSeq
+    // 30 substitutions in a ~250-char head → sim ≈ 0.88
+    assert(got.map(t => (t._1, t._2)) == Seq((1L, 2L)), s"got=$got")
+    assert(got.head._3 > 0.8 && got.head._3 < 1.0)
+  }
 }
