@@ -563,6 +563,12 @@ object Graft {
   /** Cohort retention triangle over an event log (q152). */
   def retentionCohorts(events: DataFrame, periodMillis: Long): DataFrame =
     ops.Cohorts.retention(events, periodMillis)
+  /** Per-user strictly-ordered funnel timestamps (q153). */
+  def funnelConversions(events: DataFrame, steps: Seq[String]): DataFrame =
+    ops.Funnels.conversions(events, steps)
+  /** Per-step funnel counts and conversion rates (q153). */
+  def funnelSummary(events: DataFrame, steps: Seq[String]): DataFrame =
+    ops.Funnels.funnel(events, steps)
   /** Count-Min point-frequency sketch of an item column (q142);
     * query with [[cmEstimate]]. */
   def cmSketch(item: Column, depth: Int = 4, width: Int = 1 << 16): Column =

@@ -2997,6 +2997,17 @@ object SparkEntry {
       graft.ops.Cohorts.retention(t(s, d, "events"),
           periodMillis = 604800000L)
         .orderBy($"cohort_period", $"period_offset")
+    }),
+
+    // Funnel conversion (X123): per-user view → click → purchase
+    // funnel — each step the earliest event strictly after the prior
+    // step. The chain of conditional min-aggregations replays
+    // relationally.
+    "q153_funnel" -> ((s, d) => {
+      import s.implicits._
+      graft.ops.Funnels.conversions(t(s, d, "events"),
+          Seq("view", "click", "purchase"))
+        .orderBy($"user_id")
     })
   )
 
@@ -5990,6 +6001,27 @@ object SparkEntry {
          SELECT cohort_period, period_offset, n_users, cohort_size,
                 CAST(n_users AS DOUBLE) / cohort_size AS retention_rate
          FROM counts JOIN sizes USING (cohort_period)
-         ORDER BY cohort_period, period_offset"""
+         ORDER BY cohort_period, period_offset""",
+    // funnel conversion: the chain of strictly-after conditional
+    // min-aggregations replayed relationally
+    "q153_funnel" ->
+      """WITH e AS (
+           SELECT user_id, epoch_ms(ts) AS ms, event_type FROM events),
+         s1 AS (
+           SELECT user_id, min(ms) AS ts_1
+           FROM e WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (
+           SELECT s1.user_id, s1.ts_1,
+                  min(CASE WHEN e.ms > s1.ts_1 THEN e.ms END) AS ts_2
+           FROM s1 LEFT JOIN e
+             ON e.user_id = s1.user_id AND e.event_type = 'click'
+           GROUP BY 1, 2),
+         s3 AS (
+           SELECT s2.user_id, s2.ts_1, s2.ts_2,
+                  min(CASE WHEN e.ms > s2.ts_2 THEN e.ms END) AS ts_3
+           FROM s2 LEFT JOIN e
+             ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+           GROUP BY 1, 2, 3)
+         SELECT user_id, ts_1, ts_2, ts_3 FROM s3 ORDER BY user_id"""
   )
 }
