@@ -569,6 +569,10 @@ object Graft {
   /** Per-step funnel counts and conversion rates (q153). */
   def funnelSummary(events: DataFrame, steps: Seq[String]): DataFrame =
     ops.Funnels.funnel(events, steps)
+  /** SCD-2 validity intervals from a change log (q154). */
+  def scdIntervals(log: DataFrame, keyCol: String, tsCol: String,
+                   attrCols: Seq[String]): DataFrame =
+    ops.Scd.intervals(log, keyCol, tsCol, attrCols)
   /** Count-Min point-frequency sketch of an item column (q142);
     * query with [[cmEstimate]]. */
   def cmSketch(item: Column, depth: Int = 4, width: Int = 1 << 16): Column =

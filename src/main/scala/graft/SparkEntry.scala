@@ -3008,6 +3008,17 @@ object SparkEntry {
       graft.ops.Funnels.conversions(t(s, d, "events"),
           Seq("view", "click", "purchase"))
         .orderBy($"user_id")
+    }),
+
+    // SCD-2 interval compaction (X124): each user's event_type change
+    // log collapsed into maximal-run validity intervals. The change
+    // flag, run counter, roll-up, and lead-based valid_to all replay
+    // relationally.
+    "q154_scd2_intervals" -> ((s, d) => {
+      import s.implicits._
+      graft.ops.Scd.intervals(t(s, d, "events"), "user_id", "ts",
+          Seq("event_type"))
+        .orderBy($"user_id", $"valid_from")
     })
   )
 
@@ -6022,6 +6033,29 @@ object SparkEntry {
            FROM s2 LEFT JOIN e
              ON e.user_id = s2.user_id AND e.event_type = 'purchase'
            GROUP BY 1, 2, 3)
-         SELECT user_id, ts_1, ts_2, ts_3 FROM s3 ORDER BY user_id"""
+         SELECT user_id, ts_1, ts_2, ts_3 FROM s3 ORDER BY user_id""",
+    // SCD-2 compaction: change flag, run counter, roll-up, and the
+    // lead-based valid_to replayed relationally
+    "q154_scd2_intervals" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+         f AS (
+           SELECT user_id, us, event_type,
+                  CASE WHEN lag(event_type) OVER w IS DISTINCT FROM
+                            event_type
+                       THEN 1 ELSE 0 END AS nw
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+         r AS (
+           SELECT user_id, us, event_type,
+                  sum(nw) OVER (PARTITION BY user_id ORDER BY us
+                    ROWS UNBOUNDED PRECEDING) AS run
+           FROM f),
+         runs AS (
+           SELECT user_id, event_type, min(us) AS valid_from
+           FROM r GROUP BY user_id, event_type, run)
+         SELECT user_id, event_type, valid_from,
+                lead(valid_from) OVER (PARTITION BY user_id
+                  ORDER BY valid_from) AS valid_to
+         FROM runs ORDER BY user_id, valid_from"""
   )
 }

@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SCD-2 interval compaction (SURVEY §2.10 X124): collapse a change
+  * log — one row per observation of a key's attributes — into
+  * slowly-changing-dimension type-2 validity intervals: one row per
+  * MAXIMAL run of unchanged attributes, with `valid_from` (first
+  * observation of the run) and `valid_to` (start of the next run;
+  * null while current). The dimension-table build step every
+  * warehouse needs in front of the as-of join (X25): joining facts
+  * against raw observations explodes, joining against intervals is
+  * exact.
+  *
+  * Scale shape: both windows partition by key (bounded by one key's
+  * observation count, never global) over slim (key, ts, attrs) rows;
+  * the change flag is a null-safe struct comparison against the lag,
+  * the run id a running sum, the roll-up one groupBy, and `valid_to`
+  * one lead over the already-compacted rows (|runs| ≤ |observations|).
+  * Consecutive re-observations of identical attributes compact away —
+  * the property that keeps the dimension table proportional to CHANGE
+  * volume, not scan volume.
+  */
+object Scd {
+
+  /** @param log     the change log (one row per observation)
+    * @param attrCols the tracked attribute columns
+    * @return (keyCol, attrCols…, valid_from, valid_to) epoch-micros
+    *         intervals, `valid_to` null for each key's current run
+    */
+  def intervals(log: DataFrame, keyCol: String, tsCol: String,
+                attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty, "at least one tracked attribute")
+    val attrs = struct(attrCols.map(col): _*)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__us"))
+    val obs = log.select((col(keyCol) +:
+        graft.expr.TimeFuncs.tsMicros(col(tsCol)).as("__us") +:
+        attrCols.map(col)): _*)
+      .withColumn("__prev", lag(attrs, 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull || !(col("__prev") <=> attrs), 1L)
+          .otherwise(0L))
+      .withColumn("__run",
+        sum(col("__new")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val runs = obs
+      .groupBy((col(keyCol) +: col("__run") +: attrCols.map(col)): _*)
+      .agg(min(col("__us")).as("valid_from"))
+    val wRun = Window.partitionBy(col(keyCol)).orderBy(col("valid_from"))
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wRun))
+      .drop("__run")
+  }
+}

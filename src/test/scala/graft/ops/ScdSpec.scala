@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.SparkTestBase
+import java.sql.Timestamp
+
+class ScdSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def obs(user: Long, ms: Long, plan: String, region: String) =
+    (user, new Timestamp(ms), plan, region)
+
+  test("intervals: maximal unchanged runs, re-observations compact, " +
+      "reverting to an old value opens a NEW interval") {
+    val log = Seq(
+      obs(1, 1000, "free", "eu"),
+      obs(1, 2000, "free", "eu"),   // re-observation: compacts away
+      obs(1, 3000, "pro", "eu"),    // plan change
+      obs(1, 4000, "free", "eu"),   // revert: must be a NEW run
+      obs(2, 1000, "pro", "us")
+    ).toDF("user_id", "ts", "plan", "region")
+    val got = Scd.intervals(log, "user_id", "ts", Seq("plan", "region"))
+      .orderBy($"user_id", $"valid_from")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), Option(r.get(4)))).toSeq
+    assert(got == Seq(
+      (1L, "free", "eu", 1000000L, Some(3000000L)),
+      (1L, "pro", "eu", 3000000L, Some(4000000L)),
+      (1L, "free", "eu", 4000000L, None),
+      (2L, "pro", "us", 1000000L, None)), s"got=$got")
+  }
+
+  test("intervals: null attributes compare null-safely; intervals " +
+      "tile each key's history; repartition-stable on events") {
+    val log = Seq(
+      (1L, new Timestamp(1000), null.asInstanceOf[String], "eu"),
+      (1L, new Timestamp(2000), null.asInstanceOf[String], "eu"),
+      (1L, new Timestamp(3000), "pro", "eu")
+    ).toDF("user_id", "ts", "plan", "region")
+    val got = Scd.intervals(log, "user_id", "ts", Seq("plan", "region"))
+    assert(got.count() == 2) // the two null-plan rows are ONE run
+    val events = spark.read.parquet(s"$sf0001/events.parquet")
+    val iv = Scd.intervals(events, "user_id", "ts", Seq("event_type"))
+      .cache()
+    // tiling: every valid_to equals the next valid_from (checked by
+    // construction of lead) and exactly one open interval per user
+    assert(iv.filter($"valid_to".isNull).count() ==
+      events.select($"user_id").distinct().count())
+    val a = iv.collect().map(_.toSeq).toSet
+    val b = Scd.intervals(events.repartition(7), "user_id", "ts",
+      Seq("event_type")).collect().map(_.toSeq).toSet
+    assert(a.nonEmpty && a == b)
+    iv.unpersist()
+  }
+}
