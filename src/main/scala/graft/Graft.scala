@@ -573,6 +573,11 @@ object Graft {
   def scdIntervals(log: DataFrame, keyCol: String, tsCol: String,
                    attrCols: Seq[String]): DataFrame =
     ops.Scd.intervals(log, keyCol, tsCol, attrCols)
+  /** Exact-k weighted sampling without replacement — deterministic
+    * Efraimidis-Spirakis exponential race (q155). */
+  def weightedSample(docs: DataFrame, weight: Column, k: Int,
+                     seed: String): DataFrame =
+    llmops.Splits.weightedSample(docs, weight, k, seed)
   /** Count-Min point-frequency sketch of an item column (q142);
     * query with [[cmEstimate]]. */
   def cmSketch(item: Column, depth: Int = 4, width: Int = 1 << 16): Column =

@@ -3019,6 +3019,20 @@ object SparkEntry {
       graft.ops.Scd.intervals(t(s, d, "events"), "user_id", "ts",
           Seq("event_type"))
         .orderBy($"user_id", $"valid_from")
+    }),
+
+    // Weighted sampling without replacement (X125): the Efraimidis-
+    // Spirakis exponential race, weights = n_chars, k = 100. The
+    // md5-derived uniforms, race keys, and the winning set all replay
+    // relationally (the checker's 4-dp float canon absorbs the
+    // engines' last-ulp ln() differences; the selected set is pinned
+    // exactly by doc_id).
+    "q155_weighted_sample" -> ((s, d) => {
+      import s.implicits._
+      graft.llmops.Splits.weightedSample(
+          t(s, d, "documents").select($"doc_id", $"source", $"n_chars"),
+          $"n_chars", k = 100, seed = "ws0")
+        .orderBy($"race_key", $"doc_id")
     })
   )
 
@@ -6056,6 +6070,20 @@ object SparkEntry {
          SELECT user_id, event_type, valid_from,
                 lead(valid_from) OVER (PARTITION BY user_id
                   ORDER BY valid_from) AS valid_to
-         FROM runs ORDER BY user_id, valid_from"""
+         FROM runs ORDER BY user_id, valid_from""",
+    // weighted sampling without replacement: md5 uniforms, exponential
+    // race keys, and the k-smallest selection replayed relationally
+    "q155_weighted_sample" ->
+      """WITH u AS (
+           SELECT doc_id, source, n_chars,
+                  (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'ws0'),
+                     1, 12))::BIGINT + 0.5) / 281474976710656.0 AS uu
+           FROM documents WHERE n_chars > 0),
+         k AS (
+           SELECT doc_id, source, n_chars,
+                  -ln(uu) / n_chars AS race_key
+           FROM u)
+         SELECT doc_id, source, n_chars, race_key
+         FROM k ORDER BY race_key, doc_id LIMIT 100"""
   )
 }

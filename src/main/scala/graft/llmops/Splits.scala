@@ -169,4 +169,44 @@ object Splits {
       .select(col(idCol))
     docs.join(keep, Seq(idCol), "left_semi")
   }
+
+  /** Deterministic weighted sampling WITHOUT replacement (SURVEY
+    * §2.10 X125) — Efraimidis & Spirakis 2006 via the exponential
+    * race: item i draws `u_i` uniform in (0,1) and wins a slot iff
+    * its race key `−ln(u_i) / w_i` is among the k smallest; the
+    * selected SET is distributed exactly as sequential
+    * probability-proportional-to-weight draws without replacement.
+    * The quality-weighted corpus-subset selection move ("keep 1M docs,
+    * prefer high quality") that per-row Bernoulli thinning
+    * ([[importanceKeep]]) cannot express: Bernoulli cannot hit an
+    * exact k, and rejection loops cannot run distributed.
+    *
+    * `u_i` is the first 48 md5 bits of (id ++ seed) — no RNG: reruns,
+    * repartitions, and any other engine replay the same winners. Rows
+    * with null or non-positive weight never win (an infinite race key
+    * in the limit — they are filtered, documented, not crashed).
+    *
+    * Scale shape: the race key is a pure projection; the k smallest
+    * rows come from a TakeOrdered (per-partition top-k then a k-way
+    * driver merge — no global sort shuffle), which is exactly the
+    * right plan while k stays driver-bounded (samples are).
+    *
+    * @return the k winning rows (all original columns) plus
+    *         `race_key`, smallest key first
+    */
+  def weightedSample(docs: DataFrame, weight: Column, k: Int,
+                     seed: String,
+                     idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = (conv(substring(md5(concat(col(idCol).cast("string"),
+        lit(seed))), 1, 12), 16, 10).cast("long").cast("double") + 0.5) /
+      lit(281474976710656.0) // 2^48
+    docs
+      .withColumn("__w", weight.cast("double"))
+      .filter(col("__w") > 0.0)
+      .withColumn("race_key", -log(u) / col("__w"))
+      .drop("__w")
+      .orderBy(col("race_key"), col(idCol))
+      .limit(k)
+  }
 }

@@ -148,4 +148,47 @@ class SplitsSpec extends SparkTestBase {
       .select($"doc_id").as[Long].collect().toSet
     assert(megaIds != (0L until 10L).toSet)
   }
+
+  test("weightedSample: exact k, dominant weights always win, " +
+      "non-positive weights never do, repartition/rerun-stable") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val docs = spark.range(0, 1000).toDF("doc_id")
+      .withColumn("w",
+        when(col("doc_id") < 5, lit(1e9))      // 5 overwhelming weights
+          .otherwise(when(col("doc_id") === 999, lit(0.0)) // never wins
+            .otherwise(lit(1.0))))
+    val got = Splits.weightedSample(docs, col("w"), k = 20, seed = "s0")
+    val ids = got.select($"doc_id").as[Long].collect().toSeq
+    assert(ids.size == 20 && ids.distinct.size == 20)
+    assert((0L until 5L).forall(ids.contains), s"dominant lost: $ids")
+    assert(!ids.contains(999L))
+    val again = Splits.weightedSample(docs.repartition(7), col("w"),
+      k = 20, seed = "s0").select($"doc_id").as[Long].collect().toSeq
+    assert(ids == again)
+    // a different seed reshuffles the uniform-weight tail
+    val other = Splits.weightedSample(docs, col("w"), k = 20,
+      seed = "s1").select($"doc_id").as[Long].collect().toSeq
+    assert(other.toSet != ids.toSet)
+  }
+
+  test("weightedSample replays the reference arithmetic exactly") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.range(0, 500).toDF("doc_id")
+      .withColumn("w", (col("doc_id") % 10 + 1).cast("double"))
+    val got = Splits.weightedSample(docs, col("w"), k = 50, seed = "r0")
+      .select($"doc_id", $"race_key").as[(Long, Double)].collect().toSeq
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long): Double = {
+      val hex = md.digest(s"${id}r0".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 12)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) /
+        281474976710656.0
+      // Spark's Log expression evaluates via StrictMath (fdlibm) —
+      // Math.log differs in the last ulp on some inputs
+      -java.lang.StrictMath.log(u) / (id % 10 + 1).toDouble
+    }
+    val exp = (0L until 500L).map(i => (i, key(i)))
+      .sortBy { case (i, kk) => (kk, i) }.take(50)
+    assert(got == exp, s"first diff: ${got.zip(exp).find(p => p._1 != p._2)}")
+  }
 }
