@@ -578,6 +578,11 @@ object Graft {
   def weightedSample(docs: DataFrame, weight: Column, k: Int,
                      seed: String): DataFrame =
     llmops.Splits.weightedSample(docs, weight, k, seed)
+  /** Order-free per-bucket content digest — the constant-size
+    * corpus-version equality check (q156). */
+  def contentDigest(df: DataFrame, cols: Seq[String],
+                    nBuckets: Int = 256): DataFrame =
+    ops.Profiling.contentDigest(df, cols, nBuckets)
   /** Count-Min point-frequency sketch of an item column (q142);
     * query with [[cmEstimate]]. */
   def cmSketch(item: Column, depth: Int = 4, width: Int = 1 << 16): Column =

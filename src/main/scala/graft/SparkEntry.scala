@@ -3033,6 +3033,17 @@ object SparkEntry {
           t(s, d, "documents").select($"doc_id", $"source", $"n_chars"),
           $"n_chars", k = 100, seed = "ws0")
         .orderBy($"race_key", $"doc_id")
+    }),
+
+    // Order-free content digest (X126): per-bucket (count, xor48,
+    // sum32) fingerprints of the documents table — the corpus-version
+    // equality check. Every slice of the arithmetic replays
+    // relationally.
+    "q156_content_digest" -> ((s, d) => {
+      import s.implicits._
+      graft.ops.Profiling.contentDigest(t(s, d, "documents"),
+          Seq("doc_id", "text", "source"))
+        .orderBy($"bucket")
     })
   )
 
@@ -6084,6 +6095,21 @@ object SparkEntry {
                   -ln(uu) / n_chars AS race_key
            FROM u)
          SELECT doc_id, source, n_chars, race_key
-         FROM k ORDER BY race_key, doc_id LIMIT 100"""
+         FROM k ORDER BY race_key, doc_id LIMIT 100""",
+    // content digest: row hash, bucketing, and all three order-free
+    // fingerprints replayed relationally
+    "q156_content_digest" ->
+      """WITH h AS (
+           SELECT md5(concat_ws(chr(1), CAST(doc_id AS VARCHAR), text,
+                                source)) AS hh
+           FROM documents),
+         p AS (
+           SELECT ('0x' || substr(hh, 1, 4))::BIGINT % 256 AS bucket,
+                  ('0x' || substr(hh, 5, 12))::BIGINT AS h48,
+                  ('0x' || substr(hh, 17, 8))::BIGINT AS h32
+           FROM h)
+         SELECT bucket, count(*) AS n_rows, bit_xor(h48) AS xor48,
+                CAST(sum(h32) AS BIGINT) AS sum32
+         FROM p GROUP BY 1 ORDER BY bucket"""
   )
 }

@@ -50,4 +50,41 @@ object Profiling {
       .as(Seq("column", "n_rows", "n_null", "n_distinct_approx",
         "min_value", "max_value")))
   }
+
+  /** Order-free content digest of a table (SURVEY §2.10 X126) — the
+    * cheap "did two pipelines produce the IDENTICAL corpus" check the
+    * engine's determinism contracts keep promising: every operator
+    * here claims bit-identical replays across reruns, repartitions,
+    * and engines, and this is the operator that verifies such a claim
+    * on real data without sorting anything. Each row hashes to md5 of
+    * its `cols` (concat_ws with a U+0001 separator — null-skipping,
+    * the same rule in Spark and in DuckDB's concat_ws; stated contract:
+    * a null column and an absent one are indistinguishable); rows bucket by hash prefix,
+    * and each bucket aggregates three ORDER-FREE fingerprints:
+    * row count, XOR of 48-bit hash slices (insensitive to order,
+    * sensitive to any changed row), and a SUM of 32-bit slices
+    * (catches the even-multiplicity duplicates XOR cancels; overflows
+    * at 2³¹ rows per bucket — size nBuckets accordingly). Two tables
+    * are content-identical iff the digest tables match — comparable
+    * as `nBuckets` rows regardless of corpus size.
+    *
+    * Scale shape: one projection + one groupBy on a uniform hash
+    * bucket (skew-free by construction); the result is tiny and the
+    * comparison is a join of two digest tables.
+    */
+  def contentDigest(df: DataFrame, cols: Seq[String],
+                    nBuckets: Int = 256): DataFrame = {
+    require(cols.nonEmpty, "at least one column to digest")
+    require(nBuckets >= 1, "nBuckets must be >= 1")
+    val h = md5(concat_ws("\u0001", cols.map(col): _*))
+    df.select(
+        pmod(conv(substring(h, 1, 4), 16, 10).cast("long"),
+          lit(nBuckets.toLong)).as("bucket"),
+        conv(substring(h, 5, 12), 16, 10).cast("long").as("__h48"),
+        conv(substring(h, 17, 8), 16, 10).cast("long").as("__h32"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(__h48)").as("xor48"),
+        sum(col("__h32")).as("sum32"))
+  }
 }

@@ -50,4 +50,41 @@ class ProfilingSpec extends SparkTestBase {
     val exact = orders.select(countDistinct($"o_custkey")).as[Long].head()
     assert(math.abs(approx - exact) <= exact * 0.05, s"$approx vs $exact")
   }
+
+  test("contentDigest: identical content digests identically under " +
+      "reorder/repartition; any changed row changes the digest") {
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text")
+    val a = Profiling.contentDigest(docs, Seq("doc_id", "text"))
+      .collect().map(_.toSeq).toSet
+    val b = Profiling.contentDigest(
+        docs.repartition(7).orderBy($"text"), Seq("doc_id", "text"))
+      .collect().map(_.toSeq).toSet
+    assert(a.nonEmpty && a == b)
+    val mutated = docs.withColumn("text",
+      when($"doc_id" === 3, concat($"text", lit("!"))).otherwise($"text"))
+    val c = Profiling.contentDigest(mutated, Seq("doc_id", "text"))
+      .collect().map(_.toSeq).toSet
+    assert(a != c, "a one-char change in one row must change the digest")
+  }
+
+  test("contentDigest: even-multiplicity duplicates survive via " +
+      "n_rows/sum32 where XOR alone cancels; reference arithmetic") {
+    val one = Seq((1L, "x")).toDF("doc_id", "text")
+    val twice = Seq((1L, "x"), (1L, "x")).toDF("doc_id", "text")
+    val d1 = Profiling.contentDigest(one, Seq("doc_id", "text"),
+      nBuckets = 1).head()
+    val d2 = Profiling.contentDigest(twice, Seq("doc_id", "text"),
+      nBuckets = 1).head()
+    assert(d2.getLong(2) == 0L, "xor of an even multiset cancels")
+    assert(d1.getLong(1) != d2.getLong(1) &&
+      d1.getLong(3) != d2.getLong(3), "count and sum must not cancel")
+    // reference: md5("1" +  + "x")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest("1x".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(d1.getLong(2) == java.lang.Long.parseLong(hex.substring(4, 16), 16))
+    assert(d1.getLong(3) == java.lang.Long.parseLong(hex.substring(16, 24), 16))
+    assert(d1.getLong(1) == 1L)
+  }
 }
