@@ -506,6 +506,15 @@ object Graft {
                                   lambda: Double = 0.7): DataFrame =
     llmops.Retrieval.searchDiverse(s, path, queries, k, fetchK,
       lambda = lambda)
+  /** Max-sim roll-up of chunk hits to top-k documents (q157). */
+  def rollupRetrievalDocs(chunkHits: DataFrame, k: Int): DataFrame =
+    llmops.Retrieval.rollupDocs(chunkHits, k)
+  /** Document-level index serving: over-retrieve chunks, roll up,
+    * keep top-k docs (q157). */
+  def searchRetrievalDocs(s: SparkSession, path: String,
+                          queries: DataFrame, k: Int = 5,
+                          fetchK: Int = 20): DataFrame =
+    llmops.Retrieval.searchDocs(s, path, queries, k, fetchK)
   /** MMR diversification of a per-query top-N candidate set
     * (Carbonell-Goldstein 1998): greedy lambda*rel - (1-lambda)*maxSim
     * re-rank (q140). */

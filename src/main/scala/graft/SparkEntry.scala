@@ -3044,6 +3044,28 @@ object SparkEntry {
       graft.ops.Profiling.contentDigest(t(s, d, "documents"),
           Seq("doc_id", "text", "source"))
         .orderBy($"bucket")
+    }),
+
+    // Document-level retrieval roll-up (X127): brute-force chunk hits
+    // (the q23 shape, vectors grouped ten-to-a-doc) rolled up to
+    // max-sim documents with chunk-evidence counts. Scoring, the
+    // chunk top-20, the per-doc max, and the doc rank all replay
+    // relationally.
+    "q157_doc_rollup" -> ((s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+      val scored = emb.join(broadcast(q))
+        .withColumn("sim",
+          graft.llmops.VectorFuncs.cosine($"embedding", $"query_vec"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"sim".desc, $"vec_id")
+      val hits = scored.withColumn("crk", row_number().over(w))
+        .filter($"crk" <= 20)
+        .select($"query_id", expr("vec_id div 10").as("doc_id"), $"sim")
+      graft.llmops.Retrieval.rollupDocs(hits, k = 3)
+        .orderBy($"query_id", $"rk")
     })
   )
 
@@ -6110,6 +6132,34 @@ object SparkEntry {
            FROM h)
          SELECT bucket, count(*) AS n_rows, bit_xor(h48) AS xor48,
                 CAST(sum(h32) AS BIGINT) AS sum32
-         FROM p GROUP BY 1 ORDER BY bucket"""
+         FROM p GROUP BY 1 ORDER BY bucket""",
+    // document roll-up: chunk scoring, top-20, per-doc max-sim, and
+    // the doc rank replayed relationally
+    "q157_doc_rollup" ->
+      """WITH q AS (
+           SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < 5),
+         sc AS (
+           SELECT q.query_id, e.vec_id,
+                  list_cosine_similarity(e.embedding::DOUBLE[],
+                                         q.qv::DOUBLE[]) AS sim
+           FROM embeddings e CROSS JOIN q),
+         hits AS (
+           SELECT query_id, vec_id, vec_id // 10 AS doc_id, sim,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, vec_id) AS crk
+           FROM sc),
+         pd AS (
+           SELECT query_id, doc_id, max(sim) AS doc_sim,
+                  count(*) AS n_chunks
+           FROM hits WHERE crk <= 20 GROUP BY 1, 2),
+         rk AS (
+           SELECT query_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY doc_sim DESC, doc_id)::INTEGER AS rk,
+                  doc_id, doc_sim, n_chunks
+           FROM pd)
+         SELECT query_id, rk, doc_id, doc_sim, n_chunks
+         FROM rk WHERE rk <= 3 ORDER BY query_id, rk"""
   )
 }

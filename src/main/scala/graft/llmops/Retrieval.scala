@@ -255,6 +255,49 @@ object Retrieval {
     * stage is individually verified (q135 serve, q132 embedding, q140
     * greedy).
     */
+  /** Document-level roll-up of chunk-level hits (SURVEY §2.10 X127):
+    * a chunk index retrieves PASSAGES, but most consumers want
+    * documents — a doc's relevance is its best chunk's similarity
+    * (max-sim, the standard late-interaction roll-up), with the
+    * matching-chunk count kept as an evidence signal. One groupBy to
+    * (query, doc) then a per-query rank.
+    *
+    * Contract: `chunkHits` is a SERVING OUTPUT — a bounded hit set
+    * (≤ |queries|·fetchK rows, e.g. [[search]]'s result), so the rank
+    * window partitions over ≤ fetchK rows per query. Feeding
+    * corpus-scale scored pairs through this is the wrong tool — use
+    * the CollectTopK aggregate shape ([[Mining.hardNegatives]]) there.
+    *
+    * @return (queryId, rk, docId, doc_sim, n_chunks), rk 1-based by
+    *         (doc_sim desc, docId asc)
+    */
+  def rollupDocs(chunkHits: DataFrame, k: Int,
+                 queryId: String = "query_id",
+                 docId: String = "doc_id",
+                 simCol: String = "sim"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryId))
+      .orderBy(col("doc_sim").desc, col(docId))
+    chunkHits
+      .groupBy(col(queryId), col(docId))
+      .agg(max(col(simCol)).as("doc_sim"),
+        count(lit(1)).as("n_chunks"))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= k)
+      .select(col(queryId), col("rk"), col(docId), col("doc_sim"),
+        col("n_chunks"))
+  }
+
+  /** Document-level serving: [[search]] over-retrieves `fetchK`
+    * chunks per query, [[rollupDocs]] keeps the top-`k` documents.
+    */
+  def searchDocs(spark: SparkSession, path: String, queries: DataFrame,
+                 k: Int = 5, fetchK: Int = 20, nprobe: Int = 4,
+                 queryId: String = "query_id",
+                 textCol: String = "text"): DataFrame =
+    rollupDocs(search(spark, path, queries, fetchK, nprobe, queryId,
+      textCol), k, queryId)
+
   def searchDiverse(spark: SparkSession, path: String, queries: DataFrame,
                     k: Int = 5, fetchK: Int = 20, nprobe: Int = 4,
                     lambda: Double = 0.7,

@@ -424,4 +424,46 @@ class RetrievalSpec extends SparkTestBase {
       k = 2, nprobe = 4).filter($"doc_id" === 2).count() > 0,
       "the replacement text must serve")
   }
+
+  test("rollupDocs: max-sim per document, chunk evidence counted, " +
+      "ties break to the smaller doc id") {
+    val hits = Seq(
+      (0L, 1, 10L, 0, "a", 0.9), (0L, 2, 10L, 1, "b", 0.7),
+      (0L, 3, 20L, 0, "c", 0.8),
+      (0L, 4, 30L, 0, "d", 0.8),  // ties 20 on doc_sim → 20 wins by id
+      (1L, 1, 20L, 2, "e", 0.5)
+    ).toDF("query_id", "rk", "doc_id", "chunk_idx", "chunk_text", "sim")
+    val got = Retrieval.rollupDocs(hits, k = 2)
+      .orderBy($"query_id", $"rk")
+      .select($"query_id", $"rk", $"doc_id", $"doc_sim", $"n_chunks")
+      .as[(Long, Int, Long, Double, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 1, 10L, 0.9, 2L),
+      (0L, 2, 20L, 0.8, 1L),
+      (1L, 1, 20L, 0.5, 1L)), s"got=$got")
+  }
+
+  test("searchDocs: document-level serving routes each question to " +
+      "its source document through the persisted files alone") {
+    val docs = Seq(
+      (1L, "Revenue grew nine percent this quarter. Margins compressed " +
+        "in the retail arm. The board raised the quarterly dividend."),
+      (2L, "The weather station recorded heavy rainfall. Winds stayed " +
+        "calm through the evening. Barometric pressure fell slowly."),
+      (3L, "The migration moved the cluster to new hardware. Latency " +
+        "dropped after the cache warmup. Throughput doubled at peak."))
+      .toDF("doc_id", "text")
+    val path = tmp()
+    Retrieval.buildIndex(docs, path, targetChars = 60, dim = 128,
+      nlist = 4, m = 4)
+    val questions = Seq(
+      (0L, "was the dividend raised"),
+      (1L, "how much rainfall was recorded"),
+      (2L, "what happened to latency"))
+      .toDF("query_id", "text")
+    val top = Retrieval.searchDocs(spark, path, questions, k = 1,
+        fetchK = 6, nprobe = 4)
+      .select($"query_id", $"doc_id").as[(Long, Long)].collect().toMap
+    assert(top == Map(0L -> 1L, 1L -> 2L, 2L -> 3L), s"top=$top")
+  }
 }
