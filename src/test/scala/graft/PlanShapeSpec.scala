@@ -320,4 +320,44 @@ class PlanShapeSpec extends SparkTestBase {
     assert(gen >= 0 && (range < 0 || range < gen),
       "a range sort appeared below the fragment explode:\n" + p.take(3000))
   }
+
+  test("q147: queries and positives broadcast; per-query top-k is the " +
+       "bounded heap, not a rank window") {
+    val p = plan("q147_hard_negatives")
+    assert("BroadcastNestedLoopJoin|BroadcastHashJoin".r
+      .findAllIn(p).size >= 2, "both small sides must broadcast")
+    assert(p.contains("collect_top_k"), "negatives must heap-select")
+  }
+
+  test("q148/q152/q153/q154: the events-table analytics shuffle on " +
+       "the user hash and nothing else joins event rows to event rows") {
+    // sessionize: windows partition by user
+    val ps = plan("q148_sessionize")
+    assert(ps.contains("hashpartitioning(user_id"), ps.take(2000))
+    // funnel: every join input is a per-user aggregate (one
+    // HashAggregate below each join leg), never raw events x events
+    val pf = plan("q153_funnel")
+    assert(!pf.contains("CartesianProduct"), "event x event blowup")
+    // scd2: both windows ride ONE user-hash exchange
+    val p4 = plan("q154_scd2_intervals")
+    assert("hashpartitioning\\(user_id".r.findAllIn(p4).nonEmpty)
+  }
+
+  test("q155: the weighted sample is a TakeOrdered — no global sort " +
+       "shuffle for k winners") {
+    val p = plan("q155_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("rangepartitioning"),
+      "a global range sort crept into the race:\n" + p.take(2000))
+  }
+
+  test("q156: the content digest is one projection and one hash " +
+       "aggregation — a single exchange on the digest bucket") {
+    val p = plan("q156_content_digest")
+    assert("hashpartitioning\\(bucket".r.findAllIn(p).nonEmpty,
+      p.take(2000))
+    // partial + final aggregate pair, nothing else exchanges besides
+    // the harness's display sort
+    assert("HashAggregate".r.findAllIn(p).size == 2, p.take(2000))
+  }
 }
