@@ -515,6 +515,10 @@ object Graft {
                           queries: DataFrame, k: Int = 5,
                           fetchK: Int = 20): DataFrame =
     llmops.Retrieval.searchDocs(s, path, queries, k, fetchK)
+  /** Per-query recall@k / MRR@k / nDCG@k against a qrels set (q158). */
+  def retrievalEvalMetrics(hits: DataFrame, qrels: DataFrame,
+                           k: Int): DataFrame =
+    llmops.Retrieval.evalMetrics(hits, qrels, k)
   /** MMR diversification of a per-query top-N candidate set
     * (Carbonell-Goldstein 1998): greedy lambda*rel - (1-lambda)*maxSim
     * re-rank (q140). */

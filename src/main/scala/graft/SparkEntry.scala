@@ -3066,6 +3066,33 @@ object SparkEntry {
         .select($"query_id", expr("vec_id div 10").as("doc_id"), $"sim")
       graft.llmops.Retrieval.rollupDocs(hits, k = 3)
         .orderBy($"query_id", $"rk")
+    }),
+
+    // Retrieval eval metrics (X128): recall@10 / MRR@10 / nDCG@10 of
+    // the brute-force ranking against label-match relevance judgments.
+    // Ranking, judgments, and all three metrics replay relationally.
+    "q158_retrieval_eval" -> ((s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"embedding".as("query_vec"),
+          $"label".as("__ql"))
+      val scored = emb.join(broadcast(q))
+        .filter($"vec_id" =!= $"query_id")
+        .withColumn("sim",
+          graft.llmops.VectorFuncs.cosine($"embedding", $"query_vec"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"sim".desc, $"vec_id")
+      val hits = scored.withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 20)
+        .select($"query_id", $"rk", $"vec_id".as("doc_id"))
+      val qrels = q.select($"query_id", $"__ql")
+        .join(emb.select($"vec_id".as("doc_id"), $"label"),
+          $"label" === $"__ql")
+        .filter($"doc_id" =!= $"query_id")
+        .select($"query_id", $"doc_id")
+      graft.llmops.Retrieval.evalMetrics(hits, qrels, k = 10)
+        .orderBy($"query_id")
     })
   )
 
@@ -6160,6 +6187,50 @@ object SparkEntry {
                   doc_id, doc_sim, n_chunks
            FROM pd)
          SELECT query_id, rk, doc_id, doc_sim, n_chunks
-         FROM rk WHERE rk <= 3 ORDER BY query_id, rk"""
+         FROM rk WHERE rk <= 3 ORDER BY query_id, rk""",
+    // retrieval eval: ranking, judgments, recall/MRR/nDCG replayed
+    "q158_retrieval_eval" ->
+      """WITH q AS (
+           SELECT vec_id AS query_id, embedding AS qv, label AS ql
+           FROM embeddings WHERE vec_id < 5),
+         sc AS (
+           SELECT q.query_id, e.vec_id,
+                  list_cosine_similarity(e.embedding::DOUBLE[],
+                                         q.qv::DOUBLE[]) AS sim,
+                  e.label, q.ql
+           FROM embeddings e CROSS JOIN q
+           WHERE e.vec_id <> q.query_id),
+         hits AS (
+           SELECT query_id, vec_id AS doc_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, vec_id) AS rk
+           FROM sc),
+         rel AS (
+           SELECT query_id, vec_id AS doc_id FROM sc WHERE label = ql),
+         nr AS (SELECT query_id, count(*) AS n_rel FROM rel GROUP BY 1),
+         hr AS (
+           SELECT h.query_id, count(*) AS n_hit, min(h.rk) AS minrk,
+                  sum(1.0 / (ln(h.rk + 1.0) / ln(2.0))) AS dcg
+           FROM hits h
+           JOIN rel r ON r.query_id = h.query_id AND r.doc_id = h.doc_id
+           WHERE h.rk <= 10 AND h.rk <= 20
+           GROUP BY 1),
+         ig AS (
+           SELECT query_id,
+                  sum(1.0 / (ln(i + 1.0) / ln(2.0))) AS idcg
+           FROM (SELECT query_id,
+                        unnest(generate_series(1, least(n_rel, 10)))
+                          AS i
+                 FROM nr) t
+           GROUP BY 1)
+         SELECT nr.query_id, nr.n_rel,
+                coalesce(hr.n_hit, 0) AS n_hit,
+                CAST(coalesce(hr.n_hit, 0) AS DOUBLE) / nr.n_rel
+                  AS recall_at_k,
+                coalesce(1.0 / hr.minrk, 0.0) AS mrr_at_k,
+                coalesce(hr.dcg, 0.0) / ig.idcg AS ndcg_at_k
+         FROM nr JOIN ig USING (query_id)
+         LEFT JOIN hr USING (query_id)
+         ORDER BY query_id"""
   )
 }

@@ -298,6 +298,53 @@ object Retrieval {
     rollupDocs(search(spark, path, queries, fetchK, nprobe, queryId,
       textCol), k, queryId)
 
+  /** Retrieval-quality metrics against a relevance-judgment set
+    * (SURVEY §2.10 X128) — the standard IR eval triple at cutoff `k`,
+    * per query: recall@k (relevant retrieved / relevant), MRR@k
+    * (1 / rank of the first relevant hit, 0 when none lands in the
+    * top k), and nDCG@k (DCG with the 1/log2(rank+1) discount over
+    * binary relevance, normalized by the ideal DCG of min(n_rel, k)
+    * front-loaded hits). The operator every index-tuning decision
+    * (nprobe, dim, chunking, hybrid weights) should be read through.
+    *
+    * `qrels` is the query universe: queries absent from it are not
+    * evaluated; queries with no retrieved relevant docs score 0, not
+    * null. Both inputs are bounded eval artifacts — the whole
+    * computation is slim joins and one aggregate per query; the ideal
+    * DCG is a closed-form higher-order fold, no join against ranks.
+    *
+    * @param hits  (queryId, rk, docId) — a serving output
+    * @param qrels (queryId, docId) relevant pairs (dups tolerated)
+    * @return (queryId, n_rel, n_hit, recall_at_k, mrr_at_k, ndcg_at_k)
+    */
+  def evalMetrics(hits: DataFrame, qrels: DataFrame, k: Int,
+                  queryId: String = "query_id",
+                  docId: String = "doc_id"): DataFrame = {
+    val ln2 = math.log(2.0)
+    val rel = qrels.select(col(queryId), col(docId)).distinct()
+    val nRel = rel.groupBy(col(queryId)).agg(count(lit(1)).as("n_rel"))
+    val hitRel = hits.filter(col("rk") <= k)
+      .join(rel, Seq(queryId, docId))
+      .groupBy(col(queryId))
+      .agg(count(lit(1)).as("n_hit"),
+        min(col("rk")).as("__minrk"),
+        sum(lit(1.0) / (log(col("rk") + 1.0) / ln2)).as("__dcg"))
+    nRel.join(hitRel, Seq(queryId), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("recall_at_k",
+        col("n_hit").cast("double") / col("n_rel"))
+      .withColumn("mrr_at_k",
+        coalesce(lit(1.0) / col("__minrk"), lit(0.0)))
+      .withColumn("__idcg",
+        aggregate(sequence(lit(1L), least(col("n_rel"), lit(k.toLong))),
+          lit(0.0), (acc, i) =>
+            acc + lit(1.0) / (log(i.cast("double") + 1.0) / ln2)))
+      .withColumn("ndcg_at_k",
+        coalesce(col("__dcg"), lit(0.0)) / col("__idcg"))
+      .select(col(queryId), col("n_rel"), col("n_hit"),
+        col("recall_at_k"), col("mrr_at_k"), col("ndcg_at_k"))
+  }
+
   def searchDiverse(spark: SparkSession, path: String, queries: DataFrame,
                     k: Int = 5, fetchK: Int = 20, nprobe: Int = 4,
                     lambda: Double = 0.7,

@@ -466,4 +466,37 @@ class RetrievalSpec extends SparkTestBase {
       .select($"query_id", $"doc_id").as[(Long, Long)].collect().toMap
     assert(top == Map(0L -> 1L, 1L -> 2L, 2L -> 3L), s"top=$top")
   }
+
+  test("evalMetrics: exact recall/MRR/nDCG at the cutoff; no-hit " +
+      "queries score zero; beyond-k hits do not count") {
+    val hits = Seq(
+      // q0: relevant at ranks 1 and 3 (of 3 relevant) at k=3
+      (0L, 1, 10L), (0L, 2, 99L), (0L, 3, 11L), (0L, 4, 12L),
+      // q1: first relevant at rank 2 (1 relevant)
+      (1L, 1, 98L), (1L, 2, 20L),
+      // q2: nothing relevant retrieved
+      (2L, 1, 97L)
+    ).toDF("query_id", "rk", "doc_id")
+    val qrels = Seq((0L, 10L), (0L, 11L), (0L, 12L), (1L, 20L),
+      (2L, 30L), (2L, 30L)).toDF("query_id", "doc_id") // dup tolerated
+    val got = Retrieval.evalMetrics(hits, qrels, k = 3)
+      .orderBy($"query_id")
+      .select($"query_id", $"n_rel", $"n_hit", $"recall_at_k",
+        $"mrr_at_k", $"ndcg_at_k")
+      .as[(Long, Long, Long, Double, Double, Double)].collect().toSeq
+    val ln2 = math.log(2.0)
+    def d(r: Int) = 1.0 / (math.log(r + 1.0) / ln2)
+    val ndcg0 = (d(1) + d(3)) / (d(1) + d(2) + d(3))
+    val ndcg1 = d(2) / d(1)
+    assert(got.size == 3)
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-12
+    assert(got(0)._1 == 0L && got(0)._2 == 3L && got(0)._3 == 2L &&
+      close(got(0)._4, 2.0 / 3) && got(0)._5 == 1.0 &&
+      close(got(0)._6, ndcg0), s"${got(0)}")
+    assert(got(1)._1 == 1L && got(1)._2 == 1L && got(1)._3 == 1L &&
+      got(1)._4 == 1.0 && got(1)._5 == 0.5 &&
+      close(got(1)._6, ndcg1), s"${got(1)}")
+    assert(got(2) == ((2L, 1L, 0L, 0.0, 0.0, 0.0)), s"${got(2)}")
+    // doc 12 was retrieved at rank 4 — beyond k=3, must not count
+  }
 }
