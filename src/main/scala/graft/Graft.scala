@@ -519,6 +519,11 @@ object Graft {
   def retrievalEvalMetrics(hits: DataFrame, qrels: DataFrame,
                            k: Int): DataFrame =
     llmops.Retrieval.evalMetrics(hits, qrels, k)
+  /** One-pass precision/recall/F1 threshold sweep on a fixed grid —
+    * classifier calibration without a global sort (q159). */
+  def prCurve(scored: DataFrame, labelCol: String = "label",
+              probCol: String = "prob", nBins: Int = 100): DataFrame =
+    llmops.QualityModel.prCurve(scored, labelCol, probCol, nBins)
   /** MMR diversification of a per-query top-N candidate set
     * (Carbonell-Goldstein 1998): greedy lambda*rel - (1-lambda)*maxSim
     * re-rank (q140). */

@@ -3093,6 +3093,23 @@ object SparkEntry {
         .select($"query_id", $"doc_id")
       graft.llmops.Retrieval.evalMetrics(hits, qrels, k = 10)
         .orderBy($"query_id")
+    }),
+
+    // Precision-recall threshold sweep (X129): planted labels
+    // (doc_id % 3) under an md5-noised score — binning, the
+    // cumulative-from-top sweep, and precision/recall/F1 all replay
+    // relationally.
+    "q159_pr_curve" -> ((s, d) => {
+      import s.implicits._
+      val u = (conv(substring(md5(concat($"doc_id".cast("string"),
+          lit("pr"))), 1, 12), 16, 10).cast("long").cast("double") +
+          0.5) / 281474976710656.0
+      val scored = t(s, d, "documents")
+        .select($"doc_id",
+          when($"doc_id" % 3 === 0, 1).otherwise(0).as("label"))
+        .withColumn("prob", lit(0.35) * $"label" + lit(0.65) * u)
+      graft.llmops.QualityModel.prCurve(scored, nBins = 20)
+        .orderBy($"threshold".desc)
     })
   )
 
@@ -6231,6 +6248,46 @@ object SparkEntry {
                 coalesce(hr.dcg, 0.0) / ig.idcg AS ndcg_at_k
          FROM nr JOIN ig USING (query_id)
          LEFT JOIN hr USING (query_id)
-         ORDER BY query_id"""
+         ORDER BY query_id""",
+    // PR threshold sweep: binning, cumulative-from-top, and the
+    // precision/recall/F1 arithmetic replayed relationally
+    "q159_pr_curve" ->
+      """WITH sc AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS label,
+                  CAST(0.35 AS DOUBLE) *
+                    (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) +
+                  CAST(0.65 AS DOUBLE) *
+                    ((('0x' || substr(md5(CAST(doc_id AS VARCHAR) ||
+                       'pr'), 1, 12))::BIGINT + 0.5) /
+                     281474976710656.0) AS prob
+           FROM documents),
+         b AS (
+           SELECT least(CAST(floor(prob * 20) AS INTEGER), 19) AS bin,
+                  label
+           FROM sc),
+         g AS (
+           SELECT bin, count(*) AS n,
+                  CAST(sum(label) AS BIGINT) AS npos
+           FROM b GROUP BY 1),
+         c AS (
+           SELECT bin,
+                  CAST(sum(n) OVER (ORDER BY bin DESC
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pred_pos,
+                  CAST(sum(npos) OVER (ORDER BY bin DESC
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp
+           FROM g),
+         tot AS (SELECT CAST(sum(npos) AS BIGINT) AS p FROM g),
+         m AS (
+           SELECT CAST(bin AS DOUBLE) / 20 AS threshold, pred_pos, tp,
+                  CAST(tp AS DOUBLE) / pred_pos AS precision,
+                  CAST(tp AS DOUBLE) / tot.p AS recall
+           FROM c, tot)
+         SELECT threshold, pred_pos, tp, precision, recall,
+                CASE WHEN precision + recall > 0
+                     THEN 2.0 * precision * recall /
+                          (precision + recall)
+                     ELSE 0.0 END AS f1
+         FROM m ORDER BY threshold DESC"""
   )
 }

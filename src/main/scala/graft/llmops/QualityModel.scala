@@ -130,4 +130,50 @@ object QualityModel {
       .select(col(idCol),
         (lit(1.0) / (lit(1.0) + exp(-(col("s") + bias)))).as("prob"))
   }
+
+  /** Precision-recall threshold sweep (SURVEY §2.10 X129) — the
+    * calibration artifact behind every quality-gate decision: a
+    * trained scorer is only useful once its threshold is CHOSEN, and
+    * choosing needs precision/recall/F1 at every candidate cutoff.
+    * The classic formulation (sort all scores, cumulate) is a global
+    * sort; this one is a fixed threshold grid instead: each row
+    * buckets to `floor(prob·nBins)` (top-clamped) in one pass, one
+    * groupBy reduces the corpus to ≤ nBins (count, positives) rows,
+    * and the cumulative-from-the-top sweep runs over that bounded
+    * frame — the unpartitioned window is over ≤ nBins PRE-AGGREGATED
+    * rows, a construction bound, never corpus rows. Threshold t_b =
+    * b/nBins counts exactly the rows with prob ≥ t_b (bin floors
+    * align with the grid).
+    *
+    * @return one row per non-empty bin, threshold descending:
+    *         (threshold, pred_pos, tp, precision, recall, f1)
+    */
+  def prCurve(scored: DataFrame, labelCol: String = "label",
+              probCol: String = "prob", nBins: Int = 100): DataFrame = {
+    require(nBins >= 1, "nBins must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val binned = scored.select(
+        least(floor(col(probCol) * nBins), lit(nBins - 1)).cast("int")
+          .as("bin"),
+        col(labelCol).cast("long").as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__npos"))
+    // ≤ nBins rows from here on — every window/cross below is bounded
+    val w = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = binned.agg(sum(col("__npos")).as("__p"))
+    binned
+      .withColumn("pred_pos", sum(col("__n")).over(w))
+      .withColumn("tp", sum(col("__npos")).over(w))
+      .crossJoin(broadcast(totals))
+      .select(
+        (col("bin").cast("double") / nBins).as("threshold"),
+        col("pred_pos"), col("tp"),
+        (col("tp").cast("double") / col("pred_pos")).as("precision"),
+        (col("tp").cast("double") / col("__p")).as("recall"))
+      .withColumn("f1",
+        when(col("precision") + col("recall") > 0.0,
+          lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall"))).otherwise(lit(0.0)))
+  }
 }

@@ -59,4 +59,27 @@ class QualityModelSpec extends SparkTestBase {
     assert(!QualityModel.BiasKey.forall(c =>
       ('0' to '9').contains(c) || ('a' to 'f').contains(c)))
   }
+
+  test("prCurve: exact counts on a planted grid; threshold rows count " +
+      "exactly the rows at-or-above; monotone recall") {
+    import org.apache.spark.sql.functions.col
+    // 4 bins; probs placed mid-bin: positives at .9 .9 .6, negatives
+    // at .6 .1 — P = 3
+    val scored = Seq((1L, 0.9, 1), (2L, 0.92, 1), (3L, 0.6, 1),
+      (4L, 0.65, 0), (5L, 0.1, 0)).toDF("id", "prob", "label")
+    val got = QualityModel.prCurve(scored, nBins = 4)
+      .orderBy(col("threshold").desc)
+      .select(col("threshold"), col("pred_pos"), col("tp"),
+        col("precision"), col("recall"))
+      .as[(Double, Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (0.75, 2L, 2L, 1.0, 2.0 / 3),          // prob >= .75: the two .9s
+      (0.5, 4L, 3L, 0.75, 1.0),              // adds .6/.65
+      (0.0, 5L, 3L, 0.6, 1.0)), s"got=$got") // everything
+    // prob exactly 1.0 clamps into the top bin
+    val top = QualityModel.prCurve(
+      Seq((1L, 1.0, 1)).toDF("id", "prob", "label"), nBins = 4)
+      .select(col("threshold")).as[Double].collect().toSeq
+    assert(top == Seq(0.75))
+  }
 }
