@@ -524,6 +524,11 @@ object Graft {
   def prCurve(scored: DataFrame, labelCol: String = "label",
               probCol: String = "prob", nBins: Int = 100): DataFrame =
     llmops.QualityModel.prCurve(scored, labelCol, probCol, nBins)
+  /** c-TF-IDF cluster labels: top-k distinguishing terms per cluster
+    * (q160). */
+  def clusterTerms(docs: DataFrame, clusterCol: String,
+                   k: Int): DataFrame =
+    llmops.TextFuncs.clusterTerms(docs, clusterCol, k)
   /** MMR diversification of a per-query top-N candidate set
     * (Carbonell-Goldstein 1998): greedy lambda*rel - (1-lambda)*maxSim
     * re-rank (q140). */

@@ -3110,6 +3110,17 @@ object SparkEntry {
         .withColumn("prob", lit(0.35) * $"label" + lit(0.65) * u)
       graft.llmops.QualityModel.prCurve(scored, nBins = 20)
         .orderBy($"threshold".desc)
+    }),
+
+    // c-TF-IDF cluster labeling (X130): each source labeled by its 5
+    // most distinguishing terms — tf weighted by ln(nClusters / the
+    // term's cluster-df). Tokenize, both aggregates, the weighting,
+    // and the per-cluster rank all replay relationally.
+    "q160_cluster_terms" -> ((s, d) => {
+      import s.implicits._
+      graft.llmops.TextFuncs.clusterTerms(t(s, d, "documents"),
+          "source", k = 5)
+        .orderBy($"cluster", $"rk")
     })
   )
 
@@ -6288,6 +6299,31 @@ object SparkEntry {
                      THEN 2.0 * precision * recall /
                           (precision + recall)
                      ELSE 0.0 END AS f1
-         FROM m ORDER BY threshold DESC"""
+         FROM m ORDER BY threshold DESC""",
+    // c-TF-IDF cluster labels: tokenize, tf, cluster-df, the
+    // ln(nClusters/cdf) weighting, and the per-cluster rank replayed
+    "q160_cluster_terms" ->
+      """WITH terms AS (
+           SELECT source AS cluster,
+                  unnest(string_split_regex(lower(trim(text)), '\s+'))
+                    AS term
+           FROM documents),
+         tf AS (
+           SELECT cluster, term, count(*) AS tf
+           FROM terms WHERE term <> '' GROUP BY 1, 2),
+         cdf AS (SELECT term, count(*) AS cdf FROM tf GROUP BY 1),
+         nc AS (SELECT count(DISTINCT cluster) AS nc FROM tf),
+         sc AS (
+           SELECT t.cluster, t.term, t.tf,
+                  t.tf * ln(CAST(nc.nc AS DOUBLE) / c.cdf) AS score
+           FROM tf t JOIN cdf c USING (term) CROSS JOIN nc),
+         rk AS (
+           SELECT cluster,
+                  row_number() OVER (PARTITION BY cluster
+                    ORDER BY score DESC, term)::INTEGER AS rk,
+                  term, tf, score
+           FROM sc)
+         SELECT cluster, rk, term, tf, score
+         FROM rk WHERE rk <= 5 ORDER BY cluster, rk"""
   )
 }

@@ -369,6 +369,51 @@ object TextFuncs {
     * global; reassembly is one groupBy with an in-group sort. The
     * oracle (q146) replays the entire rule relationally.
     */
+  /** Class-based TF-IDF cluster labeling (SURVEY §2.10 X130) — the
+    * BERTopic-style c-TF-IDF move: after clustering (X60 semantic
+    * clusters, or any grouping column), each cluster labels itself
+    * with the terms that DISTINGUISH it — term frequency within the
+    * cluster weighted by ln(nClusters / clusterDf), where clusterDf
+    * counts the CLUSTERS containing the term, so corpus-wide
+    * stopwords (present in every cluster) score exactly zero and
+    * cluster-specific vocabulary dominates. The human-readable half
+    * of corpus exploration: cluster sizes say how big, these terms
+    * say WHAT.
+    *
+    * Scale shape: one tokenize scan reduces to slim (cluster, term,
+    * tf) rows; the cluster-df and nClusters aggregates run over that
+    * reduced frame (nClusters broadcasts as a 1-row cross join); the
+    * top-k rank window partitions by cluster over slim scored rows —
+    * bounded by a cluster's distinct vocabulary, never the corpus.
+    *
+    * @return (cluster, rk, term, tf, score), rk 1-based by
+    *         (score desc, term asc)
+    */
+  def clusterTerms(docs: DataFrame, clusterCol: String, k: Int,
+                   textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(clusterCol).as("cluster"),
+        explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("cluster"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val cdf = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("__cdf"))
+    val nClusters = tf.select(col("cluster")).distinct()
+      .agg(count(lit(1)).as("__nc"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(cdf, Seq("term"))
+      .crossJoin(broadcast(nClusters))
+      .withColumn("score",
+        col("tf") * log(col("__nc").cast("double") / col("__cdf")))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= k)
+      .select(col("cluster"), col("rk"), col("term"), col("tf"),
+        col("score"))
+  }
+
   def lineLangSegments(docs: DataFrame, idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window

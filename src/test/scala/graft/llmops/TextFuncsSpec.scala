@@ -237,4 +237,33 @@ class TextFuncsSpec extends SparkTestBase {
       .map(_.toSeq).toSet
     assert(a == b)
   }
+
+  test("clusterTerms: cluster-specific vocabulary dominates, " +
+      "everywhere-terms score zero, tf breaks within-cluster order") {
+    val docs = Seq(
+      ("a", "common alpha alpha beta"),
+      ("a", "common alpha"),
+      ("b", "common gamma gamma gamma delta"),
+      ("c", "common epsilon")
+    ).toDF("src", "text")
+    val got = TextFuncs.clusterTerms(docs, "src", k = 2)
+      .orderBy($"cluster", $"rk")
+      .select($"cluster", $"rk", $"term", $"tf")
+      .as[(String, Int, String, Long)].collect().toSeq
+    // "common" appears in all 3 clusters -> ln(3/3) = 0: it can only
+    // fill a slot when a cluster runs out of distinguishing terms
+    // (cluster c), and never outranks one
+    assert(!got.exists(t => t._3 == "common" && t._2 == 1), s"got=$got")
+    assert(got.filter(_._1 == "a").map(_._3) == Seq("alpha", "beta"))
+    assert(got.filter(_._1 == "b").map(_._3) == Seq("gamma", "delta"))
+    assert(got.filter(_._1 == "c").map(_._3) ==
+      Seq("epsilon", "common"))
+    val zero = TextFuncs.clusterTerms(docs, "src", k = 2)
+      .filter($"term" === "common").select($"score").as[Double].head()
+    assert(zero == 0.0)
+    // exact score: alpha tf=3, in 1 of 3 clusters -> 3 * ln(3)
+    val sc = TextFuncs.clusterTerms(docs, "src", k = 2)
+      .filter($"term" === "alpha").select($"score").as[Double].head()
+    assert(math.abs(sc - 3.0 * math.log(3.0)) < 1e-12, s"sc=$sc")
+  }
 }
