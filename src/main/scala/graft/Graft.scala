@@ -606,6 +606,10 @@ object Graft {
   def contentDigest(df: DataFrame, cols: Seq[String],
                     nBuckets: Int = 256): DataFrame =
     ops.Profiling.contentDigest(df, cols, nBuckets)
+  /** Merge digest tables: digest(A union B) from the halves — the
+    * incremental-append property (q161). */
+  def mergeDigests(a: DataFrame, b: DataFrame): DataFrame =
+    ops.Profiling.mergeDigests(a, b)
   /** Count-Min point-frequency sketch of an item column (q142);
     * query with [[cmEstimate]]. */
   def cmSketch(item: Column, depth: Int = 4, width: Int = 1 << 16): Column =

@@ -3121,6 +3121,21 @@ object SparkEntry {
       graft.llmops.TextFuncs.clusterTerms(t(s, d, "documents"),
           "source", k = 5)
         .orderBy($"cluster", $"rk")
+    }),
+
+    // Incremental digest merge (X131): Spark digests the even/odd
+    // halves SEPARATELY and merges; the oracle digests the whole
+    // table directly — equality IS the incremental-append contract,
+    // verified cross-engine.
+    "q161_digest_merge" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val P = graft.ops.Profiling
+      val cols = Seq("doc_id", "text", "source")
+      P.mergeDigests(
+          P.contentDigest(docs.filter($"doc_id" % 2 === 0), cols),
+          P.contentDigest(docs.filter($"doc_id" % 2 =!= 0), cols))
+        .orderBy($"bucket")
     })
   )
 
@@ -6324,6 +6339,22 @@ object SparkEntry {
                   term, tf, score
            FROM sc)
          SELECT cluster, rk, term, tf, score
-         FROM rk WHERE rk <= 5 ORDER BY cluster, rk"""
+         FROM rk WHERE rk <= 5 ORDER BY cluster, rk""",
+    // digest merge: the oracle digests the WHOLE table in one pass —
+    // matching the Spark-side merge of two half-digests proves the
+    // incremental-append property
+    "q161_digest_merge" ->
+      """WITH h AS (
+           SELECT md5(concat_ws(chr(1), CAST(doc_id AS VARCHAR), text,
+                                source)) AS hh
+           FROM documents),
+         p AS (
+           SELECT ('0x' || substr(hh, 1, 4))::BIGINT % 256 AS bucket,
+                  ('0x' || substr(hh, 5, 12))::BIGINT AS h48,
+                  ('0x' || substr(hh, 17, 8))::BIGINT AS h32
+           FROM h)
+         SELECT bucket, count(*) AS n_rows, bit_xor(h48) AS xor48,
+                CAST(sum(h32) AS BIGINT) AS sum32
+         FROM p GROUP BY 1 ORDER BY bucket"""
   )
 }

@@ -87,4 +87,25 @@ object Profiling {
         expr("bit_xor(__h48)").as("xor48"),
         sum(col("__h32")).as("sum32"))
   }
+
+  /** Merge of [[contentDigest]] tables (SURVEY §2.10 X131):
+    * `digest(A ∪ B) = mergeDigests(digest(A), digest(B))` — every
+    * fingerprint is a commutative monoid (counts and sums add, XORs
+    * xor), so an appended corpus's digest maintains INCREMENTALLY:
+    * digest the append batch alone and merge, never rescan the
+    * corpus. At 100 TB this is the difference between a digest you
+    * actually keep current and one you computed once; it is the same
+    * property that makes the fingerprints order-free in the first
+    * place, promoted to the table level.
+    *
+    * Buckets present in only one side pass through unchanged (the
+    * identity element is (0, 0, 0)). Cost: a union + one groupBy over
+    * ≤ 2·nBuckets rows.
+    */
+  def mergeDigests(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("bucket"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        expr("bit_xor(xor48)").as("xor48"),
+        sum(col("sum32")).as("sum32"))
 }

@@ -87,4 +87,28 @@ class ProfilingSpec extends SparkTestBase {
     assert(d1.getLong(3) == java.lang.Long.parseLong(hex.substring(16, 24), 16))
     assert(d1.getLong(1) == 1L)
   }
+
+  test("mergeDigests: digest(A union B) == merge(digest(A), digest(B)) " +
+      "— the incremental-append property; one-sided buckets pass " +
+      "through") {
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text")
+    val a = docs.filter($"doc_id" % 2 === 0)
+    val b = docs.filter($"doc_id" % 2 =!= 0)
+    val cols = Seq("doc_id", "text")
+    val whole = Profiling.contentDigest(docs, cols)
+      .collect().map(_.toSeq).toSet
+    val merged = Profiling.mergeDigests(
+        Profiling.contentDigest(a, cols),
+        Profiling.contentDigest(b, cols))
+      .collect().map(_.toSeq).toSet
+    assert(whole == merged)
+    // a bucket present only in one side survives the merge intact
+    val lone = Profiling.contentDigest(
+      Seq((1L, "x")).toDF("doc_id", "text"), cols, nBuckets = 4)
+    val empty = lone.filter(lit(false))
+    assert(Profiling.mergeDigests(lone, empty)
+      .collect().map(_.toSeq).toSet ==
+      lone.collect().map(_.toSeq).toSet)
+  }
 }
