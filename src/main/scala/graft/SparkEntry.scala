@@ -6161,10 +6161,12 @@ object SparkEntry {
                   CASE WHEN lag(event_type) OVER w IS DISTINCT FROM
                             event_type
                        THEN 1 ELSE 0 END AS nw
-           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+           FROM e WINDOW w AS (PARTITION BY user_id
+             ORDER BY us, event_type)),
          r AS (
            SELECT user_id, us, event_type,
-                  sum(nw) OVER (PARTITION BY user_id ORDER BY us
+                  sum(nw) OVER (PARTITION BY user_id
+                    ORDER BY us, event_type
                     ROWS UNBOUNDED PRECEDING) AS run
            FROM f),
          runs AS (
@@ -6172,7 +6174,7 @@ object SparkEntry {
            FROM r GROUP BY user_id, event_type, run)
          SELECT user_id, event_type, valid_from,
                 lead(valid_from) OVER (PARTITION BY user_id
-                  ORDER BY valid_from) AS valid_to
+                  ORDER BY valid_from, event_type) AS valid_to
          FROM runs ORDER BY user_id, valid_from""",
     // weighted sampling without replacement: md5 uniforms, exponential
     // race keys, and the k-smallest selection replayed relationally
@@ -6196,9 +6198,9 @@ object SparkEntry {
                                 source)) AS hh
            FROM documents),
          p AS (
-           SELECT ('0x' || substr(hh, 1, 4))::BIGINT % 256 AS bucket,
-                  ('0x' || substr(hh, 5, 12))::BIGINT AS h48,
-                  ('0x' || substr(hh, 17, 8))::BIGINT AS h32
+           SELECT ('0x' || substr(hh, 1, 8))::BIGINT % 256 AS bucket,
+                  ('0x' || substr(hh, 9, 12))::BIGINT AS h48,
+                  ('0x' || substr(hh, 21, 8))::BIGINT AS h32
            FROM h)
          SELECT bucket, count(*) AS n_rows, bit_xor(h48) AS xor48,
                 CAST(sum(h32) AS BIGINT) AS sum32
@@ -6349,9 +6351,9 @@ object SparkEntry {
                                 source)) AS hh
            FROM documents),
          p AS (
-           SELECT ('0x' || substr(hh, 1, 4))::BIGINT % 256 AS bucket,
-                  ('0x' || substr(hh, 5, 12))::BIGINT AS h48,
-                  ('0x' || substr(hh, 17, 8))::BIGINT AS h32
+           SELECT ('0x' || substr(hh, 1, 8))::BIGINT % 256 AS bucket,
+                  ('0x' || substr(hh, 9, 12))::BIGINT AS h48,
+                  ('0x' || substr(hh, 21, 8))::BIGINT AS h32
            FROM h)
          SELECT bucket, count(*) AS n_rows, bit_xor(h48) AS xor48,
                 CAST(sum(h32) AS BIGINT) AS sum32

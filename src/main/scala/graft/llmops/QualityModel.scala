@@ -170,7 +170,10 @@ object QualityModel {
         (col("bin").cast("double") / nBins).as("threshold"),
         col("pred_pos"), col("tp"),
         (col("tp").cast("double") / col("pred_pos")).as("precision"),
-        (col("tp").cast("double") / col("__p")).as("recall"))
+        // zero-positive batches (a real state early in labeling)
+        // define recall as 0, not a silent null column
+        when(col("__p") > 0, col("tp").cast("double") / col("__p"))
+          .otherwise(lit(0.0)).as("recall"))
       .withColumn("f1",
         when(col("precision") + col("recall") > 0.0,
           lit(2.0) * col("precision") * col("recall") /

@@ -320,6 +320,7 @@ object Retrieval {
   def evalMetrics(hits: DataFrame, qrels: DataFrame, k: Int,
                   queryId: String = "query_id",
                   docId: String = "doc_id"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
     val ln2 = math.log(2.0)
     val rel = qrels.select(col(queryId), col(docId)).distinct()
     val nRel = rel.groupBy(col(queryId)).agg(count(lit(1)).as("n_rel"))

@@ -393,6 +393,10 @@ object TextFuncs {
                    textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = docs
+      // null cluster = unclustered noise (e.g. outlier points a
+      // density clusterer refuses): excluded, so it neither labels
+      // itself nor inflates nClusters in every term's idf
+      .filter(col(clusterCol).isNotNull)
       .select(col(clusterCol).as("cluster"),
         explode(tokens(col(textCol))).as("term"))
       .filter(col("term") =!= "")

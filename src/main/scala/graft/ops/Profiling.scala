@@ -64,7 +64,9 @@ object Profiling {
     * row count, XOR of 48-bit hash slices (insensitive to order,
     * sensitive to any changed row), and a SUM of 32-bit slices
     * (catches the even-multiplicity duplicates XOR cancels; overflows
-    * at 2³¹ rows per bucket — size nBuckets accordingly). Two tables
+    * at 2³¹ rows per bucket — size nBuckets accordingly: the bucket is
+    * a 32-bit hash prefix mod nBuckets, so any nBuckets ≤ 2²⁰ is
+    * honored with modulo bias ≤ nBuckets/2³²). Two tables
     * are content-identical iff the digest tables match — comparable
     * as `nBuckets` rows regardless of corpus size.
     *
@@ -75,13 +77,14 @@ object Profiling {
   def contentDigest(df: DataFrame, cols: Seq[String],
                     nBuckets: Int = 256): DataFrame = {
     require(cols.nonEmpty, "at least one column to digest")
-    require(nBuckets >= 1, "nBuckets must be >= 1")
+    require(nBuckets >= 1 && nBuckets <= (1 << 20),
+      "nBuckets must be in [1, 2^20] (32-bit bucket prefix)")
     val h = md5(concat_ws("\u0001", cols.map(col): _*))
     df.select(
-        pmod(conv(substring(h, 1, 4), 16, 10).cast("long"),
+        pmod(conv(substring(h, 1, 8), 16, 10).cast("long"),
           lit(nBuckets.toLong)).as("bucket"),
-        conv(substring(h, 5, 12), 16, 10).cast("long").as("__h48"),
-        conv(substring(h, 17, 8), 16, 10).cast("long").as("__h32"))
+        conv(substring(h, 9, 12), 16, 10).cast("long").as("__h48"),
+        conv(substring(h, 21, 8), 16, 10).cast("long").as("__h32"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_rows"),
         expr("bit_xor(__h48)").as("xor48"),

@@ -34,7 +34,12 @@ object Scd {
                 attrCols: Seq[String]): DataFrame = {
     require(attrCols.nonEmpty, "at least one tracked attribute")
     val attrs = struct(attrCols.map(col): _*)
-    val w = Window.partitionBy(col(keyCol)).orderBy(col("__us"))
+    // ts ties break by the attribute tuple itself: a total order with
+    // no extra id column, and same-attr ties are run-irrelevant —
+    // keeps the result deterministic under repartition (the
+    // Sessionize tie-break rule, expressed over what this op has)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__us") +: attrCols.map(col): _*)
     val obs = log.select((col(keyCol) +:
         graft.expr.TimeFuncs.tsMicros(col(tsCol)).as("__us") +:
         attrCols.map(col)): _*)
@@ -48,7 +53,8 @@ object Scd {
     val runs = obs
       .groupBy((col(keyCol) +: col("__run") +: attrCols.map(col)): _*)
       .agg(min(col("__us")).as("valid_from"))
-    val wRun = Window.partitionBy(col(keyCol)).orderBy(col("valid_from"))
+    val wRun = Window.partitionBy(col(keyCol))
+      .orderBy(col("valid_from") +: attrCols.map(col): _*)
     runs
       .withColumn("valid_to", lead(col("valid_from"), 1).over(wRun))
       .drop("__run")

@@ -67,7 +67,7 @@ class VocabSpec extends SparkTestBase {
       if (counts.isEmpty) done = true
       else {
         val (l, r) = counts.toSeq
-          .minBy { case ((a, b), c) => (-c, a + "" + b) }._1
+          .minBy { case ((a, b), c) => (-c, a + "\u0001" + b) }._1
         merges += ((l, r))
         dict = dict.toSeq.map { case (syms, c) =>
           val out = Vector.newBuilder[String]

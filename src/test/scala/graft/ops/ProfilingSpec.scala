@@ -79,12 +79,12 @@ class ProfilingSpec extends SparkTestBase {
     assert(d2.getLong(2) == 0L, "xor of an even multiset cancels")
     assert(d1.getLong(1) != d2.getLong(1) &&
       d1.getLong(3) != d2.getLong(3), "count and sum must not cancel")
-    // reference: md5("1" +  + "x")
+    // reference: md5("1" + U+0001 + "x")
     val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest("1x".getBytes("UTF-8"))
+    val hex = md.digest("1\u0001x".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
-    assert(d1.getLong(2) == java.lang.Long.parseLong(hex.substring(4, 16), 16))
-    assert(d1.getLong(3) == java.lang.Long.parseLong(hex.substring(16, 24), 16))
+    assert(d1.getLong(2) == java.lang.Long.parseLong(hex.substring(8, 20), 16))
+    assert(d1.getLong(3) == java.lang.Long.parseLong(hex.substring(20, 28), 16))
     assert(d1.getLong(1) == 1L)
   }
 
