@@ -106,4 +106,54 @@ object SketchStreams {
     }
     (summary, writer)
   }
+
+  /** Running EXACT content digest of everything ingested so far
+    * (SURVEY §2.10 X132) — the streaming twin of
+    * [[graft.ops.Profiling.contentDigest]]: each micro-batch digests
+    * alone (≤ nBuckets slim rows cross the batch's one exchange,
+    * regardless of batch size) and folds into driver state with the
+    * X131 monoid rules (counts and sums add, XORs xor). Unlike the
+    * sketches above this summary is exact, so the fold over any batch
+    * split equals the batch digest of the union bit-for-bit — a
+    * landed corpus stays continuously verifiable against its producer
+    * while the ingest is still running. State: ≤ nBuckets map
+    * entries, published as one volatile write per batch.
+    */
+  final class RunningDigest(val nBuckets: Int) extends Serializable {
+    @volatile private var state: Map[Long, (Long, Long, Long)] = Map.empty
+
+    /** (bucket → (n_rows, xor48, sum32)) of everything so far. */
+    def snapshot: Map[Long, (Long, Long, Long)] = state
+
+    private[streaming] def ingest(rows: Seq[(Long, Long, Long, Long)])
+        : Unit = {
+      val s = state
+      val merged = rows.foldLeft(s) { case (acc, (b, n, x, sm)) =>
+        val (n0, x0, s0) = acc.getOrElse(b, (0L, 0L, 0L))
+        acc.updated(b, (n0 + n, x0 ^ x, s0 + sm))
+      }
+      state = merged
+    }
+  }
+
+  /** Per-micro-batch digest fold over a document stream. The returned
+    * digest's snapshot equals `Profiling.contentDigest` of the union
+    * of all ingested batches (SketchStreamsSpec pins it).
+    */
+  def digestStream(docs: DataFrame, cols: Seq[String],
+                   nBuckets: Int = 256)
+                  (onBatch: (RunningDigest, Long) => Unit = (_, _) => ())
+      : (RunningDigest, DataStreamWriter[Row]) = {
+    val digest = new RunningDigest(nBuckets)
+    val writer = docs.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val rows = graft.ops.Profiling.contentDigest(batch, cols, nBuckets)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3))).toSeq
+        digest.ingest(rows)
+        onBatch(digest, batchId)
+    }
+    (digest, writer)
+  }
 }
