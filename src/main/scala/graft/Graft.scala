@@ -596,6 +596,11 @@ object Graft {
   def scdIntervals(log: DataFrame, keyCol: String, tsCol: String,
                    attrCols: Seq[String]): DataFrame =
     ops.Scd.intervals(log, keyCol, tsCol, attrCols)
+  /** Point-in-time dimension lookup against SCD-2 intervals (q162). */
+  def scdLookupJoin(facts: DataFrame, intervals: DataFrame,
+                    keyCol: String, tsCol: String,
+                    attrCols: Seq[String]): DataFrame =
+    ops.Scd.lookupJoin(facts, intervals, keyCol, tsCol, attrCols)
   /** Exact-k weighted sampling without replacement — deterministic
     * Efraimidis-Spirakis exponential race (q155). */
   def weightedSample(docs: DataFrame, weight: Column, k: Int,

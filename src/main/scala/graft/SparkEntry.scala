@@ -3136,6 +3136,26 @@ object SparkEntry {
           P.contentDigest(docs.filter($"doc_id" % 2 === 0), cols),
           P.contentDigest(docs.filter($"doc_id" % 2 =!= 0), cols))
         .orderBy($"bucket")
+    }),
+
+    // SCD-2 point-in-time lookup (X133): each event, shifted one hour
+    // forward, looks up the user's state interval covering that
+    // instant — the interval build AND the covering-interval join
+    // both replay relationally (the oracle joins on BETWEEN, the
+    // engine rides the one-shuffle as-of composition; equality of the
+    // two IS the tiling argument).
+    "q162_scd2_lookup" -> ((s, d) => {
+      import s.implicits._
+      val events = t(s, d, "events")
+      val iv = graft.ops.Scd.intervals(events, "user_id", "ts",
+          Seq("event_type"))
+        .withColumnRenamed("event_type", "state")
+      val facts = events.select($"user_id", $"event_id",
+        ($"ts" + expr("INTERVAL 1 HOUR")).as("ts_shift"))
+      graft.ops.Scd.lookupJoin(facts, iv, "user_id", "ts_shift",
+          Seq("state"))
+        .select($"user_id", $"event_id", $"state")
+        .orderBy($"event_id")
     })
   )
 
@@ -6357,6 +6377,41 @@ object SparkEntry {
            FROM h)
          SELECT bucket, count(*) AS n_rows, bit_xor(h48) AS xor48,
                 CAST(sum(h32) AS BIGINT) AS sum32
-         FROM p GROUP BY 1 ORDER BY bucket"""
+         FROM p GROUP BY 1 ORDER BY bucket""",
+    // SCD-2 lookup: the q154 interval build + a BETWEEN covering-
+    // interval join (the engine's as-of composition must agree)
+    "q162_scd2_lookup" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+           FROM events),
+         f AS (
+           SELECT user_id, us, event_type,
+                  CASE WHEN lag(event_type) OVER w IS DISTINCT FROM
+                            event_type
+                       THEN 1 ELSE 0 END AS nw
+           FROM e
+           WINDOW w AS (PARTITION BY user_id
+             ORDER BY us, event_type)),
+         r AS (
+           SELECT user_id, us, event_type,
+                  sum(nw) OVER (PARTITION BY user_id
+                    ORDER BY us, event_type
+                    ROWS UNBOUNDED PRECEDING) AS run
+           FROM f),
+         runs AS (
+           SELECT user_id, event_type, min(us) AS valid_from
+           FROM r GROUP BY user_id, event_type, run),
+         iv AS (
+           SELECT user_id, event_type AS state, valid_from,
+                  lead(valid_from) OVER (PARTITION BY user_id
+                    ORDER BY valid_from, event_type) AS valid_to
+           FROM runs),
+         facts AS (
+           SELECT user_id, event_id, us + 3600000000 AS fus FROM e)
+         SELECT fa.user_id, fa.event_id, iv.state
+         FROM facts fa LEFT JOIN iv
+           ON iv.user_id = fa.user_id AND iv.valid_from <= fa.fus
+              AND (iv.valid_to IS NULL OR fa.fus < iv.valid_to)
+         ORDER BY fa.event_id"""
   )
 }

@@ -59,4 +59,31 @@ object Scd {
       .withColumn("valid_to", lead(col("valid_from"), 1).over(wRun))
       .drop("__run")
   }
+
+  /** Point-in-time dimension lookup (SURVEY §2.10 X133): enrich fact
+    * rows with the [[intervals]] attributes valid AT each fact's
+    * timestamp — `valid_from <= ts < valid_to` (open current interval
+    * included; facts before a key's first interval get nulls). The
+    * fact side of the X124 story: the dimension was built
+    * proportional to change volume, and the lookup rides the X25
+    * as-of composition — because intervals TILE each key's history,
+    * "the covering interval" and "the latest interval starting at or
+    * before ts" are the same row, so the join is ONE shuffle on the
+    * key (union + carry-forward window), no band join, no
+    * interval-explode.
+    *
+    * @param attrCols interval attribute columns to carry onto facts
+    *                 (rename collisions on the interval side first)
+    */
+  def lookupJoin(facts: DataFrame, intervals: DataFrame, keyCol: String,
+                 tsCol: String, attrCols: Seq[String]): DataFrame = {
+    val f = facts.withColumn("__fus",
+      graft.expr.TimeFuncs.tsMicros(col(tsCol)))
+    AsOf.joinAsOf(f,
+        intervals.select((col(keyCol) +: col("valid_from") +:
+          attrCols.map(col)): _*),
+        keys = Seq(keyCol), leftTime = "__fus",
+        rightTime = "valid_from", valueCols = attrCols)
+      .drop("__fus")
+  }
 }

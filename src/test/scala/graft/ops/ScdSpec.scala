@@ -51,4 +51,29 @@ class ScdSpec extends SparkTestBase {
     assert(a.nonEmpty && a == b)
     iv.unpersist()
   }
+
+  test("lookupJoin: facts pick the covering interval — boundary at " +
+      "valid_from inclusive, valid_to exclusive, pre-history null") {
+    val log = Seq(
+      obs(1, 1000, "free", "eu"),
+      obs(1, 3000, "pro", "eu")
+    ).toDF("user_id", "ts", "plan", "region")
+    val iv = Scd.intervals(log, "user_id", "ts", Seq("plan", "region"))
+      .withColumnRenamed("plan", "state_plan")
+    val facts = Seq(
+      (1L, new Timestamp(500), 10L),   // before history -> null
+      (1L, new Timestamp(1000), 11L),  // exactly valid_from -> free
+      (1L, new Timestamp(2999), 12L),  // last us of the free run
+      (1L, new Timestamp(3000), 13L),  // exactly the switch -> pro
+      (1L, new Timestamp(9999), 14L)   // open current interval -> pro
+    ).toDF("user_id", "ts", "fact_id")
+    val got = Scd.lookupJoin(facts, iv, "user_id", "ts",
+        Seq("state_plan"))
+      .orderBy($"fact_id")
+      .select($"fact_id", $"state_plan")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSeq
+    assert(got == Seq(
+      (10L, None), (11L, Some("free")), (12L, Some("free")),
+      (13L, Some("pro")), (14L, Some("pro"))), s"got=$got")
+  }
 }
