@@ -606,6 +606,11 @@ object Graft {
   def weightedSample(docs: DataFrame, weight: Column, k: Int,
                      seed: String): DataFrame =
     llmops.Splits.weightedSample(docs, weight, k, seed)
+  /** Exact-k weighted sampling per group — stratified PPS without
+    * replacement (q163). */
+  def weightedSamplePerGroup(docs: DataFrame, weight: Column, k: Int,
+                             seed: String, groupCol: String): DataFrame =
+    llmops.Splits.weightedSamplePerGroup(docs, weight, k, seed, groupCol)
   /** Order-free per-bucket content digest — the constant-size
     * corpus-version equality check (q156). */
   def contentDigest(df: DataFrame, cols: Seq[String],

@@ -3156,6 +3156,18 @@ object SparkEntry {
           Seq("state"))
         .select($"user_id", $"event_id", $"state")
         .orderBy($"event_id")
+    }),
+
+    // Per-group weighted sampling (X134): exact 10 docs per source by
+    // the n_chars-weighted race. Uniforms, race keys, and the
+    // per-group rank replay relationally.
+    "q163_weighted_sample_grouped" -> ((s, d) => {
+      import s.implicits._
+      graft.llmops.Splits.weightedSamplePerGroup(
+          t(s, d, "documents").select($"doc_id", $"source", $"n_chars"),
+          $"n_chars", k = 10, seed = "wg0", groupCol = "source")
+        .select($"doc_id", $"source", $"n_chars", $"race_key")
+        .orderBy($"source", $"race_key", $"doc_id")
     })
   )
 
@@ -6412,6 +6424,26 @@ object SparkEntry {
          FROM facts fa LEFT JOIN iv
            ON iv.user_id = fa.user_id AND iv.valid_from <= fa.fus
               AND (iv.valid_to IS NULL OR fa.fus < iv.valid_to)
-         ORDER BY fa.event_id"""
+         ORDER BY fa.event_id""",
+    // per-group weighted sampling: the exponential race ranked within
+    // each source, replayed relationally
+    "q163_weighted_sample_grouped" ->
+      """WITH u AS (
+           SELECT doc_id, source, n_chars,
+                  (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'wg0'),
+                     1, 12))::BIGINT + 0.5) / 281474976710656.0 AS uu
+           FROM documents WHERE n_chars > 0),
+         k AS (
+           SELECT doc_id, source, n_chars,
+                  -ln(uu) / n_chars AS race_key
+           FROM u),
+         rk AS (
+           SELECT doc_id, source, n_chars, race_key,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY race_key, doc_id) AS r
+           FROM k)
+         SELECT doc_id, source, n_chars, race_key
+         FROM rk WHERE r <= 10
+         ORDER BY source, race_key, doc_id"""
   )
 }

@@ -209,4 +209,41 @@ object Splits {
       .orderBy(col("race_key"), col(idCol))
       .limit(k)
   }
+
+  /** Per-group exact-k weighted sampling without replacement (SURVEY
+    * §2.10 X134) — [[weightedSample]]'s race run independently inside
+    * every group: keep the k smallest race keys PER groupCol value
+    * (per-language or per-source quality-weighted budgets — the
+    * corpus-mixing move where every stratum needs an exact count, not
+    * a rate). Same md5-derived uniforms, so the winners in a group
+    * are invariant to what other groups contain — adding a new source
+    * never reshuffles an existing one's sample.
+    *
+    * Scale shape: the race key is a pure projection and the per-group
+    * selection is a rank window over slim (group, key) rows with the
+    * full rows semi-joined back — text never enters the window
+    * exchange; groups are unbounded in number (that is the point —
+    * the driver-bounded-k TakeOrdered of the global variant does not
+    * apply here).
+    */
+  def weightedSamplePerGroup(docs: DataFrame, weight: Column, k: Int,
+                             seed: String, groupCol: String,
+                             idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val u = (conv(substring(md5(concat(col(idCol).cast("string"),
+        lit(seed))), 1, 12), 16, 10).cast("long").cast("double") + 0.5) /
+      lit(281474976710656.0)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("race_key"), col(idCol))
+    val keep = docs
+      .withColumn("__w", weight.cast("double"))
+      .filter(col("__w") > 0.0)
+      .select(col(groupCol), col(idCol),
+        (-log(u) / col("__w")).as("race_key"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col(idCol), col("race_key"))
+    docs.join(keep, Seq(idCol), "inner")
+  }
 }

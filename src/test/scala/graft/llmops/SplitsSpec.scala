@@ -191,4 +191,33 @@ class SplitsSpec extends SparkTestBase {
       .sortBy { case (i, kk) => (kk, i) }.take(50)
     assert(got == exp, s"first diff: ${got.zip(exp).find(p => p._1 != p._2)}")
   }
+
+  test("weightedSamplePerGroup: exact k per group, group-local " +
+      "winners unaffected by other groups, zero weights excluded") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val docs = spark.range(0, 300).toDF("doc_id")
+      .withColumn("grp", (col("doc_id") % 3).cast("string"))
+      .withColumn("w",
+        when(col("doc_id") === 7, lit(0.0)).otherwise(lit(1.0)))
+    val got = Splits.weightedSamplePerGroup(docs, col("w"), k = 10,
+      seed = "g0", groupCol = "grp")
+    val byGrp = got.select($"grp", $"doc_id").as[(String, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byGrp.keySet == Set("0", "1", "2"))
+    assert(byGrp.values.forall(_.size == 10))
+    assert(!byGrp.values.exists(_.contains(7L)))
+    // group-local invariance: dropping group "2" entirely leaves the
+    // winners of groups 0 and 1 bit-identical
+    val fewer = Splits.weightedSamplePerGroup(
+        docs.filter($"grp" =!= "2"), col("w"), k = 10,
+        seed = "g0", groupCol = "grp")
+      .select($"grp", $"doc_id").as[(String, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(fewer("0") == byGrp("0") && fewer("1") == byGrp("1"))
+    // a group smaller than k keeps everything it has
+    val tiny = Splits.weightedSamplePerGroup(
+      docs.filter($"doc_id" < 5), col("w"), k = 10,
+      seed = "g0", groupCol = "grp")
+    assert(tiny.count() == 5)
+  }
 }
