@@ -515,6 +515,10 @@ object Graft {
                           queries: DataFrame, k: Int = 5,
                           fetchK: Int = 20): DataFrame =
     llmops.Retrieval.searchDocs(s, path, queries, k, fetchK)
+  /** Densest query-term snippet per (query, doc) hit (q164). */
+  def retrievalSnippets(docs: DataFrame, hits: DataFrame,
+                        queries: DataFrame, window: Int = 20): DataFrame =
+    llmops.Retrieval.snippets(docs, hits, queries, window)
   /** Per-query recall@k / MRR@k / nDCG@k against a qrels set (q158). */
   def retrievalEvalMetrics(hits: DataFrame, qrels: DataFrame,
                            k: Int): DataFrame =

@@ -3168,6 +3168,24 @@ object SparkEntry {
           $"n_chars", k = 10, seed = "wg0", groupCol = "source")
         .select($"doc_id", $"source", $"n_chars", $"race_key")
         .orderBy($"source", $"race_key", $"doc_id")
+    }),
+
+    // Snippet extraction (X135): queries = the first 5 tokens of three
+    // anchor docs, hits planted by doc_id % 50 — the densest-window
+    // search, tie rule, and token-slice reassembly all replay
+    // relationally.
+    "q164_snippets" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val T = graft.llmops.TextFuncs
+      val queries = docs.filter($"doc_id".isin(1L, 38L, 75L))
+        .select((($"doc_id" - 1) / lit(37)).cast("long").as("query_id"),
+          array_join(slice(T.tokens($"text"), 1, 5), " ").as("text"))
+      val hits = docs.select(($"doc_id" % 50).as("query_id"), $"doc_id")
+        .filter($"query_id" < 3)
+      graft.llmops.Retrieval.snippets(docs, hits, queries, window = 12)
+        .withColumn("snip_md5", md5($"snippet")).drop("snippet")
+        .orderBy($"query_id", $"doc_id")
     })
   )
 
@@ -6444,6 +6462,58 @@ object SparkEntry {
            FROM k)
          SELECT doc_id, source, n_chars, race_key
          FROM rk WHERE r <= 10
-         ORDER BY source, race_key, doc_id"""
+         ORDER BY source, race_key, doc_id""",
+    // snippet extraction: query-term matching, the densest-window
+    // self-join, the (count desc, pos) tie rule, and the token-slice
+    // reassembly replayed relationally
+    "q164_snippets" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  string_split_regex(lower(trim(text)), '\s+') AS arr
+           FROM documents),
+         queries AS (
+           SELECT (doc_id - 1) // 37 AS query_id,
+                  array_to_string(arr[1:5], ' ') AS qtext
+           FROM toks WHERE doc_id IN (1, 38, 75)),
+         qterms AS (
+           SELECT DISTINCT query_id,
+                  unnest(string_split_regex(lower(trim(qtext)), '\s+'))
+                    AS term
+           FROM queries),
+         hits AS (
+           SELECT doc_id % 50 AS query_id, doc_id
+           FROM documents WHERE doc_id % 50 < 3),
+         pos AS (
+           SELECT t.doc_id,
+                  generate_subscripts(t.arr, 1) - 1 AS p,
+                  unnest(t.arr) AS term
+           FROM toks t
+           WHERE t.doc_id IN (SELECT doc_id FROM hits)),
+         m AS (
+           SELECT h.query_id, p.doc_id, p.p
+           FROM pos p
+           JOIN qterms q ON q.term = p.term
+           JOIN hits h ON h.query_id = q.query_id
+             AND h.doc_id = p.doc_id
+           WHERE p.term <> ''),
+         wc AS (
+           SELECT a.query_id, a.doc_id, a.p,
+                  count(*) AS n_matched
+           FROM m a JOIN m b
+             ON b.query_id = a.query_id AND b.doc_id = a.doc_id
+             AND b.p >= a.p AND b.p < a.p + 12
+           GROUP BY 1, 2, 3),
+         best AS (
+           SELECT query_id, doc_id, p, n_matched,
+                  row_number() OVER (PARTITION BY query_id, doc_id
+                    ORDER BY n_matched DESC, p) AS rk
+           FROM wc)
+         SELECT b.query_id, b.doc_id, CAST(b.p AS INTEGER) AS snip_start,
+                b.n_matched,
+                md5(array_to_string(t.arr[b.p + 1 : b.p + 12], ' '))
+                  AS snip_md5
+         FROM best b JOIN toks t ON t.doc_id = b.doc_id
+         WHERE b.rk = 1
+         ORDER BY b.query_id, b.doc_id"""
   )
 }

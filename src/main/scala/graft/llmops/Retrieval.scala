@@ -298,6 +298,70 @@ object Retrieval {
     rollupDocs(search(spark, path, queries, fetchK, nprobe, queryId,
       textCol), k, queryId)
 
+  /** Query-term snippet extraction (SURVEY §2.10 X135) — serve-side
+    * passage highlighting: for each (query, doc) hit, the best
+    * `window`-token span — the one containing the most query-term
+    * occurrences, earliest span on ties — returned with its start
+    * offset, match count, and text. The classic result-page snippet,
+    * done relationally: an optimal fixed-width window can always
+    * start AT a match, so only matched positions are candidates —
+    * per (query, doc) the candidate count is the match count, never
+    * the document length.
+    *
+    * Scale shape: `hits` is a bounded serving output, so documents
+    * tokenize only for hit docs (semi-join first); matches are slim
+    * (query, doc, pos) rows; the window score is a self-join of
+    * matches against matches within [pos, pos+window) — bounded by
+    * matches² per (query, doc), both small; the snippet reassembles
+    * by slicing the doc's token array once per winning window.
+    *
+    * @param hits    (queryId, docId) pairs — a serving output
+    * @param queries (queryId, text)
+    * @return (queryId, docId, snip_start, n_matched, snippet);
+    *         hits whose doc contains NO query term yield no row
+    */
+  def snippets(docs: DataFrame, hits: DataFrame, queries: DataFrame,
+               window: Int = 20,
+               queryId: String = "query_id", docId: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val qterms = queries
+      .select(col(queryId),
+        explode(TextFuncs.tokens(col(textCol))).as("__term"))
+      .filter(col("__term") =!= "").distinct()
+    val hitPairs = hits.select(col(queryId), col(docId)).distinct()
+    val toks = docs
+      .join(hitPairs.select(col(docId)).distinct(), Seq(docId),
+        "left_semi")
+      .select(col(docId), TextFuncs.tokens(col(textCol)).as("__arr"))
+    val pos = toks
+      .select(col(docId),
+        posexplode(col("__arr")).as(Seq("__pos", "__term")))
+    val matches = pos
+      .join(broadcast(qterms), Seq("__term"))
+      .join(hitPairs, Seq(queryId, docId), "left_semi")
+      .select(col(queryId), col(docId), col("__pos"))
+    val m2 = matches
+      .select(col(queryId), col(docId), col("__pos").as("__p2"))
+    val wBest = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryId), col(docId))
+      .orderBy(col("n_matched").desc, col("__pos"))
+    val best = matches
+      .join(m2, Seq(queryId, docId))
+      .filter(col("__p2") >= col("__pos") &&
+        col("__p2") < col("__pos") + window)
+      .groupBy(col(queryId), col(docId), col("__pos"))
+      .agg(count(lit(1)).as("n_matched"))
+      .withColumn("__rk", row_number().over(wBest))
+      .filter(col("__rk") === 1)
+    best
+      .join(toks, Seq(docId))
+      .select(col(queryId), col(docId),
+        col("__pos").cast("int").as("snip_start"), col("n_matched"),
+        array_join(slice(col("__arr"), col("__pos") + 1, lit(window)),
+          " ").as("snippet"))
+  }
+
   /** Retrieval-quality metrics against a relevance-judgment set
     * (SURVEY §2.10 X128) — the standard IR eval triple at cutoff `k`,
     * per query: recall@k (relevant retrieved / relevant), MRR@k

@@ -499,4 +499,25 @@ class RetrievalSpec extends SparkTestBase {
     assert(got(2) == ((2L, 1L, 0L, 0.0, 0.0, 0.0)), s"${got(2)}")
     // doc 12 was retrieved at rank 4 — beyond k=3, must not count
   }
+
+  test("snippets: densest window wins, earliest on ties, window " +
+      "clamps at the doc tail, no-term hits yield no row") {
+    val docs = Seq(
+      (1L, "pad pad cat pad pad pad pad pad cat dog cat pad"),
+      (2L, "nothing relevant here at all"),
+      (3L, "cat dog")
+    ).toDF("doc_id", "text")
+    val hits = Seq((0L, 1L), (0L, 2L), (0L, 3L))
+      .toDF("query_id", "doc_id")
+    val queries = Seq((0L, "cat dog")).toDF("query_id", "text")
+    val got = Retrieval.snippets(docs, hits, queries, window = 4)
+      .orderBy($"doc_id")
+      .select($"doc_id", $"snip_start", $"n_matched", $"snippet")
+      .as[(Long, Int, Long, String)].collect().toSeq
+    // doc 1: window [8, 12) = "cat dog cat pad" holds 3 matches;
+    // the earlier lone cat at pos 2 holds 1
+    assert(got == Seq(
+      (1L, 8, 3L, "cat dog cat pad"),
+      (3L, 0, 2L, "cat dog")), s"got=$got")
+  }
 }
