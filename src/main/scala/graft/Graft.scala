@@ -605,6 +605,11 @@ object Graft {
                     keyCol: String, tsCol: String,
                     attrCols: Seq[String]): DataFrame =
     ops.Scd.lookupJoin(facts, intervals, keyCol, tsCol, attrCols)
+  /** Causal trailing-window rate anomalies per event series (q165). */
+  def rateAnomalies(events: DataFrame, bucketMillis: Long,
+                    lookback: Int = 24,
+                    threshold: Double = 3.0): DataFrame =
+    ops.Anomaly.rateAnomalies(events, bucketMillis, lookback, threshold)
   /** Exact-k weighted sampling without replacement — deterministic
     * Efraimidis-Spirakis exponential race (q155). */
   def weightedSample(docs: DataFrame, weight: Column, k: Int,

@@ -3186,6 +3186,18 @@ object SparkEntry {
       graft.llmops.Retrieval.snippets(docs, hits, queries, window = 12)
         .withColumn("snip_md5", md5($"snippet")).drop("snippet")
         .orderBy($"query_id", $"doc_id")
+    }),
+
+    // Event-rate anomaly detection (X136): daily per-type counts
+    // z-scored against a strictly-trailing 7-bucket window. Bucketing,
+    // the trailing stats, the z guards, and the flag all replay
+    // relationally.
+    "q165_rate_anomalies" -> ((s, d) => {
+      import s.implicits._
+      graft.ops.Anomaly.rateAnomalies(t(s, d, "events"),
+          bucketMillis = 86400000L, lookback = 7, threshold = 2.0)
+        .withColumn("is_anomaly", $"is_anomaly".cast("int"))
+        .orderBy($"event_type", $"bucket")
     })
   )
 
@@ -6514,6 +6526,30 @@ object SparkEntry {
                   AS snip_md5
          FROM best b JOIN toks t ON t.doc_id = b.doc_id
          WHERE b.rk = 1
-         ORDER BY b.query_id, b.doc_id"""
+         ORDER BY b.query_id, b.doc_id""",
+    // rate anomalies: bucketing, trailing stats, z guards, and the
+    // flag replayed relationally
+    "q165_rate_anomalies" ->
+      """WITH c AS (
+           SELECT event_type, epoch_ms(ts) // 86400000 AS bucket,
+                  count(*) AS n
+           FROM events GROUP BY 1, 2),
+         w AS (
+           SELECT event_type, bucket, n,
+                  count(n) OVER tw AS tn,
+                  avg(n) OVER tw AS trail_mean,
+                  stddev_samp(n) OVER tw AS trail_std
+           FROM c
+           WINDOW tw AS (PARTITION BY event_type ORDER BY bucket
+             ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+         z AS (
+           SELECT event_type, bucket, n, trail_mean, trail_std,
+                  CASE WHEN tn >= 3 AND trail_std > 0
+                       THEN (n - trail_mean) / trail_std END AS z
+           FROM w)
+         SELECT event_type, bucket, n, trail_mean, trail_std, z,
+                CAST(coalesce(abs(z) >= 2.0, false) AS INTEGER)
+                  AS is_anomaly
+         FROM z ORDER BY event_type, bucket"""
   )
 }

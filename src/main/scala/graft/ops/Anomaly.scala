@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-rate anomaly detection (SURVEY §2.10 X136): bucket the event
+  * log into fixed windows per series, score each bucket's count
+  * against the TRAILING `lookback` buckets (z-score over their sample
+  * mean/stddev — strictly past-only, so the detector is causal and a
+  * burst cannot suppress its own alarm), and flag |z| ≥ threshold.
+  * The ops-monitoring staple over the same table the engine already
+  * sessionizes and funnels.
+  *
+  * Scale shape: the corpus reduces to slim (series, bucket, n) rows
+  * in one aggregation; the trailing statistics are per-series windows
+  * over those bucket rows (bounded by a series' bucket count, never
+  * events); missing trailing history (fewer than `minHistory` prior
+  * buckets) yields z = null rather than a fake score. Gaps (empty
+  * buckets) are genuinely absent rows — the trailing frame sees
+  * observed buckets, the documented semantics (densifying zeros is a
+  * caller choice: join a bucket spine first).
+  */
+object Anomaly {
+
+  /** @return (seriesCol, bucket, n, trail_mean, trail_std, z,
+    *         is_anomaly) — one row per observed (series, bucket)
+    */
+  def rateAnomalies(events: DataFrame, bucketMillis: Long,
+                    lookback: Int = 24, threshold: Double = 3.0,
+                    minHistory: Int = 3,
+                    seriesCol: String = "event_type",
+                    tsCol: String = "ts"): DataFrame = {
+    require(bucketMillis >= 1, "bucketMillis must be >= 1")
+    require(lookback >= minHistory && minHistory >= 2,
+      "need lookback >= minHistory >= 2 buckets of trailing history")
+    val counts = events
+      .select(col(seriesCol),
+        floor(graft.expr.TimeFuncs.tsMicros(col(tsCol)) / 1000L /
+          lit(bucketMillis)).cast("long").as("bucket"))
+      .groupBy(col(seriesCol), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(seriesCol)).orderBy(col("bucket"))
+      .rowsBetween(-lookback, -1)
+    counts
+      .withColumn("__tn", count(col("n")).over(w))
+      .withColumn("trail_mean", avg(col("n")).over(w))
+      .withColumn("trail_std", stddev_samp(col("n")).over(w))
+      .withColumn("z",
+        when(col("__tn") >= minHistory && col("trail_std") > 0.0,
+          (col("n") - col("trail_mean")) / col("trail_std")))
+      .withColumn("is_anomaly",
+        coalesce(abs(col("z")) >= threshold, lit(false)))
+      .drop("__tn")
+  }
+}

@@ -1,0 +1,61 @@
+package graft.ops
+
+import graft.SparkTestBase
+import java.sql.Timestamp
+
+class AnomalySpec extends SparkTestBase {
+  import spark.implicits._
+
+  // one event per (bucket, i) at bucket*100 + i ms
+  private def evs(series: String, bucketCounts: Seq[Int], base: Long = 0)
+      : Seq[(Long, Timestamp, Long, String, Double)] =
+    bucketCounts.zipWithIndex.flatMap { case (c, b) =>
+      (0 until c).map(i =>
+        ((b * 1000 + i).toLong + base,
+          new Timestamp(b.toLong * 100 + i), 1L, series, 1.0))
+    }
+
+  test("rateAnomalies: a burst against a steady trailing window flags; " +
+      "the trailing frame is strictly past-only") {
+    // steady 5/bucket for 6 buckets, then a 50-burst
+    val events = evs("click", Seq(5, 5, 5, 5, 5, 5, 50))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Anomaly.rateAnomalies(events, bucketMillis = 100,
+        lookback = 6, threshold = 3.0)
+      .orderBy($"bucket")
+      .select($"bucket", $"n", $"z", $"is_anomaly")
+      .collect()
+    // buckets 0-2: insufficient history -> z null, never anomalous
+    assert(got.take(3).forall(r => r.isNullAt(2) && !r.getBoolean(3)))
+    // a perfectly steady series has ZERO trailing variance everywhere
+    // -> z null by the guard on every bucket, including the burst
+    assert(got.forall(r => r.isNullAt(2) && !r.getBoolean(3)))
+    // with variance in the history the burst flags:
+    val varied = evs("view", Seq(4, 6, 5, 4, 6, 5, 50))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val v = Anomaly.rateAnomalies(varied, bucketMillis = 100,
+        lookback = 6, threshold = 3.0)
+      .filter($"bucket" === 6).head()
+    assert(v.getBoolean(6), s"burst not flagged: $v")
+    assert(v.getDouble(5) > 3.0)
+    // causality: the burst does not suppress ITS OWN alarm (its own
+    // count is excluded from the trailing stats)
+    assert(math.abs(v.getDouble(3) - 5.0) < 1e-12) // trail_mean
+  }
+
+  test("rateAnomalies: zero-variance history yields null z, not a " +
+      "division blowup; repartition-stable on the events table") {
+    val flat = evs("err", Seq(5, 5, 5, 5, 50))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val z = Anomaly.rateAnomalies(flat, 100, lookback = 4,
+        minHistory = 2)
+      .filter($"bucket" === 4).head()
+    assert(z.isNullAt(5) && !z.getBoolean(6))
+    val events = spark.read.parquet(s"$sf0001/events.parquet")
+    val a = Anomaly.rateAnomalies(events, 86400000L, lookback = 7)
+      .collect().map(_.toSeq).toSet
+    val b = Anomaly.rateAnomalies(events.repartition(7), 86400000L,
+      lookback = 7).collect().map(_.toSeq).toSet
+    assert(a.nonEmpty && a == b)
+  }
+}
