@@ -533,6 +533,11 @@ object Graft {
   def clusterTerms(docs: DataFrame, clusterCol: String,
                    k: Int): DataFrame =
     llmops.TextFuncs.clusterTerms(docs, clusterCol, k)
+  /** Windowed-co-occurrence PMI collocations over a pruned vocabulary
+    * (q166). */
+  def pmiPairs(docs: DataFrame, topV: Int = 500, window: Int = 3,
+               minCount: Int = 5): DataFrame =
+    llmops.TextFuncs.pmiPairs(docs, topV, window, minCount)
   /** MMR diversification of a per-query top-N candidate set
     * (Carbonell-Goldstein 1998): greedy lambda*rel - (1-lambda)*maxSim
     * re-rank (q140). */

@@ -3198,6 +3198,17 @@ object SparkEntry {
           bucketMillis = 86400000L, lookback = 7, threshold = 2.0)
         .withColumn("is_anomaly", $"is_anomaly".cast("int"))
         .orderBy($"event_type", $"bucket")
+    }),
+
+    // PMI collocations (X137): top-100 vocabulary, ±2-token window,
+    // 20-occurrence floor. Vocabulary pruning, the banded co-occurrence
+    // self-join, unordered pair keying, and the PMI arithmetic all
+    // replay relationally.
+    "q166_pmi_pairs" -> ((s, d) => {
+      import s.implicits._
+      graft.llmops.TextFuncs.pmiPairs(t(s, d, "documents"),
+          topV = 100, window = 2, minCount = 20)
+        .orderBy($"term_a", $"term_b")
     })
   )
 
@@ -6550,6 +6561,44 @@ object SparkEntry {
          SELECT event_type, bucket, n, trail_mean, trail_std, z,
                 CAST(coalesce(abs(z) >= 2.0, false) AS INTEGER)
                   AS is_anomaly
-         FROM z ORDER BY event_type, bucket"""
+         FROM z ORDER BY event_type, bucket""",
+    // PMI collocations: vocabulary pruning, banded co-occurrence,
+    // unordered pair keys, and the PMI arithmetic replayed
+    "q166_pmi_pairs" ->
+      """WITH words AS (
+           SELECT doc_id,
+                  generate_subscripts(arr, 1) - 1 AS pos,
+                  unnest(arr) AS term
+           FROM (SELECT doc_id,
+                        string_split_regex(lower(trim(text)), '\s+')
+                          AS arr
+                 FROM documents)),
+         wf AS (SELECT doc_id, pos, term FROM words WHERE term <> ''),
+         vocab AS (
+           SELECT term FROM (
+             SELECT term, count(*) AS c FROM wf GROUP BY 1
+             ORDER BY c DESC, term LIMIT 100)),
+         hits AS (
+           SELECT w.doc_id, w.pos, w.term
+           FROM wf w JOIN vocab v USING (term)),
+         tot AS (SELECT count(*) AS N FROM hits),
+         na AS (SELECT term, count(*) AS n_t FROM hits GROUP BY 1),
+         pairs AS (
+           SELECT least(a.term, b.term) AS term_a,
+                  greatest(a.term, b.term) AS term_b,
+                  count(*) AS n_ab
+           FROM hits a JOIN hits b ON b.doc_id = a.doc_id
+             AND b.pos > a.pos AND b.pos <= a.pos + 2
+           GROUP BY 1, 2 HAVING count(*) >= 20),
+         pt AS (SELECT CAST(sum(n_ab) AS BIGINT) AS P FROM pairs)
+         SELECT p.term_a, p.term_b, p.n_ab,
+                ln((CAST(p.n_ab AS DOUBLE) / pt.P) /
+                   ((CAST(na1.n_t AS DOUBLE) / tot.N) *
+                    (CAST(na2.n_t AS DOUBLE) / tot.N))) AS pmi
+         FROM pairs p
+         JOIN na na1 ON na1.term = p.term_a
+         JOIN na na2 ON na2.term = p.term_b
+         CROSS JOIN pt CROSS JOIN tot
+         ORDER BY term_a, term_b"""
   )
 }

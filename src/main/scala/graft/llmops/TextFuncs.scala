@@ -418,6 +418,70 @@ object TextFuncs {
         col("score"))
   }
 
+  /** PMI collocation mining (SURVEY §2.10 X137) — pointwise mutual
+    * information over co-occurrence within a ±`window` token span:
+    * PMI(a,b) = ln( p(a,b) / (p(a)·p(b)) ) with p(a,b) = n_ab/P
+    * (pair mass) and p(a) = n_a/N (occurrence mass) — the classic
+    * collocation statistic (Church & Hanks 1990) that surfaces
+    * multiword units ("machine learning") and systematic associations
+    * a bag-of-words view misses. Feeds tokenizer-vocabulary decisions
+    * (which bigrams deserve a merge) and corpus drift checks (an
+    * association that vanishes between versions is a content shift).
+    *
+    * Scale shape: the vocabulary prunes FIRST (top-`topV` corpus
+    * words, deterministic (count desc, word asc) order), so positions
+    * materialize only for vocabulary hits; co-occurrence is a
+    * per-document self-join banded to `window` positions — bounded by
+    * a doc's vocab-hit count × window, never length²; pairs key as
+    * (least, greatest) so (a,b) and (b,a) accumulate together; the
+    * `minCount` floor keeps the output the statistically meaningful
+    * head, not the long noise tail.
+    *
+    * @return (term_a, term_b, n_ab, pmi) with term_a < term_b and
+    *         n_ab ≥ minCount
+    */
+  def pmiPairs(docs: DataFrame, topV: Int = 500, window: Int = 3,
+               minCount: Int = 5, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    require(topV >= 2 && window >= 1 && minCount >= 1,
+      "need topV >= 2, window >= 1, minCount >= 1")
+    val words = docs.select(col(idCol),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+    val vocab = words.groupBy(col("term"))
+      .agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("term")).limit(topV)
+      .select(col("term"))
+    val hits = words.join(broadcast(vocab), Seq("term"))
+    val totals = hits.agg(count(lit(1)).as("__N")).withColumn("__j", lit(1))
+    val na = hits.groupBy(col("term")).agg(count(lit(1)).as("n_t"))
+    val b = hits.select(col(idCol), col("pos").as("__pb"),
+      col("term").as("__tb"))
+    val pairs = hits
+      .join(b, Seq(idCol.toString))
+      .filter(col("__pb") > col("pos") &&
+        col("__pb") <= col("pos") + window)
+      .select(least(col("term"), col("__tb")).as("term_a"),
+        greatest(col("term"), col("__tb")).as("term_b"))
+      .groupBy(col("term_a"), col("term_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    val pTot = pairs.agg(sum(col("n_ab")).as("__P"))
+      .withColumn("__j", lit(1))
+    pairs
+      .join(na.select(col("term").as("term_a"), col("n_t").as("__na")),
+        Seq("term_a"))
+      .join(na.select(col("term").as("term_b"), col("n_t").as("__nb")),
+        Seq("term_b"))
+      .withColumn("__j", lit(1))
+      .join(broadcast(totals), Seq("__j"))
+      .join(broadcast(pTot), Seq("__j"))
+      .select(col("term_a"), col("term_b"), col("n_ab"),
+        log((col("n_ab").cast("double") / col("__P")) /
+          ((col("__na").cast("double") / col("__N")) *
+            (col("__nb").cast("double") / col("__N")))).as("pmi"))
+  }
+
   def lineLangSegments(docs: DataFrame, idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -266,4 +266,35 @@ class TextFuncsSpec extends SparkTestBase {
       .filter($"term" === "alpha").select($"score").as[Double].head()
     assert(math.abs(sc - 3.0 * math.log(3.0)) < 1e-12, s"sc=$sc")
   }
+
+  test("pmiPairs: a systematic collocation scores above independent " +
+      "co-occurrence; pair keys are unordered; minCount floors") {
+    // "neural nets" always adjacent (10x); "the" is everywhere
+    val docs = (0 until 10).map(i =>
+      (i.toLong, s"the neural nets filler$i the stuff$i the end$i"))
+      .toDF("doc_id", "text")
+    val got = TextFuncs.pmiPairs(docs, topV = 50, window = 2,
+        minCount = 5)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val nn = got(("nets", "neural")) // least/greatest key order
+    assert(nn._1 == 10L)
+    // "the"-"neural" co-occurs 10x too, but "the" appears 30x:
+    // its PMI must be strictly lower than the exclusive pair
+    val tn = got(("neural", "the"))
+    assert(nn._2 > tn._2, s"nn=$nn tn=$tn")
+    // minCount: nothing with fewer than 5 co-occurrences survives
+    assert(got.values.forall(_._1 >= 5L))
+  }
+
+  test("pmiPairs: repartition-stable and vocabulary-pruned") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val a = TextFuncs.pmiPairs(docs, topV = 30, window = 2,
+      minCount = 10).collect().map(_.toSeq).toSet
+    val b = TextFuncs.pmiPairs(docs.repartition(7), topV = 30,
+      window = 2, minCount = 10).collect().map(_.toSeq).toSet
+    assert(a.nonEmpty && a == b)
+    // every surviving term is in the top-30 vocabulary
+    assert(a.flatMap(r => Seq(r(0), r(1))).size <= 60)
+  }
 }
