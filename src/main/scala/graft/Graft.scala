@@ -763,6 +763,13 @@ object Graft {
   def stripAccents(text: Column): Column = expr.NormFuncs.strip_accents(text)
   /** Control-strip + whitespace-collapse crawl-payload scrub. */
   def cleanText(text: Column): Column = expr.NormFuncs.clean_text(text)
+  /** Aho-Corasick one-pass blocklist gate (q167). */
+  def containsAny(text: Column, patterns: Seq[String]): Column =
+    expr.MultiMatch.contains_any(text, patterns)
+  /** The distinct blocklist patterns present, in pattern order
+    * (q167). */
+  def matchedTerms(text: Column, patterns: Seq[String]): Column =
+    expr.MultiMatch.matched_terms(text, patterns)
 
   // ---- crawl policy (robots.txt / sitemaps) ------------------------
   /** RFC 9309 verdict, failing OPEN on a null/missing robots file

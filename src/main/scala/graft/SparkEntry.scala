@@ -3209,6 +3209,21 @@ object SparkEntry {
       graft.llmops.TextFuncs.pmiPairs(t(s, d, "documents"),
           topV = 100, window = 2, minCount = 20)
         .orderBy($"term_a", $"term_b")
+    }),
+
+    // Aho-Corasick blocklist matching (X138): one-pass multi-pattern
+    // scan vs the oracle's per-pattern contains() decomposition —
+    // hit flag, distinct-match count, and the matched list (in
+    // pattern order) must all agree on every document.
+    "q167_blocklist" -> ((s, d) => {
+      import s.implicits._
+      val pats = Seq("data", "err", "qua", "zz", "the")
+      val M = graft.expr.MultiMatch
+      t(s, d, "documents").select($"doc_id",
+          M.contains_any($"text", pats).cast("int").as("hit"),
+          size(M.matched_terms($"text", pats)).as("n_terms"),
+          array_join(M.matched_terms($"text", pats), ",").as("terms"))
+        .orderBy($"doc_id")
     })
   )
 
@@ -6599,6 +6614,28 @@ object SparkEntry {
          JOIN na na1 ON na1.term = p.term_a
          JOIN na na2 ON na2.term = p.term_b
          CROSS JOIN pt CROSS JOIN tot
-         ORDER BY term_a, term_b"""
+         ORDER BY term_a, term_b""",
+    // blocklist matching: the per-pattern contains() decomposition —
+    // concat_ws skips the null CASE arms in both engines, so the
+    // matched list reassembles in pattern order exactly
+    "q167_blocklist" ->
+      """SELECT doc_id,
+                CAST(contains(text, 'data') OR contains(text, 'err')
+                  OR contains(text, 'qua') OR contains(text, 'zz')
+                  OR contains(text, 'the') AS INTEGER) AS hit,
+                (CASE WHEN contains(text, 'data') THEN 1 ELSE 0 END +
+                 CASE WHEN contains(text, 'err') THEN 1 ELSE 0 END +
+                 CASE WHEN contains(text, 'qua') THEN 1 ELSE 0 END +
+                 CASE WHEN contains(text, 'zz') THEN 1 ELSE 0 END +
+                 CASE WHEN contains(text, 'the') THEN 1 ELSE 0 END)
+                  AS n_terms,
+                concat_ws(',',
+                  CASE WHEN contains(text, 'data') THEN 'data' END,
+                  CASE WHEN contains(text, 'err') THEN 'err' END,
+                  CASE WHEN contains(text, 'qua') THEN 'qua' END,
+                  CASE WHEN contains(text, 'zz') THEN 'zz' END,
+                  CASE WHEN contains(text, 'the') THEN 'the' END)
+                  AS terms
+         FROM documents ORDER BY doc_id"""
   )
 }

@@ -1,0 +1,165 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.UnaryExpression
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Aho-Corasick multi-pattern matching (SURVEY §2.10 X138) — the
+  * blocklist primitive content filtering needs at corpus scale: test a
+  * document against THOUSANDS of phrases in ONE left-to-right pass
+  * (Aho & Corasick 1975), instead of |patterns| separate contains()
+  * scans. At 100 TB the difference is |patterns|× on the hottest
+  * filter in the pipeline; per-pattern `contains` chains also blow up
+  * codegen's method limits long before a real blocklist size.
+  *
+  * The automaton builds once per (pattern set) per executor — a
+  * goto/fail/output trie over chars — and is shared via a keyed cache;
+  * the expression ships only the pattern array. Matching is exact
+  * case-sensitive substring semantics (callers lowercase both sides
+  * for case-folding — same contract as the tokenizers here).
+  */
+object MultiMatch {
+
+  /** Immutable automaton: flat arrays, safe for concurrent readers. */
+  final class Ac(val patterns: Array[String]) extends Serializable {
+    // trie over exact chars; nodes in breadth-first layout
+    private val gotoMaps =
+      scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.Map.empty[Char, Int])
+    private val out =
+      scala.collection.mutable.ArrayBuffer(List.empty[Int])
+    patterns.zipWithIndex.foreach { case (p, pi) =>
+      var s = 0
+      p.foreach { ch =>
+        s = gotoMaps(s).getOrElseUpdate(ch, {
+          gotoMaps += scala.collection.mutable.Map.empty[Char, Int]
+          out += Nil
+          gotoMaps.size - 1
+        })
+      }
+      if (p.nonEmpty) out(s) = pi :: out(s)
+    }
+    private val fail = new Array[Int](gotoMaps.size)
+    locally { // BFS failure links; outputs accumulate along them
+      val queue = scala.collection.mutable.Queue.empty[Int]
+      gotoMaps(0).values.foreach { s => fail(s) = 0; queue += s }
+      while (queue.nonEmpty) {
+        val r = queue.dequeue()
+        gotoMaps(r).foreach { case (ch, s) =>
+          queue += s
+          var f = fail(r)
+          while (f != 0 && !gotoMaps(f).contains(ch)) f = fail(f)
+          fail(s) = gotoMaps(f).getOrElse(ch, 0)
+          if (fail(s) == s) fail(s) = 0
+          out(s) = out(s) ++ out(fail(s))
+        }
+      }
+    }
+    private val gotoArr: Array[Map[Char, Int]] =
+      gotoMaps.map(_.toMap).toArray
+    private val outArr: Array[Array[Int]] = out.map(_.toArray).toArray
+
+    private def step(state: Int, ch: Char): Int = {
+      var s = state
+      while (s != 0 && !gotoArr(s).contains(ch)) s = fail(s)
+      gotoArr(s).getOrElse(ch, 0)
+    }
+
+    def containsAny(text: String): Boolean = {
+      var s = 0
+      var i = 0
+      while (i < text.length) {
+        s = step(s, text.charAt(i))
+        if (outArr(s).nonEmpty) return true
+        i += 1
+      }
+      false
+    }
+
+    /** Distinct matched patterns, in pattern-list order. */
+    def matched(text: String): Array[Int] = {
+      val seen = new java.util.BitSet(patterns.length)
+      var s = 0
+      var i = 0
+      while (i < text.length) {
+        s = step(s, text.charAt(i))
+        val o = outArr(s)
+        var j = 0
+        while (j < o.length) { seen.set(o(j)); j += 1 }
+        i += 1
+      }
+      val b = Array.newBuilder[Int]
+      var pi = seen.nextSetBit(0)
+      while (pi >= 0) { b += pi; pi = seen.nextSetBit(pi + 1) }
+      b.result()
+    }
+  }
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[Seq[String], Ac]()
+  def automaton(patterns: Seq[String]): Ac =
+    cache.computeIfAbsent(patterns, p => new Ac(p.toArray))
+
+  // static kernels for codegen
+  def containsAnyKernel(text: UTF8String, patterns: Seq[String]): Boolean =
+    automaton(patterns).containsAny(text.toString)
+  def matchedKernel(text: UTF8String, patterns: Seq[String]): ArrayData = {
+    val ac = automaton(patterns)
+    new GenericArrayData(ac.matched(text.toString)
+      .map(i => UTF8String.fromString(ac.patterns(i))))
+  }
+
+  /** `contains_any(text)`: true iff any pattern occurs in `text`. */
+  case class ContainsAny(child: Expression, patterns: Seq[String])
+      extends UnaryExpression {
+    require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
+      "need at least one non-empty pattern")
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "contains_any"
+    override def nullSafeEval(input: Any): Any =
+      containsAnyKernel(input.asInstanceOf[UTF8String], patterns)
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("patterns", patterns,
+        "scala.collection.immutable.Seq")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.expr.MultiMatch.containsAnyKernel($c, $ref);")
+    }
+    override protected def withNewChildInternal(c: Expression)
+        : ContainsAny = copy(child = c)
+  }
+
+  /** `matched_terms(text)`: the distinct patterns occurring in `text`,
+    * in pattern-list order — the audit trail a filter decision needs.
+    */
+  case class MatchedTerms(child: Expression, patterns: Seq[String])
+      extends UnaryExpression {
+    require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
+      "need at least one non-empty pattern")
+    override def dataType: DataType = ArrayType(StringType, false)
+    override def prettyName: String = "matched_terms"
+    override def nullSafeEval(input: Any): Any =
+      matchedKernel(input.asInstanceOf[UTF8String], patterns)
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("patterns", patterns,
+        "scala.collection.immutable.Seq")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.expr.MultiMatch.matchedKernel($c, $ref);")
+    }
+    override protected def withNewChildInternal(c: Expression)
+        : MatchedTerms = copy(child = c)
+  }
+
+  def contains_any(text: Column, patterns: Seq[String]): Column =
+    ColumnBridge.column(ContainsAny(ColumnBridge.expression(text),
+      patterns))
+  def matched_terms(text: Column, patterns: Seq[String]): Column =
+    ColumnBridge.column(MatchedTerms(ColumnBridge.expression(text),
+      patterns))
+}

@@ -1,0 +1,69 @@
+package graft.expr
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class MultiMatchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val classic = Seq("he", "she", "his", "hers")
+
+  test("contains_any / matched_terms: the classic AC fixture — " +
+      "suffix-sharing patterns, overlaps, failure-link matches") {
+    val rows = Seq(
+      (1L, "ushers"),        // matches she (via fail), he, hers
+      (2L, "this"),          // his
+      (3L, "ahead"),         // he
+      (4L, "xyz"),           // nothing
+      (5L, "")               // empty text
+    ).toDF("id", "text")
+    val got = rows.select($"id",
+        MultiMatch.contains_any($"text", classic).as("hit"),
+        MultiMatch.matched_terms($"text", classic).as("terms"))
+      .orderBy($"id")
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        r.getSeq[String](2).toList)).toSeq
+    assert(got == Seq(
+      (1L, true, List("he", "she", "hers")),
+      (2L, true, List("his")),
+      (3L, true, List("he")),
+      (4L, false, Nil),
+      (5L, false, Nil)), s"got=$got")
+  }
+
+  test("differential: contains_any over real documents equals the " +
+      "per-pattern contains() chain; codegen path exercised") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    // real word fragments so both branches fire
+    val pats = Seq("the", "err", "zz", "data", "qua")
+    val naive = pats.map(p => contains($"text", lit(p)))
+      .reduce(_ || _)
+    val diff = docs.select(
+        MultiMatch.contains_any($"text", pats).as("ac"),
+        naive.as("nv"))
+      .filter($"ac" =!= $"nv").count()
+    assert(diff == 0L)
+    // matched_terms agrees with the per-pattern decomposition
+    val row = docs.limit(50).select($"text",
+        MultiMatch.matched_terms($"text", pats).as("m")).collect()
+    row.foreach { r =>
+      val t = r.getString(0)
+      val exp = pats.filter(t.contains(_))
+      assert(r.getSeq[String](1).toList == exp, s"on: ${t.take(40)}")
+    }
+  }
+
+  test("null text yields null, not a crash; single-char patterns; " +
+      "pattern-at-boundary") {
+    val rows = Seq((1L, Some("abc")), (2L, None))
+      .toDF("id", "text")
+    val got = rows.select(
+        MultiMatch.contains_any($"text", Seq("c", "ab")).as("hit"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getBoolean(0)))
+    assert(got.toSeq == Seq(Some(true), None))
+    intercept[IllegalArgumentException] {
+      MultiMatch.contains_any(lit("x"), Seq.empty)
+    }
+  }
+}
