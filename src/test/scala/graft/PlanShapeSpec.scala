@@ -351,6 +351,21 @@ class PlanShapeSpec extends SparkTestBase {
       "a global range sort crept into the race:\n" + p.take(2000))
   }
 
+  test("q167: the AC blocklist expressions evaluate inside a " +
+       "whole-stage codegen span — no fallback to interpreted eval") {
+    val df = SparkEntry.queries("q167_blocklist")(spark, sf0001)
+    df.collect() // finalize AQE so codegen regions render
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("contains_any") && p.contains("matched_terms"),
+      p.take(2000))
+    // the Project carrying the expressions is codegen'd: it renders
+    // inside a WholeStageCodegen star region
+    val star = p.indexOf("*(")
+    val ca = p.indexOf("contains_any")
+    assert(star >= 0 && star < ca,
+      "no codegen span above the AC expressions:\n" + p.take(2000))
+  }
+
   test("q156: the content digest is one projection and one hash " +
        "aggregation — a single exchange on the digest bucket") {
     val p = plan("q156_content_digest")
