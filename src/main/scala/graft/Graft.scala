@@ -538,6 +538,10 @@ object Graft {
   def pmiPairs(docs: DataFrame, topV: Int = 500, window: Int = 3,
                minCount: Int = 5): DataFrame =
     llmops.TextFuncs.pmiPairs(docs, topV, window, minCount)
+  /** Zipf ln-ln OLS over the vocabulary head — slope/intercept/r2
+    * corpus-health stats (q168). */
+  def zipfFit(docs: DataFrame, topN: Int = 200): DataFrame =
+    llmops.TextFuncs.zipfFit(docs, topN)
   /** MMR diversification of a per-query top-N candidate set
     * (Carbonell-Goldstein 1998): greedy lambda*rel - (1-lambda)*maxSim
     * re-rank (q140). */

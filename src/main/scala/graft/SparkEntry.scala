@@ -3224,6 +3224,14 @@ object SparkEntry {
           size(M.matched_terms($"text", pats)).as("n_terms"),
           array_join(M.matched_terms($"text", pats), ",").as("terms"))
         .orderBy($"doc_id")
+    }),
+
+    // Zipf rank-frequency fit (X139): the vocabulary head's OLS fit
+    // of ln(freq) on ln(rank) — counts, ranking, and the closed-form
+    // regression all replay relationally.
+    "q168_zipf_fit" -> ((s, d) => {
+      import s.implicits._
+      graft.llmops.TextFuncs.zipfFit(t(s, d, "documents"), topN = 200)
     })
   )
 
@@ -6636,6 +6644,26 @@ object SparkEntry {
                   CASE WHEN contains(text, 'zz') THEN 'zz' END,
                   CASE WHEN contains(text, 'the') THEN 'the' END)
                   AS terms
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    // Zipf fit: counts, head ranking, and the closed-form OLS replayed
+    "q168_zipf_fit" ->
+      """WITH w AS (
+           SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+             AS term
+           FROM documents),
+         c AS (
+           SELECT term, count(*) AS c FROM w WHERE term <> ''
+           GROUP BY 1 ORDER BY c DESC, term LIMIT 200),
+         r AS (
+           SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, term)
+                  AS DOUBLE)) AS lx,
+                  ln(CAST(c AS DOUBLE)) AS ly
+           FROM c)
+         SELECT count(*) AS n_points,
+                covar_pop(lx, ly) / var_pop(lx) AS slope,
+                avg(ly) - covar_pop(lx, ly) / var_pop(lx) * avg(lx)
+                  AS intercept,
+                corr(lx, ly) * corr(lx, ly) AS r2
+         FROM r"""
   )
 }

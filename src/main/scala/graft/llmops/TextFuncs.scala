@@ -418,6 +418,46 @@ object TextFuncs {
         col("score"))
   }
 
+  /** Zipf rank-frequency fit (SURVEY §2.10 X139) — the corpus-health
+    * one-liner: natural text follows freq ∝ rank^s with s ≈ −1
+    * (Zipf's law); an OLS fit of ln(freq) on ln(rank) over the
+    * vocabulary head summarizes distributional sanity in three
+    * numbers. Template spam flattens the slope (many equal-frequency
+    * boilerplate terms), OCR noise and aggressive dedup steepen it,
+    * and a low r² says the corpus is not natural-language-shaped at
+    * all — a cheap drift tripwire between corpus versions.
+    *
+    * Scale shape: one tokenize scan → word counts; the head is a
+    * TakeOrdered (deterministic (count desc, word asc)); the rank
+    * window and the closed-form OLS (slope = cov/var, r² = corr²)
+    * run over ≤ topN pre-aggregated rows.
+    *
+    * @return one row: (n_points, slope, intercept, r2)
+    */
+  def zipfFit(docs: DataFrame, topN: Int = 200,
+              textCol: String = "text"): DataFrame = {
+    require(topN >= 3, "need at least 3 points to fit")
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term")).limit(topN)
+    val ranked = counts
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("c").desc, col("term"))))
+      .select(log(col("rank").cast("double")).as("lx"),
+        log(col("c").cast("double")).as("ly"))
+    ranked.agg(
+      count(lit(1)).as("n_points"),
+      (covar_pop(col("lx"), col("ly")) / var_pop(col("lx")))
+        .as("slope"),
+      (avg(col("ly")) - covar_pop(col("lx"), col("ly")) /
+        var_pop(col("lx")) * avg(col("lx"))).as("intercept"),
+      (corr(col("lx"), col("ly")) * corr(col("lx"), col("ly")))
+        .as("r2"))
+  }
+
   /** PMI collocation mining (SURVEY §2.10 X137) — pointwise mutual
     * information over co-occurrence within a ±`window` token span:
     * PMI(a,b) = ln( p(a,b) / (p(a)·p(b)) ) with p(a,b) = n_ab/P

@@ -297,4 +297,27 @@ class TextFuncsSpec extends SparkTestBase {
     // every surviving term is in the top-30 vocabulary
     assert(a.flatMap(r => Seq(r(0), r(1))).size <= 60)
   }
+
+  test("zipfFit: an exact power law fits with r2 = 1 and the planted " +
+      "slope; a flat distribution fits slope 0") {
+    // freq(rank) = round(1000 * rank^-1): plant word w_r exactly
+    // freq times -> slope near -1, r2 near 1
+    val rows = (1 to 20).flatMap { r =>
+      val f = math.max(1, math.round(1000.0 * math.pow(r, -1.0)).toInt)
+      Seq.fill(f)(s"w${"%02d".format(r)}")
+    }
+    val docs = Seq(rows.mkString(" ")).toDF("text")
+    val fit = TextFuncs.zipfFit(docs, topN = 20)
+      .select($"n_points", $"slope", $"r2")
+      .as[(Long, Double, Double)].head()
+    assert(fit._1 == 20L)
+    assert(math.abs(fit._2 + 1.0) < 0.01, s"slope=${fit._2}")
+    assert(fit._3 > 0.9999, s"r2=${fit._3}")
+    // flat: every word equally frequent -> slope 0 exactly
+    val flat = Seq((1 to 10).flatMap(i => Seq.fill(7)(s"t$i"))
+      .mkString(" ")).toDF("text")
+    val f2 = TextFuncs.zipfFit(flat, topN = 10)
+      .select($"slope").as[Double].head()
+    assert(f2 == 0.0, s"flat slope=$f2")
+  }
 }
