@@ -1,8 +1,8 @@
 package graft.expr
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.UnaryExpression
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.ColumnBridge
@@ -25,44 +25,47 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object MultiMatch {
 
-  /** Immutable automaton: flat arrays, safe for concurrent readers. */
+  /** Immutable automaton — only the flat arrays survive construction
+    * (the mutable trie builders are locals of the build block), so a
+    * cached Ac costs its final tables, nothing more.
+    */
   final class Ac(val patterns: Array[String]) extends Serializable {
-    // trie over exact chars; nodes in breadth-first layout
-    private val gotoMaps =
-      scala.collection.mutable.ArrayBuffer(
-        scala.collection.mutable.Map.empty[Char, Int])
-    private val out =
-      scala.collection.mutable.ArrayBuffer(List.empty[Int])
-    patterns.zipWithIndex.foreach { case (p, pi) =>
-      var s = 0
-      p.foreach { ch =>
-        s = gotoMaps(s).getOrElseUpdate(ch, {
-          gotoMaps += scala.collection.mutable.Map.empty[Char, Int]
-          out += Nil
-          gotoMaps.size - 1
-        })
+    private val (gotoArr, outArr, fail)
+        : (Array[Map[Char, Int]], Array[Array[Int]], Array[Int]) = {
+      // trie over exact chars; nodes in breadth-first layout
+      val gotoMaps =
+        scala.collection.mutable.ArrayBuffer(
+          scala.collection.mutable.Map.empty[Char, Int])
+      val out =
+        scala.collection.mutable.ArrayBuffer(List.empty[Int])
+      patterns.zipWithIndex.foreach { case (p, pi) =>
+        var s = 0
+        p.foreach { ch =>
+          s = gotoMaps(s).getOrElseUpdate(ch, {
+            gotoMaps += scala.collection.mutable.Map.empty[Char, Int]
+            out += Nil
+            gotoMaps.size - 1
+          })
+        }
+        if (p.nonEmpty) out(s) = pi :: out(s)
       }
-      if (p.nonEmpty) out(s) = pi :: out(s)
-    }
-    private val fail = new Array[Int](gotoMaps.size)
-    locally { // BFS failure links; outputs accumulate along them
+      val fl = new Array[Int](gotoMaps.size)
+      // BFS failure links; outputs accumulate along them
       val queue = scala.collection.mutable.Queue.empty[Int]
-      gotoMaps(0).values.foreach { s => fail(s) = 0; queue += s }
+      gotoMaps(0).values.foreach { s => fl(s) = 0; queue += s }
       while (queue.nonEmpty) {
         val r = queue.dequeue()
         gotoMaps(r).foreach { case (ch, s) =>
           queue += s
-          var f = fail(r)
-          while (f != 0 && !gotoMaps(f).contains(ch)) f = fail(f)
-          fail(s) = gotoMaps(f).getOrElse(ch, 0)
-          if (fail(s) == s) fail(s) = 0
-          out(s) = out(s) ++ out(fail(s))
+          var f = fl(r)
+          while (f != 0 && !gotoMaps(f).contains(ch)) f = fl(f)
+          fl(s) = gotoMaps(f).getOrElse(ch, 0)
+          if (fl(s) == s) fl(s) = 0
+          out(s) = out(s) ++ out(fl(s))
         }
       }
+      (gotoMaps.map(_.toMap).toArray, out.map(_.toArray).toArray, fl)
     }
-    private val gotoArr: Array[Map[Char, Int]] =
-      gotoMaps.map(_.toMap).toArray
-    private val outArr: Array[Array[Int]] = out.map(_.toArray).toArray
 
     private def step(state: Int, ch: Char): Int = {
       var s = state
@@ -100,10 +103,19 @@ object MultiMatch {
     }
   }
 
+  /** Per-JVM automaton cache, crudely bounded: distinct pattern sets
+    * beyond the cap flush the cache (rebuilding an automaton is cheap
+    * next to scanning even one partition) — a long-lived executor
+    * cycling through many tenant blocklists cannot grow memory
+    * without bound.
+    */
+  private val MaxCached = 64
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[Seq[String], Ac]()
-  def automaton(patterns: Seq[String]): Ac =
+  def automaton(patterns: Seq[String]): Ac = {
+    if (cache.size > MaxCached) cache.clear()
     cache.computeIfAbsent(patterns, p => new Ac(p.toArray))
+  }
 
   // static kernels for codegen
   def containsAnyKernel(text: UTF8String, patterns: Seq[String]): Boolean =
@@ -119,6 +131,10 @@ object MultiMatch {
       extends UnaryExpression {
     require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
       "need at least one non-empty pattern")
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string input, got ${child.dataType}")
     override def dataType: DataType = BooleanType
     override def prettyName: String = "contains_any"
     override def nullSafeEval(input: Any): Any =
@@ -141,6 +157,10 @@ object MultiMatch {
       extends UnaryExpression {
     require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
       "need at least one non-empty pattern")
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string input, got ${child.dataType}")
     override def dataType: DataType = ArrayType(StringType, false)
     override def prettyName: String = "matched_terms"
     override def nullSafeEval(input: Any): Any =

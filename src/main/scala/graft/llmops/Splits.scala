@@ -194,17 +194,25 @@ object Splits {
     * @return the k winning rows (all original columns) plus
     *         `race_key`, smallest key first
     */
+  /** The shared race key: u from the first 48 md5 bits of
+    * (id ++ seed), key = −ln(u)/w. ONE definition — both samplers and
+    * both DuckDB oracles must replay the identical arithmetic.
+    */
+  private def raceKey(idCol: String, seed: String, w: Column): Column = {
+    val u = (conv(substring(md5(concat(col(idCol).cast("string"),
+        lit(seed))), 1, 12), 16, 10).cast("long").cast("double") + 0.5) /
+      lit(281474976710656.0) // 2^48
+    -log(u) / w
+  }
+
   def weightedSample(docs: DataFrame, weight: Column, k: Int,
                      seed: String,
                      idCol: String = "doc_id"): DataFrame = {
     require(k > 0, "k must be positive")
-    val u = (conv(substring(md5(concat(col(idCol).cast("string"),
-        lit(seed))), 1, 12), 16, 10).cast("long").cast("double") + 0.5) /
-      lit(281474976710656.0) // 2^48
     docs
       .withColumn("__w", weight.cast("double"))
       .filter(col("__w") > 0.0)
-      .withColumn("race_key", -log(u) / col("__w"))
+      .withColumn("race_key", raceKey(idCol, seed, col("__w")))
       .drop("__w")
       .orderBy(col("race_key"), col(idCol))
       .limit(k)
@@ -229,18 +237,19 @@ object Splits {
   def weightedSamplePerGroup(docs: DataFrame, weight: Column, k: Int,
                              seed: String, groupCol: String,
                              idCol: String = "doc_id"): DataFrame = {
+    // idCol must be UNIQUE: it is the race identity (duplicate ids
+    // share a uniform) and the join-back key (duplicates would
+    // multiply) — the same corpus-primary-key contract as
+    // TrainExport.epochFragments
     require(k > 0, "k must be positive")
     import org.apache.spark.sql.expressions.Window
-    val u = (conv(substring(md5(concat(col(idCol).cast("string"),
-        lit(seed))), 1, 12), 16, 10).cast("long").cast("double") + 0.5) /
-      lit(281474976710656.0)
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col("race_key"), col(idCol))
     val keep = docs
       .withColumn("__w", weight.cast("double"))
       .filter(col("__w") > 0.0)
       .select(col(groupCol), col(idCol),
-        (-log(u) / col("__w")).as("race_key"))
+        raceKey(idCol, seed, col("__w")).as("race_key"))
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= k)
       .select(col(idCol), col("race_key"))

@@ -436,7 +436,11 @@ object TextFuncs {
     */
   def zipfFit(docs: DataFrame, topN: Int = 200,
               textCol: String = "text"): DataFrame = {
-    require(topN >= 3, "need at least 3 points to fit")
+    // fewer than 2 DISTINCT terms (or a perfectly flat head of one
+    // point) has zero ln-rank variance: the fit columns come back
+    // null and n_points says why — the caller's degenerate-corpus
+    // signal, preferred over an extra counting pass just to throw
+    require(topN >= 3, "need topN >= 3")
     import org.apache.spark.sql.expressions.Window
     val counts = docs
       .select(explode(tokens(col(textCol))).as("term"))
@@ -492,7 +496,10 @@ object TextFuncs {
       .agg(count(lit(1)).as("__c"))
       .orderBy(col("__c").desc, col("term")).limit(topV)
       .select(col("term"))
+    // four consumers (totals, the per-term counts, both sides of the
+    // co-occurrence self-join): pin so the corpus tokenizes ONCE
     val hits = words.join(broadcast(vocab), Seq("term"))
+      .localCheckpoint(false)
     val totals = hits.agg(count(lit(1)).as("__N")).withColumn("__j", lit(1))
     val na = hits.groupBy(col("term")).agg(count(lit(1)).as("n_t"))
     val b = hits.select(col(idCol), col("pos").as("__pb"),

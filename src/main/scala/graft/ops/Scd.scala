@@ -79,11 +79,25 @@ object Scd {
                  tsCol: String, attrCols: Seq[String]): DataFrame = {
     val f = facts.withColumn("__fus",
       graft.expr.TimeFuncs.tsMicros(col(tsCol)))
-    AsOf.joinAsOf(f,
-        intervals.select((col(keyCol) +: col("valid_from") +:
-          attrCols.map(col)): _*),
+    // the attributes ride the as-of carry as ONE struct: the carry's
+    // last(_, ignoreNulls) must treat an interval whose ATTRIBUTE is
+    // null as a real observation (not see through it to the previous
+    // interval), and must never mix columns from different intervals —
+    // a struct row is non-null as a whole even when its fields are null
+    val iv = intervals
+      // an empty [T, T) interval (two same-timestamp observations
+      // opened and closed it) can cover no fact and is the only way
+      // two of a key's intervals share valid_from — dropping it keeps
+      // the carry deterministic and matches the BETWEEN formulation
+      .filter(col("valid_to").isNull ||
+        col("valid_to") =!= col("valid_from"))
+      .select(col(keyCol), col("valid_from"),
+        struct(attrCols.map(col): _*).as("__iv_attrs"))
+    AsOf.joinAsOf(f, iv,
         keys = Seq(keyCol), leftTime = "__fus",
-        rightTime = "valid_from", valueCols = attrCols)
-      .drop("__fus")
+        rightTime = "valid_from", valueCols = Seq("__iv_attrs"))
+      .withColumns(attrCols.map(a =>
+        a -> col("__iv_attrs").getField(a)).toMap)
+      .drop("__fus", "__iv_attrs")
   }
 }

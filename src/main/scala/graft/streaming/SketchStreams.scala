@@ -121,18 +121,30 @@ object SketchStreams {
     */
   final class RunningDigest(val nBuckets: Int) extends Serializable {
     @volatile private var state: Map[Long, (Long, Long, Long)] = Map.empty
+    @volatile private var lastBatch: Long = -1L
 
     /** (bucket → (n_rows, xor48, sum32)) of everything so far. */
     def snapshot: Map[Long, (Long, Long, Long)] = state
 
-    private[streaming] def ingest(rows: Seq[(Long, Long, Long, Long)])
+    /** Folds one micro-batch. foreachBatch is AT-LEAST-ONCE: a
+      * checkpoint restart re-delivers the last uncommitted batch with
+      * the SAME batchId, and replaying an exact fold would double the
+      * count/sum lanes and cancel the XOR lane — so replays (batchId
+      * <= the last folded id) are skipped, which is what keeps the
+      * bit-for-bit equality with the batch digest true under the
+      * standard streaming failure model.
+      */
+    private[streaming] def ingest(batchId: Long,
+                                  rows: Seq[(Long, Long, Long, Long)])
         : Unit = {
+      if (batchId <= lastBatch) return
       val s = state
       val merged = rows.foldLeft(s) { case (acc, (b, n, x, sm)) =>
         val (n0, x0, s0) = acc.getOrElse(b, (0L, 0L, 0L))
         acc.updated(b, (n0 + n, x0 ^ x, s0 + sm))
       }
       state = merged
+      lastBatch = batchId
     }
   }
 
@@ -151,7 +163,7 @@ object SketchStreams {
           .collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
             r.getLong(3))).toSeq
-        digest.ingest(rows)
+        digest.ingest(batchId, rows)
         onBatch(digest, batchId)
     }
     (digest, writer)

@@ -358,12 +358,12 @@ class PlanShapeSpec extends SparkTestBase {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("contains_any") && p.contains("matched_terms"),
       p.take(2000))
-    // the Project carrying the expressions is codegen'd: it renders
-    // inside a WholeStageCodegen star region
-    val star = p.indexOf("*(")
-    val ca = p.indexOf("contains_any")
-    assert(star >= 0 && star < ca,
-      "no codegen span above the AC expressions:\n" + p.take(2000))
+    // the Project LINE carrying the expressions must itself render
+    // inside a WholeStageCodegen star region — not merely sit below
+    // some other codegen'd operator
+    val line = p.linesIterator.find(_.contains("contains_any")).get
+    assert("\\*\\(\\d+\\) Project".r.findFirstIn(line).isDefined,
+      "the AC Project is not codegen'd:\n" + line)
   }
 
   test("q156: the content digest is one projection and one hash " +

@@ -65,5 +65,12 @@ class MultiMatchSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       MultiMatch.contains_any(lit("x"), Seq.empty)
     }
+    // non-string input fails at ANALYSIS, not mid-job
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1L).toDF("id")
+        .select(MultiMatch.contains_any($"id", Seq("x"))).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("string") ||
+      err.getMessage.contains("DATATYPE_MISMATCH"), err.getMessage)
   }
 }

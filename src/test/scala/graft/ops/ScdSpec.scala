@@ -76,4 +76,36 @@ class ScdSpec extends SparkTestBase {
       (10L, None), (11L, Some("free")), (12L, Some("free")),
       (13L, Some("pro")), (14L, Some("pro"))), s"got=$got")
   }
+
+  test("lookupJoin: a null-attribute interval serves null — the carry " +
+      "must not see through it to the previous interval; empty " +
+      "same-timestamp intervals never serve") {
+    val log = Seq(
+      (1L, new Timestamp(1000), "free", "eu"),
+      (1L, new Timestamp(3000), null.asInstanceOf[String], "eu")
+    ).toDF("user_id", "ts", "plan", "region")
+    val iv = Scd.intervals(log, "user_id", "ts", Seq("plan", "region"))
+    val facts = Seq((1L, new Timestamp(5000), 1L))
+      .toDF("user_id", "ts", "fact_id")
+    val got = Scd.lookupJoin(facts, iv, "user_id", "ts",
+      Seq("plan", "region")).head()
+    assert(got.isNullAt(got.fieldIndex("plan")),
+      "null-attr interval must serve null, not the previous plan")
+    assert(got.getString(got.fieldIndex("region")) == "eu")
+    // two same-timestamp observations open and close an empty
+    // interval: the survivor at that instant is the later-ordered run
+    val tie = Seq(
+      (2L, new Timestamp(1000), "a", "x"),
+      (2L, new Timestamp(1000), "b", "x")
+    ).toDF("user_id", "ts", "plan", "region")
+    val tiv = Scd.intervals(tie, "user_id", "ts", Seq("plan", "region"))
+    val tf = Seq((2L, new Timestamp(2000), 9L))
+      .toDF("user_id", "ts", "fact_id")
+    val plans = (1 to 3).map { _ =>
+      Scd.lookupJoin(tf, tiv, "user_id", "ts", Seq("plan"))
+        .select($"plan").as[String].head()
+    }
+    assert(plans.toSet == Set("b"),
+      s"empty interval leaked or nondeterminism: $plans")
+  }
 }

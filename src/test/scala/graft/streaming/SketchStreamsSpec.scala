@@ -133,5 +133,11 @@ class SketchStreamsSpec extends SparkTestBase {
     assert(d3.snapshot.values.map(_._1).sum == 2L)
     assert(d3.snapshot.values.forall(_._2 == 0L),
       "even multiplicity must cancel the XOR lane, count lane survives")
+    // at-least-once replay guard: re-delivering an already-folded
+    // batchId must be a no-op (the checkpoint-restart case)
+    val before = digest.snapshot
+    digest.ingest(0L, Seq((0L, 5L, 123L, 456L)))
+    assert(digest.snapshot == before,
+      "a replayed batchId corrupted the exact digest")
   }
 }
