@@ -84,6 +84,46 @@ object MultiMatch {
       false
     }
 
+    /** Redact every occurrence with LEFTMOST-LONGEST semantics: scan
+      * left to right; at each match end, the longest pattern ending
+      * there wins unless it overlaps an already-committed replacement
+      * (earlier-starting matches are committed first). Deterministic:
+      * the same text and pattern set always splice identically.
+      */
+    def redact(text: String, mask: String): String = {
+      // index matches by START, keeping the LONGEST end per start
+      val starts = new java.util.TreeMap[Int, Int]() // start -> max end
+      var s = 0
+      var i = 0
+      while (i < text.length) {
+        s = step(s, text.charAt(i))
+        val o = outArr(s)
+        var j = 0
+        while (j < o.length) {
+          val start = i + 1 - patterns(o(j)).length
+          val prev = starts.get(start)
+          if (prev == null || i + 1 > prev) starts.put(start, i + 1)
+          j += 1
+        }
+        i += 1
+      }
+      if (starts.isEmpty) return text
+      // commit left to right: the earliest start wins, its longest
+      // match claims the span, overlapped later starts are skipped
+      val sb = new java.lang.StringBuilder
+      var pos = 0
+      val it = starts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val (st, en) = (e.getKey.intValue(), e.getValue.intValue())
+        if (st >= pos) {
+          sb.append(text, pos, st).append(mask)
+          pos = en
+        }
+      }
+      sb.append(text, pos, text.length).toString
+    }
+
     /** Distinct matched patterns, in pattern-list order. */
     def matched(text: String): Array[Int] = {
       val seen = new java.util.BitSet(patterns.length)
@@ -120,6 +160,10 @@ object MultiMatch {
   // static kernels for codegen
   def containsAnyKernel(text: UTF8String, patterns: Seq[String]): Boolean =
     automaton(patterns).containsAny(text.toString)
+  def redactKernel(text: UTF8String, patterns: Seq[String],
+                   mask: UTF8String): UTF8String =
+    UTF8String.fromString(
+      automaton(patterns).redact(text.toString, mask.toString))
   def matchedKernel(text: UTF8String, patterns: Seq[String]): ArrayData = {
     val ac = automaton(patterns)
     new GenericArrayData(ac.matched(text.toString)
@@ -176,10 +220,47 @@ object MultiMatch {
         : MatchedTerms = copy(child = c)
   }
 
+  /** `redact_any(text)`: every blocklist occurrence spliced out with
+    * leftmost-longest semantics ("hers" wins over "he"/"hers" at the
+    * same site; committed spans never overlap) and replaced by
+    * `mask` — the enforcement half behind [[ContainsAny]]'s gate and
+    * [[MatchedTerms]]'s audit trail.
+    */
+  case class RedactAny(child: Expression, patterns: Seq[String],
+                       mask: String)
+      extends UnaryExpression {
+    require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
+      "need at least one non-empty pattern")
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string input, got ${child.dataType}")
+    override def dataType: DataType = StringType
+    override def prettyName: String = "redact_any"
+    private lazy val maskU = UTF8String.fromString(mask)
+    override def nullSafeEval(input: Any): Any =
+      redactKernel(input.asInstanceOf[UTF8String], patterns, maskU)
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("patterns", patterns,
+        "scala.collection.immutable.Seq")
+      val mref = ctx.addReferenceObj("mask", maskU,
+        "org.apache.spark.unsafe.types.UTF8String")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.expr.MultiMatch.redactKernel($c, $ref, $mref);")
+    }
+    override protected def withNewChildInternal(c: Expression)
+        : RedactAny = copy(child = c)
+  }
+
   def contains_any(text: Column, patterns: Seq[String]): Column =
     ColumnBridge.column(ContainsAny(ColumnBridge.expression(text),
       patterns))
   def matched_terms(text: Column, patterns: Seq[String]): Column =
     ColumnBridge.column(MatchedTerms(ColumnBridge.expression(text),
       patterns))
+  def redact_any(text: Column, patterns: Seq[String],
+                 mask: String = "<BLOCKED>"): Column =
+    ColumnBridge.column(RedactAny(ColumnBridge.expression(text),
+      patterns, mask))
 }

@@ -73,4 +73,28 @@ class MultiMatchSpec extends SparkTestBase {
     assert(err.getMessage.toLowerCase.contains("string") ||
       err.getMessage.contains("DATATYPE_MISMATCH"), err.getMessage)
   }
+
+  test("redact_any: leftmost-longest — hers beats he; committed spans " +
+      "never overlap; adjacency is fine; text without matches is " +
+      "untouched") {
+    val rows = Seq(
+      (1L, "ushers"),          // "she"[1,4) commits first; "hers"
+                               // starts inside it -> skipped
+      (2L, "hers"),            // start 0: longest is "hers", not "he"
+      (3L, "heshe"),           // [0,2)="he", then [2,5)="she"
+      (4L, "clean text"),
+      (5L, "hehe")             // two adjacent commits
+    ).toDF("id", "text")
+    val got = rows.select($"id",
+        MultiMatch.redact_any($"text", classic, mask = "#").as("r"))
+      .orderBy($"id").select($"r").as[String].collect().toSeq
+    assert(got == Seq("u#rs", "#", "##", "clean text", "##"),
+      s"got=$got")
+    // a mask that itself contains a pattern is NOT rescanned
+    val again = Seq(Tuple1("he"))
+      .toDF("text")
+      .select(MultiMatch.redact_any($"text", classic, "he-he"))
+      .as[String].head()
+    assert(again == "he-he")
+  }
 }
