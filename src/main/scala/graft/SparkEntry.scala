@@ -319,12 +319,25 @@ object SparkEntry {
 
     // llmops language ID heuristic: detected language histogram.
     // Tokenize once in a lower projection; the five per-language hit
-    // counters reference the materialized token array.
+    // counters reference the materialized token array. 20 REAL
+    // unspaced-zh rows are planted closed-form from doc_id arithmetic
+    // (no whitespace anywhere in them) — they only classify as zh
+    // because the script-aware tokenizer isolates each ideograph, so
+    // this oracle pins the no-space-script seam end to end.
     "q22_lang_id" -> ((s, d) => {
       import s.implicits._
-      t(s, d, "documents")
-        .withColumn("toks", graft.llmops.TextFuncs.tokens($"text"))
-        .groupBy(graft.llmops.TextFuncs.langIdFromTokens($"toks").as("detected"))
+      val T = graft.llmops.TextFuncs
+      val base = t(s, d, "documents").select($"doc_id", $"text")
+      // zh stopwords planted: 的 (x doc_id%3+1) and 是 (x1)
+      val zh = base.filter($"doc_id" < 20).select(
+        ($"doc_id" + 900000).as("doc_id"),
+        concat(lit("这"),
+          repeat(lit("的数据很好"),
+            ($"doc_id" % 3 + 1).cast("int")),
+          lit("是一个测试")).as("text"))
+      base.unionByName(zh)
+        .withColumn("toks", T.tokens($"text"))
+        .groupBy(T.langIdFromTokens($"toks").as("detected"))
         .agg(count(lit(1)).as("n"))
         .orderBy($"detected")
     }),
@@ -3232,6 +3245,31 @@ object SparkEntry {
     "q168_zipf_fit" -> ((s, d) => {
       import s.implicits._
       graft.llmops.TextFuncs.zipfFit(t(s, d, "documents"), topN = 200)
+    }),
+
+    // BM25 over a MIXED-SCRIPT corpus: base English docs ∪ 30 planted
+    // UNSPACED-zh docs (closed-form from doc_id — no whitespace in
+    // them). Query 0 is ASCII, query 1 is itself unspaced zh; both go
+    // through the script-aware tokenizer seam (TextFuncs.tokens), so
+    // the zh docs are retrievable at all — with a whitespace-only
+    // tokenizer query 1 would be one giant token and match nothing.
+    // The oracle replays tf/df/idf/dl/score/rank with the same
+    // ideograph-isolating tokenize.
+    "q169_bm25_cjk" -> ((s, d) => {
+      import s.implicits._
+      val base = t(s, d, "documents").select($"doc_id", $"text")
+      val zh = base.filter($"doc_id" < 30).select(
+        ($"doc_id" + 950000).as("doc_id"),
+        concat(lit("质量"),
+          repeat(lit("数据"), ($"doc_id" % 4 + 1).cast("int")),
+          lit("测试好")).as("text"))
+      val docs = base.unionByName(zh)
+      val queries = Seq(
+        (0L, "vector stream"),
+        (1L, "数据测试")).toDF("query_id", "text")
+      graft.llmops.Bm25.topKBatch(docs, queries, k = 10)
+        .select($"query_id", $"rk", $"doc_id", $"n_terms_hit", $"score")
+        .orderBy($"query_id", $"rk")
     })
   )
 
@@ -3437,9 +3475,19 @@ object SparkEntry {
            avg(mwl) AS avg_mwl
          FROM r GROUP BY source ORDER BY source""",
     "q22_lang_id" ->
-      """WITH h AS (
-           SELECT string_split_regex(lower(trim(text)), '\s+') AS toks
-           FROM documents),
+      """WITH docs2 AS (
+           SELECT text FROM documents
+           UNION ALL
+           SELECT chr(36825) ||
+                  repeat(chr(30340)||chr(25968)||chr(25454)||chr(24456)||chr(22909),
+                         (doc_id % 3 + 1)::int) ||
+                  chr(26159)||chr(19968)||chr(20010)||chr(27979)||chr(35797) AS text
+           FROM documents WHERE doc_id < 20),
+         h AS (
+           SELECT string_split_regex(lower(trim(regexp_replace(text,
+                    '([\x{3040}-\x{30ff}\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{f900}-\x{faff}])',
+                    ' \1 ', 'g'))), '\s+') AS toks
+           FROM docs2),
          s AS (
            SELECT
              len(list_filter(toks, t -> t IN ('der','die','und','das','ist','von','mit','den'))) AS h_de,
@@ -6664,6 +6712,71 @@ object SparkEntry {
                 avg(ly) - covar_pop(lx, ly) / var_pop(lx) * avg(lx)
                   AS intercept,
                 corr(lx, ly) * corr(lx, ly) AS r2
-         FROM r"""
+         FROM r""",
+    // Mixed-script BM25: planted unspaced-zh docs built via chr()
+    // (质=36136 量=37327 数=25968 据=25454 测=27979 试=35797 好=22909),
+    // tokenized with the SAME ideograph-isolating regexp_replace as
+    // TextFuncs.tokens, then the full tf/df/idf/score/rank replay.
+    "q169_bm25_cjk" ->
+      """WITH docs2 AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 950000 AS doc_id,
+                  chr(36136)||chr(37327) ||
+                  repeat(chr(25968)||chr(25454), (doc_id % 4 + 1)::int) ||
+                  chr(27979)||chr(35797)||chr(22909) AS text
+           FROM documents WHERE doc_id < 30),
+         toks AS (
+           SELECT doc_id,
+                  string_split_regex(lower(trim(regexp_replace(text,
+                    '([\x{3040}-\x{30ff}\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{f900}-\x{faff}])',
+                    ' \1 ', 'g'))), '\s+') AS l,
+                  CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(lower(trim(regexp_replace(text,
+                         '([\x{3040}-\x{30ff}\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{f900}-\x{faff}])',
+                         ' \1 ', 'g'))), '\s+'))
+                  END AS dl
+           FROM docs2),
+         stats AS (
+           SELECT count(*)::DOUBLE AS n, avg(dl::DOUBLE) AS avgdl
+           FROM toks),
+         q AS (
+           SELECT 0 AS qid, 'vector' AS term
+           UNION ALL SELECT 0, 'stream'
+           UNION ALL SELECT 1, chr(25968)
+           UNION ALL SELECT 1, chr(25454)
+           UNION ALL SELECT 1, chr(27979)
+           UNION ALL SELECT 1, chr(35797)),
+         posts AS (SELECT doc_id, dl, unnest(l) AS term FROM toks),
+         tf AS (
+           SELECT p.doc_id, p.term, count(*)::BIGINT AS tf,
+                  max(p.dl)::DOUBLE AS dl
+           FROM posts p JOIN (SELECT DISTINCT term FROM q) u
+             ON u.term = p.term
+           GROUP BY 1, 2),
+         df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+         idf AS (
+           SELECT term,
+                  ln(1.0 + ((SELECT n FROM stats) - df + 0.5) / (df + 0.5))
+                    AS idf
+           FROM df),
+         contrib AS (
+           SELECT q.qid, tf.doc_id,
+                  idf.idf * (tf.tf * (1.2 + 1)) /
+                    (tf.tf + 1.2 * (1.0 - 0.75 +
+                      0.75 * tf.dl / (SELECT avgdl FROM stats))) AS c
+           FROM tf JOIN idf ON idf.term = tf.term
+                   JOIN q ON q.term = tf.term),
+         sc AS (
+           SELECT qid, doc_id, count(*)::BIGINT AS n_terms_hit,
+                  round(sum(c), 4) AS score
+           FROM contrib GROUP BY 1, 2),
+         ranked AS (
+           SELECT qid, doc_id, n_terms_hit, score, row_number() OVER (
+             PARTITION BY qid ORDER BY score DESC, doc_id) AS rk
+           FROM sc QUALIFY rk <= 10)
+         SELECT qid::BIGINT AS query_id, rk::INTEGER AS rk, doc_id,
+                n_terms_hit, score
+         FROM ranked ORDER BY query_id, rk"""
   )
 }

@@ -10,9 +10,34 @@ import org.apache.spark.sql.functions._
   */
 object TextFuncs {
 
-  /** Whitespace tokenization (lowercased). */
+  /** Codepoint ranges of no-space scripts, as a Java-regex char-class
+    * body: Hiragana/Katakana (3040–30FF), CJK Extension A (3400–4DBF),
+    * CJK Unified Ideographs (4E00–9FFF), CJK Compatibility Ideographs
+    * (F900–FAFF). The DuckDB oracle mirrors the same ranges as an RE2
+    * `\x{....}` class (see the q22/q169 oracle SQL).
+    */
+  val noSpaceScriptClass: String =
+    "\\u3040-\\u30ff\\u3400-\\u4dbf\\u4e00-\\u9fff\\uf900-\\ufaff"
+
+  /** Isolate every no-space-script codepoint as its own
+    * whitespace-delimited token (UAX#29-lite word-break: one ideograph
+    * = one token). Identity on text containing none of those
+    * codepoints, so plain-whitespace oracle mirrors stay exact on
+    * Latin-script corpora.
+    */
+  def isolateNoSpaceScripts(text: Column): Column =
+    regexp_replace(text, s"([$noSpaceScriptClass])", " $1 ")
+
+  /** Script-aware tokenization (lowercased): whitespace split after
+    * isolating no-space-script (CJK/kana) codepoints. Every lexical
+    * operator (BM25, vocab training, TF-IDF embeddings, PMI, language
+    * ID, boilerplate) inherits this seam, so unspaced Chinese/Japanese
+    * text yields one token per ideograph instead of one giant token —
+    * without it BM25 silently matches nothing and langId scores 0 on
+    * real CJK input.
+    */
   def tokens(text: Column): Column =
-    split(lower(trim(text)), "\\s+")
+    split(lower(trim(isolateNoSpaceScripts(text))), "\\s+")
 
   /** Token count — whitespace tokenizer. */
   def tokenCount(text: Column): Column =

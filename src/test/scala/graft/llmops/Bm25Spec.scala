@@ -153,6 +153,20 @@ class Bm25Spec extends SparkTestBase {
     assert(again == first)
   }
 
+  test("CJK: unspaced zh docs and an unspaced zh query both tokenize " +
+      "to >1 term and retrieve (script-aware seam)") {
+    val cjkDocs = Seq(
+      (1L, "数据质量很好"), // unspaced zh with 数据
+      (2L, "english document about streams"),
+      (3L, "测试文档")).toDF("doc_id", "text")
+    val queries = Seq((0L, "数据")).toDF("query_id", "text")
+    val got = Bm25.topKBatch(cjkDocs, queries, k = 3)
+    val rows = got.select($"doc_id", $"n_terms_hit")
+      .as[(Long, Long)].collect().toSeq
+    // only doc 1 contains 数 and 据; both single-ideograph terms hit
+    assert(rows == Seq((1L, 2L)))
+  }
+
   test("decontaminationProbe: min-score gate on the batch ranking") {
     val bench = Seq((10L, "quarterly earnings"), (11L, "cat videos"))
       .toDF("query_id", "text")

@@ -297,6 +297,17 @@ class VocabSpec extends SparkTestBase {
       ("b", 3L, 2L, 1L, 1L, 1.0 / 3)), s"got=$got")
   }
 
+  test("coverageStats: unspaced CJK text counts one token per " +
+      "ideograph (script-aware seam), not one giant token") {
+    val docs = Seq(("zh", "数据数据好")).toDF("source", "text")
+    val vocab = Seq("数", "据").toDF("token")
+    val got = Vocab.coverageStats(docs, vocab, $"text", "source")
+      .select($"n_tokens", $"n_types", $"oov_tokens")
+      .as[(Long, Long, Long)].head()
+    // tokens: 数×2 据×2 好×1 → 5 tokens, 3 types, 好 is the one OOV
+    assert(got == ((5L, 3L, 1L)))
+  }
+
   test("coverageStats: empty vocab marks everything OOV; full vocab " +
       "marks nothing; repartition-stable") {
     val docs = Seq(("a", "x y"), ("b", "x")).toDF("source", "text")
