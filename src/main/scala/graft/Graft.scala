@@ -767,11 +767,16 @@ object Graft {
   def stripAccents(text: Column): Column = expr.NormFuncs.strip_accents(text)
   /** Control-strip + whitespace-collapse crawl-payload scrub. */
   def cleanText(text: Column): Column = expr.NormFuncs.clean_text(text)
-  /** Aho-Corasick one-pass blocklist gate (q167). */
+  /** Aho-Corasick one-pass blocklist gate (q167). CASE-SENSITIVE
+    * exact substring match — unlike the tokenizers here, nothing is
+    * lowercased for you. Pass `lower(text)` and lowercased patterns
+    * (what `Corpus.clean(blocklist = …)` does by default) unless the
+    * blocklist is deliberately case-sensitive.
+    */
   def containsAny(text: Column, patterns: Seq[String]): Column =
     expr.MultiMatch.contains_any(text, patterns)
   /** The distinct blocklist patterns present, in pattern order
-    * (q167). */
+    * (q167). Case-sensitive — see [[containsAny]]. */
   def matchedTerms(text: Column, patterns: Seq[String]): Column =
     expr.MultiMatch.matched_terms(text, patterns)
 

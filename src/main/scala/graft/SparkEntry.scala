@@ -6654,14 +6654,17 @@ object SparkEntry {
            FROM wf w JOIN vocab v USING (term)),
          tot AS (SELECT count(*) AS N FROM hits),
          na AS (SELECT term, count(*) AS n_t FROM hits GROUP BY 1),
-         pairs AS (
+         pairs_all AS (
            SELECT least(a.term, b.term) AS term_a,
                   greatest(a.term, b.term) AS term_b,
                   count(*) AS n_ab
            FROM hits a JOIN hits b ON b.doc_id = a.doc_id
              AND b.pos > a.pos AND b.pos <= a.pos + 2
-           GROUP BY 1, 2 HAVING count(*) >= 20),
-         pt AS (SELECT CAST(sum(n_ab) AS BIGINT) AS P FROM pairs)
+           GROUP BY 1, 2),
+         -- P over ALL co-occurrences; the minCount floor only gates
+         -- which rows are reported (matches TextFuncs.pmiPairs)
+         pt AS (SELECT CAST(sum(n_ab) AS BIGINT) AS P FROM pairs_all),
+         pairs AS (SELECT * FROM pairs_all WHERE n_ab >= 20)
          SELECT p.term_a, p.term_b, p.n_ab,
                 ln((CAST(p.n_ab AS DOUBLE) / pt.P) /
                    ((CAST(na1.n_t AS DOUBLE) / tot.N) *

@@ -147,7 +147,17 @@ object MultiMatch {
     * beyond the cap flush the cache (rebuilding an automaton is cheap
     * next to scanning even one partition) — a long-lived executor
     * cycling through many tenant blocklists cannot grow memory
-    * without bound.
+    * without bound. The size check → clear() is racy by design: a
+    * concurrent insert between the check and the clear at worst drops
+    * a fresh entry, costing one rebuild — never a wrong result.
+    *
+    * The expressions below do NOT hit this cache per row: each
+    * expression instance resolves its Ac ONCE (a `@transient lazy
+    * val` on the interpreted path, an `addReferenceObj` of the
+    * resolved Ac on the codegen path), so matching costs O(|text|)
+    * per row with no per-row `Seq[String].hashCode` — which is
+    * O(|patterns|) and would erode exactly the |patterns|× win the
+    * automaton buys at real blocklist sizes.
     */
   private val MaxCached = 64
   private val cache =
@@ -157,18 +167,16 @@ object MultiMatch {
     cache.computeIfAbsent(patterns, p => new Ac(p.toArray))
   }
 
-  // static kernels for codegen
-  def containsAnyKernel(text: UTF8String, patterns: Seq[String]): Boolean =
-    automaton(patterns).containsAny(text.toString)
-  def redactKernel(text: UTF8String, patterns: Seq[String],
+  // static kernels for codegen — take the RESOLVED automaton, so the
+  // generated code carries no per-row pattern-list lookup
+  def containsAnyKernel(text: UTF8String, ac: Ac): Boolean =
+    ac.containsAny(text.toString)
+  def redactKernel(text: UTF8String, ac: Ac,
                    mask: UTF8String): UTF8String =
-    UTF8String.fromString(
-      automaton(patterns).redact(text.toString, mask.toString))
-  def matchedKernel(text: UTF8String, patterns: Seq[String]): ArrayData = {
-    val ac = automaton(patterns)
+    UTF8String.fromString(ac.redact(text.toString, mask.toString))
+  def matchedKernel(text: UTF8String, ac: Ac): ArrayData =
     new GenericArrayData(ac.matched(text.toString)
       .map(i => UTF8String.fromString(ac.patterns(i))))
-  }
 
   /** `contains_any(text)`: true iff any pattern occurs in `text`. */
   case class ContainsAny(child: Expression, patterns: Seq[String])
@@ -181,12 +189,12 @@ object MultiMatch {
         s"$prettyName requires a string input, got ${child.dataType}")
     override def dataType: DataType = BooleanType
     override def prettyName: String = "contains_any"
+    @transient private lazy val ac = automaton(patterns)
     override def nullSafeEval(input: Any): Any =
-      containsAnyKernel(input.asInstanceOf[UTF8String], patterns)
+      containsAnyKernel(input.asInstanceOf[UTF8String], ac)
     override protected def doGenCode(ctx: CodegenContext,
                                      ev: ExprCode): ExprCode = {
-      val ref = ctx.addReferenceObj("patterns", patterns,
-        "scala.collection.immutable.Seq")
+      val ref = ctx.addReferenceObj("ac", ac, "graft.expr.MultiMatch.Ac")
       nullSafeCodeGen(ctx, ev, c =>
         s"${ev.value} = graft.expr.MultiMatch.containsAnyKernel($c, $ref);")
     }
@@ -207,12 +215,12 @@ object MultiMatch {
         s"$prettyName requires a string input, got ${child.dataType}")
     override def dataType: DataType = ArrayType(StringType, false)
     override def prettyName: String = "matched_terms"
+    @transient private lazy val ac = automaton(patterns)
     override def nullSafeEval(input: Any): Any =
-      matchedKernel(input.asInstanceOf[UTF8String], patterns)
+      matchedKernel(input.asInstanceOf[UTF8String], ac)
     override protected def doGenCode(ctx: CodegenContext,
                                      ev: ExprCode): ExprCode = {
-      val ref = ctx.addReferenceObj("patterns", patterns,
-        "scala.collection.immutable.Seq")
+      val ref = ctx.addReferenceObj("ac", ac, "graft.expr.MultiMatch.Ac")
       nullSafeCodeGen(ctx, ev, c =>
         s"${ev.value} = graft.expr.MultiMatch.matchedKernel($c, $ref);")
     }
@@ -238,12 +246,12 @@ object MultiMatch {
     override def dataType: DataType = StringType
     override def prettyName: String = "redact_any"
     private lazy val maskU = UTF8String.fromString(mask)
+    @transient private lazy val ac = automaton(patterns)
     override def nullSafeEval(input: Any): Any =
-      redactKernel(input.asInstanceOf[UTF8String], patterns, maskU)
+      redactKernel(input.asInstanceOf[UTF8String], ac, maskU)
     override protected def doGenCode(ctx: CodegenContext,
                                      ev: ExprCode): ExprCode = {
-      val ref = ctx.addReferenceObj("patterns", patterns,
-        "scala.collection.immutable.Seq")
+      val ref = ctx.addReferenceObj("ac", ac, "graft.expr.MultiMatch.Ac")
       val mref = ctx.addReferenceObj("mask", maskU,
         "org.apache.spark.unsafe.types.UTF8String")
       nullSafeCodeGen(ctx, ev, c =>

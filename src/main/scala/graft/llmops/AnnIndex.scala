@@ -59,11 +59,29 @@ object AnnIndex {
     val live = spark.read.parquet(path)
       .join(tombs, Seq(corpusId), "left_anti")
       .localCheckpoint()
+    // The root overwrite below deletes _models/_stats along with the
+    // codes; until they re-save they exist only in driver memory. A
+    // crash in that window would otherwise lose the trained models
+    // FOREVER (the index would be unserveable) — so they land in a
+    // sibling backup FIRST, which is removed only after the re-save
+    // completes. Recovery from a crash: copy `<path>.compactbak/*`
+    // back under `<path>/`. For compaction with NO serve outage risk
+    // at all, use [[compactVersioned]].
+    val bak = s"$path.compactbak"
+    Models.saveIvfAdc(spark, s"$bak/_models", cents, books)
+    metrics.coalesce(1).write.mode("overwrite")
+      .parquet(s"$bak/_stats/metrics")
     live.repartition(col("list_id"))
       .write.mode("overwrite").partitionBy("list_id").parquet(path)
     Models.saveIvfAdc(spark, s"$path/_models", cents, books)
     metrics.coalesce(1).write.mode("overwrite")
       .parquet(s"$path/_stats/metrics")
+    deleteDir(spark, bak)
+  }
+
+  private def deleteDir(spark: SparkSession, p: String): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sessionState.newHadoopConf()).delete(hp, true)
   }
 
   /** Train (or accept) models and write the index: parquet
@@ -268,4 +286,108 @@ object AnnIndex {
       .filter(col("sim").isNotNull)
     VectorFuncs.rerankTopK(scored, k, queryId, corpusId, impl)
   }
+
+  // ------------------------------------------------------------------
+  // Versioned lifecycle ([[VersionedIndex]]): compact and retrain
+  // UNDER SERVE. Both are rewrite-shaped (compact rewrites the codes;
+  // retrain replaces the models AND every code), so in a serving
+  // deployment they write a fresh immutable v<N> and flip the pointer
+  // — a racing query reads the old version or the new one bit-exactly,
+  // never torn state, and the drift→retrain→re-encode→swap loop the
+  // drift probe exists for becomes one call.
+  // ------------------------------------------------------------------
+
+  /** [[write]] into a fresh version under a [[VersionedIndex]] root,
+    * then publish. Returns (version, (centroids, codebooks)).
+    */
+  def writeVersioned(corpus: DataFrame, root: String,
+                     nlist: Int = 16, coarseIters: Int = 2,
+                     m: Int = 8, codewords: Int = 16, pqIters: Int = 2,
+                     corpusId: String = "vec_id",
+                     corpusVec: String = "embedding")
+      : (Int, (Array[Array[Float]], Array[Array[Array[Float]]])) = {
+    val spark = corpus.sparkSession
+    val v = VersionedIndex.next(spark, root)
+    val models = write(corpus, VersionedIndex.versionPath(root, v),
+      nlist, coarseIters, m, codewords, pqIters, corpusId, corpusVec)
+    VersionedIndex.publish(spark, root, v)
+    (v, models)
+  }
+
+  /** Copy-compact: the current version's live codes (tombstones
+    * anti-joined away) land consolidated as v<N+1> with the SAME
+    * models and training metrics carried through, then publish. The
+    * superseded version is never touched. Returns the new version.
+    */
+  def compactVersioned(spark: SparkSession, root: String,
+                       corpusId: String = "vec_id"): Int = {
+    val src = VersionedIndex.currentPath(spark, root)
+    val v = VersionedIndex.next(spark, root)
+    val dst = VersionedIndex.versionPath(root, v)
+    val (cents, books) = loadModels(spark, src)
+    val codesAll = spark.read.parquet(src)
+    val live =
+      if (dirExists(spark, s"$src/_tombstones/ids"))
+        codesAll.join(
+          spark.read.parquet(s"$src/_tombstones/ids")
+            .select(col("id").as(corpusId)).distinct(),
+          Seq(corpusId), "left_anti")
+      else codesAll
+    // dst is fresh: codes first, then models/metrics, then publish —
+    // a crash anywhere leaves an unpublished partial dir that the
+    // next attempt simply skips past
+    live.repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(dst)
+    Models.saveIvfAdc(spark, s"$dst/_models", cents, books)
+    spark.read.parquet(s"$src/_stats/metrics")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dst/_stats/metrics")
+    VersionedIndex.publish(spark, root, v)
+    v
+  }
+
+  /** The composed drift→retrain→re-encode→swap step the drift probe
+    * is FOR. Probes `newBatch` against the CURRENT version's models;
+    * if either drift axis exceeds `maxRatio`, the FULL corpus (the
+    * caller supplies it — an index stores codes, not vectors — and it
+    * must already include the new batch) retrains and re-encodes as a
+    * fresh published version; otherwise the batch appends into the
+    * current version (additive, serve-safe). Returns
+    * (retrained, servingVersion).
+    */
+  def retrainIfDrifted(spark: SparkSession, corpus: DataFrame,
+                       newBatch: DataFrame, root: String,
+                       maxRatio: Double = 2.0,
+                       nlist: Int = 16, coarseIters: Int = 2,
+                       m: Int = 8, codewords: Int = 16, pqIters: Int = 2,
+                       corpusId: String = "vec_id",
+                       corpusVec: String = "embedding"): (Boolean, Int) = {
+    require(maxRatio > 0, "maxRatio must be positive")
+    val cur = VersionedIndex.currentPath(spark, root)
+    val d = drift(spark, newBatch, cur, corpusVec).head()
+    val ratio = d.getAs[Double]("ratio")
+    val recon = d.getAs[Double]("recon_ratio")
+    val drifted = (!ratio.isNaN && ratio > maxRatio) ||
+      (!recon.isNaN && recon > maxRatio)
+    if (drifted) {
+      val (v, _) = writeVersioned(corpus, root, nlist, coarseIters, m,
+        codewords, pqIters, corpusId, corpusVec)
+      (true, v)
+    } else {
+      append(spark, newBatch, cur, corpusId, corpusVec)
+      (false, VersionedIndex.current(spark, root).get)
+    }
+  }
+
+  /** [[topK]] against the CURRENT version of a versioned root: the
+    * pointer resolves once per call; the batch serves from that
+    * immutable snapshot.
+    */
+  def topKVersioned(spark: SparkSession, root: String, queries: DataFrame,
+                    k: Int, nprobe: Int = 4,
+                    corpusId: String = "vec_id",
+                    queryId: String = "query_id",
+                    queryVec: String = "query_vec",
+                    impl: String = "agg", scan: String = "lut"): DataFrame =
+    topK(spark, VersionedIndex.currentPath(spark, root), queries, k,
+      nprobe, corpusId, queryId, queryVec, impl, scan)
 }

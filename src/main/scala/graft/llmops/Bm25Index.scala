@@ -139,6 +139,23 @@ object Bm25Index {
       : Unit = {
     Bm25.requireIntegralId(newDocs, idCol, "doc")
     val spark = newDocs.sparkSession
+    // re-appending a TOMBSTONED id before compact is a correctness
+    // trap: the serve-time anti-join would shadow the new postings
+    // while the stats subtraction double-counts its doclens rows —
+    // and silently pruning the tombstone here would resurrect the OLD
+    // postings instead. Fail loudly; upsert is delete → compact →
+    // append (what Retrieval.upsertDocs sequences).
+    if (dirExists(spark, s"$path/tombstones")) {
+      val doomed = spark.read.parquet(s"$path/tombstones")
+        .select(col("id")).distinct()
+      val clash = newDocs.select(col(idCol).cast("long").as("id"))
+        .join(doomed, Seq("id"), "left_semi").limit(1).count()
+      require(clash == 0,
+        s"append: a new $idCol is tombstoned in $path — re-appending " +
+          "before compact would serve shadowed postings and " +
+          "double-counted stats; run compact first (or " +
+          "Retrieval.upsertDocs, which sequences delete/compact/append)")
+    }
     val nBuckets = spark.read.parquet(s"$path/params")
       .select(col("n_buckets")).head().getInt(0)
     newDocs.select(col(idCol).as("id"),
@@ -316,4 +333,79 @@ object Bm25Index {
            queryTextCol: String = "text"): DataFrame =
     Bm25.rankTail(scores(spark, path, queries, k1, b, idCol,
       queryIdCol, queryTextCol), k, queryIdCol, idCol)
+
+  // ------------------------------------------------------------------
+  // Versioned lifecycle ([[VersionedIndex]]): compact-under-serve.
+  // The in-place [[compact]] rewrites postings under the serving path
+  // — correct when nothing races it; a serve issued MID-compact can
+  // read torn state. The versioned variants write each maintenance
+  // result as a fresh immutable v<N> and flip the pointer atomically,
+  // so a serve sees the old index or the new one, never a mix.
+  // ------------------------------------------------------------------
+
+  /** [[write]] into a fresh version under a [[VersionedIndex]] root,
+    * then publish it. Returns the version number.
+    */
+  def writeVersioned(docs: DataFrame, root: String, nBuckets: Int = 64,
+                     idCol: String = "doc_id", textCol: String = "text")
+      : Int = {
+    val spark = docs.sparkSession
+    val v = VersionedIndex.next(spark, root)
+    write(docs, VersionedIndex.versionPath(root, v), nBuckets,
+      idCol, textCol)
+    VersionedIndex.publish(spark, root, v)
+    v
+  }
+
+  /** Copy-compact: the current version's postings/doclens, minus its
+    * tombstones, land as a fresh v<N+1> (consolidated files, stats
+    * collapsed to one recomputed base row, no tombstone store), which
+    * then publishes. The superseded version is NEVER touched — serves
+    * that resolved it finish bit-exactly; [[VersionedIndex.prune]]
+    * reclaims it later. Returns the new version.
+    */
+  def compactVersioned(spark: SparkSession, root: String): Int = {
+    val src = VersionedIndex.currentPath(spark, root)
+    val v = VersionedIndex.next(spark, root)
+    val dst = VersionedIndex.versionPath(root, v)
+    val hasTombs = dirExists(spark, s"$src/tombstones")
+    val tombs =
+      if (hasTombs)
+        spark.read.parquet(s"$src/tombstones").select(col("id")).distinct()
+      else null
+    val postsRaw = spark.read.parquet(s"$src/postings")
+      .dropDuplicates("id", "term")
+    val posts = if (hasTombs) postsRaw.join(tombs, Seq("id"), "left_anti")
+      else postsRaw
+    // src ≠ dst, so no checkpoint is needed: nothing reads a directory
+    // it is overwriting
+    posts.repartition(col("term_bucket"))
+      .write.mode("overwrite").partitionBy("term_bucket")
+      .parquet(s"$dst/postings")
+    val lensRaw = spark.read.parquet(s"$src/doclens").dropDuplicates("id")
+    val lens = (if (hasTombs) lensRaw.join(tombs, Seq("id"), "left_anti")
+      else lensRaw).select(col("id"), col("dl"))
+    lens.withColumn("batch", lit("base"))
+      .write.mode("overwrite").parquet(s"$dst/doclens")
+    lens.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0.0)).as("sum_dl"))
+      .withColumn("batch", lit("base"))
+      .write.mode("overwrite").parquet(s"$dst/stats")
+    spark.read.parquet(s"$src/params")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dst/params")
+    VersionedIndex.publish(spark, root, v)
+    v
+  }
+
+  /** [[topK]] against the CURRENT version of a versioned root: the
+    * pointer resolves once per call, and the whole query batch serves
+    * from that immutable snapshot.
+    */
+  def topKVersioned(spark: SparkSession, root: String, queries: DataFrame,
+                    k: Int, k1: Double = 1.2, b: Double = 0.75,
+                    idCol: String = "doc_id",
+                    queryIdCol: String = "query_id",
+                    queryTextCol: String = "text"): DataFrame =
+    topK(spark, VersionedIndex.currentPath(spark, root), queries, k,
+      k1, b, idCol, queryIdCol, queryTextCol)
 }

@@ -16,6 +16,10 @@ import org.apache.spark.sql.functions._
   *                                 dedup as distinct;
   *  1. quality / language gate   — narrow, cheapest, runs first so
   *                                 every later stage sees fewer rows;
+  *                                 includes the optional Aho-Corasick
+  *                                 blocklist gate (case-folded on both
+  *                                 sides by default — MultiMatch itself
+  *                                 is case-sensitive);
   *  1b. model gates (optional)   — LM perplexity ≤ maxNll and/or
   *                                 classifier prob ≥ minModelProb:
   *                                 join-shaped, so they run after the
@@ -75,6 +79,8 @@ object Corpus {
             dropLineBoilerplateMinDocs: Option[Int] = None,
             dsir: Option[(Map[String, Double], Double, Double)] = None,
             normalizeUnicode: Boolean = false,
+            blocklist: Option[Seq[String]] = None,
+            blocklistCaseFold: Boolean = true,
             idCol: String = "doc_id",
             textCol: String = "text"): DataFrame = {
     val T = TextFuncs
@@ -118,7 +124,19 @@ object Corpus {
           q1.filter(T.duplicateLineFraction(col(textCol)) <=
             maxDupLineFrac)
         else q1
-      lang.fold(q2)(l => q2.filter(T.langId(col(textCol)) === l))
+      // blocklist gate: one Aho-Corasick pass over the text (q167's
+      // expression), in the narrow-projection family. MultiMatch
+      // matches EXACT case-sensitive substrings; blocklistCaseFold
+      // (default ON) lowercases BOTH sides so a composed clean cannot
+      // silently miss "Viagra" against a lowercase blocklist — turn it
+      // off only when the blocklist is deliberately case-sensitive.
+      val blocked = blocklist.fold(q2) { pats =>
+        val (side, ps) =
+          if (blocklistCaseFold) (lower(col(textCol)), pats.map(_.toLowerCase))
+          else (col(textCol), pats)
+        q2.filter(!graft.expr.MultiMatch.contains_any(side, ps.distinct))
+      }
+      lang.fold(blocked)(l => blocked.filter(T.langId(col(textCol)) === l))
     }
     // model gates AFTER the narrow heuristics (they involve joins, so
     // every heuristically-dropped row is a join row saved), BEFORE

@@ -245,6 +245,81 @@ object Retrieval {
     if (hadTombs) deleteDir(spark, s"$path/chunk_tombstones")
   }
 
+  // ------------------------------------------------------------------
+  // Versioned lifecycle ([[VersionedIndex]]): the retrieval stack
+  // under serve. [[compact]] overwrites chunks/index/lexical in place
+  // — a hybrid serve racing it can read torn state across tiers. The
+  // versioned variants write each maintenance result as one complete
+  // immutable v<N> (chunks + ANN index + lexical + params move
+  // TOGETHER, so a serve never joins one tier's new files against
+  // another's old ones) and flip the pointer atomically.
+  // ------------------------------------------------------------------
+
+  /** [[buildIndex]] into a fresh version under a [[VersionedIndex]]
+    * root, then publish. Returns the version.
+    */
+  def buildIndexVersioned(docs: DataFrame, root: String,
+                          targetChars: Int = 400, dim: Int = 256,
+                          nlist: Int = 16, m: Int = 8,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): Int = {
+    val spark = docs.sparkSession
+    val v = VersionedIndex.next(spark, root)
+    buildIndex(docs, VersionedIndex.versionPath(root, v), targetChars,
+      dim, nlist, m, idCol, textCol)
+    VersionedIndex.publish(spark, root, v)
+    v
+  }
+
+  /** Copy-compact: the current version's surviving chunk rows
+    * (vec_id-deduped, chunk tombstones anti-joined) land at v<N+1>,
+    * every serving artifact re-derives from them with the PERSISTED
+    * models (no retrain), then the pointer flips. The superseded
+    * version is never touched — a serve that resolved it finishes
+    * bit-exactly. Returns the new version.
+    */
+  def compactVersioned(spark: SparkSession, root: String): Int = {
+    val src = VersionedIndex.currentPath(spark, root)
+    val v = VersionedIndex.next(spark, root)
+    val dst = VersionedIndex.versionPath(root, v)
+    val raw = spark.read.parquet(s"$src/chunks").dropDuplicates("vec_id")
+    val deduped =
+      if (dirExists(spark, s"$src/chunk_tombstones"))
+        raw.join(spark.read.parquet(s"$src/chunk_tombstones")
+            .select(col("vec_id")).distinct(),
+          Seq("vec_id"), "left_anti")
+      else raw
+    deduped.write.mode("overwrite").parquet(s"$dst/chunks")
+    val persisted = spark.read.parquet(s"$dst/chunks")
+    val dim = spark.read.parquet(s"$src/params")
+      .select(col("dim")).head().getInt(0)
+    val (cents, books) = AnnIndex.loadModels(spark, s"$src/index")
+    AnnIndex.writeWithModels(
+      VectorFuncs.hashedEmbedding(persisted, dim,
+        idCol = "vec_id", textCol = "chunk_text"),
+      s"$dst/index", cents, books)
+    if (hasLexical(spark, src))
+      Bm25Index.write(persisted, s"$dst/lexical",
+        idCol = "vec_id", textCol = "chunk_text")
+    spark.read.parquet(s"$src/params")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dst/params")
+    VersionedIndex.publish(spark, root, v)
+    v
+  }
+
+  /** [[search]] against the CURRENT version of a versioned root — the
+    * pointer resolves once per call, so the batch's ANN probe and
+    * chunk join read ONE immutable snapshot. The other serve entry
+    * points compose the same way:
+    * `hybridSearch(spark, VersionedIndex.currentPath(spark, root), …)`.
+    */
+  def searchVersioned(spark: SparkSession, root: String,
+                      queries: DataFrame, k: Int = 5, nprobe: Int = 4,
+                      queryId: String = "query_id",
+                      textCol: String = "text"): DataFrame =
+    search(spark, VersionedIndex.currentPath(spark, root), queries, k,
+      nprobe, queryId, textCol)
+
   /** Diversified retrieval: [[search]] fetches `fetchK` candidates per
     * question, each hit's chunk text re-embeds in the SAME hash space
     * the index was built in (the true vectors are PQ-coded on disk —

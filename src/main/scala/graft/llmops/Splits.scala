@@ -240,7 +240,12 @@ object Splits {
     // idCol must be UNIQUE: it is the race identity (duplicate ids
     // share a uniform) and the join-back key (duplicates would
     // multiply) — the same corpus-primary-key contract as
-    // TrainExport.epochFragments
+    // TrainExport.epochFragments. Enforced LOUDLY below: a duplicated
+    // id can only corrupt the result when a sampled id matches more
+    // than one source row, so the guard counts matches per id over
+    // the (small, ≈ k·|groups|) sampled set and raises — never a
+    // silent row multiplication (the Bm25Index id-rejection
+    // precedent).
     require(k > 0, "k must be positive")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(groupCol))
@@ -253,6 +258,15 @@ object Splits {
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= k)
       .select(col(idCol), col("race_key"))
+    val wid = Window.partitionBy(col(idCol))
     docs.join(keep, Seq(idCol), "inner")
+      .withColumn("__idn", count(lit(1)).over(wid))
+      .withColumn("__uniq", assert_true(col("__idn") === 1,
+        concat(lit(s"weightedSamplePerGroup: duplicate $idCol '"),
+          col(idCol).cast("string"),
+          lit("' — ids must be unique (the race identity and the " +
+            "join-back key); sample on a unique key or pre-dedupe"))))
+      .filter(col("__uniq").isNull) // assert_true: null on pass
+      .drop("__idn", "__uniq")
   }
 }

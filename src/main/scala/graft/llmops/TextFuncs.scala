@@ -529,7 +529,7 @@ object TextFuncs {
     val na = hits.groupBy(col("term")).agg(count(lit(1)).as("n_t"))
     val b = hits.select(col(idCol), col("pos").as("__pb"),
       col("term").as("__tb"))
-    val pairs = hits
+    val pairsAll = hits
       .join(b, Seq(idCol.toString))
       .filter(col("__pb") > col("pos") &&
         col("__pb") <= col("pos") + window)
@@ -537,9 +537,13 @@ object TextFuncs {
         greatest(col("term"), col("__tb")).as("term_b"))
       .groupBy(col("term_a"), col("term_b"))
       .agg(count(lit(1)).as("n_ab"))
-      .filter(col("n_ab") >= minCount)
-    val pTot = pairs.agg(sum(col("n_ab")).as("__P"))
+    // the pair mass P normalizes over ALL co-occurrences — computing
+    // it after the minCount floor would inflate every PMI and make the
+    // values shift as minCount changes; the floor applies only to
+    // which rows are REPORTED
+    val pTot = pairsAll.agg(sum(col("n_ab")).as("__P"))
       .withColumn("__j", lit(1))
+    val pairs = pairsAll.filter(col("n_ab") >= minCount)
     pairs
       .join(na.select(col("term").as("term_a"), col("n_t").as("__na")),
         Seq("term_a"))

@@ -55,6 +55,11 @@ object TrainExport {
                      textCol: String = "text"): DataFrame = {
     require(seqLen >= 1, "seqLen must be >= 1")
     require(nShards >= 1, "nShards must be >= 1")
+    // a string-keyed corpus would silently null every doc_id under the
+    // cast below, producing a corrupt (null-id, order-unstable) export
+    // — fail loudly instead (the Bm25 integral-id precedent: rank on
+    // xxhash64(id) and join the original ids back)
+    Bm25.requireIntegralId(docs, idCol, "export doc")
     val L = seqLen.toLong
     val keyed = docs.select(col(idCol).cast("long").as("doc_id"),
         TextFuncs.tokenCount(col(textCol)).cast("long").as("n_toks"))
@@ -137,6 +142,10 @@ object TrainExport {
     */
   def affectedSequences(s: SparkSession, path: String,
                         docIds: DataFrame): DataFrame = {
+    // same loud id contract as epochFragments: a string-id takedown
+    // list would cast to all-null and silently report ZERO affected
+    // sequences — the worst possible failure for a takedown audit
+    Bm25.requireIntegralId(docIds, "doc_id", "takedown")
     val ids = docIds.select(col("doc_id").cast("long").as("doc_id"))
       .distinct().withColumn("__dm", lit(1))
     s.read.parquet(s"$path/fragments")

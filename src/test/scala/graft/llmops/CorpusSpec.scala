@@ -37,6 +37,27 @@ class CorpusSpec extends SparkTestBase {
     assert(kept == Set(2L))
   }
 
+  test("blocklist gate case-folds both sides by default: a MIXED-CASE " +
+      "planted phrase drops against a lowercase blocklist; the " +
+      "case-sensitive mode keeps it") {
+    val docs = Seq(
+      (1L, goodText),
+      (2L, s"$goodText and then Buy ViAgRa now they said"), // mixed case
+      (3L, s"$goodText plus buy viagra cheap"),             // lower case
+      (4L, s"$goodText mentioning viagrafoo too")           // substring hits
+    ).toDF("doc_id", "text")
+    val folded = Corpus.clean(docs, minQuality = 0.0, redact = false,
+        blocklist = Some(Seq("buy viagra")))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(folded == Set(1L, 4L), s"got=$folded")
+    val strict = Corpus.clean(docs, minQuality = 0.0, redact = false,
+        blocklist = Some(Seq("buy viagra")), blocklistCaseFold = false)
+      .select($"doc_id").as[Long].collect().toSet
+    // the mixed-case variant silently survives — exactly the foot-gun
+    // the default guards against
+    assert(strict == Set(1L, 2L, 4L), s"got=$strict")
+  }
+
   test("near-dup cluster stage keeps one representative per cluster") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val docs = Seq(

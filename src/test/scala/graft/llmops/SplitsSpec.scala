@@ -220,4 +220,25 @@ class SplitsSpec extends SparkTestBase {
       seed = "g0", groupCol = "grp")
     assert(tiny.count() == 5)
   }
+
+  test("weightedSamplePerGroup fails LOUDLY on duplicate ids instead " +
+      "of silently multiplying join-back rows") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dup = spark.range(0, 40).toDF("doc_id")
+      .withColumn("grp", lit("a"))
+      .withColumn("w", lit(1.0))
+    val docs = dup.unionByName(dup.filter($"doc_id" === 3)) // id 3 twice
+    val ex = intercept[Exception] {
+      Splits.weightedSamplePerGroup(docs, col("w"), k = 40,
+        seed = "g0", groupCol = "grp").count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("duplicate doc_id")),
+      s"got: ${msgs(ex).mkString(" | ")}")
+    // unique ids on the same plan shape stay clean
+    assert(Splits.weightedSamplePerGroup(dup, col("w"), k = 40,
+      seed = "g0", groupCol = "grp").count() == 40L)
+  }
 }

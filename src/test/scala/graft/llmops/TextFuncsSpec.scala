@@ -310,6 +310,21 @@ class TextFuncsSpec extends SparkTestBase {
     assert(got.values.forall(_._1 >= 5L))
   }
 
+  test("pmiPairs: the pair mass P normalizes over UNFILTERED counts — " +
+      "a reported pair's PMI is invariant to the minCount floor") {
+    val docs = (0 until 10).map(i =>
+      (i.toLong, s"the neural nets filler$i the stuff$i the end$i"))
+      .toDF("doc_id", "text")
+    def pmiOf(minCount: Int): Double =
+      TextFuncs.pmiPairs(docs, topV = 50, window = 2,
+          minCount = minCount)
+        .filter($"term_a" === "nets" && $"term_b" === "neural")
+        .select($"pmi").as[Double].head()
+    // under a post-filter P the denominator (and so every PMI) would
+    // shift as minCount changes
+    assert(math.abs(pmiOf(5) - pmiOf(10)) < 1e-12)
+  }
+
   test("pmiPairs: repartition-stable and vocabulary-pruned") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val a = TextFuncs.pmiPairs(docs, topV = 30, window = 2,

@@ -114,4 +114,21 @@ class TrainExportSpec extends SparkTestBase {
     assert(TrainExport.affectedSequences(spark, path,
       docs.select($"doc_id").limit(0)).count() == 0)
   }
+
+  test("string ids fail LOUDLY: a silent long-cast would null every " +
+      "doc_id (corrupt export) or report ZERO affected sequences " +
+      "(corrupt takedown audit)") {
+    val strDocs = docs.withColumn("doc_id", $"doc_id".cast("string"))
+    val e1 = intercept[IllegalArgumentException] {
+      TrainExport.epochFragments(strDocs, seqLen = 64, nShards = 4)
+    }
+    assert(e1.getMessage.contains("integral"))
+    val path = tmp()
+    TrainExport.writeShards(docs, path, seqLen = 64, nShards = 4)
+    val e2 = intercept[IllegalArgumentException] {
+      TrainExport.affectedSequences(spark, path,
+        docs.select($"doc_id".cast("string").as("doc_id")))
+    }
+    assert(e2.getMessage.contains("integral"))
+  }
 }
