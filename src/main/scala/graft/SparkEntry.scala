@@ -3270,6 +3270,58 @@ object SparkEntry {
       graft.llmops.Bm25.topKBatch(docs, queries, k = 10)
         .select($"query_id", $"rk", $"doc_id", $"n_terms_hit", $"score")
         .orderBy($"query_id", $"rk")
+    }),
+
+    // Hybrid-retrieval tuning grid (X141): ONE report over every
+    // (fetchK, nprobe, rrfK) cell — candidate rankings serve once per
+    // (fetchK, nprobe), every rrfK re-fuses them without touching the
+    // index. The serve tiers are pinned by q135/q136; the oracle here
+    // replays the grid's whole downstream — RRF fusion, document
+    // roll-up, recall/MRR/nDCG, per-cell means — from the dumped
+    // candidate rankings (the q24 dump-and-replay pattern), with the
+    // qrels re-derived closed-form from the documents base table.
+    "q170_hybrid_tuning" -> ((s, d) => {
+      import s.implicits._
+      val R = graft.llmops.Retrieval
+      val base = "/root/repo/spark-warehouse/q170_ret"
+      val docs = t(s, d, "documents")
+        .filter($"doc_id" % 10 === 5 && $"text".isNotNull)
+        .select($"doc_id", $"text")
+      R.buildIndex(docs, base, targetChars = 200, dim = 64,
+        nlist = 16, m = 8)
+      val queries = Seq(
+        (0L, "vector window merge"),
+        (1L, "stream processing window")).toDF("query_id", "text")
+      // document judgments, closed-form from the base table: a doc is
+      // relevant iff its text contains both of the query's anchor terms
+      val qrels = docs
+        .filter($"text".contains("vector") && $"text".contains("merge"))
+        .select(lit(0L).as("query_id"), $"doc_id")
+        .unionByName(docs
+          .filter($"text".contains("stream") && $"text".contains("window"))
+          .select(lit(1L).as("query_id"), $"doc_id"))
+      if (materializing) {
+        val chunks = s.read.parquet(s"$base/chunks")
+        materialize(chunks.select($"vec_id", $"doc_id"), "q170_chunkmap")
+        for (fk <- Seq(4, 8)) {
+          materialize(graft.llmops.Bm25Index.topK(s, s"$base/lexical",
+              queries, fk, idCol = "vec_id")
+            .select($"query_id", $"vec_id", $"rk"), s"q170_lex_$fk")
+          for (np <- Seq(2, 4))
+            materialize(R.search(s, base, queries, fk, np)
+              .join(chunks.select($"vec_id", $"doc_id", $"chunk_idx"),
+                Seq("doc_id", "chunk_idx"))
+              .select($"query_id", $"vec_id", $"rk"),
+              s"q170_vec_${fk}_$np")
+        }
+      }
+      R.tuneHybrid(s, base, queries, qrels, evalK = 4,
+          fetchKs = Seq(4, 8), nprobes = Seq(2, 4), rrfKs = Seq(20, 60))
+        .select($"fetch_k", $"nprobe", $"rrf_k", $"n_queries",
+          round($"mean_recall", 4).as("mean_recall"),
+          round($"mean_mrr", 4).as("mean_mrr"),
+          round($"mean_ndcg", 4).as("mean_ndcg"))
+        .orderBy($"fetch_k", $"nprobe", $"rrf_k")
     })
   )
 
@@ -6780,6 +6832,104 @@ object SparkEntry {
            FROM sc QUALIFY rk <= 10)
          SELECT qid::BIGINT AS query_id, rk::INTEGER AS rk, doc_id,
                 n_terms_hit, score
-         FROM ranked ORDER BY query_id, rk"""
+         FROM ranked ORDER BY query_id, rk""",
+    // tuning grid: RRF fusion, doc roll-up, recall/MRR/nDCG, and the
+    // per-cell means all replayed from the dumped candidate rankings;
+    // qrels re-derived closed-form from the documents base table
+    "q170_hybrid_tuning" ->
+      """WITH chunkmap AS (
+           SELECT vec_id, doc_id
+           FROM read_parquet('/root/repo/spark-warehouse/q170_chunkmap/*.parquet')),
+         vec AS (
+           SELECT 4 AS fetch_k, 2 AS nprobe, query_id, vec_id, rk
+           FROM read_parquet('/root/repo/spark-warehouse/q170_vec_4_2/*.parquet')
+           UNION ALL
+           SELECT 4, 4, query_id, vec_id, rk
+           FROM read_parquet('/root/repo/spark-warehouse/q170_vec_4_4/*.parquet')
+           UNION ALL
+           SELECT 8, 2, query_id, vec_id, rk
+           FROM read_parquet('/root/repo/spark-warehouse/q170_vec_8_2/*.parquet')
+           UNION ALL
+           SELECT 8, 4, query_id, vec_id, rk
+           FROM read_parquet('/root/repo/spark-warehouse/q170_vec_8_4/*.parquet')),
+         lexx AS (
+           SELECT l.fetch_k, np.nprobe, l.query_id, l.vec_id, l.rk
+           FROM (SELECT 4 AS fetch_k, query_id, vec_id, rk
+                 FROM read_parquet('/root/repo/spark-warehouse/q170_lex_4/*.parquet')
+                 UNION ALL
+                 SELECT 8, query_id, vec_id, rk
+                 FROM read_parquet('/root/repo/spark-warehouse/q170_lex_8/*.parquet')) l
+           CROSS JOIN (VALUES (2), (4)) np(nprobe)),
+         cand AS (
+           SELECT fetch_k, nprobe, query_id, vec_id,
+                  v.rk AS ra, x.rk AS rb
+           FROM vec v FULL JOIN lexx x
+             USING (fetch_k, nprobe, query_id, vec_id)),
+         scored AS (
+           SELECT kk.rrf_k, c.fetch_k, c.nprobe, c.query_id, c.vec_id,
+                  coalesce(1.0 / (kk.rrf_k + c.ra), 0.0) +
+                  coalesce(1.0 / (kk.rrf_k + c.rb), 0.0) AS rrf
+           FROM cand c CROSS JOIN (VALUES (20), (60)) kk(rrf_k)),
+         topv AS (
+           SELECT *, row_number() OVER (
+             PARTITION BY fetch_k, nprobe, rrf_k, query_id
+             ORDER BY rrf DESC, vec_id) AS frk
+           FROM scored QUALIFY frk <= 4),
+         dochits AS (
+           SELECT fetch_k, nprobe, rrf_k, query_id, doc_id,
+                  min(frk) AS mr
+           FROM topv JOIN chunkmap USING (vec_id)
+           GROUP BY 1, 2, 3, 4, 5),
+         ranked AS (
+           SELECT *, row_number() OVER (
+             PARTITION BY fetch_k, nprobe, rrf_k, query_id
+             ORDER BY mr, doc_id) AS rk
+           FROM dochits),
+         base AS (
+           SELECT doc_id, text FROM documents
+           WHERE doc_id % 10 = 5 AND text IS NOT NULL),
+         qrels AS (
+           SELECT DISTINCT query_id, doc_id FROM (
+             SELECT 0::BIGINT AS query_id, doc_id FROM base
+             WHERE contains(text, 'vector') AND contains(text, 'merge')
+             UNION ALL
+             SELECT 1::BIGINT, doc_id FROM base
+             WHERE contains(text, 'stream') AND contains(text, 'window'))),
+         nrel AS (
+           SELECT query_id, count(*) AS n_rel FROM qrels GROUP BY 1),
+         cells AS (
+           SELECT fk.fetch_k, np.nprobe, kk.rrf_k
+           FROM (VALUES (4), (8)) fk(fetch_k)
+           CROSS JOIN (VALUES (2), (4)) np(nprobe)
+           CROSS JOIN (VALUES (20), (60)) kk(rrf_k)),
+         hitrel AS (
+           SELECT fetch_k, nprobe, rrf_k, r.query_id,
+                  count(*) AS n_hit, min(rk) AS minrk,
+                  sum(1.0 / (ln(rk + 1.0) / ln(2.0))) AS dcg
+           FROM ranked r JOIN qrels q USING (query_id, doc_id)
+           WHERE rk <= 4
+           GROUP BY 1, 2, 3, 4),
+         percell AS (
+           SELECT c.fetch_k, c.nprobe, c.rrf_k, n.query_id, n.n_rel,
+                  coalesce(h.n_hit, 0) AS n_hit, h.minrk, h.dcg
+           FROM cells c CROSS JOIN nrel n
+           LEFT JOIN hitrel h
+             ON h.fetch_k = c.fetch_k AND h.nprobe = c.nprobe
+             AND h.rrf_k = c.rrf_k AND h.query_id = n.query_id),
+         evald AS (
+           SELECT fetch_k, nprobe, rrf_k, query_id,
+                  n_hit::DOUBLE / n_rel AS recall,
+                  coalesce(1.0 / minrk, 0.0) AS mrr,
+                  coalesce(dcg, 0.0) / list_sum(list_transform(
+                    generate_series(1, least(n_rel, 4)),
+                    i -> 1.0 / (ln(i + 1.0) / ln(2.0)))) AS ndcg
+           FROM percell)
+         SELECT fetch_k, nprobe, rrf_k,
+                count(*) AS n_queries,
+                round(avg(recall), 4) AS mean_recall,
+                round(avg(mrr), 4) AS mean_mrr,
+                round(avg(ndcg), 4) AS mean_ndcg
+         FROM evald GROUP BY 1, 2, 3
+         ORDER BY fetch_k, nprobe, rrf_k"""
   )
 }

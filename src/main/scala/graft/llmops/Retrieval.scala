@@ -592,6 +592,26 @@ object Retrieval {
                        k: Int = 5, nprobe: Int = 4, rrfK: Int = 60,
                        queryId: String = "query_id",
                        textCol: String = "text"): DataFrame = {
+    val (vec, lex) = hybridSides(spark, path, chunks, queries, k, nprobe,
+      queryId, textCol)
+    // materialize: the result is k·|queries| rows, checkpoint-small by
+    // construction — it must outlive the caller's chunk unpersist
+    rrfFuse(vec, lex, k, rrfK, queryId, "vec_id")
+      .join(chunks, Seq("vec_id"))
+      .select(col(queryId), col("rk"), col("doc_id"), col("chunk_idx"),
+        col("chunk_text"), col("rrf_score"))
+      .localCheckpoint()
+  }
+
+  /** The two candidate rankings hybrid retrieval fuses, each slim
+    * (queryId, vec_id, rk) — shared by [[hybridSearchWith]] and
+    * [[tuneHybrid]] so the tuner measures EXACTLY the rankings serving
+    * would fuse.
+    */
+  private def hybridSides(spark: SparkSession, path: String,
+                          chunks: DataFrame, queries: DataFrame,
+                          k: Int, nprobe: Int, queryId: String,
+                          textCol: String): (DataFrame, DataFrame) = {
     // vector side: the [[search]] ranking, joined back to vec_id
     // granularity through the chunk table (vec_id is a hash — not
     // derivable from (doc, chunk) without it)
@@ -615,14 +635,72 @@ object Retrieval {
         Bm25.topKBatch(chunks, queries, k,
           idCol = "vec_id", textCol = "chunk_text",
           queryIdCol = queryId, queryTextCol = textCol)
-    val lex = lexTop.select(col(queryId), col("vec_id"), col("rk"))
+    (vec, lexTop.select(col(queryId), col("vec_id"), col("rk")))
+  }
 
-    // materialize: the result is k·|queries| rows, checkpoint-small by
-    // construction — it must outlive the caller's chunk unpersist
-    rrfFuse(vec, lex, k, rrfK, queryId, "vec_id")
-      .join(chunks, Seq("vec_id"))
-      .select(col(queryId), col("rk"), col("doc_id"), col("chunk_idx"),
-        col("chunk_text"), col("rrf_score"))
-      .localCheckpoint()
+  /** Hybrid-retrieval tuning grid (the X129 sweep shape applied to
+    * retrieval): [[evalMetrics]] over every (fetchK, nprobe, rrfK)
+    * cell in ONE report, so index-tuning decisions are one call
+    * instead of a notebook loop.
+    *
+    * Structure follows the knobs' cost: fetchK and nprobe change
+    * CANDIDATE GENERATION, so each (fetchK, nprobe) pair serves once
+    * (both tier rankings `localCheckpoint`ed); rrfK only changes the
+    * FUSION arithmetic, so every rrfK re-fuses those materialized
+    * rankings without touching the index — |fetchKs|·|nprobes| serves,
+    * |grid| cheap fusions. Hits roll up to document level before
+    * scoring (best chunk rank per doc, then a dense per-query re-rank
+    * — qrels are document judgments), and each cell's metrics average
+    * over the judged queries.
+    *
+    * @param qrels (queryId, doc_id) relevant pairs, the [[evalMetrics]]
+    *              contract
+    * @return one row per grid cell: (fetch_k, nprobe, rrf_k,
+    *         n_queries, mean_recall, mean_mrr, mean_ndcg), ordered by
+    *         the cell key
+    */
+  def tuneHybrid(spark: SparkSession, path: String, queries: DataFrame,
+                 qrels: DataFrame, evalK: Int = 5,
+                 fetchKs: Seq[Int] = Seq(5, 10, 20),
+                 nprobes: Seq[Int] = Seq(2, 4, 8),
+                 rrfKs: Seq[Int] = Seq(20, 60, 120),
+                 queryId: String = "query_id",
+                 textCol: String = "text"): DataFrame = {
+    require(evalK >= 1, "evalK must be >= 1")
+    require(fetchKs.nonEmpty && nprobes.nonEmpty && rrfKs.nonEmpty,
+      "every grid axis needs at least one value")
+    val chunks = spark.read.parquet(s"$path/chunks").cache()
+    val cells =
+      for (fk <- fetchKs; np <- nprobes) yield {
+        val (vec, lex) = hybridSides(spark, path, chunks, queries, fk,
+          np, queryId, textCol)
+        // materialized once per candidate cell; every rrfK reuses them
+        val vecC = vec.localCheckpoint()
+        val lexC = lex.localCheckpoint()
+        rrfKs.map { rk =>
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col(queryId))
+            .orderBy(col("__mr"), col("doc_id"))
+          val docHits = rrfFuse(vecC, lexC, evalK, rk, queryId, "vec_id")
+            .join(chunks.select(col("vec_id"), col("doc_id")),
+              Seq("vec_id"))
+            .groupBy(col(queryId), col("doc_id"))
+            .agg(min(col("rk")).as("__mr"))
+            .withColumn("rk", row_number().over(w))
+          evalMetrics(docHits, qrels, evalK, queryId, "doc_id")
+            .agg(count(lit(1)).as("n_queries"),
+              avg(col("recall_at_k")).as("mean_recall"),
+              avg(col("mrr_at_k")).as("mean_mrr"),
+              avg(col("ndcg_at_k")).as("mean_ndcg"))
+            .select(lit(fk).as("fetch_k"), lit(np).as("nprobe"),
+              lit(rk).as("rrf_k"), col("n_queries"),
+              col("mean_recall"), col("mean_mrr"), col("mean_ndcg"))
+        }
+      }
+    val report = cells.flatten.reduce(_.unionByName(_))
+      .orderBy(col("fetch_k"), col("nprobe"), col("rrf_k"))
+      .localCheckpoint() // |grid| rows; outlives the unpersist
+    chunks.unpersist()
+    report
   }
 }

@@ -30,6 +30,14 @@ object AnnServe {
     * queryVec rows) is answered with top-`k` over the index at `path`
     * and handed to `sink` with its batch id. Call `.start()` (after
     * any checkpoint/trigger options) to begin serving.
+    *
+    * SNAPSHOT-AT-START contract: the models load ONCE here. Vectors
+    * appended to the index while the stream runs DO surface (each
+    * batch re-plans its partition scan), but a retrain/rewrite of the
+    * models at `path` is NOT picked up until the serving stream
+    * restarts — restart after [[AnnIndex.writeWithModels]], or point
+    * serving at a [[graft.llmops.VersionedIndex]] root's current
+    * version and restart on version change.
     */
   def serve(spark: SparkSession, path: String, queries: DataFrame, k: Int,
             nprobe: Int = 4,
@@ -56,6 +64,16 @@ object AnnServe {
     * batches are independent, an idempotent-by-batch-id sink gets
     * exactly-once results. The question-in → passages-out loop closed
     * as one running query against purely persisted artifacts.
+    *
+    * SNAPSHOT-AT-START contract (sharper than [[serve]]'s): the chunk
+    * table caches ONCE below, so chunks ingested into the index while
+    * this stream runs will match in the ANN/lexical tiers but FAIL the
+    * cached chunk join and drop from results silently until the
+    * serving stream restarts. Restart the stream after ingest batches
+    * land (or serve a [[graft.llmops.VersionedIndex]] current version
+    * and restart on version change); a growing-while-serving
+    * deployment that cannot restart should trade the cache away and
+    * call `Retrieval.hybridSearch` per batch instead.
     */
   def serveHybrid(spark: SparkSession, path: String, questions: DataFrame,
                   k: Int = 5, nprobe: Int = 4, rrfK: Int = 60,

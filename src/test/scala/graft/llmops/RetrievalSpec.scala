@@ -500,6 +500,50 @@ class RetrievalSpec extends SparkTestBase {
     // doc 12 was retrieved at rank 4 — beyond k=3, must not count
   }
 
+  test("tuneHybrid: one row per grid cell; the fetchK == evalK cell's " +
+      "metrics replay evalMetrics over the ACTUAL hybrid serving " +
+      "output; deterministic across reruns") {
+    val docs = graft.Tables.documents(spark, sf0001)
+      .filter($"doc_id" < 80).select($"doc_id", $"text")
+    val path = tmp()
+    Retrieval.buildIndex(docs, path, targetChars = 200, dim = 64,
+      nlist = 8, m = 8)
+    val qs = Seq((0L, "vector window merge"), (1L, "stream processing"))
+      .toDF("query_id", "text")
+    val qrels = docs
+      .filter($"text".contains("vector")).select(lit(0L).as("query_id"),
+        $"doc_id")
+      .unionByName(docs.filter($"text".contains("stream"))
+        .select(lit(1L).as("query_id"), $"doc_id"))
+    val report = Retrieval.tuneHybrid(spark, path, qs, qrels, evalK = 4,
+      fetchKs = Seq(4, 8), nprobes = Seq(2), rrfKs = Seq(20, 60))
+    val rows = report.collect()
+    assert(rows.length == 4) // 2 fetchKs × 1 nprobe × 2 rrfKs
+    assert(rows.forall(_.getAs[Long]("n_queries") == 2L))
+    // parity at (fetchK = evalK = 4, nprobe = 2, rrfK = 60): the cell's
+    // means must equal evalMetrics over hybridSearch's own output,
+    // doc-rolled-up the same way
+    val hits = Retrieval.hybridSearch(spark, path, qs, k = 4,
+        nprobe = 2, rrfK = 60)
+      .groupBy($"query_id", $"doc_id").agg(min($"rk").as("__mr"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"query_id").orderBy($"__mr", $"doc_id")))
+    val direct = Retrieval.evalMetrics(hits, qrels, k = 4)
+      .agg(avg($"recall_at_k"), avg($"mrr_at_k"), avg($"ndcg_at_k"))
+      .as[(Double, Double, Double)].head()
+    val cell = rows.find(r => r.getAs[Int]("fetch_k") == 4 &&
+      r.getAs[Int]("rrf_k") == 60).get
+    assert(math.abs(cell.getAs[Double]("mean_recall") - direct._1) < 1e-12)
+    assert(math.abs(cell.getAs[Double]("mean_mrr") - direct._2) < 1e-12)
+    assert(math.abs(cell.getAs[Double]("mean_ndcg") - direct._3) < 1e-12)
+    // deterministic: a rerun reproduces every cell exactly
+    val again = Retrieval.tuneHybrid(spark, path, qs, qrels, evalK = 4,
+      fetchKs = Seq(4, 8), nprobes = Seq(2), rrfKs = Seq(20, 60))
+    assert(again.collect().map(_.toSeq).toSeq ==
+      rows.map(_.toSeq).toSeq)
+  }
+
   test("snippets: densest window wins, earliest on ties, window " +
       "clamps at the doc tail, no-term hits yield no row") {
     val docs = Seq(
