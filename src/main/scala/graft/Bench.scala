@@ -68,13 +68,23 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val total = if (times.nonEmpty) times.values.sum else 0.0
+    // Lifecycle tagging (SparkEntry.lifecycleQueries): these queries
+    // rebuild a persisted artifact or retrain a model per pass, so the
+    // 2x-contract math reads total_ex_lifecycle, not total.
+    val lifecycle = times.keys.toSeq
+      .filter(SparkEntry.lifecycleQueries).sorted
+    val lifeJson = lifecycle.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val totalEx = times.filterNot(t => SparkEntry.lifecycleQueries(t._1))
+      .values.foldLeft(0.0)(_ + _)
     // A query that threw anywhere (warmup or timed) is listed here: its
     // timing above is time-to-exception, not a benchmark. Empty = clean run.
     val errJson = errs.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
-      s""""sf":"$sfDir","queries":$qs,"errors":$errJson,""" +
+      s""""sf":"$sfDir","queries":$qs,""" +
+      s""""lifecycle":$lifeJson,"total_ex_lifecycle":${num(totalEx)},""" +
+      s""""errors":$errJson,""" +
       s""""total":${num(total)}}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_OUT", "bench_out.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),

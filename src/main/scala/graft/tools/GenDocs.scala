@@ -102,6 +102,38 @@ object GenDocs {
     }.toDF("vec_id", "embedding", "label")
     emb.coalesce(8).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     println(s"wrote $rows rows to $out/embeddings.parquet")
+
+    // events with the driver testdata's shape (TESTDATA.md /
+    // /root/testdata/sf0.1/events.parquet, measured): (event_id, ts,
+    // user_id, event_type, value, props), 5 event types, users ≈
+    // rows/66.7 (sf0.1: 100k events / 1500 users), timestamps
+    // ascending with jitter across a 30-day window from 2024-01-01 —
+    // the mix64 arithmetic again, so reruns are byte-identical. This
+    // table exists so the events-analytics tier (sessionize, cohorts,
+    // funnel, SCD-2, anomalies) has the same 10×-decade scale probe
+    // every other operator family gets.
+    val eventRows = rows * 20 // driver ratio: 100k events per 5k docs
+    val types = Array("click", "error", "purchase", "signup", "view")
+    val nUsers = math.max(10L, eventRows * 15L / 1000L)
+    val windowMicros = 30L * 24 * 3600 * 1000000 // 30 days
+    val baseMicros = java.time.Instant.parse("2024-01-01T00:00:00Z")
+      .toEpochMilli * 1000L
+    val gap = windowMicros / math.max(1L, eventRows)
+    val events = spark.range(eventRows).map { id =>
+      val micros = baseMicros + id * gap +
+        math.abs(mix64(id * 41 + 9)) % math.max(1L, gap)
+      val t = java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(micros / 1000000L,
+          (micros % 1000000L) * 1000L))
+      val user = math.abs(mix64(id * 17 + 5)) % nUsers
+      val typ = types((math.abs(mix64(id + 77)) % types.length).toInt)
+      val value = (math.abs(mix64(id * 3 + 11)) % 20000) / 100.0
+      val props = "{\"k\": " + (math.abs(mix64(id * 7 + 13)) % 100) + "}"
+      (id, t, user, typ, value, props)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    events.coalesce(8).write.mode("overwrite")
+      .parquet(s"$out/events.parquet")
+    println(s"wrote $eventRows rows to $out/events.parquet")
     spark.stop()
   }
 }

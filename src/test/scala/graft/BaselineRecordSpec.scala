@@ -58,6 +58,16 @@ class BaselineRecordSpec extends AnyFunSuite {
 
   private def gitWorks: Boolean = gitShow("HEAD", "BASELINE.md").isDefined
 
+  test("artifacts may carry lifecycle tags without confusing the " +
+      "record parser: the tag array adds no query entries and " +
+      "total_ex_lifecycle never shadows total") {
+    val sample = """{"metric":"total","value":2.0,"unit":"sec",""" +
+      """"sf":"x","queries":{"q01_a":1.0,"q135_retrieval_serve":1.0},""" +
+      """"lifecycle":["q135_retrieval_serve"],""" +
+      """"total_ex_lifecycle":1.0,"errors":{},"total":2.0}"""
+    assert(parseArtifact(sample) == ((2, 2.0)))
+  }
+
   test("BASELINE.md carries at least one machine-readable bench record") {
     assert(records.nonEmpty,
       "no BENCH_RECORD lines in BASELINE.md — cited totals are uncheckable")
