@@ -97,6 +97,12 @@ object Graft {
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
                         threshold: Double = 0.5): DataFrame =
     llmops.Dedup.ngramJaccardPairs(docs, n, threshold)
+  /** EXACT n-gram-set Jaccard join via prefix filtering (SSJoin/
+    * PPJoin) — recall 1.0 by construction, no LSH banding
+    * probability, no bucket-cap cliff (q171). */
+  def jaccardJoinExact(docs: DataFrame, threshold: Double = 0.7,
+                       n: Int = 3): DataFrame =
+    llmops.Dedup.jaccardJoinExact(docs, threshold, n)
   /** Normalized-Levenshtein-verified near-dup pairs — order-sensitive,
     * banded O(len·cap) verify, exact over its candidate set (q151).
     * Recall is bounded by the proposal stage: pass `candidates` (any
@@ -352,6 +358,46 @@ object Graft {
   def compactAnnIndex(s: SparkSession, path: String): Unit =
     llmops.AnnIndex.compact(s, path)
 
+  // ---- versioned index lifecycle (serve-under-maintenance) ---------
+  /** The CURRENT version's directory of a versioned index root —
+    * resolve once per query batch, serve from the immutable snapshot.
+    * See [[llmops.VersionedIndex]]. */
+  def currentIndexPath(s: SparkSession, root: String): String =
+    llmops.VersionedIndex.currentPath(s, root)
+  /** Copy-compact the current version into a fresh published v&lt;N+1&gt;
+    * — a racing serve reads old or new, never torn. */
+  def compactAnnIndexVersioned(s: SparkSession, root: String): Int =
+    llmops.AnnIndex.compactVersioned(s, root)
+  def compactBm25IndexVersioned(s: SparkSession, root: String): Int =
+    llmops.Bm25Index.compactVersioned(s, root)
+  def compactRetrievalIndexVersioned(s: SparkSession, root: String): Int =
+    llmops.Retrieval.compactVersioned(s, root)
+  /** drift → retrain → re-encode → atomic swap in one call (appends
+    * serve-safely instead when the batch still fits the models). */
+  def retrainAnnIfDrifted(s: SparkSession, corpus: DataFrame,
+                          newBatch: DataFrame, root: String,
+                          maxRatio: Double = 2.0): (Boolean, Int) =
+    llmops.AnnIndex.retrainIfDrifted(s, corpus, newBatch, root, maxRatio)
+  def buildRetrievalIndexVersioned(docs: DataFrame, root: String,
+                                   targetChars: Int = 400,
+                                   dim: Int = 256): Int =
+    llmops.Retrieval.buildIndexVersioned(docs, root, targetChars, dim)
+  def searchRetrievalIndexVersioned(s: SparkSession, root: String,
+                                    queries: DataFrame, k: Int = 5,
+                                    nprobe: Int = 4): DataFrame =
+    llmops.Retrieval.searchVersioned(s, root, queries, k, nprobe)
+  /** Eval metrics over every (fetchK, nprobe, rrfK) cell in ONE
+    * report (q170) — candidate rankings serve once per (fetchK,
+    * nprobe); rrfK variants re-fuse them for free. */
+  def tuneRetrievalHybrid(s: SparkSession, path: String,
+                          queries: DataFrame, qrels: DataFrame,
+                          evalK: Int = 5,
+                          fetchKs: Seq[Int] = Seq(5, 10, 20),
+                          nprobes: Seq[Int] = Seq(2, 4, 8),
+                          rrfKs: Seq[Int] = Seq(20, 60, 120)): DataFrame =
+    llmops.Retrieval.tuneHybrid(s, path, queries, qrels, evalK,
+      fetchKs, nprobes, rrfKs)
+
   // ---- text analysis / curation ------------------------------------
   def langId(text: Column): Column = llmops.TextFuncs.langId(text)
   /** Monolingual line segments of a code-mixed document: per-line
@@ -540,6 +586,15 @@ object Graft {
     llmops.TextFuncs.pmiPairs(docs, topV, window, minCount)
   /** Zipf ln-ln OLS over the vocabulary head — slope/intercept/r2
     * corpus-health stats (q168). */
+  /** Char-distribution entropy in bits per doc — repetitive text LOW,
+    * binary/base64 spill HIGH, prose ≈ 4–4.5 (q172). */
+  def charEntropy(docs: DataFrame): DataFrame =
+    llmops.TextFuncs.charEntropy(docs)
+  /** One-call corpus data card: volume, dup rate, quality, entropy,
+    * language histogram, Zipf fit as one (metric, value) table
+    * (q173). */
+  def corpusReport(docs: DataFrame, zipfTopN: Int = 200): DataFrame =
+    ops.Profiling.corpusReport(docs, zipfTopN)
   def zipfFit(docs: DataFrame, topN: Int = 200): DataFrame =
     llmops.TextFuncs.zipfFit(docs, topN)
   /** MMR diversification of a per-query top-N candidate set

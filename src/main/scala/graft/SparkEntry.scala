@@ -3339,6 +3339,43 @@ object SparkEntry {
           round($"mean_mrr", 4).as("mean_mrr"),
           round($"mean_ndcg", 4).as("mean_ndcg"))
         .orderBy($"fetch_k", $"nprobe", $"rrf_k")
+    }),
+
+    // EXACT prefix-filtered n-gram Jaccard join (X143):
+    // recall-guaranteed similarity pairs in X5's shingle space — no
+    // LSH banding probability, no bucket-cap cliff. Fully relational
+    // (shingle sets, rarest-first per-doc prefix ranks, the
+    // prefix-co-occurrence self-join, the length filter, the exact
+    // set-overlap verify), so the oracle replays EVERY stage.
+    "q171_jaccard_join" -> ((s, d) => {
+      import s.implicits._
+      graft.llmops.Dedup.jaccardJoinExact(t(s, d, "documents"),
+          threshold = 0.5, n = 3)
+        .select($"id_a", $"id_b", round($"jaccard", 4).as("jaccard"))
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // char-distribution entropy (X144): the two-sided quality signal —
+    // repetitive text scores LOW, binary/base64 spill scores HIGH,
+    // prose sits ~4-4.5 bits. Pure relational (slim (id, char, count)
+    // rows, two map-side sums), replayed per document.
+    "q172_char_entropy" -> ((s, d) => {
+      import s.implicits._
+      graft.llmops.TextFuncs.charEntropy(t(s, d, "documents"))
+        .select($"doc_id", $"n_chars",
+          round($"char_entropy", 4).as("char_entropy"))
+        .orderBy($"doc_id")
+    }),
+
+    // one-call corpus data card (X145): volume, dup rate, quality,
+    // entropy, language histogram, Zipf fit — every number an
+    // already-verified kernel, composed; the oracle replays all of
+    // them into the same tall (metric, value) table.
+    "q173_corpus_report" -> ((s, d) => {
+      import s.implicits._
+      graft.ops.Profiling.corpusReport(t(s, d, "documents"))
+        .select($"metric", round($"value", 4).as("value"))
+        .orderBy($"metric")
     })
   )
 
@@ -6947,6 +6984,174 @@ object SparkEntry {
                 round(avg(mrr), 4) AS mean_mrr,
                 round(avg(ndcg), 4) AS mean_ndcg
          FROM evald GROUP BY 1, 2, 3
-         ORDER BY fetch_k, nprobe, rrf_k"""
+         ORDER BY fetch_k, nprobe, rrf_k""",
+    // exact prefix-filtered n-gram Jaccard join: every stage replayed
+    // — 3-gram shingle sets (the wordNgrams HOF mirror), rarest-first
+    // (df, gram) per-doc ranks, prefix cut n - ceil(t*n) + 1, prefix
+    // co-occurrence + length filter, exact overlap verify
+    // i / (na + nb - i)
+    "q171_jaccard_join" ->
+      """WITH tf AS (
+           SELECT id, term FROM (
+             SELECT doc_id AS id,
+                    unnest(list_distinct(list_transform(
+                      generate_series(1, greatest(len(l) - 2, 1)),
+                      i -> array_to_string(
+                             list_slice(l, i, i + 2), ' ')))) AS term
+             FROM (SELECT doc_id,
+                          string_split_regex(lower(trim(text)), '\s+')
+                            AS l
+                   FROM documents))
+           WHERE term <> ''),
+         dfx AS (SELECT term, count(*) AS dfc FROM tf GROUP BY 1),
+         ranked AS (
+           SELECT t.id, t.term, d.dfc,
+                  count(*) OVER (PARTITION BY t.id) AS n,
+                  row_number() OVER (PARTITION BY t.id
+                    ORDER BY d.dfc, t.term) AS pos
+           FROM tf t JOIN dfx d USING (term)),
+         prefix AS (
+           SELECT id, term, n FROM ranked
+           WHERE pos <= n - ceil(CAST(0.5 AS DOUBLE) * n) + 1),
+         cand AS (
+           SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           FROM prefix a JOIN prefix b ON a.term = b.term
+             AND a.id < b.id
+             AND greatest(a.n, b.n) * CAST(0.5 AS DOUBLE)
+                   <= least(a.n, b.n)),
+         inter AS (
+           SELECT c.id_a, c.id_b, count(*) AS i
+           FROM cand c
+           JOIN tf ta ON ta.id = c.id_a
+           JOIN tf tb ON tb.id = c.id_b AND tb.term = ta.term
+           GROUP BY 1, 2),
+         nsz AS (SELECT id, count(*) AS n FROM tf GROUP BY 1)
+         SELECT i.id_a, i.id_b,
+                round(i.i::DOUBLE / (na.n + nb.n - i.i), 4) AS jaccard
+         FROM inter i
+         JOIN nsz na ON na.id = i.id_a
+         JOIN nsz nb ON nb.id = i.id_b
+         WHERE i.i::DOUBLE / (na.n + nb.n - i.i)
+                 >= CAST(0.5 AS DOUBLE)
+         ORDER BY id_a, id_b""",
+    // char entropy: H = (ln n - sum(k ln k)/n) / ln 2 replayed from
+    // per-(doc, char) counts
+    "q172_char_entropy" ->
+      """WITH ch AS (
+           SELECT doc_id,
+                  unnest(list_transform(generate_series(1, length(text)),
+                    i -> substr(text, i, 1))) AS c
+           FROM documents WHERE length(text) > 0),
+         cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2),
+         agg AS (
+           SELECT doc_id, CAST(sum(k) AS BIGINT) AS n,
+                  sum(k * ln(k)) AS sklnk
+           FROM cnt GROUP BY 1)
+         SELECT doc_id, n AS n_chars,
+                round((ln(n) - sklnk / n) / ln(CAST(2.0 AS DOUBLE)), 4)
+                  AS char_entropy
+         FROM agg ORDER BY doc_id""",
+    // corpus data card: every metric replayed (q19/q20/q21/q22/q168/
+    // q172 shapes) into the same tall table
+    "q173_corpus_report" ->
+      """WITH q AS (
+           SELECT doc_id, text,
+             string_split_regex(lower(trim(text)), '\s+') AS toks,
+             length(text) AS n,
+             length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+               AS np
+           FROM documents),
+         r AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE len(list_filter(toks, t -> t IN
+                    ('the','and','of','to','a','in','is','that')))::double
+                    / len(toks)
+             END AS stop_ratio,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE list_sum(list_transform(toks,
+                    w -> length(w)))::double / len(toks)
+             END AS mwl,
+             CASE WHEN n = 0 THEN 0.0 ELSE np::double / n END AS punct,
+             n FROM q),
+         qual AS (
+           SELECT avg((CASE WHEN n BETWEEN 50 AND 20000 THEN 0.25 ELSE 0.0 END) +
+               (CASE WHEN stop_ratio >= 0.01 THEN 0.25 ELSE 0.0 END) +
+               (CASE WHEN mwl BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END) +
+               (CASE WHEN punct <= 0.1 THEN 0.25 ELSE 0.0 END)) AS v
+           FROM r),
+         scal AS (
+           SELECT count(*)::DOUBLE AS n_docs,
+                  count(DISTINCT md5(text))::DOUBLE AS n_unique,
+                  CAST(sum(length(text)) AS DOUBLE) AS n_chars,
+                  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(string_split_regex(lower(trim(text)),
+                        '\s+')) END) AS DOUBLE) AS n_tokens
+           FROM documents),
+         langh AS (
+           SELECT 'lang:' || detected AS metric, n::DOUBLE AS value
+           FROM (
+             SELECT CASE
+                 WHEN h_de + h_en + h_es + h_fr + h_zh = 0 THEN 'und'
+                 WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de >= h_zh THEN 'de'
+                 WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
+                 WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
+                 WHEN h_fr >= h_zh THEN 'fr'
+                 ELSE 'zh' END AS detected,
+               count(*) AS n
+             FROM (
+               SELECT
+                 len(list_filter(toks, t -> t IN ('der','die','und','das','ist','von','mit','den'))) AS h_de,
+                 len(list_filter(toks, t -> t IN ('the','and','of','to','a','in','is','that'))) AS h_en,
+                 len(list_filter(toks, t -> t IN ('el','la','de','que','y','los','en','un'))) AS h_es,
+                 len(list_filter(toks, t -> t IN ('le','la','les','des','est','une','dans','et'))) AS h_fr,
+                 len(list_filter(toks, t -> t IN ('的','是','在','了','和','有','我','不'))) AS h_zh
+               FROM q)
+             GROUP BY detected)),
+         ent AS (
+           SELECT avg(e) AS v FROM (
+             SELECT (ln(n) - sklnk / n) / ln(CAST(2.0 AS DOUBLE)) AS e
+             FROM (
+               SELECT doc_id, CAST(sum(k) AS BIGINT) AS n,
+                      sum(k * ln(k)) AS sklnk
+               FROM (
+                 SELECT doc_id, c, count(*) AS k FROM (
+                   SELECT doc_id,
+                          unnest(list_transform(
+                            generate_series(1, length(text)),
+                            i -> substr(text, i, 1))) AS c
+                   FROM documents WHERE length(text) > 0)
+                 GROUP BY 1, 2)
+               GROUP BY 1))),
+         zw AS (
+           SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+             AS term
+           FROM documents),
+         zc AS (
+           SELECT term, count(*) AS c FROM zw WHERE term <> ''
+           GROUP BY 1 ORDER BY c DESC, term LIMIT 200),
+         zr AS (
+           SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, term)
+                  AS DOUBLE)) AS lx,
+                  ln(CAST(c AS DOUBLE)) AS ly
+           FROM zc),
+         zf AS (
+           SELECT covar_pop(lx, ly) / var_pop(lx) AS slope,
+                  corr(lx, ly) * corr(lx, ly) AS r2
+           FROM zr),
+         card AS (
+           SELECT 'n_docs' AS metric, n_docs AS value FROM scal
+           UNION ALL SELECT 'n_unique_texts', n_unique FROM scal
+           UNION ALL SELECT 'exact_dup_rate',
+             CAST(1 AS DOUBLE) - n_unique / n_docs FROM scal
+           UNION ALL SELECT 'n_chars', n_chars FROM scal
+           UNION ALL SELECT 'n_tokens', n_tokens FROM scal
+           UNION ALL SELECT 'mean_quality', v FROM qual
+           UNION ALL SELECT metric, value FROM langh
+           UNION ALL SELECT 'mean_char_entropy', v FROM ent
+           UNION ALL SELECT 'zipf_slope', slope FROM zf
+           UNION ALL SELECT 'zipf_r2', r2 FROM zf)
+         SELECT metric, round(value, 4) AS value FROM card
+         ORDER BY metric"""
   )
 }

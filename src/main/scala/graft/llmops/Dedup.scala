@@ -575,6 +575,96 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** EXACT set-Jaccard similarity join via prefix filtering
+    * (SSJoin, Chaudhuri et al. 2006; PPJoin, Xiao et al. 2008) — the
+    * recall-GUARANTEED alternative to the LSH tier (X2/X5): every
+    * pair with Jaccard ≥ `threshold` is returned, deterministically.
+    * LSH trades recall for cost twice (banding probability, hot-bucket
+    * caps — both audited, X82/the capAudit, but still trades); when
+    * survivors carry legal or eval-integrity weight, exactness is the
+    * requirement and this is the scalable exact shape.
+    *
+    * The prefix-filter theorem: fix ONE global token order; two sets
+    * with Jaccard ≥ t must share at least one token inside each
+    * one's first `n − ⌈t·n⌉ + 1` tokens under that order. So:
+    * candidates = prefix-token co-occurrence, pruned by the length
+    * filter (`t·max(|a|,|b|) ≤ min(|a|,|b|)` — a Jaccard ≥ t pair
+    * cannot differ in size by more than 1/t), then ONE exact
+    * set-overlap verify per surviving candidate.
+    *
+    * Scale shape: the global order is RAREST-FIRST, (df asc, term) —
+    * computed as a per-doc rank against the (vocab-sized, dimension)
+    * df table, never a global window — so prefixes hold each doc's
+    * most selective tokens and the candidate self-join fans out on
+    * the tokens with the FEWEST documents. The verify joins token
+    * ARRAYS only for candidate-involved docs (the q60 semi-join-first
+    * move). Honest worst case: a prefix token shared by k docs still
+    * contributes O(k²) candidates — exactness forbids a bucket cap
+    * (that is precisely the LSH recall cliff this operator exists to
+    * avoid), so on adversarial corpora where common tokens reach
+    * prefixes (many tiny docs of stopwords), budget the verify or
+    * use the LSH tier deliberately.
+    *
+    * The set representation is the word-`n`-gram shingle set
+    * (`TextFuncs.wordNgrams`) — X5's similarity space, so this is the
+    * exact-recall counterpart of `ngramJaccardPairs`' LSH
+    * propose/verify. n = 1 degrades to plain token sets; prefer
+    * n ≥ 2 on small-vocabulary corpora, where token SETS converge
+    * (every long doc covers the vocabulary) and a set join is
+    * near-all-pairs by the data, not the algorithm.
+    *
+    * @return (id_a, id_b, jaccard) with jaccard ≥ threshold,
+    *         id_a < id_b; docs with empty shingle sets never pair
+    */
+  def jaccardJoinExact(docs: DataFrame, threshold: Double = 0.7,
+                       n: Int = 3,
+                       idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      "threshold must be in (0, 1]")
+    require(n >= 1, "n must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("id"),
+        explode(TextFuncs.wordNgrams(col(textCol), n)).as("term"))
+      .filter(col("term") =!= "")
+    val dfTab = toks.groupBy(col("term"))
+      .agg(count(lit(1)).as("__df"))
+    val wDoc = Window.partitionBy(col("id"))
+      .orderBy(col("__df"), col("term"))
+    val wN = Window.partitionBy(col("id"))
+    val prefix = toks.join(dfTab, Seq("term"))
+      .withColumn("__n", count(lit(1)).over(wN))
+      .withColumn("__pos", row_number().over(wDoc))
+      .filter(col("__pos") <=
+        col("__n") - ceil(lit(threshold) * col("__n")) + 1)
+      .select(col("id"), col("term"), col("__n"))
+    val cand = prefix.select(col("id").as("id_a"), col("term"),
+        col("__n").as("__na"))
+      .join(prefix.select(col("id").as("id_b"), col("term"),
+        col("__n").as("__nb")), Seq("term"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(greatest(col("__na"), col("__nb")) * threshold <=
+        least(col("__na"), col("__nb")))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val candIds = cand.select(col("id_a").as(idCol))
+      .unionByName(cand.select(col("id_b").as(idCol)))
+      .distinct()
+    val sets = docs.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol),
+        TextFuncs.wordNgrams(col(textCol), n).as("set"))
+    cand
+      .join(sets.select(col(idCol).as("id_a"), col("set").as("set_a")),
+        "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("set").as("set_b")),
+        "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("set_a"), col("set_b"))) /
+          size(array_union(col("set_a"), col("set_b"))).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Edit-distance-verified near-duplicate pairs (SURVEY §2.10 X121):
     * candidate pairs confirmed by NORMALIZED LEVENSHTEIN similarity,
     * `1 − dist / max(len_a, len_b)` — the strictest practical near-dup

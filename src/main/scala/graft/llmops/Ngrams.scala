@@ -29,7 +29,39 @@ object NgramKernels {
   // ASCII \s classes, limit -1 keeps trailing empties
   private val ws = java.util.regex.Pattern.compile("\\s+")
 
-  def wordNgrams(text: String, n: Int): GenericArrayData = {
+  // mirror of TextFuncs.noSpaceScriptClass (Hiragana/Katakana, CJK
+  // Ext A, CJK Unified, CJK Compatibility) — the kernel must shingle
+  // the SAME token space the tokenizer seam produces
+  private def isNoSpaceScript(c: Char): Boolean =
+    (c >= '぀' && c <= 'ヿ') || (c >= '㐀' && c <= '䶿') ||
+      (c >= '一' && c <= '鿿') || (c >= '豈' && c <= '﫿')
+
+  /** TextFuncs.isolateNoSpaceScripts as a string pass: each CJK/kana
+    * codepoint becomes its own whitespace-delimited token. Identity
+    * (no allocation) when no such codepoint is present.
+    */
+  private def isolate(text: String): String = {
+    var i = 0
+    var has = false
+    while (i < text.length && !has) {
+      if (isNoSpaceScript(text.charAt(i))) has = true
+      i += 1
+    }
+    if (!has) return text
+    val sb = new java.lang.StringBuilder(text.length + 16)
+    i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (isNoSpaceScript(c)) sb.append(' ').append(c).append(' ')
+      else sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
+
+  def wordNgrams(text0: String, n: Int): GenericArrayData = {
+    // same stage order as TextFuncs.tokens: isolate, THEN trim/lower
+    val text = isolate(text0)
     // Spark's trim strips ONLY ' ' (0x20) — String.trim would also
     // strip \n/\t and change the token list for texts bounded by them
     var b = 0

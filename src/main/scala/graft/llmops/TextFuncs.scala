@@ -558,6 +558,35 @@ object TextFuncs {
             (col("__nb").cast("double") / col("__N")))).as("pmi"))
   }
 
+  /** Character-distribution entropy in BITS per document — the
+    * two-sided quality tripwire the length/stopword heuristics miss:
+    * templated/repetitive text sits LOW (a page of "aaaa…" → 0),
+    * binary spill / base64 / hex dumps sit HIGH (uniform over an
+    * alphabet of k chars → log2 k, ≈ 6 bits for base64), while
+    * natural prose lands ≈ 4.0–4.5 bits of unigram char entropy.
+    *
+    * Identity used: H = −Σ (k/n)·log2(k/n) = (ln n − Σ k·ln k / n) /
+    * ln 2 — so the whole statistic is two map-side-combinable sums
+    * over slim (id, char, count) rows; text never shuffles. Docs with
+    * empty/null text emit no row (entropy of nothing is undefined,
+    * not 0 — absence is the honest answer).
+    *
+    * @return (idCol, n_chars, char_entropy)
+    */
+  def charEntropy(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol), explode(split(col(textCol), "")).as("__c"))
+      .filter(col("__c") =!= "")
+      .groupBy(col(idCol), col("__c"))
+      .agg(count(lit(1)).as("__k"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__k")).as("n_chars"),
+        sum(col("__k") * log(col("__k"))).as("__sklnk"))
+      .select(col(idCol), col("n_chars"),
+        ((log(col("n_chars")) - col("__sklnk") / col("n_chars")) /
+          math.log(2.0)).as("char_entropy"))
+
   def lineLangSegments(docs: DataFrame, idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -111,4 +111,57 @@ object Profiling {
       .agg(sum(col("n_rows")).as("n_rows"),
         expr("bit_xor(xor48)").as("xor48"),
         sum(col("sum32")).as("sum32"))
+
+  /** One-call corpus DATA CARD — the tall (metric, value) report a
+    * corpus release ships next to the parquet: volume (docs, chars,
+    * tokens), exact-duplicate rate, mean heuristic quality, mean
+    * char-distribution entropy, the detected-language histogram, and
+    * the Zipf fit (slope/r² — "does it still look like language").
+    * Every number is an already-verified kernel (q19/q20/q21/q22/
+    * q168/q172 shapes) composed into one relational dataflow: three
+    * corpus passes total (the scalar/lang aggregates share one, the
+    * entropy aggregation one, the Zipf head one) regardless of corpus
+    * size, each pass map-side combinable. Metric names are stable —
+    * diff two releases' cards directly.
+    *
+    * @return (metric string, value double) — counts cast to double so
+    *         the card is one homogeneous, pivot-free table
+    */
+  def corpusReport(docs: DataFrame, zipfTopN: Int = 200,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val T = graft.llmops.TextFuncs
+    val tc = T.tokenCount(col(textCol))
+    // pass 1: every scalar aggregate at once
+    val scalars = docs.agg(
+        count(lit(1)).cast("double").as("n_docs"),
+        countDistinct(md5(col(textCol))).cast("double").as("n_unique"),
+        sum(length(col(textCol))).cast("double").as("n_chars"),
+        sum(tc).cast("double").as("n_tokens"),
+        avg(T.qualityScore(col(textCol))).as("mean_quality"))
+      .select(explode(map(
+        lit("n_docs"), col("n_docs"),
+        lit("n_unique_texts"), col("n_unique"),
+        lit("exact_dup_rate"),
+        lit(1.0) - col("n_unique") / col("n_docs"),
+        lit("n_chars"), col("n_chars"),
+        lit("n_tokens"), col("n_tokens"),
+        lit("mean_quality"), col("mean_quality")))
+        .as(Seq("metric", "value")))
+    // lang histogram rides the same tokenize shape as q22
+    val langs = docs
+      .groupBy(T.langIdFromTokens(T.tokens(col(textCol))).as("__l"))
+      .agg(count(lit(1)).cast("double").as("value"))
+      .select(concat(lit("lang:"), col("__l")).as("metric"),
+        col("value"))
+    val entropy = T.charEntropy(docs, idCol, textCol)
+      .agg(avg(col("char_entropy")).as("value"))
+      .select(lit("mean_char_entropy").as("metric"), col("value"))
+    val zipf = T.zipfFit(docs, zipfTopN, textCol)
+      .select(explode(map(
+        lit("zipf_slope"), col("slope"),
+        lit("zipf_r2"), col("r2")))
+        .as(Seq("metric", "value")))
+    scalars.unionByName(langs).unionByName(entropy).unionByName(zipf)
+  }
 }

@@ -495,4 +495,42 @@ class DedupSpec extends SparkTestBase {
     assert(got.map(t => (t._1, t._2)) == Seq((1L, 2L)), s"got=$got")
     assert(got.head._3 > 0.8 && got.head._3 < 1.0)
   }
+
+  test("jaccardJoinExact: EXACTLY the brute-force pair set at every " +
+      "threshold and every n — recall 1.0 by construction, no LSH " +
+      "proposal cliff; repartition-stable") {
+    val docs = Tables.documents(spark, sf0001).select($"doc_id", $"text")
+    def brute(th: Double, n: Int) = {
+      val sets = docs.select($"doc_id".as("id"),
+        graft.llmops.TextFuncs.wordNgrams($"text", n).as("s"))
+      sets.as("a").join(sets.as("b"),
+          $"a.id" < $"b.id")
+        .select($"a.id".as("id_a"), $"b.id".as("id_b"),
+          (size(array_intersect($"a.s", $"b.s")) /
+            size(array_union($"a.s", $"b.s")).cast("double")).as("j"))
+        .filter($"j" >= th)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    }
+    for ((th, n) <- Seq((0.3, 3), (0.5, 3), (0.8, 1), (1.0, 1))) {
+      val got = Dedup.jaccardJoinExact(docs, th, n)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      assert(got == brute(th, n), s"threshold $th n=$n")
+    }
+    val again = Dedup.jaccardJoinExact(docs.repartition(7), 0.3, 3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(again == brute(0.3, 3))
+    // the recall case LSH proposals can lose: DISPERSED small edits —
+    // the exact join must return the pair at its true similarity
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val edited = (1 to 40).map(i =>
+      if (i % 10 == 0) s"x$i" else s"w$i").mkString(" ")
+    val planted = Seq((900001L, base), (900002L, edited))
+      .toDF("doc_id", "text")
+    val pair = Dedup.jaccardJoinExact(planted, 0.5, n = 3)
+      .select($"id_a", $"id_b", round($"jaccard", 4).as("j"))
+      .as[(Long, Long, Double)].collect().toSeq
+    // 4 edits × ≤3 corrupted grams (the tail edit corrupts 1):
+    // |∩| = 28 of 38, |∪| = 48 → 0.5833
+    assert(pair == Seq((900001L, 900002L, 0.5833)), s"got=$pair")
+  }
 }

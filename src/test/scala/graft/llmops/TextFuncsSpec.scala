@@ -310,6 +310,22 @@ class TextFuncsSpec extends SparkTestBase {
     assert(got.values.forall(_._1 >= 5L))
   }
 
+  test("charEntropy: closed forms — 0 for one repeated char, 1 bit for " +
+      "two alternating, 2 bits for four distinct; empty text emits " +
+      "no row") {
+    val docs = Seq((1L, "aaaa"), (2L, "abab"), (3L, "abcd"), (4L, ""))
+      .toDF("doc_id", "text")
+    val got = TextFuncs.charEntropy(docs)
+      .orderBy($"doc_id")
+      .select($"doc_id", $"n_chars", $"char_entropy")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 3L)) // doc 4 absent
+    assert(got.map(_._2) == Seq(4L, 4L, 4L))
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-12
+    assert(close(got(0)._3, 0.0) && close(got(1)._3, 1.0) &&
+      close(got(2)._3, 2.0), s"got=$got")
+  }
+
   test("pmiPairs: the pair mass P normalizes over UNFILTERED counts — " +
       "a reported pair's PMI is invariant to the minCount floor") {
     val docs = (0 until 10).map(i =>

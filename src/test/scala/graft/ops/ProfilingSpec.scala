@@ -111,4 +111,28 @@ class ProfilingSpec extends SparkTestBase {
       .collect().map(_.toSeq).toSet ==
       lone.collect().map(_.toSeq).toSet)
   }
+
+  test("corpusReport: one tall data card — exact counts, planted dup " +
+      "rate, language histogram sums to n_docs, Zipf slope present") {
+    val prose = "the quick brown fox jumps over the lazy dog and " +
+      "keeps running through a field for quite a while longer today"
+    val docs = Seq(
+      (1L, prose), (2L, prose),                 // exact dup pair
+      (3L, "el perro y la casa de los gatos en un campo"),
+      (4L, "another plain english document about the data pipeline")
+    ).toDF("doc_id", "text")
+    val card = Profiling.corpusReport(docs, zipfTopN = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(card("n_docs") == 4.0)
+    assert(card("n_unique_texts") == 3.0)
+    assert(math.abs(card("exact_dup_rate") - 0.25) < 1e-12)
+    val langMass = card.collect {
+      case (k, v) if k.startsWith("lang:") => v }.sum
+    assert(langMass == 4.0, s"lang histogram mass: $card")
+    assert(card("lang:es") == 1.0)
+    assert(card.contains("zipf_slope") && card("zipf_slope") < 0.0)
+    assert(card("mean_char_entropy") > 3.0 &&
+      card("mean_char_entropy") < 5.0) // prose band
+    assert(card("mean_quality") >= 0.0 && card("mean_quality") <= 1.0)
+  }
 }
