@@ -586,6 +586,8 @@ object Graft {
     llmops.TextFuncs.pmiPairs(docs, topV, window, minCount)
   /** Zipf ln-ln OLS over the vocabulary head — slope/intercept/r2
     * corpus-health stats (q168). */
+  def zipfFit(docs: DataFrame, topN: Int = 200): DataFrame =
+    llmops.TextFuncs.zipfFit(docs, topN)
   /** Char-distribution entropy in bits per doc — repetitive text LOW,
     * binary/base64 spill HIGH, prose ≈ 4–4.5 (q172). */
   def charEntropy(docs: DataFrame): DataFrame =
@@ -595,8 +597,6 @@ object Graft {
     * (q173). */
   def corpusReport(docs: DataFrame, zipfTopN: Int = 200): DataFrame =
     ops.Profiling.corpusReport(docs, zipfTopN)
-  def zipfFit(docs: DataFrame, topN: Int = 200): DataFrame =
-    llmops.TextFuncs.zipfFit(docs, topN)
   /** MMR diversification of a per-query top-N candidate set
     * (Carbonell-Goldstein 1998): greedy lambda*rel - (1-lambda)*maxSim
     * re-rank (q140). */

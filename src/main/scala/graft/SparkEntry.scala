@@ -6925,10 +6925,12 @@ object SparkEntry {
                   coalesce(1.0 / (kk.rrf_k + c.rb), 0.0) AS rrf
            FROM cand c CROSS JOIN (VALUES (20), (60)) kk(rrf_k)),
          topv AS (
+           -- the fused cut is at FETCH_K (serving's output shape);
+           -- the evalK = 4 cut applies later at DOC rank
            SELECT *, row_number() OVER (
              PARTITION BY fetch_k, nprobe, rrf_k, query_id
              ORDER BY rrf DESC, vec_id) AS frk
-           FROM scored QUALIFY frk <= 4),
+           FROM scored QUALIFY frk <= fetch_k),
          dochits AS (
            SELECT fetch_k, nprobe, rrf_k, query_id, doc_id,
                   min(frk) AS mr

@@ -152,12 +152,14 @@ object MultiMatch {
     * a fresh entry, costing one rebuild — never a wrong result.
     *
     * The expressions below do NOT hit this cache per row: each
-    * expression instance resolves its Ac ONCE (a `@transient lazy
-    * val` on the interpreted path, an `addReferenceObj` of the
-    * resolved Ac on the codegen path), so matching costs O(|text|)
-    * per row with no per-row `Seq[String].hashCode` — which is
-    * O(|patterns|) and would erode exactly the |patterns|× win the
-    * automaton buys at real blocklist sizes.
+    * expression instance ships a slim [[AcRef]] (pattern list + a
+    * transient resolved slot — never the built automaton, which would
+    * cost a multi-MB deserialization per task), the codegen path
+    * hoists `acRef.get` into operator INIT via `addMutableState`, and
+    * every row reads a field. So matching costs O(|text|) per row
+    * with no per-row `Seq[String].hashCode` — which is O(|patterns|)
+    * and would erode exactly the |patterns|× win the automaton buys
+    * at real blocklist sizes.
     */
   private val MaxCached = 64
   private val cache =
@@ -165,6 +167,23 @@ object MultiMatch {
   def automaton(patterns: Seq[String]): Ac = {
     if (cache.size > MaxCached) cache.clear()
     cache.computeIfAbsent(patterns, p => new Ac(p.toArray))
+  }
+
+  /** What the plan SHIPS: the pattern list plus a transient slot for
+    * the resolved automaton. Serializing the built [[Ac]] itself into
+    * task binaries would pay a multi-MB deserialization PER TASK at
+    * real blocklist sizes and bypass the executor cache; this holder
+    * deserializes as just the strings, resolves through [[automaton]]
+    * ONCE (per task at worst — the codegen path hoists the resolved
+    * Ac into operator init, the interpreted path memoizes in the
+    * field), and every row after that is a plain field read.
+    */
+  final class AcRef(val patterns: Seq[String]) extends Serializable {
+    @transient private[this] var resolved: Ac = _
+    def get: Ac = {
+      if (resolved == null) resolved = automaton(patterns)
+      resolved
+    }
   }
 
   // static kernels for codegen — take the RESOLVED automaton, so the
@@ -189,14 +208,18 @@ object MultiMatch {
         s"$prettyName requires a string input, got ${child.dataType}")
     override def dataType: DataType = BooleanType
     override def prettyName: String = "contains_any"
-    @transient private lazy val ac = automaton(patterns)
+    @transient private lazy val acRef = new AcRef(patterns)
     override def nullSafeEval(input: Any): Any =
-      containsAnyKernel(input.asInstanceOf[UTF8String], ac)
+      containsAnyKernel(input.asInstanceOf[UTF8String], acRef.get)
     override protected def doGenCode(ctx: CodegenContext,
                                      ev: ExprCode): ExprCode = {
-      val ref = ctx.addReferenceObj("ac", ac, "graft.expr.MultiMatch.Ac")
+      val ref = ctx.addReferenceObj("acRef", acRef,
+        "graft.expr.MultiMatch.AcRef")
+      // resolved ONCE at operator init; per-row code reads a field
+      val ac = ctx.addMutableState("graft.expr.MultiMatch.Ac", "ac",
+        v => s"$v = $ref.get();")
       nullSafeCodeGen(ctx, ev, c =>
-        s"${ev.value} = graft.expr.MultiMatch.containsAnyKernel($c, $ref);")
+        s"${ev.value} = graft.expr.MultiMatch.containsAnyKernel($c, $ac);")
     }
     override protected def withNewChildInternal(c: Expression)
         : ContainsAny = copy(child = c)
@@ -215,14 +238,17 @@ object MultiMatch {
         s"$prettyName requires a string input, got ${child.dataType}")
     override def dataType: DataType = ArrayType(StringType, false)
     override def prettyName: String = "matched_terms"
-    @transient private lazy val ac = automaton(patterns)
+    @transient private lazy val acRef = new AcRef(patterns)
     override def nullSafeEval(input: Any): Any =
-      matchedKernel(input.asInstanceOf[UTF8String], ac)
+      matchedKernel(input.asInstanceOf[UTF8String], acRef.get)
     override protected def doGenCode(ctx: CodegenContext,
                                      ev: ExprCode): ExprCode = {
-      val ref = ctx.addReferenceObj("ac", ac, "graft.expr.MultiMatch.Ac")
+      val ref = ctx.addReferenceObj("acRef", acRef,
+        "graft.expr.MultiMatch.AcRef")
+      val ac = ctx.addMutableState("graft.expr.MultiMatch.Ac", "ac",
+        v => s"$v = $ref.get();")
       nullSafeCodeGen(ctx, ev, c =>
-        s"${ev.value} = graft.expr.MultiMatch.matchedKernel($c, $ref);")
+        s"${ev.value} = graft.expr.MultiMatch.matchedKernel($c, $ac);")
     }
     override protected def withNewChildInternal(c: Expression)
         : MatchedTerms = copy(child = c)
@@ -246,16 +272,19 @@ object MultiMatch {
     override def dataType: DataType = StringType
     override def prettyName: String = "redact_any"
     private lazy val maskU = UTF8String.fromString(mask)
-    @transient private lazy val ac = automaton(patterns)
+    @transient private lazy val acRef = new AcRef(patterns)
     override def nullSafeEval(input: Any): Any =
-      redactKernel(input.asInstanceOf[UTF8String], ac, maskU)
+      redactKernel(input.asInstanceOf[UTF8String], acRef.get, maskU)
     override protected def doGenCode(ctx: CodegenContext,
                                      ev: ExprCode): ExprCode = {
-      val ref = ctx.addReferenceObj("ac", ac, "graft.expr.MultiMatch.Ac")
+      val ref = ctx.addReferenceObj("acRef", acRef,
+        "graft.expr.MultiMatch.AcRef")
+      val ac = ctx.addMutableState("graft.expr.MultiMatch.Ac", "ac",
+        v => s"$v = $ref.get();")
       val mref = ctx.addReferenceObj("mask", maskU,
         "org.apache.spark.unsafe.types.UTF8String")
       nullSafeCodeGen(ctx, ev, c =>
-        s"${ev.value} = graft.expr.MultiMatch.redactKernel($c, $ref, $mref);")
+        s"${ev.value} = graft.expr.MultiMatch.redactKernel($c, $ac, $mref);")
     }
     override protected def withNewChildInternal(c: Expression)
         : RedactAny = copy(child = c)

@@ -648,9 +648,12 @@ object Retrieval {
     * (both tier rankings `localCheckpoint`ed); rrfK only changes the
     * FUSION arithmetic, so every rrfK re-fuses those materialized
     * rankings without touching the index — |fetchKs|·|nprobes| serves,
-    * |grid| cheap fusions. Hits roll up to document level before
-    * scoring (best chunk rank per doc, then a dense per-query re-rank
-    * — qrels are document judgments), and each cell's metrics average
+    * |grid| cheap fusions. A cell's measurement is exactly what
+    * SERVING at its knobs delivers: the fused top-fetchK chunk
+    * ranking ([[hybridSearchWith]]'s output shape) rolls up to
+    * document level (best chunk rank per doc, dense per-query
+    * re-rank — qrels are document judgments) and [[evalMetrics]]
+    * applies the evalK cut at DOC rank; each cell's metrics average
     * over the judged queries.
     *
     * @param qrels (queryId, doc_id) relevant pairs, the [[evalMetrics]]
@@ -681,7 +684,13 @@ object Retrieval {
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy(col(queryId))
             .orderBy(col("__mr"), col("doc_id"))
-          val docHits = rrfFuse(vecC, lexC, evalK, rk, queryId, "vec_id")
+          // fuse the FULL fetchK candidate lists — the doc roll-up and
+          // the dense re-rank happen before the evalK cut (inside
+          // evalMetrics' rk <= k filter); cutting the fused CHUNK list
+          // at evalK first would collapse multi-chunk docs into fewer
+          // doc slots and mask exactly the fetchK effect the grid
+          // exists to measure
+          val docHits = rrfFuse(vecC, lexC, fk, rk, queryId, "vec_id")
             .join(chunks.select(col("vec_id"), col("doc_id")),
               Seq("vec_id"))
             .groupBy(col(queryId), col("doc_id"))

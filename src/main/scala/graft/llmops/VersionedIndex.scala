@@ -113,16 +113,25 @@ object VersionedIndex {
     require(f.createNewFile(marker), s"publish collision at $marker")
   }
 
-  /** Delete version directories older than the newest `keep`, never
-    * the current one. `keep` bounds how long an in-flight serve may
-    * keep reading a superseded version.
+  /** Delete the version directories of all but the newest `keep`
+    * PUBLISHED versions (never the current one). `keep` counts
+    * published versions only — an unpublished partial directory (a
+    * crashed or still-in-flight write) must neither consume a keep
+    * slot (it would push a superseded version an in-flight serve may
+    * still be reading out of the window) nor be deleted (a concurrent
+    * maintenance job may be mid-write; it publishes or stays garbage
+    * for a later explicit cleanup). `keep` bounds how long an
+    * in-flight serve may keep reading a superseded version.
     */
   def prune(spark: SparkSession, root: String, keep: Int = 2): Unit = {
     require(keep >= 1, "keep must be >= 1")
     val f = fs(spark, root)
-    val cur = current(spark, root)
-    versions(spark, root).dropRight(keep)
-      .filterNot(cur.contains)
+    val published = markers(spark, root).map(_._2).distinct.sorted
+    val protect = published.takeRight(keep).toSet ++
+      current(spark, root)
+    versions(spark, root)
+      .filter(published.contains)
+      .filterNot(protect)
       .foreach(v => f.delete(new Path(versionPath(root, v)), true))
   }
 }

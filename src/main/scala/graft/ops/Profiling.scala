@@ -118,11 +118,12 @@ object Profiling {
     * char-distribution entropy, the detected-language histogram, and
     * the Zipf fit (slope/r² — "does it still look like language").
     * Every number is an already-verified kernel (q19/q20/q21/q22/
-    * q168/q172 shapes) composed into one relational dataflow: three
-    * corpus passes total (the scalar/lang aggregates share one, the
-    * entropy aggregation one, the Zipf head one) regardless of corpus
-    * size, each pass map-side combinable. Metric names are stable —
-    * diff two releases' cards directly.
+    * q168/q172 shapes) composed into one relational dataflow: FOUR
+    * corpus passes total (the scalar aggregates, the language
+    * histogram, the entropy aggregation, the Zipf head — independent
+    * aggregation subtrees each scan once) regardless of corpus size,
+    * each pass map-side combinable. Metric names are stable — diff
+    * two releases' cards directly.
     *
     * @return (metric string, value double) — counts cast to double so
     *         the card is one homogeneous, pivot-free table

@@ -57,6 +57,18 @@ class VersionedIndexSpec extends SparkTestBase {
       VersionedIndex.versionPath(root, 3) + "/marker")
     VersionedIndex.prune(spark, root, keep = 1)
     assert(VersionedIndex.versions(spark, root).contains(2))
+    // an unpublished partial dir neither consumes a keep slot (which
+    // would push a superseded published version a racing serve may
+    // still be reading out of the window) nor gets deleted (a
+    // concurrent maintenance job may be mid-write)
+    VersionedIndex.publish(spark, root, 3) // dir exists from above
+    Seq(4).toDF("x").write.parquet(
+      VersionedIndex.versionPath(root, 4) + "/marker")
+    VersionedIndex.prune(spark, root, keep = 2)
+    assert(VersionedIndex.versions(spark, root) == Seq(2, 3, 4),
+      "published v2/v3 kept (the two newest PUBLISHED), partial v4 " +
+        "untouched")
+    assert(VersionedIndex.current(spark, root).contains(3))
   }
 
   test("Bm25Index: a serve resolved BEFORE compactVersioned returns " +
