@@ -416,6 +416,14 @@ object Graft {
   def assignSplit(text: Column, trainFrac: Double = 0.8,
                   valFrac: Double = 0.1): Column =
     llmops.Splits.assignSplit(text, trainFrac, valFrac)
+  /** Leakage-safe split: near-dup neighbors (the `pairs` graph) share
+    * a split by construction — the split key is the connected-component
+    * label, so no dup pair straddles train/test (q174). */
+  def splitByCluster(docs: DataFrame, pairs: DataFrame,
+                     idCol: String = "doc_id",
+                     trainFrac: Double = 0.8, valFrac: Double = 0.1,
+                     seed: String = "cluster-split"): DataFrame =
+    llmops.Splits.splitByCluster(docs, pairs, idCol, trainFrac, valFrac, seed)
   /** Redact emails / phone numbers / IPv4 addresses with typed tags. */
   def redactPii(text: Column): Column = llmops.TextFuncs.redactPii(text)
   /** Gopher-style repetition signals. */
@@ -484,6 +492,12 @@ object Graft {
   /** Apply a mixture table's per-source rates (adds `keep`). */
   def applyMixture(docs: DataFrame, rates: DataFrame): DataFrame =
     llmops.Mixture.applyRates(docs, rates)
+  /** Budget-constrained quality-greedy mixture allocation (q177):
+    * fill a hard token budget best-source-first under a per-source
+    * share cap; feed the result to [[applyMixture]]. */
+  def budgetAllocate(docs: DataFrame, tokenBudget: Long,
+                     maxShare: Double = 1.0): DataFrame =
+    llmops.Mixture.budgetAllocate(docs, tokenBudget, maxShare)
   /** Per-group quantile thresholds + bucket assignment (CCNet, q102). */
   def groupQuantileBins(df: DataFrame, group: Column, value: Column,
                         probs: Seq[Double], binCol: String = "bin")
@@ -710,6 +724,13 @@ object Graft {
   /** Jaccard estimate from two [[kmvSketch]] arrays (q107). */
   def kmvJaccard(a: Column, b: Column, k: Int): Column =
     llmops.Freq.kmvJaccard(a, b, k)
+  /** Mergeable t-digest of a numeric column (q175); query with
+    * [[tdigestQuantile]]. */
+  def tdigestAgg(value: Column, compression: Int = 100): Column =
+    llmops.Quantiles.tdigestAgg(value, compression)
+  /** Quantile estimate from a [[tdigestAgg]] digest (q175). */
+  def tdigestQuantile(digest: Column, q: Double): Column =
+    llmops.Quantiles.tdigestQuantile(digest, q)
   /** Interpolated Kneser-Ney per-doc NLL from a bigram count table
     * (q112); train the table with [[bigramCounts]]. */
   def knPerplexityScores(docs: DataFrame, bigrams: DataFrame,

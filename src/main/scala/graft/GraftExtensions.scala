@@ -139,6 +139,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "kmv_sketch(hash, k) with literal non-null numeric k")
       }))
+    e.injectFunction((FunctionIdentifier("tdigest"),
+      info("tdigest",
+        "tdigest(value, compression) - mergeable t-digest quantile " +
+          "sketch (array of (mean, weight) centroids ascending by mean)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v, c) if c.foldable && c.eval() != null =>
+          c.eval() match {
+            case n: Number => graft.llmops.TDigestAgg(v, n.intValue())
+            case _ => throw new IllegalArgumentException(
+              "tdigest(value, compression) with literal non-null numeric compression")
+          }
+        case _ => throw new IllegalArgumentException(
+          "tdigest(value, compression) with literal non-null numeric compression")
+      }))
+    e.injectFunction((FunctionIdentifier("tdigest_quantile"),
+      info("tdigest_quantile",
+        "tdigest_quantile(digest, q) - interpolated quantile estimate " +
+          "from a tdigest() value"),
+      (args: Seq[Expression]) => args match {
+        case Seq(d, q) if q.foldable && q.eval() != null =>
+          q.eval() match {
+            case n: Number => graft.llmops.TDigestQuantile(d, n.doubleValue())
+            case n: org.apache.spark.sql.types.Decimal => // SQL 0.5 literal
+              graft.llmops.TDigestQuantile(d, n.toDouble)
+            case _ => throw new IllegalArgumentException(
+              "tdigest_quantile(digest, q) with literal non-null numeric q")
+          }
+        case _ => throw new IllegalArgumentException(
+          "tdigest_quantile(digest, q) with literal non-null numeric q")
+      }))
     e.injectFunction((FunctionIdentifier("nfc_norm"),
       info("nfc_norm", "nfc_norm(text) - Unicode NFC canonical composition"),
       (args: Seq[Expression]) => graft.expr.NfcNormalize(args.head)))

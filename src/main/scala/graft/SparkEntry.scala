@@ -3376,6 +3376,104 @@ object SparkEntry {
       graft.ops.Profiling.corpusReport(t(s, d, "documents"))
         .select($"metric", round($"value", 4).as("value"))
         .orderBy($"metric")
+    }),
+
+    // leakage-safe cluster split (X146): the split key is the
+    // connected-component label of the near-dup graph, not the text
+    // hash, so no near-dup pair straddles train/test by construction.
+    // Same q69 dump-and-replay contract: edges dumped, the oracle
+    // re-derives components (recursive CTE) and the md5 threshold on
+    // the same seed:component key — every per-doc assignment replayed.
+    "q174_cluster_split" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val edges = graft.llmops.Dedup.minhashPairs(docs, threshold = 0.7)
+        .select($"id_a", $"id_b")
+      materialize(edges, "q174_edges")
+      graft.llmops.Splits.splitByCluster(docs, edges)
+        .select($"doc_id", $"component", $"split")
+        .orderBy($"doc_id")
+    }),
+
+    // mergeable t-digest quantiles (X147): the rank tier of the sketch
+    // family — per-group digests of O(δ) centroids instead of a global
+    // sort. Same contract shape as q104's GK pin: exact quantiles
+    // replayed by the oracle; the sketch estimate pinned by its
+    // realized-rank error (the order-independent guarantee a mergeable
+    // quantile summary actually makes).
+    "q175_tdigest_quantile" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val dig = docs.groupBy($"source")
+        .agg(
+          percentile($"n_chars", lit(0.5)).as("p50_exact"),
+          percentile($"n_chars", lit(0.9)).as("p90_exact"),
+          graft.llmops.Quantiles.tdigestAgg($"n_chars", 100).as("dg"))
+        .select($"source", $"p50_exact", $"p90_exact",
+          graft.llmops.Quantiles.tdigestQuantile($"dg", 0.5).as("p50t"),
+          graft.llmops.Quantiles.tdigestQuantile($"dg", 0.9).as("p90t"))
+      docs.join(broadcast(dig), Seq("source"))
+        .groupBy($"source", $"p50_exact", $"p90_exact", $"p50t", $"p90t")
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(when($"n_chars" <= $"p50t", 1.0).otherwise(0.0)).as("r50"),
+          sum(when($"n_chars" <= $"p90t", 1.0).otherwise(0.0)).as("r90"))
+        .select($"source",
+          round($"p50_exact", 4).as("p50_exact"),
+          round($"p90_exact", 4).as("p90_exact"),
+          (abs($"r50" / $"n" - 0.5) <= lit(0.05) + lit(1.0) / $"n")
+            .as("p50_ok"),
+          (abs($"r90" / $"n" - 0.9) <= lit(0.05) + lit(1.0) / $"n")
+            .as("p90_ok"))
+        .orderBy($"source")
+    }),
+
+    // interval-overlap join (X148): the two-sided counterpart of q41's
+    // as-of and q46's proximity joins — half-open [start, end)
+    // intervals, bucketed to an equi-join with canonical-bucket dedup
+    // (no distinct). The oracle runs the plain inequality theta-join;
+    // this plan runs the bucketed equi-join — same rows proves the
+    // rewrite. Intervals: each event lasts `value` minutes.
+    "q176_interval_overlap" -> ((s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+      // round, don't truncate: value*6e7 is integral only in decimal —
+      // the double product sits 1ulp under (truncation loses 1 µs vs
+      // the oracle's rounding CAST)
+      def iv(typ: String) = ev.filter($"event_type" === typ)
+        .select($"user_id", $"event_id", $"ts".as("s_ts"),
+          timestamp_micros(graft.expr.TimeFuncs.tsMicros($"ts") +
+            round($"value" * 60000000L).cast("long")).as("e_ts"))
+      graft.ops.RangeJoin.intervalOverlapPairs(
+          iv("click"), iv("error"), Seq("user_id"), "event_id",
+          "s_ts", "e_ts", bucketMicros = 3600000000L)
+        .orderBy($"user_id", $"id_a", $"id_b")
+    }),
+
+    // budget-constrained quality-greedy mixture (X149): fill a hard
+    // token budget best-source-first under a per-source share cap —
+    // the greedy collapses to one cumulative-sum window over the
+    // |sources|-row aggregate (all integer arithmetic), so the oracle
+    // replays every allocation exactly, quality heuristic included.
+    "q177_budget_mixture" -> ((s, d) => {
+      import s.implicits._
+      graft.llmops.Mixture.budgetAllocate(t(s, d, "documents"),
+          tokenBudget = 20000L, maxShare = 0.2)
+        .orderBy($"source")
+    }),
+
+    // 2-D Morton key (X150): the arithmetic behind the Z-order layout
+    // (Output.zorderLayout) — five shift-mask spread rounds per
+    // dimension, interleaved; the oracle replays every round in SQL
+    // bit ops. The layout's pruning payoff is measured in OutputSpec
+    // (files whose min/max stats intersect a probe, z-order vs
+    // single-column sort).
+    "q178_zorder_key" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "part")
+        .select($"p_partkey",
+          graft.ops.Output.zorderValue(
+            $"p_size", pmod($"p_partkey", lit(256)), 16).as("zval"))
+        .orderBy($"p_partkey")
     })
   )
 
@@ -7154,6 +7252,122 @@ object SparkEntry {
            UNION ALL SELECT 'zipf_slope', slope FROM zf
            UNION ALL SELECT 'zipf_r2', r2 FROM zf)
          SELECT metric, round(value, 4) AS value FROM card
-         ORDER BY metric"""
+         ORDER BY metric""",
+    "q174_cluster_split" ->
+      """WITH RECURSIVE sym AS (
+           SELECT id_a AS u, id_b AS v
+           FROM read_parquet('/root/repo/spark-warehouse/q174_edges/*.parquet')
+           UNION
+           SELECT id_b, id_a
+           FROM read_parquet('/root/repo/spark-warehouse/q174_edges/*.parquet')),
+         nodes AS (SELECT DISTINCT u AS id FROM sym),
+         walk(id, comp) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT sym.v, walk.comp FROM walk JOIN sym ON sym.u = walk.id),
+         labels AS (SELECT id, min(comp) AS component FROM walk GROUP BY id),
+         lab AS (
+           SELECT d.doc_id,
+                  coalesce(l.component, d.doc_id) AS component
+           FROM documents d LEFT JOIN labels l ON l.id = d.doc_id)
+         SELECT doc_id, component,
+                CASE WHEN substring(md5('cluster-split:' ||
+                       component::VARCHAR), 1, 2) < 'cd' THEN 'train'
+                     WHEN substring(md5('cluster-split:' ||
+                       component::VARCHAR), 1, 2) < 'e6' THEN 'val'
+                     ELSE 'test' END AS split
+         FROM lab ORDER BY doc_id""",
+    "q175_tdigest_quantile" ->
+      """SELECT source,
+                round(quantile_cont(n_chars, 0.5), 4) AS p50_exact,
+                round(quantile_cont(n_chars, 0.9), 4) AS p90_exact,
+                TRUE AS p50_ok, TRUE AS p90_ok
+         FROM documents GROUP BY source ORDER BY source""",
+    "q176_interval_overlap" ->
+      """WITH iv AS (
+           SELECT user_id, event_id, event_type,
+                  epoch_us(ts) AS s,
+                  epoch_us(ts) + CAST(value * 60000000 AS BIGINT) AS e
+           FROM events),
+         a AS (SELECT * FROM iv WHERE event_type = 'click' AND e > s),
+         b AS (SELECT * FROM iv WHERE event_type = 'error' AND e > s)
+         SELECT a.user_id AS user_id, a.event_id AS id_a,
+                b.event_id AS id_b,
+                least(a.e, b.e) - greatest(a.s, b.s) AS overlap_us
+         FROM a JOIN b ON a.user_id = b.user_id
+                      AND a.s < b.e AND b.s < a.e
+         ORDER BY a.user_id, id_a, id_b""",
+    "q177_budget_mixture" ->
+      """WITH q AS (
+           SELECT source,
+             string_split_regex(lower(trim(text)), '\s+') AS toks,
+             length(text) AS n,
+             length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+               AS np,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(lower(trim(text)), '\s+'))
+             END AS ntok
+           FROM documents),
+         r AS (
+           SELECT source, ntok,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE len(list_filter(toks, t -> t IN
+                    ('the','and','of','to','a','in','is','that')))::double
+                    / len(toks)
+             END AS stop_ratio,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE list_sum(list_transform(toks,
+                    w -> length(w)))::double / len(toks)
+             END AS mwl,
+             CASE WHEN n = 0 THEN 0.0 ELSE np::double / n END AS punct,
+             n FROM q),
+         stats AS (
+           SELECT source, count(*) AS n_docs,
+             sum(ntok)::BIGINT AS n_tokens,
+             round(avg(
+               (CASE WHEN n BETWEEN 50 AND 20000 THEN 0.25 ELSE 0.0 END) +
+               (CASE WHEN stop_ratio >= 0.01 THEN 0.25 ELSE 0.0 END) +
+               (CASE WHEN mwl BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END) +
+               (CASE WHEN punct <= 0.1 THEN 0.25 ELSE 0.0 END)), 6)
+               AS quality
+           FROM r GROUP BY source),
+         alloc AS (
+           SELECT source, n_docs, n_tokens, quality,
+             least(n_tokens, 4000) AS cap,
+             coalesce(sum(least(n_tokens, 4000)) OVER (
+               ORDER BY quality DESC, source ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0)::BIGINT AS bef
+           FROM stats)
+         SELECT source, n_docs, n_tokens, quality,
+           least(cap, greatest(0, 20000 - bef))::BIGINT AS alloc_tokens,
+           CASE WHEN n_tokens > 0
+                THEN round(least(cap, greatest(0, 20000 - bef))::double
+                  / n_tokens, 6)
+                ELSE 0.0 END AS rate
+         FROM alloc ORDER BY source""",
+    "q178_zorder_key" ->
+      """WITH s0 AS (
+           SELECT p_partkey,
+                  least(greatest(CAST(p_size AS BIGINT), 0), 65535) AS a,
+                  least(greatest(p_partkey % 256, 0), 65535) AS b
+           FROM part),
+         s1 AS (SELECT p_partkey,
+                  (a | (a << 16)) & 281470681808895 AS a,
+                  (b | (b << 16)) & 281470681808895 AS b FROM s0),
+         s2 AS (SELECT p_partkey,
+                  (a | (a << 8)) & 71777214294589695 AS a,
+                  (b | (b << 8)) & 71777214294589695 AS b FROM s1),
+         s3 AS (SELECT p_partkey,
+                  (a | (a << 4)) & 1085102592571150095 AS a,
+                  (b | (b << 4)) & 1085102592571150095 AS b FROM s2),
+         s4 AS (SELECT p_partkey,
+                  (a | (a << 2)) & 3689348814741910323 AS a,
+                  (b | (b << 2)) & 3689348814741910323 AS b FROM s3),
+         s5 AS (SELECT p_partkey,
+                  (a | (a << 1)) & 6148914691236517205 AS a,
+                  (b | (b << 1)) & 6148914691236517205 AS b FROM s4)
+         SELECT p_partkey, (a | (b << 1)) AS zval
+         FROM s5 ORDER BY p_partkey"""
   )
 }

@@ -72,4 +72,51 @@ object Mixture {
       .withColumn("keep", u < coalesce(col("rate"), lit(0.0)))
       .drop("rate")
   }
+
+  /** Budget-constrained quality-greedy mixture: when the token budget
+    * is a hard cap and per-source quality is measurable, fill the
+    * budget best-source-first — sources ordered by mean heuristic
+    * quality desc (ties by source asc), each allocated
+    * min(its tokens, maxShare·budget, remaining budget) until the
+    * budget is spent. `maxShare` caps any one source's share (the
+    * anti-monoculture guard every curated mixture applies). The greedy
+    * is RELATIONAL: because every source before the budget boundary
+    * takes its full cap, Σ previous allocations = min(budget,
+    * running cap sum), so alloc_i = min(cap_i, max(0, budget − cap
+    * cumsum before i)) — one cumulative-sum window over the
+    * |sources|-row aggregate (construction-bounded, like Binning's
+    * thresholds), all integer arithmetic, no iteration.
+    *
+    * Returns (source, n_docs, n_tokens, quality, alloc_tokens, rate)
+    * with rate = alloc/n_tokens ∈ [0, 1] rounded to 6 decimals,
+    * ready for [[applyRates]].
+    */
+  def budgetAllocate(docs: DataFrame, tokenBudget: Long,
+                     maxShare: Double = 1.0,
+                     sourceCol: String = "source",
+                     textCol: String = "text"): DataFrame = {
+    require(tokenBudget >= 0, "tokenBudget must be non-negative")
+    require(maxShare > 0.0 && maxShare <= 1.0,
+      "maxShare must be in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val stats = docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextFuncs.tokenCount(col(textCol))).as("n_tokens"),
+        round(avg(TextFuncs.qualityScore(col(textCol))), 6).as("quality"))
+    val perSourceCap = math.floor(maxShare * tokenBudget).toLong
+    val w = Window.orderBy(col("quality").desc, col(sourceCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    stats
+      .withColumn("__cap", least(col("n_tokens"), lit(perSourceCap)))
+      .withColumn("__before", coalesce(sum(col("__cap")).over(w), lit(0L)))
+      .withColumn("alloc_tokens",
+        least(col("__cap"),
+          greatest(lit(0L), lit(tokenBudget) - col("__before"))))
+      .withColumn("rate",
+        when(col("n_tokens") > 0,
+          round(col("alloc_tokens").cast("double") /
+            col("n_tokens").cast("double"), 6)).otherwise(lit(0.0)))
+      .select(col(sourceCol), col("n_docs"), col("n_tokens"),
+        col("quality"), col("alloc_tokens"), col("rate"))
+  }
 }

@@ -269,4 +269,37 @@ object Splits {
       .filter(col("__uniq").isNull) // assert_true: null on pass
       .drop("__idn", "__uniq")
   }
+
+  /** Leakage-safe train/val/test assignment: documents connected by a
+    * near-duplicate edge NEVER straddle a split boundary. A plain
+    * content-hash split ([[assignSplit]]) puts a document and its
+    * near-duplicate in independent buckets — at a 10% test fraction,
+    * ~19% of near-dup PAIRS straddle train/test, leaking training text
+    * into evaluation verbatim-up-to-edits. Here the split is keyed on
+    * the connected-component label of the near-dup graph (`pairs`,
+    * e.g. `Dedup.minhashPairs` output), so every member of a dup
+    * cluster lands in the same split by construction; singleton docs
+    * (in no pair) hash on their own id exactly as before.
+    *
+    * Same determinism contract as [[assignSplit]]: the assignment is a
+    * pure function of (seed, component), stable under reruns,
+    * parallelism, and appends — PROVIDED the pair graph is stable,
+    * which holds for the deterministic sketches upstream. Realized
+    * fractions converge on CLUSTERS, not docs; heavy dup skew shifts
+    * doc-level fractions by design (the cluster is the leakage unit).
+    *
+    * Scale shape: components over the slim (id, id) edge list
+    * (Connected Components only ever shuffles edges), one left join of
+    * labels back to docs, then a scalar md5 projection — full doc rows
+    * shuffle once, in the label join.
+    */
+  def splitByCluster(docs: DataFrame, pairs: DataFrame,
+                     idCol: String = "doc_id",
+                     trainFrac: Double = 0.8, valFrac: Double = 0.1,
+                     seed: String = "cluster-split"): DataFrame =
+    graft.ops.ConnectedComponents.labelClusters(docs, pairs, idCol)
+      .withColumn("split",
+        assignSplit(
+          concat_ws(":", lit(seed), col("component").cast("string")),
+          trainFrac, valFrac))
 }

@@ -42,4 +42,52 @@ object RangeJoin {
           abs(col("__us_l") - col("__us_r")).as("gap_us")): _*)
       .distinct()
   }
+
+  /** Interval-overlap equi-join: pairs (one row per overlapping
+    * left × right interval pair, same key group) under HALF-OPEN
+    * `[start, end)` semantics — `a` overlaps `b` iff
+    * `a.start < b.end && b.start < a.end`; touching endpoints don't
+    * count and zero-length intervals overlap nothing.
+    *
+    * Scale shape: the inequality theta-join (O(|L|·|R|) and
+    * NestedLoopJoin-prone in any engine) becomes an equi-join on
+    * (keys, time bucket): each interval explodes to the
+    * `len/bucketMicros + 1` buckets it spans, overlapping pairs are
+    * guaranteed to co-occur in the bucket containing
+    * `max(start_a, start_b)` (that instant lies inside BOTH
+    * intervals), and emitting a pair ONLY from that canonical bucket
+    * dedups without a `distinct()` shuffle. Pick `bucketMicros` near
+    * the median interval length: per-interval fan-out stays O(1) and
+    * rows-per-bucket bounds the join's candidate fan-out, the same
+    * propose-then-verify shape as [[timeProximityPairs]] and the LSH
+    * tier. Output: keys ++ (id_a, id_b, overlap_us).
+    */
+  def intervalOverlapPairs(left: DataFrame, right: DataFrame,
+                           keys: Seq[String], idCol: String,
+                           startCol: String, endCol: String,
+                           bucketMicros: Long): DataFrame = {
+    require(bucketMicros > 0, "bucketMicros must be positive")
+    def prep(df: DataFrame, side: String): DataFrame =
+      df.select(
+        keys.map(col) ++ Seq(
+          col(idCol).as(s"__id_$side"),
+          graft.expr.TimeFuncs.tsMicros(col(startCol)).as(s"__s_$side"),
+          graft.expr.TimeFuncs.tsMicros(col(endCol)).as(s"__e_$side")): _*)
+        .filter(col(s"__e_$side") > col(s"__s_$side")) // empty: no overlap
+        .withColumn("__bucket",
+          explode(sequence(
+            floor(col(s"__s_$side") / bucketMicros),
+            floor((col(s"__e_$side") - 1) / bucketMicros))))
+    prep(left, "a")
+      .join(prep(right, "b"), keys :+ "__bucket")
+      .filter(col("__s_a") < col("__e_b") && col("__s_b") < col("__e_a"))
+      .filter(col("__bucket") ===
+        floor(greatest(col("__s_a"), col("__s_b")) / bucketMicros))
+      .select(
+        keys.map(col) ++ Seq(
+          col("__id_a").as("id_a"),
+          col("__id_b").as("id_b"),
+          (least(col("__e_a"), col("__e_b")) -
+            greatest(col("__s_a"), col("__s_b"))).as("overlap_us")): _*)
+  }
 }

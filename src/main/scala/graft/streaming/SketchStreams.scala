@@ -168,4 +168,53 @@ object SketchStreams {
     }
     (digest, writer)
   }
+
+  /** Running t-digest of a numeric column over everything ingested so
+    * far — the rank tier's streaming fold (the batch aggregate is
+    * [[graft.llmops.Quantiles.tdigestAgg]], q175): each micro-batch
+    * contributes ONE bounded centroid row (≤ O(δ) pairs cross the
+    * batch's exchange regardless of batch size), folded with the
+    * t-digest merge rule. "What is the p99 document length of the
+    * corpus so far" as a streaming answer. Replays are skipped by
+    * batchId like [[RunningDigest]] — a re-delivered batch would
+    * double its mass in the fold.
+    */
+  final class RunningQuantiles(val compression: Int) extends Serializable {
+    @volatile private var state: Seq[(Double, Double)] = Nil
+    @volatile private var lastBatch: Long = -1L
+
+    /** Centroids (mean, weight) ascending by mean, of everything so far. */
+    def snapshot: Seq[(Double, Double)] = state
+    /** Total folded weight (= non-null rows ingested). */
+    def n: Double = state.map(_._2).sum
+    /** Interpolated quantile of the stream so far; NaN before data. */
+    def quantile(q: Double): Double =
+      graft.llmops.Quantiles.tdigestQuantileValue(state, q)
+
+    private[streaming] def ingest(batchId: Long,
+                                  batch: Seq[(Double, Double)]): Unit = {
+      if (batchId <= lastBatch) return
+      state = graft.llmops.Quantiles.mergeTDigests(state, batch, compression)
+      lastBatch = batchId
+    }
+  }
+
+  /** Per-micro-batch t-digest fold over a stream; the returned
+    * summary's quantiles carry the union's rank guarantee
+    * (SketchStreamsSpec pins the contract vs the batch union).
+    */
+  def quantileStream(docs: DataFrame, value: Column, compression: Int = 100)
+                    (onBatch: (RunningQuantiles, Long) => Unit = (_, _) => ())
+      : (RunningQuantiles, DataStreamWriter[Row]) = {
+    val rq = new RunningQuantiles(compression)
+    val writer = docs.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val row = batch.agg(
+          graft.llmops.Quantiles.tdigestAgg(value, compression).as("d")).head()
+        val cents = row.getSeq[Row](0).map(r => (r.getDouble(0), r.getDouble(1)))
+        rq.ingest(batchId, cents)
+        onBatch(rq, batchId)
+    }
+    (rq, writer)
+  }
 }

@@ -23,3 +23,8 @@ trait StringInputTypes extends ImplicitCastInputTypes {
 trait LongInputTypes extends ImplicitCastInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
 }
+
+/** Single double input (a numeric sketch value column). */
+trait DoubleInputTypes extends ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
+}

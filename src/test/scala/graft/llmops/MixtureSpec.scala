@@ -61,4 +61,47 @@ class MixtureSpec extends SparkTestBase {
     val kept = Mixture.applyRates(df, rates)
     assert(kept.filter($"source" === "books" && $"keep").count() == 0)
   }
+
+  test("budgetAllocate: greedy fills best sources first under the " +
+    "share cap and spends exactly the budget when supply allows") {
+    // three sources with distinct quality ranks: prose-ish (high),
+    // word salad (mid), short junk (low)
+    val prose = (1 to 4).map(i => ("hi",
+      "the quick brown fox jumps over the lazy dog and runs to the " +
+        "house of a friend in town. " * 2))
+    val mid = (1 to 4).map(i => ("md", s"alpha beta gamma delta " * 12))
+    val low = (1 to 4).map(i => ("lo", "x" * 10))
+    val docs = (prose ++ mid ++ low).toDF("source", "text")
+
+    val stats = docs.groupBy($"source")
+      .agg(sum(TextFuncs.tokenCount($"text")).as("nt"),
+        avg(TextFuncs.qualityScore($"text")).as("q"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(stats("hi")._2 > stats("md")._2 &&
+      stats("md")._2 > stats("lo")._2) // the intended quality order
+
+    val budget = stats("hi")._1 + 10 // hi fully + 10 tokens of md
+    val out = Mixture.budgetAllocate(docs, budget, maxShare = 1.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(4), r.getDouble(5)))).toMap
+    assert(out("hi")._1 == stats("hi")._1 && out("hi")._2 == 1.0)
+    assert(out("md")._1 == 10L)
+    assert(out("lo")._1 == 0L && out("lo")._2 == 0.0)
+    assert(out.values.map(_._1).sum == budget) // budget exactly spent
+
+    // share cap binds: nobody exceeds floor(maxShare * budget)
+    val capped = Mixture.budgetAllocate(docs, budget, maxShare = 0.3)
+      .collect().map(r => r.getLong(4))
+    assert(capped.forall(_ <= math.floor(0.3 * budget).toLong))
+
+    // zero budget → zero allocations; repartition-stable
+    assert(Mixture.budgetAllocate(docs, 0L)
+      .agg(sum($"alloc_tokens")).head().getLong(0) == 0L)
+    val a = Mixture.budgetAllocate(docs, budget, 0.5)
+      .orderBy($"source").collect().toSeq
+    val b = Mixture.budgetAllocate(docs.repartition(7), budget, 0.5)
+      .orderBy($"source").collect().toSeq
+    assert(a == b)
+  }
 }

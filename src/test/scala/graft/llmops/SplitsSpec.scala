@@ -241,4 +241,45 @@ class SplitsSpec extends SparkTestBase {
     assert(Splits.weightedSamplePerGroup(dup, col("w"), k = 40,
       seed = "g0", groupCol = "grp").count() == 40L)
   }
+
+  test("splitByCluster: near-dup neighbors never straddle a split " +
+    "boundary (the leakage a plain content-hash split allows)") {
+    val edges = Dedup.minhashPairs(docs, threshold = 0.7)
+      .select($"id_a", $"id_b")
+    val out = Splits.splitByCluster(docs, edges)
+    assert(out.count() == docs.count())
+
+    // every component maps to exactly ONE split
+    val maxSplitsPerComp = out.groupBy($"component")
+      .agg(countDistinct($"split").as("k"))
+      .agg(max($"k")).as[Long].head()
+    assert(maxSplitsPerComp == 1L)
+
+    // therefore zero edges straddle splits
+    def straddles(assign: org.apache.spark.sql.DataFrame): Long = edges
+      .join(assign.select($"doc_id".as("id_a"), $"split".as("sa")), "id_a")
+      .join(assign.select($"doc_id".as("id_b"), $"split".as("sb")), "id_b")
+      .filter($"sa" =!= $"sb").count()
+    assert(straddles(out.select($"doc_id", $"split")) == 0L)
+
+    // ...which the plain content-hash split does NOT guarantee: near
+    // dups have DIFFERENT text, so they draw independent buckets and
+    // some pair straddles on this corpus (the leakage being fixed)
+    val plain = docs
+      .withColumn("split", Splits.assignSplit($"text"))
+      .select($"doc_id", $"split")
+    assert(straddles(plain) > 0L)
+
+    // singletons (no edge) key on their own id — and the whole
+    // assignment is repartition/order stable
+    val inEdges = edges.select($"id_a".as("doc_id"))
+      .unionByName(edges.select($"id_b".as("doc_id"))).distinct()
+    val singleton = out.join(inEdges, Seq("doc_id"), "left_anti")
+    assert(singleton.filter($"component" =!= $"doc_id").count() == 0L)
+    val a = out.select($"doc_id", $"split")
+      .as[(Long, String)].collect().toMap
+    val b = Splits.splitByCluster(docs.repartition(7), edges.repartition(3))
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(a == b)
+  }
 }

@@ -140,4 +140,39 @@ class SketchStreamsSpec extends SparkTestBase {
     assert(digest.snapshot == before,
       "a replayed batchId corrupted the exact digest")
   }
+
+  test("streamed t-digest over N batches keeps the union's rank " +
+    "guarantee; replays are skipped") {
+    implicit val sqlCtx = spark.sqlContext
+    def mixd(i: Long): Double = {
+      var z = i + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      (math.abs(z) % 1000000) / 1000000.0
+    }
+    val batches = Seq.tabulate(4)(b =>
+      (0 until 2500).map(i => (i.toLong, mixd(b * 2500L + i))))
+    val mem = MemoryStream[(Long, Double)]
+    val (rq, writer) = SketchStreams.quantileStream(
+      mem.toDF().toDF("doc_id", "v"), col("v"), compression = 100)()
+    val q = writer.outputMode("update").start()
+    batches.foreach { b =>
+      mem.addData(b: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val all = batches.flatten.map(_._2).sorted
+    assert(math.abs(rq.n - all.size) < 1e-6)
+    assert(rq.snapshot.length <= 200, "fold state unbounded")
+    for (p <- Seq(0.1, 0.5, 0.9, 0.99)) {
+      val est = rq.quantile(p)
+      val rank = all.count(_ <= est).toDouble / all.size
+      assert(math.abs(rank - p) <= 0.02,
+        s"streamed rank error ${math.abs(rank - p)} at q=$p")
+    }
+    // replay guard: re-folding an already-seen batchId is a no-op
+    val before = rq.snapshot
+    rq.ingest(0L, Seq((0.5, 1000.0)))
+    assert(rq.snapshot == before,
+      "a replayed batchId double-counted digest mass")
+  }
 }
