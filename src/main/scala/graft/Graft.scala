@@ -201,6 +201,9 @@ object Graft {
   /** PageRank centrality over a (src, dst) link graph. */
   def pageRank(edges: DataFrame, iterations: Int = 5): DataFrame =
     ops.PageRank.ranks(edges, iterations)
+  /** HITS hubs/authorities over a (src, dst) link graph (q180). */
+  def hubsAuthorities(edges: DataFrame, iterations: Int = 2): DataFrame =
+    ops.Hits.hubsAuthorities(edges, iterations)
   /** N-gram-overlap decontamination: drop corpus docs sharing any
     * word n-gram with a benchmark document.
     */
@@ -688,6 +691,12 @@ object Graft {
                     lookback: Int = 24,
                     threshold: Double = 3.0): DataFrame =
     ops.Anomaly.rateAnomalies(events, bucketMillis, lookback, threshold)
+  /** Robust (trailing median/MAD) rate anomalies — immune to scale
+    * masking by a burst inside the lookback (q179). */
+  def robustRateAnomalies(events: DataFrame, bucketMillis: Long,
+                          lookback: Int = 24,
+                          threshold: Double = 3.5): DataFrame =
+    ops.Anomaly.robustRateAnomalies(events, bucketMillis, lookback, threshold)
   /** Exact-k weighted sampling without replacement — deterministic
     * Efraimidis-Spirakis exponential race (q155). */
   def weightedSample(docs: DataFrame, weight: Column, k: Int,

@@ -3474,6 +3474,36 @@ object SparkEntry {
           graft.ops.Output.zorderValue(
             $"p_size", pmod($"p_partkey", lit(256)), 16).as("zval"))
         .orderBy($"p_partkey")
+    }),
+
+    // robust rate anomalies (X151): trailing MEDIAN/MAD instead of
+    // q165's mean/stddev — a burst inside the lookback can't inflate
+    // the scale estimate and mask the next one. Lower-median keeps
+    // the trailing stats integer-exact; the whole scorer (array
+    // sort/index HOFs included) replays relationally.
+    "q179_robust_anomalies" -> ((s, d) => {
+      import s.implicits._
+      graft.ops.Anomaly.robustRateAnomalies(t(s, d, "events"),
+          bucketMillis = 86400000L, lookback = 7, threshold = 2.5)
+        .withColumn("is_anomaly", $"is_anomaly".cast("int"))
+        .orderBy($"event_type", $"bucket")
+    }),
+
+    // HITS hubs/authorities (X152): the second centrality axis next to
+    // q80's PageRank, 2 mutual-reinforcement rounds, max-normalized
+    // (order-independent, hence replayable). Same synthetic graph as
+    // q80; the oracle unrolls both rounds.
+    "q180_hits" -> ((s, d) => {
+      import s.implicits._
+      val edges = t(s, d, "documents")
+        .select($"doc_id".as("src"),
+          explode(array((0 until 3).map(k =>
+            pmod($"doc_id" * 7919 + lit(k), lit(500))): _*)).as("dst"))
+      graft.ops.Hits.hubsAuthorities(edges, iterations = 2)
+        .filter($"node" < 40)
+        .select($"node", round($"hub", 4).as("hub"),
+          round($"authority", 4).as("authority"))
+        .orderBy($"node")
     })
   )
 
@@ -7368,6 +7398,83 @@ object SparkEntry {
                   (a | (a << 1)) & 6148914691236517205 AS a,
                   (b | (b << 1)) & 6148914691236517205 AS b FROM s4)
          SELECT p_partkey, (a | (b << 1)) AS zval
-         FROM s5 ORDER BY p_partkey"""
+         FROM s5 ORDER BY p_partkey""",
+    "q179_robust_anomalies" ->
+      """WITH c AS (
+           SELECT event_type, epoch_ms(ts) // 86400000 AS bucket,
+                  count(*) AS n
+           FROM events GROUP BY 1, 2),
+         w AS (
+           SELECT event_type, bucket, n,
+                  list(n) OVER tw AS hist
+           FROM c
+           WINDOW tw AS (PARTITION BY event_type ORDER BY bucket
+             ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+         m AS (
+           SELECT event_type, bucket, n, hist,
+                  list_sort(hist)[(len(hist) + 1) // 2] AS trail_med
+           FROM w),
+         d AS (
+           SELECT event_type, bucket, n, hist, trail_med,
+                  list_sort(list_transform(hist,
+                    x -> abs(x - trail_med)))[(len(hist) + 1) // 2]
+                    AS trail_mad
+           FROM m),
+         z AS (
+           SELECT event_type, bucket, n, trail_med, trail_mad,
+                  CASE WHEN len(hist) >= 3 AND trail_mad > 0
+                       THEN (n - trail_med) / (1.4826 * trail_mad)
+                  END AS z
+           FROM d)
+         SELECT event_type, bucket, n, trail_med, trail_mad, z,
+                CAST(coalesce(abs(z) >= 2.5, false) AS INTEGER)
+                  AS is_anomaly
+         FROM z ORDER BY event_type, bucket""",
+    "q180_hits" ->
+      """WITH e AS (
+           SELECT DISTINCT doc_id AS src, (doc_id * 7919 + k) % 500 AS dst
+           FROM documents, (VALUES (0), (1), (2)) AS ks(k)),
+         nodes AS (
+           SELECT src AS node FROM e UNION SELECT dst FROM e),
+         a1r AS (
+           SELECT n.node, coalesce(x.c, 0)::DOUBLE AS s
+           FROM nodes n LEFT JOIN (
+             SELECT dst, count(*)::DOUBLE AS c FROM e GROUP BY dst) x
+             ON x.dst = n.node),
+         a1 AS (
+           SELECT node, CASE WHEN (SELECT max(s) FROM a1r) > 0
+             THEN s / (SELECT max(s) FROM a1r) ELSE 0 END AS s FROM a1r),
+         h1r AS (
+           SELECT n.node, coalesce(x.c, 0) AS s
+           FROM nodes n LEFT JOIN (
+             SELECT e.src, sum(a1.s) AS c FROM e
+             JOIN a1 ON a1.node = e.dst GROUP BY e.src) x
+             ON x.src = n.node),
+         h1 AS (
+           SELECT node, CASE WHEN (SELECT max(s) FROM h1r) > 0
+             THEN s / (SELECT max(s) FROM h1r) ELSE 0 END AS s FROM h1r),
+         a2r AS (
+           SELECT n.node, coalesce(x.c, 0) AS s
+           FROM nodes n LEFT JOIN (
+             SELECT e.dst, sum(h1.s) AS c FROM e
+             JOIN h1 ON h1.node = e.src GROUP BY e.dst) x
+             ON x.dst = n.node),
+         a2 AS (
+           SELECT node, CASE WHEN (SELECT max(s) FROM a2r) > 0
+             THEN s / (SELECT max(s) FROM a2r) ELSE 0 END AS s FROM a2r),
+         h2r AS (
+           SELECT n.node, coalesce(x.c, 0) AS s
+           FROM nodes n LEFT JOIN (
+             SELECT e.src, sum(a2.s) AS c FROM e
+             JOIN a2 ON a2.node = e.dst GROUP BY e.src) x
+             ON x.src = n.node),
+         h2 AS (
+           SELECT node, CASE WHEN (SELECT max(s) FROM h2r) > 0
+             THEN s / (SELECT max(s) FROM h2r) ELSE 0 END AS s FROM h2r)
+         SELECT n.node, round(h2.s, 4) AS hub, round(a2.s, 4) AS authority
+         FROM nodes n
+         JOIN h2 ON h2.node = n.node
+         JOIN a2 ON a2.node = n.node
+         WHERE n.node < 40 ORDER BY n.node"""
   )
 }

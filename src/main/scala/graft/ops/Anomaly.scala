@@ -53,4 +53,66 @@ object Anomaly {
         coalesce(abs(col("z")) >= threshold, lit(false)))
       .drop("__tn")
   }
+
+  /** LOWER median (element ⌈len/2⌉ of the sorted array, 1-based):
+    * integer-exact on integer inputs — the reason the robust scorer
+    * stays bit-replayable where a fractional even-count median would
+    * reopen float drift.
+    */
+  private def lowerMedian(arr: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val s = array_sort(arr)
+    element_at(s, floor((size(s).cast("double") + 1.0) / 2.0).cast("int"))
+  }
+
+  /** Robust variant of [[rateAnomalies]]: trailing MEDIAN/MAD instead
+    * of mean/stddev, so a burst inside the lookback window cannot
+    * inflate the scale estimate and mask the next burst (the classic
+    * z-score failure: one 10× spike raises stddev enough to hide a 5×
+    * spike an hour later; the median absolute deviation has a 50%
+    * breakdown point). Score = (n − med) / (1.4826·MAD), the standard
+    * consistency constant; threshold 3.5 is the Iglewicz-Hoberg
+    * convention. MAD = 0 (≥ half the trailing buckets identical)
+    * yields z = null — "no scale estimate", not a fake infinity.
+    *
+    * Scale shape: same slim (series, bucket, n) reduction; the
+    * trailing frame materializes as a ≤ `lookback`-element array per
+    * bucket row (collect_list over the window — bounded by
+    * construction), and median/MAD are array HOFs on it, so the
+    * whole scorer stays relational and oracle-replayable.
+    */
+  def robustRateAnomalies(events: DataFrame, bucketMillis: Long,
+                          lookback: Int = 24, threshold: Double = 3.5,
+                          minHistory: Int = 3,
+                          seriesCol: String = "event_type",
+                          tsCol: String = "ts"): DataFrame = {
+    require(bucketMillis >= 1, "bucketMillis must be >= 1")
+    require(lookback >= minHistory && minHistory >= 2,
+      "need lookback >= minHistory >= 2 buckets of trailing history")
+    val counts = events
+      .select(col(seriesCol),
+        floor(graft.expr.TimeFuncs.tsMicros(col(tsCol)) / 1000L /
+          lit(bucketMillis)).cast("long").as("bucket"))
+      .groupBy(col(seriesCol), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(seriesCol)).orderBy(col("bucket"))
+      .rowsBetween(-lookback, -1)
+    counts
+      .withColumn("__hist", collect_list(col("n")).over(w))
+      // empty trailing frame (a series' first bucket) → null med/mad,
+      // not an element_at(_, 0) error
+      .withColumn("trail_med",
+        when(size(col("__hist")) > 0, lowerMedian(col("__hist"))))
+      .withColumn("trail_mad",
+        when(size(col("__hist")) > 0,
+          lowerMedian(transform(col("__hist"),
+            x => abs(x - col("trail_med"))))))
+      .withColumn("z",
+        when(size(col("__hist")) >= minHistory && col("trail_mad") > 0L,
+          (col("n") - col("trail_med")).cast("double") /
+            (lit(1.4826) * col("trail_mad").cast("double"))))
+      .withColumn("is_anomaly",
+        coalesce(abs(col("z")) >= threshold, lit(false)))
+      .drop("__hist")
+  }
 }

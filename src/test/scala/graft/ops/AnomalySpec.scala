@@ -58,4 +58,45 @@ class AnomalySpec extends SparkTestBase {
       lookback = 7).collect().map(_.toSeq).toSet
     assert(a.nonEmpty && a == b)
   }
+
+  test("robustRateAnomalies: a spike inside the lookback masks the " +
+      "z-score detector but not the median/MAD one") {
+    // bucket 4 is a 100-burst; bucket 7 a 30-burst. The trailing
+    // window at bucket 7 CONTAINS the 100 — classic masking: stddev
+    // blows up, z misses; the median/MAD barely move, robust flags.
+    val counts = Seq(10, 12, 14, 11, 100, 11, 12, 30)
+    val events = evs("click", counts)
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val z = Anomaly.rateAnomalies(events, 100, lookback = 7,
+        threshold = 3.0).filter($"bucket" === 7).head()
+    assert(!z.getBoolean(6), s"masked z-score unexpectedly flagged: $z")
+    val r = Anomaly.robustRateAnomalies(events, 100, lookback = 7,
+        threshold = 3.5).filter($"bucket" === 7).head()
+    // trailing med 12, MAD 1: z_robust = (30-12)/1.4826 ~ 12.1
+    assert(r.getLong(3) == 12L && r.getLong(4) == 1L)
+    assert(math.abs(r.getDouble(5) - (30.0 - 12.0) / 1.4826) < 1e-9)
+    assert(r.getBoolean(6), s"robust detector missed the burst: $r")
+    // ...and the big burst itself still flags
+    assert(Anomaly.robustRateAnomalies(events, 100, lookback = 7)
+      .filter($"bucket" === 4).head().getBoolean(6))
+  }
+
+  test("robustRateAnomalies: null contracts (empty frame, thin " +
+      "history, zero MAD) and repartition stability") {
+    val events = evs("err", Seq(5, 5, 5, 5, 50))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val rows = Anomaly.robustRateAnomalies(events, 100, lookback = 4,
+        minHistory = 3).orderBy($"bucket").collect()
+    assert(rows(0).isNullAt(3) && rows(0).isNullAt(4)) // no history at all
+    assert(rows(1).isNullAt(5)) // 1 bucket < minHistory
+    // identical history -> MAD 0 -> null z, never a blowup
+    assert(rows(4).getLong(4) == 0L && rows(4).isNullAt(5) &&
+      !rows(4).getBoolean(6))
+    val real = spark.read.parquet(s"$sf0001/events.parquet")
+    val a = Anomaly.robustRateAnomalies(real, 86400000L, lookback = 7)
+      .collect().map(_.toSeq).toSet
+    val b = Anomaly.robustRateAnomalies(real.repartition(5), 86400000L,
+      lookback = 7).collect().map(_.toSeq).toSet
+    assert(a.nonEmpty && a == b)
+  }
 }
