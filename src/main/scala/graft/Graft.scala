@@ -441,6 +441,13 @@ object Graft {
   /** Concat-and-chunk sequence packing (bin id per document). */
   def packBins(docs: DataFrame, targetTokens: Int, streams: Int = 8): DataFrame =
     llmops.Packing.packBins(docs, targetTokens, streams)
+  /** Content-defined chunking (Gear CDC, q181): one row per chunk
+    * with byte offsets + content hash; edits move only the chunks
+    * that cover them. Group by chunk_hash for cross-corpus repeated
+    * regions. */
+  def cdcChunks(docs: DataFrame, maskBits: Int = 6, minSize: Int = 16,
+                maxSize: Int = 256): DataFrame =
+    llmops.Cdc.cdcChunks(docs, maskBits, minSize, maxSize)
   /** Seeded content-hash key for deterministic corpus shuffling. */
   def shuffleKey(key: Column, seed: String): Column =
     llmops.Splits.shuffleKey(key, seed)

@@ -3504,6 +3504,42 @@ object SparkEntry {
         .select($"node", round($"hub", 4).as("hub"),
           round($"authority", 4).as("authority"))
         .orderBy($"node")
+    }),
+
+    // content-defined chunking (X153): the boundary RULE (a Gear
+    // rolling hash) is not SQL-expressible, so the q89/q104-style
+    // contract applies — the chunk table is dumped and BOTH engines
+    // verify the same relational invariants against it: exact byte
+    // coverage, contiguity, and the min/max bounds per document. The
+    // CDC-defining properties (shift resistance, edit locality) are
+    // pinned in CdcSpec.
+    "q181_cdc_chunks" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents").select($"doc_id", $"text")
+      val chunks = graft.llmops.Cdc.cdcChunks(docs)
+        .select($"doc_id", $"chunk_idx",
+          $"start".as("c_start"), $"len".as("c_len"))
+      materialize(chunks, "q181_chunks")
+      val wc = Window.partitionBy($"doc_id")
+      val wo = Window.partitionBy($"doc_id").orderBy($"chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      chunks
+        .withColumn("__n", count(lit(1)).over(wc))
+        .withColumn("__bef", coalesce(sum($"c_len").over(wo), lit(0L)))
+        .groupBy($"doc_id")
+        .agg(max($"__n").as("n_chunks"),
+          sum($"c_len").as("sum_len"),
+          max(abs($"c_start" - $"__bef")).as("__drift"),
+          max($"c_len").as("max_len"),
+          min(when($"chunk_idx" < $"__n" - 1, $"c_len")).as("__minnf"))
+        .join(docs, Seq("doc_id"))
+        .select($"doc_id", $"n_chunks",
+          ($"sum_len" === octet_length($"text")).cast("int").as("cover_ok"),
+          ($"__drift" === 0).cast("int").as("contiguous_ok"),
+          ($"max_len" <= 256).cast("int").as("max_ok"),
+          coalesce($"__minnf" >= 16, lit(true)).cast("int").as("min_ok"))
+        .orderBy($"doc_id")
     })
   )
 
@@ -7475,6 +7511,35 @@ object SparkEntry {
          FROM nodes n
          JOIN h2 ON h2.node = n.node
          JOIN a2 ON a2.node = n.node
-         WHERE n.node < 40 ORDER BY n.node"""
+         WHERE n.node < 40 ORDER BY n.node""",
+    "q181_cdc_chunks" ->
+      """WITH ch AS (
+           SELECT * FROM
+           read_parquet('/root/repo/spark-warehouse/q181_chunks/*.parquet')),
+         w AS (
+           SELECT doc_id, chunk_idx, c_start, c_len,
+                  count(*) OVER (PARTITION BY doc_id) AS n,
+                  coalesce(sum(c_len) OVER (PARTITION BY doc_id
+                    ORDER BY chunk_idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS bef
+           FROM ch),
+         agg AS (
+           SELECT doc_id, max(n) AS n_chunks,
+                  sum(c_len)::BIGINT AS sum_len,
+                  max(abs(c_start - bef)) AS drift,
+                  max(c_len) AS max_len,
+                  min(CASE WHEN chunk_idx < n - 1 THEN c_len END)
+                    AS min_nonfinal
+           FROM w GROUP BY doc_id)
+         SELECT a.doc_id, n_chunks,
+                CAST(sum_len = strlen(d.text) AS INTEGER)
+                  AS cover_ok,
+                CAST(drift = 0 AS INTEGER) AS contiguous_ok,
+                CAST(max_len <= 256 AS INTEGER) AS max_ok,
+                CAST(coalesce(min_nonfinal >= 16, true) AS INTEGER)
+                  AS min_ok
+         FROM agg a JOIN documents d ON d.doc_id = a.doc_id
+         ORDER BY a.doc_id"""
   )
 }

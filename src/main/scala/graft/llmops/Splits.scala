@@ -273,9 +273,10 @@ object Splits {
   /** Leakage-safe train/val/test assignment: documents connected by a
     * near-duplicate edge NEVER straddle a split boundary. A plain
     * content-hash split ([[assignSplit]]) puts a document and its
-    * near-duplicate in independent buckets — at a 10% test fraction,
-    * ~19% of near-dup PAIRS straddle train/test, leaking training text
-    * into evaluation verbatim-up-to-edits. Here the split is keyed on
+    * near-duplicate in independent buckets — at 80/10/10 fractions,
+    * 2·(0.8·0.1) = 16% of near-dup PAIRS land split across train and
+    * test (34% across some boundary), leaking training text into
+    * evaluation verbatim-up-to-edits. Here the split is keyed on
     * the connected-component label of the near-dup graph (`pairs`,
     * e.g. `Dedup.minhashPairs` output), so every member of a dup
     * cluster lands in the same split by construction; singleton docs
