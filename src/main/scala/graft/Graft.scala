@@ -100,6 +100,11 @@ object Graft {
   /** EXACT n-gram-set Jaccard join via prefix filtering (SSJoin/
     * PPJoin) — recall 1.0 by construction, no LSH banding
     * probability, no bucket-cap cliff (q171). */
+  /** Exact ordered containment pairs: a's shingles ≥ t inside b's
+    * (quote/wrapper detection, q187). */
+  def containmentJoinExact(docs: DataFrame, threshold: Double = 0.8,
+                           n: Int = 3): DataFrame =
+    llmops.Dedup.containmentJoinExact(docs, threshold, n)
   def jaccardJoinExact(docs: DataFrame, threshold: Double = 0.7,
                        n: Int = 3): DataFrame =
     llmops.Dedup.jaccardJoinExact(docs, threshold, n)
@@ -204,6 +209,17 @@ object Graft {
   /** HITS hubs/authorities over a (src, dst) link graph (q180). */
   def hubsAuthorities(edges: DataFrame, iterations: Int = 2): DataFrame =
     ops.Hits.hubsAuthorities(edges, iterations)
+  /** Per-node triangle counts + local clustering coefficient (q182). */
+  def triangleCounts(edges: DataFrame): DataFrame =
+    ops.Triangles.triangleCounts(edges)
+  /** Empirical event transition matrix (prev, next, n, p) (q183). */
+  def transitionMatrix(events: DataFrame,
+                       maxGapMillis: Long = Long.MaxValue): DataFrame =
+    ops.Paths.transitionMatrix(events, maxGapMillis)
+  /** Top-k next events per antecedent from the transition matrix. */
+  def topNextEvents(events: DataFrame, k: Int,
+                    maxGapMillis: Long = Long.MaxValue): DataFrame =
+    ops.Paths.topNextEvents(events, k, maxGapMillis)
   /** N-gram-overlap decontamination: drop corpus docs sharing any
     * word n-gram with a benchmark document.
     */
@@ -429,6 +445,17 @@ object Graft {
     llmops.Splits.splitByCluster(docs, pairs, idCol, trainFrac, valFrac, seed)
   /** Redact emails / phone numbers / IPv4 addresses with typed tags. */
   def redactPii(text: Column): Column = llmops.TextFuncs.redactPii(text)
+  /** Encoding-damage ratio (U+FFFD + controls + mojibake per char,
+    * q185); the component counters live on TextFuncs. */
+  def encodingDamageRatio(text: Column): Column =
+    llmops.TextFuncs.encodingDamageRatio(text)
+  /** Per-source unigram KL divergence vs the corpus mix (q186). */
+  def sourceDivergence(docs: DataFrame, topV: Int = 200): DataFrame =
+    llmops.TextFuncs.sourceDivergence(docs, topV)
+  /** RAKE keyphrases per document, pooled-ratio scoring (q189). */
+  def rakeKeywords(docs: DataFrame, k: Int = 5,
+                   maxPhraseWords: Int = 4): DataFrame =
+    llmops.Keywords.rakeKeywords(docs, k, maxPhraseWords)
   /** Gopher-style repetition signals. */
   def duplicateWordFraction(text: Column): Column =
     llmops.TextFuncs.duplicateWordFraction(text)
@@ -451,6 +478,11 @@ object Graft {
   /** Seeded content-hash key for deterministic corpus shuffling. */
   def shuffleKey(key: Column, seed: String): Column =
     llmops.Splits.shuffleKey(key, seed)
+  /** Rendezvous (HRW) shard id: growing n→n+1 moves only the keys the
+    * new shard wins (~1/(n+1)), all TO the new shard (q184). */
+  def rendezvousShard(key: Column, nShards: Int,
+                      seed: String = ""): Column =
+    llmops.Splits.rendezvousShard(key, nShards, seed)
   /** Quantile binning via broadcast thresholds (no global sort). */
   def quantileBins(df: DataFrame, value: Column, probs: Seq[Double],
                    binCol: String = "bin"): DataFrame =
@@ -684,6 +716,9 @@ object Graft {
   /** Per-step funnel counts and conversion rates (q153). */
   def funnelSummary(events: DataFrame, steps: Seq[String]): DataFrame =
     ops.Funnels.funnel(events, steps)
+  /** Time-to-convert stats per adjacent funnel step (q188). */
+  def funnelLags(events: DataFrame, steps: Seq[String]): DataFrame =
+    ops.Funnels.conversionLags(events, steps)
   /** SCD-2 validity intervals from a change log (q154). */
   def scdIntervals(log: DataFrame, keyCol: String, tsCol: String,
                    attrCols: Seq[String]): DataFrame =

@@ -3540,6 +3540,138 @@ object SparkEntry {
           ($"max_len" <= 256).cast("int").as("max_ok"),
           coalesce($"__minnf" >= 16, lit(true)).cast("int").as("min_ok"))
         .orderBy($"doc_id")
+    }),
+
+    // triangle counting (X154): degree-ordered orientation — every
+    // undirected edge points from the smaller (degree, id) endpoint to
+    // the larger, so wedge fan-out is bounded by O(sqrt(m)) out-degree
+    // and each triangle closes in exactly ONE orientation (no
+    // distinct, no /3). The oracle replays the orientation, the wedge
+    // join, and the closure with row-value comparisons.
+    "q182_triangles" -> ((s, d) => {
+      import s.implicits._
+      val edges = t(s, d, "documents").filter($"doc_id" < 2000)
+        .select($"doc_id".as("src"),
+          explode(array(
+            pmod($"doc_id" + 1, lit(500)),
+            pmod($"doc_id" + 2, lit(500)),
+            pmod($"doc_id" * 7919 + 5, lit(500)))).as("dst"))
+      graft.ops.Triangles.triangleCounts(edges)
+        .withColumn("coefficient", round($"coefficient", 4))
+        .orderBy($"node")
+    }),
+
+    // event transition matrix (X155): first-order Markov counts and
+    // probabilities from per-user ordered streams, (ts, event_id)
+    // tiebreak, gap-cut pairs dropped. One lead window per user over
+    // slim rows; the normalization window runs over the ≤|types|²
+    // matrix. The oracle replays the window, the cut, and the
+    // normalization.
+    "q183_transitions" -> ((s, d) => {
+      import s.implicits._
+      graft.ops.Paths.transitionMatrix(t(s, d, "events"),
+          maxGapMillis = 86400000L)
+        .withColumn("p", round($"p", 4))
+        .orderBy($"prev_type", $"next_type")
+    }),
+
+    // rendezvous sharding (X156): argmax over shards of
+    // md5(key:shard:seed) — fleet growth 8→9 moves only the docs the
+    // NEW shard wins (every off-diagonal row with shard8 ≠ shard9 has
+    // shard9 = 8, visible in the matrix below; pmod would scatter
+    // them). Scalar projection, no shuffle; the oracle replays the
+    // argmax per key for both fleet sizes.
+    "q184_rendezvous" -> ((s, d) => {
+      import s.implicits._
+      val key = $"doc_id".cast("string")
+      t(s, d, "documents").select(
+          graft.llmops.Splits.rendezvousShard(key, 8, "s")
+            .cast("long").as("shard8"),
+          graft.llmops.Splits.rendezvousShard(key, 9, "s")
+            .cast("long").as("shard9"))
+        .groupBy($"shard8", $"shard9").agg(count(lit(1)).as("n_docs"))
+        .orderBy($"shard8", $"shard9")
+    }),
+
+    // encoding-damage signals (X157): replacement chars, C0/C1
+    // controls, canonical UTF-8-as-cp1252 mojibake digraphs, and the
+    // per-char damage ratio. The synthetic corpus is clean, so damage
+    // is PLANTED closed-form from doc_id arithmetic (the q22 zh
+    // pattern) — the oracle plants the identical bytes via chr() and
+    // replays every count with the same RE2 classes.
+    "q185_encoding_damage" -> ((s, d) => {
+      import s.implicits._
+      val tf = graft.llmops.TextFuncs
+      val planted = t(s, d, "documents").select($"doc_id",
+        when(pmod($"doc_id", lit(7)) === 0,
+          concat($"text", lit(" Ã©Ã¤ â€œq �")))
+        .when(pmod($"doc_id", lit(11)) === 0,
+          concat($"text", lit(" Â x")))
+        .otherwise($"text").as("text"))
+      planted.select($"doc_id",
+          tf.replacementCharCount($"text").cast("long").as("n_repl"),
+          tf.controlCharCount($"text").cast("long").as("n_ctrl"),
+          tf.mojibakeCount($"text").cast("long").as("n_moji"),
+          round(tf.encodingDamageRatio($"text"), 6).as("damage"))
+        .orderBy($"doc_id")
+    }),
+
+    // per-source unigram KL divergence (X158): which ingest source
+    // drifted from the corpus mix — add-one smoothing over the top-V
+    // vocabulary makes every cell finite and the whole statistic
+    // integer-counts + one ln, replayed exactly by the oracle
+    // (including the ZERO cells, which carry the drift evidence).
+    "q186_source_divergence" -> ((s, d) => {
+      import s.implicits._
+      graft.llmops.TextFuncs.sourceDivergence(
+          t(s, d, "documents"), topV = 100)
+        .withColumn("kl", round($"kl", 6))
+        .orderBy($"source")
+    }),
+
+    // exact containment join (X159): ordered pairs where a's shingle
+    // set is ≥ t inside b's — the quote/wrapper detector Jaccard is
+    // blind to (a 10-word quote in a 200-word page has Jaccard ~0.04
+    // but containment 1.0). One-sided prefix filter against FULL
+    // postings; the oracle replays prefix, candidates, and the i/na
+    // verify stage for stage.
+    "q187_containment_join" -> ((s, d) => {
+      import s.implicits._
+      graft.llmops.Dedup.containmentJoinExact(t(s, d, "documents"),
+          threshold = 0.6, n = 3)
+        .select($"id_a", $"id_b",
+          round($"containment", 4).as("containment"))
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // funnel time-to-convert (X160): per adjacent step pair, the lag
+    // distribution over converting users — count, mean, min/max, and
+    // EXACT interpolated p50/p90 (the reporting tier; the t-digest
+    // tier answers the same at sketch cost). Inherits q153's
+    // conversion chain; the oracle replays chain, lags, and both
+    // interpolated percentiles (quantile_cont ≡ Spark percentile).
+    "q188_funnel_lags" -> ((s, d) => {
+      import s.implicits._
+      graft.ops.Funnels.conversionLags(t(s, d, "events"),
+          Seq("view", "click", "purchase"))
+        .withColumn("mean_ms", round($"mean_ms", 4))
+        .withColumn("p50_ms", round($"p50_ms", 4))
+        .withColumn("p90_ms", round($"p90_ms", 4))
+        .orderBy($"step")
+    }),
+
+    // RAKE keywords (X161): per-doc keyphrases from stopword/punct
+    // phrase segmentation, scored by the POOLED Σdeg/Σfreq ratio —
+    // one integer division, so the rank order is bit-identical in
+    // both engines (canonical RAKE's per-word quotient sum is
+    // ULP-order-dependent). Oracle replays segmentation, stats,
+    // pooling, and the rank window.
+    "q189_rake_keywords" -> ((s, d) => {
+      import s.implicits._
+      graft.llmops.Keywords.rakeKeywords(t(s, d, "documents"), k = 3)
+        .select($"doc_id", $"rank".cast("long").as("rank"), $"phrase",
+          $"n_words", round($"score", 4).as("score"))
+        .orderBy($"doc_id", $"rank", $"phrase")
     })
   )
 
@@ -7540,6 +7672,276 @@ object SparkEntry {
                 CAST(coalesce(min_nonfinal >= 16, true) AS INTEGER)
                   AS min_ok
          FROM agg a JOIN documents d ON d.doc_id = a.doc_id
-         ORDER BY a.doc_id"""
+         ORDER BY a.doc_id""",
+    "q182_triangles" ->
+      """WITH raw AS (
+           SELECT doc_id AS src, (doc_id + 1) % 500 AS dst
+           FROM documents WHERE doc_id < 2000
+           UNION ALL
+           SELECT doc_id, (doc_id + 2) % 500
+           FROM documents WHERE doc_id < 2000
+           UNION ALL
+           SELECT doc_id, (doc_id * 7919 + 5) % 500
+           FROM documents WHERE doc_id < 2000),
+         canon AS (
+           SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+           FROM raw WHERE src <> dst),
+         deg AS (
+           SELECT node, count(*) AS degree FROM (
+             SELECT u AS node FROM canon
+             UNION ALL SELECT v FROM canon)
+           GROUP BY node),
+         o AS (
+           SELECT CASE WHEN (du.degree, c.u) < (dv.degree, c.v)
+                       THEN c.u ELSE c.v END AS a,
+                  CASE WHEN (du.degree, c.u) < (dv.degree, c.v)
+                       THEN c.v ELSE c.u END AS b,
+                  CASE WHEN (du.degree, c.u) < (dv.degree, c.v)
+                       THEN dv.degree ELSE du.degree END AS db
+           FROM canon c
+           JOIN deg du ON du.node = c.u
+           JOIN deg dv ON dv.node = c.v),
+         tri AS (
+           SELECT l.a, l.b, r.b AS c
+           FROM o l
+           JOIN o r ON l.a = r.a AND (l.db, l.b) < (r.db, r.b)
+           JOIN o e ON e.a = l.b AND e.b = r.b),
+         per AS (
+           SELECT node, count(*) AS triangles FROM (
+             SELECT a AS node FROM tri
+             UNION ALL SELECT b FROM tri
+             UNION ALL SELECT c FROM tri)
+           GROUP BY node)
+         SELECT d.node, d.degree,
+                coalesce(p.triangles, 0) AS triangles,
+                round(CASE WHEN d.degree >= 2
+                  THEN 2.0 * coalesce(p.triangles, 0)
+                       / (d.degree * (d.degree - 1)) END, 4) AS coefficient
+         FROM deg d LEFT JOIN per p ON p.node = d.node
+         ORDER BY d.node""",
+    "q183_transitions" ->
+      """WITH seq AS (
+           SELECT event_type AS prev_type,
+                  lead(event_type) OVER w AS next_type,
+                  epoch_us(lead(ts) OVER w) - epoch_us(ts) AS gap_us
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         c AS (
+           SELECT prev_type, next_type, count(*) AS n
+           FROM seq
+           WHERE next_type IS NOT NULL AND gap_us < 86400000000
+           GROUP BY 1, 2)
+         SELECT prev_type, next_type, n,
+                round(n / sum(n) OVER (PARTITION BY prev_type), 4) AS p
+         FROM c ORDER BY prev_type, next_type""",
+    "q184_rendezvous" ->
+      """WITH w8 AS (
+           SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+             ORDER BY md5(doc_id::VARCHAR || ':' || s::VARCHAR || ':s')
+               DESC, s DESC) AS rn
+           FROM documents, generate_series(0, 7) t(s)),
+         s8 AS (SELECT doc_id, s AS shard8 FROM w8 WHERE rn = 1),
+         w9 AS (
+           SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+             ORDER BY md5(doc_id::VARCHAR || ':' || s::VARCHAR || ':s')
+               DESC, s DESC) AS rn
+           FROM documents, generate_series(0, 8) t(s)),
+         s9 AS (SELECT doc_id, s AS shard9 FROM w9 WHERE rn = 1)
+         SELECT shard8, shard9, count(*) AS n_docs
+         FROM s8 JOIN s9 USING (doc_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q185_encoding_damage" ->
+      """WITH planted AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN text || ' Ã©Ã¤ â€œq ' || chr(65533)
+                  WHEN doc_id % 11 = 0
+                  THEN text || chr(1) || chr(2) || ' Â' || chr(160) || 'x'
+                  ELSE text END AS text
+           FROM documents),
+         c AS (
+           SELECT doc_id,
+             len(regexp_extract_all(text, '\x{FFFD}')) AS n_repl,
+             len(regexp_extract_all(text,
+               '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}-\x{9F}]'))
+               AS n_ctrl,
+             len(regexp_extract_all(text,
+               'Ã©|Ã¤|Ã¶|Ã¼|Ã±|Ã¡|Ã³|Ã¨|Â' || chr(160) || '|Â |â€'))
+               AS n_moji,
+             length(text) AS n_chars
+           FROM planted)
+         SELECT doc_id, n_repl, n_ctrl, n_moji,
+                round(CASE WHEN n_chars = 0 THEN 0.0
+                      ELSE (n_repl + n_ctrl + n_moji) / n_chars::DOUBLE
+                      END, 6) AS damage
+         FROM c ORDER BY doc_id""",
+    "q186_source_divergence" ->
+      """WITH words AS (
+           SELECT source,
+                  unnest(string_split_regex(lower(trim(text)), '\s+'))
+                    AS term
+           FROM documents),
+         wf AS (SELECT source, term FROM words WHERE term <> ''),
+         vocab AS (
+           SELECT term, n_w FROM (
+             SELECT term, count(*) AS n_w FROM wf GROUP BY 1
+             ORDER BY n_w DESC, term LIMIT 100)),
+         by_src AS (
+           SELECT source, term, count(*) AS n_sw
+           FROM wf JOIN vocab USING (term) GROUP BY 1, 2),
+         src_tot AS (
+           SELECT source, CAST(sum(n_sw) AS BIGINT) AS ns
+           FROM by_src GROUP BY 1),
+         corpus AS (
+           SELECT CAST(sum(n_w) AS BIGINT) AS nc,
+                  count(*) AS v FROM vocab),
+         cells AS (
+           SELECT st.source, st.ns, v.term, v.n_w,
+                  coalesce(b.n_sw, 0) AS n_sw
+           FROM src_tot st CROSS JOIN vocab v
+           LEFT JOIN by_src b
+             ON b.source = st.source AND b.term = v.term)
+         SELECT c.source, max(c.ns) AS n_hits,
+                round(sum(
+                  ((c.n_sw + 1) / (c.ns + corpus.v)::DOUBLE) *
+                  ln(((c.n_sw + 1) / (c.ns + corpus.v)::DOUBLE) /
+                     ((c.n_w + 1) / (corpus.nc + corpus.v)::DOUBLE))),
+                  6) AS kl
+         FROM cells c CROSS JOIN corpus
+         GROUP BY c.source ORDER BY c.source""",
+    "q187_containment_join" ->
+      """WITH tf AS (
+           SELECT id, term FROM (
+             SELECT doc_id AS id,
+                    unnest(list_distinct(list_transform(
+                      generate_series(1, greatest(len(l) - 2, 1)),
+                      i -> array_to_string(
+                             list_slice(l, i, i + 2), ' ')))) AS term
+             FROM (SELECT doc_id,
+                          string_split_regex(lower(trim(text)), '\s+')
+                            AS l
+                   FROM documents))
+           WHERE term <> ''),
+         dfx AS (SELECT term, count(*) AS dfc FROM tf GROUP BY 1),
+         ranked AS (
+           SELECT t.id, t.term, d.dfc,
+                  count(*) OVER (PARTITION BY t.id) AS n,
+                  row_number() OVER (PARTITION BY t.id
+                    ORDER BY d.dfc, t.term) AS pos
+           FROM tf t JOIN dfx d USING (term)),
+         prefix AS (
+           SELECT id, term, n FROM ranked
+           WHERE pos <= n - ceil(CAST(0.6 AS DOUBLE) * n) + 1),
+         cand AS (
+           SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           FROM prefix a JOIN ranked b ON a.term = b.term
+             AND a.id <> b.id
+             AND CAST(0.6 AS DOUBLE) * a.n <= b.n),
+         inter AS (
+           SELECT c.id_a, c.id_b, count(*) AS i
+           FROM cand c
+           JOIN tf ta ON ta.id = c.id_a
+           JOIN tf tb ON tb.id = c.id_b AND tb.term = ta.term
+           GROUP BY 1, 2),
+         nsz AS (SELECT id, count(*) AS n FROM tf GROUP BY 1)
+         SELECT i.id_a, i.id_b,
+                round(i.i::DOUBLE / na.n, 4) AS containment
+         FROM inter i
+         JOIN nsz na ON na.id = i.id_a
+         WHERE i.i::DOUBLE / na.n >= CAST(0.6 AS DOUBLE)
+         ORDER BY id_a, id_b""",
+    "q188_funnel_lags" ->
+      """WITH e AS (
+           SELECT user_id, epoch_ms(ts) AS ms, event_type FROM events),
+         s1 AS (
+           SELECT user_id, min(ms) AS ts_1
+           FROM e WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (
+           SELECT s1.user_id, s1.ts_1,
+                  min(CASE WHEN e.ms > s1.ts_1 THEN e.ms END) AS ts_2
+           FROM s1 LEFT JOIN e
+             ON e.user_id = s1.user_id AND e.event_type = 'click'
+           GROUP BY 1, 2),
+         s3 AS (
+           SELECT s2.user_id, s2.ts_1, s2.ts_2,
+                  min(CASE WHEN e.ms > s2.ts_2 THEN e.ms END) AS ts_3
+           FROM s2 LEFT JOIN e
+             ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+           GROUP BY 1, 2, 3),
+         lags AS (
+           SELECT 1 AS step, 'view' AS from_type, 'click' AS to_type,
+                  ts_2 - ts_1 AS lag_ms
+           FROM s3 WHERE ts_2 IS NOT NULL
+           UNION ALL
+           SELECT 2, 'click', 'purchase', ts_3 - ts_2
+           FROM s3 WHERE ts_3 IS NOT NULL)
+         SELECT step, from_type, to_type, count(*) AS n_users,
+                round(avg(lag_ms), 4) AS mean_ms,
+                min(lag_ms) AS min_ms, max(lag_ms) AS max_ms,
+                round(quantile_cont(lag_ms, 0.5), 4) AS p50_ms,
+                round(quantile_cont(lag_ms, 0.9), 4) AS p90_ms
+         FROM lags GROUP BY 1, 2, 3 ORDER BY step""",
+    "q189_rake_keywords" ->
+      """WITH toks AS (
+           SELECT id, pos, raw,
+                  regexp_replace(raw, '[^a-z0-9'']', '', 'g') AS w
+           FROM (
+             SELECT doc_id AS id, generate_subscripts(l, 1) - 1 AS pos,
+                    unnest(l) AS raw
+             FROM (SELECT doc_id,
+                          string_split_regex(lower(trim(text)), '\s+')
+                            AS l
+                   FROM documents))
+           WHERE raw <> ''),
+         t1 AS (
+           SELECT id, pos, w,
+                  (w = '' OR w IN ('the','and','of','to','a','in','is',
+                    'that','it','for','on','with','as','by','at','an',
+                    'be','this','are','was','or','from','but','not',
+                    'have','has','had','they','you','we','his','her',
+                    'its','their','which','will','would','can','could',
+                    'been')) AS brk,
+                  regexp_matches(raw, '[.,;:!?]$') AS endp
+           FROM toks),
+         g1 AS (
+           SELECT id, pos, w, brk,
+                  sum(CASE WHEN brk THEN 1 ELSE 0 END) OVER
+                    (PARTITION BY id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) +
+                  coalesce(sum(CASE WHEN endp THEN 1 ELSE 0 END) OVER
+                    (PARTITION BY id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS g
+           FROM t1),
+         m AS (SELECT id, g, pos, w FROM g1 WHERE NOT brk),
+         ph AS (
+           SELECT id, g, count(*) AS len,
+                  string_agg(w, ' ' ORDER BY pos) AS phrase
+           FROM m GROUP BY 1, 2
+           HAVING count(*) <= 4),
+         mem AS (SELECT m.id, m.g, m.w, ph.phrase, ph.len
+                 FROM m JOIN ph USING (id, g)),
+         ws AS (SELECT id, w, count(*) AS freq,
+                       CAST(sum(len) AS BIGINT) AS deg
+                FROM mem GROUP BY 1, 2),
+         occ AS (
+           SELECT mem.id, mem.g, mem.phrase, mem.len,
+                  CAST(sum(ws.deg) AS BIGINT) AS sdeg,
+                  CAST(sum(ws.freq) AS BIGINT) AS sfreq
+           FROM mem JOIN ws ON ws.id = mem.id AND ws.w = mem.w
+           GROUP BY 1, 2, 3, 4),
+         pp AS (
+           SELECT id, phrase, max(len) AS n_words,
+                  max(sdeg) AS sdeg, max(sfreq) AS sfreq
+           FROM occ GROUP BY 1, 2),
+         rk AS (
+           SELECT id, phrase, n_words,
+                  sdeg::DOUBLE / sfreq AS score,
+                  rank() OVER (PARTITION BY id
+                    ORDER BY sdeg::DOUBLE / sfreq DESC, phrase) AS rank
+           FROM pp)
+         SELECT id AS doc_id, rank, phrase, n_words,
+                round(score, 4) AS score
+         FROM rk WHERE rank <= 3 ORDER BY doc_id, rank, phrase"""
   )
 }

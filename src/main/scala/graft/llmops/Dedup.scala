@@ -665,6 +665,81 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** EXACT set-CONTAINMENT join (X159): every ordered pair where
+    * doc a's shingle set is ≥ `threshold` inside doc b's —
+    * C(A,B) = |A∩B| / |A|. The asymmetric counterpart of
+    * [[jaccardJoinExact]], and a different question: Jaccard finds
+    * near-twins; containment finds QUOTES, aggregation/wrapper pages,
+    * and template-plus-body reposts, where the contained doc is tiny
+    * next to its container and their Jaccard is ~|A|/|B| ≈ 0 — pairs
+    * no symmetric join at any usable threshold can return. Feeding
+    * dedup policy: keep the container, or keep the original and drop
+    * the wrapper — either way the PAIR is the evidence.
+    *
+    * Prefix filter, one-sided (the containment variant of the SSJoin
+    * theorem): if B holds ≥ ⌈t·|A|⌉ of A's elements, then A has at
+    * most |A| − ⌈t·|A|⌉ elements outside B, so A's first
+    * |A| − ⌈t·|A|⌉ + 1 elements under the global rarest-first order
+    * must hit B. Candidates therefore join A-PREFIXES against B's
+    * FULL posting list (containment puts no ceiling on |B|, so the
+    * container side cannot be prefix-truncated — the inverted-index
+    * asymmetry is inherent to the semantics); the only size prune is
+    * |B| ≥ t·|A| (the intersection fits inside B). Rarest-first
+    * ((df asc, term)) keeps the joined postings short exactly where
+    * prefixes land. Exactness forbids bucket caps (the X143
+    * contract); the LSH tier remains the deliberate fallback for
+    * adversarial corpora.
+    *
+    * @return (id_a, id_b, containment): id_a's set is ≥ threshold
+    *         contained in id_b's, id_a ≠ id_b, BOTH directions
+    *         reported independently when both hold; empty sets never
+    *         pair
+    */
+  def containmentJoinExact(docs: DataFrame, threshold: Double = 0.8,
+                           n: Int = 3, idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      "threshold must be in (0, 1]")
+    require(n >= 1, "n must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("id"),
+        explode(TextFuncs.wordNgrams(col(textCol), n)).as("term"))
+      .filter(col("term") =!= "")
+    val dfTab = toks.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val wDoc = Window.partitionBy(col("id"))
+      .orderBy(col("__df"), col("term"))
+    val wN = Window.partitionBy(col("id"))
+    val ranked = toks.join(dfTab, Seq("term"))
+      .withColumn("__n", count(lit(1)).over(wN))
+      .withColumn("__pos", row_number().over(wDoc))
+    val prefix = ranked
+      .filter(col("__pos") <=
+        col("__n") - ceil(lit(threshold) * col("__n")) + 1)
+      .select(col("id").as("id_a"), col("term"), col("__n").as("__na"))
+    val postings = ranked
+      .select(col("id").as("id_b"), col("term"), col("__n").as("__nb"))
+    val cand = prefix.join(postings, Seq("term"))
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(lit(threshold) * col("__na") <= col("__nb"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val candIds = cand.select(col("id_a").as(idCol))
+      .unionByName(cand.select(col("id_b").as(idCol)))
+      .distinct()
+    val sets = docs.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol),
+        TextFuncs.wordNgrams(col(textCol), n).as("set"))
+    cand
+      .join(sets.select(col(idCol).as("id_a"), col("set").as("set_a")),
+        "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("set").as("set_b")),
+        "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("set_a"), col("set_b"))) /
+          size(col("set_a")).cast("double")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Edit-distance-verified near-duplicate pairs (SURVEY §2.10 X121):
     * candidate pairs confirmed by NORMALIZED LEVENSHTEIN similarity,
     * `1 − dist / max(len_a, len_b)` — the strictest practical near-dup

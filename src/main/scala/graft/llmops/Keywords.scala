@@ -1,0 +1,106 @@
+package graft.llmops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** RAKE-style keyword extraction (Rose et al. 2010, "Rapid Automatic
+  * Keyword Extraction") — per-document multiword keyphrases with no
+  * model and no corpus pass: candidate phrases are the maximal token
+  * runs between stopwords/punctuation, and a phrase scores by how
+  * much its words co-occur inside long candidates (degree) relative
+  * to how often they appear at all (frequency). The per-document
+  * counterpart of the corpus-level c-TF-IDF labels (X130): data-card
+  * "what is this document about" lines, dedup-cluster naming,
+  * retrieval snippets.
+  *
+  * Scoring — the POOLED ratio, deliberately: canonical RAKE sums
+  * per-word deg(w)/freq(w) quotients, a float whose summation order
+  * is engine-dependent (ULP drift under repartitioning, rank flips at
+  * ties). Here score(phrase) = Σ deg(w) / Σ freq(w) over member
+  * occurrences — ONE division of two exact integers, so the double is
+  * bit-identical on any engine and the (score desc, phrase asc) rank
+  * is deterministic everywhere. deg(w) counts the full length of each
+  * candidate containing w (self included, the standard self-loop
+  * convention); both stats are per-document.
+  *
+  * Scale shape: tokens explode once; phrase grouping is one
+  * cumulative-sum window per doc over slim token rows (the
+  * sessionize arrangement); stats and scores are per-(doc, word) and
+  * per-(doc, phrase) aggregations; the final top-k rank window rides
+  * the X46 WindowGroupLimit rewrite. Nothing global, nothing
+  * collected.
+  */
+object Keywords {
+
+  /** The default phrase-boundary stopword list: the X13 `en` set plus
+    * the high-frequency function words a usable RAKE needs (RAKE's
+    * quality IS its stoplist; callers with a domain list pass their
+    * own).
+    */
+  val defaultStopwords: Seq[String] = Seq(
+    "the", "and", "of", "to", "a", "in", "is", "that",
+    "it", "for", "on", "with", "as", "by", "at", "an",
+    "be", "this", "are", "was", "or", "from", "but", "not",
+    "have", "has", "had", "they", "you", "we", "his", "her",
+    "its", "their", "which", "will", "would", "can", "could", "been")
+
+  /** Top-`k` keyphrases per document: (idCol, rank, phrase, n_words,
+    * score). A token whose stripped form (`[^a-z0-9']` removed) is
+    * empty or a stopword is a boundary; a token with trailing
+    * sentence punctuation closes its phrase after itself; runs longer
+    * than `maxPhraseWords` are not candidates (and do not feed the
+    * word stats). Documents with no candidate phrase emit no row.
+    */
+  def rakeKeywords(docs: DataFrame, k: Int = 5, maxPhraseWords: Int = 4,
+                   stopwords: Seq[String] = defaultStopwords,
+                   idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(maxPhraseWords >= 1, "maxPhraseWords must be >= 1")
+    require(stopwords.nonEmpty, "RAKE without a stoplist is one giant phrase")
+    val sw = array(stopwords.map(lit): _*)
+    val toks = docs
+      .select(col(idCol).as("id"),
+        posexplode(split(lower(trim(col(textCol))), "\\s+"))
+          .as(Seq("pos", "raw")))
+      .filter(col("raw") =!= "")
+      .withColumn("w", regexp_replace(col("raw"), "[^a-z0-9']", ""))
+      .withColumn("brk",
+        col("w") === "" || array_contains(sw, col("w")))
+      .withColumn("endp", col("raw").rlike("[.,;:!?]$"))
+    val wAll = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val grouped = toks
+      .withColumn("g",
+        sum(when(col("brk"), 1L).otherwise(0L)).over(wAll) +
+          coalesce(sum(when(col("endp"), 1L).otherwise(0L))
+            .over(wAll.rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+      .filter(!col("brk"))
+      .select(col("id"), col("g"), col("pos"), col("w"))
+    val phrases = grouped.groupBy(col("id"), col("g"))
+      .agg(count(lit(1)).as("len"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          s => s.getField("w")), " ").as("phrase"))
+      .filter(col("len") <= maxPhraseWords)
+    val members = grouped.join(phrases, Seq("id", "g"))
+    val wordStats = members.groupBy(col("id"), col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+    val perOcc = members.join(wordStats, Seq("id", "w"))
+      .groupBy(col("id"), col("g"), col("phrase"), col("len"))
+      .agg(sum(col("deg")).as("sdeg"), sum(col("freq")).as("sfreq"))
+    val perPhrase = perOcc.groupBy(col("id"), col("phrase"))
+      .agg(max(col("len")).as("n_words"),
+        // identical text ⇒ identical integer sums; max = the value
+        max(col("sdeg")).as("sdeg"), max(col("sfreq")).as("sfreq"))
+      .withColumn("score", col("sdeg").cast("double") / col("sfreq"))
+    val wRank = Window.partitionBy(col("id"))
+      .orderBy(col("score").desc, col("phrase"))
+    perPhrase
+      .withColumn("rank", rank().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("id").as(idCol), col("rank"), col("phrase"),
+        col("n_words"), col("score"))
+  }
+}

@@ -303,4 +303,35 @@ object Splits {
         assignSplit(
           concat_ws(":", lit(seed), col("component").cast("string")),
           trainFrac, valFrac))
+
+  /** Rendezvous (highest-random-weight) shard assignment: the shard
+    * for `key` is argmax over shards of md5(key:shard:seed). The
+    * property a modulo shard (`pmod(hash, n)`) lacks: growing the
+    * fleet from n to n+1 shards moves EXACTLY the keys whose new
+    * shard's weight beats all previous maxima — an expected 1/(n+1)
+    * of keys, every one of them moving TO the new shard (an argmax
+    * over a superset differs only when the added element wins),
+    * while `pmod` reshuffles ~n/(n+1) of the corpus. That is the
+    * contract for sticky doc→shard routing as a persisted index /
+    * export fleet grows: incremental shard builds touch only the new
+    * shard's docs.
+    *
+    * Scale shape: a scalar projection — the n weights materialize as
+    * a per-row array of (md5-hex, shard) structs and `array_max`
+    * picks the winner (hex strings are fixed-width lowercase, so
+    * lexicographic max IS numeric max; ties, impossible in practice,
+    * break to the higher shard id deterministically). No shuffle, no
+    * state, codegen'd end to end; n is a per-call constant (a fleet
+    * size, not a data scale).
+    */
+  def rendezvousShard(key: Column, nShards: Int,
+                      seed: String = ""): Column = {
+    require(nShards >= 1 && nShards <= 4096,
+      "nShards must be in [1, 4096] — the weight array is per-row")
+    array_max(transform(sequence(lit(0), lit(nShards - 1)),
+      s => struct(
+        md5(concat(key, lit(":"), s.cast("string"), lit(":"), lit(seed)))
+          .as("w"),
+        s.as("shard")))).getField("shard")
+  }
 }

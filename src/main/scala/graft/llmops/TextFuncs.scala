@@ -208,6 +208,45 @@ object TextFuncs {
   def ipCount(text: Column): Column =
     size(regexp_extract_all(text, lit(ipPattern), lit(0)))
 
+  // --- Encoding-damage signals (X157) -----------------------------------
+  // A 100 TB web corpus carries text that survived a wrong decode
+  // somewhere upstream; the damage is invisible to length/stopword
+  // heuristics (mojibake is still "words") but poisons tokenizers and
+  // dedup. Three narrow codegen'd counters — no shuffle, each exactly
+  // mirrorable in RE2 for the oracle.
+
+  /** U+FFFD replacement characters — the decoder already gave up. */
+  def replacementCharCount(text: Column): Column =
+    regexp_count(text, lit("�"))
+
+  /** C0/C1 control characters excluding tab/newline/CR — binary spill
+    * or a transport-layer mangle, never intentional prose.
+    */
+  def controlCharCount(text: Column): Column =
+    regexp_count(text,
+      lit("[\\u0000-\\u0008\\u000B\\u000C\\u000E-\\u001F\\u007F-\\u009F]"))
+
+  /** Canonical UTF-8-read-as-cp1252 digraph markers ("Ã©" for é,
+    * "â€" opening the curly-quote/dash family, "Â " for a non-breaking
+    * space, …). A practical detector for the single most common decode
+    * error, not a decoder: the alternation lists the high-frequency
+    * markers so the count is exact, deterministic, and replayable.
+    */
+  def mojibakeCount(text: Column): Column =
+    regexp_count(text,
+      lit("Ã©|Ã¤|Ã¶|Ã¼|" +
+        "Ã±|Ã¡|Ã³|Ã¨|" +
+        "Â |Â |â€"))
+
+  /** Damaged characters per input character, in [0, 1]: the gate
+    * signal (a few scattered hits are quoting/noise; a high ratio is
+    * a mis-decoded document). Empty text → 0.
+    */
+  def encodingDamageRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      (replacementCharCount(text) + controlCharCount(text) +
+        mojibakeCount(text)).cast("double") / length(text))
+
   // --- Repetition filters (Gopher-style quality signals) ---------------
 
   /** Word n-grams WITH multiplicity (no distinct) — the denominator for
@@ -485,6 +524,61 @@ object TextFuncs {
         var_pop(col("lx")) * avg(col("lx"))).as("intercept"),
       (corr(col("lx"), col("ly")) * corr(col("lx"), col("ly")))
         .as("r2"))
+  }
+
+  /** Per-source unigram-distribution divergence from the corpus
+    * (X158): KL(source ‖ corpus) over the top-`topV` corpus
+    * vocabulary with add-one smoothing — the scalar that ranks which
+    * ingest source drifted (a crawl seed gone off-topic, a boilerplate
+    * regression, a language shift) BEFORE any model sees the data.
+    * Complements [[Dsir]] (which reweights toward a target) by
+    * measuring, not correcting; 0 = indistinguishable from the
+    * corpus-wide mix, growing without bound as a source concentrates
+    * on vocabulary the corpus spreads out.
+    *
+    * Smoothing makes every cell finite and the statistic exactly
+    * replayable: p_s(w) = (n_sw + 1)/(N_s + V), q(w) = (n_w + 1)/
+    * (N + V), KL = Σ_vocab p_s·ln(p_s/q) — all counts integers, the
+    * vocabulary deterministic ((count desc, term) order).
+    *
+    * Scale shape: one explode pass reduces to (source, term, n) with
+    * map-side combine; the vocabulary is a broadcast `topV`-row
+    * semi-join gate; the KL sum runs over the |sources|·V dense cell
+    * grid (both factors construction-bounded, never data-scaled) so
+    * zero cells — where a source MISSES corpus-common vocabulary, the
+    * dominant drift evidence — are genuinely present.
+    *
+    * @return (source, n_hits, kl) — n_hits = the source's vocabulary
+    *         token count (the evidence mass behind its KL)
+    */
+  def sourceDivergence(docs: DataFrame, topV: Int = 200,
+                       sourceCol: String = "source",
+                       textCol: String = "text"): DataFrame = {
+    require(topV >= 2, "need topV >= 2")
+    val toks = docs
+      .select(col(sourceCol).as("source"),
+        explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("n_w"))
+      .orderBy(col("n_w").desc, col("term")).limit(topV)
+      .localCheckpoint(true)
+    val bySrc = toks.join(broadcast(vocab.select("term")), "term")
+      .groupBy("source", "term").agg(count(lit(1)).as("n_sw"))
+    val srcTot = bySrc.groupBy("source").agg(sum(col("n_sw")).as("ns"))
+    // dense |sources|·V grid: absent cells are the drift signal
+    val cells = srcTot.crossJoin(broadcast(vocab))
+      .join(bySrc, Seq("source", "term"), "left")
+      .withColumn("n_sw", coalesce(col("n_sw"), lit(0L)))
+    val corpus = vocab.agg(sum(col("n_w")).as("nc"),
+      count(lit(1)).as("v"))
+    cells.crossJoin(broadcast(corpus))
+      .withColumn("p", (col("n_sw") + 1).cast("double") /
+        (col("ns") + col("v")))
+      .withColumn("q", (col("n_w") + 1).cast("double") /
+        (col("nc") + col("v")))
+      .groupBy(col("source"))
+      .agg(max(col("ns")).as("n_hits"),
+        sum(col("p") * log(col("p") / col("q"))).as("kl"))
   }
 
   /** PMI collocation mining (SURVEY §2.10 X137) — pointwise mutual

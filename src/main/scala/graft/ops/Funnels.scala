@@ -68,4 +68,44 @@ object Funnels {
     conv.sparkSession.createDataFrame(rows)
       .toDF("step", "event_type", "n_users", "rate")
   }
+
+  /** Time-to-convert distribution per adjacent funnel step (X160):
+    * the question `funnel` (how many) doesn't answer — how LONG the
+    * surviving users took, step by step. One row per (i → i+1) pair
+    * over users who reached step i+1: count, mean, min/max, and the
+    * exact interpolated p50/p90 lags in epoch-millis deltas. The
+    * slow step is the product/ops finding; a p90 collapse between
+    * releases is the regression signal.
+    *
+    * Exactness contract: `percentile` here is Spark's EXACT
+    * interpolated percentile — memory scales with the distinct lag
+    * values per step pair (bounded by users, not events). That is
+    * the reporting-tier choice; at full corpus scale the t-digest
+    * tier ([[graft.llmops.Quantiles]]) answers the same question in
+    * O(δ) per pair, mergeable. Both are exposed deliberately.
+    *
+    * Scale shape: inherits [[conversions]]' per-user aggregate joins;
+    * the lag table is one row per converting user per pair, and the
+    * stats aggregate per pair (≤ |steps|−1 output rows).
+    */
+  def conversionLags(events: DataFrame, steps: Seq[String],
+                     userCol: String = "user_id", tsCol: String = "ts",
+                     typeCol: String = "event_type"): DataFrame = {
+    require(steps.size >= 2, "need at least two funnel steps")
+    val conv = conversions(events, steps, userCol, tsCol, typeCol)
+    val lags = (1 until steps.size).map { i =>
+      conv.filter(col(s"ts_${i + 1}").isNotNull)
+        .select(lit(i).as("step"),
+          lit(steps(i - 1)).as("from_type"),
+          lit(steps(i)).as("to_type"),
+          (col(s"ts_${i + 1}") - col(s"ts_$i")).as("lag_ms"))
+    }.reduce(_ unionByName _)
+    lags.groupBy(col("step"), col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_users"),
+        avg(col("lag_ms")).as("mean_ms"),
+        min(col("lag_ms")).as("min_ms"),
+        max(col("lag_ms")).as("max_ms"),
+        percentile(col("lag_ms"), lit(0.5)).as("p50_ms"),
+        percentile(col("lag_ms"), lit(0.9)).as("p90_ms"))
+  }
 }

@@ -533,4 +533,41 @@ class DedupSpec extends SparkTestBase {
     // |∩| = 28 of 38, |∪| = 48 → 0.5833
     assert(pair == Seq((900001L, 900002L, 0.5833)), s"got=$pair")
   }
+
+  test("containmentJoinExact: EXACTLY the brute-force ordered-pair " +
+      "set; finds the quote pair Jaccard can't; repartition-stable") {
+    val docs = Tables.documents(spark, sf0001).select($"doc_id", $"text")
+    def brute(th: Double, n: Int) = {
+      val sets = docs.select($"doc_id".as("id"),
+          graft.llmops.TextFuncs.wordNgrams($"text", n).as("s"))
+        .filter(size($"s") > 0)
+      sets.as("a").join(sets.as("b"), $"a.id" =!= $"b.id")
+        .select($"a.id".as("id_a"), $"b.id".as("id_b"),
+          (size(array_intersect($"a.s", $"b.s")) /
+            size($"a.s").cast("double")).as("c"))
+        .filter($"c" >= th)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    }
+    for ((th, n) <- Seq((0.5, 3), (0.8, 1), (1.0, 3))) {
+      val got = Dedup.containmentJoinExact(docs, th, n)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      assert(got == brute(th, n), s"threshold $th n=$n")
+    }
+    val again = Dedup.containmentJoinExact(docs.repartition(7), 0.5, 3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(again == brute(0.5, 3))
+
+    // THE containment case: a 10-word quote inside a 200-word
+    // container. Jaccard ≈ 8/198 — invisible to the symmetric join
+    // at any usable threshold; containment = 1.0, one direction only
+    val container = (1 to 200).map(i => s"w$i").mkString(" ")
+    val quote = (41 to 50).map(i => s"w$i").mkString(" ")
+    val planted = Seq((900001L, container), (900002L, quote))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentJoinExact(planted, 0.9, n = 3)
+      .select($"id_a", $"id_b", round($"containment", 4).as("c"))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((900002L, 900001L, 1.0)), s"got=$got")
+    assert(Dedup.jaccardJoinExact(planted, 0.5, n = 3).count() == 0L)
+  }
 }

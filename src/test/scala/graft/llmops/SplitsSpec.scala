@@ -282,4 +282,40 @@ class SplitsSpec extends SparkTestBase {
       .select($"doc_id", $"split").as[(Long, String)].collect().toMap
     assert(a == b)
   }
+
+  test("rendezvousShard: minimal movement on fleet growth, to the " +
+    "new shard only; balanced; seeded; repartition-stable") {
+    val key = $"doc_id".cast("string")
+    val assigned = docs.select($"doc_id",
+        Splits.rendezvousShard(key, 8, "s").as("s8"),
+        Splits.rendezvousShard(key, 9, "s").as("s9"),
+        Splits.rendezvousShard(key, 8, "other").as("s8o"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3)))
+
+    // THE rendezvous property, exact: a doc that moves under 8→9
+    // growth moves to shard 8 (the added one) — argmax over a
+    // superset differs only when the new element wins
+    val moved = assigned.filter(t => t._2 != t._3)
+    assert(moved.nonEmpty && moved.forall(_._3 == 8))
+    // expected movement 1/9 of docs; generous band for a small corpus
+    val frac = moved.length.toDouble / assigned.length
+    assert(frac > 0.03 && frac < 0.25, s"moved fraction $frac")
+
+    // balance: each of the 8 shards holds between half and double the
+    // uniform share (md5 weights are uniform)
+    val byShard = assigned.groupBy(_._2).view.mapValues(_.size)
+    assert(byShard.keys.toSet == (0 until 8).toSet)
+    val share = assigned.length / 8.0
+    byShard.values.foreach(n => assert(n > share / 2 && n < share * 2))
+
+    // a different seed is a different (but equally valid) placement
+    assert(assigned.exists(t => t._2 != t._4))
+
+    // pure function of content: repartitioning changes nothing
+    val again = docs.repartition(7).select($"doc_id",
+        Splits.rendezvousShard(key, 8, "s").as("s8"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assigned.foreach(t => assert(again(t._1) == t._2))
+  }
 }

@@ -374,4 +374,67 @@ class TextFuncsSpec extends SparkTestBase {
       .select($"slope").as[Double].head()
     assert(f2 == 0.0, s"flat slope=$f2")
   }
+
+  test("encoding-damage signals: exact counts on planted damage, " +
+      "zero on clean prose, tab/newline exempt from the control class") {
+    val rows = Seq(
+      // 0: clean prose — every counter 0
+      "The quick brown fox jumps over the lazy dog.",
+      // 1: mojibake: Ã© Ã¤ â€ (from â€œ) = 3; plus Â+NBSP = 4
+      "cafÃ© Ã¤ â€œquoteÂ x",
+      // 2: two replacement chars
+      "lost � bytes � here",
+      // 3: controls: , ,  count; \t \n \r do not
+      "abcd\te\nf\rg",
+      // 4: empty
+      "")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val got = rows.select($"id",
+        TextFuncs.replacementCharCount($"text").as("r"),
+        TextFuncs.controlCharCount($"text").as("c"),
+        TextFuncs.mojibakeCount($"text").as("m"),
+        TextFuncs.encodingDamageRatio($"text").as("d"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4)))).toMap
+    assert(got(0L) == ((0, 0, 0, 0.0)))
+    assert(got(1L)._1 == 0 && got(1L)._2 == 0 && got(1L)._3 == 4)
+    assert(got(2L) == ((2, 0, 0, 2.0 / 19)))
+    assert(got(3L) == ((0, 3, 0, 3.0 / 13)))
+    assert(got(4L) == ((0, 0, 0, 0.0))) // empty → 0, not null/NaN
+  }
+
+  test("sourceDivergence: concentrated source diverges more than a " +
+      "corpus-shaped one; zero cells stay finite; repartition-stable") {
+    // source "u": 90 docs uniform over w0..w9 (dominates the corpus
+    // mix); source "k": 10 docs of only w0 (misses the other 9
+    // corpus-common words — the zero cells carry its divergence)
+    val uDocs = Seq.fill(90)((0 until 10).map(i => s"w$i").mkString(" "))
+    val kDocs = Seq.fill(10)("w0 w0 w0 w0 w0 w0 w0 w0 w0 w0")
+    val docs = (uDocs.map(("u", _)) ++ kDocs.map(("k", _)))
+      .toDF("source", "text")
+    val got = TextFuncs.sourceDivergence(docs, topV = 10).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got("u")._1 == 900L && got("k")._1 == 100L)
+    assert(!got("k")._2.isNaN && !got("k")._2.isInfinite)
+    assert(got("k")._2 > got("u")._2 + 0.5,
+      s"k=${got("k")._2} u=${got("u")._2}")
+    // closed form, both sources: vocab = all 10 words; n_w(w0)=190,
+    // others 90; nc=1000, V=10
+    val q0 = 191.0 / 1010
+    val qO = 91.0 / 1010
+    val pU = 91.0 / 910
+    val klU = pU * math.log(pU / q0) + 9 * pU * math.log(pU / qO)
+    assert(math.abs(got("u")._2 - klU) < 1e-9, s"got ${got("u")._2} want $klU")
+    val pK0 = 101.0 / 110
+    val pKo = 1.0 / 110
+    val klK = pK0 * math.log(pK0 / q0) + 9 * pKo * math.log(pKo / qO)
+    assert(math.abs(got("k")._2 - klK) < 1e-9, s"got ${got("k")._2} want $klK")
+
+    val again = TextFuncs.sourceDivergence(docs.repartition(7), topV = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(again("u") - got("u")._2) < 1e-9)
+    assert(math.abs(again("k") - got("k")._2) < 1e-9)
+  }
 }

@@ -51,4 +51,33 @@ class FunnelsSpec extends SparkTestBase {
       .collect().map(_.toSeq).toSet
     assert(a.nonEmpty && a == b)
   }
+
+  test("conversionLags: closed-form lag stats; abandoned users and " +
+      "non-converting steps excluded; exact interpolated percentiles") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // lags A→B in seconds: u1=10, u2=20, u3=40, u4=80 (u5 abandons
+    // after A); only u1 completes B→C (lag 5)
+    val ev = Seq(
+      (1L, "A", ts(0)), (1L, "B", ts(10)), (1L, "C", ts(15)),
+      (2L, "A", ts(0)), (2L, "B", ts(20)),
+      (3L, "A", ts(0)), (3L, "B", ts(40)),
+      (4L, "A", ts(0)), (4L, "B", ts(80)),
+      (5L, "A", ts(0))
+    ).toDF("user_id", "event_type", "ts")
+    val got = Funnels.conversionLags(ev, Seq("A", "B", "C")).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(3), r.getDouble(4),
+        r.getLong(5), r.getLong(6), r.getDouble(7), r.getDouble(8))))
+      .toMap
+    // step 1: lags ms = 10000, 20000, 40000, 80000
+    val (n1, mean1, min1, max1, p50a, p90a) = got(1)
+    assert(n1 == 4L && min1 == 10000L && max1 == 80000L)
+    assert(mean1 == 37500.0)
+    // exact interpolation: p50 = 20000 + 0.5·(40000−20000) = 30000;
+    // p90 rank = (4−1)·0.9 = 2.7 → 40000 + 0.7·40000 = 68000
+    assert(p50a == 30000.0, s"p50=$p50a")
+    assert(math.abs(p90a - 68000.0) < 1e-6, s"p90=$p90a")
+    val (n2, mean2, _, _, p50b, _) = got(2)
+    assert(n2 == 1L && mean2 == 5000.0 && p50b == 5000.0)
+  }
 }
