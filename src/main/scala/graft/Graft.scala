@@ -212,6 +212,9 @@ object Graft {
   /** Per-node triangle counts + local clustering coefficient (q182). */
   def triangleCounts(edges: DataFrame): DataFrame =
     ops.Triangles.triangleCounts(edges)
+  /** k-core peel: (node, in_core, removal round) (q190). */
+  def kCore(edges: DataFrame, k: Int): DataFrame =
+    ops.KCore.kCore(edges, k)
   /** Empirical event transition matrix (prev, next, n, p) (q183). */
   def transitionMatrix(events: DataFrame,
                        maxGapMillis: Long = Long.MaxValue): DataFrame =
@@ -456,6 +459,12 @@ object Graft {
   def rakeKeywords(docs: DataFrame, k: Int = 5,
                    maxPhraseWords: Int = 4): DataFrame =
     llmops.Keywords.rakeKeywords(docs, k, maxPhraseWords)
+  /** Flesch Reading Ease (vowel-group syllable heuristic, q191). */
+  def fleschReadingEase(text: Column): Column =
+    llmops.TextFuncs.fleschReadingEase(text)
+  /** Exact-dup pair counts per source pair (q192). */
+  def crossSourceDupMatrix(docs: DataFrame): DataFrame =
+    llmops.Dedup.crossSourceDupMatrix(docs)
   /** Gopher-style repetition signals. */
   def duplicateWordFraction(text: Column): Column =
     llmops.TextFuncs.duplicateWordFraction(text)

@@ -3672,6 +3672,87 @@ object SparkEntry {
         .select($"doc_id", $"rank".cast("long").as("rank"), $"phrase",
           $"n_words", round($"score", 4).as("score"))
         .orderBy($"doc_id", $"rank", $"phrase")
+    }),
+
+    // k-core peel (X162): the peel is iterative (not SQL-expressible
+    // without recursion), so the q181 contract applies — the peel
+    // table is dumped and BOTH engines verify the three invariants
+    // that provably pin it: (1) a node removed in round r had < k
+    // surviving neighbors then (⇒ no core node is ever removed),
+    // (2) it had ≥ k one round earlier (⇒ rounds are forced), and
+    // (3) kept nodes keep ≥ k kept neighbors (⇒ kept ⊆ k-core; with
+    // (1), kept = k-core exactly).
+    "q190_kcore" -> ((s, d) => {
+      import s.implicits._
+      val k = 4
+      val edges = t(s, d, "documents").filter($"doc_id" < 2000)
+        .select($"doc_id".as("src"),
+          explode(array(
+            pmod($"doc_id" + 1, lit(500)),
+            pmod($"doc_id" + 2, lit(500)),
+            pmod($"doc_id" * 7919 + 5, lit(500)))).as("dst"))
+      val canon = edges.select(least($"src", $"dst").as("u"),
+          greatest($"src", $"dst").as("v"))
+        .filter($"u" =!= $"v").distinct()
+      val dump = graft.ops.KCore.kCore(edges, k)
+        .select($"node", $"in_core".cast("int").as("in_core"),
+          coalesce($"round", lit(0)).as("round"))
+      materialize(dump, "q190_core")
+      val nb = canon.select($"u".as("node"), $"v".as("nbr"))
+        .unionByName(canon.select($"v".as("node"), $"u".as("nbr")))
+      val info = dump.select($"node".as("nbr"), $"in_core".as("ic_n"),
+        $"round".as("r_n"))
+      dump.join(nb, Seq("node"), "left").join(info, Seq("nbr"), "left")
+        .groupBy($"node", $"in_core", $"round")
+        .agg(
+          sum(when($"ic_n" === 1, 1).otherwise(0)).as("kdeg"),
+          sum(when($"ic_n" === 1 || $"r_n" >= $"round", 1).otherwise(0))
+            .as("sdeg_r"),
+          sum(when($"ic_n" === 1 || $"r_n" >= $"round" - 1, 1)
+            .otherwise(0)).as("sdeg_rm1"))
+        .select($"node", $"in_core", $"round",
+          when($"in_core" === 1, $"kdeg" >= k)
+            .otherwise($"sdeg_r" < k &&
+              ($"round" === 1 || $"sdeg_rm1" >= k))
+            .cast("int").as("peel_ok"))
+        .orderBy($"node")
+    }),
+
+    // readability (X163): Flesch Reading Ease from the exact-stated
+    // vowel-group syllable heuristic — words/sentences/syllables and
+    // the formula all replay in RE2 + arithmetic, identical op order
+    // in both engines.
+    "q191_readability" -> ((s, d) => {
+      import s.implicits._
+      val tf = graft.llmops.TextFuncs
+      t(s, d, "documents").select($"doc_id",
+          tf.tokenCount($"text").cast("long").as("n_words"),
+          tf.sentenceCountApprox($"text").cast("long").as("n_sentences"),
+          tf.syllableCountApprox($"text").cast("long").as("n_syllables"),
+          round(tf.fleschReadingEase($"text"), 4).as("flesch"))
+        .orderBy($"doc_id")
+    }),
+
+    // cross-source duplication matrix (X164): exact-dup PAIR counts
+    // per source pair from per-(hash, source) COUNTS — n·(n−1)/2 on
+    // the diagonal, n_a·n_b off it; a million-copy hash costs one
+    // multiplication, not a pair join. Fully replayed.
+    "q192_dup_matrix" -> ((s, d) => {
+      import s.implicits._
+      // the synthetic corpus has no exact dups (q20 plants its own),
+      // so duplication is PLANTED: every third doc is mirrored into
+      // "<source>_mirror", every fifteenth twice — giving off-diagonal
+      // (origin, mirror) mass and a (mirror, mirror) diagonal
+      val docs = t(s, d, "documents")
+      val planted = docs.select($"source", $"text")
+        .unionByName(docs.filter(pmod($"doc_id", lit(3)) === 0)
+          .select(concat($"source", lit("_mirror")).as("source"),
+            $"text"))
+        .unionByName(docs.filter(pmod($"doc_id", lit(15)) === 0)
+          .select(concat($"source", lit("_mirror")).as("source"),
+            $"text"))
+      graft.llmops.Dedup.crossSourceDupMatrix(planted)
+        .orderBy($"source_a", $"source_b")
     })
   )
 
@@ -7942,6 +8023,88 @@ object SparkEntry {
            FROM pp)
          SELECT id AS doc_id, rank, phrase, n_words,
                 round(score, 4) AS score
-         FROM rk WHERE rank <= 3 ORDER BY doc_id, rank, phrase"""
+         FROM rk WHERE rank <= 3 ORDER BY doc_id, rank, phrase""",
+    "q190_kcore" ->
+      """WITH raw AS (
+           SELECT doc_id AS src, (doc_id + 1) % 500 AS dst
+           FROM documents WHERE doc_id < 2000
+           UNION ALL
+           SELECT doc_id, (doc_id + 2) % 500
+           FROM documents WHERE doc_id < 2000
+           UNION ALL
+           SELECT doc_id, (doc_id * 7919 + 5) % 500
+           FROM documents WHERE doc_id < 2000),
+         canon AS (
+           SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+           FROM raw WHERE src <> dst),
+         core AS (
+           SELECT * FROM
+           read_parquet('/root/repo/spark-warehouse/q190_core/*.parquet')),
+         nb AS (
+           SELECT u AS node, v AS nbr FROM canon
+           UNION ALL SELECT v, u FROM canon),
+         j AS (
+           SELECT c.node, c.in_core, c.round,
+                  ci.in_core AS ic_n, ci.round AS r_n
+           FROM core c
+           LEFT JOIN nb ON nb.node = c.node
+           LEFT JOIN core ci ON ci.node = nb.nbr),
+         f AS (
+           SELECT node, in_core, round,
+                  sum(CASE WHEN ic_n = 1 THEN 1 ELSE 0 END) AS kdeg,
+                  sum(CASE WHEN ic_n = 1 OR r_n >= round
+                      THEN 1 ELSE 0 END) AS sdeg_r,
+                  sum(CASE WHEN ic_n = 1 OR r_n >= round - 1
+                      THEN 1 ELSE 0 END) AS sdeg_rm1
+           FROM j GROUP BY 1, 2, 3)
+         SELECT node, in_core, round,
+                CAST(CASE WHEN in_core = 1 THEN kdeg >= 4
+                     ELSE sdeg_r < 4 AND (round = 1 OR sdeg_rm1 >= 4)
+                     END AS INTEGER) AS peel_ok
+         FROM f ORDER BY node""",
+    "q191_readability" ->
+      """WITH c AS (
+           SELECT doc_id,
+                  CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(lower(trim(text)),
+                                '\s+')) END AS nw,
+                  greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+                    AS ns,
+                  len(regexp_extract_all(lower(text), '[aeiouy]+')) +
+                  len(list_filter(
+                    string_split_regex(lower(trim(text)), '\s+'),
+                    w -> w <> '' AND NOT regexp_matches(w, '[aeiouy]')))
+                    AS sy
+           FROM documents)
+         SELECT doc_id, nw AS n_words, ns AS n_sentences,
+                sy AS n_syllables,
+                round(CASE WHEN nw = 0 THEN NULL
+                      ELSE 206.835 - 1.015 * (nw::DOUBLE / ns)
+                           - 84.6 * (sy::DOUBLE / nw) END, 4) AS flesch
+         FROM c ORDER BY doc_id""",
+    "q192_dup_matrix" ->
+      """WITH planted AS (
+           SELECT source, text FROM documents
+           UNION ALL
+           SELECT source || '_mirror', text FROM documents
+           WHERE doc_id % 3 = 0
+           UNION ALL
+           SELECT source || '_mirror', text FROM documents
+           WHERE doc_id % 15 = 0),
+         cs AS (
+           SELECT md5(text) AS h, source, count(*) AS n
+           FROM planted GROUP BY 1, 2),
+         p AS (
+           SELECT a.source AS source_a, b.source AS source_b,
+                  CASE WHEN a.source = b.source
+                       THEN a.n * (a.n - 1) // 2
+                       ELSE a.n * b.n END AS pairs
+           FROM cs a JOIN cs b
+             ON a.h = b.h AND a.source <= b.source)
+         SELECT source_a, source_b,
+                CAST(sum(pairs) AS BIGINT) AS dup_pairs
+         FROM p GROUP BY 1, 2
+         HAVING sum(pairs) > 0
+         ORDER BY source_a, source_b"""
   )
 }

@@ -740,6 +740,38 @@ object Dedup {
       .filter(col("containment") >= threshold)
   }
 
+  /** Cross-source duplication matrix (X164): how many EXACT-duplicate
+    * document pairs each (source, source) combination holds — the
+    * who-copies-whom view that turns X1's corpus-wide dup rate into a
+    * curation decision (dedup the mirror source against its origin
+    * first; a hot diagonal is boilerplate within one crawl seed).
+    *
+    * Scale shape: the pair counts come from per-(hash, source)
+    * COUNTS, never from materializing pairs — within a source
+    * n·(n−1)/2, across sources n_a·n_b, summed over hashes — so a
+    * million-copy hash costs one integer multiplication instead of a
+    * 10¹²-row join. Output ≤ |sources|² rows; source_a ≤ source_b
+    * canonicalizes the symmetric matrix.
+    */
+  def crossSourceDupMatrix(docs: DataFrame, textCol: String = "text",
+                           sourceCol: String = "source"): DataFrame = {
+    val cs = docs
+      .select(md5(col(textCol)).as("h"), col(sourceCol).as("source"))
+      .groupBy(col("h"), col("source")).agg(count(lit(1)).as("n"))
+    val a = cs.select(col("h"), col("source").as("source_a"),
+      col("n").as("na"))
+    val b = cs.select(col("h"), col("source").as("source_b"),
+      col("n").as("nb"))
+    a.join(b, Seq("h")).filter(col("source_a") <= col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        when(col("source_a") === col("source_b"),
+          (col("na") * (col("na") - 1) / 2).cast("long"))
+          .otherwise(col("na") * col("nb")).as("pairs"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum(col("pairs")).as("dup_pairs"))
+      .filter(col("dup_pairs") > 0)
+  }
+
   /** Edit-distance-verified near-duplicate pairs (SURVEY §2.10 X121):
     * candidate pairs confirmed by NORMALIZED LEVENSHTEIN similarity,
     * `1 − dist / max(len_a, len_b)` — the strictest practical near-dup

@@ -247,6 +247,43 @@ object TextFuncs {
       (replacementCharCount(text) + controlCharCount(text) +
         mojibakeCount(text)).cast("double") / length(text))
 
+  // --- Readability (X163) -----------------------------------------------
+  // Flesch Reading Ease as an audience-level signal: children's
+  // content, encyclopedic prose, and legal/technical boilerplate
+  // separate cleanly, which makes it a curriculum/mixture feature the
+  // length/stopword heuristics don't capture. The syllable counter is
+  // the standard vowel-group heuristic, stated exactly so the oracle
+  // replays it: every [aeiouy]+ run counts one syllable, and a word
+  // with no vowel run ("tv", "7") counts one.
+
+  /** Sentence count: terminal-punctuation runs, floored at 1 (prose
+    * with no terminal punct is one sentence, not a division by zero).
+    */
+  def sentenceCountApprox(text: Column): Column =
+    greatest(lit(1), regexp_count(text, lit("[.!?]+")))
+
+  /** Vowel-group syllable count over the whole text (per-word floor
+    * of 1 applied via the no-vowel-word correction).
+    */
+  def syllableCountApprox(text: Column): Column = {
+    val vg = regexp_count(lower(text), lit("[aeiouy]+"))
+    val novowel = size(filter(tokens(text),
+      t => t =!= "" && !t.rlike("[aeiouy]")))
+    vg + novowel
+  }
+
+  /** Flesch Reading Ease: 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words); null on empty text (no prose to score).
+    * ~90+ reads as elementary, ~60 plain prose, <30 academic/legal.
+    */
+  def fleschReadingEase(text: Column): Column = {
+    val w = tokenCount(text).cast("double")
+    when(w === 0, lit(null).cast("double")).otherwise(
+      lit(206.835) -
+        lit(1.015) * (w / sentenceCountApprox(text)) -
+        lit(84.6) * (syllableCountApprox(text) / w))
+  }
+
   // --- Repetition filters (Gopher-style quality signals) ---------------
 
   /** Word n-grams WITH multiplicity (no distinct) — the denominator for

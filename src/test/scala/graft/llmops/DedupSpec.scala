@@ -570,4 +570,29 @@ class DedupSpec extends SparkTestBase {
     assert(got == Seq((900002L, 900001L, 1.0)), s"got=$got")
     assert(Dedup.jaccardJoinExact(planted, 0.5, n = 3).count() == 0L)
   }
+
+  test("crossSourceDupMatrix: closed-form pair counts from counts, " +
+      "no pair materialization semantics; repartition-stable") {
+    // hash x: A×2, B×1 → (A,A)=1, (A,B)=2; z: B×2 → (B,B)=1; y unique
+    val docs = Seq(
+      ("A", "x"), ("A", "x"), ("A", "y"),
+      ("B", "x"), ("B", "z"), ("B", "z")
+    ).toDF("source", "text")
+    val got = Dedup.crossSourceDupMatrix(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("A", "A") -> 1L, ("A", "B") -> 2L, ("B", "B") -> 1L))
+    val again = Dedup.crossSourceDupMatrix(docs.repartition(5))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(again == got)
+    // a 1000-copy hash costs one multiplication: the matrix value is
+    // exact without a pair join ever running
+    val big = Seq.fill(1000)(("A", "same")).toDF("source", "text")
+      .unionByName(Seq.fill(10)(("B", "same")).toDF("source", "text"))
+    val m = Dedup.crossSourceDupMatrix(big).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m == Map(("A", "A") -> 499500L, ("A", "B") -> 10000L,
+      ("B", "B") -> 45L))
+  }
 }

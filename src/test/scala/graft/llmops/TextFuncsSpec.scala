@@ -437,4 +437,27 @@ class TextFuncsSpec extends SparkTestBase {
     assert(math.abs(again("u") - got("u")._2) < 1e-9)
     assert(math.abs(again("k") - got("k")._2) < 1e-9)
   }
+
+  test("readability: closed-form words/sentences/syllables/Flesch; " +
+      "no-vowel words floor at one syllable; empty text → null") {
+    val rows = Seq(
+      (0L, "The cat sat."), // 3 words, 1 sentence, 3 syllables
+      (1L, "tv hmm"),       // no vowel runs: 2 words → 2 syllables
+      (2L, ""))
+      .toDF("id", "text")
+    val got = rows.select($"id",
+        TextFuncs.tokenCount($"text").as("w"),
+        TextFuncs.sentenceCountApprox($"text").as("s"),
+        TextFuncs.syllableCountApprox($"text").as("y"),
+        TextFuncs.fleschReadingEase($"text").as("f"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3),
+          Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    assert(got(0L)._1 == 3 && got(0L)._2 == 1 && got(0L)._3 == 3)
+    assert(math.abs(got(0L)._4.get -
+      (206.835 - 1.015 * 3 - 84.6 * 1)) < 1e-9)
+    assert(got(1L) == ((2, 1, 2,
+      Some(206.835 - 1.015 * 2 - 84.6 * 1))))
+    assert(got(2L)._1 == 0 && got(2L)._4.isEmpty)
+  }
 }
