@@ -728,6 +728,21 @@ object Graft {
   /** Time-to-convert stats per adjacent funnel step (q188). */
   def funnelLags(events: DataFrame, steps: Seq[String]): DataFrame =
     ops.Funnels.conversionLags(events, steps)
+  /** Seasonal (same-phase trailing) rate anomalies (q193). */
+  def seasonalRateAnomalies(events: DataFrame, bucketMillis: Long,
+                            period: Int, lookback: Int = 8,
+                            threshold: Double = 3.0): DataFrame =
+    ops.Anomaly.seasonalRateAnomalies(events, bucketMillis, period,
+      lookback, threshold)
+  /** Which benchmark item leaked into which corpus doc (q194). */
+  def decontaminationReport(corpus: DataFrame, benchmark: DataFrame,
+                            n: Int = 8): DataFrame =
+    llmops.Dedup.decontaminationReport(corpus, benchmark, n)
+  /** Politeness-interleaved crawl-frontier sort keys (q195). */
+  def frontierInterleave(links: DataFrame, hostCol: String = "host",
+                         urlCol: String = "url",
+                         priorityCol: String = null): DataFrame =
+    ops.Frontier.interleaveByHost(links, hostCol, urlCol, priorityCol)
   /** SCD-2 validity intervals from a change log (q154). */
   def scdIntervals(log: DataFrame, keyCol: String, tsCol: String,
                    attrCols: Seq[String]): DataFrame =

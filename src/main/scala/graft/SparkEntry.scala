@@ -3753,6 +3753,54 @@ object SparkEntry {
             $"text"))
       graft.llmops.Dedup.crossSourceDupMatrix(planted)
         .orderBy($"source_a", $"source_b")
+    }),
+
+    // seasonal anomalies (X166): same z-scorer as q165, but the
+    // trailing window partitions on (series, bucket % period) — each
+    // Monday scores against past Mondays, so the weekday/weekend
+    // swing neither inflates the scale estimate nor fires weekly
+    // false alarms. Only the partition key changes; the oracle
+    // replays it unchanged.
+    "q193_seasonal_anomalies" -> ((s, d) => {
+      import s.implicits._
+      graft.ops.Anomaly.seasonalRateAnomalies(t(s, d, "events"),
+          bucketMillis = 86400000L, period = 7, lookback = 4,
+          threshold = 1.5)
+        .withColumn("trail_mean", round($"trail_mean", 4))
+        .withColumn("trail_std", round($"trail_std", 4))
+        .withColumn("z", round($"z", 4))
+        .withColumn("is_anomaly", $"is_anomaly".cast("int"))
+        .orderBy($"event_type", $"bucket")
+    }),
+
+    // decontamination evidence (X167): which benchmark item leaked
+    // into which corpus doc, with the shared-gram count and a
+    // deterministic example — the audit trail behind q52/q76's
+    // silent drops. Benchmark = every 17th doc's text (planted
+    // overlap, the q192 move); n = 3 so partial overlaps appear too.
+    "q194_decontam_report" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val bench = docs.filter(pmod($"doc_id", lit(17)) === 0)
+        .select(($"doc_id" + 1000000L).as("bench_id"), $"text")
+      graft.llmops.Dedup.decontaminationReport(docs, bench, n = 3)
+        .orderBy($"doc_id", $"bench_id")
+    }),
+
+    // frontier interleave (X168): (round, slot) sort keys that fetch
+    // every host's 1st URL before any host's 2nd with md5-rotated
+    // host order per round — per-host politeness spacing as a sort
+    // key, no scheduler state. Both windows and the rotation replay.
+    "q195_frontier" -> ((s, d) => {
+      import s.implicits._
+      val links = t(s, d, "documents")
+        .select(concat(lit("h"), pmod($"doc_id", lit(37))).as("host"),
+          concat(lit("https://h"), pmod($"doc_id", lit(37)),
+            lit("/"), $"doc_id").as("url"),
+          pmod($"doc_id" * 7, lit(11)).as("prio"))
+      graft.ops.Frontier.interleaveByHost(links, priorityCol = "prio")
+        .select($"url", $"host", $"round", $"slot")
+        .orderBy($"url")
     })
   )
 
@@ -8105,6 +8153,65 @@ object SparkEntry {
                 CAST(sum(pairs) AS BIGINT) AS dup_pairs
          FROM p GROUP BY 1, 2
          HAVING sum(pairs) > 0
-         ORDER BY source_a, source_b"""
+         ORDER BY source_a, source_b""",
+    "q193_seasonal_anomalies" ->
+      """WITH c AS (
+           SELECT event_type, epoch_ms(ts) // 86400000 AS bucket,
+                  count(*) AS n
+           FROM events GROUP BY 1, 2),
+         p AS (SELECT event_type, bucket, bucket % 7 AS phase, n FROM c),
+         w AS (
+           SELECT event_type, bucket, phase, n,
+                  count(n) OVER tw AS tn,
+                  avg(n) OVER tw AS trail_mean,
+                  stddev_samp(n) OVER tw AS trail_std
+           FROM p
+           WINDOW tw AS (PARTITION BY event_type, phase ORDER BY bucket
+             ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)),
+         z AS (
+           SELECT event_type, bucket, phase, n, trail_mean, trail_std,
+                  CASE WHEN tn >= 3 AND trail_std > 0
+                       THEN (n - trail_mean) / trail_std END AS z
+           FROM w)
+         SELECT event_type, bucket, phase, n,
+                round(trail_mean, 4) AS trail_mean,
+                round(trail_std, 4) AS trail_std, round(z, 4) AS z,
+                CAST(coalesce(abs(z) >= 1.5, false) AS INTEGER)
+                  AS is_anomaly
+         FROM z ORDER BY event_type, bucket""",
+    "q194_decontam_report" ->
+      """WITH grams AS (
+           SELECT id, term FROM (
+             SELECT doc_id AS id,
+                    unnest(list_distinct(list_transform(
+                      generate_series(1, greatest(len(l) - 2, 1)),
+                      i -> array_to_string(
+                             list_slice(l, i, i + 2), ' ')))) AS term
+             FROM (SELECT doc_id,
+                          string_split_regex(lower(trim(text)), '\s+')
+                            AS l
+                   FROM documents))
+           WHERE term <> ''),
+         bench AS (
+           SELECT id + 1000000 AS bench_id, term FROM grams
+           WHERE id % 17 = 0)
+         SELECT g.id AS doc_id, b.bench_id, count(*) AS n_shared,
+                min(g.term) AS example_gram
+         FROM grams g JOIN bench b ON b.term = g.term
+         GROUP BY 1, 2 ORDER BY doc_id, bench_id""",
+    "q195_frontier" ->
+      """WITH links AS (
+           SELECT 'h' || (doc_id % 37) AS host,
+                  'https://h' || (doc_id % 37) || '/' || doc_id AS url,
+                  (doc_id * 7) % 11 AS prio
+           FROM documents),
+         r AS (
+           SELECT url, host,
+                  row_number() OVER (PARTITION BY host
+                    ORDER BY prio DESC, url) AS round
+           FROM links)
+         SELECT url, host, round,
+                md5(host || ':' || round::VARCHAR) AS slot
+         FROM r ORDER BY url"""
   )
 }

@@ -878,6 +878,45 @@ object Dedup {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Decontamination EVIDENCE report (X167): which benchmark item
+    * leaked into which corpus document, with how many shared n-grams
+    * and a concrete example gram — the audit trail behind
+    * [[ngramDecontaminate]]'s silent drop. Dropping contaminated docs
+    * is the pipeline action; showing WHY each doc dropped (and which
+    * eval items are compromised how widely) is the eval-integrity
+    * review, takedown-style: X120 answers "which shards carry this
+    * doc", this answers "which eval rows does this doc poison".
+    *
+    * @return (idCol, bench_id, n_shared, example_gram): one row per
+    *         contaminated (corpus doc, benchmark item) pair;
+    *         n_shared counts DISTINCT shared n-grams, example_gram
+    *         is the lexicographically first (deterministic).
+    *
+    * Scale shape: benchmark grams broadcast with their bench ids
+    * (benchmarks are small by definition — the X6 contract); corpus
+    * grams stream once through the broadcast-hash join, and the
+    * aggregation output is bounded by true contamination, not the
+    * corpus. DISTINCT grams per side so a gram repeated inside one
+    * doc doesn't inflate the evidence count.
+    */
+  def decontaminationReport(corpus: DataFrame, benchmark: DataFrame,
+                            n: Int = 8, idCol: String = "doc_id",
+                            benchIdCol: String = "bench_id",
+                            textCol: String = "text"): DataFrame = {
+    val benchGrams = benchmark
+      .select(col(benchIdCol).as("bench_id"),
+        explode(TextFuncs.wordNgrams(col(textCol), n)).as("g"))
+      .distinct()
+    val corpusGrams = corpus
+      .select(col(idCol),
+        explode(TextFuncs.wordNgrams(col(textCol), n)).as("g"))
+      .distinct()
+    corpusGrams.join(broadcast(benchGrams), Seq("g"))
+      .groupBy(col(idCol), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"),
+        min(col("g")).as("example_gram"))
+  }
+
   /** N-gram novelty scores — the graded form of
     * [[ngramDecontaminate]]'s boolean verdict: per corpus document,
     * the fraction of its DISTINCT word n-grams absent from the

@@ -115,4 +115,50 @@ object Anomaly {
         coalesce(abs(col("z")) >= threshold, lit(false)))
       .drop("__hist")
   }
+
+  /** Seasonal variant of [[rateAnomalies]] (X168): each bucket is
+    * scored against the trailing buckets of the SAME PHASE —
+    * `bucket % period` — so a daily bucketing with period = 7
+    * compares Mondays with past Mondays. The plain trailing window
+    * fails twice on cyclic traffic: the weekday/weekend swing
+    * inflates the trailing stddev (burying real bursts), and every
+    * Monday morning looks like an anomaly against a trailing frame
+    * full of Sunday. Scoring, null contracts, and minHistory match
+    * [[rateAnomalies]] exactly; only the window's partition key
+    * changes — which is also why it replays in SQL untouched.
+    *
+    * @return (seriesCol, bucket, phase, n, trail_mean, trail_std, z,
+    *         is_anomaly) — one row per observed (series, bucket)
+    */
+  def seasonalRateAnomalies(events: DataFrame, bucketMillis: Long,
+                            period: Int, lookback: Int = 8,
+                            threshold: Double = 3.0,
+                            minHistory: Int = 3,
+                            seriesCol: String = "event_type",
+                            tsCol: String = "ts"): DataFrame = {
+    require(bucketMillis >= 1, "bucketMillis must be >= 1")
+    require(period >= 2, "period must be >= 2 buckets (else use the " +
+      "plain trailing window)")
+    require(lookback >= minHistory && minHistory >= 2,
+      "need lookback >= minHistory >= 2 same-phase trailing buckets")
+    val counts = events
+      .select(col(seriesCol),
+        floor(graft.expr.TimeFuncs.tsMicros(col(tsCol)) / 1000L /
+          lit(bucketMillis)).cast("long").as("bucket"))
+      .groupBy(col(seriesCol), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("phase", pmod(col("bucket"), lit(period.toLong)))
+    val w = Window.partitionBy(col(seriesCol), col("phase"))
+      .orderBy(col("bucket")).rowsBetween(-lookback, -1)
+    counts
+      .withColumn("__tn", count(col("n")).over(w))
+      .withColumn("trail_mean", avg(col("n")).over(w))
+      .withColumn("trail_std", stddev_samp(col("n")).over(w))
+      .withColumn("z",
+        when(col("__tn") >= minHistory && col("trail_std") > 0.0,
+          (col("n") - col("trail_mean")) / col("trail_std")))
+      .withColumn("is_anomaly",
+        coalesce(abs(col("z")) >= threshold, lit(false)))
+      .drop("__tn")
+  }
 }

@@ -76,6 +76,77 @@ object EventStreams {
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp,
                          user_id: Long, event_type: String, value: Double)
+  final case class TransitionState(lastType: String, lastUs: Long,
+                                   lastId: Long)
+  final case class Transition(user_id: Long, prev_type: String,
+                              next_type: String, gap_ms: Long)
+
+  /** Streaming counterpart of [[graft.ops.Paths.transitionMatrix]]'s
+    * pair extraction (X165): per-user consecutive (prev → next)
+    * transitions as they arrive, state = ONE slim last-event row per
+    * user. Pairs separated by ≥ `maxGapMillis` are cut exactly as in
+    * batch; with a finite gap the state also EXPIRES via event-time
+    * timeout once the watermark passes `last + maxGap` — any later
+    * pair would be cut anyway, so expiry is semantics-free and keeps
+    * state bounded by ACTIVE users, not all users ever seen.
+    * Downstream, a running `groupBy(prev, next).count()` is the live
+    * transition matrix. Events are ordered (ts, event_id) within each
+    * micro-batch (the [[sessionize]] contract: cross-batch
+    * out-of-order arrival beyond the watermark is the caller's
+    * ingest-ordering responsibility).
+    */
+  def transitionsStream(events: Dataset[Event],
+                        maxGapMillis: Long = Long.MaxValue)
+      : Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    val streaming = events.isStreaming
+    val bounded = maxGapMillis != Long.MaxValue
+    val src =
+      if (streaming) events.withWatermark("ts", "10 minutes") else events
+    src
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransitionState, Transition](
+        OutputMode.Append,
+        if (streaming && bounded) GroupStateTimeout.EventTimeTimeout
+        else GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Event],
+         state: GroupState[TransitionState]) =>
+          if (state.hasTimedOut) {
+            // idle past watermark + maxGap: any future pair is cut by
+            // the gap filter anyway — dropping state changes nothing
+            state.remove()
+            Iterator.empty
+          } else {
+            // MICROsecond arithmetic, exactly the batch operator's
+            // (tsMicros ordering + gap_us < maxGap·1000 cut) — the
+            // events table carries sub-ms precision and the
+            // batch ≡ stream pin is exact, not approximate
+            def us(e: Event): Long =
+              e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+            val sorted = it.toSeq.sortBy(e => (us(e), e.event_id))
+            val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
+            var st = state.getOption.orNull
+            for (e <- sorted) {
+              val t = us(e)
+              if (st != null &&
+                  (!bounded || t - st.lastUs < maxGapMillis * 1000L))
+                out += Transition(uid, st.lastType, e.event_type,
+                  (t - st.lastUs) / 1000L)
+              st = TransitionState(e.event_type, t, e.event_id)
+            }
+            if (st != null) {
+              if (streaming) {
+                state.update(st)
+                if (bounded)
+                  state.setTimeoutTimestamp(
+                    st.lastUs / 1000L + maxGapMillis)
+              } else state.remove()
+            }
+            out.iterator
+          }
+      }
+  }
+
   final case class SessionState(start: Long, last: Long, n: Int, total: Double)
   final case class Session(user_id: Long, start_ms: Long, end_ms: Long,
                            n_events: Int, total_value: Double)

@@ -595,4 +595,32 @@ class DedupSpec extends SparkTestBase {
     assert(m == Map(("A", "A") -> 499500L, ("A", "B") -> 10000L,
       ("B", "B") -> 45L))
   }
+
+  test("decontaminationReport: evidence rows name the leaked item, " +
+      "count DISTINCT shared grams, and agree with the drop set") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),    // full copy of bench 10
+      (2L, "x y alpha beta gamma z"),    // partial: 2 shared 3-grams
+      (3L, "completely different words here")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (10L, "alpha beta gamma delta"),
+      (11L, "nothing matches this one")
+    ).toDF("bench_id", "text")
+    val got = Dedup.decontaminationReport(corpus, bench, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getString(3)))).toMap
+    // doc 1 shares both of bench 10's 3-grams; doc 2 shares them too
+    // ("alpha beta gamma" + "beta gamma delta"? no — doc 2 lacks
+    // delta: only "alpha beta gamma")
+    assert(got((1L, 10L)) == ((2L, "alpha beta gamma")))
+    assert(got((2L, 10L)) == ((1L, "alpha beta gamma")))
+    assert(!got.contains((3L, 10L)) && !got.keys.exists(_._2 == 11L))
+    // the report's doc set IS the complement of the decontaminated
+    // survivors — same kernel, evidence vs action
+    val kept = Dedup.ngramDecontaminate(corpus, bench, n = 3)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L))
+    assert(got.keys.map(_._1).toSet == Set(1L, 2L))
+  }
 }

@@ -99,4 +99,41 @@ class AnomalySpec extends SparkTestBase {
       lookback = 7).collect().map(_.toSeq).toSet
     assert(a.nonEmpty && a == b)
   }
+
+  test("seasonalRateAnomalies: a weekly cycle hides a burst from the " +
+      "plain trailing z but not from same-phase scoring") {
+    // 35 daily buckets (bucketMillis = 100): phase-0 spikes at 100,
+    // other phases alternate 10/11; day 34 (phase 6) bursts to 30
+    def n(d: Int) = if (d % 7 == 0) 100 else if (d == 34) 30
+      else 10 + (d % 2)
+    val events = evs("a", (0 to 34).map(n))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+
+    val plain = Anomaly.rateAnomalies(events, 100, lookback = 7,
+        threshold = 3.0).filter($"bucket" === 34).collect()(0)
+    // trailing week mixes the 100-spike into the stddev: z ~0.2
+    assert(math.abs(plain.getAs[Double]("z")) < 1.0)
+    assert(!plain.getAs[Boolean]("is_anomaly"))
+
+    val seasonal = Anomaly.seasonalRateAnomalies(events, 100, period = 7,
+        lookback = 4, threshold = 3.0)
+      .filter($"bucket" === 34).collect()(0)
+    // same-phase history is 10,11,10,11 → mean 10.5, std .577, z ≈ 34
+    assert(seasonal.getAs[Long]("phase") == 6L)
+    assert(seasonal.getAs[Double]("z") > 10.0)
+    assert(seasonal.getAs[Boolean]("is_anomaly"))
+    // and the weekly spikes themselves never alarm seasonally: each
+    // phase-0 bucket's history is other 100s
+    val spikes = Anomaly.seasonalRateAnomalies(events, 100, period = 7,
+        lookback = 4, threshold = 3.0)
+      .filter($"phase" === 0).collect()
+    assert(spikes.forall(!_.getAs[Boolean]("is_anomaly")))
+
+    val again = Anomaly.seasonalRateAnomalies(
+        events.toDF().repartition(5), 100, period = 7, lookback = 4,
+        threshold = 3.0).collect().map(_.toSeq).toSet
+    val first = Anomaly.seasonalRateAnomalies(events, 100, period = 7,
+        lookback = 4, threshold = 3.0).collect().map(_.toSeq).toSet
+    assert(first == again)
+  }
 }

@@ -153,4 +153,62 @@ class EventStreamsSpec extends SparkTestBase {
       Session(1, ms("2024-01-01 12:00:00"), ms("2024-01-01 12:00:00"), 1, 1.0),
       Session(2, ms("2024-01-01 10:00:00"), ms("2024-01-01 10:00:00"), 1, 1.0)))
   }
+
+  test("transitionsStream batch kernel equals the q183 batch matrix") {
+    import EventStreams.Event
+    val gap = 3600000L
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+    val kernel = EventStreams.transitionsStream(
+        ev.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+          .as[Event], maxGapMillis = gap)
+      .groupBy($"prev_type", $"next_type").agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = graft.ops.Paths.transitionMatrix(ev, maxGapMillis = gap)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(kernel.nonEmpty && kernel == batch)
+  }
+
+  test("transitionsStream pairs across micro-batches, cuts gaps, " +
+      "and expires idle state without changing semantics") {
+    import EventStreams.{Event, Transition}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.transitionsStream(mem.toDS(),
+        maxGapMillis = 30 * 60 * 1000)
+      .writeStream.format("memory").queryName("trans_out")
+      .outputMode("append").start()
+    def e(id: Long, ts: String, u: Long, t: String) =
+      Event(id, java.sql.Timestamp.valueOf(ts), u, t, 1.0)
+
+    mem.addData(e(1, "2024-01-01 10:00:00", 1, "view"))
+    q.processAllAvailable()
+    assert(spark.table("trans_out").count() == 0)
+
+    // batch 2: pairs with the state carried from batch 1
+    mem.addData(e(2, "2024-01-01 10:05:00", 1, "click"))
+    q.processAllAvailable()
+    assert(spark.table("trans_out").as[Transition].collect().toSet ==
+      Set(Transition(1, "view", "click", 300000L)))
+
+    // batch 3: a 2 h silence exceeds the gap → NO pair, state replaced
+    mem.addData(e(3, "2024-01-01 12:05:00", 1, "purchase"))
+    q.processAllAvailable()
+    assert(spark.table("trans_out").count() == 1)
+
+    // batch 4: another user far in the future expires user 1's idle
+    // state (watermark passes last + gap); then a late-but-in-horizon
+    // event for user 1 pairs only if the gap admits it — it doesn't,
+    // so expiry was semantics-free
+    mem.addData(e(4, "2024-01-02 09:00:00", 2, "view"))
+    q.processAllAvailable()
+    mem.addData(e(5, "2024-01-02 09:10:00", 2, "click"))
+    q.processAllAvailable()
+    val got = spark.table("trans_out").as[Transition].collect().toSet
+    q.stop()
+    assert(got == Set(
+      Transition(1, "view", "click", 300000L),
+      Transition(2, "view", "click", 600000L)))
+  }
 }
