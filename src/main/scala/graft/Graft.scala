@@ -743,6 +743,23 @@ object Graft {
                          urlCol: String = "url",
                          priorityCol: String = null): DataFrame =
     ops.Frontier.interleaveByHost(links, hostCol, urlCol, priorityCol)
+  /** Autocomplete table: per-prefix top-k completions (q196). */
+  def prefixCompletions(queries: DataFrame, maxPrefixLen: Int = 10,
+                        k: Int = 5): DataFrame =
+    llmops.Keywords.prefixCompletions(queries, maxPrefixLen, k)
+  /** Top-k ordered session journeys (q197). */
+  def topSessionPaths(events: DataFrame, gapMillis: Long,
+                      maxLen: Int = 5, k: Int = 10): DataFrame =
+    ops.Paths.topSessionPaths(events, gapMillis, maxLen, k)
+  /** Pre-join key-skew diagnostic: heavy keys + global stats (q198). */
+  def skewReport(df: DataFrame, keyCol: String, k: Int = 10): DataFrame =
+    ops.Profiling.skewReport(df, keyCol, k)
+  /** Latest-wins CDC apply: fold upserts+deletes into a snapshot
+    * (q199). */
+  def applyChanges(snapshot: DataFrame, changes: DataFrame,
+                   keyCols: Seq[String], tsCol: String,
+                   opCol: String = "op"): DataFrame =
+    ops.Merge.applyChanges(snapshot, changes, keyCols, tsCol, opCol)
   /** SCD-2 validity intervals from a change log (q154). */
   def scdIntervals(log: DataFrame, keyCol: String, tsCol: String,
                    attrCols: Seq[String]): DataFrame =

@@ -3801,6 +3801,64 @@ object SparkEntry {
       graft.ops.Frontier.interleaveByHost(links, priorityCol = "prio")
         .select($"url", $"host", $"round", $"slot")
         .orderBy($"url")
+    }),
+
+    // prefix completions (X169): the autocomplete table — per
+    // character prefix, top-k queries by (count desc, query asc),
+    // query log = each doc's first two tokens. Dedupe-first, ≤ L
+    // prefix rows per distinct query, WindowGroupLimit rank.
+    "q196_prefix_completions" -> ((s, d) => {
+      import s.implicits._
+      val tf = graft.llmops.TextFuncs
+      val qlog = t(s, d, "documents").select(
+        array_join(slice(tf.tokens($"text"), 1, 2), " ").as("q"))
+      graft.llmops.Keywords.prefixCompletions(qlog,
+          maxPrefixLen = 6, k = 3)
+        .select($"prefix", $"rank".cast("long").as("rank"),
+          $"completion", $"n")
+        .orderBy($"prefix", $"rank", $"completion")
+    }),
+
+    // top session journeys (X170): ranked ordered sequences of each
+    // session's first 4 event types — the q148 session cut + a
+    // position window + two roll-ups + TakeOrdered; every stage
+    // replays.
+    "q197_session_paths" -> ((s, d) => {
+      import s.implicits._
+      graft.ops.Paths.topSessionPaths(t(s, d, "events"),
+        gapMillis = 1800000L, maxLen = 4, k = 15)
+    }),
+
+    // skew report (X171): top heavy keys + exact global distribution
+    // stats — the pre-join diagnostic for the X25 salting decision.
+    "q198_skew_report" -> ((s, d) => {
+      import s.implicits._
+      graft.ops.Profiling.skewReport(t(s, d, "events"), "user_id",
+          k = 10)
+        .withColumn("share", round($"share", 6))
+        .withColumn("p99_n", round($"p99_n", 4))
+        .orderBy($"n".desc, $"key")
+    }),
+
+    // CDC latest-wins merge (X172): fold planted upserts + deletes
+    // into the customer snapshot — one union + one max_by on the
+    // key, the lakehouse MERGE as a relational aggregate. The oracle
+    // replays resolution with a row_number over the same order key.
+    "q199_cdc_merge" -> ((s, d) => {
+      import s.implicits._
+      val cust = t(s, d, "customer")
+      val snap = cust.select($"c_custkey", $"c_name", $"c_acctbal",
+        lit(100L).as("v"))
+      val ups = cust.filter(pmod($"c_custkey", lit(5)) === 0)
+        .select($"c_custkey", concat($"c_name", lit("-v2")).as("c_name"),
+          ($"c_acctbal" + 100).as("c_acctbal"), lit(200L).as("v"),
+          lit("u").as("op"))
+      val dels = cust.filter(pmod($"c_custkey", lit(11)) === 0)
+        .select($"c_custkey", $"c_name", $"c_acctbal",
+          lit(300L).as("v"), lit("d").as("op"))
+      graft.ops.Merge.applyChanges(snap, ups.unionByName(dels),
+          Seq("c_custkey"), "v")
+        .orderBy($"c_custkey")
     })
   )
 
@@ -8212,6 +8270,100 @@ object SparkEntry {
            FROM links)
          SELECT url, host, round,
                 md5(host || ':' || round::VARCHAR) AS slot
-         FROM r ORDER BY url"""
+         FROM r ORDER BY url""",
+    "q196_prefix_completions" ->
+      """WITH ql AS (
+           SELECT array_to_string(list_slice(
+             string_split_regex(lower(trim(text)), '\s+'), 1, 2), ' ')
+             AS q
+           FROM documents),
+         c AS (
+           SELECT lower(trim(q)) AS q, count(*) AS n
+           FROM ql WHERE length(lower(trim(q))) > 0 GROUP BY 1),
+         p AS (
+           SELECT q, n,
+                  unnest(list_transform(
+                    generate_series(1, least(length(q), 6)),
+                    i -> substr(q, 1, i::INTEGER))) AS prefix
+           FROM c),
+         r AS (
+           SELECT prefix, q, n,
+                  rank() OVER (PARTITION BY prefix
+                    ORDER BY n DESC, q) AS rank
+           FROM p)
+         SELECT prefix, rank, q AS completion, n
+         FROM r WHERE rank <= 3
+         ORDER BY prefix, rank, completion""",
+    "q197_session_paths" ->
+      """WITH e AS (
+           SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms
+           FROM events),
+         nw AS (
+           SELECT user_id, event_id, event_type, ms,
+                  CASE WHEN lag(ms) OVER w IS NULL
+                         OR ms - lag(ms) OVER w > 1800000
+                       THEN 1 ELSE 0 END AS brk
+           FROM e WINDOW w AS (PARTITION BY user_id
+             ORDER BY ms, event_id)),
+         s AS (
+           SELECT user_id, event_id, event_type, ms,
+                  sum(brk) OVER (PARTITION BY user_id
+                    ORDER BY ms, event_id
+                    ROWS UNBOUNDED PRECEDING) AS sid
+           FROM nw),
+         p AS (
+           SELECT user_id, sid, event_type,
+                  row_number() OVER (PARTITION BY user_id, sid
+                    ORDER BY ms, event_id) AS pos
+           FROM s),
+         paths AS (
+           SELECT user_id, sid,
+                  string_agg(event_type, ' > ' ORDER BY pos) AS path
+           FROM p WHERE pos <= 4 GROUP BY 1, 2),
+         c AS (SELECT path, count(*) AS n_sessions
+               FROM paths GROUP BY 1)
+         SELECT path, n_sessions FROM c
+         ORDER BY n_sessions DESC, path LIMIT 15""",
+    "q198_skew_report" ->
+      """WITH c AS (
+           SELECT user_id AS key, count(*) AS n
+           FROM events GROUP BY 1),
+         st AS (
+           SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+                  count(*) AS n_keys, max(n) AS max_n,
+                  quantile_cont(n, 0.99) AS p99_n
+           FROM c),
+         top AS (SELECT key, n FROM c ORDER BY n DESC, key LIMIT 10)
+         SELECT t.key, t.n,
+                round(t.n / st.n_rows::DOUBLE, 6) AS share,
+                st.n_rows, st.n_keys, st.max_n,
+                round(st.p99_n, 4) AS p99_n
+         FROM top t CROSS JOIN st
+         ORDER BY t.n DESC, t.key""",
+    "q199_cdc_merge" ->
+      """WITH snap AS (
+           SELECT c_custkey, c_name, c_acctbal,
+                  100::BIGINT AS v, 'u' AS op, 0 AS origin
+           FROM customer),
+         ups AS (
+           SELECT c_custkey, c_name || '-v2', c_acctbal + 100,
+                  200::BIGINT, 'u', 1
+           FROM customer WHERE c_custkey % 5 = 0),
+         dels AS (
+           SELECT c_custkey, c_name, c_acctbal,
+                  300::BIGINT, 'd', 1
+           FROM customer WHERE c_custkey % 11 = 0),
+         allr AS (
+           SELECT * FROM snap
+           UNION ALL SELECT * FROM ups
+           UNION ALL SELECT * FROM dels),
+         w AS (
+           SELECT *, row_number() OVER (PARTITION BY c_custkey
+             ORDER BY v DESC, origin DESC, c_name DESC,
+                      c_acctbal DESC, op DESC) AS rn
+           FROM allr)
+         SELECT c_custkey, c_name, c_acctbal, v
+         FROM w WHERE rn = 1 AND op <> 'd'
+         ORDER BY c_custkey"""
   )
 }

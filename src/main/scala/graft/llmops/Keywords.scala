@@ -103,4 +103,39 @@ object Keywords {
       .select(col("id").as(idCol), col("rank"), col("phrase"),
         col("n_words"), col("score"))
   }
+
+  /** Prefix → top-k completions from a query log (X169): the
+    * autocomplete table — for every character prefix (length 1 to
+    * `maxPrefixLen`) of every logged query, the k most frequent full
+    * queries under it, ranked (count desc, query asc). Built offline
+    * as a plain table, served by a prefix point-lookup; the same
+    * shape ranks "what do people search after typing 'spar'" for
+    * query-intent analysis over the retrieval tier's query logs.
+    *
+    * Scale shape: queries dedupe to (q, n) FIRST (the log collapses
+    * to distinct queries before any explosion), each query then
+    * explodes to ≤ maxPrefixLen slim prefix rows, and the per-prefix
+    * rank rides the X46 WindowGroupLimit — nothing beyond k rows per
+    * prefix survives the partial aggregation.
+    */
+  def prefixCompletions(queries: DataFrame, maxPrefixLen: Int = 10,
+                        k: Int = 5, queryCol: String = "q")
+      : DataFrame = {
+    require(maxPrefixLen >= 1 && k >= 1, "maxPrefixLen and k must be >= 1")
+    val counts = queries
+      .select(lower(trim(col(queryCol))).as("q"))
+      .filter(length(col("q")) > 0)
+      .groupBy(col("q")).agg(count(lit(1)).as("n"))
+    val prefixed = counts.select(col("q"), col("n"),
+        explode(transform(
+          sequence(lit(1), least(length(col("q")), lit(maxPrefixLen))),
+          i => col("q").substr(lit(1), i))).as("prefix"))
+    val w = Window.partitionBy(col("prefix"))
+      .orderBy(col("n").desc, col("q"))
+    prefixed
+      .withColumn("rank", rank().over(w))
+      .filter(col("rank") <= k)
+      .select(col("prefix"), col("rank"), col("q").as("completion"),
+        col("n"))
+  }
 }

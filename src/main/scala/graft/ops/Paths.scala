@@ -63,6 +63,58 @@ object Paths {
       col("n").cast("double") / sum(col("n")).over(wPrev))
   }
 
+  /** Top-k session JOURNEYS (X170): the most common ordered sequences
+    * of a session's first `maxLen` event types, sessions cut at
+    * `gapMillis` exactly as [[Sessionize.sessions]] — the multi-step
+    * generalization of [[transitionMatrix]]'s single step: "what do
+    * users DO here" as ranked paths ("view > click > purchase"
+    * 3 812 sessions, "view > error > view" 977...), the product-
+    * analytics journey report and, on a crawl ledger, the dominant
+    * fetch-state flows.
+    *
+    * Scale shape: the session cut and position windows partition per
+    * user (the sessionize arrangement); the path roll-up is one
+    * groupBy per session then one per path (≤ |types|^maxLen distinct
+    * paths, in practice a short head); the final top-k is a
+    * TakeOrdered, never a global window.
+    *
+    * @return (path, n_sessions), top k by (count desc, path asc)
+    */
+  def topSessionPaths(events: DataFrame, gapMillis: Long,
+                      maxLen: Int = 5, k: Int = 10,
+                      userCol: String = "user_id",
+                      typeCol: String = "event_type",
+                      tsCol: String = "ts",
+                      idCol: String = "event_id"): DataFrame = {
+    require(gapMillis >= 1, "gapMillis must be >= 1")
+    require(maxLen >= 1 && k >= 1, "maxLen and k must be >= 1")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("__ms"), col(idCol))
+    val sessions = events
+      .select(col(userCol), col(idCol), col(typeCol).as("__t"),
+        (graft.expr.TimeFuncs.tsMicros(col(tsCol)) / 1000L)
+          .cast("long").as("__ms"))
+      .withColumn("__new",
+        when(lag(col("__ms"), 1).over(w).isNull ||
+          col("__ms") - lag(col("__ms"), 1).over(w) > gapMillis, 1L)
+          .otherwise(0L))
+      .withColumn("__sid",
+        sum(col("__new")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wPos = Window.partitionBy(col(userCol), col("__sid"))
+      .orderBy(col("__ms"), col(idCol))
+    sessions
+      .withColumn("__pos", row_number().over(wPos))
+      .filter(col("__pos") <= maxLen)
+      .groupBy(col(userCol), col("__sid"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__t")))),
+        s => s.getField("__t")), " > ").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
+  }
+
   /** Top-k next events per antecedent by (n desc, next_type asc) —
     * the rank window rides the X46 rewrite to a bounded-heap
     * WindowGroupLimit, so nothing beyond k rows per prev_type

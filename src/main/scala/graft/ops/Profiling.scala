@@ -165,4 +165,33 @@ object Profiling {
         .as(Seq("metric", "value")))
     scalars.unionByName(langs).unionByName(entropy).unionByName(zipf)
   }
+
+  /** Key-skew report (X171): the top-k heaviest keys with the global
+    * distribution stats attached — the diagnostic to run BEFORE a big
+    * join or aggregation ships: a `share` in double digits on one key
+    * is the straggler that X25's salted join exists for, and the
+    * p99/max spread says whether salting or AQE skew handling is the
+    * right lever. One groupBy to (key, n), one scalar aggregate over
+    * the count table, one TakeOrdered — no global window; the exact
+    * p99 runs over the count DISTRIBUTION (distinct count VALUES,
+    * small by nature), the reporting-tier contract of q188.
+    *
+    * @return k rows: (key, n, share, n_rows, n_keys, max_n, p99_n)
+    */
+  def skewReport(df: DataFrame, keyCol: String, k: Int = 10)
+      : DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n"))
+    val stats = counts.agg(
+      sum(col("n")).as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      max(col("n")).as("max_n"),
+      percentile(col("n"), lit(0.99)).as("p99_n"))
+    counts.orderBy(col("n").desc, col("key")).limit(k)
+      .crossJoin(broadcast(stats))
+      .select(col("key"), col("n"),
+        (col("n").cast("double") / col("n_rows")).as("share"),
+        col("n_rows"), col("n_keys"), col("max_n"), col("p99_n"))
+  }
 }

@@ -50,6 +50,26 @@ class KeywordsSpec extends SparkTestBase {
     assert(got.toSeq == Seq((1L, "big data", 2.0)), s"got=${got.toSeq}")
   }
 
+  test("prefixCompletions: per-prefix top-k by frequency then name, " +
+      "length cap, case/trim normalization") {
+    val log = Seq("spark", "spark", "spark", "Spark sql", "spam",
+      "spam", "  spark  ", "rust").toDF("q")
+    val got = Keywords.prefixCompletions(log, maxPrefixLen = 3, k = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getLong(3)))
+    val byPrefix = got.groupBy(_._1)
+    // "sp": spark (4 after normalization) then spam (2)
+    assert(byPrefix("sp").sortBy(_._2).map(t => (t._3, t._4)).toSeq ==
+      Seq(("spark", 4L), ("spam", 2L)))
+    // k bounds: "s" has 3 candidates but only 2 rows
+    assert(byPrefix("s").length == 2)
+    // prefixes stop at maxPrefixLen: no 4-char prefix rows
+    assert(got.forall(_._1.length <= 3))
+    // "r" → rust
+    assert(byPrefix("r").map(_._3).toSeq == Seq("rust"))
+  }
+
   test("top-k bound and repartition-exact on the sf0.001 corpus") {
     val docs = Tables.documents(spark, sf0001)
     val a = Keywords.rakeKeywords(docs, k = 3).collect()

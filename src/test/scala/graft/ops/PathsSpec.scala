@@ -66,6 +66,28 @@ class PathsSpec extends SparkTestBase {
     assert(top2.map(_._1).toSeq == Seq("B", "C"))
   }
 
+  test("topSessionPaths: session cuts, maxLen truncation, ordered " +
+      "paths, deterministic top-k") {
+    val ev = Seq(
+      // u1 session 1: A B C ; session 2 (after 1h gap): A B
+      (1L, 1L, "A", ts(0)), (2L, 1L, "B", ts(10)), (3L, 1L, "C", ts(20)),
+      (4L, 1L, "A", ts(4000)), (5L, 1L, "B", ts(4010)),
+      // u2: A B (one session)
+      (6L, 2L, "A", ts(0)), (7L, 2L, "B", ts(5)),
+      // u3: A B C D — truncated to 3 by maxLen
+      (8L, 3L, "A", ts(0)), (9L, 3L, "B", ts(1)),
+      (10L, 3L, "C", ts(2)), (11L, 3L, "D", ts(3))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = Paths.topSessionPaths(ev, gapMillis = 600000L,
+        maxLen = 3, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("A > B", 2L), ("A > B > C", 2L)), s"got=$got")
+    // k bounds output; ordering is (count desc, path asc)
+    val top1 = Paths.topSessionPaths(ev, 600000L, maxLen = 3, k = 1)
+      .collect().map(_.getString(0)).toSeq
+    assert(top1 == Seq("A > B"))
+  }
+
   test("repartition-stable on the sf0.001 events table") {
     val ev = graft.Tables.events(spark, sf0001)
     val a = Paths.transitionMatrix(ev, maxGapMillis = 3600000L).collect()

@@ -135,4 +135,25 @@ class ProfilingSpec extends SparkTestBase {
       card("mean_char_entropy") < 5.0) // prose band
     assert(card("mean_quality") >= 0.0 && card("mean_quality") <= 1.0)
   }
+
+  test("skewReport: heavy keys ranked with exact global stats") {
+    import spark.implicits._
+    // key 0: 60 rows; key 1: 30; keys 2..11: 1 each → 100 rows, 12 keys
+    val rows = (Seq.fill(60)(0L) ++ Seq.fill(30)(1L) ++ (2L to 11L))
+      .toDF("k")
+    val got = Profiling.skewReport(rows, "k", k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+      .sortBy(t => (-t._2, t._1))
+    assert(got.length == 3)
+    assert(got(0) == ((0L, 60L, 0.6, 100L, 12L, 60L)))
+    assert(got(1) == ((1L, 30L, 0.3, 100L, 12L, 60L)))
+    // third row: the (n desc, key asc) tiebreak picks key 2
+    assert(got(2)._1 == 2L && got(2)._2 == 1L)
+    // p99 over the count distribution [60,30,1×10]: interpolated
+    // near the max
+    val p99 = Profiling.skewReport(rows, "k", k = 1).collect()(0)
+      .getDouble(6)
+    assert(p99 > 30.0 && p99 <= 60.0, s"p99=$p99")
+  }
 }
