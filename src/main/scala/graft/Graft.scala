@@ -206,6 +206,10 @@ object Graft {
   /** PageRank centrality over a (src, dst) link graph. */
   def pageRank(edges: DataFrame, iterations: Int = 5): DataFrame =
     ops.PageRank.ranks(edges, iterations)
+  /** Personalized (seed-teleport) PageRank — TrustRank (q200). */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           iterations: Int = 5): DataFrame =
+    ops.PageRank.personalizedRanks(edges, seeds, iterations)
   /** HITS hubs/authorities over a (src, dst) link graph (q180). */
   def hubsAuthorities(edges: DataFrame, iterations: Int = 2): DataFrame =
     ops.Hits.hubsAuthorities(edges, iterations)
@@ -496,6 +500,15 @@ object Graft {
   def quantileBins(df: DataFrame, value: Column, probs: Seq[Double],
                    binCol: String = "bin"): DataFrame =
     llmops.Binning.quantileBins(df, value, probs, binCol)
+  /** Per-group percent-rank normalization without per-group raw-row
+    * windows (q201). */
+  def rankNormalize(df: DataFrame, valueCol: String, byCol: String,
+                    outCol: String = "rank_norm"): DataFrame =
+    llmops.Binning.rankNormalize(df, valueCol, byCol, outCol)
+  /** Per-shard order-free integrity manifest for exports (q202). */
+  def shardManifest(export: DataFrame, shardCol: String,
+                    cols: Seq[String]): DataFrame =
+    llmops.TrainExport.shardManifest(export, shardCol, cols)
   /** Deterministic per-stratum sampling decision (corpus mixing):
     * true iff the row survives its stratum's rate.
     */

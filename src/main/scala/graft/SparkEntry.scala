@@ -3859,6 +3859,55 @@ object SparkEntry {
       graft.ops.Merge.applyChanges(snap, ups.unionByName(dels),
           Seq("c_custkey"), "v")
         .orderBy($"c_custkey")
+    }),
+
+    // personalized PageRank (X173): teleport mass returns to the
+    // seed set only (TrustRank) — spam interlinking cannot
+    // manufacture paths FROM the seeds. Same q80 graph, seeds =
+    // nodes 0..9, 2 rounds unrolled by the oracle.
+    "q200_personalized_pagerank" -> ((s, d) => {
+      import s.implicits._
+      val edges = t(s, d, "documents")
+        .select($"doc_id".as("src"),
+          explode(array((0 until 3).map(k =>
+            pmod($"doc_id" * 7919 + lit(k), lit(500))): _*)).as("dst"))
+      val seeds = s.range(0, 10).select($"id".as("node"))
+      graft.ops.PageRank.personalizedRanks(edges, seeds, iterations = 2)
+        .filter($"node" < 60)
+        .select($"node", round($"rank", 4).as("rank"))
+        .orderBy($"node")
+    }),
+
+    // per-source rank normalization (X174): percent_rank within
+    // source, derived from per-(source, value) cumulative counts
+    // (no per-group raw-row window). The ORACLE uses DuckDB's native
+    // percent_rank — the engine-native definition cross-validates
+    // the relational derivation.
+    "q201_rank_normalize" -> ((s, d) => {
+      import s.implicits._
+      val tf = graft.llmops.TextFuncs
+      val scored = t(s, d, "documents")
+        .select($"doc_id", $"source",
+          tf.qualityScore($"text").as("q"))
+      graft.llmops.Binning.rankNormalize(scored, "q", "source")
+        .select($"doc_id", $"source", round($"q", 4).as("q"),
+          round($"rank_norm", 6).as("rank_norm"))
+        .orderBy($"doc_id")
+    }),
+
+    // per-shard export manifest (X175): row count + order-free
+    // XOR/SUM fingerprints per shard — the transfer receipt for the
+    // q144 export, replayed slice for slice.
+    "q202_shard_manifest" -> ((s, d) => {
+      import s.implicits._
+      val export = t(s, d, "documents")
+        .select(pmod(conv(substring(md5(
+            concat($"doc_id".cast("string"), lit(":shard"))), 1, 4),
+            16, 10).cast("long"), lit(16)).as("shard"),
+          $"doc_id", $"text")
+      graft.llmops.TrainExport.shardManifest(export, "shard",
+          Seq("doc_id", "text"))
+        .orderBy($"shard")
     })
   )
 
@@ -8364,6 +8413,78 @@ object SparkEntry {
            FROM allr)
          SELECT c_custkey, c_name, c_acctbal, v
          FROM w WHERE rn = 1 AND op <> 'd'
-         ORDER BY c_custkey"""
+         ORDER BY c_custkey""",
+    "q200_personalized_pagerank" ->
+      """WITH e AS (
+           SELECT DISTINCT doc_id AS src, (doc_id * 7919 + k) % 500 AS dst
+           FROM documents, (VALUES (0), (1), (2)) AS ks(k)),
+         nodes AS (
+           SELECT src AS node FROM e UNION SELECT dst FROM e),
+         deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         tele AS (
+           SELECT node,
+                  CASE WHEN node < 10 THEN 0.15 ELSE 0.0 END AS tp
+           FROM nodes),
+         r0 AS (SELECT node, tp AS rank FROM tele),
+         c1 AS (SELECT e.dst AS node, sum(r0.rank / deg.deg) AS m
+                FROM e JOIN deg USING (src) JOIN r0 ON r0.node = e.src
+                GROUP BY e.dst),
+         r1 AS (SELECT tele.node, tele.tp + 0.85 * coalesce(c1.m, 0)
+                  AS rank
+                FROM tele LEFT JOIN c1 ON c1.node = tele.node),
+         c2 AS (SELECT e.dst AS node, sum(r1.rank / deg.deg) AS m
+                FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src
+                GROUP BY e.dst),
+         r2 AS (SELECT tele.node, tele.tp + 0.85 * coalesce(c2.m, 0)
+                  AS rank
+                FROM tele LEFT JOIN c2 ON c2.node = tele.node)
+         SELECT node, round(rank, 4) AS rank
+         FROM r2 WHERE node < 60 ORDER BY node""",
+    "q201_rank_normalize" ->
+      """WITH q AS (
+           SELECT doc_id, source,
+             string_split_regex(lower(trim(text)), '\s+') AS toks,
+             length(text) AS n,
+             length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+               AS np
+           FROM documents),
+         r AS (
+           SELECT doc_id, source,
+             (CASE WHEN n BETWEEN 50 AND 20000 THEN 0.25 ELSE 0.0 END) +
+             (CASE WHEN (CASE WHEN len(toks) = 0 THEN 0.0
+                    ELSE len(list_filter(toks, t -> t IN
+                      ('the','and','of','to','a','in','is','that')))::double
+                         / len(toks) END) >= 0.01
+                   THEN 0.25 ELSE 0.0 END) +
+             (CASE WHEN (CASE WHEN len(toks) = 0 THEN 0.0
+                    ELSE list_sum(list_transform(toks,
+                      w -> length(w)))::double / len(toks) END)
+                     BETWEEN 2.0 AND 12.0
+                   THEN 0.25 ELSE 0.0 END) +
+             (CASE WHEN (CASE WHEN n = 0 THEN 0.0
+                    ELSE np::double / n END) <= 0.1
+                   THEN 0.25 ELSE 0.0 END) AS q
+           FROM q)
+         SELECT doc_id, source, round(q, 4) AS q,
+                round(CASE WHEN count(*) OVER (PARTITION BY source) > 1
+                      THEN percent_rank() OVER (PARTITION BY source
+                             ORDER BY q)
+                      ELSE 0.0 END, 6) AS rank_norm
+         FROM r ORDER BY doc_id""",
+    "q202_shard_manifest" ->
+      """WITH ex AS (
+           SELECT ('0x' || substr(md5(doc_id::VARCHAR || ':shard'),
+                    1, 4))::BIGINT % 16 AS shard,
+                  md5(concat_ws(chr(1), CAST(doc_id AS VARCHAR), text))
+                    AS hh
+           FROM documents),
+         p AS (
+           SELECT shard,
+                  ('0x' || substr(hh, 9, 12))::BIGINT AS h48,
+                  ('0x' || substr(hh, 21, 8))::BIGINT AS h32
+           FROM ex)
+         SELECT shard, count(*) AS n_rows, bit_xor(h48) AS xor48,
+                CAST(sum(h32) AS BIGINT) AS sum32
+         FROM p GROUP BY 1 ORDER BY shard"""
   )
 }

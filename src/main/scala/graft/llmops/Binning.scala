@@ -66,6 +66,46 @@ object Binning {
     * the group key (the table is |groups| rows) plus a narrow
     * when-chain — no wide shuffle, any corpus size.
     */
+  /** Per-group rank normalization (X174): percent_rank of `valueCol`
+    * WITHIN `byCol`, as a join against per-(group, value) cumulative
+    * counts instead of a window over raw rows. Why it exists: a
+    * global quality threshold over heterogeneous sources silently
+    * reweights the mixture (one source's score distribution sits
+    * higher, so "top 30% overall" is 60% of it and 5% of another);
+    * rank-normalizing per source first makes "keep the top p of EACH
+    * source" a single global cut. Why not `percent_rank().over(...)`:
+    * that window sorts each group in one task — with |sources| groups
+    * over a 100 TB corpus that is a handful of straggler tasks doing
+    * all the work. Here raw rows only hash-join back against the
+    * (group, value, below, n) dimension, whose size is DISTINCT
+    * values per group (tiny for quantized scores; document the
+    * degenerate continuous case where it approaches the row count).
+    *
+    * Exactly percent_rank's definition: (rows strictly below) /
+    * (n − 1); single-row groups get 0. Ties share a rank — identical
+    * scores stay identical after normalization (no fake ordering
+    * injected).
+    */
+  def rankNormalize(df: DataFrame, valueCol: String, byCol: String,
+                    outCol: String = "rank_norm"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(byCol), col(valueCol))
+      .agg(count(lit(1)).as("__c"))
+    val wOrd = Window.partitionBy(col(byCol)).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(col(byCol))
+    val dim = counts
+      .withColumn("__below", coalesce(sum(col("__c")).over(wOrd), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .select(col(byCol), col(valueCol), col("__below"), col("__n"))
+    df.join(dim, Seq(byCol, valueCol))
+      .withColumn(outCol,
+        when(col("__n") > 1,
+          col("__below").cast("double") / (col("__n") - lit(1)))
+          .otherwise(lit(0.0)))
+      .drop("__below", "__n")
+  }
+
   def groupBins(df: DataFrame, thresholds: DataFrame, group: Column,
                 value: Column, binCol: String = "bin"): DataFrame = {
     val nq = thresholds.columns.count(_.startsWith("q"))

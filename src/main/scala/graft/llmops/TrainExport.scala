@@ -159,4 +159,32 @@ object TrainExport {
       .withColumn("doomed_frac",
         col("doomed_toks").cast("double") / col("seq_toks"))
   }
+
+  /** Per-shard integrity manifest (X175): for each shard, the row
+    * count plus the X126 order-free fingerprints (48-bit XOR + 32-bit
+    * SUM of md5 slices over `cols`) — the receipt a training site
+    * recomputes after transfer to prove every shard arrived complete
+    * and bit-identical, without any row ordering assumption (shards
+    * are read in arbitrary order by design). A corrupted, truncated,
+    * or double-shipped shard flips its row; the manifest is
+    * ≤ nShards rows however large the export.
+    *
+    * Same null contract as [[graft.ops.Profiling.contentDigest]]:
+    * concat_ws skips nulls, so a null column and an absent one are
+    * indistinguishable — digest physical columns. One projection +
+    * one groupBy on the shard key (uniform by construction: shards
+    * are hash-assigned).
+    */
+  def shardManifest(export: DataFrame, shardCol: String,
+                    cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "at least one column to digest")
+    val h = md5(concat_ws("", cols.map(col): _*))
+    export.select(col(shardCol).cast("long").as("shard"),
+        conv(substring(h, 9, 12), 16, 10).cast("long").as("__h48"),
+        conv(substring(h, 21, 8), 16, 10).cast("long").as("__h32"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(__h48)").as("xor48"),
+        sum(col("__h32")).as("sum32"))
+  }
 }

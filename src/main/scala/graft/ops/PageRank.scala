@@ -65,4 +65,60 @@ object PageRank {
     }
     ranks
   }
+
+  /** Personalized PageRank (X173) — the TrustRank move: teleport mass
+    * returns to a SEED set instead of uniformly, so rank measures
+    * proximity to trusted pages. For crawl curation this is the
+    * principled version of "does this page matter": a spam cluster
+    * can inflate plain PageRank by interlinking, but it cannot
+    * manufacture paths FROM the trusted seeds, so its personalized
+    * rank stays ~0. Non-seeds get teleport 0; seed teleport mass is
+    * (1−d) each (the unnormalized convention matching [[ranks]] —
+    * scores order nodes, they are not a probability).
+    *
+    * Same arrangement as [[ranks]]: the pinned, src-clustered
+    * edge+degree table never re-shuffles; per round only (node, rank)
+    * pairs move; the seed set joins once into the teleport vector
+    * (any size — a broadcast when small, a hash join when the "seed"
+    * set is itself large, e.g. an allowlisted domain tier).
+    */
+  def personalizedRanks(edges: DataFrame, seeds: DataFrame,
+                        iterations: Int = 5, damping: Double = 0.85,
+                        srcCol: String = "src", dstCol: String = "dst",
+                        seedCol: String = "node"): DataFrame = {
+    require(iterations >= 1 && damping > 0 && damping < 1)
+    val e = edges.select(
+      col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val eDeg = e
+      .join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .repartition(col("src"))
+      .sortWithinPartitions("src")
+      .localCheckpoint(true)
+    val teleport = nodes
+      .join(seeds.select(col(seedCol).cast("long").as("node"))
+        .distinct().withColumn("__s", lit(1.0)),
+        Seq("node"), "left")
+      .select(col("node"),
+        (lit(1 - damping) * coalesce(col("__s"), lit(0.0))).as("t"))
+      .localCheckpoint(true)
+
+    var ranks = teleport.select(col("node"), col("t").as("rank"))
+    for (_ <- 1 to iterations) {
+      val contribs = eDeg
+        .join(ranks, eDeg("src") === ranks("node"))
+        .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
+        .groupBy("node").agg(sum(col("c")).as("in"))
+      ranks = teleport
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (col("t") + lit(damping) * coalesce(col("in"), lit(0.0)))
+            .as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
 }

@@ -67,4 +67,43 @@ class BinningSpec extends SparkTestBase {
     // unseen group: thresholds null, all comparisons false → last bucket
     assert(out("zz") == 1)
   }
+
+  test("rankNormalize equals the engine-native percent_rank window; " +
+      "ties share ranks; single-row groups get 0") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.percent_rank
+    // closed form: group a = [1, 2, 2, 5] → pr = 0, 1/3, 1/3, 1;
+    // group b single row → 0
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 5.0),
+      ("b", 9.0)).toDF("g", "v")
+    val got = Binning.rankNormalize(df, "v", "g").collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    assert(got(("a", 1.0)) == 0.0)
+    assert(math.abs(got(("a", 2.0)) - 1.0 / 3) < 1e-12)
+    assert(got(("a", 5.0)) == 1.0)
+    assert(got(("b", 9.0)) == 0.0)
+
+    // differential vs percent_rank().over on the real corpus (the
+    // single-task-per-group shape this operator exists to avoid —
+    // fine at test scale, the semantics referee)
+    val T = TextFuncs
+    val scored = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"source", T.qualityScore($"text").as("q"))
+    val a = Binning.rankNormalize(scored, "q", "source")
+      .select($"doc_id", $"rank_norm").as[(Long, Double)]
+      .collect().toMap
+    val b = scored.withColumn("rank_norm",
+        percent_rank().over(
+          Window.partitionBy($"source").orderBy($"q")))
+      .select($"doc_id", $"rank_norm").as[(Long, Double)]
+      .collect().toMap
+    a.foreach { case (id, v) =>
+      assert(math.abs(v - b(id)) < 1e-12, s"doc $id") }
+    val again = Binning.rankNormalize(scored.repartition(7), "q",
+        "source")
+      .select($"doc_id", $"rank_norm").as[(Long, Double)]
+      .collect().toMap
+    assert(again == a)
+  }
 }

@@ -131,4 +131,34 @@ class TrainExportSpec extends SparkTestBase {
     }
     assert(e2.getMessage.contains("integral"))
   }
+
+  test("shardManifest: order-free receipts — reorder matches, any " +
+      "row change, truncation, or double-ship flips its shard row") {
+    import org.apache.spark.sql.functions._
+    val export = (1L to 200L).map(i => (i % 8, i, s"text-$i"))
+      .toDF("shard", "doc_id", "text")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      TrainExport.shardManifest(df, "shard", Seq("doc_id", "text"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val base = m(export)
+    assert(base.keySet == (0L to 7L).toSet)
+    // arrival order is irrelevant: the receipt is order-free
+    assert(m(export.orderBy($"doc_id".desc).repartition(7)) == base)
+    // one corrupted row flips exactly its shard's fingerprints
+    val corrupted = export.withColumn("text",
+      when($"doc_id" === 42, lit("corrupted")).otherwise($"text"))
+    val cm = m(corrupted)
+    assert(cm(42 % 8) != base(42 % 8))
+    assert((0L to 7L).filter(_ != 42 % 8).forall(s => cm(s) == base(s)))
+    // truncation changes n_rows; double-ship changes n_rows AND sum32
+    // (the even-multiplicity case XOR alone would cancel on)
+    val doubled = export.unionByName(export.filter($"shard" === 3))
+    val dm = m(doubled)
+    assert(dm(3L)._1 == base(3L)._1 * 2)
+    // a doubled multiset XORs to ZERO — the even-multiplicity
+    // blindness that count and SUM exist to cover
+    assert(dm(3L)._2 == 0L && base(3L)._2 != 0L)
+    assert(dm(3L)._3 == base(3L)._3 * 2)
+  }
 }

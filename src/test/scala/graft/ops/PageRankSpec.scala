@@ -105,4 +105,51 @@ class PageRankSpec extends SparkTestBase {
     // no dangling nodes: total mass conserved at |V|
     assert(math.abs(vs.sum - 3.0) < 1e-6)
   }
+
+  test("personalizedRanks: rank flows only from the seeds — an " +
+      "interlinked cluster unreachable from them scores zero") {
+    import spark.implicits._
+    // seeds {1}; 1→2→3; spam clique {10,11,12} fully interlinked,
+    // 10→1 (points AT the trusted side, gets nothing back)
+    val edges = Seq(
+      (1L, 2L), (2L, 3L),
+      (10L, 11L), (11L, 12L), (12L, 10L),
+      (10L, 12L), (11L, 10L), (12L, 11L),
+      (10L, 1L)
+    ).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val got = PageRank.personalizedRanks(edges, seeds, iterations = 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the spam clique inflates plain PageRank but holds ZERO
+    // personalized mass (no path from seed 1 into it)
+    assert(got(10L) == 0.0 && got(11L) == 0.0 && got(12L) == 0.0)
+    assert(got(1L) > 0.0 && got(2L) > 0.0 && got(3L) > 0.0)
+    // seed teleport: rank(1) ≥ 0.15 always; chain decays
+    assert(got(1L) >= 0.15 && got(2L) < got(1L) && got(3L) < got(2L))
+    val plain = PageRank.ranks(edges, iterations = 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(plain(10L) > plain(3L),
+      "plain PageRank falls for the interlinked cluster")
+
+    // differential vs an in-memory iteration on the q200 graph shape
+    import org.apache.spark.sql.functions.{explode, array, pmod, lit}
+    val docs = graft.Tables.documents(spark, sf0001)
+    val big = docs.select($"doc_id".as("src"),
+      explode(array((0 until 3).map(k =>
+        pmod($"doc_id" * 7919 + lit(k), lit(100))): _*)).as("dst"))
+    val seeds10 = spark.range(0, 5).select($"id".as("node"))
+    val gotBig = PageRank.personalizedRanks(big, seeds10, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val es = big.distinct().as[(Long, Long)].collect()
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct
+    val deg = es.groupBy(_._1).view.mapValues(_.length).toMap
+    val tp = nodes.map(v => v -> (if (v < 5) 0.15 else 0.0)).toMap
+    var r = tp
+    for (_ <- 1 to 3) {
+      val in = es.groupBy(_._2).map { case (v, inc) =>
+        v -> inc.map(e => r(e._1) / deg(e._1)).sum }
+      r = nodes.map(v => v -> (tp(v) + 0.85 * in.getOrElse(v, 0.0))).toMap
+    }
+    nodes.foreach(v => assert(math.abs(gotBig(v) - r(v)) < 1e-9, s"v=$v"))
+  }
 }
