@@ -469,6 +469,13 @@ object Graft {
   /** Exact-dup pair counts per source pair (q192). */
   def crossSourceDupMatrix(docs: DataFrame): DataFrame =
     llmops.Dedup.crossSourceDupMatrix(docs)
+  /** Exact distinct-text Jaccard between source pairs (q203). */
+  def crossSourceOverlapMatrix(docs: DataFrame): DataFrame =
+    llmops.Dedup.crossSourceOverlapMatrix(docs)
+  /** Functional-dependency audit: ranked lhs→rhs violations (q204). */
+  def fdViolations(df: DataFrame, lhs: Seq[String], rhs: String,
+                   k: Int = 10): DataFrame =
+    ops.Profiling.fdViolations(df, lhs, rhs, k)
   /** Gopher-style repetition signals. */
   def duplicateWordFraction(text: Column): Column =
     llmops.TextFuncs.duplicateWordFraction(text)

@@ -3908,6 +3908,33 @@ object SparkEntry {
       graft.llmops.TrainExport.shardManifest(export, "shard",
           Seq("doc_id", "text"))
         .orderBy($"shard")
+    }),
+
+    // cross-source distinct overlap (X176): exact pairwise source
+    // Jaccard of text sets from per-(hash, source) distincts — the
+    // mirror-detection companion of q192's multiplicity-weighted
+    // matrix. A planted mirror source overlaps every origin.
+    "q203_source_overlap" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val planted = docs.select($"source", $"text")
+        .unionByName(docs.filter(pmod($"doc_id", lit(4)) === 0)
+          .select(lit("mirror").as("source"), $"text"))
+      graft.llmops.Dedup.crossSourceOverlapMatrix(planted)
+        .withColumn("jaccard", round($"jaccard", 6))
+        .orderBy($"source_a", $"source_b")
+    }),
+
+    // functional-dependency audit (X177): does l_orderkey determine
+    // l_returnflag (it doesn't — lines of one order return
+    // independently), ranked violations with global counts attached.
+    // Exact distinct counts: the contract is exact, a sketch would
+    // report phantom violations.
+    "q204_fd_audit" -> ((s, d) => {
+      import s.implicits._
+      graft.ops.Profiling.fdViolations(t(s, d, "lineitem"),
+          Seq("l_orderkey"), "l_returnflag", k = 20)
+        .orderBy($"n_rhs_values".desc, $"l_orderkey")
     })
   )
 
@@ -8485,6 +8512,45 @@ object SparkEntry {
            FROM ex)
          SELECT shard, count(*) AS n_rows, bit_xor(h48) AS xor48,
                 CAST(sum(h32) AS BIGINT) AS sum32
-         FROM p GROUP BY 1 ORDER BY shard"""
+         FROM p GROUP BY 1 ORDER BY shard""",
+    "q203_source_overlap" ->
+      """WITH planted AS (
+           SELECT source, text FROM documents
+           UNION ALL
+           SELECT 'mirror', text FROM documents WHERE doc_id % 4 = 0),
+         hs AS (SELECT DISTINCT md5(text) AS h, source FROM planted),
+         tot AS (SELECT source, count(*) AS n FROM hs GROUP BY 1),
+         inter AS (
+           SELECT a.source AS source_a, b.source AS source_b,
+                  count(*) AS n_common
+           FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+           GROUP BY 1, 2)
+         SELECT i.source_a, i.source_b, ta.n AS n_a, tb.n AS n_b,
+                i.n_common,
+                round(i.n_common
+                      / (ta.n + tb.n - i.n_common)::DOUBLE, 6)
+                  AS jaccard
+         FROM inter i
+         JOIN tot ta ON ta.source = i.source_a
+         JOIN tot tb ON tb.source = i.source_b
+         ORDER BY source_a, source_b""",
+    "q204_fd_audit" ->
+      """WITH g AS (
+           SELECT l_orderkey,
+                  count(DISTINCT l_returnflag) AS n_rhs_values,
+                  count(*) AS n_rows
+           FROM lineitem GROUP BY 1),
+         st AS (
+           SELECT count(*) AS n_groups,
+                  CAST(sum(CASE WHEN n_rhs_values > 1
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_violating
+           FROM g),
+         v AS (
+           SELECT * FROM g WHERE n_rhs_values > 1
+           ORDER BY n_rhs_values DESC, l_orderkey LIMIT 20)
+         SELECT v.l_orderkey, v.n_rhs_values, v.n_rows,
+                st.n_groups, st.n_violating
+         FROM v CROSS JOIN st
+         ORDER BY n_rhs_values DESC, l_orderkey"""
   )
 }

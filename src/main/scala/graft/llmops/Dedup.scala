@@ -878,6 +878,48 @@ object Dedup {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Cross-source DISTINCT-text overlap matrix (X176): exact Jaccard
+    * between every pair of sources' text sets — the companion of
+    * [[crossSourceDupMatrix]] asking a different question: the PAIR
+    * matrix weights by copy multiplicity (hot boilerplate dominates),
+    * this one asks "how much of source A's distinct content also
+    * exists in B" — the mirror-detection / source-redundancy signal
+    * that decides whether ingesting B adds anything at all.
+    *
+    * Exact without sketches, and still scale-safe: after the
+    * per-(hash, source) distinct, a hash carries ≤ |sources| rows, so
+    * the self-join fan-out per hash is ≤ |sources|² — bounded by the
+    * fleet, not the corpus; union sizes come from per-source distinct
+    * counts and |A∪B| = n_a + n_b − i. (The KMV sketch tier, X70,
+    * remains the answer when SOURCES are data-scaled, e.g. per-host.)
+    *
+    * @return (source_a, source_b, n_a, n_b, n_common, jaccard),
+    *         source_a < source_b, only pairs with n_common > 0
+    */
+  def crossSourceOverlapMatrix(docs: DataFrame,
+                               textCol: String = "text",
+                               sourceCol: String = "source")
+      : DataFrame = {
+    val hs = docs
+      .select(md5(col(textCol)).as("h"), col(sourceCol).as("source"))
+      .distinct()
+    val totals = hs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = hs.select(col("h"), col("source").as("source_a"))
+      .join(hs.select(col("h"), col("source").as("source_b")), Seq("h"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(totals.select(col("source").as("source_a"),
+        col("n").as("n_a")), "source_a")
+      .join(totals.select(col("source").as("source_b"),
+        col("n").as("n_b")), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_common"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
+  }
+
   /** Decontamination EVIDENCE report (X167): which benchmark item
     * leaked into which corpus document, with how many shared n-grams
     * and a concrete example gram — the audit trail behind

@@ -194,4 +194,37 @@ object Profiling {
         (col("n").cast("double") / col("n_rows")).as("share"),
         col("n_rows"), col("n_keys"), col("max_n"), col("p99_n"))
   }
+
+  /** Functional-dependency audit (X177): does `lhs → rhs` hold, and
+    * where does it break — the ingest-QA primitive behind "is doc_id
+    * a key", "does url determine host", "does order determine
+    * status". Schema contracts like these silently rot as sources
+    * change; the audit is one aggregation, and the VIOLATING groups
+    * (lhs values mapping to > 1 distinct rhs) come back ranked with
+    * the global counts attached, so the report both quantifies the
+    * rot and points at it.
+    *
+    * Scale shape: one groupBy on lhs with a distinct-count aggregate,
+    * one scalar roll-up, one TakeOrdered — the [[skewReport]]
+    * arrangement. `rhs` distinct counts are exact (the contract is
+    * exact; HLL would report phantom violations).
+    *
+    * @return k rows: (lhs…, n_rhs_values, n_rows, n_groups,
+    *         n_violating) — empty ⟺ the dependency HOLDS
+    */
+  def fdViolations(df: DataFrame, lhs: Seq[String], rhs: String,
+                   k: Int = 10): DataFrame = {
+    require(lhs.nonEmpty, "at least one determinant column")
+    val groups = df.groupBy(lhs.map(col): _*)
+      .agg(countDistinct(col(rhs)).as("n_rhs_values"),
+        count(lit(1)).as("n_rows"))
+    val stats = groups.agg(
+      count(lit(1)).as("n_groups"),
+      sum(when(col("n_rhs_values") > 1, 1L).otherwise(0L))
+        .as("n_violating"))
+    groups.filter(col("n_rhs_values") > 1)
+      .orderBy(col("n_rhs_values").desc +: lhs.map(col): _*)
+      .limit(k)
+      .crossJoin(broadcast(stats))
+  }
 }

@@ -623,4 +623,26 @@ class DedupSpec extends SparkTestBase {
     assert(kept == Set(3L))
     assert(got.keys.map(_._1).toSet == Set(1L, 2L))
   }
+
+  test("crossSourceOverlapMatrix: exact pairwise Jaccard of distinct " +
+      "texts; multiplicity ignored; zero-overlap pairs absent") {
+    // A = {x, y, z} (y twice — multiplicity must not count),
+    // B = {x, y, w}, C = {q}
+    val docs = Seq(
+      ("A", "x"), ("A", "y"), ("A", "y"), ("A", "z"),
+      ("B", "x"), ("B", "y"), ("B", "w"),
+      ("C", "q")
+    ).toDF("source", "text")
+    val got = Dedup.crossSourceOverlapMatrix(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    // |A∩B| = 2, |A∪B| = 4 → 0.5; C overlaps nothing → no row
+    assert(got.keySet == Set(("A", "B")))
+    assert(got(("A", "B")) == ((3L, 3L, 2L, 0.5)))
+    val again = Dedup.crossSourceOverlapMatrix(docs.repartition(5))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getLong(4)).toMap
+    assert(again == Map(("A", "B") -> 2L))
+  }
 }

@@ -156,4 +156,26 @@ class ProfilingSpec extends SparkTestBase {
       .getDouble(6)
     assert(p99 > 30.0 && p99 <= 60.0, s"p99=$p99")
   }
+
+  test("fdViolations: a holding dependency returns empty; violations " +
+      "rank with global counts; exact distincts (no phantom rows)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", "x"), (1L, "a", "x"),   // key 1: consistent (dup rows)
+      (2L, "b", "x"), (2L, "c", "x"),   // key 2: 2 rhs values for col2
+      (3L, "d", "x"), (3L, "e", "x"), (3L, "f", "x") // key 3: 3 values
+    ).toDF("k", "v", "w")
+    // k → w holds (all 'x'): EMPTY result is the "holds" verdict
+    assert(Profiling.fdViolations(df, Seq("k"), "w").count() == 0L)
+    // k → v breaks on keys 2 and 3
+    val got = Profiling.fdViolations(df, Seq("k"), "v", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(-_._2)
+    assert(got.toSeq == Seq(
+      (3L, 3L, 3L, 3L, 2L), // 3 rhs values, 3 rows, 3 groups, 2 violating
+      (2L, 2L, 2L, 3L, 2L)))
+    // k bounds output
+    assert(Profiling.fdViolations(df, Seq("k"), "v", k = 1)
+      .count() == 1L)
+  }
 }
