@@ -476,6 +476,16 @@ object Graft {
   def fdViolations(df: DataFrame, lhs: Seq[String], rhs: String,
                    k: Int = 10): DataFrame =
     ops.Profiling.fdViolations(df, lhs, rhs, k)
+  /** Change-rate recrawl schedule from a fetch history (q205). */
+  def recrawlSchedule(history: DataFrame,
+                      minIntervalMillis: Long = 3600000L,
+                      maxIntervalMillis: Long = 30L * 86400000L)
+      : DataFrame =
+    ops.Recrawl.schedule(history, minIntervalMillis, maxIntervalMillis)
+  /** Head+tail token truncation to a fixed budget (q206). */
+  def truncateTokens(text: Column, headTokens: Int, tailTokens: Int,
+                     marker: String = " ... "): Column =
+    llmops.TextFuncs.truncateTokens(text, headTokens, tailTokens, marker)
   /** Gopher-style repetition signals. */
   def duplicateWordFraction(text: Column): Column =
     llmops.TextFuncs.duplicateWordFraction(text)

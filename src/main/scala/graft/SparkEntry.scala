@@ -3935,6 +3935,34 @@ object SparkEntry {
       graft.ops.Profiling.fdViolations(t(s, d, "lineitem"),
           Seq("l_orderkey"), "l_returnflag", k = 20)
         .orderBy($"n_rhs_values".desc, $"l_orderkey")
+    }),
+
+    // recrawl scheduling (X178): per-URL change-rate estimate from a
+    // fetch history (hash-change count over observation span) and
+    // the clamped next-fetch time — static pages back off to the max
+    // interval, movers poll at span/changes. One lag window + one
+    // groupBy; every number integer-exact and replayed.
+    "q205_recrawl" -> ((s, d) => {
+      import s.implicits._
+      val hist = t(s, d, "events").select(
+        concat(lit("u"), pmod($"user_id", lit(500))).as("url"),
+        $"ts", $"event_type".as("content_hash"))
+      graft.ops.Recrawl.schedule(hist, minIntervalMillis = 3600000L,
+          maxIntervalMillis = 2592000000L)
+        .orderBy($"url")
+    }),
+
+    // head+tail truncation (X179): budget-keep both context ends with
+    // a marker; under-budget docs pass bit-identical (the md5 proves
+    // it). Pure scalar projection; the oracle re-derives the
+    // truncated string and hashes it.
+    "q206_truncate_tokens" -> ((s, d) => {
+      import s.implicits._
+      val tf = graft.llmops.TextFuncs
+      t(s, d, "documents").select($"doc_id",
+          tf.tokenCount($"text").cast("long").as("n_tokens"),
+          md5(tf.truncateTokens($"text", 40, 10)).as("trunc_md5"))
+        .orderBy($"doc_id")
     })
   )
 
@@ -8551,6 +8579,51 @@ object SparkEntry {
          SELECT v.l_orderkey, v.n_rhs_values, v.n_rows,
                 st.n_groups, st.n_violating
          FROM v CROSS JOIN st
-         ORDER BY n_rhs_values DESC, l_orderkey"""
+         ORDER BY n_rhs_values DESC, l_orderkey""",
+    "q205_recrawl" ->
+      """WITH o AS (
+           SELECT 'u' || (user_id % 500) AS url, epoch_ms(ts) AS ms,
+                  event_type AS h
+           FROM events),
+         c AS (
+           SELECT url, ms, h,
+                  CASE WHEN lag(h) OVER w IS NOT NULL
+                         AND lag(h) OVER w <> h
+                       THEN 1 ELSE 0 END AS chg
+           FROM o WINDOW w AS (PARTITION BY url ORDER BY ms, h)),
+         a AS (
+           SELECT url, count(*) AS n_obs,
+                  CAST(sum(chg) AS BIGINT) AS n_changes,
+                  max(ms) - min(ms) AS span_ms, max(ms) AS last_ms
+           FROM c GROUP BY 1),
+         i AS (
+           SELECT url, n_obs, n_changes, span_ms,
+                  least(greatest(
+                    CASE WHEN n_changes > 0 THEN span_ms // n_changes
+                         ELSE 2592000000 END,
+                    3600000), 2592000000) AS interval_ms,
+                  last_ms
+           FROM a)
+         SELECT url, n_obs, n_changes, span_ms, interval_ms,
+                last_ms + interval_ms AS next_fetch_ms
+         FROM i ORDER BY url""",
+    "q206_truncate_tokens" ->
+      """WITH tkn AS (
+           SELECT doc_id, text,
+                  string_split_regex(trim(text), '\s+') AS toks,
+                  CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(lower(trim(text)),
+                                '\s+')) END AS n_tokens
+           FROM documents)
+         SELECT doc_id, n_tokens,
+                md5(CASE WHEN length(trim(text)) = 0 THEN text
+                         WHEN len(toks) <= 50 THEN text
+                         ELSE array_to_string(
+                                list_slice(toks, 1, 40), ' ')
+                              || ' ... ' ||
+                              array_to_string(
+                                list_slice(toks, -10, -1), ' ')
+                    END) AS trunc_md5
+         FROM tkn ORDER BY doc_id"""
   )
 }

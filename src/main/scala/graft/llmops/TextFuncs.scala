@@ -284,6 +284,32 @@ object TextFuncs {
         lit(84.6) * (syllableCountApprox(text) / w))
   }
 
+  // --- Budget truncation (X179) -----------------------------------------
+
+  /** Head+tail token truncation: keep the first `headTokens` and last
+    * `tailTokens` whitespace tokens with a marker between — the
+    * long-document convention for fixed token budgets (intros carry
+    * topic, endings carry conclusions/boilerplate signals; a pure
+    * head-cut loses the second). Contract, stated exactly: documents
+    * at or under budget pass VERBATIM (bit-identical, not rejoined);
+    * truncated documents re-join tokens with single spaces (original
+    * inter-token whitespace is not preserved — the budget path is a
+    * normalization path). Case is preserved — truncation is not
+    * tokenization. A pure scalar projection, codegen'd, no shuffle.
+    */
+  def truncateTokens(text: Column, headTokens: Int, tailTokens: Int,
+                     marker: String = " ... "): Column = {
+    require(headTokens >= 1 && tailTokens >= 1,
+      "head and tail budgets must be >= 1")
+    val toks = split(trim(text), "\\s+")
+    when(length(trim(text)) === 0, text)
+      .when(size(toks) <= headTokens + tailTokens, text)
+      .otherwise(concat(
+        array_join(slice(toks, 1, headTokens), " "),
+        lit(marker),
+        array_join(slice(toks, -tailTokens, tailTokens), " ")))
+  }
+
   // --- Repetition filters (Gopher-style quality signals) ---------------
 
   /** Word n-grams WITH multiplicity (no distinct) — the denominator for

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Change-rate-driven recrawl scheduling (X178): from a fetch history
+  * (url, ts, content hash), estimate how often each URL actually
+  * changes and schedule the next fetch accordingly — the freshness
+  * economics of a crawl at scale: a fixed revisit interval wastes the
+  * fleet on static pages AND goes stale on fast movers; the observed
+  * change rate is the signal that splits the budget (the classic
+  * Cho & Garcia-Molina freshness result, as one aggregation).
+  *
+  * Estimator, stated exactly so the oracle replays it: a CHANGE is an
+  * observation whose hash differs from the same URL's previous
+  * observation ((ts, hash) tiebreak on equal timestamps); the
+  * estimated change interval is span/n_changes (observation span over
+  * observed changes, floor-divided — integer-exact), clamped to
+  * [minIntervalMillis, maxIntervalMillis]; URLs with no observed
+  * change (or a single observation) schedule at the max interval —
+  * "no evidence of motion" is a reason to back off, never to poll.
+  * next_fetch_ms = last observation + the clamped interval.
+  *
+  * Scale shape: one lag window per URL over slim (url, ts, hash)
+  * rows, one groupBy — the sessionize arrangement; output is one row
+  * per URL.
+  */
+object Recrawl {
+
+  /** @return (url, n_obs, n_changes, span_ms, interval_ms,
+    *         next_fetch_ms) — interval clamped, fetch-history
+    *         semantics above
+    */
+  def schedule(history: DataFrame,
+               minIntervalMillis: Long = 3600000L,
+               maxIntervalMillis: Long = 30L * 86400000L,
+               urlCol: String = "url", tsCol: String = "ts",
+               hashCol: String = "content_hash"): DataFrame = {
+    require(minIntervalMillis >= 1 &&
+      maxIntervalMillis >= minIntervalMillis,
+      "need 1 <= minIntervalMillis <= maxIntervalMillis")
+    val w = Window.partitionBy(col("url"))
+      .orderBy(col("__ms"), col("__h"))
+    val obs = history
+      .select(col(urlCol).as("url"),
+        (graft.expr.TimeFuncs.tsMicros(col(tsCol)) / 1000L)
+          .cast("long").as("__ms"),
+        col(hashCol).as("__h"))
+      .withColumn("__chg",
+        when(lag(col("__h"), 1).over(w).isNotNull &&
+          lag(col("__h"), 1).over(w) =!= col("__h"), 1L)
+          .otherwise(0L))
+    val agg = obs.groupBy(col("url"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("__chg")).as("n_changes"),
+        (max(col("__ms")) - min(col("__ms"))).as("span_ms"),
+        max(col("__ms")).as("__last"))
+    agg
+      .withColumn("interval_ms",
+        least(greatest(
+          when(col("n_changes") > 0,
+            floor(col("span_ms") / col("n_changes")).cast("long"))
+            .otherwise(lit(maxIntervalMillis)),
+          lit(minIntervalMillis)), lit(maxIntervalMillis)))
+      .select(col("url"), col("n_obs"), col("n_changes"),
+        col("span_ms"), col("interval_ms"),
+        (col("__last") + col("interval_ms")).as("next_fetch_ms"))
+  }
+}

@@ -460,4 +460,20 @@ class TextFuncsSpec extends SparkTestBase {
       Some(206.835 - 1.015 * 2 - 84.6 * 1))))
     assert(got(2L)._1 == 0 && got(2L)._4.isEmpty)
   }
+
+  test("truncateTokens: under-budget passes bit-identical (weird " +
+      "whitespace included); over-budget keeps head+tail with marker") {
+    val rows = Seq(
+      (0L, "short  doc   with   odd spacing"), // 5 tokens, ≤ 3+2: verbatim
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 > 5: truncated
+      (2L, ""))
+      .toDF("id", "text")
+    val got = rows.select($"id",
+        TextFuncs.truncateTokens($"text", 3, 2).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // verbatim means the double spaces survive
+    assert(got(0L) == "short  doc   with   odd spacing")
+    assert(got(1L) == "w1 w2 w3 ... w9 w10")
+    assert(got(2L) == "")
+  }
 }

@@ -1,0 +1,62 @@
+package graft.ops
+
+import graft.SparkTestBase
+import java.sql.Timestamp
+
+/** Recrawl-schedule pins: closed-form change counting ((ts, hash)
+  * tiebreak, first observation is never a change), the clamp at both
+  * ends, the no-evidence back-off, single-observation behavior, and
+  * repartition stability (all integers — exact).
+  */
+class RecrawlSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("closed forms: mover polls at span/changes, static backs off, " +
+      "clamps hold at both ends") {
+    val hist = Seq(
+      // "fast": changes at every of 4 observations over 3000 s
+      ("fast", ts(0), "a"), ("fast", ts(1000), "b"),
+      ("fast", ts(2000), "c"), ("fast", ts(3000), "d"),
+      // "static": 3 observations, same hash → max interval
+      ("static", ts(0), "x"), ("static", ts(5000), "x"),
+      ("static", ts(9000), "x"),
+      // "once": single observation → no span, max interval
+      ("once", ts(100), "y"),
+      // "flap": a→b→a counts 2 changes over 2000 s
+      ("flap", ts(0), "a"), ("flap", ts(1000), "b"),
+      ("flap", ts(2000), "a")
+    ).toDF("url", "ts", "content_hash")
+    val got = Recrawl.schedule(hist, minIntervalMillis = 500000L,
+        maxIntervalMillis = 86400000L).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // fast: 3 changes / 3_000_000 ms span → raw 1_000_000, above the
+    // 500_000 floor → kept; next = 3_000_000 + 1_000_000
+    assert(got("fast") == ((4L, 3L, 3000000L, 1000000L, 4000000L)))
+    // static: 0 changes → max interval
+    assert(got("static") == ((3L, 0L, 9000000L, 86400000L,
+      9000000L + 86400000L)))
+    assert(got("once") == ((1L, 0L, 0L, 86400000L, 100000L + 86400000L)))
+    // flap: 2 changes / 2_000_000 span → 1_000_000
+    assert(got("flap") == ((3L, 2L, 2000000L, 1000000L, 3000000L)))
+
+    // floor clamp: a URL changing every second would poll too hot
+    val hot = Seq(("h", ts(0), "a"), ("h", ts(1), "b"), ("h", ts(2), "c"))
+      .toDF("url", "ts", "content_hash")
+    val h = Recrawl.schedule(hot, minIntervalMillis = 500000L,
+        maxIntervalMillis = 86400000L).collect()(0)
+    assert(h.getLong(4) == 500000L) // clamped UP to the politeness floor
+  }
+
+  test("repartition-stable on a synthetic history") {
+    val hist = (0 until 500).map { i =>
+      (s"u${i % 37}", ts(i * 13), s"h${(i * 7) % 5}")
+    }.toDF("url", "ts", "content_hash")
+    val a = Recrawl.schedule(hist).collect().map(_.toSeq).toSet
+    val b = Recrawl.schedule(hist.repartition(7)).collect()
+      .map(_.toSeq).toSet
+    assert(a.nonEmpty && a == b)
+  }
+}
