@@ -375,4 +375,47 @@ class PlanShapeSpec extends SparkTestBase {
     // the harness's display sort
     assert("HashAggregate".r.findAllIn(p).size == 2, p.take(2000))
   }
+
+  test("q182/q190: the graph operators never fall into a cartesian " +
+       "or nested-loop join — every stage is an equi-join") {
+    for (q <- Seq("q182_triangles", "q190_kcore")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q:\n${p.take(2000)}")
+    }
+  }
+
+  test("q196: the per-prefix top-k rank lowers to the bounded path") {
+    // the rank is PROJECTED in the output (the X46 heap rewrite only
+    // applies when it is filter-only), so the guarantee here is
+    // Spark's own lowering: a PARTIAL WindowGroupLimit discards rows
+    // below rank k before the shuffle, a Final one after
+    val p = plan("q196_prefix_completions")
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+    assert("WindowGroupLimit .*Partial".r.findFirstIn(p).isDefined,
+      p.take(2000))
+  }
+
+  test("q197/q198: journey and skew top-k are TakeOrdered, never a " +
+       "global sort of the full aggregate") {
+    assert(plan("q197_session_paths").contains("TakeOrderedAndProject"))
+    assert(plan("q198_skew_report").contains("TakeOrderedAndProject"))
+  }
+
+  test("q199: the CDC merge is one hash aggregation on the key — no " +
+       "window, no sort-merge join in the resolution path") {
+    val p = plan("q199_cdc_merge")
+    assert(!p.contains("Window"), p.take(2000))
+    assert("max_by|MaxBy".r.findFirstIn(p).isDefined ||
+      p.contains("HashAggregate"), p.take(2000))
+  }
+
+  test("q201: rank normalization joins against the (group, value) " +
+       "dimension — no per-group raw-row window") {
+    val p = plan("q201_rank_normalize")
+    // the only Window runs over the AGGREGATED counts (partial+final
+    // HashAggregate feed it); the raw documents side hash-joins back
+    assert(p.contains("HashAggregate"), p.take(2000))
+    assert(!p.contains("percent_rank"), p.take(2000))
+  }
 }
