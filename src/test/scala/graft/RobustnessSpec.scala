@@ -30,7 +30,14 @@ class RobustnessSpec extends SparkTestBase {
       "q78_asof_forward", "q79_snapshot_diff", "q80_pagerank",
       "q81_set_ops", "q82_sql_surface", "q89_ann_recall",
       "q90_imi_adc_topk", "q91_residual_adc", "q92_sq8_topk",
-      "q93_ann_index")
+      "q93_ann_index",
+      // round-10 third batch: graph, journeys, sharding, forensics
+      "q182_triangles", "q183_transitions", "q184_rendezvous",
+      "q187_containment_join", "q189_rake_keywords", "q190_kcore",
+      "q192_dup_matrix", "q196_prefix_completions",
+      "q197_session_paths", "q198_skew_report", "q199_cdc_merge",
+      "q200_personalized_pagerank", "q201_rank_normalize",
+      "q202_shard_manifest", "q203_source_overlap", "q205_recrawl")
     for (name <- picked) {
       val fn = SparkEntry.queries(name)
       val a = fn(spark, sf0001).collect().map(_.toString).sorted.toSeq
