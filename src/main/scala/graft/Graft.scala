@@ -100,14 +100,14 @@ object Graft {
   /** EXACT n-gram-set Jaccard join via prefix filtering (SSJoin/
     * PPJoin) — recall 1.0 by construction, no LSH banding
     * probability, no bucket-cap cliff (q171). */
+  def jaccardJoinExact(docs: DataFrame, threshold: Double = 0.7,
+                       n: Int = 3): DataFrame =
+    llmops.Dedup.jaccardJoinExact(docs, threshold, n)
   /** Exact ordered containment pairs: a's shingles ≥ t inside b's
     * (quote/wrapper detection, q187). */
   def containmentJoinExact(docs: DataFrame, threshold: Double = 0.8,
                            n: Int = 3): DataFrame =
     llmops.Dedup.containmentJoinExact(docs, threshold, n)
-  def jaccardJoinExact(docs: DataFrame, threshold: Double = 0.7,
-                       n: Int = 3): DataFrame =
-    llmops.Dedup.jaccardJoinExact(docs, threshold, n)
   /** Normalized-Levenshtein-verified near-dup pairs — order-sensitive,
     * banded O(len·cap) verify, exact over its candidate set (q151).
     * Recall is bounded by the proposal stage: pass `candidates` (any

@@ -352,7 +352,14 @@ object SparkEntry {
           repeat(lit("的数据很好"),
             ($"doc_id" % 3 + 1).cast("int")),
           lit("是一个测试")).as("text"))
-      base.unionByName(zh)
+      // th stopwords planted: unspaced Thai — ภาษาไทย carries า twice,
+      // so the char-isolating tokenizer seam yields 2·reps th hits
+      val th = base.filter($"doc_id" < 15).select(
+        ($"doc_id" + 910000).as("doc_id"),
+        concat(lit("ไทย"),
+          repeat(lit("ภาษาไทย"),
+            ($"doc_id" % 3 + 1).cast("int"))).as("text"))
+      base.unionByName(zh).unionByName(th)
         .withColumn("toks", T.tokens($"text"))
         .groupBy(T.langIdFromTokens($"toks").as("detected"))
         .agg(count(lit(1)).as("n"))
@@ -4175,10 +4182,15 @@ object SparkEntry {
                   repeat(chr(30340)||chr(25968)||chr(25454)||chr(24456)||chr(22909),
                          (doc_id % 3 + 1)::int) ||
                   chr(26159)||chr(19968)||chr(20010)||chr(27979)||chr(35797) AS text
-           FROM documents WHERE doc_id < 20),
+           FROM documents WHERE doc_id < 20
+           UNION ALL
+           SELECT chr(3652)||chr(3607)||chr(3618) ||
+                  repeat(chr(3616)||chr(3634)||chr(3625)||chr(3634)||chr(3652)||chr(3607)||chr(3618),
+                         (doc_id % 3 + 1)::int) AS text
+           FROM documents WHERE doc_id < 15),
          h AS (
            SELECT string_split_regex(lower(trim(regexp_replace(text,
-                    '([\x{3040}-\x{30ff}\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{f900}-\x{faff}])',
+                    '([\x{0e00}-\x{0e7f}\x{0e80}-\x{0eff}\x{1000}-\x{109f}\x{1780}-\x{17ff}\x{3040}-\x{30ff}\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{f900}-\x{faff}])',
                     ' \1 ', 'g'))), '\s+') AS toks
            FROM docs2),
          s AS (
@@ -4187,14 +4199,16 @@ object SparkEntry {
              len(list_filter(toks, t -> t IN ('the','and','of','to','a','in','is','that'))) AS h_en,
              len(list_filter(toks, t -> t IN ('el','la','de','que','y','los','en','un'))) AS h_es,
              len(list_filter(toks, t -> t IN ('le','la','les','des','est','une','dans','et'))) AS h_fr,
+             len(list_filter(toks, t -> t IN ('า','น','ร','เ','อ','ก','ง','ม'))) AS h_th,
              len(list_filter(toks, t -> t IN ('的','是','在','了','和','有','我','不'))) AS h_zh
            FROM h)
          SELECT CASE
-             WHEN h_de + h_en + h_es + h_fr + h_zh = 0 THEN 'und'
-             WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de >= h_zh THEN 'de'
-             WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
-             WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
-             WHEN h_fr >= h_zh THEN 'fr'
+             WHEN h_de + h_en + h_es + h_fr + h_th + h_zh = 0 THEN 'und'
+             WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de >= h_th AND h_de >= h_zh THEN 'de'
+             WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_th AND h_en >= h_zh THEN 'en'
+             WHEN h_es >= h_fr AND h_es >= h_th AND h_es >= h_zh THEN 'es'
+             WHEN h_fr >= h_th AND h_fr >= h_zh THEN 'fr'
+             WHEN h_th >= h_zh THEN 'th'
              ELSE 'zh' END AS detected,
            count(*) AS n
          FROM s GROUP BY detected ORDER BY detected""",
@@ -6775,15 +6789,17 @@ object SparkEntry {
              len(list_filter(toks, t -> t IN ('the','and','of','to','a','in','is','that'))) AS h_en,
              len(list_filter(toks, t -> t IN ('el','la','de','que','y','los','en','un'))) AS h_es,
              len(list_filter(toks, t -> t IN ('le','la','les','des','est','une','dans','et'))) AS h_fr,
+             len(list_filter(toks, t -> t IN ('า','น','ร','เ','อ','ก','ง','ม'))) AS h_th,
              len(list_filter(toks, t -> t IN ('的','是','在','了','和','有','我','不'))) AS h_zh
            FROM lt),
          langed AS (
            SELECT doc_id, pos, line, CASE
-               WHEN h_de + h_en + h_es + h_fr + h_zh = 0 THEN 'und'
-               WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de >= h_zh THEN 'de'
-               WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
-               WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
-               WHEN h_fr >= h_zh THEN 'fr'
+               WHEN h_de + h_en + h_es + h_fr + h_th + h_zh = 0 THEN 'und'
+               WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de >= h_th AND h_de >= h_zh THEN 'de'
+               WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_th AND h_en >= h_zh THEN 'en'
+               WHEN h_es >= h_fr AND h_es >= h_th AND h_es >= h_zh THEN 'es'
+               WHEN h_fr >= h_th AND h_fr >= h_zh THEN 'fr'
+               WHEN h_th >= h_zh THEN 'th'
                ELSE 'zh' END AS lang
            FROM h),
          grp AS (
@@ -7425,11 +7441,11 @@ object SparkEntry {
          toks AS (
            SELECT doc_id,
                   string_split_regex(lower(trim(regexp_replace(text,
-                    '([\x{3040}-\x{30ff}\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{f900}-\x{faff}])',
+                    '([\x{0e00}-\x{0e7f}\x{0e80}-\x{0eff}\x{1000}-\x{109f}\x{1780}-\x{17ff}\x{3040}-\x{30ff}\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{f900}-\x{faff}])',
                     ' \1 ', 'g'))), '\s+') AS l,
                   CASE WHEN length(trim(text)) = 0 THEN 0
                        ELSE len(string_split_regex(lower(trim(regexp_replace(text,
-                         '([\x{3040}-\x{30ff}\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{f900}-\x{faff}])',
+                         '([\x{0e00}-\x{0e7f}\x{0e80}-\x{0eff}\x{1000}-\x{109f}\x{1780}-\x{17ff}\x{3040}-\x{30ff}\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{f900}-\x{faff}])',
                          ' \1 ', 'g'))), '\s+'))
                   END AS dl
            FROM docs2),
@@ -7681,11 +7697,12 @@ object SparkEntry {
            SELECT 'lang:' || detected AS metric, n::DOUBLE AS value
            FROM (
              SELECT CASE
-                 WHEN h_de + h_en + h_es + h_fr + h_zh = 0 THEN 'und'
-                 WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de >= h_zh THEN 'de'
-                 WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
-                 WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
-                 WHEN h_fr >= h_zh THEN 'fr'
+                 WHEN h_de + h_en + h_es + h_fr + h_th + h_zh = 0 THEN 'und'
+                 WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de >= h_th AND h_de >= h_zh THEN 'de'
+                 WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_th AND h_en >= h_zh THEN 'en'
+                 WHEN h_es >= h_fr AND h_es >= h_th AND h_es >= h_zh THEN 'es'
+                 WHEN h_fr >= h_th AND h_fr >= h_zh THEN 'fr'
+                 WHEN h_th >= h_zh THEN 'th'
                  ELSE 'zh' END AS detected,
                count(*) AS n
              FROM (
@@ -7694,6 +7711,7 @@ object SparkEntry {
                  len(list_filter(toks, t -> t IN ('the','and','of','to','a','in','is','that'))) AS h_en,
                  len(list_filter(toks, t -> t IN ('el','la','de','que','y','los','en','un'))) AS h_es,
                  len(list_filter(toks, t -> t IN ('le','la','les','des','est','une','dans','et'))) AS h_fr,
+                 len(list_filter(toks, t -> t IN ('า','น','ร','เ','อ','ก','ง','ม'))) AS h_th,
                  len(list_filter(toks, t -> t IN ('的','是','在','了','和','有','我','不'))) AS h_zh
                FROM q)
              GROUP BY detected)),

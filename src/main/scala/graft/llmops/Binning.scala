@@ -84,7 +84,11 @@ object Binning {
     * Exactly percent_rank's definition: (rows strictly below) /
     * (n − 1); single-row groups get 0. Ties share a rank — identical
     * scores stay identical after normalization (no fake ordering
-    * injected).
+    * injected). NULL handling matches the window too: the dimension
+    * join is null-SAFE (`<=>` on both keys), so null-valued or
+    * null-group rows keep flowing instead of silently vanishing, and
+    * a null value ranks FIRST within its group (Spark's default
+    * nulls-first ascending order — percent_rank's null placement).
     */
   def rankNormalize(df: DataFrame, valueCol: String, byCol: String,
                     outCol: String = "rank_norm"): DataFrame = {
@@ -97,13 +101,15 @@ object Binning {
     val dim = counts
       .withColumn("__below", coalesce(sum(col("__c")).over(wOrd), lit(0L)))
       .withColumn("__n", sum(col("__c")).over(wAll))
-      .select(col(byCol), col(valueCol), col("__below"), col("__n"))
-    df.join(dim, Seq(byCol, valueCol))
+      .select(col(byCol).as("__by"), col(valueCol).as("__val"),
+        col("__below"), col("__n"))
+    df.join(dim,
+        col(byCol) <=> col("__by") && col(valueCol) <=> col("__val"))
       .withColumn(outCol,
         when(col("__n") > 1,
           col("__below").cast("double") / (col("__n") - lit(1)))
           .otherwise(lit(0.0)))
-      .drop("__below", "__n")
+      .drop("__by", "__val", "__below", "__n")
   }
 
   def groupBins(df: DataFrame, thresholds: DataFrame, group: Column,

@@ -169,17 +169,31 @@ object Dedup {
     else sigs.localCheckpoint(false)
 
 
-  /** Exact dedup: keep the lowest-id document per identical content.
-    * `xxhash64` (+ length) is the grouping key, so the shuffle carries
-    * 16 bytes per doc, never the text.
+  /** Exact dedup: keep the lowest-id document per identical content
+    * (ids are assumed unique — the corpus contract every kernel here
+    * shares). Slim-rows shape: ONLY `(id, xxhash64(text), length)`
+    * projections ever shuffle on the content-hash key — 16-ish bytes
+    * per doc, never the text — and `min(id)` is map-side combinable,
+    * so a million-copy boilerplate doc costs its mappers one partial
+    * row each instead of landing a million full texts in one
+    * partition. The full rows then rejoin the winner-id set with a
+    * `left_semi` keyed on the UNIFORM id column, which is where the
+    * text pays its single skew-free exchange. (The previous
+    * `row_number().over(partitionBy(hash, len))` shape shuffled the
+    * complete rows on the duplicate-mass key — the exact skew this
+    * rewrite removes; PlanShapeSpec pins that no Exchange below the
+    * semi-join carries the text column.)
     */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text")
       : DataFrame = {
-    val w = Window
-      .partitionBy(xxhash64(col(textCol)), length(col(textCol)))
-      .orderBy(col(idCol))
-    docs.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn")
+    val winners = docs
+      .select(col(idCol).as("__xid"),
+        xxhash64(col(textCol)).as("__xh"),
+        length(col(textCol)).as("__xlen"))
+      .groupBy("__xh", "__xlen")
+      .agg(min(col("__xid")).as("__xid"))
+      .select("__xid")
+    docs.join(winners, col(idCol) === col("__xid"), "left_semi")
   }
 
   /** MinHash signature table (id, sig) for a document table — the

@@ -29,12 +29,13 @@ object NgramKernels {
   // ASCII \s classes, limit -1 keeps trailing empties
   private val ws = java.util.regex.Pattern.compile("\\s+")
 
-  // mirror of TextFuncs.noSpaceScriptClass (Hiragana/Katakana, CJK
-  // Ext A, CJK Unified, CJK Compatibility) — the kernel must shingle
-  // the SAME token space the tokenizer seam produces
+  // ONE source of truth: the kernel must shingle the SAME token space
+  // the tokenizer seam produces, so the predicate delegates to
+  // TextFuncs.isNoSpaceScript over TextFuncs.noSpaceScriptRanges (the
+  // hand-duplicated range copy that used to live here was the drift
+  // risk VERDICT r10 flagged)
   private def isNoSpaceScript(c: Char): Boolean =
-    (c >= '぀' && c <= 'ヿ') || (c >= '㐀' && c <= '䶿') ||
-      (c >= '一' && c <= '鿿') || (c >= '豈' && c <= '﫿')
+    TextFuncs.isNoSpaceScript(c)
 
   /** TextFuncs.isolateNoSpaceScripts as a string pass: each CJK/kana
     * codepoint becomes its own whitespace-delimited token. Identity

@@ -10,14 +10,57 @@ import org.apache.spark.sql.functions._
   */
 object TextFuncs {
 
-  /** Codepoint ranges of no-space scripts, as a Java-regex char-class
-    * body: Hiragana/Katakana (3040–30FF), CJK Extension A (3400–4DBF),
-    * CJK Unified Ideographs (4E00–9FFF), CJK Compatibility Ideographs
-    * (F900–FAFF). The DuckDB oracle mirrors the same ranges as an RE2
-    * `\x{....}` class (see the q22/q169 oracle SQL).
+  /** Inclusive BMP codepoint ranges of no-space scripts — the ONE
+    * source of truth (the regex class below and the
+    * [[NgramKernels]] char predicate both derive from it; round-10's
+    * hand-duplicated copy in Ngrams.scala was a drift risk): Thai
+    * (0E00–0E7F), Lao (0E80–0EFF), Myanmar (1000–109F), Khmer
+    * (1780–17FF), Hiragana/Katakana (3040–30FF), CJK Extension A
+    * (3400–4DBF), CJK Unified Ideographs (4E00–9FFF), CJK
+    * Compatibility Ideographs (F900–FAFF). Kept sorted ascending —
+    * [[isNoSpaceScript]] fast-exits below the first range, so Latin
+    * text pays one comparison per char.
+    *
+    * Segmentation note: for kana/CJK one-codepoint-per-token is the
+    * UAX#29 word-break rule; for Thai/Lao/Khmer/Myanmar true word
+    * segmentation needs a dictionary, so char-level tokens are a
+    * deliberate approximation — uniform, deterministic, and enough
+    * for BM25/langId/vocab to see signal instead of one giant token
+    * (the exact q169 failure mode X140 fixed for zh).
+    */
+  val noSpaceScriptRanges: Array[(Char, Char)] = Array(
+    '฀' -> '๿', // Thai
+    '຀' -> '໿', // Lao
+    'က' -> '႟', // Myanmar
+    'ក' -> '៿', // Khmer
+    '぀' -> 'ヿ', // Hiragana / Katakana
+    '㐀' -> '䶿', // CJK Extension A
+    '一' -> '鿿', // CJK Unified Ideographs
+    '豈' -> '﫿') // CJK Compatibility Ideographs
+
+  /** [[noSpaceScriptRanges]] as a Java-regex char-class body. The
+    * DuckDB oracle mirrors the same ranges as an RE2 `\x{....}` class
+    * (see the q22/q169 oracle SQL).
     */
   val noSpaceScriptClass: String =
-    "\\u3040-\\u30ff\\u3400-\\u4dbf\\u4e00-\\u9fff\\uf900-\\ufaff"
+    noSpaceScriptRanges
+      .map { case (a, b) => f"\\u${a.toInt}%04x-\\u${b.toInt}%04x" }
+      .mkString
+
+  /** Char-level predicate over [[noSpaceScriptRanges]] — the form the
+    * codegen n-gram/shingle kernels call per character. Latin text
+    * exits on the first comparison.
+    */
+  def isNoSpaceScript(c: Char): Boolean = {
+    if (c < noSpaceScriptRanges(0)._1) return false
+    var i = 0
+    while (i < noSpaceScriptRanges.length) {
+      val r = noSpaceScriptRanges(i)
+      if (c <= r._2) return c >= r._1
+      i += 1
+    }
+    false
+  }
 
   /** Isolate every no-space-script codepoint as its own
     * whitespace-delimited token (UAX#29-lite word-break: one ideograph
@@ -67,13 +110,17 @@ object TextFuncs {
 
   /** Stopword sets used by the language-ID heuristic. Tiny n-gram-free
     * heuristic: score = stopword hits per language, argmax wins,
-    * "und" (undetermined) when nothing hits.
+    * "und" (undetermined) when nothing hits. The zh and th entries are
+    * single codepoints by design — [[tokens]] isolates no-space-script
+    * codepoints one-per-token, so the most frequent characters ARE the
+    * high-frequency "words" the tokenizer emits.
     */
   val langStopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that"),
     "es" -> Seq("el", "la", "de", "que", "y", "los", "en", "un"),
     "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit", "den"),
     "fr" -> Seq("le", "la", "les", "des", "est", "une", "dans", "et"),
+    "th" -> Seq("า", "น", "ร", "เ", "อ", "ก", "ง", "ม"),
     "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不"))
 
   /** Stopword occurrence count (with multiplicity) for one language. */

@@ -41,8 +41,16 @@ object Merge {
     val payload = cols.filterNot(keyCols.contains)
     val s = snapshot.select(
       (cols.map(col) :+ lit("u").as(opCol) :+ lit(0).as("__origin")): _*)
+    // loud-failure convention: an unrecognized op must not silently
+    // become an upsert, and a NULL op must not act as a delete (the
+    // final `=!= 'd'` filter evaluates NULL and drops the winner) —
+    // reject the batch row-side instead of corrupting the snapshot
+    val checkedOp = when(col(opCol).isin("u", "d"), col(opCol))
+      .otherwise(raise_error(concat(
+        lit(s"applyChanges: op column '$opCol' must be 'u' or 'd', got "),
+        coalesce(col(opCol).cast("string"), lit("NULL")))))
     val c = changes.select(
-      (cols.map(col) :+ col(opCol) :+ lit(1).as("__origin")): _*)
+      (cols.map(col) :+ checkedOp.as(opCol) :+ lit(1).as("__origin")): _*)
     val all = s.unionByName(c)
     val valueStruct = struct(
       (payload.map(col) :+ col(opCol).as("__op")): _*)

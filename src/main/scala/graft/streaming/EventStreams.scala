@@ -96,13 +96,14 @@ object EventStreams {
     * ingest-ordering responsibility).
     */
   def transitionsStream(events: Dataset[Event],
-                        maxGapMillis: Long = Long.MaxValue)
+                        maxGapMillis: Long = Long.MaxValue,
+                        watermark: String = "10 minutes")
       : Dataset[Transition] = {
     import events.sparkSession.implicits._
     val streaming = events.isStreaming
     val bounded = maxGapMillis != Long.MaxValue
     val src =
-      if (streaming) events.withWatermark("ts", "10 minutes") else events
+      if (streaming) events.withWatermark("ts", watermark) else events
     src
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[TransitionState, Transition](
@@ -137,9 +138,14 @@ object EventStreams {
             if (st != null) {
               if (streaming) {
                 state.update(st)
-                if (bounded)
-                  state.setTimeoutTimestamp(
-                    st.lastUs / 1000L + maxGapMillis)
+                if (bounded) {
+                  // guard last + maxGap against Long overflow for
+                  // large bounded gaps: an expiry past the epoch
+                  // horizon is equivalent to never expiring
+                  val lastMs = st.lastUs / 1000L
+                  if (lastMs <= Long.MaxValue - maxGapMillis)
+                    state.setTimeoutTimestamp(lastMs + maxGapMillis)
+                }
               } else state.remove()
             }
             out.iterator

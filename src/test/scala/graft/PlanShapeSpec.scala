@@ -418,4 +418,51 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("HashAggregate"), p.take(2000))
     assert(!p.contains("percent_rank"), p.take(2000))
   }
+
+  test("q20: exact dedup is slim-rows — no Exchange carries the text " +
+       "column, and the winner aggregation is map-side partial") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val exec = SparkEntry.queries("q20_exact_dedup")(spark, sf0001)
+      .queryExecution.executedPlan
+    val shuffles = exec.collect { case e: ShuffleExchangeLike => e }
+    // the winner groupBy shuffles (__xh, __xlen, partial-min id) —
+    // never the document text, which this query never re-shuffles at
+    // all (the r10 row_number shape exchanged full rows keyed on the
+    // content hash, the duplicate-mass skew key)
+    shuffles.foreach { e =>
+      assert(!e.output.exists(_.name == "text"),
+        s"Exchange carries text: $e")
+    }
+    val p = exec.toString
+    assert(p.contains("partial_min") || p.contains("min("), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
+  test("exact dedup on a text-retaining pipeline: text shuffles only " +
+       "on the uniform id key, never on the content hash") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import spark.implicits._
+    // disable broadcast so the semi-join exercises its at-scale
+    // shuffle form (winners never broadcast at 100 TB)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+        .select($"doc_id", $"text")
+      val exec = graft.llmops.Dedup.exact(docs)
+        .queryExecution.executedPlan
+      val shuffles = exec.collect { case e: ShuffleExchangeLike => e }
+      assert(shuffles.nonEmpty)
+      val carryingText = shuffles.filter(_.output.exists(_.name == "text"))
+      assert(carryingText.nonEmpty) // the one id-keyed exchange
+      carryingText.foreach { e =>
+        val part = e.outputPartitioning.toString
+        assert(part.contains("doc_id") && !part.contains("__xh"),
+          s"text shuffled on non-id key: $part")
+      }
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
 }
