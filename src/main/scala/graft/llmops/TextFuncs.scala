@@ -62,14 +62,47 @@ object TextFuncs {
     false
   }
 
+  /** JVM kernel for [[isolateNoSpaceScripts]]: single char-scan, and —
+    * the part that matters at corpus scale — returns the INPUT STRING
+    * UNCHANGED (same reference, zero allocation) when no no-space
+    * codepoint occurs. The round-10 `regexp_replace` form put a
+    * java.util.regex pass in front of EVERY tokenizing operator
+    * (BM25 index builds, vocab, TF-IDF, langId), which the round-11
+    * interleaved A/B measured as the q136-family build regression
+    * (~1.4×); Latin-script text — the overwhelming mass — now pays
+    * one range comparison per char and allocates nothing.
+    */
+  def isolateNoSpaceScriptsJvm(s: String): String = {
+    if (s == null) return null
+    val n = s.length
+    var i = 0
+    while (i < n && !isNoSpaceScript(s.charAt(i))) i += 1
+    if (i == n) return s
+    val sb = new java.lang.StringBuilder(n + 64)
+    sb.append(s, 0, i)
+    while (i < n) {
+      val c = s.charAt(i)
+      if (isNoSpaceScript(c)) {
+        sb.append(' '); sb.append(c); sb.append(' ')
+      } else sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
+
   /** Isolate every no-space-script codepoint as its own
     * whitespace-delimited token (UAX#29-lite word-break: one ideograph
     * = one token). Identity on text containing none of those
     * codepoints, so plain-whitespace oracle mirrors stay exact on
-    * Latin-script corpora.
+    * Latin-script corpora. Codegen scalar over
+    * [[isolateNoSpaceScriptsJvm]]; semantics identical to
+    * `regexp_replace(text, "([ranges])", " $1 ")`, which remains the
+    * DuckDB oracle mirror.
     */
   def isolateNoSpaceScripts(text: Column): Column =
-    regexp_replace(text, s"([$noSpaceScriptClass])", " $1 ")
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      IsolateNoSpaceScripts(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(text)))
 
   /** Script-aware tokenization (lowercased): whitespace split after
     * isolating no-space-script (CJK/kana) codepoints. Every lexical
@@ -814,4 +847,42 @@ object TextFuncs {
       .select(col(idCol), col("seg_idx"), col("__lang").as("lang"),
         col("n_lines"), col("seg_text"))
   }
+}
+
+/** `isolate_no_space_scripts(text)` — the script-aware tokenizer
+  * seam's pre-split as a codegen scalar (see
+  * [[TextFuncs.isolateNoSpaceScriptsJvm]]): no-space-script
+  * codepoints (CJK/kana/Thai/Lao/Khmer/Myanmar) become standalone
+  * whitespace-delimited tokens; Latin-only strings pass through by
+  * reference. [[graft.expr.NormFuncs]]' expression arrangement.
+  */
+case class IsolateNoSpaceScripts(
+    child: org.apache.spark.sql.catalyst.expressions.Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def prettyName: String = "isolate_no_space_scripts"
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.StringType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val out = TextFuncs.isolateNoSpaceScriptsJvm(s)
+    if (out eq s) input else UTF8String.fromString(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""String graft_in_${ev.value} = $c.toString();
+         |String graft_out_${ev.value} =
+         |  graft.llmops.TextFuncs.isolateNoSpaceScriptsJvm(graft_in_${ev.value});
+         |${ev.value} = (graft_out_${ev.value} == graft_in_${ev.value})
+         |  ? $c : UTF8String.fromString(graft_out_${ev.value});""".stripMargin)
+
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression)
+      : IsolateNoSpaceScripts = copy(child = c)
 }

@@ -70,12 +70,35 @@ object Output {
     * layout is the optimization, which is exactly how engines ship
     * Z-ordering (Delta/Iceberg OPTIMIZE ZORDER).
     */
+  /** `alignFiles = false` (default): file cuts at z-POPULATION
+    * quantiles — balanced file sizes, but a cut can land mid-way
+    * through a Morton quadrant, so a file's (a, b) rectangle may
+    * straddle two quadrants and widen its min/max stats.
+    * `alignFiles = true`: cuts at FIXED-WIDTH z buckets
+    * (`z * nFiles >> 2*bits`) — every file covers exactly one aligned
+    * Morton rectangle (the tightest possible min/max stats, exact
+    * deterministic pruning counts; OutputSpec pins them), at the cost
+    * of file sizes tracking the data's density per rectangle. Skewed
+    * data → skewed files; prefer the default unless the columns are
+    * near-uniform (or pre-bucketed by `Binning.quantileBins`, which
+    * makes them uniform by construction).
+    */
   def zorderLayout(df: DataFrame, a: Column, b: Column, nFiles: Int,
-                   bits: Int = 16): DataFrame = {
+                   bits: Int = 16, alignFiles: Boolean = false)
+      : DataFrame = {
     require(nFiles >= 1, "nFiles must be positive")
-    df.withColumn("__z", zorderValue(a, b, bits))
-      .repartitionByRange(nFiles, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
+    val keyed = df.withColumn("__z", zorderValue(a, b, bits))
+    val parted =
+      if (alignFiles) {
+        // bucket id is a monotone function of z, so range-partitioning
+        // on it (exhaustively cut) puts exactly one bucket per file
+        // when every bucket is populated
+        keyed
+          .withColumn("__zb",
+            (col("__z") * nFiles / lit(1L << (2 * bits))).cast("int"))
+          .repartitionByRange(nFiles, col("__zb"))
+          .drop("__zb")
+      } else keyed.repartitionByRange(nFiles, col("__z"))
+    parted.sortWithinPartitions("__z").drop("__z")
   }
 }

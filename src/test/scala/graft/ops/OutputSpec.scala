@@ -70,23 +70,41 @@ class OutputSpec extends SparkTestBase {
     val base = Files.createTempDirectory("graft-zorder")
     val zDir = base.resolve("z").toString
     val xDir = base.resolve("x").toString
-    Output.zorderLayout(df, $"x", $"y", nFiles, bits = 8)
-      .write.mode("overwrite").parquet(zDir)
-    df.repartitionByRange(nFiles, $"x").sortWithinPartitions($"x")
-      .write.mode("overwrite").parquet(xDir)
+    // Two determinism levers, both load-independent: (a) exhaustive
+    // boundary sampling — repartitionByRange's default 100-rows-per-
+    // partition sample made cut points (and so the per-file
+    // z-rectangles this test measures) wobble run to run; (b)
+    // alignFiles — population-quantile cuts land mid-quadrant, so a
+    // boundary file straddles two Morton rectangles and its y-range
+    // widens past the bound. Aligned cuts give every file exactly one
+    // rectangle: the pruning count below is EXACT, not a tolerance.
+    val sampleConf = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    val prev = spark.conf.getOption(sampleConf)
+    spark.conf.set(sampleConf, n.toString)
+    try {
+      Output.zorderLayout(df, $"x", $"y", nFiles, bits = 8,
+          alignFiles = true)
+        .write.mode("overwrite").parquet(zDir)
+      df.repartitionByRange(nFiles, $"x").sortWithinPartitions($"x")
+        .write.mode("overwrite").parquet(xDir)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(sampleConf, v)
+        case None => spark.conf.unset(sampleConf)
+      }
+    }
 
     // probe a narrow y-range: the x-sorted layout scatters y uniformly
     // across every file; the z-order layout confines it
     val zHit = filesHit(zDir, "y", 100, 115)
     val xHit = filesHit(xDir, "y", 100, 115)
     assert(xHit >= nFiles - 1, s"x-sorted layout unexpectedly pruned y: $xHit")
-    // repartitionByRange SAMPLES its boundaries, so the exact file
-    // count wobbles by ±1-2 under load; the claim is "a minority of
-    // files vs ≥15/16 for the linear sort", not an exact count
-    assert(zHit <= nFiles * 2 / 3,
-      s"z-order should confine a 1/16 y-slice to a minority of files, hit $zHit")
-    // ...while staying useful for x probes too (x-sort is optimal at 1-2)
-    assert(filesHit(zDir, "x", 100, 115) <= nFiles * 2 / 3)
+    // aligned layout: the probe's (y7, y6) quadrant is exactly 4 of
+    // the 16 rectangles — an exact count, not a tolerance band
+    assert(zHit == nFiles / 4,
+      s"z-order should confine a 1/16 y-slice to exactly 4 files, hit $zHit")
+    // ...and symmetrically for x probes (x-sort is optimal at 1-2)
+    assert(filesHit(zDir, "x", 100, 115) == nFiles / 4)
     // and the layout is only a layout: same rows
     assert(spark.read.parquet(zDir).count() == n)
   }
