@@ -54,16 +54,51 @@ object Graft {
     io.JsonlDocs.readSplit(s, path)
 
   // ---- reference pipeline ------------------------------------------
+  /** BFS crawl from `seeds` through `fetcher` (SURVEY W5/U7).
+    *
+    * PRODUCTION SEAM — JS rendering: the shipped
+    * [[services.HttpPageFetcher]] fetches raw HTTP bytes; the
+    * reference renders pages in a real browser, so JS-shell IR sites
+    * (most of them) yield far fewer links through the raw fetcher.
+    * [[services.PageFetcher]] is the one-method seam: wrap a headless
+    * browser (one per executor, `transient lazy val`) and pass it
+    * here — every downstream operator is fetcher-agnostic. See
+    * README "Production backends" for the recipe; CrawlSpec's
+    * archive-replay identity shows the contract any impl must meet.
+    */
   def crawl(s: SparkSession, seeds: DataFrame, fetcher: services.PageFetcher,
             maxDepth: Int = 2): DataFrame =
     pipeline.Crawl.crawl(s, seeds, fetcher, maxDepth)
+  /** Latest-quarter report pick (SURVEY U5→A2→W4), the relational
+    * twin of the reference's LLM extraction step.
+    *
+    * PRODUCTION SEAM — LLM extraction: the reference prompts an LLM
+    * for this answer; the engine's [[services.StructuredExtractor]]
+    * trait is the drop-in point for that backend (same
+    * `Seq[DocumentLink] => Seq[Report]` shape, `Report` as the
+    * response schema), while [[services.RuleBasedExtractor]] is the
+    * deterministic impl this relational query cross-checks. See
+    * README "Production backends".
+    */
   def latestQuarterReports(links: DataFrame, maxYear: Int): DataFrame =
     pipeline.Extract.latestQuarterReports(links, maxYear)
+  /** IR-page discovery scoring (SURVEY A5/P15); same JS-rendering
+    * seam as [[crawl]] — pass a rendering [[services.PageFetcher]]
+    * for JS-shell sites. */
   def discoverIrPages(s: SparkSession, companies: DataFrame,
                       fetcher: services.PageFetcher): DataFrame =
     pipeline.Discovery.discover(s, companies, fetcher)
 
   // ---- dedup -------------------------------------------------------
+  /** One-call dedup-tier advisor: probe the corpus's duplication
+    * shape (exact-dup mass, skew, sampled near-dup density,
+    * containment signal) and recommend which tier to pay for — see
+    * [[llmops.DedupPlan.plan]] for the estimators and SCALING.md
+    * ("choosing a dedup tier") for the recipe.
+    */
+  def dedupPlan(docs: DataFrame, threshold: Double = 0.7,
+                sampleRate: Double = 0.1): llmops.DedupPlan.DedupTierPlan =
+    llmops.DedupPlan.plan(docs, threshold, sampleRate)
   def exactDedup(docs: DataFrame): DataFrame = llmops.Dedup.exact(docs)
   def minhashDedup(docs: DataFrame, threshold: Double = 0.7): DataFrame =
     llmops.Dedup.minhashDedup(docs, threshold)
@@ -217,6 +252,42 @@ object Graft {
   def triangleCounts(edges: DataFrame): DataFrame =
     ops.Triangles.triangleCounts(edges)
   /** k-core peel: (node, in_core, removal round) (q190). */
+  /** Synchronous label-propagation communities (X180) — deterministic
+    * LPA: most-frequent neighbor label, ties to the smallest. */
+  def labelPropagation(edges: DataFrame, iterations: Int = 3): DataFrame =
+    ops.Communities.labelPropagation(edges, iterations)
+  /** Multi-source BFS hop distances from a seed frame (X181);
+    * unreachable nodes absent. */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame, maxDepth: Int = 3,
+                   directed: Boolean = false): DataFrame =
+    ops.Bfs.distances(edges, seeds, maxDepth, directed)
+  /** First/last-touch conversion credit per channel (X182), one RANGE
+    * window per user. */
+  def attributionReport(events: DataFrame, touchTypes: Seq[String],
+                        conversionType: String,
+                        lookbackMillis: Long): DataFrame =
+    ops.Attribution.report(events, touchTypes, conversionType,
+      lookbackMillis)
+  /** Basket co-occurrence lift (X183) over a caller-defined basket
+    * expression; distinct presence semantics. */
+  def basketLift(events: DataFrame,
+                 basket: org.apache.spark.sql.Column,
+                 itemCol: String = "event_type"): DataFrame =
+    ops.Baskets.pairLift(events, basket, itemCol)
+  /** Content drift between consecutive fetches (X184): normalized
+    * capped edit distance per (url, version). */
+  def contentDrift(history: DataFrame, maxChars: Int = 2000): DataFrame =
+    ops.Recrawl.contentDrift(history, maxChars)
+  /** FK integrity audit (X185): orphan/null/dup-parent counts before
+    * a join silently drops rows. */
+  def fkAudit(child: DataFrame, parent: DataFrame, childKey: String,
+              parentKey: String, relation: String): DataFrame =
+    ops.Profiling.fkAudit(child, parent, childKey, parentKey, relation)
+  /** Per-group percentile clamp (X186): winsorized values + the band,
+    * rows preserved. */
+  def winsorize(df: DataFrame, valueCol: String, byCol: String,
+                lo: Double = 0.01, hi: Double = 0.99): DataFrame =
+    llmops.Binning.winsorize(df, valueCol, byCol, lo, hi)
   def kCore(edges: DataFrame, k: Int): DataFrame =
     ops.KCore.kCore(edges, k)
   /** Empirical event transition matrix (prev, next, n, p) (q183). */
@@ -586,9 +657,43 @@ object Graft {
     val thr = llmops.Binning.groupQuantileThresholds(df, group, value, probs)
     llmops.Binning.groupBins(df, thr, group, value, binCol)
   }
+  /** Calibration/reliability report + ECE for a scored table (X187,
+    * q214): is prob 0.8 right 80% of the time? */
+  def calibrationReport(scored: DataFrame, labelCol: String = "label",
+                        probCol: String = "prob",
+                        nBins: Int = 10): DataFrame =
+    llmops.QualityModel.calibrationReport(scored, labelCol, probCol, nBins)
+  /** LSH-vs-exact realized recall audit in the same n-gram Jaccard
+    * space (X188, q215). */
+  def lshRecallAudit(docs: DataFrame, lshPairs: DataFrame,
+                     threshold: Double = 0.5, n: Int = 3): DataFrame =
+    llmops.Dedup.lshRecallAudit(docs, lshPairs, threshold, n)
+  /** Chi-square sample-representativeness audit (X189, q216). */
+  def sampleAudit(source: DataFrame, sample: DataFrame,
+                  byCol: String): DataFrame =
+    ops.Profiling.sampleAudit(source, sample, byCol)
+  /** Semantic (embedding-space) decontamination (X192, q219):
+    * (kept corpus, evidence receipts). */
+  def semanticDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+                            threshold: Double = 0.95, nlist: Int = 16,
+                            nprobe: Int = 2, kmeansIters: Int = 0)
+      : (DataFrame, DataFrame) =
+    llmops.Dedup.semanticDecontaminate(corpus, benchmark, threshold,
+      nlist, nprobe, kmeansIters)
   /** BM25 top-k retrieval over a text corpus (q103). */
   def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int): DataFrame =
     llmops.Bm25.topK(docs, terms, k)
+  /** Fielded BM25 (BM25F, X190, q217): fields fold into one weighted
+    * tf before saturation. */
+  def bm25fTopK(docs: DataFrame, fields: Seq[llmops.Bm25.Field],
+                terms: Seq[String], k: Int): DataFrame =
+    llmops.Bm25.topKFielded(docs, fields, terms, k)
+  /** Margin-ordered multi-probe LSH ANN (X191, q218): probe count
+    * independent of plane count. */
+  def multiProbeTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     planes: Int = 16, nprobe: Int = 4): DataFrame =
+    llmops.VectorFuncs.lshMultiProbeTopK(corpus, queries, k, planes,
+      nprobe)
   /** Multi-query BM25 in one dataflow: queries (query_id, text) →
     * (query_id, rk, doc_id, n_terms_hit, score). One corpus pass for
     * the union of all query terms (q134). */

@@ -3970,6 +3970,215 @@ object SparkEntry {
           tf.tokenCount($"text").cast("long").as("n_tokens"),
           md5(tf.truncateTokens($"text", 40, 10)).as("trunc_md5"))
         .orderBy($"doc_id")
+    }),
+
+    // ops label-propagation communities (X180): the synchronous,
+    // deterministic LPA variant over the q80 synthetic link graph —
+    // per round, every node adopts its neighbors' most frequent
+    // previous-round label (tie → smallest). Two rounds; the oracle
+    // unrolls both as join + count + argmax, no recursion needed.
+    "q207_label_propagation" -> ((s, d) => {
+      import s.implicits._
+      val edges = t(s, d, "documents")
+        .select($"doc_id".as("src"),
+          explode(array((0 until 3).map(k =>
+            pmod($"doc_id" * 7919 + lit(k), lit(500))): _*)).as("dst"))
+      graft.ops.Communities.labelPropagation(edges, iterations = 2)
+        .orderBy($"node")
+    }),
+
+    // ops multi-source BFS distances (X181): min hop count from the
+    // seed set {doc_id < 5} within 3 hops, undirected; unreachable
+    // nodes absent. Oracle: recursive min-dist closure capped at the
+    // same depth.
+    "q208_bfs_distances" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val edges = docs
+        .select($"doc_id".as("src"),
+          explode(array((0 until 3).map(k =>
+            pmod($"doc_id" * 7919 + lit(k), lit(500))): _*)).as("dst"))
+      val seeds = docs.filter($"doc_id" < 5).select($"doc_id".as("node"))
+      graft.ops.Bfs.distances(edges, seeds, maxDepth = 3)
+        .orderBy($"node")
+    }),
+
+    // ops first/last-touch attribution (X182): per-channel conversion
+    // credit under both models, one RANGE window per user — never a
+    // conversions×touches self-join. Oracle mirrors the window with
+    // the (ms, id) order encoded as ms*100000+event_id (valid at
+    // oracle scale; the engine side uses a struct, scale-safe).
+    "q209_attribution" -> ((s, d) => {
+      import s.implicits._
+      graft.ops.Attribution.report(t(s, d, "events"),
+          touchTypes = Seq("view", "click"), conversionType = "purchase",
+          lookbackMillis = 7L * 24 * 3600 * 1000)
+        .orderBy($"model", $"touch_type")
+    }),
+
+    // ops basket co-occurrence lift (X183): event types co-occurring
+    // in the same (user, hour) basket vs independence — distinct
+    // presence semantics, two shuffles total.
+    "q210_basket_lift" -> ((s, d) => {
+      import s.implicits._
+      graft.ops.Baskets.pairLift(t(s, d, "events"),
+          struct($"user_id", date_trunc("hour", $"ts")))
+        .orderBy($"item_a", $"item_b")
+    }),
+
+    // ops recrawl content drift (X184): normalized edit distance
+    // between consecutive fetches of the same URL (capped comparison
+    // window), one lag window per url — the how-much refinement of
+    // q205's hash-level change rate. History synthesized from
+    // documents: 50 URLs, versions ordered by doc_id.
+    "q211_content_drift" -> ((s, d) => {
+      import s.implicits._
+      val hist = t(s, d, "documents").select(
+        concat($"source", lit("/"), ($"doc_id" % 50).cast("string"))
+          .as("url"),
+        $"doc_id".as("ts"), $"text") // version counter as event time
+      graft.ops.Recrawl.contentDrift(hist, maxChars = 200)
+        .orderBy($"url", $"ts")
+    }),
+
+    // ops FK integrity audit (X185): orphan/null/dup-parent counts
+    // for the two referential edges a TPC-H-ish pipeline joins across
+    // — the pre-join data incident report, slim key projections only.
+    "q212_fk_audit" -> ((s, d) => {
+      import s.implicits._
+      val P = graft.ops.Profiling
+      P.fkAudit(t(s, d, "lineitem"), t(s, d, "orders"),
+          "l_orderkey", "o_orderkey", "lineitem->orders")
+        .unionByName(P.fkAudit(t(s, d, "orders"), t(s, d, "customer"),
+          "o_custkey", "c_custkey", "orders->customer"))
+        .orderBy($"relation")
+    }),
+
+    // llmops winsorize (X186): per-source outlier clamp of the length
+    // column at the (p05, p95) band — exact interpolated percentiles,
+    // rows preserved, thresholds exposed for audit.
+    "q213_winsorize" -> ((s, d) => {
+      import s.implicits._
+      graft.llmops.Binning.winsorize(
+          t(s, d, "documents").select($"doc_id", $"source", $"n_chars"),
+          "n_chars", "source", lo = 0.05, hi = 0.95)
+        .select($"doc_id", $"source", $"n_chars",
+          round($"winsorized_lo", 4).as("lo"),
+          round($"winsorized_hi", 4).as("hi"), $"winsorized")
+        .orderBy($"doc_id")
+    }),
+
+    // llmops calibration report (X187): is the q97 quality model's
+    // prob-0.8 right 80% of the time? Reliability bins + ECE over the
+    // bounded prCurve construction; the scored table is the dumped
+    // deterministic intermediate, the binning/ECE arithmetic replays.
+    "q214_calibration" -> ((s, d) => {
+      import s.implicits._
+      val Q = graft.llmops.QualityModel
+      val docs = t(s, d, "documents")
+      val labeled = docs.withColumn("label",
+        (graft.llmops.TextFuncs.qualityScore($"text") >= 1.0).cast("int"))
+      val (w, b) = Q.train(labeled)
+      val scored = Q.score(docs, w, b)
+        .join(labeled.select($"doc_id", $"label"), Seq("doc_id"))
+      if (materializing)
+        materialize(scored.select($"doc_id", round($"prob", 6).as("prob"),
+          $"label"), "q214_scored")
+      Q.calibrationReport(scored, nBins = 10)
+        .orderBy($"bin_lo")
+    }),
+
+    // llmops LSH recall audit (X188): the LSH tier's REALIZED recall
+    // against the exact SSJoin ground truth in the same n-gram
+    // Jaccard space, plus the S-curve's expected recall — the
+    // measurement behind every "deduped at threshold t" claim. The
+    // LSH pair set is dumped; the oracle recomputes the exact side
+    // (q171's SQL) and the audit arithmetic independently.
+    "q215_lsh_recall_audit" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      // pin: the LSH pipeline feeds the dump and both audit joins
+      val lsh = graft.llmops.Dedup.ngramJaccardPairs(docs,
+        n = 3, threshold = 0.5).localCheckpoint(false)
+      materialize(lsh.select($"id_a", $"id_b"), "q215_lsh_pairs")
+      graft.llmops.Dedup.lshRecallAudit(docs, lsh,
+        threshold = 0.5, n = 3)
+    }),
+
+    // ops sample-representativeness audit (X189): Pearson chi-square
+    // goodness-of-fit of the md5-gated deterministic sample against
+    // the source's category mix, per category — the receipt behind
+    // every sampler's "distribution-preserving" claim.
+    "q216_sample_audit" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val sample = docs.filter(
+        substring(md5($"text"), 1, 2) < "40") // ~25% deterministic slice
+      graft.ops.Profiling.sampleAudit(docs, sample, "source")
+        .orderBy($"category")
+    }),
+
+    // llmops BM25F (X190): title/body fields fold into one weighted
+    // tf BEFORE saturation (per-field BM25 sums saturate k1 once per
+    // field — the known-wrong formulation). Fields derived: first 10
+    // tokens as title (w=2, b=0.5), rest as body (w=1, b=0.75).
+    "q217_bm25f" -> ((s, d) => {
+      import s.implicits._
+      val B = graft.llmops.Bm25
+      val toks = graft.llmops.TextFuncs.tokens($"text")
+      val fielded = t(s, d, "documents").select($"doc_id",
+        array_join(slice(toks, 1, 10), " ").as("title"),
+        array_join(slice(toks, lit(11),
+          greatest(size(toks) - 10, lit(0))), " ").as("body"))
+      B.topKFielded(fielded,
+          Seq(B.Field("title", 2.0, 0.5), B.Field("body", 1.0, 0.75)),
+          Seq("vector", "window", "merge", "stream"), k = 20)
+        .select($"doc_id", $"n_terms_hit", $"score")
+        .orderBy($"doc_id")
+    }),
+
+    // llmops margin-ordered multi-probe LSH ANN (X191): probe count
+    // independent of plane count — 8 planes, 4 probes (the all-flips
+    // q36 set would be 9). Buckets and probe sequences dumped; the
+    // oracle replays candidate join + cosine + top-k.
+    "q218_multiprobe_ann" -> ((s, d) => {
+      import s.implicits._
+      val V = graft.llmops.VectorFuncs
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+      materialize(emb.select($"vec_id",
+        V.rhpBucket($"embedding", 8).as("bucket")), "q218_cb")
+      materialize(V.lshMultiProbes(q, 8, 4)
+        .select($"query_id", $"bucket"), "q218_qb")
+      V.lshMultiProbeTopK(emb, q, k = 5, planes = 8, nprobe = 4)
+        .select($"query_id", $"vec_id", round($"sim", 4).as("sim"), $"rk")
+        .orderBy($"query_id", $"rk")
+    }),
+
+    // llmops semantic decontamination (X192): corpus vectors within
+    // cosine 0.97 of any benchmark vector are contamination — the
+    // embedding-space axis n-gram/bloom decontamination cannot see.
+    // IVF-asymmetric (corpus indexes once, the small benchmark probes),
+    // NO bucket caps (recall obligation). Output = the evidence table.
+    "q219_semantic_decontam" -> ((s, d) => {
+      import s.implicits._
+      val I = graft.llmops.Ivf
+      val emb = t(s, d, "embeddings")
+      val bench = emb.filter($"vec_id" < 25)
+      val cents = I.kmeansCentroids(emb, nlist = 16, iters = 2)
+      if (materializing) {
+        materialize(emb.where($"embedding".isNotNull).select($"vec_id",
+          element_at(I.nearest_centroids($"embedding", cents, 1), 1)
+            .as("list_id")), "q219_assigned")
+        materialize(bench.where($"embedding".isNotNull).select(
+          $"vec_id".as("bench_id"),
+          explode(I.nearest_centroids($"embedding", cents, 2))
+            .as("list_id")), "q219_probes")
+      }
+      graft.llmops.Dedup.semanticContaminationEvidence(emb, bench,
+          threshold = 0.97, cents, nprobe = 2)
+        .orderBy($"corpus_id", $"bench_id")
     })
   )
 
@@ -8642,6 +8851,372 @@ object SparkEntry {
                               array_to_string(
                                 list_slice(toks, -10, -1), ' ')
                     END) AS trunc_md5
-         FROM tkn ORDER BY doc_id"""
+         FROM tkn ORDER BY doc_id""",
+    // synchronous LPA, 2 rounds unrolled: vote = most frequent
+    // neighbor label, tie -> smallest, isolated keep their own
+    "q207_label_propagation" ->
+      """WITH e0 AS (
+           SELECT DISTINCT doc_id AS src, (doc_id * 7919 + k) % 500 AS dst
+           FROM documents, (VALUES (0), (1), (2)) AS ks(k)),
+         canon AS (
+           SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+           FROM e0 WHERE src <> dst),
+         sym AS (SELECT u, v FROM canon
+                 UNION ALL SELECT v, u FROM canon),
+         nodes AS (SELECT DISTINCT u AS node FROM sym),
+         l0 AS (SELECT node, node AS label FROM nodes),
+         v1 AS (SELECT s.u AS node, l.label, count(*) AS n
+                FROM sym s JOIN l0 l ON l.node = s.v GROUP BY 1, 2),
+         w1 AS (SELECT node, label FROM (
+                  SELECT node, label, row_number() OVER (
+                    PARTITION BY node ORDER BY n DESC, label ASC) AS rk
+                  FROM v1) WHERE rk = 1),
+         l1 AS (SELECT n.node, coalesce(w1.label, n.node) AS label
+                FROM nodes n LEFT JOIN w1 USING (node)),
+         v2 AS (SELECT s.u AS node, l.label, count(*) AS n
+                FROM sym s JOIN l1 l ON l.node = s.v GROUP BY 1, 2),
+         w2 AS (SELECT node, label FROM (
+                  SELECT node, label, row_number() OVER (
+                    PARTITION BY node ORDER BY n DESC, label ASC) AS rk
+                  FROM v2) WHERE rk = 1)
+         SELECT n.node, coalesce(w2.label, n.node) AS label
+         FROM nodes n LEFT JOIN w2 USING (node)
+         ORDER BY node""",
+    "q208_bfs_distances" ->
+      """WITH RECURSIVE e0 AS (
+           SELECT DISTINCT doc_id AS src, (doc_id * 7919 + k) % 500 AS dst
+           FROM documents, (VALUES (0), (1), (2)) AS ks(k)),
+         fwd AS (SELECT src AS u, dst AS v FROM e0 WHERE src <> dst),
+         sym AS (SELECT u, v FROM fwd UNION SELECT v, u FROM fwd),
+         walk(node, dist) AS (
+           SELECT doc_id, 0 FROM documents WHERE doc_id < 5
+           UNION
+           SELECT s.v, walk.dist + 1
+           FROM walk JOIN sym s ON s.u = walk.node
+           WHERE walk.dist < 3)
+         SELECT node, min(dist) AS dist FROM walk
+         GROUP BY node ORDER BY node""",
+    // first/last touch via the same RANGE window; (ms, id) order
+    // encoded as ms*100000+event_id (event_id < 100000 at oracle SF)
+    "q209_attribution" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms
+           FROM events),
+         coded AS (
+           SELECT *, CASE WHEN event_type IN ('view', 'click')
+                          THEN ms * 100000 + event_id END AS tcode
+           FROM ev),
+         pick AS (
+           SELECT event_id, event_type,
+                  min(tcode) OVER w AS fcode,
+                  max(tcode) OVER w AS lcode
+           FROM coded
+           WINDOW w AS (PARTITION BY user_id ORDER BY ms
+             RANGE BETWEEN 604800000 PRECEDING AND CURRENT ROW)),
+         conv AS (SELECT * FROM pick WHERE event_type = 'purchase'),
+         credit AS (
+           SELECT 'first' AS model,
+                  coalesce(t.event_type, '(none)') AS touch_type
+           FROM conv LEFT JOIN ev t ON t.event_id = conv.fcode % 100000
+           UNION ALL
+           SELECT 'last' AS model,
+                  coalesce(t.event_type, '(none)') AS touch_type
+           FROM conv LEFT JOIN ev t ON t.event_id = conv.lcode % 100000),
+         agg AS (
+           SELECT model, touch_type, count(*) AS conversions
+           FROM credit GROUP BY model, touch_type)
+         SELECT model, touch_type, conversions,
+                round(conversions / sum(conversions)
+                  OVER (PARTITION BY model), 4) AS share
+         FROM agg ORDER BY model, touch_type""",
+    "q210_basket_lift" ->
+      """WITH bi AS (
+           SELECT DISTINCT (user_id, date_trunc('hour', ts)) AS b,
+                  event_type AS it
+           FROM events),
+         nb AS (SELECT count(DISTINCT b) AS n FROM bi),
+         tot AS (SELECT it, count(*) AS n FROM bi GROUP BY it),
+         p AS (SELECT l.it AS item_a, r.it AS item_b, count(*) AS n_ab
+               FROM bi l JOIN bi r ON l.b = r.b AND l.it < r.it
+               GROUP BY 1, 2)
+         SELECT item_a, item_b, ta.n AS n_a, tb.n AS n_b, p.n_ab,
+                round(p.n_ab / (SELECT n FROM nb)::DOUBLE, 4) AS support,
+                round(p.n_ab * (SELECT n FROM nb)::DOUBLE
+                  / (ta.n * tb.n), 4) AS lift
+         FROM p
+         JOIN tot ta ON ta.it = p.item_a
+         JOIN tot tb ON tb.it = p.item_b
+         ORDER BY item_a, item_b""",
+    "q211_content_drift" ->
+      """WITH hist AS (
+           SELECT source || '/' || (doc_id % 50)::VARCHAR AS url,
+                  doc_id AS ts,
+                  substring(text, 1, 200) AS t
+           FROM documents),
+         lagged AS (
+           SELECT url, ts,
+                  lag(ts) OVER w AS prev_ts,
+                  lag(t) OVER w AS prev_t, t
+           FROM hist
+           WINDOW w AS (PARTITION BY url ORDER BY ts))
+         SELECT url, ts, prev_ts,
+                CASE WHEN prev_t IS NOT NULL THEN
+                  round(levenshtein(prev_t, t) /
+                    greatest(length(prev_t), length(t), 1)::DOUBLE, 4)
+                END AS drift
+         FROM lagged ORDER BY url, ts""",
+    "q212_fk_audit" ->
+      """WITH rel AS (
+           SELECT 'lineitem->orders' AS relation,
+                  (SELECT count(*) FROM lineitem) AS child_rows,
+                  (SELECT count(*) FROM lineitem
+                   WHERE l_orderkey IS NULL) AS null_keys,
+                  (SELECT count(*) FROM lineitem
+                   WHERE l_orderkey IS NOT NULL
+                     AND l_orderkey NOT IN
+                       (SELECT o_orderkey FROM orders
+                        WHERE o_orderkey IS NOT NULL)) AS orphans,
+                  (SELECT count(DISTINCT o_orderkey) FROM orders) AS parent_keys,
+                  (SELECT count(*) FROM (
+                     SELECT o_orderkey FROM orders GROUP BY o_orderkey
+                     HAVING count(*) > 1)) AS parent_dup_keys
+           UNION ALL
+           SELECT 'orders->customer',
+                  (SELECT count(*) FROM orders),
+                  (SELECT count(*) FROM orders WHERE o_custkey IS NULL),
+                  (SELECT count(*) FROM orders
+                   WHERE o_custkey IS NOT NULL
+                     AND o_custkey NOT IN
+                       (SELECT c_custkey FROM customer
+                        WHERE c_custkey IS NOT NULL)),
+                  (SELECT count(DISTINCT c_custkey) FROM customer),
+                  (SELECT count(*) FROM (
+                     SELECT c_custkey FROM customer GROUP BY c_custkey
+                     HAVING count(*) > 1)))
+         SELECT relation, child_rows, null_keys, orphans,
+                round(orphans / greatest(child_rows - null_keys, 1)::DOUBLE,
+                  4) AS orphan_rate,
+                parent_keys, parent_dup_keys
+         FROM rel ORDER BY relation""",
+    "q213_winsorize" ->
+      """WITH bands AS (
+           SELECT source,
+                  quantile_cont(n_chars, 0.05) AS blo,
+                  quantile_cont(n_chars, 0.95) AS bhi
+           FROM documents GROUP BY source)
+         SELECT doc_id, d.source, n_chars,
+                round(blo, 4) AS lo, round(bhi, 4) AS hi,
+                round(least(greatest(n_chars::DOUBLE, blo), bhi), 4)
+                  AS winsorized
+         FROM documents d JOIN bands b ON b.source = d.source
+         ORDER BY doc_id""",
+    // calibration: binning + ECE replayed from the dumped scored table
+    "q214_calibration" ->
+      """WITH s AS (
+           SELECT least(floor(prob * 10), 9)::INT AS bin,
+                  prob, label
+           FROM read_parquet('/root/repo/spark-warehouse/q214_scored/*.parquet')),
+         b AS (
+           SELECT bin, count(*) AS n, avg(prob) AS avg_prob,
+                  avg(label::DOUBLE) AS frac_pos
+           FROM s GROUP BY bin),
+         t AS (
+           SELECT sum(n) AS total,
+                  sum(abs(avg_prob - frac_pos) * n) AS gapsum
+           FROM b)
+         SELECT bin / 10.0 AS bin_lo, n,
+                round(avg_prob, 4) AS avg_prob,
+                round(frac_pos, 4) AS frac_pos,
+                round(abs(avg_prob - frac_pos), 4) AS gap,
+                round(abs(avg_prob - frac_pos) * n / t.total, 4)
+                  AS ece_contrib,
+                round(t.gapsum / t.total, 4) AS ece
+         FROM b, t ORDER BY bin_lo""",
+    // LSH recall audit: exact side = q171's SSJoin SQL at 0.5; LSH
+    // side = the dumped pair set; expected recall = the proposal
+    // split's S-curve averaged over true pairs
+    "q215_lsh_recall_audit" -> {
+      val p = graft.llmops.LshPlan.plan(0.375)
+      s"""WITH tf AS (
+           SELECT id, term FROM (
+             SELECT doc_id AS id,
+                    unnest(list_distinct(list_transform(
+                      generate_series(1, greatest(len(l) - 2, 1)),
+                      i -> array_to_string(
+                             list_slice(l, i, i + 2), ' ')))) AS term
+             FROM (SELECT doc_id,
+                          string_split_regex(lower(trim(text)), '\\s+')
+                            AS l
+                   FROM documents))
+           WHERE term <> ''),
+         dfx AS (SELECT term, count(*) AS dfc FROM tf GROUP BY 1),
+         ranked AS (
+           SELECT t.id, t.term, d.dfc,
+                  count(*) OVER (PARTITION BY t.id) AS n,
+                  row_number() OVER (PARTITION BY t.id
+                    ORDER BY d.dfc, t.term) AS pos
+           FROM tf t JOIN dfx d USING (term)),
+         prefix AS (
+           SELECT id, term, n FROM ranked
+           WHERE pos <= n - ceil(CAST(0.5 AS DOUBLE) * n) + 1),
+         cand AS (
+           SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           FROM prefix a JOIN prefix b ON a.term = b.term
+             AND a.id < b.id
+             AND greatest(a.n, b.n) * CAST(0.5 AS DOUBLE)
+                   <= least(a.n, b.n)),
+         inter AS (
+           SELECT c.id_a, c.id_b, count(*) AS i
+           FROM cand c
+           JOIN tf ta ON ta.id = c.id_a
+           JOIN tf tb ON tb.id = c.id_b AND tb.term = ta.term
+           GROUP BY 1, 2),
+         nsz AS (SELECT id, count(*) AS n FROM tf GROUP BY 1),
+         exact AS (
+           SELECT i.id_a, i.id_b,
+                  i.i::DOUBLE / (na.n + nb.n - i.i) AS jaccard
+           FROM inter i
+           JOIN nsz na ON na.id = i.id_a
+           JOIN nsz nb ON nb.id = i.id_b
+           WHERE i.i::DOUBLE / (na.n + nb.n - i.i)
+                   >= CAST(0.5 AS DOUBLE)),
+         lsh AS (
+           SELECT id_a, id_b
+           FROM read_parquet('/root/repo/spark-warehouse/q215_lsh_pairs/*.parquet')),
+         ex AS (
+           SELECT count(*) AS n_exact,
+                  coalesce(sum(1.0 - pow(1.0 - pow(jaccard,
+                    ${p.rowsPerBand}.0), ${p.bands}.0)), 0.0) AS expsum
+           FROM exact),
+         hits AS (
+           SELECT count(*) AS n_common
+           FROM exact e JOIN lsh l
+             ON l.id_a = e.id_a AND l.id_b = e.id_b),
+         fnd AS (SELECT count(*) AS n_lsh FROM lsh)
+         SELECT ex.n_exact, fnd.n_lsh, hits.n_common,
+                round(CASE WHEN ex.n_exact > 0
+                  THEN hits.n_common / ex.n_exact::DOUBLE
+                  ELSE 1.0 END, 4) AS recall,
+                round(CASE WHEN fnd.n_lsh > 0
+                  THEN hits.n_common / fnd.n_lsh::DOUBLE
+                  ELSE 1.0 END, 4) AS precision,
+                round(CASE WHEN ex.n_exact > 0
+                  THEN ex.expsum / ex.n_exact ELSE 1.0 END, 4)
+                  AS expected_recall
+         FROM ex, hits, fnd"""
+    },
+    "q216_sample_audit" ->
+      """WITH smp AS (
+           SELECT source FROM documents
+           WHERE substring(md5(text), 1, 2) < '40'),
+         src AS (
+           SELECT source AS category, count(*) AS n_source
+           FROM documents GROUP BY 1),
+         sm AS (
+           SELECT source AS category, count(*) AS n_sample
+           FROM smp GROUP BY 1),
+         j AS (
+           SELECT coalesce(src.category, sm.category) AS category,
+                  coalesce(n_source, 0) AS n_source,
+                  coalesce(n_sample, 0) AS n_sample
+           FROM src FULL OUTER JOIN sm USING (category)),
+         t AS (SELECT sum(n_source) AS ns, sum(n_sample) AS np FROM j),
+         e AS (
+           SELECT category, n_source, n_sample,
+                  n_source * t.np / t.ns::DOUBLE AS expected,
+                  CASE WHEN n_source * t.np / t.ns::DOUBLE > 0
+                    THEN pow(n_sample - n_source * t.np / t.ns::DOUBLE, 2)
+                         / (n_source * t.np / t.ns::DOUBLE)
+                    ELSE pow(n_sample::DOUBLE, 2) END AS contrib
+           FROM j, t),
+         c AS (SELECT sum(contrib) AS chi2, count(*) AS k FROM e)
+         SELECT category, n_source, n_sample,
+                round(expected, 4) AS expected,
+                round(contrib, 4) AS contrib,
+                round(c.chi2, 4) AS chi2,
+                (c.k - 1) AS dof
+         FROM e, c ORDER BY category""",
+    // BM25F: fields fold into weighted tf before saturation; idf over
+    // whole-document presence; Lucene (k1+1) numerator like q103
+    "q217_bm25f" ->
+      """WITH base AS (
+           SELECT doc_id,
+                  string_split_regex(lower(trim(text)), '\s+') AS l
+           FROM documents),
+         f AS (
+           SELECT doc_id,
+                  array_to_string(list_slice(l, 1, 10), ' ') AS title,
+                  CASE WHEN len(l) > 10
+                       THEN array_to_string(list_slice(l, 11, len(l)), ' ')
+                       ELSE '' END AS body
+           FROM base),
+         fl AS (
+           SELECT doc_id, 0 AS fi, title AS ft FROM f
+           UNION ALL
+           SELECT doc_id, 1, body FROM f),
+         toks AS (
+           SELECT doc_id, fi,
+                  CASE WHEN length(trim(ft)) = 0 THEN []::VARCHAR[]
+                       ELSE string_split_regex(ft, '\s+') END AS tl
+           FROM fl),
+         stats AS (
+           SELECT fi, avg(len(tl)::DOUBLE) AS avgdl FROM toks GROUP BY fi),
+         n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+         q AS (SELECT unnest(['vector', 'window', 'merge', 'stream']) AS term),
+         posts AS (
+           SELECT t.doc_id, t.fi, u.term,
+                  count(*)::DOUBLE AS tf, any_value(len(t.tl))::DOUBLE AS dl
+           FROM toks t, unnest(t.tl) AS u(term)
+           WHERE u.term IN (SELECT term FROM q) AND u.term <> ''
+           GROUP BY 1, 2, 3),
+         wtf AS (
+           SELECT p.doc_id, p.term,
+                  sum(CASE WHEN p.fi = 0
+                        THEN 2.0 * p.tf / (1.0 - 0.5 + 0.5 * p.dl / s.avgdl)
+                        ELSE 1.0 * p.tf / (1.0 - 0.75 + 0.75 * p.dl / s.avgdl)
+                      END) AS wtf
+           FROM posts p JOIN stats s ON s.fi = p.fi
+           GROUP BY 1, 2),
+         dfx AS (
+           SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+           FROM posts GROUP BY term),
+         idf AS (
+           SELECT term, ln(1.0 + (n.n - df + 0.5) / (df + 0.5)) AS idf
+           FROM dfx, n),
+         scored AS (
+           SELECT w.doc_id, count(*) AS n_terms_hit,
+                  sum(i.idf * w.wtf * 2.2 / (w.wtf + 1.2)) AS score
+           FROM wtf w JOIN idf i USING (term)
+           GROUP BY w.doc_id)
+         SELECT doc_id, n_terms_hit, round(score, 4) AS score
+         FROM (SELECT *, row_number() OVER (
+                 ORDER BY round(score, 4) DESC, doc_id) AS rk
+               FROM scored)
+         WHERE rk <= 20 ORDER BY doc_id""",
+    "q218_multiprobe_ann" ->
+      """WITH scored AS (
+           SELECT q.query_id, c.vec_id,
+                  list_cosine_similarity(ce.embedding::DOUBLE[], qe.embedding::DOUBLE[]) AS sim
+           FROM read_parquet('/root/repo/spark-warehouse/q218_cb/*.parquet') c
+           JOIN read_parquet('/root/repo/spark-warehouse/q218_qb/*.parquet') q USING (bucket)
+           JOIN embeddings ce ON ce.vec_id = c.vec_id
+           JOIN embeddings qe ON qe.vec_id = q.query_id),
+         ranked AS (
+           SELECT query_id, vec_id, sim,
+                  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
+           FROM scored)
+         SELECT query_id, vec_id, round(sim, 4) AS sim, rk::INTEGER AS rk
+         FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""",
+    "q219_semantic_decontam" ->
+      """SELECT a.vec_id AS corpus_id, p.bench_id,
+                round(list_cosine_similarity(ce.embedding::DOUBLE[],
+                  qe.embedding::DOUBLE[]), 4) AS sim
+         FROM read_parquet('/root/repo/spark-warehouse/q219_assigned/*.parquet') a
+         JOIN read_parquet('/root/repo/spark-warehouse/q219_probes/*.parquet') p USING (list_id)
+         JOIN embeddings ce ON ce.vec_id = a.vec_id
+         JOIN embeddings qe ON qe.vec_id = p.bench_id
+         WHERE list_cosine_similarity(ce.embedding::DOUBLE[],
+                 qe.embedding::DOUBLE[]) >= 0.97
+         ORDER BY corpus_id, bench_id"""
   )
 }

@@ -112,6 +112,34 @@ object Binning {
       .drop("__by", "__val", "__below", "__n")
   }
 
+  /** Winsorize a numeric column per group (X186): clamp values
+    * outside the [lo, hi] percentile band to the band edges — the
+    * standard outlier treatment before any mean-based statistic
+    * (a single 100 MB document drags a source's average length into
+    * fiction; clamping at p01/p99 keeps the row, bounds its leverage,
+    * and unlike dropping preserves counts). Exact interpolated
+    * percentiles per group (one aggregate; `percentile` — the
+    * thresholds are also returned so the clamp is auditable), then a
+    * broadcast join back. Two shuffles of slim rows.
+    *
+    * @return df + (loCol, hiCol, outCol): the group's band edges and
+    *         the clamped value (4dp)
+    */
+  def winsorize(df: DataFrame, valueCol: String, byCol: String,
+                lo: Double = 0.01, hi: Double = 0.99,
+                outCol: String = "winsorized"): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, "need 0 <= lo < hi <= 1")
+    val bands = df.groupBy(col(byCol))
+      .agg(percentile(col(valueCol), lit(lo)).as("__lo"),
+        percentile(col(valueCol), lit(hi)).as("__hi"))
+    df.join(broadcast(bands), Seq(byCol), "left")
+      .withColumn(outCol,
+        round(least(greatest(col(valueCol).cast("double"), col("__lo")),
+          col("__hi")), 4))
+      .withColumnRenamed("__lo", s"${outCol}_lo")
+      .withColumnRenamed("__hi", s"${outCol}_hi")
+  }
+
   def groupBins(df: DataFrame, thresholds: DataFrame, group: Column,
                 value: Column, binCol: String = "bin"): DataFrame = {
     val nq = thresholds.columns.count(_.startsWith("q"))

@@ -354,4 +354,93 @@ object Bm25 {
     topKBatch(corpus, benchmark, k, idCol = idCol, textCol = textCol,
         queryIdCol = queryIdCol, queryTextCol = queryTextCol)
       .filter(col("score") >= minScore)
+
+  /** One scored field of a BM25F document: its text column, its
+    * weight, and its length-normalization slope (the per-field b of
+    * Robertson & Zaragoza 2009 §4.2 — a title is short by NATURE, so
+    * its b is usually lower than the body's).
+    */
+  final case class Field(textCol: String, weight: Double,
+                         b: Double = 0.75)
+
+  /** Fielded BM25 (BM25F, X190): structured documents score their
+    * fields ONCE, jointly — not as a weighted sum of per-field BM25
+    * scores (the known-wrong formulation: saturating per field lets a
+    * term that is frequent in EVERY field saturate k1 several times
+    * over). The correct shape folds fields before saturation:
+    *
+    *   wtf(t, d) = Σ_f  w_f · tf_{t,f} / (1 − b_f + b_f·len_f/avglen_f)
+    *   score(q, d) = Σ_t idf(t) · wtf·(k1+1) / (wtf + k1)
+    *
+    * idf is computed over whole-document presence (a term counts once
+    * however many fields hold it), Lucene form like [[contribs]].
+    * Shape: one slim posting pass per field restricted to the query
+    * terms (the [[corpusTf]] discipline), a per-field stats row, one
+    * groupBy folding fields into wtf, one per-doc sum. Everything
+    * broadcast except the postings.
+    *
+    * @return (id, n_terms_hit, score) for docs matching ≥ 1 term
+    */
+  def scoresFielded(docs: DataFrame, fields: Seq[Field],
+                    terms: Seq[String], k1: Double = 1.2,
+                    idCol: String = "doc_id"): DataFrame = {
+    require(fields.nonEmpty, "at least one field")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val termsDf = terms.map(_.toLowerCase).distinct.toDF("term")
+    // (n, avglen per field) in ONE aggregation pass
+    val statAggs = count(lit(1)).cast("double").as("n") +:
+      fields.zipWithIndex.map { case (f, i) =>
+        avg(TextFuncs.tokenCount(col(f.textCol)).cast("double"))
+          .as(s"avg$i") }
+    val stats = docs.agg(statAggs.head, statAggs.tail: _*)
+    val posts = fields.zipWithIndex.map { case (f, i) =>
+      docs.select(col(idCol).as("id"),
+          TextFuncs.tokenCount(col(f.textCol)).cast("double").as("dl"),
+          explode(TextFuncs.tokens(col(f.textCol))).as("term"))
+        .filter(col("term") =!= "")
+        .join(broadcast(termsDf), Seq("term"))
+        .groupBy(col("id"), col("term"))
+        .agg(count(lit(1)).cast("double").as("tf"),
+          max(col("dl")).as("dl"))
+        .select(col("id"), col("term"), lit(i).as("fi"), col("tf"),
+          col("dl"))
+    }.reduce(_ unionByName _)
+    val wArr = array(fields.map(f => lit(f.weight)): _*)
+    val bArr = array(fields.map(f => lit(f.b)): _*)
+    val avgArr = array(fields.indices.map(i => col(s"avg$i")): _*)
+    val fieldNorm = lit(1.0) - element_at(bArr, col("fi") + 1) +
+      element_at(bArr, col("fi") + 1) * col("dl") /
+        element_at(avgArr, col("fi") + 1)
+    val wtf = posts.crossJoin(broadcast(stats))
+      .withColumn("__c",
+        element_at(wArr, col("fi") + 1) * col("tf") /
+          // empty field corpus-wide → avglen 0 → the field scores 0
+          when(element_at(avgArr, col("fi") + 1) > 0.0, fieldNorm)
+            .otherwise(lit(Double.PositiveInfinity)))
+      .groupBy(col("id"), col("term"))
+      .agg(sum(col("__c")).as("wtf"))
+    // df over whole-document presence
+    val dfx = posts.select(col("id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val idf = dfx.crossJoin(broadcast(stats.select(col("n"))))
+      .select(col("term"),
+        log(lit(1.0) + (col("n") - col("df") + 0.5) /
+          (col("df") + 0.5)).as("idf"))
+    wtf.join(broadcast(idf), Seq("term"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_terms_hit"),
+        sum(col("idf") * col("wtf") * (k1 + 1) /
+          (col("wtf") + k1)).as("score"))
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** [[scoresFielded]] + the [[topK]] ranking tail. */
+  def topKFielded(docs: DataFrame, fields: Seq[Field],
+                  terms: Seq[String], k: Int, k1: Double = 1.2,
+                  idCol: String = "doc_id"): DataFrame =
+    scoresFielded(docs, fields, terms, k1, idCol)
+      .withColumn("score", round(col("score"), 4))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
 }

@@ -1233,4 +1233,126 @@ object Dedup {
               p => element_at(toks, p + 1)))))
       .drop("__cov")
   }
+
+  /** Semantic (embedding-space) decontamination (X192): drop every
+    * corpus vector with cosine ≥ `threshold` to ANY benchmark vector —
+    * the third decontamination axis after exact/n-gram (X6/X35,
+    * surface overlap) and bloom (X6, membership): paraphrased or
+    * translated eval leakage shares no n-grams but sits next to the
+    * benchmark in embedding space. IVF-bucketed, asymmetric (the IVF
+    * SEARCH shape, not the pair-join shape): centroids train on the
+    * corpus, each corpus vector indexes into its ONE nearest list,
+    * each benchmark vector probes `nprobe` lists — the benchmark is
+    * the small side, so probe fan-out multiplies the small table.
+    * NO bucket caps: decontamination is a recall obligation (a capped
+    * list is leaked eval data), the X6 contract; recall beyond the
+    * probed lists is the nprobe knob, auditable like q89.
+    *
+    * @return (kept corpus rows, evidence): evidence =
+    *         (corpus id, benchmark id, sim) per contaminated pair —
+    *         the takedown receipt, q194's shape
+    */
+  def semanticDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+                            threshold: Double = 0.95, nlist: Int = 16,
+                            nprobe: Int = 2, kmeansIters: Int = 0,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding")
+      : (DataFrame, DataFrame) = {
+    val cents =
+      if (kmeansIters > 0)
+        Ivf.kmeansCentroids(corpus, nlist, kmeansIters, idCol, vecCol)
+      else Ivf.sampleCentroids(corpus, nlist, idCol, vecCol)
+    val evidence = semanticContaminationEvidence(corpus, benchmark,
+      threshold, cents, nprobe, idCol, vecCol)
+    val doomed = evidence.select(col("corpus_id").as(idCol)).distinct()
+    (corpus.join(doomed, Seq(idCol), "left_anti"), evidence)
+  }
+
+  /** The evidence half of [[semanticDecontaminate]] with explicit
+    * centroids (the dump-and-replay seam the oracle uses).
+    */
+  def semanticContaminationEvidence(corpus: DataFrame, benchmark: DataFrame,
+                                    threshold: Double,
+                                    centroids: Array[Array[Float]],
+                                    nprobe: Int = 2,
+                                    idCol: String = "vec_id",
+                                    vecCol: String = "embedding")
+      : DataFrame = {
+    val cb = corpus.where(col(vecCol).isNotNull).select(
+      col(idCol).as("corpus_id"), col(vecCol).as("__cv"),
+      element_at(Ivf.nearest_centroids(col(vecCol), centroids, 1), 1)
+        .as("list_id"))
+    val qb = benchmark.where(col(vecCol).isNotNull).select(
+        col(idCol).as("bench_id"), col(vecCol).as("__bv"),
+        explode(Ivf.nearest_centroids(col(vecCol), centroids, nprobe))
+          .as("list_id"))
+    cb.join(broadcast(qb), Seq("list_id"))
+      .select(col("corpus_id"), col("bench_id"),
+        VectorFuncs.cosine(col("__cv"), col("__bv")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .select(col("corpus_id"), col("bench_id"),
+        round(col("sim"), 4).as("sim"))
+  }
+
+  /** LSH recall audit (X188): measure the LSH tier's REALIZED recall
+    * against the exact tier's ground truth in the SAME similarity
+    * space (word-n-gram Jaccard — [[ngramJaccardPairs]] vs
+    * [[jaccardJoinExact]]), on the corpus it will actually run over.
+    * [[LshPlan]] predicts recall from the S-curve under a uniformity
+    * assumption; hot-bucket caps, signature noise at the proposal
+    * stage, and skewed shingle distributions all eat into it — this
+    * audit is the measurement that says whether the planned tier is
+    * delivering, the number a "we deduped at threshold t" claim
+    * should cite. Run it on a sample slice before committing the
+    * full corpus to the LSH tier (the exact side is the expensive
+    * one; that cost profile is q171's).
+    *
+    * `expected_recall` is the S-curve average over the true pairs —
+    * Σ P(sim_i) / n_exact at the proposal stage's (b, r) split —
+    * so observed-vs-expected separates "the plan was optimistic"
+    * (observed ≈ expected, both low: re-plan the threshold) from
+    * "the corpus broke an assumption" (observed ≪ expected: look at
+    * bucket caps / skew).
+    *
+    * @param lshPairs the LSH tier's output for the same docs —
+    *        (id_a, id_b, …) with id_a < id_b, as
+    *        [[ngramJaccardPairs]] returns
+    * @return one row: (n_exact, n_lsh, n_common, recall, precision,
+    *         expected_recall) — recall/precision vs exact ground
+    *         truth, 4dp; empty ground truth reports recall 1.0
+    *         (nothing to miss)
+    */
+  def lshRecallAudit(docs: DataFrame, lshPairs: DataFrame,
+                     threshold: Double = 0.5, n: Int = 3,
+                     idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    // both sides feed two aggregates below — pin so the exact join
+    // and the caller's LSH pipeline each run once
+    val exact = jaccardJoinExact(docs, threshold, n, idCol, textCol)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .localCheckpoint(false)
+    val lsh = lshPairs.select(col("id_a"), col("id_b"))
+      .localCheckpoint(false)
+    // proposal stage split: ngramJaccardPairs proposes at 0.75·t
+    val (b, r) = resolveSplit(0.75 * threshold, 0, 0)
+    val scurve = lit(1.0) -
+      pow(lit(1.0) - pow(col("jaccard"), lit(r.toDouble)),
+        lit(b.toDouble))
+    val ex = exact.agg(count(lit(1)).as("n_exact"),
+      coalesce(sum(scurve), lit(0.0)).as("__exp"))
+    val hits = exact.join(lsh, Seq("id_a", "id_b"), "left_semi")
+      .agg(count(lit(1)).as("n_common"))
+    val found = lsh.agg(count(lit(1)).as("n_lsh"))
+    ex.crossJoin(hits).crossJoin(found)
+      .select(col("n_exact"), col("n_lsh"), col("n_common"),
+        round(when(col("n_exact") > 0,
+          col("n_common") / col("n_exact").cast("double"))
+          .otherwise(lit(1.0)), 4).as("recall"),
+        round(when(col("n_lsh") > 0,
+          col("n_common") / col("n_lsh").cast("double"))
+          .otherwise(lit(1.0)), 4).as("precision"),
+        round(when(col("n_exact") > 0,
+          col("__exp") / col("n_exact")).otherwise(lit(1.0)), 4)
+          .as("expected_recall"))
+  }
 }

@@ -179,4 +179,47 @@ object QualityModel {
           lit(2.0) * col("precision") * col("recall") /
             (col("precision") + col("recall"))).otherwise(lit(0.0)))
   }
+
+  /** Calibration / reliability report (X187): is a probability of 0.8
+    * RIGHT 80 % of the time? A gate like `prob >= minQuality` embeds
+    * that assumption — an over-confident model silently shifts the
+    * effective threshold, and no accuracy metric catches it
+    * (Guo et al. 2017, "On Calibration of Modern Neural Networks").
+    * Same bounded construction as [[prCurve]]: bin to
+    * `floor(prob·nBins)`, one groupBy to ≤ nBins rows, everything
+    * after runs on that bounded frame.
+    *
+    * @return one row per non-empty bin, ascending: (bin_lo, n,
+    *         avg_prob, frac_pos, gap, ece_contrib) — `gap` =
+    *         |avg_prob − frac_pos| (4dp), `ece_contrib` = gap·n/N;
+    *         the Expected Calibration Error is their sum (every row
+    *         carries it as `ece`, constant by construction, so the
+    *         scalar travels with the frame).
+    */
+  def calibrationReport(scored: DataFrame, labelCol: String = "label",
+                        probCol: String = "prob", nBins: Int = 10)
+      : DataFrame = {
+    require(nBins >= 1, "nBins must be >= 1")
+    val binned = scored.select(
+        least(floor(col(probCol) * nBins), lit(nBins - 1)).cast("int")
+          .as("bin"),
+        col(probCol).cast("double").as("__p"),
+        col(labelCol).cast("long").as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), avg(col("__p")).as("avg_prob"),
+        avg(col("__y").cast("double")).as("frac_pos"))
+    val totals = binned.agg(
+      sum(col("n")).as("__total"),
+      sum(abs(col("avg_prob") - col("frac_pos")) * col("n")).as("__gapsum"))
+    binned.crossJoin(broadcast(totals))
+      .select(
+        (col("bin").cast("double") / nBins).as("bin_lo"),
+        col("n"),
+        round(col("avg_prob"), 4).as("avg_prob"),
+        round(col("frac_pos"), 4).as("frac_pos"),
+        round(abs(col("avg_prob") - col("frac_pos")), 4).as("gap"),
+        round(abs(col("avg_prob") - col("frac_pos")) * col("n") /
+          col("__total"), 4).as("ece_contrib"),
+        round(col("__gapsum") / col("__total"), 4).as("ece"))
+  }
 }

@@ -41,6 +41,45 @@ object RhpKernels {
     }
     out
   }
+
+  /** Margin-ordered multi-probe bucket sequence (Lv et al. 2007,
+    * "Multi-Probe LSH"): the query's own bucket first, then the
+    * buckets reached by flipping one sign bit each, in INCREASING
+    * |projection| order — the planes the query sat closest to, i.e.
+    * the flips most likely to hold its true neighbors. `nprobe`
+    * bounds the sequence, so probe cost is a KNOB independent of the
+    * plane count: 16 planes (65k buckets of fine selectivity) with
+    * nprobe = 4 touches 4 buckets, where the all-flips probe set
+    * ([[VectorFuncs.lshProbes]]) must touch 17. Deterministic: ties
+    * in |proj| break on plane index.
+    */
+  def probes(vec: ArrayData, planes: Int, seed: Long,
+             nprobe: Int): Array[Long] = {
+    val d = vec.numElements()
+    val w = signs(seed, planes, d)
+    val proj = new Array[Double](planes)
+    var base = 0L
+    var p = 0
+    while (p < planes) {
+      var s = 0.0
+      val row = w(p)
+      var i = 0
+      while (i < d) { s += vec.getFloat(i) * row(i); i += 1 }
+      proj(p) = s
+      if (s > 0) base |= (1L << p)
+      p += 1
+    }
+    val order = (0 until planes).sortBy(i => (math.abs(proj(i)), i))
+    val n = math.min(nprobe, planes + 1)
+    val out = new Array[Long](n)
+    out(0) = base
+    var j = 1
+    while (j < n) {
+      out(j) = base ^ (1L << order(j - 1))
+      j += 1
+    }
+    out
+  }
 }
 
 /** `rhp_bucket(vec)` — sign bits of `planes` pseudo-random hyperplane
@@ -59,6 +98,31 @@ case class RhpBucket(child: Expression, planes: Int, seed: Long)
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.llmops.RhpKernels.bucket($c, $planes, ${seed}L);")
   override protected def withNewChildInternal(c: Expression): RhpBucket =
+    copy(child = c)
+}
+
+/** `rhp_probes(vec)` — the margin-ordered multi-probe bucket sequence
+  * ([[RhpKernels.probes]]) as an array-of-long scalar: element 0 is
+  * the vector's own bucket, elements 1..nprobe−1 flip the
+  * smallest-|margin| planes in order.
+  */
+case class RhpProbes(child: Expression, planes: Int, seed: Long,
+                     nprobe: Int) extends UnaryExpression {
+  require(planes <= 63, "bucket packed into a long")
+  require(nprobe >= 1, "nprobe must be >= 1")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "rhp_probes"
+  override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      RhpKernels.probes(input.asInstanceOf[ArrayData], planes, seed,
+        nprobe))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.llmops.RhpKernels.probes($c, $planes, ${seed}L, $nprobe));"""
+        .stripMargin)
+  override protected def withNewChildInternal(c: Expression): RhpProbes =
     copy(child = c)
 }
 
@@ -312,6 +376,49 @@ object VectorFuncs {
     // bucketing prunes candidates ~2^planes-fold, but at corpus scale a
     // query's bucket can still hold millions of rows — same re-rank
     // discipline as the brute-force path (impl contract: [[rerankTopK]])
+    rerankTopK(scored, k, queryId, corpusId, impl)
+  }
+
+  /** Margin-ordered multi-probe sequence — see [[RhpProbes]]. */
+  def rhpProbes(vec: Column, planes: Int, nprobe: Int,
+                seed: Long = 42L): Column =
+    ColumnBridge.column(RhpProbes(ColumnBridge.expression(vec), planes,
+      seed, nprobe))
+
+  /** Multi-probe bucket list for a query set, margin-ordered and
+    * bounded at `nprobe` — [[lshProbes]]' scale successor: the probe
+    * count is a knob independent of `planes`, so the plane count can
+    * buy bucket selectivity (fine partitions of the corpus) without
+    * multiplying probe fan-out. Exposed for the verify dump, like
+    * [[lshProbes]].
+    */
+  def lshMultiProbes(queries: DataFrame, planes: Int, nprobe: Int,
+                     queryId: String = "query_id",
+                     queryVec: String = "query_vec"): DataFrame =
+    queries
+      .withColumn("bucket",
+        explode(rhpProbes(col(queryVec), planes, nprobe)))
+      .dropDuplicates(queryId, "bucket")
+
+  /** [[lshTopK]] with margin-ordered multi-probing (X191): candidates
+    * = corpus rows in the query's `nprobe` most promising buckets,
+    * exact cosine re-rank within them. At corpus scale the bucket
+    * column is the partition key and `nprobe` is the fraction-touched
+    * knob — the RHP-flat analog of IVF's nprobe, chosen by the same
+    * recall/IO trade (and auditable the same way: q218 dumps the
+    * probe sequences).
+    */
+  def lshMultiProbeTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                        planes: Int = 16, nprobe: Int = 4,
+                        corpusId: String = "vec_id",
+                        corpusVec: String = "embedding",
+                        queryId: String = "query_id",
+                        queryVec: String = "query_vec",
+                        impl: String = "agg"): DataFrame = {
+    val cb = corpus.withColumn("bucket", rhpBucket(col(corpusVec), planes))
+    val qb = lshMultiProbes(queries, planes, nprobe, queryId, queryVec)
+    val scored = cb.join(broadcast(qb), Seq("bucket"))
+      .withColumn("sim", cosine(col(corpusVec), col(queryVec)))
     rerankTopK(scored, k, queryId, corpusId, impl)
   }
 

@@ -227,4 +227,93 @@ object Profiling {
       .limit(k)
       .crossJoin(broadcast(stats))
   }
+
+  /** Foreign-key integrity audit (X185): does every child row point
+    * at exactly one parent? The referential-health dashboard row a
+    * pipeline checks BEFORE joining — an orphan rate discovered at
+    * join time is a silent row-loss bug (inner joins drop orphans
+    * without a trace), discovered here it is a data incident with a
+    * count. Complements [[fdViolations]] (intra-table consistency)
+    * with the inter-table axis.
+    *
+    * One aggregate per side plus one left anti join, all on slim key
+    * projections — the child table's payload never moves:
+    *
+    * @return single row (relation, child_rows, null_keys, orphans,
+    *         orphan_rate, parent_keys, parent_dup_keys): `orphans` =
+    *         non-null child keys with no parent row; `orphan_rate`
+    *         over non-null keys (4dp); `parent_dup_keys` = parent
+    *         keys appearing more than once (a "foreign key" into a
+    *         non-unique parent fans out — the other silent join bug).
+    */
+  def fkAudit(child: DataFrame, parent: DataFrame, childKey: String,
+              parentKey: String, relation: String): DataFrame = {
+    val ck = child.select(col(childKey).as("__k"))
+    val pk = parent.select(col(parentKey).as("__k"))
+    val childStats = ck.agg(
+      count(lit(1)).as("child_rows"),
+      sum(when(col("__k").isNull, 1L).otherwise(0L)).as("null_keys"))
+    val parentStats = pk.groupBy(col("__k"))
+      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("parent_keys"),
+        sum(when(col("n") > 1, 1L).otherwise(0L)).as("parent_dup_keys"))
+    val orphans = ck.filter(col("__k").isNotNull)
+      .join(pk.select(col("__k")).distinct(), Seq("__k"), "left_anti")
+      .agg(count(lit(1)).as("orphans"))
+    childStats.crossJoin(orphans).crossJoin(parentStats)
+      .select(lit(relation).as("relation"),
+        col("child_rows"), col("null_keys"), col("orphans"),
+        round(col("orphans") /
+          greatest(col("child_rows") - col("null_keys"), lit(1L))
+            .cast("double"), 4).as("orphan_rate"),
+        col("parent_keys"), col("parent_dup_keys"))
+  }
+
+  /** Sample-representativeness audit (X189): does a sample preserve
+    * the source's category mix? Every deterministic sampler in the
+    * suite (md5-gated splits, weighted/per-group samplers) CLAIMS
+    * distribution preservation; this is the receipt — the classic
+    * Pearson χ² goodness-of-fit decomposition, per category, so a
+    * skewed stratum is named, not hidden inside one scalar. Two
+    * slim-key aggregates + one broadcast join; the χ² statistic and
+    * the degrees of freedom ride on every row (constant columns) so
+    * the scalar travels with the frame.
+    *
+    * Categories present in the sample but not the source are a
+    * CONTRACT VIOLATION (a sampler invented data); flagged with
+    * `expected` 0 and an infinite-contribution guard (contrib = n²
+    * when expected = 0) rather than dropped.
+    *
+    * @return one row per category: (category, n_source, n_sample,
+    *         expected, contrib, chi2, dof) — expected/contrib/chi2
+    *         4dp
+    */
+  def sampleAudit(source: DataFrame, sample: DataFrame, byCol: String)
+      : DataFrame = {
+    val src = source.groupBy(col(byCol).cast("string").as("category"))
+      .agg(count(lit(1)).as("n_source"))
+    val smp = sample.groupBy(col(byCol).cast("string").as("category"))
+      .agg(count(lit(1)).as("n_sample"))
+    val joined = src.join(smp, Seq("category"), "full_outer")
+      .select(col("category"),
+        coalesce(col("n_source"), lit(0L)).as("n_source"),
+        coalesce(col("n_sample"), lit(0L)).as("n_sample"))
+    val totals = joined.agg(sum(col("n_source")).as("__ns"),
+      sum(col("n_sample")).as("__np"))
+    val withExp = joined.crossJoin(broadcast(totals))
+      .withColumn("expected",
+        col("n_source") * col("__np") / col("__ns").cast("double"))
+      .withColumn("contrib",
+        when(col("expected") > 0.0,
+          pow(col("n_sample") - col("expected"), 2.0) / col("expected"))
+          .otherwise(pow(col("n_sample").cast("double"), 2.0)))
+    val chi = withExp.agg(sum(col("contrib")).as("__chi2"),
+      count(lit(1)).as("__k"))
+    withExp.crossJoin(broadcast(chi))
+      .select(col("category"), col("n_source"), col("n_sample"),
+        round(col("expected"), 4).as("expected"),
+        round(col("contrib"), 4).as("contrib"),
+        round(col("__chi2"), 4).as("chi2"),
+        (col("__k") - 1L).as("dof"))
+  }
 }

@@ -67,4 +67,42 @@ object Recrawl {
         col("span_ms"), col("interval_ms"),
         (col("__last") + col("interval_ms")).as("next_fetch_ms"))
   }
+
+  /** Content drift between consecutive fetches of the same URL
+    * (X184): HOW MUCH a page changed, not just whether its hash moved
+    * — the refinement [[schedule]] consumes when hash-level change is
+    * too blunt (rotating ads flip the hash on every fetch; the drift
+    * ratio separates cosmetic churn from real content motion, the
+    * Ntoulas/Cho/Olston "what's new on the web" measurement).
+    *
+    * Per (url, version) row: normalized Levenshtein distance between
+    * the version's text and its predecessor's, both capped at
+    * `maxChars` (edit distance is quadratic; the cap bounds per-row
+    * cost exactly like [[graft.llmops.Dedup.editSimilarityPairs]],
+    * and a 2 000-char prefix decides "rewritten vs tweaked" just
+    * fine). First version of a URL has no predecessor: drift null.
+    * One lag window over (url, ts)-sorted slim rows — text moves
+    * once, on the uniform url key.
+    *
+    * @return (url, ts, prev_ts, drift): drift = lev(prev, cur) /
+    *         max(len) over the capped texts, 4dp, null for the first
+    *         observation
+    */
+  def contentDrift(history: DataFrame, maxChars: Int = 2000,
+                   urlCol: String = "url", tsCol: String = "ts",
+                   textCol: String = "text"): DataFrame = {
+    require(maxChars >= 1, "maxChars must be >= 1")
+    val w = Window.partitionBy(col("url")).orderBy(col("ts"))
+    val capped = history.select(col(urlCol).as("url"),
+      col(tsCol).as("ts"),
+      substring(col(textCol), 1, maxChars).as("__t"))
+    capped
+      .withColumn("__prev", lag(col("__t"), 1).over(w))
+      .withColumn("__prev_ts", lag(col("ts"), 1).over(w))
+      .select(col("url"), col("ts"), col("__prev_ts").as("prev_ts"),
+        when(col("__prev").isNotNull,
+          round(levenshtein(col("__prev"), col("__t")) /
+            greatest(length(col("__prev")), length(col("__t")), lit(1))
+              .cast("double"), 4)).as("drift"))
+  }
 }

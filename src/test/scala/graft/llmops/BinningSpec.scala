@@ -106,4 +106,36 @@ class BinningSpec extends SparkTestBase {
       .collect().toMap
     assert(again == a)
   }
+
+  test("winsorize: values clamp to the group band, thresholds exposed") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // group a: 1..100 -> p10 = 10.9, p90 = 90.1 (interpolated)
+    val df = (1 to 100).map(v => ("a", v.toDouble))
+      .toDF("source", "v")
+    val got = Binning.winsorize(df, "v", "source", lo = 0.10, hi = 0.90)
+    val row1 = got.filter($"v" === 1.0).head()
+    val row50 = got.filter($"v" === 50.0).head()
+    val row100 = got.filter($"v" === 100.0).head()
+    val lo = row1.getAs[Double]("winsorized_lo")
+    val hi = row1.getAs[Double]("winsorized_hi")
+    assert(math.abs(lo - 10.9) < 1e-9 && math.abs(hi - 90.1) < 1e-9,
+      s"band=($lo, $hi)")
+    assert(row1.getAs[Double]("winsorized") == 10.9)
+    assert(row50.getAs[Double]("winsorized") == 50.0)
+    assert(row100.getAs[Double]("winsorized") == 90.1)
+    // row count preserved: winsorize clamps, never drops
+    assert(got.count() == 100)
+  }
+
+  test("winsorize: groups get independent bands") {
+    import spark.implicits._
+    val df = ((1 to 10).map(v => ("a", v.toDouble)) ++
+      (101 to 110).map(v => ("b", v.toDouble))).toDF("source", "v")
+    val got = Binning.winsorize(df, "v", "source", lo = 0.0, hi = 1.0)
+      .select($"source", $"winsorized_lo", $"winsorized_hi").distinct()
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got("a") == ((1.0, 10.0)) && got("b") == ((101.0, 110.0)))
+  }
 }

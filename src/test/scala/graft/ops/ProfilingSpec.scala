@@ -178,4 +178,56 @@ class ProfilingSpec extends SparkTestBase {
     assert(Profiling.fdViolations(df, Seq("k"), "v", k = 1)
       .count() == 1L)
   }
+  test("fkAudit: orphans, null keys, and non-unique parents are counted") {
+    import spark.implicits._
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(9L), None)
+      .toDF("fk")
+    val parent = Seq(1L, 2L, 2L, 3L).toDF("pk")
+    val r = Profiling.fkAudit(child, parent, "fk", "pk", "child->parent")
+      .head()
+    assert(r.getString(0) == "child->parent")
+    assert(r.getLong(1) == 5L)   // child rows
+    assert(r.getLong(2) == 1L)   // null keys
+    assert(r.getLong(3) == 1L)   // orphan: fk=9
+    assert(r.getDouble(4) == 0.25) // 1 / 4 non-null
+    assert(r.getLong(5) == 3L)   // distinct parent keys
+    assert(r.getLong(6) == 1L)   // pk=2 duplicated
+  }
+
+  test("fkAudit: clean relation reports zeros") {
+    import spark.implicits._
+    val child = Seq(1L, 2L).toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = Profiling.fkAudit(child, parent, "fk", "pk", "ok").head()
+    assert(r.getLong(2) == 0L && r.getLong(3) == 0L &&
+      r.getDouble(4) == 0.0 && r.getLong(6) == 0L)
+  }
+
+  test("sampleAudit: proportional sample has chi2 ~ 0; a dropped " +
+      "stratum is named; sample-only categories flagged") {
+    import spark.implicits._
+    val source = (1 to 40).map(i => if (i <= 20) "a" else "b").toDF("g")
+    // perfectly proportional half-sample
+    val half = (1 to 20).map(i => if (i <= 10) "a" else "b").toDF("g")
+    val ok = Profiling.sampleAudit(source, half, "g")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("contrib"))
+      .toMap
+    assert(ok.values.forall(_ == 0.0), s"$ok")
+    // biased: sample only from a — b's contribution is the signal
+    val biased = (1 to 20).map(_ => "a").toDF("g")
+    val bad = Profiling.sampleAudit(source, biased, "g")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_sample"), r.getAs[Double]("contrib"))).toMap
+    assert(bad("b")._1 == 0L && bad("b")._2 == 10.0) // (0-10)^2/10
+    assert(bad("a")._2 == 10.0)                      // (20-10)^2/10
+    val chi2 = Profiling.sampleAudit(source, biased, "g")
+      .head().getAs[Double]("chi2")
+    assert(chi2 == 20.0)
+    // invented category: expected 0, squared-count contribution
+    val invented = Seq("a", "z").toDF("g")
+    val inv = Profiling.sampleAudit(source, invented, "g")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("contrib"))
+      .toMap
+    assert(inv.contains("z") && inv("z") > 0.0)
+  }
 }

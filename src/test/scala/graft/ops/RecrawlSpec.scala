@@ -59,4 +59,31 @@ class RecrawlSpec extends SparkTestBase {
       .map(_.toSeq).toSet
     assert(a.nonEmpty && a == b)
   }
+
+  test("contentDrift: identical -> 0, rewrite -> 1, tweak in between, " +
+      "first version null, cap bounds the comparison") {
+    val hist = Seq(
+      ("u", ts(0), "hello world this page"),
+      ("u", ts(1), "hello world this page"),      // identical: 0.0
+      ("u", ts(2), "hello world that page"),      // 2 edits / 21 chars
+      ("u", ts(3), "zzzzzzzzzzzzzzzzzzzzz"),      // full rewrite: 1.0
+      ("v", ts(5), "only one version")
+    ).toDF("url", "ts", "text")
+    val got = Recrawl.contentDrift(hist)
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime / 1000) ->
+        Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    assert(got(("u", 0L)).isEmpty && got(("v", 5L)).isEmpty)
+    assert(got(("u", 1L)).contains(0.0))
+    assert(got(("u", 2L)).exists(d => d > 0.05 && d < 0.15), s"$got")
+    assert(got(("u", 3L)).contains(1.0))
+    // cap: beyond-cap differences are invisible by contract
+    val long = Seq(
+      ("w", ts(0), "abcde" + "SUFFIX_ONE"),
+      ("w", ts(1), "abcde" + "SUFFIX_TWO")
+    ).toDF("url", "ts", "text")
+    val capped = Recrawl.contentDrift(long, maxChars = 5)
+      .collect().flatMap(r => Option(r.get(3))).toSeq
+    assert(capped == Seq(0.0), s"capped=$capped")
+  }
 }
