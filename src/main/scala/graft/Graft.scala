@@ -683,6 +683,33 @@ object Graft {
   /** BM25 top-k retrieval over a text corpus (q103). */
   def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int): DataFrame =
     llmops.Bm25.topK(docs, terms, k)
+  /** TextRank keywords (X193, q220): per-document PageRank over word
+    * co-occurrence, all documents as one edge table. */
+  def textrankKeywords(docs: DataFrame, k: Int = 5, windowSize: Int = 2,
+                       iterations: Int = 2): DataFrame =
+    llmops.Keywords.textrankKeywords(docs, k, windowSize, iterations)
+  /** Keyed pseudonymization (X194, q221): identifiers hash to stable
+    * joinable pseudonyms; rotate the key to unlink. */
+  def pseudonymize(df: DataFrame, cols: Seq[String],
+                   key: String): DataFrame =
+    llmops.Privacy.pseudonymize(df, cols, key)
+  /** k-anonymity audit over quasi-identifier columns (X195, q222). */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String],
+                      k: Int): DataFrame =
+    llmops.Privacy.kAnonymityAudit(df, quasiCols, k)
+  /** Heaps'-law vocabulary growth profile + fitted exponent
+    * (X196, q223). */
+  def heapsProfile(docs: DataFrame): DataFrame =
+    llmops.Vocab.heapsProfile(docs)
+  /** Log-odds distinctive terms per group, Dirichlet-shrunk z-scores
+    * (X197, q225). */
+  def distinctiveTerms(docs: DataFrame, byCol: String,
+                       k: Int = 5): DataFrame =
+    llmops.TextFuncs.distinctiveTerms(docs, byCol, k)
+  /** Exact positional phrase search (X198, q224): adjacency joins
+    * over term-pruned postings, overlap-counting. */
+  def phraseTopK(docs: DataFrame, phrase: Seq[String], k: Int): DataFrame =
+    llmops.Phrase.phraseTopK(docs, phrase, k)
   /** Fielded BM25 (BM25F, X190, q217): fields fold into one weighted
     * tf before saturation. */
   def bm25fTopK(docs: DataFrame, fields: Seq[llmops.Bm25.Field],

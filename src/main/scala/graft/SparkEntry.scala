@@ -4096,7 +4096,12 @@ object SparkEntry {
     // (q171's SQL) and the audit arithmetic independently.
     "q215_lsh_recall_audit" -> ((s, d) => {
       import s.implicits._
+      // the audit's own recipe, exercised literally: measure realized
+      // recall on a deterministic ~50% slice (the exact side is the
+      // q171 price — paying it for the full corpus buys nothing the
+      // slice doesn't already prove about the plan)
       val docs = t(s, d, "documents")
+        .filter(substring(md5($"text"), 1, 2) < "80")
       // pin: the LSH pipeline feeds the dump and both audit joins
       val lsh = graft.llmops.Dedup.ngramJaccardPairs(docs,
         n = 3, threshold = 0.5).localCheckpoint(false)
@@ -4154,6 +4159,73 @@ object SparkEntry {
       V.lshMultiProbeTopK(emb, q, k = 5, planes = 8, nprobe = 4)
         .select($"query_id", $"vec_id", round($"sim", 4).as("sim"), $"rk")
         .orderBy($"query_id", $"rk")
+    }),
+
+    // llmops TextRank keywords (X193): per-document PageRank over the
+    // word co-occurrence graph, all documents as ONE edge table keyed
+    // (doc, term) — the graph counterpart of q189's RAKE. Two
+    // synchronous rounds, unrolled relationally by the oracle.
+    "q220_textrank" -> ((s, d) => {
+      import s.implicits._
+      graft.llmops.Keywords.textrankKeywords(
+          t(s, d, "documents").filter($"doc_id" < 40),
+          k = 3, windowSize = 2, iterations = 2)
+        .orderBy($"doc_id", $"rk")
+    }),
+
+    // llmops keyed pseudonymization (X194): identifiers hash to
+    // stable pseudonyms that still join/aggregate; per-user activity
+    // survives with the identity unlinkable without the key.
+    "q221_pseudonymize" -> ((s, d) => {
+      import s.implicits._
+      graft.llmops.Privacy.pseudonymize(t(s, d, "events"),
+          Seq("user_id"), key = "rotate-2026")
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy($"n_events".desc, $"user_id")
+        .limit(20)
+    }),
+
+    // llmops k-anonymity audit (X195): how identifying are the
+    // quasi-identifier columns in combination — the release-decision
+    // row (classes smaller than k, and how many rows sit in them).
+    "q222_k_anonymity" -> ((s, d) => {
+      import s.implicits._
+      graft.llmops.Privacy.kAnonymityAudit(
+        t(s, d, "documents")
+          .withColumn("len_bucket", floor($"n_chars" / 200)),
+        Seq("source", "lang", "len_bucket"), k = 5)
+    }),
+
+    // llmops Heaps'-law vocabulary growth (X196): vocab size at
+    // nested deterministic corpus prefixes + the fitted exponent —
+    // what more data buys, and whether the corpus is saturating.
+    "q223_heaps_profile" -> ((s, d) => {
+      import s.implicits._
+      graft.llmops.Vocab.heapsProfile(t(s, d, "documents"))
+        .orderBy($"fraction")
+    }),
+
+    // llmops exact phrase search (X198): positional postings,
+    // adjacency as slim (doc, pos+offset) equi-joins pruned to the
+    // phrase terms — never a substring scan; overlapping occurrences
+    // count (the positional semantics, which the oracle replays).
+    "q224_phrase_search" -> ((s, d) => {
+      import s.implicits._
+      graft.llmops.Phrase.phraseTopK(t(s, d, "documents"),
+          Seq("table", "hash"), k = 15)
+        .orderBy($"doc_id")
+    }),
+
+    // llmops log-odds distinctive terms (X197, Monroe et al.
+    // "Fightin' Words"): per-source terms scored by the z-statistic
+    // of their prior-shrunk log-odds vs the rest of the corpus —
+    // skewed AND supported, unlike raw-ratio scores.
+    "q225_distinctive_terms" -> ((s, d) => {
+      import s.implicits._
+      graft.llmops.TextFuncs.distinctiveTerms(t(s, d, "documents"),
+          "source", k = 5)
+        .orderBy($"group", $"rk")
     }),
 
     // llmops semantic decontamination (X192): corpus vectors within
@@ -9047,7 +9119,8 @@ object SparkEntry {
              FROM (SELECT doc_id,
                           string_split_regex(lower(trim(text)), '\\s+')
                             AS l
-                   FROM documents))
+                   FROM documents
+                   WHERE substring(md5(text), 1, 2) < '80'))
            WHERE term <> ''),
          dfx AS (SELECT term, count(*) AS dfc FROM tf GROUP BY 1),
          ranked AS (
@@ -9207,6 +9280,155 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, vec_id, round(sim, 4) AS sim, rk::INTEGER AS rk
          FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""",
+    // TextRank: positions via generate_series, window-2 co-occurrence
+    // edges, two unrolled PageRank rounds keyed (doc, term)
+    "q220_textrank" ->
+      """WITH base AS (
+           SELECT doc_id AS id,
+                  string_split_regex(lower(trim(text)), '\s+') AS l
+           FROM documents WHERE doc_id < 40),
+         toks AS (
+           SELECT id, i AS pos, l[i] AS term
+           FROM base, unnest(generate_series(1, len(l))) AS g(i)
+           WHERE length(l[i]) >= 3),
+         e0 AS (
+           SELECT DISTINCT id, least(a, b) AS u, greatest(a, b) AS v
+           FROM (
+             SELECT x.id, x.term AS a, y.term AS b
+             FROM toks x JOIN toks y
+               ON y.id = x.id AND y.pos = x.pos + 1 AND x.term <> y.term
+             UNION ALL
+             SELECT x.id, x.term, y.term
+             FROM toks x JOIN toks y
+               ON y.id = x.id AND y.pos = x.pos + 2 AND x.term <> y.term)),
+         sym AS (SELECT id, u, v FROM e0
+                 UNION ALL SELECT id, v, u FROM e0),
+         deg AS (SELECT id, u, count(*)::DOUBLE AS deg
+                 FROM sym GROUP BY 1, 2),
+         nodes AS (SELECT id, u AS term FROM deg),
+         c1 AS (SELECT s.id, s.v AS term, sum(1.0 / d.deg) AS m
+                FROM sym s JOIN deg d ON d.id = s.id AND d.u = s.u
+                GROUP BY 1, 2),
+         r1 AS (SELECT n.id, n.term,
+                       0.15 + 0.85 * coalesce(c1.m, 0) AS r
+                FROM nodes n LEFT JOIN c1 USING (id, term)),
+         c2 AS (SELECT s.id, s.v AS term, sum(r1.r / d.deg) AS m
+                FROM sym s
+                JOIN deg d ON d.id = s.id AND d.u = s.u
+                JOIN r1 ON r1.id = s.id AND r1.term = s.u
+                GROUP BY 1, 2),
+         r2 AS (SELECT n.id, n.term,
+                       0.15 + 0.85 * coalesce(c2.m, 0) AS r
+                FROM nodes n LEFT JOIN c2 USING (id, term))
+         SELECT id AS doc_id, rk::INTEGER AS rk, term, rank FROM (
+           SELECT id, term, round(r, 4) AS rank,
+                  row_number() OVER (PARTITION BY id
+                    ORDER BY round(r, 4) DESC, term) AS rk
+           FROM r2)
+         WHERE rk <= 3 ORDER BY doc_id, rk""",
+    "q221_pseudonymize" ->
+      """SELECT md5('rotate-2026:' || user_id::VARCHAR) AS user_id,
+                count(*) AS n_events
+         FROM events GROUP BY 1
+         ORDER BY n_events DESC, user_id LIMIT 20""",
+    "q222_k_anonymity" ->
+      """WITH cls AS (
+           SELECT source, lang, floor(n_chars / 200) AS len_bucket,
+                  count(*) AS n
+           FROM documents GROUP BY 1, 2, 3)
+         SELECT 5 AS k, sum(n)::BIGINT AS n_rows, count(*) AS n_classes,
+                min(n) AS min_class_size,
+                sum(CASE WHEN n < 5 THEN 1 ELSE 0 END)::BIGINT
+                  AS violating_classes,
+                sum(CASE WHEN n < 5 THEN n ELSE 0 END)::BIGINT
+                  AS violating_rows,
+                round(sum(CASE WHEN n < 5 THEN n ELSE 0 END)
+                  / sum(n)::DOUBLE, 4) AS violating_row_rate
+         FROM cls""",
+    "q223_heaps_profile" ->
+      """WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+         f AS (SELECT unnest([0.125, 0.25, 0.5, 1.0]::DOUBLE[]) AS fr),
+         ck AS (SELECT fr, ceil((m.mx + 1) * fr) AS cut FROM f, m),
+         tok AS (
+           SELECT doc_id,
+                  unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+           FROM documents),
+         tok2 AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+         per AS (
+           SELECT ck.fr AS fraction,
+                  count(DISTINCT tk.doc_id) AS n_docs,
+                  count(*) AS n_tokens,
+                  count(DISTINCT tk.t) AS vocab
+           FROM ck JOIN tok2 tk ON tk.doc_id < ck.cut
+           GROUP BY ck.fr),
+         frst AS (SELECT n_tokens AS n0, vocab AS v0 FROM per
+                  ORDER BY fraction LIMIT 1)
+         SELECT fraction, n_docs, n_tokens, vocab,
+                round(CASE WHEN per.n_tokens > frst.n0
+                  THEN (ln(vocab) - ln(frst.v0))
+                       / (ln(n_tokens) - ln(frst.n0))
+                  ELSE 0.0 END, 4) AS beta
+         FROM per, frst ORDER BY fraction""",
+    // phrase search: positional adjacency replay (overlap-correct),
+    // never a substring count
+    "q224_phrase_search" ->
+      """WITH base AS (
+           SELECT doc_id AS id,
+                  string_split_regex(lower(trim(text)), '\s+') AS l
+           FROM documents),
+         toks AS (
+           SELECT id, i AS pos, l[i] AS term
+           FROM base, unnest(generate_series(1, len(l))) AS g(i)
+           WHERE l[i] IN ('table', 'hash')),
+         starts AS (
+           SELECT a.id, a.pos AS start
+           FROM toks a JOIN toks b
+             ON b.id = a.id AND b.pos = a.pos + 1
+           WHERE a.term = 'table' AND b.term = 'hash'),
+         occ AS (SELECT id, count(*) AS n_occurrences
+                 FROM starts GROUP BY id),
+         lens AS (
+           SELECT doc_id AS id,
+                  CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(lower(trim(text)),
+                            '\s+')) END::BIGINT AS n_tokens
+           FROM documents)
+         SELECT id AS doc_id, n_occurrences, n_tokens FROM (
+           SELECT o.id, o.n_occurrences, lens.n_tokens,
+                  row_number() OVER (
+                    ORDER BY o.n_occurrences DESC, o.id) AS rk
+           FROM occ o JOIN lens ON lens.id = o.id)
+         WHERE rk <= 15 ORDER BY doc_id""",
+    "q225_distinctive_terms" ->
+      """WITH cnt AS (
+           SELECT source AS grp, t AS term, count(*) AS y FROM (
+             SELECT source,
+                    unnest(string_split_regex(lower(trim(text)), '\s+'))
+                      AS t
+             FROM documents)
+           WHERE t <> '' GROUP BY 1, 2),
+         gt AS (SELECT grp, sum(y) AS ng FROM cnt GROUP BY grp),
+         tt AS (SELECT term, sum(y) AS yg FROM cnt GROUP BY term),
+         gl AS (SELECT sum(y) AS nn, count(DISTINCT term) AS vv FROM cnt),
+         sc AS (
+           SELECT c.grp, c.term, c.y, (tt.yg - c.y) AS yr,
+                  round((ln((c.y + 0.01) /
+                          (gt.ng + 0.01 * gl.vv - c.y - 0.01)) -
+                         ln((tt.yg - c.y + 0.01) /
+                          (gl.nn - gt.ng + 0.01 * gl.vv
+                           - (tt.yg - c.y) - 0.01))) /
+                        sqrt(1.0 / (c.y + 0.01) +
+                             1.0 / (tt.yg - c.y + 0.01)), 4) AS z
+           FROM cnt c
+           JOIN gt ON gt.grp = c.grp
+           JOIN tt ON tt.term = c.term
+           CROSS JOIN gl
+           WHERE c.y >= 2)
+         SELECT grp AS "group", rk::INTEGER AS rk, term,
+                y AS n_group, yr::BIGINT AS n_rest, z
+         FROM (SELECT *, row_number() OVER (PARTITION BY grp
+                 ORDER BY z DESC, term) AS rk FROM sc)
+         WHERE rk <= 5 ORDER BY "group", rk""",
     "q219_semantic_decontam" ->
       """SELECT a.vec_id AS corpus_id, p.bench_id,
                 round(list_cosine_similarity(ce.embedding::DOUBLE[],

@@ -138,4 +138,84 @@ object Keywords {
       .select(col("prefix"), col("rank"), col("q").as("completion"),
         col("n"))
   }
+
+  /** TextRank keywords (X193; Mihalcea & Tarau 2004): per-document
+    * PageRank over the word co-occurrence graph — the GRAPH
+    * counterpart of [[rakeKeywords]]' frequency statistics: RAKE
+    * scores words by the company they keep inside candidate phrases,
+    * TextRank by their centrality in the whole document's
+    * co-occurrence structure, which surfaces connective vocabulary
+    * RAKE's stopword-bounded phrases never see. Both are per-document
+    * and model-free; run both and diff when labeling matters.
+    *
+    * Construction, stated exactly for the oracle: vertices = the
+    * document's distinct tokens of length ≥ `minLen`; undirected
+    * edges = distinct unordered token pairs co-occurring within
+    * `windowSize` positions (parallel pairs collapse — the standard
+    * unweighted formulation); rank = `iterations` synchronous rounds
+    * of r ← (1−d) + d·Σ r(u)/deg(u) from r₀ = 1, exactly
+    * [[graft.ops.PageRank]]'s update with every quantity keyed by
+    * (doc, token). Ties rank alphabetically.
+    *
+    * Scale shape: ALL documents' graphs are one edge table keyed
+    * (doc, u, v) — per-round cost is `iterations` slim joins on the
+    * (doc, token) composite key, never a per-document loop; the
+    * final top-k rides the X46 rank-window rewrite.
+    */
+  def textrankKeywords(docs: DataFrame, k: Int = 5, windowSize: Int = 2,
+                       iterations: Int = 2, damping: Double = 0.85,
+                       minLen: Int = 3, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    require(k >= 1 && windowSize >= 1 && iterations >= 1,
+      "k, windowSize, iterations must be >= 1")
+    val toks = docs.select(col(idCol).as("id"),
+        posexplode(TextFuncs.tokens(col(textCol)))
+          .as(Seq("pos", "term")))
+      .filter(length(col("term")) >= minLen)
+    // co-occurrence within windowSize: |pos_a - pos_b| <= w via w
+    // shifted equi-joins (a theta band join would be quadratic)
+    val edges = (1 to windowSize).map { off =>
+      toks.select(col("id"), col("pos"), col("term").as("a"))
+        .join(toks.select(col("id"), (col("pos") - off).as("pos"),
+          col("term").as("b")), Seq("id", "pos"))
+        .filter(col("a") =!= col("b"))
+        .select(col("id"), least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v"))
+    }.reduce(_ unionByName _).distinct().localCheckpoint(true)
+    val sym = edges.unionByName(
+      edges.select(col("id"), col("v").as("u"), col("u").as("v")))
+    val deg = sym.groupBy(col("id"), col("u"))
+      .agg(count(lit(1)).cast("double").as("deg"))
+    val nodes = deg.select(col("id"), col("u").as("term"))
+    var ranks = nodes.select(col("id"), col("term"),
+      lit(1.0).as("r")).localCheckpoint(true)
+    var i = 0
+    while (i < iterations) {
+      val contrib = sym
+        .join(ranks.select(col("id"), col("term").as("u"), col("r")),
+          Seq("id", "u"))
+        .join(deg, Seq("id", "u"))
+        .groupBy(col("id"), col("v"))
+        .agg(sum(col("r") / col("deg")).as("m"))
+      ranks = nodes
+        .join(contrib.select(col("id"), col("v").as("term"), col("m")),
+          Seq("id", "term"), "left")
+        .select(col("id"), col("term"),
+          (lit(1.0 - damping) +
+            lit(damping) * coalesce(col("m"), lit(0.0))).as("r"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    // rank on the ROUNDED score (the rankTail discipline): float
+    // summation order differs across engines/partitionings, and a
+    // raw-double orderBy would flip ULP-close ranks; 4dp ties break
+    // alphabetically, deterministic everywhere
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("rank").desc, col("term"))
+    ranks
+      .withColumn("rank", round(col("r"), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("id").as(idCol), col("rk"), col("term"), col("rank"))
+  }
 }

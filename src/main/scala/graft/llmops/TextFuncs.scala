@@ -625,6 +625,68 @@ object TextFuncs {
         col("score"))
   }
 
+  /** Log-odds distinctive terms (X197; Monroe, Colaresi & Quinn 2008,
+    * "Fightin' Words", uniform Dirichlet prior) — each group's terms
+    * scored by the Z-STATISTIC of their log-odds against the rest of
+    * the corpus. The inferential upgrade over [[clusterTerms]]'
+    * c-TF-IDF: raw frequency ratios over-reward rare terms (one
+    * mention in a small group looks infinitely distinctive); the
+    * prior shrinks small counts and the variance term
+    * 1/(y+α) + 1/(y'+α) turns the score into evidence, so a term
+    * must be both SKEWED and SUPPORTED to rank. The source-forensics
+    * question ("what does this crawl slice talk about that the
+    * others don't") answered with error bars.
+    *
+    * δ = ln[(y+α)/(nᵍ+αV−y−α)] − ln[(y'+α)/(nʳ+αV−y'−α)],
+    * z = δ / sqrt(1/(y+α) + 1/(y'+α)) — all from one token scan
+    * reduced to slim (group, term, count) rows; group totals and the
+    * vocabulary size broadcast; the top-k window runs per group over
+    * its own vocabulary.
+    *
+    * @return (group, rk, term, n_group, n_rest, z) — z 4dp, rk by
+    *         (z desc, term)
+    */
+  def distinctiveTerms(docs: DataFrame, byCol: String, k: Int = 5,
+                       alpha: Double = 0.01, minCount: Long = 2,
+                       textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && alpha > 0, "k >= 1, alpha > 0")
+    val counts = docs.filter(col(byCol).isNotNull)
+      .select(col(byCol).as("group"),
+        explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("group"), col("term"))
+      .agg(count(lit(1)).as("y"))
+    val gTot = counts.groupBy(col("group"))
+      .agg(sum(col("y")).as("ng"))
+    val tTot = counts.groupBy(col("term"))
+      .agg(sum(col("y")).as("yg"))
+    val global = counts.agg(sum(col("y")).as("nn"),
+      countDistinct(col("term")).as("vv"))
+    val scored = counts
+      .join(broadcast(gTot), Seq("group"))
+      .join(tTot, Seq("term"))
+      .crossJoin(broadcast(global))
+      .withColumn("yr", col("yg") - col("y"))
+      .withColumn("nr", col("nn") - col("ng"))
+      .withColumn("delta",
+        log((col("y") + alpha) /
+          (col("ng") + lit(alpha) * col("vv") - col("y") - alpha)) -
+        log((col("yr") + alpha) /
+          (col("nr") + lit(alpha) * col("vv") - col("yr") - alpha)))
+      .withColumn("z", round(col("delta") /
+        sqrt(lit(1.0) / (col("y") + alpha) +
+          lit(1.0) / (col("yr") + alpha)), 4))
+      .filter(col("y") >= minCount)
+    val w = Window.partitionBy(col("group"))
+      .orderBy(col("z").desc, col("term"))
+    scored
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= k)
+      .select(col("group"), col("rk"), col("term"),
+        col("y").as("n_group"), col("yr").as("n_rest"), col("z"))
+  }
+
   /** Zipf rank-frequency fit (SURVEY §2.10 X139) — the corpus-health
     * one-liner: natural text follows freq ∝ rank^s with s ≈ −1
     * (Zipf's law); an OLS fit of ln(freq) on ln(rank) over the

@@ -406,4 +406,53 @@ object Vocab {
       .withColumn("oov_type_rate",
         col("oov_types").cast("double") / col("n_types"))
   }
+
+  /** Heaps'-law vocabulary-growth profile (X196): vocabulary size at
+    * nested corpus prefixes, plus the fitted growth exponent — the
+    * "how much NEW vocabulary does more data buy" number that prices
+    * corpus acquisition and sizes tokenizer vocabularies (Heaps 1978:
+    * V ≈ K·N^β, β ≈ 0.4-0.6 for natural text; β near 0 means the
+    * corpus is saturating — more of the same — and β near 1 flags
+    * id/hash spill inflating the vocabulary).
+    *
+    * Prefixes are deterministic id-ordered slices (doc_id below the
+    * fraction cutoff), so the profile is reproducible and the oracle
+    * replays it; each checkpoint is one distinct-count aggregate over
+    * the pruned slice — the scan prunes on the id predicate, nothing
+    * global. β is the two-point log-log fit between the smallest and
+    * largest checkpoints, computed per row (constant column) so the
+    * scalar travels with the frame.
+    *
+    * @return one row per checkpoint: (fraction, n_docs, n_tokens,
+    *         vocab, beta) — beta 4dp
+    */
+  def heapsProfile(docs: DataFrame, fractions: Seq[Double] =
+                     Seq(0.125, 0.25, 0.5, 1.0),
+                   idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(f => f > 0 && f <= 1),
+      "fractions in (0, 1]")
+    val spark = docs.sparkSession
+    val maxId = docs.agg(max(col(idCol))).head().getLong(0)
+    val rows = fractions.sorted.map { f =>
+      val cut = math.ceil((maxId + 1) * f).toLong
+      docs.filter(col(idCol) < cut)
+        .select(explode(TextFuncs.tokens(col(textCol))).as("t"),
+          col(idCol))
+        .filter(col("t") =!= "")
+        .agg(lit(f).as("fraction"),
+          countDistinct(col(idCol)).as("n_docs"),
+          count(lit(1)).as("n_tokens"),
+          countDistinct(col("t")).as("vocab"))
+    }.reduce(_ unionByName _)
+    val first = rows.orderBy(col("fraction")).limit(1)
+      .select(col("n_tokens").as("__n0"), col("vocab").as("__v0"))
+    rows.crossJoin(broadcast(first))
+      .withColumn("beta",
+        round(when(col("n_tokens") > col("__n0"),
+          (log(col("vocab")) - log(col("__v0"))) /
+            (log(col("n_tokens")) - log(col("__n0"))))
+          .otherwise(lit(0.0)), 4))
+      .drop("__n0", "__v0")
+  }
 }

@@ -465,4 +465,80 @@ class PlanShapeSpec extends SparkTestBase {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
     }
   }
+
+  // ---- round 11 pins -----------------------------------------------
+
+  test("q209: attribution is one window pass — no events-by-events " +
+       "self-join, no sort-merge join anywhere") {
+    val p = plan("q209_attribution")
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q213: winsorize bands broadcast back — the length table never " +
+       "sort-merge-joins") {
+    val p = plan("q213_winsorize")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("q217: BM25F posting passes are query-term-pruned broadcast " +
+       "semi-joins; stats and idf broadcast; no cartesian") {
+    val p = plan("q217_bm25f")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q218: multi-probe candidates come from a broadcast bucket " +
+       "join; ranking is the bounded-heap aggregate, not a Window") {
+    val p = plan("q218_multiprobe_ann")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("collect_top_k") || p.contains("ObjectHashAggregate"),
+      p.take(2000))
+  }
+
+  test("q219: semantic decontamination broadcasts the benchmark probe " +
+       "side — the corpus never re-shuffles for the join") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val exec = SparkEntry.queries("q219_semantic_decontam")(spark, sf0001)
+      .queryExecution.executedPlan
+    val p = exec.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // no exchange should carry the corpus embedding vector: the list
+    // join is broadcast, so corpus rows stay where the scan put them
+    val shuffles = exec.collect { case e: ShuffleExchangeLike => e }
+    shuffles.foreach { e =>
+      assert(!e.output.exists(_.name == "__cv"),
+        s"corpus vectors shuffled: $e") }
+  }
+
+  test("q207/q208: iterative graph rounds are checkpoint-cut — the " +
+       "executed plan of one round is shallow, not the whole lineage") {
+    // labels/frontiers localCheckpoint per round: the final plan must
+    // not contain the exploded edge-generator of the base table more
+    // than once (lineage O(1), the KCore/ConnectedComponents contract)
+    val p7 = plan("q207_label_propagation")
+    assert(p7.contains("Scan ExistingRDD") || p7.contains("LocalTableScan"),
+      p7.take(2000))
+    val p8 = plan("q208_bfs_distances")
+    assert(p8.contains("Scan ExistingRDD") || p8.contains("LocalTableScan"),
+      p8.take(2000))
+  }
+
+  test("q224: phrase search prunes postings by a broadcast term join " +
+       "and never substring-scans or builds a cartesian") {
+    val p = plan("q224_phrase_search")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("Contains"), p.take(2000)) // no substring scan
+  }
+
+  test("q225: distinctive terms reduce to slim (group, term) rows — " +
+       "group totals broadcast; no cartesian beyond the 1-row stats") {
+    val p = plan("q225_distinctive_terms")
+    assert(p.contains("HashAggregate"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
 }

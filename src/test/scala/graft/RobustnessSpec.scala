@@ -37,7 +37,16 @@ class RobustnessSpec extends SparkTestBase {
       "q192_dup_matrix", "q196_prefix_completions",
       "q197_session_paths", "q198_skew_report", "q199_cdc_merge",
       "q200_personalized_pagerank", "q201_rank_normalize",
-      "q202_shard_manifest", "q203_source_overlap", "q205_recrawl")
+      "q202_shard_manifest", "q203_source_overlap", "q205_recrawl",
+      // round 11: graph/events, audits, retrieval/ANN additions
+      "q207_label_propagation", "q208_bfs_distances",
+      "q209_attribution", "q210_basket_lift", "q211_content_drift",
+      "q212_fk_audit", "q213_winsorize", "q214_calibration",
+      "q215_lsh_recall_audit", "q216_sample_audit", "q217_bm25f",
+      "q218_multiprobe_ann", "q219_semantic_decontam",
+      "q220_textrank", "q221_pseudonymize", "q222_k_anonymity",
+      "q223_heaps_profile", "q224_phrase_search",
+      "q225_distinctive_terms")
     for (name <- picked) {
       val fn = SparkEntry.queries(name)
       val a = fn(spark, sf0001).collect().map(_.toString).sorted.toSeq

@@ -82,4 +82,47 @@ class KeywordsSpec extends SparkTestBase {
         r.getDouble(4))).toSet
     assert(a == b)
   }
+
+  test("textrank: hub word connected to everything outranks leaf " +
+      "words; deterministic; ties break alphabetically") {
+    import spark.implicits._
+    // "core" co-occurs with every other word; leaves see only core
+    val docs = Seq((1L,
+      "core alpha core beta core gamma core delta core epsilon"))
+      .toDF("doc_id", "text")
+    val got = Keywords.textrankKeywords(docs, k = 3, windowSize = 1,
+        iterations = 2)
+      .collect().map(r => (r.getInt(1), r.getString(2)))
+    assert(got.head == ((1, "core")), s"${got.toSeq}")
+    val again = Keywords.textrankKeywords(docs, k = 3, windowSize = 1,
+        iterations = 2)
+      .collect().map(r => (r.getInt(1), r.getString(2)))
+    assert(got.toSeq == again.toSeq)
+  }
+
+  test("textrank: per-document graphs stay independent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana apple banana apple"),
+      (2L, "xylophone zebra xylophone zebra")
+    ).toDF("doc_id", "text")
+    val got = Keywords.textrankKeywords(docs, k = 2, windowSize = 1,
+        iterations = 2)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getString(2)).toSet }
+    assert(got(1L) == Set("apple", "banana"))
+    assert(got(2L) == Set("xylophone", "zebra"))
+  }
+
+  test("textrank: short tokens excluded by minLen; empty docs emit " +
+      "no rows") {
+    import spark.implicits._
+    val docs = Seq((1L, "of at by significant tokens only appear"),
+      (2L, "")).toDF("doc_id", "text")
+    val got = Keywords.textrankKeywords(docs, k = 10, windowSize = 2,
+        iterations = 1)
+      .collect()
+    assert(got.forall(_.getLong(0) == 1L))
+    assert(got.forall(_.getString(2).length >= 3))
+  }
 }

@@ -476,4 +476,27 @@ class TextFuncsSpec extends SparkTestBase {
     assert(got(1L) == "w1 w2 w3 ... w9 w10")
     assert(got(2L) == "")
   }
+
+  test("distinctiveTerms: a group-exclusive supported term outranks a " +
+      "shared one; minCount gates one-off noise") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a", "quantum quantum quantum shared shared"),
+      ("a", "quantum quantum shared noise"),
+      ("b", "pottery pottery pottery shared shared"),
+      ("b", "pottery pottery shared")
+    ).toDF("source", "text")
+    val got = TextFuncs.distinctiveTerms(docs, "source", k = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getDouble(5)))
+    val aTop = got.filter(_._1 == "a").minBy(_._2)
+    val bTop = got.filter(_._1 == "b").minBy(_._2)
+    assert(aTop._3 == "quantum" && bTop._3 == "pottery", s"${got.toSeq}")
+    assert(aTop._4 > 0.0 && bTop._4 > 0.0)
+    // "shared" is balanced: never the top term, z near zero
+    val sharedZ = got.filter(_._3 == "shared").map(_._4)
+    sharedZ.foreach(z => assert(math.abs(z) < aTop._4))
+    // "noise" (count 1) is gated by minCount = 2
+    assert(!got.exists(_._3 == "noise"))
+  }
 }

@@ -327,4 +327,24 @@ class VocabSpec extends SparkTestBase {
       .collect().map(_.toSeq).toSet
     assert(a == b)
   }
+
+  test("heapsProfile: vocab grows sublinearly on natural-ish text and " +
+      "beta reflects it; checkpoints nest") {
+    import spark.implicits._
+    val docs = (0 until 64).map { i =>
+      (i.toLong, (0 until 50).map(k =>
+        s"w${(i * 53 + k * k) % 700}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val rows = Vocab.heapsProfile(docs)
+      .collect().sortBy(_.getAs[Double]("fraction"))
+    assert(rows.length == 4)
+    val vocabs = rows.map(_.getAs[Long]("vocab"))
+    val tokens = rows.map(_.getAs[Long]("n_tokens"))
+    assert(vocabs.zip(vocabs.tail).forall { case (a, b) => a <= b })
+    assert(tokens.zip(tokens.tail).forall { case (a, b) => a < b })
+    val beta = rows.last.getAs[Double]("beta")
+    assert(beta > 0.0 && beta < 1.0, s"beta=$beta")
+    // first checkpoint is its own fit base: beta 0 by definition
+    assert(rows.head.getAs[Double]("beta") == 0.0)
+  }
 }
