@@ -256,6 +256,19 @@ object Graft {
     * LPA: most-frequent neighbor label, ties to the smallest. */
   def labelPropagation(edges: DataFrame, iterations: Int = 3): DataFrame =
     ops.Communities.labelPropagation(edges, iterations)
+  /** Modularity + conductance per community (X199, q226) — evaluate a
+    * labeling before acting on it. */
+  def communityReport(edges: DataFrame, labels: DataFrame): DataFrame =
+    ops.Communities.communityReport(edges, labels)
+  /** Gini + top-decile concentration of a weight over keys, per group
+    * (X200, q227). */
+  def concentrationReport(df: DataFrame, groupCol: String, keyCol: String,
+                          weight: org.apache.spark.sql.Column): DataFrame =
+    ops.Profiling.concentrationReport(df, groupCol, keyCol, weight)
+  /** Deterministic-assignment two-proportion A/B z-test (X201, q228). */
+  def abTest(events: DataFrame, conversionType: String,
+             salt: String): DataFrame =
+    ops.Experiments.abTest(events, conversionType, salt)
   /** Multi-source BFS hop distances from a seed frame (X181);
     * unreachable nodes absent. */
   def bfsDistances(edges: DataFrame, seeds: DataFrame, maxDepth: Int = 3,
@@ -350,6 +363,18 @@ object Graft {
     llmops.VectorFuncs.hashedTfidfEmbedding(docs, dim, idCol, textCol)
   /** Sentence-aligned retrieval chunks (atomic sentences, char
     * budget). */
+  /** Semantic (embedding-drift) chunking (X203, q229): split where
+    * the topic moves, not where a byte budget fills. */
+  def semanticChunks(docs: DataFrame, dim: Int = 64,
+                     minSim: Double = 0.3): DataFrame =
+    llmops.Chunking.semanticChunks(docs, dim, minSim)
+  /** PCA for embedding columns (X204, q230): one-pass scatter,
+    * deterministic power iteration, broadcast projection. */
+  def pcaFit(vecs: DataFrame, k: Int,
+             iters: Int = 30): llmops.Pca.PcaModel =
+    llmops.Pca.fit(vecs, k, iters)
+  def pcaProject(vecs: DataFrame, model: llmops.Pca.PcaModel): DataFrame =
+    llmops.Pca.project(vecs, model)
   def sentenceChunks(docs: DataFrame, targetChars: Int): DataFrame =
     llmops.Chunking.sentenceChunks(docs, targetChars)
   /** One-call retrieval: text in, persisted chunk+ANN index out. */

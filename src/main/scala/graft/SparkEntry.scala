@@ -4228,6 +4228,111 @@ object SparkEntry {
         .orderBy($"group", $"rk")
     }),
 
+    // ops community-quality report (X199): Newman modularity +
+    // conductance for the q207 LPA labeling over the q80 graph —
+    // the evaluation half a clustering needs before anyone acts on
+    // it. Oracle replays the two LPA rounds AND the report arithmetic.
+    "q226_community_report" -> ((s, d) => {
+      import s.implicits._
+      val edges = t(s, d, "documents")
+        .select($"doc_id".as("src"),
+          explode(array((0 until 3).map(k =>
+            pmod($"doc_id" * 7919 + lit(k), lit(500))): _*)).as("dst"))
+      val labels = graft.ops.Communities.labelPropagation(edges,
+        iterations = 2)
+      graft.ops.Communities.communityReport(edges, labels)
+        .orderBy($"label")
+    }),
+
+    // ops concentration report (X200): Gini + top-decile share of
+    // per-user event mass, per event type — the load-shape numbers
+    // behind host caps and abuse decisions.
+    "q227_concentration" -> ((s, d) => {
+      import s.implicits._
+      graft.ops.Profiling.concentrationReport(t(s, d, "events"),
+          "event_type", "user_id", lit(1L))
+        .orderBy($"group")
+    }),
+
+    // ops two-proportion A/B z-test (X201): deterministic hash
+    // assignment, pooled z, one aggregation — did arm b purchase
+    // more? (On hash-split uniform data the honest answer is "no",
+    // and the test must SAY no: z small, significant false.)
+    "q228_ab_test" -> ((s, d) => {
+      import s.implicits._
+      graft.ops.Experiments.abTest(t(s, d, "events"),
+        conversionType = "purchase", salt = "exp1")
+    }),
+
+    // llmops semantic chunking (X203): chunk where the TOPIC moves —
+    // consecutive planted sentences embed (md5-hash buckets) and a
+    // boundary opens where rounded cosine < 0.3. Sentences planted
+    // q131-style so the oracle replays segmentation + embedding +
+    // drift + reassembly end to end.
+    "q229_semantic_chunks" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents").filter($"doc_id" % 6 === 3)
+        .select($"doc_id", concat(
+          lit("Alpha beta gamma delta one. "),
+          lit("Alpha beta gamma two doc"), $"doc_id", lit(" delta. "),
+          lit("Omega sigma tau upsilon three. "),
+          lit("Omega sigma tau four "), $"source", lit(" upsilon."))
+          .as("text"))
+      graft.llmops.Chunking.semanticChunks(docs, dim = 64, minSim = 0.3)
+        .select($"doc_id", $"chunk_idx", $"n_sentences",
+          md5($"chunk_text").as("chunk_md5"))
+        .orderBy($"doc_id", $"chunk_idx")
+    }),
+
+    // llmops PCA contract (X204, the q89 estimate-contract pattern):
+    // fit top-4 components of the embeddings, dump the model; both
+    // engines then verify the CONTRACTS — unit norms, orthogonality,
+    // per-component explained variance equal to the variance of the
+    // projected coordinate (the eigenvalue identity), descending.
+    "q230_pca_contract" -> ((s, d) => {
+      import s.implicits._
+      val P = graft.llmops.Pca
+      val emb = t(s, d, "embeddings").where($"embedding".isNotNull)
+      val m = P.fit(emb, k = 4)
+      if (materializing) {
+        val comps = for {
+          c <- m.components.indices; i <- 0 until m.d
+        } yield (c, i, m.components(c)(i))
+        materialize(comps.toDF("component", "idx", "w"), "q230_components")
+        materialize(m.mean.zipWithIndex.map(p => (p._2, p._1))
+          .toSeq.toDF("idx", "m"), "q230_mean")
+        materialize(m.explained.zipWithIndex.map(p => (p._2, p._1))
+          .toSeq.toDF("component", "explained"), "q230_explained")
+      }
+      // coordinate variance in DOUBLE (the float32 projection would
+      // truncate the 4th decimal the oracle compares)
+      val coordStats = (0 until m.k).map { c =>
+        val coord = (0 until m.d).map(i =>
+          (element_at($"embedding", i + 1).cast("double") -
+            m.mean(i)) * m.components(c)(i)).reduce(_ + _)
+        emb.agg(
+          lit(c).as("component"),
+          (avg(coord * coord) - pow(avg(coord), 2.0)).as("coord_var"))
+      }.reduce(_ unionByName _)
+      val model = m.components.indices.map { c =>
+        val norm = math.sqrt(m.components(c).map(x => x * x).sum)
+        val maxCross = m.components.indices.filter(_ != c).map { o =>
+          math.abs(m.components(c).zip(m.components(o))
+            .map(p => p._1 * p._2).sum)
+        }.max
+        (c, m.explained(c), norm, maxCross)
+      }.toDF("component", "explained", "norm", "max_cross")
+      coordStats.join(model, Seq("component"))
+        .select($"component",
+          round($"explained", 4).as("explained"),
+          round($"coord_var", 4).as("coord_var"),
+          (abs($"coord_var" - $"explained") <=
+            greatest(lit(1e-4), $"explained" * 0.01)).as("var_ok"),
+          (abs($"norm" - 1.0) < 1e-6).as("norm_ok"),
+          ($"max_cross" < 1e-6).as("orth_ok"))
+        .orderBy($"component")
+    }),
+
     // llmops semantic decontamination (X192): corpus vectors within
     // cosine 0.97 of any benchmark vector are contamination — the
     // embedding-space axis n-gram/bloom decontamination cannot see.
@@ -9280,6 +9385,135 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, vec_id, round(sim, 4) AS sim, rk::INTEGER AS rk
          FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""",
+    // community report: the q207 LPA replay feeding the modularity /
+    // conductance arithmetic over the labeled canonical edge list
+    "q226_community_report" ->
+      """WITH e0 AS (
+           SELECT DISTINCT doc_id AS src, (doc_id * 7919 + k) % 500 AS dst
+           FROM documents, (VALUES (0), (1), (2)) AS ks(k)),
+         canon AS (
+           SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+           FROM e0 WHERE src <> dst),
+         symm AS (SELECT u, v FROM canon
+                  UNION ALL SELECT v, u FROM canon),
+         nodes AS (SELECT DISTINCT u AS node FROM symm),
+         l0 AS (SELECT node, node AS label FROM nodes),
+         v1 AS (SELECT s.u AS node, l.label, count(*) AS n
+                FROM symm s JOIN l0 l ON l.node = s.v GROUP BY 1, 2),
+         w1 AS (SELECT node, label FROM (
+                  SELECT node, label, row_number() OVER (
+                    PARTITION BY node ORDER BY n DESC, label ASC) AS rk
+                  FROM v1) WHERE rk = 1),
+         l1 AS (SELECT n.node, coalesce(w1.label, n.node) AS label
+                FROM nodes n LEFT JOIN w1 USING (node)),
+         v2 AS (SELECT s.u AS node, l.label, count(*) AS n
+                FROM symm s JOIN l1 l ON l.node = s.v GROUP BY 1, 2),
+         w2 AS (SELECT node, label FROM (
+                  SELECT node, label, row_number() OVER (
+                    PARTITION BY node ORDER BY n DESC, label ASC) AS rk
+                  FROM v2) WHERE rk = 1),
+         lab AS (SELECT n.node, coalesce(w2.label, n.node) AS label
+                 FROM nodes n LEFT JOIN w2 USING (node)),
+         le AS (
+           SELECT c.u, c.v, lu.label AS lu, lv.label AS lv
+           FROM canon c
+           JOIN lab lu ON lu.node = c.u
+           JOIN lab lv ON lv.node = c.v),
+         m AS (SELECT count(*)::DOUBLE AS m FROM le),
+         intra AS (SELECT lu AS label, count(*) AS intra_edges
+                   FROM le WHERE lu = lv GROUP BY 1),
+         cuts AS (SELECT label, count(*) AS cut_edges FROM (
+                    SELECT lu AS label FROM le WHERE lu <> lv
+                    UNION ALL
+                    SELECT lv FROM le WHERE lu <> lv) GROUP BY 1),
+         vol AS (SELECT label, count(*) AS degree_sum FROM (
+                   SELECT lu AS label FROM le
+                   UNION ALL SELECT lv FROM le) GROUP BY 1),
+         sizes AS (SELECT label, count(*) AS n_nodes
+                   FROM lab GROUP BY 1),
+         per AS (
+           SELECT s.label, s.n_nodes,
+                  coalesce(i.intra_edges, 0) AS intra_edges,
+                  coalesce(c.cut_edges, 0) AS cut_edges,
+                  coalesce(v.degree_sum, 0) AS degree_sum
+           FROM sizes s
+           LEFT JOIN intra i USING (label)
+           LEFT JOIN cuts c USING (label)
+           LEFT JOIN vol v USING (label)),
+         q AS (
+           SELECT round(sum(intra_edges / m.m -
+                    pow(degree_sum / (2.0 * m.m), 2)), 4) + 0.0
+             AS modularity
+           FROM per, m)
+         SELECT per.label, per.n_nodes, per.intra_edges, per.cut_edges,
+                per.degree_sum,
+                CASE WHEN per.cut_edges = 0 THEN 0.0
+                     ELSE round(per.cut_edges /
+                       least(per.degree_sum::DOUBLE,
+                             2.0 * m.m - per.degree_sum), 4)
+                END AS conductance,
+                round(per.intra_edges / m.m -
+                  pow(per.degree_sum / (2.0 * m.m), 2), 4) + 0.0
+                  AS contribution,
+                q.modularity
+         FROM per, m, q ORDER BY per.label""",
+    "q227_concentration" ->
+      """WITH per AS (
+           SELECT event_type AS grp, user_id AS k,
+                  count(*)::DOUBLE AS x
+           FROM events GROUP BY 1, 2),
+         ranked AS (
+           SELECT grp, k, x, row_number() OVER (
+             PARTITION BY grp ORDER BY x, k) AS i
+           FROM per),
+         agg AS (
+           SELECT grp, count(*) AS n_keys, sum(x) AS total,
+                  sum(i * x) AS ix
+           FROM ranked GROUP BY grp),
+         dec AS (
+           SELECT r.grp, sum(r.x) AS topx
+           FROM ranked r JOIN agg a ON a.grp = r.grp
+           WHERE r.i > a.n_keys - ceil(a.n_keys / 10.0)
+           GROUP BY r.grp)
+         SELECT a.grp AS "group", a.n_keys,
+                a.total::BIGINT AS total,
+                round(CASE WHEN a.n_keys > 1
+                  THEN 2.0 * a.ix / (a.n_keys * a.total)
+                       - (a.n_keys + 1.0) / a.n_keys
+                  ELSE 0.0 END, 4) AS gini,
+                round(coalesce(d.topx, 0) / a.total, 4) AS top10_share
+         FROM agg a LEFT JOIN dec d ON d.grp = a.grp
+         ORDER BY "group"""",
+    "q228_ab_test" ->
+      """WITH units AS (
+           SELECT user_id,
+                  max(CASE WHEN event_type = 'purchase' THEN 1
+                      ELSE 0 END) AS conv,
+                  CASE WHEN substring(md5('exp1:' || min(user_id)::VARCHAR),
+                         1, 2) < '80' THEN 'a' ELSE 'b' END AS arm
+           FROM events GROUP BY user_id),
+         arms AS (
+           SELECT arm, count(*) AS n, sum(conv)::BIGINT AS conv
+           FROM units GROUP BY arm),
+         ab AS (
+           SELECT a.n AS n_a, b.n AS n_b,
+                  a.conv AS conv_a, b.conv AS conv_b,
+                  a.conv / a.n::DOUBLE AS ra, b.conv / b.n::DOUBLE AS rb,
+                  (a.conv + b.conv) / (a.n + b.n)::DOUBLE AS p
+           FROM (SELECT * FROM arms WHERE arm = 'a') a,
+                (SELECT * FROM arms WHERE arm = 'b') b),
+         z AS (
+           SELECT *, sqrt(p * (1.0 - p) *
+                    (1.0 / n_a + 1.0 / n_b)) AS se
+           FROM ab)
+         SELECT n_a, n_b, conv_a, conv_b,
+                round(ra, 4) AS rate_a, round(rb, 4) AS rate_b,
+                round(rb - ra, 4) AS lift,
+                CASE WHEN se > 0 THEN round((rb - ra) / se, 4)
+                     ELSE 0.0 END AS z,
+                (abs(CASE WHEN se > 0 THEN round((rb - ra) / se, 4)
+                      ELSE 0.0 END) >= 1.96) AS significant
+         FROM z""",
     // TextRank: positions via generate_series, window-2 co-occurrence
     // edges, two unrolled PageRank rounds keyed (doc, term)
     "q220_textrank" ->
@@ -9429,6 +9663,121 @@ object SparkEntry {
          FROM (SELECT *, row_number() OVER (PARTITION BY grp
                  ORDER BY z DESC, term) AS rk FROM sc)
          WHERE rk <= 5 ORDER BY "group", rk""",
+    // semantic chunking: planted sentences -> md5-hash embeddings ->
+    // sparse cosine via bucket join -> drift boundaries -> reassembly
+    "q229_semantic_chunks" ->
+      """WITH s AS (
+           SELECT doc_id, 0 AS pos,
+                  'Alpha beta gamma delta one.' AS s
+           FROM documents WHERE doc_id % 6 = 3
+           UNION ALL
+           SELECT doc_id, 1,
+                  'Alpha beta gamma two doc' || doc_id || ' delta.'
+           FROM documents WHERE doc_id % 6 = 3
+           UNION ALL
+           SELECT doc_id, 2, 'Omega sigma tau upsilon three.'
+           FROM documents WHERE doc_id % 6 = 3
+           UNION ALL
+           SELECT doc_id, 3,
+                  'Omega sigma tau four ' || source || ' upsilon.'
+           FROM documents WHERE doc_id % 6 = 3),
+         tok AS (
+           SELECT doc_id, pos,
+                  unnest(string_split_regex(lower(trim(s)), '\s+')) AS t
+           FROM s),
+         hb AS (
+           SELECT doc_id, pos,
+                  CAST(('0x' || substr(md5(t), 1, 8))::BIGINT % 64
+                       AS INTEGER) AS bucket,
+                  CASE WHEN substr(md5(t), 9, 1) < '8'
+                       THEN 1 ELSE -1 END AS sgn
+           FROM tok WHERE t <> ''),
+         bv AS (
+           SELECT doc_id, pos, bucket, sum(sgn)::DOUBLE AS v
+           FROM hb GROUP BY 1, 2, 3),
+         nrm AS (
+           SELECT doc_id, pos, sqrt(sum(v * v)) AS n
+           FROM bv GROUP BY 1, 2),
+         sim AS (
+           SELECT a.doc_id, b.pos AS pos,
+                  round(sum(a.v * b.v) / (na.n * nb.n), 4) AS sim
+           FROM bv a
+           JOIN bv b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                    AND b.bucket = a.bucket
+           JOIN nrm na ON na.doc_id = a.doc_id AND na.pos = a.pos
+           JOIN nrm nb ON nb.doc_id = b.doc_id AND nb.pos = b.pos
+           GROUP BY a.doc_id, b.pos, na.n, nb.n),
+         cut AS (
+           SELECT s.doc_id, s.pos, s.s,
+                  CASE WHEN sim.sim IS NULL OR sim.sim < 0.3
+                       THEN 1 ELSE 0 END AS c
+           FROM s LEFT JOIN sim
+             ON sim.doc_id = s.doc_id AND sim.pos = s.pos),
+         idx AS (
+           SELECT doc_id, pos, s,
+                  (sum(c) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - 1)::INTEGER AS chunk_idx
+           FROM cut)
+         SELECT doc_id, chunk_idx,
+                CAST(count(*) AS INTEGER) AS n_sentences,
+                md5(string_agg(s, ' ' ORDER BY pos)) AS chunk_md5
+         FROM idx GROUP BY doc_id, chunk_idx
+         ORDER BY doc_id, chunk_idx""",
+    // PCA contract: coordinate variance, norms, and cross-dots all
+    // recomputed in SQL from the dumped model + raw embeddings
+    "q230_pca_contract" ->
+      """WITH comp AS (
+           SELECT component, idx, w
+           FROM read_parquet('/root/repo/spark-warehouse/q230_components/*.parquet')),
+         mn AS (
+           SELECT idx, m
+           FROM read_parquet('/root/repo/spark-warehouse/q230_mean/*.parquet')),
+         ex AS (
+           SELECT component, explained
+           FROM read_parquet('/root/repo/spark-warehouse/q230_explained/*.parquet')),
+         ev AS (
+           SELECT vec_id, i - 1 AS idx, embedding[i]::DOUBLE AS x
+           FROM (SELECT vec_id, embedding FROM embeddings
+                 WHERE embedding IS NOT NULL) e,
+                unnest(generate_series(1, len(embedding))) AS g(i)),
+         coords AS (
+           SELECT c.component, ev.vec_id,
+                  sum((ev.x - mn.m) * c.w) AS coord
+           FROM ev
+           JOIN mn ON mn.idx = ev.idx
+           JOIN comp c ON c.idx = ev.idx
+           GROUP BY 1, 2),
+         cv AS (
+           SELECT component,
+                  avg(coord * coord) - avg(coord) * avg(coord)
+                    AS coord_var
+           FROM coords GROUP BY component),
+         norms AS (
+           SELECT component, sqrt(sum(w * w)) AS norm
+           FROM comp GROUP BY component),
+         cross_d AS (
+           SELECT a.component,
+                  max(abs(d.dot)) AS max_cross
+           FROM (SELECT DISTINCT component FROM comp) a
+           JOIN (SELECT x.component AS ca, y.component AS cb,
+                        sum(x.w * y.w) AS dot
+                 FROM comp x JOIN comp y
+                   ON x.idx = y.idx AND x.component <> y.component
+                 GROUP BY 1, 2) d ON d.ca = a.component
+           GROUP BY a.component)
+         SELECT ex.component,
+                round(ex.explained, 4) AS explained,
+                round(cv.coord_var, 4) AS coord_var,
+                (abs(cv.coord_var - ex.explained) <=
+                   greatest(1e-4, ex.explained * 0.01)) AS var_ok,
+                (abs(norms.norm - 1.0) < 1e-6) AS norm_ok,
+                (cross_d.max_cross < 1e-6) AS orth_ok
+         FROM ex
+         JOIN cv USING (component)
+         JOIN norms USING (component)
+         JOIN cross_d USING (component)
+         ORDER BY component""",
     "q219_semantic_decontam" ->
       """SELECT a.vec_id AS corpus_id, p.bench_id,
                 round(list_cosine_similarity(ce.embedding::DOUBLE[],

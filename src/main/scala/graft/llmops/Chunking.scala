@@ -91,4 +91,64 @@ object Chunking {
           x => x.getField("__s"))).as("chunk_text"),
         count(lit(1)).cast("int").as("n_sentences"))
   }
+
+  /** Semantic (embedding-drift) chunking (X203): split where the
+    * TOPIC moves, not where a byte budget fills — consecutive
+    * sentences embed ([[VectorFuncs.hashedEmbedding]], model-free)
+    * and a chunk boundary opens where their cosine drops below
+    * `minSim`. The RAG-facing upgrade over [[sentenceChunks]]
+    * (char-budget) and the token-window chunker: budget chunks cut
+    * mid-topic and glue topics together; drift chunks keep each
+    * retrievable unit about ONE thing. Same plumbing contract as the
+    * other chunkers: sentence order preserved, reassembly by single
+    * spaces, documents with no sentences emit nothing.
+    *
+    * Deterministic and oracle-replayable end to end: md5-hashed
+    * embeddings, cosine ROUNDED to 4dp before the threshold compare
+    * (so an engine's float-summation order cannot flip a boundary),
+    * token-less sentences (no embedding) always open a chunk.
+    * Composite sentence ids are `doc_id·1 000 000 + pos` — assumed
+    * collision-free below 1M sentences per document (far above any
+    * real document).
+    *
+    * Scale shape: sentences explode once; the embedder reduces them
+    * to slim (sid, bucket, v) rows; one lag window per doc over
+    * (pos-ordered) slim rows decides boundaries; one groupBy
+    * reassembles. Text shuffles once, on the uniform doc key.
+    */
+  def semanticChunks(docs: DataFrame, dim: Int = 64,
+                     minSim: Double = 0.3, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dim >= 2 && minSim > -1.0 && minSim < 1.0,
+      "dim >= 2, minSim in (-1, 1)")
+    val sent = docs
+      .select(col(idCol),
+        posexplode(Sentences.sentences(col(textCol))).as(Seq("__pos", "__s")))
+      .withColumn("__sid", col(idCol).cast("long") * 1000000L + col("__pos"))
+    val emb = VectorFuncs.hashedEmbedding(
+        sent.select(col("__sid").as("doc_id"), col("__s").as("text")),
+        dim)
+      .select(col("doc_id").as("__sid"), col("embedding"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val wc = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    sent
+      .join(emb, Seq("__sid"), "left")
+      .withColumn("__prev", lag(col("embedding"), 1).over(w))
+      .withColumn("__sim",
+        when(col("__prev").isNotNull && col("embedding").isNotNull,
+          round(VectorFuncs.cosine(col("__prev"), col("embedding")), 4)))
+      .withColumn("__cut",
+        when(col("__sim").isNull || col("__sim") < minSim, 1L)
+          .otherwise(0L))
+      .withColumn("chunk_idx",
+        (sum(col("__cut")).over(wc) - 1L).cast("int"))
+      .groupBy(col(idCol), col("chunk_idx"))
+      .agg(
+        concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("__pos"), col("__s")))),
+          x => x.getField("__s"))).as("chunk_text"),
+        count(lit(1)).cast("int").as("n_sentences"))
+  }
 }

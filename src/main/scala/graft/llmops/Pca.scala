@@ -1,0 +1,173 @@
+package graft.llmops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** PCA for embedding columns (X204) — the dimensionality half of the
+  * ANN toolbox: project `Array[Float]` vectors onto their top-k
+  * principal directions before indexing, the classic recall/IO trade
+  * (Jégou et al. apply exactly this in front of PQ; [[Opq]] learns a
+  * rotation, PCA learns a TRUNCATION — cheaper, and often all a
+  * bloated embedding needs). Also the whitening step quality probes
+  * want: variance concentrated in few directions = the embedding is
+  * effectively low-rank, and `explained` quantifies it.
+  *
+  * Distributed shape: ONE `mapPartitions` pass accumulates the d×d
+  * scatter matrix and the mean per partition (d ≤ ~1k: the d² floats
+  * are executor-local scratch, merged on the driver — the same
+  * bounded-model discipline as the IVF centroid tables; per-row cost
+  * is d²/2 fused multiply-adds, no shuffle at all). Eigenvectors by
+  * deterministic power iteration with deflation on the TINY driver
+  * matrix (d×d), fixed iteration count, fixed seed-free start (basis
+  * vector of max diagonal) — bit-reproducible, no RNG. Projection is
+  * then a broadcast codegen-friendly dot-product map.
+  *
+  * Honesty contract like [[Ivf.kmeansCentroids]]: fixed iterations
+  * approximate the eigenbasis (clustered eigenvalues converge
+  * slowly); the spec pins orthonormality, descending explained
+  * variance, and exact-recovery on a planted low-rank corpus rather
+  * than agreement with a closed-form eigensolver.
+  */
+object Pca {
+
+  /** The fitted model: row-major components (k × d), per-component
+    * explained variance, the input mean.
+    */
+  final case class PcaModel(components: Array[Array[Double]],
+                            explained: Array[Double],
+                            mean: Array[Double]) {
+    def k: Int = components.length
+    def d: Int = if (components.isEmpty) 0 else components(0).length
+  }
+
+  /** Fit the top-`k` principal components of `vecCol`.
+    *
+    * @param iters power-iteration rounds per component (driver-side,
+    *              on the d×d scatter — cheap; raise for clustered
+    *              spectra)
+    */
+  def fit(vecs: DataFrame, k: Int, iters: Int = 30,
+          vecCol: String = "embedding"): PcaModel = {
+    require(k >= 1, "k must be >= 1")
+    require(iters >= 1, "iters must be >= 1")
+    val rows = vecs.select(col(vecCol)).where(col(vecCol).isNotNull)
+    // one pass: n, sum, scatter (upper triangle) per partition
+    val (n, sum, scat) = rows.rdd.mapPartitions { it =>
+      var n = 0L
+      var s: Array[Double] = null
+      var m: Array[Double] = null // packed upper triangle
+      it.foreach { r =>
+        val v = r.getSeq[Float](0)
+        val d = v.length
+        if (s == null) { s = new Array[Double](d)
+          m = new Array[Double](d * (d + 1) / 2) }
+        require(v.length == s.length,
+          s"ragged embedding dim: ${v.length} vs ${s.length}")
+        n += 1
+        var i = 0
+        var p = 0
+        while (i < d) {
+          val vi = v(i).toDouble
+          s(i) += vi
+          var j = i
+          while (j < d) { m(p) += vi * v(j); j += 1; p += 1 }
+          i += 1
+        }
+      }
+      if (n == 0) Iterator.empty
+      else Iterator.single((n, s, m))
+    }.reduce { (a, b) =>
+      require(a._2.length == b._2.length,
+        s"ragged embedding dim across partitions: " +
+          s"${a._2.length} vs ${b._2.length}")
+      var i = 0
+      while (i < a._2.length) { a._2(i) += b._2(i); i += 1 }
+      i = 0
+      while (i < a._3.length) { a._3(i) += b._3(i); i += 1 }
+      (a._1 + b._1, a._2, a._3)
+    }
+    val d = sum.length
+    val mean = sum.map(_ / n)
+    // covariance from the scatter: C = M/n − mean·meanᵀ (dense d×d)
+    val cov = Array.ofDim[Double](d, d)
+    var i = 0
+    var p = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val c = scat(p) / n - mean(i) * mean(j)
+        cov(i)(j) = c; cov(j)(i) = c
+        j += 1; p += 1
+      }
+      i += 1
+    }
+    // power iteration with deflation — deterministic start: the basis
+    // vector of the largest remaining diagonal entry
+    val comps = Array.ofDim[Double](k, d)
+    val expl = new Array[Double](k)
+    val work = cov.map(_.clone())
+    var c = 0
+    while (c < k) {
+      var v = new Array[Double](d)
+      val startIdx = (0 until d).maxBy(ii => (math.abs(work(ii)(ii)), -ii))
+      v(startIdx) = 1.0
+      var it = 0
+      while (it < iters) {
+        val nv = new Array[Double](d)
+        var a = 0
+        while (a < d) {
+          var acc = 0.0
+          var b = 0
+          while (b < d) { acc += work(a)(b) * v(b); b += 1 }
+          nv(a) = acc
+          a += 1
+        }
+        val norm = math.sqrt(nv.map(x => x * x).sum)
+        v = if (norm > 1e-12) nv.map(_ / norm) else nv
+        it += 1
+      }
+      // eigenvalue = vᵀ (work) v; deflate work −= λ v vᵀ
+      var lambda = 0.0
+      var a = 0
+      while (a < d) {
+        var acc = 0.0
+        var b = 0
+        while (b < d) { acc += work(a)(b) * v(b); b += 1 }
+        lambda += v(a) * acc
+        a += 1
+      }
+      // canonical sign: largest-|coordinate| positive, so the model is
+      // unique (eigenvectors are sign-ambiguous)
+      val big = (0 until d).maxBy(ii => (math.abs(v(ii)), -ii))
+      val signed = if (v(big) < 0) v.map(-_) else v
+      comps(c) = signed
+      expl(c) = math.max(lambda, 0.0)
+      a = 0
+      while (a < d) {
+        var b = 0
+        while (b < d) {
+          work(a)(b) -= lambda * signed(a) * signed(b); b += 1 }
+        a += 1
+      }
+      c += 1
+    }
+    PcaModel(comps, expl, mean)
+  }
+
+  /** Project `vecCol` onto the model: adds `outCol` =
+    * `Array[Float]` of length k (centered dot products). A broadcast
+    * literal map — codegen, no shuffle.
+    */
+  def project(vecs: DataFrame, model: PcaModel,
+              vecCol: String = "embedding",
+              outCol: String = "pca"): DataFrame = {
+    val centered = (0 until model.d).map(i =>
+      element_at(col(vecCol), i + 1).cast("double") - model.mean(i))
+    val comps = model.components.map { row =>
+      centered.zip(row).map { case (x, w) => x * lit(w) }
+        .reduce(_ + _).cast("float")
+    }
+    vecs.withColumn(outCol,
+      when(col(vecCol).isNotNull, array(comps: _*)))
+  }
+}

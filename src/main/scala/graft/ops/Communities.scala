@@ -76,4 +76,77 @@ object Communities {
     }
     labels
   }
+
+  /** Community-quality report (X199): Newman modularity per community
+    * plus conductance — the evaluation half [[labelPropagation]] (or
+    * any labeling: components, k-core shells, an external clustering)
+    * needs before anyone ACTS on the communities. Modularity
+    * Q = Σ_c [ m_c/m − (d_c/2m)² ] (Newman & Girvan 2004): intra-edge
+    * mass beyond what random wiring with the same degrees predicts;
+    * conductance φ(c) = cut(c) / min(vol(c), 2m − vol(c)) is the
+    * bottleneck view (low = well-separated). Q rides every row as a
+    * constant column so the scalar travels with the frame.
+    *
+    * All relational over slim frames: one labeled-edge join (labels
+    * broadcast onto the canonical edge list), two aggregates. Edges
+    * canonicalize exactly like [[labelPropagation]]; nodes missing
+    * from `labels` form their own singleton communities (zero volume
+    * contribution only if also edge-free).
+    *
+    * @param labels (node, label)
+    * @return per community: (label, n_nodes, intra_edges, cut_edges,
+    *         degree_sum, conductance, contribution, modularity) —
+    *         4dp on the ratios
+    */
+  def communityReport(edges: DataFrame, labels: DataFrame,
+                      srcCol: String = "src", dstCol: String = "dst")
+      : DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val canon = edges.select(
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("u"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("v"))
+      .filter($"u".isNotNull && $"v".isNotNull && $"u" =!= $"v")
+      .distinct()
+    val lab = labels.select(col("node").cast("long").as("node"),
+      col("label").cast("long").as("label"))
+    val labeled = canon
+      .join(lab.select($"node".as("u"), $"label".as("lu")), Seq("u"))
+      .join(lab.select($"node".as("v"), $"label".as("lv")), Seq("v"))
+      .localCheckpoint(false)
+    val m = labeled.count().toDouble
+    val intra = labeled.filter($"lu" === $"lv")
+      .groupBy($"lu".as("label"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val cuts = labeled.filter($"lu" =!= $"lv")
+      .select(explode(array($"lu", $"lv")).as("label"))
+      .groupBy($"label").agg(count(lit(1)).as("cut_edges"))
+    val vol = labeled
+      .select(explode(array($"lu", $"lv")).as("label"))
+      .groupBy($"label").agg(count(lit(1)).as("degree_sum"))
+    val sizes = lab.groupBy($"label").agg(count(lit(1)).as("n_nodes"))
+    val per = sizes
+      .join(intra, Seq("label"), "left")
+      .join(cuts, Seq("label"), "left")
+      .join(vol, Seq("label"), "left")
+      .select($"label", $"n_nodes",
+        coalesce($"intra_edges", lit(0L)).as("intra_edges"),
+        coalesce($"cut_edges", lit(0L)).as("cut_edges"),
+        coalesce($"degree_sum", lit(0L)).as("degree_sum"))
+      .withColumn("conductance",
+        when($"cut_edges" === 0L, lit(0.0)).otherwise(
+          round($"cut_edges" / least($"degree_sum",
+            lit(2.0 * m) - $"degree_sum").cast("double"), 4)))
+      // + 0.0 normalizes IEEE negative zero: a tiny negative
+      // contribution rounds to -0.0, whose textual form differs from
+      // 0.0 and breaks cross-engine hash compares
+      .withColumn("contribution",
+        round($"intra_edges" / lit(m) -
+          pow($"degree_sum" / lit(2.0 * m), 2.0), 4) + lit(0.0))
+    val q = per.agg((round(sum(
+      $"intra_edges" / lit(m) -
+        pow($"degree_sum" / lit(2.0 * m), 2.0)), 4) + lit(0.0))
+      .as("modularity"))
+    per.crossJoin(broadcast(q))
+  }
 }

@@ -316,4 +316,48 @@ object Profiling {
         round(col("__chi2"), 4).as("chi2"),
         (col("__k") - 1L).as("dof"))
   }
+
+  /** Concentration report (X200): per group, how unequally a weight
+    * (events, bytes, tokens) distributes over its keys (users, hosts,
+    * documents) — Gini coefficient plus the top-decile share. The
+    * load-shape numbers behind capacity and abuse decisions: a host
+    * cap ([[graft.llmops.Splits]] hostCapSample) is justified by
+    * exactly this report, and a Gini jump between corpus versions
+    * flags a new heavy hitter the skew report (q198) then names.
+    *
+    * Gini by the exact rank formula over ascending per-key totals:
+    * G = (2·Σ i·xᵢ) / (n·Σx) − (n+1)/n — one groupBy to per-key
+    * totals, one row_number window per group over those slim rows
+    * (bounded by keys-per-group, never raw events), two sums.
+    * Deterministic: equal totals tie-break on key.
+    *
+    * @return per group: (group, n_keys, total, gini, top10_share) —
+    *         4dp; single-key groups report gini 0
+    */
+  def concentrationReport(df: DataFrame, groupCol: String,
+                          keyCol: String, weight: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = df.groupBy(col(groupCol).as("group"), col(keyCol).as("__k"))
+      .agg(sum(weight).cast("double").as("__x"))
+    val wOrd = Window.partitionBy(col("group"))
+      .orderBy(col("__x"), col("__k"))
+    val ranked = per.withColumn("__i", row_number().over(wOrd))
+    val agg = ranked.groupBy(col("group"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("__x")).as("total"),
+        sum(col("__i") * col("__x")).as("__ix"))
+    val deciles = ranked
+      .join(agg.select(col("group"), col("n_keys").as("__n")), Seq("group"))
+      .filter(col("__i") > col("__n") - ceil(col("__n") / lit(10.0)))
+      .groupBy(col("group")).agg(sum(col("__x")).as("__top"))
+    agg.join(deciles, Seq("group"), "left")
+      .select(col("group"), col("n_keys"),
+        col("total").cast("long").as("total"),
+        round(when(col("n_keys") > 1,
+          lit(2.0) * col("__ix") / (col("n_keys") * col("total")) -
+            (col("n_keys") + 1.0) / col("n_keys"))
+          .otherwise(lit(0.0)), 4).as("gini"),
+        round(coalesce(col("__top"), lit(0.0)) / col("total"), 4)
+          .as("top10_share"))
+  }
 }

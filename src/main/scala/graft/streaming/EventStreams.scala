@@ -211,4 +211,88 @@ object EventStreams {
           }
       }
   }
+
+  final case class AttributionState(touches: Seq[(Long, Long)])
+  final case class Attribution(user_id: Long, conversion_event_id: Long,
+                               conversion_ms: Long,
+                               first_touch_event_id: java.lang.Long,
+                               last_touch_event_id: java.lang.Long)
+
+  /** Streaming counterpart of [[graft.ops.Attribution.touches]]
+    * (X202): first/last-touch credit emitted AT conversion time. The
+    * batch operator answers "who got credit" after the fact; this one
+    * answers it while the campaign runs, with identical semantics:
+    * touches inside `lookbackMillis` of the conversion (inclusive),
+    * (ts, event_id) tie order, conversions with no touch emit null
+    * credit. State = the per-user touch buffer PRUNED to the lookback
+    * horizon — a touch older than now − lookback can never enter a
+    * future in-order conversion's window, so pruning is
+    * semantics-free and state is bounded by touch rate × lookback,
+    * not history; idle users expire wholesale via event-time timeout
+    * (the [[transitionsStream]] contract).
+    *
+    * Documented divergence from batch: the batch RANGE frame is
+    * VALUE-based, so a touch sharing the conversion's millisecond but
+    * ordered after it by event_id still gets credit there; the stream
+    * processes in (ts, id) arrival order and cannot see it.
+    * Sub-millisecond simultaneity is the caller's granularity
+    * responsibility. Cross-batch out-of-order arrival beyond the
+    * watermark: the [[sessionize]] ingest-ordering contract.
+    */
+  def attributionStream(events: Dataset[Event], touchTypes: Seq[String],
+                        conversionType: String, lookbackMillis: Long,
+                        watermark: String = "10 minutes")
+      : Dataset[Attribution] = {
+    require(touchTypes.nonEmpty && lookbackMillis > 0,
+      "touchTypes non-empty, lookbackMillis positive")
+    import events.sparkSession.implicits._
+    val streaming = events.isStreaming
+    val touches = touchTypes.toSet
+    val lbUs = lookbackMillis * 1000L
+    val src =
+      if (streaming) events.withWatermark("ts", watermark) else events
+    src
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttributionState, Attribution](
+        OutputMode.Append,
+        if (streaming) GroupStateTimeout.EventTimeTimeout
+        else GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Event],
+         state: GroupState[AttributionState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            def us(e: Event): Long =
+              e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+            val sorted = it.toSeq.sortBy(e => (us(e), e.event_id))
+            val out =
+              scala.collection.mutable.ArrayBuffer.empty[Attribution]
+            var buf = state.getOption.map(_.touches.toVector)
+              .getOrElse(Vector.empty)
+            for (e <- sorted) {
+              val t = us(e)
+              // in-order contract: touches strictly older than the
+              // horizon can never be credited again
+              buf = buf.dropWhile(_._1 < t - lbUs)
+              if (e.event_type == conversionType) {
+                out += Attribution(uid, e.event_id, t / 1000L,
+                  buf.headOption.map(p => java.lang.Long.valueOf(p._2))
+                    .orNull,
+                  buf.lastOption.map(p => java.lang.Long.valueOf(p._2))
+                    .orNull)
+              }
+              if (touches.contains(e.event_type))
+                buf = buf :+ (t, e.event_id)
+            }
+            if (buf.nonEmpty) {
+              if (streaming) {
+                state.update(AttributionState(buf))
+                val lastMs = buf.last._1 / 1000L
+                if (lastMs <= Long.MaxValue - lookbackMillis)
+                  state.setTimeoutTimestamp(lastMs + lookbackMillis)
+              } else state.remove()
+            } else state.remove()
+            out.iterator
+          }
+      }
+  }
 }

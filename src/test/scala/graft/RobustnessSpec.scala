@@ -46,7 +46,9 @@ class RobustnessSpec extends SparkTestBase {
       "q218_multiprobe_ann", "q219_semantic_decontam",
       "q220_textrank", "q221_pseudonymize", "q222_k_anonymity",
       "q223_heaps_profile", "q224_phrase_search",
-      "q225_distinctive_terms")
+      "q225_distinctive_terms", "q226_community_report",
+      "q227_concentration", "q228_ab_test", "q229_semantic_chunks",
+      "q230_pca_contract")
     for (name <- picked) {
       val fn = SparkEntry.queries(name)
       val a = fn(spark, sf0001).collect().map(_.toString).sorted.toSeq

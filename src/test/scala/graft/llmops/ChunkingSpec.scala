@@ -116,4 +116,37 @@ class ChunkingSpec extends SparkTestBase {
     assert(Chunking.sentenceChunks(
       Seq((2L, "")).toDF("doc_id", "text"), 20).count() == 0)
   }
+
+  test("semanticChunks: a topic switch opens a chunk; same-topic " +
+      "sentences stay together; reassembly preserves order") {
+    import spark.implicits._
+    val topicA = (0 until 3).map(i =>
+      s"Alpha beta gamma delta epsilon v$i.").mkString(" ")
+    val topicB = (0 until 3).map(i =>
+      s"Omega sigma tau upsilon phi w$i.").mkString(" ")
+    val docs = Seq((1L, s"$topicA $topicB")).toDF("doc_id", "text")
+    val got = Chunking.semanticChunks(docs, dim = 64, minSim = 0.3)
+      .orderBy("chunk_idx").collect()
+    assert(got.length == 2, s"expected 2 chunks: ${got.toSeq}")
+    assert(got(0).getAs[Int]("n_sentences") == 3)
+    assert(got(1).getAs[Int]("n_sentences") == 3)
+    assert(got(0).getAs[String]("chunk_text").contains("Alpha"))
+    assert(!got(0).getAs[String]("chunk_text").contains("Omega"))
+    assert(got(1).getAs[String]("chunk_text").startsWith("Omega"))
+  }
+
+  test("semanticChunks: one-topic document is one chunk; empty " +
+      "document emits nothing; determinism") {
+    import spark.implicits._
+    val same = (0 until 4).map(i =>
+      s"Kappa lambda mu nu xi s$i.").mkString(" ")
+    val docs = Seq((1L, same), (2L, "")).toDF("doc_id", "text")
+    val got = Chunking.semanticChunks(docs, dim = 64, minSim = 0.3)
+      .collect()
+    assert(got.length == 1 && got.head.getLong(0) == 1L)
+    assert(got.head.getAs[Int]("n_sentences") == 4)
+    val again = Chunking.semanticChunks(docs, dim = 64, minSim = 0.3)
+      .collect()
+    assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }

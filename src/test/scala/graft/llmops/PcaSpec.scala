@@ -1,0 +1,78 @@
+package graft.llmops
+
+import graft.SparkTestBase
+
+class PcaSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def dot(a: Array[Double], b: Array[Double]): Double =
+    a.zip(b).map { case (x, y) => x * y }.sum
+
+  test("planted 2-plane corpus: components recover the plane, " +
+      "explained variance descends, components orthonormal") {
+    // vectors = a·e1' + b·e2' + tiny noise, where e1', e2' are fixed
+    // non-axis directions in R^6
+    val d1 = Array(1.0, 1.0, 0.0, 0.0, 0.0, 0.0).map(_ / math.sqrt(2))
+    val d2 = Array(0.0, 0.0, 1.0, -1.0, 0.0, 0.0).map(_ / math.sqrt(2))
+    val rows = (0 until 200).map { i =>
+      val a = math.sin(i * 1.7) * 5
+      val b = math.cos(i * 2.3) * 2
+      val eps = 0.01 * math.sin(i * 9.1)
+      (i.toLong, (0 until 6).map(j =>
+        (a * d1(j) + b * d2(j) + (if (j == 5) eps else 0.0)).toFloat)
+        .toArray)
+    }
+    val vecs = rows.toDF("vec_id", "embedding")
+    val m = Pca.fit(vecs, k = 3)
+    assert(m.d == 6 && m.k == 3)
+    // explained variance descends and the first two carry ~everything
+    assert(m.explained(0) >= m.explained(1))
+    assert(m.explained(1) >= m.explained(2))
+    assert(m.explained(2) < 0.01 * m.explained(0),
+      s"rank-2 data: third component ~0, got ${m.explained.toSeq}")
+    // top component aligns with the dominant planted direction
+    assert(math.abs(dot(m.components(0), d1)) > 0.99,
+      s"c0=${m.components(0).toSeq}")
+    assert(math.abs(dot(m.components(1), d2)) > 0.99)
+    // orthonormality
+    assert(math.abs(dot(m.components(0), m.components(0)) - 1.0) < 1e-6)
+    assert(math.abs(dot(m.components(0), m.components(1))) < 1e-6)
+  }
+
+  test("project: centered coordinates; rank-k projection preserves " +
+      "pairwise dot structure of low-rank data") {
+    val d1 = Array(1.0, 0.0, 0.0, 0.0)
+    val rows = (0 until 50).map { i =>
+      (i.toLong, Array((i % 7).toFloat, 0f, 0f, 0f))
+    }
+    val vecs = rows.toDF("vec_id", "embedding")
+    val m = Pca.fit(vecs, k = 1)
+    val proj = Pca.project(vecs, m)
+      .select($"vec_id", $"pca").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).head).toMap
+    // projection of x is (x - mean)·c0: differences preserved exactly
+    val diff01 = proj(1L) - proj(0L)
+    assert(math.abs(math.abs(diff01) - 1.0) < 1e-4, s"$diff01")
+    // null vectors project to null
+    val withNull = (rows :+ (99L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val pn = Pca.project(withNull, m)
+      .where($"vec_id" === 99L).head()
+    assert(pn.isNullAt(1))
+  }
+
+  test("determinism: same input, same model, bit for bit") {
+    val rows = (0 until 60).map(i =>
+      (i.toLong, Array.tabulate(5)(j =>
+        math.sin(i * 3.1 + j * 1.3).toFloat)))
+    val vecs = rows.toDF("vec_id", "embedding")
+    val a = Pca.fit(vecs, k = 2)
+    val b = Pca.fit(vecs.repartition(7), k = 2)
+    // mean and explained agree across partitionings (scatter merge is
+    // exact up to float addition order — compare at 1e-9)
+    a.mean.zip(b.mean).foreach { case (x, y) =>
+      assert(math.abs(x - y) < 1e-9) }
+    a.components(0).zip(b.components(0)).foreach { case (x, y) =>
+      assert(math.abs(x - y) < 1e-6) }
+  }
+}

@@ -230,4 +230,34 @@ class ProfilingSpec extends SparkTestBase {
       .toMap
     assert(inv.contains("z") && inv("z") > 0.0)
   }
+
+  test("concentrationReport: uniform load gini ~ 0, monopolized load " +
+      "gini -> 1, top-decile share exact") {
+    import spark.implicits._
+    // group u: 10 users x 10 events each (perfect equality)
+    // group m: one user with 91 events, 9 users with 1
+    val rows = (0 until 10).flatMap(u => (0 until 10).map(e =>
+        ("u", u.toLong))) ++
+      (0 until 91).map(_ => ("m", 0L)) ++
+      (1 to 9).map(u => ("m", u.toLong))
+    val df = rows.toDF("grp", "user")
+    val got = Profiling.concentrationReport(df, "grp", "user",
+        org.apache.spark.sql.functions.lit(1L))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got("u")._3 == 0.0, s"$got")
+    assert(got("u")._4 == 0.1) // any single user = 10%
+    assert(got("m")._3 > 0.7, s"$got")
+    assert(got("m")._4 == 0.91) // top-1-of-10 holds 91/100
+    assert(got("m")._1 == 10L && got("m")._2 == 100L)
+  }
+
+  test("concentrationReport: single-key group reports gini 0") {
+    import spark.implicits._
+    val df = Seq(("g", 1L), ("g", 1L)).toDF("grp", "user")
+    val r = Profiling.concentrationReport(df, "grp", "user",
+      org.apache.spark.sql.functions.lit(1L)).head()
+    assert(r.getDouble(3) == 0.0 && r.getDouble(4) == 1.0)
+  }
 }

@@ -211,4 +211,59 @@ class EventStreamsSpec extends SparkTestBase {
       Transition(1, "view", "click", 300000L),
       Transition(2, "view", "click", 600000L)))
   }
+
+  test("attributionStream batch kernel equals the q209 batch picks") {
+    import EventStreams.Event
+    val lb = 7L * 24 * 3600 * 1000
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+    val kernel = EventStreams.attributionStream(
+        ev.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+          .as[Event], Seq("view", "click"), "purchase", lb)
+      .collect()
+      .map(r => r.conversion_event_id ->
+        (Option(r.first_touch_event_id).map(_.longValue),
+         Option(r.last_touch_event_id).map(_.longValue))).toMap
+    val batch = graft.ops.Attribution.touches(ev, Seq("view", "click"),
+        "purchase", lb)
+      .collect()
+      .map(r => r.getLong(1) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Long]),
+         Option(r.get(4)).map(_.asInstanceOf[Long]))).toMap
+    assert(kernel.nonEmpty && kernel == batch)
+  }
+
+  test("attributionStream credits at conversion time across " +
+      "micro-batches and prunes the lookback buffer") {
+    import EventStreams.{Attribution, Event}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.attributionStream(mem.toDS(),
+        Seq("view", "click"), "purchase",
+        lookbackMillis = 30 * 60 * 1000)
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    def e(id: Long, ts: String, u: Long, t: String) =
+      Event(id, java.sql.Timestamp.valueOf(ts), u, t, 1.0)
+
+    // touches arrive in one batch, the conversion in a later one
+    mem.addData(e(1, "2024-01-01 10:00:00", 1, "view"),
+      e(2, "2024-01-01 10:10:00", 1, "click"))
+    q.processAllAvailable()
+    assert(spark.table("attr_out").count() == 0)
+    mem.addData(e(3, "2024-01-01 10:20:00", 1, "purchase"))
+    q.processAllAvailable()
+    val first = spark.table("attr_out").as[Attribution].head()
+    assert(first.first_touch_event_id == 1L &&
+      first.last_touch_event_id == 2L)
+
+    // a conversion 31 min after the last touch finds nothing: the
+    // buffer pruned both touches out of the lookback
+    mem.addData(e(4, "2024-01-01 10:55:00", 1, "purchase"))
+    q.processAllAvailable()
+    val rows = spark.table("attr_out").as[Attribution].collect()
+    q.stop()
+    val second = rows.find(_.conversion_event_id == 4L).get
+    assert(second.first_touch_event_id == null &&
+      second.last_touch_event_id == null, s"$second")
+  }
 }
