@@ -4333,6 +4333,82 @@ object SparkEntry {
         .orderBy($"component")
     }),
 
+    // llmops PCA->ANN composition (X205): search in the top-4-of-8
+    // PCA subspace against the FULL-EIGENBASIS centered-dot exact
+    // top-5 — an apples-to-apples truncation measurement (rotating
+    // into the full eigenbasis preserves centered dots exactly, so
+    // the ONLY approximation is the discarded spectrum, whose
+    // captured-variance fraction rides along as the predicted
+    // effectiveness). The q89 metric family: score_ratio under the
+    // exact similarity, recall as diagnostic.
+    "q231_pca_ann" -> ((s, d) => {
+      import s.implicits._
+      val P = graft.llmops.Pca
+      val emb = t(s, d, "embeddings").where($"embedding".isNotNull)
+        .localCheckpoint(false)
+      val m = P.fit(emb, k = 8) // full basis; search truncates to 4
+      val kept = 4
+      val explainedFrac = {
+        val tot = m.explained.sum
+        if (tot > 0) m.explained.take(kept).sum / tot else 1.0
+      }
+      if (materializing) {
+        val comps = for {
+          c <- m.components.indices; i <- 0 until m.d
+        } yield (c, i, m.components(c)(i))
+        materialize(comps.toDF("component", "idx", "w"), "q231_components")
+        materialize(m.mean.zipWithIndex.map(p => (p._2, p._1))
+          .toSeq.toDF("idx", "m"), "q231_mean")
+        materialize(m.explained.zipWithIndex.map(p => (p._2, p._1))
+          .toSeq.toDF("component", "explained"), "q231_explained")
+      }
+      // centered coordinates in DOUBLE (the q230 discipline)
+      def coords(df: org.apache.spark.sql.DataFrame, idAs: String,
+                 prefix: String) = {
+        val cs = (0 until m.k).map { c =>
+          (0 until m.d).map(i =>
+            (element_at($"embedding", i + 1).cast("double") -
+              m.mean(i)) * m.components(c)(i)).reduce(_ + _)
+            .as(s"$prefix$c")
+        }
+        df.select(($"vec_id".as(idAs) +: cs): _*)
+      }
+      val corpus = coords(emb, "vec_id", "c").localCheckpoint(false)
+      val queries = coords(emb.filter($"vec_id" < 5), "query_id", "q")
+      def simOver(n: Int) = (0 until n).map(c =>
+        col(s"c$c") * col(s"q$c")).reduce(_ + _)
+      val scored = corpus.crossJoin(broadcast(queries))
+        .filter($"vec_id" =!= $"query_id")
+        .withColumn("sim_r", round(simOver(kept), 6))
+        .withColumn("sim_full", round(simOver(m.k), 6))
+        .localCheckpoint(false)
+      def top5(simCol: String) = scored
+        .groupBy($"query_id")
+        .agg(graft.llmops.TopK.topK($"vec_id", col(simCol), 5).as("topk"))
+        .select($"query_id", explode($"topk").as("t"))
+        .select($"query_id", $"t._1".as("vec_id"))
+      val picks = top5("sim_r")
+      val exact = top5("sim_full")
+      val trueDots = scored.select($"query_id", $"vec_id", $"sim_full")
+      val sApprox = picks.join(trueDots, Seq("query_id", "vec_id"))
+        .groupBy($"query_id").agg(sum($"sim_full").as("sa"))
+      val sExact = exact.join(trueDots, Seq("query_id", "vec_id"))
+        .groupBy($"query_id").agg(sum($"sim_full").as("se"))
+      val hits = exact.join(picks, Seq("query_id", "vec_id"))
+        .groupBy($"query_id").agg(count(lit(1)).as("h"))
+      sExact
+        .join(hits, Seq("query_id"), "left")
+        .join(sApprox, Seq("query_id"), "left")
+        .select($"query_id",
+          coalesce($"h", lit(0L)).as("n_hits"),
+          (coalesce($"h", lit(0L)) / 5.0).as("recall"),
+          round(coalesce($"sa", lit(0.0)) / $"se", 4).as("score_ratio"),
+          round(lit(explainedFrac), 4).as("explained_frac"),
+          (round(coalesce($"sa", lit(0.0)) / $"se", 4) >= 0.3)
+            .as("ratio_ok"))
+        .orderBy($"query_id")
+    }),
+
     // llmops semantic decontamination (X192): corpus vectors within
     // cosine 0.97 of any benchmark vector are contamination — the
     // embedding-space axis n-gram/bloom decontamination cannot see.
@@ -9724,6 +9800,77 @@ object SparkEntry {
                 md5(string_agg(s, ' ' ORDER BY pos)) AS chunk_md5
          FROM idx GROUP BY doc_id, chunk_idx
          ORDER BY doc_id, chunk_idx""",
+    // PCA->ANN: centered coords from the dumped full eigenbasis;
+    // picks over the first 4 components, exact over all 8, the
+    // captured-spectrum fraction from the dumped eigenvalues
+    "q231_pca_ann" ->
+      """WITH comp AS (
+           SELECT component, idx, w
+           FROM read_parquet('/root/repo/spark-warehouse/q231_components/*.parquet')),
+         mn AS (
+           SELECT idx, m
+           FROM read_parquet('/root/repo/spark-warehouse/q231_mean/*.parquet')),
+         ex AS (
+           SELECT component, explained
+           FROM read_parquet('/root/repo/spark-warehouse/q231_explained/*.parquet')),
+         ef AS (
+           SELECT round(
+             sum(CASE WHEN component < 4 THEN explained ELSE 0 END)
+               / sum(explained), 4) AS explained_frac
+           FROM ex),
+         ev AS (
+           SELECT vec_id, i - 1 AS idx, embedding[i]::DOUBLE AS x
+           FROM (SELECT vec_id, embedding FROM embeddings
+                 WHERE embedding IS NOT NULL) e,
+                unnest(generate_series(1, len(embedding))) AS g(i)),
+         coords AS (
+           SELECT c.component, ev.vec_id,
+                  sum((ev.x - mn.m) * c.w) AS coord
+           FROM ev
+           JOIN mn ON mn.idx = ev.idx
+           JOIN comp c ON c.idx = ev.idx
+           GROUP BY 1, 2),
+         sims AS (
+           SELECT qc.vec_id AS query_id, cc.vec_id,
+                  round(sum(CASE WHEN qc.component < 4
+                    THEN qc.coord * cc.coord ELSE 0 END), 6) AS sim_r,
+                  round(sum(qc.coord * cc.coord), 6) AS sim_full
+           FROM coords qc
+           JOIN coords cc ON cc.component = qc.component
+           WHERE qc.vec_id < 5 AND cc.vec_id <> qc.vec_id
+           GROUP BY 1, 2),
+         picks AS (
+           SELECT query_id, vec_id FROM (
+             SELECT query_id, vec_id, row_number() OVER (
+               PARTITION BY query_id ORDER BY sim_r DESC, vec_id) AS rk
+             FROM sims) WHERE rk <= 5),
+         exact AS (
+           SELECT query_id, vec_id, sim_full FROM (
+             SELECT query_id, vec_id, sim_full, row_number() OVER (
+               PARTITION BY query_id ORDER BY sim_full DESC, vec_id) AS rk
+             FROM sims) WHERE rk <= 5),
+         sa AS (
+           SELECT p.query_id, sum(s.sim_full) AS sa
+           FROM picks p JOIN sims s
+             ON s.query_id = p.query_id AND s.vec_id = p.vec_id
+           GROUP BY 1),
+         se AS (SELECT query_id, sum(sim_full) AS se
+                FROM exact GROUP BY 1),
+         h AS (
+           SELECT e.query_id, count(*) AS h
+           FROM exact e JOIN picks p
+             ON p.query_id = e.query_id AND p.vec_id = e.vec_id
+           GROUP BY 1)
+         SELECT se.query_id,
+                coalesce(h.h, 0) AS n_hits,
+                coalesce(h.h, 0) / 5.0 AS recall,
+                round(coalesce(sa.sa, 0) / se.se, 4) AS score_ratio,
+                ef.explained_frac,
+                (round(coalesce(sa.sa, 0) / se.se, 4) >= 0.3) AS ratio_ok
+         FROM se
+         LEFT JOIN h USING (query_id)
+         LEFT JOIN sa USING (query_id), ef
+         ORDER BY query_id""",
     // PCA contract: coordinate variance, norms, and cross-dots all
     // recomputed in SQL from the dumped model + raw embeddings
     "q230_pca_contract" ->
