@@ -4305,15 +4305,14 @@ object SparkEntry {
           .toSeq.toDF("component", "explained"), "q230_explained")
       }
       // coordinate variance in DOUBLE (the float32 projection would
-      // truncate the 4th decimal the oracle compares)
-      val coordStats = (0 until m.k).map { c =>
-        val coord = (0 until m.d).map(i =>
-          (element_at($"embedding", i + 1).cast("double") -
-            m.mean(i)) * m.components(c)(i)).reduce(_ + _)
-        emb.agg(
-          lit(c).as("component"),
-          (avg(coord * coord) - pow(avg(coord), 2.0)).as("coord_var"))
-      }.reduce(_ unionByName _)
+      // truncate the 4th decimal the oracle compares) — ONE kernel
+      // call per row, one scan for all k coordinates
+      val coordStats = emb
+        .select(P.projection($"embedding", m, asFloat = false).as("pc"))
+        .select(posexplode($"pc").as(Seq("component", "coord")))
+        .groupBy($"component")
+        .agg((avg($"coord" * $"coord") - pow(avg($"coord"), 2.0))
+          .as("coord_var"))
       val model = m.components.indices.map { c =>
         val norm = math.sqrt(m.components(c).map(x => x * x).sum)
         val maxCross = m.components.indices.filter(_ != c).map { o =>
@@ -4362,16 +4361,14 @@ object SparkEntry {
         materialize(m.explained.zipWithIndex.map(p => (p._2, p._1))
           .toSeq.toDF("component", "explained"), "q231_explained")
       }
-      // centered coordinates in DOUBLE (the q230 discipline)
+      // centered coordinates in DOUBLE (the q230 discipline), via the
+      // centered mat-vec kernel — one call per row, not a k×d tree
       def coords(df: org.apache.spark.sql.DataFrame, idAs: String,
                  prefix: String) = {
-        val cs = (0 until m.k).map { c =>
-          (0 until m.d).map(i =>
-            (element_at($"embedding", i + 1).cast("double") -
-              m.mean(i)) * m.components(c)(i)).reduce(_ + _)
-            .as(s"$prefix$c")
-        }
-        df.select(($"vec_id".as(idAs) +: cs): _*)
+        df.select($"vec_id".as(idAs),
+            P.projection($"embedding", m, asFloat = false).as("__pc"))
+          .select((col(idAs) +: (0 until m.k).map(c =>
+            element_at($"__pc", c + 1).as(s"$prefix$c"))): _*)
       }
       val corpus = coords(emb, "vec_id", "c").localCheckpoint(false)
       val queries = coords(emb.filter($"vec_id" < 5), "query_id", "q")

@@ -1,7 +1,13 @@
 package graft.llmops
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+import org.apache.spark.sql.graftshim.ColumnBridge
 
 /** PCA for embedding columns (X204) — the dimensionality half of the
   * ANN toolbox: project `Array[Float]` vectors onto their top-k
@@ -51,8 +57,10 @@ object Pca {
     require(k >= 1, "k must be >= 1")
     require(iters >= 1, "iters must be >= 1")
     val rows = vecs.select(col(vecCol)).where(col(vecCol).isNotNull)
-    // one pass: n, sum, scatter (upper triangle) per partition
-    val (n, sum, scat) = rows.rdd.mapPartitions { it =>
+    // one pass: n, sum, scatter (upper triangle) per partition; fold
+    // with a null zero so an all-empty input surfaces as a clear
+    // require, not reduce's opaque "empty collection"
+    val reduced = rows.rdd.mapPartitions { it =>
       var n = 0L
       var s: Array[Double] = null
       var m: Array[Double] = null // packed upper triangle
@@ -76,16 +84,23 @@ object Pca {
       }
       if (n == 0) Iterator.empty
       else Iterator.single((n, s, m))
-    }.reduce { (a, b) =>
-      require(a._2.length == b._2.length,
-        s"ragged embedding dim across partitions: " +
-          s"${a._2.length} vs ${b._2.length}")
-      var i = 0
-      while (i < a._2.length) { a._2(i) += b._2(i); i += 1 }
-      i = 0
-      while (i < a._3.length) { a._3(i) += b._3(i); i += 1 }
-      (a._1 + b._1, a._2, a._3)
+    }.fold(null: (Long, Array[Double], Array[Double])) { (a, b) =>
+      if (a == null) b
+      else if (b == null) a
+      else {
+        require(a._2.length == b._2.length,
+          s"ragged embedding dim across partitions: " +
+            s"${a._2.length} vs ${b._2.length}")
+        var i = 0
+        while (i < a._2.length) { a._2(i) += b._2(i); i += 1 }
+        i = 0
+        while (i < a._3.length) { a._3(i) += b._3(i); i += 1 }
+        (a._1 + b._1, a._2, a._3)
+      }
     }
+    require(reduced != null,
+      s"Pca.fit: no non-null vectors to fit in column '$vecCol'")
+    val (n, sum, scat) = reduced
     val d = sum.length
     val mean = sum.map(_ / n)
     // covariance from the scatter: C = M/n − mean·meanᵀ (dense d×d)
@@ -154,20 +169,96 @@ object Pca {
     PcaModel(comps, expl, mean)
   }
 
+  /** Kernel: `out(c) = Σ_j mat(c)(j)·(vec(j) − mean(j))` — the whole
+    * k×d projection as ONE codegen call per row (the [[Opq.matVec]]
+    * pattern with a mean subtract). The alternative — a k×d literal
+    * expression tree — is an analyzer/codegen blow-up at production
+    * dims (d=768, k=64 ≈ 50k expression nodes, past whole-stage
+    * codegen's 64KB method limit); here the matrix rides along as a
+    * reference object and the per-row cost is k·d fused
+    * multiply-adds in a tight loop. Accumulates in double;
+    * `asFloat = false` keeps the double coordinates the q230/q231
+    * oracles compare at 4–6dp, `asFloat = true` stores float32 for
+    * index-bound projections. Null on a dim mismatch.
+    */
+  def centeredMatVec(vec: ArrayData, mat: Array[Array[Double]],
+                     mean: Array[Double], asFloat: Boolean): GenericArrayData = {
+    val d = mean.length
+    if (vec.numElements() != d) return null
+    val k = mat.length
+    val x = new Array[Double](d)
+    var j = 0
+    while (j < d) { x(j) = vec.getFloat(j).toDouble - mean(j); j += 1 }
+    if (asFloat) {
+      val out = new Array[Float](k)
+      var c = 0
+      while (c < k) {
+        val row = mat(c)
+        var acc = 0.0
+        var i = 0
+        while (i < d) { acc += x(i) * row(i); i += 1 }
+        out(c) = acc.toFloat
+        c += 1
+      }
+      new GenericArrayData(out)
+    } else {
+      val out = new Array[Double](k)
+      var c = 0
+      while (c < k) {
+        val row = mat(c)
+        var acc = 0.0
+        var i = 0
+        while (i < d) { acc += x(i) * row(i); i += 1 }
+        out(c) = acc
+        c += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  /** `centered_mat_vec(vec)` → array<float|double> of length k; the
+    * components and mean ride along as codegen reference objects,
+    * same pattern as [[Opq.MatVec]].
+    */
+  case class CenteredMatVec(child: Expression, mat: Array[Array[Double]],
+                            mean: Array[Double], asFloat: Boolean)
+      extends UnaryExpression {
+    override def dataType: DataType =
+      ArrayType(if (asFloat) FloatType else DoubleType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "centered_mat_vec"
+    override def nullSafeEval(input: Any): Any =
+      centeredMatVec(input.asInstanceOf[ArrayData], mat, mean, asFloat)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val matRef = ctx.addReferenceObj("mat", mat, "double[][]")
+      val meanRef = ctx.addReferenceObj("mean", mean, "double[]")
+      nullSafeCodeGen(ctx, ev, c => {
+        s"""${ev.value} = graft.llmops.Pca.centeredMatVec($c, $matRef, $meanRef, $asFloat);
+           |${ev.isNull} = ${ev.value} == null;""".stripMargin
+      })
+    }
+    override protected def withNewChildInternal(c: Expression): CenteredMatVec =
+      copy(child = c)
+  }
+
+  /** The model's projection as a Column: `(x − mean)` dotted with each
+    * component, one kernel call per row. `asFloat = false` yields
+    * array<double> (full precision for contracts/audits); the default
+    * float32 is the storage form for downstream indexing.
+    */
+  def projection(vec: Column, model: PcaModel,
+                 asFloat: Boolean = true): Column =
+    ColumnBridge.column(CenteredMatVec(
+      ColumnBridge.expression(vec), model.components, model.mean, asFloat))
+
   /** Project `vecCol` onto the model: adds `outCol` =
-    * `Array[Float]` of length k (centered dot products). A broadcast
-    * literal map — codegen, no shuffle.
+    * `Array[Float]` of length k (centered dot products). One
+    * broadcast codegen kernel call per row — no per-coordinate
+    * expression tree, no shuffle; scales to production dims
+    * (d=768, k=64) without leaving whole-stage codegen.
     */
   def project(vecs: DataFrame, model: PcaModel,
               vecCol: String = "embedding",
-              outCol: String = "pca"): DataFrame = {
-    val centered = (0 until model.d).map(i =>
-      element_at(col(vecCol), i + 1).cast("double") - model.mean(i))
-    val comps = model.components.map { row =>
-      centered.zip(row).map { case (x, w) => x * lit(w) }
-        .reduce(_ + _).cast("float")
-    }
-    vecs.withColumn(outCol,
-      when(col(vecCol).isNotNull, array(comps: _*)))
-  }
+              outCol: String = "pca"): DataFrame =
+    vecs.withColumn(outCol, projection(col(vecCol), model))
 }

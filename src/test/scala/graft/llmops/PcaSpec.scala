@@ -61,6 +61,66 @@ class PcaSpec extends SparkTestBase {
     assert(pn.isNullAt(1))
   }
 
+  test("project at production dims (d=512, k=64): kernel projection " +
+      "compiles with codegen fallback disabled") {
+    val d = 512
+    val k = 64
+    // components = first-k basis vectors, mean = 0.5 everywhere, so
+    // the expected projection is simply x(c) − 0.5
+    val mat = Array.tabulate(k, d)((c, j) => if (j == c) 1.0 else 0.0)
+    val model = Pca.PcaModel(mat, Array.fill(k)(1.0), Array.fill(d)(0.5))
+    val vecs = (0 until 8).map(i =>
+      (i.toLong, Array.tabulate(d)(j => ((i + j) % 5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback", "true")
+    val prevFactory =
+      spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    try {
+      // the k×d literal-tree formulation dies here at these dims
+      // (generated method past the codegen limit → fallback); the
+      // kernel must compile outright
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      val out = Pca.project(vecs, model)
+        .select($"vec_id", $"pca").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+      assert(out(3L).length == k)
+      (0 until k).foreach { c =>
+        val expect = ((3 + c) % 5).toFloat - 0.5f
+        assert(math.abs(out(3L)(c) - expect) < 1e-6, s"c=$c")
+      }
+      // double-precision variant for contract queries
+      val dbl = vecs.where($"vec_id" === 3L)
+        .select(Pca.projection($"embedding", model, asFloat = false)
+          .as("pc"))
+        .head().getSeq[Double](0)
+      assert(dbl.length == k)
+      (0 until k).foreach { c =>
+        assert(math.abs(dbl(c) - (((3 + c) % 5) - 0.5)) < 1e-12, s"c=$c")
+      }
+    } finally {
+      spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+      spark.conf.set("spark.sql.codegen.factoryMode", prevFactory)
+    }
+  }
+
+  test("project: dim-mismatched vector projects to null, not garbage") {
+    val model = Pca.PcaModel(Array(Array(1.0, 0.0)), Array(1.0),
+      Array(0.0, 0.0))
+    val vecs = Seq((1L, Array(1f, 2f)), (2L, Array(1f, 2f, 3f)))
+      .toDF("vec_id", "embedding")
+    val out = Pca.project(vecs, model).select($"vec_id", $"pca")
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!out(1L) && out(2L))
+  }
+
+  test("fit with no non-null vectors fails with a clear message") {
+    val empty = Seq((1L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] { Pca.fit(empty, k = 2) }
+    assert(e.getMessage.contains("no non-null vectors"))
+  }
+
   test("determinism: same input, same model, bit for bit") {
     val rows = (0 until 60).map(i =>
       (i.toLong, Array.tabulate(5)(j =>
