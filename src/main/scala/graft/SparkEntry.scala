@@ -4084,7 +4084,11 @@ object SparkEntry {
       if (materializing)
         materialize(scored.select($"doc_id", round($"prob", 6).as("prob"),
           $"label"), "q214_scored")
-      Q.calibrationReport(scored, nBins = 10)
+      // bin on the SAME 6dp-rounded probs the oracle replays from the
+      // dump — binning unrounded values risks a boundary flake when a
+      // prob sits within 5e-7 of a bin edge
+      Q.calibrationReport(scored.withColumn("prob", round($"prob", 6)),
+          nBins = 10)
         .orderBy($"bin_lo")
     }),
 

@@ -107,9 +107,9 @@ object Chunking {
     * embeddings, cosine ROUNDED to 4dp before the threshold compare
     * (so an engine's float-summation order cannot flip a boundary),
     * token-less sentences (no embedding) always open a chunk.
-    * Composite sentence ids are `doc_id·1 000 000 + pos` — assumed
-    * collision-free below 1M sentences per document (far above any
-    * real document).
+    * Sentence ids are `(doc_id, pos)` STRUCT keys — collision-proof
+    * by construction for any doc_id/sentence count (the embedder
+    * treats its id column opaquely, so nothing needs a packed long).
     *
     * Scale shape: sentences explode once; the embedder reduces them
     * to slim (sid, bucket, v) rows; one lag window per doc over
@@ -125,7 +125,8 @@ object Chunking {
     val sent = docs
       .select(col(idCol),
         posexplode(Sentences.sentences(col(textCol))).as(Seq("__pos", "__s")))
-      .withColumn("__sid", col(idCol).cast("long") * 1000000L + col("__pos"))
+      .withColumn("__sid",
+        struct(col(idCol).cast("long").as("d"), col("__pos").as("p")))
     val emb = VectorFuncs.hashedEmbedding(
         sent.select(col("__sid").as("doc_id"), col("__s").as("text")),
         dim)

@@ -433,7 +433,12 @@ object Vocab {
     require(fractions.nonEmpty && fractions.forall(f => f > 0 && f <= 1),
       "fractions in (0, 1]")
     val spark = docs.sparkSession
-    val maxId = docs.agg(max(col(idCol))).head().getLong(0)
+    // cast → works for any integral id type; an empty input yields a
+    // null max → clear require, not an NPE
+    val maxIdRow = docs.agg(max(col(idCol)).cast("long")).head()
+    require(!maxIdRow.isNullAt(0),
+      s"heapsProfile: no rows to profile (column '$idCol' has no values)")
+    val maxId = maxIdRow.getLong(0)
     val rows = fractions.sorted.map { f =>
       val cut = math.ceil((maxId + 1) * f).toLong
       docs.filter(col(idCol) < cut)

@@ -39,6 +39,13 @@ object Attribution {
       : DataFrame = {
     require(touchTypes.nonEmpty, "touchTypes must be non-empty")
     require(lookbackMillis > 0, "lookbackMillis must be positive")
+    // twins' contract with [[graft.streaming.EventStreams
+    // .attributionStream]]: if the conversion type were also a touch
+    // type, this RANGE frame (which ends AT the conversion row) would
+    // credit the conversion itself while the stream appends touches
+    // after emitting — forbid the overlap in both rather than diverge
+    require(!touchTypes.contains(conversionType),
+      s"conversionType '$conversionType' must not also be a touch type")
     // tsMicros handles TIMESTAMP and TIMESTAMP_NTZ alike (unix_millis
     // rejects NTZ, which is what parquet event logs load as)
     val ms = (graft.expr.TimeFuncs.tsMicros(col(tsCol)) / 1000L)

@@ -44,21 +44,33 @@ object Experiments {
       .agg(max(when(col(typeCol) === conversionType, 1L).otherwise(0L))
         .as("__conv"))
       .withColumn("__arm", assignArm(col("__u"), salt))
-    val arms = units.groupBy(col("__arm"))
-      .agg(count(lit(1)).as("n"), sum(col("__conv")).as("conv"))
-    val a = arms.filter(col("__arm") === "a")
-      .select(col("n").as("n_a"), col("conv").as("conv_a"))
-    val b = arms.filter(col("__arm") === "b")
-      .select(col("n").as("n_b"), col("conv").as("conv_b"))
-    a.crossJoin(b)
-      .withColumn("rate_a", col("conv_a") / col("n_a").cast("double"))
-      .withColumn("rate_b", col("conv_b") / col("n_b").cast("double"))
+    // ONE unconditional aggregate row (not a per-arm filter + cross
+    // join, which yields ZERO rows when an arm is empty and breaks the
+    // degenerate-input promise above): a missing arm becomes n 0
+    val arms = units.agg(
+      coalesce(sum(when(col("__arm") === "a", 1L).otherwise(0L)), lit(0L))
+        .as("n_a"),
+      coalesce(sum(when(col("__arm") === "b", 1L).otherwise(0L)), lit(0L))
+        .as("n_b"),
+      coalesce(sum(when(col("__arm") === "a", col("__conv"))
+        .otherwise(0L)), lit(0L)).as("conv_a"),
+      coalesce(sum(when(col("__arm") === "b", col("__conv"))
+        .otherwise(0L)), lit(0L)).as("conv_b"))
+    arms
+      .withColumn("rate_a", when(col("n_a") > 0,
+        col("conv_a") / col("n_a").cast("double")).otherwise(lit(0.0)))
+      .withColumn("rate_b", when(col("n_b") > 0,
+        col("conv_b") / col("n_b").cast("double")).otherwise(lit(0.0)))
       .withColumn("__p",
-        (col("conv_a") + col("conv_b")) /
-          (col("n_a") + col("n_b")).cast("double"))
+        when(col("n_a") + col("n_b") > 0,
+          (col("conv_a") + col("conv_b")) /
+            (col("n_a") + col("n_b")).cast("double"))
+          .otherwise(lit(0.0)))
       .withColumn("__se",
-        sqrt(col("__p") * (lit(1.0) - col("__p")) *
-          (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
+        when(col("n_a") > 0 && col("n_b") > 0,
+          sqrt(col("__p") * (lit(1.0) - col("__p")) *
+            (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
+          .otherwise(lit(0.0)))
       .withColumn("z",
         when(col("__se") > 0.0,
           round((col("rate_b") - col("rate_a")) / col("__se"), 4))

@@ -253,7 +253,11 @@ object Profiling {
     val childStats = ck.agg(
       count(lit(1)).as("child_rows"),
       sum(when(col("__k").isNull, 1L).otherwise(0L)).as("null_keys"))
-    val parentStats = pk.groupBy(col("__k"))
+    // NULL parent keys are unreferencable — exclude them (also the
+    // oracle's count(DISTINCT ...) semantics), else a parent table
+    // with NULL keys inflates parent_keys/parent_dup_keys
+    val parentStats = pk.filter(col("__k").isNotNull)
+      .groupBy(col("__k"))
       .agg(count(lit(1)).as("n"))
       .agg(count(lit(1)).as("parent_keys"),
         sum(when(col("n") > 1, 1L).otherwise(0L)).as("parent_dup_keys"))

@@ -245,6 +245,12 @@ object EventStreams {
       : Dataset[Attribution] = {
     require(touchTypes.nonEmpty && lookbackMillis > 0,
       "touchTypes non-empty, lookbackMillis positive")
+    // the twins' contract (see Attribution.touches): with an
+    // overlapping type the batch RANGE frame would include the
+    // conversion row itself while this stream appends the touch
+    // AFTER emitting the conversion — forbid rather than diverge
+    require(!touchTypes.contains(conversionType),
+      s"conversionType '$conversionType' must not also be a touch type")
     import events.sparkSession.implicits._
     val streaming = events.isStreaming
     val touches = touchTypes.toSet

@@ -25,6 +25,26 @@ class AttributionSpec extends SparkTestBase {
     assert(picks(5L) == (None, None))
   }
 
+  test("conversion type overlapping a touch type is forbidden in BOTH " +
+      "twins (batch would self-credit, stream would not)") {
+    val events = Seq((1L, ts(0), 1L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val eb = intercept[IllegalArgumentException] {
+      Attribution.touches(events, Seq("view", "purchase"), "purchase",
+        lookbackMillis = 1000L)
+    }
+    assert(eb.getMessage.contains("must not also be a touch type"))
+    val ds = events
+      .selectExpr("event_id", "ts", "user_id", "event_type",
+        "CAST(1.0 AS DOUBLE) AS value")
+      .as[graft.streaming.EventStreams.Event]
+    val es = intercept[IllegalArgumentException] {
+      graft.streaming.EventStreams.attributionStream(ds,
+        Seq("view", "purchase"), "purchase", lookbackMillis = 1000L)
+    }
+    assert(es.getMessage.contains("must not also be a touch type"))
+  }
+
   test("same-millisecond touches break ties on event_id deterministically") {
     val events = Seq(
       (7L, ts(5), 1L, "click"),

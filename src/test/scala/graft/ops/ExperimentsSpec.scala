@@ -42,6 +42,34 @@ class ExperimentsSpec extends SparkTestBase {
     assert(!none.getAs[Boolean]("significant"))
   }
 
+  test("abTest: an empty arm still yields the promised single row " +
+      "with z 0 and significant false") {
+    // hunt a salt under which BOTH test units land in arm 'a'
+    val salt = (0 until 1000).map(i => s"s$i").find { s =>
+      Seq(100L, 200L).toDF("user_id")
+        .select(Experiments.assignArm($"user_id", s).as("arm"))
+        .collect().forall(_.getString(0) == "a")
+    }.getOrElse(fail("no one-arm salt found in 1000 tries"))
+    val events = Seq(ev(1, 100, "purchase"), ev(2, 200, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val rows = Experiments.abTest(events, "purchase", salt).collect()
+    assert(rows.length == 1, s"expected ONE row, got ${rows.length}")
+    val r = rows.head
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 0L)
+    assert(r.getAs[Long]("conv_a") == 1L && r.getAs[Long]("conv_b") == 0L)
+    assert(r.getAs[Double]("rate_b") == 0.0)
+    assert(r.getAs[Double]("z") == 0.0)
+    assert(!r.getAs[Boolean]("significant"))
+    // fully empty input: still one row, all zeros
+    val empty = Experiments.abTest(
+      Seq.empty[(Long, Timestamp, Long, String, Double)]
+        .toDF("event_id", "ts", "user_id", "event_type", "value"),
+      "purchase", salt).collect()
+    assert(empty.length == 1)
+    assert(empty.head.getAs[Long]("n_a") == 0L)
+    assert(empty.head.getAs[Double]("z") == 0.0)
+  }
+
   test("abTest: conversion counts each unit once, not each event") {
     val events = Seq(
       ev(1, 100, "purchase"), ev(2, 100, "purchase"),

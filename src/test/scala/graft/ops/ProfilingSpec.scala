@@ -194,6 +194,16 @@ class ProfilingSpec extends SparkTestBase {
     assert(r.getLong(6) == 1L)   // pk=2 duplicated
   }
 
+  test("fkAudit: NULL parent keys are not parent keys (unreferencable)") {
+    import spark.implicits._
+    val child = Seq(1L, 2L).toDF("fk")
+    val parent = Seq(Some(1L), Some(2L), None, None).toDF("pk")
+    val r = Profiling.fkAudit(child, parent, "fk", "pk", "rel").head()
+    assert(r.getLong(5) == 2L, s"NULLs counted as parent keys: $r")
+    assert(r.getLong(6) == 0L, s"NULL group counted as dup: $r")
+    assert(r.getLong(3) == 0L) // both children resolve
+  }
+
   test("fkAudit: clean relation reports zeros") {
     import spark.implicits._
     val child = Seq(1L, 2L).toDF("fk")
