@@ -752,6 +752,14 @@ object Graft {
   def bm25TopKBatch(docs: DataFrame, queries: DataFrame, k: Int)
       : DataFrame =
     llmops.Bm25.topKBatch(docs, queries, k)
+  /** [[bm25TopKBatch]] under a pluggable no-space-script word
+    * segmenter (X206) — plug `Segmenter.Dictionary(words)` (or a
+    * production segmenter) for real Thai/Lao/Khmer word boundaries;
+    * the default char-level behavior is `Segmenter.CharLevel` (q232).
+    */
+  def bm25TopKBatchSegmented(docs: DataFrame, queries: DataFrame, k: Int,
+                             seg: llmops.Segmenter): DataFrame =
+    llmops.Bm25.topKBatch(docs, queries, k, seg = seg)
   /** Per-benchmark-question top-k corpus docs with BM25 ≥ minScore —
     * the bulk decontamination-review probe, one job for the whole
     * benchmark. */

@@ -4410,6 +4410,41 @@ object SparkEntry {
         .orderBy($"query_id")
     }),
 
+    // llmops pluggable word segmentation (X206): the SAME BM25 batch
+    // under the char-level default vs a dictionary (maximal-munch)
+    // segmenter, over a planted-Thai corpus built so the ranking
+    // FLIPS — decoy docs made of the reversed word share every
+    // CODEPOINT with the query word (char-level cannot tell them
+    // apart and ranks them higher on tf) but share no WORD (the
+    // dictionary segmenter drops them entirely). The oracle mirrors
+    // char-level with the q169 isolation regex and the dictionary
+    // with a longest-word-first replace chain (exact greedy mirror on
+    // the planted corpus).
+    "q232_bm25_segmented" -> ((s, d) => {
+      import s.implicits._
+      val Seg = graft.llmops.Segmenter
+      val base = t(s, d, "documents").select($"doc_id", $"text")
+      val planted = base.filter($"doc_id" < 20).select(
+        ($"doc_id" + 970000).as("doc_id"),
+        when($"doc_id" % 2 === 0,
+          concat(lit("ข้อมูล"),
+            repeat(lit("ทดสอบ"), ($"doc_id" % 3 + 1).cast("int"))))
+          .otherwise(repeat(lit("มูลข้อ"), ($"doc_id" % 3 + 2).cast("int")))
+          .as("text"))
+      val docs = base.unionByName(planted)
+      val queries = Seq((0L, "ข้อมูล"), (1L, "ทดสอบดี"))
+        .toDF("query_id", "text")
+      val dict = Seg.Dictionary(
+        Set("ข้อมูล", "มูลข้อ", "ทดสอบ", "คุณภาพ", "ดี"))
+      def side(tag: String, seg: graft.llmops.Segmenter) =
+        graft.llmops.Bm25.topKBatch(docs, queries, k = 8, seg = seg)
+          .withColumn("segmenter", lit(tag))
+      side("char", Seg.CharLevel).unionByName(side("dict", dict))
+        .select($"segmenter", $"query_id", $"rk", $"doc_id",
+          $"n_terms_hit", $"score")
+        .orderBy($"segmenter", $"query_id", $"rk")
+    }),
+
     // llmops semantic decontamination (X192): corpus vectors within
     // cosine 0.97 of any benchmark vector are contamination — the
     // embedding-space axis n-gram/bloom decontamination cannot see.
@@ -9872,6 +9907,111 @@ object SparkEntry {
          LEFT JOIN h USING (query_id)
          LEFT JOIN sa USING (query_id), ef
          ORDER BY query_id""",
+    // segmented BM25: char-level mirrored with the q169 isolation
+    // regex; the dictionary segmenter mirrored with a longest-word-
+    // first replace chain (exact greedy-maximal-munch mirror on the
+    // planted corpus — the decoy word is replaced before the query
+    // word so the straddling occurrence never matches, like greedy)
+    "q232_bm25_segmented" ->
+      """WITH w AS (SELECT
+           chr(3586)||chr(3657)||chr(3629)||chr(3617)||chr(3641)||chr(3621) AS data_w,
+           chr(3617)||chr(3641)||chr(3621)||chr(3586)||chr(3657)||chr(3629) AS rev_w,
+           chr(3607)||chr(3604)||chr(3626)||chr(3629)||chr(3610) AS test_w,
+           chr(3588)||chr(3640)||chr(3603)||chr(3616)||chr(3634)||chr(3614) AS qual_w,
+           chr(3604)||chr(3637) AS good_w),
+         docs2 AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 970000 AS doc_id,
+                  CASE WHEN doc_id % 2 = 0
+                    THEN (SELECT data_w FROM w) ||
+                         repeat((SELECT test_w FROM w), (doc_id % 3 + 1)::int)
+                    ELSE repeat((SELECT rev_w FROM w), (doc_id % 3 + 2)::int)
+                  END AS text
+           FROM documents WHERE doc_id < 20),
+         segged AS (
+           SELECT 'char' AS seg, doc_id, text,
+                  regexp_replace(text,
+                    '([\x{0e00}-\x{0e7f}\x{0e80}-\x{0eff}\x{1000}-\x{109f}\x{1780}-\x{17ff}\x{3040}-\x{30ff}\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{f900}-\x{faff}])',
+                    ' \1 ', 'g') AS st
+           FROM docs2
+           UNION ALL
+           SELECT 'dict', doc_id, text,
+                  replace(replace(replace(replace(replace(text,
+                    (SELECT rev_w FROM w), ' '||(SELECT rev_w FROM w)||' '),
+                    (SELECT data_w FROM w), ' '||(SELECT data_w FROM w)||' '),
+                    (SELECT test_w FROM w), ' '||(SELECT test_w FROM w)||' '),
+                    (SELECT qual_w FROM w), ' '||(SELECT qual_w FROM w)||' '),
+                    (SELECT good_w FROM w), ' '||(SELECT good_w FROM w)||' ')
+           FROM docs2),
+         tl AS (
+           SELECT seg, doc_id,
+                  string_split_regex(lower(trim(st)), '\s+') AS l,
+                  CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(lower(trim(st)), '\s+'))
+                  END AS dl
+           FROM segged),
+         stats AS (
+           SELECT seg, count(*)::DOUBLE AS n, avg(dl::DOUBLE) AS avgdl
+           FROM tl GROUP BY 1),
+         qdocs AS (
+           SELECT 0 AS qid, (SELECT data_w FROM w) AS text
+           UNION ALL
+           SELECT 1, (SELECT test_w FROM w)||(SELECT good_w FROM w)),
+         qsegged AS (
+           SELECT 'char' AS seg, qid,
+                  regexp_replace(text,
+                    '([\x{0e00}-\x{0e7f}\x{0e80}-\x{0eff}\x{1000}-\x{109f}\x{1780}-\x{17ff}\x{3040}-\x{30ff}\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{f900}-\x{faff}])',
+                    ' \1 ', 'g') AS st
+           FROM qdocs
+           UNION ALL
+           SELECT 'dict', qid,
+                  replace(replace(replace(replace(replace(text,
+                    (SELECT rev_w FROM w), ' '||(SELECT rev_w FROM w)||' '),
+                    (SELECT data_w FROM w), ' '||(SELECT data_w FROM w)||' '),
+                    (SELECT test_w FROM w), ' '||(SELECT test_w FROM w)||' '),
+                    (SELECT qual_w FROM w), ' '||(SELECT qual_w FROM w)||' '),
+                    (SELECT good_w FROM w), ' '||(SELECT good_w FROM w)||' ')
+           FROM qdocs),
+         q AS (
+           SELECT DISTINCT seg, qid, term FROM (
+             SELECT seg, qid,
+                    unnest(string_split_regex(lower(trim(st)), '\s+')) AS term
+             FROM qsegged)
+           WHERE term <> ''),
+         posts AS (SELECT seg, doc_id, dl, unnest(l) AS term FROM tl),
+         tf AS (
+           SELECT p.seg, p.doc_id, p.term, count(*)::BIGINT AS tf,
+                  max(p.dl)::DOUBLE AS dl
+           FROM posts p JOIN (SELECT DISTINCT seg, term FROM q) u
+             ON u.seg = p.seg AND u.term = p.term
+           GROUP BY 1, 2, 3),
+         df AS (SELECT seg, term, count(*)::DOUBLE AS df
+                FROM tf GROUP BY 1, 2),
+         idf AS (
+           SELECT df.seg, df.term,
+                  ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5)) AS idf
+           FROM df JOIN stats s ON s.seg = df.seg),
+         contrib AS (
+           SELECT q.seg, q.qid, tf.doc_id,
+                  idf.idf * (tf.tf * (1.2 + 1)) /
+                    (tf.tf + 1.2 * (1.0 - 0.75 +
+                      0.75 * tf.dl / s.avgdl)) AS c
+           FROM tf
+           JOIN idf ON idf.seg = tf.seg AND idf.term = tf.term
+           JOIN q ON q.seg = tf.seg AND q.term = tf.term
+           JOIN stats s ON s.seg = tf.seg),
+         sc AS (
+           SELECT seg, qid, doc_id, count(*)::BIGINT AS n_terms_hit,
+                  round(sum(c), 4) AS score
+           FROM contrib GROUP BY 1, 2, 3),
+         ranked AS (
+           SELECT seg, qid, doc_id, n_terms_hit, score, row_number() OVER (
+             PARTITION BY seg, qid ORDER BY score DESC, doc_id) AS rk
+           FROM sc QUALIFY rk <= 8)
+         SELECT seg AS segmenter, qid::BIGINT AS query_id,
+                rk::INTEGER AS rk, doc_id, n_terms_hit, score
+         FROM ranked ORDER BY segmenter, query_id, rk""",
     // PCA contract: coordinate variance, norms, and cross-dots all
     // recomputed in SQL from the dumped model + raw embeddings
     "q230_pca_contract" ->

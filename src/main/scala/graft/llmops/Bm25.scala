@@ -38,9 +38,10 @@ object Bm25 {
     * (id, term, tf). One explode + one agg, map-side combinable.
     */
   def termFreqs(docs: DataFrame, idCol: String = "doc_id",
-                textCol: String = "text"): DataFrame =
+                textCol: String = "text",
+                seg: Segmenter = Segmenter.CharLevel): DataFrame =
     docs.select(col(idCol).as("id"),
-        explode(TextFuncs.tokens(col(textCol))).as("term"))
+        explode(TextFuncs.tokens(col(textCol), seg)).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
 
   // ------------------------------------------------------------------
@@ -51,10 +52,11 @@ object Bm25 {
   // ------------------------------------------------------------------
 
   /** Corpus statistics: (n, avgdl) in ONE aggregation pass. */
-  private[llmops] def corpusStats(docs: DataFrame,
-                                  textCol: String): DataFrame =
+  private[llmops] def corpusStats(docs: DataFrame, textCol: String,
+                                  seg: Segmenter = Segmenter.CharLevel)
+      : DataFrame =
     docs.select(
-        TextFuncs.tokenCount(col(textCol)).cast("double").as("dl"))
+        TextFuncs.tokenCount(col(textCol), seg).cast("double").as("dl"))
       .agg(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"))
 
   /** Slim posting rows for the given term set only: (id, term, tf, dl).
@@ -63,10 +65,12 @@ object Bm25 {
     * corpus-sized length table ever needs joining back.
     */
   private[llmops] def corpusTf(docs: DataFrame, uniqTerms: DataFrame,
-                               idCol: String, textCol: String): DataFrame =
+                               idCol: String, textCol: String,
+                               seg: Segmenter = Segmenter.CharLevel)
+      : DataFrame =
     docs.select(col(idCol).as("id"),
-        TextFuncs.tokenCount(col(textCol)).cast("double").as("dl"),
-        explode(TextFuncs.tokens(col(textCol))).as("term"))
+        TextFuncs.tokenCount(col(textCol), seg).cast("double").as("dl"),
+        explode(TextFuncs.tokens(col(textCol), seg)).as("term"))
       .join(broadcast(uniqTerms), Seq("term"))
       .groupBy("id", "term")
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
@@ -119,12 +123,13 @@ object Bm25 {
     */
   def scores(docs: DataFrame, terms: Seq[String], k1: Double = 1.2,
              b: Double = 0.75, idCol: String = "doc_id",
-             textCol: String = "text"): DataFrame = {
+             textCol: String = "text",
+             seg: Segmenter = Segmenter.CharLevel): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val qTerms = terms.map(_.toLowerCase).distinct.toDF("term")
-    contribs(corpusTf(docs, qTerms, idCol, textCol),
-        corpusStats(docs, textCol), k1, b)
+    contribs(corpusTf(docs, qTerms, idCol, textCol, seg),
+        corpusStats(docs, textCol, seg), k1, b)
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_terms_hit"), sum(col("contrib")).as("score"))
       .withColumnRenamed("id", idCol)
@@ -136,9 +141,10 @@ object Bm25 {
     */
   def topK(docs: DataFrame, terms: Seq[String], k: Int,
            k1: Double = 1.2, b: Double = 0.75,
-           idCol: String = "doc_id", textCol: String = "text")
+           idCol: String = "doc_id", textCol: String = "text",
+           seg: Segmenter = Segmenter.CharLevel)
       : DataFrame =
-    scores(docs, terms, k1, b, idCol, textCol)
+    scores(docs, terms, k1, b, idCol, textCol, seg)
       .withColumn("score", round(col("score"), 4))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
@@ -163,15 +169,16 @@ object Bm25 {
                   k1: Double = 1.2, b: Double = 0.75,
                   idCol: String = "doc_id", textCol: String = "text",
                   queryIdCol: String = "query_id",
-                  queryTextCol: String = "text"): DataFrame = {
+                  queryTextCol: String = "text",
+                  seg: Segmenter = Segmenter.CharLevel): DataFrame = {
     requireIntegralId(queries, queryIdCol, "query")
     // per-query distinct terms (bag-of-words query semantics, same as
     // `scores`); the term union drives the single corpus pass
-    val qTerms = queryTerms(queries, queryIdCol, queryTextCol)
+    val qTerms = queryTerms(queries, queryIdCol, queryTextCol, seg)
     contribs(
         corpusTf(docs, qTerms.select(col("term")).distinct(),
-          idCol, textCol),
-        corpusStats(docs, textCol), k1, b)
+          idCol, textCol, seg),
+        corpusStats(docs, textCol, seg), k1, b)
       .join(broadcast(qTerms), Seq("term")) // fan out to asking queries
       .groupBy(col("__qid"), col("id"))
       .agg(count(lit(1)).as("n_terms_hit"), sum(col("contrib")).as("score"))
@@ -183,11 +190,13 @@ object Bm25 {
     * texts drop (they cannot score).
     */
   private[llmops] def queryTerms(queries: DataFrame, queryIdCol: String,
-                                 queryTextCol: String): DataFrame =
+                                 queryTextCol: String,
+                                 seg: Segmenter = Segmenter.CharLevel)
+      : DataFrame =
     queries
       .filter(col(queryIdCol).isNotNull && col(queryTextCol).isNotNull)
       .select(col(queryIdCol).cast("long").as("__qid"),
-        explode(TextFuncs.tokens(col(queryTextCol))).as("term"))
+        explode(TextFuncs.tokens(col(queryTextCol), seg)).as("term"))
       .filter(col("term") =!= "")
       .distinct()
 
@@ -203,10 +212,11 @@ object Bm25 {
                 k1: Double = 1.2, b: Double = 0.75,
                 idCol: String = "doc_id", textCol: String = "text",
                 queryIdCol: String = "query_id",
-                queryTextCol: String = "text"): DataFrame = {
+                queryTextCol: String = "text",
+                seg: Segmenter = Segmenter.CharLevel): DataFrame = {
     requireIntegralId(docs, idCol, "doc")
     rankTail(scoresBatch(docs, queries, k1, b, idCol, textCol,
-      queryIdCol, queryTextCol), k, queryIdCol, idCol)
+      queryIdCol, queryTextCol, seg), k, queryIdCol, idCol)
   }
 
   /** Benchmark-decontamination probe, the workload [[topKBatch]]

@@ -60,9 +60,17 @@ object NgramKernels {
     sb.toString
   }
 
-  def wordNgrams(text0: String, n: Int): GenericArrayData = {
+  def wordNgrams(text0: String, n: Int): GenericArrayData =
+    wordNgramsSeg(text0, n, null)
+
+  /** Segmenter-aware kernel body: `seg == null` means the built-in
+    * char-level isolation (the hot default — no virtual dispatch);
+    * otherwise the pluggable [[Segmenter]] decides the token
+    * boundaries, so shingles match `TextFuncs.tokens(text, seg)`.
+    */
+  def wordNgramsSeg(text0: String, n: Int, seg: Segmenter): GenericArrayData = {
     // same stage order as TextFuncs.tokens: isolate, THEN trim/lower
-    val text = isolate(text0)
+    val text = if (seg == null) isolate(text0) else seg.segment(text0)
     // Spark's trim strips ONLY ' ' (0x20) — String.trim would also
     // strip \n/\t and change the token list for texts bounded by them
     var b = 0
@@ -100,18 +108,37 @@ object NgramKernels {
   /** Codegen entry point. */
   def wordNgramsU(text: UTF8String, n: Int): GenericArrayData =
     wordNgrams(text.toString, n)
+
+  /** Codegen entry point, segmenter-aware. */
+  def wordNgramsSegU(text: UTF8String, n: Int, seg: Segmenter): GenericArrayData =
+    wordNgramsSeg(text.toString, n, seg)
 }
 
-/** `word_ngrams(text, n)` → array<string> of distinct grams (codegen'd). */
-case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+/** `word_ngrams(text, n)` → array<string> of distinct grams (codegen'd).
+  * The default [[Segmenter.CharLevel]] keeps the original static call
+  * (no reference object, no dispatch); any other segmenter rides along
+  * as a codegen reference object.
+  */
+case class WordNgrams(child: Expression, n: Int,
+                      seg: Segmenter = Segmenter.CharLevel)
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "word_ngrams"
   override def nullSafeEval(input: Any): Any =
-    NgramKernels.wordNgramsU(input.asInstanceOf[UTF8String], n)
+    if (seg == Segmenter.CharLevel)
+      NgramKernels.wordNgramsU(input.asInstanceOf[UTF8String], n)
+    else
+      NgramKernels.wordNgramsSegU(input.asInstanceOf[UTF8String], n, seg)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.llmops.NgramKernels.wordNgramsU($c, $n);")
+    if (seg == Segmenter.CharLevel)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.llmops.NgramKernels.wordNgramsU($c, $n);")
+    else {
+      val ref = ctx.addReferenceObj("seg", seg, "graft.llmops.Segmenter")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.llmops.NgramKernels.wordNgramsSegU($c, $n, $ref);")
+    }
   override protected def withNewChildInternal(c: Expression): WordNgrams =
     copy(child = c)
 }

@@ -115,9 +115,23 @@ object TextFuncs {
   def tokens(text: Column): Column =
     split(lower(trim(isolateNoSpaceScripts(text))), "\\s+")
 
+  /** [[tokens]] with a pluggable no-space-script [[Segmenter]] — the
+    * production seam for real Thai/Lao/Khmer word boundaries (see the
+    * Segmenter scaladoc). `Segmenter.CharLevel` takes the dedicated
+    * codegen kernel path and is bit-identical to the 1-arg overload.
+    */
+  def tokens(text: Column, seg: Segmenter): Column = seg match {
+    case Segmenter.CharLevel => tokens(text)
+    case s => split(lower(trim(Segmenter.segmentText(text, s))), "\\s+")
+  }
+
   /** Token count — whitespace tokenizer. */
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, 0).otherwise(size(tokens(text)))
+
+  /** [[tokenCount]] under a pluggable [[Segmenter]]. */
+  def tokenCount(text: Column, seg: Segmenter): Column =
+    when(length(trim(text)) === 0, 0).otherwise(size(tokens(text, seg)))
 
   /** A BPE-ish subword proxy: counts word chunks of ≤ 4 chars, the
     * standard ~4-chars-per-token heuristic, as ceil(len/4) per word.
@@ -237,6 +251,16 @@ object TextFuncs {
     org.apache.spark.sql.graftshim.ColumnBridge.column(
       WordNgrams(
         org.apache.spark.sql.graftshim.ColumnBridge.expression(text), n))
+
+  /** [[wordNgrams]] under a pluggable [[Segmenter]]: the kernel
+    * shingles the SAME token space `tokens(text, seg)` produces, so
+    * n-gram dedup/decontamination stay consistent with the lexical
+    * operators when a real word segmenter is plugged in.
+    */
+  def wordNgrams(text: Column, n: Int, seg: Segmenter): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      WordNgrams(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(text), n, seg))
 
   /** Reference HOF formulation of [[wordNgrams]] (the shape the DuckDB
     * oracles mirror) — retained to pin kernel equivalence in tests.
