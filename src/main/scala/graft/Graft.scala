@@ -492,6 +492,19 @@ object Graft {
     llmops.AnnIndex.compactVersioned(s, root)
   def compactBm25IndexVersioned(s: SparkSession, root: String): Int =
     llmops.Bm25Index.compactVersioned(s, root)
+  /** Versioned corpus-table roots (X207): publish a complete parquet
+    * snapshot and atomically flip the pointer — readers that already
+    * resolved keep their snapshot (q233). */
+  def publishTable(df: DataFrame, root: String): Int =
+    io.VersionedTable.publish(df, root)
+  /** Scan the current published snapshot of a versioned root. */
+  def readCurrentTable(s: SparkSession, root: String): DataFrame =
+    io.VersionedTable.readCurrent(s, root)
+  /** Audit two snapshots of a versioned root:
+    * (key, added/removed/changed/unchanged). */
+  def tableDiff(s: SparkSession, root: String, vFrom: Int, vTo: Int,
+                keyCol: String = "doc_id"): DataFrame =
+    io.VersionedTable.diff(s, root, vFrom, vTo, keyCol)
   def compactRetrievalIndexVersioned(s: SparkSession, root: String): Int =
     llmops.Retrieval.compactVersioned(s, root)
   /** drift → retrain → re-encode → atomic swap in one call (appends

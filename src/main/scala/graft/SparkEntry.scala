@@ -4445,6 +4445,39 @@ object SparkEntry {
         .orderBy($"segmenter", $"query_id", $"rk")
     }),
 
+    // io versioned corpus-table roots (X207): publish two snapshots of
+    // a documents slice under one versioned root, then read CURRENT
+    // through the pointer and audit v1→v2 with SnapshotDiff — the
+    // oracle rebuilds both snapshots from the base table, so it checks
+    // that the pointer genuinely resolved to v2 (stats equality) and
+    // that the diff classified every key correctly.
+    "q233_versioned_root" -> ((s, d) => {
+      import s.implicits._
+      val VT = graft.io.VersionedTable
+      val root = "/root/repo/spark-warehouse/q233_root"
+      VT.drop(s, root) // deterministic v1/v2 numbering per run
+      val docs = t(s, d, "documents")
+        .select($"doc_id", $"source", $"n_chars")
+      VT.publish(docs.filter($"doc_id" % 7 =!= 0), root) // v1
+      VT.publish(
+        docs.filter($"doc_id" % 11 =!= 0)
+          .withColumn("n_chars", $"n_chars" +
+            when($"doc_id" % 5 === 0, 1).otherwise(0)),
+        root) // v2
+      val cur = VT.readCurrent(s, root)
+      val curStats = cur.agg(
+          count(lit(1)).as("current_rows"),
+          sum($"n_chars").cast("long").as("current_n_chars"))
+        .withColumn("current_version",
+          lit(VT.currentVersion(s, root).get))
+      VT.diff(s, root, 1, 2, "doc_id")
+        .groupBy($"status").agg(count(lit(1)).as("n_keys"))
+        .crossJoin(broadcast(curStats))
+        .select($"status", $"n_keys", $"current_version",
+          $"current_rows", $"current_n_chars")
+        .orderBy($"status")
+    }),
+
     // llmops semantic decontamination (X192): corpus vectors within
     // cosine 0.97 of any benchmark vector are contamination — the
     // embedding-space axis n-gram/bloom decontamination cannot see.
@@ -10012,6 +10045,36 @@ object SparkEntry {
          SELECT seg AS segmenter, qid::BIGINT AS query_id,
                 rk::INTEGER AS rk, doc_id, n_terms_hit, score
          FROM ranked ORDER BY segmenter, query_id, rk""",
+    // versioned root: both snapshots rebuilt from the base table, so
+    // the compare proves the pointer resolved to v2 and the diff
+    // classified every key
+    "q233_versioned_root" ->
+      """WITH v1 AS (
+           SELECT doc_id, source, n_chars FROM documents
+           WHERE doc_id % 7 <> 0),
+         v2 AS (
+           SELECT doc_id, source,
+                  n_chars + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+                    AS n_chars
+           FROM documents WHERE doc_id % 11 <> 0),
+         st AS (
+           SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                  CASE WHEN a.doc_id IS NULL THEN 'added'
+                       WHEN b.doc_id IS NULL THEN 'removed'
+                       WHEN a.source = b.source AND a.n_chars = b.n_chars
+                         THEN 'unchanged'
+                       ELSE 'changed' END AS status
+           FROM v1 a FULL JOIN v2 b ON b.doc_id = a.doc_id),
+         cs AS (
+           SELECT count(*)::BIGINT AS current_rows,
+                  sum(n_chars)::BIGINT AS current_n_chars,
+                  2 AS current_version
+           FROM v2)
+         SELECT st.status, count(*)::BIGINT AS n_keys,
+                cs.current_version, cs.current_rows, cs.current_n_chars
+         FROM st, cs
+         GROUP BY 1, 3, 4, 5
+         ORDER BY st.status""",
     // PCA contract: coordinate variance, norms, and cross-dots all
     // recomputed in SQL from the dumped model + raw embeddings
     "q230_pca_contract" ->

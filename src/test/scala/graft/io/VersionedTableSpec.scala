@@ -1,0 +1,76 @@
+package graft.io
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class VersionedTableSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshRoot(tag: String): String = {
+    val root = s"/tmp/graft_vtable_$tag"
+    VersionedTable.drop(spark, root)
+    root
+  }
+
+  test("publish-while-reading: a reader that resolved v1 keeps seeing " +
+      "ONLY v1 rows across a v2 publish; a new resolution sees v2") {
+    val root = freshRoot("swap")
+    val v1 = VersionedTable.publish(
+      (1 to 5).map(i => (i.toLong, "v1")).toDF("id", "tag"), root)
+    assert(v1 == 1)
+    // reader resolves the pointer NOW — its scan is pinned to v1
+    val reader = VersionedTable.readCurrent(spark, root)
+    val v2 = VersionedTable.publish(
+      (1 to 8).map(i => (i.toLong, "v2")).toDF("id", "tag"), root)
+    assert(v2 == 2)
+    val seen = reader.select($"tag").distinct().as[String].collect().toSeq
+    assert(seen == Seq("v1"), s"reader must stay on its snapshot: $seen")
+    assert(reader.count() == 5)
+    // a NEW resolution serves v2
+    val fresh = VersionedTable.readCurrent(spark, root)
+    assert(fresh.count() == 8)
+    assert(fresh.select($"tag").distinct().as[String].collect().toSeq ==
+      Seq("v2"))
+    assert(VersionedTable.currentVersion(spark, root).contains(2))
+  }
+
+  test("pinned reads time-travel; unknown version and empty root fail " +
+      "with clear messages") {
+    val root = freshRoot("pin")
+    val e = intercept[IllegalStateException] {
+      VersionedTable.readCurrent(spark, root)
+    }
+    assert(e.getMessage.contains("no published version"))
+    VersionedTable.publish(Seq((1L, 10)).toDF("id", "x"), root)
+    VersionedTable.publish(Seq((1L, 20)).toDF("id", "x"), root)
+    assert(VersionedTable.read(spark, root, 1).head().getInt(1) == 10)
+    assert(VersionedTable.read(spark, root, 2).head().getInt(1) == 20)
+    val bad = intercept[IllegalArgumentException] {
+      VersionedTable.read(spark, root, 9)
+    }
+    assert(bad.getMessage.contains("no version"))
+  }
+
+  test("diff audits two versions: added/removed/changed/unchanged") {
+    val root = freshRoot("diff")
+    VersionedTable.publish(Seq(
+      (1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text"), root)
+    VersionedTable.publish(Seq(
+      (1L, "a"), (2L, "B2"), (4L, "d")).toDF("doc_id", "text"), root)
+    val st = VersionedTable.diff(spark, root, 1, 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(st == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
+  test("prune keeps the newest published versions and never the " +
+      "current; pruned versions are gone, kept ones readable") {
+    val root = freshRoot("prune")
+    (1 to 4).foreach(i =>
+      VersionedTable.publish(Seq((i.toLong, i)).toDF("id", "x"), root))
+    VersionedTable.prune(spark, root, keep = 2)
+    assert(graft.llmops.VersionedIndex.versions(spark, root) == Seq(3, 4))
+    assert(VersionedTable.readCurrent(spark, root).head().getInt(1) == 4)
+    assert(VersionedTable.read(spark, root, 3).head().getInt(1) == 3)
+  }
+}
