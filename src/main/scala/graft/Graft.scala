@@ -732,6 +732,27 @@ object Graft {
                    key: String): DataFrame =
     llmops.Privacy.pseudonymize(df, cols, key)
   /** k-anonymity audit over quasi-identifier columns (X195, q222). */
+  /** l-diversity audit (X208): distinct sensitive values per
+    * quasi-identifier class — the homogeneity attack k-anonymity
+    * misses (q234). */
+  def lDiversityAudit(df: DataFrame, quasiCols: Seq[String],
+                      sensitiveCol: String, l: Int): DataFrame =
+    llmops.Privacy.lDiversityAudit(df, quasiCols, sensitiveCol, l)
+  /** Embedding isotropy / effective-rank report (X209): full-spectrum
+    * variance landscape + the trace-identity self-audit (q235). */
+  def isotropyReport(vecs: DataFrame,
+                     vecCol: String = "embedding"): DataFrame =
+    llmops.Pca.isotropyReport(vecs, vecCol)
+  /** PSI drift report (X211): current snapshot binned by the
+    * reference's exact deciles, clamped-log contributions (q237). */
+  def psiReport(ref: DataFrame, cur: DataFrame, valueCol: String,
+                bins: Int = 10): DataFrame =
+    llmops.Binning.psiReport(ref, cur, valueCol, bins)
+  /** Good-Turing unseen-mass report (X212): P(next token unseen) =
+    * N1/N per source (q238). */
+  def goodTuringReport(docs: DataFrame,
+                       byCol: String = "source"): DataFrame =
+    llmops.Vocab.goodTuringReport(docs, byCol)
   def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String],
                       k: Int): DataFrame =
     llmops.Privacy.kAnonymityAudit(df, quasiCols, k)

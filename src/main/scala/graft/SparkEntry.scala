@@ -4478,6 +4478,83 @@ object SparkEntry {
         .orderBy($"status")
     }),
 
+    // llmops l-diversity audit (X208): the homogeneity attack
+    // k-anonymity (q222) misses — classes with too few DISTINCT
+    // sensitive values disclose by membership alone. Same release-
+    // dashboard shape as q222; NULL sensitive counts as a value
+    // (plain GROUP BY at both levels, not count(DISTINCT)).
+    "q234_l_diversity" -> ((s, d) => {
+      import s.implicits._
+      graft.llmops.Privacy.lDiversityAudit(
+        t(s, d, "documents")
+          .withColumn("len_bucket", floor($"n_chars" / 500)),
+        Seq("source", "len_bucket"), "lang", l = 2)
+    }),
+
+    // llmops embedding isotropy / effective-rank report (X209): is
+    // the embedding's variance spread across directions (healthy) or
+    // collapsed onto a few (the anisotropy pathology)? Full-spectrum
+    // PCA fit + one norms aggregate; the trace identity
+    // (Σλ = E‖x‖² − ‖μ‖²) audits the power iteration's own spectrum
+    // against the raw data.
+    "q235_isotropy" -> ((s, d) => {
+      import s.implicits._
+      val P = graft.llmops.Pca
+      val emb = t(s, d, "embeddings").where($"embedding".isNotNull)
+      if (materializing) {
+        val d0 = emb.select(size($"embedding")).head().getInt(0)
+        val m = P.fit(emb, k = d0) // the report's own full spectrum
+        materialize(m.explained.zipWithIndex.map(p => (p._2, p._1))
+          .toSeq.toDF("component", "explained"), "q235_explained")
+        materialize(m.mean.zipWithIndex.map(p => (p._2, p._1))
+          .toSeq.toDF("idx", "m"), "q235_mean")
+      }
+      P.isotropyReport(emb)
+    }),
+
+    // llmops dehyphenation / line-wrap repair (X210): plant wraps
+    // into clean text deterministically, then verify the repairs
+    // restore the original — per-doc booleans, both engines running
+    // the identical RE2-safe regex chain.
+    "q236_dehyphenate" -> ((s, d) => {
+      import s.implicits._
+      val T = graft.llmops.TextFuncs
+      val docs = t(s, d, "documents").filter($"doc_id" < 200)
+        .select($"doc_id", $"text")
+      docs
+        .withColumn("wrapped", regexp_replace($"text", "er", "-\ner"))
+        .withColumn("broken", regexp_replace($"text", "\\. ", ".\n"))
+        .select($"doc_id",
+          ((length($"wrapped") - length($"text")) / 2).cast("long")
+            .as("n_wraps"),
+          (T.dehyphenate($"wrapped") === $"text").as("dehyph_restores"),
+          (T.unwrapLines($"broken") === $"text").as("unwrap_restores"))
+        .orderBy($"doc_id")
+    }),
+
+    // llmops PSI drift report (X211): document-length distribution of
+    // a deterministically shifted "current" snapshot binned by the
+    // reference's exact deciles — the numeric-axis drift verdict next
+    // to q216's categorical χ².
+    "q237_psi_drift" -> ((s, d) => {
+      import s.implicits._
+      val base = t(s, d, "documents").select($"doc_id", $"n_chars")
+      val ref = base.filter($"doc_id" % 2 === 0).select($"n_chars".as("v"))
+      val cur = base.filter($"doc_id" % 2 =!= 0)
+        .select(($"n_chars" + ($"doc_id" % 7) * 40).as("v"))
+      graft.llmops.Binning.psiReport(ref, cur, "v", bins = 10)
+        .orderBy($"bin")
+    }),
+
+    // llmops Good-Turing unseen mass (X212): P(next token is a new
+    // type) ≈ N1/N per source — the point-in-time under-sampling
+    // probe next to q223's diachronic Heaps profile.
+    "q238_good_turing" -> ((s, d) => {
+      import s.implicits._
+      graft.llmops.Vocab.goodTuringReport(t(s, d, "documents"))
+        .orderBy($"source")
+    }),
+
     // llmops semantic decontamination (X192): corpus vectors within
     // cosine 0.97 of any benchmark vector are contamination — the
     // embedding-space axis n-gram/bloom decontamination cannot see.
@@ -10045,6 +10122,164 @@ object SparkEntry {
          SELECT seg AS segmenter, qid::BIGINT AS query_id,
                 rk::INTEGER AS rk, doc_id, n_terms_hit, score
          FROM ranked ORDER BY segmenter, query_id, rk""",
+    // l-diversity: two-level GROUP BY (NULL sensitive = its own
+    // group), same dashboard arithmetic as q222
+    "q234_l_diversity" ->
+      """WITH perv AS (
+           SELECT source, floor(n_chars / 500) AS len_bucket, lang,
+                  count(*) AS n
+           FROM documents GROUP BY 1, 2, 3),
+         cls AS (
+           SELECT source, len_bucket, sum(n) AS rws, count(*) AS dv
+           FROM perv GROUP BY 1, 2)
+         SELECT 2 AS l, sum(rws)::BIGINT AS n_rows,
+                count(*) AS n_classes,
+                min(dv) AS min_distinct_sensitive,
+                sum(CASE WHEN dv < 2 THEN 1 ELSE 0 END)::BIGINT
+                  AS violating_classes,
+                sum(CASE WHEN dv < 2 THEN rws ELSE 0 END)::BIGINT
+                  AS violating_rows,
+                round(sum(CASE WHEN dv < 2 THEN rws ELSE 0 END)
+                  / sum(rws)::DOUBLE, 4) AS violating_row_rate
+         FROM cls""",
+    // isotropy: spectrum stats replayed from the dumped eigenvalues;
+    // norms, centroid, and the trace identity recomputed exactly from
+    // the raw embeddings — the trace check audits the fit itself
+    "q235_isotropy" ->
+      """WITH ex AS (
+           SELECT component, explained
+           FROM read_parquet('/root/repo/spark-warehouse/q235_explained/*.parquet')),
+         mn AS (
+           SELECT idx, m
+           FROM read_parquet('/root/repo/spark-warehouse/q235_mean/*.parquet')),
+         pernorm AS (
+           SELECT vec_id, sqrt(sum(x * x)) AS nrm, sum(x * x) AS sq
+           FROM (SELECT vec_id, embedding[i]::DOUBLE AS x
+                 FROM (SELECT vec_id, embedding FROM embeddings
+                       WHERE embedding IS NOT NULL) e,
+                      unnest(generate_series(1, len(embedding))) AS g(i))
+           GROUP BY vec_id),
+         nm AS (
+           SELECT count(*)::BIGINT AS n_vectors,
+                  avg(nrm) AS mean_norm, avg(sq) AS mean_sq_norm
+           FROM pernorm),
+         ag AS (
+           SELECT sum(explained) AS tot,
+                  sum(explained * explained) AS ss,
+                  max(CASE WHEN component = 0 THEN explained END) AS l1
+           FROM ex),
+         cn AS (SELECT sqrt(sum(m * m)) AS centroid_norm FROM mn),
+         dm AS (SELECT max(len(embedding))::INTEGER AS dim
+                FROM embeddings WHERE embedding IS NOT NULL)
+         SELECT nm.n_vectors, dm.dim,
+                round(ag.tot, 4) AS total_var,
+                round(ag.l1 / ag.tot, 4) AS top1_share,
+                round(ag.tot * ag.tot / ag.ss, 4) AS participation_ratio,
+                round(ag.tot * ag.tot / ag.ss / dm.dim, 4)
+                  AS effective_rank_frac,
+                round(cn.centroid_norm, 4) AS centroid_norm,
+                round(nm.mean_norm, 4) AS mean_norm,
+                (abs(ag.tot - (nm.mean_sq_norm -
+                   cn.centroid_norm * cn.centroid_norm)) <=
+                 greatest(1e-4, (nm.mean_sq_norm -
+                   cn.centroid_norm * cn.centroid_norm) * 0.01))
+                  AS trace_ok
+         FROM nm, ag, cn, dm""",
+    // dehyphenation: identical plant + identical RE2 repair chain in
+    // both engines; the booleans assert restoration per doc
+    "q236_dehyphenate" ->
+      """WITH base AS (
+           SELECT doc_id, text FROM documents WHERE doc_id < 200),
+         planted AS (
+           SELECT doc_id, text,
+                  regexp_replace(text, 'er', '-' || chr(10) || 'er', 'g')
+                    AS wrapped,
+                  regexp_replace(text, '\. ', '.' || chr(10), 'g')
+                    AS broken
+           FROM base)
+         SELECT doc_id,
+                ((length(wrapped) - length(text)) / 2)::BIGINT AS n_wraps,
+                (regexp_replace(wrapped,
+                   '(\p{L})-[ \t]*\n[ \t]*(\p{L})', '\1\2', 'g') = text)
+                  AS dehyph_restores,
+                (regexp_replace(regexp_replace(broken,
+                   '(\p{L})-[ \t]*\n[ \t]*(\p{L})', '\1\2', 'g'),
+                   '([^\n])\n([^\n])', '\1 \2', 'g') = text)
+                  AS unwrap_restores
+         FROM planted ORDER BY doc_id""",
+    // PSI: reference deciles (exact interpolated, 6dp), bin = count
+    // of edges strictly below the value, clamped-log contributions
+    "q237_psi_drift" ->
+      """WITH refv AS (
+           SELECT n_chars::DOUBLE AS v FROM documents
+           WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL),
+         curv AS (
+           SELECT (n_chars + (doc_id % 7) * 40)::DOUBLE AS v
+           FROM documents WHERE doc_id % 2 <> 0 AND n_chars IS NOT NULL),
+         ed AS (
+           SELECT list_transform(
+             quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5,
+                               0.6, 0.7, 0.8, 0.9]),
+             x -> round(x, 6)) AS el
+           FROM refv),
+         b AS (SELECT unnest(generate_series(0, 9)) AS bin),
+         rc AS (
+           SELECT (SELECT count(*) FROM ed, unnest(ed.el) AS t(e)
+                   WHERE e < v) AS bin, count(*) AS n_ref
+           FROM refv GROUP BY 1),
+         cc AS (
+           SELECT (SELECT count(*) FROM ed, unnest(ed.el) AS t(e)
+                   WHERE e < v) AS bin, count(*) AS n_cur
+           FROM curv GROUP BY 1),
+         j AS (
+           SELECT b.bin, coalesce(rc.n_ref, 0)::BIGINT AS n_ref,
+                  coalesce(cc.n_cur, 0)::BIGINT AS n_cur
+           FROM b LEFT JOIN rc ON rc.bin = b.bin
+                  LEFT JOIN cc ON cc.bin = b.bin),
+         p AS (
+           SELECT bin, n_ref, n_cur,
+                  n_ref / (sum(n_ref) OVER ())::DOUBLE AS p_ref,
+                  n_cur / (sum(n_cur) OVER ())::DOUBLE AS p_cur
+           FROM j),
+         c AS (
+           SELECT *, (p_cur - p_ref) *
+                  ln(greatest(p_cur, 1e-6) / greatest(p_ref, 1e-6))
+                    AS contrib
+           FROM p)
+         SELECT c.bin::INTEGER AS bin,
+                CASE WHEN c.bin > 0 THEN ed.el[c.bin] END AS lo,
+                CASE WHEN c.bin < 9 THEN ed.el[c.bin + 1] END AS hi,
+                c.n_ref, c.n_cur,
+                round(c.p_ref, 4) AS p_ref, round(c.p_cur, 4) AS p_cur,
+                round(c.contrib, 4) AS contrib,
+                round(sum(c.contrib) OVER (), 4) AS psi
+         FROM c, ed ORDER BY bin""",
+    // Good-Turing: the q169 tokenizer mirror feeding one term-count
+    // table, then pure arithmetic
+    "q238_good_turing" ->
+      """WITH tok AS (
+           SELECT source,
+                  unnest(string_split_regex(lower(trim(regexp_replace(text,
+                    '([\x{0e00}-\x{0e7f}\x{0e80}-\x{0eff}\x{1000}-\x{109f}\x{1780}-\x{17ff}\x{3040}-\x{30ff}\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{f900}-\x{faff}])',
+                    ' \1 ', 'g'))), '\s+')) AS t
+           FROM documents),
+         tc AS (
+           SELECT source, t, count(*) AS c
+           FROM tok WHERE t <> '' GROUP BY 1, 2)
+         SELECT source, sum(c)::BIGINT AS n_tokens, count(*) AS vocab,
+                sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT
+                  AS singletons,
+                sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT
+                  AS doubletons,
+                round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                  / sum(c)::DOUBLE, 4) AS unseen_mass,
+                round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                  / count(*)::DOUBLE, 4) AS singleton_share,
+                CASE WHEN sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) > 0
+                  THEN round(2.0 * sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+                    / sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE, 4)
+                END AS gt_singleton_discount
+         FROM tc GROUP BY source ORDER BY source""",
     // versioned root: both snapshots rebuilt from the base table, so
     // the compare proves the pointer resolved to v2 and the diff
     // classified every key

@@ -152,4 +152,86 @@ object Binning {
       .withColumn(binCol, bin)
       .drop((0 until nq).map(i => s"q$i") :+ "grp": _*)
   }
+
+  /** Population Stability Index drift report (X211) — the standard
+    * model/data-monitoring drift number: bin the CURRENT snapshot by
+    * the REFERENCE snapshot's quantile edges and measure
+    *
+    *   PSI = Σ_b (p_cur(b) − p_ref(b)) · ln(p_cur(b)/p_ref(b))
+    *
+    * (< 0.1 stable, 0.1–0.25 moderate, > 0.25 action — the classic
+    * credit-scoring rule of thumb). The pipeline use: did this crawl
+    * round shift the document-length / quality-score distribution
+    * enough to re-examine the mix before training on it. Complements
+    * the categorical χ² audit (X189) on the numeric axis and the
+    * per-key SnapshotDiff (X41) with a distribution-level verdict.
+    *
+    * Deterministic and oracle-replayable: edges are EXACT interpolated
+    * reference quantiles rounded to 6dp (the [[groupQuantileThresholds]]
+    * convention), bin assignment is `Σ 1[edge < v]` — a pure codegen
+    * when-chain, no sort — and empty-bin proportions are clamped at
+    * `1e-6` inside the log (the standard PSI fix, stated rather than
+    * hidden). Shape: one aggregate per side for counts, one tiny
+    * edge aggregate, a `bins`-row broadcast frame at the end; the
+    * corpus never shuffles.
+    *
+    * @return one row per bin: (bin, lo, hi, n_ref, n_cur, p_ref,
+    *         p_cur, contrib, psi) — lo/hi the bin's edge band (null at
+    *         the open ends), proportions/contrib/psi 4dp, `psi` the
+    *         total riding every row
+    */
+  def psiReport(ref: DataFrame, cur: DataFrame, valueCol: String,
+                bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000, "bins in [2, 1000]")
+    val spark = ref.sparkSession
+    val probs = (1 until bins).map(_.toDouble / bins)
+    def clean(df: DataFrame) = df
+      .select(col(valueCol).cast("double").as("__v"))
+      .where(col("__v").isNotNull)
+    val refNN = clean(ref)
+    val curNN = clean(cur)
+    val eRow = refNN.agg(
+      round(percentile(col("__v"), lit(probs.head)), 6).as("e0"),
+      probs.tail.zipWithIndex.map { case (p, i) =>
+        round(percentile(col("__v"), lit(p)), 6).as(s"e${i + 1}") }: _*)
+      .head()
+    val edges = (0 until bins - 1).map(eRow.getDouble)
+    def counted(df: DataFrame, name: String) = df
+      .withColumn("__bin",
+        edges.map(e => when(col("__v") > e, 1).otherwise(0))
+          .reduce(_ + _))
+      .groupBy(col("__bin").as("bin"))
+      .agg(count(lit(1)).as(name))
+    val allBins = spark.range(bins)
+      .select(col("id").cast("int").as("bin"))
+    val joined = allBins
+      .join(counted(refNN, "n_ref"), Seq("bin"), "left")
+      .join(counted(curNN, "n_cur"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val edgeArr = array(edges.map(lit): _*)
+    val eps = 1e-6
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    joined
+      .withColumn("__tr", sum(col("n_ref")).over(w))
+      .withColumn("__tc", sum(col("n_cur")).over(w))
+      .withColumn("p_ref", col("n_ref") / col("__tr").cast("double"))
+      .withColumn("p_cur", col("n_cur") / col("__tc").cast("double"))
+      .withColumn("contrib",
+        (col("p_cur") - col("p_ref")) *
+          log(greatest(col("p_cur"), lit(eps)) /
+            greatest(col("p_ref"), lit(eps))))
+      .withColumn("psi", round(sum(col("contrib")).over(w), 4))
+      .select(col("bin"),
+        when(col("bin") > 0, element_at(edgeArr, col("bin"))).as("lo"),
+        when(col("bin") < bins - 1,
+          element_at(edgeArr, col("bin") + 1)).as("hi"),
+        col("n_ref"), col("n_cur"),
+        round(col("p_ref"), 4).as("p_ref"),
+        round(col("p_cur"), 4).as("p_cur"),
+        round(col("contrib"), 4).as("contrib"),
+        col("psi"))
+  }
 }

@@ -241,6 +241,66 @@ object Pca {
       copy(child = c)
   }
 
+  /** Embedding isotropy / effective-rank report (X209) — the
+    * embedding-health probe in front of every ANN/semantic-dedup
+    * decision: an embedding whose variance lives in a handful of
+    * directions (the anisotropy pathology of contextual embeddings,
+    * Ethayarajh 2019) wastes index dimensions and makes cosine
+    * thresholds unstable. One row:
+    *
+    *  - `n_vectors`, `dim`
+    *  - `total_var` — Σλ over the full fitted spectrum (4dp)
+    *  - `top1_share` — λ₁/Σλ: 1/d for isotropic, →1 for collapsed
+    *  - `participation_ratio` — (Σλ)²/Σλ² (Gao et al.'s effective
+    *    rank): "how many directions actually carry variance"
+    *  - `effective_rank_frac` — PR/d
+    *  - `centroid_norm`, `mean_norm` — ‖μ‖ vs E‖x‖: a large common
+    *    component is the classic anisotropy driver
+    *  - `trace_ok` — |Σλ − trace(cov)| within 1 % of trace, where
+    *    trace(cov) = E‖x‖² − ‖μ‖² is recomputed from the data: the
+    *    trace identity audits the power iteration's own spectrum
+    *    (clustered eigenvalues converge slowly; this catches it)
+    *
+    * Cost: [[fit]]'s one scatter pass (k = d full spectrum — the
+    * eigensolve stays a d×d driver problem) plus one aggregate for
+    * the norms. No shuffle anywhere.
+    */
+  def isotropyReport(vecs: DataFrame, vecCol: String = "embedding",
+                     iters: Int = 30): DataFrame = {
+    val rows = vecs.select(col(vecCol)).where(col(vecCol).isNotNull)
+    val first = rows.head(1)
+    require(first.nonEmpty,
+      s"isotropyReport: no non-null vectors in column '$vecCol'")
+    val d = first(0).getSeq[Float](0).length
+    val m = fit(rows, k = d, iters = iters, vecCol = vecCol)
+    val lam = m.explained
+    val tot = lam.sum
+    val sumSq = lam.map(x => x * x).sum
+    val pr = if (sumSq > 0) tot * tot / sumSq else 0.0
+    val top1 = if (tot > 0) lam(0) / tot else 0.0
+    val centroidNorm = math.sqrt(m.mean.map(x => x * x).sum)
+    val sqNorm = aggregate(col(vecCol), lit(0.0),
+      (a, x) => a + x.cast("double") * x.cast("double"))
+    rows.agg(
+        count(lit(1)).as("n_vectors"),
+        avg(sqrt(sqNorm)).as("__mean_norm"),
+        avg(sqNorm).as("__mean_sq_norm"))
+      .select(
+        col("n_vectors"),
+        lit(d).as("dim"),
+        round(lit(tot), 4).as("total_var"),
+        round(lit(top1), 4).as("top1_share"),
+        round(lit(pr), 4).as("participation_ratio"),
+        round(lit(pr / d), 4).as("effective_rank_frac"),
+        round(lit(centroidNorm), 4).as("centroid_norm"),
+        round(col("__mean_norm"), 4).as("mean_norm"),
+        (abs(lit(tot) -
+          (col("__mean_sq_norm") - lit(centroidNorm * centroidNorm))) <=
+          greatest(lit(1e-4),
+            (col("__mean_sq_norm") - lit(centroidNorm * centroidNorm))
+              * 0.01)).as("trace_ok"))
+  }
+
   /** The model's projection as a Column: `(x − mean)` dotted with each
     * component, one kernel call per row. `asFloat = false` yields
     * array<double> (full precision for contracts/audits); the default

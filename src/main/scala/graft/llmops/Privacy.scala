@@ -74,4 +74,51 @@ object Privacy {
       .withColumn("violating_row_rate",
         round(col("violating_rows") / col("n_rows").cast("double"), 4))
   }
+
+  /** l-diversity audit (X208; Machanavajjhala et al. 2006) — the
+    * attack k-anonymity misses: a class of 50 rows is 50-anonymous,
+    * but if all 50 share ONE sensitive value, membership alone
+    * discloses it (the homogeneity attack). Distinct l-diversity
+    * requires every equivalence class to contain at least `l`
+    * DISTINCT sensitive values; this audit reports the class
+    * landscape the release decision reads, per the same contract as
+    * [[kAnonymityAudit]] (which it complements — run both).
+    *
+    * Shape: one groupBy on (quasi..., sensitive) then one on
+    * (quasi...) — both map-side-combinable slim-key aggregates; the
+    * sensitive payload never travels beyond its hashed key. NULL
+    * sensitive values count as a value (a class that is all-NULL
+    * still discloses "unknown"): both levels use plain GROUP BY, where
+    * NULL forms its own group — deliberately NOT count(DISTINCT),
+    * whose null-dropping would report diversity the data lacks.
+    *
+    * @return single row: (l, n_rows, n_classes, min_distinct_sensitive,
+    *         violating_classes, violating_rows, violating_row_rate) —
+    *         violating = class with < l distinct sensitive values
+    */
+  def lDiversityAudit(df: DataFrame, quasiCols: Seq[String],
+                      sensitiveCol: String, l: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "at least one quasi-identifier column")
+    require(!quasiCols.contains(sensitiveCol),
+      "the sensitive column cannot be a quasi-identifier")
+    require(l >= 2, "l must be >= 2 (l = 1 is vacuous)")
+    val qs = quasiCols.map(col)
+    val perValue = df
+      .groupBy((qs :+ col(sensitiveCol)): _*)
+      .agg(count(lit(1)).as("__n"))
+    val classes = perValue.groupBy(qs: _*)
+      .agg(sum(col("__n")).as("__rows"),
+        count(lit(1)).as("__distinct"))
+    classes.agg(
+      lit(l).as("l"),
+      sum(col("__rows")).as("n_rows"),
+      count(lit(1)).as("n_classes"),
+      min(col("__distinct")).as("min_distinct_sensitive"),
+      sum(when(col("__distinct") < l, 1L).otherwise(0L))
+        .as("violating_classes"),
+      sum(when(col("__distinct") < l, col("__rows")).otherwise(0L))
+        .as("violating_rows"))
+      .withColumn("violating_row_rate",
+        round(col("violating_rows") / col("n_rows").cast("double"), 4))
+  }
 }

@@ -234,6 +234,30 @@ object TextFuncs {
     lenOk + stopOk + wordOk + punctOk
   }
 
+  /** Repair hyphenated line wraps (X210): `exam-\nple` → `example` —
+    * the dominant text artifact of PDF/column extraction (the X83 PDF
+    * path emits them verbatim), which otherwise splits one word into
+    * two tokens and poisons BM25/vocab/dedup shingles downstream.
+    * A letter-hyphen-newline-letter join (optional trailing/leading
+    * spaces around the newline); pure `regexp_replace`, RE2-safe (no
+    * lookaround), so the DuckDB oracle mirrors it verbatim. Known
+    * limit, identical in both engines: matches are non-overlapping
+    * left-to-right, so a 1-letter line between two wraps keeps its
+    * second hyphen — real prose lines are longer.
+    */
+  def dehyphenate(text: Column): Column =
+    regexp_replace(text,
+      "(\\p{L})-[ \\t]*\\n[ \\t]*(\\p{L})", "$1$2")
+
+  /** Unwrap single line breaks into spaces (X210), preserving
+    * paragraph breaks (`\n\n` stays): [[dehyphenate]] first, then
+    * join `X\nY` for non-newline X,Y. Same RE2-safe non-overlapping
+    * caveat (1-character lines), identical in both engines.
+    */
+  def unwrapLines(text: Column): Column =
+    regexp_replace(dehyphenate(text),
+      "([^\\n])\\n([^\\n])", "$1 $2")
+
   /** Character n-gram shingles (lowercased, whitespace-collapsed). */
   def charShingles(text: Column, n: Int): Column = {
     val t = regexp_replace(lower(trim(text)), "\\s+", " ")

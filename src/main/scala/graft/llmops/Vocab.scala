@@ -426,6 +426,54 @@ object Vocab {
     * @return one row per checkpoint: (fraction, n_docs, n_tokens,
     *         vocab, beta) — beta 4dp
     */
+  /** Good–Turing unseen-mass estimate (X212; Good 1953, the
+    * missing-mass half of the Gale & Sampson simple-GT recipe): the
+    * probability that the NEXT token drawn from a source is a type
+    * never seen in it ≈ N₁/N (singleton count over token count).
+    * The question [[heapsProfile]] answers diachronically ("is the
+    * vocabulary still growing as we scan more") this answers
+    * point-in-time per source: a source with high unseen mass is
+    * under-sampled — scale its crawl before scaling its weight —
+    * while unseen mass ≈ 0 with β ≈ 1 in Heaps terms flags id/hash
+    * spill masquerading as vocabulary. Doubletons ride along (N₂
+    * feeds the GT singleton discount r* = 2·N₂/N₁, also reported).
+    *
+    * Shape: one tokenize/explode → (source, term) count → one
+    * aggregate over the count table. The term table is the
+    * vocabulary-sized slim shuffle every lexical stat here pays;
+    * nothing else moves.
+    *
+    * @return one row per source: (source, n_tokens, vocab,
+    *         singletons, doubletons, unseen_mass, singleton_share,
+    *         gt_singleton_discount) — ratios 4dp; the discount is
+    *         null when a source has no singletons
+    */
+  def goodTuringReport(docs: DataFrame, byCol: String = "source",
+                       textCol: String = "text"): DataFrame = {
+    val termCounts = docs
+      .select(col(byCol),
+        explode(TextFuncs.tokens(col(textCol))).as("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy(col(byCol), col("__t"))
+      .agg(count(lit(1)).as("__c"))
+    termCounts.groupBy(col(byCol))
+      .agg(
+        sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("singletons"),
+        sum(when(col("__c") === 2, 1L).otherwise(0L)).as("doubletons"))
+      .select(col(byCol), col("n_tokens"), col("vocab"),
+        col("singletons"), col("doubletons"),
+        round(col("singletons") / col("n_tokens").cast("double"), 4)
+          .as("unseen_mass"),
+        round(col("singletons") / col("vocab").cast("double"), 4)
+          .as("singleton_share"),
+        when(col("singletons") > 0,
+          round(lit(2.0) * col("doubletons") /
+            col("singletons").cast("double"), 4))
+          .as("gt_singleton_discount"))
+  }
+
   def heapsProfile(docs: DataFrame, fractions: Seq[Double] =
                      Seq(0.125, 0.25, 0.5, 1.0),
                    idCol: String = "doc_id", textCol: String = "text")

@@ -49,7 +49,8 @@ class RobustnessSpec extends SparkTestBase {
       "q225_distinctive_terms", "q226_community_report",
       "q227_concentration", "q228_ab_test", "q229_semantic_chunks",
       "q230_pca_contract", "q231_pca_ann", "q232_bm25_segmented",
-      "q233_versioned_root")
+      "q233_versioned_root", "q234_l_diversity", "q235_isotropy",
+      "q236_dehyphenate", "q237_psi_drift", "q238_good_turing")
     for (name <- picked) {
       val fn = SparkEntry.queries(name)
       val a = fn(spark, sf0001).collect().map(_.toString).sorted.toSeq

@@ -128,6 +128,33 @@ class BinningSpec extends SparkTestBase {
     assert(got.count() == 100)
   }
 
+  test("psiReport: identical distributions give psi ~ 0; a shifted " +
+      "current snapshot gives a large psi; bins and shares exact") {
+    import spark.implicits._
+    val ref = (1 to 1000).map(_.toDouble).toDF("v")
+    val same = Binning.psiReport(ref, ref, "v", bins = 10)
+      .collect().sortBy(_.getAs[Int]("bin"))
+    assert(same.length == 10)
+    // every bin holds ~10% on both sides, psi exactly 0
+    same.foreach { r =>
+      assert(r.getAs[Double]("psi") == 0.0)
+      assert(math.abs(r.getAs[Double]("p_ref") - 0.1) < 0.011)
+      assert(r.getAs[Double]("p_ref") == r.getAs[Double]("p_cur"))
+    }
+    // shifted: current entirely above the reference's max -> all mass
+    // in the last bin
+    val cur = (2001 to 3000).map(_.toDouble).toDF("v")
+    val drift = Binning.psiReport(ref, cur, "v", bins = 10)
+      .collect().sortBy(_.getAs[Int]("bin"))
+    assert(drift.last.getAs[Double]("p_cur") == 1.0)
+    assert(drift.head.getAs[Double]("p_cur") == 0.0)
+    assert(drift.head.getAs[Double]("psi") > 0.25,
+      s"total shift must trip the 0.25 action threshold: ${drift.head}")
+    // edges ride along: bin 0 has no lo, last has no hi
+    assert(drift.head.isNullAt(drift.head.fieldIndex("lo")))
+    assert(drift.last.isNullAt(drift.last.fieldIndex("hi")))
+  }
+
   test("winsorize: groups get independent bands") {
     import spark.implicits._
     val df = ((1 to 10).map(v => ("a", v.toDouble)) ++

@@ -121,6 +121,39 @@ class PcaSpec extends SparkTestBase {
     assert(e.getMessage.contains("no non-null vectors"))
   }
 
+  test("isotropyReport: rank-1 data collapses (top1 ~1, PR ~1), " +
+      "isotropic data spreads (PR ~d), trace identity holds") {
+    // rank-1: all variance on one axis
+    val rank1 = (0 until 100).map(i =>
+      (i.toLong, Array((i % 11).toFloat, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val r1 = Pca.isotropyReport(rank1).head()
+    assert(r1.getAs[Long]("n_vectors") == 100L)
+    assert(r1.getAs[Int]("dim") == 4)
+    assert(r1.getAs[Double]("top1_share") > 0.999)
+    assert(r1.getAs[Double]("participation_ratio") < 1.01)
+    assert(r1.getAs[Boolean]("trace_ok"))
+    // isotropic-ish: a DIFFERENT frequency per axis decorrelates the
+    // coordinates (same-frequency phase shifts would span a 2-plane)
+    val freqs = Array(1.1, 2.3, 3.7, 5.1)
+    val iso = (0 until 200).map(i =>
+      (i.toLong, Array.tabulate(4)(j =>
+        math.sin(i * freqs(j)).toFloat)))
+      .toDF("vec_id", "embedding")
+    val ri = Pca.isotropyReport(iso).head()
+    assert(ri.getAs[Double]("participation_ratio") > 3.0,
+      s"PR=${ri.getAs[Double]("participation_ratio")}")
+    assert(ri.getAs[Double]("effective_rank_frac") > 0.75)
+    assert(ri.getAs[Boolean]("trace_ok"))
+    // empty input: clear message
+    val e = intercept[IllegalArgumentException] {
+      Pca.isotropyReport(
+        Seq((1L, null.asInstanceOf[Array[Float]]))
+          .toDF("vec_id", "embedding"))
+    }
+    assert(e.getMessage.contains("no non-null vectors"))
+  }
+
   test("determinism: same input, same model, bit for bit") {
     val rows = (0 until 60).map(i =>
       (i.toLong, Array.tabulate(5)(j =>

@@ -44,4 +44,30 @@ class PrivacySpec extends SparkTestBase {
     val r2 = Privacy.kAnonymityAudit(df, Seq("q1", "q2"), k = 2).head()
     assert(r2.getAs[Long]("violating_rows") == 1L)
   }
+
+  test("lDiversityAudit: the homogeneity attack is counted — a big " +
+      "class with one sensitive value violates; NULL is a value") {
+    // class (a): 4 rows but ONE sensitive value -> violates l=2
+    // class (b): 2 rows, two values -> ok
+    // class (c): 2 rows, value + NULL -> NULL counts, ok at l=2
+    val df = Seq(
+      ("a", Some("flu")), ("a", Some("flu")), ("a", Some("flu")),
+      ("a", Some("flu")),
+      ("b", Some("flu")), ("b", Some("cold")),
+      ("c", Some("flu")), ("c", None)).toDF("q1", "s")
+    val r = Privacy.lDiversityAudit(df, Seq("q1"), "s", l = 2).head()
+    assert(r.getAs[Long]("n_rows") == 8L)
+    assert(r.getAs[Long]("n_classes") == 3L)
+    assert(r.getAs[Long]("min_distinct_sensitive") == 1L)
+    assert(r.getAs[Long]("violating_classes") == 1L)
+    assert(r.getAs[Long]("violating_rows") == 4L)
+    assert(r.getAs[Double]("violating_row_rate") == 0.5)
+    // guards
+    intercept[IllegalArgumentException] {
+      Privacy.lDiversityAudit(df, Seq("s"), "s", l = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.lDiversityAudit(df, Seq("q1"), "s", l = 1)
+    }
+  }
 }

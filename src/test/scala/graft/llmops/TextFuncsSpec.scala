@@ -499,4 +499,30 @@ class TextFuncsSpec extends SparkTestBase {
     // "noise" (count 1) is gated by minCount = 2
     assert(!got.exists(_._3 == "noise"))
   }
+
+  test("dehyphenate repairs letter-hyphen-newline-letter wraps only; " +
+      "unwrapLines joins single breaks and keeps paragraphs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "an exam-\nple of a hyphen-\n  ated word"),
+      (2L, "keep 3-\n4 and x -\ny untouched"),   // digit / space-hyphen
+      (3L, "one line\ntwo line\n\nnew paragraph"),
+      (4L, null.asInstanceOf[String])).toDF("id", "t")
+    val got = df.select($"id",
+        TextFuncs.dehyphenate($"t").as("d"),
+        TextFuncs.unwrapLines($"t").as("u"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(1)), Option(r.getString(2)))).toMap
+    assert(got(1L)._1 == Some("an example of a hyphenated word"))
+    assert(got(2L)._1 == Some("keep 3-\n4 and x -\ny untouched"))
+    assert(got(3L)._2 == Some("one line two line\n\nnew paragraph"))
+    assert(got(4L) == ((None, None)))
+    // round trip: planting wraps into clean prose then repairing
+    // restores it (the q236 contract)
+    val clean = "the processing layer considers vector streams merged"
+    val wrapped = clean.replace("er", "-\ner")
+    val back = Seq(Tuple1(wrapped)).toDF("t")
+      .select(TextFuncs.dehyphenate($"t")).head().getString(0)
+    assert(back == clean, s"got: $back")
+  }
 }

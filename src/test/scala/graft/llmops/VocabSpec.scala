@@ -347,4 +347,28 @@ class VocabSpec extends SparkTestBase {
     // first checkpoint is its own fit base: beta 0 by definition
     assert(rows.head.getAs[Double]("beta") == 0.0)
   }
+
+  test("goodTuringReport: unseen mass = singletons over tokens; an " +
+      "all-repeats source reports zero unseen mass") {
+    import spark.implicits._
+    val df = Seq(
+      // source a: tokens = the the cat sat cat mat -> counts:
+      // the 2, cat 2, sat 1, mat 1 => N=6 V=4 N1=2 N2=2
+      ("a", "the the cat"), ("a", "sat cat mat"),
+      // source b: every token seen twice => N1=0, discount null
+      ("b", "x y x y")).toDF("source", "text")
+    val got = Vocab.goodTuringReport(df)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert(a.getAs[Long]("n_tokens") == 6L)
+    assert(a.getAs[Long]("vocab") == 4L)
+    assert(a.getAs[Long]("singletons") == 2L)
+    assert(a.getAs[Long]("doubletons") == 2L)
+    assert(a.getAs[Double]("unseen_mass") == 0.3333)
+    assert(a.getAs[Double]("singleton_share") == 0.5)
+    assert(a.getAs[Double]("gt_singleton_discount") == 2.0)
+    val b = got("b")
+    assert(b.getAs[Double]("unseen_mass") == 0.0)
+    assert(b.isNullAt(b.fieldIndex("gt_singleton_discount")))
+  }
 }
