@@ -753,6 +753,23 @@ object Graft {
   def goodTuringReport(docs: DataFrame,
                        byCol: String = "source"): DataFrame =
     llmops.Vocab.goodTuringReport(docs, byCol)
+  /** Luhn-gated credit-card redaction (X213): card-shaped runs that
+    * pass mod-10 become `<CARD>`, random digit runs stay (q239). */
+  def redactCards(text: Column): Column =
+    llmops.TextFuncs.redactCards(text)
+  /** Top-k embedding outliers by centroid-distance z-score (X214) —
+    * pre-index hygiene (q240). */
+  def embeddingOutliers(vecs: DataFrame, k: Int = 10): DataFrame =
+    llmops.VectorFuncs.embeddingOutliers(vecs, k)
+  /** Whole-graph reciprocity + degree assortativity (X215, q241). */
+  def graphHealthReport(edges: DataFrame): DataFrame =
+    ops.GraphStats.healthReport(edges)
+  /** Per-window PSI drift vs a static reference (X216) — the q237
+    * arithmetic as one streaming-legal windowed aggregate (q242). */
+  def psiWindows(events: DataFrame, edges: Seq[Double],
+                 refProps: Seq[Double],
+                 windowLen: String = "1 hour"): DataFrame =
+    streaming.EventStreams.psiWindows(events, edges, refProps, windowLen)
   def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String],
                       k: Int): DataFrame =
     llmops.Privacy.kAnonymityAudit(df, quasiCols, k)

@@ -4555,6 +4555,77 @@ object SparkEntry {
         .orderBy($"source")
     }),
 
+    // llmops Luhn-gated card redaction (X213): four planted card
+    // constants per doc (two valid, one valid-with-separators, one
+    // Luhn-failing) — the oracle re-runs the candidate regex AND the
+    // mod-10 checksum digit by digit, then verifies the redaction via
+    // occurrence-count length arithmetic.
+    "q239_card_redaction" -> ((s, d) => {
+      import s.implicits._
+      val T = graft.llmops.TextFuncs
+      val cards = array(lit("4111111111111111"),
+        lit("4111 1111 1111 1111"), lit("5500-0055-5555-5559"),
+        lit("4111111111111112"))
+      val planted = t(s, d, "documents")
+        .filter($"doc_id" < 100 && $"text".isNotNull)
+        .select($"doc_id", concat($"text", lit(" card: "),
+          element_at(cards, ($"doc_id" % 4 + 1).cast("int"))).as("t2"))
+      planted.select($"doc_id",
+          size(T.cardCandidates($"t2")).as("n_candidates"),
+          size(T.validCards($"t2")).as("n_valid"),
+          length(T.redactCards($"t2")).as("redacted_len"),
+          (size(split(T.redactCards($"t2"), "<CARD>", -1)) - 1)
+            .as("n_tags"))
+        .orderBy($"doc_id")
+    }),
+
+    // llmops embedding-outlier report (X214): plant one vector scaled
+    // 100x and ask for the top-10 centroid-distance z-scores — the
+    // pre-index hygiene pass, exact and fully replayed in SQL.
+    "q240_embedding_outliers" -> ((s, d) => {
+      import s.implicits._
+      val base = t(s, d, "embeddings").where($"embedding".isNotNull)
+        .select($"vec_id", $"embedding")
+      val planted = base.unionByName(
+        base.filter($"vec_id" === 0).select(lit(990000L).as("vec_id"),
+          transform($"embedding", x => (x * 100f).cast("float"))
+            .as("embedding")))
+      graft.llmops.VectorFuncs.embeddingOutliers(planted, k = 10)
+    }),
+
+    // ops graph health report (X215): reciprocity + degree
+    // assortativity over a synthetic link graph with a planted
+    // reciprocal layer and self-loops — the whole-graph sanity
+    // numbers next to the per-node PageRank/HITS/triangle family.
+    "q241_graph_health" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val fwd = docs.select($"doc_id".as("src"), explode(array(
+        pmod($"doc_id" * 7919 + 1, lit(500)),
+        pmod($"doc_id" + 3, lit(500)))).as("dst"))
+      val recip = docs.filter($"doc_id" % 5 === 0)
+        .select(pmod($"doc_id" + 3, lit(500)).as("src"),
+          $"doc_id".as("dst"))
+      val loops = docs.filter($"doc_id" % 97 === 0)
+        .select($"doc_id".as("src"), $"doc_id".as("dst"))
+      graft.ops.GraphStats.healthReport(
+        fwd.unionByName(recip).unionByName(loops))
+    }),
+
+    // streaming PSI twin, batch mode (X216): per-hour drift of the
+    // events value distribution against a fixed reference — the q237
+    // arithmetic as ONE streaming-legal windowed aggregate; the
+    // streaming path is spec-pinned equal (EventStreamsSpec).
+    "q242_psi_windows" -> ((s, d) => {
+      import s.implicits._
+      graft.streaming.EventStreams.psiWindows(
+          t(s, d, "events").select($"ts", $"value"),
+          edges = Seq(5.0, 20.0, 100.0),
+          refProps = Seq(0.4, 0.3, 0.2, 0.1),
+          windowLen = "1 hour")
+        .orderBy($"window_start")
+    }),
+
     // llmops semantic decontamination (X192): corpus vectors within
     // cosine 0.97 of any benchmark vector are contamination — the
     // embedding-space axis n-gram/bloom decontamination cannot see.
@@ -10280,6 +10351,166 @@ object SparkEntry {
                     / sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE, 4)
                 END AS gt_singleton_discount
          FROM tc GROUP BY source ORDER BY source""",
+    // card redaction: candidate regex + digit-by-digit Luhn replayed;
+    // redaction pinned by occurrence-count length arithmetic (replace
+    // is literal-string replace-all in both engines)
+    "q239_card_redaction" ->
+      """WITH planted AS (
+           SELECT doc_id, text || ' card: ' ||
+                  (['4111111111111111', '4111 1111 1111 1111',
+                    '5500-0055-5555-5559', '4111111111111112'])
+                    [(doc_id % 4 + 1)::int] AS t2
+           FROM documents WHERE doc_id < 100 AND text IS NOT NULL),
+         cands AS (
+           SELECT doc_id, t2,
+                  unnest(regexp_extract_all(t2,
+                    '\b\d(?:[ -]?\d){12,18}\b')) AS raw
+           FROM planted),
+         luhn AS (
+           SELECT doc_id, t2, raw,
+                  (length(regexp_replace(raw, '[ -]', '', 'g'))
+                     BETWEEN 13 AND 19) AND
+                  ((SELECT sum(CASE WHEN g.i % 2 = 0 THEN
+                      CASE WHEN substring(reverse(regexp_replace(raw,
+                             '[ -]', '', 'g')), g.i, 1)::INT * 2 > 9
+                        THEN substring(reverse(regexp_replace(raw,
+                             '[ -]', '', 'g')), g.i, 1)::INT * 2 - 9
+                        ELSE substring(reverse(regexp_replace(raw,
+                             '[ -]', '', 'g')), g.i, 1)::INT * 2 END
+                    ELSE substring(reverse(regexp_replace(raw,
+                           '[ -]', '', 'g')), g.i, 1)::INT END)
+                    FROM unnest(generate_series(1,
+                      length(regexp_replace(raw, '[ -]', '', 'g'))))
+                      AS g(i)) % 10 = 0) AS ok
+           FROM cands),
+         vdist AS (SELECT DISTINCT doc_id, t2, raw FROM luhn WHERE ok),
+         vocc AS (
+           SELECT doc_id,
+                  (length(t2) - length(replace(t2, raw, '')))
+                    // length(raw) AS occ,
+                  length(raw) AS lr
+           FROM vdist),
+         rem AS (
+           SELECT doc_id, sum(occ * (lr - 6)) AS removed,
+                  sum(occ) AS tags
+           FROM vocc GROUP BY 1),
+         pc AS (SELECT doc_id, count(*) AS nc FROM cands GROUP BY 1),
+         pv AS (SELECT doc_id, count(*) AS nv
+                FROM luhn WHERE ok GROUP BY 1)
+         SELECT p.doc_id,
+                coalesce(pc.nc, 0)::INTEGER AS n_candidates,
+                coalesce(pv.nv, 0)::INTEGER AS n_valid,
+                (length(p.t2) - coalesce(rem.removed, 0))::INTEGER
+                  AS redacted_len,
+                coalesce(rem.tags, 0)::INTEGER AS n_tags
+         FROM planted p
+         LEFT JOIN pc USING (doc_id)
+         LEFT JOIN pv USING (doc_id)
+         LEFT JOIN rem USING (doc_id)
+         ORDER BY p.doc_id""",
+    // embedding outliers: centroid, distances, z-scores, and the
+    // rounded-rank top-10 all recomputed exactly
+    "q240_embedding_outliers" ->
+      """WITH base AS (
+           SELECT vec_id, embedding FROM embeddings
+           WHERE embedding IS NOT NULL),
+         pl AS (
+           SELECT vec_id, embedding FROM base
+           UNION ALL
+           SELECT 990000::BIGINT,
+                  list_transform(embedding, x -> (x * 100)::REAL)
+           FROM base WHERE vec_id = 0),
+         ev AS (
+           SELECT vec_id, i - 1 AS idx, embedding[i]::DOUBLE AS x
+           FROM pl, unnest(generate_series(1, len(embedding))) AS g(i)),
+         mu AS (SELECT idx, avg(x) AS m FROM ev GROUP BY idx),
+         dist AS (
+           SELECT vec_id, sqrt(sum((x - m) * (x - m))) AS dist
+           FROM ev JOIN mu USING (idx) GROUP BY vec_id),
+         st AS (SELECT avg(dist) AS mu, stddev_pop(dist) AS sd
+                FROM dist),
+         z AS (
+           SELECT vec_id, round(dist, 4) AS dist,
+                  round(CASE WHEN st.sd > 0
+                    THEN (dist - st.mu) / st.sd ELSE 0 END, 4) AS z
+           FROM dist, st),
+         r AS (
+           SELECT vec_id, dist, z, row_number() OVER (
+             ORDER BY z DESC, vec_id) AS rk
+           FROM z QUALIFY rk <= 10)
+         SELECT rk::INTEGER AS rk, vec_id, dist, z
+         FROM r ORDER BY rk""",
+    // graph health: distinct edges, reciprocity semi-join, and the
+    // Pearson moment formula term by term
+    "q241_graph_health" ->
+      """WITH raw AS (
+           SELECT doc_id AS src, (doc_id * 7919 + 1) % 500 AS dst
+           FROM documents
+           UNION ALL
+           SELECT doc_id, (doc_id + 3) % 500 FROM documents
+           UNION ALL
+           SELECT (doc_id + 3) % 500, doc_id FROM documents
+           WHERE doc_id % 5 = 0
+           UNION ALL
+           SELECT doc_id, doc_id FROM documents WHERE doc_id % 97 = 0),
+         e AS (SELECT DISTINCT src AS s, dst AS t FROM raw),
+         ns AS (SELECT s, t FROM e WHERE s <> t),
+         rcp AS (
+           SELECT count(*) AS r FROM ns a
+           WHERE EXISTS (SELECT 1 FROM ns b
+                         WHERE b.s = a.t AND b.t = a.s)),
+         outd AS (SELECT s, count(*) AS od FROM ns GROUP BY s),
+         ind AS (SELECT t, count(*) AS id_ FROM ns GROUP BY t),
+         pe AS (
+           SELECT od::DOUBLE AS x, id_::DOUBLE AS y
+           FROM ns JOIN outd USING (s) JOIN ind USING (t)),
+         mom AS (
+           SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+                  sum(x * y) AS sxy, sum(x * x) AS sxx,
+                  sum(y * y) AS syy
+           FROM pe),
+         cnt AS (
+           SELECT count(*)::BIGINT AS n_edges,
+                  sum(CASE WHEN s = t THEN 1 ELSE 0 END)::BIGINT
+                    AS n_self_loops
+           FROM e)
+         SELECT cnt.n_edges, cnt.n_self_loops,
+                round(CASE WHEN mom.n > 0
+                  THEN rcp.r / mom.n ELSE 0 END, 4) AS reciprocity,
+                round(CASE WHEN mom.n * mom.sxx - mom.sx * mom.sx > 0
+                        AND mom.n * mom.syy - mom.sy * mom.sy > 0
+                  THEN (mom.n * mom.sxy - mom.sx * mom.sy) /
+                       sqrt((mom.n * mom.sxx - mom.sx * mom.sx) *
+                            (mom.n * mom.syy - mom.sy * mom.sy))
+                  END, 4) AS assortativity
+         FROM cnt, rcp, mom""",
+    // windowed PSI: hourly bins by the fixed reference edges, the
+    // q237 clamped-log arithmetic per window
+    "q242_psi_windows" ->
+      """WITH ev AS (
+           SELECT date_trunc('hour', ts) AS w, value,
+                  (CASE WHEN value > 5.0 THEN 1 ELSE 0 END +
+                   CASE WHEN value > 20.0 THEN 1 ELSE 0 END +
+                   CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS bin
+           FROM events WHERE value IS NOT NULL),
+         wc AS (
+           SELECT w, count(*) AS n,
+                  sum(CASE WHEN bin = 0 THEN 1 ELSE 0 END) AS n0,
+                  sum(CASE WHEN bin = 1 THEN 1 ELSE 0 END) AS n1,
+                  sum(CASE WHEN bin = 2 THEN 1 ELSE 0 END) AS n2,
+                  sum(CASE WHEN bin = 3 THEN 1 ELSE 0 END) AS n3
+           FROM ev GROUP BY w)
+         SELECT w AS window_start, n::BIGINT AS n,
+                round(
+                  (n0 / n::DOUBLE - 0.4) *
+                    ln(greatest(n0 / n::DOUBLE, 1e-6) / 0.4) +
+                  (n1 / n::DOUBLE - 0.3) *
+                    ln(greatest(n1 / n::DOUBLE, 1e-6) / 0.3) +
+                  (n2 / n::DOUBLE - 0.2) *
+                    ln(greatest(n2 / n::DOUBLE, 1e-6) / 0.2) +
+                  (n3 / n::DOUBLE - 0.1) *
+                    ln(greatest(n3 / n::DOUBLE, 1e-6) / 0.1), 4) AS psi
+         FROM wc ORDER BY window_start""",
     // versioned root: both snapshots rebuilt from the base table, so
     // the compare proves the pointer resolved to v2 and the diff
     // classified every key

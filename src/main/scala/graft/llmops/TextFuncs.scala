@@ -329,6 +329,55 @@ object TextFuncs {
     regexp_replace(p, ipPattern, "<IP>")
   }
 
+  // --- Credit-card detection with Luhn validation (X213) ---------------
+  // Regex-only card redaction has a brutal false-positive rate (any
+  // 16-digit id, order number, or timestamp run matches); the public
+  // standard check is Luhn mod-10 (ISO/IEC 7812), which every real
+  // card number passes and ~90 % of random digit runs fail. The whole
+  // operator is BUILTIN composition — regexp_extract_all for
+  // candidates, an `aggregate` HOF for the checksum, `replace` folded
+  // over the valid matches — so it stays inside whole-stage codegen
+  // and the DuckDB oracle replays the identical arithmetic.
+
+  /** 13–19 digits with optional single space/dash separators,
+    * word-bounded. RE2-safe (no lookaround).
+    */
+  val cardPattern: String = "\\b\\d(?:[ -]?\\d){12,18}\\b"
+
+  /** Luhn mod-10 checksum over a digits-only string: double every
+    * second digit from the RIGHT, fold >9 by subtracting 9, sum ≡ 0
+    * (mod 10). Also gates length to the 13–19 card band. Pure
+    * expression arithmetic — callers pass separator-stripped digits.
+    */
+  def luhnValid(digits: Column): Column = {
+    val rev = reverse(digits)
+    val n = length(rev)
+    val total = aggregate(sequence(lit(1), n), lit(0),
+      (acc, i) => {
+        val dd = substr(rev, i, lit(1)).cast("int")
+        acc + when(i % 2 === 0,
+          when(dd * 2 > 9, dd * 2 - 9).otherwise(dd * 2)).otherwise(dd)
+      })
+    n.between(13, 19) && (total % 10 === 0)
+  }
+
+  /** Raw card-shaped candidate substrings (separators kept). */
+  def cardCandidates(text: Column): Column =
+    regexp_extract_all(text, lit(cardPattern), lit(0))
+
+  /** Candidates that pass Luhn (raw form, separators kept). */
+  def validCards(text: Column): Column =
+    filter(cardCandidates(text),
+      c => luhnValid(regexp_replace(c, "[ -]", "")))
+
+  /** Replace every Luhn-VALID card-shaped run with `<CARD>`; invalid
+    * candidates (random digit runs) stay untouched — the precision
+    * regex-only redaction cannot have. A narrow map, no shuffle.
+    */
+  def redactCards(text: Column): Column =
+    aggregate(validCards(text), text,
+      (acc, c) => replace(acc, c, lit("<CARD>")))
+
   def emailCount(text: Column): Column =
     size(regexp_extract_all(text, lit(emailPattern), lit(0)))
   def phoneCount(text: Column): Column =

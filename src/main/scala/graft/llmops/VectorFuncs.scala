@@ -540,4 +540,56 @@ object VectorFuncs {
                            textCol: String = "text"): DataFrame =
     densifyNormalize(hashedTfidfBuckets(docs, dim, idCol, textCol),
       dim, idCol)
+
+  /** Embedding-outlier report (X214): the top-k vectors by
+    * centroid-distance z-score — the cheap pre-index hygiene pass
+    * that catches corrupted rows (zeroed vectors, wrong-model
+    * embeddings, scale bugs) BEFORE they poison IVF centroids and
+    * cosine thresholds. Complements [[Pca.isotropyReport]]: that one
+    * judges the population's shape, this one names the rows.
+    *
+    * Exact and oracle-replayable: the centroid is a d-row aggregate
+    * (posexplode → avg per dim — a bounded model collected to the
+    * driver, the IVF-centroid discipline), distances are one narrow
+    * `zip_with`/`aggregate` projection against the broadcast-literal
+    * centroid, the z-score normalizes by the population stddev (one
+    * more aggregate), and the top-k is a rounded-score sort-limit
+    * (TakeOrdered — per-partition heaps, no global sort). Ranks break
+    * ties on id after a 4dp round so any engine replays them.
+    *
+    * @return k rows: (rk, idCol, dist, z) — dist/z 4dp, z against the
+    *         population (stddev_pop); all-identical vectors (stddev
+    *         0) report z 0
+    */
+  def embeddingOutliers(vecs: DataFrame, k: Int = 10,
+                        vecCol: String = "embedding",
+                        idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val nn = vecs.select(col(idCol), col(vecCol))
+      .where(col(vecCol).isNotNull)
+    val mu = nn.select(posexplode(col(vecCol)).as(Seq("__i", "__x")))
+      .groupBy(col("__i")).agg(avg(col("__x")).as("__m"))
+      .orderBy(col("__i")).collect().map(_.getDouble(1))
+    require(mu.nonEmpty,
+      s"embeddingOutliers: no non-null vectors in column '$vecCol'")
+    val muArr = array(mu.map(lit): _*)
+    val dist = sqrt(aggregate(
+      zip_with(col(vecCol), muArr,
+        (x, m) => (x.cast("double") - m) * (x.cast("double") - m)),
+      lit(0.0), (a, y) => a + y))
+    val dists = nn.select(col(idCol), dist.as("__dist"))
+    val stats = dists.agg(avg(col("__dist")).as("__mu"),
+      stddev_pop(col("__dist")).as("__sd"))
+    dists.crossJoin(broadcast(stats))
+      .select(col(idCol),
+        round(col("__dist"), 4).as("dist"),
+        round(when(col("__sd") > 0,
+          (col("__dist") - col("__mu")) / col("__sd"))
+          .otherwise(lit(0.0)), 4).as("z"))
+      .orderBy(col("z").desc, col(idCol))
+      .limit(k)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("z").desc, col(idCol))).cast("int"))
+      .select(col("rk"), col(idCol), col("dist"), col("z"))
+  }
 }

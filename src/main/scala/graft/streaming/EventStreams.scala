@@ -25,6 +25,65 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Per-window PSI drift against a static reference (X216) — the
+    * streaming twin of [[graft.llmops.Binning.psiReport]]: bin each
+    * event's `value` by the REFERENCE's edges (a broadcast-literal
+    * when-chain, computed offline by the batch operator), aggregate
+    * per event-time window with one conditional-sum per bin (ONE
+    * stateful operator — no chained aggregation, so plain append
+    * mode), and close the PSI arithmetic in the projection. State per
+    * window is `bins` longs — constant, not row-proportional. The
+    * monitoring loop this serves: batch fits edges+proportions on the
+    * reference corpus, the stream scores every window of live traffic
+    * against them, windows crossing 0.25 page a human.
+    *
+    * Same code path runs in batch (`events.isStreaming` gates only
+    * the watermark), which is what the spec pins against the batch
+    * kernel.
+    *
+    * @param edges    ascending bin edges from the reference (the
+    *                 batch operator's 6dp convention)
+    * @param refProps reference proportions, one per bin
+    *                 (edges.size + 1 entries, summing to ~1)
+    * @return (window_start, n, psi) — psi 4dp with the batch
+    *         operator's 1e-6 clamped-log convention; empty-reference
+    *         bins therefore contribute loudly, as they should
+    */
+  def psiWindows(events: DataFrame, edges: Seq[Double],
+                 refProps: Seq[Double], windowLen: String = "1 hour",
+                 watermark: String = "10 minutes"): DataFrame = {
+    require(edges.nonEmpty && edges == edges.sorted,
+      "edges must be non-empty ascending")
+    require(refProps.length == edges.length + 1,
+      s"need ${edges.length + 1} reference proportions, " +
+        s"got ${refProps.length}")
+    require(math.abs(refProps.sum - 1.0) < 1e-6,
+      "reference proportions must sum to 1")
+    val bins = refProps.length
+    val eps = 1e-6
+    val src =
+      if (events.isStreaming) events.withWatermark("ts", watermark)
+      else events
+    val bin = edges.map(e => when(col("value") > e, 1).otherwise(0))
+      .reduce(_ + _)
+    val counted = src
+      .where(col("value").isNotNull)
+      .withColumn("__bin", bin)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(
+        count(lit(1)).as("n"),
+        (0 until bins).map(b =>
+          sum(when(col("__bin") === b, 1L).otherwise(0L)).as(s"__n$b"))
+          : _*)
+    val psi = (0 until bins).map { b =>
+      val p = col(s"__n$b") / col("n").cast("double")
+      (p - refProps(b)) *
+        log(greatest(p, lit(eps)) / lit(math.max(refProps(b), eps)))
+    }.reduce(_ + _)
+    counted.select(col("window.start").as("window_start"), col("n"),
+      round(psi, 4).as("psi"))
+  }
+
   /** Sliding-window event rate. */
   def slidingRate(events: DataFrame): DataFrame =
     events

@@ -50,7 +50,9 @@ class RobustnessSpec extends SparkTestBase {
       "q227_concentration", "q228_ab_test", "q229_semantic_chunks",
       "q230_pca_contract", "q231_pca_ann", "q232_bm25_segmented",
       "q233_versioned_root", "q234_l_diversity", "q235_isotropy",
-      "q236_dehyphenate", "q237_psi_drift", "q238_good_turing")
+      "q236_dehyphenate", "q237_psi_drift", "q238_good_turing",
+      "q239_card_redaction", "q240_embedding_outliers",
+      "q241_graph_health", "q242_psi_windows")
     for (name <- picked) {
       val fn = SparkEntry.queries(name)
       val a = fn(spark, sf0001).collect().map(_.toString).sorted.toSeq

@@ -500,6 +500,39 @@ class TextFuncsSpec extends SparkTestBase {
     assert(!got.exists(_._3 == "noise"))
   }
 
+  test("redactCards: Luhn-valid cards redacted (spaced and dashed " +
+      "too), random digit runs and short runs untouched") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "pay with 4111111111111111 now"),            // valid visa
+      (2L, "pay with 4111 1111 1111 1111 now"),         // valid, spaced
+      (3L, "card 5500-0055-5555-5559 on file"),         // valid, dashed
+      (4L, "order 4111111111111112 confirmed"),         // fails Luhn
+      (5L, "call 555-0123 ref 12345678 ok"),            // too short
+      (6L, null.asInstanceOf[String])).toDF("id", "t")
+    val got = df.select($"id",
+        TextFuncs.redactCards($"t").as("r"),
+        coalesce(size(TextFuncs.cardCandidates($"t")), lit(-1)).as("nc"),
+        coalesce(size(TextFuncs.validCards($"t")), lit(-1)).as("nv"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(1)), r.getInt(2), r.getInt(3))).toMap
+    assert(got(1L) == ((Some("pay with <CARD> now"), 1, 1)))
+    assert(got(2L) == ((Some("pay with <CARD> now"), 1, 1)))
+    assert(got(3L) == ((Some("card <CARD> on file"), 1, 1)))
+    assert(got(4L) == ((Some("order 4111111111111112 confirmed"), 1, 0)))
+    assert(got(5L)._1 == Some("call 555-0123 ref 12345678 ok"))
+    assert(got(5L)._3 == 0)
+    assert(got(6L)._1.isEmpty)
+    // the checksum itself, directly
+    val luhn = Seq(("4111111111111111", true),
+      ("4111111111111112", false), ("5500005555555559", true))
+    luhn.foreach { case (s, expect) =>
+      val v = Seq(Tuple1(s)).toDF("d")
+        .select(TextFuncs.luhnValid($"d")).head().getBoolean(0)
+      assert(v == expect, s"$s")
+    }
+  }
+
   test("dehyphenate repairs letter-hyphen-newline-letter wraps only; " +
       "unwrapLines joins single breaks and keeps paragraphs") {
     import spark.implicits._

@@ -356,4 +356,31 @@ class VectorFuncsSpec extends SparkTestBase {
     assert(mp.intersect(Set(1000L, 1001L, 1002L)).size >= 2,
       s"planted near-copies should surface: $mp")
   }
+
+  test("embeddingOutliers: a planted far vector ranks first with a " +
+      "large z; identical vectors report z 0; ranks deterministic") {
+    val normal = (0 until 50).map(i =>
+      (i.toLong, Array(math.sin(i * 1.3).toFloat,
+        math.cos(i * 2.1).toFloat, 0.5f)))
+    val outlier = (99L, Array(50f, -50f, 50f))
+    val vecs = (normal :+ outlier).toDF("vec_id", "embedding")
+    val top = VectorFuncs.embeddingOutliers(vecs, k = 3)
+      .collect()
+    assert(top.head.getAs[Int]("rk") == 1)
+    assert(top.head.getAs[Long]("vec_id") == 99L)
+    assert(top.head.getAs[Double]("z") > 3.0, s"${top.head.toString}")
+    // identical vectors: stddev 0 -> z 0 everywhere, id tiebreak
+    val same = (0 until 5).map(i => (i.toLong, Array(1f, 2f)))
+      .toDF("vec_id", "embedding")
+    val s = VectorFuncs.embeddingOutliers(same, k = 2).collect()
+    assert(s.forall(_.getAs[Double]("z") == 0.0))
+    assert(s.map(_.getAs[Long]("vec_id")).toSeq == Seq(0L, 1L))
+    // empty input: clear message
+    val e = intercept[IllegalArgumentException] {
+      VectorFuncs.embeddingOutliers(
+        Seq((1L, null.asInstanceOf[Array[Float]]))
+          .toDF("vec_id", "embedding"))
+    }
+    assert(e.getMessage.contains("no non-null vectors"))
+  }
 }

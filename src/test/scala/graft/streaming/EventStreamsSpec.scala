@@ -42,6 +42,63 @@ class EventStreamsSpec extends SparkTestBase {
       out.head.getAs[Double]("total_value") == 3.0)
   }
 
+  test("psiWindows: batch kernel computes per-window PSI against the " +
+      "reference; matched window ~0, shifted window large") {
+    val t = java.sql.Timestamp.valueOf(_: String)
+    // reference: 50/50 around edge 10.0
+    val edges = Seq(10.0)
+    val ref = Seq(0.5, 0.5)
+    // window A matches the reference (2 below, 2 above); window B is
+    // fully above the edge
+    val events = Seq(
+      (t("2024-01-01 10:05:00"), 5.0), (t("2024-01-01 10:10:00"), 7.0),
+      (t("2024-01-01 10:20:00"), 15.0), (t("2024-01-01 10:25:00"), 20.0),
+      (t("2024-01-01 11:05:00"), 15.0), (t("2024-01-01 11:10:00"), 30.0))
+      .toDF("ts", "value")
+    val got = EventStreams.psiWindows(events, edges, ref)
+      .collect().map(r => r.getAs[java.sql.Timestamp]("window_start")
+        -> (r.getAs[Long]("n"), r.getAs[Double]("psi"))).toMap
+    assert(got(t("2024-01-01 10:00:00")) == ((4L, 0.0)))
+    val (nB, psiB) = got(t("2024-01-01 11:00:00"))
+    assert(nB == 2L && psiB > 0.25, s"psi=$psiB")
+    // guards: unsorted edges, wrong proportions arity
+    intercept[IllegalArgumentException] {
+      EventStreams.psiWindows(events, Seq(2.0, 1.0), Seq(0.5, 0.3, 0.2))
+    }
+    intercept[IllegalArgumentException] {
+      EventStreams.psiWindows(events, Seq(1.0), Seq(1.0))
+    }
+  }
+
+  test("psiWindows streams: append emits finalized windows with the " +
+      "same psi the batch kernel computes") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    val df = mem.toDF().toDF("ts", "value")
+    val q = EventStreams.psiWindows(df, Seq(10.0), Seq(0.5, 0.5))
+      .writeStream.format("memory").queryName("psi_out")
+      .outputMode("append").start()
+    val t = java.sql.Timestamp.valueOf(_: String)
+    mem.addData(
+      (t("2024-01-01 10:05:00"), 5.0), (t("2024-01-01 10:10:00"), 15.0),
+      (t("2024-01-01 10:20:00"), 25.0), (t("2024-01-01 10:25:00"), 30.0))
+    q.processAllAvailable()
+    mem.addData((t("2024-01-01 13:00:00"), 1.0)) // advance watermark
+    q.processAllAvailable()
+    val out = spark.table("psi_out").collect()
+    q.stop()
+    assert(out.length == 1)
+    assert(out.head.getAs[java.sql.Timestamp]("window_start") ==
+      t("2024-01-01 10:00:00"))
+    assert(out.head.getAs[Long]("n") == 4L)
+    // batch twin on the same four rows
+    val batch = EventStreams.psiWindows(
+      Seq((t("2024-01-01 10:05:00"), 5.0), (t("2024-01-01 10:10:00"), 15.0),
+        (t("2024-01-01 10:20:00"), 25.0), (t("2024-01-01 10:25:00"), 30.0))
+        .toDF("ts", "value"), Seq(10.0), Seq(0.5, 0.5)).head()
+    assert(out.head.getAs[Double]("psi") == batch.getAs[Double]("psi"))
+  }
+
   test("windowTopK emits k best per finalized window on a real stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Long, Double)]
