@@ -541,4 +541,28 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("HashAggregate"), p.take(2000))
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
+
+  test("q237: PSI binning is a when-chain against broadcast-literal " +
+       "edges — the corpus is never globally sorted") {
+    val p = plan("q237_psi_drift")
+    // the corpus-sized side must not sort; the only Sort allowed is
+    // inside the bins-row tail window (10 rows)
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(p.contains("HashAggregate"), p.take(2000))
+  }
+
+  test("q240: embedding outliers end in TakeOrdered, not a global " +
+       "sort; the centroid is a literal (no join back)") {
+    val p = plan("q240_embedding_outliers")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("q242: streaming-legal PSI is ONE aggregate pair over the " +
+       "window — no join, no second shuffle") {
+    val p = plan("q242_psi_windows")
+    assert(!p.contains("Join"), p.take(2000))
+    // partial + final HashAggregate over the window key
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+  }
 }
