@@ -770,6 +770,31 @@ object Graft {
                  refProps: Seq[Double],
                  windowLen: String = "1 hour"): DataFrame =
     streaming.EventStreams.psiWindows(events, edges, refProps, windowLen)
+  /** Blocked Jaro-Winkler fuzzy entity matching (X218, q243). */
+  def fuzzyNamePairs(df: DataFrame, threshold: Double,
+                     idCol: String = "doc_id",
+                     nameCol: String = "name"): DataFrame =
+    llmops.Fuzzy.jaroWinklerPairs(df, threshold, idCol, nameCol)
+  /** Jaro-Winkler similarity column (X218) — DuckDB-convention
+    * (0.7 boost threshold, prefix cap 4). */
+  def jaroWinkler(a: Column, b: Column): Column =
+    expr.StringSim.jaro_winkler(a, b)
+  /** Single change-point per series (X219, q244): the bucket after
+    * which the level shifted most (least-squares two-segment). */
+  def changePoint(events: DataFrame, bucketMillis: Long): DataFrame =
+    ops.Anomaly.changePoint(events, bucketMillis)
+  /** Column-profile drift between two snapshots of a versioned root
+    * (X220, q245): schema adds/removes + null-rate movement. */
+  def tableProfileDrift(s: SparkSession, root: String,
+                        vFrom: Int, vTo: Int): DataFrame =
+    io.VersionedTable.profileDrift(s, root, vFrom, vTo)
+  /** Version-aware stream enrichment against a versioned table root
+    * (X217): each micro-batch re-resolves the pointer, so a publish
+    * mid-stream serves on the next batch with no restart. */
+  def enrichStreamVersioned(s: SparkSession, root: String,
+                            stream: DataFrame, joinKeys: Seq[String])
+                           (sink: (DataFrame, Long) => Unit) =
+    streaming.TableServe.enrich(s, root, stream, joinKeys)(sink)
   def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String],
                       k: Int): DataFrame =
     llmops.Privacy.kAnonymityAudit(df, quasiCols, k)

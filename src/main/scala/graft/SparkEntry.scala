@@ -4612,6 +4612,57 @@ object SparkEntry {
         fwd.unionByName(recip).unionByName(loops))
     }),
 
+    // llmops fuzzy entity matching (X218): first-word "names" plus
+    // planted 2↔3-character transposition twins — blocked JW pairs;
+    // the oracle runs DuckDB's own jaro_winkler_similarity, so the
+    // kernel's conventions (window, transpositions, 0.7 boost
+    // threshold, prefix cap 4) are pinned against an independent
+    // implementation, not a mirror of ours.
+    "q243_fuzzy_pairs" -> ((s, d) => {
+      import s.implicits._
+      val base = t(s, d, "documents")
+        .filter($"doc_id" < 200 && $"text".isNotNull)
+        .select($"doc_id",
+          lower(element_at(split(trim($"text"), "\\s+"), 1)).as("name"))
+        .filter(length($"name") >= 4)
+      val twins = base.filter($"doc_id" < 30)
+        .select(($"doc_id" + 980000).as("doc_id"),
+          concat(substring($"name", 1, 1), substring($"name", 3, 1),
+            substring($"name", 2, 1), expr("substring(name, 4)"))
+            .as("name"))
+      graft.llmops.Fuzzy.jaroWinklerPairs(base.unionByName(twins),
+          threshold = 0.85, idCol = "doc_id", nameCol = "name")
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // ops single change-point (X219): per event type, the bucket after
+    // which the hourly level shifted most (least-squares two-segment
+    // criterion); cumsums, segment means, and the earliest-argmax all
+    // replay relationally.
+    "q244_change_point" -> ((s, d) => {
+      import s.implicits._
+      graft.ops.Anomaly.changePoint(t(s, d, "events"),
+          bucketMillis = 3600000L)
+        .orderBy($"event_type")
+    }),
+
+    // io column-profile drift (X220): two published snapshots with a
+    // removed column, an added column, and a null-rate shift — the
+    // schema-level companion of q233's row diff.
+    "q245_profile_drift" -> ((s, d) => {
+      import s.implicits._
+      val VT = graft.io.VersionedTable
+      val root = "/root/repo/spark-warehouse/q245_root"
+      VT.drop(s, root)
+      val docs = t(s, d, "documents")
+      VT.publish(docs.select($"doc_id", $"source", $"lang", $"n_chars"),
+        root) // v1
+      VT.publish(docs.select($"doc_id", $"source",
+        when($"doc_id" % 13 =!= 0, $"lang").as("lang"),
+        floor($"n_chars" / 500).as("len_bucket")), root) // v2
+      VT.profileDrift(s, root, 1, 2).orderBy($"col_name")
+    }),
+
     // streaming PSI twin, batch mode (X216): per-hour drift of the
     // events value distribution against a fixed reference — the q237
     // arithmetic as ONE streaming-legal windowed aggregate; the
@@ -10484,6 +10535,118 @@ object SparkEntry {
                             (mom.n * mom.syy - mom.sy * mom.sy))
                   END, 4) AS assortativity
          FROM cnt, rcp, mom""",
+    // fuzzy pairs: DuckDB's OWN jaro_winkler_similarity judges the
+    // kernel — an independent implementation, not a mirror
+    "q243_fuzzy_pairs" ->
+      """WITH base AS (
+           SELECT doc_id,
+                  lower(string_split_regex(trim(text), '\s+')[1]) AS name
+           FROM documents WHERE doc_id < 200 AND text IS NOT NULL),
+         b2 AS (SELECT doc_id, name FROM base WHERE length(name) >= 4),
+         twins AS (
+           SELECT doc_id + 980000 AS doc_id,
+                  substring(name, 1, 1) || substring(name, 3, 1) ||
+                  substring(name, 2, 1) || substring(name, 4) AS name
+           FROM b2 WHERE doc_id < 30),
+         al AS (SELECT * FROM b2 UNION ALL SELECT * FROM twins),
+         slim AS (
+           SELECT doc_id, name,
+                  concat(substring(name, 1, 1), '_',
+                    (length(name) // 4)::VARCHAR) AS blk
+           FROM al),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.name AS name_a, b.name AS name_b,
+                  round(jaro_winkler_similarity(a.name, b.name), 4) AS jw
+           FROM slim a JOIN slim b
+             ON b.blk = a.blk AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b, name_a, name_b, jw
+         FROM pairs WHERE jw >= 0.85
+         ORDER BY id_a, id_b""",
+    // change point: cumsums + two-segment means + earliest argmax
+    "q244_change_point" ->
+      """WITH c AS (
+           SELECT event_type, epoch_ms(ts) // 3600000 AS bucket,
+                  count(*) AS n
+           FROM events GROUP BY 1, 2),
+         w AS (
+           SELECT event_type, bucket, n,
+                  row_number() OVER pw AS idx,
+                  sum(n) OVER (PARTITION BY event_type ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum,
+                  count(*) OVER (PARTITION BY event_type) AS t,
+                  sum(n) OVER (PARTITION BY event_type) AS tot
+           FROM c
+           WINDOW pw AS (PARTITION BY event_type ORDER BY bucket)),
+         s AS (
+           SELECT event_type, bucket, idx,
+                  t - idx AS n_after,
+                  cum / idx::DOUBLE AS mb,
+                  (tot - cum) / (t - idx)::DOUBLE AS ma,
+                  round(idx * (t - idx) / t::DOUBLE *
+                    (cum / idx::DOUBLE -
+                     (tot - cum) / (t - idx)::DOUBLE) ^ 2, 4) AS score
+           FROM w WHERE idx < t),
+         pick AS (
+           SELECT event_type, bucket AS split_bucket,
+                  idx AS n_before, n_after,
+                  round(mb, 4) AS mean_before, round(ma, 4) AS mean_after,
+                  score, row_number() OVER (PARTITION BY event_type
+                    ORDER BY score DESC, bucket) AS rk
+           FROM s QUALIFY rk = 1)
+         SELECT event_type, split_bucket, n_before::BIGINT AS n_before,
+                n_after::BIGINT AS n_after, mean_before, mean_after,
+                score
+         FROM pick ORDER BY event_type""",
+    // profile drift: null rates per column recomputed from the same
+    // derivations; presence booleans by construction
+    "q245_profile_drift" ->
+      """WITH n AS (SELECT count(*)::DOUBLE AS c FROM documents)
+         SELECT * FROM (
+           SELECT 'doc_id' AS col_name, TRUE AS in_from, TRUE AS in_to,
+                  round((SELECT sum(CASE WHEN doc_id IS NULL THEN 1
+                    ELSE 0 END) FROM documents) / n.c, 4)
+                    AS null_rate_from,
+                  round((SELECT sum(CASE WHEN doc_id IS NULL THEN 1
+                    ELSE 0 END) FROM documents) / n.c, 4)
+                    AS null_rate_to,
+                  0.0 AS null_rate_delta
+           FROM n
+           UNION ALL
+           SELECT 'source', TRUE, TRUE,
+                  round((SELECT sum(CASE WHEN source IS NULL THEN 1
+                    ELSE 0 END) FROM documents) / n.c, 4),
+                  round((SELECT sum(CASE WHEN source IS NULL THEN 1
+                    ELSE 0 END) FROM documents) / n.c, 4),
+                  0.0
+           FROM n
+           UNION ALL
+           SELECT 'lang', TRUE, TRUE,
+                  round((SELECT sum(CASE WHEN lang IS NULL THEN 1
+                    ELSE 0 END) FROM documents) / n.c, 4),
+                  round((SELECT sum(CASE WHEN lang IS NULL OR
+                    doc_id % 13 = 0 THEN 1 ELSE 0 END)
+                    FROM documents) / n.c, 4),
+                  round((SELECT sum(CASE WHEN lang IS NULL OR
+                    doc_id % 13 = 0 THEN 1 ELSE 0 END)
+                    FROM documents) / n.c -
+                    (SELECT sum(CASE WHEN lang IS NULL THEN 1
+                    ELSE 0 END) FROM documents) / n.c, 4)
+           FROM n
+           UNION ALL
+           SELECT 'n_chars', TRUE, FALSE,
+                  round((SELECT sum(CASE WHEN n_chars IS NULL THEN 1
+                    ELSE 0 END) FROM documents) / n.c, 4),
+                  NULL, NULL
+           FROM n
+           UNION ALL
+           SELECT 'len_bucket', FALSE, TRUE, NULL,
+                  round((SELECT sum(CASE WHEN n_chars IS NULL THEN 1
+                    ELSE 0 END) FROM documents) / n.c, 4),
+                  NULL
+           FROM n)
+         ORDER BY col_name""",
     // windowed PSI: hourly bins by the fixed reference edges, the
     // q237 clamped-log arithmetic per window
     "q242_psi_windows" ->

@@ -1,0 +1,97 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import org.apache.spark.sql.graftshim.ColumnBridge
+
+/** Jaro–Winkler string similarity (Jaro 1989; Winkler 1990) — the
+  * standard edit-window similarity for SHORT strings (names, titles,
+  * hosts), where Levenshtein (the builtin) over-penalizes
+  * transpositions and n-gram Jaccard has nothing to shingle. The
+  * entity-resolution primitive behind fuzzy-match dedup.
+  *
+  * Exactly the classical formulation, pinned against DuckDB's
+  * `jaro_winkler_similarity` (the oracle runs it verbatim, so the
+  * conventions must match bit-for-bit at 4dp):
+  *  - match window `max(|a|,|b|)/2 − 1`, transpositions counted over
+  *    matched sequences,
+  *  - Winkler prefix bonus `ℓ·0.1·(1−jaro)` with `ℓ ≤ 4`, applied
+  *    ONLY when jaro > 0.7 (the classic boost threshold),
+  *  - empty vs anything (and empty vs empty) → 0.0 — the DuckDB
+  *    convention, asserted by StringSimSpec's probe table.
+  *
+  * Codegen scalar over the JVM kernel; per-row cost is
+  * O(|a|·window) — a narrow map, no shuffle.
+  */
+object StringSim {
+
+  def jaroWinkler(a: String, b: String): Double = {
+    val l1 = a.length
+    val l2 = b.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    if (a == b) return 1.0
+    val window = math.max(0, math.max(l1, l2) / 2 - 1)
+    val m1 = new Array[Boolean](l1)
+    val m2 = new Array[Boolean](l2)
+    var matches = 0
+    var i = 0
+    while (i < l1) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(l2 - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!m2(j) && a.charAt(i) == b.charAt(j)) {
+          m1(i) = true; m2(j) = true; matches += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (a.charAt(i) != b.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val m = matches.toDouble
+    val jaro = (m / l1 + m / l2 + (m - t / 2.0) / m) / 3.0
+    var l = 0
+    val lmax = math.min(4, math.min(l1, l2))
+    while (l < lmax && a.charAt(l) == b.charAt(l)) l += 1
+    if (jaro > 0.7) jaro + l * 0.1 * (1.0 - jaro) else jaro
+  }
+
+  /** Codegen entry point. */
+  def jaroWinklerU(a: UTF8String, b: UTF8String): Double =
+    jaroWinkler(a.toString, b.toString)
+
+  case class JaroWinkler(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = left.nullable || right.nullable
+    override def prettyName: String = "jaro_winkler"
+    override def nullSafeEval(a: Any, b: Any): Any =
+      jaroWinklerU(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.expr.StringSim.jaroWinklerU($a, $b);")
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): JaroWinkler = copy(l, r)
+  }
+
+  def jaro_winkler(a: Column, b: Column): Column =
+    ColumnBridge.column(JaroWinkler(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -1,7 +1,7 @@
 package graft.io
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions, DataFrame, SparkSession}
 
 import graft.llmops.VersionedIndex
 
@@ -83,6 +83,52 @@ object VersionedTable {
            valueCols: Seq[String] = Seq.empty): DataFrame =
     graft.ops.SnapshotDiff.diff(
       read(spark, root, vFrom), read(spark, root, vTo), keyCol, valueCols)
+
+  /** Column-profile drift between two snapshots (X220) — the
+    * SCHEMA-level companion of [[diff]]'s row-level audit: which
+    * columns appeared/disappeared between versions, and how each
+    * shared column's null rate moved (the silent pipeline killer: an
+    * upstream change that starts writing NULLs breaks nothing loudly
+    * until a join fans out or a filter eats the corpus). One
+    * aggregate per side (a single row of counts — column count is
+    * schema-sized, not data-sized), melted on the driver.
+    *
+    * @return one row per column in EITHER schema: (col_name, in_from,
+    *         in_to, null_rate_from, null_rate_to, null_rate_delta) —
+    *         rates 4dp, null when the column is absent on that side;
+    *         delta only when present in both
+    */
+  def profileDrift(spark: SparkSession, root: String,
+                   vFrom: Int, vTo: Int): DataFrame = {
+    import spark.implicits._
+    def profile(df: DataFrame): Map[String, Double] = {
+      val cols = df.columns.toSeq
+      val aggs = functions.count(functions.lit(1)).as("__n") +:
+        cols.map(c => functions.sum(
+          functions.when(functions.col(c).isNull, 1L).otherwise(0L))
+          .as(s"__null_$c"))
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      val n = row.getAs[Long]("__n").toDouble
+      cols.map(c => c -> (if (n == 0) 0.0
+        else row.getAs[Long](s"__null_$c") / n)).toMap
+    }
+    val from = profile(read(spark, root, vFrom))
+    val to = profile(read(spark, root, vTo))
+    // HALF_UP at 4dp — the positive-value behavior of both engines'
+    // round(), so the oracle replays the exact doubles
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val allCols = (from.keySet ++ to.keySet).toSeq.sorted
+    allCols.map { c =>
+      (c, from.contains(c), to.contains(c),
+        from.get(c).map(r4), to.get(c).map(r4),
+        (from.get(c), to.get(c)) match {
+          case (Some(f), Some(t)) => Some(r4(t - f))
+          case _ => None
+        })
+    }.toDF("col_name", "in_from", "in_to", "null_rate_from",
+      "null_rate_to", "null_rate_delta")
+  }
 
   /** Garbage-collect old versions (never the current one); `keep`
     * bounds how long an in-flight scan may keep reading a superseded

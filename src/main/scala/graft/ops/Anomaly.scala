@@ -54,6 +54,70 @@ object Anomaly {
       .drop("__tn")
   }
 
+  /** Single change-point detection (X219) per series: the bucket
+    * AFTER which the series' level shifted most, by the least-squares
+    * two-segment criterion — maximize the between-segment sum of
+    * squares `s·(T−s)/T · (mean_before − mean_after)²` over all
+    * splits `s` (the k=1 case of binary segmentation; Scott & Knott
+    * 1974 lineage). Where [[rateAnomalies]] flags single weird
+    * buckets against trailing history, this answers "WHEN did the
+    * level change" — the question behind crawl-policy rollouts and
+    * source-mix changes.
+    *
+    * Exact and replayable: per-series bucket counts (observed buckets
+    * only — the [[rateAnomalies]] convention), one ordered cumulative
+    * window per series, closed-form segment means from cumsums, and
+    * the argmax breaks ties on the EARLIEST bucket after a 4dp round.
+    * Shape: one groupBy + one window per series key; a series' bucket
+    * count is small (time, not corpus, sized) so the per-series
+    * window partition is bounded.
+    *
+    * @return one row per series: (seriesCol, split_bucket = last
+    *         bucket of the left segment, n_before, n_after,
+    *         mean_before, mean_after, score) — means/score 4dp;
+    *         series with < 2 buckets yield no row (no split exists)
+    */
+  def changePoint(events: DataFrame, bucketMillis: Long,
+                  seriesCol: String = "event_type",
+                  tsCol: String = "ts"): DataFrame = {
+    require(bucketMillis >= 1, "bucketMillis must be >= 1")
+    val counts = events
+      .select(col(seriesCol),
+        floor(graft.expr.TimeFuncs.tsMicros(col(tsCol)) / 1000L /
+          lit(bucketMillis)).cast("long").as("bucket"))
+      .groupBy(col(seriesCol), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(seriesCol)).orderBy(col("bucket"))
+    val wAll = Window.partitionBy(col(seriesCol))
+    val scored = counts
+      .withColumn("__idx", row_number().over(w).cast("long"))
+      .withColumn("__cum",
+        sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__T", count(lit(1)).over(wAll))
+      .withColumn("__tot", sum(col("n")).over(wAll))
+      .where(col("__idx") < col("__T"))
+      .withColumn("mean_before",
+        col("__cum") / col("__idx").cast("double"))
+      .withColumn("mean_after",
+        (col("__tot") - col("__cum")) /
+          (col("__T") - col("__idx")).cast("double"))
+      .withColumn("score", round(
+        col("__idx") * (col("__T") - col("__idx")) /
+          col("__T").cast("double") *
+          pow(col("mean_before") - col("mean_after"), 2.0), 4))
+    val pick = Window.partitionBy(col(seriesCol))
+      .orderBy(col("score").desc, col("bucket"))
+    scored
+      .withColumn("__rk", row_number().over(pick))
+      .where(col("__rk") === 1)
+      .select(col(seriesCol), col("bucket").as("split_bucket"),
+        col("__idx").as("n_before"),
+        (col("__T") - col("__idx")).as("n_after"),
+        round(col("mean_before"), 4).as("mean_before"),
+        round(col("mean_after"), 4).as("mean_after"),
+        col("score"))
+  }
+
   /** LOWER median (element ⌈len/2⌉ of the sorted array, 1-based):
     * integer-exact on integer inputs — the reason the robust scorer
     * stays bit-replayable where a fractional even-count median would

@@ -52,7 +52,8 @@ class RobustnessSpec extends SparkTestBase {
       "q233_versioned_root", "q234_l_diversity", "q235_isotropy",
       "q236_dehyphenate", "q237_psi_drift", "q238_good_turing",
       "q239_card_redaction", "q240_embedding_outliers",
-      "q241_graph_health", "q242_psi_windows")
+      "q241_graph_health", "q242_psi_windows", "q243_fuzzy_pairs",
+      "q244_change_point", "q245_profile_drift")
     for (name <- picked) {
       val fn = SparkEntry.queries(name)
       val a = fn(spark, sf0001).collect().map(_.toString).sorted.toSeq

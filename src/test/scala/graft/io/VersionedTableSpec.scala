@@ -63,6 +63,30 @@ class VersionedTableSpec extends SparkTestBase {
       3L -> "removed", 4L -> "added"))
   }
 
+  test("profileDrift: added/removed columns flagged, null-rate moves " +
+      "measured on shared columns") {
+    val root = freshRoot("drift")
+    VersionedTable.publish(Seq(
+      (1L, Some("a"), 10), (2L, Some("b"), 20), (3L, None, 30),
+      (4L, Some("d"), 40)).toDF("id", "tag", "x"), root)
+    VersionedTable.publish(Seq(
+      (1L, None: Option[String], true), (2L, None, false),
+      (3L, Some("c"), true), (4L, Some("d"), false))
+      .toDF("id", "tag", "flag"), root)
+    val got = VersionedTable.profileDrift(spark, root, 1, 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("id", "tag", "x", "flag"))
+    val x = got("x")
+    assert(x.getBoolean(1) && !x.getBoolean(2)) // removed
+    assert(x.getDouble(3) == 0.0 && x.isNullAt(4) && x.isNullAt(5))
+    val fl = got("flag")
+    assert(!fl.getBoolean(1) && fl.getBoolean(2)) // added
+    assert(fl.isNullAt(3))
+    val tag = got("tag")
+    assert(tag.getDouble(3) == 0.25 && tag.getDouble(4) == 0.5)
+    assert(tag.getDouble(5) == 0.25) // null-rate delta
+  }
+
   test("prune keeps the newest published versions and never the " +
       "current; pruned versions are gone, kept ones readable") {
     val root = freshRoot("prune")

@@ -15,6 +15,29 @@ class AnomalySpec extends SparkTestBase {
           new Timestamp(b.toLong * 100 + i), 1L, series, 1.0))
     }
 
+  test("changePoint: a clean level shift is found at the exact split; " +
+      "ties break earliest; single-bucket series emit nothing") {
+    // level 2 for 5 buckets, then level 10 for 5 — split after bucket 4
+    val shifted = evs("shift", Seq(2, 2, 2, 2, 2, 10, 10, 10, 10, 10))
+    // flat series: all splits score 0 -> earliest bucket wins
+    val flat = evs("flat", Seq(3, 3, 3, 3), base = 900000)
+    val single = evs("single", Seq(7), base = 1800000)
+    val events = (shifted ++ flat ++ single)
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Anomaly.changePoint(events, bucketMillis = 100)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s = got("shift")
+    assert(s.getAs[Long]("split_bucket") == 4L, s.toString)
+    assert(s.getAs[Long]("n_before") == 5L && s.getAs[Long]("n_after") == 5L)
+    assert(s.getAs[Double]("mean_before") == 2.0)
+    assert(s.getAs[Double]("mean_after") == 10.0)
+    // score = 5*5/10 * (2-10)^2 = 160
+    assert(s.getAs[Double]("score") == 160.0)
+    assert(got("flat").getAs[Long]("split_bucket") == 0L)
+    assert(got("flat").getAs[Double]("score") == 0.0)
+    assert(!got.contains("single"))
+  }
+
   test("rateAnomalies: a burst against a steady trailing window flags; " +
       "the trailing frame is strictly past-only") {
     // steady 5/bucket for 6 buckets, then a 50-burst
