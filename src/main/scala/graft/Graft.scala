@@ -795,6 +795,22 @@ object Graft {
                             stream: DataFrame, joinKeys: Seq[String])
                            (sink: (DataFrame, Long) => Unit) =
     streaming.TableServe.enrich(s, root, stream, joinKeys)(sink)
+  /** Soft dedup (X221, q246): weight = 1/|near-dup cluster| instead
+    * of dropping — templated families share one unit of mass. */
+  def softDedupWeights(docs: DataFrame,
+                       threshold: Double = 0.7): DataFrame =
+    llmops.Dedup.softWeights(docs, threshold)
+  /** End-to-end entity resolution (X222, q247): fuzzy pairs → CC →
+    * canonical record per entity. */
+  def entityClusters(df: DataFrame, threshold: Double,
+                     idCol: String = "doc_id",
+                     nameCol: String = "name"): DataFrame =
+    llmops.Fuzzy.entityClusters(df, threshold, idCol, nameCol)
+  /** Term burstiness / dispersion report (X223, q248): VMR of per-doc
+    * counts, zeros in closed form. */
+  def burstinessReport(docs: DataFrame, k: Int = 50,
+                       minDf: Long = 5): DataFrame =
+    llmops.Vocab.burstinessReport(docs, k, minDf)
   def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String],
                       k: Int): DataFrame =
     llmops.Privacy.kAnonymityAudit(df, quasiCols, k)

@@ -4663,6 +4663,52 @@ object SparkEntry {
       VT.profileDrift(s, root, 1, 2).orderBy($"col_name")
     }),
 
+    // llmops soft dedup (X221): near-dup families down-weighted to
+    // 1/|cluster| instead of dropped — LSH proposes, CC labels, the
+    // oracle replays the clustering from the dumped edges (q69
+    // machinery) and the weight arithmetic exactly.
+    "q246_soft_dedup" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      materialize(graft.llmops.Dedup.minhashPairs(docs, threshold = 0.7)
+        .select($"id_a", $"id_b"), "q246_edges")
+      graft.llmops.Dedup.softWeights(docs, threshold = 0.7)
+        .orderBy($"doc_id")
+    }),
+
+    // llmops entity resolution end-to-end (X222): the q243 fuzzy
+    // pairs → connected components → canonical record per entity;
+    // oracle replays CC from the dumped pairs and rebuilds the name
+    // table from the same derivation.
+    "q247_entity_clusters" -> ((s, d) => {
+      import s.implicits._
+      val base = t(s, d, "documents")
+        .filter($"doc_id" < 200 && $"text".isNotNull)
+        .select($"doc_id",
+          lower(element_at(split(trim($"text"), "\\s+"), 1)).as("name"))
+        .filter(length($"name") >= 4)
+      val twins = base.filter($"doc_id" < 30)
+        .select(($"doc_id" + 980000).as("doc_id"),
+          concat(substring($"name", 1, 1), substring($"name", 3, 1),
+            substring($"name", 2, 1), expr("substring(name, 4)"))
+            .as("name"))
+      val named = base.unionByName(twins)
+      materialize(graft.llmops.Fuzzy.jaroWinklerPairs(named, 0.85,
+        "doc_id", "name").select($"id_a", $"id_b"), "q247_pairs")
+      graft.llmops.Fuzzy.entityClusters(named, threshold = 0.85,
+          idCol = "doc_id", nameCol = "name")
+        .orderBy($"entity_id")
+    }),
+
+    // llmops term burstiness (X223): variance-to-mean dispersion of
+    // per-doc counts, zeros in closed form — topical terms clump,
+    // function words scatter; exact moment arithmetic replays.
+    "q248_burstiness" -> ((s, d) => {
+      import s.implicits._
+      graft.llmops.Vocab.burstinessReport(t(s, d, "documents"),
+        k = 50, minDf = 5)
+    }),
+
     // streaming PSI twin, batch mode (X216): per-hour drift of the
     // events value distribution against a fixed reference — the q237
     // arithmetic as ONE streaming-legal windowed aggregate; the
@@ -10647,6 +10693,97 @@ object SparkEntry {
                   NULL
            FROM n)
          ORDER BY col_name""",
+    // soft dedup: CC from the dumped LSH edges (the q69 recursive
+    // CTE), singleton fallback, exact weight arithmetic
+    "q246_soft_dedup" ->
+      """WITH RECURSIVE sym AS (
+           SELECT id_a AS u, id_b AS v
+           FROM read_parquet('/root/repo/spark-warehouse/q246_edges/*.parquet')
+           UNION
+           SELECT id_b, id_a
+           FROM read_parquet('/root/repo/spark-warehouse/q246_edges/*.parquet')),
+         nodes AS (SELECT DISTINCT u AS id FROM sym),
+         walk(id, comp) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT sym.v, walk.comp FROM walk JOIN sym ON sym.u = walk.id),
+         labels AS (SELECT id, min(comp) AS component FROM walk GROUP BY id),
+         lab2 AS (
+           SELECT d.doc_id, coalesce(l.component, d.doc_id) AS cluster_id
+           FROM documents d LEFT JOIN labels l ON l.id = d.doc_id),
+         sz AS (SELECT cluster_id, count(*) AS cluster_size
+                FROM lab2 GROUP BY 1)
+         SELECT doc_id, cluster_id, cluster_size,
+                round(1.0 / cluster_size, 4) AS weight
+         FROM lab2 JOIN sz USING (cluster_id)
+         ORDER BY doc_id""",
+    // entity clusters: CC from the dumped fuzzy pairs; the canonical
+    // record is the min-id member
+    "q247_entity_clusters" ->
+      """WITH RECURSIVE base AS (
+           SELECT doc_id,
+                  lower(string_split_regex(trim(text), '\s+')[1]) AS name
+           FROM documents WHERE doc_id < 200 AND text IS NOT NULL),
+         b2 AS (SELECT doc_id, name FROM base WHERE length(name) >= 4),
+         twins AS (
+           SELECT doc_id + 980000 AS doc_id,
+                  substring(name, 1, 1) || substring(name, 3, 1) ||
+                  substring(name, 2, 1) || substring(name, 4) AS name
+           FROM b2 WHERE doc_id < 30),
+         al AS (SELECT * FROM b2 UNION ALL SELECT * FROM twins),
+         sym AS (
+           SELECT id_a AS u, id_b AS v
+           FROM read_parquet('/root/repo/spark-warehouse/q247_pairs/*.parquet')
+           UNION
+           SELECT id_b, id_a
+           FROM read_parquet('/root/repo/spark-warehouse/q247_pairs/*.parquet')),
+         nodes AS (SELECT DISTINCT u AS id FROM sym),
+         walk(id, comp) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT sym.v, walk.comp FROM walk JOIN sym ON sym.u = walk.id),
+         labels AS (SELECT id, min(comp) AS component FROM walk GROUP BY id),
+         lab2 AS (
+           SELECT al.doc_id AS id, al.name,
+                  coalesce(l.component, al.doc_id) AS entity_id
+           FROM al LEFT JOIN labels l ON l.id = al.doc_id),
+         agg AS (
+           SELECT entity_id, count(*) AS n_members,
+                  array_to_string(list_sort(array_agg(id)), ',') AS members
+           FROM lab2 GROUP BY 1)
+         SELECT a.entity_id, a.n_members, c.name AS canonical_name,
+                a.members
+         FROM agg a JOIN lab2 c ON c.id = a.entity_id
+         ORDER BY a.entity_id""",
+    // burstiness: zeros-in-closed-form dispersion from the term-count
+    // table; HUGEINT sums cast back
+    "q248_burstiness" ->
+      """WITH n AS (SELECT count(*)::DOUBLE AS c FROM documents
+                    WHERE text IS NOT NULL),
+         tok AS (
+           SELECT doc_id,
+                  unnest(string_split_regex(lower(trim(regexp_replace(text,
+                    '([\x{0e00}-\x{0e7f}\x{0e80}-\x{0eff}\x{1000}-\x{109f}\x{1780}-\x{17ff}\x{3040}-\x{30ff}\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{f900}-\x{faff}])',
+                    ' \1 ', 'g'))), '\s+')) AS term
+           FROM documents WHERE text IS NOT NULL),
+         tf AS (
+           SELECT doc_id, term, count(*) AS tf
+           FROM tok WHERE term <> '' GROUP BY 1, 2),
+         ag AS (
+           SELECT term, count(*) AS df, sum(tf)::BIGINT AS total_tf,
+                  sum(tf * tf)::BIGINT AS s2
+           FROM tf GROUP BY term),
+         f AS (
+           SELECT term, df, total_tf,
+                  round(total_tf / n.c, 6) AS mean_tf,
+                  round((s2 / n.c - (total_tf / n.c) ^ 2) /
+                    (total_tf / n.c), 4) AS vmr
+           FROM ag, n WHERE df >= 5),
+         r AS (
+           SELECT *, row_number() OVER (ORDER BY vmr DESC, term) AS rk
+           FROM f QUALIFY rk <= 50)
+         SELECT term, df, total_tf, mean_tf, vmr
+         FROM r ORDER BY vmr DESC, term""",
     // windowed PSI: hourly bins by the fixed reference edges, the
     // q237 clamped-log arithmetic per window
     "q242_psi_windows" ->

@@ -1355,4 +1355,41 @@ object Dedup {
           col("__exp") / col("n_exact")).otherwise(lit(1.0)), 4)
           .as("expected_recall"))
   }
+
+  /** Soft dedup (X221) — down-WEIGHT near-duplicates instead of
+    * dropping them: every doc gets `weight = 1/|cluster|` over its
+    * near-dup connected component, so a 10-way boilerplate family
+    * contributes one document's worth of sampling mass while keeping
+    * every variant available (the "soft" alternative the hard tiers'
+    * keep-one policy throws away — recent corpus work prefers it for
+    * templated-but-distinct families where any single representative
+    * loses information). Singletons (no near-dup edge) keep weight 1.
+    *
+    * Shape: the [[minhashPairs]] LSH tier proposes edges (never
+    * all-pairs), [[graft.ops.ConnectedComponents]] labels them
+    * (slim (long, long) rounds), and two slim-key joins attach
+    * cluster ids and sizes — text shuffles only inside the LSH tier.
+    *
+    * @return (idCol, cluster_id, cluster_size, weight) — weight 4dp;
+    *         cluster_id = the component's min doc id
+    */
+  def softWeights(docs: DataFrame, threshold: Double = 0.7,
+                  idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    val edges = minhashPairs(docs, threshold,
+        idCol = idCol, textCol = textCol)
+      .select(col("id_a"), col("id_b"))
+    val comp = graft.ops.ConnectedComponents.components(edges)
+      .withColumnRenamed("id", "__cid")
+    val labeled = docs.select(col(idCol))
+      .join(comp, col(idCol).cast("long") === col("__cid"), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol).cast("long"))
+          .as("cluster_id"))
+    val sizes = labeled.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, Seq("cluster_id"))
+      .select(col(idCol), col("cluster_id"), col("cluster_size"),
+        round(lit(1.0) / col("cluster_size"), 4).as("weight"))
+  }
 }

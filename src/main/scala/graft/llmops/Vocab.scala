@@ -474,6 +474,56 @@ object Vocab {
           .as("gt_singleton_discount"))
   }
 
+  /** Term burstiness report (X223; the Church & Gale 1995
+    * observation): variance-to-mean ratio (VMR, the dispersion index)
+    * of a term's per-document counts — ≈ 1 for Poisson-scattered
+    * function words, ≫ 1 for bursty topical terms that pile into few
+    * documents. The content-word detector that needs no stopword
+    * list: TF-IDF asks "is it rare", burstiness asks "is it CLUMPED",
+    * and boilerplate detection wants both. Zeros count: the moments
+    * are closed-form over ALL N docs — mean = T/N, E[x²] = S₂/N with
+    * T = Σtf, S₂ = Σtf² from the (term, doc, tf) table alone, so the
+    * absent-doc zeros cost nothing.
+    *
+    * Shape: one tokenize/explode → (term, doc) tf → one term-keyed
+    * aggregate; the vocabulary-sized slim shuffle every lexical stat
+    * pays. Top-k by VMR after a 4dp round with term tiebreak —
+    * deterministic in any engine.
+    *
+    * @return k rows: (term, df, total_tf, mean_tf, vmr) — mean 6dp,
+    *         vmr 4dp; terms below `minDf` documents are noise-gated
+    */
+  def burstinessReport(docs: DataFrame, k: Int = 50, minDf: Long = 5,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    require(k >= 1 && minDf >= 1, "k >= 1, minDf >= 1")
+    val base = docs.where(col(textCol).isNotNull)
+    val nDocs = base.count()
+    require(nDocs > 0, "burstinessReport: no documents")
+    val tf = base
+      .select(col(idCol).as("__doc"),
+        TextFuncs.tokens(col(textCol)).as("__toks"))
+      .select(col("__doc"), explode(col("__toks")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("__doc"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("tf")).as("total_tf"),
+        sum(col("tf") * col("tf")).as("__s2"))
+      .where(col("df") >= minDf)
+      .withColumn("mean_tf",
+        round(col("total_tf") / lit(nDocs.toDouble), 6))
+      .withColumn("vmr", round(
+        (col("__s2") / lit(nDocs.toDouble) -
+          pow(col("total_tf") / lit(nDocs.toDouble), 2.0)) /
+          (col("total_tf") / lit(nDocs.toDouble)), 4))
+      .select(col("term"), col("df"), col("total_tf"),
+        col("mean_tf"), col("vmr"))
+      .orderBy(col("vmr").desc, col("term"))
+      .limit(k)
+  }
+
   def heapsProfile(docs: DataFrame, fractions: Seq[Double] =
                      Seq(0.125, 0.25, 0.5, 1.0),
                    idCol: String = "doc_id", textCol: String = "text")

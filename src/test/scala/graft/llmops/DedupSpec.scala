@@ -36,6 +36,36 @@ class DedupSpec extends SparkTestBase {
     assert(kept.filter($"doc_id" >= 10000).count() == 0)
   }
 
+  test("softWeights: near-dup family shares one unit of mass; " +
+      "singletons keep weight 1; weights partition the corpus") {
+    // distinct base texts (no cross-similarity), then exact copies of
+    // the first three — each family is exactly {orig, copy}
+    def sent(i: Long) = (0 until 30)
+      .map(j => s"w${i}_$j tok${(i * 31 + j) % 97}").mkString(" ")
+    val base = (0L until 8L).map(i => (i, sent(i)))
+    val dup = (base ++ (0L until 3L).map(i => (i + 10000, sent(i))))
+      .toDF("doc_id", "text")
+    val w = Dedup.softWeights(dup, threshold = 0.9)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(w.size == dup.count())
+    // each exact copy pairs with its original: cluster of 2, weight .5
+    (0L until 3L).foreach { i =>
+      assert(w(i) == ((i, 2L, 0.5)), s"$i -> ${w(i)}")
+      assert(w(i + 10000) == ((i, 2L, 0.5)))
+    }
+    // a doc with no near-dup is its own cluster at weight 1
+    val singles = w.filter(_._2._2 == 1L)
+    assert(singles.nonEmpty)
+    singles.foreach { case (id, (cid, _, wt)) =>
+      assert(cid == id && wt == 1.0)
+    }
+    // soft-dedup invariant: total weight == number of clusters
+    val totalW = w.values.map(_._3).sum
+    val nClusters = w.values.map(_._1).toSet.size
+    assert(math.abs(totalW - nClusters) < 1e-6)
+  }
+
   test("minhash LSH finds the high-similarity pairs (recall vs exact)") {
     val got = Dedup.minhashPairs(docs, threshold = 0.7)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet

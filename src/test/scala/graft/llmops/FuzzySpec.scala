@@ -30,4 +30,22 @@ class FuzzySpec extends SparkTestBase {
     assert(Fuzzy.jaroWinklerPairs(esc, 0.88,
       blockExprSql = "cast(length(name) as string)").count() == 1)
   }
+
+  test("entityClusters: variants collapse to one entity with the " +
+      "min-id canonical record; unmatched names stay singletons; " +
+      "the output partitions the input") {
+    val df = Seq(
+      (10L, "martha"), (11L, "marhta"), (12L, "martha"), // one entity
+      (20L, "zebra"),                                     // singleton
+      (30L, "walrus"), (31L, "walrsu")).toDF("doc_id", "name")
+    val got = Fuzzy.entityClusters(df, threshold = 0.9)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getString(2), r.getString(3))).toMap
+    assert(got.keySet == Set(10L, 20L, 30L))
+    assert(got(10L) == ((3L, "martha", "10,11,12")))
+    assert(got(20L) == ((1L, "zebra", "20")))
+    assert(got(30L) == ((2L, "walrus", "30,31")))
+    // total partition: member count equals input rows
+    assert(got.values.map(_._1).sum == 6L)
+  }
 }

@@ -348,6 +348,36 @@ class VocabSpec extends SparkTestBase {
     assert(rows.head.getAs[Double]("beta") == 0.0)
   }
 
+  test("burstinessReport: a clumped term out-scores a scattered one " +
+      "at equal total count; moments are exact with zeros") {
+    import spark.implicits._
+    // 10 docs; "bursty" appears 9 times in ONE doc, "spread" once in
+    // each of 9 docs — same total_tf 9, same df gate passes spread
+    // only if minDf allows; use minDf 1 to see both
+    val docs = (0 until 10).map { i =>
+      val bursty = if (i == 0) Array.fill(9)("bursty").mkString(" ") else ""
+      val spread = if (i < 9) "spread" else ""
+      (i.toLong, s"filler$i $bursty $spread".trim)
+    }.toDF("doc_id", "text")
+    val got = Vocab.burstinessReport(docs, k = 50, minDf = 1)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val b = got("bursty"); val s = got("spread")
+    assert(b.getAs[Long]("df") == 1L && b.getAs[Long]("total_tf") == 9L)
+    assert(s.getAs[Long]("df") == 9L && s.getAs[Long]("total_tf") == 9L)
+    // exact moments over N=10 incl zeros:
+    // bursty: mean .9, E[x2] 8.1, var 7.29, vmr 8.1
+    // spread: mean .9, E[x2] .9,  var .09, vmr .1
+    assert(b.getAs[Double]("vmr") == 8.1, b.toString)
+    assert(s.getAs[Double]("vmr") == 0.1, s.toString)
+    assert(b.getAs[Double]("mean_tf") == 0.9)
+    // empty input guard
+    val e = intercept[IllegalArgumentException] {
+      Vocab.burstinessReport(
+        Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    }
+    assert(e.getMessage.contains("no documents"))
+  }
+
   test("goodTuringReport: unseen mass = singletons over tokens; an " +
       "all-repeats source reports zero unseen mass") {
     import spark.implicits._
