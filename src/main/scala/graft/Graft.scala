@@ -795,6 +795,11 @@ object Graft {
                             stream: DataFrame, joinKeys: Seq[String])
                            (sink: (DataFrame, Long) => Unit) =
     streaming.TableServe.enrich(s, root, stream, joinKeys)(sink)
+  /** Cross-corpus quote detection (X224, q249): per (corpus, ref)
+    * pair, shared n-grams and the longest verbatim-quote token run. */
+  def quoteSpans(corpus: DataFrame, reference: DataFrame, n: Int = 8,
+                 minSharedNgrams: Long = 1): DataFrame =
+    llmops.Dedup.quoteSpans(corpus, reference, n, minSharedNgrams)
   /** Soft dedup (X221, q246): weight = 1/|near-dup cluster| instead
     * of dropping — templated families share one unit of mass. */
   def softDedupWeights(docs: DataFrame,

@@ -4700,6 +4700,24 @@ object SparkEntry {
         .orderBy($"entity_id")
     }),
 
+    // llmops quote detection (X224): benchmark docs planted as real
+    // 21-token quotes of corpus docs (plus framing) — the audit must
+    // size each quote, not just flag overlap; islands replayed in SQL.
+    "q249_quote_spans" -> ((s, d) => {
+      import s.implicits._
+      val T = graft.llmops.TextFuncs
+      val docs = t(s, d, "documents").where($"text".isNotNull)
+        .select($"doc_id", $"text")
+      val bench = docs.filter($"doc_id" < 10).select(
+        ($"doc_id" + 990000).as("doc_id"),
+        concat(lit("benchframe opens here "),
+          concat_ws(" ", slice(T.tokens($"text"), 5, 21)),
+          lit(" and benchframe closes")).as("text"))
+      graft.llmops.Dedup.quoteSpans(docs, bench, n = 8,
+          minSharedNgrams = 3)
+        .orderBy($"corpus_id", $"ref_id")
+    }),
+
     // llmops term burstiness (X223): variance-to-mean dispersion of
     // per-doc counts, zeros in closed form — topical terms clump,
     // function words scatter; exact moment arithmetic replays.
@@ -10755,6 +10773,50 @@ object SparkEntry {
                 a.members
          FROM agg a JOIN lab2 c ON c.id = a.entity_id
          ORDER BY a.entity_id""",
+    // quote spans: positional grams, the decontam anchor join, and
+    // gaps-and-islands replayed relationally
+    "q249_quote_spans" ->
+      """WITH ctk AS (
+           SELECT doc_id,
+                  string_split_regex(lower(trim(text)), '\s+') AS tk
+           FROM documents WHERE text IS NOT NULL),
+         cg AS (
+           SELECT doc_id AS corpus_id, i - 1 AS pos,
+                  array_to_string(tk[i : least(i + 7, len(tk))], ' ') AS g
+           FROM ctk,
+                unnest(generate_series(1, greatest(len(tk) - 7, 1)))
+                  AS s(i)),
+         btk AS (
+           SELECT doc_id + 990000 AS ref_id,
+                  string_split_regex(lower(trim(
+                    'benchframe opens here ' ||
+                    array_to_string(tk[5 : 25], ' ') ||
+                    ' and benchframe closes')), '\s+') AS tk
+           FROM ctk WHERE doc_id < 10),
+         bg AS (
+           SELECT DISTINCT ref_id,
+                  array_to_string(tk[i : least(i + 7, len(tk))], ' ') AS g
+           FROM btk,
+                unnest(generate_series(1, greatest(len(tk) - 7, 1)))
+                  AS s(i)),
+         h AS (
+           SELECT cg.corpus_id, bg.ref_id, cg.pos
+           FROM cg JOIN bg USING (g)),
+         isl AS (
+           SELECT corpus_id, ref_id, pos,
+                  pos - row_number() OVER (
+                    PARTITION BY corpus_id, ref_id ORDER BY pos) AS grp
+           FROM h),
+         runs AS (
+           SELECT corpus_id, ref_id, grp, count(*) AS run
+           FROM isl GROUP BY 1, 2, 3),
+         f AS (
+           SELECT corpus_id, ref_id,
+                  sum(run)::BIGINT AS shared_ngrams,
+                  (max(run) + 7)::BIGINT AS max_quote_tokens
+           FROM runs GROUP BY 1, 2)
+         SELECT * FROM f WHERE shared_ngrams >= 3
+         ORDER BY corpus_id, ref_id""",
     // burstiness: zeros-in-closed-form dispersion from the term-count
     // table; HUGEINT sums cast back
     "q248_burstiness" ->

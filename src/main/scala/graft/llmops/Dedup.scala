@@ -1356,6 +1356,61 @@ object Dedup {
           .as("expected_recall"))
   }
 
+  /** Cross-corpus quote detection (X224) — the memorization audit
+    * behind "does the corpus VERBATIM-quote the benchmark": for every
+    * (corpus doc, reference doc) pair sharing n-grams, the count of
+    * shared n-grams and the longest corpus-side token RUN whose every
+    * n-gram occurs in the reference. Where the n-gram decontamination
+    * tiers (X35/X65) answer "any overlap at all", this sizes the
+    * quote — the difference between a shared idiom and a lifted
+    * paragraph.
+    *
+    * Honest estimator note: a run of k consecutive matching n-gram
+    * positions certifies that every window of the (k+n−1)-token run
+    * appears in the reference; for n ≥ 8 overlapping windows chain
+    * only for genuinely shared text, so the run length is the quote
+    * length in practice (adversarial shuffled-window constructions
+    * could inflate it — stated, not hidden).
+    *
+    * Relational shape: corpus positional n-grams (one explode) join
+    * the reference's DISTINCT n-gram set on the gram key (the
+    * decontam anchor join — only SHARED grams survive the join, so
+    * the pair space never materializes), then the classic
+    * gaps-and-islands window per (corpus, ref) pair turns positions
+    * into runs. Text shuffles once, as grams.
+    *
+    * @return (corpus_id, ref_id, shared_ngrams, max_quote_tokens)
+    *         for pairs with ≥ `minSharedNgrams` shared positions;
+    *         max_quote_tokens = longest run + n − 1
+    */
+  def quoteSpans(corpus: DataFrame, reference: DataFrame, n: Int = 8,
+                 minSharedNgrams: Long = 1,
+                 corpusId: String = "doc_id", corpusText: String = "text",
+                 refId: String = "doc_id", refText: String = "text")
+      : DataFrame = {
+    require(n >= 2, "n must be >= 2")
+    require(minSharedNgrams >= 1, "minSharedNgrams must be >= 1")
+    val cg = corpus
+      .where(col(corpusText).isNotNull)
+      .select(col(corpusId).cast("long").as("corpus_id"),
+        posexplode(TextFuncs.wordNgramsAll(col(corpusText), n))
+          .as(Seq("pos", "g")))
+    val rg = reference
+      .where(col(refText).isNotNull)
+      .select(col(refId).cast("long").as("ref_id"),
+        explode(TextFuncs.wordNgrams(col(refText), n)).as("g"))
+    val w = Window.partitionBy(col("corpus_id"), col("ref_id"))
+      .orderBy(col("pos"))
+    cg.join(rg, Seq("g"))
+      .withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy(col("corpus_id"), col("ref_id"), col("__grp"))
+      .agg(count(lit(1)).as("__run"))
+      .groupBy(col("corpus_id"), col("ref_id"))
+      .agg(sum(col("__run")).as("shared_ngrams"),
+        (max(col("__run")) + (n - 1)).as("max_quote_tokens"))
+      .where(col("shared_ngrams") >= minSharedNgrams)
+  }
+
   /** Soft dedup (X221) — down-WEIGHT near-duplicates instead of
     * dropping them: every doc gets `weight = 1/|cluster|` over its
     * near-dup connected component, so a 10-way boilerplate family

@@ -54,7 +54,7 @@ class RobustnessSpec extends SparkTestBase {
       "q239_card_redaction", "q240_embedding_outliers",
       "q241_graph_health", "q242_psi_windows", "q243_fuzzy_pairs",
       "q244_change_point", "q245_profile_drift", "q246_soft_dedup",
-      "q247_entity_clusters", "q248_burstiness")
+      "q247_entity_clusters", "q248_burstiness", "q249_quote_spans")
     for (name <- picked) {
       val fn = SparkEntry.queries(name)
       val a = fn(spark, sf0001).collect().map(_.toString).sorted.toSeq

@@ -36,6 +36,29 @@ class DedupSpec extends SparkTestBase {
     assert(kept.filter($"doc_id" >= 10000).count() == 0)
   }
 
+  test("quoteSpans: a verbatim quote is sized exactly; scattered " +
+      "shared n-grams do not chain; short overlap gated by floor") {
+    val corpusTokens = (0 until 40).map(i => s"c$i")
+    val corpus = Seq((1L, corpusTokens.mkString(" ")))
+      .toDF("doc_id", "text")
+    // ref 10 quotes tokens 10..24 verbatim (15 tokens = 8 consecutive
+    // 8-gram positions); ref 11 shares two DISANT 8-grams (runs of 1)
+    val refs = Seq(
+      (10L, "frame " + corpusTokens.slice(10, 25).mkString(" ") + " end"),
+      (11L, corpusTokens.slice(0, 8).mkString(" ") + " zzz " +
+        corpusTokens.slice(20, 28).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.quoteSpans(corpus, refs, n = 8)
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got(10L) == ((8L, 15L)), s"${got(10L)}")
+    assert(got(11L)._2 == 8L, s"distant grams must not chain: $got")
+    // the floor drops the scattered pair
+    val floored = Dedup.quoteSpans(corpus, refs, n = 8,
+      minSharedNgrams = 5).collect()
+    assert(floored.length == 1 && floored.head.getLong(1) == 10L)
+  }
+
   test("softWeights: near-dup family shares one unit of mass; " +
       "singletons keep weight 1; weights partition the corpus") {
     // distinct base texts (no cross-similarity), then exact copies of
