@@ -565,4 +565,20 @@ class PlanShapeSpec extends SparkTestBase {
     // partial + final HashAggregate over the window key
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
   }
+
+  test("q243: fuzzy matching joins per BLOCK — never a cartesian " +
+       "over the name space") {
+    val p = plan("q243_fuzzy_pairs")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("q249: quote detection is the anchor-join shape — shared grams " +
+       "only, no pair-space cartesian") {
+    val p = plan("q249_quote_spans")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // positions → islands needs exactly one window over the pair key
+    assert(p.contains("Window"), p.take(2000))
+  }
 }
