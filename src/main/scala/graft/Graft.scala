@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, lit}
+import org.apache.spark.sql.functions.{coalesce, col, lit}
 
 /** Public facade — the one-import surface a user of the reference
   * pipeline would switch to. Everything delegates to the specialized
@@ -800,6 +800,17 @@ object Graft {
   def quoteSpans(corpus: DataFrame, reference: DataFrame, n: Int = 8,
                  minSharedNgrams: Long = 1): DataFrame =
     llmops.Dedup.quoteSpans(corpus, reference, n, minSharedNgrams)
+  /** Corpus minus documents quoting the reference at or beyond
+    * `maxQuoteTokens` — [[quoteSpans]] as a decontamination filter
+    * (anti-join on the flagged corpus ids; X224 composition). */
+  def quoteSafeCorpus(corpus: DataFrame, reference: DataFrame,
+                      maxQuoteTokens: Long, n: Int = 8,
+                      idCol: String = "doc_id"): DataFrame = {
+    val flagged = llmops.Dedup.quoteSpans(corpus, reference, n)
+      .where(col("max_quote_tokens") >= maxQuoteTokens)
+      .select(col("corpus_id").as(idCol))
+    corpus.join(flagged, Seq(idCol), "left_anti")
+  }
   /** Soft dedup (X221, q246): weight = 1/|near-dup cluster| instead
     * of dropping — templated families share one unit of mass. */
   def softDedupWeights(docs: DataFrame,

@@ -111,4 +111,22 @@ class GraftFacadeSpec extends SparkTestBase {
     assert(Graft.sequenceStats(frags)
       .filter($"n_toks" > 64).count() == 0)
   }
+
+  test("quoteSafeCorpus drops the quoting doc and keeps the rest") {
+    import spark.implicits._
+    val words = (0 until 40).map(i => s"t$i")
+    val corpus = Seq(
+      (1L, words.mkString(" ")),                       // gets quoted
+      (2L, (100 until 140).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      (9L, "frame " + words.slice(5, 25).mkString(" ") + " close"))
+      .toDF("doc_id", "text")
+    val safe = Graft.quoteSafeCorpus(corpus, bench,
+      maxQuoteTokens = 15)
+    assert(safe.select($"doc_id").as[Long].collect().toSeq == Seq(2L))
+    // a stricter-than-quote threshold keeps everything
+    assert(Graft.quoteSafeCorpus(corpus, bench,
+      maxQuoteTokens = 25).count() == 2)
+  }
 }
