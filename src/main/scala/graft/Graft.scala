@@ -796,17 +796,27 @@ object Graft {
                            (sink: (DataFrame, Long) => Unit) =
     streaming.TableServe.enrich(s, root, stream, joinKeys)(sink)
   /** Cross-corpus quote detection (X224, q249): per (corpus, ref)
-    * pair, shared n-grams and the longest verbatim-quote token run. */
+    * pair, shared n-grams and the longest verbatim-quote token run.
+    * Grams in more than `maxRefDf` reference docs are dropped as
+    * template boilerplate (observed via Dedup's cap metrics). */
   def quoteSpans(corpus: DataFrame, reference: DataFrame, n: Int = 8,
-                 minSharedNgrams: Long = 1): DataFrame =
-    llmops.Dedup.quoteSpans(corpus, reference, n, minSharedNgrams)
+                 minSharedNgrams: Long = 1,
+                 maxRefDf: Int = 100): DataFrame =
+    llmops.Dedup.quoteSpans(corpus, reference, n, minSharedNgrams,
+      maxRefDf = maxRefDf)
   /** Corpus minus documents quoting the reference at or beyond
     * `maxQuoteTokens` — [[quoteSpans]] as a decontamination filter
-    * (anti-join on the flagged corpus ids; X224 composition). */
+    * (anti-join on the flagged corpus ids; X224 composition). The
+    * corpus/reference column names are forwarded to the detector, so
+    * the flag key and the anti-join key are always the SAME column. */
   def quoteSafeCorpus(corpus: DataFrame, reference: DataFrame,
                       maxQuoteTokens: Long, n: Int = 8,
-                      idCol: String = "doc_id"): DataFrame = {
-    val flagged = llmops.Dedup.quoteSpans(corpus, reference, n)
+                      idCol: String = "doc_id", textCol: String = "text",
+                      refId: String = "doc_id", refText: String = "text",
+                      maxRefDf: Int = 100): DataFrame = {
+    val flagged = llmops.Dedup.quoteSpans(corpus, reference, n,
+        corpusId = idCol, corpusText = textCol,
+        refId = refId, refText = refText, maxRefDf = maxRefDf)
       .where(col("max_quote_tokens") >= maxQuoteTokens)
       .select(col("corpus_id").as(idCol))
     corpus.join(flagged, Seq(idCol), "left_anti")

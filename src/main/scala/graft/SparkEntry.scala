@@ -10614,12 +10614,14 @@ object SparkEntry {
            FROM b2 WHERE doc_id < 30),
          al AS (SELECT * FROM b2 UNION ALL SELECT * FROM twins),
          slim AS (
-           SELECT doc_id, name,
-                  concat(substring(name, 1, 1), '_',
-                    (length(name) // 4)::VARCHAR) AS blk
+           SELECT doc_id, name, unnest(list_distinct([
+                    concat(substring(name, 1, 1), '_',
+                      (length(name) // 4)::VARCHAR),
+                    concat(substring(name, 1, 1), '_',
+                      ((length(name) + 1) // 4)::VARCHAR)])) AS blk
            FROM al),
          pairs AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                   a.name AS name_a, b.name AS name_b,
                   round(jaro_winkler_similarity(a.name, b.name), 4) AS jw
            FROM slim a JOIN slim b

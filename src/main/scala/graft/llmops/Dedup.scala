@@ -45,7 +45,7 @@ object Dedup {
     */
   private val capSeq = new java.util.concurrent.atomic.AtomicLong()
 
-  private def capBuckets(banded: DataFrame, maxBucket: Int,
+  private[llmops] def capBuckets(banded: DataFrame, maxBucket: Int,
                          keys: Seq[String] = Seq("band", "band_hash"))
       : DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*)
@@ -1381,24 +1381,40 @@ object Dedup {
     *
     * @return (corpus_id, ref_id, shared_ngrams, max_quote_tokens)
     *         for pairs with ≥ `minSharedNgrams` shared positions;
-    *         max_quote_tokens = longest run + n − 1
+    *         max_quote_tokens = longest run + n − 1. Grams in more
+    *         than `maxRefDf` reference documents are excluded as
+    *         template boilerplate (see the cap comment in the body).
     */
   def quoteSpans(corpus: DataFrame, reference: DataFrame, n: Int = 8,
                  minSharedNgrams: Long = 1,
                  corpusId: String = "doc_id", corpusText: String = "text",
-                 refId: String = "doc_id", refText: String = "text")
+                 refId: String = "doc_id", refText: String = "text",
+                 maxRefDf: Int = 100)
       : DataFrame = {
     require(n >= 2, "n must be >= 2")
     require(minSharedNgrams >= 1, "minSharedNgrams must be >= 1")
+    require(maxRefDf >= 1, "maxRefDf must be >= 1")
     val cg = corpus
       .where(col(corpusText).isNotNull)
       .select(col(corpusId).cast("long").as("corpus_id"),
         posexplode(TextFuncs.wordNgramsAll(col(corpusText), n))
           .as(Seq("pos", "g")))
-    val rg = reference
+    // Hot-gram cap: per shared gram g, the join below emits (corpus
+    // positions containing g) × (reference docs containing g) rows —
+    // a TEMPLATE gram shared by every reference doc (license header,
+    // QA prompt framing) multiplies the corpus side |reference|-fold.
+    // A gram present in more than `maxRefDf` reference documents is
+    // boilerplate, not quote evidence OF any single document, so it is
+    // dropped before the join — the same capBuckets discipline as the
+    // LSH tiers (rg carries one row per (ref_id, distinct gram), so
+    // rows-per-g IS the reference document frequency), and the cost is
+    // observable through the CapMetricPrefix metrics
+    // (rows_dropped, max_bucket_n, rows_seen) via [[capDropMetrics]].
+    val rg = capBuckets(reference
       .where(col(refText).isNotNull)
       .select(col(refId).cast("long").as("ref_id"),
-        explode(TextFuncs.wordNgrams(col(refText), n)).as("g"))
+        explode(TextFuncs.wordNgrams(col(refText), n)).as("g")),
+      maxRefDf, Seq("g"))
     val w = Window.partitionBy(col("corpus_id"), col("ref_id"))
       .orderBy(col("pos"))
     cg.join(rg, Seq("g"))

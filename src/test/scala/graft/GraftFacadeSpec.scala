@@ -129,4 +129,22 @@ class GraftFacadeSpec extends SparkTestBase {
     assert(Graft.quoteSafeCorpus(corpus, bench,
       maxQuoteTokens = 25).count() == 2)
   }
+
+  test("quoteSafeCorpus flags and anti-joins on the SAME caller-named " +
+      "id column even when a decoy doc_id column exists") {
+    import spark.implicits._
+    val words = (0 until 40).map(i => s"t$i")
+    // item_id is the caller's key; doc_id is a DECOY with values that
+    // would survive (999) / be dropped (5) if flags leaked onto it
+    val corpus = Seq(
+      (5L, 999L, words.mkString(" ")),                 // quoting row
+      (6L, 5L, (100 until 140).map(i => s"u$i").mkString(" ")))
+      .toDF("item_id", "doc_id", "text")
+    val bench = Seq(
+      (9L, "frame " + words.slice(5, 25).mkString(" ") + " close"))
+      .toDF("doc_id", "text")
+    val safe = Graft.quoteSafeCorpus(corpus, bench,
+      maxQuoteTokens = 15, idCol = "item_id")
+    assert(safe.select($"item_id").as[Long].collect().toSeq == Seq(6L))
+  }
 }

@@ -59,6 +59,33 @@ class DedupSpec extends SparkTestBase {
     assert(floored.length == 1 && floored.head.getLong(1) == 10L)
   }
 
+  test("quoteSpans: a template gram shared across the reference is " +
+      "capped out as boilerplate and the cost is observed; genuine " +
+      "quotes survive") {
+    val quote = (0 until 8).map(i => s"q$i").mkString(" ")
+    val boiler = (0 until 8).map(i => s"b$i").mkString(" ")
+    val corpus = Seq((1L,
+      s"intro pad $quote filler pad2 $boiler tail end"))
+      .toDF("doc_id", "text")
+    // ref 0 holds the genuine quote; refs 1..20 are the same
+    // 8-token boilerplate (a license header / prompt template)
+    val refs = (Seq((0L, quote)) ++ (1L to 20L).map(i => (i, boiler)))
+      .toDF("doc_id", "text")
+    val capped = Dedup.quoteSpans(corpus, refs, n = 8, maxRefDf = 5)
+    val got = capped.collect()
+    assert(got.length == 1, got.mkString(", "))
+    assert(got.head.getLong(1) == 0L &&
+      got.head.getLong(3) == 8L, got.head.toString)
+    val m = Dedup.capDropMetrics(capped)
+    assert(m.size == 1 && m.keys.head.startsWith(Dedup.CapMetricPrefix))
+    val (dropped, maxN, seen) = m.values.head
+    assert(dropped == 20L && maxN == 20L && seen == 21L,
+      s"($dropped, $maxN, $seen)")
+    // an ample cap keeps the boilerplate fan-out: 21 pairs
+    assert(Dedup.quoteSpans(corpus, refs, n = 8, maxRefDf = 100)
+      .count() == 21)
+  }
+
   test("softWeights: near-dup family shares one unit of mass; " +
       "singletons keep weight 1; weights partition the corpus") {
     // distinct base texts (no cross-similarity), then exact copies of

@@ -31,6 +31,39 @@ class FuzzySpec extends SparkTestBase {
       blockExprSql = "cast(length(name) as string)").count() == 1)
   }
 
+  test("jaroWinklerPairs: overlapping length bands pair an off-by-one " +
+      "insertion that straddles a band boundary, exactly once") {
+    // 7 chars (bands 1 and 2) vs 8 chars (band 2): the single-band
+    // blocking this replaces never even generated the candidate
+    val df = Seq((1L, "josephs"), (2L, "josephso")).toDF("doc_id", "name")
+    val got = Fuzzy.jaroWinklerPairs(df, threshold = 0.9).collect()
+    assert(got.length == 1, got.mkString(", "))
+    assert(got.head.getLong(0) == 1L && got.head.getLong(1) == 2L)
+  }
+
+  test("jaroWinklerPairs: a hot block is capped whole and the cost is " +
+      "observed; cold blocks keep pairing") {
+    // 30 rows land in one block (a_1: first char 'a', 4-char names);
+    // a single cold m_1 pair must survive the cap untouched
+    val hot = (1 to 30).map(i => (i.toLong, f"ax$i%02d"))
+    val cold = Seq((100L, "martha"), (101L, "marhta"))
+    val df = (hot ++ cold).toDF("doc_id", "name")
+    val res = Fuzzy.jaroWinklerPairs(df, threshold = 0.9, maxBlock = 10)
+    val got = res.collect()
+    assert(got.length == 1, got.mkString(", "))
+    assert(got.head.getLong(0) == 100L && got.head.getLong(1) == 101L)
+    val m = Dedup.capDropMetrics(res)
+    assert(m.size == 1 && m.keys.head.startsWith(Dedup.CapMetricPrefix))
+    val (dropped, maxN, seen) = m.values.head
+    assert(dropped == 30L && maxN == 30L && seen == 32L,
+      s"($dropped, $maxN, $seen)")
+    // an ample cap reports zero drops over the same stream
+    val calm = Fuzzy.jaroWinklerPairs(df, threshold = 0.9,
+      maxBlock = 1000)
+    calm.collect()
+    assert(Dedup.capDropMetrics(calm).values.head._1 == 0L)
+  }
+
   test("entityClusters: variants collapse to one entity with the " +
       "min-id canonical record; unmatched names stay singletons; " +
       "the output partitions the input") {
