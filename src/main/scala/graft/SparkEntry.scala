@@ -10501,8 +10501,8 @@ object SparkEntry {
          vdist AS (SELECT DISTINCT doc_id, t2, raw FROM luhn WHERE ok),
          vocc AS (
            SELECT doc_id,
-                  (length(t2) - length(replace(t2, raw, '')))
-                    // length(raw) AS occ,
+                  length(regexp_extract_all(t2, '\b' || raw || '\b'))
+                    AS occ,
                   length(raw) AS lr
            FROM vdist),
          rem AS (

@@ -17,8 +17,18 @@ import org.apache.spark.sql.graftshim.ColumnBridge
   * Exactly the classical formulation, pinned against DuckDB's
   * `jaro_winkler_similarity` (the oracle runs it verbatim, so the
   * conventions must match bit-for-bit at 4dp):
+  *  - comparison unit is the UTF-8 BYTE, not the UTF-16 code unit —
+  *    DuckDB iterates the string's bytes, so lengths, match windows,
+  *    and prefix bonuses all count bytes; identical on ASCII, and the
+  *    StringSimSpec non-ASCII probes pin the byte behavior for
+  *    accented Latin, Thai, and CJK inputs. (A happy coincidence for
+  *    Spark: `UTF8String` IS UTF-8 bytes, so the codegen path reads
+  *    the backing array with no String materialization at all.)
   *  - match window `max(|a|,|b|)/2 − 1`, transpositions counted over
-  *    matched sequences,
+  *    matched sequences and FLOORED to whole transpositions
+  *    (`t div 2` — an odd mismatch count, e.g. a 3-cycle like
+  *    `abcde…`/`cabde…`, rounds DOWN, the DuckDB/RapidFuzz
+  *    convention),
   *  - Winkler prefix bonus `ℓ·0.1·(1−jaro)` with `ℓ ≤ 4`, applied
   *    ONLY when jaro > 0.7 (the classic boost threshold),
   *  - empty vs anything (and empty vs empty) → 0.0 — the DuckDB
@@ -29,11 +39,12 @@ import org.apache.spark.sql.graftshim.ColumnBridge
   */
 object StringSim {
 
-  def jaroWinkler(a: String, b: String): Double = {
+  /** The kernel, over UTF-8 byte arrays (the DuckDB comparison unit). */
+  def jaroWinkler(a: Array[Byte], b: Array[Byte]): Double = {
     val l1 = a.length
     val l2 = b.length
     if (l1 == 0 || l2 == 0) return 0.0
-    if (a == b) return 1.0
+    if (java.util.Arrays.equals(a, b)) return 1.0
     val window = math.max(0, math.max(l1, l2) / 2 - 1)
     val m1 = new Array[Boolean](l1)
     val m2 = new Array[Boolean](l2)
@@ -45,7 +56,7 @@ object StringSim {
       var j = lo
       var found = false
       while (j <= hi && !found) {
-        if (!m2(j) && a.charAt(i) == b.charAt(j)) {
+        if (!m2(j) && a(i) == b(j)) {
           m1(i) = true; m2(j) = true; matches += 1; found = true
         }
         j += 1
@@ -59,22 +70,28 @@ object StringSim {
     while (i < l1) {
       if (m1(i)) {
         while (!m2(k)) k += 1
-        if (a.charAt(i) != b.charAt(k)) t += 1
+        if (a(i) != b(k)) t += 1
         k += 1
       }
       i += 1
     }
     val m = matches.toDouble
-    val jaro = (m / l1 + m / l2 + (m - t / 2.0) / m) / 3.0
+    val jaro = (m / l1 + m / l2 + (m - (t / 2).toDouble) / m) / 3.0
     var l = 0
     val lmax = math.min(4, math.min(l1, l2))
-    while (l < lmax && a.charAt(l) == b.charAt(l)) l += 1
+    while (l < lmax && a(l) == b(l)) l += 1
     if (jaro > 0.7) jaro + l * 0.1 * (1.0 - jaro) else jaro
   }
 
-  /** Codegen entry point. */
+  def jaroWinkler(a: String, b: String): Double =
+    jaroWinkler(a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Codegen entry point — `UTF8String.getBytes` hands the kernel the
+    * UTF-8 bytes directly (no String round-trip).
+    */
   def jaroWinklerU(a: UTF8String, b: UTF8String): Double =
-    jaroWinkler(a.toString, b.toString)
+    jaroWinkler(a.getBytes, b.getBytes)
 
   case class JaroWinkler(left: Expression, right: Expression)
       extends BinaryExpression {

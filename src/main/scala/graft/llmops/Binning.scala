@@ -195,6 +195,10 @@ object Binning {
       probs.tail.zipWithIndex.map { case (p, i) =>
         round(percentile(col("__v"), lit(p)), 6).as(s"e${i + 1}") }: _*)
       .head()
+    // percentile of an empty input is null — fail with the cause, not
+    // an opaque NPE from getDouble
+    require(!eRow.isNullAt(0),
+      s"psiReport: reference has no non-null values in '$valueCol'")
     val edges = (0 until bins - 1).map(eRow.getDouble)
     def counted(df: DataFrame, name: String) = df
       .withColumn("__bin",

@@ -372,11 +372,19 @@ object TextFuncs {
 
   /** Replace every Luhn-VALID card-shaped run with `<CARD>`; invalid
     * candidates (random digit runs) stay untouched — the precision
-    * regex-only redaction cannot have. A narrow map, no shuffle.
+    * regex-only redaction cannot have. Replacement happens at WORD
+    * BOUNDARIES, not as a plain substring fold: a valid card's digit
+    * sequence occurring INSIDE a longer digit run (a 20+-digit id
+    * containing the card's digits) was never a candidate and must not
+    * be rewritten. Splicing the candidate into a regex is safe by
+    * construction — `cardPattern` admits only digits, spaces, and
+    * dashes, none of which is a regex metacharacter outside a class.
+    * A narrow map, no shuffle.
     */
   def redactCards(text: Column): Column =
     aggregate(validCards(text), text,
-      (acc, c) => replace(acc, c, lit("<CARD>")))
+      (acc, c) => regexp_replace(acc,
+        concat(lit("\\b"), c, lit("\\b")), lit("<CARD>")))
 
   def emailCount(text: Column): Column =
     size(regexp_extract_all(text, lit(emailPattern), lit(0)))

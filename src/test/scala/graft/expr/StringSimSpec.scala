@@ -24,7 +24,17 @@ class StringSimSpec extends SparkTestBase {
       ("prefix", "prefixxxxx", 0.92), // prefix bonus capped at l=4
       // boost threshold: jaro <= 0.7 gets NO prefix bonus
       ("abcdef", "azzzzzzzzzz", 0.419192),
-      ("abcd", "abzzzzzzzzzzzz", 0.547619))
+      ("abcd", "abzzzzzzzzzzzz", 0.547619),
+      // odd mismatch count (3-cycle): transpositions FLOOR to t div 2
+      ("abcdexxxx", "cabdexxxx", 0.962963),
+      // non-ASCII: the comparison unit is the UTF-8 BYTE, exactly as
+      // DuckDB iterates — accented Latin, Thai, CJK all probed
+      ("café", "cafe", 0.848333),
+      ("naïve", "naive", 0.857778),
+      ("สวัสดี", "สวีสดั", 0.955556),
+      ("grüße", "grusse", 0.642857),
+      ("Müller", "Mueller", 0.828571),
+      ("日本語テスト", "日本語てスト", 0.930556))
     table.foreach { case (a, b, want) =>
       val got = StringSim.jaroWinkler(a, b)
       assert(math.abs(got - want) < 5e-7, s"($a, $b): $got vs $want")

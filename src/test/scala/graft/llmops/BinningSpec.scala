@@ -155,6 +155,20 @@ class BinningSpec extends SparkTestBase {
     assert(drift.last.isNullAt(drift.last.fieldIndex("hi")))
   }
 
+  test("psiReport: an empty or all-null reference fails with the " +
+      "cause, not an opaque NPE") {
+    import spark.implicits._
+    val cur = (1 to 10).map(_.toDouble).toDF("v")
+    val empty = Seq.empty[Double].toDF("v")
+    val nulls = Seq[Option[Double]](None, None).toDF("v")
+    Seq(empty, nulls).foreach { ref =>
+      val e = intercept[IllegalArgumentException] {
+        Binning.psiReport(ref, cur, "v", bins = 4)
+      }
+      assert(e.getMessage.contains("no non-null values"), e.getMessage)
+    }
+  }
+
   test("winsorize: groups get independent bands") {
     import spark.implicits._
     val df = ((1 to 10).map(v => ("a", v.toDouble)) ++

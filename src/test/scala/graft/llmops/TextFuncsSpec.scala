@@ -523,6 +523,14 @@ class TextFuncsSpec extends SparkTestBase {
     assert(got(5L)._1 == Some("call 555-0123 ref 12345678 ok"))
     assert(got(5L)._3 == 0)
     assert(got(6L)._1.isEmpty)
+    // word-bounded replacement: a valid card's digit sequence INSIDE
+    // a longer digit run was never a candidate and must not be
+    // rewritten, even when the same text also holds a real occurrence
+    val embedded = Seq(Tuple1(
+      "id 94111111111111111123 card 4111111111111111 end")).toDF("t")
+      .select(TextFuncs.redactCards($"t")).head().getString(0)
+    assert(embedded == "id 94111111111111111123 card <CARD> end",
+      embedded)
     // the checksum itself, directly
     val luhn = Seq(("4111111111111111", true),
       ("4111111111111112", false), ("5500005555555559", true))
