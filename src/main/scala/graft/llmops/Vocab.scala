@@ -530,32 +530,56 @@ object Vocab {
       : DataFrame = {
     require(fractions.nonEmpty && fractions.forall(f => f > 0 && f <= 1),
       "fractions in (0, 1]")
-    val spark = docs.sparkSession
     // cast → works for any integral id type; an empty input yields a
     // null max → clear require, not an NPE
     val maxIdRow = docs.agg(max(col(idCol)).cast("long")).head()
     require(!maxIdRow.isNullAt(0),
       s"heapsProfile: no rows to profile (column '$idCol' has no values)")
     val maxId = maxIdRow.getLong(0)
-    val rows = fractions.sorted.map { f =>
-      val cut = math.ceil((maxId + 1) * f).toLong
-      docs.filter(col(idCol) < cut)
-        .select(explode(TextFuncs.tokens(col(textCol))).as("t"),
-          col(idCol))
-        .filter(col("t") =!= "")
-        .agg(lit(f).as("fraction"),
-          countDistinct(col(idCol)).as("n_docs"),
-          count(lit(1)).as("n_tokens"),
-          countDistinct(col("t")).as("vocab"))
-    }.reduce(_ unionByName _)
-    val first = rows.orderBy(col("fraction")).limit(1)
-      .select(col("n_tokens").as("__n0"), col("vocab").as("__v0"))
-    rows.crossJoin(broadcast(first))
-      .withColumn("beta",
-        round(when(col("n_tokens") > col("__n0"),
-          (log(col("vocab")) - log(col("__v0"))) /
-            (log(col("n_tokens")) - log(col("__n0"))))
-          .otherwise(lit(0.0)), 4))
-      .drop("__n0", "__v0")
+    val fs = fractions.sorted
+    val cuts = fs.map(f => math.ceil((maxId + 1) * f).toLong)
+    // ONE tokenize pass. The prefix structure does the rest: a term
+    // is in fraction f's vocabulary iff its FIRST document id falls
+    // under f's cut, and token/doc counts are conditional aggregates
+    // over the (doc, term, tf) matrix — so the corpus is scanned and
+    // tokenized once, not once per fraction. The matrix is consumed
+    // twice (term-keyed and doc-distinct aggregates); localCheckpoint
+    // keeps that from re-tokenizing, and it is the compact frame every
+    // lexical stat materializes anyway (vocabulary × avg-df rows).
+    val tf = docs
+      .select(col(idCol).cast("long").as("__doc"),
+        explode(TextFuncs.tokens(col(textCol))).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("__doc"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val perTermAggs = min(col("__doc")).as("__first") +:
+      cuts.zipWithIndex.map { case (c, i) =>
+        sum(when(col("__doc") < c, col("tf"))).as(s"__t_$i") }
+    val perTerm = tf.groupBy(col("t"))
+      .agg(perTermAggs.head, perTermAggs.tail: _*)
+    val termAggs = cuts.zipWithIndex.flatMap { case (c, i) => Seq(
+      coalesce(sum(col(s"__t_$i")), lit(0L)).as(s"__nt_$i"),
+      count(when(col("__first") < c, lit(1))).as(s"__vc_$i")) }
+    val termRow = perTerm.agg(termAggs.head, termAggs.tail: _*)
+    val docAggs = cuts.zipWithIndex.map { case (c, i) =>
+      countDistinct(when(col("__doc") < c, col("__doc")))
+        .as(s"__nd_$i") }
+    val docRow = tf.agg(docAggs.head, docAggs.tail: _*)
+    // single-row × single-row attach, then melt to one row per
+    // fraction; beta reads the smallest fraction's columns in place
+    def beta(i: Int) = round(
+      when(col(s"__nt_$i") > col("__nt_0"),
+        (log(col(s"__vc_$i")) - log(col("__vc_0"))) /
+          (log(col(s"__nt_$i")) - log(col("__nt_0"))))
+        .otherwise(lit(0.0)), 4)
+    termRow.crossJoin(docRow)
+      .select(explode(array(fs.indices.map(i => struct(
+        lit(fs(i)).as("fraction"),
+        col(s"__nd_$i").as("n_docs"),
+        col(s"__nt_$i").as("n_tokens"),
+        col(s"__vc_$i").as("vocab"),
+        beta(i).as("beta"))): _*)).as("__r"))
+      .select(col("__r.*"))
   }
 }

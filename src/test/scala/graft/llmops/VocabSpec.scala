@@ -348,6 +348,39 @@ class VocabSpec extends SparkTestBase {
     assert(rows.head.getAs[Double]("beta") == 0.0)
   }
 
+  test("heapsProfile: the single-scan conditional-aggregate shape " +
+      "equals the naive per-fraction rescan, fraction by fraction") {
+    import spark.implicits._
+    // empty-text doc (id 3) and a null text (id 7): docs with no
+    // tokens must not count toward n_docs at any fraction
+    val docs = (0 until 40).map { i =>
+      val text =
+        if (i == 3) ""
+        else if (i == 7) null
+        else (0 until 20).map(k => s"w${(i * 31 + k * 3) % 150}")
+          .mkString(" ")
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    val fractions = Seq(0.2, 0.5, 0.9, 1.0)
+    val got = Vocab.heapsProfile(docs, fractions)
+      .collect().map(r => r.getAs[Double]("fraction") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("vocab"))).toMap
+    // naive reference: re-filter and re-tokenize per fraction
+    val maxId = 39L
+    fractions.foreach { f =>
+      val cut = math.ceil((maxId + 1) * f).toLong
+      val ref = docs.filter($"doc_id" < cut)
+        .select(explode(graft.llmops.TextFuncs.tokens($"text")).as("t"),
+          $"doc_id")
+        .filter($"t" =!= "")
+        .agg(countDistinct($"doc_id"), count(lit(1)),
+          countDistinct($"t")).head()
+      assert(got(f) == ((ref.getLong(0), ref.getLong(1),
+        ref.getLong(2))), s"fraction $f")
+    }
+  }
+
   test("burstinessReport: a clumped term out-scores a scattered one " +
       "at equal total count; moments are exact with zeros") {
     import spark.implicits._
