@@ -497,6 +497,11 @@ object Graft {
     * resolved keep their snapshot (q233). */
   def publishTable(df: DataFrame, root: String): Int =
     io.VersionedTable.publish(df, root)
+  /** Incremental publish (X225, q250): v+1 = parent's files + only
+    * these rows, same atomic pointer flip — a daily append never
+    * rewrites the world. */
+  def publishTableAppend(df: DataFrame, root: String): Int =
+    io.VersionedTable.publishAppend(df, root)
   /** Scan the current published snapshot of a versioned root. */
   def readCurrentTable(s: SparkSession, root: String): DataFrame =
     io.VersionedTable.readCurrent(s, root)

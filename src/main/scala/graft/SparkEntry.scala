@@ -4718,6 +4718,29 @@ object SparkEntry {
         .orderBy($"corpus_id", $"ref_id")
     }),
 
+    // io incremental publish (X225): a full snapshot plus two append
+    // versions whose manifests chain back to it — the current read
+    // serves the whole chain, a pinned mid-chain read serves only its
+    // ancestors, and the lineage string pins the manifest resolution.
+    "q250_append_publish" -> ((s, d) => {
+      import s.implicits._
+      val VT = graft.io.VersionedTable
+      val root = "/root/repo/spark-warehouse/q250_root"
+      VT.drop(s, root) // deterministic version numbering per run
+      val docs = t(s, d, "documents")
+        .select($"doc_id", $"source", $"n_chars")
+      VT.publish(docs.filter($"doc_id" % 3 === 0), root)       // v1
+      VT.publishAppend(docs.filter($"doc_id" % 3 === 1), root) // v2
+      VT.publishAppend(docs.filter($"doc_id" % 3 === 2), root) // v3
+      VT.readCurrent(s, root)
+        .agg(count(lit(1)).as("rows_v3"),
+          sum($"n_chars").cast("long").as("chars_v3"))
+        .crossJoin(broadcast(VT.read(s, root, 2)
+          .agg(count(lit(1)).as("rows_v2"))))
+        .withColumn("lineage_v3",
+          lit(VT.lineage(s, root, 3).mkString(">")))
+    }),
+
     // llmops term burstiness (X223): variance-to-mean dispersion of
     // per-doc counts, zeros in closed form — topical terms clump,
     // function words scatter; exact moment arithmetic replays.
@@ -10819,6 +10842,15 @@ object SparkEntry {
            FROM runs GROUP BY 1, 2)
          SELECT * FROM f WHERE shared_ngrams >= 3
          ORDER BY corpus_id, ref_id""",
+    // append publish: the three doc_id%3 slices partition documents,
+    // so the current chain is the whole table and v2's chain drops
+    // the %3=2 slice; the lineage string is fixed by construction
+    "q250_append_publish" ->
+      """SELECT (SELECT count(*) FROM documents)::BIGINT AS rows_v3,
+                (SELECT sum(n_chars) FROM documents)::BIGINT AS chars_v3,
+                (SELECT count(*) FROM documents
+                 WHERE doc_id % 3 <> 2)::BIGINT AS rows_v2,
+                '3>2>1' AS lineage_v3""",
     // burstiness: zeros-in-closed-form dispersion from the term-count
     // table; HUGEINT sums cast back
     "q248_burstiness" ->

@@ -18,7 +18,9 @@ import graft.llmops.VersionedIndex
   * {{{
   *   root/v1/…parquet            ← complete, immutable snapshot
   *   root/v2/…parquet            ← written WHOLE, then published
-  *   root/_ptr/p000000002_v2     ← highest-sequence marker = current
+  *   root/v3/…parquet            ← APPEND: only the new rows…
+  *   root/v3/_parent_v2          ← …plus a manifest marker (X225)
+  *   root/_ptr/p000000003_v3     ← highest-sequence marker = current
   * }}}
   *
   * Snapshot isolation falls out of immutability: a reader resolves the
@@ -56,6 +58,96 @@ object VersionedTable {
     v
   }
 
+  /** INCREMENTAL publish (X225): write only `df`'s rows as version
+    * v+1 whose manifest is "parent's files + these files" — at 100 TB
+    * a daily append must not rewrite the world the way [[publish]]'s
+    * complete snapshot does. The manifest is one empty marker file
+    * INSIDE the new version directory (`vN/_parent_vM`, ignored by
+    * parquet scans like `_SUCCESS`), created after the data lands and
+    * before the atomic pointer flip — so the publish keeps the exact
+    * crash semantics of the full path: a reader either resolves the
+    * new version (and follows an intact chain of immutable
+    * directories) or the old one; there is no torn state, and a crash
+    * between any two steps leaves an unpublished directory that
+    * [[VersionedIndex.next]] simply skips.
+    *
+    * Readers resolve the parent CHAIN ([[lineage]]) down to the last
+    * full snapshot and scan all directories as one parquet source —
+    * pushdown/pruning behave as for any multi-directory scan. The
+    * appended frame must carry exactly the current columns (checked
+    * against the parent's parquet schema — a footer read, no data
+    * scan). Row-level upserts/deletes still go through [[publish]];
+    * this is the append-only fast path, same contract as
+    * `AnnIndex.append`.
+    *
+    * @return the published version number
+    */
+  def publishAppend(df: DataFrame, root: String): Int = {
+    val spark = df.sparkSession
+    val parent = VersionedIndex.current(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"$root has no published version to append to — publish() a " +
+          "full snapshot first"))
+    val parentCols = spark.read
+      .parquet(lineage(spark, root, parent)
+        .map(VersionedIndex.versionPath(root, _)): _*)
+      .columns.toSet
+    require(df.columns.toSet == parentCols,
+      s"publishAppend: appended columns ${df.columns.sorted.mkString(",")} " +
+        s"must equal the table's ${parentCols.toSeq.sorted.mkString(",")} " +
+        "— schema changes need a full publish()")
+    val v = VersionedIndex.next(spark, root)
+    val dir = VersionedIndex.versionPath(root, v)
+    df.write.parquet(dir)
+    val f = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new Path(s"$dir/_parent_v$parent")
+    require(f.createNewFile(marker), s"manifest collision at $marker")
+    VersionedIndex.publish(spark, root, v)
+    v
+  }
+
+  private val ParentMarker = "^_parent_v(\\d+)$".r
+
+  /** The append-manifest parent of `v`, if `v` was published through
+    * [[publishAppend]]; None for full snapshots.
+    */
+  def parentOf(spark: SparkSession, root: String, v: Int): Option[Int] = {
+    val p = new Path(VersionedIndex.versionPath(root, v))
+    val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!f.exists(p)) None
+    else {
+      val parents = f.listStatus(p).toSeq
+        .flatMap(_.getPath.getName match {
+          case ParentMarker(n) => Some(n.toInt)
+          case _ => None
+        })
+      require(parents.size <= 1,
+        s"$root/v$v has ${parents.size} parent markers — corrupt manifest")
+      parents.headOption
+    }
+  }
+
+  /** `v` plus its transitive append parents, newest first, ending at
+    * the full snapshot the chain grounds in. Parents strictly
+    * decrease by construction (an append's parent was published
+    * before it), which this re-checks so a corrupt manifest fails
+    * instead of looping.
+    */
+  def lineage(spark: SparkSession, root: String, v: Int): Seq[Int] = {
+    var chain = List(v)
+    var cur = v
+    var parent = parentOf(spark, root, cur)
+    while (parent.isDefined) {
+      val p = parent.get
+      require(p < cur, s"$root/v$cur names parent v$p (not older) — " +
+        "corrupt manifest")
+      chain = chain :+ p
+      cur = p
+      parent = parentOf(spark, root, cur)
+    }
+    chain
+  }
+
   /** The current published version number, if any. */
   def currentVersion(spark: SparkSession, root: String): Option[Int] =
     VersionedIndex.current(spark, root)
@@ -64,15 +156,22 @@ object VersionedTable {
     * immutable snapshot directory — concurrent publishes do not change
     * what this frame scans.
     */
-  def readCurrent(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(VersionedIndex.currentPath(spark, root))
+  def readCurrent(spark: SparkSession, root: String): DataFrame = {
+    val v = VersionedIndex.current(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"$root has no published version"))
+    read(spark, root, v)
+  }
 
-  /** Scan a pinned version (time travel / reproducing a past run). */
+  /** Scan a pinned version (time travel / reproducing a past run).
+    * An append-published version scans its whole manifest chain
+    * (its own files plus every ancestor's) as one parquet source.
+    */
   def read(spark: SparkSession, root: String, v: Int): DataFrame = {
-    val p = VersionedIndex.versionPath(root, v)
     require(VersionedIndex.versions(spark, root).contains(v),
       s"$root has no version v$v")
-    spark.read.parquet(p)
+    spark.read.parquet(lineage(spark, root, v)
+      .map(VersionedIndex.versionPath(root, _)): _*)
   }
 
   /** Audit trail between two versions: [[graft.ops.SnapshotDiff.diff]]
@@ -132,10 +231,26 @@ object VersionedTable {
 
   /** Garbage-collect old versions (never the current one); `keep`
     * bounds how long an in-flight scan may keep reading a superseded
-    * snapshot. Delegates to [[VersionedIndex.prune]].
+    * snapshot. Manifest-aware: a kept version's transitive append
+    * PARENTS are protected too, even when they fall outside the keep
+    * window — deleting an ancestor would tear every version chaining
+    * to it. Unpublished (crashed / in-flight) directories are never
+    * touched, same as [[VersionedIndex.prune]].
     */
-  def prune(spark: SparkSession, root: String, keep: Int = 2): Unit =
-    VersionedIndex.prune(spark, root, keep)
+  def prune(spark: SparkSession, root: String, keep: Int = 2): Unit = {
+    require(keep >= 1, "keep must be >= 1")
+    val published = VersionedIndex.published(spark, root)
+    val roots = published.takeRight(keep).toSet ++
+      VersionedIndex.current(spark, root)
+    val protect = roots.flatMap(v => lineage(spark, root, v))
+    val f = new Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    VersionedIndex.versions(spark, root)
+      .filter(published.contains)
+      .filterNot(protect)
+      .foreach(v => f.delete(
+        new Path(VersionedIndex.versionPath(root, v)), true))
+  }
 
   /** Test/maintenance helper: remove the whole root. */
   def drop(spark: SparkSession, root: String): Unit = {

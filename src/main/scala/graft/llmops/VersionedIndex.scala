@@ -78,6 +78,13 @@ object VersionedIndex {
   def current(spark: SparkSession, root: String): Option[Int] =
     markers(spark, root).lastOption.map(_._2)
 
+  /** Every version ever published, ascending (manifest-aware callers
+    * like [[graft.io.VersionedTable.prune]] need the full set, not
+    * just the current pointer).
+    */
+  def published(spark: SparkSession, root: String): Seq[Int] =
+    markers(spark, root).map(_._2).distinct.sorted
+
   /** The CURRENT version's directory — resolve this ONCE per query
     * batch and serve from the returned (immutable) path.
     */

@@ -97,4 +97,69 @@ class VersionedTableSpec extends SparkTestBase {
     assert(VersionedTable.readCurrent(spark, root).head().getInt(1) == 4)
     assert(VersionedTable.read(spark, root, 3).head().getInt(1) == 3)
   }
+
+  test("publishAppend: an append version serves parent rows PLUS the " +
+      "appended ones; time travel and lineage resolve the chain; a " +
+      "pinned parent read never sees appended rows") {
+    val root = freshRoot("append")
+    VersionedTable.publish(
+      (1 to 5).map(i => (i.toLong, "base")).toDF("id", "tag"), root)
+    val v2 = VersionedTable.publishAppend(
+      (6 to 8).map(i => (i.toLong, "day2")).toDF("id", "tag"), root)
+    assert(v2 == 2)
+    val v3 = VersionedTable.publishAppend(
+      Seq((9L, "day3")).toDF("id", "tag"), root)
+    assert(v3 == 3)
+    assert(VersionedTable.lineage(spark, root, 3) == Seq(3, 2, 1))
+    assert(VersionedTable.parentOf(spark, root, 1).isEmpty)
+    assert(VersionedTable.readCurrent(spark, root).count() == 9)
+    // time travel to the middle of the chain: v2 = v1 + day2 only
+    assert(VersionedTable.read(spark, root, 2).count() == 8)
+    assert(VersionedTable.read(spark, root, 1).count() == 5)
+  }
+
+  test("publishAppend: reader isolation holds mid-append; empty root " +
+      "and schema drift fail with clear messages") {
+    val root = freshRoot("appiso")
+    val e = intercept[IllegalStateException] {
+      VersionedTable.publishAppend(Seq((1L, "x")).toDF("id", "tag"), root)
+    }
+    assert(e.getMessage.contains("no published version to append"))
+    VersionedTable.publish(
+      (1 to 4).map(i => (i.toLong, "base")).toDF("id", "tag"), root)
+    val reader = VersionedTable.readCurrent(spark, root)
+    VersionedTable.publishAppend(
+      Seq((5L, "new")).toDF("id", "tag"), root)
+    // the pre-append resolution is pinned: still 4 rows, no "new"
+    assert(reader.count() == 4)
+    assert(reader.filter($"tag" === "new").count() == 0)
+    assert(VersionedTable.readCurrent(spark, root).count() == 5)
+    val bad = intercept[IllegalArgumentException] {
+      VersionedTable.publishAppend(
+        Seq((6L, 42)).toDF("id", "amount"), root)
+    }
+    assert(bad.getMessage.contains("schema changes need a full publish"))
+  }
+
+  test("prune protects the transitive append parents of kept " +
+      "versions; a full publish releases the old chain") {
+    val root = freshRoot("apprune")
+    VersionedTable.publish(
+      (1 to 3).map(i => (i.toLong, i)).toDF("id", "x"), root)     // v1
+    VersionedTable.publishAppend(
+      Seq((4L, 4)).toDF("id", "x"), root)                          // v2
+    VersionedTable.publishAppend(
+      Seq((5L, 5)).toDF("id", "x"), root)                          // v3
+    // keep=1 would naively delete v1/v2 — but v3 chains to both
+    VersionedTable.prune(spark, root, keep = 1)
+    assert(graft.llmops.VersionedIndex.versions(spark, root) ==
+      Seq(1, 2, 3))
+    assert(VersionedTable.readCurrent(spark, root).count() == 5)
+    // a FULL publish grounds a new chain; now the old one can go
+    VersionedTable.publish(
+      (1 to 6).map(i => (i.toLong, i)).toDF("id", "x"), root)     // v4
+    VersionedTable.prune(spark, root, keep = 1)
+    assert(graft.llmops.VersionedIndex.versions(spark, root) == Seq(4))
+    assert(VersionedTable.readCurrent(spark, root).count() == 6)
+  }
 }
