@@ -99,6 +99,36 @@ object Segmenter {
     }
   }
 
+  /** Classpath location of the bundled Thai starter lexicon. */
+  val ThaiLexiconResource = "/graft/lexicon/thai-common.txt"
+
+  /** Load a [[Dictionary]] from a UTF-8 word list — one word per
+    * line, blank lines and `#` comments skipped. Resolves from the
+    * classpath, so the bundled lexicon and a deployment's own
+    * resource both load the same way. The list is a bounded
+    * driver-side model (same contract as Dictionary itself).
+    */
+  def dictionaryFromResource(resource: String = ThaiLexiconResource)
+      : Dictionary = {
+    val in = Option(getClass.getResourceAsStream(resource)).getOrElse(
+      throw new IllegalArgumentException(
+        s"lexicon resource not found on classpath: $resource"))
+    val words =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toSet
+      finally in.close()
+    Dictionary(words)
+  }
+
+  /** The bundled starter lexicon (~160 common Thai words): enough to
+    * make [[Dictionary]] segmentation usable out of the box and to
+    * pin the loader; a production deployment should load a FULL
+    * public lexicon (README "No-space-script segmentation" names the
+    * public sources) through [[dictionaryFromResource]].
+    */
+  lazy val BundledThai: Dictionary =
+    dictionaryFromResource(ThaiLexiconResource)
+
   /** `segment_text(text)` with the segmenter riding along as a codegen
     * reference object. [[TextFuncs.tokens]]'s CharLevel fast path keeps
     * using the dedicated [[IsolateNoSpaceScripts]] kernel; this

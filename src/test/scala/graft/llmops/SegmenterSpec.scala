@@ -40,6 +40,35 @@ class SegmenterSpec extends SparkTestBase {
     assert(dict.segment(null) == null)
   }
 
+  test("bundled Thai lexicon: loads from the classpath, skips " +
+      "comments/blanks, and segments a sentence into dictionary " +
+      "words with maximal munch") {
+    val thai = Segmenter.BundledThai
+    assert(thai.words.size >= 150, s"bundled size ${thai.words.size}")
+    assert(!thai.words.exists(_.startsWith("#")))
+    // สวัสดีครับผมชอบอาหารไทย → hello + polite particle + I + like +
+    // food + Thai; อาหารไทย is not a bundled compound, so maximal
+    // munch takes อาหาร then ไทย
+    val got = thai.segment("สวัสดีครับผมชอบอาหารไทย")
+      .trim.split("\\s+").toSeq
+    assert(got == Seq("สวัสดี", "ครับ", "ผม", "ชอบ", "อาหาร", "ไทย"), got)
+    // compound preference: ประเทศไทย is bundled whole and must win
+    // over ประเทศ + ไทย
+    assert(thai.segment("ประเทศไทย").trim.split("\\s+").toSeq ==
+      Seq("ประเทศไทย"))
+    // a missing resource fails with the path in the message
+    val e = intercept[IllegalArgumentException] {
+      Segmenter.dictionaryFromResource("/graft/lexicon/nope.txt")
+    }
+    assert(e.getMessage.contains("/graft/lexicon/nope.txt"))
+    // and the lexicon rides through the column path like any
+    // Dictionary (codegen reference object)
+    import spark.implicits._
+    val toks = Seq(Tuple1("ผมชอบกาแฟ")).toDF("text")
+      .select(TextFuncs.tokens($"text", thai)).head().getSeq[String](0)
+    assert(toks == Seq("ผม", "ชอบ", "กาแฟ"), toks)
+  }
+
   test("tokens(col, seg) runs the segmenter through codegen and " +
       "CharLevel matches the 1-arg overload exactly") {
     val df = Seq((1L, dataW + testW), (2L, revW + revW),
