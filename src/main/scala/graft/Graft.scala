@@ -837,6 +837,34 @@ object Graft {
                      idCol: String = "doc_id",
                      nameCol: String = "name"): DataFrame =
     llmops.Fuzzy.entityClusters(df, threshold, idCol, nameCol)
+  /** Cohen's kappa inter-annotator agreement (X226, q251): chance-
+    * corrected two-rater agreement over a nominal label set. */
+  def cohenKappa(df: DataFrame, raterACol: String,
+                 raterBCol: String): DataFrame =
+    ops.Labeling.cohenKappa(df, raterACol, raterBCol)
+  /** ROUGE-N per (candidate, reference) pair (X227, q252): clipped
+    * bag-of-ngrams precision/recall/F1. */
+  def rougeN(pairs: DataFrame, n: Int = 2, idCol: String = "doc_id",
+             candCol: String = "candidate",
+             refCol: String = "reference"): DataFrame =
+    llmops.Rouge.rougeN(pairs, n, idCol, candCol, refCol)
+  /** Chat-transcript shape audit (X228, q253): role alternation,
+    * opening role, empty turns, per-role char mass from JSON turn
+    * arrays. */
+  def transcriptAudit(df: DataFrame, idCol: String = "convo_id",
+                      jsonCol: String = "convo_json"): DataFrame =
+    llmops.Chat.transcriptAudit(df, idCol, jsonCol)
+  /** Burrows' Delta stylometric distance between groups (X229,
+    * q254): function-word z-score geometry, topic-robust. */
+  def burrowsDelta(docs: DataFrame, k: Int = 50,
+                   groupCol: String = "source"): DataFrame =
+    llmops.Stylometry.burrowsDelta(docs, k, groupCol)
+  /** Split-leakage audit (X230, q255): near-dup pairs straddling an
+    * EXISTING train/val/test assignment — the check to run before
+    * trusting any third-party eval split. */
+  def splitLeakage(docs: DataFrame, threshold: Double = 0.7,
+                   splitCol: String = "split"): DataFrame =
+    llmops.Dedup.splitLeakage(docs, threshold, splitCol)
   /** Term burstiness / dispersion report (X223, q248): VMR of per-doc
     * counts, zeros in closed form. */
   def burstinessReport(docs: DataFrame, k: Int = 50,

@@ -4741,6 +4741,96 @@ object SparkEntry {
           lit(VT.lineage(s, root, 3).mkString(">")))
     }),
 
+    // ops Cohen's kappa (X226): lang as rater A, a deterministically
+    // perturbed copy as rater B (every 7th item disagrees to 'zz',
+    // every 13th is unlabeled and must be excluded) — the
+    // chance-corrected agreement arithmetic replays exactly.
+    "q251_cohen_kappa" -> ((s, d) => {
+      import s.implicits._
+      val items = t(s, d, "documents")
+        .filter($"doc_id" < 500 && $"lang".isNotNull)
+        .select($"doc_id", $"lang".as("rater_a"),
+          when($"doc_id" % 13 === 0, lit(null).cast("string"))
+            .otherwise(when($"doc_id" % 7 === 0, lit("zz"))
+              .otherwise($"lang")).as("rater_b"))
+      graft.ops.Labeling.cohenKappa(items, "rater_a", "rater_b")
+    }),
+
+    // llmops ROUGE-N (X227): candidate = first 30 tokens (emptied for
+    // every 17th doc — the zero-denominator path), reference = tokens
+    // 11..40, so overlap is a real partial window; clipped bag
+    // bigram counts replay from the same tokenization.
+    "q252_rouge_n" -> ((s, d) => {
+      import s.implicits._
+      val T = graft.llmops.TextFuncs
+      val base = t(s, d, "documents")
+        .filter($"doc_id" < 300 && $"text".isNotNull)
+        .select($"doc_id",
+          when($"doc_id" % 17 === 0, lit(""))
+            .otherwise(concat_ws(" ", slice(T.tokens($"text"), 1, 30)))
+            .as("candidate"),
+          concat_ws(" ", slice(T.tokens($"text"), 11, 30))
+            .as("reference"))
+      graft.llmops.Rouge.rougeN(base, n = 2).orderBy($"doc_id")
+    }),
+
+    // llmops chat-transcript audit (X228): conversations synthesized
+    // as real JSON (2-5 turns; every 5th breaks alternation, every
+    // 7th has an empty opening turn, every 23rd is malformed JSON),
+    // DUMPED, and re-audited by DuckDB's own JSON functions — a
+    // cross-engine parse, not a mirror of our parse.
+    "q253_chat_audit" -> ((s, d) => {
+      import s.implicits._
+      val T = graft.llmops.TextFuncs
+      val base = t(s, d, "documents")
+        .filter($"doc_id" < 60 && $"text".isNotNull)
+      val toks = T.tokens($"text")
+      val nT = ($"doc_id" % 4 + 2).cast("int")
+      val turns = transform(sequence(lit(0), nT - 1), i => struct(
+        when($"doc_id" % 5 === 0 && i === 1, lit("user"))
+          .otherwise(when(i % 2 === 0, "user").otherwise("assistant"))
+          .as("role"),
+        when($"doc_id" % 7 === 0 && i === 0, lit(""))
+          .otherwise(concat_ws(" ",
+            slice(toks, i * lit(5) + 1, lit(4)))).as("content")))
+      val convos = base.select($"doc_id".as("convo_id"),
+        when($"doc_id" % 23 === 0, lit("{not json"))
+          .otherwise(to_json(turns)).as("convo_json"))
+      materialize(convos, "q253_convos")
+      graft.llmops.Chat.transcriptAudit(convos).orderBy($"convo_id")
+    }),
+
+    // llmops Burrows' Delta (X229): function-word z-score geometry
+    // between the corpus sources; vocab head, dense grid with genuine
+    // zeros, and population-sd z-scores all replay relationally.
+    "q254_burrows_delta" -> ((s, d) => {
+      import s.implicits._
+      graft.llmops.Stylometry.burrowsDelta(t(s, d, "documents"),
+          k = 40, groupCol = "source")
+        .orderBy($"group_a", $"group_b")
+    }),
+
+    // llmops split-leakage audit (X230): hash-banded train/val/test
+    // assignment with planted near-copies of train docs labeled test
+    // — the audit must count exactly the straddling near-dup pairs;
+    // oracle replays the grouping from the dumped LSH edges.
+    "q255_split_leakage" -> ((s, d) => {
+      import s.implicits._
+      val docs0 = t(s, d, "documents").where($"text".isNotNull)
+        .select($"doc_id", $"text")
+      val base = docs0.withColumn("split",
+        when($"doc_id" % 10 < 8, "train")
+          .when($"doc_id" % 10 === 8, "val").otherwise("test"))
+      val planted = docs0.filter($"doc_id" < 20 && $"doc_id" % 10 < 8)
+        .select(($"doc_id" + 700000).as("doc_id"), $"text",
+          lit("test").as("split"))
+      val all = base.unionByName(planted)
+      materialize(graft.llmops.Dedup.minhashPairs(all, threshold = 0.8)
+        .select($"id_a", $"id_b"), "q255_edges")
+      graft.llmops.Dedup.splitLeakage(all, threshold = 0.8)
+        .orderBy($"split_a", $"split_b")
+    }),
+
     // llmops term burstiness (X223): variance-to-mean dispersion of
     // per-doc counts, zeros in closed form — topical terms clump,
     // function words scatter; exact moment arithmetic replays.
@@ -10851,6 +10941,196 @@ object SparkEntry {
                 (SELECT count(*) FROM documents
                  WHERE doc_id % 3 <> 2)::BIGINT AS rows_v2,
                 '3>2>1' AS lineage_v3""",
+    // Cohen's kappa: marginal products over the label space; kappa
+    // from the ROUNDED po/pe exactly as the engine computes it
+    "q251_cohen_kappa" ->
+      """WITH lab AS (
+           SELECT lang AS a,
+                  CASE WHEN doc_id % 7 = 0 THEN 'zz' ELSE lang END AS b
+           FROM documents
+           WHERE doc_id < 500 AND lang IS NOT NULL
+             AND doc_id % 13 <> 0),
+         base AS (
+           SELECT count(*)::BIGINT AS n_items,
+                  round(avg(CASE WHEN a = b THEN 1.0 ELSE 0.0
+                    END)::DOUBLE, 4) AS po
+           FROM lab),
+         ma AS (SELECT a AS lbl, count(*) AS na FROM lab GROUP BY 1),
+         mb AS (SELECT b AS lbl, count(*) AS nb FROM lab GROUP BY 1),
+         pr AS (
+           SELECT coalesce(sum(na * nb), 0)::BIGINT AS ab
+           FROM ma JOIN mb USING (lbl)),
+         f AS (
+           SELECT n_items, po,
+                  round(ab / (n_items * n_items)::DOUBLE, 4) AS pe
+           FROM base, pr)
+         SELECT n_items, po, pe,
+                CASE WHEN pe < 1.0
+                  THEN round((po - pe) / (1.0 - pe), 4) END AS kappa
+         FROM f""",
+    // ROUGE-N: same tokenization, clipped bag bigrams, rounded
+    // metrics in the same order (f1 from the rounded p/r)
+    "q252_rouge_n" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(
+                    regexp_replace(text,
+                    '([\x{0e00}-\x{0e7f}\x{0e80}-\x{0eff}\x{1000}-\x{109f}\x{1780}-\x{17ff}\x{3040}-\x{30ff}\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{f900}-\x{faff}])',
+                    ' \1 ', 'g'))), '\s+'), t -> t <> '') AS tk
+           FROM documents WHERE doc_id < 300 AND text IS NOT NULL),
+         prs AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 17 = 0 THEN []
+                       ELSE tk[1:30] END AS ct,
+                  tk[11:40] AS rt
+           FROM toks),
+         cg AS (
+           SELECT doc_id, ct[i.i] || ' ' || ct[i.i + 1] AS g,
+                  count(*) AS nc
+           FROM prs, unnest(generate_series(1, len(ct) - 1)) AS i(i)
+           GROUP BY 1, 2),
+         rg AS (
+           SELECT doc_id, rt[i.i] || ' ' || rt[i.i + 1] AS g,
+                  count(*) AS nr
+           FROM prs, unnest(generate_series(1, len(rt) - 1)) AS i(i)
+           GROUP BY 1, 2),
+         j AS (
+           SELECT coalesce(cg.doc_id, rg.doc_id) AS doc_id,
+                  coalesce(nc, 0) AS nc, coalesce(nr, 0) AS nr
+           FROM cg FULL OUTER JOIN rg
+             ON cg.doc_id = rg.doc_id AND cg.g = rg.g),
+         ag AS (
+           SELECT doc_id, sum(nc)::BIGINT AS n_cand,
+                  sum(nr)::BIGINT AS n_ref,
+                  sum(least(nc, nr))::BIGINT AS overlap
+           FROM j GROUP BY 1),
+         f AS (
+           SELECT p.doc_id,
+                  coalesce(n_cand, 0)::BIGINT AS n_cand,
+                  coalesce(n_ref, 0)::BIGINT AS n_ref,
+                  coalesce(overlap, 0)::BIGINT AS overlap
+           FROM prs p LEFT JOIN ag ON p.doc_id = ag.doc_id),
+         m AS (
+           SELECT doc_id, n_cand, n_ref, overlap,
+                  round(CASE WHEN n_cand > 0
+                    THEN overlap / n_cand::DOUBLE ELSE 0 END, 4)
+                    AS "precision",
+                  round(CASE WHEN n_ref > 0
+                    THEN overlap / n_ref::DOUBLE ELSE 0 END, 4)
+                    AS recall
+           FROM f)
+         SELECT doc_id, n_cand, n_ref, overlap, "precision", recall,
+                round(CASE WHEN "precision" + recall > 0
+                  THEN 2.0 * "precision" * recall /
+                       ("precision" + recall) ELSE 0 END, 4) AS f1
+         FROM m ORDER BY doc_id""",
+    // chat audit: DuckDB's OWN JSON functions re-parse the dumped
+    // transcripts — a cross-engine parse, not a mirror
+    "q253_chat_audit" ->
+      """WITH c AS (
+           SELECT convo_id, convo_json,
+                  json_valid(convo_json) AS parsed
+           FROM read_parquet(
+             '/root/repo/spark-warehouse/q253_convos/*.parquet')),
+         d AS (
+           SELECT convo_id, i.i AS i,
+                  json_extract_string(convo_json,
+                    '$[' || i.i || '].role') AS role,
+                  json_extract_string(convo_json,
+                    '$[' || i.i || '].content') AS content
+           FROM c, unnest(generate_series(0,
+             CASE WHEN parsed
+               THEN json_array_length(convo_json)::INT - 1
+               ELSE -1 END)) AS i(i)),
+         w AS (
+           SELECT *, lag(role) OVER (PARTITION BY convo_id ORDER BY i)
+                       AS prev
+           FROM d),
+         ag AS (
+           SELECT convo_id,
+                  count(*)::INT AS n_turns,
+                  max(CASE WHEN i = 0 AND role = 'user'
+                    THEN 1 ELSE 0 END) = 1 AS starts_with_user,
+                  sum(CASE WHEN prev IS NOT NULL AND role = prev
+                    THEN 1 ELSE 0 END) = 0 AS alternates,
+                  sum(CASE WHEN content IS NULL OR content = ''
+                    THEN 1 ELSE 0 END)::INT AS n_empty,
+                  sum(CASE WHEN role = 'user' THEN length(content)
+                    ELSE 0 END)::BIGINT AS user_chars,
+                  sum(CASE WHEN role = 'assistant'
+                    THEN length(content) ELSE 0 END)::BIGINT
+                    AS assistant_chars
+           FROM w GROUP BY 1)
+         SELECT c.convo_id, c.parsed,
+                CASE WHEN parsed THEN n_turns END AS n_turns,
+                CASE WHEN parsed THEN starts_with_user END
+                  AS starts_with_user,
+                CASE WHEN parsed THEN alternates END AS alternates,
+                CASE WHEN parsed THEN n_empty END AS n_empty,
+                CASE WHEN parsed THEN user_chars END AS user_chars,
+                CASE WHEN parsed THEN assistant_chars END
+                  AS assistant_chars
+         FROM c LEFT JOIN ag USING (convo_id)
+         ORDER BY convo_id""",
+    // Burrows' Delta: vocab head (count desc, term), dense grid with
+    // genuine zeros, population-sd z-scores, pairwise mean |dz|
+    "q254_burrows_delta" ->
+      """WITH tok AS (
+           SELECT source AS g,
+                  unnest(string_split_regex(lower(trim(regexp_replace(
+                    text,
+                    '([\x{0e00}-\x{0e7f}\x{0e80}-\x{0eff}\x{1000}-\x{109f}\x{1780}-\x{17ff}\x{3040}-\x{30ff}\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{f900}-\x{faff}])',
+                    ' \1 ', 'g'))), '\s+')) AS w
+           FROM documents
+           WHERE text IS NOT NULL AND source IS NOT NULL),
+         gw AS (
+           SELECT g, w, count(*) AS n
+           FROM tok WHERE w <> '' GROUP BY 1, 2),
+         voc AS (
+           SELECT w FROM (
+             SELECT w, sum(n) AS tot,
+                    row_number() OVER (ORDER BY sum(n) DESC, w) AS rk
+             FROM gw GROUP BY w) WHERE rk <= 40),
+         gt AS (SELECT g, sum(n) AS gtot FROM gw GROUP BY 1),
+         grid AS (
+           SELECT gt.g, voc.w,
+                  coalesce(gw.n, 0) / gt.gtot::DOUBLE AS f
+           FROM gt CROSS JOIN voc
+           LEFT JOIN gw ON gw.g = gt.g AND gw.w = voc.w),
+         st AS (
+           SELECT w, avg(f) AS mu, stddev_pop(f) AS sd
+           FROM grid GROUP BY 1),
+         z AS (
+           SELECT grid.g, grid.w,
+                  CASE WHEN sd > 0 THEN (f - mu) / sd ELSE 0 END AS z
+           FROM grid JOIN st USING (w))
+         SELECT a.g AS group_a, b.g AS group_b,
+                round(avg(abs(a.z - b.z)), 4) AS delta
+         FROM z a JOIN z b ON a.w = b.w AND a.g < b.g
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    // split leakage: grouping replayed from the dumped LSH edges +
+    // the same split derivation (planted copies carry id >= 700000)
+    "q255_split_leakage" ->
+      """WITH e AS (
+           SELECT id_a, id_b FROM read_parquet(
+             '/root/repo/spark-warehouse/q255_edges/*.parquet')),
+         ids AS (
+           SELECT id_a AS id FROM e UNION SELECT id_b FROM e),
+         sp AS (
+           SELECT id,
+                  CASE WHEN id >= 700000 THEN 'test'
+                       WHEN id % 10 < 8 THEN 'train'
+                       WHEN id % 10 = 8 THEN 'val'
+                       ELSE 'test' END AS s
+           FROM ids),
+         p AS (
+           SELECT least(sa.s, sb.s) AS split_a,
+                  greatest(sa.s, sb.s) AS split_b
+           FROM e JOIN sp sa ON sa.id = e.id_a
+                  JOIN sp sb ON sb.id = e.id_b)
+         SELECT split_a, split_b, count(*)::BIGINT AS n_pairs,
+                split_a <> split_b AS straddling
+         FROM p GROUP BY 1, 2 ORDER BY 1, 2""",
     // burstiness: zeros-in-closed-form dispersion from the term-count
     // table; HUGEINT sums cast back
     "q248_burstiness" ->

@@ -1463,4 +1463,44 @@ object Dedup {
       .select(col(idCol), col("cluster_id"), col("cluster_size"),
         round(lit(1.0) / col("cluster_size"), 4).as("weight"))
   }
+
+  /** Split-leakage audit (X230) — the read-only companion of
+    * `Splits.splitByCluster` (X146): given an EXISTING split
+    * assignment (a column that already shipped with the dataset, or
+    * one produced by a splitter under test), how many near-duplicate
+    * pairs STRADDLE a split boundary? splitByCluster prevents the
+    * leak at split time; this measures it after the fact — the audit
+    * to run on any third-party dataset before trusting its eval
+    * split, since a near-copy of a train doc in test inflates every
+    * metric measured on it.
+    *
+    * Shape: the [[minhashPairs]] LSH tier proposes edges (bucketed,
+    * capped, never all-pairs); two slim (id, split) joins attach the
+    * sides; pairs normalize to (least, greatest) split order and
+    * reduce to one row per split pair. Text shuffles only inside the
+    * LSH tier.
+    *
+    * @return (split_a, split_b, n_pairs, straddling) with
+    *         split_a <= split_b; `straddling` = the pair crosses a
+    *         boundary (the rows that should be empty)
+    */
+  def splitLeakage(docs: DataFrame, threshold: Double = 0.7,
+                   splitCol: String = "split", idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val edges = minhashPairs(docs, threshold,
+        idCol = idCol, textCol = textCol)
+      .select(col("id_a"), col("id_b"))
+    val splits = docs.select(col(idCol).cast("long").as("__id"),
+      col(splitCol).as("__s"))
+    edges
+      .join(splits.withColumnRenamed("__id", "id_a")
+        .withColumnRenamed("__s", "__sa"), Seq("id_a"))
+      .join(splits.withColumnRenamed("__id", "id_b")
+        .withColumnRenamed("__s", "__sb"), Seq("id_b"))
+      .select(least(col("__sa"), col("__sb")).as("split_a"),
+        greatest(col("__sa"), col("__sb")).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("straddling", col("split_a") =!= col("split_b"))
+  }
 }

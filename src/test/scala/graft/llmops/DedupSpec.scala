@@ -86,6 +86,24 @@ class DedupSpec extends SparkTestBase {
       .count() == 21)
   }
 
+  test("splitLeakage: a near-copy straddling train/test is counted " +
+      "as a straddling pair; same-split dups are reported benign") {
+    def txt(i: Int) = (0 until 30)
+      .map(j => s"s${i}_$j w${(i * 37 + j) % 91}").mkString(" ")
+    val docs = Seq(
+      (1L, txt(1), "train"), (2L, txt(2), "train"),
+      (3L, txt(3), "val"), (4L, txt(4), "test"),
+      (100L, txt(1), "test"),  // the leak: train doc 1 copied to test
+      (101L, txt(2), "train")) // benign duplicate inside train
+      .toDF("doc_id", "text", "split")
+    val got = Dedup.splitLeakage(docs, threshold = 0.9)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getBoolean(3))).toMap
+    assert(got == Map(
+      ("test", "train") -> ((1L, true)),
+      ("train", "train") -> ((1L, false))), got.toString)
+  }
+
   test("softWeights: near-dup family shares one unit of mass; " +
       "singletons keep weight 1; weights partition the corpus") {
     // distinct base texts (no cross-similarity), then exact copies of
