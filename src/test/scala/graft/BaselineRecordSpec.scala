@@ -86,6 +86,50 @@ class BaselineRecordSpec extends AnyFunSuite {
     }
   }
 
+  // The 2x-contract floor: BASELINE.md declares the like-for-like
+  // per-query floor for the CURRENT suite as
+  //   <!-- FLOOR_RECORD ref=<ref> file=<artifact> queries=<n>
+  //        ex_lifecycle=<sec> per_query=<sec> -->
+  // re-recorded when the suite grows enough that comparing against a
+  // smaller-era floor stops meaning anything (the r12-verdict drift
+  // finding). This test keeps the floor arithmetic honest against the
+  // artifact it cites.
+  private val floorRe =
+    """<!--\s*FLOOR_RECORD\s+ref=(\S+)\s+file=(\S+)\s+queries=(\d+)\s+ex_lifecycle=([0-9.]+)\s+per_query=([0-9.]+)\s*-->""".r
+  private val exLifecycleRe = """"total_ex_lifecycle":([0-9.]+)""".r
+  private val lifecycleArrRe = """"lifecycle":\[([^\]]*)\]""".r
+
+  test("the declared 2x-contract floor recomputes exactly from its " +
+      "cited artifact (query count, ex-lifecycle total, per-query cost)") {
+    assume(gitWorks, "git unavailable — cannot resolve refs")
+    val md = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("BASELINE.md")), "UTF-8")
+    val floors = floorRe.findAllMatchIn(md).map(m =>
+      (m.group(1), m.group(2), m.group(3).toInt,
+        m.group(4).toDouble, m.group(5).toDouble)).toSeq
+    assert(floors.nonEmpty,
+      "no FLOOR_RECORD in BASELINE.md — the 2x contract has no " +
+        "like-for-like floor for the current suite")
+    floors.foreach { case (ref, file, n, ex, perQuery) =>
+      val body = gitShow(ref, file)
+      assert(body.isDefined, s"FLOOR_RECORD cites $ref:$file but it " +
+        "is unreadable")
+      val (gotN, _) = parseArtifact(body.get)
+      assert(gotN == n, s"$ref:$file has $gotN queries; floor says $n")
+      val gotEx = exLifecycleRe.findFirstMatchIn(body.get)
+        .map(_.group(1).toDouble)
+      assert(gotEx.isDefined, s"$ref:$file has no total_ex_lifecycle")
+      assert(math.abs(gotEx.get - ex) < 0.01,
+        s"$ref:$file ex-lifecycle is ${gotEx.get}; floor says $ex")
+      val nLifecycle = lifecycleArrRe.findFirstMatchIn(body.get)
+        .map(_.group(1).split(',').count(_.trim.nonEmpty)).getOrElse(0)
+      val want = ex / (n - nLifecycle)
+      assert(math.abs(want - perQuery) < 0.005,
+        s"per_query $perQuery disagrees with $ex / ($n - $nLifecycle)" +
+          s" = $want")
+    }
+  }
+
   test("artifacts committed at HEAD are recorded in BASELINE.md") {
     assume(gitWorks, "git unavailable — cannot resolve refs")
     // Coverage = same file, same QUERY COUNT, total within the
