@@ -59,10 +59,15 @@ object Stylometry {
     val stats = grid.groupBy(col("__w"))
       .agg(avg(col("__f")).as("__mu"),
         stddev_pop(col("__f")).as("__sd"))
+    // localCheckpoint: the pairwise self-join below consumes z TWICE,
+    // and z's lineage holds the whole tokenize scan — without the cut
+    // the corpus is tokenized once per join branch (PlanShapeSpec
+    // caught 4 copies of the grid subtree). z is |groups| × k rows.
     val z = grid.join(stats, Seq("__w"))
       .select(col("__g"), col("__w"),
         when(col("__sd") > 0, (col("__f") - col("__mu")) / col("__sd"))
           .otherwise(lit(0.0)).as("__z"))
+      .localCheckpoint()
     val a = z.select(col("__g").as("group_a"), col("__w"),
       col("__z").as("__za"))
     val b = z.select(col("__g").as("group_b"), col("__w"),

@@ -581,4 +581,30 @@ class PlanShapeSpec extends SparkTestBase {
     // positions → islands needs exactly one window over the pair key
     assert(p.contains("Window"), p.take(2000))
   }
+
+  test("q253: the chat audit is one narrow projection per " +
+       "conversation — no explode, no join, no shuffle above the scan") {
+    val p = plan("q253_chat_audit")
+    assert(!p.contains("Generate"), p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+    assert(!p.contains("HashAggregate"), p.take(2000))
+  }
+
+  test("q254: Burrows' Delta's only nested-loop is the broadcast " +
+       "vocab-head attach — the token space itself never cartesians") {
+    val p = plan("q254_burrows_delta")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the |groups| x k dense grid: BroadcastNestedLoopJoin against the
+    // k-row vocab head is the DECLARED shape; anything larger is not
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, s"expected at most the vocab-grid BNLJ, got " +
+      s"$bnlj\n${p.take(2000)}")
+  }
+
+  test("q255: split leakage rides the banded LSH tier — no cartesian " +
+       "over the corpus, and the split attach is an equi-join") {
+    val p = plan("q255_split_leakage")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
 }
