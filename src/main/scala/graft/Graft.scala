@@ -837,6 +837,18 @@ object Graft {
                      idCol: String = "doc_id",
                      nameCol: String = "name"): DataFrame =
     llmops.Fuzzy.entityClusters(df, threshold, idCol, nameCol)
+  /** Crawl politeness audit (X231, q257): per-host consecutive-fetch
+    * gap stats + violations of a minimum-gap floor. */
+  def politenessAudit(fetches: DataFrame, minGapMillis: Long,
+                      hostCol: String = "host",
+                      tsCol: String = "ts"): DataFrame =
+    ops.Recrawl.politenessAudit(fetches, minGapMillis, hostCol, tsCol)
+  /** Exact dedup with a keep policy (X232, q256): per content group
+    * keep the row maximizing (orderCol, id) — newest fetch, highest
+    * score — instead of lowest id. */
+  def exactDedupKeepBy(docs: DataFrame, orderCol: String,
+                       keepMax: Boolean = true): DataFrame =
+    llmops.Dedup.exactKeepBy(docs, orderCol, keepMax)
   /** Cohen's kappa inter-annotator agreement (X226, q251): chance-
     * corrected two-rater agreement over a nominal label set. */
   def cohenKappa(df: DataFrame, raterACol: String,

@@ -4831,6 +4831,34 @@ object SparkEntry {
         .orderBy($"split_a", $"split_b")
     }),
 
+    // llmops keep-policy exact dedup (X232): copies planted under
+    // HIGHER ids must win under the keep-newest policy (the inverse
+    // of q20's keep-lowest baseline) — struct-max argmax per content
+    // group, replayed with a row_number window in the oracle.
+    "q256_keep_policy_dedup" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents").where($"text".isNotNull)
+        .select($"doc_id", $"text")
+      val dup = docs.unionByName(
+        docs.filter($"doc_id" % 3 === 0)
+          .select(($"doc_id" + 800000).as("doc_id"), $"text"))
+      graft.llmops.Dedup.exactKeepBy(dup, orderCol = "doc_id")
+        .select($"doc_id").orderBy($"doc_id")
+    }),
+
+    // ops crawl politeness audit (X231): the events ledger read as
+    // per-host fetches — consecutive-gap stats and floor violations
+    // replay through the same lag window.
+    "q257_politeness_audit" -> ((s, d) => {
+      import s.implicits._
+      val fetches = t(s, d, "events")
+        .select(concat(lit("h"), ($"user_id" % 40).cast("string"))
+          .as("host"), $"ts")
+      graft.ops.Recrawl.politenessAudit(fetches,
+          minGapMillis = 60000L)
+        .orderBy($"host")
+    }),
+
     // llmops term burstiness (X223): variance-to-mean dispersion of
     // per-doc counts, zeros in closed form — topical terms clump,
     // function words scatter; exact moment arithmetic replays.
@@ -11131,6 +11159,37 @@ object SparkEntry {
          SELECT split_a, split_b, count(*)::BIGINT AS n_pairs,
                 split_a <> split_b AS straddling
          FROM p GROUP BY 1, 2 ORDER BY 1, 2""",
+    // keep-policy dedup: max (order, id) per content group
+    "q256_keep_policy_dedup" ->
+      """WITH dup AS (
+           SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+           UNION ALL
+           SELECT doc_id + 800000, text FROM documents
+           WHERE text IS NOT NULL AND doc_id % 3 = 0)
+         SELECT max(doc_id) AS doc_id FROM dup
+         GROUP BY md5(text) ORDER BY doc_id""",
+    // politeness audit: the same lag window over epoch-ms per host
+    "q257_politeness_audit" ->
+      """WITH f AS (
+           SELECT 'h' || (user_id % 40)::VARCHAR AS host,
+                  epoch_ms(ts) AS ms
+           FROM events),
+         g AS (
+           SELECT host, ms,
+                  ms - lag(ms) OVER (PARTITION BY host ORDER BY ms)
+                    AS gap
+           FROM f),
+         a AS (
+           SELECT host, count(*)::BIGINT AS n_fetches,
+                  count(gap)::BIGINT AS n_gaps,
+                  min(gap)::BIGINT AS min_gap_ms,
+                  round(avg(gap), 4) AS mean_gap_ms,
+                  coalesce(sum(CASE WHEN gap < 60000 THEN 1
+                    ELSE 0 END), 0)::BIGINT AS n_violations
+           FROM g GROUP BY 1)
+         SELECT host, n_fetches, n_gaps, min_gap_ms, mean_gap_ms,
+                n_violations, n_violations = 0 AS ok
+         FROM a ORDER BY host""",
     // burstiness: zeros-in-closed-form dispersion from the term-count
     // table; HUGEINT sums cast back
     "q248_burstiness" ->

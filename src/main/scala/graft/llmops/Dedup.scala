@@ -196,6 +196,31 @@ object Dedup {
     docs.join(winners, col(idCol) === col("__xid"), "left_semi")
   }
 
+  /** [[exact]] with a pluggable KEEP POLICY (X232): real pipelines
+    * rarely want keep-lowest-id — a recrawled corpus keeps the NEWEST
+    * fetch, a quality-scored one the highest-scoring variant. Keeps,
+    * per exact-content group, the row maximizing (`orderCol`, id) —
+    * or minimizing, with `keepMax = false` — via one struct-max
+    * aggregate over slim (digest, order, id) rows (the A2/W2 argmax
+    * shape, no window, no second shuffle). Ties on `orderCol` break
+    * on the id (max under `keepMax`, min otherwise), so the survivor
+    * set is deterministic and rerun-stable.
+    */
+  def exactKeepBy(docs: DataFrame, orderCol: String,
+                  keepMax: Boolean = true, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val key = struct(col("__xord"), col("__xid"))
+    val slim = docs
+      .select(col(idCol).as("__xid"), col(orderCol).as("__xord"),
+        xxhash64(col(textCol)).as("__xh"),
+        length(col(textCol)).as("__xlen"))
+    val winners = slim
+      .groupBy("__xh", "__xlen")
+      .agg((if (keepMax) max(key) else min(key)).as("__w"))
+      .select(col("__w.__xid").as("__xid"))
+    docs.join(winners, col(idCol) === col("__xid"), "left_semi")
+  }
+
   /** MinHash signature table (id, sig) for a document table — the
     * materialized sketch state an incremental pipeline persists
     * alongside the corpus.

@@ -105,4 +105,44 @@ object Recrawl {
             greatest(length(col("__prev")), length(col("__t")), lit(1))
               .cast("double"), 4)).as("drift"))
   }
+
+  /** Crawl politeness audit (X231) — did the fetcher RESPECT its
+    * per-host rate limit? The library's token-bucket limiter (U9) is
+    * per-JVM by documented divergence, so a multi-executor crawl can
+    * exceed a host's budget in aggregate; this is the after-the-fact
+    * receipt over the fetch ledger: per host, consecutive-fetch gap
+    * stats and how many gaps undercut `minGapMillis` (the floor a
+    * crawl-policy or robots `Crawl-delay` implies). The audit every
+    * production crawl should publish next to its corpus.
+    *
+    * One lag window per host over slim (host, ts) rows — the ledger
+    * shuffles once on the host key; single-fetch hosts report zero
+    * gaps and pass vacuously.
+    *
+    * @return (host, n_fetches, n_gaps, min_gap_ms, mean_gap_ms,
+    *         n_violations, ok) — mean 4dp; min/mean null when a host
+    *         has one fetch; ok = no gap under the floor
+    */
+  def politenessAudit(fetches: DataFrame, minGapMillis: Long,
+                      hostCol: String = "host", tsCol: String = "ts")
+      : DataFrame = {
+    require(minGapMillis >= 0, "minGapMillis must be >= 0")
+    val gaps = fetches
+      .select(col(hostCol).as("__h"),
+        // tsMicros handles both TIMESTAMP and TIMESTAMP_NTZ (the
+        // parquet tables' type) — same idiom as Anomaly's buckets
+        floor(graft.expr.TimeFuncs.tsMicros(col(tsCol)) / 1000L)
+          .cast("long").as("__ms"))
+      .withColumn("__gap", col("__ms") -
+        lag(col("__ms"), 1).over(
+          Window.partitionBy(col("__h")).orderBy(col("__ms"))))
+    gaps.groupBy(col("__h").as("host"))
+      .agg(count(lit(1)).as("n_fetches"),
+        count(col("__gap")).as("n_gaps"),
+        min(col("__gap")).as("min_gap_ms"),
+        round(avg(col("__gap")), 4).as("mean_gap_ms"),
+        coalesce(sum(when(col("__gap") < minGapMillis, 1L)
+          .otherwise(0L)), lit(0L)).as("n_violations"))
+      .withColumn("ok", col("n_violations") === 0)
+  }
 }

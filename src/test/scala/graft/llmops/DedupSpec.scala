@@ -36,6 +36,23 @@ class DedupSpec extends SparkTestBase {
     assert(kept.filter($"doc_id" >= 10000).count() == 0)
   }
 
+  test("exactKeepBy: keep policy picks newest/highest per content " +
+      "group with deterministic id tiebreak; keepMax=false inverts") {
+    val df = Seq(
+      (1L, 10L, "same text"), (2L, 30L, "same text"),
+      (3L, 30L, "same text"),               // order tie -> max id wins
+      (4L, 99L, "unique text")).toDF("doc_id", "fetch_ts", "text")
+    val kept = Dedup.exactKeepBy(df, "fetch_ts")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(3L, 4L), kept.toString)
+    val oldest = Dedup.exactKeepBy(df, "fetch_ts", keepMax = false)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(oldest == Seq(1L, 4L), oldest.toString)
+    // full rows survive, not just ids
+    assert(Dedup.exactKeepBy(df, "fetch_ts").columns.toSeq ==
+      Seq("doc_id", "fetch_ts", "text"))
+  }
+
   test("quoteSpans: a verbatim quote is sized exactly; scattered " +
       "shared n-grams do not chain; short overlap gated by floor") {
     val corpusTokens = (0 until 40).map(i => s"c$i")

@@ -86,4 +86,32 @@ class RecrawlSpec extends SparkTestBase {
       .collect().flatMap(r => Option(r.get(3))).toSeq
     assert(capped == Seq(0.0), s"capped=$capped")
   }
+
+  test("politenessAudit: gaps per host from the fetch ledger; floor " +
+      "violations counted; single-fetch hosts pass vacuously") {
+    val fetches = Seq(
+      ("a", ts(0)), ("a", ts(10)), ("a", ts(100)),  // gaps 10 s, 90 s
+      ("b", ts(0)), ("b", ts(120)),                  // gap 120 s
+      ("c", ts(5)))                                  // single fetch
+      .toDF("host", "ts")
+    val got = Recrawl.politenessAudit(fetches, minGapMillis = 60000L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert(a.getAs[Long]("n_fetches") == 3 && a.getAs[Long]("n_gaps") == 2)
+    assert(a.getAs[Long]("min_gap_ms") == 10000L)
+    assert(a.getAs[Double]("mean_gap_ms") == 50000.0)
+    assert(a.getAs[Long]("n_violations") == 1 && !a.getAs[Boolean]("ok"))
+    val b = got("b")
+    assert(b.getAs[Long]("n_violations") == 0 && b.getAs[Boolean]("ok"))
+    val c = got("c")
+    assert(c.getAs[Long]("n_fetches") == 1 && c.getAs[Long]("n_gaps") == 0)
+    assert(c.isNullAt(c.fieldIndex("min_gap_ms")))
+    assert(c.isNullAt(c.fieldIndex("mean_gap_ms")))
+    assert(c.getAs[Boolean]("ok"))
+    // tightening the floor past every gap flags them all
+    val strict = Recrawl.politenessAudit(fetches, minGapMillis = 500000L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_violations"))
+      .toMap
+    assert(strict == Map("a" -> 2L, "b" -> 1L, "c" -> 0L))
+  }
 }
