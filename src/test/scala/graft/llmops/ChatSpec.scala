@@ -47,6 +47,32 @@ class ChatSpec extends SparkTestBase {
     assert(got(6L).getAs[Int]("n_turns") == 1)
   }
 
+  test("transcriptAudit is a stateless projection: it runs under " +
+      "readStream in append mode and each micro-batch row equals the " +
+      "batch audit of the same transcript") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("convo_id", "convo_json")
+    val q = Chat.transcriptAudit(stream)
+      .writeStream.format("memory").queryName("chat_audit_out")
+      .outputMode("append").start()
+    val rows = Seq(
+      1L -> j("user" -> "hi", "assistant" -> "yo"),
+      2L -> j("user" -> "a", "user" -> "b"),
+      3L -> "{broken")
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("chat_audit_out")
+        .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+      val batch = Chat.transcriptAudit(rows.toDF("convo_id", "convo_json"))
+        .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+      assert(streamed == batch)
+      assert(streamed.size == 3)
+    } finally q.stop()
+  }
+
   test("transcriptAudit round-trips Spark-built JSON (to_json -> " +
       "from_json) without loss") {
     import org.apache.spark.sql.functions._
