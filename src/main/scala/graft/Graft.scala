@@ -854,6 +854,11 @@ object Graft {
   def cohenKappa(df: DataFrame, raterACol: String,
                  raterBCol: String): DataFrame =
     ops.Labeling.cohenKappa(df, raterACol, raterBCol)
+  /** Krippendorff's alpha, nominal (X233, q258): agreement for any
+    * number of raters with missing labels — long (item, label) input. */
+  def krippendorffAlpha(df: DataFrame, itemCol: String,
+                        labelCol: String): DataFrame =
+    ops.Labeling.krippendorffAlpha(df, itemCol, labelCol)
   /** ROUGE-N per (candidate, reference) pair (X227, q252): clipped
     * bag-of-ngrams precision/recall/F1. */
   def rougeN(pairs: DataFrame, n: Int = 2, idCol: String = "doc_id",

@@ -4831,6 +4831,23 @@ object SparkEntry {
         .orderBy($"split_a", $"split_b")
     }),
 
+    // ops Krippendorff's alpha (X233): three raters in long format —
+    // one perturbed every 7th item, one MISSING every 11th and
+    // divergent every 13th — the coincidence-matrix arithmetic
+    // (pairable units, D_o, D_e) replays exactly.
+    "q258_krippendorff_alpha" -> ((s, d) => {
+      import s.implicits._
+      val items = t(s, d, "documents")
+        .filter($"doc_id" < 400 && $"lang".isNotNull)
+        .select($"doc_id", explode(array(
+          $"lang",
+          when($"doc_id" % 7 === 0, lit("zz")).otherwise($"lang"),
+          when($"doc_id" % 11 === 0, lit(null).cast("string"))
+            .otherwise(when($"doc_id" % 13 === 0, lit("yy"))
+              .otherwise($"lang")))).as("label"))
+      graft.ops.Labeling.krippendorffAlpha(items, "doc_id", "label")
+    }),
+
     // llmops keep-policy exact dedup (X232): copies planted under
     // HIGHER ids must win under the keep-newest policy (the inverse
     // of q20's keep-lowest baseline) — struct-max argmax per content
@@ -11159,6 +11176,41 @@ object SparkEntry {
          SELECT split_a, split_b, count(*)::BIGINT AS n_pairs,
                 split_a <> split_b AS straddling
          FROM p GROUP BY 1, 2 ORDER BY 1, 2""",
+    // Krippendorff: coincidence-matrix arithmetic; alpha from the
+    // UNROUNDED D_o/D_e, displayed values 4dp
+    "q258_krippendorff_alpha" ->
+      """WITH lab AS (
+           SELECT doc_id AS u, unnest([
+             lang,
+             CASE WHEN doc_id % 7 = 0 THEN 'zz' ELSE lang END,
+             CASE WHEN doc_id % 11 = 0 THEN NULL
+                  WHEN doc_id % 13 = 0 THEN 'yy'
+                  ELSE lang END]) AS c
+           FROM documents WHERE doc_id < 400 AND lang IS NOT NULL),
+         l2 AS (SELECT u, c FROM lab WHERE c IS NOT NULL),
+         nuc AS (SELECT u, c, count(*) AS nuc FROM l2 GROUP BY 1, 2),
+         mu AS (SELECT u, sum(nuc) AS mu FROM nuc GROUP BY 1),
+         units AS (
+           SELECT nuc.u, nuc.c, nuc.nuc, mu.mu
+           FROM nuc JOIN mu USING (u) WHERE mu >= 2),
+         d AS (
+           SELECT coalesce(sum(nuc * (mu - nuc) / (mu - 1)::DOUBLE),
+                    0) AS donum,
+                  coalesce(sum(nuc), 0)::BIGINT AS n
+           FROM units),
+         e AS (
+           SELECT coalesce(sum(nc * nc), 0)::BIGINT AS nc2
+           FROM (SELECT c, sum(nuc) AS nc FROM units GROUP BY 1)),
+         f AS (
+           SELECT n AS n_pairable,
+                  CASE WHEN n >= 2 THEN donum / n END AS dov,
+                  CASE WHEN n >= 2 THEN
+                    (n * n - nc2)::DOUBLE / (n * (n - 1)) END AS dev
+           FROM d, e)
+         SELECT n_pairable, round(dov, 4) AS d_o, round(dev, 4) AS d_e,
+                CASE WHEN dev > 0
+                  THEN round(1.0 - dov / dev, 4) END AS alpha
+         FROM f""",
     // keep-policy dedup: max (order, id) per content group
     "q256_keep_policy_dedup" ->
       """WITH dup AS (

@@ -52,4 +52,61 @@ object Labeling {
           round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 4)))
       .select(col("n_items"), col("po"), col("pe"), col("kappa"))
   }
+
+  /** Krippendorff's alpha, nominal data (X233; Krippendorff 2004) —
+    * the agreement statistic for the cases Cohen's kappa cannot
+    * score: ANY number of raters, MISSING labels (a unit rated by
+    * whoever was available contributes whatever pairs it has), and
+    * no fixed rater identity — the shape real annotation queues
+    * produce. Input is long format: one row per (item, label)
+    * assignment; rater identity is irrelevant for nominal alpha.
+    *
+    * Exactly the coincidence-matrix formulation: with n_uc = labels
+    * of category c on unit u, m_u = Σ_c n_uc, over units with
+    * m_u ≥ 2 (single-label units are unpairable and dropped),
+    * n = Σ m_u:
+    *   D_o = (1/n) Σ_u Σ_c n_uc·(m_u − n_uc)/(m_u − 1)
+    *   D_e = Σ_c n_c·(n − n_c) / (n·(n − 1))
+    *   α   = 1 − D_o/D_e   (null when D_e = 0 — one shared category,
+    *                        or n < 2 — nothing to pair)
+    * Perfect agreement → 1; chance-level → 0; systematic
+    * disagreement < 0.
+    *
+    * Scale shape: one (item, label) count aggregate, one item-keyed
+    * roll-up, label-space and single-row aggregates after — items
+    * shuffle as slim count rows, the arithmetic runs on one row.
+    * Alpha is computed from the UNROUNDED D_o/D_e (the displayed
+    * d_o/d_e are 4dp); the oracle mirrors that order.
+    *
+    * @return one row: (n_pairable, d_o, d_e, alpha) — 4dp
+    */
+  def krippendorffAlpha(df: DataFrame, itemCol: String,
+                        labelCol: String): DataFrame = {
+    val labeled = df
+      .where(col(itemCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(itemCol).as("__u"), col(labelCol).as("__c"))
+    val nuc = labeled.groupBy(col("__u"), col("__c"))
+      .agg(count(lit(1)).as("__nuc"))
+    val mu = nuc.groupBy(col("__u")).agg(sum(col("__nuc")).as("__mu"))
+    val units = nuc.join(mu, Seq("__u")).where(col("__mu") >= 2)
+    val doRow = units.agg(
+      coalesce(sum(col("__nuc") * (col("__mu") - col("__nuc")) /
+        (col("__mu") - 1).cast("double")), lit(0.0)).as("__donum"),
+      coalesce(sum(col("__nuc")), lit(0L)).as("__n"))
+    val deRow = units.groupBy(col("__c"))
+      .agg(sum(col("__nuc")).as("__nc"))
+      .agg(coalesce(sum(col("__nc") * col("__nc")), lit(0L)).as("__nc2"))
+    doRow.crossJoin(deRow)
+      .select(col("__n").as("n_pairable"),
+        when(col("__n") >= 2, col("__donum") / col("__n")).as("__do"),
+        // Σ n_c(n − n_c) = n² − Σ n_c²
+        when(col("__n") >= 2,
+          (col("__n") * col("__n") - col("__nc2")).cast("double") /
+            (col("__n") * (col("__n") - 1))).as("__de"))
+      .select(col("n_pairable"),
+        round(col("__do"), 4).as("d_o"),
+        round(col("__de"), 4).as("d_e"),
+        when(col("__de") > 0,
+          round(lit(1.0) - col("__do") / col("__de"), 4)).as("alpha"))
+  }
 }

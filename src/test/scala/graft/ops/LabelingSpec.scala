@@ -37,4 +37,39 @@ class LabelingSpec extends SparkTestBase {
     assert(got.getDouble(1) == 1.0 && got.getDouble(2) == 1.0)
     assert(got.isNullAt(3))
   }
+
+  test("krippendorffAlpha: closed forms — perfect 1, chance-level 0, " +
+      "systematic disagreement -0.5; unpairable units dropped") {
+    def alpha(rows: Seq[(Long, String)]): org.apache.spark.sql.Row =
+      Labeling.krippendorffAlpha(rows.toDF("item", "label"),
+        "item", "label").head()
+    // perfect agreement across two units
+    val perfect = alpha(Seq(1L -> "a", 1L -> "a", 2L -> "b", 2L -> "b"))
+    assert(perfect.getDouble(3) == 1.0 && perfect.getLong(0) == 4L)
+    // the textbook chance case: {a,a} and {a,b} -> D_o = D_e = 0.5
+    val chance = alpha(Seq(1L -> "a", 1L -> "a", 2L -> "a", 2L -> "b"))
+    assert(chance.getDouble(1) == 0.5 && chance.getDouble(2) == 0.5)
+    assert(chance.getDouble(3) == 0.0)
+    // systematic disagreement: every unit split a/b
+    val sys = alpha(Seq(1L -> "a", 1L -> "b", 2L -> "a", 2L -> "b"))
+    assert(sys.getDouble(3) == -0.5, sys.toString)
+    // a single-label unit is unpairable: dropping it changes nothing
+    val withSingleton = alpha(Seq(1L -> "a", 1L -> "a", 2L -> "a",
+      2L -> "b", 9L -> "a"))
+    assert(withSingleton.getLong(0) == 4L &&
+      withSingleton.getDouble(3) == 0.0)
+  }
+
+  test("krippendorffAlpha: one shared category makes D_e = 0 and " +
+      "alpha undefined; empty input reports zero pairable") {
+    val one = Seq(1L -> "ok", 1L -> "ok", 2L -> "ok", 2L -> "ok")
+      .toDF("item", "label")
+    val got = Labeling.krippendorffAlpha(one, "item", "label").head()
+    assert(got.getDouble(1) == 0.0 && got.getDouble(2) == 0.0)
+    assert(got.isNullAt(3))
+    val empty = Labeling.krippendorffAlpha(
+      Seq.empty[(Long, String)].toDF("item", "label"),
+      "item", "label").head()
+    assert(empty.getLong(0) == 0L && empty.isNullAt(3))
+  }
 }
