@@ -837,12 +837,15 @@ object Graft {
                      idCol: String = "doc_id",
                      nameCol: String = "name"): DataFrame =
     llmops.Fuzzy.entityClusters(df, threshold, idCol, nameCol)
-  /** Crawl politeness audit (X231, q257): per-host consecutive-fetch
-    * gap stats + violations of a minimum-gap floor. */
+  /** Crawl politeness audit (X231, q257/q264): per-host
+    * consecutive-fetch gap stats + violations of a minimum-gap floor;
+    * pass `endCol` to measure start-vs-previous-END (overlapping
+    * fetches = negative gaps = violations). */
   def politenessAudit(fetches: DataFrame, minGapMillis: Long,
-                      hostCol: String = "host",
-                      tsCol: String = "ts"): DataFrame =
-    ops.Recrawl.politenessAudit(fetches, minGapMillis, hostCol, tsCol)
+                      hostCol: String = "host", tsCol: String = "ts",
+                      endCol: Option[String] = None): DataFrame =
+    ops.Recrawl.politenessAudit(fetches, minGapMillis, hostCol, tsCol,
+      endCol)
   /** Exact dedup with a keep policy (X232, q256): per content group
     * keep the row maximizing (orderCol, id) — newest fetch, highest
     * score — instead of lowest id. */

@@ -4776,9 +4776,11 @@ object SparkEntry {
 
     // llmops chat-transcript audit (X228): conversations synthesized
     // as real JSON (2-5 turns; every 5th breaks alternation, every
-    // 7th has an empty opening turn, every 23rd is malformed JSON),
-    // DUMPED, and re-audited by DuckDB's own JSON functions — a
-    // cross-engine parse, not a mirror of our parse.
+    // 7th has an empty opening turn, every 13th+1 opens with a
+    // SYSTEM turn — unknown-role mass, every 19th+3 is a valid empty
+    // transcript, every 23rd is malformed JSON), DUMPED, and
+    // re-audited by DuckDB's own JSON functions — a cross-engine
+    // parse, not a mirror of our parse.
     "q253_chat_audit" -> ((s, d) => {
       import s.implicits._
       val T = graft.llmops.TextFuncs
@@ -4787,14 +4789,16 @@ object SparkEntry {
       val toks = T.tokens($"text")
       val nT = ($"doc_id" % 4 + 2).cast("int")
       val turns = transform(sequence(lit(0), nT - 1), i => struct(
-        when($"doc_id" % 5 === 0 && i === 1, lit("user"))
-          .otherwise(when(i % 2 === 0, "user").otherwise("assistant"))
+        when($"doc_id" % 13 === 1 && i === 0, lit("system"))
+          .otherwise(when($"doc_id" % 5 === 0 && i === 1, lit("user"))
+            .otherwise(when(i % 2 === 0, "user").otherwise("assistant")))
           .as("role"),
         when($"doc_id" % 7 === 0 && i === 0, lit(""))
           .otherwise(concat_ws(" ",
             slice(toks, i * lit(5) + 1, lit(4)))).as("content")))
       val convos = base.select($"doc_id".as("convo_id"),
         when($"doc_id" % 23 === 0, lit("{not json"))
+          .when($"doc_id" % 19 === 3, lit("[]"))
           .otherwise(to_json(turns)).as("convo_json"))
       materialize(convos, "q253_convos")
       graft.llmops.Chat.transcriptAudit(convos).orderBy($"convo_id")
@@ -11096,7 +11100,8 @@ object SparkEntry {
                   count(*)::INT AS n_turns,
                   max(CASE WHEN i = 0 AND role = 'user'
                     THEN 1 ELSE 0 END) = 1 AS starts_with_user,
-                  sum(CASE WHEN prev IS NOT NULL AND role = prev
+                  sum(CASE WHEN i > 0
+                    AND role IS NOT DISTINCT FROM prev
                     THEN 1 ELSE 0 END) = 0 AS alternates,
                   sum(CASE WHEN content IS NULL OR content = ''
                     THEN 1 ELSE 0 END)::INT AS n_empty,
@@ -11104,17 +11109,35 @@ object SparkEntry {
                     ELSE 0 END)::BIGINT AS user_chars,
                   sum(CASE WHEN role = 'assistant'
                     THEN length(content) ELSE 0 END)::BIGINT
-                    AS assistant_chars
+                    AS assistant_chars,
+                  sum(CASE WHEN role IS NULL
+                    OR role NOT IN ('user', 'assistant')
+                    THEN coalesce(length(content), 0) ELSE 0
+                    END)::BIGINT AS other_chars,
+                  sum(CASE WHEN role IS NULL
+                    OR role NOT IN ('user', 'assistant')
+                    THEN 1 ELSE 0 END)::INT AS n_unknown_role
            FROM w GROUP BY 1)
          SELECT c.convo_id, c.parsed,
-                CASE WHEN parsed THEN n_turns END AS n_turns,
-                CASE WHEN parsed THEN starts_with_user END
+                -- coalesce: a valid empty '[]' transcript has no turn
+                -- rows, but audits as zero turns, not null
+                CASE WHEN parsed THEN coalesce(n_turns, 0) END
+                  AS n_turns,
+                CASE WHEN parsed
+                  THEN coalesce(starts_with_user, false) END
                   AS starts_with_user,
-                CASE WHEN parsed THEN alternates END AS alternates,
-                CASE WHEN parsed THEN n_empty END AS n_empty,
-                CASE WHEN parsed THEN user_chars END AS user_chars,
-                CASE WHEN parsed THEN assistant_chars END
-                  AS assistant_chars
+                CASE WHEN parsed THEN coalesce(alternates, true) END
+                  AS alternates,
+                CASE WHEN parsed THEN coalesce(n_empty, 0) END
+                  AS n_empty,
+                CASE WHEN parsed THEN coalesce(user_chars, 0) END
+                  AS user_chars,
+                CASE WHEN parsed THEN coalesce(assistant_chars, 0) END
+                  AS assistant_chars,
+                CASE WHEN parsed THEN coalesce(other_chars, 0) END
+                  AS other_chars,
+                CASE WHEN parsed THEN coalesce(n_unknown_role, 0) END
+                  AS n_unknown_role
          FROM c LEFT JOIN ag USING (convo_id)
          ORDER BY convo_id""",
     // Burrows' Delta: vocab head (count desc, term), dense grid with

@@ -88,13 +88,19 @@ object VersionedTable {
       throw new IllegalStateException(
         s"$root has no published version to append to — publish() a " +
           "full snapshot first"))
-    val parentCols = spark.read
+    // name -> dataType, not just the name set: an append whose `id`
+    // drifted string->long would otherwise publish and tear the chain
+    // for every reader at scan time
+    val parentTypes = spark.read
       .parquet(lineage(spark, root, parent)
         .map(VersionedIndex.versionPath(root, _)): _*)
-      .columns.toSet
-    require(df.columns.toSet == parentCols,
-      s"publishAppend: appended columns ${df.columns.sorted.mkString(",")} " +
-        s"must equal the table's ${parentCols.toSeq.sorted.mkString(",")} " +
+      .schema.fields.map(f => f.name -> f.dataType).toMap
+    val ownTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    require(ownTypes == parentTypes,
+      s"publishAppend: appended schema ${ownTypes.toSeq.sortBy(_._1)
+          .map { case (n, t) => s"$n:${t.simpleString}" }.mkString(",")} " +
+        s"must equal the table's ${parentTypes.toSeq.sortBy(_._1)
+          .map { case (n, t) => s"$n:${t.simpleString}" }.mkString(",")} " +
         "— schema changes need a full publish()")
     val v = VersionedIndex.next(spark, root)
     val dir = VersionedIndex.versionPath(root, v)

@@ -204,12 +204,22 @@ object Dedup {
     * aggregate over slim (digest, order, id) rows (the A2/W2 argmax
     * shape, no window, no second shuffle). Ties on `orderCol` break
     * on the id (max under `keepMax`, min otherwise), so the survivor
-    * set is deterministic and rerun-stable.
+    * set is deterministic and rerun-stable. NULL order keys
+    * (undated fetches, unscored variants) are normalized to LOSE
+    * under BOTH policies — a null is "no evidence", and keep-oldest
+    * must not crown an undated fetch over every dated duplicate; a
+    * group whose order keys are ALL null falls back to the id
+    * tie-break alone.
     */
   def exactKeepBy(docs: DataFrame, orderCol: String,
                   keepMax: Boolean = true, idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame = {
-    val key = struct(col("__xord"), col("__xid"))
+    // presence flag leads the struct so a null order key sorts to the
+    // losing side of max() AND min() alike
+    val present =
+      if (keepMax) col("__xord").isNotNull.cast("int")
+      else col("__xord").isNull.cast("int")
+    val key = struct(present.as("__xp"), col("__xord"), col("__xid"))
     val slim = docs
       .select(col(idCol).as("__xid"), col(orderCol).as("__xord"),
         xxhash64(col(textCol)).as("__xh"),
@@ -1505,27 +1515,60 @@ object Dedup {
     * reduce to one row per split pair. Text shuffles only inside the
     * LSH tier.
     *
+    * A doc with a NULL split (the most suspicious case in a
+    * third-party dataset — an unassigned row) is labeled
+    * `(unassigned)` so its pairs surface and straddle instead of
+    * silently collapsing through null-skipping least/greatest.
+    *
     * @return (split_a, split_b, n_pairs, straddling) with
     *         split_a <= split_b; `straddling` = the pair crosses a
     *         boundary (the rows that should be empty)
     */
   def splitLeakage(docs: DataFrame, threshold: Double = 0.7,
                    splitCol: String = "split", idCol: String = "doc_id",
-                   textCol: String = "text"): DataFrame = {
-    val edges = minhashPairs(docs, threshold,
-        idCol = idCol, textCol = textCol)
-      .select(col("id_a"), col("id_b"))
-    val splits = docs.select(col(idCol).cast("long").as("__id"),
-      col(splitCol).as("__s"))
-    edges
-      .join(splits.withColumnRenamed("__id", "id_a")
-        .withColumnRenamed("__s", "__sa"), Seq("id_a"))
-      .join(splits.withColumnRenamed("__id", "id_b")
-        .withColumnRenamed("__s", "__sb"), Seq("id_b"))
+                   textCol: String = "text"): DataFrame =
+    leakagePairs(docs, threshold, splitCol, idCol, textCol)
       .select(least(col("__sa"), col("__sb")).as("split_a"),
         greatest(col("__sa"), col("__sb")).as("split_b"))
       .groupBy(col("split_a"), col("split_b"))
       .agg(count(lit(1)).as("n_pairs"))
       .withColumn("straddling", col("split_a") =!= col("split_b"))
+
+  /** Near-dup edges with both split labels attached — the shared
+    * tier under [[splitLeakage]] and [[splitLeakagePairs]].
+    */
+  private def leakagePairs(docs: DataFrame, threshold: Double,
+                           splitCol: String, idCol: String,
+                           textCol: String): DataFrame = {
+    val edges = minhashPairs(docs, threshold,
+        idCol = idCol, textCol = textCol)
+      .select(col("id_a"), col("id_b"))
+    val splits = docs.select(col(idCol).cast("long").as("__id"),
+      coalesce(col(splitCol), lit("(unassigned)")).as("__s"))
+    edges
+      .join(splits.withColumnRenamed("__id", "id_a")
+        .withColumnRenamed("__s", "__sa"), Seq("id_a"))
+      .join(splits.withColumnRenamed("__id", "id_b")
+        .withColumnRenamed("__s", "__sb"), Seq("id_b"))
   }
+
+  /** ACTIONABLE split leakage (X230): [[splitLeakage]] says HOW MANY
+    * near-dup pairs straddle a boundary; this lists WHICH — the
+    * (id_a, id_b, split_a, split_b) pairs a user quarantines before
+    * trusting an eval split (drop the eval-side doc of every pair, or
+    * re-assign the family to one split). Same capped LSH tier and
+    * NULL-split convention as [[splitLeakage]]; splits are reported
+    * in id order (split_a belongs to id_a), not sorted, so each row
+    * names the offending docs directly.
+    *
+    * @return (id_a, id_b, split_a, split_b), straddling pairs only
+    */
+  def splitLeakagePairs(docs: DataFrame, threshold: Double = 0.7,
+                        splitCol: String = "split",
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame =
+    leakagePairs(docs, threshold, splitCol, idCol, textCol)
+      .where(col("__sa") =!= col("__sb"))
+      .select(col("id_a"), col("id_b"),
+        col("__sa").as("split_a"), col("__sb").as("split_b"))
 }

@@ -115,27 +115,38 @@ object Recrawl {
     * crawl-policy or robots `Crawl-delay` implies). The audit every
     * production crawl should publish next to its corpus.
     *
-    * One lag window per host over slim (host, ts) rows — the ledger
-    * shuffles once on the host key; single-fetch hosts report zero
-    * gaps and pass vacuously.
+    * One lag window per host over slim (host, ts[, end]) rows — the
+    * ledger shuffles once on the host key; single-fetch hosts report
+    * zero gaps and pass vacuously.
+    *
+    * Gap semantics: WITHOUT `endCol` the gap is start-to-start — the
+    * documented divergence, honest only when fetch durations are
+    * negligible next to the floor. With `endCol` (a fetch-completion
+    * timestamp) the gap is start-vs-PREVIOUS-END, ordered by start:
+    * overlapping fetches to one host yield NEGATIVE gaps, which
+    * undercut any floor ≥ 0 and so always count as violations —
+    * concurrent per-host connections are exactly the politeness
+    * breach a start-to-start audit cannot see.
     *
     * @return (host, n_fetches, n_gaps, min_gap_ms, mean_gap_ms,
     *         n_violations, ok) — mean 4dp; min/mean null when a host
     *         has one fetch; ok = no gap under the floor
     */
   def politenessAudit(fetches: DataFrame, minGapMillis: Long,
-                      hostCol: String = "host", tsCol: String = "ts")
-      : DataFrame = {
+                      hostCol: String = "host", tsCol: String = "ts",
+                      endCol: Option[String] = None): DataFrame = {
     require(minGapMillis >= 0, "minGapMillis must be >= 0")
+    // tsMicros handles both TIMESTAMP and TIMESTAMP_NTZ (the
+    // parquet tables' type) — same idiom as Anomaly's buckets
+    def ms(c: String) =
+      floor(graft.expr.TimeFuncs.tsMicros(col(c)) / 1000L).cast("long")
     val gaps = fetches
-      .select(col(hostCol).as("__h"),
-        // tsMicros handles both TIMESTAMP and TIMESTAMP_NTZ (the
-        // parquet tables' type) — same idiom as Anomaly's buckets
-        floor(graft.expr.TimeFuncs.tsMicros(col(tsCol)) / 1000L)
-          .cast("long").as("__ms"))
+      .select(col(hostCol).as("__h"), ms(tsCol).as("__ms"),
+        endCol.map(ms).getOrElse(ms(tsCol)).as("__end"))
       .withColumn("__gap", col("__ms") -
-        lag(col("__ms"), 1).over(
-          Window.partitionBy(col("__h")).orderBy(col("__ms"))))
+        lag(col("__end"), 1).over(
+          Window.partitionBy(col("__h"))
+            .orderBy(col("__ms"), col("__end"))))
     gaps.groupBy(col("__h").as("host"))
       .agg(count(lit(1)).as("n_fetches"),
         count(col("__gap")).as("n_gaps"),

@@ -139,6 +139,16 @@ class VersionedTableSpec extends SparkTestBase {
         Seq((6L, 42)).toDF("id", "amount"), root)
     }
     assert(bad.getMessage.contains("schema changes need a full publish"))
+    // same NAMES but a drifted TYPE must also be rejected BEFORE the
+    // pointer flips — id as string would tear the chain at scan time
+    val drift = intercept[IllegalArgumentException] {
+      VersionedTable.publishAppend(
+        Seq(("6", "typed")).toDF("id", "tag"), root)
+    }
+    assert(drift.getMessage.contains("schema changes need a full publish"))
+    assert(drift.getMessage.contains("id:string"), drift.getMessage)
+    // nothing torn: the table still reads, still 5 rows
+    assert(VersionedTable.readCurrent(spark, root).count() == 5)
   }
 
   test("prune protects the transitive append parents of kept " +

@@ -40,11 +40,53 @@ class ChatSpec extends SparkTestBase {
     val r5 = got(5L)
     assert(!r5.getAs[Boolean]("parsed"))
     Seq("n_turns", "starts_with_user", "alternates", "n_empty",
-      "user_chars", "assistant_chars")
+      "user_chars", "assistant_chars", "other_chars", "n_unknown_role")
       .foreach(c => assert(r5.isNullAt(r5.fieldIndex(c)), c))
     // a 1-turn conversation alternates vacuously
     assert(got(6L).getAs[Boolean]("alternates"))
     assert(got(6L).getAs[Int]("n_turns") == 1)
+    // a pure user/assistant convo reports zero unknown-role mass
+    assert(got(1L).getAs[Long]("other_chars") == 0L &&
+      got(1L).getAs[Int]("n_unknown_role") == 0)
+  }
+
+  test("transcriptAudit: a valid empty transcript '[]' audits as " +
+      "zero turns (no ANSI element_at failure), and unknown roles " +
+      "carry mass in other_chars/n_unknown_role") {
+    val df = Seq(
+      (1L, "[]"),
+      (2L, j("system" -> "be harmless", "user" -> "hi",
+        "assistant" -> "hello")),
+      (3L, """[{"role":null,"content":"aa"},{"content":"bbb"}]"""),
+      (4L, j("user" -> "q", "tool" -> "call", "assistant" -> "a")))
+      .toDF("convo_id", "convo_json")
+    val got = Chat.transcriptAudit(df)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = got(1L)
+    assert(r1.getAs[Boolean]("parsed") && r1.getAs[Int]("n_turns") == 0)
+    assert(!r1.getAs[Boolean]("starts_with_user"))
+    assert(r1.getAs[Boolean]("alternates"))
+    assert(r1.getAs[Int]("n_empty") == 0 &&
+      r1.getAs[Long]("user_chars") == 0L &&
+      r1.getAs[Long]("other_chars") == 0L)
+    // a system opener: not user-first, and its mass is visible
+    val r2 = got(2L)
+    assert(!r2.getAs[Boolean]("starts_with_user"))
+    assert(r2.getAs[Long]("other_chars") == 11L &&
+      r2.getAs[Int]("n_unknown_role") == 1)
+    assert(r2.getAs[Boolean]("alternates"))
+    // two consecutive null roles = SAME role (null-safe comparison):
+    // the alternation gate fires instead of null-propagating
+    val r3 = got(3L)
+    assert(!r3.getAs[Boolean]("alternates"))
+    assert(r3.getAs[Int]("n_unknown_role") == 2 &&
+      r3.getAs[Long]("other_chars") == 5L)
+    // an interleaved tool turn counts as unknown, not invisible
+    val r4 = got(4L)
+    assert(r4.getAs[Int]("n_unknown_role") == 1 &&
+      r4.getAs[Long]("other_chars") == 4L)
+    assert(r4.getAs[Long]("user_chars") == 1L &&
+      r4.getAs[Long]("assistant_chars") == 1L)
   }
 
   test("transcriptAudit is a stateless projection: it runs under " +
@@ -60,7 +102,9 @@ class ChatSpec extends SparkTestBase {
     val rows = Seq(
       1L -> j("user" -> "hi", "assistant" -> "yo"),
       2L -> j("user" -> "a", "user" -> "b"),
-      3L -> "{broken")
+      3L -> "{broken",
+      4L -> "[]",
+      5L -> j("system" -> "rules", "user" -> "q"))
     try {
       mem.addData(rows: _*)
       q.processAllAvailable()
@@ -69,7 +113,7 @@ class ChatSpec extends SparkTestBase {
       val batch = Chat.transcriptAudit(rows.toDF("convo_id", "convo_json"))
         .collect().map(r => r.getLong(0) -> r.toSeq).toMap
       assert(streamed == batch)
-      assert(streamed.size == 3)
+      assert(streamed.size == 5)
     } finally q.stop()
   }
 

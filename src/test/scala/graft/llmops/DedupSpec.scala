@@ -53,6 +53,22 @@ class DedupSpec extends SparkTestBase {
       Seq("doc_id", "fetch_ts", "text"))
   }
 
+  test("exactKeepBy: a NULL order key loses under BOTH policies; " +
+      "an all-null group falls back to the id tie-break") {
+    val df = Seq(
+      (1L, Some(10L), "dated"), (2L, None, "dated"),
+      (3L, Some(5L), "dated"),
+      (7L, None, "undated"), (8L, None, "undated"))
+      .toDF("doc_id", "fetch_ts", "text")
+    // keep-newest: dated max wins (1), undated group -> max id (8)
+    assert(Dedup.exactKeepBy(df, "fetch_ts")
+      .select($"doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 8L))
+    // keep-oldest: the undated fetch must NOT beat the dated ones —
+    // dated min wins (3); undated group -> min id (7)
+    assert(Dedup.exactKeepBy(df, "fetch_ts", keepMax = false)
+      .select($"doc_id").as[Long].collect().sorted.toSeq == Seq(3L, 7L))
+  }
+
   test("quoteSpans: a verbatim quote is sized exactly; scattered " +
       "shared n-grams do not chain; short overlap gated by floor") {
     val corpusTokens = (0 until 40).map(i => s"c$i")
@@ -119,6 +135,41 @@ class DedupSpec extends SparkTestBase {
     assert(got == Map(
       ("test", "train") -> ((1L, true)),
       ("train", "train") -> ((1L, false))), got.toString)
+  }
+
+  test("splitLeakage: a NULL split surfaces as (unassigned) and " +
+      "straddles instead of collapsing to a benign same-split pair") {
+    def txt(i: Int) = (0 until 30)
+      .map(j => s"n${i}_$j w${(i * 41 + j) % 89}").mkString(" ")
+    val docs = Seq(
+      (1L, txt(1), "train"),
+      (100L, txt(1), null.asInstanceOf[String]), // near-dup, no split
+      (2L, txt(2), "test"))
+      .toDF("doc_id", "text", "split")
+    val got = Dedup.splitLeakage(docs, threshold = 0.9)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getBoolean(3))).toMap
+    assert(got == Map(("(unassigned)", "train") -> ((1L, true))),
+      got.toString)
+  }
+
+  test("splitLeakagePairs lists exactly the offending (id, id, " +
+      "split, split) rows, splits in id order; benign pairs omitted") {
+    def txt(i: Int) = (0 until 30)
+      .map(j => s"p${i}_$j w${(i * 37 + j) % 91}").mkString(" ")
+    val docs = Seq(
+      (1L, txt(1), "train"), (2L, txt(2), "train"),
+      (3L, txt(3), "val"),
+      (100L, txt(1), "test"),  // leak: train 1 -> test 100
+      (101L, txt(3), "test"),  // leak: val 3 -> test 101
+      (102L, txt(2), "train")) // benign: inside train
+      .toDF("doc_id", "text", "split")
+    val got = Dedup.splitLeakagePairs(docs, threshold = 0.9)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2), r.getString(3))).toSet
+    assert(got == Set((1L, 100L, "train", "test"),
+      (3L, 101L, "val", "test")), got.toString)
   }
 
   test("softWeights: near-dup family shares one unit of mass; " +

@@ -38,6 +38,106 @@ class LabelingSpec extends SparkTestBase {
     assert(got.isNullAt(3))
   }
 
+  test("cohenKappa: empty input reports zero items and null " +
+      "statistics, not a DIVIDE_BY_ZERO task failure (ANSI mode)") {
+    val got = Labeling.cohenKappa(
+      Seq.empty[(String, String)].toDF("ra", "rb"), "ra", "rb").head()
+    assert(got.getLong(0) == 0L && got.getDouble(1) == 0.0)
+    assert(got.isNullAt(2) && got.isNullAt(3))
+  }
+
+  test("weightedKappa: quadratic vs linear closed forms on a 3-point " +
+      "scale; near-misses cost less than blunders") {
+    // (1,1)x2 (2,2) (3,3) agree; (1,3) blunder; (1,2) near-miss; n=6
+    val rows = Seq((1, 1), (1, 1), (2, 2), (3, 3), (1, 3), (1, 2))
+      .toDF("ra", "rb")
+    val q = Labeling.weightedKappa(rows, "ra", "rb").head()
+    // span 2; quad: d_o = (1 + 0.25)/6; d_e = 13.5/36
+    assert(q.getLong(0) == 6L)
+    assert(q.getDouble(1) == 0.2083 && q.getDouble(2) == 0.375)
+    assert(q.getDouble(3) == 0.4445) // 1 - 0.2083/0.375, 4dp chain
+    val l = Labeling.weightedKappa(rows, "ra", "rb", "linear").head()
+    // linear: d_o = (1 + 0.5)/6 = 0.25; d_e = 17/36
+    assert(l.getDouble(1) == 0.25 && l.getDouble(2) == 0.4722)
+    assert(l.getDouble(3) == 0.4706)
+    // zero span (one shared value): d_e = 0, kappa undefined
+    val one = Seq((2, 2), (2, 2)).toDF("ra", "rb")
+    assert(Labeling.weightedKappa(one, "ra", "rb").head().isNullAt(3))
+    // empty input: null stats, no ANSI divide-by-zero
+    val empty = Labeling.weightedKappa(
+      Seq.empty[(Int, Int)].toDF("ra", "rb"), "ra", "rb").head()
+    assert(empty.getLong(0) == 0L && empty.isNullAt(3))
+    intercept[IllegalArgumentException] {
+      Labeling.weightedKappa(rows, "ra", "rb", "cubic")
+    }
+  }
+
+  test("fleissKappa: two-rater panel closed form (= Scott's pi); " +
+      "off-panel items dropped and counted") {
+    // items {a,a} {a,b} {b,b}: P_bar = 2/3, P_e = 0.5, kappa = 1/3
+    val rows = Seq(1L -> "a", 1L -> "a", 2L -> "a", 2L -> "b",
+      3L -> "b", 3L -> "b")
+    val got = Labeling.fleissKappa(rows.toDF("item", "label"),
+      "item", "label", raters = 2).head()
+    assert(got.getLong(0) == 3L && got.getLong(1) == 0L)
+    assert(got.getDouble(2) == 0.6667 && got.getDouble(3) == 0.5)
+    assert(got.getDouble(4) == 0.3334) // from the rounded pair
+    // a 1-rating and a 3-rating item are both off-panel: dropped,
+    // counted, and absent from the pooled label distribution
+    val noisy = rows ++ Seq(9L -> "a", 8L -> "a", 8L -> "a", 8L -> "a")
+    val g2 = Labeling.fleissKappa(noisy.toDF("item", "label"),
+      "item", "label", raters = 2).head()
+    assert(g2.getLong(0) == 3L && g2.getLong(1) == 2L)
+    assert(g2.getDouble(2) == 0.6667 && g2.getDouble(3) == 0.5)
+    // perfect panel agreement: kappa 1
+    val perfect = Seq(1L -> "a", 1L -> "a", 2L -> "b", 2L -> "b")
+    assert(Labeling.fleissKappa(perfect.toDF("item", "label"),
+      "item", "label", 2).head().getDouble(4) == 1.0)
+    // single shared label: P_e = 1, kappa undefined
+    val one = Seq(1L -> "a", 1L -> "a").toDF("item", "label")
+    assert(Labeling.fleissKappa(one, "item", "label", 2).head()
+      .isNullAt(4))
+    // empty: zero kept, zero dropped, null stats
+    val empty = Labeling.fleissKappa(
+      Seq.empty[(Long, String)].toDF("item", "label"),
+      "item", "label", 2).head()
+    assert(empty.getLong(0) == 0L && empty.getLong(1) == 0L &&
+      empty.isNullAt(4))
+    intercept[IllegalArgumentException] {
+      Labeling.fleissKappa(one, "item", "label", 1)
+    }
+  }
+
+  test("krippendorffAlphaInterval: near-misses on a numeric scale " +
+      "are mostly agreement; nominal calls them pure disagreement") {
+    def alpha(rows: Seq[(Long, Double)]): org.apache.spark.sql.Row =
+      Labeling.krippendorffAlphaInterval(rows.toDF("item", "value"),
+        "item", "value").head()
+    // perfect agreement
+    val perfect = alpha(Seq(1L -> 1.0, 1L -> 1.0, 2L -> 2.0, 2L -> 2.0))
+    assert(perfect.getLong(0) == 4L && perfect.getDouble(3) == 1.0)
+    // the nominal textbook chance case maps to interval 0 too:
+    // {1,1} and {1,2} -> D_o = D_e = 0.5
+    val chance = alpha(Seq(1L -> 1.0, 1L -> 1.0, 2L -> 1.0, 2L -> 2.0))
+    assert(chance.getDouble(1) == 0.5 && chance.getDouble(2) == 0.5)
+    assert(chance.getDouble(3) == 0.0)
+    // units {1,2} and {4,5}: every unit disagrees by 1 on a wide
+    // scale -> interval alpha 0.85; nominal alpha on the same data
+    // is 0 (four distinct labels, every unit split)
+    val near = alpha(Seq(1L -> 1.0, 1L -> 2.0, 2L -> 4.0, 2L -> 5.0))
+    assert(near.getDouble(1) == 1.0)
+    assert(near.getDouble(2) == 6.6667 && near.getDouble(3) == 0.85)
+    val nominal = Labeling.krippendorffAlpha(
+      Seq(1L -> "1", 1L -> "2", 2L -> "4", 2L -> "5")
+        .toDF("item", "label"), "item", "label").head()
+    assert(nominal.getDouble(3) == 0.0)
+    // unpairable singleton dropped; zero-variance D_e undefined
+    val single = alpha(Seq(1L -> 3.0, 1L -> 3.0, 9L -> 7.0))
+    assert(single.getLong(0) == 2L && single.isNullAt(3))
+    val empty = alpha(Seq.empty[(Long, Double)])
+    assert(empty.getLong(0) == 0L && empty.isNullAt(3))
+  }
+
   test("krippendorffAlpha: closed forms — perfect 1, chance-level 0, " +
       "systematic disagreement -0.5; unpairable units dropped") {
     def alpha(rows: Seq[(Long, String)]): org.apache.spark.sql.Row =

@@ -114,4 +114,36 @@ class RecrawlSpec extends SparkTestBase {
       .toMap
     assert(strict == Map("a" -> 2L, "b" -> 1L, "c" -> 0L))
   }
+
+  test("politenessAudit with endCol: gaps run start-vs-previous-END, " +
+      "and OVERLAPPING fetches yield negative gaps that always " +
+      "violate the floor") {
+    // host a: fetch [0, 30s], next starts at 40s -> gap 10s;
+    //         fetch [40s, 45s], next starts at 44s -> gap -1s OVERLAP
+    // host b: [0, 5s] then [100s, 101s] -> gap 95s, clean
+    val fetches = Seq(
+      ("a", ts(0), ts(30)), ("a", ts(40), ts(45)),
+      ("a", ts(44), ts(50)),
+      ("b", ts(0), ts(5)), ("b", ts(100), ts(101)))
+      .toDF("host", "ts", "end_ts")
+    val got = Recrawl.politenessAudit(fetches, minGapMillis = 5000L,
+        endCol = Some("end_ts"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert(a.getAs[Long]("n_gaps") == 2)
+    assert(a.getAs[Long]("min_gap_ms") == -1000L)
+    assert(a.getAs[Double]("mean_gap_ms") == 4500.0) // (10000 - 1000)/2
+    assert(a.getAs[Long]("n_violations") == 1 && !a.getAs[Boolean]("ok"))
+    val b = got("b")
+    assert(b.getAs[Long]("min_gap_ms") == 95000L &&
+      b.getAs[Boolean]("ok"))
+    // same ledger audited start-to-start misses the overlap: the
+    // start gaps are 40s and 4s -> the 4s one still violates 5s,
+    // but a 10s floor start-to-start would pass where end-aware
+    // auditing must fail
+    val blind = Recrawl.politenessAudit(fetches, minGapMillis = 3000L)
+      .collect().map(r => r.getString(0) ->
+        r.getAs[Long]("n_violations")).toMap
+    assert(blind("a") == 0L) // 40s and 4s >= 3s: start-blind passes
+  }
 }
