@@ -862,6 +862,21 @@ object Graft {
   def krippendorffAlpha(df: DataFrame, itemCol: String,
                         labelCol: String): DataFrame =
     ops.Labeling.krippendorffAlpha(df, itemCol, labelCol)
+  /** Weighted Cohen's kappa (X235, q260): distance-priced agreement
+    * for ordered numeric labels — linear or quadratic weights. */
+  def weightedKappa(df: DataFrame, raterACol: String, raterBCol: String,
+                    weights: String = "quadratic"): DataFrame =
+    ops.Labeling.weightedKappa(df, raterACol, raterBCol, weights)
+  /** Fleiss' kappa (X237, q263): fixed-size rater panel agreement;
+    * items off the panel size are dropped and counted. */
+  def fleissKappa(df: DataFrame, itemCol: String, labelCol: String,
+                  raters: Int): DataFrame =
+    ops.Labeling.fleissKappa(df, itemCol, labelCol, raters)
+  /** Krippendorff's alpha, interval (X236, q261): squared-difference
+    * metric for numeric ratings — near-misses mostly agree. */
+  def krippendorffAlphaInterval(df: DataFrame, itemCol: String,
+                                valueCol: String): DataFrame =
+    ops.Labeling.krippendorffAlphaInterval(df, itemCol, valueCol)
   /** ROUGE-N per (candidate, reference) pair (X227, q252): clipped
     * bag-of-ngrams precision/recall/F1. */
   def rougeN(pairs: DataFrame, n: Int = 2, idCol: String = "doc_id",
@@ -885,6 +900,19 @@ object Graft {
   def splitLeakage(docs: DataFrame, threshold: Double = 0.7,
                    splitCol: String = "split"): DataFrame =
     llmops.Dedup.splitLeakage(docs, threshold, splitCol)
+  /** Actionable split leakage (X230, q262): the straddling
+    * (id_a, id_b, split_a, split_b) pairs themselves — the
+    * quarantine list behind [[splitLeakage]]'s counts. */
+  def splitLeakagePairs(docs: DataFrame, threshold: Double = 0.7,
+                        splitCol: String = "split"): DataFrame =
+    llmops.Dedup.splitLeakagePairs(docs, threshold, splitCol)
+  /** ROUGE-L per (candidate, reference) pair (X234, q259): LCS-based
+    * order-aware precision/recall/F1, token-capped DP. */
+  def rougeL(pairs: DataFrame, idCol: String = "doc_id",
+             candCol: String = "candidate",
+             refCol: String = "reference",
+             maxTokens: Int = 2000): DataFrame =
+    llmops.Rouge.rougeL(pairs, idCol, candCol, refCol, maxTokens)
   /** Term burstiness / dispersion report (X223, q248): VMR of per-doc
     * counts, zeros in closed form. */
   def burstinessReport(docs: DataFrame, k: Int = 50,

@@ -4880,6 +4880,122 @@ object SparkEntry {
         .orderBy($"host")
     }),
 
+    // llmops ROUGE-L (X234): same candidate/reference windows as
+    // q252 but graded by ORDER — the per-pair LCS kernel value is
+    // dumped, and the oracle rebuilds token counts with its OWN
+    // tokenizer and replays the metric arithmetic (the kernel itself
+    // is spec-pinned against a reference recursion).
+    "q259_rouge_l" -> ((s, d) => {
+      import s.implicits._
+      val T = graft.llmops.TextFuncs
+      val base = t(s, d, "documents")
+        .filter($"doc_id" < 300 && $"text".isNotNull)
+        .select($"doc_id",
+          when($"doc_id" % 17 === 0, lit(""))
+            .otherwise(concat_ws(" ", slice(T.tokens($"text"), 1, 30)))
+            .as("candidate"),
+          concat_ws(" ", slice(T.tokens($"text"), 11, 30))
+            .as("reference"))
+      val res = graft.llmops.Rouge.rougeL(base).orderBy($"doc_id")
+      materialize(res.select($"doc_id", $"lcs"), "q259_lcs")
+      res
+    }),
+
+    // ops weighted kappa (X235): 1..5 Likert scores from n_chars,
+    // rater B one step high every 7th item and three every 11th
+    // (clamped to the scale), unlabeled every 13th — the
+    // distance-priced chance correction replays through the
+    // marginal grid.
+    "q260_weighted_kappa" -> ((s, d) => {
+      import s.implicits._
+      val items = t(s, d, "documents")
+        .filter($"doc_id" < 500 && $"n_chars".isNotNull)
+        .select($"doc_id",
+          ($"n_chars" % 5 + 1).cast("int").as("rater_a"))
+        .withColumn("rater_b",
+          when($"doc_id" % 13 === 0, lit(null).cast("int"))
+            .otherwise(least(
+              $"rater_a" + when($"doc_id" % 11 === 0, 3)
+                .otherwise(when($"doc_id" % 7 === 0, 1).otherwise(0)),
+              lit(5))))
+      graft.ops.Labeling.weightedKappa(items, "rater_a", "rater_b")
+    }),
+
+    // ops interval Krippendorff (X236): numeric 1..7 scores, rater 2
+    // one step high every 7th item, rater 3 missing every 11th and
+    // three steps off every 13th — the squared-difference coincidence
+    // arithmetic (per-unit moment sums) replays exactly.
+    "q261_alpha_interval" -> ((s, d) => {
+      import s.implicits._
+      val base = ($"n_chars" % 7 + 1).cast("double")
+      val items = t(s, d, "documents")
+        .filter($"doc_id" < 400 && $"n_chars".isNotNull)
+        .select($"doc_id", explode(array(
+          base,
+          base + when($"doc_id" % 7 === 0, 1.0).otherwise(0.0),
+          when($"doc_id" % 11 === 0, lit(null).cast("double"))
+            .otherwise(base + when($"doc_id" % 13 === 0, 3.0)
+              .otherwise(0.0)))).as("score"))
+      graft.ops.Labeling.krippendorffAlphaInterval(items,
+        "doc_id", "score")
+    }),
+
+    // llmops actionable split leakage (X230): same planted
+    // train→test near-copies as q255, but listing WHICH
+    // (id, id, split, split) pairs straddle — the quarantine list;
+    // oracle replays the pairing + split derivation from the dumped
+    // LSH edges.
+    "q262_leakage_pairs" -> ((s, d) => {
+      import s.implicits._
+      val docs0 = t(s, d, "documents").where($"text".isNotNull)
+        .select($"doc_id", $"text")
+      val base = docs0.withColumn("split",
+        when($"doc_id" % 10 < 8, "train")
+          .when($"doc_id" % 10 === 8, "val").otherwise("test"))
+      val planted = docs0.filter($"doc_id" < 20 && $"doc_id" % 10 < 8)
+        .select(($"doc_id" + 700000).as("doc_id"), $"text",
+          lit("test").as("split"))
+      val all = base.unionByName(planted)
+      materialize(graft.llmops.Dedup.minhashPairs(all, threshold = 0.8)
+        .select($"id_a", $"id_b"), "q262_edges")
+      graft.llmops.Dedup.splitLeakagePairs(all, threshold = 0.8)
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // ops Fleiss' kappa (X237): a fixed 3-rater panel over lang
+    // labels (rater 2 'zz' every 7th, rater 3 'yy' every 13th);
+    // every 11th item gets a FOURTH assignment and must be dropped
+    // from the panel arithmetic — pooled-marginal chance replay.
+    "q263_fleiss_kappa" -> ((s, d) => {
+      import s.implicits._
+      val r2 = when($"doc_id" % 7 === 0, lit("zz")).otherwise($"lang")
+      val r3 = when($"doc_id" % 13 === 0, lit("yy")).otherwise($"lang")
+      val items = t(s, d, "documents")
+        .filter($"doc_id" < 400 && $"lang".isNotNull)
+        .select($"doc_id", explode(
+          when($"doc_id" % 11 === 0,
+            array($"lang", r2, r3, lit("xx")))
+            .otherwise(array($"lang", r2, r3))).as("label"))
+      graft.ops.Labeling.fleissKappa(items, "doc_id", "label",
+        raters = 3)
+    }),
+
+    // ops politeness audit with fetch DURATIONS (X231): end-aware
+    // gaps (start vs previous END) over the events ledger — long
+    // fetches shrink gaps and overlapping fetches go negative,
+    // violations the start-to-start q257 audit cannot see.
+    "q264_politeness_overlap" -> ((s, d) => {
+      import s.implicits._
+      val fetches = t(s, d, "events")
+        .select(concat(lit("h"), ($"user_id" % 40).cast("string"))
+          .as("host"), $"ts",
+          ($"ts" + make_dt_interval(lit(0), lit(0), lit(0),
+            ($"event_id" % 90).cast("double"))).as("end_ts"))
+      graft.ops.Recrawl.politenessAudit(fetches,
+          minGapMillis = 60000L, endCol = Some("end_ts"))
+        .orderBy($"host")
+    }),
+
     // llmops term burstiness (X223): variance-to-mean dispersion of
     // per-doc counts, zeros in closed form — topical terms clump,
     // function words scatter; exact moment arithmetic replays.
@@ -11253,6 +11369,203 @@ object SparkEntry {
            SELECT host, ms,
                   ms - lag(ms) OVER (PARTITION BY host ORDER BY ms)
                     AS gap
+           FROM f),
+         a AS (
+           SELECT host, count(*)::BIGINT AS n_fetches,
+                  count(gap)::BIGINT AS n_gaps,
+                  min(gap)::BIGINT AS min_gap_ms,
+                  round(avg(gap), 4) AS mean_gap_ms,
+                  coalesce(sum(CASE WHEN gap < 60000 THEN 1
+                    ELSE 0 END), 0)::BIGINT AS n_violations
+           FROM g GROUP BY 1)
+         SELECT host, n_fetches, n_gaps, min_gap_ms, mean_gap_ms,
+                n_violations, n_violations = 0 AS ok
+         FROM a ORDER BY host""",
+    // ROUGE-L: token counts from DuckDB's own tokenization, LCS from
+    // the dumped kernel values, metric arithmetic replayed
+    "q259_rouge_l" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(
+                    regexp_replace(text,
+                    '([\x{0e00}-\x{0e7f}\x{0e80}-\x{0eff}\x{1000}-\x{109f}\x{1780}-\x{17ff}\x{3040}-\x{30ff}\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{f900}-\x{faff}])',
+                    ' \1 ', 'g'))), '\s+'), t -> t <> '') AS tk
+           FROM documents WHERE doc_id < 300 AND text IS NOT NULL),
+         prs AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 17 = 0 THEN []
+                       ELSE tk[1:30] END AS ct,
+                  tk[11:40] AS rt
+           FROM toks),
+         l AS (
+           SELECT doc_id, lcs FROM read_parquet(
+             '/root/repo/spark-warehouse/q259_lcs/*.parquet')),
+         m AS (
+           SELECT p.doc_id, len(ct)::BIGINT AS n_cand,
+                  len(rt)::BIGINT AS n_ref, l.lcs::BIGINT AS lcs
+           FROM prs p JOIN l ON p.doc_id = l.doc_id),
+         r AS (
+           SELECT doc_id, n_cand, n_ref, lcs,
+                  round(CASE WHEN n_cand > 0
+                    THEN lcs / n_cand::DOUBLE ELSE 0 END, 4)
+                    AS "precision",
+                  round(CASE WHEN n_ref > 0
+                    THEN lcs / n_ref::DOUBLE ELSE 0 END, 4) AS recall
+           FROM m)
+         SELECT doc_id, n_cand, n_ref, lcs, "precision", recall,
+                round(CASE WHEN "precision" + recall > 0
+                  THEN 2.0 * "precision" * recall /
+                       ("precision" + recall) ELSE 0 END, 4) AS f1
+         FROM r ORDER BY doc_id""",
+    // weighted kappa: observed/expected disagreement mass under the
+    // span-normalized quadratic weight, marginal grid from the
+    // confusion matrix
+    "q260_weighted_kappa" ->
+      """WITH lab AS (
+           SELECT (n_chars % 5 + 1)::INT AS a,
+                  least((n_chars % 5 + 1)
+                    + CASE WHEN doc_id % 11 = 0 THEN 3
+                           WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END,
+                    5)::INT AS b
+           FROM documents
+           WHERE doc_id < 500 AND n_chars IS NOT NULL
+             AND doc_id % 13 <> 0),
+         base AS (
+           SELECT count(*)::BIGINT AS n,
+                  (max(greatest(a, b)) - min(least(a, b)))::DOUBLE
+                    AS span
+           FROM lab),
+         dobs AS (
+           SELECT coalesce(sum(CASE WHEN span > 0
+             THEN ((a - b) / span) * ((a - b) / span)
+             ELSE 0 END), 0) AS dnum
+           FROM lab, base),
+         ma AS (SELECT a AS v, count(*) AS na FROM lab GROUP BY 1),
+         mb AS (SELECT b AS v, count(*) AS nb FROM lab GROUP BY 1),
+         dexp AS (
+           SELECT coalesce(sum(na::DOUBLE * nb * CASE WHEN span > 0
+             THEN ((ma.v - mb.v) / span) * ((ma.v - mb.v) / span)
+             ELSE 0 END), 0) AS enum
+           FROM ma, mb, base),
+         f AS (
+           SELECT n, round(dnum / n, 4) AS d_o,
+                  round(enum / (n::DOUBLE * n), 4) AS d_e
+           FROM base, dobs, dexp)
+         SELECT n AS n_items, d_o, d_e,
+                CASE WHEN d_e > 0
+                  THEN round(1.0 - d_o / d_e, 4) END AS kappa_w
+         FROM f""",
+    // interval Krippendorff: per-unit moment sums (the pairwise
+    // squared differences collapse to 2(m*S2 - S1^2)), alpha from
+    // the unrounded ratios
+    "q261_alpha_interval" ->
+      """WITH lab AS (
+           SELECT doc_id AS u, unnest([
+             (n_chars % 7 + 1)::DOUBLE,
+             (n_chars % 7 + 1)::DOUBLE
+               + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END,
+             CASE WHEN doc_id % 11 = 0 THEN NULL
+                  ELSE (n_chars % 7 + 1)::DOUBLE
+                    + CASE WHEN doc_id % 13 = 0 THEN 3 ELSE 0 END
+                  END]) AS v
+           FROM documents WHERE doc_id < 400 AND n_chars IS NOT NULL),
+         l2 AS (SELECT u, v FROM lab WHERE v IS NOT NULL),
+         pu AS (
+           SELECT u, count(*)::BIGINT AS m, sum(v) AS s1,
+                  sum(v * v) AS s2
+           FROM l2 GROUP BY 1 HAVING count(*) >= 2),
+         g AS (
+           SELECT coalesce(sum(m), 0)::BIGINT AS n,
+                  coalesce(sum(2.0 * (m * s2 - s1 * s1) / (m - 1)), 0)
+                    AS donum,
+                  coalesce(sum(s1), 0) AS gs1,
+                  coalesce(sum(s2), 0) AS gs2
+           FROM pu),
+         f AS (
+           SELECT n AS n_pairable,
+                  CASE WHEN n >= 2 THEN donum / n END AS dov,
+                  CASE WHEN n >= 2 THEN
+                    2.0 * (n * gs2 - gs1 * gs1) / (n * (n - 1)) END
+                    AS dev
+           FROM g)
+         SELECT n_pairable, round(dov, 4) AS d_o, round(dev, 4) AS d_e,
+                CASE WHEN dev > 0
+                  THEN round(1.0 - dov / dev, 4) END AS alpha
+         FROM f""",
+    // actionable leakage: straddling pairs with splits in id order,
+    // replayed from the dumped LSH edges
+    "q262_leakage_pairs" ->
+      """WITH e AS (
+           SELECT id_a, id_b FROM read_parquet(
+             '/root/repo/spark-warehouse/q262_edges/*.parquet')),
+         ids AS (
+           SELECT id_a AS id FROM e UNION SELECT id_b FROM e),
+         sp AS (
+           SELECT id,
+                  CASE WHEN id >= 700000 THEN 'test'
+                       WHEN id % 10 < 8 THEN 'train'
+                       WHEN id % 10 = 8 THEN 'val'
+                       ELSE 'test' END AS s
+           FROM ids)
+         SELECT e.id_a, e.id_b, sa.s AS split_a, sb.s AS split_b
+         FROM e JOIN sp sa ON sa.id = e.id_a
+                JOIN sp sb ON sb.id = e.id_b
+         WHERE sa.s <> sb.s
+         ORDER BY e.id_a, e.id_b""",
+    // Fleiss' kappa: pooled-marginal chance over the constant-panel
+    // slice; off-panel items dropped and counted
+    "q263_fleiss_kappa" ->
+      """WITH src AS (
+           SELECT doc_id, lang,
+                  CASE WHEN doc_id % 7 = 0 THEN 'zz' ELSE lang END
+                    AS r2,
+                  CASE WHEN doc_id % 13 = 0 THEN 'yy' ELSE lang END
+                    AS r3
+           FROM documents WHERE doc_id < 400 AND lang IS NOT NULL),
+         lab AS (
+           SELECT doc_id AS u,
+                  unnest(CASE WHEN doc_id % 11 = 0
+                    THEN [lang, r2, r3, 'xx']
+                    ELSE [lang, r2, r3] END) AS c
+           FROM src),
+         nuc AS (SELECT u, c, count(*) AS nuc FROM lab GROUP BY 1, 2),
+         mu AS (
+           SELECT u, sum(nuc) AS m, sum(nuc * nuc) AS ss
+           FROM nuc GROUP BY 1),
+         kept AS (SELECT * FROM mu WHERE m = 3),
+         base AS (
+           SELECT count(*)::BIGINT AS n_items,
+                  coalesce(avg((ss - m) / 6.0), 0) AS pbar
+           FROM kept),
+         drp AS (
+           SELECT count(*)::BIGINT AS n_dropped FROM mu WHERE m <> 3),
+         pe AS (
+           SELECT coalesce(sum(nc * nc), 0)::BIGINT AS nc2 FROM (
+             SELECT c, sum(nuc) AS nc
+             FROM nuc JOIN kept USING (u) GROUP BY 1)),
+         f AS (
+           SELECT n_items, n_dropped,
+                  CASE WHEN n_items > 0 THEN round(pbar, 4) END
+                    AS p_bar,
+                  CASE WHEN n_items > 0 THEN round(nc2 /
+                    ((n_items * 3.0) * (n_items * 3.0)), 4) END AS p_e
+           FROM base, drp, pe)
+         SELECT n_items, n_dropped, p_bar, p_e,
+                CASE WHEN p_e < 1.0
+                  THEN round((p_bar - p_e) / (1.0 - p_e), 4) END
+                  AS kappa
+         FROM f""",
+    // end-aware politeness: gaps run start vs previous END per host
+    "q264_politeness_overlap" ->
+      """WITH f AS (
+           SELECT 'h' || (user_id % 40)::VARCHAR AS host,
+                  epoch_ms(ts) AS ms,
+                  epoch_ms(ts) + (event_id % 90) * 1000 AS ems
+           FROM events),
+         g AS (
+           SELECT host, ms,
+                  ms - lag(ems) OVER (PARTITION BY host
+                    ORDER BY ms, ems) AS gap
            FROM f),
          a AS (
            SELECT host, count(*)::BIGINT AS n_fetches,

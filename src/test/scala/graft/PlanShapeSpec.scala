@@ -607,4 +607,32 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p.take(2000))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
+
+  test("q251/q258: the labeling statistics shuffle the item stream " +
+       "ONCE — the final plan runs on the checkpointed count table, " +
+       "never re-scanning parquet per marginal") {
+    for (q <- Seq("q251_cohen_kappa", "q258_krippendorff_alpha")) {
+      val p = plan(q)
+      assert(!p.contains("Scan parquet"),
+        s"$q re-reads the input past the lineage cut\n${p.take(2000)}")
+    }
+  }
+
+  test("q259: ROUGE-L is a narrow map — the LCS kernel runs inside " +
+       "the projection, no join, no aggregate, one exchange for the " +
+       "output sort only") {
+    val p = plan("q259_rouge_l")
+    assert(p.contains("lcs_length"), p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+    assert(!p.contains("HashAggregate"), p.take(2000))
+  }
+
+  test("q261: interval alpha consumes each input row once — one " +
+       "item-keyed partial/final aggregate pair, then one-row math; " +
+       "no join in the plan at all") {
+    val p = plan("q261_alpha_interval")
+    assert(!p.contains("Join"), p.take(2000))
+    // partial + final for the per-unit agg and for the one-row agg
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+  }
 }

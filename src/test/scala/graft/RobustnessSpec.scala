@@ -54,7 +54,12 @@ class RobustnessSpec extends SparkTestBase {
       "q239_card_redaction", "q240_embedding_outliers",
       "q241_graph_health", "q242_psi_windows", "q243_fuzzy_pairs",
       "q244_change_point", "q245_profile_drift", "q246_soft_dedup",
-      "q247_entity_clusters", "q248_burstiness", "q249_quote_spans")
+      "q247_entity_clusters", "q248_burstiness", "q249_quote_spans",
+      // round 14: agreement family, order-aware ROUGE, leakage pairs
+      "q251_cohen_kappa", "q258_krippendorff_alpha", "q259_rouge_l",
+      "q260_weighted_kappa", "q261_alpha_interval",
+      "q262_leakage_pairs", "q263_fleiss_kappa",
+      "q264_politeness_overlap")
     for (name <- picked) {
       val fn = SparkEntry.queries(name)
       val a = fn(spark, sf0001).collect().map(_.toString).sorted.toSeq
