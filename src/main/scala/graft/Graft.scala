@@ -877,6 +877,27 @@ object Graft {
   def krippendorffAlphaInterval(df: DataFrame, itemCol: String,
                                 valueCol: String): DataFrame =
     ops.Labeling.krippendorffAlphaInterval(df, itemCol, valueCol)
+  /** Gwet's AC1 (X239, q265): prevalence-robust two-rater agreement
+    * — stays calibrated where kappa's paradox strikes. */
+  def gwetAC1(df: DataFrame, raterACol: String,
+              raterBCol: String): DataFrame =
+    ops.Labeling.gwetAC1(df, raterACol, raterBCol)
+  /** Krippendorff's alpha, ordinal (X240, q266): ranked categories,
+    * marginal-walking difference function. */
+  def krippendorffAlphaOrdinal(df: DataFrame, itemCol: String,
+                               labelCol: String): DataFrame =
+    ops.Labeling.krippendorffAlphaOrdinal(df, itemCol, labelCol)
+  /** Majority-vote consensus label per item (X241, q267): winning
+    * label, vote counts, support share; deterministic ties. */
+  def consensusLabels(df: DataFrame, itemCol: String,
+                      labelCol: String): DataFrame =
+    ops.Labeling.consensusLabels(df, itemCol, labelCol)
+  /** Per-rater agreement vs consensus + outlier flag (X241, q268):
+    * which annotator is dragging alpha down. */
+  def raterOutliers(df: DataFrame, itemCol: String, raterCol: String,
+                    labelCol: String,
+                    zThresh: Double = 2.0): DataFrame =
+    ops.Labeling.raterOutliers(df, itemCol, raterCol, labelCol, zThresh)
   /** ROUGE-N per (candidate, reference) pair (X227, q252): clipped
     * bag-of-ngrams precision/recall/F1. */
   def rougeN(pairs: DataFrame, n: Int = 2, idCol: String = "doc_id",

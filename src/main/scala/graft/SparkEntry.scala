@@ -4996,6 +4996,78 @@ object SparkEntry {
         .orderBy($"host")
     }),
 
+    // ops Gwet's AC1 (X239): the same rater pair as q251 scored by
+    // the prevalence-robust chance term — averaged marginals,
+    // random-category gamma_e, AC1 from the rounded pair.
+    "q265_gwet_ac1" -> ((s, d) => {
+      import s.implicits._
+      val items = t(s, d, "documents")
+        .filter($"doc_id" < 500 && $"lang".isNotNull)
+        .select($"doc_id", $"lang".as("rater_a"),
+          when($"doc_id" % 13 === 0, lit(null).cast("string"))
+            .otherwise(when($"doc_id" % 7 === 0, lit("zz"))
+              .otherwise($"lang")).as("rater_b"))
+      graft.ops.Labeling.gwetAC1(items, "rater_a", "rater_b")
+    }),
+
+    // ops ordinal Krippendorff (X240): the q261 scores read as RANKS
+    // — the marginal-walking difference function (cumulative window,
+    // label-pair grid, within-unit pairs) replays relationally.
+    "q266_alpha_ordinal" -> ((s, d) => {
+      import s.implicits._
+      val base = ($"n_chars" % 7 + 1).cast("int")
+      val items = t(s, d, "documents")
+        .filter($"doc_id" < 400 && $"n_chars".isNotNull)
+        .select($"doc_id", explode(array(
+          base,
+          base + when($"doc_id" % 7 === 0, 1).otherwise(0),
+          when($"doc_id" % 11 === 0, lit(null).cast("int"))
+            .otherwise(base + when($"doc_id" % 13 === 0, 3)
+              .otherwise(0)))).as("label"))
+      graft.ops.Labeling.krippendorffAlphaOrdinal(items,
+        "doc_id", "label")
+    }),
+
+    // ops consensus labels (X241): 3-rater majority vote per item —
+    // winning label, vote counts, support share; argmax replayed
+    // with a row_number window in the oracle.
+    "q267_consensus_labels" -> ((s, d) => {
+      import s.implicits._
+      val items = t(s, d, "documents")
+        .filter($"doc_id" < 400 && $"lang".isNotNull)
+        .select($"doc_id", explode(array(
+          $"lang",
+          when($"doc_id" % 7 === 0, lit("zz")).otherwise($"lang"),
+          when($"doc_id" % 13 === 0, lit("yy")).otherwise($"lang")))
+          .as("label"))
+      graft.ops.Labeling.consensusLabels(items, "doc_id", "label")
+        .orderBy($"doc_id")
+    }),
+
+    // ops rater outliers (X241): five raters, one ('r5') diverging
+    // on every 2nd item — its agreement-with-consensus z-score must
+    // flag it while the healthy raters pass.
+    "q268_rater_outliers" -> ((s, d) => {
+      import s.implicits._
+      val items = t(s, d, "documents")
+        .filter($"doc_id" < 400 && $"lang".isNotNull)
+        .select($"doc_id", explode(array(
+          struct(lit("r1").as("rater"), $"lang".as("label")),
+          struct(lit("r2").as("rater"), $"lang".as("label")),
+          struct(lit("r3").as("rater"), $"lang".as("label")),
+          struct(lit("r4").as("rater"),
+            when($"doc_id" % 7 === 0, lit("zz")).otherwise($"lang")
+              .as("label")),
+          struct(lit("r5").as("rater"),
+            when($"doc_id" % 2 === 0, lit("qq")).otherwise($"lang")
+              .as("label")))).as("rl"))
+        .select($"doc_id", $"rl.rater".as("rater"),
+          $"rl.label".as("label"))
+      graft.ops.Labeling.raterOutliers(items, "doc_id", "rater",
+          "label", zThresh = 1.5)
+        .orderBy($"rater")
+    }),
+
     // llmops term burstiness (X223): variance-to-mean dispersion of
     // per-doc counts, zeros in closed form — topical terms clump,
     // function words scatter; exact moment arithmetic replays.
@@ -11578,6 +11650,157 @@ object SparkEntry {
          SELECT host, n_fetches, n_gaps, min_gap_ms, mean_gap_ms,
                 n_violations, n_violations = 0 AS ok
          FROM a ORDER BY host""",
+    // Gwet's AC1: averaged marginals over the label union, the
+    // random-category chance term, AC1 from the rounded pair
+    "q265_gwet_ac1" ->
+      """WITH lab AS (
+           SELECT lang AS a,
+                  CASE WHEN doc_id % 7 = 0 THEN 'zz' ELSE lang END AS b
+           FROM documents
+           WHERE doc_id < 500 AND lang IS NOT NULL
+             AND doc_id % 13 <> 0),
+         base AS (
+           SELECT count(*)::BIGINT AS n,
+                  coalesce(sum(CASE WHEN a = b THEN 1 ELSE 0 END),
+                    0)::BIGINT AS ok
+           FROM lab),
+         ma AS (SELECT a AS lbl, count(*) AS na FROM lab GROUP BY 1),
+         mb AS (SELECT b AS lbl, count(*) AS nb FROM lab GROUP BY 1),
+         pis AS (
+           SELECT lbl, coalesce(na, 0) + coalesce(nb, 0) AS tot
+           FROM ma FULL OUTER JOIN mb USING (lbl)),
+         g AS (
+           SELECT count(*)::BIGINT AS k,
+                  coalesce(sum((tot / (2.0 * n)) *
+                    (1 - tot / (2.0 * n))), 0) AS sumpi
+           FROM pis, base),
+         f AS (
+           SELECT n AS n_items,
+                  round(CASE WHEN n > 0 THEN ok / n::DOUBLE
+                    ELSE 0 END, 4) AS po,
+                  CASE WHEN n > 0 AND k >= 2
+                    THEN round(sumpi / (k - 1), 4) END AS gamma_e
+           FROM base, g)
+         SELECT n_items, po, gamma_e,
+                CASE WHEN gamma_e < 1.0
+                  THEN round((po - gamma_e) / (1.0 - gamma_e), 4) END
+                  AS ac1
+         FROM f""",
+    // ordinal alpha: cumulative marginal walk, label-pair grid,
+    // within-unit pairs; alpha from the unrounded ratios
+    "q266_alpha_ordinal" ->
+      """WITH lab AS (
+           SELECT doc_id AS u, unnest([
+             (n_chars % 7 + 1)::DOUBLE,
+             (n_chars % 7 + 1)::DOUBLE
+               + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END,
+             CASE WHEN doc_id % 11 = 0 THEN NULL
+                  ELSE (n_chars % 7 + 1)::DOUBLE
+                    + CASE WHEN doc_id % 13 = 0 THEN 3 ELSE 0 END
+                  END]) AS c
+           FROM documents WHERE doc_id < 400 AND n_chars IS NOT NULL),
+         l2 AS (SELECT u, c FROM lab WHERE c IS NOT NULL),
+         nuc AS (SELECT u, c, count(*) AS nuc FROM l2 GROUP BY 1, 2),
+         mu AS (SELECT u, sum(nuc) AS m FROM nuc GROUP BY 1),
+         units AS (
+           SELECT nuc.u, nuc.c, nuc.nuc, mu.m
+           FROM nuc JOIN mu USING (u) WHERE m >= 2),
+         marg AS (SELECT c, sum(nuc) AS nc FROM units GROUP BY 1),
+         cum AS (
+           SELECT c, nc, sum(nc) OVER (ORDER BY c) AS cm FROM marg),
+         grid AS (
+           SELECT a.c AS ca, b.c AS cb, a.nc AS nca, b.nc AS ncb,
+                  ((b.cm - a.cm + a.nc)
+                    - (a.nc + b.nc) / 2.0) *
+                  ((b.cm - a.cm + a.nc)
+                    - (a.nc + b.nc) / 2.0) AS d2
+           FROM cum a JOIN cum b ON a.c < b.c),
+         de AS (
+           SELECT coalesce(sum(2.0 * nca * ncb * d2), 0) AS denum
+           FROM grid),
+         pr AS (
+           SELECT coalesce(sum(2.0 * ua.nuc * ub.nuc * g.d2 /
+             (ua.m - 1)), 0) AS donum
+           FROM units ua JOIN units ub
+             ON ua.u = ub.u AND ua.c < ub.c
+           JOIN grid g ON g.ca = ua.c AND g.cb = ub.c),
+         nn AS (SELECT coalesce(sum(nuc), 0)::BIGINT AS n FROM units),
+         f AS (
+           SELECT n AS n_pairable,
+                  CASE WHEN n >= 2 THEN donum / n END AS dov,
+                  CASE WHEN n >= 2
+                    THEN denum / (n * (n - 1)) END AS dev
+           FROM nn, pr, de)
+         SELECT n_pairable, round(dov, 4) AS d_o, round(dev, 4) AS d_e,
+                CASE WHEN dev > 0
+                  THEN round(1.0 - dov / dev, 4) END AS alpha
+         FROM f""",
+    // consensus labels: the struct-argmax replayed with a row_number
+    // window (count desc, label desc)
+    "q267_consensus_labels" ->
+      """WITH lab AS (
+           SELECT doc_id, unnest([
+             lang,
+             CASE WHEN doc_id % 7 = 0 THEN 'zz' ELSE lang END,
+             CASE WHEN doc_id % 13 = 0 THEN 'yy' ELSE lang END]) AS c
+           FROM documents WHERE doc_id < 400 AND lang IS NOT NULL),
+         nuc AS (
+           SELECT doc_id, c, count(*) AS n FROM lab GROUP BY 1, 2),
+         top AS (
+           SELECT doc_id, c AS consensus, n AS votes_top,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY n DESC, c DESC) AS rk
+           FROM nuc),
+         tot AS (
+           SELECT doc_id, sum(n)::BIGINT AS n_votes
+           FROM nuc GROUP BY 1)
+         SELECT t.doc_id, consensus, votes_top::BIGINT AS votes_top,
+                n_votes,
+                round(votes_top / n_votes::DOUBLE, 4) AS support
+         FROM top t JOIN tot USING (doc_id)
+         WHERE rk = 1 ORDER BY t.doc_id""",
+    // rater outliers: agreement with the row_number consensus,
+    // population z over raters, one-sided flag on the rounded z
+    "q268_rater_outliers" ->
+      """WITH src AS (
+           SELECT doc_id, lang,
+                  CASE WHEN doc_id % 7 = 0 THEN 'zz' ELSE lang END
+                    AS r4,
+                  CASE WHEN doc_id % 2 = 0 THEN 'qq' ELSE lang END
+                    AS r5
+           FROM documents WHERE doc_id < 400 AND lang IS NOT NULL),
+         lab AS (
+           SELECT doc_id, u.rater, u.label FROM src,
+           unnest([
+             {'rater': 'r1', 'label': lang},
+             {'rater': 'r2', 'label': lang},
+             {'rater': 'r3', 'label': lang},
+             {'rater': 'r4', 'label': r4},
+             {'rater': 'r5', 'label': r5}]) AS t(u)),
+         nuc AS (
+           SELECT doc_id, label AS c, count(*) AS n
+           FROM lab GROUP BY 1, 2),
+         top AS (
+           SELECT doc_id, c AS consensus,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY n DESC, c DESC) AS rk
+           FROM nuc),
+         cons AS (SELECT doc_id, consensus FROM top WHERE rk = 1),
+         per AS (
+           SELECT rater, count(*)::BIGINT AS n_items,
+                  avg(CASE WHEN label = consensus THEN 1.0
+                    ELSE 0.0 END) AS rate
+           FROM lab JOIN cons USING (doc_id)
+           GROUP BY 1),
+         st AS (
+           SELECT avg(rate) AS mu, stddev_pop(rate) AS sd FROM per)
+         SELECT rater, n_items, round(rate, 4) AS agree_rate,
+                CASE WHEN sd > 0
+                  THEN round((rate - mu) / sd, 4) END AS z,
+                coalesce(CASE WHEN sd > 0
+                  THEN round((rate - mu) / sd, 4) < -1.5 END, false)
+                  AS outlier
+         FROM per, st ORDER BY rater""",
     // burstiness: zeros-in-closed-form dispersion from the term-count
     // table; HUGEINT sums cast back
     "q248_burstiness" ->

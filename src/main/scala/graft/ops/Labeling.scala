@@ -190,6 +190,56 @@ object Labeling {
             4)))
   }
 
+  /** Gwet's AC1 (X239; Gwet 2008) — the chance-corrected agreement
+    * that survives the PREVALENCE PARADOX: on a skewed queue (90%
+    * "ok" moderation labels) Cohen's kappa can go NEGATIVE at 80%
+    * raw agreement, because its chance term p_e inflates with the
+    * shared marginal; AC1's chance term γ_e = (1/(k−1))·Σ_c
+    * π_c(1−π_c) (π_c = the AVERAGED marginal, k = observed
+    * categories across both raters) measures the chance of agreeing
+    * on a RANDOM category instead, staying calibrated under skew —
+    * which is why annotation-ops teams report AC1 next to κ.
+    * AC1 = (p_o − γ_e)/(1 − γ_e), from the ROUNDED pair like
+    * [[cohenKappa]]; null when k < 2 or γ_e = 1 or the input is
+    * empty.
+    *
+    * Scale shape: the same single confusion-matrix shuffle as
+    * [[cohenKappa]]; the marginal union is label-space-sized.
+    *
+    * @return one row: (n_items, po, gamma_e, ac1) — 4dp
+    */
+  def gwetAC1(df: DataFrame, raterACol: String, raterBCol: String)
+      : DataFrame = {
+    val m = confusion(df, raterACol, raterBCol)
+    val base = m.agg(
+      coalesce(sum(col("__n")), lit(0L)).as("n_items"),
+      coalesce(sum(when(col("__a") === col("__b"), col("__n"))),
+        lit(0L)).as("__ok"))
+    val pis = m.groupBy(col("__a").as("__lbl"))
+      .agg(sum(col("__n")).as("__na"))
+      .join(m.groupBy(col("__b").as("__lbl"))
+        .agg(sum(col("__n")).as("__nb")), Seq("__lbl"), "full_outer")
+      .select(col("__lbl"),
+        (coalesce(col("__na"), lit(0L)) + coalesce(col("__nb"), lit(0L)))
+          .as("__tot"))
+    val gam = pis.crossJoin(base)
+      .agg(count(lit(1)).as("__k"),
+        coalesce(sum((col("__tot") / (lit(2.0) * col("n_items"))) *
+          (lit(1.0) - col("__tot") / (lit(2.0) * col("n_items")))),
+          lit(0.0)).as("__sumpi"))
+    base.crossJoin(gam)
+      .select(col("n_items"),
+        round(when(col("n_items") > 0,
+          col("__ok").cast("double") / col("n_items")).otherwise(0.0), 4)
+          .as("po"),
+        when(col("n_items") > 0 && col("__k") >= 2,
+          round(col("__sumpi") / (col("__k") - 1), 4)).as("gamma_e"))
+      .withColumn("ac1",
+        when(col("gamma_e") < 1.0,
+          round((col("po") - col("gamma_e")) /
+            (lit(1.0) - col("gamma_e")), 4)))
+  }
+
   /** Krippendorff's alpha, nominal data (X233; Krippendorff 2004) —
     * the agreement statistic for the cases Cohen's kappa cannot
     * score: ANY number of raters, MISSING labels (a unit rated by
@@ -272,6 +322,155 @@ object Labeling {
     *
     * @return one row: (n_pairable, d_o, d_e, alpha) — 4dp
     */
+  /** Krippendorff's alpha, ORDINAL data (X240; Krippendorff 2004) —
+    * the third metric in the alpha family: ordered categories whose
+    * spacing is NOT meaningful (severity grades, star ratings read as
+    * ranks). The ordinal difference walks the observed marginal:
+    * δ²(c,k) = (Σ_{g=c..k} n_g − (n_c + n_k)/2)², so skipping a
+    * POPULAR middle category costs more than skipping a rare one —
+    * which neither the nominal (all-or-nothing) nor the interval
+    * (fixed spacing) metric expresses. Same unit semantics as
+    * [[krippendorffAlpha]]; α from the unrounded D_o/D_e.
+    *
+    * Scale shape: one (item, label) count shuffle (checkpointed, it
+    * feeds three consumers), a label-space cumulative window (single
+    * partition, bounded by the LABEL space — documented, never
+    * item-scaled), a label²-row δ² grid, and a WITHIN-unit pair join
+    * whose per-unit output is bounded by (distinct labels per
+    * unit)² ≤ raters² — the one pairwise step the ordinal metric
+    * cannot algebraically collapse (unlike [[krippendorffAlphaInterval]]).
+    *
+    * @return one row: (n_pairable, d_o, d_e, alpha) — 4dp
+    */
+  def krippendorffAlphaOrdinal(df: DataFrame, itemCol: String,
+                               labelCol: String): DataFrame = {
+    val nuc = df
+      .where(col(itemCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(itemCol).as("__u"),
+        col(labelCol).cast("double").as("__c"))
+      .agg(count(lit(1)).as("__nuc"))
+      .localCheckpoint()
+    val mu = nuc.groupBy(col("__u")).agg(sum(col("__nuc")).as("__mu"))
+    val units = nuc.join(mu, Seq("__u")).where(col("__mu") >= 2)
+      .localCheckpoint()
+    val marg = units.groupBy(col("__c")).agg(sum(col("__nuc")).as("__nc"))
+    // label-space cumulative marginal — the window is single-partition
+    // by construction but runs over |labels| rows, never items
+    val cum = marg.withColumn("__cum",
+      sum(col("__nc")).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("__c"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)))
+    val ga = cum.select(col("__c").as("__ca"), col("__nc").as("__nca"),
+      col("__cum").as("__cuma"))
+    val gb = cum.select(col("__c").as("__cb"), col("__nc").as("__ncb"),
+      col("__cum").as("__cumb"))
+    val grid = ga.join(gb, col("__ca") < col("__cb"))
+      .withColumn("__d2", {
+        // Σ_{g=ca..cb} n_g = cum(cb) − cum(ca) + n_ca
+        val s = col("__cumb") - col("__cuma") + col("__nca")
+        val d = s.cast("double") -
+          (col("__nca") + col("__ncb")).cast("double") / 2.0
+        d * d
+      })
+    val de = grid.agg(coalesce(sum(lit(2.0) *
+      col("__nca").cast("double") * col("__ncb") * col("__d2")),
+      lit(0.0)).as("__denum"))
+    val ua = units.select(col("__u"), col("__c").as("__ca"),
+      col("__nuc").as("__pa"), col("__mu"))
+    val ub = units.select(col("__u"), col("__c").as("__cb"),
+      col("__nuc").as("__pb"))
+    val doRow = ua.join(ub, Seq("__u")).where(col("__ca") < col("__cb"))
+      .join(broadcast(grid.select(col("__ca"), col("__cb"), col("__d2"))),
+        Seq("__ca", "__cb"))
+      .agg(coalesce(sum(lit(2.0) * col("__pa") * col("__pb") *
+        col("__d2") / (col("__mu") - 1).cast("double")), lit(0.0))
+        .as("__donum"))
+    val nRow = units.agg(coalesce(sum(col("__nuc")), lit(0L)).as("__n"))
+    nRow.crossJoin(doRow).crossJoin(de)
+      .select(col("__n").as("n_pairable"),
+        when(col("__n") >= 2, col("__donum") / col("__n")).as("__do"),
+        when(col("__n") >= 2, col("__denum") /
+          (col("__n") * (col("__n") - 1)).cast("double")).as("__de"))
+      .select(col("n_pairable"),
+        round(col("__do"), 4).as("d_o"),
+        round(col("__de"), 4).as("d_e"),
+        when(col("__de") > 0,
+          round(lit(1.0) - col("__do") / col("__de"), 4)).as("alpha"))
+  }
+
+  /** Majority-vote consensus label per item (X241) — the label
+    * AGGREGATION step of every annotation queue: long (item, label)
+    * assignments in, one row per item out with the winning label, its
+    * vote count, the item's total votes, and `support` = votes_top /
+    * n_votes (1.0 = unanimous). Ties break toward the LARGER label
+    * (struct-max over (count, label) — deterministic, rerun-stable).
+    * NULL items/labels are excluded. Leave-in consensus: each rater's
+    * own vote counts toward the majority they are compared against
+    * (the standard queue report; a leave-one-out variant would need
+    * per-rater re-aggregation).
+    *
+    * Scale shape: one (item, label) count shuffle, then the A2/W2
+    * struct-argmax per item — no window, no second pass over the
+    * assignment stream.
+    *
+    * @return (itemCol, consensus, votes_top, n_votes, support 4dp)
+    */
+  def consensusLabels(df: DataFrame, itemCol: String,
+                      labelCol: String): DataFrame =
+    df.where(col(itemCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(itemCol), col(labelCol).as("__c"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col(itemCol))
+      .agg(max(struct(col("__n"), col("__c"))).as("__w"),
+        sum(col("__n")).as("n_votes"))
+      .select(col(itemCol), col("__w.__c").as("consensus"),
+        col("__w.__n").as("votes_top"), col("n_votes"),
+        round(col("__w.__n").cast("double") / col("n_votes"), 4)
+          .as("support"))
+
+  /** Per-rater agreement with the majority consensus + outlier flag
+    * (X241) — the queue-ops question behind every agreement
+    * statistic: WHICH annotator is dragging α down? Each rater's
+    * assignments are scored against [[consensusLabels]] (leave-in,
+    * see the caveat there); a rater is flagged when their agreement
+    * rate sits more than `zThresh` population standard deviations
+    * BELOW the rater mean (one-sided — agreeing too much is not a
+    * defect under majority voting). z is null (and no one is
+    * flagged) when the rates have zero variance.
+    *
+    * Scale shape: one (item, label) count shuffle for the consensus,
+    * one slim (item, consensus) equi-join back onto the assignment
+    * stream, one rater-keyed aggregate (rater-space rows), and a
+    * one-row stats broadcast.
+    *
+    * @return (raterCol, n_items, agree_rate, z, outlier) — 4dp
+    */
+  def raterOutliers(df: DataFrame, itemCol: String, raterCol: String,
+                    labelCol: String, zThresh: Double = 2.0)
+      : DataFrame = {
+    require(zThresh > 0, s"zThresh must be > 0, got $zThresh")
+    val labeled = df.where(col(itemCol).isNotNull &&
+      col(raterCol).isNotNull && col(labelCol).isNotNull)
+    val cons = consensusLabels(labeled, itemCol, labelCol)
+      .select(col(itemCol), col("consensus"))
+    val per = labeled.join(cons, Seq(itemCol))
+      .groupBy(col(raterCol))
+      .agg(count(lit(1)).as("n_items"),
+        avg(when(col(labelCol) === col("consensus"), 1.0)
+          .otherwise(0.0)).as("__rate"))
+    val stats = per.agg(avg(col("__rate")).as("__mu"),
+      stddev_pop(col("__rate")).as("__sd"))
+    per.crossJoin(stats)
+      .select(col(raterCol), col("n_items"),
+        round(col("__rate"), 4).as("agree_rate"),
+        when(col("__sd") > 0,
+          round((col("__rate") - col("__mu")) / col("__sd"), 4)).as("z"))
+      .withColumn("outlier",
+        coalesce(col("z") < -zThresh, lit(false)))
+  }
+
   def krippendorffAlphaInterval(df: DataFrame, itemCol: String,
                                 valueCol: String): DataFrame = {
     val labeled = df

@@ -59,7 +59,9 @@ class RobustnessSpec extends SparkTestBase {
       "q251_cohen_kappa", "q258_krippendorff_alpha", "q259_rouge_l",
       "q260_weighted_kappa", "q261_alpha_interval",
       "q262_leakage_pairs", "q263_fleiss_kappa",
-      "q264_politeness_overlap")
+      "q264_politeness_overlap", "q265_gwet_ac1",
+      "q266_alpha_ordinal", "q267_consensus_labels",
+      "q268_rater_outliers")
     for (name <- picked) {
       val fn = SparkEntry.queries(name)
       val a = fn(spark, sf0001).collect().map(_.toString).sorted.toSeq

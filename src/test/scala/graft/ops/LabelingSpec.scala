@@ -108,6 +108,107 @@ class LabelingSpec extends SparkTestBase {
     }
   }
 
+  test("gwetAC1: survives the prevalence paradox where kappa goes " +
+      "negative; single category undefined; empty input null") {
+    // 8 ok/ok + (ok,bad) + (bad,ok): po = 0.8 but kappa < 0
+    val skew = (Seq.fill(8)(("ok", "ok")) ++
+      Seq(("ok", "bad"), ("bad", "ok"))).toDF("ra", "rb")
+    val k = Labeling.cohenKappa(skew, "ra", "rb").head()
+    assert(k.getDouble(3) == -0.1111, k.toString) // the paradox
+    val g = Labeling.gwetAC1(skew, "ra", "rb").head()
+    assert(g.getLong(0) == 10L && g.getDouble(1) == 0.8)
+    // pi_ok = 0.9, pi_bad = 0.1 -> gamma_e = 0.18
+    assert(g.getDouble(2) == 0.18)
+    assert(g.getDouble(3) == 0.7561) // (0.8 - 0.18)/0.82
+    // one shared category: k = 1, gamma_e and AC1 undefined
+    val one = Seq(("ok", "ok"), ("ok", "ok")).toDF("ra", "rb")
+    val g1 = Labeling.gwetAC1(one, "ra", "rb").head()
+    assert(g1.isNullAt(2) && g1.isNullAt(3))
+    // empty input
+    val empty = Labeling.gwetAC1(
+      Seq.empty[(String, String)].toDF("ra", "rb"), "ra", "rb").head()
+    assert(empty.getLong(0) == 0L && empty.isNullAt(3))
+  }
+
+  test("krippendorffAlphaOrdinal: closed forms against a reference " +
+      "implementation — skipping a popular middle category costs " +
+      "more; singleton units dropped") {
+    def alpha(rows: Seq[(Long, Int)]): org.apache.spark.sql.Row =
+      Labeling.krippendorffAlphaOrdinal(rows.toDF("item", "label"),
+        "item", "label").head()
+    // perfect agreement: D_o = 0
+    val perfect = alpha(Seq(1L -> 1, 1L -> 1, 2L -> 3, 2L -> 3))
+    assert(perfect.getLong(0) == 4L && perfect.getDouble(1) == 0.0)
+    assert(perfect.getDouble(2) == 2.6667 &&
+      perfect.getDouble(3) == 1.0)
+    // the nominal textbook chance case stays 0 under ordinal too
+    val chance = alpha(Seq(1L -> 1, 1L -> 1, 2L -> 1, 2L -> 2))
+    assert(chance.getDouble(1) == 2.0 && chance.getDouble(2) == 2.0)
+    assert(chance.getDouble(3) == 0.0)
+    // adjacent-step disagreements {1,2} and {2,3}: ordinal alpha
+    // 0.25 where nominal alpha on the same data is -0.2
+    val near = alpha(Seq(1L -> 1, 1L -> 2, 2L -> 2, 2L -> 3))
+    assert(near.getDouble(1) == 2.25 && near.getDouble(2) == 3.0)
+    assert(near.getDouble(3) == 0.25)
+    val nominal = Labeling.krippendorffAlpha(
+      Seq(1L -> "1", 1L -> "2", 2L -> "2", 2L -> "3")
+        .toDF("item", "label"), "item", "label").head()
+    assert(nominal.getDouble(3) == -0.2)
+    // mixed panel with an unpairable singleton dropped
+    val mixed = alpha(Seq(1L -> 1, 1L -> 1, 2L -> 2, 2L -> 3,
+      3L -> 3, 3L -> 3, 9L -> 2))
+    assert(mixed.getLong(0) == 6L)
+    assert(mixed.getDouble(1) == 1.3333 && mixed.getDouble(2) == 6.0)
+    assert(mixed.getDouble(3) == 0.7778)
+    // zero variance and empty input: undefined alpha
+    assert(alpha(Seq(1L -> 2, 1L -> 2, 2L -> 2, 2L -> 2)).isNullAt(3))
+    val empty = alpha(Seq.empty[(Long, Int)])
+    assert(empty.getLong(0) == 0L && empty.isNullAt(3))
+  }
+
+  test("consensusLabels: majority wins, ties break toward the " +
+      "larger label deterministically, support is the vote share") {
+    val votes = Seq(
+      1L -> "a", 1L -> "a", 1L -> "b",       // majority a, 2/3
+      2L -> "x", 2L -> "y",                  // tie -> y (larger)
+      3L -> "solo")                          // unanimous singleton
+      .toDF("item", "label")
+    val got = Labeling.consensusLabels(votes, "item", "label")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).toMap
+    assert(got(1L) == (("a", 2L, 3L, 0.6667)))
+    assert(got(2L) == (("y", 1L, 2L, 0.5)))
+    assert(got(3L) == (("solo", 1L, 1L, 1.0)))
+  }
+
+  test("raterOutliers: the rater who diverges from the majority is " +
+      "flagged below -zThresh; zero-variance panels flag no one") {
+    // raters a/b/c agree on all 10 items; d disagrees on 6 ->
+    // rates {1,1,1,0.4}: mean 0.85, sd_pop ~0.2598, z_d = -sqrt(3)
+    val rows = (0L until 10L).flatMap { i =>
+      Seq((i, "a", "ok"), (i, "b", "ok"), (i, "c", "ok"),
+        (i, "d", if (i < 6) "bad" else "ok"))
+    }.toDF("item", "rater", "label")
+    val got = Labeling.raterOutliers(rows, "item", "rater", "label",
+        zThresh = 1.5)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("d").getAs[Double]("agree_rate") == 0.4)
+    assert(got("a").getAs[Double]("agree_rate") == 1.0)
+    assert(got("d").getAs[Double]("z") < -1.5 &&
+      got("d").getAs[Boolean]("outlier"))
+    assert(!got("a").getAs[Boolean]("outlier") &&
+      got("a").getAs[Double]("z") > 0)
+    // unanimous panel: sd = 0, z null, no outliers
+    val same = (0L until 4L).flatMap(i =>
+      Seq((i, "a", "ok"), (i, "b", "ok")))
+      .toDF("item", "rater", "label")
+    val s = Labeling.raterOutliers(same, "item", "rater", "label")
+      .collect()
+    assert(s.forall(r => r.isNullAt(r.fieldIndex("z")) &&
+      !r.getAs[Boolean]("outlier")))
+  }
+
   test("krippendorffAlphaInterval: near-misses on a numeric scale " +
       "are mostly agreement; nominal calls them pure disagreement") {
     def alpha(rows: Seq[(Long, Double)]): org.apache.spark.sql.Row =
