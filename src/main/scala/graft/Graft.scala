@@ -934,6 +934,18 @@ object Graft {
              refCol: String = "reference",
              maxTokens: Int = 2000): DataFrame =
     llmops.Rouge.rougeL(pairs, idCol, candCol, refCol, maxTokens)
+  /** BLEU-4 per (candidate, reference) pair (X242, q269): clipped
+    * multi-n precisions, brevity penalty, unsmoothed. */
+  def bleu(pairs: DataFrame, idCol: String = "doc_id",
+           candCol: String = "candidate",
+           refCol: String = "reference"): DataFrame =
+    llmops.GenEval.bleu(pairs, idCol, candCol, refCol)
+  /** chrF2 per (candidate, reference) pair (X242, q270): character
+    * n-gram F-score, tokenization-robust. */
+  def chrF(pairs: DataFrame, idCol: String = "doc_id",
+           candCol: String = "candidate", refCol: String = "reference",
+           maxChars: Int = 5000): DataFrame =
+    llmops.GenEval.chrF(pairs, idCol, candCol, refCol, maxChars)
   /** Term burstiness / dispersion report (X223, q248): VMR of per-doc
     * counts, zeros in closed form. */
   def burstinessReport(docs: DataFrame, k: Int = 50,

@@ -5068,6 +5068,41 @@ object SparkEntry {
         .orderBy($"rater")
     }),
 
+    // llmops BLEU-4 (X242): the q252 candidate/reference windows
+    // scored by clipped multi-n precisions + brevity penalty — the
+    // (id, n, gram) join and the rounded-component chain (nested
+    // sqrt geometric mean) replay relationally.
+    "q269_bleu" -> ((s, d) => {
+      import s.implicits._
+      val T = graft.llmops.TextFuncs
+      val base = t(s, d, "documents")
+        .filter($"doc_id" < 300 && $"text".isNotNull)
+        .select($"doc_id",
+          when($"doc_id" % 17 === 0, lit(""))
+            .otherwise(concat_ws(" ", slice(T.tokens($"text"), 1, 30)))
+            .as("candidate"),
+          concat_ws(" ", slice(T.tokens($"text"), 11, 30))
+            .as("reference"))
+      graft.llmops.GenEval.bleu(base).orderBy($"doc_id")
+    }),
+
+    // llmops chrF2 (X242): the same pairs scored on character
+    // n-grams over whitespace-stripped text — macro-averaged P/R,
+    // recall-weighted F; tokenization-robust by construction.
+    "q270_chrf" -> ((s, d) => {
+      import s.implicits._
+      val T = graft.llmops.TextFuncs
+      val base = t(s, d, "documents")
+        .filter($"doc_id" < 300 && $"text".isNotNull)
+        .select($"doc_id",
+          when($"doc_id" % 17 === 0, lit(""))
+            .otherwise(concat_ws(" ", slice(T.tokens($"text"), 1, 30)))
+            .as("candidate"),
+          concat_ws(" ", slice(T.tokens($"text"), 11, 30))
+            .as("reference"))
+      graft.llmops.GenEval.chrF(base).orderBy($"doc_id")
+    }),
+
     // llmops term burstiness (X223): variance-to-mean dispersion of
     // per-doc counts, zeros in closed form — topical terms clump,
     // function words scatter; exact moment arithmetic replays.
@@ -11801,6 +11836,152 @@ object SparkEntry {
                   THEN round((rate - mu) / sd, 4) < -1.5 END, false)
                   AS outlier
          FROM per, st ORDER BY rater""",
+    // BLEU-4: clipped multi-n precisions, brevity penalty, geometric
+    // mean via nested sqrt from the rounded components
+    "q269_bleu" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(
+                    regexp_replace(text,
+                    '([\x{0e00}-\x{0e7f}\x{0e80}-\x{0eff}\x{1000}-\x{109f}\x{1780}-\x{17ff}\x{3040}-\x{30ff}\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{f900}-\x{faff}])',
+                    ' \1 ', 'g'))), '\s+'), t -> t <> '') AS tk
+           FROM documents WHERE doc_id < 300 AND text IS NOT NULL),
+         prs AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 17 = 0 THEN []
+                       ELSE tk[1:30] END AS ct,
+                  tk[11:40] AS rt
+           FROM toks),
+         cg AS (
+           SELECT doc_id, n.n AS n,
+                  array_to_string(ct[i.i:i.i + n.n - 1], ' ') AS g,
+                  count(*) AS nc
+           FROM prs,
+                unnest(generate_series(1, 4)) AS n(n),
+                unnest(generate_series(1,
+                  CASE WHEN len(ct) >= n.n
+                    THEN len(ct) - n.n + 1 ELSE 0 END)) AS i(i)
+           GROUP BY 1, 2, 3),
+         rg AS (
+           SELECT doc_id, n.n AS n,
+                  array_to_string(rt[i.i:i.i + n.n - 1], ' ') AS g,
+                  count(*) AS nr
+           FROM prs,
+                unnest(generate_series(1, 4)) AS n(n),
+                unnest(generate_series(1,
+                  CASE WHEN len(rt) >= n.n
+                    THEN len(rt) - n.n + 1 ELSE 0 END)) AS i(i)
+           GROUP BY 1, 2, 3),
+         j AS (
+           SELECT coalesce(cg.doc_id, rg.doc_id) AS doc_id,
+                  coalesce(cg.n, rg.n) AS n,
+                  coalesce(nc, 0) AS nc, coalesce(nr, 0) AS nr
+           FROM cg FULL OUTER JOIN rg
+             ON cg.doc_id = rg.doc_id AND cg.n = rg.n AND cg.g = rg.g),
+         pern AS (
+           SELECT doc_id, n,
+                  sum(least(nc, nr))::BIGINT AS ov,
+                  sum(nc)::BIGINT AS cn, sum(nr)::BIGINT AS rn
+           FROM j GROUP BY 1, 2),
+         wide AS (
+           SELECT doc_id,
+                  coalesce(max(CASE WHEN n = 1 THEN cn END),
+                    0)::BIGINT AS n_cand,
+                  coalesce(max(CASE WHEN n = 1 THEN rn END),
+                    0)::BIGINT AS n_ref,
+                  round(coalesce(max(CASE WHEN n = 1 THEN
+                    CASE WHEN cn > 0 THEN ov / cn::DOUBLE ELSE 0 END
+                    END), 0), 4) AS p1,
+                  round(coalesce(max(CASE WHEN n = 2 THEN
+                    CASE WHEN cn > 0 THEN ov / cn::DOUBLE ELSE 0 END
+                    END), 0), 4) AS p2,
+                  round(coalesce(max(CASE WHEN n = 3 THEN
+                    CASE WHEN cn > 0 THEN ov / cn::DOUBLE ELSE 0 END
+                    END), 0), 4) AS p3,
+                  round(coalesce(max(CASE WHEN n = 4 THEN
+                    CASE WHEN cn > 0 THEN ov / cn::DOUBLE ELSE 0 END
+                    END), 0), 4) AS p4
+           FROM pern GROUP BY 1),
+         w2 AS (
+           SELECT *, round(CASE WHEN n_cand = 0 THEN 0
+             WHEN n_cand >= n_ref THEN 1
+             ELSE exp(1 - n_ref / n_cand::DOUBLE) END, 4) AS bp
+           FROM wide),
+         f AS (
+           SELECT doc_id, n_cand, n_ref, p1, p2, p3, p4, bp,
+                  round(bp * sqrt(sqrt(p1 * p2 * p3 * p4)), 4) AS bleu
+           FROM w2)
+         SELECT p.doc_id,
+                coalesce(n_cand, 0)::BIGINT AS n_cand,
+                coalesce(n_ref, 0)::BIGINT AS n_ref,
+                coalesce(p1, 0.0) AS p1, coalesce(p2, 0.0) AS p2,
+                coalesce(p3, 0.0) AS p3, coalesce(p4, 0.0) AS p4,
+                coalesce(bp, 0.0) AS bp, coalesce(bleu, 0.0) AS bleu
+         FROM prs p LEFT JOIN f USING (doc_id)
+         ORDER BY p.doc_id""",
+    // chrF2: character n-grams over whitespace-stripped text,
+    // macro-averaged P/R, recall-weighted F from the rounded pair
+    "q270_chrf" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(
+                    regexp_replace(text,
+                    '([\x{0e00}-\x{0e7f}\x{0e80}-\x{0eff}\x{1000}-\x{109f}\x{1780}-\x{17ff}\x{3040}-\x{30ff}\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{f900}-\x{faff}])',
+                    ' \1 ', 'g'))), '\s+'), t -> t <> '') AS tk
+           FROM documents WHERE doc_id < 300 AND text IS NOT NULL),
+         prs AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 17 = 0 THEN ''
+                       ELSE array_to_string(tk[1:30], '') END AS cs,
+                  array_to_string(tk[11:40], '') AS rs
+           FROM toks),
+         cg AS (
+           SELECT doc_id, n.n AS n, substring(cs, i.i, n.n) AS g,
+                  count(*) AS nc
+           FROM prs,
+                unnest(generate_series(1, 6)) AS n(n),
+                unnest(generate_series(1,
+                  CASE WHEN length(cs) >= n.n
+                    THEN length(cs) - n.n + 1 ELSE 0 END)) AS i(i)
+           GROUP BY 1, 2, 3),
+         rg AS (
+           SELECT doc_id, n.n AS n, substring(rs, i.i, n.n) AS g,
+                  count(*) AS nr
+           FROM prs,
+                unnest(generate_series(1, 6)) AS n(n),
+                unnest(generate_series(1,
+                  CASE WHEN length(rs) >= n.n
+                    THEN length(rs) - n.n + 1 ELSE 0 END)) AS i(i)
+           GROUP BY 1, 2, 3),
+         j AS (
+           SELECT coalesce(cg.doc_id, rg.doc_id) AS doc_id,
+                  coalesce(cg.n, rg.n) AS n,
+                  coalesce(nc, 0) AS nc, coalesce(nr, 0) AS nr
+           FROM cg FULL OUTER JOIN rg
+             ON cg.doc_id = rg.doc_id AND cg.n = rg.n AND cg.g = rg.g),
+         pern AS (
+           SELECT doc_id, n,
+                  sum(least(nc, nr))::BIGINT AS ov,
+                  sum(nc)::BIGINT AS cn, sum(nr)::BIGINT AS rn
+           FROM j GROUP BY 1, 2),
+         wide AS (
+           SELECT doc_id,
+                  round(sum(CASE WHEN cn > 0
+                    THEN ov / cn::DOUBLE ELSE 0 END) / 6, 4) AS chr_p,
+                  round(sum(CASE WHEN rn > 0
+                    THEN ov / rn::DOUBLE ELSE 0 END) / 6, 4) AS chr_r
+           FROM pern GROUP BY 1),
+         f AS (
+           SELECT doc_id, chr_p, chr_r,
+                  round(CASE WHEN 4 * chr_p + chr_r > 0
+                    THEN 5 * chr_p * chr_r / (4 * chr_p + chr_r)
+                    ELSE 0 END, 4) AS chrf2
+           FROM wide)
+         SELECT p.doc_id, coalesce(chr_p, 0.0) AS chr_p,
+                coalesce(chr_r, 0.0) AS chr_r,
+                coalesce(chrf2, 0.0) AS chrf2
+         FROM prs p LEFT JOIN f USING (doc_id)
+         ORDER BY p.doc_id""",
     // burstiness: zeros-in-closed-form dispersion from the term-count
     // table; HUGEINT sums cast back
     "q248_burstiness" ->

@@ -61,7 +61,7 @@ class RobustnessSpec extends SparkTestBase {
       "q262_leakage_pairs", "q263_fleiss_kappa",
       "q264_politeness_overlap", "q265_gwet_ac1",
       "q266_alpha_ordinal", "q267_consensus_labels",
-      "q268_rater_outliers")
+      "q268_rater_outliers", "q269_bleu", "q270_chrf")
     for (name <- picked) {
       val fn = SparkEntry.queries(name)
       val a = fn(spark, sf0001).collect().map(_.toString).sorted.toSeq
