@@ -16,6 +16,17 @@ object Bench {
       // beyond Spark's 128-group sort-fallback default — see Graft.session
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "65536")
+      // AQE's parallelism-first coalescing targets
+      // max(shuffleBytes/parallelism, minPartitionSize); the 1m default
+      // floor serializes compute-dense slim shuffles (string-kernel
+      // verifies, exploded-gram windows: KBs of bytes, seconds of CPU)
+      // onto a handful of cores. 64k keeps every core busy whenever a
+      // shuffle holds ≥ 64k·cores bytes and is a no-op at production
+      // shuffle sizes, where bytes/parallelism is far above 1m anyway.
+      // Measured 2x on the exact-join tiers (OPTIMIZATION_r14.md);
+      // override via spark.sql.adaptive.coalescePartitions.minPartitionSize.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        "64k")
       .config("spark.ui.enabled", "false")
       // match Graft.session(): the bench must measure the plans the
       // library gives its users — RewriteWindowTopK + SQL registry on

@@ -35,6 +35,13 @@ object Graft {
       // fallback at +1.6 s over 51 M rows × 1 024 groups.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "65536")
+      // AQE's parallelism-first coalescing floors partitions at 1m,
+      // which serializes compute-dense slim shuffles (string-kernel
+      // verifies, exploded-gram windows) onto a few cores; 64k keeps
+      // cores busy on such stages and is a no-op once shuffle
+      // bytes/parallelism exceeds 1m (any production-scale shuffle).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        "64k")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -24,6 +24,10 @@ object Verify {
       // safely past Spark's 128-group sort-fallback default
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "65536")
+      // match Bench/Graft.session: keep compute-dense slim shuffles
+      // parallel under AQE coalescing (see Bench.scala)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        "64k")
       .config("spark.ui.enabled", "false")
       // match Graft.session(): verify the plans users actually get
       // (RewriteWindowTopK + SQL function registry active)

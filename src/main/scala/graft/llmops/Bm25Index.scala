@@ -87,10 +87,14 @@ object Bm25Index {
       .repartition(col("term_bucket"))
       .write.mode("overwrite").partitionBy("term_bucket")
       .parquet(s"$path/postings")
-    statsRow(docs, textCol, "base")
+    // one tokenize pass feeds BOTH stats stores: the additive stats
+    // row is the exact aggregate of the doclens rows (every dl is an
+    // integral double, so the sum is order-free), so deriving it from
+    // the pinned lens frame saves a third full tokenize of the corpus
+    val lens = docLens(docs, idCol, textCol, "base").localCheckpoint(false)
+    statsOf(lens, "base")
       .write.mode("overwrite").parquet(s"$path/stats")
-    docLens(docs, idCol, textCol, "base")
-      .write.mode("overwrite").parquet(s"$path/doclens")
+    lens.write.mode("overwrite").parquet(s"$path/doclens")
     Seq(nBuckets).toDF("n_buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
   }
@@ -106,18 +110,19 @@ object Bm25Index {
         TextFuncs.tokenCount(col(textCol)).cast("double").as("dl"))
       .withColumn("batch", lit(batchTag))
 
-  /** One additive stats row for a document batch: (n_docs, sum_dl,
-    * batch). Docs with empty/whitespace text count toward n (they are
-    * corpus members with dl = 0), exactly like [[Bm25.scores]]' stats
-    * pass. The `batch` tag exists so a replayed partial append (crash
+  /** One additive stats row for a document batch, derived from its
+    * [[docLens]] frame: (n_docs, sum_dl, batch). Docs with
+    * empty/whitespace text count toward n (they are corpus members
+    * with dl = 0), exactly like [[Bm25.scores]]' stats pass — the
+    * doclens store holds one row per doc including those, so the
+    * aggregate equals a direct stats pass over the corpus bit for bit
+    * (integral-double dl, order-free sum) without a second tokenize.
+    * The `batch` tag exists so a replayed partial append (crash
     * between the postings and stats writes) dedupes at serve time
     * instead of permanently double-counting.
     */
-  private def statsRow(docs: DataFrame, textCol: String,
-                       batchTag: String): DataFrame =
-    docs.select(TextFuncs.tokenCount(col(textCol))
-        .cast("double").as("dl"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+  private def statsOf(lens: DataFrame, batchTag: String): DataFrame =
+    lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .withColumn("batch", lit(batchTag))
 
   /** Incremental growth: new docs' postings append into their term
@@ -168,10 +173,12 @@ object Bm25Index {
       .repartition(col("term_bucket"))
       .write.mode("append").partitionBy("term_bucket")
       .parquet(s"$path/postings")
-    statsRow(newDocs, textCol, batchTag)
+    // stats derive from the pinned lens frame — see [[write]]
+    val lens = docLens(newDocs, idCol, textCol, batchTag)
+      .localCheckpoint(false)
+    statsOf(lens, batchTag)
       .write.mode("append").parquet(s"$path/stats")
-    docLens(newDocs, idCol, textCol, batchTag)
-      .write.mode("append").parquet(s"$path/doclens")
+    lens.write.mode("append").parquet(s"$path/doclens")
   }
 
   /** Tombstone-delete documents by id: appends the distinct ids to

@@ -45,8 +45,12 @@ object Retrieval {
         col("chunk_idx"), col("chunk_text"))
     chunks.write.mode("overwrite").parquet(s"$path/chunks")
     val persisted = spark.read.parquet(s"$path/chunks")
+    // pin: AnnIndex.write consumes the corpus ~8 times (centroid seed,
+    // k-means iterations, PQ iterations, encode, fit metrics) and the
+    // embedding kernel is a tokenize + shuffle per recompute — one
+    // embed pass, many cheap reads
     val emb = VectorFuncs.hashedEmbedding(persisted, dim,
-      idCol = "vec_id", textCol = "chunk_text")
+      idCol = "vec_id", textCol = "chunk_text").localCheckpoint(false)
     AnnIndex.write(emb, s"$path/index", nlist = nlist, m = m)
     // the lexical side tokenizes once too: hybridSearch serves BM25
     // from these bucket-partitioned postings instead of re-tokenizing
@@ -295,8 +299,10 @@ object Retrieval {
       .select(col("dim")).head().getInt(0)
     val (cents, books) = AnnIndex.loadModels(spark, s"$src/index")
     AnnIndex.writeWithModels(
+      // pin: writeWithModels consumes the corpus twice (encode + fit
+      // metrics); one embed pass instead of two
       VectorFuncs.hashedEmbedding(persisted, dim,
-        idCol = "vec_id", textCol = "chunk_text"),
+        idCol = "vec_id", textCol = "chunk_text").localCheckpoint(false),
       s"$dst/index", cents, books)
     if (hasLexical(spark, src))
       Bm25Index.write(persisted, s"$dst/lexical",
@@ -611,22 +617,36 @@ object Retrieval {
   private def hybridSides(spark: SparkSession, path: String,
                           chunks: DataFrame, queries: DataFrame,
                           k: Int, nprobe: Int, queryId: String,
-                          textCol: String): (DataFrame, DataFrame) = {
-    // vector side: the [[search]] ranking, joined back to vec_id
-    // granularity through the chunk table (vec_id is a hash — not
-    // derivable from (doc, chunk) without it)
-    val vec = search(spark, path, queries, k, nprobe, queryId, textCol)
+                          textCol: String): (DataFrame, DataFrame) =
+    (vecSide(spark, path, chunks, queries, k, nprobe, queryId, textCol),
+      lexSide(spark, path, chunks, queries, k, queryId, textCol))
+
+  /** Vector half of [[hybridSides]]: the [[search]] ranking, joined
+    * back to vec_id granularity through the chunk table (vec_id is a
+    * hash — not derivable from (doc, chunk) without it).
+    */
+  private def vecSide(spark: SparkSession, path: String,
+                      chunks: DataFrame, queries: DataFrame,
+                      k: Int, nprobe: Int, queryId: String,
+                      textCol: String): DataFrame =
+    search(spark, path, queries, k, nprobe, queryId, textCol)
       .join(chunks.select(col("vec_id"), col("doc_id"), col("chunk_idx")),
         Seq("doc_id", "chunk_idx"))
       .select(col(queryId), col("vec_id"), col("rk"))
 
-    // lexical side: ONE set-based multi-query BM25 job. Indexes built
-    // with the /lexical postings serve from them (only the probed term
-    // buckets are read — no chunk-table re-tokenize); older layouts
-    // fall back to the direct batch over the cached chunk table. Null
-    // query text or id cannot score lexically — the batch drops them,
-    // so they ride the vector side only (where the embedder drops
-    // them row-wise).
+  /** Lexical half of [[hybridSides]]: ONE set-based multi-query BM25
+    * job. Indexes built with the /lexical postings serve from them
+    * (only the probed term buckets are read — no chunk-table
+    * re-tokenize); older layouts fall back to the direct batch over
+    * the cached chunk table. Null query text or id cannot score
+    * lexically — the batch drops them, so they ride the vector side
+    * only (where the embedder drops them row-wise). Depends on k but
+    * NOT nprobe — [[tuneHybrid]] exploits exactly that.
+    */
+  private def lexSide(spark: SparkSession, path: String,
+                      chunks: DataFrame, queries: DataFrame,
+                      k: Int, queryId: String,
+                      textCol: String): DataFrame = {
     val lexTop =
       if (hasLexical(spark, path))
         Bm25Index.topK(spark, s"$path/lexical", queries, k,
@@ -635,7 +655,7 @@ object Retrieval {
         Bm25.topKBatch(chunks, queries, k,
           idCol = "vec_id", textCol = "chunk_text",
           queryIdCol = queryId, queryTextCol = textCol)
-    (vec, lexTop.select(col(queryId), col("vec_id"), col("rk")))
+    lexTop.select(col(queryId), col("vec_id"), col("rk"))
   }
 
   /** Hybrid-retrieval tuning grid (the X129 sweep shape applied to
@@ -644,11 +664,12 @@ object Retrieval {
     * instead of a notebook loop.
     *
     * Structure follows the knobs' cost: fetchK and nprobe change
-    * CANDIDATE GENERATION, so each (fetchK, nprobe) pair serves once
-    * (both tier rankings `localCheckpoint`ed); rrfK only changes the
-    * FUSION arithmetic, so every rrfK re-fuses those materialized
-    * rankings without touching the index — |fetchKs|·|nprobes| serves,
-    * |grid| cheap fusions. A cell's measurement is exactly what
+    * CANDIDATE GENERATION, so each (fetchK, nprobe) pair serves its
+    * vector ranking once and each fetchK its lexical ranking once
+    * (nprobe is a vector-side knob only; both tier rankings
+    * `localCheckpoint`ed) — |fetchKs|·|nprobes| vector serves,
+    * |fetchKs| lexical serves, |grid| cheap fusions; rrfK only
+    * changes the FUSION arithmetic over those materialized rankings. A cell's measurement is exactly what
     * SERVING at its knobs delivers: the fused top-fetchK chunk
     * ranking ([[hybridSearchWith]]'s output shape) rolls up to
     * document level (best chunk rank per doc, dense per-query
@@ -672,14 +693,19 @@ object Retrieval {
     require(evalK >= 1, "evalK must be >= 1")
     require(fetchKs.nonEmpty && nprobes.nonEmpty && rrfKs.nonEmpty,
       "every grid axis needs at least one value")
+    val lexByFk = scala.collection.mutable.Map.empty[Int, DataFrame]
     val chunks = spark.read.parquet(s"$path/chunks").cache()
     val cells =
       for (fk <- fetchKs; np <- nprobes) yield {
-        val (vec, lex) = hybridSides(spark, path, chunks, queries, fk,
-          np, queryId, textCol)
-        // materialized once per candidate cell; every rrfK reuses them
-        val vecC = vec.localCheckpoint()
-        val lexC = lex.localCheckpoint()
+        // the lexical ranking depends on fetchK but NOT nprobe, so it
+        // serves once per fetchK and every nprobe cell reuses the
+        // materialized ranking — |fetchKs| lexical serves instead of
+        // |fetchKs|·|nprobes|
+        val lexC = lexByFk.getOrElseUpdate(fk,
+          lexSide(spark, path, chunks, queries, fk, queryId, textCol)
+            .localCheckpoint())
+        val vecC = vecSide(spark, path, chunks, queries, fk, np,
+          queryId, textCol).localCheckpoint()
         rrfKs.map { rk =>
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy(col(queryId))

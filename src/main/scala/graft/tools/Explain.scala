@@ -15,6 +15,7 @@ object Explain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.ui.enabled", "false")
       // match Bench/Verify/Graft.session: audit the plans users get
       .withExtensions(new graft.GraftExtensions)

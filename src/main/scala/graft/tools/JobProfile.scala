@@ -25,6 +25,7 @@ object JobProfile {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "65536")
       .config("spark.ui.enabled", "false")
@@ -50,6 +51,8 @@ object JobProfile {
         val ms = (for {s <- si.submissionTime; c <- si.completionTime}
           yield c - s).getOrElse(-1L)
         stageTasks.put(si.stageId, ms)
+        lines.add(f"  stage ${si.stageId}%4d  ${ms / 1000.0}%8.3f s  " +
+          f"${si.numTasks}%5d tasks  ${si.name.take(110)}")
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         Option(starts.get(je.jobId)).foreach { case (t0, site, nt) =>
