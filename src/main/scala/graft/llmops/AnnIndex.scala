@@ -93,12 +93,19 @@ object AnnIndex {
             m: Int = 8, codewords: Int = 16, pqIters: Int = 2,
             corpusId: String = "vec_id", corpusVec: String = "embedding")
       : (Array[Array[Float]], Array[Array[Array[Float]]]) = {
-    val cents =
-      if (coarseIters > 0)
-        Ivf.kmeansCentroids(corpus, nlist, coarseIters, corpusId, corpusVec)
-      else Ivf.sampleCentroids(corpus, nlist, corpusId, corpusVec)
-    val books = Ivf.pqCodebooks(corpus, m, codewords, pqIters,
-      corpusId, corpusVec)
+    // the coarse quantizer and the PQ codebooks train independently
+    // from the same corpus — two driver threads overlap their
+    // per-iteration jobs (guide §2.6)
+    val Seq(centsA, booksA) = Par.run(Seq[() => AnyRef](
+      () =>
+        if (coarseIters > 0)
+          Ivf.kmeansCentroids(corpus, nlist, coarseIters, corpusId,
+            corpusVec)
+        else Ivf.sampleCentroids(corpus, nlist, corpusId, corpusVec),
+      () => Ivf.pqCodebooks(corpus, m, codewords, pqIters,
+        corpusId, corpusVec)))
+    val cents = centsA.asInstanceOf[Array[Array[Float]]]
+    val books = booksA.asInstanceOf[Array[Array[Array[Float]]]]
     writeWithModels(corpus, path, cents, books, corpusId, corpusVec)
     (cents, books)
   }
@@ -156,11 +163,20 @@ object AnnIndex {
                       corpusId: String = "vec_id",
                       corpusVec: String = "embedding"): Unit = {
     val spark = corpus.sparkSession
-    encoded(corpus, centroids, books, corpusId, corpusVec)
-      .write.mode("overwrite").partitionBy("list_id").parquet(path)
+    // the fit-metrics pass is independent of the code write, so it
+    // runs in parallel with it (guide §2.6); the models and the
+    // metrics ROW still land strictly AFTER the root overwrite, which
+    // deletes the whole path including _models/_stats
+    val Seq(_, fit) = Par.run(Seq[() => AnyRef](
+      () => {
+        encoded(corpus, centroids, books, corpusId, corpusVec)
+          .write.mode("overwrite").partitionBy("list_id").parquet(path)
+        null
+      },
+      () => fitMse(corpus, centroids, books, corpusVec)))
+    val (coarse, recon) = fit.asInstanceOf[(Double, Double)]
     Models.saveIvfAdc(spark, s"$path/_models", centroids, books)
     import spark.implicits._
-    val (coarse, recon) = fitMse(corpus, centroids, books, corpusVec)
     Seq(("train_mse", coarse), ("train_recon_mse", recon))
       .toDF("metric", "value")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_stats/metrics")

@@ -73,30 +73,39 @@ object Bm25Index {
     val spark = docs.sparkSession
     import spark.implicits._
     deleteDir(spark, s"$path/tombstones")
-    docs.select(col(idCol).as("id"),
-        TextFuncs.tokenCount(col(textCol)).cast("double").as("dl"),
-        explode(TextFuncs.tokens(col(textCol))).as("term"))
-      .filter(col("term") =!= "")
-      .groupBy(col("id"), col("term"))
-      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-      .withColumn("term_bucket", pmod(xxhash64(col("term")), lit(nBuckets)))
-      // co-locate each bucket before the partitioned write: without
-      // this every task writes a sliver of every bucket —
-      // tasks x buckets files, the classic small-files explosion; with
-      // it each bucket lands as one file per write
-      .repartition(col("term_bucket"))
-      .write.mode("overwrite").partitionBy("term_bucket")
-      .parquet(s"$path/postings")
     // one tokenize pass feeds BOTH stats stores: the additive stats
     // row is the exact aggregate of the doclens rows (every dl is an
     // integral double, so the sum is order-free), so deriving it from
     // the pinned lens frame saves a third full tokenize of the corpus
     val lens = docLens(docs, idCol, textCol, "base").localCheckpoint(false)
-    statsOf(lens, "base")
-      .write.mode("overwrite").parquet(s"$path/stats")
-    lens.write.mode("overwrite").parquet(s"$path/doclens")
-    Seq(nBuckets).toDF("n_buckets")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+    // write() is the fresh-index contract (a crash leaves a partial
+    // index either way), so the four stores build from a driver pool
+    // and the small writes overlap the postings job (guide §2.6).
+    // append() stays strictly ordered — its crash-window dedupe
+    // semantics depend on postings landing before the stats row.
+    Par.run(Seq(
+      () => docs.select(col(idCol).as("id"),
+          TextFuncs.tokenCount(col(textCol)).cast("double").as("dl"),
+          explode(TextFuncs.tokens(col(textCol))).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy(col("id"), col("term"))
+        .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+        .withColumn("term_bucket",
+          pmod(xxhash64(col("term")), lit(nBuckets)))
+        // co-locate each bucket before the partitioned write: without
+        // this every task writes a sliver of every bucket —
+        // tasks x buckets files, the classic small-files explosion;
+        // with it each bucket lands as one file per write
+        .repartition(col("term_bucket"))
+        .write.mode("overwrite").partitionBy("term_bucket")
+        .parquet(s"$path/postings"),
+      () => {
+        statsOf(lens, "base")
+          .write.mode("overwrite").parquet(s"$path/stats")
+        lens.write.mode("overwrite").parquet(s"$path/doclens")
+      },
+      () => Seq(nBuckets).toDF("n_buckets")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/params")))
   }
 
   /** One slim (id, dl, batch) row per doc — the exact per-doc length

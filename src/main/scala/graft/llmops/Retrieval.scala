@@ -51,15 +51,18 @@ object Retrieval {
     // embed pass, many cheap reads
     val emb = VectorFuncs.hashedEmbedding(persisted, dim,
       idCol = "vec_id", textCol = "chunk_text").localCheckpoint(false)
-    AnnIndex.write(emb, s"$path/index", nlist = nlist, m = m)
-    // the lexical side tokenizes once too: hybridSearch serves BM25
-    // from these bucket-partitioned postings instead of re-tokenizing
-    // the chunk table on every query batch
-    Bm25Index.write(persisted, s"$path/lexical",
-      idCol = "vec_id", textCol = "chunk_text")
     import spark.implicits._
-    Seq((dim, targetChars)).toDF("dim", "target_chars")
-      .write.mode("overwrite").parquet(s"$path/params")
+    // the three serving artifacts are independent of each other (the
+    // lexical side tokenizes the persisted chunks once; hybridSearch
+    // then serves BM25 from the bucket-partitioned postings instead of
+    // re-tokenizing the chunk table per query batch) — build them from
+    // a driver pool so their jobs overlap (guide §2.6)
+    Par.run(Seq(
+      () => AnnIndex.write(emb, s"$path/index", nlist = nlist, m = m): Unit,
+      () => Bm25Index.write(persisted, s"$path/lexical",
+        idCol = "vec_id", textCol = "chunk_text"),
+      () => Seq((dim, targetChars)).toDF("dim", "target_chars")
+        .write.mode("overwrite").parquet(s"$path/params")))
   }
 
   /** `queries` = (query_id numeric NON-NEGATIVE, text); returns one
@@ -693,46 +696,52 @@ object Retrieval {
     require(evalK >= 1, "evalK must be >= 1")
     require(fetchKs.nonEmpty && nprobes.nonEmpty && rrfKs.nonEmpty,
       "every grid axis needs at least one value")
-    val lexByFk = scala.collection.mutable.Map.empty[Int, DataFrame]
     val chunks = spark.read.parquet(s"$path/chunks").cache()
-    val cells =
-      for (fk <- fetchKs; np <- nprobes) yield {
-        // the lexical ranking depends on fetchK but NOT nprobe, so it
-        // serves once per fetchK and every nprobe cell reuses the
-        // materialized ranking — |fetchKs| lexical serves instead of
-        // |fetchKs|·|nprobes|
-        val lexC = lexByFk.getOrElseUpdate(fk,
-          lexSide(spark, path, chunks, queries, fk, queryId, textCol)
-            .localCheckpoint())
-        val vecC = vecSide(spark, path, chunks, queries, fk, np,
-          queryId, textCol).localCheckpoint()
-        rrfKs.map { rk =>
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(col(queryId))
-            .orderBy(col("__mr"), col("doc_id"))
-          // fuse the FULL fetchK candidate lists — the doc roll-up and
-          // the dense re-rank happen before the evalK cut (inside
-          // evalMetrics' rk <= k filter); cutting the fused CHUNK list
-          // at evalK first would collapse multi-chunk docs into fewer
-          // doc slots and mask exactly the fetchK effect the grid
-          // exists to measure
-          val docHits = rrfFuse(vecC, lexC, fk, rk, queryId, "vec_id")
-            .join(chunks.select(col("vec_id"), col("doc_id")),
-              Seq("vec_id"))
-            .groupBy(col(queryId), col("doc_id"))
-            .agg(min(col("rk")).as("__mr"))
-            .withColumn("rk", row_number().over(w))
-          evalMetrics(docHits, qrels, evalK, queryId, "doc_id")
-            .agg(count(lit(1)).as("n_queries"),
-              avg(col("recall_at_k")).as("mean_recall"),
-              avg(col("mrr_at_k")).as("mean_mrr"),
-              avg(col("ndcg_at_k")).as("mean_ndcg"))
-            .select(lit(fk).as("fetch_k"), lit(np).as("nprobe"),
-              lit(rk).as("rrf_k"), col("n_queries"),
-              col("mean_recall"), col("mean_mrr"), col("mean_ndcg"))
-        }
+    // the lexical ranking depends on fetchK but NOT nprobe, so it
+    // serves once per fetchK and every nprobe cell reuses the
+    // materialized ranking — |fetchKs| lexical serves instead of
+    // |fetchKs|·|nprobes|. The serves are independent actions, so they
+    // run from a small driver pool and back-fill each other's tails
+    // (guide §2.6); so do the per-cell vector serves and the per-cell
+    // metric evaluations below.
+    val lexByFk = Par.run(fetchKs.map(fk => () =>
+      fk -> lexSide(spark, path, chunks, queries, fk, queryId, textCol)
+        .localCheckpoint())).toMap
+    val vecCells = for (fk <- fetchKs; np <- nprobes) yield (fk, np)
+    val vecByCell = Par.run(vecCells.map { case (fk, np) => () =>
+      (fk, np) -> vecSide(spark, path, chunks, queries, fk, np,
+        queryId, textCol).localCheckpoint()
+    }).toMap
+    val cellFns =
+      for (fk <- fetchKs; np <- nprobes; rk <- rrfKs) yield { () =>
+        val (vecC, lexC) = (vecByCell((fk, np)), lexByFk(fk))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(queryId))
+          .orderBy(col("__mr"), col("doc_id"))
+        // fuse the FULL fetchK candidate lists — the doc roll-up and
+        // the dense re-rank happen before the evalK cut (inside
+        // evalMetrics' rk <= k filter); cutting the fused CHUNK list
+        // at evalK first would collapse multi-chunk docs into fewer
+        // doc slots and mask exactly the fetchK effect the grid
+        // exists to measure
+        val docHits = rrfFuse(vecC, lexC, fk, rk, queryId, "vec_id")
+          .join(chunks.select(col("vec_id"), col("doc_id")),
+            Seq("vec_id"))
+          .groupBy(col(queryId), col("doc_id"))
+          .agg(min(col("rk")).as("__mr"))
+          .withColumn("rk", row_number().over(w))
+        evalMetrics(docHits, qrels, evalK, queryId, "doc_id")
+          .agg(count(lit(1)).as("n_queries"),
+            avg(col("recall_at_k")).as("mean_recall"),
+            avg(col("mrr_at_k")).as("mean_mrr"),
+            avg(col("ndcg_at_k")).as("mean_ndcg"))
+          .select(lit(fk).as("fetch_k"), lit(np).as("nprobe"),
+            lit(rk).as("rrf_k"), col("n_queries"),
+            col("mean_recall"), col("mean_mrr"), col("mean_ndcg"))
+          .localCheckpoint() // one row per cell, evaluated in the pool
       }
-    val report = cells.flatten.reduce(_.unionByName(_))
+    val cells = Par.run(cellFns)
+    val report = cells.reduce(_.unionByName(_))
       .orderBy(col("fetch_k"), col("nprobe"), col("rrf_k"))
       .localCheckpoint() // |grid| rows; outlives the unpersist
     chunks.unpersist()
