@@ -98,8 +98,13 @@ object Dsir {
   def fitLogProbs(docs: DataFrame, alpha: Double = 1.0,
                   idCol: String = "doc_id", textCol: String = "text")
       : (DataFrame, Double) = {
+    // pin: ≤65 536 rows, but the subtree is a full corpus tokenize —
+    // consumed by the `total` action HERE and again by every plan the
+    // returned lps frame lands in (cross-action, so AQE reuse cannot
+    // help)
     val counts = featureRows(docs, idCol, textCol)
       .groupBy("fh").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
     val total = counts.agg(coalesce(sum(col("c")), lit(0L)))
       .head().getLong(0).toDouble
     val denom = total + alpha * Buckets
@@ -136,10 +141,13 @@ object Dsir {
   def importanceScores(docs: DataFrame, ratios: DataFrame,
                        idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
-    val dflt = ratios.filter(col("fh") === DefaultKey)
+    // pin: the ratio table (≤65 536 rows) feeds the default-row action
+    // here and the broadcast below — two actions, one derivation
+    val pinned = ratios.localCheckpoint(false)
+    val dflt = pinned.filter(col("fh") === DefaultKey)
       .select(col("lr")).head().getDouble(0)
     featureCounts(docs, idCol, textCol)
-      .join(broadcast(ratios.filter(col("fh") =!= DefaultKey)),
+      .join(broadcast(pinned.filter(col("fh") =!= DefaultKey)),
         Seq("fh"), "left")
       .groupBy(col("id"))
       .agg(sum(col("cnt") * coalesce(col("lr"), lit(dflt))).as("logw"))
