@@ -1903,9 +1903,15 @@ object SparkEntry {
       import s.implicits._
       val D = graft.llmops.Dsir
       val docs = t(s, d, "documents")
-      val ratios = D.logRatios(docs.filter($"lang" === "en"), docs)
+      // ONE pinned featureCounts pass feeds fit-target (en semi-join
+      // slice), fit-raw and scoring — the corpus tokenizes once, not
+      // three times; bit-exact per the FromCounts contracts
+      val perDoc = D.featureCounts(docs).localCheckpoint(false)
+      val enIds = docs.filter($"lang" === "en").select($"doc_id".as("id"))
+      val ratios = D.logRatiosFromCounts(
+        perDoc.join(enIds, Seq("id"), "left_semi"), perDoc)
       if (materializing) materialize(ratios, "q100_ratios")
-      val scored = D.importanceScores(docs, ratios)
+      val scored = D.importanceScoresFromCounts(perDoc, ratios)
         .join(docs.select($"doc_id", $"lang"), Seq("doc_id"))
       D.gumbelTopK(
           scored.join(docs.select($"doc_id", $"text"), Seq("doc_id")),

@@ -79,7 +79,7 @@ object Bm25Index {
     // the pinned lens frame saves a third full tokenize of the corpus
     val lens = docLens(docs, idCol, textCol, "base").localCheckpoint(false)
     // write() is the fresh-index contract (a crash leaves a partial
-    // index either way), so the four stores build from a driver pool
+    // index either way), so the big stores build from a driver pool
     // and the small writes overlap the postings job (guide §2.6).
     // append() stays strictly ordered — its crash-window dedupe
     // semantics depend on postings landing before the stats row.
@@ -103,9 +103,12 @@ object Bm25Index {
         statsOf(lens, "base")
           .write.mode("overwrite").parquet(s"$path/stats")
         lens.write.mode("overwrite").parquet(s"$path/doclens")
-      },
-      () => Seq(nBuckets).toDF("n_buckets")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/params")))
+      }))
+    // params lands strictly LAST: scores() reads it first, so its
+    // presence doubles as the completion marker for a reader racing a
+    // fresh build
+    Seq(nBuckets).toDF("n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
   }
 
   /** One slim (id, dl, batch) row per doc — the exact per-doc length
@@ -172,22 +175,37 @@ object Bm25Index {
     }
     val nBuckets = spark.read.parquet(s"$path/params")
       .select(col("n_buckets")).head().getInt(0)
-    newDocs.select(col(idCol).as("id"),
-        TextFuncs.tokenCount(col(textCol)).cast("double").as("dl"),
-        explode(TextFuncs.tokens(col(textCol))).as("term"))
-      .filter(col("term") =!= "")
-      .groupBy(col("id"), col("term"))
-      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-      .withColumn("term_bucket", pmod(xxhash64(col("term")), lit(nBuckets)))
-      .repartition(col("term_bucket"))
-      .write.mode("append").partitionBy("term_bucket")
-      .parquet(s"$path/postings")
-    // stats derive from the pinned lens frame — see [[write]]
-    val lens = docLens(newDocs, idCol, textCol, batchTag)
-      .localCheckpoint(false)
-    statsOf(lens, batchTag)
-      .write.mode("append").parquet(s"$path/stats")
-    lens.write.mode("append").parquet(s"$path/doclens")
+    // the postings write and the doclens materialization are the
+    // batch's two independent tokenize passes — overlap them (guide
+    // §2.6). The crash-window dedupe contract only needs the STATS
+    // row to land after the postings (it is the batch's commit
+    // marker), which the pool barrier preserves; the lens checkpoint
+    // writes nothing externally visible.
+    val lensSlot = new java.util.concurrent.atomic.AtomicReference[DataFrame]
+    Par.run(Seq(
+      () => newDocs.select(col(idCol).as("id"),
+          TextFuncs.tokenCount(col(textCol)).cast("double").as("dl"),
+          explode(TextFuncs.tokens(col(textCol))).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy(col("id"), col("term"))
+        .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+        .withColumn("term_bucket",
+          pmod(xxhash64(col("term")), lit(nBuckets)))
+        .repartition(col("term_bucket"))
+        .write.mode("append").partitionBy("term_bucket")
+        .parquet(s"$path/postings"),
+      // stats derive from the pinned lens frame — see [[write]];
+      // eager checkpoint so the frame is built inside this slot, not
+      // lazily by the two sequential writes below
+      () => lensSlot.set(docLens(newDocs, idCol, textCol, batchTag)
+        .localCheckpoint())))
+    val lens = lensSlot.get()
+    // stats is the commit marker (strictly after postings); doclens
+    // rows dedupe by id at serve, so the two appends can overlap
+    Par.run(Seq(
+      () => statsOf(lens, batchTag)
+        .write.mode("append").parquet(s"$path/stats"),
+      () => lens.write.mode("append").parquet(s"$path/doclens")))
   }
 
   /** Tombstone-delete documents by id: appends the distinct ids to
@@ -278,11 +296,19 @@ object Bm25Index {
     Bm25.requireIntegralId(queries, queryIdCol, "query")
     val nBuckets = spark.read.parquet(s"$path/params")
       .select(col("n_buckets")).head().getInt(0)
-    val qTerms = Bm25.queryTerms(queries, queryIdCol, queryTextCol)
-      .localCheckpoint(false) // tiny; read thrice (buckets, join, fan-out)
-    val buckets = qTerms
-      .select(pmod(xxhash64(col("term")), lit(nBuckets)).as("b"))
-      .distinct().as[Long].collect().toSeq
+    // ONE driver round-trip for the whole query-side protocol: the
+    // term set is broadcast-bounded by construction (it was already
+    // collected for the bucket list), so collecting (qid, term,
+    // bucket) together replaces the previous checkpoint-then-collect
+    // pair of jobs and re-ships the terms as a local relation — the
+    // serve path's driver jobs drop to params + this + the scan
+    val qtRows = Bm25.queryTerms(queries, queryIdCol, queryTextCol)
+      .select(col("__qid"), col("term"),
+        pmod(xxhash64(col("term")), lit(nBuckets)).as("__b"))
+      .collect()
+    val qTerms = qtRows.toSeq
+      .map(r => (r.getLong(0), r.getString(1))).toDF("__qid", "term")
+    val buckets = qtRows.map(_.getLong(2)).distinct.toSeq
     // additive stats rows sum to the union corpus; a `batch` tag (new
     // layouts) dedupes crash-window replays of the same ingest batch
     val statsRaw = spark.read.parquet(s"$path/stats")

@@ -168,6 +168,23 @@ object Dedup {
       sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else sigs.localCheckpoint(false)
 
+  /** Spread a slim candidate-pair frame across the cluster before a
+    * compute-dense verify. The candidate bytes are tiny (two longs a
+    * row), so AQE's parallelism-first coalescing legitimately
+    * collapses them onto a few partitions — and then the VERIFY
+    * projection (array intersections, banded levenshtein), whose
+    * cost is seconds per KB of input, runs on those few cores. An
+    * explicit hash repartition pins the verify's parallelism to the
+    * cluster (defaultParallelism — scale-adaptive, never a local
+    * constant) for the price of one shuffle of the slim pairs; AQE
+    * does not coalesce a user-specified repartition, so this holds
+    * under any coalescing floor.
+    */
+  private def spreadPairs(pairs: DataFrame): DataFrame =
+    pairs.repartition(
+      pairs.sparkSession.sparkContext.defaultParallelism,
+      col("id_a"), col("id_b"))
+
 
   /** Exact dedup: keep the lowest-id document per identical content
     * (ids are assumed unique — the corpus contract every kernel here
@@ -614,7 +631,7 @@ object Dedup {
       .distinct()
     val grams = docs.join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol), TextFuncs.wordNgrams(col(textCol), n).as("grams"))
-    candidates
+    spreadPairs(candidates)
       .join(grams.select(col(idCol).as("id_a"), col("grams").as("grams_a")), "id_a")
       .join(grams.select(col(idCol).as("id_b"), col("grams").as("grams_b")), "id_b")
       .select(col("id_a"), col("id_b"),
@@ -702,7 +719,7 @@ object Dedup {
     val sets = docs.join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol),
         TextFuncs.wordNgrams(col(textCol), n).as("set"))
-    cand
+    spreadPairs(cand)
       .join(sets.select(col(idCol).as("id_a"), col("set").as("set_a")),
         "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("set").as("set_b")),
@@ -778,7 +795,7 @@ object Dedup {
     val sets = docs.join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol),
         TextFuncs.wordNgrams(col(textCol), n).as("set"))
-    cand
+    spreadPairs(cand)
       .join(sets.select(col(idCol).as("id_a"), col("set").as("set_a")),
         "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("set").as("set_b")),
@@ -882,7 +899,7 @@ object Dedup {
     val heads = docs.join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol), substring(col(textCol), 1, maxChars).as("h"))
     val cap = math.ceil((1.0 - threshold) * maxChars).toInt
-    cands
+    spreadPairs(cands)
       .join(heads.select(col(idCol).as("id_a"), col("h").as("h_a")), "id_a")
       .join(heads.select(col(idCol).as("id_b"), col("h").as("h_b")), "id_b")
       .withColumn("__ld", levenshtein(col("h_a"), col("h_b"), cap))

@@ -97,14 +97,37 @@ object Dsir {
     */
   def fitLogProbs(docs: DataFrame, alpha: Double = 1.0,
                   idCol: String = "doc_id", textCol: String = "text")
-      : (DataFrame, Double) = {
+      : (DataFrame, Double) =
     // pin: ≤65 536 rows, but the subtree is a full corpus tokenize —
     // consumed by the `total` action HERE and again by every plan the
     // returned lps frame lands in (cross-action, so AQE reuse cannot
     // help)
-    val counts = featureRows(docs, idCol, textCol)
-      .groupBy("fh").agg(count(lit(1)).as("c"))
-      .localCheckpoint(false)
+    logProbsOf(featureRows(docs, idCol, textCol)
+      .groupBy("fh").agg(count(lit(1)).as("c")), alpha)
+
+  /** [[fitLogProbs]] over a pre-computed per-document feature-count
+    * frame (a [[featureCounts]] output, typically pinned) — the
+    * shared-derivation seam for the select shape, where the SAME
+    * corpus must be both fitted and scored: one featureCounts pass
+    * feeds the model fit here and [[importanceScoresFromCounts]],
+    * instead of tokenizing the corpus once per consumer. Bit-exact
+    * vs [[fitLogProbs]]: sum(cnt) per bucket over per-doc counts
+    * equals count(*) per bucket over the occurrence rows (integer
+    * arithmetic, order-free).
+    */
+  def fitLogProbsFromCounts(perDocCounts: DataFrame, alpha: Double = 1.0)
+      : (DataFrame, Double) =
+    logProbsOf(perDocCounts.groupBy("fh")
+      .agg(sum(col("cnt")).as("c")), alpha)
+
+  /** Shared tail of the two fit paths: pin the ≤65 536-row bucket
+    * count table (it feeds the `total` action here plus every plan
+    * the returned lps frame lands in) and turn it into smoothed
+    * log-probs.
+    */
+  private def logProbsOf(bucketCounts: DataFrame, alpha: Double)
+      : (DataFrame, Double) = {
+    val counts = bucketCounts.localCheckpoint(false)
     val total = counts.agg(coalesce(sum(col("c")), lit(0L)))
       .head().getLong(0).toDouble
     val denom = total + alpha * Buckets
@@ -133,6 +156,26 @@ object Dsir {
     joined.unionByName(Seq((DefaultKey, tDflt - rDflt)).toDF("fh", "lr"))
   }
 
+  /** [[logRatios]] from pre-computed per-document feature-count
+    * frames (the [[fitLogProbsFromCounts]] seam applied to both
+    * corpora). When target ⊆ raw — the q100 select shape — the caller
+    * pins ONE [[featureCounts]] pass over the raw corpus and passes a
+    * semi-joined slice as the target, so the corpus tokenizes once
+    * for fit-target + fit-raw + scoring combined.
+    */
+  def logRatiosFromCounts(targetCounts: DataFrame, rawCounts: DataFrame,
+                          alpha: Double = 1.0): DataFrame = {
+    import targetCounts.sparkSession.implicits._
+    val (tLp, tDflt) = fitLogProbsFromCounts(targetCounts, alpha)
+    val (rLp, rDflt) = fitLogProbsFromCounts(rawCounts, alpha)
+    val joined = tLp.withColumnRenamed("lp", "lpt")
+      .join(rLp.withColumnRenamed("lp", "lpr"), Seq("fh"), "full_outer")
+      .select(col("fh"),
+        (coalesce(col("lpt"), lit(tDflt)) -
+          coalesce(col("lpr"), lit(rDflt))).as("lr"))
+    joined.unionByName(Seq((DefaultKey, tDflt - rDflt)).toDF("fh", "lr"))
+  }
+
   /** Importance log-weight of every document under a ratio table (as
     * produced by [[logRatios]], default row included): (id, logw),
     * logw = Σ_b c_b·lr(b). One broadcast join + one partial-agg sum —
@@ -140,13 +183,24 @@ object Dsir {
     */
   def importanceScores(docs: DataFrame, ratios: DataFrame,
                        idCol: String = "doc_id",
-                       textCol: String = "text"): DataFrame = {
+                       textCol: String = "text"): DataFrame =
+    importanceScoresFromCounts(featureCounts(docs, idCol, textCol),
+      ratios, idCol)
+
+  /** [[importanceScores]] over a pre-computed per-document
+    * feature-count frame — with [[logRatiosFromCounts]], the piece
+    * that lets one pinned [[featureCounts]] pass feed model fit AND
+    * scoring. Bit-exact: it is the same dataflow from the counts on.
+    */
+  def importanceScoresFromCounts(perDocCounts: DataFrame,
+                                 ratios: DataFrame,
+                                 idCol: String = "doc_id"): DataFrame = {
     // pin: the ratio table (≤65 536 rows) feeds the default-row action
     // here and the broadcast below — two actions, one derivation
     val pinned = ratios.localCheckpoint(false)
     val dflt = pinned.filter(col("fh") === DefaultKey)
       .select(col("lr")).head().getDouble(0)
-    featureCounts(docs, idCol, textCol)
+    perDocCounts
       .join(broadcast(pinned.filter(col("fh") =!= DefaultKey)),
         Seq("fh"), "left")
       .groupBy(col("id"))

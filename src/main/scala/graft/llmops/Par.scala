@@ -15,18 +15,33 @@ private[graft] object Par {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(1, math.min(slots, tasks.size)))
     try {
-      val futs = tasks.map(t =>
+      // toIndexedSeq forces strict submission: a lazy Seq (view /
+      // LazyList) would interleave submits with the get() loop below
+      // and silently run the tasks sequentially
+      val futs = tasks.toIndexedSeq.map(t =>
         pool.submit(new java.util.concurrent.Callable[A] {
           def call(): A = t()
         }))
-      futs.map { f =>
-        try f.get()
-        catch {
-          // unwrap so callers see the real failure, not the pool's
-          case e: java.util.concurrent.ExecutionException =>
-            throw e.getCause
-        }
+      try futs.map(_.get())
+      catch {
+        // unwrap so callers see the real failure, not the pool's —
+        // and cancel the still-running siblings FIRST: a failed
+        // write must not return to the caller while background
+        // threads keep writing into the same index path (the caller
+        // may clean up or retry against it)
+        case e: java.util.concurrent.ExecutionException =>
+          futs.foreach(_.cancel(true))
+          throw e.getCause
       }
-    } finally pool.shutdown()
+    } finally {
+      // shutdownNow (not shutdown) so queued never-started tasks are
+      // dropped on the failure path; on success it is a no-op. The
+      // bounded await keeps a wedged task from hanging the caller.
+      pool.shutdownNow()
+      try pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+      catch { // must not mask the real failure from the try block
+        case _: InterruptedException => Thread.currentThread().interrupt()
+      }
+    }
   }
 }

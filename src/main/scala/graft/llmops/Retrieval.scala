@@ -48,21 +48,33 @@ object Retrieval {
     // pin: AnnIndex.write consumes the corpus ~8 times (centroid seed,
     // k-means iterations, PQ iterations, encode, fit metrics) and the
     // embedding kernel is a tokenize + shuffle per recompute — one
-    // embed pass, many cheap reads
+    // embed pass, many cheap reads. persist (NOT localCheckpoint):
+    // this pin is corpus-sized, and MEMORY_AND_DISK keeps the lineage
+    // recomputable under executor loss and spills instead of OOMing —
+    // the scale-safe form of a full-corpus pin. Materialized eagerly
+    // BEFORE the pool fans out so the concurrent first consumers
+    // (quantizer + PQ training) read built blocks instead of racing
+    // the first materialization.
     val emb = VectorFuncs.hashedEmbedding(persisted, dim,
-      idCol = "vec_id", textCol = "chunk_text").localCheckpoint(false)
+        idCol = "vec_id", textCol = "chunk_text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    emb.count()
     import spark.implicits._
-    // the three serving artifacts are independent of each other (the
+    // the serving artifacts are independent of each other (the
     // lexical side tokenizes the persisted chunks once; hybridSearch
     // then serves BM25 from the bucket-partitioned postings instead of
     // re-tokenizing the chunk table per query batch) — build them from
-    // a driver pool so their jobs overlap (guide §2.6)
+    // a driver pool so their jobs overlap (guide §2.6)...
     Par.run(Seq(
       () => AnnIndex.write(emb, s"$path/index", nlist = nlist, m = m): Unit,
       () => Bm25Index.write(persisted, s"$path/lexical",
-        idCol = "vec_id", textCol = "chunk_text"),
-      () => Seq((dim, targetChars)).toDF("dim", "target_chars")
-        .write.mode("overwrite").parquet(s"$path/params")))
+        idCol = "vec_id", textCol = "chunk_text")))
+    // ...but params lands strictly LAST: search()/hybridSearch read
+    // params first, so its presence doubles as the completion marker a
+    // reader racing a fresh build relies on
+    Seq((dim, targetChars)).toDF("dim", "target_chars")
+      .write.mode("overwrite").parquet(s"$path/params")
+    emb.unpersist(false)
   }
 
   /** `queries` = (query_id numeric NON-NEGATIVE, text); returns one
@@ -301,12 +313,17 @@ object Retrieval {
     val dim = spark.read.parquet(s"$src/params")
       .select(col("dim")).head().getInt(0)
     val (cents, books) = AnnIndex.loadModels(spark, s"$src/index")
-    AnnIndex.writeWithModels(
-      // pin: writeWithModels consumes the corpus twice (encode + fit
-      // metrics); one embed pass instead of two
-      VectorFuncs.hashedEmbedding(persisted, dim,
-        idCol = "vec_id", textCol = "chunk_text").localCheckpoint(false),
-      s"$dst/index", cents, books)
+    // pin: writeWithModels consumes the corpus twice (encode + fit
+    // metrics, concurrently); one embed pass instead of two. persist +
+    // eager count, not localCheckpoint: spillable, lineage kept, and
+    // built BEFORE writeWithModels' pool fans out (no concurrent
+    // first-materialization race) — see buildIndex
+    val emb = VectorFuncs.hashedEmbedding(persisted, dim,
+        idCol = "vec_id", textCol = "chunk_text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    emb.count()
+    AnnIndex.writeWithModels(emb, s"$dst/index", cents, books)
+    emb.unpersist(false)
     if (hasLexical(spark, src))
       Bm25Index.write(persisted, s"$dst/lexical",
         idCol = "vec_id", textCol = "chunk_text")

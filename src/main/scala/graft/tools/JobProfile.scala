@@ -25,7 +25,8 @@ object JobProfile {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MINPART", "64k"))
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "65536")
       .config("spark.ui.enabled", "false")

@@ -126,6 +126,31 @@ class DsirSpec extends SparkTestBase {
     a.foreach { case (k, v) => assert(v == b(k), s"doc $k drifted") }
   }
 
+  test("FromCounts seams are bit-exact vs the direct paths (the q100 " +
+    "shared-derivation contract)") {
+    val raw = docs((1L, "alpha beta gamma alpha"), (2L, "beta delta"),
+      (3L, "junk spam beta"), (4L, "gamma gamma"))
+    val target = raw.filter($"doc_id" <= 2L)
+    val perDoc = Dsir.featureCounts(raw).localCheckpoint(false)
+    val tCounts = perDoc.join(
+      target.select($"doc_id".as("id")), Seq("id"), "left_semi")
+    // ratio tables identical row-for-row
+    val a = Dsir.logRatios(target, raw).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    val b = Dsir.logRatiosFromCounts(tCounts, perDoc).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(a.keySet == b.keySet)
+    a.foreach { case (k, v) => assert(v == b(k), s"bucket $k drifted") }
+    // scores identical bit-for-bit (same dataflow from the counts on)
+    val ratios = Dsir.logRatiosFromCounts(tCounts, perDoc)
+    val s1 = Dsir.importanceScores(raw, ratios).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val s2 = Dsir.importanceScoresFromCounts(perDoc, ratios).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(s1.keySet == s2.keySet)
+    s1.foreach { case (k, v) => assert(v == s2(k), s"doc $k drifted") }
+  }
+
   test("empty target degenerates to pure-smoothing ratios (all ~0 vs raw)") {
     val raw = docs((1L, "a b c"))
     val target = docs()
