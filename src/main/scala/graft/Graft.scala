@@ -35,6 +35,15 @@ object Graft {
       // fallback at +1.6 s over 51 M rows × 1 024 groups.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "65536")
+      // The 100-entry default codegen class cache thrashes under the
+      // iterative lifecycle operators (k-means/PQ training + encode +
+      // serve produce hundreds of distinct generated classes per
+      // query): every task then RE-compiles its projections behind
+      // the compile KeyLock, serializing short stages — thread dumps
+      // showed 23/32 task threads blocked on that lock. Sized to hold
+      // a full lifecycle run; entries are soft-referenced, so this is
+      // a cap, not a reservation.
+      .config("spark.sql.codegen.cache.maxEntries", "3000")
       // AQE's parallelism-first coalescing floors partitions at 1m,
       // which serializes compute-dense slim shuffles (string-kernel
       // verifies, exploded-gram windows) onto a few cores; 64k keeps

@@ -24,6 +24,15 @@ object Verify {
       // safely past Spark's 128-group sort-fallback default
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "65536")
+      // The 100-entry default codegen class cache thrashes under the
+      // iterative lifecycle operators (k-means/PQ training + encode +
+      // serve produce hundreds of distinct generated classes per
+      // query): every task then RE-compiles its projections behind
+      // the compile KeyLock, serializing short stages — thread dumps
+      // showed 23/32 task threads blocked on that lock. Sized to hold
+      // a full lifecycle run; entries are soft-referenced, so this is
+      // a cap, not a reservation.
+      .config("spark.sql.codegen.cache.maxEntries", "3000")
       // match Bench/Graft.session: keep compute-dense slim shuffles
       // parallel under AQE coalescing (see Bench.scala)
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",

@@ -48,17 +48,20 @@ object Retrieval {
     // pin: AnnIndex.write consumes the corpus ~8 times (centroid seed,
     // k-means iterations, PQ iterations, encode, fit metrics) and the
     // embedding kernel is a tokenize + shuffle per recompute — one
-    // embed pass, many cheap reads. persist (NOT localCheckpoint):
-    // this pin is corpus-sized, and MEMORY_AND_DISK keeps the lineage
-    // recomputable under executor loss and spills instead of OOMing —
-    // the scale-safe form of a full-corpus pin. Materialized eagerly
-    // BEFORE the pool fans out so the concurrent first consumers
-    // (quantizer + PQ training) read built blocks instead of racing
-    // the first materialization.
+    // embed pass, many cheap reads. EAGER localCheckpoint: built
+    // BEFORE the pool fans out, so the concurrent first consumers
+    // (quantizer ∥ PQ training) read finished blocks instead of
+    // racing a lazy checkpoint's first materialization. Sizing /
+    // fault-tolerance argument for the truncated lineage: the pin is
+    // one float array per chunk (dim·4 B ≈ 1 KB at dim 256 — orders
+    // of magnitude under the chunk text it derives from), blocks
+    // spill via MEMORY_AND_DISK, and buildIndex is a bounded build
+    // job — losing an executor mid-build restarts a job whose cost
+    // is the build itself, never a serving outage. (A columnar
+    // persist(MEMORY_AND_DISK) was A/B'd: its CachedBatch encode
+    // cost +33% on q135 at sf0.1 for no local benefit.)
     val emb = VectorFuncs.hashedEmbedding(persisted, dim,
-        idCol = "vec_id", textCol = "chunk_text")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    emb.count()
+      idCol = "vec_id", textCol = "chunk_text").localCheckpoint()
     import spark.implicits._
     // the serving artifacts are independent of each other (the
     // lexical side tokenizes the persisted chunks once; hybridSearch
@@ -74,7 +77,6 @@ object Retrieval {
     // reader racing a fresh build relies on
     Seq((dim, targetChars)).toDF("dim", "target_chars")
       .write.mode("overwrite").parquet(s"$path/params")
-    emb.unpersist(false)
   }
 
   /** `queries` = (query_id numeric NON-NEGATIVE, text); returns one
@@ -314,16 +316,13 @@ object Retrieval {
       .select(col("dim")).head().getInt(0)
     val (cents, books) = AnnIndex.loadModels(spark, s"$src/index")
     // pin: writeWithModels consumes the corpus twice (encode + fit
-    // metrics, concurrently); one embed pass instead of two. persist +
-    // eager count, not localCheckpoint: spillable, lineage kept, and
-    // built BEFORE writeWithModels' pool fans out (no concurrent
-    // first-materialization race) — see buildIndex
+    // metrics, concurrently); one embed pass instead of two. EAGER
+    // localCheckpoint, built before writeWithModels' pool fans out
+    // (no concurrent first-materialization race) — sizing and
+    // fault-tolerance rationale in [[buildIndex]]
     val emb = VectorFuncs.hashedEmbedding(persisted, dim,
-        idCol = "vec_id", textCol = "chunk_text")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    emb.count()
+      idCol = "vec_id", textCol = "chunk_text").localCheckpoint()
     AnnIndex.writeWithModels(emb, s"$dst/index", cents, books)
-    emb.unpersist(false)
     if (hasLexical(spark, src))
       Bm25Index.write(persisted, s"$dst/lexical",
         idCol = "vec_id", textCol = "chunk_text")

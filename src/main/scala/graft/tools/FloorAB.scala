@@ -27,6 +27,15 @@ object FloorAB {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "65536")
+      // The 100-entry default codegen class cache thrashes under the
+      // iterative lifecycle operators (k-means/PQ training + encode +
+      // serve produce hundreds of distinct generated classes per
+      // query): every task then RE-compiles its projections behind
+      // the compile KeyLock, serializing short stages — thread dumps
+      // showed 23/32 task threads blocked on that lock. Sized to hold
+      // a full lifecycle run; entries are soft-referenced, so this is
+      // a cap, not a reservation.
+      .config("spark.sql.codegen.cache.maxEntries", "3000")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.GraftExtensions)
       .getOrCreate()
