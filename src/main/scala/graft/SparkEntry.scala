@@ -1737,8 +1737,15 @@ object SparkEntry {
       val I = graft.llmops.Ivf
       val A = graft.llmops.AnnIndex
       val emb = t(s, d, "embeddings")
-      val cents = I.kmeansCentroids(emb, nlist = 16, iters = 2)
-      val books = I.pqCodebooks(emb, m = 8, k = 16, iters = 2)
+      // the coarse quantizer and the PQ codebooks train independently
+      // from the same corpus — overlap their per-iteration jobs
+      // (guide §2.6, the AnnIndex.write pattern); both trainings are
+      // deterministic collects, so the models are unchanged
+      val Seq(centsA, booksA) = graft.llmops.Par.run(Seq[() => AnyRef](
+        () => I.kmeansCentroids(emb, nlist = 16, iters = 2),
+        () => I.pqCodebooks(emb, m = 8, k = 16, iters = 2)))
+      val cents = centsA.asInstanceOf[Array[Array[Float]]]
+      val books = booksA.asInstanceOf[Array[Array[Array[Float]]]]
       val idx = "/root/repo/spark-warehouse/q93_index"
       A.writeWithModels(emb, idx, cents, books)
       val q = emb.filter($"vec_id" < 5)
@@ -2162,8 +2169,12 @@ object SparkEntry {
       val I = graft.llmops.Ivf
       val A = graft.llmops.AnnIndex
       val emb = t(s, d, "embeddings")
-      val cents = I.kmeansCentroids(emb, nlist = 16, iters = 2)
-      val books = I.pqCodebooks(emb, m = 8, k = 16, iters = 2)
+      // overlapped independent trainings — see q93
+      val Seq(centsA, booksA) = graft.llmops.Par.run(Seq[() => AnyRef](
+        () => I.kmeansCentroids(emb, nlist = 16, iters = 2),
+        () => I.pqCodebooks(emb, m = 8, k = 16, iters = 2)))
+      val cents = centsA.asInstanceOf[Array[Array[Float]]]
+      val books = booksA.asInstanceOf[Array[Array[Array[Float]]]]
       val idx = "/root/repo/spark-warehouse/q110_index"
       A.writeWithModels(emb.filter($"vec_id" % 2 === 0), idx, cents, books)
       A.append(s, emb.filter($"vec_id" % 2 =!= 0), idx)

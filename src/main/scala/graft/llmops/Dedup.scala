@@ -1240,16 +1240,27 @@ object Dedup {
     */
   def duplicateSpanStats(docs: DataFrame, n: Int = 8, minDocs: Int = 2,
                          idCol: String = "doc_id", textCol: String = "text")
-      : DataFrame =
-    dupSpanOccurrences(docs, n, minDocs, idCol, textCol)
-      .select(col(idCol), col("__nt"), col("__pos"),
+      : DataFrame = {
+    // (id, __pos) is UNIQUE here by construction — posexplode emits
+    // each position once per doc and the dup-gram join matches each
+    // against one distinct hash row — so dup_grams is a plain count,
+    // and splitting the two aggregates removes the two-countDistinct
+    // Expand (which doubled the already n×-exploded position stream
+    // through the shuffle). Both aggs shuffle slim (id, long) rows by
+    // the same key; the join is per-doc rows only.
+    val occ = dupSpanOccurrences(docs, n, minDocs, idCol, textCol)
+    val grams = occ.groupBy(col(idCol))
+      .agg(first(col("__nt")).as("n_tokens"),
+        count(lit(1)).as("dup_grams"))
+    val toks = occ
+      .select(col(idCol),
         explode(sequence(col("__pos"), col("__pos") + (n - 1))).as("__p"))
       .groupBy(col(idCol))
-      .agg(first(col("__nt")).as("n_tokens"),
-        countDistinct(col("__pos")).as("dup_grams"),
-        countDistinct(col("__p")).as("dup_tokens"))
+      .agg(countDistinct(col("__p")).as("dup_tokens"))
+    grams.join(toks, Seq(idCol))
       .withColumn("dup_frac",
         col("dup_tokens") / col("n_tokens").cast("double"))
+  }
 
   /** Remove duplicated spans from the corpus text (the Lee et al.
     * transform): every token position covered by a ≥`minDocs`-document
